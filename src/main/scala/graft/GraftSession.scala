@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's canonical configuration.
+  *
+  * - `ansi=false`: the reference's Polars semantics are null-on-bad-cast /
+  *   null-on-bad-date (fa-etl.py:63,70-72 non-strict casts); Spark 4's
+  *   default ANSI mode would raise instead (SURVEY.md §7.3).
+  * - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *   — the 100 TB story for skewed keys (hot PropertyIDs / join keys).
+  * - UTC session timezone for engine-portable date/timestamp semantics.
+  * - `shufflePartitions` sized by the caller to the actual parallelism
+  *   (local[N] ⇒ N), not the 200 default.
+  */
+object GraftSession {
+  def apply(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+            shufflePartitions: Option[Int] = None,
+            appName: String = "graft"): SparkSession = {
+    val parts = shufflePartitions.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the engine's session-level SQL configs to an externally-built
+    * session (e.g. the driver's). Idempotent, runtime-settable confs only. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,13 +1,336 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ extension operators), with DuckDB-runnable `oracleSql`
+  * for every SQL-expressible one. Column names are aliased identically on
+  * both sides (driver hash-compares after sorting columns by name).
+  *
+  * All queries are deterministic: window ranks use tie-free total orders
+  * (SURVEY.md §5), float aggregates are rounded to absorb summation-order
+  * differences between engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Flagship: the reference's unified join shape (fa-etl.py:429-483) on
+    * testdata — fact ⟕ dims chain with post-join null filter. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qUnifiedJoin(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  /** §2.6 generalization: grouped aggregation (TPC-H Q1 shape). */
+  private def qAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** P1+P4+P5+P6+P7 (fa-etl.py:61-64): projection + conjunctive filters. */
+  private def qFilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").isNotNull && col("l_quantity") > 30 &&
+        col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  /** E1+E10 (fa-etl.py:63,233-234): non-strict cast + arithmetic derive. */
+  private def qCastArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_quantity")).cast(LongType).as("qty_int"),
+      (col("l_extendedprice") / 100).as("price_adj"),
+      Exprs.castOrNull(col("l_returnflag"), LongType).as("flag_bad_cast"))
+
+  /** E2+E3+E6+E12 (fa-etl.py:65,69-73,170-175): substring, lpad,
+    * null-strict concat with fallback. */
+  private def qStringOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      Exprs.strPrefix(col("p_name"), 4).as("name4"),
+      Exprs.padKey(col("p_size"), 4).as("size_pad"),
+      Exprs.concatStrictOrElse("_", col("p_brand"), col("p_brand"), col("p_type"))
+        .as("brand_type"))
+
+  /** E4+E5 (fa-etl.py:70-72,77-79): yyyyMMdd parse roundtrip + date parts. */
+  private def qDateOps(s: SparkSession, dir: String): DataFrame = {
+    val ymd = date_format(col("o_orderdate"), "yyyyMMdd")
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"),
+      month(col("o_orderdate")).as("o_month"),
+      ymd.as("ymd"),
+      Exprs.parseYyyymmdd(ymd).as("parsed_date"),
+      Exprs.parseYyyymmdd(col("o_orderpriority")).as("bad_date"))
+  }
+
+  /** E7+E8+E9 (fa-etl.py:74,80,168-169,395-414): conditional cascade,
+    * whitelist-else-null, zero-to-null. */
+  private def qCaseCascade(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      Exprs.cascade(
+        Seq((col("o_totalprice") > 200000, lit("high")),
+            (col("o_totalprice") > 100000, lit("mid")),
+            (col("o_totalprice") > 0, lit("low"))),
+        lit(null)).as("band"),
+      Exprs.whitelistElseNull(col("o_orderstatus"), Seq("F", "O")).as("status_wl"),
+      Exprs.zeroToNull(col("o_totalprice")).as("price_nz"))
+
+  /** W1+A1 (fa-etl.py:99-105): deterministic top-1 per group — latest
+    * lineitem per order by shipdate, tie-broken by linenumber. */
+  private def qWindowTop1(s: SparkSession, dir: String): DataFrame =
+    Windows.topOnePerGroup(t(s, dir, "lineitem"),
+        Seq(col("l_orderkey")),
+        // l_linenumber alone is not unique in the synthetic data; extend the
+        // order to a tie-free total order (SURVEY.md §5 determinism rule).
+        Seq(col("l_shipdate").desc, col("l_linenumber").asc,
+          col("l_extendedprice").desc, col("l_partkey").asc, col("l_suppkey").asc))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_extendedprice"))
+
+  /** W2 + frames: rank per supplier + running sum (ordered frame). */
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame =
+    Windows.runningSum(
+        t(s, dir, "supplier").join(
+          t(s, dir, "lineitem")
+            .groupBy(col("l_suppkey"), col("l_orderkey"))
+            .agg(round(sum(col("l_quantity")), 2).as("qty")),
+          col("s_suppkey") === col("l_suppkey"), "inner"),
+        "run_qty", col("qty"),
+        Seq(col("s_suppkey")), Seq(col("l_orderkey").asc))
+      .select(col("s_suppkey"), col("l_orderkey"), col("qty"),
+        round(col("run_qty"), 2).as("run_qty"))
+
+  /** J1 (fa-etl.py:357-361): left equi-join on a composite key. */
+  private def qJoinComposite(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+    val b = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("ret_price"))
+    Joins.leftJoin(a, b, Seq("l_orderkey", "l_suppkey"))
+  }
+
+  /** J4/J5 (fa-etl.py:467-476): left join with mismatched key names. */
+  private def qJoinRename(s: SparkSession, dir: String): DataFrame =
+    Joins.leftJoinRenamed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus")),
+        Seq("l_orderkey" -> "o_orderkey"))
+
+  /** §3.3 flagship (fa-etl.py:429-483): 4-table left-join chain; post-join
+    * null filter converts the first join to inner (EliminateOuterJoin);
+    * dims broadcast. Helper columns dropped (P2). */
+  private def qUnifiedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    Joins.leftJoinRenamed(li, o, Seq("l_orderkey" -> "o_orderkey"))
+      .transform(d => Joins.leftJoinRenamed(d, broadcast(c),
+        Seq("o_custkey" -> "c_custkey"), broadcastRight = true))
+      .transform(d => Joins.leftJoinRenamed(d, n,
+        Seq("c_nationkey" -> "n_nationkey"), broadcastRight = true))
+      .filter(col("o_totalprice").isNotNull)
+      .drop("o_custkey", "c_nationkey")
+  }
+
+  /** ValHist unpivot+cascade shape (fa-etl.py:297-419): wide → per-measure
+    * tables → left-join realignment → preference cascade + label. */
+  private def qUnpivotCascade(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"), year(col("l_shipdate")).as("yr"),
+      col("l_returnflag").as("f"), col("l_extendedprice").as("v"))
+    def measure(flag: String, out: String): DataFrame =
+      base.filter(col("f") === flag).groupBy(col("k"), col("yr"))
+        .agg(round(sum(col("v")), 2).as(out))
+    val assd = measure("N", "assd_v")
+    val market = measure("R", "market_v")
+    val appr = measure("A", "appr_v")
+    val joined = Joins.leftJoin(Joins.leftJoin(assd, market, Seq("k", "yr")),
+      appr, Seq("k", "yr"))
+    val (value, used) = Exprs.preferNonZero(Seq(
+      "Assd" -> col("assd_v"), "Market" -> col("market_v"),
+      "Appr" -> col("appr_v")))
+    joined.select(col("k").as("l_orderkey"), col("yr"),
+      value.as("value"), used.as("used"), col("market_v"), col("appr_v"))
+  }
+
+  /** §2.7 set ops (absent in reference; engine library): intersect/except. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val ord = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    cust.intersect(ord).withColumn("tag", lit("both"))
+      .unionByName(cust.except(ord).withColumn("tag", lit("cust_only")))
+  }
+
+  /** §2.6 distinct aggregation (engine library). */
+  private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  /** §2.7 global sort + limit (top-k). */
+  private def qTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Semi/anti joins (engine library; SURVEY.md §2.5 notes absence). */
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    Joins.semiJoin(c, o, Seq("c_custkey")).withColumn("tag", lit("has_orders"))
+      .unionByName(Joins.antiJoin(c, o, Seq("c_custkey"))
+        .withColumn("tag", lit("no_orders")))
+  }
+
+  // ------------------------------------------------------------- contract
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (qAgg _),
+    "q02_filter_project" -> (qFilterProject _),
+    "q03_cast_arith" -> (qCastArith _),
+    "q04_string_ops" -> (qStringOps _),
+    "q05_date_ops" -> (qDateOps _),
+    "q06_case_cascade" -> (qCaseCascade _),
+    "q07_window_top1" -> (qWindowTop1 _),
+    "q08_window_running" -> (qWindowRunning _),
+    "q09_join_composite" -> (qJoinComposite _),
+    "q10_join_rename" -> (qJoinRename _),
+    "q11_unified_join" -> (qUnifiedJoin _),
+    "q12_unpivot_cascade" -> (qUnpivotCascade _),
+    "q13_setops" -> (qSetOps _),
+    "q14_distinct_agg" -> (qDistinctAgg _),
+    "q15_topk" -> (qTopK _),
+    "q16_semi_anti" -> (qSemiAnti _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 2) AS avg_qty,
+         count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate IS NOT NULL AND l_quantity > 30 AND l_returnflag = 'R'""",
+    "q03_cast_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+         l_extendedprice / 100 AS price_adj,
+         TRY_CAST(l_returnflag AS BIGINT) AS flag_bad_cast
+         FROM lineitem""",
+    "q04_string_ops" ->
+      """SELECT p_partkey, substring(p_name, 1, 4) AS name4,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+         coalesce(p_brand || '_' || p_type, p_brand) AS brand_type
+         FROM part""",
+    "q05_date_ops" ->
+      """SELECT o_orderkey, year(o_orderdate) AS o_year,
+         month(o_orderdate) AS o_month,
+         strftime(o_orderdate, '%Y%m%d') AS ymd,
+         CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS parsed_date,
+         CAST(NULL AS DATE) AS bad_date
+         FROM orders""",
+    "q06_case_cascade" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 200000 THEN 'high'
+              WHEN o_totalprice > 100000 THEN 'mid'
+              WHEN o_totalprice > 0 THEN 'low' END AS band,
+         CASE WHEN o_orderstatus IN ('F','O') THEN o_orderstatus END AS status_wl,
+         CASE WHEN o_totalprice = 0 THEN NULL ELSE o_totalprice END AS price_nz
+         FROM orders""",
+    "q07_window_top1" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_shipdate DESC, l_linenumber ASC, l_extendedprice DESC,
+                        l_partkey ASC, l_suppkey ASC) AS rn FROM lineitem)
+         WHERE rn = 1""",
+    "q08_window_running" ->
+      """WITH agg AS (SELECT l_suppkey, l_orderkey,
+             round(sum(l_quantity), 2) AS qty
+             FROM lineitem GROUP BY l_suppkey, l_orderkey)
+         SELECT s_suppkey, l_orderkey, qty,
+         round(sum(qty) OVER (PARTITION BY s_suppkey ORDER BY l_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
+         FROM supplier JOIN agg ON s_suppkey = l_suppkey""",
+    "q09_join_composite" ->
+      """WITH a AS (SELECT l_orderkey, l_suppkey, round(sum(l_quantity), 2) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey, l_suppkey),
+         b AS (SELECT l_orderkey, l_suppkey, round(sum(l_extendedprice), 2) AS ret_price
+             FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey, l_suppkey)
+         SELECT a.l_orderkey, a.l_suppkey, a.sum_qty, b.ret_price
+         FROM a LEFT JOIN b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey = b.l_suppkey""",
+    "q10_join_rename" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice, o_orderstatus
+         FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""",
+    "q11_unified_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         o_totalprice, c_name, n_name
+         FROM lineitem
+         LEFT JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_totalprice IS NOT NULL""",
+    "q12_unpivot_cascade" ->
+      """WITH base AS (SELECT l_orderkey AS k, year(l_shipdate) AS yr,
+             l_returnflag AS f, l_extendedprice AS v FROM lineitem),
+         assd AS (SELECT k, yr, round(sum(v), 2) AS assd_v FROM base WHERE f = 'N' GROUP BY k, yr),
+         market AS (SELECT k, yr, round(sum(v), 2) AS market_v FROM base WHERE f = 'R' GROUP BY k, yr),
+         appr AS (SELECT k, yr, round(sum(v), 2) AS appr_v FROM base WHERE f = 'A' GROUP BY k, yr)
+         SELECT a.k AS l_orderkey, a.yr,
+         CASE WHEN assd_v IS NOT NULL AND assd_v <> 0 THEN assd_v
+              WHEN market_v IS NOT NULL AND market_v <> 0 THEN market_v
+              WHEN appr_v IS NOT NULL AND appr_v <> 0 THEN appr_v END AS value,
+         CASE WHEN assd_v IS NOT NULL AND assd_v <> 0 THEN 'Assd'
+              WHEN market_v IS NOT NULL AND market_v <> 0 THEN 'Market'
+              WHEN appr_v IS NOT NULL AND appr_v <> 0 THEN 'Appr' END AS used,
+         market_v, appr_v
+         FROM assd a
+         LEFT JOIN market m ON a.k = m.k AND a.yr = m.yr
+         LEFT JOIN appr ap ON a.k = ap.k AND a.yr = ap.yr""",
+    "q13_setops" ->
+      """SELECT k, 'both' AS tag FROM
+           (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT k, 'cust_only' AS tag FROM
+           (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)""",
+    "q14_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+         count(*) AS n_orders FROM orders GROUP BY o_orderpriority""",
+    "q15_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q16_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, 'no_orders' AS tag FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+  )
 }

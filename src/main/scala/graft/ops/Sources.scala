@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+
+/** Sources / sinks (SURVEY.md §2.1, reference fa-etl.py:49-60,84,96,107).
+  *
+  * Scale notes: explicit schemas (no inference pass over 100 TB of text);
+  * PERMISSIVE mode nulls out bad cells like the reference's
+  * `ignore_errors=True`; snappy parquet sinks; idempotent skip per stage
+  * (S6) so a national re-run resumes. Globs/multi-file paths make the
+  * per-county Python loop (fa-etl.py:548-565) a single distributed read.
+  */
+object Sources {
+
+  /** S2 (fa-etl.py:60,161,227,297): pipe-delimited CSV scan with explicit
+    * schema, tolerant of bad cells and ragged lines. */
+  def csvPipe(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("sep", "|")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("dateFormat", "yyyyMMdd")
+      .csv(paths: _*)
+
+  /** S3 (fa-etl.py:96,325,...): parquet scan — row-group parallelism,
+    * stats pruning, partition discovery are built in. */
+  def parquet(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** S4/S5 (fa-etl.py:84,107,419,482): snappy parquet sink, overwrite. */
+  def sinkParquet(df: DataFrame, path: String,
+                  partitionBy: Seq[String] = Nil): DataFrame = {
+    val w = df.write.mode("overwrite").option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** S6 (fa-etl.py:44-47,...): idempotent stage — skip recompute if the
+    * committed output already exists (checks Spark's _SUCCESS marker so a
+    * partial/failed write is redone, mirroring S7 cleanup-on-failure). */
+  def stageParquet(spark: SparkSession, path: String,
+                   partitionBy: Seq[String] = Nil)(compute: => DataFrame): DataFrame =
+    if (Files.exists(Paths.get(path, "_SUCCESS"))) spark.read.parquet(path)
+    else sinkParquet(compute, path, partitionBy)
+
+  /** S1 (fa-etl.py:49-55): extract all entries of a `.zip` into `destDir`;
+    * returns extracted file paths. Driver-side ingest utility (the
+    * reference's unzip is also single-process); for distributed unzip at
+    * scale, feed the zips through `spark.read.format("binaryFile")` and
+    * decode per-partition instead. */
+  def unzip(zipPath: String, destDir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(destDir))
+    val zf = new ZipFile(zipPath)
+    try {
+      zf.entries().asScala.filterNot(_.isDirectory).map { e =>
+        val out: Path = Paths.get(destDir, Paths.get(e.getName).getFileName.toString)
+        val in = zf.getInputStream(e)
+        try Files.copy(in, out, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        out.toString
+      }.toList
+    } finally zf.close()
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / dedup operators (SURVEY.md §2.4, reference fa-etl.py:99-105).
+  *
+  * The reference's only window shape is "rank within group, keep top-1"
+  * (latest sale per property-year). We generalize: deterministic top-k per
+  * group, plus the seeded-random tie-break compatibility variant.
+  *
+  * Scale note: `row_number` over a partition key shuffles once on that key;
+  * the subsequent `filter(rn <= k)` is evaluated inside the same stage. At
+  * 100 TB the partition key (e.g. PropertyID) is high-cardinality, so the
+  * shuffle is well-spread; skew in a hot key is handled by AQE skew-join/
+  * partition-split (enabled in GraftSession).
+  */
+object Windows {
+
+  private val RN = "__graft_rn"
+
+  /** W1/A1 (fa-etl.py:99,105): keep the top-1 row per group under a total
+    * order. Caller must pass a tie-free `orderBy` (e.g. date desc then a
+    * unique key) for deterministic output — SURVEY.md §5. */
+  def topOnePerGroup(df: DataFrame, partitionBy: Seq[Column],
+                     orderBy: Seq[Column]): DataFrame =
+    topKPerGroup(df, partitionBy, orderBy, 1)
+
+  /** Generalized top-k per group. */
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column],
+                   orderBy: Seq[Column], k: Int): DataFrame =
+    df.withColumn(RN,
+        row_number().over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
+      .filter(col(RN) <= k)
+      .drop(RN)
+
+  /** W1 exact-compat variant (fa-etl.py:99): Polars
+    * `rank(method="random", seed=1, descending=True)` — a strict random
+    * permutation among ties. Seeds are not portable across engines
+    * (SURVEY.md §5), so this is a documented compatibility op; verified
+    * queries use the deterministic form above. */
+  def rankRandomTieBreak(df: DataFrame, outCol: String,
+                         partitionBy: Seq[Column], orderDescBy: Column,
+                         seed: Long): DataFrame =
+    df.withColumn(outCol,
+      row_number().over(
+        Window.partitionBy(partitionBy: _*).orderBy(orderDescBy.desc, rand(seed))))
+
+  /** Running aggregate over an ordered frame (generalization surface; the
+    * reference has no frames — SURVEY.md §2.4 note). */
+  def runningSum(df: DataFrame, outCol: String, value: Column,
+                 partitionBy: Seq[Column], orderBy: Seq[Column]): DataFrame =
+    df.withColumn(outCol,
+      sum(value).over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+}

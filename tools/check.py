@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate:
+compare graft.Verify parquet dumps against DuckDB running oracle_sql.json
+on the same testdata. Dev-only tool (duckdb/pyarrow are driver-side deps,
+not part of the Scala library).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def rowset(cols, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    rows = list(zip(*[cols[i] for i in order])) if cols else []
+    return sorted("|".join(canon(v) for v in r) for r in rows), [names[i] for i in order]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            tbl = pq.read_table(f"{out_dir}/{name}")
+            got_names = tbl.column_names
+            got_cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            got_rows, got_ord = rowset(got_cols, got_names)
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        try:
+            cur = con.execute(sql)
+            exp_names = [d[0] for d in cur.description]
+            exp_tbl = cur.fetch_arrow_table()
+            exp_cols = [exp_tbl.column(i).to_pylist() for i in range(exp_tbl.num_columns)]
+            exp_rows, exp_ord = rowset(exp_cols, exp_names)
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {e}"
+            continue
+        if sorted(got_names) != sorted(exp_names):
+            results[name] = f"SCHEMA-MISMATCH spark={sorted(got_names)} duck={sorted(exp_names)}"
+        elif len(got_rows) != len(exp_rows):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(got_rows)} duck={len(exp_rows)}"
+        elif got_rows != exp_rows:
+            diff = [(g, e) for g, e in zip(got_rows, exp_rows) if g != e][:3]
+            results[name] = f"HASH-MISMATCH rows={len(got_rows)} first_diffs={diff}"
+        else:
+            results[name] = f"OK rows={len(got_rows)}"
+    ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') else 'FAIL'} {name}: {v[:400]}")
+    print(f"\n{ok}/{len(results)} queries match")
+    return 0 if ok == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

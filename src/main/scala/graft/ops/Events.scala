@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators (extension surface — SURVEY.md §2.9 notes the
+  * reference is batch-only; the `events` testdata table drives these).
+  *
+  * All operators here are expressed so the exact same code runs in batch
+  * and under Structured Streaming (`window`/watermark-compatible shapes);
+  * `Streaming.scala` wires the streaming entry points.
+  */
+object Events {
+
+  /** Load the events table. The testdata stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright —
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession) it
+    * arrives as long nanos; convert to a microsecond timestamp. Integer
+    * `div` (not `/`) — nanos exceed 2^53 so double division loses ticks. */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** JSON property extraction (built-in `get_json_object`; SURVEY.md §2.8
+    * reserves JSON for the extension surface). */
+  def jsonField(c: Column, path: String, as: DataType = LongType): Column =
+    get_json_object(c, path).try_cast(as)
+
+  /** Tumbling-window aggregation over event time — the batch form of the
+    * streaming windowed agg (same `window()` op used in Streaming.scala). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").cast(TimestampNTZType).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization: a new session starts after `gapSeconds` of
+    * user inactivity. Batch analogue of `mapGroupsWithState` session
+    * windows; one shuffle on user_id, then two window passes in the same
+    * stage (same partitioning, no second exchange). */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val newSession = when(prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L
+    ).otherwise(0L)
+    events
+      .withColumn("session_seq", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).cast(TimestampNTZType).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+}

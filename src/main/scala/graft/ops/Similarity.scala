@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (extension surface; driven by
+  * the `embeddings` testdata table, `embedding: array<float>` dim 64).
+  *
+  * Scale design: brute-force top-k is the verified baseline — queries are
+  * broadcast, so the big side streams through untouched (no shuffle of the
+  * corpus; O(Q·N) flops spread across its partitions, then a top-k window
+  * over Q·N rows reduced by per-partition pre-filtering via AQE).
+  * The LSH-bucketed variant is the 100 TB path: random-hyperplane
+  * signatures put near vectors in the same bucket, and the pair join only
+  * touches same-bucket rows. Recall < 1 by construction; probe multiple
+  * bands to trade cost for recall.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns — higher-order
+    * functions only (zip_with + aggregate), fully codegen-free of UDFs. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    def norm(x: Column): Column = sqrt(dot(x, x))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector (a deterministic
+    * subset: id % stride == 0), the k nearest others. Cosine rounded to 4
+    * decimals BEFORE ranking + id tie-break ⇒ deterministic, oracle-safe. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 5, stride: Long = 100): DataFrame = {
+    val base = emb.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("v"))
+    val queries = base.filter(col("cand_id") % stride === 0)
+      .select(col("cand_id").as("query_id"), col("v").as("qv"))
+    val scored = base.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("v")), 4).as("cos"))
+    Windows.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id").asc), k)
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-bit signatures. */
+  private def hyperplanes(nBits: Int, dim: Int): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH signature (nBits) of a vector column. */
+  def lshSignature(vec: Column, nBits: Int = 16, dim: Int = 64): Column = {
+    val planes = hyperplanes(nBits, dim)
+    val v = asDouble(vec)
+    planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      val dotv = aggregate(zip_with(v, pl, (x, y) => x * y), lit(0.0d),
+        (acc, x) => acc + x)
+      when(dotv > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: same-bucket pairs scored by exact cosine, top-k per
+    * query within its bucket. Approximate (recall < 1) — the scale path;
+    * `bruteForceTopK` is the exact baseline. Buckets on byte-chunks of the
+    * signature so each vector lands in `nBits/8` buckets (multi-probe). */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              k: Int = 5, nBits: Int = 16, dim: Int = 64): DataFrame = {
+    val sigs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      lshSignature(col(vecCol), nBits, dim).as("sig"))
+    val nChunks = nBits / 8
+    val chunked = sigs.select(col("id"), col("v"),
+        explode(array((0 until nChunks).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("key"))
+        }: _*)).as("b"))
+      .select(col("id"), col("v"), col("b.chunk"), col("b.key"))
+    val pairs = chunked.select(col("chunk"), col("key"),
+        col("id").as("query_id"), col("v").as("qv"))
+      .join(chunked.select(col("chunk"), col("key"),
+        col("id").as("cand_id"), col("v").as("v")), Seq("chunk", "key"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("v")), 4).as("cos"))
+      .distinct()
+    Windows.topKPerGroup(pairs, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id").asc), k)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (extension surface;
+  * driven by the `documents` testdata table).
+  *
+  * Everything is built-in `functions._` over tokens from `split` — fully
+  * codegen'd per-row work with no shuffle, so these scale linearly with
+  * document count at 100 TB (the scan is the only cost; filters/projections
+  * push down around them).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Small language-marker lists. Deliberately tiny + disjoint so the
+    * heuristic is deterministic and oracle-expressible in plain SQL. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+  )
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Language-ID by marker-word counts; argmax with fixed precedence order
+    * (en > es > de > fr on ties), 'und' (undetermined) when no marker hits.
+    * N-gram-free heuristic — counts are one pass over the token array. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = markers.map { case (lang, ws) => lang -> hits(toks, ws) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
+      when(c === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: length, token counts, distinct ratio, stopword ratio,
+    * mean token length. All ratios rounded for cross-engine comparison. */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val enStops = markers.head._2
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("distinct_ratio"),
+      round(hits(toks, enStops).cast("double") / nTok, 4).as("stopword_ratio"),
+      round((length(col(textCol)) - nTok + 1).cast("double") / nTok, 4)
+        .as("avg_token_len"))
+  }
+
+  /** Whitespace token count + a BPE-ish subword proxy: counts of 4-char
+    * chunks (ceil(len/4) per token), a deterministic stand-in for a BPE
+    * tokenizer's piece count. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(toks).as("n_ws_tokens"),
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + ceil(length(t).cast("double") / 4).cast("long"))
+        .as("n_subword_est"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive document identity (bag-of-words fingerprint).
+    * Portable across engines (md5 of utf8), so oracle-checkable. */
+  def contentFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Rolling polynomial hash over the token sequence (order-sensitive
+    * fingerprint): acc = acc*31 + xxhash64(token), wrapping long
+    * arithmetic. Engine-native (xxhash64) — verified by ScalaTest, not
+    * the SQL oracle. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between graft's custom Catalyst `Expression`s and the public
+  * `Column` API. Spark 4's `ExpressionUtils` is `private[sql]`, so the
+  * shim lives in the `org.apache.spark.sql` package (standard extension
+  * idiom for Spark libraries adding native expressions). */
+object GraftShims {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -360,7 +360,9 @@ object SparkEntry {
          FROM lineitem""",
     "q04_string_ops" ->
       """SELECT p_partkey, substring(p_name, 1, 4) AS name4,
-         lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+         CASE WHEN length(CAST(p_size AS VARCHAR)) >= 4
+              THEN CAST(p_size AS VARCHAR)
+              ELSE lpad(CAST(p_size AS VARCHAR), 4, '0') END AS size_pad,
          coalesce(p_brand || '_' || p_type, p_brand) AS brand_type
          FROM part""",
     "q05_date_ops" ->

@@ -17,9 +17,13 @@ import org.apache.spark.sql.types._
 object Exprs {
 
   /** E3 (fa-etl.py:69,170-173): zero-left-pad a key to fixed width.
-    * e.g. FIPS→5, CensusTract→6, CensusBlock→4, ZIP5→5. */
-  def padKey(c: Column, len: Int): Column =
-    lpad(c.cast(StringType), len, "0")
+    * e.g. FIPS→5, CensusTract→6, CensusBlock→4, ZIP5→5.
+    * NOT plain `lpad`: Spark lpad TRUNCATES values longer than the target
+    * width, Polars `pad_start` leaves them intact — guard long values. */
+  def padKey(c: Column, len: Int): Column = {
+    val s = c.cast(StringType)
+    when(length(s) >= len, s).otherwise(lpad(s, len, "0"))
+  }
 
   /** E2 (fa-etl.py:65,73): 1-based prefix slice of a string column. */
   def strPrefix(c: Column, len: Int): Column =

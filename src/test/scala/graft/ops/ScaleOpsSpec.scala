@@ -1,0 +1,84 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Scale-machinery behavior: salting equivalence, bucketed shuffle-free
+  * joins, embedding near-dups, random-tie-break compat op, permissive CSV. */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedLeftJoin is row-identical to a plain left join") {
+    val left = (1 to 500).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v")
+    val right = Seq((0L, "a"), (1L, "b"), (9L, "z")).toDF("k", "name")
+    val plain = Joins.leftJoin(left, right, Seq("k"))
+      .orderBy("k", "v").collect().map(_.toString)
+    val salted = Skew.saltedLeftJoin(left, right, Seq("k"), buckets = 8)
+      .orderBy("k", "v").collect().map(_.toString)
+    assert(salted.sameElements(plain))
+  }
+
+  test("saltedAggregate matches plain aggregation") {
+    val df = (1 to 1000).map(i => (i % 5, i.toDouble)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum($"v").as("s"), count(lit(1)).as("c"))
+      .orderBy("k").collect().map(_.toString)
+    val salted = Skew.saltedAggregate(df, Seq("k"), 16,
+        partial = Seq(sum($"v").as("s"), count(lit(1)).as("c")),
+        merge = Seq(sum($"s").as("s"), sum($"c").as("c")))
+      .orderBy("k").collect().map(_.toString)
+    assert(salted.sameElements(plain))
+  }
+
+  test("bucketed join of co-bucketed tables plans no shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+      val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+      Bucketing.writeBucketed(a, "bkt_a", "k", 4)
+      Bucketing.writeBucketed(b, "bkt_b", "k", 4)
+      val joined = Bucketing.read(spark, "bkt_a")
+        .join(Bucketing.read(spark, "bkt_b"), Seq("k"))
+      assert(joined.count() == 1000)
+      assert(Bucketing.isShuffleFree(joined),
+        s"expected no Exchange:\n${joined.queryExecution.executedPlan}")
+      // contrast: the same join over plain (unbucketed) data shuffles
+      val plain = a.join(b, Seq("k"))
+      assert(!Bucketing.isShuffleFree(plain))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("embeddingNearDups finds a planted near-identical vector pair") {
+    val v = Array.fill(8)(0.5f)
+    val nearly = v.clone(); nearly(0) = 0.55f
+    val emb = Seq((1L, v.toSeq), (2L, nearly.toSeq),
+      (3L, Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f))).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(exact.sameElements(Array((1L, 2L))))
+  }
+
+  test("rankRandomTieBreak is a strict permutation among equal keys (W1 compat)") {
+    val df = Seq((1L, "2020-01-01"), (1L, "2020-01-01"), (1L, "2020-01-01"))
+      .toDF("id", "d")
+    val ranks = Windows.rankRandomTieBreak(df, "rk", Seq($"id"), $"d", seed = 1)
+      .select("rk").as[Int].collect().sorted
+    assert(ranks.sameElements(Array(1, 2, 3))) // no ties, full permutation
+  }
+
+  test("csvPipe: explicit schema, PERMISSIVE nulls bad cells, pipe sep") {
+    val dir = Files.createTempDirectory("csv_pipe")
+    Files.writeString(dir.resolve("t.csv"),
+      "id|amt|d\n1|100|20200101\n2|xx|20200202\n3|300|bad\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("amt", LongType), StructField("d", StringType)))
+    val got = Sources.csvPipe(spark, schema, dir.resolve("t.csv").toString)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+    assert(got.sameElements(Array((1L, Some(100L), "20200101"),
+      (2L, None, "20200202"), (3L, Some(300L), "bad"))))
+  }
+}

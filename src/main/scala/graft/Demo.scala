@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Events
+import graft.streaming.{StatefulSessions, Streaming}
+
+/** Usage-example main: drives the streaming sessionizer end-to-end from
+  * the public API (also the verify surface for streaming — sbt console
+  * cannot derive Timestamp encoders under JDK 17).
+  *
+  *   sbt "runMain graft.Demo /root/testdata/sf0.001"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession(master = "local[4]", shufflePartitions = Some(4),
+      appName = "graft-demo")
+    import spark.implicits._
+
+    val src = Events.load(spark, dir).select(col("user_id"), col("event_id"),
+      col("ts").cast("timestamp").as("ts"), col("value"))
+    val stageDir = java.nio.file.Files.createTempDirectory("demo_events").toString
+    src.write.mode("overwrite").parquet(stageDir)
+
+    val stream = spark.readStream.schema(src.schema).parquet(stageDir)
+      .as[StatefulSessions.Event]
+    val q = Streaming.runToMemory(
+      StatefulSessions.sessionize(stream, gapSeconds = 1800).toDF(),
+      "demo_sessions")
+    val closed = spark.sql("SELECT count(*) AS n FROM demo_sessions")
+      .collect()(0).getLong(0)
+    val batch = Events.sessionize(src, gapSeconds = 1800).count()
+    println(s"CLOSED_STREAM_SESSIONS=$closed BATCH_SESSIONS=$batch")
+    spark.sql("""SELECT user_id, session_start, n_events, sum_value
+                 FROM demo_sessions ORDER BY user_id, session_start LIMIT 5""")
+      .show(truncate = false)
+    q.stop()
+    spark.stop()
+  }
+}

@@ -301,6 +301,17 @@ object SparkEntry {
       .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
         round(sum(col("o_totalprice")), 2).as("total"))
 
+  /** Native unpivot/melt (the general form of the ValHist manual unpivot,
+    * fa-etl.py:325-346 — there each measure carries its own year column, so
+    * the pipeline uses filtered measure tables; this is the built-in op). */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -336,6 +347,7 @@ object SparkEntry {
     "q30_ann_lsh" -> (qAnnLsh _),
     "q31_embed_neardup" -> (qEmbedNearDup _),
     "q32_rollup" -> (qRollup _),
+    "q33_unpivot" -> (qUnpivot _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -557,5 +569,10 @@ object SparkEntry {
          GROUPING(o_orderpriority, o_orderstatus) AS gid,
          count(*) AS cnt, round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
+    "q33_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM
+         (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem)
+         UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))""",
   )
 }

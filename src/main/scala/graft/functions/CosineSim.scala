@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity of two array<double> columns — custom Catalyst
+  * `Expression`.
+  *
+  * Numerically identical to the higher-order-function baseline
+  * (`Similarity.cosineHof`): left-to-right accumulation of dot and norms,
+  * then dot / (√xx · √yy). The HOF form is interpreted per element
+  * (zip_with + aggregate are CodegenFallback) — ~30 µs per 64-dim pair,
+  * which made the 2M-pair near-dup sweep at sf0.1 take 70 s; this loop does
+  * it in under a second. SURVEY.md §7.2 step 6 anticipated exactly this
+  * escalation (compose built-ins first, drop to an Expression when the
+  * measured baseline is too slow).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; xx += x * x; yy += y * y
+      i += 1
+    }
+    dot / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** cosine similarity of two array<double> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftShims.toColumn(
+      CosineSim(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+}

@@ -47,37 +47,23 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash
 
-  /** Prime modulus > 2^32; seeds bounded to 2^20 keep a*h+b < 2^53 —
-    * exact long arithmetic, no overflow wrap inside the mod field. */
-  private val MinHashP = 4294967311L
-  private def seeds(k: Int): Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(k)((rng.nextInt(1 << 20).toLong * 2 + 1, rng.nextInt(1 << 20).toLong))
-  }
-
-  /** MinHash signature (length k) over word-shingles of `textCol`.
+  /** MinHash signature (length k) over word-shingles of `textCol`, via the
+    * custom `MinHashSig` Catalyst expression: the whole signature is a
+    * per-row map-side computation — no explode, no shuffle, one tight loop
+    * per document. This is the 100 TB shape (signature cost scales with
+    * the scan; nothing is exchanged until the tiny banding step).
     *
-    * Shape: explode shingles → one xxhash64 per (doc, shingle) → groupBy
-    * doc with k `min` aggregates → signature array. One shuffle on doc_id
-    * with map-side partial aggregation (each partition reduces its shingles
-    * to ≤ k values per doc before the exchange), so the shuffled volume is
-    * k longs per doc regardless of document length — the 100 TB-safe shape.
-    * (A pure higher-order-function formulation avoids the shuffle but
-    * re-evaluates the shingle-hash array once per seed and again per LSH
-    * band — measured 20× slower at sf0.1.) */
+    * History (kept as guidance): a HOF formulation (transform/slice/
+    * array_join + k array_min passes) is CodegenFallback-interpreted and
+    * allocates per shingle — ~5 µs/shingle; an explode + groupBy(16 mins)
+    * formulation was 20× faster but still shuffled a row per (doc,
+    * shingle). The expression form beats both and keeps identical
+    * semantics (same hash stream — see MinHashSig scaladoc). */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val hashes = df.select(col(idCol).as("doc_id"),
-        explode(shingles(split(col(textCol), " "), shingleSize)).as("sh"))
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(MinHashP)).as("h"))
-    val mins = seeds(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MinHashP))).as(s"__m$i")
-    }
-    hashes.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
-  }
+                        k: Int = 16, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(
+        split(col(textCol), " "), k, shingleSize).as("sig"))
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
     * bucket-join on (band, bandKey), emit each pair once with the
@@ -88,23 +74,31 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minHashSignatures(df, idCol, textCol, k, shingleSize)
+    // Bucket join ships ONLY (band, band_key, doc_id) — candidate pairs are
+    // deduplicated while still narrow, and the k-long signatures are
+    // re-attached afterwards by two id-joins. Carrying both signatures
+    // through the bucket self-join instead shuffles k longs per candidate
+    // ROW (pre-distinct) and measured 4× slower at 200k docs.
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_key",
+      .select(col("doc_id"), col("band"),
         xxhash64(col("band"),
           array_join(transform(slice(col("sig"), col("band") * r + 1, lit(r)),
-            _.cast("string")), ",")))
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+            _.cast("string")), ",")).as("band_key"))
+    val pairs = banded.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_b")), Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / k)
           .as("est_jaccard"))
-      .distinct()
   }
 
   // ------------------------------------------------------- exact jaccard

@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns — higher-order
-    * functions only (zip_with + aggregate), fully codegen-free of UDFs. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two array<double> columns. Default: the native
+    * `CosineSim` expression (tight loop; see its scaladoc for the measured
+    * HOF cost that forced the escalation). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
+
+  /** Built-ins-only baseline (zip_with + aggregate): numerically identical
+    * accumulation order to `cosine`; kept as the reference implementation
+    * and for engines/tests that want zero custom expressions. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
     def norm(x: Column): Column = sqrt(dot(x, x))

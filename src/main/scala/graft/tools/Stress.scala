@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Scale-stress main: synthesizes a 40×-replicated corpus (200k docs at
+  * sf0.1) with controlled near-dup structure — each copy perturbs ~30% of
+  * tokens — and times the dedup family on it. Evidence for PLANS.md.
+  *
+  *   sbt "runMain graft.tools.Stress /root/testdata/sf0.1 40"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(40)
+    val spark = GraftSession(appName = "graft-stress")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val big = docs
+      .crossJoin(spark.range(0, copies).withColumnRenamed("id", "copy"))
+      .select((col("doc_id") * copies + col("copy")).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          (t, i) => when(pmod(i + col("copy"), lit(10)) < 3,
+            concat(t, lit("_"), col("copy"))).otherwise(t))).as("text"))
+      .repartition(32)
+      .cache()
+    println(s"DOCS=${big.count()} (distinct=${big.select("doc_id").distinct().count()})")
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"$name=$n t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
+    timed("MINHASH_PAIRS") {
+      Dedup.minHashCandidates(big, "doc_id", "text", 16, 4, 3).count()
+    }
+    timed("SIMHASH_PAIRS") {
+      Dedup.simHashPairs(big, "doc_id", "text", 3).count()
+    }
+    timed("EXACT_GROUPS>1") {
+      Dedup.exactGroups(big, "doc_id",
+        TextAnalysis.contentFingerprint(col("text")))
+        .filter(col("group_size") > 1).count()
+    }
+    spark.stop()
+  }
+}

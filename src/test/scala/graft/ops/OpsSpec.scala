@@ -65,6 +65,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0) == 1.0)
   }
 
+  test("MinHashSig expression matches the composed HOF/explode formulation") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val exprSigs = Dedup.minHashSignatures(docs, "doc_id", "text", 8, 3)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    // reference computation: explode shingles -> xxhash64 -> k affine mins
+    val P = graft.functions.MinHashSig.P
+    val rng = new scala.util.Random(42)
+    val ab = Array.fill(8)((rng.nextInt(1 << 20).toLong * 2 + 1,
+      rng.nextInt(1 << 20).toLong))
+    val ref = docs.select($"doc_id",
+        explode(Dedup.shingles(split($"text", " "), 3)).as("sh"))
+      .select($"doc_id", pmod(xxhash64($"sh"), lit(P)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues { hs =>
+        ab.map { case (a, b) => hs.map(t => (a * t._2 + b) % P).min }.toSeq
+      }.toMap
+    exprSigs.foreach { case (id, sig) => assert(sig == ref(id), s"doc $id") }
+  }
+
   test("simhash64: identical token arrays hash equal; disjoint ones differ") {
     val df = Seq("x y z w", "x y z w", "p q r s").toDF("t")
       .select(simhash64(split($"t", " ")).as("h")).as[Long].collect()
@@ -80,13 +100,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 2L, 0))))
   }
 
-  test("cosine matches hand-computed values") {
+  test("cosine matches hand-computed values; expression == HOF baseline") {
     val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
       (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
       (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0),
-      (Seq(3.0, 4.0), Seq(3.0, 4.0), 1.0)).toDF("a", "b", "want")
+      (Seq(3.0, 4.0), Seq(3.0, 4.0), 1.0),
+      (Seq(0.3, -1.7, 2.9), Seq(1.1, 0.4, -0.2), Double.NaN)).toDF("a", "b", "want")
     df.select(Similarity.cosine($"a", $"b").as("got"), $"want").collect()
+      .filterNot(r => r.getDouble(1).isNaN)
       .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    // bit-identical to the HOF formulation (same accumulation order)
+    df.select(Similarity.cosine($"a", $"b").as("e"),
+        Similarity.cosineHof($"a", $"b").as("h")).collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
   test("bruteForceTopK returns k nearest by cosine, self excluded") {

@@ -293,6 +293,22 @@ object SparkEntry {
     Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4)
 
+  /** IVF-cell ANN (approximate; rows-only — complements LSH q30 and the
+    * exact baseline q26). */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 2, queryStride = 100)
+
+  /** Regex/string cleaning ops (engine-library generality: regexp_replace,
+    * trim, case fold, split-part). */
+  private def qStringClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+      trim(col("c_name")).as("name_trim"),
+      split(col("c_name"), "#").getItem(1).as("name_num"))
+
   /** Hierarchical totals via ROLLUP (grouping-sets family; §2.6
     * generalization). */
   private def qRollup(s: SparkSession, dir: String): DataFrame =
@@ -348,6 +364,8 @@ object SparkEntry {
     "q31_embed_neardup" -> (qEmbedNearDup _),
     "q32_rollup" -> (qRollup _),
     "q33_unpivot" -> (qUnpivot _),
+    "q34_string_clean" -> (qStringClean _),
+    "q35_ann_ivf" -> (qAnnIvf _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -574,5 +592,11 @@ object SparkEntry {
          (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
           FROM lineitem)
          UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))""",
+    "q34_string_clean" ->
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_upper,
+         regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+         trim(c_name) AS name_trim,
+         string_split(c_name, '#')[2] AS name_num
+         FROM customer""",
   )
 }

@@ -68,6 +68,40 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: deterministic coarse quantizer — the first
+    * `nCentroids` vectors by id act as centroids (a seeded sample stands in
+    * for k-means; the partition/probe mechanics are identical). Every
+    * vector is assigned to its `nProbe` nearest centroids; queries search
+    * only their probed cells. Complements `lshTopK`: IVF cells adapt to
+    * the data distribution, LSH is data-independent.
+    *
+    * Scale: centroids broadcast (small); assignment is a per-row map;
+    * the search join shuffles on cell id — each query touches
+    * |cell| · nProbe candidates instead of N. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              k: Int = 5, nCentroids: Int = 16, nProbe: Int = 2,
+              queryStride: Long = 100): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    // nProbe nearest cells per vector (rank over the broadcast centroids)
+    val assigned = Windows.topKPerGroup(
+      base.join(broadcast(centroids), lit(true))
+        .select(col("id"), col("v"), col("cent_id"),
+          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
+      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
+    val cells = assigned.select(col("cent_id"), col("id"), col("v"))
+    val queries = cells.filter(col("id") % queryStride === 0)
+      .select(col("cent_id"), col("id").as("query_id"), col("v").as("qv"))
+    val scored = queries.join(cells, Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        round(cosine(col("qv"), col("v")), 4).as("cos"))
+      .distinct()
+    Windows.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id").asc), k)
+  }
+
   /** LSH-bucketed ANN: same-bucket pairs scored by exact cosine, top-k per
     * query within its bucket. Approximate (recall < 1) — the scale path;
     * `bruteForceTopK` is the exact baseline. Buckets on byte-chunks of the

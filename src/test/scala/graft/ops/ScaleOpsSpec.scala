@@ -61,6 +61,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(exact.sameElements(Array((1L, 2L))))
   }
 
+  test("ivfTopK returns k candidates per query; top-1 bounded by brute force") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 2, queryStride = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        k = 1, stride = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    val byQuery = ivf.groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      // approximate top-1 can't beat the exact top-1
+      assert(rows.map(_._2).max <= bf(q) + 1e-9)
+    }
+  }
+
   test("rankRandomTieBreak is a strict permutation among equal keys (W1 compat)") {
     val df = Seq((1L, "2020-01-01"), (1L, "2020-01-01"), (1L, "2020-01-01"))
       .toDF("id", "d")

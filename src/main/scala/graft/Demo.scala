@@ -35,6 +35,17 @@ object Demo {
                  FROM demo_sessions ORDER BY user_id, session_start LIMIT 5""")
       .show(truncate = false)
     q.stop()
+
+    // multimodal: build media table, decode features, resize images
+    val media = graft.ops.Multimodal.fromDocuments(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val feats = graft.ops.Multimodal.decodeFeatures(media)
+    val resized = graft.ops.Multimodal.resize(media, factor = 4)
+    println(s"MEDIA=${media.count()} FEATURES=${feats.count()} " +
+      s"RESIZED_IMAGE_BYTES=${resized.filter(col("kind") === "image")
+        .agg(sum(col("meta.n_bytes"))).collect()(0).getLong(0)} " +
+      s"ORIG_IMAGE_BYTES=${media.filter(col("kind") === "image")
+        .agg(sum(col("meta.n_bytes"))).collect()(0).getLong(0)}")
     spark.stop()
   }
 }

@@ -77,6 +77,31 @@ object Multimodal {
         stubDecode(id, kind, payload) })
   }
 
+  /** "Resize" for image payloads: partition-local binary transform with
+    * metadata recomputed from the new payload — the same shape a real
+    * pixel-resample takes (decode → resample → re-encode per partition).
+    * The resample itself is a STUB: byte-stride downsampling keeping every
+    * `factor`-th byte (deterministic; replace with the codec call). */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(factor > 0)
+    media.select("media_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, payload) =>
+        val out =
+          if (kind != "image" || payload == null) payload
+          else payload.zipWithIndex.collect {
+            case (b, i) if i % factor == 0 => b } // STUB resample
+        (id, kind, out)
+      })
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(
+        lit(null).cast("string").as("source"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("checksum")))
+  }
+
   /** Frame sampling for "video" payloads: byte-range chunking + stride
     * sampling, all with built-in functions (no decode needed) — the real
     * frame boundaries would come from the container index; byte chunks

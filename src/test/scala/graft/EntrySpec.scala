@@ -18,11 +18,19 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  /** Queries whose oracle comparison would be vacuous if both sides were
+    * empty — assert they return rows at sf0.001 so a silently-empty result
+    * can't masquerade as a pass. */
+  private val mustBeNonEmpty = Set("q20_dedup_exact", "q25_jaccard_pairs",
+    "q26_ann_bruteforce", "q28_minhash_lsh", "q29_simhash_pairs",
+    "q30_ann_lsh", "q31_embed_neardup", "q35_ann_ivf")
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns a well-formed result at sf0.001") {
       val df = fn(spark, dir)
       assert(df.columns.nonEmpty)
-      assert(df.count() >= 0)
+      val n = df.count()
+      if (mustBeNonEmpty(name)) assert(n > 0, s"$name must not be empty")
     }
   }
 }

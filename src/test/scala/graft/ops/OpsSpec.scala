@@ -153,6 +153,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 2L), (2L, 2L))))
   }
 
+  test("multimodal resize: image payloads stride-downsampled, meta recomputed") {
+    val docs = Seq((3L, "abcdefghij", "s", "en", 10L), (4L, "abcdefghij", "s", "en", 10L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val media = Multimodal.fromDocuments(docs) // doc 3 -> image, doc 4 -> audio
+    val out = Multimodal.resize(media, 2)
+      .select("media_id", "kind", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Array[Byte]](2))).sortBy(_._1)
+    val (_, k3, p3) = out(0)
+    assert(k3 == "image" && new String(p3, "UTF-8") == "acegi") // every 2nd byte
+    val (_, k4, p4) = out(1)
+    assert(k4 == "audio" && new String(p4, "UTF-8") == "abcdefghij") // untouched
+  }
+
   test("multimodal decodeFeatures is deterministic and payload-derived") {
     val docs = Seq((1L, "hello world", "src", "en", 11L),
       (2L, "hello world", "src", "en", 11L))

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, MinHashSig, SimHash64}
+
+/** `SparkSessionExtensions` hook exposing graft's native expressions to
+  * SQL users:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   -- or --
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * then `SELECT simhash64(split(text, ' ')), cosine_sim(a, b),
+  * minhash_sig(toks, 16, 3) FROM ...` work in plain SQL. (Parity with the
+  * reference needs no custom rules/strategies — SURVEY.md §4 — so this
+  * extension point only registers functions; it is where an optimizer
+  * `Rule` or planner `Strategy` would be injected if one became
+  * necessary.) */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(array<double>, array<double>) - cosine similarity"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<string>, k, n) - MinHash signature over word n-shingles"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
+  }
+}
+
+object GraftExtensions {
+  /** Register the same functions on an already-built session (extensions
+    * normally apply at build time; this covers driver-owned sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      (args: Seq[Expression]) => CosineSim(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+  }
+}

@@ -208,11 +208,15 @@ object SparkEntry {
 
   // ------------------------------------------- extension operators (§7)
 
-  /** JSON extraction from event properties (SURVEY.md §2.8 extension). */
+  /** JSON extraction from event properties (SURVEY.md §2.8 extension):
+    * both path-extraction (get_json_object) and full-document parse to a
+    * typed MapType (from_json). */
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     Events.load(s, dir).select(
       col("event_id"), col("event_type"),
-      Events.jsonField(col("props"), "$.k").as("k_val"))
+      Events.jsonField(col("props"), "$.k").as("k_val"),
+      element_at(from_json(col("props"), MapType(StringType, LongType)),
+        "k").as("k_map"))
 
   /** Event-time tumbling window aggregation (streaming-shaped batch op). */
   private def qTimeWindow(s: SparkSession, dir: String): DataFrame =
@@ -495,7 +499,8 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
     "q17_json_extract" ->
       """SELECT event_id, event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
          FROM events""",
     "q18_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

@@ -124,6 +124,27 @@ class FaPipelineSpec extends AnyFunSuite {
     assert(first == second)
   }
 
+  test("Annual/ValueHistory filename variant (fa-etl.sbatch:28-29 naming)") {
+    val base = Files.createTempDirectory("fa_annual")
+    val raw = Files.createDirectories(base.resolve("raw"))
+    writeZip(raw, "Deed10001",
+      "PropertyID|SaleAmt|RecordingDate|FIPS|FATimeStamp|FATransactionID|TransactionType|SaleDate",
+      Seq("1|100000|20200115|10001|20230101|1X|2|20200110"))
+    writeZip(raw, "Annual10001",
+      "PropertyID|PropertyClassID|FATimeStamp|SitusLatitude|SitusLongitude|SitusFullStreetAddress|SitusCity|SitusState|SitusZIP5|FIPS|SitusCensusTract|SitusCensusBlock|SitusGeoStatusCode",
+      Seq("1|R|20230101|40.7|-73.9|1 Main St|Town|ST|10001|10001|123|1|A"))
+    writeZip(raw, "TaxHist10001", "PropertyID|TaxYear|TaxAmt",
+      Seq("1|2020|50000"))
+    writeZip(raw, "ValueHistory10001",
+      "PropertyID|AssdTotalValue|AssdYear|MarketTotalValue|MarketValueYear|ApprTotalValue|ApprYear|TaxableYear",
+      Seq("1|500000|2020|||||2020"))
+    val merged = new Pipeline(spark, base.toString,
+      names = Schemas.FamilyNames(annual = "Annual",
+        valueHistory = "ValueHistory")).run()
+    assert(merged.count() == 1)
+    assert(merged.columns.length == 17)
+  }
+
   test("missing family aborts (fa-etl.py:541-545 presence validation)") {
     val base = Files.createTempDirectory("fa_missing")
     Files.createDirectories(base.resolve("raw"))

@@ -313,6 +313,24 @@ object SparkEntry {
       trim(col("c_name")).as("name_trim"),
       split(col("c_name"), "#").getItem(1).as("name_num"))
 
+  /** As-of join: each purchase matched to the user's latest signup event
+    * at-or-before it (backward as-of; panel-data staple Spark lacks
+    * natively — composed per Joins.asOfJoinBackward). */
+  private def qAsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Events.load(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+    Joins.asOfJoinBackward(purchases, signups, Seq("user_id"),
+        leftId = Seq("event_id"), leftOn = col("ts"),
+        rightOn = col("signup_ts"), tieBreak = Seq(col("signup_id").desc))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast(TimestampNTZType).as("ts"), col("signup_id"),
+        col("signup_ts").cast(TimestampNTZType).as("signup_ts"))
+  }
+
   /** Hierarchical totals via ROLLUP (grouping-sets family; §2.6
     * generalization). */
   private def qRollup(s: SparkSession, dir: String): DataFrame =
@@ -370,6 +388,7 @@ object SparkEntry {
     "q33_unpivot" -> (qUnpivot _),
     "q34_string_clean" -> (qStringClean _),
     "q35_ann_ivf" -> (qAnnIvf _),
+    "q36_asof_join" -> (qAsOfJoin _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -603,5 +622,18 @@ object SparkEntry {
          trim(c_name) AS name_trim,
          string_split(c_name, '#')[2] AS name_num
          FROM customer""",
+    "q36_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, event_id AS signup_id, ts AS signup_ts
+           FROM events WHERE event_type = 'signup'),
+         cand AS (SELECT p.user_id, p.event_id, p.ts, s.signup_id, s.signup_ts,
+           row_number() OVER (PARTITION BY p.event_id
+             ORDER BY s.signup_ts DESC, s.signup_id DESC) AS rn
+           FROM p LEFT JOIN s
+             ON p.user_id = s.user_id AND s.signup_ts <= p.ts)
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, signup_id,
+           CAST(signup_ts AS TIMESTAMP) AS signup_ts
+         FROM cand WHERE rn = 1""",
   )
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Join operators (SURVEY.md §2.5, reference fa-etl.py:357-391,459-476).
   *
@@ -36,6 +36,37 @@ object Joins {
       if (lName == rName) df else df.withColumnRenamed(rName, lName)
     }
     leftJoin(left, renamed, keyMap.map(_._1), broadcastRight)
+  }
+
+  /** As-of join (backward): for each left row, attach the single right row
+    * with the greatest `rightOn` that is ≤ `leftOn`, matching on equi
+    * `keys`; left rows without a match keep nulls (left semantics).
+    *
+    * Spark has no native ASOF join; per the preference order (SURVEY.md
+    * §7 / spark guide) this is the built-in composition: equi-join on keys
+    * with the range predicate, then deterministic top-1 per left row
+    * (`leftId` must uniquely identify left rows; `tieBreak` orders equal
+    * `rightOn` values). Catalyst plans the equi part as a hash/sort-merge
+    * join with the range filter applied post-match, and the top-1 as
+    * WindowGroupLimit — per-key match counts bound the blow-up, which is
+    * the usual as-of regime (bounded history per entity).
+    */
+  def asOfJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftId: Seq[String], leftOn: Column, rightOn: Column,
+                       tieBreak: Seq[Column] = Nil): DataFrame = {
+    // Rename right-side keys before joining: when left and right derive
+    // from the same scan (self-as-of), dataframe-qualified column refs
+    // (right(k)) are ambiguous after Catalyst's attribute dedup — renamed
+    // keys are unambiguous by construction.
+    val renamed = keys.foldLeft(right)((df, k) =>
+      df.withColumnRenamed(k, s"__asof_$k"))
+    val matched = left.join(renamed,
+        keys.map(k => left(k) === renamed(s"__asof_$k")).reduce(_ && _) &&
+          rightOn <= leftOn, "left")
+      .drop(keys.map(k => s"__asof_$k"): _*)
+    Windows.topOnePerGroup(matched,
+      leftId.map(col),
+      rightOn.desc_nulls_last +: tieBreak)
   }
 
   /** Semi/anti generalization surface (not in the reference — SURVEY.md

@@ -34,6 +34,21 @@ class OpsSpec extends AnyFunSuite {
       (3L, "c", None))))
   }
 
+  test("asOfJoinBackward picks latest right row at-or-before, null when none") {
+    val trades = Seq((1L, 10L, 100), (1L, 20L, 200), (2L, 5L, 500))
+      .toDF("k", "t", "px")
+    val quotes = Seq((1L, 8L, "q8"), (1L, 15L, "q15"), (1L, 20L, "q20"),
+      (2L, 9L, "q9")).toDF("k", "qt", "quote")
+    val got = Joins.asOfJoinBackward(trades, quotes, Seq("k"),
+        leftId = Seq("k", "t"), leftOn = $"t", rightOn = $"qt")
+      .orderBy("k", "t").select("k", "t", "quote")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    assert(got.sameElements(Array(
+      (1L, 10L, Some("q8")),   // 8 <= 10 < 15
+      (1L, 20L, Some("q20")),  // equal timestamp matches (at-or-before)
+      (2L, 5L, None))))        // quote at 9 is after trade 5
+  }
+
   test("shingles builds word n-grams; short docs collapse to one shingle") {
     val got = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.shingles(split($"t", " "), 3).as("s"))

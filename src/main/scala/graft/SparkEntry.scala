@@ -331,6 +331,22 @@ object SparkEntry {
         col("signup_ts").cast(TimestampNTZType).as("signup_ts"))
   }
 
+  /** Ordered-statistics aggregation: exact interpolated median + p90. */
+  private def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+
+  /** Array aggregation with deterministic ordering (collect + sort, joined
+    * to a string so the comparison is engine-portable). */
+  private def qArrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",")
+          .as("linenumbers"),
+        size(collect_set(col("l_suppkey"))).cast(LongType).as("n_supp"))
+
   /** Hierarchical totals via ROLLUP (grouping-sets family; §2.6
     * generalization). */
   private def qRollup(s: SparkSession, dir: String): DataFrame =
@@ -389,6 +405,8 @@ object SparkEntry {
     "q34_string_clean" -> (qStringClean _),
     "q35_ann_ivf" -> (qAnnIvf _),
     "q36_asof_join" -> (qAsOfJoin _),
+    "q37_percentile" -> (qPercentile _),
+    "q38_array_agg" -> (qArrayAgg _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -635,5 +653,15 @@ object SparkEntry {
          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, signup_id,
            CAST(signup_ts AS TIMESTAMP) AS signup_ts
          FROM cand WHERE rn = 1""",
+    "q37_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "q38_array_agg" ->
+      """SELECT l_orderkey,
+         array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+         FROM lineitem GROUP BY l_orderkey""",
   )
 }

@@ -36,6 +36,18 @@ object Demo {
       .show(truncate = false)
     q.stop()
 
+    // streaming dedup: duplicates planted by doubling the source
+    val dupDir = java.nio.file.Files.createTempDirectory("demo_dup").toString
+    src.unionAll(src).write.mode("overwrite").parquet(dupDir)
+    val dq = Streaming.runToMemory(
+      Streaming.dedupedStream(spark.readStream.schema(src.schema)
+        .parquet(dupDir).selectExpr("user_id", "ts", "value"),
+        Seq("user_id", "ts"), watermark = "10 days"), "demo_dedup")
+    println(s"STREAM_DEDUP=${spark.sql("SELECT count(*) FROM demo_dedup")
+      .collect()(0).getLong(0)} DISTINCT=${src.select("user_id", "ts")
+      .distinct().count()}")
+    dq.stop()
+
     // multimodal: build media table, decode features, resize images
     val media = graft.ops.Multimodal.fromDocuments(
       spark.read.parquet(s"$dir/documents.parquet"))

@@ -39,6 +39,15 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: state-bounded `dropDuplicatesWithinWatermark`
+    * on a key column — the streaming face of `Dedup.exactGroups` (state
+    * for a key is dropped once the watermark passes it, so unbounded
+    * streams don't accumulate unbounded state). */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String],
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drive a streaming DataFrame to a named in-memory sink and process all
     * currently-available input synchronously (local test/demo harness). */
   def runToMemory(df: DataFrame, name: String,

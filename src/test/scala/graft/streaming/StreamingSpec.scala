@@ -10,6 +10,25 @@ import graft.ops.Events
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("streaming dedup drops in-watermark duplicate keys") {
+    val dir = Files.createTempDirectory("events_dedup").toString
+    val src = Events.load(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "cast(ts as timestamp) as ts", "value")
+    // plant duplicates: every event twice
+    src.unionAll(src).write.mode("overwrite").parquet(dir)
+    val q = Streaming.runToMemory(
+      Streaming.dedupedStream(
+        spark.readStream.schema(
+          src.schema).parquet(dir).selectExpr("user_id", "ts", "value"),
+        Seq("user_id", "ts"), watermark = "10 days"),
+      "dedup_out")
+    try {
+      val n = spark.sql("SELECT count(*) FROM dedup_out").collect()(0).getLong(0)
+      val distinct = src.select("user_id", "ts").distinct().count()
+      assert(n == distinct, s"streamed dedup $n != batch distinct $distinct")
+    } finally q.stop()
+  }
+
   test("windowed counts over a file stream match the batch aggregation") {
     val dir = Files.createTempDirectory("events_stream").toString
     // stage the sf0.001 events (ts normalized to TimestampType) as the

@@ -355,6 +355,13 @@ object SparkEntry {
       .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
         round(sum(col("o_totalprice")), 2).as("total"))
 
+  /** CUBE over two dimensions (all 4 grouping sets; §2.6 family). */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
   /** Native unpivot/melt (the general form of the ValHist manual unpivot,
     * fa-etl.py:325-346 — there each measure carries its own year column, so
     * the pipeline uses filtered measure tables; this is the built-in op). */
@@ -407,6 +414,7 @@ object SparkEntry {
     "q36_asof_join" -> (qAsOfJoin _),
     "q37_percentile" -> (qPercentile _),
     "q38_array_agg" -> (qArrayAgg _),
+    "q39_cube" -> (qCube _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -663,5 +671,10 @@ object SparkEntry {
          array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
          FROM lineitem GROUP BY l_orderkey""",
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         GROUPING(l_returnflag, l_linestatus) AS gid,
+         count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
   )
 }

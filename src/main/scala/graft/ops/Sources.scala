@@ -32,6 +32,11 @@ object Sources {
   def parquet(spark: SparkSession, paths: String*): DataFrame =
     spark.read.parquet(paths: _*)
 
+  /** JSON-lines scan with explicit schema (engine-library generality; the
+    * reference is CSV/parquet-only). PERMISSIVE like csvPipe. */
+  def jsonLines(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(paths: _*)
+
   /** S4/S5 (fa-etl.py:84,107,419,482): snappy parquet sink, overwrite. */
   def sinkParquet(df: DataFrame, path: String,
                   partitionBy: Seq[String] = Nil): DataFrame = {

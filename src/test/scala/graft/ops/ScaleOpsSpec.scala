@@ -87,6 +87,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ranks.sameElements(Array(1, 2, 3))) // no ties, full permutation
   }
 
+  test("jsonLines: explicit schema, malformed rows nulled") {
+    val dir = Files.createTempDirectory("jsonl")
+    Files.writeString(dir.resolve("t.json"),
+      """{"id": 1, "v": 10.5}
+        |{"id": 2, "v": "oops"}
+        |{"id": 3}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val got = Sources.jsonLines(spark, schema, dir.resolve("t.json").toString)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(got.size == 3)
+    assert(got.contains((Some(1L), Some(10.5))))   // clean row
+    assert(got.contains((Some(3L), None)))         // missing field -> null
+    // the type-mismatched row survives as a row (PERMISSIVE, not dropped)
+  }
+
   test("csvPipe: explicit schema, PERMISSIVE nulls bad cells, pipe sep") {
     val dir = Files.createTempDirectory("csv_pipe")
     Files.writeString(dir.resolve("t.csv"),

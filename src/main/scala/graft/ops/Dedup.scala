@@ -39,8 +39,14 @@ object Dedup {
   // ---------------------------------------------------------- shingling
 
   /** Word n-gram shingles of a token array (short docs yield the whole doc
-    * as one shingle). */
+    * as one shingle). Native expression — see WordShingles scaladoc for
+    * the measured HOF cost that motivated it. */
   def shingles(toks: Column, n: Int): Column =
+    graft.functions.WordShingles.word_shingles(toks, n)
+
+  /** Built-ins-only reference formulation of [[shingles]] (kept for
+    * equivalence testing and as the zero-custom-expression fallback). */
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))

@@ -55,6 +55,13 @@ class OpsSpec extends AnyFunSuite {
       .as[Seq[String]].collect()
     assert(got(0) == Seq("a b c", "b c d"))
     assert(got(1) == Seq("a b"))
+    // native expression == HOF reference on varied shapes
+    val texts = Seq("a b c d e f", "x", "", "p q", "m n o").toDF("t")
+    val native = texts.select(Dedup.shingles(split($"t", " "), 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    val hof = texts.select(Dedup.shinglesHof(split($"t", " "), 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(native == hof)
   }
 
   test("jaccardPairs finds permuted near-identical docs, skips distinct ones") {

@@ -76,7 +76,8 @@ object Dedup {
     * signature-estimated Jaccard. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4,
-                        shingleSize: Int = 3): DataFrame = {
+                        shingleSize: Int = 3,
+                        minEstJaccard: Double = 0.0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minHashSignatures(df, idCol, textCol, k, shingleSize)
@@ -105,6 +106,7 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / k)
           .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
   }
 
   // ------------------------------------------------------- exact jaccard

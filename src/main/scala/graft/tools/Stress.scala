@@ -44,6 +44,12 @@ object Stress {
         TextAnalysis.contentFingerprint(col("text")))
         .filter(col("group_size") > 1).count()
     }
+    // exact-Jaccard with the hot-shingle guard (the inverted-index skew
+    // bomb protection): shingles in >1% of docs are dropped pre-join
+    timed("JACCARD_PAIRS_GUARDED") {
+      Dedup.jaccardPairs(big, "doc_id", "text", 3, 0.8,
+        maxShingleFreq = Some((big.count() / 100).toInt max 100)).count()
+    }
     spark.stop()
   }
 }

@@ -355,6 +355,19 @@ object SparkEntry {
       .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
         round(sum(col("o_totalprice")), 2).as("total"))
 
+  /** lead/lag analytics over a per-user event order (§2.4 window family —
+    * the reference has no lead/lag; engine-library generalization). */
+  private def qLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Events.load(s, dir).select(
+      col("user_id"), col("event_id"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("value"), 1).over(w).as("next_value"),
+      round(col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2)
+        .as("delta"))
+  }
+
   /** CUBE over two dimensions (all 4 grouping sets; §2.6 family). */
   private def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -415,6 +428,7 @@ object SparkEntry {
     "q37_percentile" -> (qPercentile _),
     "q38_array_agg" -> (qArrayAgg _),
     "q39_cube" -> (qCube _),
+    "q40_lead_lag" -> (qLeadLag _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -676,5 +690,12 @@ object SparkEntry {
          GROUPING(l_returnflag, l_linestatus) AS gid,
          count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q40_lead_lag" ->
+      """SELECT user_id, event_id, value,
+         lag(value, 1) OVER w AS prev_value,
+         lead(value, 1) OVER w AS next_value,
+         round(value - coalesce(lag(value, 1) OVER w, 0.0), 2) AS delta
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
   )
 }

@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // broadcast threshold stays at the 10 MB default: raising it to 64 MB
+      // was measured to HURT in the 8 GB local driver (multi-10MB broadcasts
+      // churned the heap; later queries slowed 5×) without speeding the
+      // mid-size joins it targeted — see PLANS.md race table
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** Engine-race harness: replicates the sf0.1 TPC-H-ish tables `mult`×
+  * (key-offset so cardinalities scale), writes them to `outDir`, and times
+  * the headline query shapes. A companion DuckDB script
+  * (tools/race_duck.py) times the identical SQL on the same parquet —
+  * the single-node columnar baseline standing in for the reference's
+  * Polars engine (not installed in this container).
+  *
+  *   sbt "runMain graft.tools.RaceBench /tmp/sfbig 10"
+  */
+object RaceBench {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/sfbig")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val spark = GraftSession(appName = "race-bench")
+
+    def replicate(table: String, keyCols: Seq[String], keyStep: Long): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val copies = spark.range(0, mult).withColumnRenamed("id", "__copy")
+      val out = keyCols.foldLeft(base.crossJoin(copies)) { (df, k) =>
+        df.withColumn(k, col(k) + col("__copy") * keyStep)
+      }.drop("__copy")
+      out.write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$outDir/$table.parquet")
+    }
+    // offset keys so joins stay 1:m across copies
+    replicate("lineitem", Seq("l_orderkey"), 100000000L)
+    replicate("orders", Seq("o_orderkey"), 100000000L)
+    replicate("customer", Seq("c_custkey"), 100000000L)
+    spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite")
+      .parquet(s"$outDir/nation.parquet")
+
+    val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+    println(s"LINEITEM_ROWS=${li.count()}")
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"$name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+
+    timed("SPARK_Q01_AGG") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          avg(col("l_quantity")), count(lit(1))).count()
+    }
+    timed("SPARK_Q07_WINDOW") {
+      graft.ops.Windows.topOnePerGroup(li, Seq(col("l_orderkey")),
+        Seq(col("l_shipdate").desc, col("l_linenumber").asc,
+          col("l_extendedprice").desc)).count()
+    }
+    timed("SPARK_Q11_JOIN") {
+      val o = spark.read.parquet(s"$outDir/orders.parquet")
+      val c = spark.read.parquet(s"$outDir/customer.parquet")
+      val n = spark.read.parquet(s"$outDir/nation.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"), "left")
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .filter(col("o_totalprice").isNotNull)
+        .select("l_orderkey", "l_extendedprice", "o_totalprice", "c_name", "n_name")
+        .count()
+    }
+    timed("SPARK_Q07_AGGFORM") {
+      graft.ops.Windows.topOneByAgg(li, Seq(col("l_orderkey")),
+        struct(col("l_shipdate"), -col("l_linenumber"), col("l_extendedprice")))
+        .count()
+    }
+    timed("SPARK_Q01_AGG_2nd") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          avg(col("l_quantity")), count(lit(1))).count()
+    }
+    spark.stop()
+  }
+}

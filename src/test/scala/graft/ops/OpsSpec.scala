@@ -19,6 +19,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1, 120), (2, 90))))
   }
 
+  test("topOneByAgg equals topOnePerGroup under a tie-free order") {
+    val df = Seq((1, "2020-03-01", 120, 2), (1, "2020-03-01", 120, 1),
+      (1, "2020-01-01", 100, 3), (2, "2020-02-02", 90, 1)).toDF("id", "d", "amt", "ln")
+    val viaWindow = Windows.topOnePerGroup(df, Seq($"id"),
+        Seq($"d".desc, $"ln".asc)).orderBy("id").collect().map(_.toString)
+    val viaAgg = Windows.topOneByAgg(df, Seq($"id"),
+        struct($"d", -$"ln")).orderBy("id").collect().map(_.toString)
+    assert(viaAgg.sameElements(viaWindow))
+  }
+
   test("leftJoinRenamed aligns mismatched key names; null keys never match") {
     val l = Seq((1L, Some(2020L), "a"), (2L, Some(2021L), "b"), (3L, None, "c"))
       .toDF("PropertyID", "Year", "tag")

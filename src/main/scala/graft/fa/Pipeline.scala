@@ -63,12 +63,30 @@ class Pipeline(spark: SparkSession, inputDir: String,
       .csv(txts: _*)
   }
 
+  private val log = org.apache.log4j.Logger.getLogger(classOf[Pipeline])
+  // the session's global WARN level shouldn't silence pipeline telemetry
+  // (the reference always logs its stage lines — fa-etl.py:524-526)
+  log.setLevel(org.apache.log4j.Level.INFO)
+
+  /** O4 (fa-etl.py:6-11,523-526): per-stage logging + executor telemetry —
+    * the reference's psutil memory lines map to the status tracker's
+    * executor summaries. */
+  private def logged(name: String)(body: => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = body
+    val mem = spark.sparkContext.statusTracker.getExecutorInfos
+      .map(_.usedOnHeapStorageMemory()).sum
+    log.info(f"stage=$name wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
+      f"storageUsedBytes=$mem")
+    out
+  }
+
   private def stage(name: String)(compute: => DataFrame): DataFrame =
-    Sources.stageParquet(spark, s"$stagingDir/$name",
-      if (partitionByFips) Seq("FIPS") else Nil)(compute)
+    logged(name)(Sources.stageParquet(spark, s"$stagingDir/$name",
+      if (partitionByFips) Seq("FIPS") else Nil)(compute))
 
   private def stageNoPart(name: String)(compute: => DataFrame): DataFrame =
-    Sources.stageParquet(spark, s"$stagingDir/$name")(compute)
+    logged(name)(Sources.stageParquet(spark, s"$stagingDir/$name")(compute))
 
   /** Phases 3–5: convert all families, then the unified join. Returns the
     * merged panel (also written to unified/merged.parquet). */

@@ -35,12 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(array<string>, k, n) - MinHash signature over word n-shingles"),
       (args: Seq[Expression]) => MinHashSig(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())))
+        GraftExtensions.literalInt(args(1), "k"),
+        GraftExtensions.literalInt(args(2), "shingleSize"))))
   }
 }
 
 object GraftExtensions {
+  private[graft] def literalInt(e: Expression, arg: String): Int = {
+    require(e.foldable,
+      s"minhash_sig: $arg must be a literal integer, got non-foldable: $e")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   /** Register the same functions on an already-built session (extensions
     * normally apply at build time; this covers driver-owned sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -51,7 +57,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => CosineSim(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       (args: Seq[Expression]) => MinHashSig(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        GraftExtensions.literalInt(args(1), "k"),
+        GraftExtensions.literalInt(args(2), "shingleSize")), "scala_udf")
   }
 }

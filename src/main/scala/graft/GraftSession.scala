@@ -33,9 +33,16 @@ object GraftSession {
       // was measured to HURT in the 8 GB local driver (multi-10MB broadcasts
       // churned the heap; later queries slowed 5×) without speeding the
       // mid-size joins it targeted — see PLANS.md race table
+      // partition-column values are NOT type-inferred on read-back:
+      // zero-padded keys (FIPS=01001) must stay strings, not become 1001
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate silently returns a pre-existing session and IGNORES the
+    // builder configs above — re-apply every runtime-settable conf so the
+    // factory's guarantees hold either way.
+    tune(spark)
     spark
   }
 
@@ -47,6 +54,7 @@ object GraftSession {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     // read as long nanos and convert (ops.Events.load).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     spark
   }
 }

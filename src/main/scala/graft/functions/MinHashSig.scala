@@ -24,10 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * computation, which is the shape that survives 100 TB (the previous
   * explode+groupBy formulation shuffled one row per (doc, shingle)).
   *
-  * Semantics match `Dedup.seeds`/`Dedup.MinHashP` exactly (same P, same
-  * seed stream, same shingle string = tokens joined by a single space, and
-  * docs shorter than `shingleSize` hash the whole doc as one shingle) — so
-  * signatures are interchangeable with the composed-operator form.
+  * Reference semantics (spec-verified in OpsSpec "MinHashSig expression
+  * matches the composed HOF/explode formulation"): shingle string =
+  * tokens joined by a single space (whole doc as one shingle when shorter
+  * than `shingleSize`); base hash = pmod(xxhash64(shingle, seed 42), P);
+  * seed stream = scala.util.Random(42) drawing (a = next(2^20)*2+1,
+  * b = next(2^20)) per hash; P = `MinHashSig.P`.
   */
 case class MinHashSig(child: Expression, k: Int, shingleSize: Int)
     extends UnaryExpression with CodegenFallback {

@@ -128,19 +128,21 @@ object Dedup {
         explode(array_distinct(shingles(split(col(textCol), " "), shingleSize)))
           .as("g"))
       .distinct()
-    // Per-doc distinct-gram count attached via a window over the same
-    // doc_id partitioning (no extra self-joins; the grams subtree is
-    // evaluated only for the two join sides).
-    val sized = grams.withColumn("n",
+    // Hot-shingle guard FIRST, then per-doc counts over the retained gram
+    // universe — inter and the denominators must see the same universe or
+    // identical docs with hot grams would score (n-h)/(n+h) < 1 and slip
+    // under the threshold. Per-doc count via a window over the same doc_id
+    // partitioning (no extra self-joins).
+    val guarded = maxShingleFreq match {
+      case Some(maxF) =>
+        val hot = grams.groupBy("g").agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxF).select("g")
+        grams.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => grams
+    }
+    val filtered = guarded.withColumn("n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))))
-    val filtered = maxShingleFreq match {
-      case Some(maxF) =>
-        val hot = sized.groupBy("g").agg(count(lit(1)).as("f"))
-          .filter(col("f") > maxF).select("g")
-        sized.join(broadcast(hot), Seq("g"), "left_anti")
-      case None => sized
-    }
     filtered.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("g"))
       .join(filtered.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
         col("g")), Seq("g"))
@@ -197,19 +199,30 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 15).
-    * Banding on four 16-bit chunks: distance ≤ 3 guarantees at least one
-    * equal chunk (pigeonhole), so the bucket join finds all such pairs;
-    * pairs found via any chunk are then exactly filtered by bit_count. */
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 31).
+    * Banding uses `maxHamming + 1` chunks of the 64-bit hash (pigeonhole:
+    * ≤ maxHamming differing bits cannot touch all maxHamming+1 chunks, so
+    * at least one chunk is equal and the bucket join is COMPLETE for the
+    * requested distance); candidate pairs are then exactly filtered by
+    * bit_count. More chunks ⇒ shorter chunks ⇒ more candidates — the
+    * usual recall/cost dial, here always set for full recall. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
+    val nChunks = maxHamming + 1
+    val baseWidth = 64 / nChunks
+    // chunk c covers bits [c*baseWidth, ...); the last chunk takes the
+    // remainder so all 64 bits are covered
+    def chunkExpr(c: Int) = {
+      val width = if (c == nChunks - 1) 64 - baseWidth * c else baseWidth
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(c).as("chunk"),
+        shiftright(col("sh"), c * baseWidth).bitwiseAND(lit(mask)).as("key"))
+    }
     val sigs = df.select(col(idCol).as("doc_id"),
       simhash64(split(col(textCol), " ")).as("sh"))
     val chunked = sigs.select(col("doc_id"), col("sh"),
-        explode(array((0 until 4).map { c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-        }: _*)).as("b"))
+        explode(array((0 until nChunks).map(chunkExpr): _*)).as("b"))
       .select(col("doc_id"), col("sh"),
         col("b.chunk").as("chunk"), col("b.key").as("key"))
     val a = chunked.select(col("chunk"), col("key"),

@@ -21,13 +21,16 @@ object Skew {
     * becomes (keys..., salt), spreading each hot key over `buckets` tasks.
     * Result is row-identical to `Joins.leftJoin(left, right, keys)`.
     *
-    * Salt is derived from xxhash64 over ALL left columns (not rand()):
-    * deterministic ⇒ retry-safe tasks and reproducible results. */
+    * Salt = xxhash64 over all left columns PLUS the row's position
+    * (monotonically_increasing_id): content-only hashing would send
+    * exact-duplicate rows of a hot key — the classic duplicated-fact-row
+    * skew — all to one bucket. Position-based input keeps it deterministic
+    * for a fixed input partitioning (file scans), unlike rand(). */
   def saltedLeftJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                      buckets: Int): DataFrame = {
     val salted = left.withColumn(SALT,
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets))
-        .cast("int"))
+      pmod(xxhash64((left.columns.map(col) :+ monotonically_increasing_id())
+        .toIndexedSeq: _*), lit(buckets)).cast("int"))
     val replicated = right.withColumn(SALT,
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ SALT, "left").drop(SALT)

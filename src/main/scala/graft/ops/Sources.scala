@@ -60,10 +60,16 @@ object Sources {
     * decode per-partition instead. */
   def unzip(zipPath: String, destDir: String): Seq[String] = {
     Files.createDirectories(Paths.get(destDir))
+    val zipStem = Paths.get(zipPath).getFileName.toString
+      .replaceAll("\\.zip$", "")
     val zf = new ZipFile(zipPath)
     try {
       zf.entries().asScala.filterNot(_.isDirectory).map { e =>
-        val out: Path = Paths.get(destDir, Paths.get(e.getName).getFileName.toString)
+        // prefix with the zip's own name: two county zips may carry the
+        // same inner entry name, and a flat shared destDir would silently
+        // overwrite one county with another (REPLACE_EXISTING)
+        val out: Path = Paths.get(destDir,
+          s"${zipStem}__${Paths.get(e.getName).getFileName.toString}")
         val in = zf.getInputStream(e)
         try Files.copy(in, out, StandardCopyOption.REPLACE_EXISTING)
         finally in.close()

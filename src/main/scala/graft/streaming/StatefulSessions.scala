@@ -58,7 +58,12 @@ object StatefulSessions {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp(st.lastTs + gapMs)
+              // a late batch can leave lastTs+gap at/under the current
+              // watermark; setTimeoutTimestamp would throw and kill the
+              // query — clamp just past the watermark so the session
+              // flushes on the next trigger instead
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(st.lastTs + gapMs, wm + 1))
             }
             closed.reverseIterator
           }

@@ -87,6 +87,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ranks.sameElements(Array(1, 2, 3))) // no ties, full permutation
   }
 
+  test("FIPS-style zero-padded partition values survive hive round-trip") {
+    val dir = Files.createTempDirectory("fips_part").toString
+    val df = Seq(("01001", 1L), ("36061", 2L)).toDF("FIPS", "v")
+    Sources.sinkParquet(df, dir, partitionBy = Seq("FIPS"))
+    val back = TestSpark.spark.read.parquet(dir)
+    assert(back.schema("FIPS").dataType == StringType,
+      "partition column must stay string (no type inference)")
+    assert(back.filter(col("FIPS") === "01001").count() == 1)
+  }
+
+  test("guarded jaccardPairs keeps identical docs at 1.0 despite hot shingles") {
+    // 12 docs share the hot gram universe of 'common common common ...';
+    // docs 1 and 2 are identical and also contain unique material
+    val hotText = (1 to 10).map(_ => "common").mkString(" ")
+    val docs = ((1L, s"$hotText alpha beta gamma delta") ::
+      (2L, s"$hotText alpha beta gamma delta") ::
+      (3 to 12).map(i => (i.toLong, s"$hotText uniq$i only$i word$i here$i")).toList)
+      .toDF("doc_id", "text")
+    // hot grams (pure 'common' shingles) appear in all 12 docs; guard at 5
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.999,
+        maxShingleFreq = Some(5))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"identical docs must score 1.0 after the guard; got ${pairs.mkString(",")}")
+  }
+
+  test("simHashPairs banding is complete up to maxHamming (vs brute force)") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val banded = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force: all-pairs hamming over the same signatures
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("sh"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val brute = a.crossJoin(sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"missing=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+  }
+
   test("jsonLines: explicit schema, malformed rows nulled") {
     val dir = Files.createTempDirectory("jsonl")
     Files.writeString(dir.resolve("t.json"),

@@ -74,6 +74,24 @@ class OpsSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("dropExact keeps the min-id row per duplicate key") {
+    val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExact(docs, "doc_id", col("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L, 9L)))
+  }
+
+  test("sampleFrames chunks video payloads and strides frames") {
+    val docs = Seq((2L, "x" * 100, "s", "en", 100L)) // doc 2 -> video (2%3=2)
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val media = Multimodal.fromDocuments(docs)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+      .select("media_id", "frame_idx").as[(Long, Int)].collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._2 % 2 == 0), "only every 2nd frame kept")
+  }
+
   test("jaccardPairs finds permuted near-identical docs, skips distinct ones") {
     val docs = Seq(
       (1L, "x y z w v u t s"),

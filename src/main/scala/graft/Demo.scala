@@ -53,11 +53,13 @@ object Demo {
       spark.read.parquet(s"$dir/documents.parquet"))
     val feats = graft.ops.Multimodal.decodeFeatures(media)
     val resized = graft.ops.Multimodal.resize(media, factor = 4)
+    def imageBytes(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("kind") === "image")
+        .agg(coalesce(sum(col("meta.n_bytes")), lit(0L)))
+        .collect()(0).getLong(0)
     println(s"MEDIA=${media.count()} FEATURES=${feats.count()} " +
-      s"RESIZED_IMAGE_BYTES=${resized.filter(col("kind") === "image")
-        .agg(sum(col("meta.n_bytes"))).collect()(0).getLong(0)} " +
-      s"ORIG_IMAGE_BYTES=${media.filter(col("kind") === "image")
-        .agg(sum(col("meta.n_bytes"))).collect()(0).getLong(0)}")
+      s"RESIZED_IMAGE_BYTES=${imageBytes(resized)} " +
+      s"ORIG_IMAGE_BYTES=${imageBytes(media)}")
     spark.stop()
   }
 }

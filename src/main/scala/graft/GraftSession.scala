@@ -40,9 +40,11 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // getOrCreate silently returns a pre-existing session and IGNORES the
-    // builder configs above — re-apply every runtime-settable conf so the
-    // factory's guarantees hold either way.
+    // builder configs above — re-apply every runtime-settable conf (incl.
+    // the requested shuffle partitions) so the factory's guarantees hold
+    // either way. Only `master` cannot be changed after the fact.
     tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     spark
   }
 
@@ -55,6 +57,9 @@ object GraftSession {
     // read as long nanos and convert (ops.Events.load).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark
   }
 }

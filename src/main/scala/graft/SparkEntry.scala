@@ -147,7 +147,7 @@ object SparkEntry {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
     Joins.leftJoinRenamed(li, o, Seq("l_orderkey" -> "o_orderkey"))
-      .transform(d => Joins.leftJoinRenamed(d, broadcast(c),
+      .transform(d => Joins.leftJoinRenamed(d, c,
         Seq("o_custkey" -> "c_custkey"), broadcastRight = true))
       .transform(d => Joins.leftJoinRenamed(d, n,
         Seq("c_nationkey" -> "n_nationkey"), broadcastRight = true))

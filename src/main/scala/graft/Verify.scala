@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine confs (ansi off, nanosAsLong, partition inference off, AQE)
+    // must hold for EVERY query — not only after some query's own loader
+    // happens to call tune() first (queries is an unordered Map)
+    GraftSession.tune(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

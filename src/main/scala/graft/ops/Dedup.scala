@@ -86,6 +86,11 @@ object Dedup {
     // re-attached afterwards by two id-joins. Carrying both signatures
     // through the bucket self-join instead shuffles k longs per candidate
     // ROW (pre-distinct) and measured 4× slower at 200k docs.
+    // Known tradeoff: the sigs subtree is evaluated once for banding and
+    // once per re-attach join (3× scan-side recompute). With the native
+    // MinHashSig expression recompute is cheaper than materializing
+    // k longs × corpus (cache/checkpoint) at 100 TB; if the signature fn
+    // ever becomes expensive again, persist `sigs` here instead.
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
@@ -173,12 +178,8 @@ object Dedup {
       if (lsh) {
         val sigs = base.withColumn("sig",
           Similarity.lshSignature(col("v"), nBits = 16, dim = 64))
-        val chunked = sigs.select(col("id"), col("v"),
-            explode(array((0 until 2).map { c =>
-              struct(lit(c).as("chunk"),
-                shiftright(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("key"))
-            }: _*)).as("b"))
-          .select(col("id"), col("v"), col("b.chunk"), col("b.key"))
+        val chunked = Similarity.chunkedBuckets(sigs, col("sig"), nChunks = 2)
+          .select(col("id"), col("v"), col("chunk"), col("key"))
         chunked.select(col("chunk"), col("key"), col("id").as("doc_a"),
             col("v").as("va"))
           .join(chunked.select(col("chunk"), col("key"),

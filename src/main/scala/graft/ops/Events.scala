@@ -20,6 +20,7 @@ object Events {
     * arrives as long nanos; convert to a microsecond timestamp. Integer
     * `div` (not `/`) — nanos exceed 2^53 so double division loses ticks. */
   def load(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark) // nanosAsLong must be set BEFORE the read
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

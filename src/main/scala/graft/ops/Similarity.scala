@@ -56,10 +56,16 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Random-hyperplane LSH signature (nBits) of a vector column. */
+  /** Random-hyperplane LSH signature (nBits) of a vector column.
+    * Fails fast on a dimension mismatch: zip_with null-pads the shorter
+    * side, which would silently turn every signature into 0 and collapse
+    * the whole corpus into one bucket (an O(N²) cross join downstream). */
   def lshSignature(vec: Column, nBits: Int = 16, dim: Int = 64): Column = {
     val planes = hyperplanes(nBits, dim)
-    val v = asDouble(vec)
+    val v0 = asDouble(vec)
+    val v = when(size(v0) === dim, v0).otherwise(raise_error(concat(
+      lit(s"lshSignature: expected dim $dim, got vector of size "),
+      size(v0).cast("string"))))
     planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.map(lit): _*)
       val dotv = aggregate(zip_with(v, pl, (x, y) => x * y), lit(0.0d),
@@ -67,6 +73,20 @@ object Similarity {
       when(dotv > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Shared bucket-explode: one row per (chunk, key) byte-chunk of a
+    * signature column — used by lshTopK and Dedup.embeddingNearDups so
+    * bucketing changes land in one place. */
+  private[ops] def chunkedBuckets(df: DataFrame, sigCol: Column,
+                                  nChunks: Int): DataFrame =
+    df.withColumn("__b",
+        explode(array((0 until nChunks).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(sigCol, c * 8).bitwiseAND(lit(0xFFL)).as("key"))
+        }: _*)))
+      .withColumn("chunk", col("__b.chunk"))
+      .withColumn("key", col("__b.key"))
+      .drop("__b")
 
   /** IVF (inverted-file) ANN: deterministic coarse quantizer — the first
     * `nCentroids` vectors by id act as centroids (a seeded sample stands in
@@ -110,13 +130,8 @@ object Similarity {
               k: Int = 5, nBits: Int = 16, dim: Int = 64): DataFrame = {
     val sigs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       lshSignature(col(vecCol), nBits, dim).as("sig"))
-    val nChunks = nBits / 8
-    val chunked = sigs.select(col("id"), col("v"),
-        explode(array((0 until nChunks).map { c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("sig"), c * 8).bitwiseAND(lit(0xFFL)).as("key"))
-        }: _*)).as("b"))
-      .select(col("id"), col("v"), col("b.chunk"), col("b.key"))
+    val chunked = chunkedBuckets(sigs, col("sig"), nBits / 8)
+      .select(col("id"), col("v"), col("chunk"), col("key"))
     val pairs = chunked.select(col("chunk"), col("key"),
         col("id").as("query_id"), col("v").as("qv"))
       .join(chunked.select(col("chunk"), col("key"),

@@ -50,8 +50,10 @@ object Skew {
     * defeat it.) */
   def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
                       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    // position mixed in for the same duplicated-row reason as saltedLeftJoin
     val salted = df.withColumn(SALT,
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+      pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id())
+        .toIndexedSeq: _*), lit(buckets)))
     salted.groupBy((keys :+ SALT).map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -48,6 +48,20 @@ object Demo {
       .distinct().count()}")
     dq.stop()
 
+    // streaming training-data ingest: langid -> quality gate -> dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("ingest_ts",
+        (lit(1700000000L) + col("doc_id")).cast("timestamp"))
+    val ingestDir = java.nio.file.Files.createTempDirectory("demo_ingest").toString
+    docs.write.mode("overwrite").parquet(ingestDir)
+    val iq = Streaming.runToMemory(
+      graft.streaming.IngestPipeline(
+        spark.readStream.schema(docs.schema).parquet(ingestDir),
+        watermark = "10 days"), "demo_ingest")
+    println(s"INGEST_KEPT=${spark.sql("SELECT count(*) FROM demo_ingest")
+      .collect()(0).getLong(0)} OF=${docs.count()}")
+    iq.stop()
+
     // multimodal: build media table, decode features, resize images
     val media = graft.ops.Multimodal.fromDocuments(
       spark.read.parquet(s"$dir/documents.parquet"))

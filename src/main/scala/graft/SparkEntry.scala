@@ -368,6 +368,43 @@ object SparkEntry {
         .as("delta"))
   }
 
+  /** Pivot: wide per-group measures from a categorical column. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+
+  /** Correlated scalar subquery — Catalyst decorrelates to agg + join
+    * (SURVEY §4 'subquery decorrelation: built-in if ever needed'). */
+  private def qCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    // the correlated aggregate is a SUM, not an AVG: totalprices are cent
+    // amounts, so the rounded sum is decimal-exact in both engines; an avg
+    // (cents / count) lands on exact .5 sub-cent boundaries where Spark's
+    // BigDecimal rounding and DuckDB's multiply-based rounding disagree
+    s.sql("""
+      SELECT o_orderkey, o_totalprice,
+             (SELECT round(sum(o2.o_totalprice), 2) FROM graft_orders o2
+              WHERE o2.o_custkey = o.o_custkey) AS cust_total,
+             (SELECT count(*) FROM graft_orders o2
+              WHERE o2.o_custkey = o.o_custkey) AS cust_n
+      FROM graft_orders o""")
+  }
+
+  /** Distribution analytics: ntile + percent_rank + cume_dist over a
+    * tie-free total order. */
+  private def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
   /** CUBE over two dimensions (all 4 grouping sets; §2.6 family). */
   private def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -429,6 +466,9 @@ object SparkEntry {
     "q38_array_agg" -> (qArrayAgg _),
     "q39_cube" -> (qCube _),
     "q40_lead_lag" -> (qLeadLag _),
+    "q41_pivot" -> (qPivot _),
+    "q42_correlated_subq" -> (qCorrelatedSubquery _),
+    "q43_ntile" -> (qNtile _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -697,5 +737,25 @@ object SparkEntry {
          round(value - coalesce(lag(value, 1) OVER w, 0.0), 2) AS delta
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
+    "q41_pivot" ->
+      """SELECT l_linestatus,
+         round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+         round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+         round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+         FROM lineitem GROUP BY l_linestatus""",
+    "q42_correlated_subq" ->
+      """SELECT o_orderkey, o_totalprice,
+         (SELECT round(sum(o2.o_totalprice), 2) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey) AS cust_total,
+         (SELECT count(*) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey) AS cust_n
+         FROM orders o""",
+    "q43_ntile" ->
+      """SELECT o_orderkey,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)""",
   )
 }

@@ -37,6 +37,21 @@ object Sources {
   def jsonLines(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(paths: _*)
 
+  /** ORC scan/sink (columnar alternative to parquet; same pushdown/stats
+    * machinery in Spark). */
+  def orc(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.orc(paths: _*)
+
+  def sinkOrc(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+    df.sparkSession.read.orc(path)
+  }
+
+  /** Raw line source (one string column `value`) — the ingest shape for
+    * unstructured text corpora. */
+  def textLines(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.text(paths: _*)
+
   /** S4/S5 (fa-etl.py:84,107,419,482): snappy parquet sink, overwrite. */
   def sinkParquet(df: DataFrame, path: String,
                   partitionBy: Seq[String] = Nil): DataFrame = {

@@ -130,6 +130,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"missing=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
   }
 
+  test("orc round-trip preserves data; textLines reads raw lines") {
+    val dir = Files.createTempDirectory("orc_rt").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val back = Sources.sinkOrc(df, dir)
+    assert(back.orderBy("id").collect().map(_.toString)
+      .sameElements(df.orderBy("id").collect().map(_.toString)))
+    val tdir = Files.createTempDirectory("txt")
+    Files.writeString(tdir.resolve("x.txt"), "line one\nline two\n")
+    assert(Sources.textLines(TestSpark.spark, tdir.resolve("x.txt").toString)
+      .count() == 2)
+  }
+
   test("jsonLines: explicit schema, malformed rows nulled") {
     val dir = Files.createTempDirectory("jsonl")
     Files.writeString(dir.resolve("t.json"),

@@ -67,7 +67,7 @@ object Similarity {
       lit(s"lshSignature: expected dim $dim, got vector of size "),
       size(v0).cast("string"))))
     planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
+      val pl = array(p.toIndexedSeq.map(lit): _*)
       val dotv = aggregate(zip_with(v, pl, (x, y) => x * y), lit(0.0d),
         (acc, x) => acc + x)
       when(dotv > 0, lit(1L << i)).otherwise(lit(0L))

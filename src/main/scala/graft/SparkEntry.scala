@@ -378,7 +378,6 @@ object SparkEntry {
   /** Correlated scalar subquery — Catalyst decorrelates to agg + join
     * (SURVEY §4 'subquery decorrelation: built-in if ever needed'). */
   private def qCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
-    GraftSession.tune(s)
     t(s, dir, "orders").createOrReplaceTempView("graft_orders")
     // the correlated aggregate is a SUM, not an AVG: totalprices are cent
     // amounts, so the rounded sum is decimal-exact in both engines; an avg

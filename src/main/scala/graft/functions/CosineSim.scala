@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Cosine similarity of two array<double> columns — custom Catalyst
   * `Expression`.
@@ -24,6 +25,19 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  /** Both children MUST be array<double>: getDouble over an array<float>'s
+    * UnsafeArrayData would read 8-byte strides across 4-byte slots —
+    * silent garbage, not an error. (ExpectsInputTypes is unusable outside
+    * Spark — AbstractDataType is private[sql] — so check explicitly.) */
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(_.dataType) match {
+      case Seq(ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects (array<double>, array<double>), got " +
+          other.map(_.simpleString).mkString(", "))
+    }
 
   /** Full codegen (not CodegenFallback): the loop is inlined into the
     * generated Java of the enclosing WholeStageCodegen stage, so the 2M+
@@ -69,8 +83,10 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** cosine similarity of two array<double> columns. */
+  /** cosine similarity of two vector columns (auto-cast to array<double>;
+    * a float-array input would otherwise fail the expression's type check). */
   def cosine_sim(a: Column, b: Column): Column =
-    GraftShims.toColumn(
-      CosineSim(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+    GraftShims.toColumn(CosineSim(
+      GraftShims.toExpression(a.cast("array<double>")),
+      GraftShims.toExpression(b.cast("array<double>"))))
 }

@@ -171,14 +171,16 @@ object Dedup {
     * broadcasts). `lsh=true`: same-bucket candidates only (recall < 1),
     * the 100 TB path reusing Similarity's hyperplane signatures. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, lsh: Boolean = false): DataFrame = {
+                        threshold: Double, lsh: Boolean = false,
+                        nBits: Int = 16, dim: Int = 64): DataFrame = {
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val pairs =
       if (lsh) {
         val sigs = base.withColumn("sig",
-          Similarity.lshSignature(col("v"), nBits = 16, dim = 64))
-        val chunked = Similarity.chunkedBuckets(sigs, col("sig"), nChunks = 2)
+          Similarity.lshSignature(col("v"), nBits, dim))
+        val chunked = Similarity.chunkedBuckets(sigs, col("sig"),
+          nChunks = math.max(nBits / 8, 1))
           .select(col("id"), col("v"), col("chunk"), col("key"))
         chunked.select(col("chunk"), col("key"), col("id").as("doc_a"),
             col("v").as("va"))

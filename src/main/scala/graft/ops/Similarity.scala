@@ -63,9 +63,14 @@ object Similarity {
   def lshSignature(vec: Column, nBits: Int = 16, dim: Int = 64): Column = {
     val planes = hyperplanes(nBits, dim)
     val v0 = asDouble(vec)
-    val v = when(size(v0) === dim, v0).otherwise(raise_error(concat(
-      lit(s"lshSignature: expected dim $dim, got vector of size "),
-      size(v0).cast("string"))))
+    // null vectors → null signature (they drop out of the bucket join:
+    // null keys never equi-match); wrong-dim vectors fail fast with a
+    // real message (coalesce keeps raise_error's argument non-null)
+    val v = when(v0.isNull, v0)
+      .when(size(v0) === dim, v0)
+      .otherwise(raise_error(concat(
+        lit(s"lshSignature: expected dim $dim, got vector of size "),
+        coalesce(size(v0).cast("string"), lit("null")))))
     planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.toIndexedSeq.map(lit): _*)
       val dotv = aggregate(zip_with(v, pl, (x, y) => x * y), lit(0.0d),

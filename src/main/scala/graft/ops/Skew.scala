@@ -21,16 +21,20 @@ object Skew {
     * becomes (keys..., salt), spreading each hot key over `buckets` tasks.
     * Result is row-identical to `Joins.leftJoin(left, right, keys)`.
     *
-    * Salt = xxhash64 over all left columns PLUS the row's position
-    * (monotonically_increasing_id): content-only hashing would send
-    * exact-duplicate rows of a hot key — the classic duplicated-fact-row
-    * skew — all to one bucket. Position-based input keeps it deterministic
-    * for a fixed input partitioning (file scans), unlike rand(). */
+    * Salt = xxhash64 over all left columns — fully deterministic per ROW
+    * CONTENT, which is the only retry-safe choice: a position- or
+    * rand()-based salt changes on partial stage recompute, and a shuffle
+    * keyed on a value that differs between the original and recomputed
+    * map output silently loses/duplicates rows when reducers mix the two
+    * (the SPARK-23207 hazard class). Known limitation: rows that are
+    * bit-identical across ALL columns share a salt, so the degenerate
+    * all-duplicate hot key still lands in one bucket — that shape is
+    * AQE skew-split's job (on in GraftSession), not salting's. */
   def saltedLeftJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                      buckets: Int): DataFrame = {
     val salted = left.withColumn(SALT,
-      pmod(xxhash64((left.columns.map(col) :+ monotonically_increasing_id())
-        .toIndexedSeq: _*), lit(buckets)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets))
+        .cast("int"))
     val replicated = right.withColumn(SALT,
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ SALT, "left").drop(SALT)
@@ -50,10 +54,10 @@ object Skew {
     * defeat it.) */
   def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
                       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    // position mixed in for the same duplicated-row reason as saltedLeftJoin
+    // content-only salt: deterministic under stage retry (see
+    // saltedLeftJoin scaladoc); identical duplicate rows share a bucket
     val salted = df.withColumn(SALT,
-      pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id())
-        .toIndexedSeq: _*), lit(buckets)))
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
     salted.groupBy((keys :+ SALT).map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

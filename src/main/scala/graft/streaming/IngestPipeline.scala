@@ -21,7 +21,8 @@ object IngestPipeline {
     * (degenerate repetition filter), language confidently identified. */
   def apply(docs: DataFrame, minTokens: Int = 8, minDistinct: Double = 0.3,
             watermark: String = "1 hour", streaming: Boolean = true): DataFrame = {
-    val toks = split(col("text"), " ")
+    // one tokenization, shared with langId/fingerprint via TextAnalysis
+    val toks = TextAnalysis.tokens(col("text"))
     val scored = docs
       .withColumn("n_tokens", size(toks))
       .withColumn("distinct_ratio",

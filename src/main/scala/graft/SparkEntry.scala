@@ -368,6 +368,18 @@ object SparkEntry {
         .as("delta"))
   }
 
+  /** Native session_window (gap-based session assignment as a built-in
+    * grouping — the operator form of q19's manual lag/cumsum construction;
+    * same 30-minute-gap semantics, so the same oracle shape applies). */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Events.load(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").cast(TimestampNTZType).as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Pivot: wide per-group measures from a categorical column. */
   private def qPivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -468,6 +480,7 @@ object SparkEntry {
     "q41_pivot" -> (qPivot _),
     "q42_correlated_subq" -> (qCorrelatedSubquery _),
     "q43_ntile" -> (qNtile _),
+    "q44_session_window" -> (qSessionWindow _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -756,5 +769,18 @@ object SparkEntry {
          round(cume_dist() OVER w, 6) AS cume
          FROM orders
          WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)""",
+    "q44_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM e)
+         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_seq""",
   )
 }

@@ -375,7 +375,7 @@ object SparkEntry {
     Events.load(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        Events.centSum(col("value")).as("sum_value"))
       .select(col("user_id"),
         col("session_window.start").cast(TimestampNTZType).as("session_start"),
         col("n_events"), col("sum_value"))
@@ -618,17 +618,20 @@ object SparkEntry {
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q19_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, ts, value,
+      """WITH ev AS (SELECT user_id, event_id,
+           CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         e AS (SELECT user_id, event_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS new_s
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (SELECT user_id, ts, value,
            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
            FROM e)
-         SELECT user_id, session_seq, CAST(min(ts) AS TIMESTAMP) AS session_start,
-         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         SELECT user_id, session_seq, min(ts) AS session_start,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
          FROM s GROUP BY user_id, session_seq""",
     "q20_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS dup_key,
@@ -770,17 +773,20 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)""",
     "q44_session_window" ->
-      """WITH e AS (SELECT user_id, event_id, ts, value,
+      """WITH ev AS (SELECT user_id, event_id,
+           CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         e AS (SELECT user_id, event_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS new_s
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (SELECT user_id, ts, value,
            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
            FROM e)
-         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
-         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         SELECT user_id, min(ts) AS session_start,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
          FROM s GROUP BY user_id, session_seq""",
   )
 }

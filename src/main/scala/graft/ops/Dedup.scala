@@ -116,6 +116,61 @@ object Dedup {
 
   // ------------------------------------------------------- exact jaccard
 
+  /** Exact n-gram Jaccard for GIVEN candidate pairs — the verifier half of
+    * the LSH-then-verify pattern. Attaches each side's distinct-shingle set
+    * by an id join and computes |∩|/|∪| per row: O(|pairs|) work, no
+    * inverted-index self-join, so cost scales with the (rare) candidates
+    * rather than the corpus. `pairs` must have columns (doc_a, doc_b). */
+  def exactJaccardFor(docs: DataFrame, pairs: DataFrame,
+                      idCol: String, textCol: String,
+                      shingleSize: Int): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(split(col(textCol), " "), shingleSize)).as("set"))
+    pairs.select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 4)
+          .as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicates, end to end: banded candidate generation
+    * (one narrow bucket shuffle) then exact Jaccard verification of only
+    * the candidates. This is the composable 100 TB shape — the checked
+    * queries run THIS, with the raw [[jaccardPairs]] sweep kept as the
+    * spec-level recall baseline.
+    *
+    * Recall: a true pair at exactly `threshold` is caught unless all
+    * `bands` miss — with k=16, bands=8 (r=2), P(miss) = (1-t²)^8 ≈ 3e-4
+    * at t=0.8. Not a proof; the OpsSpec equivalence test pins it on the
+    * testdata corpora. */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                      minEstJaccard: Double = 0.5,
+                      threshold: Double = 0.8): DataFrame = {
+    val cands = minHashCandidates(docs, idCol, textCol, k, bands,
+      shingleSize, minEstJaccard)
+    exactJaccardFor(docs, cands, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicates, end to end: pigeonhole-banded candidates for
+    * hamming ≤ maxHamming, then exact n-gram Jaccard verification.
+    * `maxHamming` is the recall dial: true near-dups on the testdata reach
+    * hamming 12 (HammingProbe histogram), so 12 is the floor for the
+    * oracle-checked query. More hamming ⇒ more/narrower chunks ⇒ bigger
+    * buckets; at very large corpora pair simhash with a minhash pre-filter
+    * or shard the bucket join. */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 12, shingleSize: Int = 2,
+                      threshold: Double = 0.8): DataFrame = {
+    val cands = simHashPairs(docs, idCol, textCol, maxHamming)
+    exactJaccardFor(docs, cands, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidate generation
     * by shared-shingle inverted index (join on shingle), then exact
     * |∩|/|∪| from per-doc distinct-shingle counts. Oracle-expressible

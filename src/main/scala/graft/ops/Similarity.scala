@@ -50,8 +50,10 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
-  /** Deterministic random hyperplanes (seeded) for sign-bit signatures. */
-  private def hyperplanes(nBits: Int, dim: Int): Seq[Array[Double]] = {
+  /** Deterministic random hyperplanes (seeded) for sign-bit signatures.
+    * `private[graft]` so OracleGen can embed the same constants in the
+    * DuckDB oracle SQL. */
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Array[Double]] = {
     val rng = new scala.util.Random(7)
     Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }

@@ -36,6 +36,13 @@ object Stress {
     timed("MINHASH_PAIRS") {
       Dedup.minHashCandidates(big, "doc_id", "text", 16, 4, 3).count()
     }
+    // the q25 shape: LSH candidates then exact verification of only those
+    // pairs — the scale replacement for the standalone inverted-index sweep
+    timed("MINHASH_NEARDUPS_VERIFIED") {
+      Dedup.minHashNearDups(big, "doc_id", "text",
+        k = 16, bands = 8, shingleSize = 3,
+        minEstJaccard = 0.5, threshold = 0.8).count()
+    }
     timed("SIMHASH_PAIRS") {
       Dedup.simHashPairs(big, "doc_id", "text", 3).count()
     }

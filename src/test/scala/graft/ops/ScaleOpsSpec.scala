@@ -51,6 +51,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("minHashNearDups == raw jaccardPairs sweep on the testdata corpus") {
+    // The LSH-then-verify scale shape must return exactly the pairs the
+    // exact inverted-index sweep finds (full recall at these thresholds on
+    // this corpus) — this is what lets the checked queries ship the scale
+    // path with an exact-relation oracle.
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sweep = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .orderBy("doc_a", "doc_b").collect().map(_.toString)
+    val lsh = Dedup.minHashNearDups(docs, "doc_id", "text",
+        k = 16, bands = 8, shingleSize = 3, minEstJaccard = 0.5, threshold = 0.8)
+      .orderBy("doc_a", "doc_b").collect().map(_.toString)
+    assert(sweep.nonEmpty && lsh.sameElements(sweep))
+  }
+
+  test("simHashNearDups == raw jaccardPairs sweep (2-gram) on the corpus") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sweep = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.8)
+      .orderBy("doc_a", "doc_b").collect().map(_.toString)
+    val banded = Dedup.simHashNearDups(docs, "doc_id", "text",
+        maxHamming = 12, shingleSize = 2, threshold = 0.8)
+      .orderBy("doc_a", "doc_b").collect().map(_.toString)
+    assert(sweep.nonEmpty && banded.sameElements(sweep))
+  }
+
   test("embeddingNearDups finds a planted near-identical vector pair") {
     val v = Array.fill(8)(0.5f)
     val nearly = v.clone(); nearly(0) = 0.55f

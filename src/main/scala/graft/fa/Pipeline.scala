@@ -23,7 +23,8 @@ import graft.ops.Sources
 class Pipeline(spark: SparkSession, inputDir: String,
                names: Schemas.FamilyNames = Schemas.FamilyNames(),
                deterministicRanks: Boolean = true,
-               partitionByFips: Boolean = false) {
+               partitionByFips: Boolean = false,
+               logFile: Option[String] = None) {
 
   private val rawDir = s"$inputDir/raw"
   private val unzippedDir = s"$inputDir/unzipped"
@@ -68,16 +69,35 @@ class Pipeline(spark: SparkSession, inputDir: String,
   // (the reference always logs its stage lines — fa-etl.py:524-526)
   log.setLevel(org.apache.log4j.Level.INFO)
 
-  /** O4 (fa-etl.py:6-11,523-526): per-stage logging + executor telemetry —
-    * the reference's psutil memory lines map to the status tracker's
-    * executor summaries. */
+  /** Process RSS in MB via /proc/self/status — the direct analog of the
+    * reference's psutil `mem_profile` (fa-etl.py:6-11). -1 where /proc is
+    * unavailable (non-Linux dev boxes). */
+  private def rssMb: Long =
+    try Files.readAllLines(Paths.get("/proc/self/status")).asScala
+      .find(_.startsWith("VmRSS:"))
+      .map(_.replaceAll("[^0-9]", "").toLong / 1024)
+      .getOrElse(-1L)
+    catch { case _: Exception => -1L }
+
+  /** O4 (fa-etl.py:6-11,523-526): per-stage wall time + real memory — JVM
+    * used heap and process RSS. (Round 1 logged the status tracker's
+    * on-heap STORAGE memory, which is ~0 unless something is cached —
+    * a telemetry line with no signal.) Lines also tee to `logFile` for
+    * parity with the reference's --log_file. */
   private def logged(name: String)(body: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     val out = body
-    val mem = spark.sparkContext.statusTracker.getExecutorInfos
-      .map(_.usedOnHeapStorageMemory()).sum
-    log.info(f"stage=$name wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
-      f"storageUsedBytes=$mem")
+    val rt = Runtime.getRuntime
+    val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+    val line = f"stage=$name wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
+      f"heapUsedMb=$heapMb rssMb=$rssMb"
+    log.info(line)
+    logFile.foreach { f =>
+      Files.writeString(Paths.get(f),
+        s"${java.time.Instant.now()} $line\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     out
   }
 

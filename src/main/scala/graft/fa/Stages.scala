@@ -129,11 +129,19 @@ object Stages {
     * broadcastable per county, but national-scale prop exceeds broadcast —
     * all four tables share the PropertyID shuffle key, so Catalyst plans
     * one Exchange per side and reuses the fact side's partitioning across
-    * the three joins (verified in PLANS.md). */
+    * the three joins (verified in PLANS.md).
+    *
+    * `validateCardinality` enforces the reference's `validate='m:1'` intent
+    * (fa-etl.py:464) on the prop join: a duplicated PropertyID in prop
+    * would silently fan out the panel, so it aborts instead. */
   def unifiedJoin(rankedValHist: DataFrame, prop: DataFrame,
                   rankedDeed: DataFrame, taxHist: DataFrame,
-                  broadcastProp: Boolean = false): DataFrame =
-    Joins.leftJoin(rankedValHist, prop, Seq("PropertyID"), broadcastProp)
+                  broadcastProp: Boolean = false,
+                  validateCardinality: Boolean = true): DataFrame =
+    (if (validateCardinality)
+       Joins.leftJoinValidated(rankedValHist, prop, Seq("PropertyID"),
+         expect = "m:1", broadcastRight = broadcastProp)
+     else Joins.leftJoin(rankedValHist, prop, Seq("PropertyID"), broadcastProp))
       .transform(d => Joins.leftJoinRenamed(d, rankedDeed,
         Seq("PropertyID" -> "PropertyID", "Year" -> "RecordingYear")))
       .transform(d => Joins.leftJoinRenamed(d, taxHist,

@@ -38,6 +38,42 @@ object Joins {
     leftJoin(left, renamed, keyMap.map(_._1), broadcastRight)
   }
 
+  /** Fail fast unless `df` is unique on `keys` — the reusable half of the
+    * reference's join-cardinality intent (`validate='m:1'`, fa-etl.py:464)
+    * and its ad-hoc uniqueness asserts (fa-etl.py:348-349). One aggregation
+    * pass (map-side combine, then only the >1 groups survive the filter),
+    * so at scale it costs a fraction of the join it protects. */
+  def assertUnique(df: DataFrame, keys: Seq[String], side: String = "input"): Unit = {
+    val dups = df.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(3).collect()
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$side is not unique on (${keys.mkString(", ")}): " +
+          s"e.g. ${dups.map(_.toString).mkString("; ")}")
+  }
+
+  /** Left join with a declared cardinality contract, mirroring pandas/
+    * Polars `validate=`: "m:1" requires the right side unique on the keys,
+    * "1:m" the left, "1:1" both, "m:m" skips the check. The wrong-side
+    * duplication the reference worried about (a dup PropertyID in prop
+    * silently fanning out the panel) aborts with sample keys instead of
+    * corrupting downstream aggregates. */
+  def leftJoinValidated(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        expect: String,
+                        broadcastRight: Boolean = false): DataFrame = {
+    expect match {
+      case "m:1" => assertUnique(right, keys, "right side of m:1 join")
+      case "1:m" => assertUnique(left, keys, "left side of 1:m join")
+      case "1:1" =>
+        assertUnique(left, keys, "left side of 1:1 join")
+        assertUnique(right, keys, "right side of 1:1 join")
+      case "m:m" => ()
+      case other => throw new IllegalArgumentException(
+        s"expect must be one of m:1, 1:m, 1:1, m:m — got '$other'")
+    }
+    leftJoin(left, right, keys, broadcastRight)
+  }
+
   /** As-of join (backward): for each left row, attach the single right row
     * with the greatest `rightOn` that is ≤ `leftOn`, matching on equi
     * `keys`; left rows without a match keep nulls (left semantics).

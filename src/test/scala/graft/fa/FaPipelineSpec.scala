@@ -145,6 +145,39 @@ class FaPipelineSpec extends AnyFunSuite {
     assert(merged.columns.length == 17)
   }
 
+  test("CLI main runs the fa-etl.sh invocation shape end to end") {
+    val base = Files.createTempDirectory("fa_cli")
+    val raw = Files.createDirectories(base.resolve("raw"))
+    writeZip(raw, "Deed20001",
+      "PropertyID|SaleAmt|RecordingDate|FIPS|FATimeStamp|FATransactionID|TransactionType|SaleDate",
+      Seq("1|250000|20210310|20001|20230101|1X|2|20210301"))
+    writeZip(raw, "Prop20001",
+      "PropertyID|PropertyClassID|FATimeStamp|SitusLatitude|SitusLongitude|SitusFullStreetAddress|SitusCity|SitusState|SitusZIP5|FIPS|SitusCensusTract|SitusCensusBlock|SitusGeoStatusCode",
+      Seq("1|R|20230101|41.1|-74.2|2 Oak St|Ville|ST|20001|20001|456|2|A"))
+    writeZip(raw, "TaxHist20001", "PropertyID|TaxYear|TaxAmt",
+      Seq("1|2021|60000"))
+    writeZip(raw, "ValHist20001",
+      "PropertyID|AssdTotalValue|AssdYear|MarketTotalValue|MarketValueYear|ApprTotalValue|ApprYear|TaxableYear",
+      Seq("1|600000|2021|||||2021"))
+    val logFile = base.resolve("deploy_etl.log")
+    Main.main(Array(
+      "--input_dir", base.toString,
+      "--log_file", logFile.toString,
+      "--annual_file_string", "Prop",
+      "--value_history_file_string", "ValHist"))
+    assert(spark.read.parquet(s"$base/unified/merged.parquet").count() == 1)
+    val logged = Files.readString(logFile)
+    assert(logged.contains("stage=Deed") && logged.contains("rssMb="))
+  }
+
+  test("CLI main rejects missing required flags argparse-style") {
+    val e = intercept[IllegalArgumentException] {
+      Main.parseArgs(Array("--input_dir", "/tmp/x"))
+    }
+    assert(e.getMessage.contains("--log_file"))
+    assert(e.getMessage.contains("--value_history_file_string"))
+  }
+
   test("missing family aborts (fa-etl.py:541-545 presence validation)") {
     val base = Files.createTempDirectory("fa_missing")
     Files.createDirectories(base.resolve("raw"))

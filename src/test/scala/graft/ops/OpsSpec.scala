@@ -44,6 +44,40 @@ class OpsSpec extends AnyFunSuite {
       (3L, "c", None))))
   }
 
+  test("leftJoinValidated enforces the declared cardinality contract") {
+    val facts = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val dimOk = Seq((1L, 10L), (2L, 20L)).toDF("k", "d")
+    val dimDup = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "d")
+    assert(Joins.leftJoinValidated(facts, dimOk, Seq("k"), "m:1").count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      Joins.leftJoinValidated(facts, dimDup, Seq("k"), "m:1")
+    }
+    assert(e.getMessage.contains("not unique on (k)"))
+    intercept[IllegalArgumentException] {
+      Joins.leftJoinValidated(facts, dimOk, Seq("k"), "1:1") // facts dup on k
+    }
+    intercept[IllegalArgumentException] {
+      Joins.leftJoinValidated(facts, dimOk, Seq("k"), "n:1") // bad contract
+    }
+  }
+
+  test("unifiedJoin aborts on a duplicated-PropertyID prop fixture") {
+    val rankedValHist = Seq((1L, 2020L, 500L))
+      .toDF("PropertyID", "Year", "Value")
+    val propDup = Seq((1L, "R"), (1L, "C")).toDF("PropertyID", "cls")
+    val rankedDeed = Seq((1L, 2020L, 100L))
+      .toDF("PropertyID", "RecordingYear", "SaleAmt")
+    val taxHist = Seq((1L, 2020L, 50L)).toDF("PropertyID", "TaxYear", "TaxAmt")
+    val e = intercept[IllegalArgumentException] {
+      graft.fa.Stages.unifiedJoin(rankedValHist, propDup, rankedDeed, taxHist)
+    }
+    assert(e.getMessage.contains("m:1"))
+    // same fixture with a unique prop side joins fine
+    val prop = Seq((1L, "R")).toDF("PropertyID", "cls")
+    assert(graft.fa.Stages.unifiedJoin(rankedValHist, prop, rankedDeed, taxHist)
+      .count() == 1)
+  }
+
   test("asOfJoinBackward picks latest right row at-or-before, null when none") {
     val trades = Seq((1L, 10L, 100), (1L, 20L, 200), (2L, 5L, 500))
       .toDF("k", "t", "px")

@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology:
+  *  - Each query executes end-to-end into a `noop`-format write. A
+  *    `count()` lets parquet skip column decode on projection-only plans
+  *    (flattering scan-heavy queries); the noop sink materializes every
+  *    projected column without paying sink I/O.
+  *  - Every query runs twice and the MIN is reported — single runs showed
+  *    ±20% wall variance between otherwise-identical rounds (JIT, page
+  *    cache, GC alignment). The JSON carries runs/sink so rounds stay
+  *    comparable.
+  */
 object Bench {
+  private val Runs = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,24 +31,33 @@ object Bench {
     // first timed query doesn't absorb ~3s of one-time cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // failures must be visible: a crashing query must never masquerade as
     // a fast timing (it is reported in "failed" and excluded from totals)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def pass(): Seq[(String, Double, Boolean)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = timed.collect { case (n, t, true) => n -> t }
-    val failed = timed.collect { case (n, _, false) => n }
+    val runs = Seq.fill(Runs)(pass())
+    val byName = runs.flatten.groupBy(_._1)
+    val results = names.map(_._1).flatMap { n =>
+      val rs = byName(n)
+      if (rs.forall(_._3)) Some(n -> rs.map(_._2).min) else None
+    }
+    val failed = names.map(_._1).filterNot(n => byName(n).forall(_._3))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"runs":$Runs,"sink":"noop","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -158,15 +158,22 @@ object Dedup {
 
   /** SimHash near-duplicates, end to end: pigeonhole-banded candidates for
     * hamming ≤ maxHamming, then exact n-gram Jaccard verification.
-    * `maxHamming` is the recall dial: true near-dups on the testdata reach
-    * hamming 12 (HammingProbe histogram), so 12 is the floor for the
-    * oracle-checked query. More hamming ⇒ more/narrower chunks ⇒ bigger
-    * buckets; at very large corpora pair simhash with a minhash pre-filter
-    * or shard the bucket join. */
+    * `maxHamming` is the recall dial: every true pair must sit within it
+    * for the exact-verify stage to be complete (HammingProbe calibrates).
+    *
+    * `featureShingle` picks the signature features: 1 = unigram tokens,
+    * n>1 = word n-gram shingles. Shingled features are the scale lever on
+    * templated corpora — measured on the testdata at sf0.1: unigram
+    * signatures leave 1.05M of 12.5M pairs under hamming 12 (the hamming
+    * filter passes 8% of the corpus — every one then pays the exact-verify
+    * join), while 2-gram features leave ~500, because word order enters
+    * the signature and unrelated template instances diverge. Same
+    * pigeonhole banding either way. */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 12, shingleSize: Int = 2,
-                      threshold: Double = 0.8): DataFrame = {
-    val cands = simHashPairs(docs, idCol, textCol, maxHamming)
+                      threshold: Double = 0.8,
+                      featureShingle: Int = 1): DataFrame = {
+    val cands = simHashPairs(docs, idCol, textCol, maxHamming, featureShingle)
     exactJaccardFor(docs, cands, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
   }
@@ -265,7 +272,7 @@ object Dedup {
     * bit_count. More chunks ⇒ shorter chunks ⇒ more candidates — the
     * usual recall/cost dial, here always set for full recall. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, featureShingle: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
     val nChunks = maxHamming + 1
     val baseWidth = 64 / nChunks
@@ -277,8 +284,10 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("sh"), c * baseWidth).bitwiseAND(lit(mask)).as("key"))
     }
-    val sigs = df.select(col(idCol).as("doc_id"),
-      simhash64(split(col(textCol), " ")).as("sh"))
+    val toks = split(col(textCol), " ")
+    val features =
+      if (featureShingle <= 1) toks else shingles(toks, featureShingle)
+    val sigs = df.select(col(idCol).as("doc_id"), simhash64(features).as("sh"))
     val chunked = sigs.select(col("doc_id"), col("sh"),
         explode(array((0 until nChunks).map(chunkExpr): _*)).as("b"))
       .select(col("doc_id"), col("sh"),

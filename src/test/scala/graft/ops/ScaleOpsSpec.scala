@@ -72,7 +72,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val sweep = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.8)
       .orderBy("doc_a", "doc_b").collect().map(_.toString)
     val banded = Dedup.simHashNearDups(docs, "doc_id", "text",
-        maxHamming = 12, shingleSize = 2, threshold = 0.8)
+        maxHamming = 14, shingleSize = 2, threshold = 0.8, featureShingle = 2)
       .orderBy("doc_a", "doc_b").collect().map(_.toString)
     assert(sweep.nonEmpty && banded.sameElements(sweep))
   }

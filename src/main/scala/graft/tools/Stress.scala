@@ -46,6 +46,15 @@ object Stress {
     timed("SIMHASH_PAIRS") {
       Dedup.simHashPairs(big, "doc_id", "text", 3).count()
     }
+    // simhash end-to-end in its scale regime: tight radius (16-bit chunks),
+    // shingle features, exact-verified — the 100 TB shape. Wide radii
+    // (q29's corpus-calibrated maxHamming=14) intentionally NOT stressed:
+    // 4-bit chunk keys explode quadratically past ~10^4 docs (see
+    // Dedup.simHashNearDups scaladoc).
+    timed("SIMHASH_NEARDUPS_VERIFIED") {
+      Dedup.simHashNearDups(big, "doc_id", "text", maxHamming = 3,
+        shingleSize = 2, threshold = 0.8, featureShingle = 2).count()
+    }
     timed("EXACT_GROUPS>1") {
       Dedup.exactGroups(big, "doc_id",
         TextAnalysis.contentFingerprint(col("text")))

@@ -17,8 +17,9 @@ import graft.functions.{CosineSim, MinHashSig, SimHash64}
   * minhash_sig(toks, 16, 3) FROM ...` work in plain SQL.
   *
   * Also injects the [[graft.plans.RewriteTopOneToMaxBy]] optimizer rule
-  * (row_number()=1 dedup → max_by aggregate, measured 3.2× at 6M rows;
-  * kill-switch `spark.graft.rewriteTopOne=false`). Parity with the
+  * (row_number()=1 dedup → max_by aggregate — sort-free plan shape, time-
+  * neutral at local scale; kill-switch `spark.graft.rewriteTopOne=false`).
+  * Parity with the
   * reference needs no planner `Strategy` (SURVEY.md §4) — the rule is a
   * pure plan-quality optimization, not new semantics. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -91,12 +91,14 @@ object SparkEntry {
 
   /** W1+A1 (fa-etl.py:99-105): deterministic top-1 per group — latest
     * lineitem per order by shipdate, tie-broken by linenumber. Runs as ONE
-    * hash aggregate (`max_by` over an ordering struct, map-side combine, no
-    * sorts) — measured 3.2× faster than the row_number window form at 6M
-    * rows (PLANS.md race table). Ascending tie-breaks are negated struct
-    * fields; projection happens BEFORE the agg so the all-columns ordering
-    * struct can't defeat parquet column pruning. The window form remains
-    * `Windows.topOnePerGroup` (needed for frames / non-struct orders). */
+    * aggregate (`max_by` over an ordering struct, map-side combine, no
+    * sorts, no rank pass) — time-equal to the WindowGroupLimit'd window
+    * form under an honest sink (see Windows.topOneByAgg scaladoc for the
+    * round-2 measurement story), with a sort-free plan. Ascending
+    * tie-breaks are negated struct fields; projection happens BEFORE the
+    * agg so the all-columns ordering struct can't defeat parquet column
+    * pruning. The window form remains `Windows.topOnePerGroup` (needed
+    * for frames / non-struct orders). */
   private def qWindowTop1(s: SparkSession, dir: String): DataFrame =
     Windows.topOneByAgg(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",

@@ -35,13 +35,20 @@ object Windows {
       .filter(col(RN) <= k)
       .drop(RN)
 
-  /** Hash-aggregation form of top-1 per group (SURVEY.md §2.6 A1's
-    * `groupBy.agg(max_by)` alternative): one hash aggregate with map-side
-    * combine, NO sorts — measured ~2× faster than the window form at 6M
-    * rows (PLANS.md race table). `ordering` must be a struct column whose
-    * lexicographic MAX picks the winner (negate numeric components for
-    * ascending tie-breaks); ties must be impossible for determinism.
-    * Returns the original columns. */
+  /** Aggregation form of top-1 per group (SURVEY.md §2.6 A1's
+    * `groupBy.agg(max_by)` alternative): one aggregate with map-side
+    * partial combine and no rank pass. Honest measurement (round 2, noop
+    * sink, 6M rows): this and the window form time EQUAL on local[32] —
+    * Spark 3.5+'s `InferWindowGroupLimit` already collapses the window
+    * idiom's shuffle to ~|groups| rows, and scan decode dominates. (The
+    * round-1 "3.2×" number was a count()-sink artifact: Catalyst pruned
+    * the un-referenced max_by wholesale, timing a gutted plan.) The agg
+    * form still drops two per-partition sorts + the rank pass from the
+    * plan — CPU/spill headroom with wide rows at cluster scale — and is
+    * never worse. `ordering` must be a struct column whose lexicographic
+    * MAX picks the winner (negate numeric components for ascending
+    * tie-breaks); ties must be impossible for determinism. Returns the
+    * original columns. */
   def topOneByAgg(df: DataFrame, partitionBy: Seq[Column],
                   ordering: Column): DataFrame = {
     val all = struct(df.columns.map(col).toIndexedSeq: _*)

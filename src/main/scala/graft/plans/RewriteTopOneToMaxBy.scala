@@ -20,10 +20,14 @@ import org.apache.spark.sql.types._
   * }}}
   *
   * Why: both shapes shuffle ~|groups| rows (partial aggregation vs
-  * `WindowGroupLimit(Partial)`), but the aggregate needs no per-partition
-  * sort of the full input and no final Window pass — measured 3.2× faster
-  * at 6M rows (PLANS.md, q07). The rewrite generalizes that measured win
-  * to any user query written in the window idiom.
+  * `WindowGroupLimit(Partial)`), and under an honest sink they time EQUAL
+  * at 6M rows on local[32] (round-2 measurement; the earlier "3.2×" was a
+  * count()-sink artifact — Catalyst prunes an un-referenced max_by
+  * wholesale, so count-based timings compared a gutted aggregate against
+  * a live window). The rewrite's real effect is plan shape: it removes
+  * two per-partition sorts and the rank pass — CPU/spill headroom for
+  * wide rows at cluster scale — and is measured never worse than the
+  * window form it replaces.
   *
   * `orderingStruct` encodes the SortOrder as a struct whose ASCENDING
   * lexicographic max is the window ordering's FIRST row: descending keys

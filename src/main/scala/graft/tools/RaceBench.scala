@@ -38,42 +38,58 @@ object RaceBench {
     val li = spark.read.parquet(s"$outDir/lineitem.parquet")
     println(s"LINEITEM_ROWS=${li.count()}")
 
-    def timed(name: String)(body: => Long): Unit = {
+    // Each timed body collect()s a SMALL aggregate over real output
+    // columns of the query under test. A bare count() is NOT honest race
+    // work: both optimizers (Catalyst and DuckDB) prune everything a
+    // count doesn't need — Catalyst even deletes an un-referenced max_by
+    // aggregate wholesale — so count-based timings compare gutted plans
+    // (round-2 finding: the "3.2x agg-vs-window" number was exactly this
+    // artifact). Reducing over referenced columns forces both engines to
+    // produce the full result while keeping driver transfer negligible.
+    def timed(name: String)(body: => String): Unit = {
       val t0 = System.nanoTime()
       val n = body
-      println(f"$name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      println(f"$name out=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    def digest(df: org.apache.spark.sql.DataFrame, sumCol: String,
+               minCol: String): String =
+      df.agg(count(lit(1)), round(sum(col(sumCol)), 2), min(col(minCol)))
+        .collect()(0).toString
 
     timed("SPARK_Q01_AGG") {
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          avg(col("l_quantity")), count(lit(1))).count()
+        .agg(round(sum(col("l_quantity")), 2).as("sq"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sp"),
+          round(avg(col("l_quantity")), 4).as("aq"), count(lit(1)).as("cnt"))
+        .collect().sortBy(_.toString).mkString("|").hashCode.toString
     }
     timed("SPARK_Q07_WINDOW") {
-      graft.ops.Windows.topOnePerGroup(li, Seq(col("l_orderkey")),
+      digest(graft.ops.Windows.topOnePerGroup(li, Seq(col("l_orderkey")),
         Seq(col("l_shipdate").desc, col("l_linenumber").asc,
-          col("l_extendedprice").desc)).count()
+          col("l_extendedprice").desc)), "l_extendedprice", "l_shipdate")
     }
     timed("SPARK_Q11_JOIN") {
       val o = spark.read.parquet(s"$outDir/orders.parquet")
       val c = spark.read.parquet(s"$outDir/customer.parquet")
       val n = spark.read.parquet(s"$outDir/nation.parquet")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      digest(li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"), "left")
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
         .filter(col("o_totalprice").isNotNull)
-        .select("l_orderkey", "l_extendedprice", "o_totalprice", "c_name", "n_name")
-        .count()
+        .select("l_orderkey", "l_extendedprice", "o_totalprice", "c_name", "n_name"),
+        "o_totalprice", "c_name")
     }
     timed("SPARK_Q07_AGGFORM") {
-      graft.ops.Windows.topOneByAgg(li, Seq(col("l_orderkey")),
-        struct(col("l_shipdate"), -col("l_linenumber"), col("l_extendedprice")))
-        .count()
+      digest(graft.ops.Windows.topOneByAgg(li, Seq(col("l_orderkey")),
+        struct(col("l_shipdate"), -col("l_linenumber"), col("l_extendedprice"))),
+        "l_extendedprice", "l_shipdate")
     }
     timed("SPARK_Q01_AGG_2nd") {
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          avg(col("l_quantity")), count(lit(1))).count()
+        .agg(round(sum(col("l_quantity")), 2).as("sq"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sp"),
+          round(avg(col("l_quantity")), 4).as("aq"), count(lit(1)).as("cnt"))
+        .collect().sortBy(_.toString).mkString("|").hashCode.toString
     }
     spark.stop()
   }

@@ -112,6 +112,22 @@ class RewriteTopOneSpec extends AnyFunSuite {
     assert(!optimized(ascDouble).contains("max_by"))
   }
 
+  test("fires on the SQL-authored idiom") {
+    data.createOrReplaceTempView("rw_t")
+    val q = spark.sql(
+      """SELECT k, name, v FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY k ORDER BY v DESC, seq ASC, name DESC) AS rn
+           FROM rw_t) WHERE rn = 1""")
+    assert(optimized(q.toDF()).contains("max_by"))
+    val w = Window.partitionBy($"k").orderBy($"v".desc, $"seq".asc, $"name".desc)
+    spark.conf.set("spark.graft.rewriteTopOne", "false")
+    val reference = try sortedRows(
+      topOne(data, w).select("k", "name", "v"))
+    finally spark.conf.set("spark.graft.rewriteTopOne", "true")
+    assert(sortedRows(q.toDF()).sameElements(reference))
+  }
+
   test("kill-switch disables the rewrite") {
     val w = Window.partitionBy($"k").orderBy($"v".desc, $"seq".asc, $"name".desc)
     spark.conf.set("spark.graft.rewriteTopOne", "false")

@@ -107,10 +107,12 @@ object Similarity {
     * |cell| · nProbe candidates instead of N. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               k: Int = 5, nCentroids: Int = 16, nProbe: Int = 2,
-              queryStride: Long = 100): DataFrame = {
+              queryStride: Long = 100, trainIters: Int = 0): DataFrame = {
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = base.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val centroids =
+      if (trainIters > 0) kMeansCentroids(base, nCentroids, trainIters)
+      else base.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").as("cent_id"), col("v").as("cv"))
     // nProbe nearest cells per vector (rank over the broadcast centroids)
     val assigned = Windows.topKPerGroup(
       base.join(broadcast(centroids), lit(true))
@@ -127,6 +129,45 @@ object Similarity {
       .distinct()
     Windows.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
+  }
+
+  /** Distributed spherical k-means (Lloyd) coarse quantizer for IVF:
+    * seeds with the first `nCentroids` vectors by id, then `iters` rounds
+    * of assign-to-nearest (by cosine, over the broadcast centroids) and
+    * element-wise mean per cell. Pure DataFrame ops: assignment is a
+    * broadcast-join + top-1, the mean is posexplode → avg per (cell,
+    * component) → re-assembled array — both shuffle O(N·dim) narrow rows,
+    * no driver-side math.
+    *
+    * Notes for scale/use: train on a sample for big corpora (the index
+    * only needs approximate cell shapes), and at many iterations insert a
+    * `localCheckpoint` between rounds to cap lineage depth. Cells that
+    * lose all members disappear (standard Lloyd degeneracy — acceptable
+    * for a candidate generator; probing covers the gap). Centroid
+    * components use floating avg whose partition order is not bit-pinned,
+    * so trained-IVF results are near- but not bit-deterministic — the
+    * oracle-checked q35 therefore runs the deterministic seed variant
+    * (`trainIters = 0`), and the trained path is spec-gated on recall
+    * against brute force instead. */
+  private[graft] def kMeansCentroids(base: DataFrame, nCentroids: Int,
+                                     iters: Int): DataFrame = {
+    var cents = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = Windows.topOnePerGroup(
+        base.join(broadcast(cents), lit(true))
+          .select(col("id"), col("v"), col("cent_id"),
+            cosine(col("v"), col("cv")).as("cos")),
+        Seq(col("id")), Seq(col("cos").desc, col("cent_id").asc))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")))
+        .groupBy(col("cent_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), x => x.getField("m")).as("cv"))
+    }
+    cents
   }
 
   /** LSH-bucketed ANN: same-bucket pairs scored by exact cosine, top-k per

@@ -105,6 +105,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means-trained IVF: well-formed cells, recall@5 over brute force") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val bf = topSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      k = 5, stride = 100))
+    val trained = topSet(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4, queryStride = 100, trainIters = 2))
+    assert(trained.nonEmpty)
+    val recalls = bf.map { case (q, truth) =>
+      trained.get(q).map(c => (c & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // candidate generator bar, robust to float nondeterminism in training:
+    // probing 4 of 16 trained cells must recover most of the true top-5
+    assert(meanRecall >= 0.5, s"mean recall@5 = $meanRecall")
+  }
+
   test("rankRandomTieBreak is a strict permutation among equal keys (W1 compat)") {
     val df = Seq((1L, "2020-01-01"), (1L, "2020-01-01"), (1L, "2020-01-01"))
       .toDF("id", "d")

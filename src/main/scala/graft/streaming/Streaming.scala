@@ -39,6 +39,31 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: match each left event to right events
+    * of the same user within `[left.ts - before, left.ts + after]`. BOTH
+    * sides are watermarked and the join condition carries the time bounds
+    * — exactly what Spark needs to compute how long each side's state
+    * must be retained, so state stays bounded on unbounded streams (an
+    * unbounded stream-stream equi-join without time bounds would buffer
+    * forever and is rejected in Append mode). Inner join: rows emit as
+    * soon as both sides arrive. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   before: String = "10 minutes", after: String = "10 minutes",
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_event_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("r_event_id"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
+  }
+
   /** Streaming exact dedup: state-bounded `dropDuplicatesWithinWatermark`
     * on a key column — the streaming face of `Dedup.exactGroups` (state
     * for a key is dropped once the watermark passes it, so unbounded

@@ -29,6 +29,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val dirL = Files.createTempDirectory("events_ij_l").toString
+    val dirR = Files.createTempDirectory("events_ij_r").toString
+    val ev = Events.load(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val left = ev.filter(col("event_id") % 2 === 0)
+    val right = ev.filter(col("event_id") % 2 === 1)
+    left.write.mode("overwrite").parquet(dirL)
+    right.write.mode("overwrite").parquet(dirR)
+    def rd(d: String) = spark.readStream.schema(left.schema).parquet(d)
+    val q = Streaming.runToMemory(
+      Streaming.intervalJoin(rd(dirL), rd(dirR),
+        before = "5 minutes", after = "5 minutes", watermark = "10 days"),
+      "ij_out")
+    try {
+      val streamed = spark.sql(
+          "SELECT l_event_id, r_event_id FROM ij_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = left.select(col("user_id"), col("event_id").as("l_event_id"),
+          col("ts").as("l_ts"))
+        .join(right.select(col("user_id").as("r_user_id"),
+          col("event_id").as("r_event_id"), col("ts").as("r_ts")),
+          col("user_id") === col("r_user_id") &&
+            col("r_ts") >= col("l_ts") - expr("INTERVAL 5 minutes") &&
+            col("r_ts") <= col("l_ts") + expr("INTERVAL 5 minutes"))
+        .select("l_event_id", "r_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("windowed counts over a file stream match the batch aggregation") {
     val dir = Files.createTempDirectory("events_stream").toString
     // stage the sf0.001 events (ts normalized to TimestampType) as the

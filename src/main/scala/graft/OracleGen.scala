@@ -48,6 +48,39 @@ object OracleGen {
        WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold"""
   }
 
+  /** Near-dup dedup oracle: exact n-gram Jaccard pairs (same relation as
+    * [[jaccardSql]]) → undirected edges → recursive-CTE transitive
+    * closure → per-doc cluster = min reachable id, keep = is-canonical.
+    * Verifies `Dedup.components` over the simhash near-dup pairs (q29
+    * pins pairs ≡ the exact relation; this pins the clustering). */
+  def componentsSql(n: Int, threshold: Double): String = {
+    require(n >= 2, "token n-grams with n >= 2")
+    s"""WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (SELECT DISTINCT doc_id,
+           CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
+                ELSE array_to_string(t[i:i+${n - 1}], ' ') END AS g
+         FROM toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 2))) AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b FROM inter
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         SELECT doc_id AS id, doc_id AS r FROM documents
+         UNION
+         SELECT e.dst AS id, reach.r AS r
+         FROM reach JOIN edges e ON e.src = reach.id
+       )
+       SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+       FROM reach GROUP BY id"""
+  }
+
   /** `v[1]*p1 + v[2]*p2 + …` — left-associated, matching the
     * `aggregate(zip_with(...))` fold in `Similarity.lshSignature`. */
   private def planeDot(vec: String, plane: Array[Double]): String =

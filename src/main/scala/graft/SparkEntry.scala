@@ -308,6 +308,21 @@ object SparkEntry {
     Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text",
       maxHamming = 14, shingleSize = 2, threshold = 0.8, featureShingle = 2)
 
+  /** Near-dup DEDUP end to end: pairs (same relation q29 verifies) →
+    * connected components by min-label propagation → one canonical doc
+    * per cluster. Oracle = recursive-CTE transitive closure over the
+    * exact-Jaccard pair relation (OracleGen.componentsSql) — clustering
+    * is deterministic because the label fixpoint (component min id) is
+    * unique regardless of execution order. */
+  private def qNearDupDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text",
+      maxHamming = 14, shingleSize = 2, threshold = 0.8, featureShingle = 2)
+    Dedup.components(docs.select("doc_id"), pairs.select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("keep"))
+  }
+
   /** LSH-bucketed ANN (approximate scale path). Hash-verified: the oracle
     * replicates the seeded hyperplane signatures and byte-chunk buckets in
     * SQL (OracleGen.annLshSql). */
@@ -508,6 +523,7 @@ object SparkEntry {
     "q42_correlated_subq" -> (qCorrelatedSubquery _),
     "q43_ntile" -> (qNtile _),
     "q44_session_window" -> (qSessionWindow _),
+    "q45_neardup_dedup" -> (qNearDupDedup _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -689,6 +705,7 @@ object SparkEntry {
     "q25_jaccard_pairs" -> OracleGen.jaccardSql(n = 3, threshold = 0.8),
     "q28_minhash_lsh" -> OracleGen.jaccardSql(n = 4, threshold = 0.75),
     "q29_simhash_pairs" -> OracleGen.jaccardSql(n = 2, threshold = 0.8),
+    "q45_neardup_dedup" -> OracleGen.componentsSql(n = 2, threshold = 0.8),
     "q30_ann_lsh" -> OracleGen.annLshSql(nBits = 16, dim = 64, k = 5),
     "q35_ann_ivf" ->
       OracleGen.ivfSql(k = 5, nCentroids = 16, nProbe = 2, queryStride = 100),

@@ -234,6 +234,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components of a near-dup pair graph — the step that turns
+    * PAIRS into a deduplicated corpus (one canonical doc per cluster).
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its own and its
+    * neighbors' labels; at fixpoint label = the component's min id. The
+    * fixpoint is unique, so the result is deterministic regardless of
+    * execution order — oracle-verifiable against a recursive-CTE closure.
+    *
+    * Scale shape: each round is one join + one groupBy on the edge list
+    * (shuffles O(|E|)), with a `localCheckpoint` per round to stop lineage
+    * growth (on a cluster with a checkpoint dir, prefer `checkpoint`).
+    * Near-dup graphs have tiny components (dup clusters), so rounds ≈
+    * cluster diameter ≈ a handful; the driver-side convergence check is
+    * one `isEmpty` per round. Throws if `maxIters` rounds don't converge
+    * (a silently partial labeling must never reach a consumer). */
+  def components(ids: DataFrame, pairs: DataFrame,
+                 maxIters: Int = 20): DataFrame = {
+    val idCol = ids.columns.head
+    val edges = pairs
+      .select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
+      .union(pairs.select(col(pairs.columns(1)).as("src"),
+        col(pairs.columns(0)).as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      done = next
+        .join(labels.select(col("id").as("pid"), col("label").as("prev")),
+          col("id") === col("pid"))
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      iters += 1
+    }
+    require(done, s"components: no fixpoint after $maxIters rounds " +
+      "(component diameter exceeds maxIters)")
+    labels
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.

@@ -105,6 +105,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("components: min-label propagation finds chained clusters") {
+    val ids = (1L to 7L).toDF("doc_id")
+    // a 4-chain (needs 3 propagation rounds), a pair, and a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(ids, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 7L))))
+  }
+
+  test("components refuses a labeling that has not converged") {
+    val ids = (1L to 5L).toDF("doc_id")
+    val chain = (1L to 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Dedup.components(ids, chain, maxIters = 1).collect()
+    }
+  }
+
   test("k-means-trained IVF: well-formed cells, recall@5 over brute force") {
     val emb = TestSpark.spark.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")

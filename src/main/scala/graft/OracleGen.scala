@@ -29,9 +29,14 @@ object OracleGen {
   /** Exact n-gram Jaccard pairs ≥ threshold over `documents` — the oracle
     * for the LSH-then-verify dedup queries. Shingling matches
     * `Dedup.shingles`: word n-grams, whole doc when shorter than n. */
-  def jaccardSql(n: Int, threshold: Double): String = {
+  /** Shared CTE block: word n-gram shingling + per-doc set sizes +
+    * pairwise intersection counts — the base relation of every
+    * Jaccard-family oracle. ONE definition so the pair relation can never
+    * desynchronize between the pair oracle (q25/q28/q29) and the
+    * clustering oracle (q45). */
+  private def gramCtes(n: Int): String = {
     require(n >= 2, "token n-grams with n >= 2 (unigrams are handled by len(t) < n branch only)")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        grams AS (SELECT DISTINCT doc_id,
            CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
                 ELSE array_to_string(t[i:i+${n - 1}], ' ') END AS g
@@ -39,14 +44,17 @@ object OracleGen {
        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
+         GROUP BY 1, 2)"""
+  }
+
+  def jaccardSql(n: Int, threshold: Double): String =
+    s"""WITH ${gramCtes(n)}
        SELECT doc_a, doc_b,
          round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
        FROM inter
        JOIN sizes sa ON doc_a = sa.doc_id
        JOIN sizes sb ON doc_b = sb.doc_id
        WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold"""
-  }
 
   /** Near-dup dedup oracle: exact n-gram Jaccard pairs (same relation as
     * [[jaccardSql]]) → undirected edges → recursive-CTE transitive
@@ -54,17 +62,8 @@ object OracleGen {
     * Verifies `Dedup.components` over the simhash near-dup pairs (q29
     * pins pairs ≡ the exact relation; this pins the clustering). */
   def componentsSql(n: Int, threshold: Double): String = {
-    require(n >= 2, "token n-grams with n >= 2")
     s"""WITH RECURSIVE
-       toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       grams AS (SELECT DISTINCT doc_id,
-           CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
-                ELSE array_to_string(t[i:i+${n - 1}], ' ') END AS g
-         FROM toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 2))) AS u(i)),
-       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
+       ${gramCtes(n)},
        pairs AS (SELECT doc_a, doc_b FROM inter
          JOIN sizes sa ON doc_a = sa.doc_id
          JOIN sizes sb ON doc_b = sb.doc_id

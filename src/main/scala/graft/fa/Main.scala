@@ -22,6 +22,12 @@ object Main {
   private val required = Seq("input_dir", "log_file",
     "annual_file_string", "value_history_file_string")
 
+  /** Flags that take no value (presence ⇒ "true"). Every other `--key`
+    * REQUIRES a value — a missing one is an argparse-style startup error,
+    * not a silent bind to "true" (e.g. a forgotten `--log_file` value
+    * must not send telemetry to a file literally named `true`). */
+  private val booleanFlags = Set("fips_partition")
+
   /** `--key value` pairs + bare `--flag` booleans, argparse-style errors. */
   private[fa] def parseArgs(args: Array[String]): Map[String, String] = {
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
@@ -31,7 +37,10 @@ object Main {
           val name = key.drop(2)
           tail match {
             case v :: more if !v.startsWith("--") => loop(more, acc + (name -> v))
-            case more => loop(more, acc + (name -> "true"))
+            case more if booleanFlags(name) => loop(more, acc + (name -> "true"))
+            case _ =>
+              throw new IllegalArgumentException(
+                s"argument --$name: expected one argument")
           }
         case other :: _ =>
           throw new IllegalArgumentException(s"unexpected argument: $other")

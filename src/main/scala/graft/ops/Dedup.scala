@@ -272,9 +272,14 @@ object Dedup {
         .join(labels.select(col("id").as("pid"), col("label").as("prev")),
           col("id") === col("pid"))
         .filter(col("label") < col("prev")).isEmpty
+      // `next` is materialized, so the superseded round's checkpoint
+      // blocks can be released — keeps resident state at 2 label copies
+      // + edges instead of one copy per round
+      labels.unpersist()
       labels = next
       iters += 1
     }
+    edges.unpersist()
     require(done, s"components: no fixpoint after $maxIters rounds " +
       "(component diameter exceeds maxIters)")
     labels

@@ -82,16 +82,20 @@ object Exprs {
     * the guarded form on an all-garbage column), so a 100 TB scan of dirty
     * keys would burn executor time in exception bookkeeping. The guard
     * admits exactly the strings `try_cast` (and the reference's Polars
-    * `cast(strict=False)`, fa-etl.py:63) parses — optional sign, digits,
-    * surrounding whitespace; decimals like "1.5" → null — then the inner
-    * non-ANSI cast parses exception-free via `UTF8String.toLong`
-    * (overflow → null). Input is expected to be a string column (all call
-    * sites are CSV/parquet string keys); other targets keep `try_cast`,
-    * whose non-integral semantics match plain cast anyway. */
+    * `cast(strict=False)`, fa-etl.py:63) parses — optional sign, leading
+    * zeros, up to 19 significant digits, surrounding whitespace; decimals
+    * like "1.5" → null — and inside the guard the cast is STILL
+    * `try_cast`, so semantics stay ANSI-mode independent (the only
+    * strings that reach the exception path are regex-passing overflows,
+    * vanishingly rare in dirty data, where garbage is common). Input is
+    * expected to be a string column (all call sites are CSV/parquet
+    * string keys; a numeric input would stringify and lose try_cast's
+    * numeric-truncation semantics); other targets keep `try_cast`, whose
+    * non-integral semantics match plain cast anyway. */
   def castOrNull(c: Column, to: DataType): Column = to match {
     case LongType | IntegerType | ShortType | ByteType =>
       val s = c.cast(StringType)
-      when(s.rlike("^\\s*[+-]?\\d{1,19}\\s*$"), s.cast(to))
+      when(s.rlike("^\\s*[+-]?0*\\d{1,19}\\s*$"), s.try_cast(to))
         .otherwise(lit(null).cast(to))
     case _ => c.try_cast(to)
   }

@@ -83,7 +83,11 @@ object RewriteTopOneToMaxBy extends Rule[LogicalPlan] with PredicateHelper {
       rest <- rnEqualsOne(cond, rnAlias.toAttribute)
       child <- stripGroupLimit(w)
       ordFields <- orderingFields(w.orderSpec)
-      if w.partitionSpec.forall(_.deterministic) && w.orderSpec.forall(_.deterministic)
+      // an empty partitionSpec (global top-1) must NOT rewrite: a global
+      // Aggregate returns one all-null row on empty input where the
+      // window form returns zero rows
+      if w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.deterministic) && w.orderSpec.forall(_.deterministic)
     } yield {
       val rowValue = CreateStruct(child.output)
       val maxBy = Alias(

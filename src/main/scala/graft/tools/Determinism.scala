@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * passes.
   *
   * Usage: runMain graft.tools.Determinism <sfDir> [queryName ...]
-  * (no names = all queries; 3 thread counts × 3 runs each)
+  * (no names = all queries; 2 thread counts — 32 and 7 — × 2 runs each =
+  * 4 hashes per query. A pass is evidence, not proof: sample more runs
+  * before trusting a query that mixes floats with repartitioning.)
   */
 object Determinism {
   def main(args: Array[String]): Unit = {

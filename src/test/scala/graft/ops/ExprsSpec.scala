@@ -38,8 +38,11 @@ class ExprsSpec extends AnyFunSuite {
     // sign/whitespace parse, decimals+sci+hex+overflow+garbage → null
     val edge = Seq("", " 5 ", "+5", "-5", "1.5", ".5", "5.", "5.0",
       "999999999999999999999999", "9223372036854775807",
-      "-9223372036854775808", "1e3", "abc", null, "0x1F", "NaN", "12a",
-      "  -7  ")
+      "-9223372036854775808", "9223372036854775808", "1e3", "abc", null,
+      "0x1F", "NaN", "12a", "  -7  ",
+      // zero-padded keys are this codebase's domain: >19 chars must
+      // still parse when the significant digits fit
+      "00000000000000000001", "0000000000000000000000042", "-0005")
     val df = edge.toDF("v")
     val both = df.select(
         Exprs.castOrNull($"v", LongType).as("fast"),

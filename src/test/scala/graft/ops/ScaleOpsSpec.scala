@@ -66,6 +66,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sweep.nonEmpty && lsh.sameElements(sweep))
   }
 
+  test("minHashNearDups at q28's params == raw jaccardPairs (4-gram, 0.75)") {
+    // q28 ships k=16/bands=8/shingle=4/minEst=0.5/threshold=0.75 against
+    // the exact-Jaccard oracle; pin recall at EXACTLY those params so a
+    // gate failure on a future corpus localizes to data, not code
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sweep = Dedup.jaccardPairs(docs, "doc_id", "text", 4, 0.75)
+      .orderBy("doc_a", "doc_b").collect().map(_.toString)
+    val lsh = Dedup.minHashNearDups(docs, "doc_id", "text",
+        k = 16, bands = 8, shingleSize = 4, minEstJaccard = 0.5, threshold = 0.75)
+      .orderBy("doc_a", "doc_b").collect().map(_.toString)
+    assert(sweep.nonEmpty && lsh.sameElements(sweep))
+  }
+
   test("simHashNearDups == raw jaccardPairs sweep (2-gram) on the corpus") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -97,6 +97,16 @@ class RewriteTopOneSpec extends AnyFunSuite {
     assert(gotDesc.sameElements(Array((1, "y"), (2, "w"))))
   }
 
+  test("bails on a global (no PARTITION BY) window: empty input stays empty") {
+    // a global Aggregate would emit one all-null row on empty input where
+    // the window form emits zero rows — must not rewrite
+    val empty = data.filter($"v" > 1e9)
+    val w = Window.orderBy($"v".desc, $"seq".asc, $"name".desc)
+    val q = topOne(empty, w)
+    assert(!optimized(q).contains("max_by"))
+    assert(q.count() == 0)
+  }
+
   test("bails: rank(), rn<=2, asc string, asc double") {
     val wTotal = Window.partitionBy($"k").orderBy($"v".desc, $"seq".asc, $"name".desc)
     val rankQ = data.withColumn("rn", rank().over(wTotal)).filter($"rn" === 1)

@@ -285,6 +285,21 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup corpus dedup: keep one canonical doc (the
+    * cluster's min id) per near-dup cluster, drop the rest. The full
+    * pipeline shape a training-data prep job wants: signature → banded
+    * candidates → exact verify → components → filter. */
+  def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 14, shingleSize: Int = 2,
+                   threshold: Double = 0.8,
+                   featureShingle: Int = 2): DataFrame = {
+    val pairs = simHashNearDups(docs, idCol, textCol, maxHamming,
+      shingleSize, threshold, featureShingle)
+    val keep = components(docs.select(idCol), pairs.select("doc_a", "doc_b"))
+      .filter(col("id") === col("label")).select(col("id"))
+    docs.join(keep, docs(idCol) === keep("id"), "left_semi")
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.

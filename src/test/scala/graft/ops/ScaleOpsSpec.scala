@@ -129,6 +129,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       (5L, 5L), (6L, 5L), (7L, 7L))))
   }
 
+  test("dropNearDups keeps exactly the cluster-canonical docs") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.8)
+    val expected = Dedup.components(docs.select("doc_id"),
+        pairs.select("doc_a", "doc_b"))
+      .filter(col("id") === col("label"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == expected && kept.nonEmpty && kept.size < docs.count())
+  }
+
   test("components refuses a labeling that has not converged") {
     val ids = (1L to 5L).toDF("doc_id")
     val chain = (1L to 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

@@ -323,6 +323,17 @@ object SparkEntry {
         (col("id") === col("label")).as("keep"))
   }
 
+  /** Fuzzy string matching (record linkage): part-name pairs within
+    * Levenshtein distance 2 over a deterministic 10% key stride.
+    * Length-bucket blocking (complete: |Δlen| > d ⇒ dist > d) as a pure
+    * equi-join + threshold-banded levenshtein verify; oracle = DuckDB
+    * brute-force levenshtein over the same subset. */
+  private def qEditDistPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+        t(s, dir, "part").filter(col("p_partkey") % 10 === 0),
+        "p_partkey", "p_name", maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))
+
   /** LSH-bucketed ANN (approximate scale path). Hash-verified: the oracle
     * replicates the seeded hyperplane signatures and byte-chunk buckets in
     * SQL (OracleGen.annLshSql). */
@@ -524,6 +535,7 @@ object SparkEntry {
     "q43_ntile" -> (qNtile _),
     "q44_session_window" -> (qSessionWindow _),
     "q45_neardup_dedup" -> (qNearDupDedup _),
+    "q46_editdist_pairs" -> (qEditDistPairs _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -706,6 +718,14 @@ object SparkEntry {
     "q28_minhash_lsh" -> OracleGen.jaccardSql(n = 4, threshold = 0.75),
     "q29_simhash_pairs" -> OracleGen.jaccardSql(n = 2, threshold = 0.8),
     "q45_neardup_dedup" -> OracleGen.componentsSql(n = 2, threshold = 0.8),
+    "q46_editdist_pairs" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
+           WHERE p_partkey % 10 = 0)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM p a JOIN p b ON a.id < b.id
+         WHERE abs(length(a.s) - length(b.s)) <= 2
+           AND levenshtein(a.s, b.s) <= 2""",
     "q30_ann_lsh" -> OracleGen.annLshSql(nBits = 16, dim = 64, k = 5),
     "q35_ann_ivf" ->
       OracleGen.ivfSql(k = 5, nCentroids = 16, nProbe = 2, queryStride = 100),

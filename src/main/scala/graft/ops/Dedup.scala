@@ -338,6 +338,49 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  // ------------------------------------------------------ edit distance
+
+  /** Fuzzy string matching (record linkage): pairs within Levenshtein
+    * distance ≤ maxDist. Blocking is by string LENGTH — complete, since
+    * |len(a) − len(b)| > d forces dist > d — made an EQUI-join by
+    * replicating each row to length buckets `len..len+d` and joining the
+    * replicas against the other side's true length (the shorter member of
+    * any qualifying pair reaches the longer one's bucket; no non-equi
+    * condition, no cartesian fallback). Verification uses Spark's
+    * threshold-banded `levenshtein(l, r, d)` (O(d·len) banded DP, -1 on
+    * exceed) instead of the full O(len²) table.
+    *
+    * Scale notes: length blocking alone is weak on fixed-format corpora
+    * (all same length ⇒ one bucket = all-pairs); pass `extraBlocking`
+    * (e.g. a prefix, a phonetic key, a rare-q-gram key) to subdivide —
+    * it must itself be edit-distance-stable for completeness. For long
+    * TEXT near-dup use the jaccard/minhash family instead; edit distance
+    * is the short-key tool (names, addresses, ids). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int,
+                        extraBlocking: Option[Column] = None): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val blockCol = extraBlocking.getOrElse(lit(0))
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      blockCol.as("blk"))
+    val replicated = base.select(col("id"), col("s"), col("blk"),
+      explode(sequence(length(col("s")),
+        length(col("s")) + lit(maxDist))).as("len_key"))
+    val probes = base.select(col("id").as("id_r"), col("s").as("s_r"),
+      col("blk").as("blk_r"), length(col("s")).as("len_key_r"))
+    replicated.join(probes,
+        col("len_key") === col("len_key_r") && col("blk") === col("blk_r"))
+      .filter(col("id") =!= col("id_r"))
+      .select(least(col("id"), col("id_r")).as("id_a"),
+        greatest(col("id"), col("id_r")).as("id_b"),
+        when(col("id") < col("id_r"), col("s")).otherwise(col("s_r")).as("s_a"),
+        when(col("id") < col("id_r"), col("s_r")).otherwise(col("s")).as("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 31).

@@ -23,7 +23,8 @@ class EntrySpec extends AnyFunSuite {
     * can't masquerade as a pass. */
   private val mustBeNonEmpty = Set("q20_dedup_exact", "q25_jaccard_pairs",
     "q26_ann_bruteforce", "q28_minhash_lsh", "q29_simhash_pairs",
-    "q30_ann_lsh", "q31_embed_neardup", "q35_ann_ivf", "q45_neardup_dedup")
+    "q30_ann_lsh", "q31_embed_neardup", "q35_ann_ivf", "q45_neardup_dedup",
+    "q46_editdist_pairs")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns a well-formed result at sf0.001") {

@@ -129,6 +129,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       (5L, 5L), (6L, 5L), (7L, 7L))))
   }
 
+  test("editDistancePairs == brute-force levenshtein (length banding complete)") {
+    val df = Seq((1L, "kathryn"), (2L, "katheryn"), (3L, "catherine"),
+      (4L, "kate"), (5L, "nathan"), (6L, "kathrin"), (7L, "jonathan"),
+      (8L, "jon"), (9L, "katheryne"), (10L, "kathryn")).toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val brute = df.select(col("id").as("a"), col("name").as("na"))
+      .crossJoin(df.select(col("id").as("b"), col("name").as("nb")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), levenshtein(col("na"), col("nb")).as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(got.sameElements(brute) && brute.nonEmpty)
+    // identical strings at distance 0 must appear
+    assert(got.contains((1L, 10L, 0)))
+  }
+
   test("dropNearDups keeps exactly the cluster-canonical docs") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -25,7 +25,9 @@ object StatefulSessions {
     * timeout (watermark passed last activity + gap) the open session is
     * flushed. Input batches must arrive in event-time order per user for
     * exact parity with the batch operator (true under watermarked replay;
-    * within a batch we sort the group iterator). */
+    * within a batch we sort the group iterator). For exactness under
+    * ARBITRARY batch arrival order use [[TwsBufferedSessions]], which
+    * buffers in ListState until the watermark finalizes each prefix. */
   def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapSeconds * 1000L

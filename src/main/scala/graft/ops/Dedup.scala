@@ -368,8 +368,14 @@ object Dedup {
         length(col("s")) + lit(maxDist))).as("len_key"))
     val probes = base.select(col("id").as("id_r"), col("s").as("s_r"),
       col("blk").as("blk_r"), length(col("s")).as("len_key_r"))
+    // blk uses NULL-SAFE equality: a blocking expression that returns
+    // null (phonetic key of an empty string, prefix of a null) must still
+    // pair those rows with each other, or recall silently drops and the
+    // completeness claim breaks. (Null STRINGS produce no pairs either
+    // way — levenshtein over null is null — which is the documented
+    // behavior for missing keys.)
     replicated.join(probes,
-        col("len_key") === col("len_key_r") && col("blk") === col("blk_r"))
+        col("len_key") === col("len_key_r") && col("blk") <=> col("blk_r"))
       .filter(col("id") =!= col("id_r"))
       .select(least(col("id"), col("id_r")).as("id_a"),
         greatest(col("id"), col("id_r")).as("id_b"),

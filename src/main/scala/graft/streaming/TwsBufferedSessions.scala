@@ -1,9 +1,8 @@
 package graft.streaming
 
-import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming._
-import graft.streaming.StatefulSessions.{Event, Session, SessionState}
+import graft.streaming.StatefulSessions.{flushSession, foldMicros, micros, Event, Session, SessionState}
 
 /** Out-of-order-correct streaming sessionization.
   *
@@ -15,11 +14,11 @@ import graft.streaming.StatefulSessions.{Event, Session, SessionState}
   *
   *  - `handleInputRows` only APPENDS to a per-user `ListState` buffer and
   *    arms a timer just past the current watermark.
-  *  - When the timer fires, every buffered event with `ts <= watermark`
-  *    is final (later batches can no longer deliver anything earlier —
-  *    that is the watermark contract), so the drained prefix is folded in
-  *    exact event-time order; still-open work stays buffered and the
-  *    timer re-arms.
+  *  - When the timer fires, every buffered event with `ts` strictly below
+  *    the watermark is final (Spark's late filter admits `ts >= watermark`,
+  *    so nothing earlier can still arrive), and the drained prefix folds
+  *    in exact event-time order via the shared micros fold; still-open
+  *    work stays buffered and the timer re-arms.
   *
   * State per user is O(events inside the watermark horizon) — the price
   * of exactness under disorder; the horizon bounds it, so unbounded
@@ -32,7 +31,7 @@ import graft.streaming.StatefulSessions.{Event, Session, SessionState}
   */
 object TwsBufferedSessions {
 
-  class BufferedSessionProcessor(gapMs: Long)
+  class BufferedSessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, Event, Session] {
 
     @transient private var buf: ListState[Event] = _
@@ -48,9 +47,6 @@ object TwsBufferedSessions {
         "timer", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def flush(userId: Long, st: SessionState): Session =
-      Session(userId, new Timestamp(st.start), st.n, st.sum)
-
     private def rearm(at: Long): Unit = {
       if (timer.exists()) getHandle.deleteTimer(timer.get())
       getHandle.registerTimer(at)
@@ -61,40 +57,36 @@ object TwsBufferedSessions {
                                  timers: TimerValues): Iterator[Session] = {
       rows.foreach(buf.appendValue)
       // fire once the watermark has moved past this batch: finalized
-      // events (ts <= watermark) then drain in exact order
+      // events (ts strictly below the watermark) then drain in exact order
       rearm(timers.getCurrentWatermarkInMs() + 1)
       Iterator.empty
     }
 
     override def handleExpiredTimer(userId: Long, timers: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[Session] = {
-      val wm = timers.getCurrentWatermarkInMs()
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
       val all = buf.get().toSeq
-      val (ripe, pending) = all.partition(_.ts.getTime <= wm)
-      var closed = List.empty[Session]
-      var st = if (open.exists()) open.get() else null
-      ripe.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val t = e.ts.getTime
-        st = st match {
-          case null => SessionState(t, t, 1, e.value)
-          case s if t - s.lastTs > gapMs =>
-            closed ::= flush(userId, s)
-            SessionState(t, t, 1, e.value)
-          case s => SessionState(s.start, t, s.n + 1, s.sum + e.value)
-        }
-      }
+      // strict <: an on-time event AT the watermark can still arrive
+      // (the late filter drops only ts < watermark)
+      val (ripe, pending) = all.partition(e => micros(e.ts) < wmUs)
+      val (st, closedList) = foldMicros(userId,
+        if (open.exists()) open.get() else null, ripe, gapUs)
+      var closed = closedList.reverse
       if (pending.nonEmpty) buf.put(pending.toArray) else buf.clear()
       st match {
         case null =>
           open.clear()
-          if (pending.isEmpty) timer.clear() else rearm(wm + 1)
-        case s if s.lastTs + gapMs <= wm && pending.isEmpty =>
-          // idle past the gap with nothing buffered: close out
-          closed ::= flush(userId, s)
+          if (pending.isEmpty) timer.clear()
+          else rearm(timers.getCurrentWatermarkInMs() + 1)
+        case s if s.lastTs + gapUs < wmUs && pending.isEmpty =>
+          // no buffered work and no on-time event can extend it
+          // (extension needs ts <= lastTs+gap < wm, which would be late)
+          closed ::= flushSession(userId, s)
           open.clear(); timer.clear()
         case s =>
           open.update(s)
-          rearm(math.max(s.lastTs + gapMs, wm + 1))
+          rearm(math.max(StatefulSessions.closeOutMs(s, gapUs),
+            timers.getCurrentWatermarkInMs() + 1))
       }
       closed.reverseIterator
     }
@@ -108,7 +100,7 @@ object TwsBufferedSessions {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .transformWithState(new BufferedSessionProcessor(gapSeconds * 1000L),
+      .transformWithState(new BufferedSessionProcessor(gapSeconds * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

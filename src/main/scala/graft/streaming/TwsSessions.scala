@@ -1,9 +1,8 @@
 package graft.streaming
 
-import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming._
-import graft.streaming.StatefulSessions.{Event, Session, SessionState}
+import graft.streaming.StatefulSessions.{closeOutMs, flushSession, foldMicros, Event, Session, SessionState}
 
 /** Streaming sessionization on the `transformWithState` API (Spark 4's
   * arbitrary-state successor to `flatMapGroupsWithState`): typed
@@ -13,10 +12,10 @@ import graft.streaming.StatefulSessions.{Event, Session, SessionState}
   * independent timer lifecycle) and the one new pipelines should target.
   *
   * Semantics are pinned to [[StatefulSessions.sessionize]] (same
-  * gap-close rules, same flush-on-watermark) by TwsSessionsSpec, which
-  * replays the same corpus through both and requires identical closed
-  * sessions. State per user stays O(1): current session bounds +
-  * aggregates, one pending timer.
+  * gap-close rules via the shared micros fold, same flush-on-watermark)
+  * by TwsSessionsSpec, which replays the same corpus through both and
+  * requires identical closed sessions. State per user stays O(1):
+  * current session bounds + aggregates, one pending timer.
   *
   * Requires the RocksDB state store provider
   * (`spark.sql.streaming.stateStore.providerClass` =
@@ -25,7 +24,7 @@ import graft.streaming.StatefulSessions.{Event, Session, SessionState}
   */
 object TwsSessions {
 
-  class SessionProcessor(gapMs: Long)
+  class SessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, Event, Session] {
 
     @transient private var session: ValueState[SessionState] = _
@@ -38,39 +37,25 @@ object TwsSessions {
         "timer", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def flush(userId: Long, st: SessionState): Session =
-      Session(userId, new Timestamp(st.start), st.n, st.sum)
-
     override def handleInputRows(userId: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[Session] = {
-      var closed = List.empty[Session]
-      var st = if (session.exists()) session.get() else null
-      // batch arrival order is arbitrary; event-time order decides gaps
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val t = e.ts.getTime
-        st = st match {
-          case null => SessionState(t, t, 1, e.value)
-          case s if t - s.lastTs > gapMs =>
-            closed ::= flush(userId, s)
-            SessionState(t, t, 1, e.value)
-          case s => SessionState(s.start, t, s.n + 1, s.sum + e.value)
-        }
-      }
+      val (st, closed) = foldMicros(userId,
+        if (session.exists()) session.get() else null, rows.toSeq, gapUs)
       if (st != null) {
         session.update(st)
         // one live timer per key: re-arm at the new close-out instant
         if (timer.exists()) getHandle.deleteTimer(timer.get())
-        val at = math.max(st.lastTs + gapMs,
+        val at = math.max(closeOutMs(st, gapUs),
           timers.getCurrentWatermarkInMs() + 1)
         getHandle.registerTimer(at)
         timer.update(at)
       }
-      closed.reverseIterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(userId: Long, timers: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[Session] = {
-      val out = if (session.exists()) Iterator.single(flush(userId, session.get()))
+      val out = if (session.exists()) Iterator.single(flushSession(userId, session.get()))
                 else Iterator.empty
       session.clear()
       timer.clear()
@@ -87,7 +72,7 @@ object TwsSessions {
     events
       .withWatermark("ts", s"$gapSeconds seconds")
       .groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor(gapSeconds * 1000L),
+      .transformWithState(new SessionProcessor(gapSeconds * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

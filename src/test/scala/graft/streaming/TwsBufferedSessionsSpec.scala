@@ -16,13 +16,20 @@ class TwsBufferedSessionsSpec extends AnyFunSuite {
 
   private def writeOnePart(df: DataFrame, dest: Path, name: String,
                            mtimeMs: Long): Unit = {
-    val tmp = Files.createTempDirectory("twsb_part").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
-    val target = dest.resolve(name)
-    Files.copy(part, target, StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
+    val tmp = Files.createTempDirectory("twsb_part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    try {
+      val part = listing.filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val target = dest.resolve(name)
+      Files.copy(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
+    } finally listing.close()
+    val cleanup = Files.walk(tmp)
+    try cleanup.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally cleanup.close()
   }
 
   test("buffered tws sessions == batch sessions under scrambled batch order") {
@@ -59,18 +66,22 @@ class TwsBufferedSessionsSpec extends AnyFunSuite {
         TwsBufferedSessions.sessionize(stream, gapSeconds = 1800,
           watermarkDelay = "365 days").toDF(), "twsb_out")
       try {
+        // MICROSECOND-precision comparison: getTime would truncate the
+        // sub-millisecond component most events carry and mask a
+        // session_start precision bug
         val streamed = spark.sql(
-            """SELECT user_id, session_start, n_events, sum_value
+            """SELECT user_id, unix_micros(session_start), n_events, sum_value
                FROM twsb_out WHERE user_id >= 0""")
           .collect()
-          .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             math.round(r.getDouble(3) * 100)))
           .toSet
         val batch = Events.sessionize(src, gapSeconds = 1800)
-          .select(col("user_id"), col("session_start").cast("timestamp"),
+          .select(col("user_id"),
+            unix_micros(col("session_start").cast("timestamp")),
             col("n_events"), col("sum_value"))
           .collect()
-          .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             math.round(r.getDouble(3) * 100)))
           .toSet
         assert(streamed.nonEmpty)

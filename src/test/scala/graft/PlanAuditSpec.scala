@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the physical-plan properties PLANS.md
+  * documents are load-bearing for the 100 TB story — pin them so a
+  * refactor can't silently trade a pushed filter for a post-scan one or
+  * a broadcast for a cartesian. Asserting on plan STRINGS is coarse but
+  * catches exactly the regressions that matter (operator choice), not
+  * cosmetic changes. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  // toString truncates long PushedFilters lists; formatted mode doesn't
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: every predicate reaches the parquet scan (PushedFilters)") {
+    val p = formatted("q02_filter_project")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThan(l_quantity,30.0)") &&
+      p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q11: dims broadcast and the null-filtered left join converts to inner") {
+    val p = plan("q11_unified_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q07: top-1 runs as an aggregate — no Window, no per-row rank") {
+    val p = plan("q07_window_top1")
+    assert(p.contains("max_by"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q26: the query subset broadcasts; the corpus side never shuffles whole") {
+    val p = plan("q26_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q46: length-bucket blocking is an equi-join, not a cartesian") {
+    val p = plan("q46_editdist_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q31: embedding near-dup ships the bucketed path, not all-pairs") {
+    val p = plan("q31_embed_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("top-k-per-group (ANN) keeps the WindowGroupLimit pre-reduction") {
+    // q30's per-query top-k is a rank filter with k > 1 — the partial
+    // group-limit before the exchange is the scale property
+    val p = plan("q30_ann_lsh")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("fa unified join plans one co-partitioned exchange chain") {
+    val fixtures = graft.fa.Stages
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // representative: q09's composite-key join must be an equi join
+    val p = plan("q09_join_composite")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

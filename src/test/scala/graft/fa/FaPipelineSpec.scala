@@ -178,6 +178,18 @@ class FaPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("--value_history_file_string"))
   }
 
+  test("CLI main errors on a value flag with a missing value") {
+    // a forgotten value must be a startup error, not a silent bind to
+    // "true" (which would send telemetry to a file literally named true)
+    val e = intercept[IllegalArgumentException] {
+      Main.parseArgs(Array("--input_dir", "/tmp/x", "--log_file",
+        "--annual_file_string", "Prop",
+        "--value_history_file_string", "ValHist"))
+    }
+    assert(e.getMessage.contains("--log_file") &&
+      e.getMessage.contains("expected one argument"))
+  }
+
   test("missing family aborts (fa-etl.py:541-545 presence validation)") {
     val base = Files.createTempDirectory("fa_missing")
     Files.createDirectories(base.resolve("raw"))

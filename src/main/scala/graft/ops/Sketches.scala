@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Sketch-based approximate operators — the fixed-memory path for
+  * cardinality and frequency questions a 100 TB pipeline asks constantly
+  * (how many distinct users/documents? which keys are hot?) where an
+  * exact groupBy would shuffle every key.
+  *
+  * Both sketches are MERGEABLE: partitions build local sketches and the
+  * partial-aggregation merge is exact for the sketch (error bounds hold
+  * regardless of partitioning/ordering) — the property that makes them
+  * distributed-native. Built on Spark's codegen'd sketch aggregates
+  * (DataSketches HLL, CountMinSketch), no UDFs in the build path.
+  */
+object Sketches {
+
+  /** Approximate distinct count via DataSketches HLL.
+    * `lgConfigK` trades memory (2^lgConfigK buckets) for accuracy —
+    * 12 ⇒ ~±1.6% standard error in fixed 4 KB per sketch. */
+  def approxDistinct(df: DataFrame, keyCol: String,
+                     lgConfigK: Int = 12): Long =
+    df.agg(hll_sketch_estimate(hll_sketch_agg(col(keyCol), lgConfigK)))
+      .head().getLong(0)
+
+  /** Heavy hitters via CountMinSketch: keys whose estimated frequency is
+    * at least `minCount`. One pass builds the sketch (map-side mergeable
+    * aggregate); the distinct keys then probe a BROADCAST of the sketch
+    * per-partition (mapPartitions — the sketch is opaque binary, not a
+    * per-row SQL expression).
+    *
+    * CMS guarantees estimate ≥ true count, and with probability
+    * `confidence`: estimate ≤ true + eps·N. So the result is a SUPERSET
+    * of the true heavy hitters (recall 1; bounded false positives) —
+    * re-check candidates exactly when precision matters (the
+    * LSH-then-verify pattern again, in frequency space). */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+                   eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // build and probe over the SAME string representation — the sketch
+    // hashes concrete values, so a type mismatch between the aggregated
+    // column and the probe key would silently estimate garbage
+    val sketchBytes = df
+      .agg(expr(s"count_min_sketch(cast($keyCol as string), " +
+        s"cast($eps as double), cast($confidence as double), 42)"))
+      .head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(sketchBytes)
+    val keys = df.select(col(keyCol).cast("string")).distinct().as[String]
+    keys.mapPartitions { it =>
+      val cms = CountMinSketch.readFrom(new ByteArrayInputStream(bc.value))
+      it.map(k => (k, cms.estimateCount(k)))
+    }.toDF(keyCol, "est_count")
+      .filter(col("est_count") >= minCount)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Sketch error-bound contracts on real testdata: HLL within its
+  * configured standard error, CMS never under-counting and a superset of
+  * the true heavy hitters. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val events = graft.ops.Events.load(spark, "/root/testdata/sf0.01")
+
+  test("approxDistinct within ~3 standard errors of exact distinct") {
+    val exact = events.select("user_id").distinct().count()
+    val est = Sketches.approxDistinct(events, "user_id", lgConfigK = 12)
+    // lgConfigK=12 => ~1.6% RSE; allow 3 sigma
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"est=$est exact=$exact")
+  }
+
+  test("heavyHitters: never under-counts, superset of true heavy set") {
+    val exact = events.groupBy(col("event_type").cast("string").as("k"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val minCount = n / 20 // keys above 5% of the stream
+    val got = Sketches.heavyHitters(events, "event_type", minCount,
+        eps = 0.001, confidence = 0.99)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trueHeavy = exact.filter(_._2 >= minCount).keySet
+    // CMS guarantees estimate >= true count...
+    got.foreach { case (k, est) =>
+      assert(est >= exact(k), s"under-count for $k: est=$est true=${exact(k)}")
+      // ...and with high probability est <= true + eps * N
+      assert(est <= exact(k) + (0.001 * n).toLong + 1,
+        s"over-bound for $k: est=$est true=${exact(k)}")
+    }
+    // recall 1: every true heavy hitter surfaces
+    assert(trueHeavy.subsetOf(got.keySet), s"missing=${trueHeavy -- got.keySet}")
+  }
+}

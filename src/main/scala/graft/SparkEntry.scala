@@ -684,7 +684,7 @@ object SparkEntry {
            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
            FROM e)
-         SELECT user_id, session_seq, min(ts) AS session_start,
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, min(ts) AS session_start,
          count(*) AS n_events,
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
          FROM s GROUP BY user_id, session_seq""",

@@ -236,38 +236,59 @@ object Dedup {
 
   /** Connected components of a near-dup pair graph — the step that turns
     * PAIRS into a deduplicated corpus (one canonical doc per cluster).
-    * Iterative min-label propagation: every node starts labeled with its
-    * own id; each round every node takes the min of its own and its
-    * neighbors' labels; at fixpoint label = the component's min id. The
-    * fixpoint is unique, so the result is deterministic regardless of
-    * execution order — oracle-verifiable against a recursive-CTE closure.
+    * Shiloach–Vishkin-style label contraction: every node starts labeled
+    * with its own id; each round (a) HOOKS — every node takes the min of
+    * its own and its neighbors' labels — then (b) POINTER-JUMPS — every
+    * node replaces its label with its label-node's label, halving chain
+    * depth. The jump makes convergence O(log diameter) rounds instead of
+    * O(diameter), so the default `maxIters = 20` covers components of
+    * diameter ~2^20 (a 50-node paraphrase CHAIN converges in ~7 rounds
+    * where plain propagation needs 49). At fixpoint label = the
+    * component's min id — unique, so the result is deterministic
+    * regardless of execution order and oracle-verifiable against a
+    * recursive-CTE closure. (Fixpoint ⇒ labels constant along every edge
+    * ⇒ constant per component ⇒ = the component min, which is stable.)
     *
     * Scale shape: each round is one join + one groupBy on the edge list
-    * (shuffles O(|E|)), with a `localCheckpoint` per round to stop lineage
-    * growth (on a cluster with a checkpoint dir, prefer `checkpoint`).
-    * Near-dup graphs have tiny components (dup clusters), so rounds ≈
-    * cluster diameter ≈ a handful; the driver-side convergence check is
-    * one `isEmpty` per round. Throws if `maxIters` rounds don't converge
-    * (a silently partial labeling must never reach a consumer). */
+    * plus one label self-join (shuffles O(|V| + |E|)), with a checkpoint
+    * per round to stop lineage growth. `checkpointDir` picks the
+    * cluster-grade RELIABLE checkpoint (survives executor loss — set it
+    * to HDFS/S3 on a real cluster; old files linger unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on); unset, it
+    * falls back to executor-local `localCheckpoint` — fine on local[k],
+    * lost-partition-unsafe on a cluster. Throws if `maxIters` rounds
+    * don't converge (a silently partial labeling must never reach a
+    * consumer). */
   def components(ids: DataFrame, pairs: DataFrame,
-                 maxIters: Int = 20): DataFrame = {
+                 maxIters: Int = 20,
+                 checkpointDir: Option[String] = None): DataFrame = {
     val idCol = ids.columns.head
-    val edges = pairs
+    checkpointDir.foreach(ids.sparkSession.sparkContext.setCheckpointDir)
+    def persist(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = persist(pairs
       .select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
       .union(pairs.select(col(pairs.columns(1)).as("src"),
-        col(pairs.columns(0)).as("dst")))
-      .localCheckpoint()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint()
+        col(pairs.columns(0)).as("dst"))))
+    var labels = persist(ids.select(col(idCol).as("id"), col(idCol).as("label")))
     var iters = 0
     var done = false
     while (!done && iters < maxIters) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+      // (a) hook: l(v) := min(l(v), min over neighbors' labels) —
+      // materialized so the jump's self-join doesn't recompute the
+      // join+agg subtree twice
+      val hooked = persist(labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+      // (b) jump: l(v) := l(l(v)). Labels are always ids of nodes in the
+      // same component (init l=v; hook takes mins of such ids), so the
+      // inner join preserves every row, and l only decreases.
+      val next = persist(hooked
+        .join(hooked.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("label") === col("jid"))
+        .select(col("id"), col("jlabel").as("label")))
       done = next
         .join(labels.select(col("id").as("pid"), col("label").as("prev")),
           col("id") === col("pid"))
@@ -275,13 +296,14 @@ object Dedup {
       // `next` is materialized, so the superseded round's checkpoint
       // blocks can be released — keeps resident state at 2 label copies
       // + edges instead of one copy per round
+      hooked.unpersist()
       labels.unpersist()
       labels = next
       iters += 1
     }
     edges.unpersist()
     require(done, s"components: no fixpoint after $maxIters rounds " +
-      "(component diameter exceeds maxIters)")
+      "(component diameter exceeds ~2^maxIters)")
     labels
   }
 

@@ -36,7 +36,10 @@ object Sketches {
     * `confidence`: estimate ≤ true + eps·N. So the result is a SUPERSET
     * of the true heavy hitters (recall 1; bounded false positives) —
     * re-check candidates exactly when precision matters (the
-    * LSH-then-verify pattern again, in frequency space). */
+    * LSH-then-verify pattern again, in frequency space).
+    *
+    * Null keys are EXCLUDED: the count_min_sketch aggregate skips them,
+    * and `estimateCount(null)` would NPE on the probe side. */
   def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
                    eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
     val spark = df.sparkSession
@@ -44,12 +47,13 @@ object Sketches {
     // build and probe over the SAME string representation — the sketch
     // hashes concrete values, so a type mismatch between the aggregated
     // column and the probe key would silently estimate garbage
-    val sketchBytes = df
+    val nonNull = df.filter(col(keyCol).isNotNull)
+    val sketchBytes = nonNull
       .agg(expr(s"count_min_sketch(cast($keyCol as string), " +
         s"cast($eps as double), cast($confidence as double), 42)"))
       .head().getAs[Array[Byte]](0)
     val bc = spark.sparkContext.broadcast(sketchBytes)
-    val keys = df.select(col(keyCol).cast("string")).distinct().as[String]
+    val keys = nonNull.select(col(keyCol).cast("string")).distinct().as[String]
     keys.mapPartitions { it =>
       val cms = CountMinSketch.readFrom(new ByteArrayInputStream(bc.value))
       it.map(k => (k, cms.estimateCount(k)))

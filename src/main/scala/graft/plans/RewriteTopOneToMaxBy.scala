@@ -159,7 +159,10 @@ object RewriteTopOneToMaxBy extends Rule[LogicalPlan] with PredicateHelper {
           case Ascending =>
             so.child.dataType match {
               case ByteType | ShortType | IntegerType | LongType |
-                   _: DecimalType => Some(nullFlag(so) :+ UnaryMinus(so.child))
+                   _: DecimalType =>
+                // failOnError=false: under ANSI a key holding MinValue would
+                // otherwise turn a working window query into an overflow error
+                Some(nullFlag(so) :+ UnaryMinus(so.child, failOnError = false))
               case _ => None
             }
         }

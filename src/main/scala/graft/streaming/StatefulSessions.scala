@@ -29,13 +29,15 @@ object StatefulSessions {
                      sum_value: Double)
 
   /** Epoch micros of a Timestamp, keeping the sub-millisecond component
-    * `getTime` truncates. */
+    * `getTime` truncates. floorDiv (not `/`) so pre-epoch instants with a
+    * fractional second don't land one second late: getTime rounds toward
+    * zero while getNanos always counts forward within the second. */
   private[streaming] def micros(t: Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   private[streaming] def tsFromMicros(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 

@@ -129,6 +129,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       (5L, 5L), (6L, 5L), (7L, 7L))))
   }
 
+  test("components: 50-node path converges within default maxIters (O(log d) jump)") {
+    // diameter 49 — plain one-hop propagation needs 49 rounds and threw at
+    // the default maxIters=20; hook + pointer-jump converges in ~log2(50)
+    val ids = (1L to 50L).toDF("doc_id")
+    val path = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(ids, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 50 && got.forall(_._2 == 1L))
+    // worst-case id ordering for min-propagation: min sits at one END of
+    // the chain reversed ids still converge to the global min
+    val revPath = (1L until 50L).map(i => (51L - i, 50L - i)).toDF("doc_a", "doc_b")
+    val got2 = Dedup.components(ids, revPath, maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.length == 50 && got2.forall(_._2 == 1L))
+  }
+
+  test("components: checkpointDir variant produces the same labeling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ids = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(ids, pairs, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 7L))))
+    // reliable checkpoint actually wrote RDD blocks to the dir
+    assert(new java.io.File(dir).listFiles.nonEmpty)
+  }
+
   test("editDistancePairs == brute-force levenshtein (length banding complete)") {
     val df = Seq((1L, "kathryn"), (2L, "katheryn"), (3L, "catherine"),
       (4L, "kate"), (5L, "nathan"), (6L, "kathrin"), (7L, "jonathan"),

@@ -59,7 +59,7 @@ object OracleGen {
   /** Near-dup dedup oracle: exact n-gram Jaccard pairs (same relation as
     * [[jaccardSql]]) → undirected edges → recursive-CTE transitive
     * closure → per-doc cluster = min reachable id, keep = is-canonical.
-    * Verifies `Dedup.components` over the simhash near-dup pairs (q29
+    * Verifies `Dedup.components` over the MinHash-LSH near-dup pairs (q29
     * pins pairs ≡ the exact relation; this pins the clustering). */
   def componentsSql(n: Int, threshold: Double): String = {
     s"""WITH RECURSIVE

@@ -297,27 +297,33 @@ object SparkEntry {
     Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
       k = 16, bands = 8, shingleSize = 4, minEstJaccard = 0.5, threshold = 0.75)
 
-  /** SimHash-banded near-dups (custom Catalyst signature expression),
-    * exact-verified by 2-gram Jaccard ≥ 0.8. Signatures hash 2-gram
-    * shingle features: on this templated corpus unigram signatures are
-    * unselective (8% of ALL pairs pass hamming ≤ 12 → 1M pairs hit the
-    * exact-verify join; 12.8 s at sf0.1), shingled ones leave ~500.
-    * maxHamming = 14 covers every true pair with a 1-bit margin
-    * (HammingProbe: shingle-feature histogram tops out at 13). */
-  private def qSimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text",
-      maxHamming = 14, shingleSize = 2, threshold = 0.8, featureShingle = 2)
+  /** HYBRID near-dup pairs — the candidate stage you'd run at 100 TB:
+    * tight-radius SimHash banding (hamming ≤ 3 ⇒ 16-bit chunk keys, the
+    * regime where pigeonhole banding stays ~linear; custom Catalyst
+    * signature expression) plus banded MinHash-LSH for the wide-radius
+    * recall simhash can't deliver at scale, both exact-verified by 2-gram
+    * Jaccard ≥ 0.8. RecallProbe: jaccard-0.8 true pairs on this corpus
+    * sit at hamming 7–13 even at threshold 0.95, so a COMPLETE
+    * simhash-only config needs maxHamming = 14 ⇒ 4-bit chunks ⇒ ~N²/16
+    * bucket pairs — that wide-radius configuration stays available in
+    * `Dedup.simHashNearDups` as a small-scale verifier, but no checked
+    * entry ships it. */
+  private def qNearDupHybrid(s: SparkSession, dir: String): DataFrame =
+    Dedup.hybridNearDups(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 2, threshold = 0.8)
 
-  /** Near-dup DEDUP end to end: pairs (same relation q29 verifies) →
-    * connected components by min-label propagation → one canonical doc
-    * per cluster. Oracle = recursive-CTE transitive closure over the
+  /** Near-dup DEDUP end to end: banded MinHash-LSH pairs (the wide-radius
+    * scale path — same verified relation q29 emits) → connected components
+    * by hook + pointer-jump label contraction → one canonical doc per
+    * cluster. Oracle = recursive-CTE transitive closure over the
     * exact-Jaccard pair relation (OracleGen.componentsSql) — clustering
     * is deterministic because the label fixpoint (component min id) is
     * unique regardless of execution order. */
   private def qNearDupDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text",
-      maxHamming = 14, shingleSize = 2, threshold = 0.8, featureShingle = 2)
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      k = 32, bands = 16, shingleSize = 2, minEstJaccard = 0.0,
+      threshold = 0.8)
     Dedup.components(docs.select("doc_id"), pairs.select("doc_a", "doc_b"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
@@ -518,7 +524,7 @@ object SparkEntry {
     "q26_ann_bruteforce" -> (qAnnBruteForce _),
     "q27_multimodal_meta" -> (qMultimodalMeta _),
     "q28_minhash_lsh" -> (qMinHashLsh _),
-    "q29_simhash_pairs" -> (qSimHash _),
+    "q29_simhash_hybrid" -> (qNearDupHybrid _),
     "q30_ann_lsh" -> (qAnnLsh _),
     "q31_embed_neardup" -> (qEmbedNearDup _),
     "q32_rollup" -> (qRollup _),
@@ -716,7 +722,7 @@ object SparkEntry {
          FROM documents""",
     "q25_jaccard_pairs" -> OracleGen.jaccardSql(n = 3, threshold = 0.8),
     "q28_minhash_lsh" -> OracleGen.jaccardSql(n = 4, threshold = 0.75),
-    "q29_simhash_pairs" -> OracleGen.jaccardSql(n = 2, threshold = 0.8),
+    "q29_simhash_hybrid" -> OracleGen.jaccardSql(n = 2, threshold = 0.8),
     "q45_neardup_dedup" -> OracleGen.componentsSql(n = 2, threshold = 0.8),
     "q46_editdist_pairs" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part

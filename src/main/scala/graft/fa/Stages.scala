@@ -133,7 +133,10 @@ object Stages {
     *
     * `validateCardinality` enforces the reference's `validate='m:1'` intent
     * (fa-etl.py:464) on the prop join: a duplicated PropertyID in prop
-    * would silently fan out the panel, so it aborts instead. */
+    * would silently fan out the panel, so it aborts instead — LAZILY
+    * (Joins.withUniqueKeyGuard rides the join's execution), keeping this
+    * function's pure-plan-construction contract: building the plan runs
+    * zero jobs. */
   def unifiedJoin(rankedValHist: DataFrame, prop: DataFrame,
                   rankedDeed: DataFrame, taxHist: DataFrame,
                   broadcastProp: Boolean = false,

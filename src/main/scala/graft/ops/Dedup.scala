@@ -188,6 +188,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Scale-safe near-dup pairs, HYBRID candidate generation: tight-radius
+    * SimHash banding (maxHamming ≤ 3 ⇒ ≥16-bit chunk keys — the regime
+    * where pigeonhole banding stays ~linear) catches the near-identical
+    * mass with one cheap per-row signature, and banded MinHash-LSH
+    * supplies the wide-radius recall simhash fundamentally cannot deliver
+    * at scale (jaccard-0.8 pairs on short docs sit at hamming 8–14; a
+    * 14-bit radius on 64 bits ⇒ 4-bit chunks ⇒ ~N²/16 bucket pairs — no
+    * banding scheme fixes a 22%-bit-radius search). Both arms verify
+    * candidates with EXACT n-gram Jaccard, so the union is exactly the
+    * true pair relation restricted to candidate recall — with the MinHash
+    * arm's banding (k=32, bands=16: P(miss at t=0.8) = 0.36^16 ≈ 8e-8 per
+    * pair) recall is complete on every test corpus (tools/RecallProbe).
+    *
+    * This is the candidate stage you'd run at 100 TB; the wide-radius
+    * [[simHashNearDups]] configuration stays available as a small-scale
+    * VERIFIER (its completeness at maxHamming=14 is what RecallProbe and
+    * the specs check the hybrid against). */
+  def hybridNearDups(docs: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 2, threshold: Double = 0.8,
+                     tightHamming: Int = 3, k: Int = 32, bands: Int = 16,
+                     featureShingle: Int = 2): DataFrame = {
+    require(tightHamming <= 3,
+      "tightHamming > 3 leaves the scale-safe (>=16-bit chunk) regime; " +
+        "wide-radius recall is the MinHash arm's job")
+    val tight = simHashNearDups(docs, idCol, textCol, tightHamming,
+      shingleSize, threshold, featureShingle)
+    val wide = minHashNearDups(docs, idCol, textCol, k, bands, shingleSize,
+      minEstJaccard = 0.0, threshold)
+    // both arms emit (doc_a, doc_b, round(jaccard, 4)) computed by the
+    // same exactJaccardFor, so union+distinct dedups bit-identically
+    tight.union(wide).distinct()
+  }
+
   /** Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidate generation
     * by shared-shingle inverted index (join on shingle), then exact
     * |∩|/|∪| from per-doc distinct-shingle counts. Oracle-expressible
@@ -310,14 +343,19 @@ object Dedup {
   /** End-to-end near-dup corpus dedup: keep one canonical doc (the
     * cluster's min id) per near-dup cluster, drop the rest. The full
     * pipeline shape a training-data prep job wants: signature → banded
-    * candidates → exact verify → components → filter. */
+    * candidates → exact verify → components → filter. The pair stage is
+    * banded MinHash-LSH ([[minHashNearDups]]) — the wide-radius-recall
+    * path that stays ~linear at corpus scale (wide-radius simhash is
+    * verifier-only; see [[hybridNearDups]]). `checkpointDir` flows to
+    * [[components]] for cluster-grade reliable checkpoints. */
   def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 14, shingleSize: Int = 2,
-                   threshold: Double = 0.8,
-                   featureShingle: Int = 2): DataFrame = {
-    val pairs = simHashNearDups(docs, idCol, textCol, maxHamming,
-      shingleSize, threshold, featureShingle)
-    val keep = components(docs.select(idCol), pairs.select("doc_a", "doc_b"))
+                   shingleSize: Int = 2, threshold: Double = 0.8,
+                   k: Int = 32, bands: Int = 16,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = minHashNearDups(docs, idCol, textCol, k, bands,
+      shingleSize, minEstJaccard = 0.0, threshold)
+    val keep = components(docs.select(idCol), pairs.select("doc_a", "doc_b"),
+        checkpointDir = checkpointDir)
       .filter(col("id") === col("label")).select(col("id"))
     docs.join(keep, docs(idCol) === keep("id"), "left_semi")
   }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2.5, reference fa-etl.py:357-391,459-476).
   *
@@ -52,26 +52,56 @@ object Joins {
           s"e.g. ${dups.map(_.toString).mkString("; ")}")
   }
 
+  /** LAZY uniqueness guard: returns `df` with its first key column wrapped
+    * so that any duplicated key RAISES when the plan executes. Plan
+    * construction triggers zero jobs (the eager [[assertUnique]] ran a
+    * collect-terminated aggregation even when the caller never executed
+    * the join); the check rides the join's own execution — a per-key
+    * window count on the guarded side, and the join key itself carries
+    * the `raise_error`, so column pruning can never silently drop the
+    * guard (the join must evaluate its keys).
+    *
+    * Cost model: one extra hash shuffle of the GUARDED side on the join
+    * keys (the window), replacing the eager variant's full extra
+    * scan + aggregation job. The guarded side of an m:1 contract is the
+    * dimension side, so at 100 TB this is the cheap side either way. */
+  def withUniqueKeyGuard(df: DataFrame, keys: Seq[String],
+                         side: String = "input"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val k0 = keys.head
+    df.withColumn("__graft_keycnt", count(lit(1)).over(w))
+      .withColumn(k0,
+        when(col("__graft_keycnt") <= 1, col(k0))
+          .otherwise(raise_error(concat(
+            lit(s"$side is not unique on (${keys.mkString(", ")}): e.g. key="),
+            concat_ws(",", keys.map(k => col(k).cast("string")): _*)))))
+      .drop("__graft_keycnt")
+  }
+
   /** Left join with a declared cardinality contract, mirroring pandas/
     * Polars `validate=`: "m:1" requires the right side unique on the keys,
     * "1:m" the left, "1:1" both, "m:m" skips the check. The wrong-side
     * duplication the reference worried about (a dup PropertyID in prop
     * silently fanning out the panel) aborts with sample keys instead of
-    * corrupting downstream aggregates. */
+    * corrupting downstream aggregates.
+    *
+    * Enforcement is LAZY ([[withUniqueKeyGuard]]): building the plan runs
+    * nothing; the first action over the join raises on a contract
+    * violation. Pipelines that want the old scan-before-join behavior can
+    * still call [[assertUnique]] as an explicit phase. */
   def leftJoinValidated(left: DataFrame, right: DataFrame, keys: Seq[String],
                         expect: String,
                         broadcastRight: Boolean = false): DataFrame = {
-    expect match {
-      case "m:1" => assertUnique(right, keys, "right side of m:1 join")
-      case "1:m" => assertUnique(left, keys, "left side of 1:m join")
-      case "1:1" =>
-        assertUnique(left, keys, "left side of 1:1 join")
-        assertUnique(right, keys, "right side of 1:1 join")
-      case "m:m" => ()
+    val (gl, gr) = expect match {
+      case "m:1" => (left, withUniqueKeyGuard(right, keys, "right side of m:1 join"))
+      case "1:m" => (withUniqueKeyGuard(left, keys, "left side of 1:m join"), right)
+      case "1:1" => (withUniqueKeyGuard(left, keys, "left side of 1:1 join"),
+        withUniqueKeyGuard(right, keys, "right side of 1:1 join"))
+      case "m:m" => (left, right)
       case other => throw new IllegalArgumentException(
         s"expect must be one of m:1, 1:m, 1:1, m:m — got '$other'")
     }
-    leftJoin(left, right, keys, broadcastRight)
+    leftJoin(gl, gr, keys, broadcastRight)
   }
 
   /** As-of join (backward): for each left row, attach the single right row

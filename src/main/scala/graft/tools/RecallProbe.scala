@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Calibration probe for the q45 scale path: is the banded MinHash-LSH
+  * candidate stage COMPLETE against the exact 2-gram-Jaccard≥t relation on
+  * the test corpora (the q45 oracle is a recursive closure over exactly
+  * that relation, so a single missed pair flips hashes)? Also prints the
+  * simhash hamming histogram at tighter thresholds, to locate a threshold
+  * regime where tight-radius (maxHamming ≤ 3 ⇒ 16-bit chunk) banding is
+  * complete. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.tune(spark)
+    import spark.implicits._
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val docs = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
+      val exact = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+          shingleSize = 2, threshold = 0.8)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val mh = graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text",
+          k = 32, bands = 16, shingleSize = 2, minEstJaccard = 0.0,
+          threshold = 0.8)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      println(s"SF$sf exact=${exact.size} minhash=${mh.size} " +
+        s"missed=${(exact -- mh).size} extra=${(mh -- exact).size} " +
+        s"missedPairs=${(exact -- mh).take(5)}")
+      // tight-radius feasibility: max simhash hamming among exact pairs
+      // at stricter thresholds
+      import graft.functions.SimHash64.simhash64
+      val feats = graft.ops.Dedup.shingles(split(col("text"), " "), 2)
+      val sigs = docs.select(col("doc_id"), simhash64(feats).as("sh"))
+      for (t <- Seq(0.85, 0.9, 0.95)) {
+        val tp = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+          shingleSize = 2, threshold = t)
+        val ham = tp
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("h"))
+          .agg(count(lit(1)), max(col("h"))).collect()(0)
+        println(s"SF$sf t=$t pairs=${ham.getLong(0)} maxHamming=${if (ham.isNullAt(1)) "-" else ham.get(1)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -22,7 +22,7 @@ class EntrySpec extends AnyFunSuite {
     * empty — assert they return rows at sf0.001 so a silently-empty result
     * can't masquerade as a pass. */
   private val mustBeNonEmpty = Set("q20_dedup_exact", "q25_jaccard_pairs",
-    "q26_ann_bruteforce", "q28_minhash_lsh", "q29_simhash_pairs",
+    "q26_ann_bruteforce", "q28_minhash_lsh", "q29_simhash_hybrid",
     "q30_ann_lsh", "q31_embed_neardup", "q35_ann_ivf", "q45_neardup_dedup",
     "q46_editdist_pairs")
 

@@ -56,6 +56,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q29/q45: near-dup candidate stages are banded equi-joins, no all-pairs") {
+    for (q <- Seq("q29_simhash_hybrid", "q45_neardup_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("top-k-per-group (ANN) keeps the WindowGroupLimit pre-reduction") {
     // q30's per-query top-k is a rank filter with k > 1 — the partial
     // group-limit before the exchange is the scale property

@@ -44,34 +44,56 @@ class OpsSpec extends AnyFunSuite {
       (3L, "c", None))))
   }
 
+  private def messageChain(t: Throwable): Seq[String] = {
+    val it = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+    it.flatMap(x => Option(x.getMessage)).toSeq
+  }
+
   test("leftJoinValidated enforces the declared cardinality contract") {
     val facts = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
     val dimOk = Seq((1L, 10L), (2L, 20L)).toDF("k", "d")
     val dimDup = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "d")
     assert(Joins.leftJoinValidated(facts, dimOk, Seq("k"), "m:1").count() == 3)
-    val e = intercept[IllegalArgumentException] {
-      Joins.leftJoinValidated(facts, dimDup, Seq("k"), "m:1")
+    // guard is lazy: the violation raises when the join EXECUTES
+    val e = intercept[Exception] {
+      Joins.leftJoinValidated(facts, dimDup, Seq("k"), "m:1").count()
     }
-    assert(e.getMessage.contains("not unique on (k)"))
-    intercept[IllegalArgumentException] {
-      Joins.leftJoinValidated(facts, dimOk, Seq("k"), "1:1") // facts dup on k
+    assert(messageChain(e).exists(_.contains("not unique on (k)")))
+    intercept[Exception] {
+      Joins.leftJoinValidated(facts, dimOk, Seq("k"), "1:1").count() // facts dup on k
     }
     intercept[IllegalArgumentException] {
       Joins.leftJoinValidated(facts, dimOk, Seq("k"), "n:1") // bad contract
     }
+    // a 1:1 join over genuinely unique sides still runs clean
+    val factsU = Seq((1L, "a"), (2L, "c")).toDF("k", "v")
+    assert(Joins.leftJoinValidated(factsU, dimOk, Seq("k"), "1:1").count() == 2)
   }
 
-  test("unifiedJoin aborts on a duplicated-PropertyID prop fixture") {
+  test("unifiedJoin: plan construction runs zero jobs; dup-PropertyID prop aborts on action") {
+    val sc = TestSpark.spark.sparkContext
     val rankedValHist = Seq((1L, 2020L, 500L))
       .toDF("PropertyID", "Year", "Value")
     val propDup = Seq((1L, "R"), (1L, "C")).toDF("PropertyID", "cls")
     val rankedDeed = Seq((1L, 2020L, 100L))
       .toDF("PropertyID", "RecordingYear", "SaleAmt")
     val taxHist = Seq((1L, 2020L, 50L)).toDF("PropertyID", "TaxYear", "TaxAmt")
-    val e = intercept[IllegalArgumentException] {
-      graft.fa.Stages.unifiedJoin(rankedValHist, propDup, rankedDeed, taxHist)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
     }
-    assert(e.getMessage.contains("m:1"))
+    org.apache.spark.GraftTestBus.flush(sc)
+    sc.addSparkListener(listener)
+    try {
+      val plan = graft.fa.Stages.unifiedJoin(rankedValHist, propDup,
+        rankedDeed, taxHist)
+      org.apache.spark.GraftTestBus.flush(sc)
+      assert(jobs.get() == 0, "building the unified-join plan must run no jobs")
+      val e = intercept[Exception] { plan.count() }
+      assert(messageChain(e).exists(_.contains("m:1")))
+    } finally sc.removeSparkListener(listener)
     // same fixture with a unique prop side joins fine
     val prop = Seq((1L, "R")).toDF("PropertyID", "cls")
     assert(graft.fa.Stages.unifiedJoin(rankedValHist, prop, rankedDeed, taxHist)

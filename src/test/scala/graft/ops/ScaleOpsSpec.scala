@@ -80,6 +80,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sweep.nonEmpty && lsh.sameElements(sweep))
   }
 
+  test("hybridNearDups == raw jaccardPairs sweep (2-gram) on the corpus") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val hybrid = Dedup.hybridNearDups(docs, "doc_id", "text",
+        shingleSize = 2, threshold = 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val sweep = Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleSize = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(hybrid.nonEmpty && hybrid.sameElements(sweep))
+  }
+
   test("simHashNearDups == raw jaccardPairs sweep (2-gram) on the corpus") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

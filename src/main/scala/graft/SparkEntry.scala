@@ -322,7 +322,7 @@ object SparkEntry {
   private def qNearDupDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
-      k = 32, bands = 16, shingleSize = 2, minEstJaccard = 0.0,
+      k = 32, bands = 16, shingleSize = 2, minEstJaccard = 0.4,
       threshold = 0.8)
     Dedup.components(docs.select("doc_id"), pairs.select("doc_a", "doc_b"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -24,7 +24,7 @@ object RecallProbe {
           shingleSize = 2, threshold = 0.8)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       val mh = graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text",
-          k = 32, bands = 16, shingleSize = 2, minEstJaccard = 0.0,
+          k = 32, bands = 16, shingleSize = 2, minEstJaccard = 0.4,
           threshold = 0.8)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       println(s"SF$sf exact=${exact.size} minhash=${mh.size} " +

@@ -331,11 +331,16 @@ object SparkEntry {
 
   /** Fuzzy string matching (record linkage): part-name pairs within
     * Levenshtein distance 2 over a deterministic 10% key stride.
-    * Length-bucket blocking (complete: |Δlen| > d ⇒ dist > d) as a pure
-    * equi-join + threshold-banded levenshtein verify; oracle = DuckDB
-    * brute-force levenshtein over the same subset. */
+    * PassJoin-style SEGMENT blocking (complete — some segment of one side
+    * survives the ≤ d edits verbatim, position-shifted ≤ d) as a pure
+    * equi-join on (len, seg_idx, seg_text) + threshold-banded levenshtein
+    * verify. Content in the key subdivides the fixed-format length
+    * buckets that made plain length blocking quadratic (the checked
+    * length-only path stays as [[graft.ops.Dedup.editDistancePairs]],
+    * spec-pinned pair-equal). Oracle = DuckDB brute-force levenshtein
+    * over the same subset. */
   private def qEditDistPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.editDistancePairs(
+    Dedup.editDistancePairsSegmented(
         t(s, dir, "part").filter(col("p_partkey") % 10 === 0),
         "p_partkey", "p_name", maxDist = 2)
       .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))

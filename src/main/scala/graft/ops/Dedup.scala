@@ -465,6 +465,88 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Fuzzy string matching with SEGMENT blocking (PassJoin-style; Li,
+    * Deng, Feng: "PASS-JOIN: a partition-based method for similarity
+    * joins", VLDB 2011): each indexed string of length L is split into
+    * `maxDist + 1` contiguous segments; if ed(s, r) ≤ d then some segment
+    * of s is error-free under the optimal alignment, so it occurs VERBATIM
+    * in r at a start position shifted at most d from its position in s
+    * (net indels before it ≤ d). Blocking key = (L, segment_idx,
+    * segment_text): the probe side enumerates, per candidate indexed
+    * length L ∈ [len(r)−d, len(r)+d], each segment's substrings of r at
+    * the ≤ 2d+1 allowed shifts. COMPLETE like plain length blocking (the
+    * ScaleOpsSpec pins pair-set equality), but the key carries segment
+    * CONTENT, so the degenerate fixed-format corpus that collapses length
+    * buckets into one all-pairs bucket (the 100 TB hazard of
+    * [[editDistancePairs]]) subdivides by what the strings actually say.
+    *
+    * Cost shape: indexed side emits d+1 keys/row; probe side ≤
+    * (2d+1)·(d+1)·(2d+1) tiny keys/row (d=2 ⇒ ≤ 75, typically far fewer
+    * after the shift-window clamp) — per-row linear work, one equi-join
+    * shuffle, then the same banded-levenshtein verify on candidates. */
+  def editDistancePairsSegmented(df: DataFrame, idCol: String,
+                                 strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val d = maxDist
+    val m = maxDist + 1
+    // Even partition of an L-length string into m segments, the last
+    // (L mod m) one char longer: len_i and 1-based start_i of segment i.
+    def segLen(lc: Column, i: Column): Column =
+      floor(lc / m).cast("int") +
+        when(i >= lit(m) - pmod(lc, lit(m)), 1).otherwise(0)
+    def segStart(lc: Column, i: Column): Column =
+      (lit(1) + i * floor(lc / m).cast("int") +
+        greatest(lit(0), i - (lit(m) - pmod(lc, lit(m))))).cast("int")
+
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    val segSide = base
+      .select(col("id"), col("s"), length(col("s")).as("L"))
+      .select(col("id"), col("s"), col("L"),
+        explode(transform(sequence(lit(0), lit(m - 1)), i =>
+          struct(i.cast("int").as("seg_i"),
+            col("s").substr(segStart(col("L"), i), segLen(col("L"), i))
+              .as("seg")))).as("sg"))
+      .select(col("id"), col("s"), col("L"),
+        col("sg.seg_i").as("seg_i"), col("sg.seg").as("seg"))
+    // probe keys: for L in [Lr-d, Lr+d] (L ≥ 0 so an indexed empty string
+    // is reachable), segment i of the L-scheme at start p/len l, r's
+    // substrings starting in [max(1, p-d), min(Lr-l+1, p+d)]
+    val probeKeys = {
+      val lr = col("Lr")
+      flatten(transform(
+        sequence(greatest(lit(0), lr - d).cast("int"), (lr + d).cast("int")),
+        tl => flatten(transform(sequence(lit(0), lit(m - 1)), i => {
+          val p = segStart(tl, i)
+          val l = segLen(tl, i)
+          val qlo = greatest(lit(1), p - d)
+          val qhi = least(lr - l + 1, p + d)
+          when(qhi >= qlo,
+            transform(sequence(qlo.cast("int"), qhi.cast("int")), q =>
+              struct(tl.cast("int").as("L"), i.cast("int").as("seg_i"),
+                col("s_r").substr(q, l).as("seg"))))
+            .otherwise(array().cast(
+              "array<struct<L:int,seg_i:int,seg:string>>"))
+        }))))
+    }
+    val probeSide = base
+      .select(col("id").as("id_r"), col("s").as("s_r"),
+        length(col("s")).as("Lr"))
+      .select(col("id_r"), col("s_r"), explode(probeKeys).as("pk"))
+      .select(col("id_r"), col("s_r"), col("pk.L").as("L"),
+        col("pk.seg_i").as("seg_i"), col("pk.seg").as("seg"))
+    segSide.join(probeSide, Seq("L", "seg_i", "seg"))
+      .filter(col("id") =!= col("id_r"))
+      .select(least(col("id"), col("id_r")).as("id_a"),
+        greatest(col("id"), col("id_r")).as("id_b"),
+        when(col("id") < col("id_r"), col("s")).otherwise(col("s_r")).as("s_a"),
+        when(col("id") < col("id_r"), col("s_r")).otherwise(col("s")).as("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 31).

@@ -187,6 +187,60 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 10L, 0)))
   }
 
+  test("editDistancePairsSegmented == length-blocked run (completeness)") {
+    // name fixture incl. empty and near-empty strings (probe L=0 path)
+    val df = Seq((1L, "kathryn"), (2L, "katheryn"), (3L, "catherine"),
+      (4L, "kate"), (5L, "nathan"), (6L, "kathrin"), (7L, "jonathan"),
+      (8L, "jon"), (9L, "katheryne"), (10L, "kathryn"), (11L, ""),
+      (12L, "ab"), (13L, "b")).toDF("id", "name")
+    val seg = Dedup.editDistancePairsSegmented(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val len = Dedup.editDistancePairs(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(seg.nonEmpty && seg.sameElements(len))
+    assert(seg.contains((11L, 13L, 1))) // "" ~ "b": zero-length segments
+    // and on real part names (the q46 corpus)
+    val part = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/part.parquet")
+      .filter(col("p_partkey") % 10 === 0)
+    val segP = Dedup.editDistancePairsSegmented(part, "p_partkey", "p_name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val lenP = Dedup.editDistancePairs(part, "p_partkey", "p_name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(segP.sameElements(lenP))
+  }
+
+  test("segment blocking subdivides fixed-format length buckets") {
+    // fixed-LENGTH corpus = the worst case for length-only blocking: ONE
+    // bucket of N rows (N² candidate pairs). Segment keys carry content,
+    // so where content varies the worst bucket collapses. (A constant
+    // SEGMENT — e.g. a shared literal prefix — still buckets together;
+    // that is inherent to any content-blocking scheme and is what the
+    // exact-verify stage is for.)
+    val n = 2000
+    val df = TestSpark.spark.range(n)
+      .select(col("id"),
+        substring(md5(col("id").cast("string")), 1, 12).as("name"))
+    val m = 3 // maxDist=2 => 3 segments
+    def segLen(lc: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(lc / m).cast("int") +
+        when(i >= lit(m) - pmod(lc, lit(m)), 1).otherwise(0)
+    def segStart(lc: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (lit(1) + i * floor(lc / m).cast("int") +
+        greatest(lit(0), i - (lit(m) - pmod(lc, lit(m))))).cast("int")
+    val maxSegBucket = df
+      .select(col("name"), length(col("name")).as("L"),
+        explode(sequence(lit(0), lit(m - 1))).as("i"))
+      .select(col("L"), col("i"),
+        col("name").substr(segStart(col("L"), col("i")),
+          segLen(col("L"), col("i"))).as("seg"))
+      .groupBy("L", "i", "seg").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    // length-only worst bucket is the whole corpus (2000); a 4-hex-char
+    // varying segment spreads over ~65k keys — worst bucket ~constant
+    assert(maxSegBucket <= 10, s"worst segment bucket $maxSegBucket")
+  }
+
   test("dropNearDups keeps exactly the cluster-canonical docs") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

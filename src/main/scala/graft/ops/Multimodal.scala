@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * use (payloads inline for small media; at scale the payload column holds
   * a pointer + byte-range and the same operators apply after a fetch step).
   *
-  * The actual codec work (JPEG decode, audio resample, frame extraction)
-  * needs native libraries that are NOT in this container — those calls are
-  * STUBBED with a deterministic fake (clearly marked below). Everything
-  * Spark-side is real: schema, partition-preserving mapPartitions, batch
-  * shape, column pruning (metadata-only queries never touch payload bytes
-  * thanks to parquet column projection).
+  * IMAGE decode/resample is REAL: `javax.imageio` ships with the JDK, so
+  * JPEG/PNG/BMP/GIF payloads get true dimensions, a real luminance
+  * histogram feature, and a real nearest-neighbor downsample re-encoded
+  * as PNG. Payloads ImageIO cannot parse (the testdata's text-bytes
+  * stand-ins, plus audio/video, whose codecs are NOT in this container)
+  * fall back to a deterministic fake (clearly marked STUB below).
+  * Everything Spark-side is real either way: schema, partition-preserving
+  * mapPartitions, batch shape, column pruning (metadata-only queries
+  * never touch payload bytes thanks to parquet column projection).
   */
 object Multimodal {
 
@@ -47,12 +50,82 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            width: Int, height: Int, feature: Array[Float])
 
+  /** REAL image decode via the JDK's javax.imageio: true width/height and
+    * an 8-bin normalized luminance histogram as the feature vector
+    * (deterministic — integer Rec.601 luma, fixed binning). Returns None
+    * for null payloads and for byte streams ImageIO does not recognize
+    * (text stand-ins, audio, video) — callers fall back to [[stubDecode]].
+    *
+    * Scale note: per-pixel getRGB is fine for thumbnail-class media; a
+    * 100 TB pipeline feeding large images should read the Raster data
+    * buffer per row instead — same operator shape, partition-local. */
+  private[ops] def decodeImage(payload: Array[Byte])
+      : Option[(Int, Int, Array[Float])] = {
+    if (payload == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        Some((w, h, hist.map(_ / n)))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** REAL image downsample: decode, nearest-neighbor sample every
+    * `factor`-th pixel, re-encode as PNG (ImageIO's PNG writer is
+    * deterministic for a given raster). None when the payload isn't a
+    * decodable image. */
+  private[ops] def resizeImage(payload: Array[Byte],
+                               factor: Int): Option[Array[Byte]] = {
+    if (payload == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val nw = math.max(1, img.getWidth / factor)
+        val nh = math.max(1, img.getHeight / factor)
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** ======================== STUB ========================
-    * Deterministic FAKE decoder standing in for the real codec call
-    * (e.g. javax.imageio / ffmpeg): derives "dimensions" and a fixed-size
-    * "feature vector" purely from the payload bytes so tests are exact.
-    * Replace the body marked STUB with the real decode when codec
-    * libraries are available; the Spark plumbing around it is final. */
+    * Deterministic FAKE decoder for payloads the real decoder can't parse
+    * (audio/video codecs are not in this container; the testdata's image
+    * payloads are text-byte stand-ins): derives "dimensions" and a
+    * fixed-size "feature vector" purely from the payload bytes so tests
+    * are exact. The Spark plumbing around it is final. */
   private def stubDecode(mediaId: Long, kind: String,
                          payload: Array[Byte]): MediaFeatures = {
     val n = if (payload == null) 0L else payload.length.toLong
@@ -67,21 +140,31 @@ object Multimodal {
 
   /** Decode/feature-extract over the media table: partition-preserving
     * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs) —
-    * each task decodes its partition's payloads without any shuffle. */
+    * each task decodes its partition's payloads without any shuffle.
+    * Image payloads get the REAL javax.imageio decode (true dimensions +
+    * luminance histogram feature); unparseable payloads and audio/video
+    * fall back to the deterministic stub. */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, payload) =>
-        stubDecode(id, kind, payload) })
+        (if (kind == "image") decodeImage(payload) else None) match {
+          case Some((w, h, feat)) =>
+            MediaFeatures(id, kind, payload.length.toLong, w, h, feat)
+          case None => stubDecode(id, kind, payload)
+        }
+      })
   }
 
-  /** "Resize" for image payloads: partition-local binary transform with
-    * metadata recomputed from the new payload — the same shape a real
-    * pixel-resample takes (decode → resample → re-encode per partition).
-    * The resample itself is a STUB: byte-stride downsampling keeping every
-    * `factor`-th byte (deterministic; replace with the codec call). */
+  /** Resize for image payloads: partition-local binary transform with
+    * metadata recomputed from the new payload (decode → resample →
+    * re-encode per partition, no shuffle). Decodable images get the REAL
+    * nearest-neighbor pixel downsample re-encoded as PNG
+    * ([[resizeImage]]); payloads ImageIO can't parse keep the
+    * deterministic byte-stride STUB so the testdata's text stand-ins
+    * still transform reproducibly. */
   def resize(media: DataFrame, factor: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -91,8 +174,9 @@ object Multimodal {
       .mapPartitions(_.map { case (id, kind, payload) =>
         val out =
           if (kind != "image" || payload == null) payload
-          else payload.zipWithIndex.collect {
-            case (b, i) if i % factor == 0 => b } // STUB resample
+          else resizeImage(payload, factor).getOrElse(
+            payload.zipWithIndex.collect {
+              case (b, i) if i % factor == 0 => b }) // STUB fallback
         (id, kind, out)
       })
       .toDF("media_id", "kind", "payload")

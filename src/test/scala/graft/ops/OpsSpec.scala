@@ -284,4 +284,48 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(0).feature.sameElements(feats(1).feature))
     assert(feats(0).width == feats(1).width)
   }
+
+  /** A real PNG built in-process: 16x12 horizontal gradient (black→white),
+    * encoded through ImageIO — an actual compressed PNG byte stream, not a
+    * stand-in. */
+  private def pngFixture(w: Int = 16, h: Int = 12): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 255 / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: REAL PNG decode — true dimensions + luminance histogram") {
+    val png = pngFixture()
+    val media = Seq((1L, "image", png), (2L, "audio", png))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    // image row: real decode — true 16x12, n_bytes = png length
+    assert(feats(0).width == 16 && feats(0).height == 12)
+    assert(feats(0).n_bytes == png.length.toLong)
+    // gradient spans all 8 luminance bins; histogram sums to 1
+    assert(feats(0).feature.length == 8 && feats(0).feature.forall(_ > 0f))
+    assert(math.abs(feats(0).feature.sum - 1f) < 1e-5)
+    // audio row carries the same bytes but takes the stub path (fake dims)
+    assert(feats(1).width == (png.length % 640) + 1)
+  }
+
+  test("multimodal: REAL PNG resize — pixel downsample, re-encoded PNG") {
+    val png = pngFixture()
+    val media = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")
+    val out = Multimodal.resize(media, 2)
+      .select("payload").collect()(0).getAs[Array[Byte]](0)
+    // output is itself a decodable PNG at half dimensions
+    val round = Multimodal.decodeImage(out)
+    assert(round.isDefined)
+    val (w2, h2, _) = round.get
+    assert(w2 == 8 && h2 == 6)
+    // PNG magic bytes — a real re-encode, not a byte stride
+    assert((out(0) & 0xFF) == 0x89 && out(1) == 'P' && out(2) == 'N')
+  }
 }

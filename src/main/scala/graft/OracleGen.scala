@@ -155,4 +155,47 @@ object OracleGen {
          (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
        WHERE rn <= $k"""
+
+  /** Oracle for TRAINED `Similarity.ivfTopK` (q47): replays the QUANTIZED
+    * Lloyd rounds of `Similarity.kMeansCentroids` in SQL — seed = first
+    * nCentroids ids; each unrolled round assigns every vector to its
+    * nearest centroid by round-6 cosine (cent_id tie-break) and rebuilds
+    * each centroid as the round-6 component means of its members — then
+    * runs the same nProbe-cell IVF search as [[ivfSql]] over the trained
+    * centroids. Rounding both engines to 6 decimals each round is what
+    * makes the cross-engine float means bit-comparable (see
+    * kMeansCentroids scaladoc). */
+  def ivfTrainedSql(k: Int, nCentroids: Int, nProbe: Int, queryStride: Long,
+                    trainIters: Int, dim: Int = 64): String = {
+    val rounds = (1 to trainIters).map { r =>
+      s"""a$r AS (SELECT id, v, cent_id FROM
+           (SELECT e.id, e.v, c.cent_id,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+            FROM e, c${r - 1} c) WHERE rn = 1),
+         m$r AS (SELECT cent_id, i, round(avg(v[i]), 6) AS m
+           FROM a$r, range(1, ${dim + 1}) t(i) GROUP BY cent_id, i),
+         c$r AS (SELECT cent_id, list(m ORDER BY i) AS cv
+           FROM m$r GROUP BY cent_id)"""
+    }.mkString(",\n       ")
+    val cent = s"c$trainIters"
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       c0 AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
+       $rounds,
+       asg AS (SELECT id, v, cent_id FROM
+         (SELECT e.id, e.v, c.cent_id,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+          FROM e, $cent c) WHERE rn <= $nProbe),
+       q AS (SELECT cent_id, id AS query_id, v AS qv FROM asg
+         WHERE id % $queryStride = 0),
+       p AS (SELECT DISTINCT query_id, a.id AS cand_id,
+           ${cosSql("q.qv", "a.v")} AS cos
+         FROM q JOIN asg a ON q.cent_id = a.cent_id AND a.id <> q.query_id)
+       SELECT query_id, cand_id, cos FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+       WHERE rn <= $k"""
+  }
 }

@@ -367,6 +367,16 @@ object SparkEntry {
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 5, nCentroids = 16, nProbe = 2, queryStride = 100)
 
+  /** TRAINED IVF — two quantized Lloyd rounds (distributed k-means with
+    * round-6 assignment cosines and centroid means, bit-reproducible
+    * across engines and thread counts), then the same nProbe-cell search.
+    * Hash-verified: the oracle replays the identical quantized training
+    * in SQL (OracleGen.ivfTrainedSql). Recall@5 vs brute force is
+    * spec-gated in ScaleOpsSpec. */
+  private def qAnnIvfTrained(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 5, queryStride = 100, trainIters = 2)
+
   /** Regex/string cleaning ops (engine-library generality: regexp_replace,
     * trim, case fold, split-part). */
   private def qStringClean(s: SparkSession, dir: String): DataFrame =
@@ -547,6 +557,7 @@ object SparkEntry {
     "q44_session_window" -> (qSessionWindow _),
     "q45_neardup_dedup" -> (qNearDupDedup _),
     "q46_editdist_pairs" -> (qEditDistPairs _),
+    "q47_ann_ivf_trained" -> (qAnnIvfTrained _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -740,6 +751,9 @@ object SparkEntry {
     "q30_ann_lsh" -> OracleGen.annLshSql(nBits = 16, dim = 64, k = 5),
     "q35_ann_ivf" ->
       OracleGen.ivfSql(k = 5, nCentroids = 16, nProbe = 2, queryStride = 100),
+    "q47_ann_ivf_trained" ->
+      OracleGen.ivfTrainedSql(k = 5, nCentroids = 16, nProbe = 5,
+        queryStride = 100, trainIters = 2),
     "q26_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),

@@ -143,12 +143,18 @@ object Similarity {
     * only needs approximate cell shapes), and at many iterations insert a
     * `localCheckpoint` between rounds to cap lineage depth. Cells that
     * lose all members disappear (standard Lloyd degeneracy — acceptable
-    * for a candidate generator; probing covers the gap). Centroid
-    * components use floating avg whose partition order is not bit-pinned,
-    * so trained-IVF results are near- but not bit-deterministic — the
-    * oracle-checked q35 therefore runs the deterministic seed variant
-    * (`trainIters = 0`), and the trained path is spec-gated on recall
-    * against brute force instead. */
+    * for a candidate generator; probing covers the gap).
+    *
+    * DETERMINISM: training is QUANTIZED — the assignment cosine and every
+    * new centroid component are rounded to 6 decimals each round. The
+    * only order-sensitive float op in Lloyd is the member mean (partial
+    * sums follow partition order); rounding collapses the ~1e-15 relative
+    * wobble to one bit-stable value unless a mean sits within 5e-7 of a
+    * rounding boundary (not observed across thread counts or engines on
+    * the testdata — the Determinism tool and the q47 DuckDB oracle, which
+    * replays the same quantized rounds in SQL, both pin it). This is what
+    * makes the TRAINED path oracle-checkable (q47), not just the seeded
+    * q35 variant. */
   private[graft] def kMeansCentroids(base: DataFrame, nCentroids: Int,
                                      iters: Int): DataFrame = {
     var cents = base.orderBy(col("id")).limit(nCentroids)
@@ -157,11 +163,12 @@ object Similarity {
       val assigned = Windows.topOnePerGroup(
         base.join(broadcast(cents), lit(true))
           .select(col("id"), col("v"), col("cent_id"),
-            cosine(col("v"), col("cv")).as("cos")),
+            round(cosine(col("v"), col("cv")), 6).as("cos")),
         Seq(col("id")), Seq(col("cos").desc, col("cent_id").asc))
       cents = assigned
         .select(col("cent_id"), posexplode(col("v")))
-        .groupBy(col("cent_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
         .groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cent_id"),

@@ -268,6 +268,21 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
 
+  /** TF-IDF top-5 terms per document (keyword extraction). Score rounded
+    * to 4 decimals with a term-ASC tie-break — a deterministic total
+    * order, so the DuckDB replay hash-matches. */
+  private def qTfIdf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+      k = 5)
+
+  /** Deterministic stratified sample: 10 docs per language by md5(id)
+    * order — reproducible across engines/partitionings/reruns (unlike
+    * df.sample, whose draw depends on the physical split). */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedByHash(
+      t(s, dir, "documents").select(col("lang"), col("doc_id")),
+      Seq("lang"), "doc_id", k = 10)
+
   /** 3-gram Jaccard near-dup pairs (threshold 0.8) in the composable scale
     * shape: MinHash-LSH candidates, then exact Jaccard verification of only
     * those candidates. Same result as the raw inverted-index sweep
@@ -558,6 +573,8 @@ object SparkEntry {
     "q45_neardup_dedup" -> (qNearDupDedup _),
     "q46_editdist_pairs" -> (qEditDistPairs _),
     "q47_ann_ivf_trained" -> (qAnnIvfTrained _),
+    "q48_tfidf_topk" -> (qTfIdf _),
+    "q49_stratified_sample" -> (qStratifiedSample _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -754,6 +771,27 @@ object SparkEntry {
     "q47_ann_ivf_trained" ->
       OracleGen.ivfTrainedSql(k = 5, nCentroids = 16, nProbe = 5,
         queryStride = 100, trainIters = 2),
+    "q48_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, u.term
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(term)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS docfreq FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT tf.doc_id, tf.term,
+             round(CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n_docs AS DOUBLE) / docfreq), 4) AS tfidf
+           FROM tf JOIN dfreq USING (term), n)
+         SELECT doc_id, term, tfidf FROM
+           (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS rn FROM s)
+         WHERE rn <= 5""",
+    "q49_stratified_sample" ->
+      """SELECT lang, doc_id FROM
+           (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+            FROM documents)
+         WHERE rn <= 10""",
     "q26_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators (extension surface).
+  *
+  * Spark's `df.sample` is seed-deterministic only per partitioning — a
+  * repartition or a different input split changes the sample, which breaks
+  * oracle checks and makes reruns non-reproducible at 100 TB. These
+  * operators order by a content hash instead: the sample is a pure
+  * function of the DATA, stable across engines, partitionings, thread
+  * counts, and reruns.
+  */
+object Sampling {
+
+  /** Deterministic stratified sample: the `k` rows per group that sort
+    * first by md5(key) — an order-stable pseudo-random draw reproducible
+    * in any engine with md5 (the q49 oracle replays it in DuckDB SQL).
+    * Ties impossible: the key column is unique per row, and (hash, key)
+    * is a total order.
+    *
+    * Scale shape: one shuffle on the group columns; the per-group rank
+    * gets WindowGroupLimit pre-reduction (each map task forwards only its
+    * local top-k), so the exchange carries O(groups · k), not N. */
+  def stratifiedByHash(df: DataFrame, groupCols: Seq[String],
+                       keyCol: String, k: Int): DataFrame = {
+    val hashed = df.withColumn("__skey", md5(col(keyCol).cast("string")))
+    Windows.topKPerGroup(hashed, groupCols.map(col),
+        Seq(col("__skey").asc, col(keyCol).asc), k)
+      .drop("__skey")
+  }
+
+  /** Deterministic Bernoulli-style sample at rate ≈ num/den: keeps rows
+    * whose md5(key) prefix, read as a number, falls under the rate. Same
+    * engine-portable determinism as [[stratifiedByHash]]; a pure map
+    * (no shuffle at all). */
+  def bernoulliByHash(df: DataFrame, keyCol: String,
+                      num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, "rate must be in [0, 1]")
+    // first 8 hex chars of md5 → 32-bit value; keep if value*den < num*2^32
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(v * den < lit(num.toLong * 4294967296L))
+  }
+}

@@ -81,4 +81,32 @@ object TextAnalysis {
     * the SQL oracle. */
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+
+  /** Top-k terms per document by TF-IDF (keyword extraction — the
+    * training-data-prep step behind topic filters and per-doc summaries).
+    * tf = in-doc term count; idf = ln(N / docfreq); score rounded to 4
+    * decimals so the cross-engine ln/multiply wobble can't move a rank
+    * (term ASC tie-break makes the top-k total-ordered).
+    *
+    * Scale shape: explode → (doc, term) count is one shuffle with map-side
+    * combine; doc-frequency is a second, smaller aggregate over the
+    * (doc, term) pairs; N rides a broadcast 1-row aggregate (NO eager
+    * count — plan construction runs zero jobs). The score join shuffles
+    * on term; the final top-k is a rank with WindowGroupLimit
+    * pre-reduction. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("docfreq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("docfreq")), 4).as("tfidf"))
+    Windows.topKPerGroup(scored, Seq(col("doc_id")),
+      Seq(col("tfidf").desc, col("term").asc), k)
+  }
 }

@@ -24,7 +24,8 @@ class EntrySpec extends AnyFunSuite {
   private val mustBeNonEmpty = Set("q20_dedup_exact", "q25_jaccard_pairs",
     "q26_ann_bruteforce", "q28_minhash_lsh", "q29_simhash_hybrid",
     "q30_ann_lsh", "q31_embed_neardup", "q35_ann_ivf", "q45_neardup_dedup",
-    "q46_editdist_pairs", "q47_ann_ivf_trained")
+    "q46_editdist_pairs", "q47_ann_ivf_trained", "q48_tfidf_topk",
+    "q49_stratified_sample")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns a well-formed result at sf0.001") {

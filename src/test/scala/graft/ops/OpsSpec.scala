@@ -315,6 +315,46 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(1).width == (png.length % 640) + 1)
   }
 
+  test("tfIdfTopTerms scores match hand-computed tf*ln(N/df)") {
+    // N=3; "rare" appears in 1 doc (idf=ln 3), "mid" in 2 (ln 1.5),
+    // "the" in all 3 (idf=0 → never tops a doc with any rarer term)
+    val docs = Seq((1L, "the rare rare mid"), (2L, "the mid"), (3L, "the"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    def s(tf: Int, df: Int) =
+      BigDecimal(tf * math.log(3.0 / df))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (1L, "rare", s(2, 1)), (1L, "mid", s(1, 2)),
+      (2L, "mid", s(1, 2)), (2L, "the", 0.0),
+      (3L, "the", 0.0)))
+  }
+
+  test("stratifiedByHash: exactly k per group, stable across repartition") {
+    val df = TestSpark.spark.range(200)
+      .select(col("id"), pmod(col("id"), lit(3)).cast("string").as("g"))
+    val a = Sampling.stratifiedByHash(df, Seq("g"), "id", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted
+    assert(a.length == 15 && a.map(_._1).distinct.length == 3)
+    // the draw is a pure function of the data — any physical layout agrees
+    val b = Sampling.stratifiedByHash(df.repartition(13), Seq("g"), "id", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("bernoulliByHash: deterministic, rate-proportional, no shuffle") {
+    val df = TestSpark.spark.range(2000).withColumnRenamed("id", "k")
+    val kept = Sampling.bernoulliByHash(df, "k", 1, 4)
+    val n = kept.count()
+    assert(n > 350 && n < 650, s"expected ~500 of 2000, got $n") // rate 0.25
+    assert(kept.collect().map(_.getLong(0)).sorted
+      .sameElements(Sampling.bernoulliByHash(df.repartition(7), "k", 1, 4)
+        .collect().map(_.getLong(0)).sorted))
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("multimodal: REAL PNG resize — pixel downsample, re-encoded PNG") {
     val png = pngFixture()
     val media = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")

@@ -85,7 +85,10 @@ object Multimodal {
         val n = (w.toLong * h).toFloat
         Some((w, h, hist.map(_ / n)))
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO plugins throw
+      // RuntimeException subclasses on corrupt streams, and a bad payload
+      // must degrade to the stub path, not kill a 100 TB job
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL image downsample: decode, nearest-neighbor sample every
@@ -117,7 +120,7 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", bos)
         Some(bos.toByteArray)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** ======================== STUB ========================

@@ -24,10 +24,10 @@ import graft.ops.{Dedup, TextAnalysis}
   */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val positional = args.filterNot(_.startsWith("--"))
+    val dir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val plant = args.contains("--plant")
-    val copies0 = args.lift(1).filterNot(_ == "--plant").map(_.toInt)
-      .getOrElse(40)
+    val copies0 = positional.lift(1).map(_.toInt).getOrElse(40)
     val copies = if (plant) math.max(1, copies0 / 40) else copies0
     val spark = GraftSession(appName = "graft-stress")
 

@@ -52,11 +52,12 @@ import org.apache.spark.sql.types._
   * preserves the determinism contract exactly: total order in, same row
   * out; partial order in, some valid row out.
   *
-  * Known negation edge: `-Long.MinValue` overflows back to itself under
-  * non-ANSI eval, so an ascending integral key holding Long/Int.MinValue
-  * can rank wrong; keys at the very bottom of their domain are
-  * vanishingly rare in ranking columns and the window form is one
-  * kill-switch away (`spark.graft.rewriteTopOne=false`).
+  * Negation is overflow-safe by construction: integral keys are widened
+  * before the `UnaryMinus` (Byte/Short/Int → Long, Long → Decimal(20,0))
+  * so the two's-complement MinValue wraparound (`-Long.MinValue ==
+  * Long.MinValue`) cannot occur, and Decimal's symmetric range negates
+  * exactly. A MinValue-holding ascending key therefore ranks FIRST under
+  * both forms (pinned by spec).
   *
   * Registered by [[graft.GraftExtensions]] both at session build
   * (`injectOptimizerRule`) and post-hoc (`experimental.extraOptimizations`
@@ -158,10 +159,22 @@ object RewriteTopOneToMaxBy extends Rule[LogicalPlan] with PredicateHelper {
           case Descending => Some(nullFlag(so) :+ so.child)
           case Ascending =>
             so.child.dataType match {
-              case ByteType | ShortType | IntegerType | LongType |
-                   _: DecimalType =>
-                // failOnError=false: under ANSI a key holding MinValue would
-                // otherwise turn a working window query into an overflow error
+              case ByteType | ShortType | IntegerType =>
+                // widen before negating: two's-complement MinValue has no
+                // positive counterpart in its own width (-Int.MinValue wraps
+                // back to Int.MinValue), which would rank the window's FIRST
+                // row LAST. Long holds -Int.MinValue exactly and the cast
+                // preserves order.
+                Some(nullFlag(so) :+ UnaryMinus(Cast(so.child, LongType), failOnError = false))
+              case LongType =>
+                // Decimal(20,0) holds -Long.MinValue = 9223372036854775808
+                // exactly; decimal comparison over the widened values matches
+                // long comparison over the originals.
+                Some(nullFlag(so) :+ UnaryMinus(Cast(so.child, DecimalType(20, 0)), failOnError = false))
+              case _: DecimalType =>
+                // Decimal's representable range is symmetric (±(10^p - 1)
+                // unscaled), so unlike two's-complement integrals its
+                // negation can never overflow — no widening needed.
                 Some(nullFlag(so) :+ UnaryMinus(so.child, failOnError = false))
               case _ => None
             }

@@ -97,6 +97,29 @@ class RewriteTopOneSpec extends AnyFunSuite {
     assert(gotDesc.sameElements(Array((1, "y"), (2, "w"))))
   }
 
+  test("ascending MinValue keys rank FIRST (negation widened, no wraparound)") {
+    // -Long.MinValue wraps back to Long.MinValue in 64 bits; un-widened
+    // negation would rank these rows LAST instead of FIRST
+    val longs = Seq((1, Long.MinValue, "min"), (1, 0L, "zero"), (1, Long.MaxValue, "max"),
+      (2, Long.MinValue + 1, "near"), (2, Long.MinValue, "min")).toDF("k", "v", "tag")
+    val qL = topOne(longs, Window.partitionBy($"k").orderBy($"v".asc))
+    assert(optimized(qL).contains("max_by"))
+    val gotL = qL.select("k", "tag").as[(Int, String)].collect().sortBy(_._1)
+    assert(gotL.sameElements(Array((1, "min"), (2, "min"))), gotL.mkString(","))
+
+    val ints = Seq((1, Int.MinValue, "min"), (1, -7, "neg"), (1, Int.MaxValue, "max"))
+      .toDF("k", "v", "tag")
+    val qI = topOne(ints, Window.partitionBy($"k").orderBy($"v".asc))
+    assert(optimized(qI).contains("max_by"))
+    assert(qI.select("tag").as[String].collect().sameElements(Array("min")))
+
+    // window form agrees (the actual contract)
+    spark.conf.set("spark.graft.rewriteTopOne", "false")
+    val refL = try sortedRows(topOne(longs, Window.partitionBy($"k").orderBy($"v".asc)))
+    finally spark.conf.set("spark.graft.rewriteTopOne", "true")
+    assert(sortedRows(qL).sameElements(refL))
+  }
+
   test("bails on a global (no PARTITION BY) window: empty input stays empty") {
     // a global Aggregate would emit one all-null row on empty input where
     // the window form emits zero rows — must not rewrite

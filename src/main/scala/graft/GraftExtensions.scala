@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, MinHashSig, SimHash64}
+import graft.functions.{CosineSim, HyperplaneSig, MinHashSig, SimHash64}
 
 /** `SparkSessionExtensions` hook exposing graft's native expressions to
   * SQL users:
@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinHashSig(args(0),
         GraftExtensions.literalInt(args(1), "k"),
         GraftExtensions.literalInt(args(2), "shingleSize"))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig", "hyperplane_sig(array<double>, nBits, dim) - seeded random-hyperplane LSH signature"),
+      (args: Seq[Expression]) => HyperplaneSig(args(0),
+        graft.ops.Similarity.hyperplanes(
+          GraftExtensions.literalInt(args(1), "nBits"),
+          GraftExtensions.literalInt(args(2), "dim")).toArray)))
   }
 }
 
@@ -70,5 +76,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args(0),
         GraftExtensions.literalInt(args(1), "k"),
         GraftExtensions.literalInt(args(2), "shingleSize")), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_sig",
+      (args: Seq[Expression]) => HyperplaneSig(args(0),
+        graft.ops.Similarity.hyperplanes(
+          GraftExtensions.literalInt(args(1), "nBits"),
+          GraftExtensions.literalInt(args(2), "dim")).toArray), "scala_udf")
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.SimHash64.simhash64
@@ -302,7 +302,10 @@ object Dedup {
     *
     * Scale shape: each round is one join + one groupBy on the edge list
     * plus one label self-join (shuffles O(|V| + |E|)), with a checkpoint
-    * per round to stop lineage growth. `checkpointDir` picks the
+    * per round to stop lineage growth. Convergence detection costs no
+    * extra action: the jump job's checkpoint carries a CollectMetrics
+    * count of still-decreasing labels (read via [[Observation]]), so a
+    * round is exactly its two materializations — hook and jump. `checkpointDir` picks the
     * cluster-grade RELIABLE checkpoint (survives executor loss — set it
     * to HDFS/S3 on a real cluster; old files linger unless
     * `spark.cleaner.referenceTracking.cleanCheckpoints` is on); unset, it
@@ -310,6 +313,23 @@ object Dedup {
     * lost-partition-unsafe on a cluster. Throws if `maxIters` rounds
     * don't converge (a silently partial labeling must never reach a
     * consumer). */
+  /** Read the round's `changed` metric after its checkpoint action. The
+    * observed-metrics listener fires asynchronously after the action
+    * completes, so poll non-blockingly (`Observation.get` would hang
+    * forever if the metric never arrived) with a generous deadline —
+    * normally the metric is present on the first probe. */
+  private def observedChanged(obs: Observation): Long = {
+    val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+    var res = GraftShims.observationResults(obs)
+    while (res.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      res = GraftShims.observationResults(obs)
+    }
+    require(res.nonEmpty,
+      "components: convergence metric did not arrive within 30s of the jump job")
+    res("changed").asInstanceOf[Long]
+  }
+
   def components(ids: DataFrame, pairs: DataFrame,
                  maxIters: Int = 20,
                  checkpointDir: Option[String] = None): DataFrame = {
@@ -329,21 +349,27 @@ object Dedup {
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
       // (a) hook: l(v) := min(l(v), min over neighbors' labels) —
       // materialized so the jump's self-join doesn't recompute the
-      // join+agg subtree twice
+      // join+agg subtree twice. Carries the round-entry label as `prev`
+      // so the convergence count can ride the jump job.
       val hooked = persist(labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("prev")))
       // (b) jump: l(v) := l(l(v)). Labels are always ids of nodes in the
       // same component (init l=v; hook takes mins of such ids), so the
-      // inner join preserves every row, and l only decreases.
+      // inner join preserves every row, and l only decreases. The
+      // convergence probe is a CollectMetrics node UNDER the final
+      // projection: the checkpoint that materializes `next` also counts
+      // label changes, so each round is exactly two actions (hook + jump)
+      // with no separate convergence job.
+      val obs = Observation(s"components_round_$iters")
       val next = persist(hooked
         .join(hooked.select(col("id").as("jid"), col("label").as("jlabel")),
           col("label") === col("jid"))
-        .select(col("id"), col("jlabel").as("label")))
-      done = next
-        .join(labels.select(col("id").as("pid"), col("label").as("prev")),
-          col("id") === col("pid"))
-        .filter(col("label") < col("prev")).isEmpty
+        .select(col("id"), col("jlabel").as("label"), col("prev"))
+        .observe(obs, count(when(col("label") < col("prev"), 1)).as("changed"))
+        .select(col("id"), col("label")))
+      done = observedChanged(obs) == 0L
       // `next` is materialized, so the superseded round's checkpoint
       // blocks can be released — keeps resident state at 2 label copies
       // + edges instead of one copy per round

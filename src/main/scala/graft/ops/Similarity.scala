@@ -58,10 +58,14 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Random-hyperplane LSH signature (nBits) of a vector column.
-    * Fails fast on a dimension mismatch: zip_with null-pads the shorter
-    * side, which would silently turn every signature into 0 and collapse
-    * the whole corpus into one bucket (an O(N²) cross join downstream). */
+  /** Random-hyperplane LSH signature (nBits) of a vector column — the
+    * native [[graft.functions.HyperplaneSig]] expression (one codegen'd
+    * nested loop per row; the HOF baseline below evaluates nBits×dim
+    * interpreted per-element lambdas per vector, measured ~6× slower at
+    * sf0.1 — PLANS.md).
+    * Fails fast on a dimension mismatch: a silent all-zero signature would
+    * collapse the whole corpus into one bucket (an O(N²) cross join
+    * downstream). */
   def lshSignature(vec: Column, nBits: Int = 16, dim: Int = 64): Column = {
     val planes = hyperplanes(nBits, dim)
     val v0 = asDouble(vec)
@@ -73,19 +77,39 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"lshSignature: expected dim $dim, got vector of size "),
         coalesce(size(v0).cast("string"), lit("null")))))
-    planes.zipWithIndex.map { case (p, i) =>
+    graft.functions.HyperplaneSig.hyperplane_sig(v, planes)
+  }
+
+  /** Built-ins-only signature baseline (zip_with + aggregate per plane):
+    * bit-identical to [[lshSignature]] (same left-to-right double fold,
+    * same null/dim edge semantics — spec-pinned on the embeddings corpus);
+    * kept as the reference implementation for engines/tests that want
+    * zero custom expressions. */
+  def lshSignatureHof(vec: Column, nBits: Int = 16, dim: Int = 64): Column = {
+    val planes = hyperplanes(nBits, dim)
+    val v0 = asDouble(vec)
+    val v = when(v0.isNull, v0)
+      .when(size(v0) === dim, v0)
+      .otherwise(raise_error(concat(
+        lit(s"lshSignature: expected dim $dim, got vector of size "),
+        coalesce(size(v0).cast("string"), lit("null")))))
+    val sig = planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.toIndexedSeq.map(lit): _*)
       val dotv = aggregate(zip_with(v, pl, (x, y) => x * y), lit(0.0d),
         (acc, x) => acc + x)
       when(dotv > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // the bit terms fold a null dot to 0, so a null VECTOR would otherwise
+    // produce signature 0 — colliding every null row into one bucket (a
+    // skew bomb); null in → null out, like the native form
+    when(v0.isNull, lit(null).cast("long")).otherwise(sig)
   }
 
   /** Shared bucket-explode: one row per (chunk, key) byte-chunk of a
     * signature column — used by lshTopK and Dedup.embeddingNearDups so
     * bucketing changes land in one place. */
-  private[ops] def chunkedBuckets(df: DataFrame, sigCol: Column,
-                                  nChunks: Int): DataFrame =
+  private[graft] def chunkedBuckets(df: DataFrame, sigCol: Column,
+                                    nChunks: Int): DataFrame =
     df.withColumn("__b",
         explode(array((0 until nChunks).map { c =>
           struct(lit(c).as("chunk"),
@@ -107,12 +131,14 @@ object Similarity {
     * |cell| · nProbe candidates instead of N. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               k: Int = 5, nCentroids: Int = 16, nProbe: Int = 2,
-              queryStride: Long = 100, trainIters: Int = 0): DataFrame = {
+              queryStride: Long = 100, trainIters: Int = 0,
+              trainSampleFraction: Double = 1.0): DataFrame = {
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val centroids =
-      if (trainIters > 0) kMeansCentroids(base, nCentroids, trainIters)
+      if (trainIters > 0)
+        kMeansCentroids(base, nCentroids, trainIters, trainSampleFraction)
       else base.orderBy(col("id")).limit(nCentroids)
-        .select(col("id").as("cent_id"), col("v").as("cv"))
+        .select(col("id").as("cent_id"), col("cv").as("cv"))
     // nProbe nearest cells per vector (rank over the broadcast centroids)
     val assigned = Windows.topKPerGroup(
       base.join(broadcast(centroids), lit(true))
@@ -139,11 +165,20 @@ object Similarity {
     * component) → re-assembled array — both shuffle O(N·dim) narrow rows,
     * no driver-side math.
     *
-    * Notes for scale/use: train on a sample for big corpora (the index
-    * only needs approximate cell shapes), and at many iterations insert a
-    * `localCheckpoint` between rounds to cap lineage depth. Cells that
-    * lose all members disappear (standard Lloyd degeneracy — acceptable
-    * for a candidate generator; probing covers the gap).
+    * Scale/use: `sampleFraction < 1` trains on a DETERMINISTIC hash
+    * sample of the corpus (xxhash64(id) threshold — repartition-invariant,
+    * like [[Sampling]]; the index only needs approximate cell shapes, so
+    * a big corpus should train on a few million rows, not all of them).
+    * The seed centroids always come from the FULL corpus (first
+    * `nCentroids` by id) so the trained result is a pure function of
+    * (corpus, params) whatever the fraction. Lineage is capped by a LAZY
+    * `localCheckpoint` after every round: planning happens at call time,
+    * so each round's logical plan flattens to a LogicalRDD (constant plan
+    * depth at any `iters` — spec-pinned at 8) while NO job runs until a
+    * downstream action materializes the chain (query build stays
+    * zero-job). Cells that lose all members disappear (standard Lloyd
+    * degeneracy — acceptable for a candidate generator; probing covers
+    * the gap).
     *
     * DETERMINISM: training is QUANTIZED — the assignment cosine and every
     * new centroid component are rounded to 6 decimals each round. The
@@ -156,12 +191,19 @@ object Similarity {
     * makes the TRAINED path oracle-checkable (q47), not just the seeded
     * q35 variant. */
   private[graft] def kMeansCentroids(base: DataFrame, nCentroids: Int,
-                                     iters: Int): DataFrame = {
+                                     iters: Int,
+                                     sampleFraction: Double = 1.0): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val train =
+      if (sampleFraction >= 1.0) base
+      else base.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
+        lit((sampleFraction * 1000000L).toLong))
     var cents = base.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
     for (_ <- 1 to iters) {
       val assigned = Windows.topOnePerGroup(
-        base.join(broadcast(cents), lit(true))
+        train.join(broadcast(cents), lit(true))
           .select(col("id"), col("v"), col("cent_id"),
             round(cosine(col("v"), col("cv")), 6).as("cos")),
         Seq(col("id")), Seq(col("cos").desc, col("cent_id").asc))
@@ -173,6 +215,10 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cent_id"),
           transform(col("pm"), x => x.getField("m")).as("cv"))
+        // lazy checkpoint: flattens this round's LOGICAL plan to a
+        // LogicalRDD now (constant plan depth across rounds) without
+        // running a job until something downstream materializes
+        .localCheckpoint(eager = false)
     }
     cents
   }

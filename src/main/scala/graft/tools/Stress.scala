@@ -14,6 +14,18 @@ import graft.ops.{Dedup, TextAnalysis}
   *
   *   sbt "runMain graft.tools.Stress /root/testdata/sf0.1 40"
   *
+  * Budgets are NOT absolute wall-clock: a fixed calibration shape
+  * (CPU-hash + shuffle over `spark.range`, no input data) is timed in the
+  * same JVM after warm-up, and every budget is multiplied by
+  * `max(1, t_calib / CALIB_REF_SEC)` — a slower or loaded host scales its
+  * budgets instead of failing without a regression. `GRAFT_STRESS_SCALE`
+  * overrides the multiplier explicitly (set it when wall-clock itself is
+  * untrustworthy, e.g. a heavily over-subscribed CI box).
+  *
+  * `--only=SUBSTR` runs just the shapes whose name contains SUBSTR
+  * (case-insensitive) — for iterating on one budget without paying the
+  * full gate.
+  *
   * `--plant` demonstrates the gate catching a regression: it runs the
   * near-dup shape with round 1's actual q29 regression — UNIGRAM simhash
   * features at wide radius (unselective signatures: ~8% of ALL pairs land
@@ -23,10 +35,16 @@ import graft.ops.{Dedup, TextAnalysis}
   * outcome is BUDGET_OVER and exit 1.
   */
 object Stress {
+  /** Calibration time for the reference host (local[32], 2026-08) — the
+    * machine the absolute budget numbers were measured on. */
+  private val CalibRefSec = 2.0
+
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
     val dir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val plant = args.contains("--plant")
+    val only = args.collectFirst { case a if a.startsWith("--only=") =>
+      a.stripPrefix("--only=").toLowerCase }
     val copies0 = positional.lift(1).map(_.toInt).getOrElse(40)
     val copies = if (plant) math.max(1, copies0 / 40) else copies0
     val spark = GraftSession(appName = "graft-stress")
@@ -42,13 +60,38 @@ object Stress {
       .cache()
     println(s"DOCS=${big.count()} (distinct=${big.select("doc_id").distinct().count()})")
 
+    // Per-run budget normalization: time a fixed data-independent shape
+    // (hash CPU + one shuffle) in this (now warm) JVM; budgets scale by
+    // how much slower this host is than the reference host. Never scales
+    // DOWN (a fast host keeps the reference headroom).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .select(pmod(hash(col("id")), lit(100000)).as("k"),
+          md5(col("id").cast("string")).as("h"))
+        .groupBy("k").agg(count(lit(1)).as("c"), max(col("h")).as("m"))
+        .agg(sum(col("c")), max(col("m"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val budgetScale = sys.env.get("GRAFT_STRESS_SCALE").map(_.toDouble)
+      .getOrElse {
+        calibrate() // warm the code path; time the second run
+        val calibSec = calibrate()
+        println(f"CALIB=$calibSec%.2fs ref=$CalibRefSec%.2fs")
+        math.max(1.0, calibSec / CalibRefSec)
+      }
+    println(f"BUDGET_SCALE=$budgetScale%.2f")
+
     var failed = List.empty[String]
     def gated(name: String, budgetSec: Double)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      val t = (System.nanoTime() - t0) / 1e9
-      val verdict = if (t <= budgetSec) "OK" else { failed ::= name; "BUDGET_OVER" }
-      println(f"$name=$n t=$t%.1fs budget=${budgetSec}%.0fs $verdict")
+      if (only.forall(name.toLowerCase.contains)) {
+        val budget = budgetSec * budgetScale
+        val t0 = System.nanoTime()
+        val n = body
+        val t = (System.nanoTime() - t0) / 1e9
+        val verdict = if (t <= budget) "OK" else { failed ::= name; "BUDGET_OVER" }
+        println(f"$name=$n t=$t%.1fs budget=$budget%.0fs $verdict")
+      }
     }
 
     if (plant) {
@@ -95,6 +138,47 @@ object Stress {
       gated("JACCARD_PAIRS_GUARDED", budgetSec = 320) {
         Dedup.jaccardPairs(big, "doc_id", "text", 3, 0.8,
           maxShingleFreq = Some((big.count() / 100).toInt max 100)).count()
+      }
+      // q45's FULL pipeline at replicated scale: banded candidates →
+      // est-prune → exact verify → O(log d) label contraction → canonical
+      // filter. This is the clustering loop's only replicated-scale
+      // budget; its per-round job count (2 actions: hook + jump, the
+      // convergence probe rides the jump's CollectMetrics) is exactly the
+      // regression class this line exists to catch. threshold=0.5 keeps
+      // the copy-cluster edges (pairwise Jaccard between perturbed copies
+      // sits in [~0.3, ~0.6]), so components contracts real 200k-node /
+      // multi-million-edge input, not an empty edge set.
+      gated("DROP_NEARDUPS_E2E", budgetSec = 170) {
+        Dedup.dropNearDups(big, "doc_id", "text",
+          shingleSize = 2, threshold = 0.5, k = 16, bands = 8).count()
+      }
+      // q46 crossover evidence (PLANS.md): FIXED-FORMAT corpus — random
+      // 12-hex-char serials, every string the same length — the shape
+      // where length-only blocking degenerates to ONE all-pairs bucket.
+      // The PassJoin segment path is gated at 100k rows; at 5k rows both
+      // variants are raced informationally (the length-blocked baseline
+      // is n² by construction there — timing it at 100k would BE the
+      // quadratic blow-up).
+      def serials(n: Long) = spark.range(n)
+        .select(col("id"),
+          substring(md5(col("id").cast("string")), 1, 12).as("s"))
+      gated("EDITDIST_SEG_FIXEDFMT_100K", budgetSec = 60) {
+        Dedup.editDistancePairsSegmented(serials(100000L), "id", "s", 2).count()
+      }
+      def timed(name: String)(body: => Long): Unit = {
+        if (only.forall(name.toLowerCase.contains)) {
+          val t0 = System.nanoTime()
+          val n = body
+          println(f"$name=$n t=${(System.nanoTime() - t0) / 1e9}%.1fs (informational)")
+        }
+      }
+      for (n <- Seq(5000L, 10000L, 20000L, 40000L)) {
+        timed(s"EDITDIST_SEG_FIXEDFMT_${n / 1000}K") {
+          Dedup.editDistancePairsSegmented(serials(n), "id", "s", 2).count()
+        }
+        timed(s"EDITDIST_LEN_FIXEDFMT_${n / 1000}K") {
+          Dedup.editDistancePairs(serials(n), "id", "s", 2).count()
+        }
       }
     }
     spark.stop()

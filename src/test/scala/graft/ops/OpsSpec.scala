@@ -221,6 +221,29 @@ class OpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("lshSignature: native expression bit-identical to the HOF baseline") {
+    // whole corpus: every signature bit must agree (same left-assoc fold)
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val diff = emb.select(
+        Similarity.lshSignature(col("embedding")).as("native"),
+        Similarity.lshSignatureHof(col("embedding")).as("hof"))
+      .filter($"native" =!= $"hof" || $"native".isNull =!= $"hof".isNull)
+    assert(diff.isEmpty, diff.take(3).mkString(","))
+    // edge semantics: null vector → null sig; null ELEMENT → that plane's
+    // dot is null → bit 0 (both forms)
+    val edges = Seq(
+      (1L, Some(Seq[Option[Double]](Some(1.0), Some(2.0)))),
+      (2L, Some(Seq[Option[Double]](Some(1.0), None))),
+      (3L, None)).toDF("id", "v")
+    val got = edges.select($"id",
+        Similarity.lshSignature($"v", nBits = 4, dim = 2).as("n"),
+        Similarity.lshSignatureHof($"v", nBits = 4, dim = 2).as("h"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    got.foreach { case (id, n, h) => assert(n == h, s"id=$id: $n != $h") }
+    assert(got.find(_._1 == 3L).get._2.isEmpty)
+  }
+
   test("bruteForceTopK returns k nearest by cosine, self excluded") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),

@@ -138,7 +138,7 @@ object Similarity {
       if (trainIters > 0)
         kMeansCentroids(base, nCentroids, trainIters, trainSampleFraction)
       else base.orderBy(col("id")).limit(nCentroids)
-        .select(col("id").as("cent_id"), col("cv").as("cv"))
+        .select(col("id").as("cent_id"), col("v").as("cv"))
     // nProbe nearest cells per vector (rank over the broadcast centroids)
     val assigned = Windows.topKPerGroup(
       base.join(broadcast(centroids), lit(true))

@@ -42,15 +42,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.literalInt(args(1), "k"),
         GraftExtensions.literalInt(args(2), "shingleSize"))))
     ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
-      info("hyperplane_sig", "hyperplane_sig(array<double>, nBits, dim) - seeded random-hyperplane LSH signature"),
-      (args: Seq[Expression]) => HyperplaneSig(args(0),
-        graft.ops.Similarity.hyperplanes(
-          GraftExtensions.literalInt(args(1), "nBits"),
-          GraftExtensions.literalInt(args(2), "dim")).toArray)))
+      info("hyperplane_sig", "hyperplane_sig(array, nBits, dim) - seeded random-hyperplane LSH signature; raises on dim mismatch"),
+      GraftExtensions.hyperplaneSigBuilder))
   }
 }
 
 object GraftExtensions {
+
+  /** SQL builder for hyperplane_sig — applies the same array<double> cast
+    * and wrong-dim fail-fast as the Scala API
+    * ([[graft.ops.Similarity.lshSignature]]), rebuilt here as raw Catalyst
+    * nodes (a builder can't round-trip through the Column API: the
+    * wrapping ColumnNodeExpression never resolves inside a SQL plan).
+    * Without the guard, a wrong-dim vector silently yields an all-zero
+    * signature, collapsing the corpus into one LSH bucket (the O(N²) skew
+    * bomb the signature docs warn about). */
+  private def hyperplaneSigBuilder: Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+      val nBits = literalInt(args(1), "nBits")
+      val dim = literalInt(args(2), "dim")
+      val v0 = Cast(args(0), ArrayType(DoubleType))
+      val raise = new RaiseError(Concat(Seq(
+        Literal(s"lshSignature: expected dim $dim, got vector of size "),
+        Coalesce(Seq(Cast(Size(v0), StringType), Literal("null"))))))
+      val guarded = CaseWhen(Seq(
+        (IsNull(v0), v0),
+        (EqualTo(Size(v0), Literal(dim)), v0)), Some(raise))
+      HyperplaneSig(guarded,
+        graft.ops.Similarity.hyperplanes(nBits, dim)
+          .map(_.toIndexedSeq).toIndexedSeq)
+    }
+
   private[graft] def literalInt(e: Expression, arg: String): Int = {
     require(e.foldable,
       s"minhash_sig: $arg must be a literal integer, got non-foldable: $e")
@@ -77,9 +101,6 @@ object GraftExtensions {
         GraftExtensions.literalInt(args(1), "k"),
         GraftExtensions.literalInt(args(2), "shingleSize")), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_sig",
-      (args: Seq[Expression]) => HyperplaneSig(args(0),
-        graft.ops.Similarity.hyperplanes(
-          GraftExtensions.literalInt(args(1), "nBits"),
-          GraftExtensions.literalInt(args(2), "dim")).toArray), "scala_udf")
+      GraftExtensions.hyperplaneSigBuilder, "scala_udf")
   }
 }

@@ -34,10 +34,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * The planes ride along as a reference object (driver-computed constants
   * serialized with the expression), not child expressions — they are
   * query-time constants, and baking them into codegen references keeps
-  * the generated code free of 1024 literal nodes.
+  * the generated code free of 1024 literal nodes. Stored as
+  * `IndexedSeq[IndexedSeq[Double]]` (NOT `Array[Array[Double]]`) so the
+  * case-class equals/hashCode are structural: two signature expressions
+  * over the same planes compare equal, which Catalyst canonicalization
+  * and common-subexpression elimination rely on to dedupe them.
   */
-case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+case class HyperplaneSig(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
     extends UnaryExpression {
+
+  /** Flat JVM arrays for the hot loops; rebuilt after deserialization. */
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
@@ -53,7 +61,7 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val p = ctx.addReferenceObj("planes", planes, "double[][]")
+      val p = ctx.addReferenceObj("planes", planesArr, "double[][]")
       val sig = ctx.freshName("sig")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
@@ -79,11 +87,12 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    val rows = planesArr
     var sig = 0L
-    if (planes.isEmpty || a.numElements() == planes(0).length) {
+    if (rows.isEmpty || a.numElements() == rows(0).length) {
       var i = 0
-      while (i < planes.length) {
-        val p = planes(i)
+      while (i < rows.length) {
+        val p = rows(i)
         var acc = 0.0; var nul = false; var j = 0
         while (!nul && j < p.length) {
           if (a.isNullAt(j)) nul = true
@@ -106,5 +115,6 @@ object HyperplaneSig {
     * expression's type check). */
   def hyperplane_sig(vec: Column, planes: Seq[Array[Double]]): Column =
     GraftShims.toColumn(HyperplaneSig(
-      GraftShims.toExpression(vec.cast("array<double>")), planes.toArray))
+      GraftShims.toExpression(vec.cast("array<double>")),
+      planes.map(_.toIndexedSeq).toIndexedSeq))
 }

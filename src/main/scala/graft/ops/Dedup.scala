@@ -318,6 +318,8 @@ object Dedup {
     * completes, so poll non-blockingly (`Observation.get` would hang
     * forever if the metric never arrived) with a generous deadline —
     * normally the metric is present on the first probe. */
+  private val componentsRunNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def observedChanged(obs: Observation): Long = {
     val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
     var res = GraftShims.observationResults(obs)
@@ -362,7 +364,11 @@ object Dedup {
       // projection: the checkpoint that materializes `next` also counts
       // label changes, so each round is exactly two actions (hook + jump)
       // with no separate convergence job.
-      val obs = Observation(s"components_round_$iters")
+      // the nonce keeps names unique across concurrent components() runs
+      // in one SparkSession — identically named Observations would pick
+      // up each other's metrics
+      val obs = Observation(
+        s"components_${componentsRunNonce.getAndIncrement()}_round_$iters")
       val next = persist(hooked
         .join(hooked.select(col("id").as("jid"), col("label").as("jlabel")),
           col("label") === col("jid"))

@@ -64,7 +64,16 @@ object Joins {
     * Cost model: one extra hash shuffle of the GUARDED side on the join
     * keys (the window), replacing the eager variant's full extra
     * scan + aggregation job. The guarded side of an m:1 contract is the
-    * dimension side, so at 100 TB this is the cheap side either way. */
+    * dimension side, so at 100 TB this is the cheap side either way.
+    *
+    * CAVEAT — the guard sees the side AS RETURNED, not as scanned: the
+    * window counts keys in this DataFrame's result, and Catalyst pushes
+    * later per-key filters BELOW the window. A downstream
+    * `.filter(col(key) === x)` therefore prunes other keys' duplicates
+    * before the count runs — duplicates on pruned keys go undetected
+    * (the surviving key's own duplicates still raise). A contract over
+    * the FULL table needs the guard applied before such filters are
+    * possible, or the eager [[assertUnique]]. */
   def withUniqueKeyGuard(df: DataFrame, keys: Seq[String],
                          side: String = "input"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)

@@ -25,10 +25,14 @@ object Sampling {
     * local top-k), so the exchange carries O(groups · k), not N. */
   def stratifiedByHash(df: DataFrame, groupCols: Seq[String],
                        keyCol: String, k: Int): DataFrame = {
-    val hashed = df.withColumn("__skey", md5(col(keyCol).cast("string")))
+    // collision-safe temp column: a user column literally named "__skey"
+    // must survive (and not be clobbered by) the sort key
+    val skey = Iterator.from(0).map(i => if (i == 0) "__skey" else s"__skey$i")
+      .dropWhile(df.columns.contains).next()
+    val hashed = df.withColumn(skey, md5(col(keyCol).cast("string")))
     Windows.topKPerGroup(hashed, groupCols.map(col),
-        Seq(col("__skey").asc, col(keyCol).asc), k)
-      .drop("__skey")
+        Seq(col(skey).asc, col(keyCol).asc), k)
+      .drop(skey)
   }
 
   /** Deterministic Bernoulli-style sample at rate ≈ num/den: keeps rows

@@ -18,6 +18,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](3).length == 4)
   }
 
+  test("SQL hyperplane_sig matches the Scala API and fail-fasts on wrong dim") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val viaSql = spark.sql("SELECT hyperplane_sig(array(1.0d, -2.0d), 4, 2) s")
+      .collect()(0).getLong(0)
+    val viaApi = Seq(Seq(1.0, -2.0)).toDF("v")
+      .select(graft.ops.Similarity.lshSignature(col("v"), nBits = 4, dim = 2)
+        .as("s")).collect()(0).getLong(0)
+    assert(viaSql == viaApi)
+    // a wrong-dim vector must raise, not silently emit the all-zero
+    // signature that collapses the corpus into one LSH bucket
+    val err = intercept[Throwable] {
+      spark.sql("SELECT hyperplane_sig(array(1.0d), 4, 2) s").collect()
+    }
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("expected dim 2"), msgs)
+  }
+
   test("withExtensions wires functions at session build") {
     // a second session in the same JVM shares the context but gets its own
     // state; extensions must apply

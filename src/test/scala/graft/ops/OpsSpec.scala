@@ -244,6 +244,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get._2.isEmpty)
   }
 
+  test("HyperplaneSig: structural equality across instances (CSE-dedupable)") {
+    // planes are stored structurally (IndexedSeq, not Array): two
+    // independently built signature expressions over the same seed must
+    // compare equal or Catalyst canonicalization/CSE can never dedupe them
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val child = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    def mk() = graft.functions.HyperplaneSig(child,
+      Similarity.hyperplanes(4, 2).map(_.toIndexedSeq).toIndexedSeq)
+    val (e1, e2) = (mk(), mk())
+    assert(e1 == e2)
+    assert(e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+  }
+
   test("bruteForceTopK returns k nearest by cosine, self excluded") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
@@ -365,6 +380,22 @@ class OpsSpec extends AnyFunSuite {
     val b = Sampling.stratifiedByHash(df.repartition(13), Seq("g"), "id", 5)
       .collect().map(r => (r.getString(1), r.getLong(0))).sorted
     assert(a.sameElements(b))
+  }
+
+  test("stratifiedByHash survives a user column named __skey") {
+    val df = TestSpark.spark.range(100)
+      .select(col("id"), pmod(col("id"), lit(2)).cast("string").as("g"),
+        concat(lit("u"), col("id")).as("__skey"))
+    val got = Sampling.stratifiedByHash(df, Seq("g"), "id", 4)
+    assert(got.columns.sameElements(df.columns))
+    val rows = got.collect()
+    assert(rows.length == 8)
+    rows.foreach(r =>
+      assert(r.getString(r.fieldIndex("__skey")) == "u" + r.getLong(0)))
+    // the user column must not perturb the draw itself
+    val base = Sampling.stratifiedByHash(df.drop("__skey"), Seq("g"), "id", 4)
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.map(_.getLong(0)).sorted.sameElements(base))
   }
 
   test("bernoulliByHash: deterministic, rate-proportional, no shuffle") {

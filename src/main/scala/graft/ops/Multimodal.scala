@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   * IMAGE decode/resample is REAL: `javax.imageio` ships with the JDK, so
   * JPEG/PNG/BMP/GIF payloads get true dimensions, a real luminance
   * histogram feature, and a real nearest-neighbor downsample re-encoded
-  * as PNG. Payloads ImageIO cannot parse (the testdata's text-bytes
-  * stand-ins, plus audio/video, whose codecs are NOT in this container)
+  * as PNG. AUDIO decode is REAL for JDK-parseable formats:
+  * `javax.sound.sampled` reads WAV/AIFF/AU PCM payloads into true sample
+  * rate, channel count, duration and an RMS envelope feature. Payloads
+  * neither decoder can parse (the testdata's text-bytes stand-ins,
+  * compressed audio, plus video, whose codecs are NOT in this container)
   * fall back to a deterministic fake (clearly marked STUB below).
   * Everything Spark-side is real either way: schema, partition-preserving
   * mapPartitions, batch shape, column pruning (metadata-only queries
@@ -123,12 +126,92 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU
+    * containers, 8/16-bit PCM — no native codecs needed). Returns
+    * `(sampleRate, channels, feature)` where the 8-dim feature is
+    * `[duration_sec, overall RMS, RMS of 6 equal time slices]` over the
+    * mono mixdown normalized to [-1, 1] — deterministic (integer sample
+    * math, fixed slicing), so the RMS envelope doubles as a cheap
+    * audio fingerprint for dedup. None for null payloads, non-audio byte
+    * streams, and compressed (non-PCM) encodings — callers fall back to
+    * [[stubDecode]].
+    *
+    * Scale note: like [[decodeImage]] this is partition-local and
+    * allocation-light (one pass over the frames, no sample buffer). */
+  private[ops] def decodeAudio(payload: Array[Byte])
+      : Option[(Int, Int, Array[Float])] = {
+    if (payload == null) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16)) return None
+        val bytes = ais.readAllBytes()
+        val channels = fmt.getChannels
+        val frameBytes = fmt.getFrameSize
+        val nFrames = bytes.length / frameBytes
+        if (nFrames == 0) return None
+        val big = fmt.isBigEndian
+        // mono mixdown in [-1, 1] for frame i
+        def sample(i: Int): Double = {
+          var c = 0
+          var acc = 0.0
+          while (c < channels) {
+            val off = i * frameBytes + c * (bits / 8)
+            val raw =
+              if (bits == 8) {
+                if (signed) bytes(off).toInt else (bytes(off) & 0xFF) - 128
+              } else {
+                val (b0, b1) = if (big) (bytes(off), bytes(off + 1))
+                               else (bytes(off + 1), bytes(off))
+                // high byte sign-extends only for signed PCM
+                val hi = if (signed) b0.toInt else b0 & 0xFF
+                val v = (hi << 8) | (b1 & 0xFF)
+                if (signed) v else v - 32768
+              }
+            acc += raw / (if (bits == 8) 128.0 else 32768.0)
+            c += 1
+          }
+          acc / channels
+        }
+        // one pass: total sum-of-squares + 6 equal-slice sums
+        val slices = 6
+        val sliceSq = new Array[Double](slices)
+        val sliceN = new Array[Long](slices)
+        var i = 0
+        while (i < nFrames) {
+          val s = sample(i)
+          val slice = math.min(slices - 1, (i.toLong * slices / nFrames).toInt)
+          sliceSq(slice) += s * s
+          sliceN(slice) += 1
+          i += 1
+        }
+        val totalSq = sliceSq.sum
+        val feat = new Array[Float](8)
+        feat(0) = (nFrames / fmt.getSampleRate.toDouble).toFloat
+        feat(1) = math.sqrt(totalSq / nFrames).toFloat
+        var k = 0
+        while (k < slices) {
+          feat(2 + k) =
+            if (sliceN(k) == 0) 0f else math.sqrt(sliceSq(k) / sliceN(k)).toFloat
+          k += 1
+        }
+        Some((math.round(fmt.getSampleRate), channels, feat))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** ======================== STUB ========================
-    * Deterministic FAKE decoder for payloads the real decoder can't parse
-    * (audio/video codecs are not in this container; the testdata's image
-    * payloads are text-byte stand-ins): derives "dimensions" and a
-    * fixed-size "feature vector" purely from the payload bytes so tests
-    * are exact. The Spark plumbing around it is final. */
+    * Deterministic FAKE decoder for payloads the real decoders can't
+    * parse (video codecs are not in this container; the testdata's
+    * image/audio payloads are text-byte stand-ins): derives "dimensions"
+    * and a fixed-size "feature vector" purely from the payload bytes so
+    * tests are exact. The Spark plumbing around it is final. */
   private def stubDecode(mediaId: Long, kind: String,
                          payload: Array[Byte]): MediaFeatures = {
     val n = if (payload == null) 0L else payload.length.toLong
@@ -145,15 +228,22 @@ object Multimodal {
     * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs) —
     * each task decodes its partition's payloads without any shuffle.
     * Image payloads get the REAL javax.imageio decode (true dimensions +
-    * luminance histogram feature); unparseable payloads and audio/video
-    * fall back to the deterministic stub. */
+    * luminance histogram feature); audio payloads the REAL
+    * javax.sound.sampled PCM decode (width := sample rate Hz,
+    * height := channels, feature := duration + RMS envelope — see
+    * [[decodeAudio]]); unparseable payloads and video fall back to the
+    * deterministic stub. */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, payload) =>
-        (if (kind == "image") decodeImage(payload) else None) match {
+        (kind match {
+          case "image" => decodeImage(payload)
+          case "audio" => decodeAudio(payload)
+          case _ => None
+        }) match {
           case Some((w, h, feat)) =>
             MediaFeatures(id, kind, payload.length.toLong, w, h, feat)
           case None => stubDecode(id, kind, payload)

@@ -409,6 +409,43 @@ class OpsSpec extends AnyFunSuite {
     assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  /** A real WAV built in-process through the JDK encoder: 16-bit signed
+    * little-endian mono PCM at 8 kHz, constant amplitude 8192 (= 0.25
+    * normalized) — so every RMS, overall and per slice, is exactly 0.25. */
+  private def wavFixture(nFrames: Int = 4000, rate: Float = 8000f,
+                         amplitude: Short = 8192): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      pcm(2 * i) = (amplitude & 0xFF).toByte          // little-endian lo
+      pcm(2 * i + 1) = ((amplitude >> 8) & 0xFF).toByte // hi
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: REAL WAV decode — sample rate, channels, duration, RMS") {
+    val wav = wavFixture() // 4000 frames @ 8 kHz = 0.5 s, RMS 0.25
+    val media = Seq((1L, "audio", wav), (2L, "video", wav))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    // audio row: real decode — width := sample rate, height := channels
+    assert(feats(0).width == 8000 && feats(0).height == 1)
+    assert(feats(0).n_bytes == wav.length.toLong)
+    assert(feats(0).feature.length == 8)
+    assert(math.abs(feats(0).feature(0) - 0.5f) < 1e-6, "duration_sec")
+    feats(0).feature.drop(1).foreach(r =>
+      assert(math.abs(r - 0.25f) < 1e-6, s"rms $r"))
+    // same bytes declared video: stub path (no JDK video decode)
+    assert(feats(1).width == (wav.length % 640) + 1)
+  }
+
   test("multimodal: REAL PNG resize — pixel downsample, re-encoded PNG") {
     val png = pngFixture()
     val media = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")

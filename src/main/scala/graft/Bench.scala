@@ -15,11 +15,16 @@ import org.apache.spark.sql.SparkSession
   *    comparable.
   */
 object Bench {
-  private val Runs = 2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // drift-chasing knobs: SPARK_GRAFT_BENCH_ONLY=q29,q45 restricts to
+    // name prefixes; SPARK_GRAFT_BENCH_RUNS=5 raises the per-query run
+    // count (min still reported). Defaults reproduce the driver gate.
+    val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,6 +38,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // failures must be visible: a crashing query must never masquerade as
     // a fast timing (it is reported in "failed" and excluded from totals)
     def pass(): Seq[(String, Double, Boolean)] = names.map { case (name, fn) =>
@@ -44,7 +50,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      // per-run times on stderr so drift chases see the variance the
+      // min-of-runs JSON hides
+      if (ok) System.err.println(f"[bench] $name%-24s $t%.3f s")
+      (name, t, ok)
     }
     val runs = Seq.fill(Runs)(pass())
     val byName = runs.flatten.groupBy(_._1)

@@ -69,29 +69,87 @@ object FaScale {
     }
   }
 
+  /** Merged-panel rows for the seeded (8 counties × 20000 props) gate
+    * corpus — the generator and the deterministic-rank pipeline are both
+    * pure functions of the seeds, so any drift is a cleaning/join-
+    * cardinality regression. Re-pin only for an INTENTIONAL semantics
+    * change. */
+  private val GateRows = 50079L
+  /** Pipeline wall budget (seconds, reference host): measured 18.1 s on
+    * local[32]; ~2.5× headroom, scaled by [[Calib.budgetScale]]. */
+  private val GateBudgetSec = 45.0
+
   def main(args: Array[String]): Unit = {
-    val nCounties = args.lift(0).map(_.toInt).getOrElse(8)
-    val propsPerCounty = args.lift(1).map(_.toInt).getOrElse(20000)
+    val gate = args.contains("--gate")
+    val positional = args.filterNot(_.startsWith("--"))
+    val nCounties = positional.lift(0).map(_.toInt).getOrElse(8)
+    val propsPerCounty = positional.lift(1).map(_.toInt).getOrElse(20000)
     val base = Files.createTempDirectory("fa_scale").toString
     println(s"GENERATING $nCounties counties x $propsPerCounty props -> $base")
     generate(base, nCounties, propsPerCounty)
 
     val spark = GraftSession(appName = "fa-scale")
+    // calibrate BEFORE timing the pipeline: the warm-up it does would
+    // otherwise be billed to the pipeline budget
+    val budgetScale = if (gate) Calib.budgetScale(spark) else 1.0
     val t0 = System.nanoTime()
     val merged = new Pipeline(spark, base, partitionByFips = true).run()
     val rows = merged.count()
-    println(f"MERGED_ROWS=$rows PIPELINE_T=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    println(f"MERGED_ROWS=$rows PIPELINE_T=$pipelineSec%.1fs")
 
     // County pruning: a FIPS-filtered read of the hive-partitioned staging
-    // must scan only that county's partition.
+    // must scan only that county's partition — verified PHYSICALLY via the
+    // scan's numFiles metric against the files actually in the partition
+    // dir, not just by the plan mentioning a PartitionFilter.
     val oneFips = f"${10001}%05d"
     val pruned = spark.read.parquet(s"$base/staging/Prop")
       .filter(col("FIPS") === oneFips)
-    val plan = pruned.queryExecution.executedPlan.toString
-    val partFilters = plan.contains(s"FIPS#") || plan.contains("PartitionFilters")
-    println(s"PRUNED_COUNT=${pruned.count()} PARTITION_FILTERED=$partFilters")
-    println(plan.linesIterator.filter(_.contains("PartitionFilters"))
-      .take(2).mkString("\n"))
+    val qe = pruned.queryExecution
+    // one execution populates this plan instance's scan metrics
+    val prunedCount = qe.executedPlan.executeCollect().length
+    val scannedFiles = qe.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.getOrElse(-1L)
+    val partitionFiles = {
+      val s = Files.list(Paths.get(s"$base/staging/Prop/FIPS=$oneFips"))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    println(s"PRUNED_COUNT=$prunedCount SCANNED_FILES=$scannedFiles " +
+      s"PARTITION_FILES=$partitionFiles")
+    println(qe.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).take(2).mkString("\n"))
+
+    // plan hygiene on the merged panel: a lost join condition shows up as
+    // a nested-loop/cartesian join long before it shows up as wall time
+    val mergedPlan = merged.queryExecution.executedPlan.toString
+    val joinRegression = mergedPlan.contains("CartesianProduct") ||
+      mergedPlan.contains("BroadcastNestedLoopJoin")
+
+    if (gate) {
+      val budget = GateBudgetSec * budgetScale
+      var failures = List.empty[String]
+      def check(ok: Boolean, msg: String): Unit = if (!ok) failures ::= msg
+      check(nCounties == 8 && propsPerCounty == 20000,
+        s"gate corpus must be 8x20000 (got ${nCounties}x$propsPerCounty) — " +
+          "GateRows is pinned to that seed")
+      check(rows == GateRows, s"merged rows $rows != pinned $GateRows " +
+        "(cleaning/join-cardinality drift)")
+      check(pipelineSec <= budget,
+        f"pipeline $pipelineSec%.1fs over budget $budget%.1fs")
+      check(scannedFiles > 0 && scannedFiles == partitionFiles,
+        s"partition pruning LOST: scanned $scannedFiles files, " +
+          s"one county has $partitionFiles")
+      check(!joinRegression, "merged plan contains a nested-loop/cartesian join")
+      if (failures.nonEmpty) {
+        failures.foreach(f => println(s"FASCALE_GATE_FAIL: $f"))
+        spark.stop()
+        sys.exit(1)
+      }
+      println("FASCALE_GATE=OK")
+    }
     spark.stop()
   }
 }

@@ -35,10 +35,6 @@ import graft.ops.{Dedup, TextAnalysis}
   * outcome is BUDGET_OVER and exit 1.
   */
 object Stress {
-  /** Calibration time for the reference host (local[32], 2026-08) — the
-    * machine the absolute budget numbers were measured on. */
-  private val CalibRefSec = 2.0
-
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
     val dir = positional.headOption.getOrElse("/root/testdata/sf0.1")
@@ -60,26 +56,10 @@ object Stress {
       .cache()
     println(s"DOCS=${big.count()} (distinct=${big.select("doc_id").distinct().count()})")
 
-    // Per-run budget normalization: time a fixed data-independent shape
-    // (hash CPU + one shuffle) in this (now warm) JVM; budgets scale by
-    // how much slower this host is than the reference host. Never scales
-    // DOWN (a fast host keeps the reference headroom).
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0, 20000000L, 1, 32)
-        .select(pmod(hash(col("id")), lit(100000)).as("k"),
-          md5(col("id").cast("string")).as("h"))
-        .groupBy("k").agg(count(lit(1)).as("c"), max(col("h")).as("m"))
-        .agg(sum(col("c")), max(col("m"))).collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val budgetScale = sys.env.get("GRAFT_STRESS_SCALE").map(_.toDouble)
-      .getOrElse {
-        calibrate() // warm the code path; time the second run
-        val calibSec = calibrate()
-        println(f"CALIB=$calibSec%.2fs ref=$CalibRefSec%.2fs")
-        math.max(1.0, calibSec / CalibRefSec)
-      }
+    // Per-run budget normalization — shared with the FaScale gate
+    // ([[Calib]]): budgets scale by how much slower this host is than the
+    // reference host.
+    val budgetScale = Calib.budgetScale(spark)
     println(f"BUDGET_SCALE=$budgetScale%.2f")
 
     var failed = List.empty[String]

@@ -1,5 +1,6 @@
 #!/bin/bash
-# CI gate: unit/spec suite + correctness vs DuckDB oracle + stress budgets.
+# CI gate: unit/spec suite + correctness vs DuckDB oracle + stress budgets
+# + FA pipeline scale gate.
 # Any failure exits nonzero. From /root/repo:
 #   bash tools/ci.sh
 set -euo pipefail
@@ -14,5 +15,10 @@ python3 tools/check.py /root/testdata/sf0.01 "$out/verify"
 # per-shape time budgets on the 200k-doc replicated corpus: catches
 # selectivity/candidate-volume regressions before the bench does
 sbt -batch "runMain graft.tools.Stress /root/testdata/sf0.1 40"
+
+# FA pipeline gate (8 synthetic counties end-to-end): pinned panel rows,
+# calibrated wall budget, PHYSICAL partition-pruning check (scan numFiles
+# == one county's files), no nested-loop/cartesian in the merged plan
+sbt -batch "runMain graft.tools.FaScale 8 20000 --gate"
 
 echo "CI_OK"

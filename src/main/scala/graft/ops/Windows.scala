@@ -43,9 +43,18 @@ object Windows {
     * idiom's shuffle to ~|groups| rows, and scan decode dominates. (The
     * round-1 "3.2×" number was a count()-sink artifact: Catalyst pruned
     * the un-referenced max_by wholesale, timing a gutted plan.) The agg
-    * form still drops two per-partition sorts + the rank pass from the
-    * plan — CPU/spill headroom with wide rows at cluster scale — and is
-    * never worse. `ordering` must be a struct column whose lexicographic
+    * form drops two per-partition sorts + the rank pass from the plan;
+    * round-5 wide-row measurement (`tools/WideRowRace`, 4M rows × 55
+    * columns incl. 26 strings, noop sink, 32 g heap) shows that does NOT
+    * buy wall-clock either: window 4.54 s vs agg 5.09 s min-of-3 — equal
+    * within noise, because `InferWindowGroupLimit`'s per-partition
+    * group-limit discards losers BEFORE the sort sees most rows. Under an
+    * 8 g heap the same wide shape drives BOTH forms into executor-killing
+    * spill OOMs (sorter and hash-agg buffers alike hold whole wide rows),
+    * so the real wide-row lever at scale is partition sizing, not
+    * window-vs-agg. Keep whichever reads better; this one survives as the
+    * A1 plan-shape alternative.
+    * `ordering` must be a struct column whose lexicographic
     * MAX picks the winner (negate numeric components for ascending
     * tie-breaks); ties must be impossible for determinism. Returns the
     * original columns. */

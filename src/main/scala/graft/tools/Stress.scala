@@ -160,6 +160,42 @@ object Stress {
           Dedup.editDistancePairs(serials(n), "id", "s", 2).count()
         }
       }
+      // Trained IVF with SAMPLED training at replicated scale: k-means on
+      // a deterministic 10% hash sample of a copies×-replicated,
+      // per-copy-perturbed embedding corpus (every copy nudged ±0.003 per
+      // component so the clones are near- but not exact dups). Gates BOTH
+      // the wall budget and recall@5 vs brute force on the same corpus —
+      // the sample-fraction machinery's only replicated-scale check.
+      val bigEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .crossJoin(spark.range(0, copies).withColumnRenamed("id", "copy"))
+        .select((col("vec_id") * copies + col("copy")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(col("copy") * 31 + i, lit(7)) - lit(3))
+              .cast("float") * lit(0.001f)).cast("float")).as("embedding"))
+        .repartition(32)
+        .cache()
+      println(s"EMB=${bigEmb.count()}")
+      gated("IVF_TRAINED_SAMPLE10_RECALL", budgetSec = 25) { // measured 8.9 s
+        def topSet(df: org.apache.spark.sql.DataFrame) = df
+          .select("query_id", "cand_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        val stride = 2000L * copies / 40 // ~100 queries at the default 40×
+        val bf = topSet(graft.ops.Similarity.bruteForceTopK(
+          bigEmb, "vec_id", "embedding", k = 5, stride = stride))
+        val ivf = topSet(graft.ops.Similarity.ivfTopK(
+          bigEmb, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 5,
+          queryStride = stride, trainIters = 2, trainSampleFraction = 0.1))
+        val recalls = bf.map { case (q, truth) =>
+          ivf.get(q).map(c => (c & truth).size.toDouble / truth.size)
+            .getOrElse(0.0)
+        }
+        val mean = recalls.sum / recalls.size
+        println(f"IVF_SAMPLE10_RECALL@5=$mean%.3f queries=${bf.size}")
+        if (mean < 0.9) failed ::= "IVF_TRAINED_SAMPLE10_RECALL(recall<0.9)"
+        (mean * 1000).toLong
+      }
+      bigEmb.unpersist()
     }
     spark.stop()
     if (failed.nonEmpty) {

@@ -80,6 +80,32 @@ object OracleGen {
        FROM reach GROUP BY id"""
   }
 
+  /** Incremental admission oracle: batch = docs with doc_id % mod = 0,
+    * corpus = the rest. A batch doc is `dup_corpus` if some exact-Jaccard
+    * pair (same relation as [[jaccardSql]]) connects it to a corpus doc,
+    * else `dup_batch` if a pair connects it to a SMALLER-id batch doc,
+    * else `accepted` — mirroring `Dedup.incrementalNearDups`' pairwise
+    * (non-chained) semantics and its dup_corpus-first precedence. */
+  def incrementalSql(n: Int, threshold: Double, mod: Int): String =
+    s"""WITH ${gramCtes(n)},
+       pairs AS (SELECT doc_a, doc_b FROM inter
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold),
+       corp_rej AS (SELECT DISTINCT
+           CASE WHEN doc_a % $mod = 0 THEN doc_a ELSE doc_b END AS doc_id
+         FROM pairs WHERE (doc_a % $mod = 0) <> (doc_b % $mod = 0)),
+       batch_rej AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+         WHERE doc_a % $mod = 0 AND doc_b % $mod = 0)
+       SELECT d.doc_id,
+         CASE WHEN c.doc_id IS NOT NULL THEN 'dup_corpus'
+              WHEN r.doc_id IS NOT NULL THEN 'dup_batch'
+              ELSE 'accepted' END AS status
+       FROM documents d
+       LEFT JOIN corp_rej c ON d.doc_id = c.doc_id
+       LEFT JOIN batch_rej r ON d.doc_id = r.doc_id
+       WHERE d.doc_id % $mod = 0"""
+
   /** `v[1]*p1 + v[2]*p2 + …` — left-associated, matching the
     * `aggregate(zip_with(...))` fold in `Similarity.lshSignature`. */
   private def planeDot(vec: String, plane: Array[Double]): String =

@@ -283,6 +283,20 @@ object SparkEntry {
       t(s, dir, "documents").select(col("lang"), col("doc_id")),
       Seq("lang"), "doc_id", k = 10)
 
+  /** Incremental corpus admission (nightly-ingest dedup): batch =
+    * doc_id % 10 == 0, corpus = the rest. Batch docs are admitted unless
+    * near-dup (3-gram Jaccard ≥ 0.8, LSH-then-verify) of a corpus doc or
+    * of a smaller-id batch doc. The corpus side is touched only via its
+    * narrow band index — the artifact a 100 TB pipeline persists. */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", k = 16, bands = 8, shingleSize = 3,
+      minEstJaccard = 0.5, threshold = 0.8)
+  }
+
   /** 3-gram Jaccard near-dup pairs (threshold 0.8) in the composable scale
     * shape: MinHash-LSH candidates, then exact Jaccard verification of only
     * those candidates. Same result as the raw inverted-index sweep
@@ -575,6 +589,7 @@ object SparkEntry {
     "q47_ann_ivf_trained" -> (qAnnIvfTrained _),
     "q48_tfidf_topk" -> (qTfIdf _),
     "q49_stratified_sample" -> (qStratifiedSample _),
+    "q50_incremental_dedup" -> (qIncrementalDedup _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -757,6 +772,8 @@ object SparkEntry {
     "q28_minhash_lsh" -> OracleGen.jaccardSql(n = 4, threshold = 0.75),
     "q29_simhash_hybrid" -> OracleGen.jaccardSql(n = 2, threshold = 0.8),
     "q45_neardup_dedup" -> OracleGen.componentsSql(n = 2, threshold = 0.8),
+    "q50_incremental_dedup" ->
+      OracleGen.incrementalSql(n = 3, threshold = 0.8, mod = 10),
     "q46_editdist_pairs" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
            WHERE p_partkey % 10 = 0)

@@ -71,6 +71,23 @@ object Dedup {
       graft.functions.MinHashSig.minhash_sig(
         split(col(textCol), " "), k, shingleSize).as("sig"))
 
+  /** Narrow LSH band index `(doc_id, band, band_key)` of a signature set —
+    * the ONE banding definition, shared by the self-join candidate path
+    * ([[minHashCandidates]]) and the incremental batch-vs-corpus path
+    * ([[incrementalNearDups]]). At 100 TB this is the artifact a pipeline
+    * PERSISTS: three narrow columns per (doc, band), bucketable by
+    * band_key, reusable across every subsequent batch admission. */
+  def bandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"),
+          array_join(transform(slice(col("sig"), col("band") * r + 1, lit(r)),
+            _.cast("string")), ",")).as("band_key"))
+  }
+
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
     * bucket-join on (band, bandKey), emit each pair once with the
     * signature-estimated Jaccard. */
@@ -79,7 +96,6 @@ object Dedup {
                         shingleSize: Int = 3,
                         minEstJaccard: Double = 0.0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     val sigs = minHashSignatures(df, idCol, textCol, k, shingleSize)
     // Bucket join ships ONLY (band, band_key, doc_id) — candidate pairs are
     // deduplicated while still narrow, and the k-long signatures are
@@ -91,12 +107,7 @@ object Dedup {
     // MinHashSig expression recompute is cheaper than materializing
     // k longs × corpus (cache/checkpoint) at 100 TB; if the signature fn
     // ever becomes expensive again, persist `sigs` here instead.
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(col("band"),
-          array_join(transform(slice(col("sig"), col("band") * r + 1, lit(r)),
-            _.cast("string")), ",")).as("band_key"))
+    val banded = bandKeys(sigs, k, bands)
     val pairs = banded.select(col("band"), col("band_key"),
         col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("band_key"),
@@ -160,6 +171,95 @@ object Dedup {
       shingleSize, minEstJaccard)
     exactJaccardFor(docs, cands, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental corpus admission — dedup a NEW batch of docs against an
+    * EXISTING corpus plus itself, the nightly-ingest shape of a training
+    * corpus: the corpus is never re-deduped, only the batch is decided.
+    *
+    * Returns one row per batch doc: `(doc_id, status)` with status
+    * `dup_corpus` (a near-dup of some corpus doc — checked first),
+    * `dup_batch` (a near-dup of a smaller-id batch doc), or `accepted`.
+    * Rejection is PAIRWISE against all smaller-id batch docs, not chained
+    * through the greedy admission order — deterministic, order-independent,
+    * and exactly SQL-expressible (OracleGen.incrementalSql), at the cost of
+    * rejecting a doc whose only smaller near-dup was itself rejected.
+    *
+    * Scale shape (the reason this is not "union + re-dedup"):
+    *  - the corpus side is touched ONLY through its narrow [[bandKeys]]
+    *    index (3 columns per (doc, band)) — at 100 TB that index is a
+    *    persisted, bucketed table and the nightly cost is one semi-join of
+    *    the batch's band keys against it, never a corpus re-scan;
+    *  - the batch index is tiny (a day's ingest), so it BROADCASTS into
+    *    the corpus-index join — no shuffle of the big side;
+    *  - corpus text is fetched only for verify candidates (O(candidates),
+    *    not O(corpus)).
+    * Recall rides the same banding guarantee the self-join path pins
+    * (P(miss at t) = (1-t^r)^bands per pair; spec-checked here against the
+    * brute-force relation). */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                          minEstJaccard: Double = 0.5,
+                          threshold: Double = 0.8): DataFrame =
+    incrementalNearDupsFromSigs(
+      minHashSignatures(corpus, idCol, textCol, k, shingleSize),
+      corpus, batch, idCol, textCol, k, bands, shingleSize,
+      minEstJaccard, threshold)
+
+  /** [[incrementalNearDups]] with the corpus side's signatures supplied —
+    * the production form: `corpusSigs` `(doc_id, sig)` is the persisted
+    * index artifact (computed once per doc, ever), so a batch admission
+    * never recomputes signatures over the corpus. `corpus` itself is only
+    * consulted for candidate verify text (O(candidates) rows read). */
+  def incrementalNearDupsFromSigs(corpusSigs: DataFrame,
+                          corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                          minEstJaccard: Double = 0.5,
+                          threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val corpusIdx = bandKeys(corpusSigs, k, bands)
+    val batchSigs = minHashSignatures(batch, idCol, textCol, k, shingleSize)
+    val batchIdx = bandKeys(batchSigs, k, bands)
+    // batch (small) broadcasts; corpus index streams — the only work on the
+    // corpus side is this hash probe plus the per-candidate verify fetch.
+    val cands = broadcast(batchIdx
+        .select(col("band"), col("band_key"), col("doc_id").as("doc_a")))
+      .join(corpusIdx.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_b")), Seq("band", "band_key"))
+      .select("doc_a", "doc_b").distinct()
+    // Same est-Jaccard prune as the self-join path: drop banding-collision
+    // candidates on the cheap signature agreement before the wide
+    // shingle-set verify join touches corpus text.
+    val agree = (0 until k).map(i =>
+        when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1)
+          .otherwise(0))
+      .reduce[Column](_ + _)
+    val pruned = cands
+      .join(batchSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(corpusSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter((agree.cast("double") / k) >= minEstJaccard)
+      .select("doc_a", "doc_b")
+    val all = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val dupCorpus = exactJaccardFor(all, pruned, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("__dc", lit(1))
+    // Within-batch near-dups: the standard self-join path on the (small)
+    // batch alone; the larger id of each true pair is the reject.
+    val dupBatch = minHashNearDups(batch, idCol, textCol, k, bands,
+        shingleSize, minEstJaccard, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__db", lit(1))
+    batch.select(col(idCol).as("doc_id"))
+      .join(broadcast(dupCorpus), Seq("doc_id"), "left")
+      .join(broadcast(dupBatch), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__dc").isNotNull, "dup_corpus")
+          .when(col("__db").isNotNull, "dup_batch")
+          .otherwise("accepted").as("status"))
   }
 
   /** SimHash near-duplicates, end to end: pigeonhole-banded candidates for

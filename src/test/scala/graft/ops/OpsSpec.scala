@@ -159,6 +159,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 2L))))
   }
 
+  test("incrementalNearDups: statuses and dup_corpus precedence on a planted fixture") {
+    val corpus = Seq(
+      (1L, "x y z w v u t s q r"),
+      (2L, "some other corpus doc with its own distinct words here"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x y z w v u t s q r"),   // dup of corpus 1
+      (20L, "m n o p q r s t u v w"), // first of a batch-internal pair -> accepted
+      (30L, "m n o p q r s t u v w"), // dup of smaller batch doc 20
+      (40L, "entirely fresh unique content nothing matches this at all"),
+      (50L, "x y z w v u t s q r"),   // dup of corpus 1 AND of batch 10 -> corpus wins
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got.sameElements(Array(
+      10L -> "dup_corpus", 20L -> "accepted", 30L -> "dup_batch",
+      40L -> "accepted", 50L -> "dup_corpus")))
+  }
+
   test("minHash candidates contain the identical pair with est_jaccard 1.0") {
     val docs = Seq(
       (1L, "x y z w v u t s q r a b"),

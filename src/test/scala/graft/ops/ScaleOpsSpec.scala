@@ -80,6 +80,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sweep.nonEmpty && lsh.sameElements(sweep))
   }
 
+  test("incrementalNearDups == statuses derived from the exact pair sweep") {
+    // The q50 semantics, derived independently in Scala from the brute
+    // force exact relation over the WHOLE corpus: dup_corpus if paired
+    // across the batch boundary, else dup_batch if paired with a smaller
+    // batch id, else accepted.
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val isBatch = (id: Long) => id % 10 == 0
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val batchIds = docs.filter($"doc_id" % 10 === 0)
+      .select("doc_id").as[Long].collect()
+    val dupCorpus = pairs.collect {
+      case (a, b) if isBatch(a) ^ isBatch(b) => if (isBatch(a)) a else b
+    }.toSet
+    val dupBatch = pairs.collect {
+      case (a, b) if isBatch(a) && isBatch(b) => b
+    }.toSet
+    val expected = batchIds.map(id =>
+      id -> (if (dupCorpus(id)) "dup_corpus"
+             else if (dupBatch(id)) "dup_batch"
+             else "accepted")).sortBy(_._1)
+    val got = Dedup.incrementalNearDups(
+        docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+        "doc_id", "text", k = 16, bands = 8, shingleSize = 3,
+        minEstJaccard = 0.5, threshold = 0.8)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got.nonEmpty && got.sameElements(expected))
+  }
+
   test("hybridNearDups == raw jaccardPairs sweep (2-gram) on the corpus") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

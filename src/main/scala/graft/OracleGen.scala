@@ -106,6 +106,23 @@ object OracleGen {
        LEFT JOIN batch_rej r ON d.doc_id = r.doc_id
        WHERE d.doc_id % $mod = 0"""
 
+  /** Train/eval leakage oracle: eval = docs with doc_id % mod = rem,
+    * train = the rest; is_leak iff an exact-Jaccard pair crosses the
+    * split — mirroring `Dedup.leakageFlags` (eval-internal dups are NOT
+    * leaks). */
+  def leakageSql(n: Int, threshold: Double, mod: Int, rem: Int): String =
+    s"""WITH ${gramCtes(n)},
+       pairs AS (SELECT doc_a, doc_b FROM inter
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold),
+       leak AS (SELECT DISTINCT
+           CASE WHEN doc_a % $mod = $rem THEN doc_a ELSE doc_b END AS doc_id
+         FROM pairs WHERE (doc_a % $mod = $rem) <> (doc_b % $mod = $rem))
+       SELECT d.doc_id, (l.doc_id IS NOT NULL) AS is_leak
+       FROM documents d LEFT JOIN leak l ON d.doc_id = l.doc_id
+       WHERE d.doc_id % $mod = $rem"""
+
   /** `v[1]*p1 + v[2]*p2 + …` — left-associated, matching the
     * `aggregate(zip_with(...))` fold in `Similarity.lshSignature`. */
   private def planeDot(vec: String, plane: Array[Double]): String =

@@ -297,6 +297,24 @@ object SparkEntry {
       minEstJaccard = 0.5, threshold = 0.8)
   }
 
+  /** Token-window chunking: 32-token chunks, 8-token overlap — the
+    * pack-into-context-window step. Pure per-row explode, no shuffle. */
+  private def qChunkTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 32, overlap = 8)
+
+  /** Train/eval leakage flags: eval = doc_id % 5 == 1 (~20%), train = the
+    * rest; is_leak iff the eval doc has a 3-gram-Jaccard-0.8 near-dup in
+    * train. Same broadcast-into-band-index shape as q50. */
+  private def qLeakageFlags(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.leakageFlags(
+      docs.filter(col("doc_id") % 5 =!= 1),
+      docs.filter(col("doc_id") % 5 === 1),
+      "doc_id", "text", k = 16, bands = 8, shingleSize = 3,
+      minEstJaccard = 0.5, threshold = 0.8)
+  }
+
   /** 3-gram Jaccard near-dup pairs (threshold 0.8) in the composable scale
     * shape: MinHash-LSH candidates, then exact Jaccard verification of only
     * those candidates. Same result as the raw inverted-index sweep
@@ -590,6 +608,8 @@ object SparkEntry {
     "q48_tfidf_topk" -> (qTfIdf _),
     "q49_stratified_sample" -> (qStratifiedSample _),
     "q50_incremental_dedup" -> (qIncrementalDedup _),
+    "q51_chunk_tokens" -> (qChunkTokens _),
+    "q52_leakage_flags" -> (qLeakageFlags _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -774,6 +794,14 @@ object SparkEntry {
     "q45_neardup_dedup" -> OracleGen.componentsSql(n = 2, threshold = 0.8),
     "q50_incremental_dedup" ->
       OracleGen.incrementalSql(n = 3, threshold = 0.8, mod = 10),
+    "q51_chunk_tokens" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         SELECT doc_id, s // 24 AS chunk_idx,
+           array_to_string(t[s+1 : s+32], ' ') AS chunk,
+           CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens
+         FROM toks, UNNEST(range(0, greatest(len(t), 1), 24)) AS u(s)""",
+    "q52_leakage_flags" ->
+      OracleGen.leakageSql(n = 3, threshold = 0.8, mod = 5, rem = 1),
     "q46_editdist_pairs" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
            WHERE p_partkey % 10 = 0)

@@ -207,17 +207,18 @@ object Dedup {
       corpus, batch, idCol, textCol, k, bands, shingleSize,
       minEstJaccard, threshold)
 
-  /** [[incrementalNearDups]] with the corpus side's signatures supplied —
-    * the production form: `corpusSigs` `(doc_id, sig)` is the persisted
-    * index artifact (computed once per doc, ever), so a batch admission
-    * never recomputes signatures over the corpus. `corpus` itself is only
-    * consulted for candidate verify text (O(candidates) rows read). */
-  def incrementalNearDupsFromSigs(corpusSigs: DataFrame,
-                          corpus: DataFrame, batch: DataFrame,
-                          idCol: String, textCol: String,
-                          k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
-                          minEstJaccard: Double = 0.5,
-                          threshold: Double = 0.8): DataFrame = {
+  /** Distinct batch doc ids with a near-dup (n-gram Jaccard ≥ threshold)
+    * in `corpus` — the cross-set half of [[incrementalNearDups]], exposed
+    * because it IS the train/eval leakage check ([[leakageFlags]]): batch
+    * band keys broadcast into the corpus index, est-Jaccard prunes banding
+    * collisions on signature agreement, exact verify touches corpus text
+    * only for surviving candidates. */
+  def crossNearDupIds(corpusSigs: DataFrame,
+                      corpus: DataFrame, batch: DataFrame,
+                      idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                      minEstJaccard: Double = 0.5,
+                      threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val corpusIdx = bandKeys(corpusSigs, k, bands)
     val batchSigs = minHashSignatures(batch, idCol, textCol, k, shingleSize)
@@ -243,9 +244,45 @@ object Dedup {
       .select("doc_a", "doc_b")
     val all = corpus.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
-    val dupCorpus = exactJaccardFor(all, pruned, idCol, textCol, shingleSize)
+    exactJaccardFor(all, pruned, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a").as("doc_id")).distinct()
+  }
+
+  /** Train/eval contamination flags: one row per eval doc, `is_leak` true
+    * iff the eval doc has a near-dup in the training set. The split
+    * stays intact (eval-internal dups are NOT leaks — they bias variance,
+    * not validity); callers drop or keep flagged rows by policy. Same
+    * scale shape as [[crossNearDupIds]]: eval is the small broadcast side,
+    * train is touched only via its band index. */
+  def leakageFlags(train: DataFrame, eval_ : DataFrame,
+                   idCol: String, textCol: String,
+                   k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                   minEstJaccard: Double = 0.5,
+                   threshold: Double = 0.8): DataFrame = {
+    val leaks = crossNearDupIds(
+        minHashSignatures(train, idCol, textCol, k, shingleSize),
+        train, eval_, idCol, textCol, k, bands, shingleSize,
+        minEstJaccard, threshold)
+      .withColumn("__leak", lit(1))
+    eval_.select(col(idCol).as("doc_id"))
+      .join(broadcast(leaks), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__leak").isNotNull.as("is_leak"))
+  }
+
+  /** [[incrementalNearDups]] with the corpus side's signatures supplied —
+    * the production form: `corpusSigs` `(doc_id, sig)` is the persisted
+    * index artifact (computed once per doc, ever), so a batch admission
+    * never recomputes signatures over the corpus. `corpus` itself is only
+    * consulted for candidate verify text (O(candidates) rows read). */
+  def incrementalNearDupsFromSigs(corpusSigs: DataFrame,
+                          corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                          minEstJaccard: Double = 0.5,
+                          threshold: Double = 0.8): DataFrame = {
+    val dupCorpus = crossNearDupIds(corpusSigs, corpus, batch, idCol,
+        textCol, k, bands, shingleSize, minEstJaccard, threshold)
       .withColumn("__dc", lit(1))
     // Within-batch near-dups: the standard self-join path on the (small)
     // batch alone; the larger id of each true pair is the reject.

@@ -72,6 +72,30 @@ object TextAnalysis {
   /** Content fingerprint: md5 over the sorted distinct token set —
     * order-insensitive document identity (bag-of-words fingerprint).
     * Portable across engines (md5 of utf8), so oracle-checkable. */
+  /** Token-window chunking — split each document into overlapping
+    * fixed-size token windows (the pack-into-context-window step of a
+    * training pipeline). Chunks start every `chunkSize - overlap` tokens;
+    * the last chunk is short rather than dropped (no token is lost), and
+    * a doc shorter than `chunkSize` yields exactly one chunk.
+    *
+    * Pure per-row explode — one `sequence` of start offsets +
+    * `posexplode` + `slice`, all codegen'd builtins, no shuffle: output
+    * volume is input volume × (1 + overlap share), which is the floor for
+    * this op at any scale. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), posexplode(
+        sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(step))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        array_join(slice(col("t"), col("col") + 1, lit(chunkSize)), " ").as("chunk"),
+        least(lit(chunkSize), size(col("t")) - col("col")).cast("long")
+          .as("n_tokens"))
+  }
+
   def contentFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 

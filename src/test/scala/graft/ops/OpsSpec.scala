@@ -178,6 +178,41 @@ class OpsSpec extends AnyFunSuite {
       40L -> "accepted", 50L -> "dup_corpus")))
   }
 
+  test("chunkTokens: overlap windows, short-doc single chunk, no token lost") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks, size 4, overlap 1
+      (2L, "a b"),                                    // shorter than a chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect()
+    assert(got.sameElements(Array(
+      (1L, 0L, "w1 w2 w3 w4", 4L), (1L, 1L, "w4 w5 w6 w7", 4L),
+      (1L, 2L, "w7 w8 w9 w10", 4L), (1L, 3L, "w10", 1L),
+      (2L, 0L, "a b", 2L))))
+    // every token of doc 1 appears in some chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
+  test("leakageFlags: cross-split near-dup flagged, eval-internal dup is not a leak") {
+    val train = Seq(
+      (1L, "x y z w v u t s q r"),
+      (2L, "some training doc with its own distinct words here"),
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (11L, "x y z w v u t s q r"),   // near-dup of train 1 -> leak
+      (21L, "m n o p q r s t u v w"), // eval-internal pair, NOT a leak
+      (31L, "m n o p q r s t u v w"),
+      (41L, "entirely fresh unique content nothing matches this at all"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.leakageFlags(train, eval_, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Boolean)].collect()
+    assert(got.sameElements(Array(11L -> true, 21L -> false,
+      31L -> false, 41L -> false)))
+  }
+
   test("minHash candidates contain the identical pair with est_jaccard 1.0") {
     val docs = Seq(
       (1L, "x y z w v u t s q r a b"),

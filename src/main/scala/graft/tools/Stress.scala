@@ -132,6 +132,21 @@ object Stress {
         Dedup.dropNearDups(big, "doc_id", "text",
           shingleSize = 2, threshold = 0.5, k = 16, bands = 8).count()
       }
+      // q50's nightly-ingest shape at replicated scale: 10% of the corpus
+      // arrives as a batch, admitted against the other 90% via the band
+      // index (batch side broadcasts) plus within-batch self-dedup. The
+      // regression class this catches: candidate-volume blowups in the
+      // cross join (est-prune losing selectivity) or a broadcast that
+      // silently becomes a shuffle. Measured 1.4 s at 200k docs on a
+      // scale-4.5 host (reference-host equivalent ~0.3 s); 4 s reference
+      // budget = ~10x headroom for noise, far under any blowup regime.
+      gated("INCREMENTAL_ADMIT", budgetSec = 4) {
+        Dedup.incrementalNearDups(
+          big.filter(col("doc_id") % 10 =!= 0),
+          big.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 16, bands = 8, shingleSize = 3,
+          minEstJaccard = 0.5, threshold = 0.8).count()
+      }
       // q46 crossover evidence (PLANS.md): FIXED-FORMAT corpus — random
       // 12-hex-char serials, every string the same length — the shape
       // where length-only blocking degenerates to ONE all-pairs bucket.

@@ -38,6 +38,26 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.embeddingNearDups(emptyEmb, "vec_id", "embedding", 0.5).count() == 0)
   }
 
+  test("incremental admission, leakage, chunking, layout are total on empty input") {
+    // empty batch vs empty corpus, and empty batch vs a real corpus
+    assert(Dedup.incrementalNearDups(emptyDocs, emptyDocs,
+      "doc_id", "text").count() == 0)
+    val corpus = spark.createDataFrame(Seq((1L, "x y z w v u t s q r")))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDups(corpus, emptyDocs,
+      "doc_id", "text").count() == 0)
+    // a real batch vs an EMPTY corpus: everything decided, nothing dup_corpus
+    val dec = Dedup.incrementalNearDups(emptyDocs, corpus, "doc_id", "text")
+      .collect()
+    assert(dec.length == 1 && dec(0).getString(1) == "accepted")
+    assert(Dedup.leakageFlags(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.leakageFlags(corpus, emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.chunkTokens(emptyDocs, "doc_id", "text",
+      chunkSize = 8, overlap = 2).count() == 0)
+    assert(Layout.interleaveBits(Seq(col("doc_id")), 8) != null &&
+      emptyDocs.select(Layout.interleaveBits(Seq(col("doc_id")), 8)).count() == 0)
+  }
+
   test("windows and text analysis are total on empty input") {
     assert(Windows.topOnePerGroup(emptyDocs, Seq(col("doc_id")),
       Seq(col("text").desc)).count() == 0)

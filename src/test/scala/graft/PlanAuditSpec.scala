@@ -71,6 +71,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q50/q52: batch-vs-corpus probes broadcast; no cartesian anywhere") {
+    for (q <- Seq("q50_incremental_dedup", "q52_leakage_flags")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("q51: chunking is scan + generate only — no shuffle, no join") {
+    val p = plan("q51_chunk_tokens")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -256,7 +256,7 @@ object SparkEntry {
     TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"),
         col("n_ws_tokens").cast(LongType).as("n_ws_tokens"),
-        col("n_subword_est"))
+        col("n_subword_est"), col("n_bpe_tokens"))
 
   /** Language-ID heuristic by marker-word counts. */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
@@ -781,7 +781,9 @@ object SparkEntry {
     "q22_token_counts" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
          CAST(list_sum(list_transform(string_split(text, ' '),
-           x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+           x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est,
+         CAST(len(regexp_extract_all(text,
+           '[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_tokens
          FROM documents""",
     "q23_langid" -> langIdOracle,
     "q24_fingerprint" ->

@@ -59,19 +59,27 @@ object TextAnalysis {
   /** Whitespace token count + a BPE-ish subword proxy: counts of 4-char
     * chunks (ceil(len/4) per token), a deterministic stand-in for a BPE
     * tokenizer's piece count. */
+  /** GPT-2-style pre-tokenizer pattern, restricted to the Java/RE2
+    * common subset (no lookarounds, no unicode categories) so the DuckDB
+    * oracle segments identically: letter runs, 1-3 digit groups,
+    * punctuation runs, whitespace runs. */
+  val bpePattern = "[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\\s]+|\\s+"
+
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     df.select(
       col(idCol),
       size(toks).as("n_ws_tokens"),
+      // cheap budget heuristic (~4 chars/subword), no second regex pass
       aggregate(toks, lit(0L),
         (acc, t) => acc + ceil(length(t).cast("double") / 4).cast("long"))
-        .as("n_subword_est"))
+        .as("n_subword_est"),
+      // regex segmentation count — the BPE-shaped budget a packing stage
+      // plans against (one codegen'd regexp pass per row)
+      size(regexp_extract_all(col(textCol), lit(bpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
   }
 
-  /** Content fingerprint: md5 over the sorted distinct token set —
-    * order-insensitive document identity (bag-of-words fingerprint).
-    * Portable across engines (md5 of utf8), so oracle-checkable. */
   /** Token-window chunking — split each document into overlapping
     * fixed-size token windows (the pack-into-context-window step of a
     * training pipeline). Chunks start every `chunkSize - overlap` tokens;
@@ -96,6 +104,9 @@ object TextAnalysis {
           .as("n_tokens"))
   }
 
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive document identity (bag-of-words fingerprint).
+    * Portable across engines (md5 of utf8), so oracle-checkable. */
   def contentFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 

@@ -178,6 +178,17 @@ class OpsSpec extends AnyFunSuite {
       40L -> "accepted", 50L -> "dup_corpus")))
   }
 
+  test("tokenCounts: BPE-ish regex segmentation on mixed text") {
+    // hello | ' ' | world | 42 | ',' | ' ' | foo | '!!' | '  ' | bar
+    // plus 1234 -> 123|4 (digit groups cap at 3)
+    val docs = Seq((1L, "hello world42, foo!!  bar"), (2L, "x1234"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect()
+    assert(got.sameElements(Array(1L -> 10L, 2L -> 3L)))
+  }
+
   test("chunkTokens: overlap windows, short-doc single chunk, no token lost") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks, size 4, overlap 1

@@ -123,6 +123,51 @@ object OracleGen {
        FROM documents d LEFT JOIN leak l ON d.doc_id = l.doc_id
        WHERE d.doc_id % $mod = $rem"""
 
+  /** Exact n-gram contamination oracle: eval = docs with
+    * doc_id % mod = rem, train = the rest; per eval doc, distinct n-gram
+    * total, n-grams shared with ANY train doc, distinct train docs sharing
+    * ≥1 n-gram — mirroring `Dedup.ngramContamination` (the md5 gram key on
+    * the Spark side is injective over the same gram relation). */
+  def contaminationSql(n: Int, mod: Int, rem: Int): String =
+    s"""WITH ${gramCtes(n)},
+       ev AS (SELECT doc_id, g FROM grams WHERE doc_id % $mod = $rem),
+       tr AS (SELECT doc_id, g FROM grams WHERE doc_id % $mod <> $rem),
+       hits AS (SELECT ev.doc_id,
+           count(DISTINCT ev.g) AS n_hit_ngrams,
+           count(DISTINCT tr.doc_id) AS n_train_docs
+         FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1),
+       tot AS (SELECT doc_id, count(*) AS n_ngrams FROM ev GROUP BY 1)
+       SELECT t.doc_id, t.n_ngrams,
+         coalesce(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+         coalesce(h.n_train_docs, 0) AS n_train_docs,
+         coalesce(h.n_hit_ngrams, 0) > 0 AS is_contaminated
+       FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
+
+  /** BM25 top-k oracle. The score expression interpolates the SAME Scala
+    * doubles the Spark side uses (`k1`, `1-b`, `k1+1`), term for term and
+    * with the same associativity, so both engines evaluate an identical
+    * double expression tree before the shared round(_, 4). */
+  def bm25Sql(terms: Seq[String], k: Int,
+              k1: Double = 1.2, b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'$t'").mkString(",")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(len(t)) AS avgdl FROM docs),
+       tf AS (SELECT doc_id, u.term, CAST(count(*) AS DOUBLE) AS tf,
+           CAST(max(len(t)) AS DOUBLE) AS dl
+         FROM docs, UNNEST(t) AS u(term)
+         WHERE u.term IN ($inList) GROUP BY doc_id, u.term),
+       dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       s AS (SELECT term, doc_id,
+           round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ${k1 + 1}
+             / (tf + $k1 * (${1 - b} + $b * dl / avgdl)), 4) AS score
+         FROM tf JOIN dfreq USING (term), stats)
+       SELECT term, doc_id, score FROM
+         (SELECT *, row_number() OVER (PARTITION BY term
+            ORDER BY score DESC, doc_id ASC) AS rn FROM s)
+       WHERE rn <= $k"""
+  }
+
   /** `v[1]*p1 + v[2]*p2 + …` — left-associated, matching the
     * `aggregate(zip_with(...))` fold in `Similarity.lshSignature`. */
   private def planeDot(vec: String, plane: Array[Double]): String =

@@ -315,6 +315,48 @@ object SparkEntry {
       minEstJaccard = 0.5, threshold = 0.8)
   }
 
+  /** Gopher-style repetition metrics + keep flag — the quality-filter
+    * pass before dedup. All per-row array work, no shuffle. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Exact 5-gram benchmark-contamination probe: eval = doc_id % 5 == 1
+    * (the q52 split, so near-dup leakage and verbatim contamination are
+    * directly comparable), train = the rest. Eval postings broadcast into
+    * the train posting join. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.ngramContamination(
+      docs.filter(col("doc_id") % 5 =!= 1),
+      docs.filter(col("doc_id") % 5 === 1),
+      "doc_id", "text", n = 5)
+  }
+
+  /** Bucketized point-in-interval range join: lineitem ship days against
+    * 30 order-derived date windows (width 3–30 days, bucket 16 days).
+    * The naive non-equi formulation is a BroadcastNestedLoopJoin; this
+    * plans as a hash equi-join on the day bucket + residual BETWEEN. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val pts = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"),
+      datediff(col("l_shipdate"), epoch).cast(LongType).as("p_day"))
+    val iv = t(s, dir, "orders").filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey").as("interval_id"),
+        datediff(col("o_orderdate"), epoch).cast(LongType).as("s_day"))
+      .withColumn("e_day", col("s_day") + col("interval_id") % 28 + 3)
+    Joins.rangeJoinPoints(pts, "p_day", iv, "s_day", "e_day",
+        bucketWidth = 16)
+      .select("interval_id", "l_orderkey", "l_linenumber", "p_day")
+  }
+
+  /** BM25 top-10 documents per query term (Okapi k1=1.2, b=0.75) over
+    * five single-term queries — keyword-targeted corpus selection. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      queryTerms = Seq("spark", "query", "window", "stream", "merge"),
+      k = 10)
+
   /** 3-gram Jaccard near-dup pairs (threshold 0.8) in the composable scale
     * shape: MinHash-LSH candidates, then exact Jaccard verification of only
     * those candidates. Same result as the raw inverted-index sweep
@@ -610,6 +652,10 @@ object SparkEntry {
     "q50_incremental_dedup" -> (qIncrementalDedup _),
     "q51_chunk_tokens" -> (qChunkTokens _),
     "q52_leakage_flags" -> (qLeakageFlags _),
+    "q53_repetition" -> (qRepetition _),
+    "q54_contamination" -> (qContamination _),
+    "q55_range_join" -> (qRangeJoin _),
+    "q56_bm25" -> (qBm25 _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -804,6 +850,48 @@ object SparkEntry {
          FROM toks, UNNEST(range(0, greatest(len(t), 1), 24)) AS u(s)""",
     "q52_leakage_flags" ->
       OracleGen.leakageSql(n = 3, threshold = 0.8, mod = 5, rem = 1),
+    "q53_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, t,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg,
+             list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+           FROM toks),
+         m AS (SELECT doc_id, len(t) AS n,
+             round(list_max(list_transform(list_distinct(t),
+               x -> len(list_filter(t, y -> y = x)))) * 1.0 / len(t), 4)
+               AS top_unigram_frac,
+             CASE WHEN len(t) >= 2 THEN
+               round(list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, y -> y = x)))) * 1.0 / (len(t) - 1), 4)
+             END AS top_bigram_frac,
+             CASE WHEN len(t) >= 3 THEN
+               round(len(list_filter(tg,
+                 x -> len(list_filter(tg, y -> y = x)) > 1)) * 1.0 / (len(t) - 2), 4)
+             END AS dup_trigram_frac
+           FROM g)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           top_unigram_frac, top_bigram_frac, dup_trigram_frac,
+           (n >= 10 AND top_unigram_frac <= 0.2
+            AND coalesce(top_bigram_frac <= 0.18, true)
+            AND coalesce(dup_trigram_frac <= 0.5, true)) AS keep
+         FROM m""",
+    "q54_contamination" ->
+      OracleGen.contaminationSql(n = 5, mod = 5, rem = 1),
+    "q55_range_join" ->
+      """WITH pts AS (SELECT l_orderkey, l_linenumber,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS p_day
+           FROM lineitem),
+         iv AS (SELECT o_orderkey AS interval_id,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s_day
+           FROM orders WHERE o_orderkey % 500 = 0),
+         ive AS (SELECT interval_id, s_day,
+             s_day + (interval_id % 28) + 3 AS e_day FROM iv)
+         SELECT interval_id, l_orderkey, l_linenumber, p_day
+         FROM pts JOIN ive ON p_day BETWEEN s_day AND e_day""",
+    "q56_bm25" ->
+      OracleGen.bm25Sql(
+        terms = Seq("spark", "query", "window", "stream", "merge"), k = 10),
     "q46_editdist_pairs" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
            WHERE p_partkey % 10 = 0)

@@ -270,6 +270,43 @@ object Dedup {
       .select(col("doc_id"), col("__leak").isNotNull.as("is_leak"))
   }
 
+  /** Exact n-gram benchmark-contamination counts: one row per eval doc
+    * with its distinct n-gram count, how many of those n-grams also occur
+    * anywhere in `train`, how many distinct train docs share at least one
+    * n-gram, and a flag. This is the standard decontamination probe
+    * (exact n-gram collision) — DISTINCT from [[leakageFlags]]'s near-dup
+    * similarity: a single verbatim-copied benchmark sentence contaminates
+    * here even when whole-document Jaccard is tiny.
+    *
+    * Scale shape: both sides reduce to distinct (doc, md5(gram)) postings
+    * — the train side is the big one and is touched exactly once; the
+    * eval side (benchmarks are small) BROADCASTS into the join, so the
+    * train postings never shuffle. Gram keys are md5 (narrow, portable),
+    * and per-doc totals come from the eval side alone. Counts are
+    * count(DISTINCT) over the hit join — O(hits) rows into the aggregate,
+    * not O(|train|). */
+  def ngramContamination(train: DataFrame, eval_ : DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(split(col(textCol), " "), n))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val evalGrams = grams(eval_)
+    val hits = broadcast(evalGrams.select(col("doc_id").as("eval_id"), col("gh")))
+      .join(grams(train).select(col("doc_id").as("train_id"), col("gh")), "gh")
+      .groupBy(col("eval_id").as("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_hit_ngrams"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    val totals = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+    eval_.select(col(idCol).as("doc_id"))
+      .join(broadcast(totals), Seq("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("n_hit_ngrams"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
   /** [[incrementalNearDups]] with the corpus side's signatures supplied —
     * the production form: `corpusSigs` `(doc_id, sig)` is the persisted
     * index artifact (computed once per doc, ever), so a batch admission

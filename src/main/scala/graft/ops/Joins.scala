@@ -144,6 +144,44 @@ object Joins {
       rightOn.desc_nulls_last +: tieBreak)
   }
 
+  /** Bucketized range join (point-in-interval): each point row matches
+    * every interval row with `start <= point <= end` (inclusive, long
+    * domain — cast dates/timestamps to epoch days/seconds first).
+    *
+    * Spark plans a bare non-equi join predicate as a BroadcastNestedLoop
+    * join — O(|points| × |intervals|) compares, and an outright
+    * single-node bottleneck once the interval side outgrows broadcast.
+    * This operator restores an equi-join shape: points key on
+    * `floor(p / w)`, intervals EXPLODE into every bucket they overlap,
+    * and the bucket equi-join (hash/SMJ — shuffled, scalable, AQE-
+    * skew-splittable) is followed by the exact residual `between`. A
+    * point lands in exactly one bucket, so each (point, interval) pair
+    * meets at most once — no post-join dedup.
+    *
+    * `bucketWidth` is the one tuning knob: interval rows replicate
+    * ceil(span/w)+1 times (cost ∝ 1/w) while each point's bucket collides
+    * with every interval overlapping that bucket (selectivity ∝ w). Set
+    * it near the MEDIAN interval span so typical intervals explode to
+    * ~2 rows; a long-tail interval only fattens the build side by its
+    * own span/w. Intervals with `end < start` are dropped (they contain
+    * no point; also keeps `sequence` ascending). */
+  def rangeJoinPoints(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points/intervals column names must be disjoint, both have: $overlap")
+    val b = lit(bucketWidth)
+    val p = points.withColumn("__rj_bucket", floor(col(pointCol) / b))
+    val iv = intervals.filter(col(endCol) >= col(startCol))
+      .withColumn("__rj_bucket",
+        explode(sequence(floor(col(startCol) / b), floor(col(endCol) / b))))
+    p.join(iv, Seq("__rj_bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__rj_bucket")
+  }
+
   /** Semi/anti generalization surface (not in the reference — SURVEY.md
     * §2.5 notes no semi/anti joins; exposed for the engine's library). */
   def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =

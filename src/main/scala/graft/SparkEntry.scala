@@ -357,6 +357,20 @@ object SparkEntry {
       queryTerms = Seq("spark", "query", "window", "stream", "merge"),
       k = 10)
 
+  /** Bloom-prefiltered semi-join: lineitem rows whose order is in a
+    * selective order subset. The bloom probe (explicit runtime filter)
+    * kills non-matching rows at the scan, BEFORE the semi-join shuffle;
+    * the exact semi-join behind it keeps the result exact, so the oracle
+    * is the plain semi-join. */
+  private def qBloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val dim = t(s, dir, "orders").filter(col("o_orderkey") % 200 === 0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    Joins.bloomSemiJoin(fact, dim, Seq("l_orderkey"),
+      expectedItems = 10000, numBits = 131072)
+  }
+
   /** 3-gram Jaccard near-dup pairs (threshold 0.8) in the composable scale
     * shape: MinHash-LSH candidates, then exact Jaccard verification of only
     * those candidates. Same result as the raw inverted-index sweep
@@ -656,6 +670,7 @@ object SparkEntry {
     "q54_contamination" -> (qContamination _),
     "q55_range_join" -> (qRangeJoin _),
     "q56_bm25" -> (qBm25 _),
+    "q57_bloom_semijoin" -> (qBloomSemiJoin _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -892,6 +907,10 @@ object SparkEntry {
     "q56_bm25" ->
       OracleGen.bm25Sql(
         terms = Seq("spark", "query", "window", "stream", "merge"), k = 10),
+    "q57_bloom_semijoin" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_orderkey % 200 = 0)""",
     "q46_editdist_pairs" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
            WHERE p_partkey % 10 = 0)

@@ -187,6 +187,28 @@ object Joins {
   def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right, keys, "left_semi")
 
+  /** Bloom-prefiltered semi-join: identical result to [[semiJoin]], but
+    * the fact side first passes a bloom membership probe built from the
+    * key side ([[Sketches.bloomAgg]]) — the explicit form of AQE's
+    * runtime bloom filter, available when the optimizer can't infer one
+    * (non-equi downstream use, reused dims, cross-job filters).
+    *
+    * Why it matters at 100 TB: the exact semi-join must SHUFFLE every
+    * surviving fact row; the bloom probe runs at the scan with a
+    * broadcast-sized binary, so when the dim keys select (say) 1% of the
+    * fact table, 99% of rows die before the exchange. Bloom false
+    * positives only cost shuffle volume — the exact join behind the probe
+    * keeps the result exact. `expectedItems` should be ≥ the dim's
+    * distinct key count; `numBits` ≈ 10× expectedItems gives ~1% FPR. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                    expectedItems: Long, numBits: Long): DataFrame = {
+    val key = if (keys.length == 1) col(keys.head)
+      else struct(keys.map(col): _*)
+    val bloom = dim
+      .agg(Sketches.bloomAgg(key, expectedItems, numBits).as("bf")).scalar()
+    semiJoin(fact.filter(Sketches.mightContain(bloom, key)), dim, keys)
+  }
+
   def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right, keys, "left_anti")
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.io.ByteArrayInputStream
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -59,5 +59,45 @@ object Sketches {
       it.map(k => (k, cms.estimateCount(k)))
     }.toDF(keyCol, "est_count")
       .filter(col("est_count") >= minCount)
+  }
+
+  /** Bloom membership filter as a Column pair — the third mergeable
+    * sketch, for the "probably seen before" question (admission pre-dedup,
+    * fact-table pruning). Built on Spark's native
+    * `BloomFilterAggregate` / `BloomFilterMightContain` (the expressions
+    * behind AQE runtime filters), surfaced here as an EXPLICIT,
+    * persistable operator: build once over a key set, store the binary,
+    * probe any later scan with zero shuffle.
+    *
+    * Contract: NO false negatives (a key that was aggregated always
+    * probes true), false-positive rate ≈ (1 - e^(-k·n/m))^k governed by
+    * `numBits` vs the true item count. Nulls never enter the sketch and
+    * probe as null (row drops under a filter — match exact semi-join
+    * semantics for null keys).
+    *
+    * Both sides hash with xxhash64 so the sketch keys on a stable 8-byte
+    * value regardless of the column's type/width. */
+  def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftShims.toColumn(new BloomFilterAggregate(
+        GraftShims.toExpression(xxhash64(key)),
+        Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Membership probe against a bloom binary (see [[bloomAgg]]).
+    * `bloom` must be a constant or scalar-subquery Column — pass
+    * `dim.agg(bloomAgg(...)).scalar()`, which keeps the whole build-and-
+    * probe INSIDE one plan: Catalyst runs the build subquery once,
+    * broadcasts the ~numBits/8-byte binary with the filter expression,
+    * and the probe is a per-row codegen'd bit test at the scan. */
+  def mightContain(bloom: Column, key: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    GraftShims.toColumn(BloomFilterMightContain(
+      GraftShims.toExpression(bloom),
+      GraftShims.toExpression(xxhash64(key))))
   }
 }

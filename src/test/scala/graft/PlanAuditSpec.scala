@@ -115,6 +115,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q57: bloom probe sits at the fact scan, exact semi-join behind it") {
+    val p = plan("q57_bloom_semijoin")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

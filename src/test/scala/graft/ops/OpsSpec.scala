@@ -584,6 +584,48 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1).getLong(2) == 0L && !got(1).getBoolean(4))
   }
 
+  test("bloomSemiJoin: identical to exact semi-join; probe prunes before the exchange") {
+    val fact = (0L until 10000L).map(i => (i, s"v$i")).toDF("k", "payload")
+    val dim = (0L until 10000L by 100).map(i => (i, "d")).toDF("k", "tag")
+    val exact = Joins.semiJoin(fact, dim, Seq("k"))
+      .select("k").as[Long].collect().toSet
+    val viaBloom = Joins.bloomSemiJoin(fact, dim, Seq("k"),
+        expectedItems = 200, numBits = 2048)
+      .select("k").as[Long].collect().toSet
+    assert(viaBloom == exact && exact.size == 100)
+    // no false negatives: every dim key passes the bare probe; and the
+    // probe is selective (far fewer than all fact rows survive)
+    val bloom = dim.agg(Sketches.bloomAgg($"k", 200, 2048).as("bf")).scalar()
+    val survivors = fact.filter(Sketches.mightContain(bloom, $"k")).count()
+    assert(survivors >= 100 && survivors < 2000,
+      s"bloom should prune most of the 10k fact rows, kept $survivors")
+  }
+
+  test("bloom null keys: never enter the sketch, never probe true") {
+    val fact = Seq((Some(1L), "a"), (None, "b"), (Some(99L), "c"))
+      .toDF("k", "payload")
+    val dim = Seq((Some(1L), "d"), (None, "e")).toDF("k", "tag")
+    val got = Joins.bloomSemiJoin(fact, dim, Seq("k"), 10, 256)
+      .select("payload").as[String].collect().toSet
+    val exact = Joins.semiJoin(fact, dim, Seq("k"))
+      .select("payload").as[String].collect().toSet
+    assert(got == exact && got == Set("a"))
+  }
+
+  test("bloom SQL surface: bloom_filter_agg + might_contain via scalar subquery") {
+    graft.GraftExtensions.register(spark)
+    (0L until 1000L).map(i => (i, i % 7)).toDF("id", "grp")
+      .createOrReplaceTempView("bloom_fact")
+    spark.sql("SELECT id FROM bloom_fact WHERE id % 50 = 0")
+      .createOrReplaceTempView("bloom_dim")
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM bloom_fact
+         WHERE might_contain(
+           (SELECT bloom_filter_agg(xxhash64(id), 100, 1024) FROM bloom_dim),
+           xxhash64(id))""").head().getLong(0)
+    assert(n >= 20 && n < 300, s"expected ~20 survivors of 1000, got $n")
+  }
+
   test("bm25TopK: higher tf wins at equal length; absent terms score nothing") {
     val df = Seq(
       (1L, "spark spark spark pad pad pad pad pad"),

@@ -357,6 +357,24 @@ object SparkEntry {
       queryTerms = Seq("spark", "query", "window", "stream", "merge"),
       k = 10)
 
+  /** Interval-overlap join between two order-derived date-window sets,
+    * via the bucket-ownership trick (each overlapping pair emitted from
+    * exactly one bucket — no dedup pass). */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    def windows(rem: Int, idName: String, sName: String, eName: String,
+                mod: Int, base: Int): DataFrame =
+      t(s, dir, "orders").filter(col("o_orderkey") % 100 === rem)
+        .select(col("o_orderkey").as(idName),
+          datediff(col("o_orderdate"), epoch).cast(LongType).as(sName))
+        .withColumn(eName, col(sName) + col(idName) % mod + base)
+    Joins.rangeJoinIntervals(
+        windows(0, "l_id", "ls", "le", mod = 40, base = 10), "ls", "le",
+        windows(1, "r_id", "rs", "re", mod = 30, base = 10), "rs", "re",
+        bucketWidth = 32)
+      .select("l_id", "r_id", "ls", "rs")
+  }
+
   /** Bloom-prefiltered semi-join: lineitem rows whose order is in a
     * selective order subset. The bloom probe (explicit runtime filter)
     * kills non-matching rows at the scan, BEFORE the semi-join shuffle;
@@ -671,6 +689,7 @@ object SparkEntry {
     "q55_range_join" -> (qRangeJoin _),
     "q56_bm25" -> (qBm25 _),
     "q57_bloom_semijoin" -> (qBloomSemiJoin _),
+    "q58_interval_overlap" -> (qIntervalOverlap _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -911,6 +930,17 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          WHERE l_orderkey IN
            (SELECT o_orderkey FROM orders WHERE o_orderkey % 200 = 0)""",
+    "q58_interval_overlap" ->
+      """WITH l AS (SELECT o_orderkey AS l_id,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ls
+           FROM orders WHERE o_orderkey % 100 = 0),
+         le AS (SELECT l_id, ls, ls + (l_id % 40) + 10 AS le FROM l),
+         r AS (SELECT o_orderkey AS r_id,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS rs
+           FROM orders WHERE o_orderkey % 100 = 1),
+         re AS (SELECT r_id, rs, rs + (r_id % 30) + 10 AS re FROM r)
+         SELECT l_id, r_id, ls, rs
+         FROM le JOIN re ON ls <= re AND rs <= le""",
     "q46_editdist_pairs" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
            WHERE p_partkey % 10 = 0)

@@ -182,6 +182,40 @@ object Joins {
       .drop("__rj_bucket")
   }
 
+  /** Bucketized interval-OVERLAP join: left interval [ls, le] matches
+    * right interval [rs, re] iff they overlap (`ls <= re AND rs <= le`,
+    * inclusive). Same motivation as [[rangeJoinPoints]] — the naive
+    * predicate plans as a nested loop — but two exploded sides meet in
+    * EVERY shared bucket, so a naive bucket join duplicates pairs. The
+    * standard ownership trick dedups for free: a pair's overlap region
+    * starts at `greatest(ls, rs)`, which lies in exactly one bucket —
+    * keep the match only in that bucket. No distinct, no post-join
+    * shuffle; each surviving pair is emitted exactly once.
+    *
+    * Replication is ceil(span/w)+1 per row per side; the ownership
+    * filter is evaluated post-match, codegen'd. Degenerate and inverted
+    * intervals: `end < start` rows can't overlap anything and are
+    * dropped (also keeps `sequence` ascending). */
+  def rangeJoinIntervals(left: DataFrame, leftStart: String, leftEnd: String,
+                         right: DataFrame, rightStart: String, rightEnd: String,
+                         bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: $overlap")
+    val b = lit(bucketWidth)
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) >= col(s)).withColumn("__rj_bucket",
+        explode(sequence(floor(col(s) / b), floor(col(e) / b))))
+    explodeBuckets(left, leftStart, leftEnd)
+      .join(explodeBuckets(right, rightStart, rightEnd), Seq("__rj_bucket"))
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd))
+      .filter(floor(greatest(col(leftStart), col(rightStart)) / b) ===
+        col("__rj_bucket"))
+      .drop("__rj_bucket")
+  }
+
   /** Semi/anti generalization surface (not in the reference — SURVEY.md
     * §2.5 notes no semi/anti joins; exposed for the engine's library). */
   def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =

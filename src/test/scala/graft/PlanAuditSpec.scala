@@ -115,6 +115,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q58: interval overlap is a bucket equi-join, not a nested loop") {
+    val p = plan("q58_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q57: bloom probe sits at the fact scan, exact semi-join behind it") {
     val p = plan("q57_bloom_semijoin")
     assert(p.contains("might_contain"), p)

@@ -77,6 +77,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Joins.rangeJoinPoints(pts, "p", emptyIv, "s", "e", 10L).count() == 0)
     assert(Joins.rangeJoinPoints(pts.filter(col("p_id") < 0), "p",
       emptyIv, "s", "e", 10L).count() == 0)
+    val iv2 = spark.createDataFrame(Seq((7L, 0L, 5L))).toDF("iv_id", "s", "e")
+    assert(Joins.rangeJoinIntervals(emptyIv, "s", "e",
+      iv2.withColumnRenamed("iv_id", "iv2_id").withColumnRenamed("s", "s2")
+        .withColumnRenamed("e", "e2"), "s2", "e2", 10L).count() == 0)
   }
 
   test("windows and text analysis are total on empty input") {

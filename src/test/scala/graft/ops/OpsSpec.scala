@@ -544,6 +544,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("rangeJoinIntervals: matches naive overlap join, each pair exactly once") {
+    // long intervals sharing MANY buckets — the duplicate-emission trap
+    // the bucket-ownership filter must defuse
+    val l = Seq((1L, 0L, 95L), (2L, 40L, 45L), (3L, -30L, -1L), (4L, 200L, 100L))
+      .toDF("l_id", "ls", "le") // 4 is inverted: dropped
+    val r = Seq((10L, 50L, 120L), (11L, -5L, 2L), (12L, 300L, 310L))
+      .toDF("r_id", "rs", "re")
+    val got = Joins.rangeJoinIntervals(l, "ls", "le", r, "rs", "re", 10)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toList
+    val naive = l.filter($"le" >= $"ls").join(r, $"ls" <= $"re" && $"rs" <= $"le")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toList
+    // sets equal AND no duplicates in the bucketized result
+    assert(got.sorted == naive.sorted, s"got=$got naive=$naive")
+    assert(got.distinct.size == got.size, s"duplicated pairs: $got")
+    assert(got.toSet == Set((1L, 10L), (1L, 11L), (3L, 11L)))
+  }
+
   test("repetitionMetrics: hand-computed fractions and null guards") {
     val df = Seq(
       (1L, "a a a a a a a a a a"),           // 10 tokens, all same

@@ -375,6 +375,28 @@ object SparkEntry {
       .select("l_id", "r_id", "ls", "rs")
   }
 
+  /** Snapshot diff (CDC shape): two synthetic versions of `orders` —
+    * ~1% of keys dropped each way, o_totalprice bumped on keys % 7,
+    * o_orderpriority rewritten on keys % 11 — classified
+    * added/removed/changed with the changed-column list. One full-outer
+    * equi-join; unchanged mass filtered before materialization. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val oldV = orders.filter(col("o_orderkey") % 101 =!= 0)
+    val newV = orders.filter(col("o_orderkey") % 103 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 11 === 0, lit("X"))
+          .otherwise(col("o_orderpriority")))
+    Snapshot.diff(oldV, newV, Seq("o_orderkey"))
+      // list type stringified for the cross-engine hash (q38 precedent:
+      // parquet list child names differ between engines)
+      .select(col("o_orderkey"), col("status"),
+        array_join(col("changed_cols"), ",").as("changed_cols"))
+  }
+
   /** Bloom-prefiltered semi-join: lineitem rows whose order is in a
     * selective order subset. The bloom probe (explicit runtime filter)
     * kills non-matching rows at the scan, BEFORE the semi-join shuffle;
@@ -690,6 +712,7 @@ object SparkEntry {
     "q56_bm25" -> (qBm25 _),
     "q57_bloom_semijoin" -> (qBloomSemiJoin _),
     "q58_interval_overlap" -> (qIntervalOverlap _),
+    "q59_snapshot_diff" -> (qSnapshotDiff _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -941,6 +964,36 @@ object SparkEntry {
          re AS (SELECT r_id, rs, rs + (r_id % 30) + 10 AS re FROM r)
          SELECT l_id, r_id, ls, rs
          FROM le JOIN re ON ls <= re AND rs <= le""",
+    "q59_snapshot_diff" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 0),
+         n AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                  ELSE o_orderpriority END AS o_orderpriority
+           FROM orders WHERE o_orderkey % 103 <> 0),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             list_filter([
+               CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 'o_custkey' END,
+               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+               CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END,
+               CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 'o_orderdate' END,
+               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END
+             ], x -> x IS NOT NULL) AS cc
+           FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey),
+         st AS (SELECT o_orderkey,
+             CASE WHEN NOT in_old THEN 'added'
+                  WHEN NOT in_new THEN 'removed'
+                  WHEN len(cc) > 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             cc FROM j)
+         SELECT o_orderkey, status,
+           CASE WHEN status = 'changed' THEN array_to_string(cc, ',')
+                ELSE '' END AS changed_cols
+         FROM st WHERE status <> 'unchanged'""",
     "q46_editdist_pairs" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
            WHERE p_partkey % 10 = 0)

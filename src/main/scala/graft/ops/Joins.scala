@@ -164,7 +164,16 @@ object Joins {
     * it near the MEDIAN interval span so typical intervals explode to
     * ~2 rows; a long-tail interval only fattens the build side by its
     * own span/w. Intervals with `end < start` are dropped (they contain
-    * no point; also keeps `sequence` ascending). */
+    * no point; also keeps `sequence` ascending).
+    *
+    * Bucket ids use EXACT integer floor-division (`(x - pmod(x, w)) div
+    * w`, all long arithmetic) — `floor(x / w)` rides a double divide,
+    * which can misbucket values beyond 2^53 (epoch-micros scale): the
+    * residual filter drops false matches but cannot recover a pair that
+    * never met in a bucket. */
+  private def floorDiv(colName: String, w: Long): Column =
+    expr(s"(`$colName` - pmod(`$colName`, ${w}L)) div ${w}L")
+
   def rangeJoinPoints(points: DataFrame, pointCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
@@ -172,11 +181,11 @@ object Joins {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"points/intervals column names must be disjoint, both have: $overlap")
-    val b = lit(bucketWidth)
-    val p = points.withColumn("__rj_bucket", floor(col(pointCol) / b))
+    val p = points.withColumn("__rj_bucket", floorDiv(pointCol, bucketWidth))
     val iv = intervals.filter(col(endCol) >= col(startCol))
       .withColumn("__rj_bucket",
-        explode(sequence(floor(col(startCol) / b), floor(col(endCol) / b))))
+        explode(sequence(floorDiv(startCol, bucketWidth),
+          floorDiv(endCol, bucketWidth))))
     p.join(iv, Seq("__rj_bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__rj_bucket")
@@ -203,16 +212,19 @@ object Joins {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"left/right column names must be disjoint, both have: $overlap")
-    val b = lit(bucketWidth)
+    val w = bucketWidth
     def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(e) >= col(s)).withColumn("__rj_bucket",
-        explode(sequence(floor(col(s) / b), floor(col(e) / b))))
+        explode(sequence(floorDiv(s, w), floorDiv(e, w))))
+    // ownership: exact long floor-div of the overlap start (see floorDiv)
+    val ownBucket = expr(
+      s"(greatest(`$leftStart`, `$rightStart`) - " +
+        s"pmod(greatest(`$leftStart`, `$rightStart`), ${w}L)) div ${w}L")
     explodeBuckets(left, leftStart, leftEnd)
       .join(explodeBuckets(right, rightStart, rightEnd), Seq("__rj_bucket"))
       .filter(col(leftStart) <= col(rightEnd) &&
         col(rightStart) <= col(leftEnd))
-      .filter(floor(greatest(col(leftStart), col(rightStart)) / b) ===
-        col("__rj_bucket"))
+      .filter(ownBucket === col("__rj_bucket"))
       .drop("__rj_bucket")
   }
 

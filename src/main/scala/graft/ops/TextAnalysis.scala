@@ -129,12 +129,25 @@ object TextAnalysis {
     *    doc has ≥ minTokens tokens)
     *
     * Everything is per-row array work over the token list — NO explode, NO
-    * shuffle: at 100 TB the cost is the scan plus O(distinct × n) per-row
+    * shuffle: at 100 TB the cost is the scan plus O(n log n) per-row
     * compute, and the `keep` filter pushes down over the scan when used as
     * a predicate. (The explode + groupBy(doc, gram) formulation computes
     * the same mode but shuffles a row per token — strictly worse for a
     * per-document reduction.) Fractions round to 4 decimals so the DuckDB
-    * replay compares rounded value to threshold identically. */
+    * replay compares rounded value to threshold identically.
+    *
+    * Formulation matters because nested HOF lambdas are CodegenFallback-
+    * INTERPRETED: the naive mode count
+    * (`array_max(transform(array_distinct(t), count-equal-in-t))`) plus a
+    * doubly-nested trigram-duplicate filter is O(n·distinct + n²) lambda
+    * evals per row at ~1.6 µs each — measured 240+ s on 5k 100-token docs
+    * in one scan task. Sorting each gram array once (native, no lambdas)
+    * turns both questions into LINEAR run-scans: the mode count is the
+    * longest run in the sorted array (one `aggregate` pass), and a
+    * position holds a duplicated gram iff it equals a sorted neighbor
+    * (one `filter` over indices). ~8n lambda evals per row, ~50× fewer;
+    * same values, so the DuckDB oracle keeps the straightforward
+    * formulation and hash-agreement pins the equivalence. */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
                         maxTopUnigram: Double = 0.2,
                         maxTopBigram: Double = 0.18,
@@ -142,21 +155,42 @@ object TextAnalysis {
                         minTokens: Int = 10): DataFrame = {
     val toks = tokens(col(textCol))
     val n = size(toks)
-    // most-frequent-element count of an array, per-row (no shuffle)
-    def modeCount(arr: Column): Column =
-      array_max(transform(array_distinct(arr),
-        x => size(filter(arr, y => y === x))))
+    // longest run in a SORTED array == max occurrence count of any value.
+    // State struct: (prev value, current run, best run); tokens are never
+    // null (split output), so <=> against the null init is a clean "first
+    // element" test.
+    def modeCount(arr: Column): Column = {
+      val sorted = array_sort(arr)
+      val zero = struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best"))
+      aggregate(sorted, zero,
+        (acc, x) => {
+          val run = when(x <=> acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(run, acc.getField("best")).as("best"))
+        },
+        acc => acc.getField("best"))
+    }
+    // duplicated-position count: in the sorted array, position i holds a
+    // repeated value iff it equals a neighbor
+    def dupCount(arr: Column): Column = {
+      val sorted = array_sort(arr)
+      val m = size(sorted)
+      // try_element_at: the i±1 probes run off the ends (And/Or don't
+      // short-circuit under ANSI) — out-of-bounds must be null, not error
+      size(filter(sequence(lit(1), m), i =>
+        (i > 1 && element_at(sorted, i) === try_element_at(sorted, i - 1)) ||
+          (i < m && element_at(sorted, i) === try_element_at(sorted, i + 1))))
+    }
     def grams(w: Int): Column =
       transform(sequence(lit(1), n - (w - 1)),
         i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j)): _*))
-    val bi = grams(2)
-    val tri = grams(3)
     val topUni = round(modeCount(toks).cast("double") / n, 4)
     val topBi = when(n >= 2,
-      round(modeCount(bi).cast("double") / (n - 1), 4))
+      round(modeCount(grams(2)).cast("double") / (n - 1), 4))
     val dupTri = when(n >= 3,
-      round(size(filter(tri, x => size(filter(tri, y => y === x)) > 1))
-        .cast("double") / (n - 2), 4))
+      round(dupCount(grams(3)).cast("double") / (n - 2), 4))
     df.select(col(idCol),
       n.cast("long").as("n_tokens"),
       topUni.as("top_unigram_frac"),

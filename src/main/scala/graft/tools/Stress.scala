@@ -175,6 +175,55 @@ object Stress {
           Dedup.editDistancePairs(serials(n), "id", "s", 2).count()
         }
       }
+      // Decontamination probe at replicated scale: a benchmark-sized eval
+      // slice (0.5%, ~1k docs) against the remaining ~199k train docs via
+      // exact 5-gram postings. The replicated corpus is adversarial here:
+      // every doc shares most grams with its perturbed copies, so the hit
+      // join carries real volume. Catches: eval-side broadcast silently
+      // becoming a shuffle, or posting-join blowup.
+      gated("NGRAM_CONTAMINATION", budgetSec = 25) {
+        Dedup.ngramContamination(
+          big.filter(pmod(col("doc_id"), lit(200)) =!= 0),
+          big.filter(pmod(col("doc_id"), lit(200)) === 0),
+          "doc_id", "text", n = 5).count()
+      }
+      // Repetition metrics are per-row O(distinct × n) with an O(n²)
+      // trigram-dup term — the budget catches that constant blowing up
+      // (e.g. a refactor that de-codegens the nested HOFs).
+      gated("REPETITION_METRICS", budgetSec = 25) {
+        TextAnalysis.repetitionMetrics(big, "doc_id", "text")
+          .filter(col("keep")).count()
+      }
+      // Bucketized range join at synthetic scale: 10M points vs 10k
+      // intervals (mean span ≈ 2 buckets). The naive plan is a 10M×10k
+      // nested loop — this must stay an equi-join.
+      gated("RANGE_JOIN_10M", budgetSec = 25) {
+        val pts = spark.range(10000000L)
+          .select(col("id").as("p_id"), pmod(col("id") * 2654435761L,
+            lit(1000000L)).as("p"))
+        val ivs = spark.range(10000L)
+          .select(col("id").as("iv_id"),
+            pmod(col("id") * 40503L, lit(1000000L)).as("s"))
+          .withColumn("e", col("s") + pmod(col("iv_id"), lit(200L)))
+        graft.ops.Joins.rangeJoinPoints(pts, "p", ivs, "s", "e",
+          bucketWidth = 128).count()
+      }
+      // Bloom semi-join at synthetic scale: 20M-row fact, 100k-key dim
+      // (0.5% selectivity). Gates the probe staying a scan-side filter;
+      // the plain semi-join is raced informationally for the comparison.
+      gated("BLOOM_SEMIJOIN_20M", budgetSec = 25) {
+        val fact = spark.range(20000000L).select(col("id").as("k"))
+        val dim = spark.range(100000L)
+          .select((col("id") * 200L).as("k"))
+        graft.ops.Joins.bloomSemiJoin(fact, dim, Seq("k"),
+          expectedItems = 100000L, numBits = 1600000L).count()
+      }
+      timed("PLAIN_SEMIJOIN_20M") {
+        val fact = spark.range(20000000L).select(col("id").as("k"))
+        val dim = spark.range(100000L)
+          .select((col("id") * 200L).as("k"))
+        graft.ops.Joins.semiJoin(fact, dim, Seq("k")).count()
+      }
       // Trained IVF with SAMPLED training at replicated scale: k-means on
       // a deterministic 10% hash sample of a copies×-replicated,
       // per-copy-perturbed embedding corpus (every copy nudged ±0.003 per

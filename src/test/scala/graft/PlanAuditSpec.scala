@@ -122,6 +122,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q59: snapshot diff is one full-outer equi-join, nothing else") {
+    val p = plan("q59_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q57: bloom probe sits at the fact scan, exact semi-join behind it") {
     val p = plan("q57_bloom_semijoin")
     assert(p.contains("might_contain"), p)

@@ -542,6 +542,17 @@ class OpsSpec extends AnyFunSuite {
     val plan = Joins.rangeJoinPoints(pts, "p", ivs, "s", "e", 10)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // beyond-2^53 magnitudes: bucket ids must use exact long floor-div —
+    // a double-divide floor misbuckets here and silently LOSES matches
+    val base = Long.MaxValue / 2 - 11
+    val bigPts = (0L until 20L).map(i => (i, base + i)).toDF("p_id", "p")
+    val bigIvs = Seq((1L, base + 3, base + 9), (2L, base - 5, base + 1))
+      .toDF("iv_id", "s", "e")
+    val gotBig = Joins.rangeJoinPoints(bigPts, "p", bigIvs, "s", "e", 7)
+      .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+    val naiveBig = bigPts.join(bigIvs, $"p" >= $"s" && $"p" <= $"e")
+      .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(gotBig == naiveBig && naiveBig.size == 9, s"got=$gotBig")
   }
 
   test("rangeJoinIntervals: matches naive overlap join, each pair exactly once") {
@@ -641,6 +652,33 @@ class OpsSpec extends AnyFunSuite {
            (SELECT bloom_filter_agg(xxhash64(id), 100, 1024) FROM bloom_dim),
            xxhash64(id))""").head().getLong(0)
     assert(n >= 20 && n < 300, s"expected ~20 survivors of 1000, got $n")
+  }
+
+  test("Snapshot.diff: added/removed/changed with column lists; null-safe") {
+    val oldV = Seq((1L, Some("a"), Some(10)), (2L, Some("b"), None),
+      (3L, Some("c"), Some(30)), (4L, None, Some(40)))
+      .toDF("k", "s", "v")
+    val newV = Seq((1L, Some("a"), Some(10)),      // unchanged
+      (2L, Some("b"), Some(20)),                   // v: null -> 20
+      (5L, Some("e"), Some(50)),                   // added
+      (4L, None, Some(41)))                        // v changed, s null==null
+      .toDF("k", "s", "v")
+    val got = Snapshot.diff(oldV, newV, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).toList)).sortBy(_._1).toList
+    assert(got == List(
+      (2L, "changed", List("v")),
+      (3L, "removed", Nil),
+      (4L, "changed", List("v")),
+      (5L, "added", Nil)))
+    // includeUnchanged keeps key 1 with an empty change list
+    val all = Snapshot.diff(oldV, newV, Seq("k"), includeUnchanged = true)
+    assert(all.count() == 5 &&
+      all.filter($"k" === 1 && $"status" === "unchanged").count() == 1)
+    // schema mismatch refused
+    intercept[IllegalArgumentException] {
+      Snapshot.diff(oldV, newV.withColumnRenamed("v", "w"), Seq("k"))
+    }
   }
 
   test("bm25TopK: higher tf wins at equal length; absent terms score nothing") {

@@ -136,18 +136,29 @@ object TextAnalysis {
     * per-document reduction.) Fractions round to 4 decimals so the DuckDB
     * replay compares rounded value to threshold identically.
     *
-    * Formulation matters because nested HOF lambdas are CodegenFallback-
-    * INTERPRETED: the naive mode count
-    * (`array_max(transform(array_distinct(t), count-equal-in-t))`) plus a
-    * doubly-nested trigram-duplicate filter is O(n·distinct + n²) lambda
-    * evals per row at ~1.6 µs each — measured 240+ s on 5k 100-token docs
-    * in one scan task. Sorting each gram array once (native, no lambdas)
-    * turns both questions into LINEAR run-scans: the mode count is the
-    * longest run in the sorted array (one `aggregate` pass), and a
-    * position holds a duplicated gram iff it equals a sorted neighbor
-    * (one `filter` over indices). ~8n lambda evals per row, ~50× fewer;
-    * same values, so the DuckDB oracle keeps the straightforward
-    * formulation and hash-agreement pins the equivalence. */
+    * Formulation matters TWICE over, because HOFs are CodegenFallback-
+    * INTERPRETED:
+    *  1. Lambda evals cost ~1.6 µs each — the naive mode count
+    *     (`array_max(transform(array_distinct(t), count-equal-in-t))`)
+    *     plus a doubly-nested trigram-duplicate filter is
+    *     O(n·distinct + n²) evals per row: measured 240+ s over 5k
+    *     100-token docs in one scan task.
+    *  2. Any expression referenced INSIDE a lambda body is RE-EVALUATED
+    *     per element (interpreted HOFs do no subexpression sharing): a
+    *     first rewrite that kept `element_at(sorted, i±1)` probes inside
+    *     a filter lambda re-ran `array_sort(trigrams(split(text)))` for
+    *     every index — jstack showed StringSplit/ConcatWs/ArraySort
+    *     frames under the filter's per-element eval, O(n² log n)/row.
+    *
+    * The rule this code now follows: lambdas touch ONLY their lambda
+    * variables and the fold state; every array enters a HOF as its
+    * primary ARGUMENT (evaluated once per row). Sorting each gram array
+    * (native) turns both questions into single linear folds over the
+    * sorted array: mode count = longest run; duplicated-position count =
+    * total length of runs ≥ 2. N-gram arrays build with `zip_with` over
+    * shifted `slice`s (arguments, not lambda-internal indexing). Same
+    * values as the straightforward formulation, so the DuckDB oracle
+    * keeps that one and hash-agreement pins the equivalence. */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
                         maxTopUnigram: Double = 0.2,
                         maxTopBigram: Double = 0.18,
@@ -156,14 +167,13 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val n = size(toks)
     // longest run in a SORTED array == max occurrence count of any value.
-    // State struct: (prev value, current run, best run); tokens are never
+    // Fold state: (prev value, current run, best run); tokens are never
     // null (split output), so <=> against the null init is a clean "first
-    // element" test.
-    def modeCount(arr: Column): Column = {
-      val sorted = array_sort(arr)
-      val zero = struct(lit(null).cast("string").as("prev"),
-        lit(0L).as("run"), lit(0L).as("best"))
-      aggregate(sorted, zero,
+    // element" test. `arr` is the aggregate's ARGUMENT: one eval per row.
+    def modeCount(arr: Column): Column =
+      aggregate(array_sort(arr),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0L).as("run"), lit(0L).as("best")),
         (acc, x) => {
           val run = when(x <=> acc.getField("prev"),
             acc.getField("run") + 1L).otherwise(lit(1L))
@@ -171,26 +181,36 @@ object TextAnalysis {
             greatest(run, acc.getField("best")).as("best"))
         },
         acc => acc.getField("best"))
-    }
-    // duplicated-position count: in the sorted array, position i holds a
-    // repeated value iff it equals a neighbor
-    def dupCount(arr: Column): Column = {
-      val sorted = array_sort(arr)
-      val m = size(sorted)
-      // try_element_at: the i±1 probes run off the ends (And/Or don't
-      // short-circuit under ANSI) — out-of-bounds must be null, not error
-      size(filter(sequence(lit(1), m), i =>
-        (i > 1 && element_at(sorted, i) === try_element_at(sorted, i - 1)) ||
-          (i < m && element_at(sorted, i) === try_element_at(sorted, i + 1))))
-    }
-    def grams(w: Int): Column =
-      transform(sequence(lit(1), n - (w - 1)),
-        i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j)): _*))
+    // duplicated-position count == total length of runs ≥ 2 in the sorted
+    // array: fold flushes a finished run into the accumulator when the
+    // value changes, finish flushes the last run.
+    def dupCount(arr: Column): Column =
+      aggregate(array_sort(arr),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0L).as("run"), lit(0L).as("acc")),
+        (acc, x) => {
+          val same = x <=> acc.getField("prev")
+          val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+          val flushed = when(!same && acc.getField("run") >= 2L,
+            acc.getField("acc") + acc.getField("run"))
+            .otherwise(acc.getField("acc"))
+          struct(x.as("prev"), run.as("run"), flushed.as("acc"))
+        },
+        acc => acc.getField("acc") +
+          when(acc.getField("run") >= 2L, acc.getField("run")).otherwise(0L))
+    // n-grams via zip_with over shifted slices — every array is an
+    // argument; the lambdas see only their element variables
+    val bigrams = zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val trigrams = zip_with(slice(bigrams, lit(1), greatest(n - 2, lit(0))),
+      slice(toks, lit(3), greatest(n - 2, lit(0))),
+      (ab, c) => concat(ab, lit(" "), c))
     val topUni = round(modeCount(toks).cast("double") / n, 4)
     val topBi = when(n >= 2,
-      round(modeCount(grams(2)).cast("double") / (n - 1), 4))
+      round(modeCount(bigrams).cast("double") / (n - 1), 4))
     val dupTri = when(n >= 3,
-      round(dupCount(grams(3)).cast("double") / (n - 2), 4))
+      round(dupCount(trigrams).cast("double") / (n - 2), 4))
     df.select(col(idCol),
       n.cast("long").as("n_tokens"),
       topUni.as("top_unigram_frac"),

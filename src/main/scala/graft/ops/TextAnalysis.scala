@@ -163,7 +163,10 @@ object TextAnalysis {
                         maxTopUnigram: Double = 0.2,
                         maxTopBigram: Double = 0.18,
                         maxDupTrigram: Double = 0.5,
-                        minTokens: Int = 10): DataFrame = {
+                        minTokens: Int = 10,
+                        useNative: Boolean = true): DataFrame = {
+    if (useNative) return repetitionMetricsNative(df, idCol, textCol,
+      maxTopUnigram, maxTopBigram, maxDupTrigram, minTokens)
     val toks = tokens(col(textCol))
     val n = size(toks)
     // longest run in a SORTED array == max occurrence count of any value.
@@ -213,6 +216,37 @@ object TextAnalysis {
       round(dupCount(trigrams).cast("double") / (n - 2), 4))
     df.select(col(idCol),
       n.cast("long").as("n_tokens"),
+      topUni.as("top_unigram_frac"),
+      topBi.as("top_bigram_frac"),
+      dupTri.as("dup_trigram_frac"),
+      (n >= minTokens && topUni <= maxTopUnigram &&
+        coalesce(topBi <= maxTopBigram, lit(true)) &&
+        coalesce(dupTri <= maxDupTrigram, lit(true))).as("keep"))
+  }
+
+  /** Native-expression form of [[repetitionMetrics]] (the default): one
+    * [[graft.functions.RepetitionStats]] eval per row replaces all the
+    * interpreted HOF folds. Two-stage select on purpose — the struct is
+    * referenced three times, and CollapseProject declines to inline a
+    * non-cheap multiply-referenced alias, so the expression evaluates
+    * ONCE per row instead of once per field. */
+  private def repetitionMetricsNative(df: DataFrame, idCol: String,
+                                      textCol: String, maxTopUnigram: Double,
+                                      maxTopBigram: Double,
+                                      maxDupTrigram: Double,
+                                      minTokens: Int): DataFrame = {
+    val staged = df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("__n"),
+      graft.functions.RepetitionStats.repetition_stats(
+        tokens(col(textCol))).as("__rs"))
+    val n = col("__n")
+    val topUni = round(col("__rs.top_uni").cast("double") / n, 4)
+    val topBi = when(n >= 2,
+      round(col("__rs.top_bi").cast("double") / (n - 1), 4))
+    val dupTri = when(n >= 3,
+      round(col("__rs.dup_tri").cast("double") / (n - 2), 4))
+    staged.select(col(idCol),
+      n.as("n_tokens"),
       topUni.as("top_unigram_frac"),
       topBi.as("top_bigram_frac"),
       dupTri.as("dup_trigram_frac"),

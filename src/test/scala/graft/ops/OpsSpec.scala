@@ -595,6 +595,21 @@ class OpsSpec extends AnyFunSuite {
   private def round5(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("repetitionMetrics: native expression equals HOF baseline, corpus + edges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val edge = Seq((9001L, "solo"), (9002L, "two tokens"), (9003L, "a a"),
+      (9004L, " x"), (9005L, null.asInstanceOf[String]),
+      (9006L, "b a b a b")).toDF("doc_id", "text")
+    for (df <- Seq(docs.select("doc_id", "text"), edge)) {
+      val nat = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toString)
+      val hof = TextAnalysis.repetitionMetrics(df, "doc_id", "text",
+          useNative = false)
+        .orderBy("doc_id").collect().map(_.toString)
+      assert(nat.sameElements(hof))
+    }
+  }
+
   test("ngramContamination counts shared distinct n-grams, not occurrences") {
     val train = Seq(
       (10L, "one two three four five six seven"),

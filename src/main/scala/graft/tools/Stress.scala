@@ -181,7 +181,7 @@ object Stress {
       // every doc shares most grams with its perturbed copies, so the hit
       // join carries real volume. Catches: eval-side broadcast silently
       // becoming a shuffle, or posting-join blowup.
-      gated("NGRAM_CONTAMINATION", budgetSec = 25) {
+      gated("NGRAM_CONTAMINATION", budgetSec = 5) { // measured 2.0 s @ scale 2.23
         Dedup.ngramContamination(
           big.filter(pmod(col("doc_id"), lit(200)) =!= 0),
           big.filter(pmod(col("doc_id"), lit(200)) === 0),
@@ -190,14 +190,14 @@ object Stress {
       // Repetition metrics are per-row O(distinct × n) with an O(n²)
       // trigram-dup term — the budget catches that constant blowing up
       // (e.g. a refactor that de-codegens the nested HOFs).
-      gated("REPETITION_METRICS", budgetSec = 25) {
+      gated("REPETITION_METRICS", budgetSec = 10) { // measured 4.8 s @ scale 2.23 (native expr)
         TextAnalysis.repetitionMetrics(big, "doc_id", "text")
           .filter(col("keep")).count()
       }
       // Bucketized range join at synthetic scale: 10M points vs 10k
       // intervals (mean span ≈ 2 buckets). The naive plan is a 10M×10k
       // nested loop — this must stay an equi-join.
-      gated("RANGE_JOIN_10M", budgetSec = 25) {
+      gated("RANGE_JOIN_10M", budgetSec = 5) { // measured 2.0 s @ scale 2.23
         val pts = spark.range(10000000L)
           .select(col("id").as("p_id"), pmod(col("id") * 2654435761L,
             lit(1000000L)).as("p"))
@@ -211,7 +211,14 @@ object Stress {
       // Bloom semi-join at synthetic scale: 20M-row fact, 100k-key dim
       // (0.5% selectivity). Gates the probe staying a scan-side filter;
       // the plain semi-join is raced informationally for the comparison.
-      gated("BLOOM_SEMIJOIN_20M", budgetSec = 25) {
+      // Honest regime note: at THIS scale the plain semi-join is faster
+      // (0.9 s vs 2.7 s) — a 100k-int dim broadcasts, so the exact join
+      // never shuffles the fact side and the bloom probe is pure
+      // overhead. The bloom path wins when the dim exceeds broadcast
+      // (shuffle avoided) or the filter is REUSED across jobs/scans
+      // (admission control). The gate pins the probe's cost class, not
+      // a speedup claim.
+      gated("BLOOM_SEMIJOIN_20M", budgetSec = 6) { // measured 2.7 s @ scale 2.23
         val fact = spark.range(20000000L).select(col("id").as("k"))
         val dim = spark.range(100000L)
           .select((col("id") * 200L).as("k"))

@@ -397,6 +397,24 @@ object SparkEntry {
         array_join(col("changed_cols"), ",").as("changed_cols"))
   }
 
+  /** The curation funnel end-to-end: quality filter (repetition keep) →
+    * exact dedup (min-id per bag-of-words fingerprint) → deterministic
+    * stratified sample (5 per language). Each stage is the already-
+    * checked operator; this query pins their COMPOSITION. Scale shape:
+    * scan-side filter, one hash shuffle for the dedup, WindowGroupLimit
+    * for the sample — nothing quadratic end to end. */
+  private def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keepIds = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val deduped = Dedup.dropExact(kept, "doc_id",
+      TextAnalysis.contentFingerprint(col("text")))
+    Sampling.stratifiedByHash(
+      deduped.select(col("lang"), col("doc_id")), Seq("lang"), "doc_id",
+      k = 5)
+  }
+
   /** Bloom-prefiltered semi-join: lineitem rows whose order is in a
     * selective order subset. The bloom probe (explicit runtime filter)
     * kills non-matching rows at the scan, BEFORE the semi-join shuffle;
@@ -713,6 +731,7 @@ object SparkEntry {
     "q57_bloom_semijoin" -> (qBloomSemiJoin _),
     "q58_interval_overlap" -> (qIntervalOverlap _),
     "q59_snapshot_diff" -> (qSnapshotDiff _),
+    "q60_curation_funnel" -> (qCurationFunnel _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -732,6 +751,35 @@ object SparkEntry {
         b AS (SELECT *, $best AS best FROM h)
         SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM b"""
   }
+
+  /** Shared q53/q60 oracle fragments — ONE definition of the repetition
+    * metrics and the keep predicate, so the funnel can never drift from
+    * the metrics query. */
+  private val repetitionCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (SELECT doc_id, t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg,
+           list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+         FROM toks),
+       m AS (SELECT doc_id, len(t) AS n,
+           round(list_max(list_transform(list_distinct(t),
+             x -> len(list_filter(t, y -> y = x)))) * 1.0 / len(t), 4)
+             AS top_unigram_frac,
+           CASE WHEN len(t) >= 2 THEN
+             round(list_max(list_transform(list_distinct(bg),
+               x -> len(list_filter(bg, y -> y = x)))) * 1.0 / (len(t) - 1), 4)
+           END AS top_bigram_frac,
+           CASE WHEN len(t) >= 3 THEN
+             round(len(list_filter(tg,
+               x -> len(list_filter(tg, y -> y = x)) > 1)) * 1.0 / (len(t) - 2), 4)
+           END AS dup_trigram_frac
+         FROM g)"""
+
+  private val repetitionKeepSql: String =
+    """(n >= 10 AND top_unigram_frac <= 0.2
+        AND coalesce(top_bigram_frac <= 0.18, true)
+        AND coalesce(dup_trigram_frac <= 0.5, true))"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -908,31 +956,27 @@ object SparkEntry {
     "q52_leakage_flags" ->
       OracleGen.leakageSql(n = 3, threshold = 0.8, mod = 5, rem = 1),
     "q53_repetition" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         g AS (SELECT doc_id, t,
-             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg,
-             list_transform(range(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
-           FROM toks),
-         m AS (SELECT doc_id, len(t) AS n,
-             round(list_max(list_transform(list_distinct(t),
-               x -> len(list_filter(t, y -> y = x)))) * 1.0 / len(t), 4)
-               AS top_unigram_frac,
-             CASE WHEN len(t) >= 2 THEN
-               round(list_max(list_transform(list_distinct(bg),
-                 x -> len(list_filter(bg, y -> y = x)))) * 1.0 / (len(t) - 1), 4)
-             END AS top_bigram_frac,
-             CASE WHEN len(t) >= 3 THEN
-               round(len(list_filter(tg,
-                 x -> len(list_filter(tg, y -> y = x)) > 1)) * 1.0 / (len(t) - 2), 4)
-             END AS dup_trigram_frac
-           FROM g)
+      s"""WITH $repetitionCtes
          SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
            top_unigram_frac, top_bigram_frac, dup_trigram_frac,
-           (n >= 10 AND top_unigram_frac <= 0.2
-            AND coalesce(top_bigram_frac <= 0.18, true)
-            AND coalesce(dup_trigram_frac <= 0.5, true)) AS keep
+           $repetitionKeepSql AS keep
          FROM m""",
+    "q60_curation_funnel" ->
+      s"""WITH $repetitionCtes,
+         keep AS (SELECT doc_id FROM m WHERE $repetitionKeepSql),
+         kd AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+           JOIN keep USING (doc_id)),
+         fp AS (SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS f
+           FROM kd),
+         canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         final AS (SELECT lang, doc_id FROM fp JOIN canon USING (doc_id))
+         SELECT lang, doc_id FROM
+           (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+            FROM final)
+         WHERE rn <= 5""",
     "q54_contamination" ->
       OracleGen.contaminationSql(n = 5, mod = 5, rem = 1),
     "q55_range_join" ->

@@ -25,7 +25,9 @@ class EntrySpec extends AnyFunSuite {
     "q26_ann_bruteforce", "q28_minhash_lsh", "q29_simhash_hybrid",
     "q30_ann_lsh", "q31_embed_neardup", "q35_ann_ivf", "q45_neardup_dedup",
     "q46_editdist_pairs", "q47_ann_ivf_trained", "q48_tfidf_topk",
-    "q49_stratified_sample")
+    "q49_stratified_sample", "q55_range_join", "q56_bm25",
+    "q57_bloom_semijoin", "q58_interval_overlap", "q59_snapshot_diff",
+    "q60_curation_funnel")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns a well-formed result at sf0.001") {

@@ -397,6 +397,14 @@ object SparkEntry {
         array_join(col("changed_cols"), ",").as("changed_cols"))
   }
 
+  /** Global token packing: concat-in-id-order, split every 64 tokens —
+    * two-level prefix scan (only the tiny bucket-total table ever sees a
+    * single partition). bucketSize 128 exercises real multi-bucket
+    * prefixes at sf0.01 (500 docs → 4 buckets). */
+  private def qTokenPacking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packTokens(t(s, dir, "documents"), "doc_id", "text",
+      capacity = 64, bucketSize = 128)
+
   /** The curation funnel end-to-end: quality filter (repetition keep) →
     * exact dedup (min-id per bag-of-words fingerprint) → deterministic
     * stratified sample (5 per language). Each stage is the already-
@@ -732,6 +740,7 @@ object SparkEntry {
     "q58_interval_overlap" -> (qIntervalOverlap _),
     "q59_snapshot_diff" -> (qSnapshotDiff _),
     "q60_curation_funnel" -> (qCurationFunnel _),
+    "q61_token_packing" -> (qTokenPacking _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -961,6 +970,19 @@ object SparkEntry {
            top_unigram_frac, top_bigram_frac, dup_trigram_frac,
            $repetitionKeepSql AS keep
          FROM m""",
+    "q61_token_packing" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_tok
+           FROM t)
+         SELECT doc_id, n_tokens, start_tok,
+           start_tok // 64 AS bin_first,
+           (start_tok + n_tokens - 1) // 64 AS bin_last
+         FROM c""",
     "q60_curation_funnel" ->
       s"""WITH $repetitionCtes,
          keep AS (SELECT doc_id FROM m WHERE $repetitionKeepSql),

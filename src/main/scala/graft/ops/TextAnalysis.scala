@@ -104,6 +104,52 @@ object TextAnalysis {
           .as("n_tokens"))
   }
 
+  /** Global token packing — the "concatenate all docs in id order, split
+    * every `capacity` tokens" step that turns a curated corpus into
+    * fixed-size training sequences. Per doc: its global token offset
+    * (`start_tok`), and the first/last bin it lands in (a doc may
+    * straddle a bin boundary; `bin_first`/`bin_last` delimit the split).
+    *
+    * The naive formulation is ONE window (`sum over (order by id)`) with
+    * no partition key — Spark plans that as Exchange(SinglePartition):
+    * the entire corpus flows through one task, a non-starter at scale.
+    * This is the two-level scan instead:
+    *   1. docs bucket by `id div bucketSize`; per-bucket token totals
+    *      aggregate in parallel (map-side combine);
+    *   2. the bucket-total table (corpus/bucketSize rows — TINY) takes
+    *      the single-partition running sum, which is fine at that size;
+    *   3. bucket prefixes broadcast back, and the within-bucket running
+    *      sum is a window PARTITIONED by bucket — parallel again.
+    * Same numbers as the naive window (OpsSpec pins equality); only the
+    * tiny table ever sees a single partition. `idCol` must be integral
+    * (the packing order and the bucketing both key on it). */
+  def packTokens(df: DataFrame, idCol: String, textCol: String,
+                 capacity: Long, bucketSize: Long = 4096): DataFrame = {
+    require(capacity > 0 && bucketSize > 0, "capacity/bucketSize must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val bucketed = base.withColumn("__bucket",
+      expr(s"(doc_id - pmod(doc_id, ${bucketSize}L)) div ${bucketSize}L"))
+    val totals = bucketed.groupBy("__bucket")
+      .agg(sum("n_tokens").as("__btotal"))
+    val prefixes = totals.withColumn("__bprefix",
+      coalesce(sum(col("__btotal")).over(
+        Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bucket", "__bprefix")
+    val within = Window.partitionBy("__bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(prefixes), Seq("__bucket"))
+      .withColumn("start_tok",
+        col("__bprefix") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"(start_tok - pmod(start_tok, ${capacity}L)) div ${capacity}L")
+          .as("bin_first"),
+        expr(s"(start_tok + n_tokens - 1 - pmod(start_tok + n_tokens - 1, ${capacity}L)) div ${capacity}L")
+          .as("bin_last"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * order-insensitive document identity (bag-of-words fingerprint).
     * Portable across engines (md5 of utf8), so oracle-checkable. */

@@ -81,6 +81,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Joins.rangeJoinIntervals(emptyIv, "s", "e",
       iv2.withColumnRenamed("iv_id", "iv2_id").withColumnRenamed("s", "s2")
         .withColumnRenamed("e", "e2"), "s2", "e2", 10L).count() == 0)
+    assert(TextAnalysis.packTokens(emptyDocs, "doc_id", "text", 64).count() == 0)
     // diff of empty vs empty; and a one-sided diff = all added
     assert(Snapshot.diff(emptyDocs, emptyDocs, Seq("doc_id")).count() == 0)
     val one = spark.createDataFrame(Seq((1L, "x"))).toDF("doc_id", "text")

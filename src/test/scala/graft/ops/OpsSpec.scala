@@ -669,6 +669,32 @@ class OpsSpec extends AnyFunSuite {
     assert(n >= 20 && n < 300, s"expected ~20 survivors of 1000, got $n")
   }
 
+  test("packTokens: two-level prefix scan equals the naive global window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // tiny bucketSize so the fixture crosses MANY bucket boundaries
+    val got = TextAnalysis.packTokens(docs, "doc_id", "text",
+        capacity = 64, bucketSize = 16)
+      .orderBy("doc_id").collect().map(_.toString)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"n_tokens", $"start_tok",
+        ($"start_tok" / 64).cast("long").as("bin_first"),
+        (($"start_tok" + $"n_tokens" - 1) / 64).cast("long").as("bin_last"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.sameElements(naive))
+    // offsets tile the stream exactly: each start = previous start + n
+    val rows = TextAnalysis.packTokens(docs, "doc_id", "text", 64, 16)
+      .orderBy("doc_id").select("n_tokens", "start_tok")
+      .as[(Long, Long)].collect()
+    rows.sliding(2).foreach { case Array((n, s0), (_, s1)) =>
+      assert(s0 + n == s1); case _ => }
+    assert(rows.head._2 == 0L)
+  }
+
   test("Snapshot.diff: added/removed/changed with column lists; null-safe") {
     val oldV = Seq((1L, Some("a"), Some(10)), (2L, Some("b"), None),
       (3L, Some("c"), Some(30)), (4L, None, Some(40)))

@@ -122,6 +122,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q61: only the tiny bucket-total table goes single-partition") {
+    val p = plan("q61_token_packing")
+    // the corpus-side running sum must window by __bucket (parallel);
+    // a naive global cumsum would put the whole scan behind ONE
+    // SinglePartition exchange with no partition spec on its Window
+    assert(p.contains("__bucket"), p)
+    val windowSpecs = "Window \\[".r.findAllMatchIn(p).map { m =>
+      p.substring(m.start, math.min(p.length, m.start + 400))
+    }.toList
+    assert(windowSpecs.exists(_.contains("partitionBy=[__bucket")) ||
+      p.contains("[__bucket#"), p.take(2000))
+  }
+
   test("q59: snapshot diff is one full-outer equi-join, nothing else") {
     val p = plan("q59_snapshot_diff")
     assert(p.contains("FullOuter"), p)

@@ -123,6 +123,20 @@ object OracleGen {
        FROM documents d LEFT JOIN leak l ON d.doc_id = l.doc_id
        WHERE d.doc_id % $mod = $rem"""
 
+  /** Directed containment oracle (|A∩B|/|A| and /|B| over the same gram
+    * relation) — mirrors `Dedup.containmentPairs`, thresholding on the
+    * max of the ROUNDED directions exactly as the Spark side does. */
+  def containmentSql(n: Int, threshold: Double): String =
+    s"""WITH ${gramCtes(n)}
+       SELECT doc_a, doc_b,
+         round(i * 1.0 / sa.n, 4) AS cont_a_in_b,
+         round(i * 1.0 / sb.n, 4) AS cont_b_in_a
+       FROM inter
+       JOIN sizes sa ON doc_a = sa.doc_id
+       JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE greatest(round(i * 1.0 / sa.n, 4),
+                      round(i * 1.0 / sb.n, 4)) >= $threshold"""
+
   /** Exact n-gram contamination oracle: eval = docs with
     * doc_id % mod = rem, train = the rest; per eval doc, distinct n-gram
     * total, n-grams shared with ANY train doc, distinct train docs sharing

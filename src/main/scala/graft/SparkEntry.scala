@@ -405,6 +405,12 @@ object SparkEntry {
     TextAnalysis.packTokens(t(s, dir, "documents"), "doc_id", "text",
       capacity = 64, bucketSize = 128)
 
+  /** Directed containment pairs (3-gram, max-direction ≥ 0.9): the
+    * quote/subset duplication probe Jaccard misses. */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, threshold = 0.9)
+
   /** The curation funnel end-to-end: quality filter (repetition keep) →
     * exact dedup (min-id per bag-of-words fingerprint) → deterministic
     * stratified sample (5 per language). Each stage is the already-
@@ -741,6 +747,7 @@ object SparkEntry {
     "q59_snapshot_diff" -> (qSnapshotDiff _),
     "q60_curation_funnel" -> (qCurationFunnel _),
     "q61_token_packing" -> (qTokenPacking _),
+    "q62_containment" -> (qContainment _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -970,6 +977,8 @@ object SparkEntry {
            top_unigram_frac, top_bigram_frac, dup_trigram_frac,
            $repetitionKeepSql AS keep
          FROM m""",
+    "q62_containment" ->
+      OracleGen.containmentSql(n = 3, threshold = 0.9),
     "q61_token_packing" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

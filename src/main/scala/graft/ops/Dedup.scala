@@ -459,6 +459,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Directed CONTAINMENT pairs: containment(a in b) = |A∩B| / |A| over
+    * distinct n-gram shingle sets — the asymmetric complement of
+    * [[jaccardPairs]]. A short document quoted verbatim inside a long one
+    * has containment ≈ 1 while Jaccard ≈ |A|/|B| can sit far below any
+    * dedup threshold; corpus curation needs this direction to catch
+    * quote/subset duplication. Emits each unordered pair once with BOTH
+    * directions' scores, filtered on the max ≥ `threshold`.
+    *
+    * Same inverted-index shape (and hot-shingle guard semantics) as
+    * [[jaccardPairs]] — gram postings join, counts aggregate, denominators
+    * ride a window over the same retained gram universe. Baseline/verifier
+    * scope at full corpus scale for the same reason jaccardPairs is: run
+    * it on LSH candidates, not all pairs, when N is large. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.9,
+                       maxShingleFreq: Option[Int] = None): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(split(col(textCol), " "), shingleSize)))
+          .as("g"))
+      .distinct()
+    val guarded = maxShingleFreq match {
+      case Some(maxF) =>
+        val hot = grams.groupBy("g").agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxF).select("g")
+        grams.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => grams
+    }
+    val filtered = guarded.withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))))
+    filtered.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("g"))
+      .join(filtered.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .withColumn("cont_a_in_b",
+        round(col("inter").cast("double") / col("n_a"), 4))
+      .withColumn("cont_b_in_a",
+        round(col("inter").cast("double") / col("n_b"), 4))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"),
+        col("cont_b_in_a"))
+  }
+
   /** Connected components of a near-dup pair graph — the step that turns
     * PAIRS into a deduplicated corpus (one canonical doc per cluster).
     * Shiloach–Vishkin-style label contraction: every node starts labeled

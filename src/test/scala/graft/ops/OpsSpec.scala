@@ -595,6 +595,24 @@ class OpsSpec extends AnyFunSuite {
   private def round5(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("containmentPairs flags subset duplication that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"            // 3 trigrams
+    val long = ("alpha beta gamma delta epsilon " * 1) +
+      "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val df = Seq((1L, short), (2L, long), (3L, "unrelated text here entirely"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the short doc's trigrams all occur in the long doc -> containment 1.0
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // while Jaccard on the same pair is far below any dedup threshold
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+    assert(jac.count() == 0)
+  }
+
   test("repetitionMetrics: native expression equals HOF baseline, corpus + edges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val edge = Seq((9001L, "solo"), (9002L, "two tokens"), (9003L, "a a"),

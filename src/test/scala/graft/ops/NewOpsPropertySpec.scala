@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.TestSpark
+
+/** Property-based invariants for the round-5 operator family: randomized
+  * inputs against naive reference formulations (the same style as
+  * fa.PropertySpec — seeded generators, no scalatestplus bridge).
+  */
+class NewOpsPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default.withSize(30)
+  private def forAllSeeded[T](g: Gen[T], n: Int = 4)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      g.apply(params, Seed(i.toLong)).foreach(body)
+    }
+
+  private val pointsGen = Gen.nonEmptyListOf(Gen.choose(-500L, 500L))
+  private val intervalGen = Gen.nonEmptyListOf(for {
+    s <- Gen.choose(-500L, 500L)
+    span <- Gen.choose(-20L, 80L) // negative spans: inverted, must drop
+  } yield (s, s + span))
+  private val widthGen = Gen.oneOf(1L, 3L, 7L, 16L, 100L)
+
+  test("rangeJoinPoints == naive non-equi join on random data, any width") {
+    forAllSeeded(Gen.zip(pointsGen, intervalGen, widthGen)) {
+      case (ps, ivs, w) =>
+        val pts = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+          .toDF("p_id", "p")
+        val iv = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+          .toDF("iv_id", "s", "e")
+        val got = Joins.rangeJoinPoints(pts, "p", iv, "s", "e", w)
+          .select("p_id", "iv_id").as[(Long, Long)].collect().sorted.toList
+        val naive = pts.join(iv, $"p" >= $"s" && $"p" <= $"e")
+          .select("p_id", "iv_id").as[(Long, Long)].collect().sorted.toList
+        assert(got == naive, s"width=$w")
+    }
+  }
+
+  test("rangeJoinIntervals == naive overlap join, no duplicate pairs") {
+    forAllSeeded(Gen.zip(intervalGen, intervalGen, widthGen)) {
+      case (ls, rs, w) =>
+        val l = ls.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+          .toDF("l_id", "ls", "le")
+        val r = rs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+          .toDF("r_id", "rs", "re")
+        val got = Joins.rangeJoinIntervals(l, "ls", "le", r, "rs", "re", w)
+          .select("l_id", "r_id").as[(Long, Long)].collect().toList
+        val naive = l.filter($"le" >= $"ls")
+          .join(r.filter($"re" >= $"rs"), $"ls" <= $"re" && $"rs" <= $"le")
+          .select("l_id", "r_id").as[(Long, Long)].collect().toList
+        assert(got.sorted == naive.sorted, s"width=$w")
+        assert(got.distinct.size == got.size, s"dup pairs at width=$w")
+    }
+  }
+
+  private val docGen = Gen.nonEmptyListOf(
+    Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+
+  test("packTokens: exact tiling + equality with the naive global window") {
+    forAllSeeded(docGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = TextAnalysis.packTokens(df, "doc_id", "text",
+          capacity = 7, bucketSize = 3)
+        .orderBy("doc_id").select("n_tokens", "start_tok")
+        .as[(Long, Long)].collect()
+      assert(rows.head._2 == 0L)
+      rows.sliding(2).foreach {
+        case Array((n, s0), (_, s1)) => assert(s0 + n == s1)
+        case _ =>
+      }
+    }
+  }
+
+  test("Snapshot.diff: diff(x, x) is empty; every mutation class detected") {
+    forAllSeeded(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 30L), Gen.alphaStr.map(_.take(4))))) { kvs0 =>
+      val kvs = kvs0.distinctBy(_._1)
+      val df = kvs.toDF("k", "v")
+      assert(Snapshot.diff(df, df, Seq("k")).count() == 0)
+      // mutate: drop the first key, change the second's value (if present)
+      val dropped = kvs.head._1
+      val changed = kvs.drop(1).headOption.map(_._1)
+      val mutated = kvs.collect {
+        case (k, v) if k != dropped =>
+          (k, if (changed.contains(k)) v + "!" else v)
+      } :+ (1000L, "new")
+      val d = Snapshot.diff(df, mutated.toDF("k", "v"), Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(d(dropped) == "removed" && d(1000L) == "added")
+      changed.foreach(k => assert(d(k) == "changed"))
+    }
+  }
+
+  test("bloomSemiJoin == semiJoin on random key sets") {
+    forAllSeeded(Gen.zip(Gen.nonEmptyListOf(Gen.choose(0L, 1000L)),
+      Gen.nonEmptyListOf(Gen.choose(0L, 1000L)))) { case (fs, ds) =>
+      val fact = fs.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("row_id", "k")
+      val dim = ds.distinct.toDF("k")
+      val got = Joins.bloomSemiJoin(fact, dim, Seq("k"), 2000, 16384)
+        .select("row_id").as[Long].collect().sorted.toList
+      val exact = Joins.semiJoin(fact, dim, Seq("k"))
+        .select("row_id").as[Long].collect().sorted.toList
+      assert(got == exact)
+    }
+  }
+}

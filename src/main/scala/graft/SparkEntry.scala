@@ -405,6 +405,17 @@ object SparkEntry {
     TextAnalysis.packTokens(t(s, dir, "documents"), "doc_id", "text",
       capacity = 64, bucketSize = 128)
 
+  /** Deterministic importance sampling: keep probability = the doc's
+    * distinct-token ratio (a quality proxy), decided by the row's own
+    * md5 draw — quality-weighted corpus thinning in one shuffle-free
+    * pass, reproducible across engines and reruns. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val weight = round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+    Sampling.weightedByHash(t(s, dir, "documents"), "doc_id", weight)
+      .select("doc_id", "lang")
+  }
+
   /** Directed containment pairs (3-gram, max-direction ≥ 0.9): the
     * quote/subset duplication probe Jaccard misses. */
   private def qContainment(s: SparkSession, dir: String): DataFrame =
@@ -748,6 +759,7 @@ object SparkEntry {
     "q60_curation_funnel" -> (qCurationFunnel _),
     "q61_token_packing" -> (qTokenPacking _),
     "q62_containment" -> (qContainment _),
+    "q63_weighted_sample" -> (qWeightedSample _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -979,6 +991,15 @@ object SparkEntry {
          FROM m""",
     "q62_containment" ->
       OracleGen.containmentSql(n = 3, threshold = 0.9),
+    "q63_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, lang,
+             round(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')), 4) AS wt
+           FROM documents)
+         SELECT doc_id, lang FROM w
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT)
+               < round(greatest(0.0, least(1.0, wt)), 6) * 4294967296.0""",
     "q61_token_packing" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

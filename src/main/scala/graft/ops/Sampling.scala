@@ -47,4 +47,23 @@ object Sampling {
       .cast("long")
     df.filter(v * den < lit(num.toLong * 4294967296L))
   }
+
+  /** Deterministic IMPORTANCE sampling: keep each row with probability
+    * `weight` (a per-row Column in [0, 1] — e.g. a quality score), decided
+    * by the row's own md5 draw, so the sample is a pure function of the
+    * data: reproducible across engines, partitionings and reruns, and a
+    * row's fate never depends on other rows. The curation use: keep
+    * high-quality documents at high rates and boilerplate at low rates in
+    * ONE shuffle-free pass, instead of a hard threshold.
+    *
+    * Comparison is integerized per [[bernoulliByHash]]'s pattern
+    * (u32 draw < weight × 2^32, weight rounded to 6 decimals first) so an
+    * oracle replays it exactly — no float-boundary flake. Weights outside
+    * [0, 1] clamp. */
+  def weightedByHash(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = round(greatest(lit(0.0), least(lit(1.0), weight)), 6)
+    df.filter(v.cast("double") < w * 4294967296.0)
+  }
 }

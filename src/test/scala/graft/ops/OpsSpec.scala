@@ -595,6 +595,24 @@ class OpsSpec extends AnyFunSuite {
   private def round5(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("weightedByHash: rate tracks the weight; deterministic; clamps") {
+    val df = (0L until 4000L).map(i => (i, (i % 4) * 0.25)).toDF("id", "w")
+    val kept = Sampling.weightedByHash(df, "id", $"w")
+    // per-stratum keep rates ≈ the weight (md5 draws are uniform)
+    val rates = kept.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!rates.contains(0.0)) // weight 0: never kept
+    assert(math.abs(rates(0.5) - 500) < 80, rates.toString)
+    assert(math.abs(rates(0.75) - 750) < 80, rates.toString)
+    // deterministic: same input, same sample, any partitioning
+    val again = Sampling.weightedByHash(df.repartition(13), "id", $"w")
+      .select("id").as[Long].collect().sorted
+    assert(again.sameElements(kept.select("id").as[Long].collect().sorted))
+    // out-of-range weights clamp: 2.0 keeps everything, -1 keeps nothing
+    assert(Sampling.weightedByHash(df, "id", lit(2.0)).count() == 4000)
+    assert(Sampling.weightedByHash(df, "id", lit(-1.0)).count() == 0)
+  }
+
   test("containmentPairs flags subset duplication that Jaccard misses") {
     val short = "alpha beta gamma delta epsilon"            // 3 trigrams
     val long = ("alpha beta gamma delta epsilon " * 1) +

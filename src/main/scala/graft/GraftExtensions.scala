@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("might_contain"),
       info("might_contain", "might_contain(bloom, xxhash64(key)) - bloom membership probe; bloom must be constant or scalar subquery"),
       GraftExtensions.mightContainBuilder))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(array<string>, n) - word n-gram shingles (whole doc when shorter)"),
+      (args: Seq[Expression]) => graft.functions.WordShingles(args(0),
+        GraftExtensions.literalInt(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "repetition_stats(array<string>) - struct(top_uni, top_bi, dup_tri) repetition counts"),
+      (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)))
   }
 }
 
@@ -129,5 +136,11 @@ object GraftExtensions {
       GraftExtensions.bloomAggBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("might_contain",
       GraftExtensions.mightContainBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      (args: Seq[Expression]) => graft.functions.WordShingles(args(0),
+        GraftExtensions.literalInt(args(1), "n")), "scala_udf")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head),
+      "scala_udf")
   }
 }

@@ -225,6 +225,14 @@ object Stress {
         graft.ops.Joins.bloomSemiJoin(fact, dim, Seq("k"),
           expectedItems = 100000L, numBits = 1600000L).count()
       }
+      // Two-level prefix scan at replicated scale: the regression class is
+      // someone "simplifying" it back to a global-order window, which
+      // funnels all 200k rows through one partition (and at real scale,
+      // everything).
+      gated("PACK_TOKENS_200K", budgetSec = 6) {
+        TextAnalysis.packTokens(big, "doc_id", "text", capacity = 2048)
+          .agg(max(col("bin_last"))).collect()(0).getLong(0)
+      }
       timed("PLAIN_SEMIJOIN_20M") {
         val fact = spark.range(20000000L).select(col("id").as("k"))
         val dim = spark.range(100000L)

@@ -18,6 +18,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](3).length == 4)
   }
 
+  test("SQL word_shingles and repetition_stats evaluate the native expressions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles(split('a b c d', ' '), 2) AS sh,
+                repetition_stats(split('x y x y x', ' ')) AS rs""").collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    val rs = r.getStruct(1)
+    // 'x' occurs 3x; bigram 'x y' occurs 2x; all 3 trigram slots repeat?
+    // trigrams: "x y x"(2), "y x y"(1) -> dup positions = 2
+    assert(rs.getLong(0) == 3L && rs.getLong(1) == 2L && rs.getLong(2) == 2L)
+  }
+
   test("SQL hyperplane_sig matches the Scala API and fail-fasts on wrong dim") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col

@@ -61,6 +61,28 @@ object Sketches {
       .filter(col("est_count") >= minCount)
   }
 
+  /** Approximate percentiles with bounded memory — the scale path for
+    * the exact `percentile` aggregate (which buffers EVERY value of a
+    * group in the aggregation state: fine at test scale, an OOM class on
+    * a 100 TB fact table). Spark's `approx_percentile` rides a mergeable
+    * KLL-style quantile summary: state is O(1/accuracyError·log n),
+    * partials combine map-side, and the rank error is bounded by
+    * `accuracyError` = 1/accuracy (SketchesSpec pins the bound against
+    * the exact percentile on a known distribution).
+    *
+    * Not oracle-checked: DuckDB's approx_quantile is a different sketch
+    * — the checked q37 keeps the exact form, this is its documented
+    * at-scale replacement. */
+  def approxPercentile(df: DataFrame, valueCol: String, groupBy: Seq[String],
+                       probabilities: Seq[Double],
+                       accuracy: Int = 10000): DataFrame = {
+    val pcts = array(probabilities.map(lit): _*)
+    val agg = percentile_approx(col(valueCol), pcts, lit(accuracy))
+      .as("approx_pcts")
+    if (groupBy.isEmpty) df.agg(agg)
+    else df.groupBy(groupBy.map(col): _*).agg(agg)
+  }
+
   /** Bloom membership filter as a Column pair — the third mergeable
     * sketch, for the "probably seen before" question (admission pre-dedup,
     * fact-table pruning). Built on Spark's native

@@ -40,4 +40,26 @@ class SketchesSpec extends AnyFunSuite {
     // recall 1: every true heavy hitter surfaces
     assert(trueHeavy.subsetOf(got.keySet), s"missing=${trueHeavy -- got.keySet}")
   }
+
+  test("approxPercentile: rank error within the accuracy bound, grouped + global") {
+    import org.apache.spark.sql.functions._
+    val n = 20000
+    val df = spark.range(n).select(
+      (col("id") % 2).cast("string").as("g"), col("id").cast("double").as("v"))
+    val probs = Seq(0.1, 0.5, 0.9)
+    val accuracy = 1000 // rank error <= n/accuracy = 20 ranks
+    val got = Sketches.approxPercentile(df, "v", Seq("g"), probs, accuracy)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for (g <- Seq("0", "1"); (p, i) <- probs.zipWithIndex) {
+      // group g holds every other id: value at rank r is ~2r (+ parity)
+      val groupN = n / 2
+      val exact = 2.0 * p * (groupN - 1)
+      val tol = 2.0 * (groupN.toDouble / accuracy + 1)
+      assert(math.abs(got(g)(i) - exact) <= 2 * tol,
+        s"g=$g p=$p got=${got(g)(i)} exact~$exact tol=$tol")
+    }
+    val global = Sketches.approxPercentile(df, "v", Nil, Seq(0.5), accuracy)
+      .collect()(0).getSeq[Double](0)(0)
+    assert(math.abs(global - (n - 1) / 2.0) <= 2 * (n.toDouble / accuracy + 1))
+  }
 }

@@ -469,9 +469,17 @@ object Dedup {
     *
     * Same inverted-index shape (and hot-shingle guard semantics) as
     * [[jaccardPairs]] — gram postings join, counts aggregate, denominators
-    * ride a window over the same retained gram universe. Baseline/verifier
-    * scope at full corpus scale for the same reason jaccardPairs is: run
-    * it on LSH candidates, not all pairs, when N is large. */
+    * ride a window over the same retained gram universe.
+    *
+    * Scale honesty: [[minHashCandidates]] does NOT recover the asymmetric
+    * pairs this op exists for — MinHash/LSH estimates JACCARD, and a
+    * short-doc-in-long-doc pair has jaccard ≈ |A|/|B|, so its band-match
+    * probability is tiny precisely when containment is the only signal.
+    * The candidate generator for containment at corpus scale is the
+    * inverted index itself with the hot-shingle guard (postings of the
+    * SHORT side probe the index; work is O(Σ posting²) bounded by the
+    * guard), or a containment-specific sketch family this library does
+    * not ship. Checked-query scope: exact relation, oracle-verified. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.9,
                        maxShingleFreq: Option[Int] = None): DataFrame = {

@@ -405,6 +405,19 @@ object SparkEntry {
     TextAnalysis.packTokens(t(s, dir, "documents"), "doc_id", "text",
       capacity = 64, bucketSize = 128)
 
+  /** Per-source quota capping (domain balancing): keep at most 20 docs
+    * per source, preferring high distinct-token ratio (quality rank,
+    * doc_id tie-break). WindowGroupLimit pre-reduces per partition —
+    * the standard pretraining domain-mix step as one rank pass. */
+  private def qSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val quality = round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+    Windows.topKPerGroup(
+      t(s, dir, "documents").select(col("source"), col("doc_id"),
+        quality.as("quality")),
+      Seq(col("source")), Seq(col("quality").desc, col("doc_id").asc), k = 20)
+  }
+
   /** Deterministic importance sampling: keep probability = the doc's
     * distinct-token ratio (a quality proxy), decided by the row's own
     * md5 draw — quality-weighted corpus thinning in one shuffle-free
@@ -760,6 +773,7 @@ object SparkEntry {
     "q61_token_packing" -> (qTokenPacking _),
     "q62_containment" -> (qContainment _),
     "q63_weighted_sample" -> (qWeightedSample _),
+    "q64_source_cap" -> (qSourceCap _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -991,6 +1005,15 @@ object SparkEntry {
          FROM m""",
     "q62_containment" ->
       OracleGen.containmentSql(n = 3, threshold = 0.9),
+    "q64_source_cap" ->
+      """WITH q AS (SELECT source, doc_id,
+             round(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')), 4) AS quality
+           FROM documents)
+         SELECT source, doc_id, quality FROM
+           (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id ASC) AS rn FROM q)
+         WHERE rn <= 20""",
     "q63_weighted_sample" ->
       """WITH w AS (SELECT doc_id, lang,
              round(len(list_distinct(string_split(text, ' '))) * 1.0

@@ -128,7 +128,14 @@ object Stress {
       // the copy-cluster edges (pairwise Jaccard between perturbed copies
       // sits in [~0.3, ~0.6]), so components contracts real 200k-node /
       // multi-million-edge input, not an empty edge set.
-      gated("DROP_NEARDUPS_E2E", budgetSec = 170) {
+      // Budget reflects the measured WALL distribution, not CPU: 40.7 s
+      // alone on an idle host, 109-216 s when run (as here) right after
+      // the guarded sweep's heap churn in the same JVM (GC-dominated
+      // waits the CPU-throughput calibration cannot normalize — the
+      // 216 s outlier tripped a 170 s budget on a scale-1.0 host while
+      // every compute-bound shape ran 3-6x FASTER than budgeted). A real
+      // clustering blowup is minutes-to-unbounded, far above 350 s.
+      gated("DROP_NEARDUPS_E2E", budgetSec = 350) {
         Dedup.dropNearDups(big, "doc_id", "text",
           shingleSize = 2, threshold = 0.5, k = 16, bands = 8).count()
       }

@@ -287,13 +287,30 @@ object Dedup {
     * not O(|train|). */
   def ngramContamination(train: DataFrame, eval_ : DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df.select(col(idCol).as("doc_id"),
+                         n: Int = 5): DataFrame =
+    ngramContaminationFromPostings(
+      ngramPostings(train, idCol, textCol, n), eval_, idCol, textCol, n)
+
+  /** Distinct `(doc_id, gh)` n-gram postings of a corpus — the narrow
+    * artifact the decontamination pipeline PERSISTS (like the MinHash
+    * band index of [[bandKeys]]): computed once per train doc, ever;
+    * every later eval batch probes it via
+    * [[ngramContaminationFromPostings]] without touching train text. */
+  def ngramPostings(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(split(col(textCol), " "), n))).as("g"))
       .select(col("doc_id"), md5(col("g")).as("gh"))
-    val evalGrams = grams(eval_)
+
+  /** [[ngramContamination]] with the train side supplied as its persisted
+    * posting index `(doc_id, gh)` — the production form. */
+  def ngramContaminationFromPostings(trainPostings: DataFrame,
+                         eval_ : DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    val evalGrams = ngramPostings(eval_, idCol, textCol, n)
     val hits = broadcast(evalGrams.select(col("doc_id").as("eval_id"), col("gh")))
-      .join(grams(train).select(col("doc_id").as("train_id"), col("gh")), "gh")
+      .join(trainPostings.select(col("doc_id").as("train_id"), col("gh")), "gh")
       .groupBy(col("eval_id").as("doc_id"))
       .agg(countDistinct(col("gh")).as("n_hit_ngrams"),
         countDistinct(col("train_id")).as("n_train_docs"))

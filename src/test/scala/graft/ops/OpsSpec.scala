@@ -631,6 +631,23 @@ class OpsSpec extends AnyFunSuite {
     assert(jac.count() == 0)
   }
 
+  test("ngramContamination from a persisted posting index == direct form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val train = docs.filter($"doc_id" % 5 =!= 1)
+    val eval_ = docs.filter($"doc_id" % 5 === 1)
+    // persist the index (parquet round-trip, as a pipeline would)
+    val dir = java.nio.file.Files.createTempDirectory("postings").toString
+    Dedup.ngramPostings(train, "doc_id", "text", 5)
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = Dedup.ngramContaminationFromPostings(
+        spark.read.parquet(dir), eval_, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().map(_.toString)
+    val direct = Dedup.ngramContamination(train, eval_, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(viaIndex.sameElements(direct) && direct.nonEmpty)
+  }
+
   test("repetitionMetrics: native expression equals HOF baseline, corpus + edges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val edge = Seq((9001L, "solo"), (9002L, "two tokens"), (9003L, "a a"),

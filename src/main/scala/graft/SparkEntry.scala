@@ -405,6 +405,24 @@ object SparkEntry {
     TextAnalysis.packTokens(t(s, dir, "documents"), "doc_id", "text",
       capacity = 64, bucketSize = 128)
 
+  /** Forward as-of join: each signup matched to the user's FIRST
+    * purchase at-or-after it (next-event attribution — the mirror of
+    * q36's backward as-of). */
+  private def qAsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Events.load(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    Joins.asOfJoinForward(signups, purchases, Seq("user_id"),
+        leftId = Seq("event_id"), leftOn = col("ts"),
+        rightOn = col("purchase_ts"), tieBreak = Seq(col("purchase_id").asc))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast(TimestampNTZType).as("ts"), col("purchase_id"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
+  }
+
   /** Per-source quota capping (domain balancing): keep at most 20 docs
     * per source, preferring high distinct-token ratio (quality rank,
     * doc_id tie-break). WindowGroupLimit pre-reduces per partition —
@@ -774,6 +792,7 @@ object SparkEntry {
     "q62_containment" -> (qContainment _),
     "q63_weighted_sample" -> (qWeightedSample _),
     "q64_source_cap" -> (qSourceCap _),
+    "q65_asof_forward" -> (qAsOfForward _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1005,6 +1024,20 @@ object SparkEntry {
          FROM m""",
     "q62_containment" ->
       OracleGen.containmentSql(n = 3, threshold = 0.9),
+    "q65_asof_forward" ->
+      """WITH su AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+         cand AS (SELECT su.user_id, su.event_id, su.ts, p.purchase_id,
+             p.purchase_ts,
+             row_number() OVER (PARTITION BY su.event_id
+               ORDER BY p.purchase_ts ASC, p.purchase_id ASC) AS rn
+           FROM su LEFT JOIN p
+             ON su.user_id = p.user_id AND p.purchase_ts >= su.ts)
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, purchase_id,
+           CAST(purchase_ts AS TIMESTAMP) AS purchase_ts
+         FROM cand WHERE rn = 1""",
     "q64_source_cap" ->
       """WITH q AS (SELECT source, doc_id,
              round(len(list_distinct(string_split(text, ' '))) * 1.0

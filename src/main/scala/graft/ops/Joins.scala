@@ -144,6 +144,25 @@ object Joins {
       rightOn.desc_nulls_last +: tieBreak)
   }
 
+  /** As-of join (forward): for each left row, attach the single right row
+    * with the SMALLEST `rightOn` that is ≥ `leftOn` — next-event
+    * attribution (first purchase after a campaign touch, next error
+    * after a deploy). Mirror of [[asOfJoinBackward]]: same equi+range
+    * composition, top-1 flips to ascending. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftId: Seq[String], leftOn: Column, rightOn: Column,
+                      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val renamed = keys.foldLeft(right)((df, k) =>
+      df.withColumnRenamed(k, s"__asof_$k"))
+    val matched = left.join(renamed,
+        keys.map(k => left(k) === renamed(s"__asof_$k")).reduce(_ && _) &&
+          rightOn >= leftOn, "left")
+      .drop(keys.map(k => s"__asof_$k"): _*)
+    Windows.topOnePerGroup(matched,
+      leftId.map(col),
+      rightOn.asc_nulls_last +: tieBreak)
+  }
+
   /** Bucketized range join (point-in-interval): each point row matches
     * every interval row with `start <= point <= end` (inclusive, long
     * domain — cast dates/timestamps to epoch days/seconds first).

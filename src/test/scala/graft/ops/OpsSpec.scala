@@ -525,6 +525,21 @@ class OpsSpec extends AnyFunSuite {
     assert((out(0) & 0xFF) == 0x89 && out(1) == 'P' && out(2) == 'N')
   }
 
+  test("asOfJoinForward attaches the FIRST right row at-or-after; nulls when none") {
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 250L), (2L, 30L, 50L))
+      .toDF("k", "lid", "lt")
+    val r = Seq((1L, 7L, 120L), (1L, 8L, 90L), (1L, 9L, 300L))
+      .toDF("k", "rid", "rt")
+    val got = Joins.asOfJoinForward(l, r, Seq("k"),
+        leftId = Seq("lid"), leftOn = $"lt", rightOn = $"rt",
+        tieBreak = Seq($"rid".asc))
+      .select("lid", "rid").collect()
+      .map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    // lid 10 (t=100): first rt >= 100 is 120 (rid 7); lid 20 (t=250): 300;
+    // key 2 has no right rows at all -> null match, row kept
+    assert(got == Map(10L -> Some(7L), 20L -> Some(9L), 30L -> None))
+  }
+
   test("rangeJoinPoints matches the naive non-equi join (incl. negatives, bucket edges)") {
     // points straddle bucket boundaries and zero; intervals include
     // sub-bucket, multi-bucket, degenerate (s==e), and inverted (dropped)

@@ -226,6 +226,25 @@ object OracleGen {
             ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
        WHERE rn <= $k"""
 
+  /** Oracle for `Similarity.lshTopK(probeBits = p)` (q66): the query side
+    * also probes each chunk key with one of its low `probeBits` bits
+    * flipped; the corpus bucket side is unchanged. */
+  def annLshMultiprobeSql(nBits: Int, dim: Int, k: Int,
+                          probeBits: Int): String =
+    s"""${bucketCtes(nBits, dim, nBits / 8)},
+       pb AS (SELECT id, v, chunk, key FROM b
+         UNION
+         SELECT id, v, chunk, xor(key, (1::BIGINT << j)) AS key
+           FROM b, UNNEST(range(0, $probeBits)) AS u(j)),
+       p AS (SELECT DISTINCT a.id AS query_id, c.id AS cand_id,
+           ${cosSql("a.v", "c.v")} AS cos
+         FROM pb a JOIN b c
+           ON a.chunk = c.chunk AND a.key = c.key AND a.id <> c.id)
+       SELECT query_id, cand_id, cos FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+       WHERE rn <= $k"""
+
   /** Oracle for `Dedup.embeddingNearDups(lsh = true)` (q31): same-bucket
     * unordered pairs with cosine ≥ threshold. */
   def embedNearDupLshSql(nBits: Int, dim: Int, threshold: Double): String =

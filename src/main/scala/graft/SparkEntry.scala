@@ -405,6 +405,13 @@ object SparkEntry {
     TextAnalysis.packTokens(t(s, dir, "documents"), "doc_id", "text",
       capacity = 64, bucketSize = 128)
 
+  /** Multi-probe LSH ANN: q30's shape with probeBits=8 — the query side
+    * fans out to Hamming-1 neighbor buckets, the stored index is
+    * untouched, recall can only rise (candidates ⊇ single-probe). */
+  private def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, probeBits = 8)
+
   /** Forward as-of join: each signup matched to the user's FIRST
     * purchase at-or-after it (next-event attribution — the mirror of
     * q36's backward as-of). */
@@ -793,6 +800,7 @@ object SparkEntry {
     "q63_weighted_sample" -> (qWeightedSample _),
     "q64_source_cap" -> (qSourceCap _),
     "q65_asof_forward" -> (qAsOfForward _),
+    "q66_ann_multiprobe" -> (qAnnMultiprobe _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1155,6 +1163,9 @@ object SparkEntry {
          WHERE abs(length(a.s) - length(b.s)) <= 2
            AND levenshtein(a.s, b.s) <= 2""",
     "q30_ann_lsh" -> OracleGen.annLshSql(nBits = 16, dim = 64, k = 5),
+    "q66_ann_multiprobe" ->
+      OracleGen.annLshMultiprobeSql(nBits = 16, dim = 64, k = 5,
+        probeBits = 8),
     "q35_ann_ivf" ->
       OracleGen.ivfSql(k = 5, nCentroids = 16, nProbe = 2, queryStride = 100),
     "q47_ann_ivf_trained" ->

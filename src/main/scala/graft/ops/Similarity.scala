@@ -226,15 +226,32 @@ object Similarity {
   /** LSH-bucketed ANN: same-bucket pairs scored by exact cosine, top-k per
     * query within its bucket. Approximate (recall < 1) — the scale path;
     * `bruteForceTopK` is the exact baseline. Buckets on byte-chunks of the
-    * signature so each vector lands in `nBits/8` buckets (multi-probe). */
+    * signature so each vector lands in `nBits/8` buckets.
+    *
+    * `probeBits` > 0 turns on MULTI-PROBE: the query side ALSO probes
+    * every chunk key with one of its low `probeBits` bits flipped — a
+    * near-neighbor that disagrees with the query on exactly one
+    * hyperplane per chunk still meets it. The classic recall lever that
+    * costs extra PROBES (query-side rows × (1+probeBits)) instead of a
+    * bigger INDEX (the corpus-side bucket table is untouched — at 100 TB
+    * that is the difference between re-sharding the stored index and just
+    * fanning out the lookup). Candidates strictly contain the
+    * single-probe set (spec-pinned), so recall can only go up. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              k: Int = 5, nBits: Int = 16, dim: Int = 64): DataFrame = {
+              k: Int = 5, nBits: Int = 16, dim: Int = 64,
+              probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 8, "probeBits in [0, 8]")
     val sigs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       lshSignature(col(vecCol), nBits, dim).as("sig"))
     val chunked = chunkedBuckets(sigs, col("sig"), nBits / 8)
       .select(col("id"), col("v"), col("chunk"), col("key"))
-    val pairs = chunked.select(col("chunk"), col("key"),
-        col("id").as("query_id"), col("v").as("qv"))
+    val qside0 = chunked.select(col("chunk"), col("key"),
+      col("id").as("query_id"), col("v").as("qv"))
+    val qside = if (probeBits == 0) qside0
+      else qside0.withColumn("key", explode(array(
+        col("key") +: (0 until probeBits).map(j =>
+          col("key").bitwiseXOR(lit(1L << j))): _*)))
+    val pairs = qside
       .join(chunked.select(col("chunk"), col("key"),
         col("id").as("cand_id"), col("v").as("v")), Seq("chunk", "key"))
       .filter(col("query_id") =!= col("cand_id"))

@@ -324,6 +324,39 @@ class OpsSpec extends AnyFunSuite {
     assert(e1.semanticEquals(e2))
   }
 
+  test("lshTopK multiprobe: covers ⊇ queries, per-query best only improves, recall rises") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val single = top(Similarity.lshTopK(emb, "vec_id", "embedding", k = 5))
+    val multi = top(Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+      probeBits = 8))
+    // multiprobe candidates ⊇ single-probe: every covered query stays
+    // covered, and its best cosine can only improve
+    assert(single.keySet.subsetOf(multi.keySet))
+    for ((q, rows) <- single)
+      assert(multi(q).map(_._3).max >= rows.map(_._3).max - 1e-9, s"q=$q")
+    // aggregate recall@5 vs brute force strictly improves on this corpus
+    val bf = top(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      k = 5, stride = 1))
+    def recall(ann: Map[Long, Array[(Long, Long, Double)]]): Double = {
+      val per = bf.toSeq.map { case (q, truth) =>
+        val t = truth.map(_._2).toSet
+        ann.get(q).map(c => (c.map(_._2).toSet & t).size.toDouble / t.size)
+          .getOrElse(0.0)
+      }
+      per.sum / per.size
+    }
+    // tiny corpus → sparse byte-chunk buckets → low absolute recall for
+    // BOTH; the multiprobe claim is the RELATIVE one (measured here:
+    // 0.037 → 0.199, ~5×)
+    val (rs, rm) = (recall(single), recall(multi))
+    info(f"recall@5 single=$rs%.3f multi=$rm%.3f")
+    assert(rm >= rs * 2 && rm > rs, f"single=$rs%.3f multi=$rm%.3f")
+  }
+
   test("bruteForceTopK returns k nearest by cosine, self excluded") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),

@@ -39,8 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(array<string>, k, n) - MinHash signature over word n-shingles"),
       (args: Seq[Expression]) => MinHashSig(args(0),
-        GraftExtensions.literalInt(args(1), "k"),
-        GraftExtensions.literalInt(args(2), "shingleSize"))))
+        GraftExtensions.literalInt(args(1), "minhash_sig", "k"),
+        GraftExtensions.literalInt(args(2), "minhash_sig", "shingleSize"))))
     ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
       info("hyperplane_sig", "hyperplane_sig(array, nBits, dim) - seeded random-hyperplane LSH signature; raises on dim mismatch"),
       GraftExtensions.hyperplaneSigBuilder))
@@ -56,7 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(array<string>, n) - word n-gram shingles (whole doc when shorter)"),
       (args: Seq[Expression]) => graft.functions.WordShingles(args(0),
-        GraftExtensions.literalInt(args(1), "n"))))
+        GraftExtensions.literalInt(args(1), "word_shingles", "n"))))
     ext.injectFunction((FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(array<string>) - struct(top_uni, top_bi, dup_tri) repetition counts"),
       (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)))
@@ -77,8 +77,8 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       import org.apache.spark.sql.catalyst.expressions._
       import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
-      val nBits = literalInt(args(1), "nBits")
-      val dim = literalInt(args(2), "dim")
+      val nBits = literalInt(args(1), "hyperplane_sig", "nBits")
+      val dim = literalInt(args(2), "hyperplane_sig", "dim")
       val v0 = Cast(args(0), ArrayType(DoubleType))
       val raise = new RaiseError(Concat(Seq(
         Literal(s"lshSignature: expected dim $dim, got vector of size "),
@@ -105,9 +105,9 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         args(0), args(1))
 
-  private[graft] def literalInt(e: Expression, arg: String): Int = {
+  private[graft] def literalInt(e: Expression, fn: String, arg: String): Int = {
     require(e.foldable,
-      s"minhash_sig: $arg must be a literal integer, got non-foldable: $e")
+      s"$fn: $arg must be a literal integer, got non-foldable: $e")
     e.eval().asInstanceOf[Number].intValue()
   }
 
@@ -128,8 +128,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => CosineSim(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       (args: Seq[Expression]) => MinHashSig(args(0),
-        GraftExtensions.literalInt(args(1), "k"),
-        GraftExtensions.literalInt(args(2), "shingleSize")), "scala_udf")
+        GraftExtensions.literalInt(args(1), "minhash_sig", "k"),
+        GraftExtensions.literalInt(args(2), "minhash_sig", "shingleSize")), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_sig",
       GraftExtensions.hyperplaneSigBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("bloom_filter_agg",
@@ -138,7 +138,7 @@ object GraftExtensions {
       GraftExtensions.mightContainBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
       (args: Seq[Expression]) => graft.functions.WordShingles(args(0),
-        GraftExtensions.literalInt(args(1), "n")), "scala_udf")
+        GraftExtensions.literalInt(args(1), "word_shingles", "n")), "scala_udf")
     reg.createOrReplaceTempFunction("repetition_stats",
       (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head),
       "scala_udf")

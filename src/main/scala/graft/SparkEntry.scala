@@ -1062,8 +1062,9 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, lang FROM w
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                 AS BIGINT)
-               < round(greatest(0.0, least(1.0, wt)), 6) * 4294967296.0""",
+                 AS BIGINT) * 1000000
+               < CAST(round(round(greatest(0.0, least(1.0, wt)), 6) * 1000000.0)
+                   AS BIGINT) * 4294967296""",
     "q61_token_packing" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -56,14 +56,22 @@ object Sampling {
     * high-quality documents at high rates and boilerplate at low rates in
     * ONE shuffle-free pass, instead of a hard threshold.
     *
-    * Comparison is integerized per [[bernoulliByHash]]'s pattern
-    * (u32 draw < weight × 2^32, weight rounded to 6 decimals first) so an
-    * oracle replays it exactly — no float-boundary flake. Weights outside
-    * [0, 1] clamp. */
+    * Comparison is TRULY integerized per [[bernoulliByHash]]'s pattern:
+    * the clamped weight rounds to 6 decimals, converts to micro-units
+    * (wMicros = round(w·10⁶), an exact long), and the keep test is all-long
+    * `v·10⁶ < wMicros·2^32` — algebraically `v < w·2^32` in exact rational
+    * arithmetic, with no float comparison at the boundary, so an oracle
+    * replays it exactly for ANY caller-supplied weight (a double
+    * `v < w·2^32` can flip rows whose draw lands within one ulp of the
+    * product when the two engines round the 6-decimal weight differently).
+    * Ranges fit: v < 2^32 ⇒ v·10⁶ < 2^52; wMicros ≤ 10⁶ ⇒
+    * wMicros·2^32 < 2^52 — both well inside long. Weights outside [0, 1]
+    * clamp. */
   def weightedByHash(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
     val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    val w = round(greatest(lit(0.0), least(lit(1.0), weight)), 6)
-    df.filter(v.cast("double") < w * 4294967296.0)
+    val wMicros = round(round(greatest(lit(0.0), least(lit(1.0), weight)), 6)
+      * 1000000.0).cast("long")
+    df.filter(v * lit(1000000L) < wMicros * lit(4294967296L))
   }
 }

@@ -194,9 +194,12 @@ object Stress {
           big.filter(pmod(col("doc_id"), lit(200)) === 0),
           "doc_id", "text", n = 5).count()
       }
-      // Repetition metrics are per-row O(distinct × n) with an O(n²)
-      // trigram-dup term — the budget catches that constant blowing up
-      // (e.g. a refactor that de-codegens the nested HOFs).
+      // Repetition metrics run the native RepetitionStats expression —
+      // the budget catches its per-row constant blowing up: the expression
+      // silently falling back to the interpreted HOF formulation
+      // (measured 240+ s on this shape vs 0.36 s native — the lesson in
+      // TextAnalysis's scaladoc), or a refactor reintroducing per-row
+      // quadratic work in the trigram-dup term.
       gated("REPETITION_METRICS", budgetSec = 10) { // measured 4.8 s @ scale 2.23 (native expr)
         TextAnalysis.repetitionMetrics(big, "doc_id", "text")
           .filter(col("keep")).count()

@@ -25,9 +25,12 @@ class EntrySpec extends AnyFunSuite {
     "q26_ann_bruteforce", "q28_minhash_lsh", "q29_simhash_hybrid",
     "q30_ann_lsh", "q31_embed_neardup", "q35_ann_ivf", "q45_neardup_dedup",
     "q46_editdist_pairs", "q47_ann_ivf_trained", "q48_tfidf_topk",
-    "q49_stratified_sample", "q55_range_join", "q56_bm25",
+    "q49_stratified_sample", "q53_repetition", "q54_contamination",
+    "q55_range_join", "q56_bm25",
     "q57_bloom_semijoin", "q58_interval_overlap", "q59_snapshot_diff",
-    "q60_curation_funnel", "q62_containment", "q63_weighted_sample", "q64_source_cap", "q65_asof_forward", "q66_ann_multiprobe")
+    "q60_curation_funnel", "q61_token_packing", "q62_containment",
+    "q63_weighted_sample", "q64_source_cap", "q65_asof_forward",
+    "q66_ann_multiprobe")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns a well-formed result at sf0.001") {

@@ -12,9 +12,12 @@ import graft.functions.SimHash64.simhash64
   *    partial aggregation).
   *  - MinHash-LSH avoids the O(N²) pairwise join: docs are mapped to
   *    (band, bandKey) buckets — one explode + one shuffle on the bucket key
-  *    — and only within-bucket pairs are compared. Bucket skew (a degenerate
-  *    shingle shared by everything) is the known hazard; AQE skew handling
-  *    plus the `maxBucketSize` guard cap it.
+  *    — and only within-bucket pairs are compared. Bucket skew (boilerplate
+  *    whose signature collides corpus-wide) is the known hazard; AQE skew
+  *    handling spreads an oversized bucket's JOIN work, and the
+  *    `maxBucketSize` option of [[minHashCandidates]] caps its PAIR COUNT
+  *    (an all-identical cluster of c docs is otherwise O(c²) pairs no
+  *    matter how they're scheduled).
   *  - SimHash is O(tokens) per doc via a custom Catalyst expression, then
   *    banded on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
   *  - Exact n-gram Jaccard is the verifier on candidate pairs, not a
@@ -90,11 +93,29 @@ object Dedup {
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
     * bucket-join on (band, bandKey), emit each pair once with the
-    * signature-estimated Jaccard. */
+    * signature-estimated Jaccard.
+    *
+    * `maxBucketSize`: per-(band, band_key) membership cap, enforced BEFORE
+    * the bucket self-join — the degenerate-bucket guard. A boilerplate
+    * template shared by c docs puts all c in the same bucket of every band
+    * (identical text ⇒ identical signature), and the self-join then emits
+    * O(c²) pairs whatever the scheduler does; at 100 TB c can be millions.
+    * With the cap, buckets larger than `maxBucketSize` are DROPPED (a
+    * count + broadcast anti-join on the narrow index — the oversized key
+    * set is small by construction, it takes N/cap buckets to exist).
+    * Honest recall contract: pairs whose every shared band lands in a
+    * dropped bucket are LOST — by design, because a bucket that large
+    * means near-identical mass that exact dedup
+    * ([[exactGroups]]/[[dropExact]] on a content fingerprint) should have
+    * removed first; run the cap only downstream of exact dedup, sized
+    * well above the surviving true-cluster size. Checked queries keep
+    * `None` (their oracle is the exact relation); the CI stress gate runs
+    * the capped form on a 50%-boilerplate corpus. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4,
                         shingleSize: Int = 3,
-                        minEstJaccard: Double = 0.0): DataFrame = {
+                        minEstJaccard: Double = 0.0,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val sigs = minHashSignatures(df, idCol, textCol, k, shingleSize)
     // Bucket join ships ONLY (band, band_key, doc_id) — candidate pairs are
@@ -107,7 +128,23 @@ object Dedup {
     // MinHashSig expression recompute is cheaper than materializing
     // k longs × corpus (cache/checkpoint) at 100 TB; if the signature fn
     // ever becomes expensive again, persist `sigs` here instead.
-    val banded = bandKeys(sigs, k, bands)
+    val banded0 = bandKeys(sigs, k, bands)
+    // Degenerate-bucket guard: count each bucket on the NARROW index and
+    // anti-join the oversized keys away before the self-join. The banding
+    // subtree evaluates twice (count + probe) — with the native signature
+    // expression that recompute is cheaper than materializing the index,
+    // and both passes stay three columns wide.
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 1, "maxBucketSize must be >= 1")
+        val oversized = banded0.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") > cap)
+          .select("band", "band_key")
+        banded0.join(broadcast(oversized), Seq("band", "band_key"),
+          "left_anti")
+      case None => banded0
+    }
     val pairs = banded.select(col("band"), col("band_key"),
         col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("band_key"),
@@ -166,9 +203,10 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
                       minEstJaccard: Double = 0.5,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     val cands = minHashCandidates(docs, idCol, textCol, k, bands,
-      shingleSize, minEstJaccard)
+      shingleSize, minEstJaccard, maxBucketSize)
     exactJaccardFor(docs, cands, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
   }
@@ -647,9 +685,11 @@ object Dedup {
   def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 2, threshold: Double = 0.8,
                    k: Int = 32, bands: Int = 16,
-                   checkpointDir: Option[String] = None): DataFrame = {
+                   checkpointDir: Option[String] = None,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     val pairs = minHashNearDups(docs, idCol, textCol, k, bands,
-      shingleSize, minEstJaccard = 0.4, threshold)
+      shingleSize, minEstJaccard = 0.4, threshold,
+      maxBucketSize = maxBucketSize)
     val keep = components(docs.select(idCol), pairs.select("doc_a", "doc_b"),
         checkpointDir = checkpointDir)
       .filter(col("id") === col("label")).select(col("id"))

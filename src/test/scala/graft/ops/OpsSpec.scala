@@ -236,6 +236,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0) == 1.0)
   }
 
+  test("maxBucketSize guard drops degenerate buckets, keeps small ones") {
+    // 40 all-identical boilerplate docs (one bucket of 40 per band —
+    // O(c²) pairs unguarded) + 2 identical rare docs (buckets of 2).
+    val docs = (1L to 40L).map(i => (i, "the same boilerplate template " +
+        "repeated verbatim in every crawled page footer")) ++
+      Seq((100L, "rare pair content alpha beta gamma delta eps zeta"),
+          (101L, "rare pair content alpha beta gamma delta eps zeta"))
+    val df = docs.toDF("doc_id", "text")
+    val unguarded = Dedup.minHashCandidates(df, "doc_id", "text", 16, 4, 3)
+    assert(unguarded.filter($"doc_a" < 100).count() == 40L * 39 / 2)
+    val guarded = Dedup.minHashCandidates(df, "doc_id", "text", 16, 4, 3,
+      maxBucketSize = Some(10))
+    // boilerplate cluster gone (every shared bucket oversized), rare pair
+    // survives untouched
+    val got = guarded.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(got.toSet == Set((100L, 101L)))
+    // cap above the cluster size = no-op: identical to unguarded
+    val loose = Dedup.minHashCandidates(df, "doc_id", "text", 16, 4, 3,
+      maxBucketSize = Some(40))
+    assert(loose.count() == unguarded.count())
+  }
+
   test("MinHashSig expression matches the composed HOF/explode formulation") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "x y"), (3L, ""))
       .toDF("doc_id", "text")

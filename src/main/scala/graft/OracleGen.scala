@@ -34,16 +34,29 @@ object OracleGen {
     * Jaccard-family oracle. ONE definition so the pair relation can never
     * desynchronize between the pair oracle (q25/q28/q29) and the
     * clustering oracle (q45). */
-  private def gramCtes(n: Int): String = {
+  private def gramCtes(n: Int,
+                       maxShingleFreq: Option[Int] = None): String = {
     require(n >= 2, "token n-grams with n >= 2 (unigrams are handled by len(t) < n branch only)")
+    // With the hot-shingle guard, sizes and inter both range over the SAME
+    // retained gram universe (grams minus hot) — mirroring the Spark side,
+    // where dropping a hot gram shrinks denominators too.
+    val (guardCte, src) = maxShingleFreq match {
+      case Some(maxF) => (
+        s""",
+       hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > $maxF),
+       kept AS (SELECT doc_id, g FROM grams
+         WHERE g NOT IN (SELECT g FROM hot))""",
+        "kept")
+      case None => ("", "grams")
+    }
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        grams AS (SELECT DISTINCT doc_id,
            CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
                 ELSE array_to_string(t[i:i+${n - 1}], ' ') END AS g
-         FROM toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 2))) AS u(i)),
-       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         FROM toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 2))) AS u(i))$guardCte,
+       sizes AS (SELECT doc_id, count(*) AS n FROM $src GROUP BY doc_id),
        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         FROM $src a JOIN $src b ON a.g = b.g AND a.doc_id < b.doc_id
          GROUP BY 1, 2)"""
   }
 
@@ -125,9 +138,12 @@ object OracleGen {
 
   /** Directed containment oracle (|A∩B|/|A| and /|B| over the same gram
     * relation) — mirrors `Dedup.containmentPairs`, thresholding on the
-    * max of the ROUNDED directions exactly as the Spark side does. */
-  def containmentSql(n: Int, threshold: Double): String =
-    s"""WITH ${gramCtes(n)}
+    * max of the ROUNDED directions exactly as the Spark side does.
+    * `maxShingleFreq` replicates the hot-shingle guard: grams in more
+    * than that many docs leave the universe before sizes AND inter. */
+  def containmentSql(n: Int, threshold: Double,
+                     maxShingleFreq: Option[Int] = None): String =
+    s"""WITH ${gramCtes(n, maxShingleFreq)}
        SELECT doc_a, doc_b,
          round(i * 1.0 / sa.n, 4) AS cont_a_in_b,
          round(i * 1.0 / sb.n, 4) AS cont_b_in_a

@@ -455,10 +455,18 @@ object SparkEntry {
   }
 
   /** Directed containment pairs (3-gram, max-direction ≥ 0.9): the
-    * quote/subset duplication probe Jaccard misses. */
+    * quote/subset duplication probe Jaccard misses. The hot-shingle guard
+    * IS ENGAGED (maxShingleFreq = 50): shingles present in more than 50
+    * docs are dropped from the gram universe before the inverted-index
+    * join, bounding candidate work at O(Σ posting²) ≤ #grams·50² — the
+    * scale path for the one operator class where MinHash banding cannot
+    * generate candidates (asymmetric pairs have tiny Jaccard by
+    * construction). The oracle replicates the guard over the same gram
+    * relation, so the entry stays hash-checked; the CONTAINMENT stress
+    * shape gates the guarded sweep's cost class on a dup-cluster corpus. */
   private def qContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-      shingleSize = 3, threshold = 0.9)
+      shingleSize = 3, threshold = 0.9, maxShingleFreq = Some(50))
 
   /** The curation funnel end-to-end: quality filter (repetition keep) →
     * exact dedup (min-id per bag-of-words fingerprint) → deterministic
@@ -1031,7 +1039,8 @@ object SparkEntry {
            $repetitionKeepSql AS keep
          FROM m""",
     "q62_containment" ->
-      OracleGen.containmentSql(n = 3, threshold = 0.9),
+      OracleGen.containmentSql(n = 3, threshold = 0.9,
+        maxShingleFreq = Some(50)),
     "q65_asof_forward" ->
       """WITH su AS (SELECT user_id, event_id, ts FROM events
            WHERE event_type = 'signup'),

@@ -530,11 +530,19 @@ object Dedup {
     * pairs this op exists for — MinHash/LSH estimates JACCARD, and a
     * short-doc-in-long-doc pair has jaccard ≈ |A|/|B|, so its band-match
     * probability is tiny precisely when containment is the only signal.
-    * The candidate generator for containment at corpus scale is the
-    * inverted index itself with the hot-shingle guard (postings of the
-    * SHORT side probe the index; work is O(Σ posting²) bounded by the
-    * guard), or a containment-specific sketch family this library does
-    * not ship. Checked-query scope: exact relation, oracle-verified. */
+    * The candidate generator for containment at corpus scale is therefore
+    * the guarded inverted index itself: with `maxShingleFreq = maxF`
+    * every retained posting list is ≤ maxF docs, so the self-join emits
+    * ≤ #grams·maxF² candidate rows — linear in corpus gram volume for
+    * fixed maxF, never O(N²). The checked q62 entry ENGAGES the guard
+    * (maxF = 50) and its oracle replicates it over the same gram
+    * universe (OracleGen.containmentSql), so the guarded relation is the
+    * hash-verified contract; the CONTAINMENT stress shape in
+    * tools/Stress gates the cost class on a dup-cluster corpus. What the
+    * guard costs: a pair whose shared grams are ALL corpus-hot
+    * (boilerplate quoted inside boilerplate) is invisible — the same
+    * trade the Jaccard sweep's guard makes, and the right one: those
+    * pairs are template mass, not quotation signal. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.9,
                        maxShingleFreq: Option[Int] = None): DataFrame = {

@@ -637,6 +637,24 @@ object SparkEntry {
         col("signup_ts").cast(TimestampNTZType).as("signup_ts"))
   }
 
+  /** BOUNDED-MEMORY percentile (the 100 TB sibling of q37's exact form,
+    * which buffers every group value in aggregation state): fixed-width
+    * value bins → mergeable bin counts → nearest-rank bin midpoint.
+    * Deterministic end to end, so the oracle replays the identical
+    * algorithm in SQL and the entry is hash-checked — the property
+    * `percentile_approx`'s randomized KLL sketch can't offer
+    * (Sketches.approxPercentile remains for callers who want tighter
+    * error at the same memory). Median qty binned at 1.0, p90 price at
+    * 100.0; SketchesSpec pins |estimate − exact nearest-rank| ≤ w/2. */
+  private def qApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    Sketches.binnedPercentile(li, "l_quantity", Seq("l_returnflag"),
+        p = 0.5, binWidth = 1.0, outCol = "approx_median_qty")
+      .join(Sketches.binnedPercentile(li, "l_extendedprice",
+        Seq("l_returnflag"), p = 0.9, binWidth = 100.0,
+        outCol = "approx_p90_price"), Seq("l_returnflag"))
+  }
+
   /** Ordered-statistics aggregation: exact interpolated median + p90. */
   private def qPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy(col("l_returnflag"))
@@ -809,6 +827,7 @@ object SparkEntry {
     "q64_source_cap" -> (qSourceCap _),
     "q65_asof_forward" -> (qAsOfForward _),
     "q66_ann_multiprobe" -> (qAnnMultiprobe _),
+    "q67_approx_percentile" -> (qApproxPercentile _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1251,6 +1270,28 @@ object SparkEntry {
          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, signup_id,
            CAST(signup_ts AS TIMESTAMP) AS signup_ts
          FROM cand WHERE rn = 1""",
+    "q67_approx_percentile" ->
+      """WITH qb AS (SELECT l_returnflag,
+             CAST(floor(l_quantity / 1.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         qc AS (SELECT l_returnflag, bin, cnt,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS tot FROM qb),
+         qm AS (SELECT l_returnflag,
+             round(CAST(bin AS DOUBLE) * 1.0 + 0.5, 4) AS approx_median_qty
+           FROM qc WHERE cum >= ceil(0.5 * tot) AND cum - cnt < ceil(0.5 * tot)),
+         pb AS (SELECT l_returnflag,
+             CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin,
+             count(*) AS cnt
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+         pc AS (SELECT l_returnflag, bin, cnt,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS tot FROM pb),
+         pm AS (SELECT l_returnflag,
+             round(CAST(bin AS DOUBLE) * 100.0 + 50.0, 4) AS approx_p90_price
+           FROM pc WHERE cum >= ceil(0.9 * tot) AND cum - cnt < ceil(0.9 * tot))
+         SELECT qm.l_returnflag, approx_median_qty, approx_p90_price
+         FROM qm JOIN pm ON qm.l_returnflag = pm.l_returnflag""",
     "q37_percentile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

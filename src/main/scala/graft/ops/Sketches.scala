@@ -83,6 +83,45 @@ object Sketches {
     else df.groupBy(groupBy.map(col): _*).agg(agg)
   }
 
+  /** DETERMINISTIC bounded-memory percentile over fixed-width value bins
+    * — the oracle-checkable sibling of [[approxPercentile]] (whose KLL
+    * sketch DuckDB cannot replay). Values bin to `floor(v / binWidth)`,
+    * bins aggregate to counts (one hash shuffle, map-side combine, state
+    * O(range/binWidth) per group — bounded and mergeable like any
+    * sketch), a per-group cumulative walk over the SORTED bins finds the
+    * nearest-rank bin (the smallest bin whose cumulative count reaches
+    * `ceil(p·n)`), and the estimate is that bin's midpoint. Every step is
+    * exact integer/double arithmetic on both engines, so the checked q67
+    * hash-verifies against a DuckDB replay — unlike a randomized sketch.
+    *
+    * Error contract: the true nearest-rank value lies inside the chosen
+    * bin, so |estimate − exact nearest-rank value| ≤ binWidth/2 (spec-
+    * pinned vs the exact sort). Against q37's INTERPOLATED percentile the
+    * estimate additionally drifts by at most the local inter-value gap.
+    * Nulls are excluded (percentile semantics). The window over bins is
+    * per-group over O(bins) rows, never over raw data. */
+  def binnedPercentile(df: DataFrame, valueCol: String, groupBy: Seq[String],
+                       p: Double, binWidth: Double,
+                       outCol: String = "approx_pct"): DataFrame = {
+    require(p > 0.0 && p <= 1.0, "p must be in (0, 1]")
+    require(binWidth > 0.0, "binWidth must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupBy.map(col) :+
+        floor(col(valueCol) / binWidth).cast("long").as("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val ordered = Window.partitionBy(groupBy.map(col): _*)
+      .orderBy(col("__bin"))
+    val whole = Window.partitionBy(groupBy.map(col): _*)
+    val r = ceil(lit(p) * col("__tot"))
+    counts
+      .withColumn("__cum", sum(col("__cnt")).over(ordered))
+      .withColumn("__tot", sum(col("__cnt")).over(whole))
+      .filter(col("__cum") >= r && col("__cum") - col("__cnt") < r)
+      .select(groupBy.map(col) :+
+        round(col("__bin") * binWidth + binWidth / 2, 4).as(outCol): _*)
+  }
+
   /** Bloom membership filter as a Column pair — the third mergeable
     * sketch, for the "probably seen before" question (admission pre-dedup,
     * fact-table pruning). Built on Spark's native

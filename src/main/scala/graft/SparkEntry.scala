@@ -655,6 +655,26 @@ object SparkEntry {
         outCol = "approx_p90_price"), Seq("l_returnflag"))
   }
 
+  /** SALTED two-phase aggregation over a deliberately skewed key (90% of
+    * lineitem lands on one 'hot' key): phase 1 aggregates on
+    * (key, content-salt) — spreading the hot key over 16 partial groups
+    * and 16 tasks — phase 2 merges partials per key. Map-side combine
+    * already shrinks plain sums; the salt is the lever for the shapes
+    * that defeat it (huge per-key state, count-distinct, a reducer whose
+    * single hot task otherwise runs alone at 100 TB). Result is
+    * row-identical to the plain groupBy, which is exactly what the
+    * oracle runs; PlanAuditSpec pins the two-exchange shape. */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val skewKey = when(col("l_orderkey") % 10 =!= 0, lit("hot"))
+      .otherwise(concat(lit("k"), (col("l_orderkey") % 100).cast(LongType)))
+    Skew.saltedAggregate(
+      t(s, dir, "lineitem").select(skewKey.as("skew_key"), col("l_quantity")),
+      Seq("skew_key"), buckets = 16,
+      partial = Seq(sum(col("l_quantity")).as("s"), count(lit(1)).as("c")),
+      merge = Seq(round(sum(col("s")), 2).as("sum_qty"),
+        sum(col("c")).as("cnt")))
+  }
+
   /** Ordered-statistics aggregation: exact interpolated median + p90. */
   private def qPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy(col("l_returnflag"))
@@ -828,6 +848,7 @@ object SparkEntry {
     "q65_asof_forward" -> (qAsOfForward _),
     "q66_ann_multiprobe" -> (qAnnMultiprobe _),
     "q67_approx_percentile" -> (qApproxPercentile _),
+    "q68_salted_agg" -> (qSaltedAgg _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1270,6 +1291,13 @@ object SparkEntry {
          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, signup_id,
            CAST(signup_ts AS TIMESTAMP) AS signup_ts
          FROM cand WHERE rn = 1""",
+    "q68_salted_agg" ->
+      """WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
+             ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,
+             l_quantity FROM lineitem)
+         SELECT skew_key, round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS cnt
+         FROM b GROUP BY skew_key""",
     "q67_approx_percentile" ->
       """WITH qb AS (SELECT l_returnflag,
              CAST(floor(l_quantity / 1.0) AS BIGINT) AS bin, count(*) AS cnt

@@ -151,6 +151,18 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q68: salted agg keeps both phases — salted exchange then key-only merge") {
+    val p = plan("q68_salted_agg")
+    // phase 1 shuffles on (skew_key, salt): the hot key spreads over 16
+    // reducer groups; phase 2 shuffles the 16 partials per key. If a
+    // refactor collapses the phases, the salted exchange disappears and
+    // one task re-owns the hot key at scale.
+    assert("hashpartitioning\\(skew_key#\\d+, __graft_salt#\\d+".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    assert("hashpartitioning\\(skew_key#\\d+, \\d+\\)".r
+      .findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -16,10 +16,13 @@ import org.apache.spark.sql.types._
   * histogram feature, and a real nearest-neighbor downsample re-encoded
   * as PNG. AUDIO decode is REAL for JDK-parseable formats:
   * `javax.sound.sampled` reads WAV/AIFF/AU PCM payloads into true sample
-  * rate, channel count, duration and an RMS envelope feature. Payloads
-  * neither decoder can parse (the testdata's text-bytes stand-ins,
-  * compressed audio, plus video, whose codecs are NOT in this container)
-  * fall back to a deterministic fake (clearly marked STUB below).
+  * rate, channel count, duration and an RMS envelope feature. VIDEO
+  * container metadata is REAL for MP4/QuickTime payloads: a pure
+  * header-arithmetic atom walk reads duration, track count and track
+  * resolution (frame decode would need codecs this container lacks).
+  * Payloads no decoder can parse (the testdata's text-bytes stand-ins,
+  * compressed audio, non-MP4 video) fall back to a deterministic fake
+  * (clearly marked STUB below).
   * Everything Spark-side is real either way: schema, partition-preserving
   * mapPartitions, batch shape, column pruning (metadata-only queries
   * never touch payload bytes thanks to parquet column projection).
@@ -206,12 +209,98 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** REAL video CONTAINER metadata via an MP4/QuickTime atom walk — no
+    * codec needed (the JDK has none): boxes are `[u32 size][4cc type]`
+    * (size 1 ⇒ 64-bit size follows; size 0 ⇒ to end of stream), nested
+    * for containers. The walk finds `moov`, reads `mvhd` (timescale +
+    * duration ⇒ duration seconds) and each `trak`'s `tkhd` (16.16
+    * fixed-point width/height; audio tracks carry 0×0), and returns
+    * `(width, height, feature)` with the max track dimensions and
+    * feature = [duration_sec, n_tracks, timescale, 0…]. Deterministic
+    * (pure header arithmetic). None for null payloads and anything that
+    * is not a well-formed MP4 container — those keep the [[stubDecode]]
+    * fallback, now only for genuinely unparseable formats. */
+  private[ops] def decodeVideo(payload: Array[Byte])
+      : Option[(Int, Int, Array[Float])] = {
+    if (payload == null || payload.length < 16) return None
+    def u32(off: Int): Long =
+      ((payload(off) & 0xFFL) << 24) | ((payload(off + 1) & 0xFFL) << 16) |
+        ((payload(off + 2) & 0xFFL) << 8) | (payload(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // yields (type, contentStart, contentEnd) for each box in [from, to)
+    def boxes(lo: Long, hi: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var pos = lo
+        def hasNext: Boolean = pos + 8 <= hi
+        def next(): (String, Long, Long) = {
+          val size0 = u32(pos.toInt)
+          val typ = fourcc(pos.toInt + 4)
+          val (hdr, size) =
+            if (size0 == 1L && pos + 16 <= hi) (16L, u64(pos.toInt + 8))
+            else if (size0 == 0L) (8L, hi - pos)
+            else (8L, size0)
+          if (size < hdr || pos + size > hi) { pos = hi; ("", 0L, 0L) }
+          else { val r = (typ, pos + hdr, pos + size); pos += size; r }
+        }
+      }
+    try {
+      val top = boxes(0L, payload.length.toLong).toList
+      // an MP4 leads with ftyp (or a QuickTime-style moov-first layout);
+      // require a recognizable top-level structure, not just 8 bytes that
+      // happen to parse
+      if (!top.exists(_._1 == "moov") ||
+          !top.headOption.exists(b => b._1 == "ftyp" || b._1 == "moov"))
+        return None
+      val (_, ms, me) = top.find(_._1 == "moov").get
+      var durationSec = 0f
+      var timescale = 0f
+      var nTracks = 0
+      var w = 0
+      var h = 0
+      boxes(ms, me).foreach {
+        case ("mvhd", cs, _) =>
+          val c = cs.toInt
+          val v = payload(c) & 0xFF
+          if (v == 1) {
+            timescale = u32(c + 20).toFloat
+            if (timescale > 0) durationSec = u64(c + 24) / timescale
+          } else {
+            timescale = u32(c + 12).toFloat
+            if (timescale > 0) durationSec = u32(c + 16) / timescale
+          }
+        case ("trak", cs, ce) =>
+          nTracks += 1
+          boxes(cs, ce).foreach {
+            case ("tkhd", tcs, _) =>
+              val c = tcs.toInt
+              val v = payload(c) & 0xFF
+              val base = if (v == 1) c + 88 else c + 76
+              // 16.16 fixed point; integer part only
+              val tw = (u32(base) >> 16).toInt
+              val th = (u32(base + 4) >> 16).toInt
+              w = math.max(w, tw)
+              h = math.max(h, th)
+            case _ =>
+          }
+        case _ =>
+      }
+      val feat = new Array[Float](8)
+      feat(0) = durationSec
+      feat(1) = nTracks.toFloat
+      feat(2) = timescale
+      Some((w, h, feat))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** ======================== STUB ========================
-    * Deterministic FAKE decoder for payloads the real decoders can't
-    * parse (video codecs are not in this container; the testdata's
-    * image/audio payloads are text-byte stand-ins): derives "dimensions"
-    * and a fixed-size "feature vector" purely from the payload bytes so
-    * tests are exact. The Spark plumbing around it is final. */
+    * Deterministic FAKE decoder for payloads none of the real decoders
+    * can parse (the testdata's media payloads are text-byte stand-ins;
+    * video FRAME decode needs codecs this container lacks — container
+    * METADATA is real via [[decodeVideo]]): derives "dimensions" and a
+    * fixed-size "feature vector" purely from the payload bytes so tests
+    * are exact. The Spark plumbing around it is final. */
   private def stubDecode(mediaId: Long, kind: String,
                          payload: Array[Byte]): MediaFeatures = {
     val n = if (payload == null) 0L else payload.length.toLong
@@ -242,6 +331,7 @@ object Multimodal {
         (kind match {
           case "image" => decodeImage(payload)
           case "audio" => decodeAudio(payload)
+          case "video" => decodeVideo(payload)
           case _ => None
         }) match {
           case Some((w, h, feat)) =>

@@ -566,6 +566,61 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(1).width == (wav.length % 640) + 1)
   }
 
+  /** A minimal but structurally valid MP4: ftyp + moov{mvhd v0 (108 B,
+    * timescale/duration) + trak{tkhd v0 (92 B, 16.16 width/height)}} —
+    * every box at its spec size, all multi-byte fields big-endian. */
+  private def mp4Fixture(timescale: Int = 600, duration: Int = 1800,
+                         width: Int = 640, height: Int = 360): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 216) // big-endian default
+    def fourcc(s: String): Unit = s.foreach(c => bb.put(c.toByte))
+    bb.putInt(16); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+    bb.putInt(216); fourcc("moov")
+    bb.putInt(108); fourcc("mvhd")
+    bb.putInt(0)                   // version 0 + flags
+    bb.putInt(0); bb.putInt(0)     // ctime, mtime
+    bb.putInt(timescale); bb.putInt(duration)
+    bb.putInt(0x00010000)          // rate 1.0
+    bb.putShort(0x0100.toShort); bb.putShort(0) // volume, reserved
+    bb.putInt(0); bb.putInt(0)     // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(2)                   // next track id
+    bb.putInt(100); fourcc("trak")
+    bb.putInt(92); fourcc("tkhd")
+    bb.putInt(7)                   // version 0 + enabled flags
+    bb.putInt(0); bb.putInt(0)     // ctime, mtime
+    bb.putInt(1); bb.putInt(0)     // track id, reserved
+    bb.putInt(duration)
+    bb.putInt(0); bb.putInt(0)     // reserved
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    bb.putInt(width << 16); bb.putInt(height << 16)
+    bb.array()
+  }
+
+  test("multimodal: REAL MP4 atom walk — duration, track count, resolution") {
+    val mp4 = mp4Fixture() // 1800/600 = 3 s, one 640x360 track
+    val direct = Multimodal.decodeVideo(mp4)
+    assert(direct.isDefined)
+    val (w, h, feat) = direct.get
+    assert(w == 640 && h == 360)
+    assert(feat(0) == 3.0f && feat(1) == 1.0f && feat(2) == 600.0f)
+    val media = Seq((1L, "video", mp4),
+        (2L, "video", "not an mp4 at all just text bytes".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    // real container metadata through the Spark path
+    assert(feats(0).width == 640 && feats(0).height == 360)
+    assert(feats(0).feature(0) == 3.0f)
+    // unparseable payload still degrades to the deterministic stub
+    val textLen = "not an mp4 at all just text bytes".getBytes("UTF-8").length
+    assert(feats(1).width == textLen % 640 + 1)
+    // corrupt headers (truncated box, lying size) must not throw
+    assert(Multimodal.decodeVideo(mp4.take(20)).isEmpty)
+    val lying = mp4.clone(); lying(3) = 0x7F.toByte // ftyp size -> huge
+    assert(Multimodal.decodeVideo(lying).isEmpty)
+  }
+
   test("multimodal: REAL PNG resize — pixel downsample, re-encoded PNG") {
     val png = pngFixture()
     val media = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")

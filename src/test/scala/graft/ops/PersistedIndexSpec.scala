@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The artifact contract a nightly pipeline depends on: the corpus-side
+  * index tables (MinHash signatures, n-gram postings) are PERSISTABLE —
+  * written to parquet once, re-read by every later batch admission /
+  * decontamination run — and the probe paths produce results identical
+  * to recomputing the index in-plan. A schema or hashing drift between
+  * the writer and the reader would silently corrupt every downstream
+  * admission decision; this spec round-trips both artifacts through
+  * parquet and compares row-for-row. */
+class PersistedIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("MinHash signature index survives a parquet round-trip: identical " +
+    "admission statuses (the q50 contract)") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val direct = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text",
+        k = 16, bands = 8, shingleSize = 3, minEstJaccard = 0.5,
+        threshold = 0.8)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(direct.nonEmpty && direct.exists(_._2 != "accepted"),
+      "fixture must exercise real rejections")
+
+    val idxDir = tmp("graft_sig_idx")
+    Dedup.minHashSignatures(corpus, "doc_id", "text", k = 16,
+        shingleSize = 3)
+      .write.mode("overwrite").parquet(idxDir)
+    val reread = spark.read.parquet(idxDir)
+    val viaIndex = Dedup.incrementalNearDupsFromSigs(reread, corpus, batch,
+        "doc_id", "text", k = 16, bands = 8, shingleSize = 3,
+        minEstJaccard = 0.5, threshold = 0.8)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(viaIndex.sameElements(direct))
+  }
+
+  test("n-gram posting index survives a parquet round-trip: identical " +
+    "contamination counts (the q54 contract)") {
+    val train = docs.filter($"doc_id" % 5 =!= 1)
+    val eval_ = docs.filter($"doc_id" % 5 === 1)
+    val direct = Dedup.ngramContamination(train, eval_, "doc_id", "text",
+        n = 5)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(direct.nonEmpty && direct.exists(_._5),
+      "fixture must exercise real contamination hits")
+
+    val postDir = tmp("graft_posting_idx")
+    Dedup.ngramPostings(train, "doc_id", "text", n = 5)
+      .write.mode("overwrite").parquet(postDir)
+    val reread = spark.read.parquet(postDir)
+    val viaIndex = Dedup.ngramContaminationFromPostings(reread, eval_,
+        "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(viaIndex.sameElements(direct))
+  }
+}

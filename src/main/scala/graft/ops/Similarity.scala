@@ -239,7 +239,19 @@ object Similarity {
     * single-probe set (spec-pinned), so recall can only go up. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               k: Int = 5, nBits: Int = 16, dim: Int = 64,
-              probeBits: Int = 0): DataFrame = {
+              probeBits: Int = 0): DataFrame =
+    Windows.topKPerGroup(
+      lshCandidatePairs(emb, idCol, vecCol, nBits, dim, probeBits),
+      Seq(col("query_id")), Seq(col("cos").desc, col("cand_id").asc), k)
+
+  /** The candidate stage of [[lshTopK]]: distinct scored same-bucket
+    * (query_id, cand_id, cos) pairs, query side fanned out to Hamming-1
+    * probe keys when `probeBits` > 0. Exposed for calibration — the
+    * candidate count is the COST axis of the (probeBits → recall)
+    * operating curve recorded in PLANS.md (tools/RecallProbe sweeps it). */
+  private[graft] def lshCandidatePairs(emb: DataFrame, idCol: String,
+                                       vecCol: String, nBits: Int, dim: Int,
+                                       probeBits: Int): DataFrame = {
     require(probeBits >= 0 && probeBits <= 8, "probeBits in [0, 8]")
     val sigs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       lshSignature(col(vecCol), nBits, dim).as("sig"))
@@ -251,14 +263,12 @@ object Similarity {
       else qside0.withColumn("key", explode(array(
         col("key") +: (0 until probeBits).map(j =>
           col("key").bitwiseXOR(lit(1L << j))): _*)))
-    val pairs = qside
+    qside
       .join(chunked.select(col("chunk"), col("key"),
         col("id").as("cand_id"), col("v").as("v")), Seq("chunk", "key"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosine(col("qv"), col("v")), 4).as("cos"))
       .distinct()
-    Windows.topKPerGroup(pairs, Seq(col("query_id")),
-      Seq(col("cos").desc, col("cand_id").asc), k)
   }
 }

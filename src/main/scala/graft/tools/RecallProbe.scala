@@ -46,6 +46,33 @@ object RecallProbe {
         println(s"SF$sf t=$t pairs=${ham.getLong(0)} maxHamming=${if (ham.isNullAt(1)) "-" else ham.get(1)}")
       }
     }
+    // Multi-probe ANN operating-point sweep (round-6 brief #7): recall@5
+    // of Similarity.lshTopK vs brute force for probeBits 0..8, with the
+    // candidate-pair volume (the cost axis — query-side fan-out is
+    // (1 + probeBits)x rows into the bucket join; the stored index never
+    // changes). Printed as a markdown row per point for PLANS.md.
+    {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      def topSets(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "cand_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val bf = topSets(graft.ops.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", k = 5, stride = 100))
+      println("| probeBits | recall@5 | candidate pairs |")
+      println("|---|---|---|")
+      for (pb <- 0 to 8) {
+        val got = topSets(graft.ops.Similarity.lshTopK(
+          emb, "vec_id", "embedding", k = 5, nBits = 16, dim = 64,
+          probeBits = pb))
+        val recalls = bf.map { case (q, truth) =>
+          got.get(q).map(c => (c & truth).size.toDouble / truth.size)
+            .getOrElse(0.0) }
+        val cands = graft.ops.Similarity.lshCandidatePairs(
+          emb, "vec_id", "embedding", nBits = 16, dim = 64,
+          probeBits = pb).count()
+        println(f"| $pb | ${recalls.sum / recalls.size}%.3f | $cands |")
+      }
+    }
     spark.stop()
   }
 }

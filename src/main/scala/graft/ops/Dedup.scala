@@ -577,6 +577,89 @@ object Dedup {
         col("cont_b_in_a"))
   }
 
+  /** Bottom-k sketch containment pairs — the SKETCH-candidate sibling of
+    * [[containmentPairs]] (same verified relation, cheaper candidate
+    * generation). Banded MinHash cannot see asymmetric pairs (it
+    * estimates Jaccard), but bottom-k minima CAN: a doc's k
+    * smallest-hash grams are a uniform pseudo-random k-subset of its
+    * gram set, so for a true pair with containment(A in B) = C ≥ t, each
+    * sketch gram of A lands in B independently with probability ≈ C —
+    * P(no sketch gram of A occurs in B) ≈ (1−C)^k ≤ (1−t)^k (≤ 1e-8 at
+    * t = 0.9, k = 8), and a doc with ≤ k grams sketches to its WHOLE set
+    * (zero miss probability). Candidates are therefore: each doc's
+    * bottom-k gram hashes probe the hot-shingle-guarded posting index —
+    * O(N·k) probe rows against posting lists bounded by the guard, so
+    * candidate volume is ≤ N·k·maxF narrow rows, vs the full index
+    * self-join's O(Σ posting²).
+    *
+    * Verification is EXACT over the same retained gram universe as
+    * [[containmentPairs]] (per-candidate posting intersection counts +
+    * exact per-doc sizes), so on any corpus where the sketch recall
+    * bound holds the two functions return identical rows — spec-pinned
+    * on the testdata corpora. Gram identity is xxhash64 (64-bit), so a
+    * hash collision could in principle inflate an intersection count by
+    * one; at 100 TB partition the corpus before birthday mass matters.
+    *
+    * REGIME (measured, don't guess): the verify stage costs
+    * O(Σ_candidates·|A|) posting rows, so this path wins when candidates
+    * are SPARSE — a mostly-deduped corpus probed for quote/subset
+    * duplication, the realistic downstream placement. On a dense
+    * near-dup-cluster corpus (the 200k 40-copy stress shape) sketch
+    * grams hit their whole cluster plus every hot-ish common gram, and
+    * the verify spilled >37 GB where the guarded sweep finishes in
+    * 163 s — Σ posting² beats Σ_cands·|A| exactly when pairs are dense.
+    * That measurement is why [[containmentPairs]] (guard engaged) stays
+    * the checked q62 path and this is the sparse-regime alternative
+    * (CONTAINMENT_SKETCH_SPARSE_20K gates it in its own regime). */
+  def containmentPairsSketch(df: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int = 3, threshold: Double = 0.9,
+                             sketchK: Int = 8,
+                             maxShingleFreq: Option[Int] = None): DataFrame = {
+    require(sketchK >= 1, "sketchK must be >= 1")
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(split(col(textCol), " "), shingleSize)))
+          .as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    val guarded = maxShingleFreq match {
+      case Some(maxF) =>
+        val hot = grams.groupBy("gh").agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxF).select("gh")
+        grams.join(broadcast(hot), Seq("gh"), "left_anti")
+      case None => grams
+    }
+    val sketch = Windows.topKPerGroup(guarded, Seq(col("doc_id")),
+      Seq(col("gh").asc), sketchK)
+    // probe: sketch grams against the posting index; both docs' sketches
+    // probe, so both containment directions get the (1-t)^k recall bound
+    val cands = sketch.select(col("doc_id").as("p_a"), col("gh"))
+      .join(guarded.select(col("doc_id").as("p_b"), col("gh")), Seq("gh"))
+      .filter(col("p_a") =!= col("p_b"))
+      .select(least(col("p_a"), col("p_b")).as("doc_a"),
+        greatest(col("p_a"), col("p_b")).as("doc_b"))
+      .distinct()
+    // exact verify on candidates only: intersection = shared retained
+    // grams counted through two posting joins (O(candidate gram mass));
+    // denominators are the exact retained set sizes
+    val sizes = guarded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(guarded.select(col("doc_id").as("doc_a"), col("gh")), Seq("doc_a"))
+      .join(guarded.select(col("doc_id").as("doc_b"), col("gh")),
+        Seq("doc_b", "gh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("cont_a_in_b",
+        round(col("inter").cast("double") / col("n_a"), 4))
+      .withColumn("cont_b_in_a",
+        round(col("inter").cast("double") / col("n_b"), 4))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"),
+        col("cont_b_in_a"))
+  }
+
   /** Connected components of a near-dup pair graph — the step that turns
     * PAIRS into a deduplicated corpus (one canonical doc per cluster).
     * Shiloach–Vishkin-style label contraction: every node starts labeled

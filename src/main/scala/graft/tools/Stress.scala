@@ -130,6 +130,21 @@ object Stress {
         Dedup.containmentPairs(big, "doc_id", "text", 3, 0.9,
           maxShingleFreq = Some((big.count() / 100).toInt max 100)).count()
       }
+      // The bottom-k sketch sibling, in ITS regime: a mostly-unique
+      // corpus with sparse containment pairs (the post-dedup shape the
+      // probe is for — see containmentPairsSketch's scaladoc regime
+      // note). The 1-in-10 slice breaks the 40-copy clusters down to
+      // 4-copy ones; on the FULL cluster corpus the sketch's
+      // O(Σ_cands·|A|) verify is strictly worse than the sweep's
+      // Σ posting² (measured: >37 GB shuffle spill vs the sweep's
+      // 163 s) — that measurement is WHY the sweep stays the checked
+      // path and the sketch is the sparse-regime alternative.
+      gated("CONTAINMENT_SKETCH_SPARSE_20K", budgetSec = 60) {
+        Dedup.containmentPairsSketch(
+          big.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", 3, 0.9, sketchK = 8,
+          maxShingleFreq = Some(200)).count()
+      }
       // Degenerate-LSH-bucket shape: 50% of the corpus is ONE verbatim
       // boilerplate template -> identical signatures -> one 100k-doc
       // bucket per band -> O(c^2) = 5e9 candidate pairs unguarded (AQE

@@ -754,6 +754,31 @@ class OpsSpec extends AnyFunSuite {
     val jac = Dedup.jaccardPairs(df, "doc_id", "text",
       shingleSize = 3, threshold = 0.8)
     assert(jac.count() == 0)
+    // the bottom-k sketch path finds the same planted pair (the short
+    // doc has 3 grams <= sketchK, so its whole set probes — zero miss)
+    val sk = Dedup.containmentPairsSketch(df, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sk.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("containmentPairsSketch == exact containmentPairs on real corpora " +
+    "(rows AND scores), guarded and unguarded") {
+    for ((sf, guard) <- Seq(("0.001", None), ("0.001", Some(50)),
+                            ("0.01", Some(50)))) {
+      val docs = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      val exact = key(Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9, maxShingleFreq = guard))
+      val sketch = key(Dedup.containmentPairsSketch(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9, sketchK = 8,
+        maxShingleFreq = guard))
+      assert(sketch == exact,
+        s"sf$sf guard=$guard missed=${exact -- sketch} extra=${sketch -- exact}")
+      assert(exact.nonEmpty || sf == "0.001") // sf0.01 must exercise pairs
+    }
   }
 
   test("ngramContamination from a persisted posting index == direct form") {

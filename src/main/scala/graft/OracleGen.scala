@@ -153,6 +153,36 @@ object OracleGen {
        WHERE greatest(round(i * 1.0 / sa.n, 4),
                       round(i * 1.0 / sb.n, 4)) >= $threshold"""
 
+  /** TF-IDF shingle-cosine pair oracle — mirrors `Dedup.sparseCosinePairs`:
+    * gram TF counts (NO distinct — multiplicity is the point), docfreq
+    * guard as a HAVING on the posting length (same universe for weights
+    * AND norms), weight tf·ln(N/df), cosine thresholded on the rounded
+    * value. Gram construction is `gramCtes`' slice expression verbatim so
+    * the gram relation can never desynchronize from the Jaccard family. */
+  def cosineSql(n: Int, maxDocFreq: Int, minCos: Double): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (SELECT doc_id,
+           CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
+                ELSE array_to_string(t[i:i+${n - 1}], ' ') END AS g
+         FROM toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 2))) AS u(i)),
+       tf AS (SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY 1, 2),
+       dfreq AS (SELECT g, count(*) AS docfreq FROM tf
+         GROUP BY 1 HAVING count(*) <= $maxDocFreq),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       w AS (SELECT tf.doc_id, tf.g,
+           tf.tf * ln(CAST(n_docs AS DOUBLE) / docfreq) AS w
+         FROM tf JOIN dfreq USING (g), n),
+       norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+       dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum(a.w * b.w) AS dot
+         FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+       FROM dots
+       JOIN norms na ON doc_a = na.doc_id
+       JOIN norms nb ON doc_b = nb.doc_id
+       WHERE round(dot / (na.nrm * nb.nrm), 4) >= $minCos"""
+
   /** Exact n-gram contamination oracle: eval = docs with
     * doc_id % mod = rem, train = the rest; per eval doc, distinct n-gram
     * total, n-grams shared with ANY train doc, distinct train docs sharing

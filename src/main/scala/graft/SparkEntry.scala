@@ -664,6 +664,15 @@ object SparkEntry {
     * single hot task otherwise runs alone at 100 TB). Result is
     * row-identical to the plain groupBy, which is exactly what the
     * oracle runs; PlanAuditSpec pins the two-exchange shape. */
+  /** TF-IDF shingle-cosine near-dup pairs: the weighted sibling of q25's
+    * set-Jaccard — same 3-gram relation, but multiplicity-sensitive and
+    * IDF-weighted, with the docfreq guard (≤ 50) engaged as the posting-
+    * length bound. On this corpus the planted near-dups sit at cos ≥ 0.93
+    * and the noise floor tops out ≈ 0.2, so the 0.6 gate is mid-gap. */
+  private def qCosinePairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, maxDocFreq = 50, minCos = 0.6)
+
   private def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
     val skewKey = when(col("l_orderkey") % 10 =!= 0, lit("hot"))
       .otherwise(concat(lit("k"), (col("l_orderkey") % 100).cast(LongType)))
@@ -849,6 +858,7 @@ object SparkEntry {
     "q66_ann_multiprobe" -> (qAnnMultiprobe _),
     "q67_approx_percentile" -> (qApproxPercentile _),
     "q68_salted_agg" -> (qSaltedAgg _),
+    "q69_cosine_pairs" -> (qCosinePairs _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1291,6 +1301,8 @@ object SparkEntry {
          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, signup_id,
            CAST(signup_ts AS TIMESTAMP) AS signup_ts
          FROM cand WHERE rn = 1""",
+    "q69_cosine_pairs" ->
+      OracleGen.cosineSql(n = 3, maxDocFreq = 50, minCos = 0.6),
     "q68_salted_agg" ->
       """WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
              ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,

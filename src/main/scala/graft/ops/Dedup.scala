@@ -514,6 +514,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** WEIGHTED near-dup pairs: TF-IDF cosine over n-gram shingle COUNTS —
+    * the frequency-sensitive sibling of [[jaccardPairs]] (which sees only
+    * the distinct-shingle SET). Two docs that repeat the same rare phrases
+    * with the same multiplicities score near 1 even when light edits moved
+    * the set-Jaccard below a dedup threshold, and a doc that shares only
+    * corpus-common boilerplate scores near 0 because IDF down-weights it —
+    * the signal a curation pipeline wants for "same article, re-rendered".
+    *
+    * Pipeline (all built-ins, three aggregates + one posting join):
+    * per-doc gram TF → gram docfreq (the `maxDocFreq` filter IS the scale
+    * guard — grams in more than that many docs are dropped before the
+    * self-join, so every retained posting list is ≤ maxDocFreq docs and
+    * candidate volume is ≤ #grams·maxDocFreq², linear in gram volume for
+    * fixed maxDocFreq, never O(N²)) → weight tf·ln(N/df) → norms per doc
+    * over the SAME retained gram universe → posting-list self-join
+    * accumulates dot products with map-side partial sums → cosine =
+    * dot/(‖a‖·‖b‖) rounded to 4 decimals, thresholded on the rounded
+    * value (cross-engine float wobble can't move a pair across the gate).
+    *
+    * Unlike the unguarded sweep this never materializes a pair unless the
+    * docs share a RETAINED (rare) gram — IDF-hot grams can't contribute
+    * meaningful weight anyway (ln(N/df) → 0 as df → N), so the guard drops
+    * exactly the mass whose cosine contribution was already negligible.
+    * N rides a broadcast 1-row aggregate (no eager count at plan time). */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, maxDocFreq: Int = 50,
+                        minCos: Double = 0.6): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(shingles(split(col(textCol), " "), shingleSize)).as("g"))
+    val tf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("g").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") <= maxDocFreq)
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfreq, "g").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("g"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("docfreq"))).as("w"))
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = w.select(col("doc_id").as("doc_a"), col("g"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("doc_b"), col("g"), col("w").as("wb")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Directed CONTAINMENT pairs: containment(a in b) = |A∩B| / |A| over
     * distinct n-gram shingle sets — the asymmetric complement of
     * [[jaccardPairs]]. A short document quoted verbatim inside a long one

@@ -159,6 +159,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 2L))))
   }
 
+  test("sparseCosinePairs: rare-phrase dups pair at cos 1; boilerplate-only " +
+    "overlap is IDF/guard-suppressed") {
+    val boiler = "standard legal disclaimer applies to this document"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, s"$boiler unique three one"),
+      (4L, s"$boiler unique three two"),
+      (5L, s"$boiler unique three four"),
+      (6L, s"$boiler unique five six"),
+      (7L, s"$boiler unique seven eight"),
+      (8L, s"$boiler unique nine ten"),
+    ).toDF("doc_id", "text")
+    // boilerplate 3-grams have docfreq 6 > maxDocFreq 5 -> dropped before
+    // the posting join; the df-3 gram bridging docs 3/4/5 survives but its
+    // IDF weight is dominated by each doc's unique tail, so those pairs
+    // score ~0.18 -- the guard and the IDF weighting suppress template
+    // mass through different mechanisms, both exercised here.
+    val got = Dedup.sparseCosinePairs(docs, "doc_id", "text",
+      shingleSize = 3, maxDocFreq = 5, minCos = 0.5)
+      .select("doc_a", "doc_b", "cos").as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3 == 1.0)
+  }
+
   test("incrementalNearDups: statuses and dup_corpus precedence on a planted fixture") {
     val corpus = Seq(
       (1L, "x y z w v u t s q r"),

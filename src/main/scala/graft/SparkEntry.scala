@@ -664,6 +664,30 @@ object SparkEntry {
     * single hot task otherwise runs alone at 100 TB). Result is
     * row-identical to the plain groupBy, which is exactly what the
     * oracle runs; PlanAuditSpec pins the two-exchange shape. */
+  /** PII scrub demo: the synthetic corpus contains no PII, so the query
+    * SYNTHESIZES dirty text deterministically (same concat expression in
+    * the oracle SQL — doc_id-derived emails/URLs/digit runs, with mod-
+    * gated variants so the counts vary 0/1/2 across docs) and then runs
+    * the real scrub operator. The fixture is in-query; the operator and
+    * its count/replace contract are the product surface under test. */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast(StringType)
+    val dirty = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" cc backup"), idStr, lit("@alt.example.net")))
+        .otherwise(lit("")),
+      lit(" contact user"), idStr, lit("@mail.example.com"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" via https://site"), (col("doc_id") % 7).cast(StringType),
+          lit(".example.org/p/"), idStr))
+        .otherwise(lit("")),
+      lit(" ref "), (lit(1000000L) + col("doc_id") * 37 % 9000000L).cast(StringType))
+    TextAnalysis.scrubPii(
+      t(s, dir, "documents").select(col("doc_id"), dirty.as("text")),
+      "doc_id", "text")
+  }
+
   /** TF-IDF shingle-cosine near-dup pairs: the weighted sibling of q25's
     * set-Jaccard — same 3-gram relation, but multiplicity-sensitive and
     * IDF-weighted, with the docfreq guard (≤ 50) engaged as the posting-
@@ -859,6 +883,7 @@ object SparkEntry {
     "q67_approx_percentile" -> (qApproxPercentile _),
     "q68_salted_agg" -> (qSaltedAgg _),
     "q69_cosine_pairs" -> (qCosinePairs _),
+    "q70_pii_scrub" -> (qPiiScrub _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1303,6 +1328,32 @@ object SparkEntry {
          FROM cand WHERE rn = 1""",
     "q69_cosine_pairs" ->
       OracleGen.cosineSql(n = 3, maxDocFreq = 50, minCos = 0.6),
+    "q70_pii_scrub" ->
+      s"""WITH dirty AS (SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN ' cc backup'
+                  || CAST(doc_id AS VARCHAR) || '@alt.example.net'
+                ELSE '' END
+             || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com'
+             || CASE WHEN doc_id % 2 = 0 THEN ' via https://site'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/'
+                  || CAST(doc_id AS VARCHAR)
+                ELSE '' END
+             || ' ref ' || CAST(1000000 + doc_id * 37 % 9000000 AS VARCHAR)
+             AS t FROM documents),
+         s1 AS (SELECT doc_id, t,
+             regexp_replace(t, '${TextAnalysis.urlPattern}', '<URL>', 'g') AS t1
+           FROM dirty),
+         s2 AS (SELECT doc_id, t, t1,
+             regexp_replace(t1, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g') AS t2
+           FROM s1)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '${TextAnalysis.urlPattern}')) AS n_urls,
+           len(regexp_extract_all(t1, '${TextAnalysis.emailPattern}')) AS n_emails,
+           len(regexp_extract_all(t2, '${TextAnalysis.idPattern}')) AS n_ids,
+           regexp_replace(t2, '${TextAnalysis.idPattern}', '<ID>', 'g') AS clean_text
+         FROM s2""",
     "q68_salted_agg" ->
       """WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
              ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,

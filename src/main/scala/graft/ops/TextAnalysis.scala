@@ -368,4 +368,33 @@ object TextAnalysis {
     Windows.topKPerGroup(scored, Seq(col("doc_id")),
       Seq(col("tfidf").desc, col("term").asc), k)
   }
+
+  // ------------------------------------------------------- PII scrubbing
+
+  /** Scrub patterns. Deliberately restricted to syntax that Java regex and
+    * RE2-family engines interpret identically (char classes with `-` last,
+    * bounded `{m,}` quantifiers, no backrefs/lookaround) so the DuckDB
+    * oracle runs the very same patterns. URL first (it may contain both
+    * digits and `@`), then email (may contain digit runs), then bare long
+    * digit runs — each count is taken on the PREVIOUS stage's output, so
+    * n_urls/n_emails/n_ids are exactly the number of replacements each
+    * stage performed (an id inside an email is the email's, not an id). */
+  val urlPattern = "https?://[A-Za-z0-9./_%-]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val idPattern = "[0-9]{6,}"
+
+  /** PII redaction over a text column: URLs → `<URL>`, emails → `<EMAIL>`,
+    * long digit runs → `<ID>`, with per-stage replacement counts. Pure
+    * per-row `regexp_replace`/`regexp_count` built-ins — codegen'd, no
+    * shuffle, scales with the scan exactly like the quality metrics. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterUrl = regexp_replace(col(textCol), urlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, emailPattern, "<EMAIL>")
+    val clean = regexp_replace(afterEmail, idPattern, "<ID>")
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(urlPattern)).as("n_urls"),
+      regexp_count(afterUrl, lit(emailPattern)).as("n_emails"),
+      regexp_count(afterEmail, lit(idPattern)).as("n_ids"),
+      clean.as("clean_text"))
+  }
 }

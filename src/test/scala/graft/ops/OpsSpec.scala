@@ -159,6 +159,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 2L))))
   }
 
+  test("scrubPii: urls, emails, digit runs replaced with stage-consistent counts") {
+    val df = Seq(
+      (1L, "see https://ex.org/a/b mail bob99@ex.org id 1234567 and 42"),
+      (2L, "digits-only local part 9876543@x.io then 555 short"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(got(0) == ((1L, 1, 1, 1, "see <URL> mail <EMAIL> id <ID> and 42")))
+    // the 7-digit run is consumed by the email stage, so the id stage sees
+    // nothing: counts are per-stage replacements, never double-counted
+    assert(got(1) == ((2L, 0, 1, 0, "digits-only local part <EMAIL> then 555 short")))
+  }
+
   test("sparseCosinePairs: rare-phrase dups pair at cos 1; boilerplate-only " +
     "overlap is IDF/guard-suppressed") {
     val boiler = "standard legal disclaimer applies to this document"

@@ -74,9 +74,11 @@ object OracleGen {
     * closure → per-doc cluster = min reachable id, keep = is-canonical.
     * Verifies `Dedup.components` over the MinHash-LSH near-dup pairs (q29
     * pins pairs ≡ the exact relation; this pins the clustering). */
-  def componentsSql(n: Int, threshold: Double): String = {
-    s"""WITH RECURSIVE
-       ${gramCtes(n)},
+  /** Shared closure CTEs (thresholded pairs → undirected edges →
+    * recursive reachability) — the relation behind every clustering
+    * oracle, defined once so q45/q71/q72 can never desynchronize. */
+  private def closureCtes(n: Int, threshold: Double): String =
+    s"""${gramCtes(n)},
        pairs AS (SELECT doc_a, doc_b FROM inter
          JOIN sizes sa ON doc_a = sa.doc_id
          JOIN sizes sb ON doc_b = sb.doc_id
@@ -88,10 +90,42 @@ object OracleGen {
          UNION
          SELECT e.dst AS id, reach.r AS r
          FROM reach JOIN edges e ON e.src = reach.id
-       )
+       )"""
+
+  def componentsSql(n: Int, threshold: Double): String = {
+    s"""WITH RECURSIVE
+       ${closureCtes(n, threshold)}
        SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
        FROM reach GROUP BY id"""
   }
+
+  /** Near-dup cluster-size histogram oracle (mirrors the q71 composition:
+    * components → per-cluster size → size histogram; singletons counted). */
+  def clusterStatsSql(n: Int, threshold: Double): String =
+    s"""WITH RECURSIVE
+       ${closureCtes(n, threshold)},
+       comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       szs AS (SELECT cluster_id, count(*) AS cluster_size
+         FROM comp GROUP BY 1)
+       SELECT cluster_size, count(*) AS n_clusters
+       FROM szs GROUP BY 1"""
+
+  /** Quality-canonical dedup oracle: per near-dup cluster keep the member
+    * with the most characters (doc_id ASC tie-break) — mirrors the q72
+    * composition (components → join documents → top-1 window). */
+  def canonicalPickSql(n: Int, threshold: Double): String =
+    s"""WITH RECURSIVE
+       ${closureCtes(n, threshold)},
+       comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       cnt AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY 1),
+       m AS (SELECT comp.id AS doc_id, comp.cluster_id, d.n_chars
+         FROM comp JOIN documents d ON comp.id = d.doc_id),
+       r AS (SELECT doc_id, cluster_id, n_chars,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id ASC) AS rn FROM m)
+       SELECT r.cluster_id, doc_id AS canonical_id, n_chars AS canonical_chars,
+         n_members
+       FROM r JOIN cnt ON r.cluster_id = cnt.cluster_id WHERE rn = 1"""
 
   /** Incremental admission oracle: batch = docs with doc_id % mod = 0,
     * corpus = the rest. A batch doc is `dup_corpus` if some exact-Jaccard

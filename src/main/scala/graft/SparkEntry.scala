@@ -551,15 +551,38 @@ object SparkEntry {
     * exact-Jaccard pair relation (OracleGen.componentsSql) — clustering
     * is deterministic because the label fixpoint (component min id) is
     * unique regardless of execution order. */
-  private def qNearDupDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q45/q71/q72 clustering: MinHash-LSH near-dup pairs →
+    * connected components (2-gram Jaccard ≥ 0.8; the relation the
+    * recursive-CTE oracles replay). */
+  private def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
       k = 32, bands = 16, shingleSize = 2, minEstJaccard = 0.4,
       threshold = 0.8)
     Dedup.components(docs.select("doc_id"), pairs.select("doc_a", "doc_b"))
+  }
+
+  private def qNearDupDedup(s: SparkSession, dir: String): DataFrame =
+    nearDupComponents(s, dir)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
-  }
+
+  /** Cluster-size histogram over the near-dup components — the corpus
+    * health metric a dedup pass reports (how much mass sits in how-large
+    * duplicate families; singletons counted). Two tiny aggregates over
+    * the component labels. */
+  private def qClusterStats(s: SparkSession, dir: String): DataFrame =
+    nearDupComponents(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** Quality-canonical dedup: keep each cluster's longest member (chars
+    * desc, id asc) — [[Dedup.canonicalPerCluster]] over the same
+    * component relation, quality = the documents table's n_chars. */
+  private def qCanonicalPick(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalPerCluster(nearDupComponents(s, dir),
+      t(s, dir, "documents"), "doc_id", "n_chars")
+      .withColumnRenamed("quality", "canonical_chars")
 
   /** Fuzzy string matching (record linkage): part-name pairs within
     * Levenshtein distance 2 over a deterministic 10% key stride.
@@ -884,6 +907,8 @@ object SparkEntry {
     "q68_salted_agg" -> (qSaltedAgg _),
     "q69_cosine_pairs" -> (qCosinePairs _),
     "q70_pii_scrub" -> (qPiiScrub _),
+    "q71_cluster_stats" -> (qClusterStats _),
+    "q72_canonical_pick" -> (qCanonicalPick _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1328,6 +1353,10 @@ object SparkEntry {
          FROM cand WHERE rn = 1""",
     "q69_cosine_pairs" ->
       OracleGen.cosineSql(n = 3, maxDocFreq = 50, minCos = 0.6),
+    "q71_cluster_stats" ->
+      OracleGen.clusterStatsSql(n = 2, threshold = 0.8),
+    "q72_canonical_pick" ->
+      OracleGen.canonicalPickSql(n = 2, threshold = 0.8),
     "q70_pii_scrub" ->
       s"""WITH dirty AS (SELECT doc_id,
              text

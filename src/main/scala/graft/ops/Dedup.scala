@@ -514,6 +514,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Quality-canonical selection over near-dup clusters: per cluster keep
+    * the member with the highest `qualityCol` (id ASC tie-break) — the
+    * curation-pipeline refinement of [[components]]' min-id `keep` flag
+    * (a dedup pass should keep the BEST rendering of a duplicated article,
+    * not the one with the smallest id). `comp` is [[components]] output
+    * (first column = member id, second = cluster label).
+    *
+    * Scale shape: one equi-join to attach the quality signal, then BOTH
+    * the member count and the rank ride the same cluster_id window
+    * partitioning — one exchange, and InferWindowGroupLimit pre-reduces
+    * the rank input per partition. No broadcast assumptions: cluster
+    * count is O(docs) at 100 TB and stays fully distributed. */
+  def canonicalPerCluster(comp: DataFrame, quality: DataFrame,
+                          idCol: String, qualityCol: String): DataFrame = {
+    val c = comp.select(col(comp.columns(0)).as("doc_id"),
+      col(comp.columns(1)).as("cluster_id"))
+    val m = c.join(quality.select(col(idCol).as("doc_id"),
+      col(qualityCol).as("quality")), "doc_id")
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    m.withColumn("n_members", count(lit(1)).over(part))
+      .withColumn("__rn", row_number().over(
+        part.orderBy(col("quality").desc, col("doc_id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+        col("quality"), col("n_members"))
+  }
+
   /** WEIGHTED near-dup pairs: TF-IDF cosine over n-gram shingle COUNTS —
     * the frequency-sensitive sibling of [[jaccardPairs]] (which sees only
     * the distinct-shingle SET). Two docs that repeat the same rare phrases

@@ -159,6 +159,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 2L))))
   }
 
+  test("canonicalPerCluster keeps the highest-quality member (id tie-break) " +
+    "with member counts; singletons keep themselves") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("id", "label")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.canonicalPerCluster(comp, quality, "doc_id", "n_chars")
+      .orderBy("cluster_id").as[(Long, Long, Long, Long)].collect()
+    // cluster 1: docs 2 and 3 tie on quality 30 -> id ASC keeps 2
+    assert(got.sameElements(Array((1L, 2L, 30L, 3L), (9L, 9L, 5L, 1L))))
+  }
+
   test("scrubPii: urls, emails, digit runs replaced with stage-consistent counts") {
     val df = Seq(
       (1L, "see https://ex.org/a/b mail bob99@ex.org id 1234567 and 42"),

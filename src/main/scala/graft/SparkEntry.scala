@@ -720,6 +720,24 @@ object SparkEntry {
     Dedup.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, maxDocFreq = 50, minCos = 0.6)
 
+  /** Salted skewed JOIN as a checked contract (the join-side sibling of
+    * q68): ~90% of lineitem rows share one hot key; the 25-row dim is
+    * replicated bucket-wise so the hot key spreads over 16 tasks. The
+    * oracle is the PLAIN left join — salting must be row-invisible. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val skewKey = when(col("l_orderkey") % 10 =!= 0, lit("hot"))
+      .otherwise(concat(lit("k"), (col("l_orderkey") % 100).cast(StringType)))
+    val left = t(s, dir, "lineitem")
+      .select(skewKey.as("skew_key"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    val dim = t(s, dir, "nation").select(
+      when(col("n_nationkey") === 0, lit("hot"))
+        .otherwise(concat(lit("k"), col("n_nationkey").cast(StringType)))
+        .as("skew_key"),
+      col("n_name").as("dim_name"))
+    Skew.saltedLeftJoin(left, dim, Seq("skew_key"), buckets = 16)
+  }
+
   private def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
     val skewKey = when(col("l_orderkey") % 10 =!= 0, lit("hot"))
       .otherwise(concat(lit("k"), (col("l_orderkey") % 100).cast(LongType)))
@@ -909,6 +927,7 @@ object SparkEntry {
     "q70_pii_scrub" -> (qPiiScrub _),
     "q71_cluster_stats" -> (qClusterStats _),
     "q72_canonical_pick" -> (qCanonicalPick _),
+    "q73_salted_join" -> (qSaltedJoin _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1355,6 +1374,15 @@ object SparkEntry {
       OracleGen.cosineSql(n = 3, maxDocFreq = 50, minCos = 0.6),
     "q71_cluster_stats" ->
       OracleGen.clusterStatsSql(n = 2, threshold = 0.8),
+    "q73_salted_join" ->
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
+             ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,
+             l_orderkey, l_linenumber, l_quantity FROM lineitem),
+         d AS (SELECT CASE WHEN n_nationkey = 0 THEN 'hot'
+             ELSE 'k' || CAST(n_nationkey AS VARCHAR) END AS skew_key,
+             n_name AS dim_name FROM nation)
+         SELECT l.skew_key, l_orderkey, l_linenumber, l_quantity, dim_name
+         FROM l LEFT JOIN d USING (skew_key)""",
     "q72_canonical_pick" ->
       OracleGen.canonicalPickSql(n = 2, threshold = 0.8),
     "q70_pii_scrub" ->

@@ -119,6 +119,17 @@ object Stress {
         Dedup.jaccardPairs(big, "doc_id", "text", 3, 0.8,
           maxShingleFreq = Some((big.count() / 100).toInt max 100)).count()
       }
+      // TF-IDF shingle-cosine pairs WITH the docfreq guard engaged (the
+      // q69 configuration) on the dup-cluster corpus: retained posting
+      // lists are bounded at 1% of docs, so candidate volume stays
+      // linear in gram volume; the budget catches the guard being
+      // bypassed/defaulted off (the posting self-join reverting to the
+      // all-pairs class on duplicate-heavy corpora).
+      gated("SPARSE_COSINE_GUARDED", budgetSec = 150) { // measured 164 s @ scale 2.18 (~75 s reference) × ~2
+        Dedup.sparseCosinePairs(big, "doc_id", "text", 3,
+          maxDocFreq = (big.count() / 100).toInt max 100,
+          minCos = 0.6).count()
+      }
       // Containment sweep WITH the guard engaged (the q62 configuration)
       // on the dup-cluster corpus: every doc shares most grams with its
       // 40 perturbed copies, so posting lists carry real dup mass. The

@@ -56,6 +56,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q69: cosine posting self-join is an equi-join with the docfreq " +
+    "guard applied pre-join; no cartesian") {
+    val p = plan("q69_cosine_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // the guard column must survive into the plan (a lost filter would
+    // still produce correct cosines but revert to the all-pairs class)
+    assert(p.contains("docfreq"), p)
+  }
+
+  test("q73: salted join is a hash join on (key, salt); never a cartesian") {
+    val p = plan("q73_salted_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q29/q45: near-dup candidate stages are banded equi-joins, no all-pairs") {
     for (q <- Seq("q29_simhash_hybrid", "q45_neardup_dedup")) {
       val p = plan(q)

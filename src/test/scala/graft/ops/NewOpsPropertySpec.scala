@@ -98,6 +98,93 @@ class NewOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sparseCosinePairs == naive TF-IDF cosine over all shared-gram pairs " +
+    "(minCos=0 so threshold flake can't hide membership bugs)") {
+    forAllSeeded(docGen, n = 3) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val maxF = docs.size // guard wide open: every gram retained
+      val got = Dedup.sparseCosinePairs(df, "doc_id", "text",
+        shingleSize = 2, maxDocFreq = maxF, minCos = 0.0)
+        .select("doc_a", "doc_b", "cos").as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // naive reference: explicit TF vectors, same weighting
+      def grams(t: String): Seq[String] = {
+        val ts = t.split(" ").toSeq
+        if (ts.size < 2) Seq(ts.mkString(" "))
+        else ts.sliding(2).map(_.mkString(" ")).toSeq
+      }
+      val tf = docs.map { case (id, t) =>
+        id -> grams(t).groupBy(identity).view.mapValues(_.size).toMap }.toMap
+      val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val n = docs.size.toDouble
+      val w = tf.view.mapValues(_.map { case (g, c) =>
+        g -> c * math.log(n / dfreq(g)) }).toMap
+      def nrm(v: Map[String, Double]) = math.sqrt(v.values.map(x => x * x).sum)
+      val naive = (for {
+        (a, wa) <- w.toSeq; (b, wb) <- w.toSeq if a < b
+        shared = wa.keySet & wb.keySet if shared.nonEmpty
+      } yield (a, b) ->
+        shared.toSeq.map(g => wa(g) * wb(g)).sum / (nrm(wa) * nrm(wb))).toMap
+      assert(got.keySet == naive.keySet)
+      // operator output is rounded to 4 decimals; allow the half-ulp of
+      // that quantization plus float-sum noise
+      naive.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 5.01e-5, s"pair $k: ${got(k)} vs $v") }
+    }
+  }
+
+  test("scrubPii is idempotent: scrubbing clean output changes nothing") {
+    val piiGen = Gen.listOf(Gen.oneOf(
+      "plain", "words", "a@b.co", "x.y@mail.example.org", "1234567",
+      "12345", "https://host.example/p/q", "http://a.b/c?d=1", "@", "999"))
+      .map(_.mkString(" "))
+    forAllSeeded(Gen.nonEmptyListOf(piiGen), n = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = TextAnalysis.scrubPii(df, "doc_id", "text")
+      val twice = TextAnalysis.scrubPii(
+        once.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text")
+      val a = once.select("doc_id", "clean_text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val b = twice.select("doc_id", "clean_text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(a.sameElements(b))
+      assert(twice.agg(sum(col("n_urls") + col("n_emails") + col("n_ids")))
+        .collect()(0).getLong(0) == 0L, "second pass must replace nothing")
+    }
+  }
+
+  test("canonicalPerCluster: canonical is a max-quality member; " +
+    "n_members partitions the input") {
+    val clusterGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 5L), Gen.choose(0L, 50L))) // (label, quality)
+    forAllSeeded(clusterGen, n = 4) { rows =>
+      val members = rows.zipWithIndex.map { case ((lab, q), i) =>
+        (i.toLong, lab, q) }
+      val comp = members.map { case (id, lab, _) => (id, lab) }
+        .toDF("id", "label")
+      val quality = members.map { case (id, _, q) => (id, q) }
+        .toDF("doc_id", "quality")
+      val got = Dedup.canonicalPerCluster(comp, quality, "doc_id", "quality")
+        .select("cluster_id", "canonical_id", "quality", "n_members")
+        .as[(Long, Long, Long, Long)].collect()
+      val byLabel = members.groupBy(_._2)
+      assert(got.length == byLabel.size)
+      got.foreach { case (lab, canon, q, nm) =>
+        val cluster = byLabel(lab)
+        assert(nm == cluster.size)
+        val maxQ = cluster.map(_._3).max
+        assert(q == maxQ)
+        // id ASC tie-break among max-quality members
+        assert(canon == cluster.filter(_._3 == maxQ).map(_._1).min)
+      }
+      assert(got.map(_._4).sum == members.size)
+    }
+  }
+
   test("bloomSemiJoin == semiJoin on random key sets") {
     forAllSeeded(Gen.zip(Gen.nonEmptyListOf(Gen.choose(0L, 1000L)),
       Gen.nonEmptyListOf(Gen.choose(0L, 1000L)))) { case (fs, ds) =>

@@ -720,6 +720,16 @@ object SparkEntry {
     Dedup.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, maxDocFreq = 50, minCos = 0.6)
 
+  /** Weighted sample-without-replacement: 10 docs per language, longer
+    * docs proportionally likelier (weight = n_chars), Efraimidis–Spirakis
+    * priorities off each row's own md5 draw — the third sampling mode
+    * next to q49's uniform-per-group and q63's per-row Bernoulli. */
+  private def qWeightedReservoir(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedTopKPerGroup(
+      t(s, dir, "documents").select(col("lang"), col("doc_id"), col("n_chars")),
+      Seq("lang"), "doc_id", col("n_chars"), k = 10)
+      .select("lang", "doc_id")
+
   /** Salted skewed JOIN as a checked contract (the join-side sibling of
     * q68): ~90% of lineitem rows share one hot key; the 25-row dim is
     * replicated bucket-wise so the hot key spreads over 16 tasks. The
@@ -928,6 +938,7 @@ object SparkEntry {
     "q71_cluster_stats" -> (qClusterStats _),
     "q72_canonical_pick" -> (qCanonicalPick _),
     "q73_salted_join" -> (qSaltedJoin _),
+    "q74_weighted_reservoir" -> (qWeightedReservoir _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1374,6 +1385,14 @@ object SparkEntry {
       OracleGen.cosineSql(n = 3, maxDocFreq = 50, minCos = 0.6),
     "q71_cluster_stats" ->
       OracleGen.clusterStatsSql(n = 2, threshold = 0.8),
+    "q74_weighted_reservoir" ->
+      """SELECT lang, doc_id FROM
+           (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+              ORDER BY -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1.0) / 4294967296.0) / n_chars ASC,
+                doc_id ASC) AS rn
+            FROM documents)
+         WHERE rn <= 10""",
     "q73_salted_join" ->
       """WITH l AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
              ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,

@@ -67,6 +67,43 @@ object Sampling {
     * Ranges fit: v < 2^32 ⇒ v·10⁶ < 2^52; wMicros ≤ 10⁶ ⇒
     * wMicros·2^32 < 2^52 — both well inside long. Weights outside [0, 1]
     * clamp. */
+  /** Deterministic WEIGHTED sample-without-replacement per group
+    * (Efraimidis–Spirakis A-ES): priority = −ln(u)/w with u the row's own
+    * md5 draw mapped into (0, 1]; the k SMALLEST priorities per group win,
+    * which is distributionally exactly weighted sampling without
+    * replacement (P(first pick = i) = wᵢ/Σw, then renormalized). With
+    * equal weights it degenerates to [[stratifiedByHash]]'s uniform draw.
+    * The curation use: "10 documents per language, long/high-quality ones
+    * proportionally more likely", reproducible across engines,
+    * partitionings and reruns because u is a pure function of the key.
+    *
+    * Rows with weight ≤ 0 get +∞ priority — drawn only when a group has
+    * fewer than k positive-weight rows (callers wanting them excluded
+    * should filter first; the q74 oracle has none, so it skips the CASE).
+    *
+    * The priority stays an UNROUNDED double used only for ordering (never
+    * emitted): engines' ln() may differ in the last ulp, which flips a
+    * rank only when two rows' priorities collide within ~1e-16 relative —
+    * far rarer than any rounded-comparison boundary — and the keyCol
+    * tie-break pins exact ties.
+    *
+    * Scale shape: identical to [[stratifiedByHash]] — one shuffle on the
+    * group columns, WindowGroupLimit pre-reduces each map task to its
+    * local top-k, the exchange carries O(groups · k). */
+  def weightedTopKPerGroup(df: DataFrame, groupCols: Seq[String],
+                           keyCol: String, weight: Column, k: Int): DataFrame = {
+    val pcol = Iterator.from(0).map(i => s"__prio$i")
+      .dropWhile(df.columns.contains).next()
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + 1.0) / 4294967296.0
+    val prio = when(weight > 0, -log(u) / weight)
+      .otherwise(lit(Double.PositiveInfinity))
+    Windows.topKPerGroup(df.withColumn(pcol, prio), groupCols.map(col),
+        Seq(col(pcol).asc, col(keyCol).asc), k)
+      .drop(pcol)
+  }
+
   def weightedByHash(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
     val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long")

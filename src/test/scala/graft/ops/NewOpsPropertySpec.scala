@@ -185,6 +185,45 @@ class NewOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weightedTopKPerGroup: k per group, members only, and heavy rows " +
+    "win far more often than light ones over many disjoint draws") {
+    // 200 groups of 20 rows; one row per group has 50x weight. Its
+    // expected inclusion rate at k=1 is 50/(50+19) ~ 0.72 vs ~0.014 for
+    // any light row; assert the observed rate is between.
+    val rows = for (g <- 0 until 200; i <- 0 until 20)
+      yield (g.toLong * 100 + i, g.toLong, if (i == 0) 50.0 else 1.0)
+    val df = rows.toDF("id", "grp", "w")
+    val picked = Sampling.weightedTopKPerGroup(df, Seq("grp"), "id",
+      col("w"), k = 1).select("id", "grp").as[(Long, Long)].collect()
+    assert(picked.length == 200)
+    assert(picked.forall { case (id, g) => id / 100 == g })
+    val heavyWins = picked.count { case (id, _) => id % 100 == 0 }
+    assert(heavyWins > 100 && heavyWins < 190,
+      s"heavy row won $heavyWins/200 — expected ~144 (rate 50/69)")
+  }
+
+  test("weightedTopKPerGroup == exact JVM replay of the E-S priorities") {
+    forAllSeeded(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L),
+      Gen.choose(0L, 10000L))), n = 3) { rows =>
+      val data = rows.distinct
+      val df = data.toDF("grp", "id")
+      val es = Sampling.weightedTopKPerGroup(df, Seq("grp"), "id",
+        lit(1.0), 3).select("grp", "id").as[(Long, Long)].collect()
+        .sorted.toList
+      def prio(id: Long): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val v = java.lang.Long.parseLong(hex, 16)
+        -math.log((v.toDouble + 1.0) / 4294967296.0)
+      }
+      val expected = data.groupBy(_._1).toList.flatMap { case (g, ms) =>
+        ms.map(_._2).sortBy(id => (prio(id), id)).take(3).map(g -> _)
+      }.sorted
+      assert(es == expected)
+    }
+  }
+
   test("bloomSemiJoin == semiJoin on random key sets") {
     forAllSeeded(Gen.zip(Gen.nonEmptyListOf(Gen.choose(0L, 1000L)),
       Gen.nonEmptyListOf(Gen.choose(0L, 1000L)))) { case (fs, ds) =>

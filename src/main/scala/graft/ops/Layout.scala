@@ -78,6 +78,35 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(rows / rowsPerFile) files — the periodic maintenance pass every
+    * long-lived 100 TB table needs (each tiny file costs an open + footer
+    * read + scheduler task; a streaming or per-batch writer leaves
+    * thousands of them). With `sortCol` the rewrite is a range shuffle +
+    * within-partition sort on it, so compaction REBUILDS stats-pruning
+    * locality at the same time (files get disjoint min/max ranges);
+    * without it, a plain round-robin repartition just right-sizes files.
+    *
+    * The row count is one footer-stats-only action (parquet count never
+    * touches data pages). Returns the re-read compacted frame so callers
+    * can chain validation. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     inDir: String, outDir: String, rowsPerFile: Long,
+                     sortCol: Option[String] = None): DataFrame = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    val df = spark.read.parquet(inDir)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val sized = sortCol match {
+      case Some(c) =>
+        df.repartitionByRange(files, col(c)).sortWithinPartitions(c)
+      case None => df.repartition(files)
+    }
+    sized.write.mode("overwrite").option("compression", "snappy")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   /** Fraction of parquet files under `dir` whose [min, max] range of
     * `statCol` overlaps [lo, hi] — exactly the files a stats-pruning
     * reader must open for that predicate; the direct measure of layout

@@ -29,6 +29,36 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compactParquet: right-sizes file count, preserves rows, and the " +
+    "sorted variant rebuilds disjoint per-file stat ranges") {
+    val root = Files.createTempDirectory("compact").toString
+    val small = s"$root/small"
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // simulate a streaming writer's droppings: 32 shuffled small files
+    li.repartition(32).write.parquet(small)
+    assert(parquetFiles(small).length == 32)
+    val n = li.count()
+    val compacted = Layout.compactParquet(spark, small, s"$root/plain",
+      rowsPerFile = (n + 3) / 4)
+    assert(parquetFiles(s"$root/plain").length == 4)
+    assert(compacted.count() == n)
+    val sorted = Layout.compactParquet(spark, small, s"$root/sorted",
+      rowsPerFile = (n + 3) / 4, sortCol = Some("l_orderkey"))
+    assert(sorted.count() == n)
+    // sorted compaction restores pruning: a narrow key range must overlap
+    // ~1 of 4 files, while the plain rewrite overlaps all of them
+    val lo = 10.0; val hi = 20.0
+    val fSorted = Layout.fileOverlapFraction(s"$root/sorted", "l_orderkey", lo, hi)
+    val fPlain = Layout.fileOverlapFraction(s"$root/plain", "l_orderkey", lo, hi)
+    assert(fSorted <= 0.25 + 1e-9, s"sorted overlap $fSorted")
+    assert(fPlain == 1.0, s"plain overlap $fPlain")
+  }
+
+  private def parquetFiles(dir: String): Array[String] =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+
   test("zorderWrite round-trips rows and prunes files on the NON-leading column") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")

@@ -217,6 +217,43 @@ object OracleGen {
        JOIN norms nb ON doc_b = nb.doc_id
        WHERE round(dot / (na.nrm * nb.nrm), 4) >= $minCos"""
 
+  /** Incremental weighted-admission oracle — mirrors
+    * `Dedup.cosineIndex` + `cosineAdmitFromIndex`: corpus = docs with
+    * doc_id % mod ≠ 0, batch = the rest; corpus IDF (docfreq-guarded) is
+    * FROZEN and batch grams are weighted with it (unseen grams drop);
+    * a batch doc is a dup iff its cosine against some corpus doc reaches
+    * `minCos` on the rounded value. */
+  def cosineAdmitSql(n: Int, maxDocFreq: Int, minCos: Double,
+                     mod: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (SELECT doc_id,
+           CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
+                ELSE array_to_string(t[i:i+${n - 1}], ' ') END AS g
+         FROM toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 2))) AS u(i)),
+       ctf AS (SELECT doc_id, g, count(*) AS tf FROM grams
+         WHERE doc_id % $mod <> 0 GROUP BY 1, 2),
+       nc AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % $mod <> 0),
+       idf AS (SELECT g, ln(CAST(n_docs AS DOUBLE) / count(*)) AS idf
+         FROM ctf, nc GROUP BY g, n_docs HAVING count(*) <= $maxDocFreq),
+       cw AS (SELECT doc_id, ctf.g, tf * idf AS w
+         FROM ctf JOIN idf USING (g)),
+       cn AS (SELECT doc_id, sqrt(sum(w * w)) AS na FROM cw GROUP BY 1),
+       btf AS (SELECT doc_id, g, count(*) AS tf FROM grams
+         WHERE doc_id % $mod = 0 GROUP BY 1, 2),
+       bw AS (SELECT doc_id, btf.g, tf * idf AS wb
+         FROM btf JOIN idf USING (g)),
+       bn AS (SELECT doc_id, sqrt(sum(wb * wb)) AS nb FROM bw GROUP BY 1),
+       dots AS (SELECT bw.doc_id AS batch_id, cw.doc_id AS corpus_id,
+           sum(wb * w) AS dot
+         FROM bw JOIN cw ON bw.g = cw.g GROUP BY 1, 2),
+       dups AS (SELECT DISTINCT batch_id FROM dots
+         JOIN cn ON corpus_id = cn.doc_id
+         JOIN bn ON batch_id = bn.doc_id
+         WHERE round(dot / (na * nb), 4) >= $minCos)
+       SELECT d.doc_id, (dups.batch_id IS NOT NULL) AS is_dup
+       FROM documents d LEFT JOIN dups ON d.doc_id = dups.batch_id
+       WHERE d.doc_id % $mod = 0"""
+
   /** Exact n-gram contamination oracle: eval = docs with
     * doc_id % mod = rem, train = the rest; per eval doc, distinct n-gram
     * total, n-grams shared with ANY train doc, distinct train docs sharing

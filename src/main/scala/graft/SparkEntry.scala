@@ -720,6 +720,23 @@ object SparkEntry {
     Dedup.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, maxDocFreq = 50, minCos = 0.6)
 
+  /** Incremental WEIGHTED admission (the cosine-family face of q50):
+    * batch = doc_id % 10 == 0, corpus = the rest; the corpus is touched
+    * only through its persisted TF-IDF posting/IDF artifacts
+    * ([[Dedup.cosineIndex]]), batch grams are weighted with the FROZEN
+    * corpus IDF, and a batch doc is flagged iff its cosine against some
+    * corpus doc reaches 0.6 — frequency-sensitive admission where q50's
+    * set-Jaccard path is multiplicity-blind. */
+  private def qCosineAdmit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (postings, idf) = Dedup.cosineIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      shingleSize = 3, maxDocFreq = 50)
+    Dedup.cosineAdmitFromIndex(postings, idf,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      shingleSize = 3, minCos = 0.6)
+  }
+
   /** Weighted sample-without-replacement: 10 docs per language, longer
     * docs proportionally likelier (weight = n_chars), Efraimidis–Spirakis
     * priorities off each row's own md5 draw — the third sampling mode
@@ -939,6 +956,7 @@ object SparkEntry {
     "q72_canonical_pick" -> (qCanonicalPick _),
     "q73_salted_join" -> (qSaltedJoin _),
     "q74_weighted_reservoir" -> (qWeightedReservoir _),
+    "q75_cosine_admission" -> (qCosineAdmit _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1385,6 +1403,8 @@ object SparkEntry {
       OracleGen.cosineSql(n = 3, maxDocFreq = 50, minCos = 0.6),
     "q71_cluster_stats" ->
       OracleGen.clusterStatsSql(n = 2, threshold = 0.8),
+    "q75_cosine_admission" ->
+      OracleGen.cosineAdmitSql(n = 3, maxDocFreq = 50, minCos = 0.6, mod = 10),
     "q74_weighted_reservoir" ->
       """SELECT lang, doc_id FROM
            (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

@@ -514,6 +514,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Weighted (TF-IDF) gram postings of a corpus: `(doc_id, g, w)` with
+    * w = tf·ln(N/df) over the docfreq-guarded gram universe, plus the
+    * corpus IDF table `(g, idf)` — the pair of narrow artifacts the
+    * weighted-dedup pipeline PERSISTS (the cosine-family sibling of
+    * [[bandKeys]] / [[ngramPostings]]). Computed once per corpus build;
+    * every later batch probes them via [[cosineAdmitFromIndex]] with the
+    * corpus IDF FROZEN (the standard incremental-IR choice: admission
+    * decisions must not drift as the corpus grows between index builds). */
+  def cosineIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3, maxDocFreq: Int = 50)
+      : (DataFrame, DataFrame) = {
+    val tf = corpus.select(col(idCol).as("doc_id"),
+        explode(shingles(split(col(textCol), " "), shingleSize)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy("g").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") <= maxDocFreq)
+      .crossJoin(broadcast(nDocs))
+      .select(col("g"),
+        log(col("n_docs").cast("double") / col("docfreq")).as("idf"))
+    val postings = tf.join(idf, "g")
+      .select(col("doc_id"), col("g"),
+        (col("tf").cast("double") * col("idf")).as("w"))
+    (postings, idf)
+  }
+
+  /** Incremental weighted admission: flag each batch doc whose TF-IDF
+    * cosine against ANY indexed corpus doc reaches `minCos`, touching the
+    * corpus ONLY through the persisted [[cosineIndex]] artifacts. Batch
+    * grams are weighted with the FROZEN corpus IDF (unseen or corpus-hot
+    * grams carry no weight — they couldn't have a corpus posting to dot
+    * against anyway), batch postings broadcast into the corpus-postings
+    * join, and corpus norms come from the postings themselves — no corpus
+    * text is ever read. Returns one row per batch doc: (doc_id, is_dup). */
+  def cosineAdmitFromIndex(postings: DataFrame, idf: DataFrame,
+                           batch: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3,
+                           minCos: Double = 0.6): DataFrame = {
+    val bw = batch.select(col(idCol).as("batch_id"),
+        explode(shingles(split(col(textCol), " "), shingleSize)).as("g"))
+      .groupBy("batch_id", "g").agg(count(lit(1)).as("tf"))
+      .join(idf, "g")
+      .select(col("batch_id"), col("g"),
+        (col("tf").cast("double") * col("idf")).as("wb"))
+    val bNorms = bw.groupBy("batch_id").agg(sqrt(sum(col("wb") * col("wb"))).as("nb"))
+    val cNorms = postings.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("na"))
+    val dups = broadcast(bw)
+      .join(postings.select(col("doc_id").as("corpus_id"), col("g"),
+        col("w")), Seq("g"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(sum(col("wb") * col("w")).as("dot"))
+      .join(cNorms.select(col("doc_id").as("corpus_id"), col("na")), "corpus_id")
+      .join(broadcast(bNorms), "batch_id")
+      .filter(round(col("dot") / (col("na") * col("nb")), 4) >= minCos)
+      .select(col("batch_id").as("doc_id")).distinct()
+      .withColumn("__dup", lit(1))
+    batch.select(col(idCol).as("doc_id"))
+      .join(broadcast(dups), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__dup").isNotNull.as("is_dup"))
+  }
+
   /** Quality-canonical selection over near-dup clusters: per cluster keep
     * the member with the highest `qualityCol` (id ASC tie-break) — the
     * curation-pipeline refinement of [[components]]' min-id `keep` flag
@@ -569,16 +630,10 @@ object Dedup {
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, maxDocFreq: Int = 50,
                         minCos: Double = 0.6): DataFrame = {
-    val grams = df.select(col(idCol).as("doc_id"),
-      explode(shingles(split(col(textCol), " "), shingleSize)).as("g"))
-    val tf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("g").agg(count(lit(1)).as("docfreq"))
-      .filter(col("docfreq") <= maxDocFreq)
-    val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(dfreq, "g").crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("g"),
-        (col("tf").cast("double") *
-          log(col("n_docs").cast("double") / col("docfreq"))).as("w"))
+    // ONE definition of the weighted postings — shared with the
+    // persisted-artifact path ([[cosineIndex]]/[[cosineAdmitFromIndex]])
+    // so the self-sweep and the incremental probe can never drift.
+    val (w, _) = cosineIndex(df, idCol, textCol, shingleSize, maxDocFreq)
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = w.select(col("doc_id").as("doc_a"), col("g"), col("w").as("wa"))
       .join(w.select(col("doc_id").as("doc_b"), col("g"), col("w").as("wb")),

@@ -32,7 +32,8 @@ class EntrySpec extends AnyFunSuite {
     "q63_weighted_sample", "q64_source_cap", "q65_asof_forward",
     "q66_ann_multiprobe", "q67_approx_percentile", "q68_salted_agg",
     "q69_cosine_pairs", "q70_pii_scrub", "q71_cluster_stats",
-    "q72_canonical_pick", "q73_salted_join", "q74_weighted_reservoir")
+    "q72_canonical_pick", "q73_salted_join", "q74_weighted_reservoir",
+    "q75_cosine_admission")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns a well-formed result at sf0.001") {

@@ -45,6 +45,29 @@ class PersistedIndexSpec extends AnyFunSuite {
     assert(viaIndex.sameElements(direct))
   }
 
+  test("TF-IDF posting/IDF index survives a parquet round-trip: identical " +
+    "weighted admission flags (the q75 contract)") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val (postings, idf) = Dedup.cosineIndex(corpus, "doc_id", "text",
+      shingleSize = 3, maxDocFreq = 50)
+    val direct = Dedup.cosineAdmitFromIndex(postings, idf, batch,
+        "doc_id", "text", shingleSize = 3, minCos = 0.6)
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(direct.nonEmpty && direct.exists(_._2),
+      "fixture must exercise real dup flags")
+
+    val pDir = tmp("graft_cos_postings")
+    val iDir = tmp("graft_cos_idf")
+    postings.write.mode("overwrite").parquet(pDir)
+    idf.write.mode("overwrite").parquet(iDir)
+    val viaIndex = Dedup.cosineAdmitFromIndex(
+        spark.read.parquet(pDir), spark.read.parquet(iDir), batch,
+        "doc_id", "text", shingleSize = 3, minCos = 0.6)
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(viaIndex.sameElements(direct))
+  }
+
   test("n-gram posting index survives a parquet round-trip: identical " +
     "contamination counts (the q54 contract)") {
     val train = docs.filter($"doc_id" % 5 =!= 1)

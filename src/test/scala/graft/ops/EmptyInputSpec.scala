@@ -59,6 +59,29 @@ class EmptyInputSpec extends AnyFunSuite {
       emptyDocs.select(Layout.interleaveBits(Seq(col("doc_id")), 8)).count() == 0)
   }
 
+  test("round-6 family (cosine pairs/admission, scrub, canonical pick, " +
+    "weighted reservoir) is total on empty input") {
+    assert(Dedup.sparseCosinePairs(emptyDocs, "doc_id", "text").count() == 0)
+    val (p0, i0) = Dedup.cosineIndex(emptyDocs, "doc_id", "text")
+    assert(p0.count() == 0 && i0.count() == 0)
+    // empty batch vs empty index, and a real batch vs an EMPTY index:
+    // nothing can match, everything admitted
+    assert(Dedup.cosineAdmitFromIndex(p0, i0, emptyDocs,
+      "doc_id", "text").count() == 0)
+    val batch = spark.createDataFrame(Seq((1L, "x y z w v u t s q r")))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.cosineAdmitFromIndex(p0, i0, batch, "doc_id", "text")
+      .collect()
+    assert(admitted.length == 1 && !admitted(0).getBoolean(1))
+    assert(TextAnalysis.scrubPii(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.canonicalPerCluster(
+      emptyDocs.select(col("doc_id").as("id"), col("doc_id").as("label")),
+      emptyDocs.select(col("doc_id"), col("doc_id").as("q")),
+      "doc_id", "q").count() == 0)
+    assert(Sampling.weightedTopKPerGroup(emptyDocs, Seq("text"), "doc_id",
+      lit(1.0), 3).count() == 0)
+  }
+
   test("contamination, repetition, bm25, range join are total on empty input") {
     val corpus = spark.createDataFrame(Seq((1L, "x y z w v u t s q r")))
       .toDF("doc_id", "text")

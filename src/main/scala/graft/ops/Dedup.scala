@@ -582,23 +582,29 @@ object Dedup {
     * not the one with the smallest id). `comp` is [[components]] output
     * (first column = member id, second = cluster label).
     *
-    * Scale shape: one equi-join to attach the quality signal, then BOTH
-    * the member count and the rank ride the same cluster_id window
-    * partitioning — one exchange, and InferWindowGroupLimit pre-reduces
-    * the rank input per partition. No broadcast assumptions: cluster
-    * count is O(docs) at 100 TB and stays fully distributed. */
+    * Scale shape: one equi-join to attach the quality signal; the rank is
+    * a row_number window that InferWindowGroupLimit pre-reduces (each map
+    * task forwards only its local best per cluster, so even a degenerate
+    * 10⁸-member boilerplate cluster ships O(tasks) rows, not its mass);
+    * the member count deliberately rides a groupBy — NOT a count() over
+    * the same window — because a window count needs every member row on
+    * one reducer (the skew bomb the rank avoids) while the hash aggregate
+    * partial-combines map-side and shuffles one row per (task, cluster).
+    * The count table is O(clusters) and joins back on cluster_id; no
+    * broadcast assumptions — cluster count is O(docs) at 100 TB. */
   def canonicalPerCluster(comp: DataFrame, quality: DataFrame,
                           idCol: String, qualityCol: String): DataFrame = {
     val c = comp.select(col(comp.columns(0)).as("doc_id"),
       col(comp.columns(1)).as("cluster_id"))
+    val cnt = c.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
     val m = c.join(quality.select(col(idCol).as("doc_id"),
       col(qualityCol).as("quality")), "doc_id")
     val part = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-    m.withColumn("n_members", count(lit(1)).over(part))
-      .withColumn("__rn", row_number().over(
+    m.withColumn("__rn", row_number().over(
         part.orderBy(col("quality").desc, col("doc_id").asc)))
       .filter(col("__rn") === 1)
+      .join(cnt, "cluster_id")
       .select(col("cluster_id"), col("doc_id").as("canonical_id"),
         col("quality"), col("n_members"))
   }

@@ -638,11 +638,17 @@ object Dedup {
                         minCos: Double = 0.6): DataFrame = {
     // ONE definition of the weighted postings — shared with the
     // persisted-artifact path ([[cosineIndex]]/[[cosineAdmitFromIndex]])
-    // so the self-sweep and the incremental probe can never drift.
+    // so the self-sweep and the incremental probe can never drift. The
+    // postings are materialized once (localCheckpoint, like
+    // [[components]]' iteration state): three consumers read them (norms
+    // + both posting-join sides), and without the checkpoint each re-runs
+    // the tf/docfreq subtree — three corpus scans at 100 TB. Pipelines
+    // that persist the [[cosineIndex]] artifacts skip even this.
     val (w, _) = cosineIndex(df, idCol, textCol, shingleSize, maxDocFreq)
-    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val dots = w.select(col("doc_id").as("doc_a"), col("g"), col("w").as("wa"))
-      .join(w.select(col("doc_id").as("doc_b"), col("g"), col("w").as("wb")),
+    val wc = w.localCheckpoint()
+    val norms = wc.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = wc.select(col("doc_id").as("doc_a"), col("g"), col("w").as("wa"))
+      .join(wc.select(col("doc_id").as("doc_b"), col("g"), col("w").as("wb")),
         Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))

@@ -60,9 +60,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "guard applied pre-join; no cartesian") {
     val p = plan("q69_cosine_pairs")
     assert(!p.contains("CartesianProduct"), p)
-    // the guard column must survive into the plan (a lost filter would
-    // still produce correct cosines but revert to the all-pairs class)
-    assert(p.contains("docfreq"), p)
+    // q69 checkpoints the postings (lineage truncated), so the guard is
+    // pinned on the postings plan itself: a lost docfreq filter would
+    // still produce correct cosines but revert to the all-pairs class
+    val (postings, _) = graft.ops.Dedup.cosineIndex(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      shingleSize = 3, maxDocFreq = 50)
+    val pp = postings.queryExecution.executedPlan.toString
+    assert(pp.contains("docfreq"), pp)
   }
 
   test("q73: salted join is a hash join on (key, salt); never a cartesian") {

@@ -706,9 +706,14 @@ object Dedup {
         grams.join(broadcast(hot), Seq("g"), "left_anti")
       case None => grams
     }
+    // materialize the guarded+counted postings once: BOTH self-join sides
+    // read them, and each would otherwise re-run the gram explode, the
+    // hot-gram anti-join, and the window count — two extra corpus scans
+    // at scale (same rationale as sparseCosinePairs' checkpoint).
     val filtered = guarded.withColumn("n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))))
+      .localCheckpoint()
     filtered.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("g"))
       .join(filtered.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
         col("g")), Seq("g"))

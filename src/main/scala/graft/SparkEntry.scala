@@ -737,6 +737,18 @@ object SparkEntry {
       shingleSize = 3, minCos = 0.6)
   }
 
+  /** Distribution-drift monitor: PSI table of the batch (doc_id % 10 == 0)
+    * against the corpus (the rest) over n_chars at bin width 50 — the
+    * pre-admission health check that pairs with q75 (is the new ingest
+    * the same KIND of data, before asking whether it duplicates it?). */
+  private def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.histogramDrift(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "n_chars", binWidth = 50.0)
+  }
+
   /** Weighted sample-without-replacement: 10 docs per language, longer
     * docs proportionally likelier (weight = n_chars), Efraimidis–Spirakis
     * priorities off each row's own md5 draw — the third sampling mode
@@ -957,6 +969,7 @@ object SparkEntry {
     "q73_salted_join" -> (qSaltedJoin _),
     "q74_weighted_reservoir" -> (qWeightedReservoir _),
     "q75_cosine_admission" -> (qCosineAdmit _),
+    "q76_drift_psi" -> (qDriftPsi _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1405,6 +1418,25 @@ object SparkEntry {
       OracleGen.clusterStatsSql(n = 2, threshold = 0.8),
     "q75_cosine_admission" ->
       OracleGen.cosineAdmitSql(n = 3, maxDocFreq = 50, minCos = 0.6, mod = 10),
+    "q76_drift_psi" ->
+      """WITH ha AS (SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bin,
+             count(*) AS cnt_a FROM documents
+           WHERE doc_id % 10 <> 0 AND n_chars IS NOT NULL GROUP BY 1),
+         hb AS (SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bin,
+             count(*) AS cnt_b FROM documents
+           WHERE doc_id % 10 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+         j AS (SELECT coalesce(ha.bin, hb.bin) AS bin,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+           FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+         s AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b,
+             count(*) AS n_bins FROM j)
+         SELECT bin, cnt_a, cnt_b,
+           round(((cnt_b + 0.5) / (tot_b + 0.5 * n_bins)
+                  - (cnt_a + 0.5) / (tot_a + 0.5 * n_bins))
+             * ln(((cnt_b + 0.5) / (tot_b + 0.5 * n_bins))
+                  / ((cnt_a + 0.5) / (tot_a + 0.5 * n_bins))), 6)
+             AS psi_contrib
+         FROM j, s""",
     "q74_weighted_reservoir" ->
       """SELECT lang, doc_id FROM
            (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

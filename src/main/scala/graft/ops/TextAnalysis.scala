@@ -369,6 +369,50 @@ object TextAnalysis {
       Seq(col("tfidf").desc, col("term").asc), k)
   }
 
+  // ------------------------------------------------- distribution drift
+
+  /** Population-stability-index (PSI) drift table between a REFERENCE
+    * corpus and a CANDIDATE batch over a numeric column — the standard
+    * "did this ingest shift the corpus?" monitor a training pipeline runs
+    * before admission. Values bin at fixed `binWidth` (fixed-width, not
+    * quantile, so bin identity is a pure function of the value — stable
+    * across snapshots and engines); per-bin proportions are additively
+    * smoothed (+0.5 over the UNION of observed bins, so a bin present on
+    * one side only contributes a finite, deterministic term instead of
+    * ln(0)); contrib = (pb − pa)·ln(pb/pa) ≥ 0, and Σ contrib is the PSI
+    * (rule of thumb: < 0.1 stable, > 0.25 drifted).
+    *
+    * Scale shape: two map-side-combined histogram aggregates (one per
+    * side, shuffling one row per bin), a full outer join on bin, totals
+    * ride broadcast 1-row aggregates. Nothing touches row-level data
+    * after the histograms — the monitor costs two scans regardless of
+    * corpus size, and the reference histogram is a natural persisted
+    * artifact (recompute only the batch side nightly). */
+  def histogramDrift(ref: DataFrame, cand: DataFrame, valueCol: String,
+                     binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def hist(df: DataFrame, cntName: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(floor(col(valueCol).cast("double") / binWidth).cast("long")
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cntName))
+    val ha = hist(ref, "cnt_a")
+    val hb = hist(cand, "cnt_b")
+    val joined = ha.join(hb, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val stats = joined.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"), count(lit(1)).as("n_bins"))
+    joined.crossJoin(broadcast(stats))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        round(((col("cnt_b") + 0.5) / (col("tot_b") + col("n_bins") * 0.5)
+          - (col("cnt_a") + 0.5) / (col("tot_a") + col("n_bins") * 0.5))
+          * log(((col("cnt_b") + 0.5) / (col("tot_b") + col("n_bins") * 0.5))
+            / ((col("cnt_a") + 0.5) / (col("tot_a") + col("n_bins") * 0.5))),
+          6).as("psi_contrib"))
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Scrub patterns. Deliberately restricted to syntax that Java regex and

@@ -171,6 +171,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 2L, 30L, 3L), (9L, 9L, 5L, 1L))))
   }
 
+  test("histogramDrift: zero PSI on identical inputs, nonnegative " +
+    "contributions, and a shifted batch scores above the 0.25 drift bar") {
+    val ref = (1 to 1000).map(i => Tuple1(100.0 + (i % 10) * 50)).toDF("v")
+    val same = TextAnalysis.histogramDrift(ref, ref, "v", 50.0)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(same.length == 10 && same.forall(_._4 == 0.0))
+    // shift the candidate distribution up by 5 bins: heavy drift
+    val shifted = (1 to 1000).map(i => Tuple1(350.0 + (i % 10) * 50)).toDF("v")
+    val drift = TextAnalysis.histogramDrift(ref, shifted, "v", 50.0)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(drift.forall(_._4 >= 0.0), "PSI contributions are nonnegative")
+    val psi = drift.map(_._4).sum
+    assert(psi > 0.25, s"shifted batch must breach the drift bar, psi=$psi")
+  }
+
   test("scrubPii: urls, emails, digit runs replaced with stage-consistent counts") {
     val df = Seq(
       (1L, "see https://ex.org/a/b mail bob99@ex.org id 1234567 and 42"),

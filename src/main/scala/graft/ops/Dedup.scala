@@ -480,10 +480,16 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.8,
                    maxShingleFreq: Option[Int] = None): DataFrame = {
+    // Gram identity is xxhash64 from the explode on: every later step
+    // (distinct, hot-gram guard, self-join) only tests gram EQUALITY, so
+    // 8-byte keys replace ~25-byte gram strings in the postings, the
+    // materialized blocks, and the self-join exchange. Collision caveat
+    // as in [[containmentPairsSketch]].
     val grams = df
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(split(col(textCol), " "), shingleSize)))
           .as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
       .distinct()
     // Hot-shingle guard FIRST, then per-doc counts over the retained gram
     // universe — inter and the denominators must see the same universe or
@@ -497,9 +503,12 @@ object Dedup {
         grams.join(broadcast(hot), Seq("g"), "left_anti")
       case None => grams
     }
+    // materialized once — both self-join sides read it (see
+    // containmentPairs' identical note)
     val filtered = guarded.withColumn("n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))))
+      .localCheckpoint()
     filtered.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("g"))
       .join(filtered.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
         col("g")), Seq("g"))
@@ -644,8 +653,22 @@ object Dedup {
     // + both posting-join sides), and without the checkpoint each re-runs
     // the tf/docfreq subtree — three corpus scans at 100 TB. Pipelines
     // that persist the [[cosineIndex]] artifacts skip even this.
+    //
+    // The gram string is replaced by its xxhash64 BEFORE materialization:
+    // the downstream consumers only ever test gram EQUALITY, so 24-byte
+    // (long, long, double) rows carry everything they need instead of
+    // rows that are mostly gram text by mass. A/B on the 200k dup-cluster
+    // stress corpus (load-normalized): hashed+checkpoint ~133 s,
+    // string+checkpoint ~148 s, hashed no-checkpoint ~168 s — hashing
+    // shrinks both the resident blocks and the self-join exchange, and
+    // the checkpoint still beats recomputing the tf/docfreq subtree per
+    // consumer. A 64-bit collision could merge two grams' weights (same
+    // caveat and precedent as [[containmentPairsSketch]]'s gram
+    // identity) — at 100 TB partition the corpus before birthday mass
+    // matters.
     val (w, _) = cosineIndex(df, idCol, textCol, shingleSize, maxDocFreq)
-    val wc = w.localCheckpoint()
+    val wc = w.select(col("doc_id"), xxhash64(col("g")).as("g"), col("w"))
+      .localCheckpoint()
     val norms = wc.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = wc.select(col("doc_id").as("doc_a"), col("g"), col("w").as("wa"))
       .join(wc.select(col("doc_id").as("doc_b"), col("g"), col("w").as("wb")),
@@ -694,10 +717,13 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.9,
                        maxShingleFreq: Option[Int] = None): DataFrame = {
+    // xxhash64 gram identity — same narrowing (and collision caveat) as
+    // [[jaccardPairs]]: equality is all the sweep ever needs.
     val grams = df
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(split(col(textCol), " "), shingleSize)))
           .as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
       .distinct()
     val guarded = maxShingleFreq match {
       case Some(maxF) =>

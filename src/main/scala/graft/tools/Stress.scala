@@ -125,7 +125,13 @@ object Stress {
       // linear in gram volume; the budget catches the guard being
       // bypassed/defaulted off (the posting self-join reverting to the
       // all-pairs class on duplicate-heavy corpora).
-      gated("SPARSE_COSINE_GUARDED", budgetSec = 150) { // measured 164 s @ scale 2.18 (~75 s reference) × ~2
+      // Budget recalibrated 2026-08-13: the original 150 s rode a noisy
+      // 2.18× calibration (implying ~75 s reference); A/B isolation runs
+      // put the true load-normalized cost at ~133 s (hashed postings +
+      // checkpoint — the shipped shape; string-keyed ~148 s, recompute
+      // ~168 s). 250 s ≈ 1.9× measured, in line with the sibling sweeps,
+      // and still orders under the unguarded all-pairs class (hours).
+      gated("SPARSE_COSINE_GUARDED", budgetSec = 250) {
         Dedup.sparseCosinePairs(big, "doc_id", "text", 3,
           maxDocFreq = (big.count() / 100).toInt max 100,
           minCos = 0.6).count()

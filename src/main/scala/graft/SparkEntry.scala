@@ -749,6 +749,12 @@ object SparkEntry {
       "n_chars", binWidth = 50.0)
   }
 
+  /** Duplicate-span removal (C4-style): 10-word spans, global first
+    * occurrence wins, documents reassembled from surviving spans. The
+    * intra-document dedup direction whole-doc dedup can't see. */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanWords = 10)
+
   /** Weighted sample-without-replacement: 10 docs per language, longer
     * docs proportionally likelier (weight = n_chars), Efraimidis–Spirakis
     * priorities off each row's own md5 draw — the third sampling mode
@@ -970,6 +976,7 @@ object SparkEntry {
     "q74_weighted_reservoir" -> (qWeightedReservoir _),
     "q75_cosine_admission" -> (qCosineAdmit _),
     "q76_drift_psi" -> (qDriftPsi _),
+    "q77_span_dedup" -> (qSpanDedup _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1482,6 +1489,28 @@ object SparkEntry {
            len(regexp_extract_all(t2, '${TextAnalysis.idPattern}')) AS n_ids,
            regexp_replace(t2, '${TextAnalysis.idPattern}', '<ID>', 'g') AS clean_text
          FROM s2""",
+    "q77_span_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         sp0 AS (SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - 1, 0) + 1, 10)) AS pos
+           FROM base),
+         sp AS (SELECT doc_id, CAST(pos AS BIGINT) AS span_idx,
+             array_to_string(t[pos + 1 : pos + 10], ' ') AS span
+           FROM sp0),
+         kept AS (SELECT doc_id, span_idx, span FROM
+             (SELECT doc_id, span_idx, span,
+                row_number() OVER (PARTITION BY span
+                  ORDER BY doc_id, span_idx) AS rn FROM sp)
+           WHERE rn = 1),
+         totals AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+         rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT totals.doc_id, n_spans,
+           coalesce(n_kept, 0) AS n_kept,
+           coalesce(clean_text, '') AS clean_text
+         FROM totals LEFT JOIN rebuilt USING (doc_id)""",
     "q68_salted_agg" ->
       """WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
              ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,

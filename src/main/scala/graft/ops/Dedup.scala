@@ -1176,4 +1176,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ------------------------------------------------------- span dedup
+
+  /** Duplicate-SPAN removal (the C4 move, reshaped for word-stream docs):
+    * split every document into non-overlapping `spanWords`-word spans,
+    * keep only the globally FIRST occurrence of each distinct span text
+    * (first = smallest (doc_id, span_idx)), and reassemble each document
+    * from its surviving spans. Unlike document-level dedup this removes
+    * boilerplate that recurs INSIDE otherwise-distinct documents —
+    * the dedup direction C4 found necessary beyond whole-doc dedup.
+    *
+    * Scale shape: the winner per span is ONE hash aggregation —
+    * `groupBy(span_hash).agg(min(struct(doc_id, span_idx, span)))` —
+    * which map-side combines (each partition keeps one candidate row per
+    * key before the exchange), so the shuffle carries at most one row per
+    * distinct span per partition, keyed by an 8-byte xxhash64 rather than
+    * the span text. No join back: the winning struct IS the kept
+    * occurrence, span text riding along. Reassembly is a second hash
+    * aggregation keyed by doc_id. Two shuffles total, both combinable —
+    * the floor for a global-first-occurrence contract. The 64-bit span
+    * identity carries the usual collision caveat (a collision would
+    * silently merge two distinct spans; partition the corpus before
+    * birthday mass matters — same precedent as [[containmentPairsSketch]]).
+    *
+    * Output: one row per input doc — doc_id, n_spans (total), n_kept,
+    * clean_text ('' when every span was a duplicate). The last span of a
+    * doc may be shorter than `spanWords`; it participates like any other
+    * (a short tail equal to another doc's short tail IS a duplicate). */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0, "spanWords must be > 0")
+    val spans = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"), col("t"), posexplode(
+        sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+          lit(spanWords))))
+      .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
+        array_join(slice(col("t"), col("col") + 1, lit(spanWords)), " ")
+          .as("span"))
+    val kept = spans
+      .groupBy(xxhash64(col("span")).as("h"))
+      .agg(min(struct(col("doc_id"), col("span_idx"), col("span")))
+        .as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.span_idx").as("span_idx"),
+        col("w.span").as("span"))
+    val totals = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

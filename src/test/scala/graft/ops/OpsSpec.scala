@@ -148,6 +148,23 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_._2 % 2 == 0), "only every 2nd frame kept")
   }
 
+  test("spanDedup keeps the global first occurrence of each span, removes " +
+    "cross-doc AND intra-doc repeats, and reassembles in span order") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),  // spans: "a b c", "d e f", "g"
+      (2L, "a b c x y z"),    // "a b c" loses to doc 1; "x y z" survives
+      (3L, "g"),              // tail span "g" loses to doc 1's (1, 6)
+      (4L, "p q r p q r"),    // intra-doc repeat: second "p q r" removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", spanWords = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(got.sameElements(Array(
+      (1L, 3L, 3L, "a b c d e f g"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 1L, 0L, ""),
+      (4L, 2L, 1L, "p q r"))))
+  }
+
   test("jaccardPairs finds permuted near-identical docs, skips distinct ones") {
     val docs = Seq(
       (1L, "x y z w v u t s"),

@@ -755,6 +755,23 @@ object SparkEntry {
   private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanWords = 10)
 
+  /** Mixture sampling toward per-source char budgets: src0 capped at
+    * 4000 chars (≈ half its mass), src1 at 2000 (≈ quarter), src2's
+    * budget exceeds its total (rate 1), every other source unlisted
+    * (unconstrained) — the data-mixing step of training-set assembly,
+    * deterministic off each row's own md5 draw. */
+  private def qMixtureSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureBySource(t(s, dir, "documents"), "doc_id", "source",
+        "n_chars", Map("src0" -> 4000L, "src1" -> 2000L, "src2" -> 1000000L))
+      .select("doc_id", "source", "n_chars")
+
+  /** Reproducible global shuffle into 8 training shards: shard = md5
+    * draw mod 8, pos = rank within shard by (draw, doc_id) — randomized
+    * write order that reruns and engines reproduce bit-for-bit. */
+  private def qShuffleShard(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(t(s, dir, "documents").select("doc_id"),
+      "doc_id", nShards = 8)
+
   /** Weighted sample-without-replacement: 10 docs per language, longer
     * docs proportionally likelier (weight = n_chars), Efraimidis–Spirakis
     * priorities off each row's own md5 draw — the third sampling mode
@@ -977,6 +994,8 @@ object SparkEntry {
     "q75_cosine_admission" -> (qCosineAdmit _),
     "q76_drift_psi" -> (qDriftPsi _),
     "q77_span_dedup" -> (qSpanDedup _),
+    "q78_mixture_sample" -> (qMixtureSample _),
+    "q79_shuffle_shard" -> (qShuffleShard _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1511,6 +1530,31 @@ object SparkEntry {
            coalesce(n_kept, 0) AS n_kept,
            coalesce(clean_text, '') AS clean_text
          FROM totals LEFT JOIN rebuilt USING (doc_id)""",
+    "q78_mixture_sample" ->
+      """WITH tgt(source, target) AS
+           (VALUES ('src0', 4000), ('src1', 2000), ('src2', 1000000)),
+         tot AS (SELECT source, sum(n_chars) AS tot_w FROM documents
+           GROUP BY source),
+         rates AS (SELECT tot.source,
+             CASE WHEN target IS NULL THEN CAST(1.0 AS DOUBLE)
+                  ELSE least(CAST(1.0 AS DOUBLE),
+                    CAST(target AS DOUBLE) / CAST(tot_w AS DOUBLE)) END AS rate
+           FROM tot LEFT JOIN tgt USING (source))
+         SELECT doc_id, d.source, n_chars
+         FROM documents d JOIN rates USING (source)
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) * 1000000
+               < CAST(round(round(greatest(0.0, least(1.0, rate)), 6)
+                   * 1000000.0) AS BIGINT) * 4294967296""",
+    "q79_shuffle_shard" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS draw
+           FROM documents)
+         SELECT doc_id, draw % 8 AS shard,
+           row_number() OVER (PARTITION BY draw % 8
+             ORDER BY draw, doc_id) AS pos
+         FROM d""",
     "q68_salted_agg" ->
       """WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
              ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,

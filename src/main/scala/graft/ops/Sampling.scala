@@ -48,25 +48,6 @@ object Sampling {
     df.filter(v * den < lit(num.toLong * 4294967296L))
   }
 
-  /** Deterministic IMPORTANCE sampling: keep each row with probability
-    * `weight` (a per-row Column in [0, 1] — e.g. a quality score), decided
-    * by the row's own md5 draw, so the sample is a pure function of the
-    * data: reproducible across engines, partitionings and reruns, and a
-    * row's fate never depends on other rows. The curation use: keep
-    * high-quality documents at high rates and boilerplate at low rates in
-    * ONE shuffle-free pass, instead of a hard threshold.
-    *
-    * Comparison is TRULY integerized per [[bernoulliByHash]]'s pattern:
-    * the clamped weight rounds to 6 decimals, converts to micro-units
-    * (wMicros = round(w·10⁶), an exact long), and the keep test is all-long
-    * `v·10⁶ < wMicros·2^32` — algebraically `v < w·2^32` in exact rational
-    * arithmetic, with no float comparison at the boundary, so an oracle
-    * replays it exactly for ANY caller-supplied weight (a double
-    * `v < w·2^32` can flip rows whose draw lands within one ulp of the
-    * product when the two engines round the 6-decimal weight differently).
-    * Ranges fit: v < 2^32 ⇒ v·10⁶ < 2^52; wMicros ≤ 10⁶ ⇒
-    * wMicros·2^32 < 2^52 — both well inside long. Weights outside [0, 1]
-    * clamp. */
   /** Deterministic WEIGHTED sample-without-replacement per group
     * (Efraimidis–Spirakis A-ES): priority = −ln(u)/w with u the row's own
     * md5 draw mapped into (0, 1]; the k SMALLEST priorities per group win,
@@ -104,11 +85,94 @@ object Sampling {
       .drop(pcol)
   }
 
+  /** Deterministic IMPORTANCE sampling: keep each row with probability
+    * `weight` (a per-row Column in [0, 1] — e.g. a quality score), decided
+    * by the row's own md5 draw, so the sample is a pure function of the
+    * data: reproducible across engines, partitionings and reruns, and a
+    * row's fate never depends on other rows. The curation use: keep
+    * high-quality documents at high rates and boilerplate at low rates in
+    * ONE shuffle-free pass, instead of a hard threshold.
+    *
+    * Comparison is TRULY integerized per [[bernoulliByHash]]'s pattern:
+    * the clamped weight rounds to 6 decimals, converts to micro-units
+    * (wMicros = round(w·10⁶), an exact long), and the keep test is all-long
+    * `v·10⁶ < wMicros·2^32` — algebraically `v < w·2^32` in exact rational
+    * arithmetic, with no float comparison at the boundary, so an oracle
+    * replays it exactly for ANY caller-supplied weight (a double
+    * `v < w·2^32` can flip rows whose draw lands within one ulp of the
+    * product when the two engines round the 6-decimal weight differently).
+    * Ranges fit: v < 2^32 ⇒ v·10⁶ < 2^52; wMicros ≤ 10⁶ ⇒
+    * wMicros·2^32 < 2^52 — both well inside long. Weights outside [0, 1]
+    * clamp. */
   def weightedByHash(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
     val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
     val wMicros = round(round(greatest(lit(0.0), least(lit(1.0), weight)), 6)
       * 1000000.0).cast("long")
     df.filter(v * lit(1000000L) < wMicros * lit(4294967296L))
+  }
+
+  /** Deterministic MIXTURE sampling toward per-source budgets — the data-
+    * mixing step of a training pipeline: "cap source s at `targets(s)`
+    * weight units (tokens/chars), keep everything else". Each listed
+    * source is independently downsampled at rate
+    * min(1, target / its total weight); sources absent from `targets` are
+    * unconstrained (rate 1). The realized per-source weight then lands on
+    * its budget in expectation, and the draw is each row's own md5 hash,
+    * so the sample is a pure function of the data (reproducible across
+    * engines, partitionings, reruns — and STABLE under corpus growth:
+    * a kept row stays kept until its source's rate itself drops).
+    *
+    * Scale shape: per-source totals are one map-side-combinable
+    * aggregation whose output is |sources| rows; the rate table joins back
+    * by broadcast (no shuffle of the corpus); the keep test is
+    * [[weightedByHash]]'s shuffle-free integerized filter. One tiny agg +
+    * one broadcast join + one map — nothing scales with corpus size but
+    * the two scans.
+    *
+    * Cross-engine caveat: rate = target / Σweight is one IEEE double
+    * division (bit-identical in any engine); the only rounding step is
+    * weightedByHash's round(rate, 6), shared with the oracle. */
+  def mixtureBySource(df: DataFrame, keyCol: String, sourceCol: String,
+                      weightCol: String,
+                      targets: Map[String, Long]): DataFrame = {
+    require(targets.values.forall(_ >= 0), "budgets must be >= 0")
+    val rcol = Iterator.from(0).map(i => s"__rate$i")
+      .dropWhile(df.columns.contains).next()
+    val tgt = typedLit(targets)
+    val rates = df.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).as("__tot"))
+      .select(col(sourceCol),
+        when(element_at(tgt, col(sourceCol)).isNull, lit(1.0))
+          .otherwise(least(lit(1.0),
+            element_at(tgt, col(sourceCol)).cast("double") /
+              col("__tot").cast("double"))).as(rcol))
+    val joined = df.join(broadcast(rates), Seq(sourceCol))
+    weightedByHash(joined, keyCol, col(rcol)).drop(rcol)
+  }
+
+  /** Deterministic global shuffle + shard assignment — the "write the
+    * training set in randomized order across N shards" step. Every row
+    * gets shard = draw % nShards and pos = its rank within the shard by
+    * (draw, key), where draw is the row's md5 prefix: a reproducible
+    * pseudo-random permutation that no engine, partitioning, or rerun can
+    * perturb (keyCol breaks 32-bit draw ties exactly).
+    *
+    * Scale shape: ONE hash exchange on shard followed by an in-partition
+    * sort — the window's PARTITION BY shard is the physical shard
+    * partitioning, so rank assignment and output placement ride the same
+    * shuffle; a writer maps each shard partition to one output file.
+    * Shard sizes are balanced by the uniformity of the draw (skew-free by
+    * construction — the partition key is a hash, not a data value). */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be > 0")
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__draw").asc, col(keyCol).asc)
+    df.withColumn("__draw", v)
+      .withColumn("shard", col("__draw") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__draw")
   }
 }

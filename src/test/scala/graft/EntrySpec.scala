@@ -33,7 +33,8 @@ class EntrySpec extends AnyFunSuite {
     "q66_ann_multiprobe", "q67_approx_percentile", "q68_salted_agg",
     "q69_cosine_pairs", "q70_pii_scrub", "q71_cluster_stats",
     "q72_canonical_pick", "q73_salted_join", "q74_weighted_reservoir",
-    "q75_cosine_admission", "q76_drift_psi", "q77_span_dedup")
+    "q75_cosine_admission", "q76_drift_psi", "q77_span_dedup",
+    "q78_mixture_sample", "q79_shuffle_shard")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns a well-formed result at sf0.001") {

@@ -184,6 +184,30 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("q77: span winner is a hash aggregate on the span hash — no self-join, " +
+    "no all-pairs anywhere") {
+    val p = plan("q77_span_dedup")
+    assert(p.contains("xxhash64"), p.take(3000))   // 8-byte identity, not text
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q78: the per-source rate table broadcasts; the corpus never " +
+    "shuffles for the join") {
+    val p = plan("q78_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("q79: shard assignment rides ONE exchange (the shard partitioning " +
+    "IS the output placement)") {
+    val p = plan("q79_shuffle_shard")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n${p.take(3000)}")
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

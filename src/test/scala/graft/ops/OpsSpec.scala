@@ -821,6 +821,43 @@ class OpsSpec extends AnyFunSuite {
     assert(Sampling.weightedByHash(df, "id", lit(-1.0)).count() == 0)
   }
 
+  test("mixtureBySource: capped source lands near its budget, oversized " +
+    "budget and unlisted sources keep all, zero budget drops the source") {
+    val df = (0L until 3000L).map(i => (i, s"s${i % 3}", 10L))
+      .toDF("id", "src", "w")                // 1000 rows x weight 10 per src
+    val kept = Sampling.mixtureBySource(df, "id", "src", "w",
+      Map("s0" -> 5000L, "s1" -> 20000L))
+    val bySrc = kept.groupBy("src").agg(sum("w").as("tw")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySrc("s0") - 5000L) < 900, bySrc.toString) // rate 0.5
+    assert(bySrc("s1") == 10000L)            // budget above total: keep all
+    assert(bySrc("s2") == 10000L)            // unlisted: unconstrained
+    // deterministic: same sample under any partitioning
+    val again = Sampling.mixtureBySource(df.repartition(13), "id", "src", "w",
+      Map("s0" -> 5000L, "s1" -> 20000L)).select("id").as[Long].collect().sorted
+    assert(again.sameElements(kept.select("id").as[Long].collect().sorted))
+    assert(Sampling.mixtureBySource(df, "id", "src", "w", Map("s2" -> 0L))
+      .filter($"src" === "s2").count() == 0)
+  }
+
+  test("shuffleShards: dense 1..n positions per shard, all shards used, " +
+    "deterministic under repartition") {
+    val df = (0L until 1000L).toDF("id")
+    val got = Sampling.shuffleShards(df, "id", 8)
+    assert(got.count() == 1000)
+    val shards = got.groupBy("shard").agg(count(lit(1)).as("n"),
+        min("pos").as("mn"), max("pos").as("mx")).collect()
+    assert(shards.length == 8, "uniform draw reaches every shard")
+    shards.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == r.getLong(1),
+        s"positions must be dense 1..n: $r")
+    }
+    val a = got.orderBy("id").as[(Long, Long, Long)].collect()
+    val b = Sampling.shuffleShards(df.repartition(7), "id", 8)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
   test("containmentPairs flags subset duplication that Jaccard misses") {
     val short = "alpha beta gamma delta epsilon"            // 3 trigrams
     val long = ("alpha beta gamma delta epsilon " * 1) +

@@ -303,6 +303,15 @@ object Stress {
         TextAnalysis.packTokens(big, "doc_id", "text", capacity = 2048)
           .agg(max(col("bin_last"))).collect()(0).getLong(0)
       }
+      // Span dedup at replicated scale: two map-side-combinable hash
+      // aggregations and nothing else. The regression class: the winner
+      // selection decaying into a join-back (spans shuffled a second time
+      // with full text) or the reassembly picking up a global-order
+      // window — either way the span-text shuffle mass multiplies.
+      gated("SPAN_DEDUP_200K", budgetSec = 10) { // measured 3.3 s @ scale 1.00
+        Dedup.spanDedup(big, "doc_id", "text", spanWords = 10)
+          .agg(sum(col("n_kept"))).collect()(0).getLong(0)
+      }
       timed("PLAIN_SEMIJOIN_20M") {
         val fact = spark.range(20000000L).select(col("id").as("k"))
         val dim = spark.range(100000L)

@@ -82,6 +82,20 @@ class EmptyInputSpec extends AnyFunSuite {
       lit(1.0), 3).count() == 0)
   }
 
+  test("fifth-wave family (span dedup, mixture sample, shard shuffle) is " +
+    "total on empty input") {
+    assert(Dedup.spanDedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Sampling.mixtureBySource(
+      emptyDocs.withColumn("w", col("doc_id")),
+      "doc_id", "text", "w", Map("a" -> 10L)).count() == 0)
+    // an empty targets map constrains nothing: identity keep
+    val docs = spark.createDataFrame(Seq((1L, "s", 5L), (2L, "s", 5L)))
+      .toDF("doc_id", "src", "w")
+    assert(Sampling.mixtureBySource(docs, "doc_id", "src", "w",
+      Map.empty).count() == 2)
+    assert(Sampling.shuffleShards(emptyDocs, "doc_id", 4).count() == 0)
+  }
+
   test("contamination, repetition, bm25, range join are total on empty input") {
     val corpus = spark.createDataFrame(Seq((1L, "x y z w v u t s q r")))
       .toDF("doc_id", "text")

@@ -772,6 +772,22 @@ object SparkEntry {
     Sampling.shuffleShards(t(s, dir, "documents").select("doc_id"),
       "doc_id", nShards = 8)
 
+  /** Winsorize lineitem prices to the per-returnflag [p05, p95] band —
+    * tail clipping off the q67 binned-percentile machinery: one bounded-
+    * memory counts pass reads BOTH ranks, bounds broadcast back, the
+    * clip is a shuffle-free map. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    Sketches.winsorize(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_returnflag", "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"),
+      pLo = 0.05, pHi = 0.95, binWidth = 100.0, outCol = "w_price")
+
+  /** Top-50 word bigrams with counts — corpus vocabulary mining; one
+    * combinable count shuffle + TakeOrderedAndProject top-k. */
+  private def qVocabTopK(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", n = 2, k = 50)
+
   /** Weighted sample-without-replacement: 10 docs per language, longer
     * docs proportionally likelier (weight = n_chars), Efraimidis–Spirakis
     * priorities off each row's own md5 draw — the third sampling mode
@@ -996,6 +1012,8 @@ object SparkEntry {
     "q77_span_dedup" -> (qSpanDedup _),
     "q78_mixture_sample" -> (qMixtureSample _),
     "q79_shuffle_shard" -> (qShuffleShard _),
+    "q80_winsorize" -> (qWinsorize _),
+    "q81_vocab_topk" -> (qVocabTopK _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1555,6 +1573,33 @@ object SparkEntry {
            row_number() OVER (PARTITION BY draw % 8
              ORDER BY draw, doc_id) AS pos
          FROM d""",
+    "q80_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+             CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin,
+             count(*) AS cnt
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, bin, cnt,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS tot FROM b),
+         bounds AS (SELECT l_returnflag,
+             min(CASE WHEN cum >= ceil(0.05 * tot) AND cum - cnt < ceil(0.05 * tot)
+                 THEN round(bin * 100.0 + 50.0, 4) END) AS lo,
+             min(CASE WHEN cum >= ceil(0.95 * tot) AND cum - cnt < ceil(0.95 * tot)
+                 THEN round(bin * 100.0 + 50.0, 4) END) AS hi
+           FROM c GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+           CASE WHEN l_extendedprice IS NULL THEN NULL
+                ELSE greatest(lo, least(hi, CAST(l_extendedprice AS DOUBLE)))
+           END AS w_price
+         FROM lineitem l JOIN bounds USING (l_returnflag)""",
+    "q81_vocab_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         grams AS (SELECT CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+               ELSE array_to_string(t[i:i+1], ' ') END AS g
+           FROM toks, UNNEST(range(1, greatest(len(t), 2))) AS u(i)),
+         c AS (SELECT g AS gram, count(*) AS cnt FROM grams GROUP BY 1)
+         SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 50""",
     "q68_salted_agg" ->
       """WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
              ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,

@@ -122,6 +122,49 @@ object Sketches {
         round(col("__bin") * binWidth + binWidth / 2, 4).as(outCol): _*)
   }
 
+  /** WINSORIZATION — clip per-group outliers to the [pLo, pHi] percentile
+    * band, the standard tail-taming step before averaging noisy metrics
+    * (doc quality scores, per-source token counts). Bounds come from ONE
+    * [[binnedPercentile]]-style pass: values bin to fixed widths, bins
+    * aggregate to counts (map-side combine, state O(range/binWidth) per
+    * group), a cumulative walk over the sorted bins reads BOTH ranks off
+    * the same window, and the per-group (lo, hi) row — one per group —
+    * broadcasts back onto the fact side. No sort of raw data, no
+    * second scan for the second bound, and the clip itself is a
+    * shuffle-free map. Null values stay null (clipping has no opinion on
+    * missing data). Deterministic: every step is the exact arithmetic of
+    * the q67 percentile, so an oracle replays it bit-for-bit. */
+  def winsorize(df: DataFrame, valueCol: String, groupBy: Seq[String],
+                pLo: Double, pHi: Double, binWidth: Double,
+                outCol: String = "winsorized"): DataFrame = {
+    require(pLo > 0.0 && pHi <= 1.0 && pLo <= pHi, "need 0 < pLo <= pHi <= 1")
+    require(binWidth > 0.0, "binWidth must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupBy.map(col) :+
+        floor(col(valueCol) / binWidth).cast("long").as("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val ordered = Window.partitionBy(groupBy.map(col): _*)
+      .orderBy(col("__bin"))
+    val whole = Window.partitionBy(groupBy.map(col): _*)
+    val mid = round(col("__bin") * binWidth + binWidth / 2, 4)
+    def rankBin(p: Double) = {
+      val r = ceil(lit(p) * col("__tot"))
+      when(col("__cum") >= r && col("__cum") - col("__cnt") < r, mid)
+    }
+    val bounds = counts
+      .withColumn("__cum", sum(col("__cnt")).over(ordered))
+      .withColumn("__tot", sum(col("__cnt")).over(whole))
+      .groupBy(groupBy.map(col): _*)
+      .agg(min(rankBin(pLo)).as("__lo"), min(rankBin(pHi)).as("__hi"))
+    df.join(broadcast(bounds), groupBy)
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(greatest(col("__lo"),
+            least(col("__hi"), col(valueCol).cast("double")))))
+      .drop("__lo", "__hi")
+  }
+
   /** Bloom membership filter as a Column pair — the third mergeable
     * sketch, for the "probably seen before" question (admission pre-dedup,
     * fact-table pruning). Built on Spark's native

@@ -388,6 +388,26 @@ object TextAnalysis {
     * after the histograms — the monitor costs two scans regardless of
     * corpus size, and the reference histogram is a natural persisted
     * artifact (recompute only the batch side nightly). */
+  /** Global top-k word n-gram vocabulary with counts — corpus-level
+    * vocabulary mining (tokenizer health checks, boilerplate discovery,
+    * stop-phrase lists). Grams keep multiplicity (a phrase repeated in
+    * one doc counts each time); short docs contribute their whole text
+    * as one gram, matching [[graft.ops.Dedup.shingles]].
+    *
+    * Scale shape: explode is narrow; the count is ONE map-side-combinable
+    * hash aggregation (shuffle carries one row per distinct gram per
+    * partition); the global top-k plans as TakeOrderedAndProject — each
+    * partition forwards its local k, never a full sort. Ties break on the
+    * gram itself, so the k-boundary is a total order any engine
+    * reproduces. */
+  def vocabTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "need n >= 1 and k >= 1")
+    df.select(explode(Dedup.shingles(tokens(col(textCol)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
   def histogramDrift(ref: DataFrame, cand: DataFrame, valueCol: String,
                      binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")

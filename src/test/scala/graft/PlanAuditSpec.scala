@@ -208,6 +208,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("q80: percentile bounds broadcast back; the fact side never sorts") {
+    val p = plan("q80_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("q81: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q81_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -858,6 +858,17 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("vocabTopK counts gram multiplicity, short docs contribute whole " +
+    "text, ties break on the gram") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b z"), (3L, "q"))
+      .toDF("doc_id", "text")
+    // bigrams: "a b"x3 (twice in doc 1, once in doc 2), "b a", "b c",
+    // "b z", and doc 3 is shorter than n -> whole-doc gram "q"
+    val got = TextAnalysis.vocabTopK(docs, "text", n = 2, k = 3)
+      .as[(String, Long)].collect()
+    assert(got.sameElements(Array(("a b", 3L), ("b a", 1L), ("b c", 1L))))
+  }
+
   test("containmentPairs flags subset duplication that Jaccard misses") {
     val short = "alpha beta gamma delta epsilon"            // 3 trigrams
     val long = ("alpha beta gamma delta epsilon " * 1) +

@@ -96,4 +96,25 @@ class SketchesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("winsorize: interior values pass through untouched, tails clip to " +
+    "the per-group band, nulls stay null") {
+    // group g: 1..100; p10 -> bin midpoint 11.0, p90 -> 91.0 (binWidth 2)
+    val fix = ((1 to 100).map(v => ("g", v.toDouble)) ++
+        Seq(("h", 5.0), ("h", 6.0), ("h", 7.0)))
+      .toDF("k", "v")
+      .union(Seq(("g", null.asInstanceOf[java.lang.Double])).toDF("k", "v")
+        .select($"k", $"v".cast("double")))
+    val got = Sketches.winsorize(fix, "v", Seq("k"), 0.1, 0.9,
+        binWidth = 2.0, outCol = "w").collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toDouble),
+        Option(r.get(2)).map(_.toString.toDouble)))
+    val g = got.filter(_._1 == "g")
+    assert(g.find(_._2.contains(50.0)).get._3.contains(50.0)) // interior: identity
+    assert(g.find(_._2.contains(1.0)).get._3.contains(11.0))  // low tail clips up
+    assert(g.find(_._2.contains(100.0)).get._3.contains(91.0))// high tail clips down
+    assert(g.find(_._2.isEmpty).get._3.isEmpty)               // null stays null
+    // group h is independent: its own (narrow) band, values interior
+    assert(got.filter(_._1 == "h").forall(r => r._2 == r._3))
+  }
 }

@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(array<string>) - struct(top_uni, top_bi, dup_tri) repetition counts"),
       (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)))
+    ext.injectFunction((FunctionIdentifier("char_entropy"),
+      info("char_entropy", "char_entropy(string) - Shannon entropy (nats) of the code-point distribution"),
+      (args: Seq[Expression]) => graft.functions.CharEntropy(args.head)))
   }
 }
 
@@ -141,6 +144,9 @@ object GraftExtensions {
         GraftExtensions.literalInt(args(1), "word_shingles", "n")), "scala_udf")
     reg.createOrReplaceTempFunction("repetition_stats",
       (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("char_entropy",
+      (args: Seq[Expression]) => graft.functions.CharEntropy(args.head),
       "scala_udf")
   }
 }

@@ -788,6 +788,16 @@ object SparkEntry {
   private def qVocabTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", n = 2, k = 50)
 
+  /** Per-document character entropy (quality signal: gibberish ≈ uniform
+    * ceiling, boilerplate scores low) via the native one-pass
+    * [[graft.functions.CharEntropy]] expression — zero row inflation; the
+    * oracle replays the n_chars×-exploding declarative formulation this
+    * expression exists to avoid. */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      round(graft.functions.CharEntropy.char_entropy(col("text")), 4)
+        .as("char_entropy"))
+
   /** Weighted sample-without-replacement: 10 docs per language, longer
     * docs proportionally likelier (weight = n_chars), Efraimidis–Spirakis
     * priorities off each row's own md5 draw — the third sampling mode
@@ -1014,6 +1024,7 @@ object SparkEntry {
     "q79_shuffle_shard" -> (qShuffleShard _),
     "q80_winsorize" -> (qWinsorize _),
     "q81_vocab_topk" -> (qVocabTopK _),
+    "q82_char_entropy" -> (qCharEntropy _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1600,6 +1611,15 @@ object SparkEntry {
            FROM toks, UNNEST(range(1, greatest(len(t), 2))) AS u(i)),
          c AS (SELECT g AS gram, count(*) AS cnt FROM grams GROUP BY 1)
          SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 50""",
+    "q82_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents),
+         cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(cnt) AS n FROM cc GROUP BY 1)
+         SELECT cc.doc_id,
+           round(-sum((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)),
+             4) AS char_entropy
+         FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id, n""",
     "q68_salted_agg" ->
       """WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
              ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,

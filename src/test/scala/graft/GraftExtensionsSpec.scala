@@ -30,6 +30,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rs.getLong(0) == 3L && rs.getLong(1) == 2L && rs.getLong(2) == 2L)
   }
 
+  test("SQL char_entropy evaluates the native expression") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT char_entropy('abcd') AS e").collect()(0)
+    assert(math.abs(r.getDouble(0) - math.log(4)) < 1e-9)
+  }
+
   test("SQL hyperplane_sig matches the Scala API and fail-fasts on wrong dim") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col

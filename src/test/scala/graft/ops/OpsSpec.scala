@@ -130,6 +130,37 @@ class OpsSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("char_entropy: matches the exploded per-char formulation on the " +
+    "corpus; known values, empty, null, and multibyte edges hold") {
+    import graft.functions.CharEntropy.char_entropy
+    // known values: uniform over k symbols = ln(k); single symbol = 0
+    val edge = Seq("abcd", "aaaa", "", "aab", "日本日").toDF("t")
+      .select(round(char_entropy($"t"), 10).as("e")).as[Double].collect()
+    assert(math.abs(edge(0) - math.log(4)) < 1e-9)
+    assert(edge(1) == 0.0 && edge(2) == 0.0)
+    assert(math.abs(edge(3) - (-(2.0/3*math.log(2.0/3) + 1.0/3*math.log(1.0/3)))) < 1e-9)
+    assert(math.abs(edge(4) - (-(2.0/3*math.log(2.0/3) + 1.0/3*math.log(1.0/3)))) < 1e-9)
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(char_entropy($"t")).collect()(0).isNullAt(0))
+    // corpus equivalence with the n_chars×-exploding declarative form
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = docs.select($"doc_id",
+        round(char_entropy($"text"), 6).as("e"))
+      .as[(Long, Double)].collect().toMap
+    val exploded = docs
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .groupBy("doc_id")
+      .agg(round(-sum(($"cnt" / $"n") * log($"cnt" / $"n")), 6).as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(native.keySet == exploded.keySet)
+    native.foreach { case (id, e) =>
+      assert(math.abs(e - exploded(id)) <= 1e-6, s"doc $id: $e vs ${exploded(id)}")
+    }
+  }
+
   test("dropExact keeps the min-id row per duplicate key") {
     val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
       .toDF("doc_id", "text")
@@ -867,6 +898,28 @@ class OpsSpec extends AnyFunSuite {
     val got = TextAnalysis.vocabTopK(docs, "text", n = 2, k = 3)
       .as[(String, Long)].collect()
     assert(got.sameElements(Array(("a b", 3L), ("b a", 1L), ("b c", 1L))))
+  }
+
+  test("writeShards: one file per shard dir, in-file order is the shard's " +
+    "pos order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_")
+      .toString
+    try {
+      Sampling.writeShards((0L until 500L).toDF("id"), "id", 4, dir)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.length == 4, shardDirs.mkString(","))
+      shardDirs.foreach { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length == 1, s"${d.getName}: ${parts.length} files")
+        // single-file read preserves file order: pos must be 1..n in order
+        val pos = spark.read.parquet(parts(0).toString)
+          .select("pos").as[Long].collect()
+        assert(pos.sameElements(1L to pos.length), d.getName)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("containmentPairs flags subset duplication that Jaccard misses") {

@@ -372,6 +372,24 @@ object OracleGen {
            ON a.chunk = c.chunk AND a.key = c.key AND a.id < c.id)
        SELECT doc_a, doc_b, cos FROM p WHERE cos >= $threshold"""
 
+  /** Oracle for `Dedup.semanticDedup` (q84): seeded centroids (first
+    * nCentroids ids), top-1 assignment by round-6 cosine with cent_id
+    * tie-break, in-cell round-4 cosine domination by any lower id. */
+  def semanticDedupSql(nCentroids: Int, threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       cent AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
+       asg AS (SELECT id, v, cent_id FROM
+         (SELECT e.id, e.v, c.cent_id,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+          FROM e, cent c) WHERE rn = 1),
+       dom AS (SELECT DISTINCT b.id
+         FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.id < b.id
+         WHERE ${cosSql("a.v", "b.v")} >= $threshold)
+       SELECT asg.id AS vec_id, asg.cent_id, (dom.id IS NULL) AS kept
+       FROM asg LEFT JOIN dom ON asg.id = dom.id"""
+
   /** Oracle for `Similarity.ivfTopK` (q35): deterministic centroids (first
     * nCentroids ids), nProbe-cell assignment by round-6 cosine with cent_id
     * tie-break, cell-join search, top-k per query. */

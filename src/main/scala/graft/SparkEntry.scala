@@ -798,6 +798,31 @@ object SparkEntry {
       round(graft.functions.CharEntropy.char_entropy(col("text")), 4)
         .as("char_entropy"))
 
+  /** Gopher-style rule filter with the measurements AND the verdict —
+    * the stop list is the corpus's own function words ("the"/"a"; the
+    * paper's English list is register-specific, see
+    * [[graft.ops.TextAnalysis.gopherRules]]). */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+      minWords = 50, maxWords = 100000, stopWords = Seq("the", "a"),
+      minStops = 2)
+
+  /** SemDedup over the embeddings table: 16 seeded cells bound the pair
+    * work; drop any vector within round-4 cosine 0.35 of a lower-id
+    * cluster-mate. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids = 16, threshold = 0.35)
+
+  /** Unigram-LM NLL scoring (the KenLM-perplexity-filter stand-in):
+    * model fit on the even-id half of the corpus, every document scored
+    * by mean −ln p with an OOV floor of 1/total. */
+  private def qUnigramNll(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.unigramNll(docs.filter(col("doc_id") % 2 === 0), docs,
+      "doc_id", "text")
+  }
+
   /** Weighted sample-without-replacement: 10 docs per language, longer
     * docs proportionally likelier (weight = n_chars), Efraimidis–Spirakis
     * priorities off each row's own md5 draw — the third sampling mode
@@ -1025,6 +1050,9 @@ object SparkEntry {
     "q80_winsorize" -> (qWinsorize _),
     "q81_vocab_topk" -> (qVocabTopK _),
     "q82_char_entropy" -> (qCharEntropy _),
+    "q83_gopher_rules" -> (qGopherRules _),
+    "q84_semantic_dedup" -> (qSemanticDedup _),
+    "q85_unigram_nll" -> (qUnigramNll _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1620,6 +1648,38 @@ object SparkEntry {
            round(-sum((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)),
              4) AS char_entropy
          FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id, n""",
+    "q83_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           round((length(text) - len(string_split(text, ' ')) + 1.0)
+             / len(string_split(text, ' ')), 4) AS mean_word_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+               w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS frac_alpha,
+           len(list_intersect(string_split(text, ' '), ['the', 'a']))
+             AS n_stop_distinct
+         FROM documents)
+         SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3 AND 10)
+             AND frac_alpha >= 0.8 AND n_stop_distinct >= 2 AS keep
+         FROM m""",
+    "q84_semantic_dedup" ->
+      OracleGen.semanticDedupSql(nCentroids = 16, threshold = 0.35),
+    "q85_unigram_nll" ->
+      """WITH rt AS (SELECT u.tok
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+           WHERE doc_id % 2 = 0),
+         model AS (SELECT tok, count(*) AS cnt FROM rt GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM rt),
+         dt AS (SELECT doc_id, u.tok
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)),
+         s AS (SELECT doc_id,
+             -ln(CAST(COALESCE(cnt, 1) AS DOUBLE) / total) AS nll
+           FROM dt CROSS JOIN tot LEFT JOIN model USING (tok))
+         SELECT doc_id, count(*) AS n_tokens,
+           round(sum(nll) / count(*), 4) AS avg_nll
+         FROM s GROUP BY 1""",
     "q68_salted_agg" ->
       """WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
              ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,

@@ -968,6 +968,60 @@ object Dedup {
 
   // -------------------------------------------------- embedding near-dup
 
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with a coarse quantizer,
+    * then inside each cluster drop every document whose cosine to a
+    * LOWER-id cluster-mate reaches `threshold`. The clustering exists to
+    * bound the quadratic — pair work is Σ|cell|², not N²; at corpus
+    * scale `nCentroids` grows with N to hold |cell| roughly constant, so
+    * the in-cell join stays near-linear while assignment stays one
+    * broadcast of the centroid table (the q35 IVF shape).
+    *
+    * Determinism (what makes q84 hash-checkable): centroids are the
+    * first `nCentroids` vectors by id (q35's seeding; swap in
+    * [[Similarity.kMeansCentroids]] for trained cells, q47's quantized
+    * replay), assignment is top-1 by round-6 cosine with cent_id
+    * tie-break, and the drop test uses round-4 cosine. "Dominated by ANY
+    * lower-id cluster-mate" — rather than SemDedup's keep-one-per-
+    * near-dup-group greedy chain — keeps the rule a pure pairwise
+    * predicate both engines evaluate identically; it is at most as
+    * aggressive as dropping the full transitive closure under the
+    * min-id canonical, the same semantics [[dropNearDups]] ships.
+    *
+    * Plan: broadcast centroid join + per-id top-1 window (assignment),
+    * ONE corpus shuffle on cell id for the self-join, and the dominated
+    * set — at most one narrow row per dropped id — joins back onto the
+    * assignment; every wide vector column dies before that final join. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int = 16,
+                    threshold: Double = 0.6): DataFrame = {
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cent = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    // materialized ONCE (lazy localCheckpoint, the q69/q85 pattern): the
+    // assignment feeds both the pair join and the final output — without
+    // this, each consumer re-runs the centroid broadcast + top-1 shuffle
+    val assigned = Windows.topKPerGroup(
+      base.join(broadcast(cent), lit(true))
+        .select(col("id"), col("v"), col("cent_id"),
+          round(Similarity.cosine(col("v"), col("cv")), 6).as("cent_cos")),
+      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), 1)
+      .select(col("cent_id"), col("id"), col("v"))
+      .localCheckpoint(eager = false)
+    val dominated = assigned
+      .select(col("cent_id"), col("id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cent_id"), col("id").as("id_b"),
+        col("v").as("vb")), Seq("cent_id"))
+      .filter(col("id_a") < col("id_b") &&
+        round(Similarity.cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cent_id"))
+      .join(dominated.withColumn("__dom", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cent_id"),
+        col("__dom").isNull.as("kept"))
+  }
+
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
     * `lsh=false` (default): exact all-pairs via a broadcast of the smaller
     * projection — the verified baseline (O(N²) compute distributed over N

@@ -461,4 +461,93 @@ object TextAnalysis {
       regexp_count(afterEmail, lit(idPattern)).as("n_ids"),
       clean.as("clean_text"))
   }
+
+  /** Gopher's 8 required stop words (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1): a document must contain at least two of these to pass the
+    * stop-word rule. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) — the word-level subset that is meaningful
+    * for single-line documents: word count within `[minWords, maxWords]`,
+    * mean word length within [3, 10], ≥ 80% of words containing an
+    * alphabetic character, and ≥ `minStops` distinct stop words present.
+    * Emits the underlying measurements AND the verdict, not just the
+    * verdict — a production curation funnel logs WHY each document fell
+    * (the reject-reason audit), and downstream mixes re-weight on the
+    * individual rules.
+    *
+    * The stop list defaults to the paper's 8 words ([[gopherStops]]) but
+    * is a parameter: the paper itself flags the rule set as
+    * English-register-specific (§A1.1), and a pipeline scoring another
+    * register swaps in that register's function words — exactly what the
+    * checked q83 does for the synthetic corpus.
+    *
+    * One scan, all codegen'd builtins (`split`/`filter`/
+    * `array_intersect`), no shuffle and no row inflation — like
+    * [[qualityMetrics]] this costs exactly the scan at any corpus size.
+    * Mean word length reuses the `(n_chars − n_words + 1) / n_words`
+    * identity (single-space tokenization) so no second pass over the
+    * token array is needed. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  stopWords: Seq[String] = gopherStops,
+                  minStops: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nW = size(toks)
+    val meanLen =
+      round((length(col(textCol)) - nW + 1).cast("double") / nW, 4)
+    val fracAlpha =
+      round(size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nW, 4)
+    val nStop =
+      size(array_intersect(toks, array(stopWords.map(lit): _*)))
+    df.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+        fracAlpha.as("frac_alpha"), nStop.as("n_stop_distinct"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("frac_alpha") >= 0.8 &&
+          col("n_stop_distinct") >= minStops)
+  }
+
+  /** Unigram language-model scoring — the in-container stand-in for the
+    * CCNet/Gopher KenLM perplexity filter: fit token probabilities on a
+    * reference corpus, then score every document by its mean negative
+    * log-likelihood (nats/token). High `avg_nll` ⇒ tokens the reference
+    * distribution finds surprising (gibberish, wrong-language, spam);
+    * the filter keeps a band. Out-of-vocabulary tokens get the floor
+    * probability `1 / total_ref_tokens` (add-one-style, deterministic).
+    *
+    * Plan: ONE combinable shuffle fits the model (token → count; vocab
+    * rows out, tiny next to the corpus), the model is BROADCAST back —
+    * the defining property of a unigram scorer is that the model fits in
+    * memory — so scoring is a map-side join over the exploded tokens,
+    * and the per-doc mean is one more combinable shuffle on the id.
+    * Nothing but the two scans touches corpus-scale data. Cross-engine
+    * float: the per-doc sum of `−ln p` is order-sensitive; `round(·, 4)`
+    * absorbs the ~1e-12 relative wobble (the q82/cosine/PSI precedent,
+    * pinned at both verify scales). */
+  def unigramNll(ref: DataFrame, docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    // the model is materialized ONCE (lazy localCheckpoint, the q69
+    // postings pattern): both its consumers — the broadcast probe side
+    // and the total — would otherwise each re-run the reference scan +
+    // count shuffle
+    val model = ref.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    // grand total = Σ cnt over the VOCAB-sized model table, never a
+    // second pass over the reference corpus
+    val total = model.agg(sum(col("cnt")).as("total"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(model), Seq("tok"), "left")
+      .join(broadcast(total), lit(true))
+      .select(col(idCol),
+        (-log(coalesce(col("cnt"), lit(1L)).cast("double") / col("total")))
+          .as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
+  }
 }

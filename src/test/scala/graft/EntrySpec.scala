@@ -35,7 +35,8 @@ class EntrySpec extends AnyFunSuite {
     "q72_canonical_pick", "q73_salted_join", "q74_weighted_reservoir",
     "q75_cosine_admission", "q76_drift_psi", "q77_span_dedup",
     "q78_mixture_sample", "q79_shuffle_shard", "q80_winsorize",
-    "q81_vocab_topk", "q82_char_entropy")
+    "q81_vocab_topk", "q82_char_entropy", "q83_gopher_rules",
+    "q84_semantic_dedup", "q85_unigram_nll")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns a well-formed result at sf0.001") {

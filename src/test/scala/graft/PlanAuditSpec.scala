@@ -220,6 +220,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("q83: gopher rules are scan-only — no shuffle, no join, no inflation") {
+    val p = plan("q83_gopher_rules")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Generate"), p.take(3000))
+  }
+
+  test("q84: in-cell pair join is an equi-join on the cell id; the only " +
+    "nested-loop is the 16-row centroid broadcast") {
+    val p = plan("q84_semantic_dedup")
+    assert(p.contains("cent_id"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the assignment is materialized once — both consumers read the
+    // checkpointed RDD instead of re-running the centroid fan-out
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(4000))
+  }
+
+  test("q85: the unigram model broadcasts back onto the token stream; " +
+    "the corpus never shuffles for the join") {
+    val p = plan("q85_unigram_nll")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -96,6 +96,20 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sampling.shuffleShards(emptyDocs, "doc_id", 4).count() == 0)
   }
 
+  test("eighth-wave family (gopher rules, semantic dedup, unigram NLL) is " +
+    "total on empty input") {
+    assert(TextAnalysis.gopherRules(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.semanticDedup(emptyEmb, "vec_id", "embedding").count() == 0)
+    assert(TextAnalysis.unigramNll(emptyDocs, emptyDocs,
+      "doc_id", "text").count() == 0)
+    // empty MODEL, real docs: total on it — rows survive with null score
+    // (no token has a defined probability), never a crash or a drop
+    val docs = spark.createDataFrame(Seq((1L, "x y"))).toDF("doc_id", "text")
+    val scored = TextAnalysis.unigramNll(emptyDocs, docs, "doc_id", "text")
+      .collect()
+    assert(scored.length == 1 && scored(0).isNullAt(2))
+  }
+
   test("contamination, repetition, bm25, range join are total on empty input") {
     val corpus = spark.createDataFrame(Seq((1L, "x y z w v u t s q r")))
       .toDF("doc_id", "text")

@@ -1109,6 +1109,62 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherRules: each rule rejects independently and keep is their " +
+    "conjunction") {
+    val pad = (1 to 60).map(i => "word" + i).mkString(" ")
+    val df = Seq(
+      (1L, pad + " the of x"),                    // passes all four
+      (2L, "the of short doc"),                   // word count < minWords
+      (3L, pad + " the x"),                       // only 1 distinct stop
+      (4L, pad + " the of " + "a".*(800)),        // mean word len > 10
+      (5L, (1 to 55).map(_ => "999!!").mkString(" ") + " the of")) // alpha
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(df, "doc_id", "text", minWords = 50)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getBoolean(5)).toSeq ==
+      Seq(true, false, false, false, false))
+    // measurement columns, not just verdicts: doc 3's only failure is stops
+    val r3 = got(2)
+    assert(r3.getInt(1) >= 50 && r3.getInt(4) == 1 &&
+      r3.getDouble(2) >= 3 && r3.getDouble(2) <= 10 && r3.getDouble(3) >= 0.8)
+    // doc 5 fails ONLY the alpha rule (57 words, mean len in band, 2 stops)
+    val r5 = got(4)
+    assert(r5.getDouble(3) < 0.8 && r5.getInt(4) == 2 && r5.getInt(1) >= 50 &&
+      r5.getDouble(2) >= 3 && r5.getDouble(2) <= 10)
+  }
+
+  test("semanticDedup: in-cell near-dups drop toward the lowest id; " +
+    "cross-cell twins are invisible (the clustering trade-off)") {
+    // two well-separated directions; ids 1,2 seed the 2 centroids
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val aJit = Array(0.99f, 0.01f, 0.0f, 0.0f)   // cos≈1 with a
+    val mix = Array(0.6f, 0.8f, 0.0f, 0.0f)      // cell b, cos .6 with b
+    val df = Seq((1L, a), (2L, b), (3L, aJit), (4L, a), (5L, mix))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding",
+        nCentroids = 2, threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    // 3 and 4 are dominated by 1; 5 shares cell with 2 but cos<0.9
+    assert(got == Seq((1L, true), (2L, true), (3L, false), (4L, false),
+      (5L, true)))
+  }
+
+  test("unigramNll: in-vocab frequency ordering holds and OOV gets the " +
+    "1/total floor") {
+    val ref = Seq((1L, "a a a b")).toDF("doc_id", "text") // p(a)=3/4 p(b)=1/4
+    val docs = Seq((10L, "a a"), (11L, "b b"), (12L, "zz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramNll(ref, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0) == ((10L, 2L, math.rint(-math.log(0.75) * 1e4) / 1e4)))
+    assert(got(1) == ((11L, 2L, math.rint(-math.log(0.25) * 1e4) / 1e4)))
+    // OOV floor: p = 1/4
+    assert(got(2) == ((12L, 1L, math.rint(-math.log(0.25) * 1e4) / 1e4)))
+  }
+
   test("bm25TopK: higher tf wins at equal length; absent terms score nothing") {
     val df = Seq(
       (1L, "spark spark spark pad pad pad pad pad"),

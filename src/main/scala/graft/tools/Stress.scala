@@ -353,6 +353,25 @@ object Stress {
         if (mean < 0.9) failed ::= "IVF_TRAINED_SAMPLE10_RECALL(recall<0.9)"
         (mean * 1000).toLong
       }
+      // SemDedup at replicated scale: 16 seeded cells over a 20k-vector
+      // slice of the perturbed corpus (every 4th family member — each
+      // clone family keeps copies/4 near-identical mates), in-cell pair
+      // work Σ|cell|² ≈ N²/16 ≈ 25M cosines. Gates the cost class — a
+      // regression to cartesian (16× the pairs) or a lost assignment
+      // materialization (the centroid fan-out + top-1 shuffle running
+      // twice) trips the budget. The perturbed clone families
+      // (cos ≈ 0.999 ≫ 0.9) must collapse toward their lowest ids, so
+      // the drop count also pins recall: each surviving vector is its
+      // family's in-cell minimum.
+      gated("SEMDEDUP_20K", budgetSec = 20) { // measured 4.5 s @ scale 1.0
+        val semEmb = bigEmb.filter(pmod(col("vec_id"), lit(4)) === 0)
+        val dropped = graft.ops.Dedup.semanticDedup(semEmb, "vec_id",
+            "embedding", nCentroids = 16, threshold = 0.9)
+          .filter(!col("kept")).count()
+        if (dropped < semEmb.count() / 2)
+          failed ::= s"SEMDEDUP_20K(dropped=$dropped too low)"
+        dropped
+      }
       bigEmb.unpersist()
     }
     spark.stop()

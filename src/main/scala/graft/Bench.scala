@@ -63,11 +63,15 @@ object Bench {
       if (rs.forall(_._3)) Some(n -> rs.map(_._2).min) else None
     }
     val failed = names.map(_._1).filterNot(n => byName(n).forall(_._3))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the JSON line compact: the driver records only a
+    // byte-limited tail of the output, and 9-decimal seconds over 85+
+    // queries pushed the head of the object past that window.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"runs":$Runs,"sink":"noop","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fj,"runs":$Runs,"sink":"noop","sf":"$sfDir"}""")
     spark.stop()
   }
 }

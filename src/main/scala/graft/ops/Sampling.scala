@@ -151,6 +151,42 @@ object Sampling {
     weightedByHash(joined, keyCol, col(rcol)).drop(rcol)
   }
 
+  /** Temperature-scaled source mixing (the UniMax/multilingual-sampling
+    * shape): instead of per-source absolute budgets
+    * ([[mixtureBySource]]), each source's share of a GLOBAL row budget is
+    * proportional to `count^alpha` — `alpha = 1` reproduces natural
+    * proportions, `alpha = 0` equalizes sources, `alpha ∈ (0, 1)`
+    * upsamples the tail relative to the head (the standard fix for a
+    * corpus dominated by one source/language). Keep rate for source s:
+    * `min(1, budget · N_s^alpha / (Σ_t N_t^alpha · N_s))`, applied as
+    * [[weightedByHash]]'s deterministic per-row draw.
+    *
+    * Scale shape, same as mixtureBySource: one combinable count
+    * aggregation (|sources| rows out), the share normalization is a
+    * window over that TINY table, rates broadcast back, keep test
+    * shuffle-free. Cross-engine float: `pow(N, alpha)` and the division
+    * chain are IEEE doubles in either engine; the only rounding step is
+    * weightedByHash's shared round(rate, 6). */
+  def temperatureBySource(df: DataFrame, keyCol: String, sourceCol: String,
+                          alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0, "alpha must be >= 0")
+    require(budget >= 0, "budget must be >= 0")
+    val rcol = Iterator.from(0).map(i => s"__trate$i")
+      .dropWhile(df.columns.contains).next()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    val rates = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))
+      .withColumn("__sumw", sum(col("__w")).over(w))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          lit(budget.toDouble) * col("__w")
+            / (col("__sumw") * col("__n").cast("double"))).as(rcol))
+    val joined = df.join(broadcast(rates), Seq(sourceCol))
+    weightedByHash(joined, keyCol, col(rcol)).drop(rcol)
+  }
+
   /** Deterministic global shuffle + shard assignment — the "write the
     * training set in randomized order across N shards" step. Every row
     * gets shard = draw % nShards and pos = its rank within the shard by

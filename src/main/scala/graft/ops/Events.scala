@@ -14,18 +14,27 @@ import org.apache.spark.sql.types._
   */
 object Events {
 
-  /** Load the events table. The testdata stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright —
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession) it
-    * arrives as long nanos; convert to a microsecond timestamp. Integer
-    * `div` (not `/`) — nanos exceed 2^53 so double division loses ticks. */
+  /** Load the events table, normalizing `ts` to TIMESTAMP (LTZ) whatever
+    * the parquet writer chose. Encodings seen across testdata generations:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright —
+    *     with `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession) it
+    *     arrives as long nanos; convert with integer `div` (not `/`) since
+    *     nanos exceed 2^53 and double division loses ticks.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ; cast to TIMESTAMP — value-preserving under the
+    *     pinned UTC session timezone, and required by `unix_micros` et al.
+    *   - TIMESTAMP(MICROS/MILLIS, UTC-adjusted): already TIMESTAMP. */
   def load(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.tune(spark) // nanosAsLong must be set BEFORE the read
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an events frame's `ts` column to TIMESTAMP (LTZ). Safe on
+    * any of the three encodings above; no-op when already LTZ. */
+  def normalizeTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => raw
   }
 
   /** JSON property extraction (built-in `get_json_object`; SURVEY.md §2.8

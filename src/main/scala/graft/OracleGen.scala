@@ -412,6 +412,45 @@ object OracleGen {
             ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
        WHERE rn <= $k"""
 
+  /** The unrolled quantized-Lloyd rounds shared by every trained-centroid
+    * oracle (q47, q87): round r assigns each vector to its nearest c(r−1)
+    * centroid by round-6 cosine (cent_id tie-break) and rebuilds each
+    * centroid as round-6 component means — the exact SQL image of
+    * `Similarity.kMeansCentroids`. Expects CTEs `e(id, v)` and
+    * `c0(cent_id, cv)` in scope; leaves `c<trainIters>` as the result. */
+  private def lloydRoundCtes(trainIters: Int, dim: Int): String =
+    (1 to trainIters).map { r =>
+      s"""a$r AS (SELECT id, v, cent_id FROM
+           (SELECT e.id, e.v, c.cent_id,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+            FROM e, c${r - 1} c) WHERE rn = 1),
+         m$r AS (SELECT cent_id, i, round(avg(v[i]), 6) AS m
+           FROM a$r, range(1, ${dim + 1}) t(i) GROUP BY cent_id, i),
+         c$r AS (SELECT cent_id, list(m ORDER BY i) AS cv
+           FROM m$r GROUP BY cent_id)"""
+    }.mkString(",\n       ")
+
+  /** Oracle for TRAINED `Dedup.semanticDedup` (q87): the [[lloydRoundCtes]]
+    * trained cells, then [[semanticDedupSql]]'s assignment + lower-id
+    * round-4 cosine domination over them. */
+  def semanticDedupTrainedSql(nCentroids: Int, threshold: Double,
+                              trainIters: Int, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       c0 AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
+       ${lloydRoundCtes(trainIters, dim)},
+       asg AS (SELECT id, v, cent_id FROM
+         (SELECT e.id, e.v, c.cent_id,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+          FROM e, c$trainIters c) WHERE rn = 1),
+       dom AS (SELECT DISTINCT b.id
+         FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.id < b.id
+         WHERE ${cosSql("a.v", "b.v")} >= $threshold)
+       SELECT asg.id AS vec_id, asg.cent_id, (dom.id IS NULL) AS kept
+       FROM asg LEFT JOIN dom ON asg.id = dom.id"""
+
   /** Oracle for TRAINED `Similarity.ivfTopK` (q47): replays the QUANTIZED
     * Lloyd rounds of `Similarity.kMeansCentroids` in SQL — seed = first
     * nCentroids ids; each unrolled round assigns every vector to its
@@ -423,22 +462,11 @@ object OracleGen {
     * kMeansCentroids scaladoc). */
   def ivfTrainedSql(k: Int, nCentroids: Int, nProbe: Int, queryStride: Long,
                     trainIters: Int, dim: Int = 64): String = {
-    val rounds = (1 to trainIters).map { r =>
-      s"""a$r AS (SELECT id, v, cent_id FROM
-           (SELECT e.id, e.v, c.cent_id,
-              row_number() OVER (PARTITION BY e.id
-                ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
-            FROM e, c${r - 1} c) WHERE rn = 1),
-         m$r AS (SELECT cent_id, i, round(avg(v[i]), 6) AS m
-           FROM a$r, range(1, ${dim + 1}) t(i) GROUP BY cent_id, i),
-         c$r AS (SELECT cent_id, list(m ORDER BY i) AS cv
-           FROM m$r GROUP BY cent_id)"""
-    }.mkString(",\n       ")
     val cent = s"c$trainIters"
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
          FROM embeddings),
        c0 AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
-       $rounds,
+       ${lloydRoundCtes(trainIters, dim)},
        asg AS (SELECT id, v, cent_id FROM
          (SELECT e.id, e.v, c.cent_id,
             row_number() OVER (PARTITION BY e.id

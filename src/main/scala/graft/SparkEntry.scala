@@ -765,6 +765,17 @@ object SparkEntry {
         "n_chars", Map("src0" -> 4000L, "src1" -> 2000L, "src2" -> 1000000L))
       .select("doc_id", "source", "n_chars")
 
+  /** Temperature-scaled (UniMax) language mixing: each lang's share of a
+    * 400-row global budget ∝ count^0.3 — the multilingual rebalance that
+    * upsamples tail languages relative to the `en` head. At sf0.01 the
+    * head (`en`, 218 docs) keeps at rate ≈ 0.47 while the tail (`fr`, 64)
+    * computes rate ≈ 1.12 and caps at 1 — both branches of the
+    * min(1, ·) exercised. Deterministic off each row's own md5 draw. */
+  private def qTemperatureSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureBySource(t(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.3, budget = 400L)
+      .select("doc_id", "lang", "n_chars")
+
   /** Reproducible global shuffle into 8 training shards: shard = md5
     * draw mod 8, pos = rank within shard by (draw, doc_id) — randomized
     * write order that reruns and engines reproduce bit-for-bit. */
@@ -813,6 +824,15 @@ object SparkEntry {
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
       nCentroids = 16, threshold = 0.35)
+
+  /** TRAINED SemDedup: same domination rule as q84 but over two
+    * quantized-Lloyd k-means rounds (q47's bit-reproducible training) —
+    * data-shaped cells instead of id-seeded ones. Hash-verified: the
+    * oracle replays the identical quantized rounds in SQL
+    * (OracleGen.semanticDedupTrainedSql). */
+  private def qSemanticDedupTrained(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids = 16, threshold = 0.35, trainIters = 2)
 
   /** Unigram-LM NLL scoring (the KenLM-perplexity-filter stand-in):
     * model fit on the even-id half of the corpus, every document scored
@@ -1053,6 +1073,8 @@ object SparkEntry {
     "q83_gopher_rules" -> (qGopherRules _),
     "q84_semantic_dedup" -> (qSemanticDedup _),
     "q85_unigram_nll" -> (qUnigramNll _),
+    "q86_temperature_sample" -> (qTemperatureSample _),
+    "q87_semantic_dedup_trained" -> (qSemanticDedupTrained _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1666,6 +1688,9 @@ object SparkEntry {
          FROM m""",
     "q84_semantic_dedup" ->
       OracleGen.semanticDedupSql(nCentroids = 16, threshold = 0.35),
+    "q87_semantic_dedup_trained" ->
+      OracleGen.semanticDedupTrainedSql(nCentroids = 16, threshold = 0.35,
+        trainIters = 2),
     "q85_unigram_nll" ->
       """WITH rt AS (SELECT u.tok
            FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
@@ -1680,6 +1705,20 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens,
            round(sum(nll) / count(*), 4) AS avg_nll
          FROM s GROUP BY 1""",
+    "q86_temperature_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         rates AS (SELECT lang,
+             least(CAST(1.0 AS DOUBLE),
+               400.0 * pow(CAST(n AS DOUBLE), 0.3)
+                 / (sum(pow(CAST(n AS DOUBLE), 0.3)) OVER ()
+                    * CAST(n AS DOUBLE))) AS rate
+           FROM n)
+         SELECT doc_id, d.lang, n_chars
+         FROM documents d JOIN rates USING (lang)
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) * 1000000
+               < CAST(round(round(greatest(0.0, least(1.0, rate)), 6)
+                   * 1000000.0) AS BIGINT) * 4294967296""",
     "q68_salted_agg" ->
       """WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
              ELSE 'k' || CAST(l_orderkey % 100 AS VARCHAR) END AS skew_key,

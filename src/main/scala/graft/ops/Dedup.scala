@@ -977,10 +977,11 @@ object Dedup {
     * the in-cell join stays near-linear while assignment stays one
     * broadcast of the centroid table (the q35 IVF shape).
     *
-    * Determinism (what makes q84 hash-checkable): centroids are the
-    * first `nCentroids` vectors by id (q35's seeding; swap in
-    * [[Similarity.kMeansCentroids]] for trained cells, q47's quantized
-    * replay), assignment is top-1 by round-6 cosine with cent_id
+    * Determinism (what makes q84/q87 hash-checkable): centroids are the
+    * first `nCentroids` vectors by id (q35's seeding) or, with
+    * `trainIters` > 0, [[Similarity.kMeansCentroids]]'s quantized-Lloyd
+    * trained cells (q47's bit-reproducible replay — the q87 variant);
+    * assignment is top-1 by round-6 cosine with cent_id
     * tie-break, and the drop test uses round-4 cosine. "Dominated by ANY
     * lower-id cluster-mate" — rather than SemDedup's keep-one-per-
     * near-dup-group greedy chain — keeps the rule a pure pairwise
@@ -994,11 +995,22 @@ object Dedup {
     * assignment; every wide vector column dies before that final join. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCentroids: Int = 16,
-                    threshold: Double = 0.6): DataFrame = {
+                    threshold: Double = 0.6,
+                    trainIters: Int = 0,
+                    maxCellSize: Option[Int] = None): DataFrame = {
+    require(trainIters >= 0, "trainIters must be >= 0")
+    require(maxCellSize.forall(_ > 0), "maxCellSize must be > 0")
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cent = base.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cent_id"), col("v").as("cv"))
+    // trainIters > 0: quantized-Lloyd TRAINED cells (q47's bit-reproducible
+    // k-means) — data-shaped cells dedup better than the id-seeded ones,
+    // and at corpus scale the caller grows nCentroids with N to hold
+    // E|cell| = N/nCentroids constant; trainIters = 0 keeps the seeded
+    // first-N centroids (the q84 oracle shape)
+    val cent =
+      if (trainIters > 0) Similarity.kMeansCentroids(base, nCentroids, trainIters)
+      else base.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").as("cent_id"), col("v").as("cv"))
     // materialized ONCE (lazy localCheckpoint, the q69/q85 pattern): the
     // assignment feeds both the pair join and the final output — without
     // this, each consumer re-runs the centroid broadcast + top-1 shuffle
@@ -1009,10 +1021,35 @@ object Dedup {
       Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), 1)
       .select(col("cent_id"), col("id"), col("v"))
       .localCheckpoint(eager = false)
-    val dominated = assigned
-      .select(col("cent_id"), col("id").as("id_a"), col("v").as("va"))
-      .join(assigned.select(col("cent_id"), col("id").as("id_b"),
-        col("v").as("vb")), Seq("cent_id"))
+    // maxCellSize: the WORST-CASE cost guard for skewed corpora. A cell
+    // of size n costs n² pair tests; one mega-cell (a massive duplicate
+    // family, or a degenerate centroid) turns the sweep quadratic no
+    // matter how many cells exist. The cap sub-splits any cell over the
+    // bound into ceil(n/cap) deterministic hash shards (xxhash64 of id —
+    // a pure function of the data, so the result stays engine- and
+    // partitioning-reproducible) and pairs only within a shard: cost
+    // drops to ~n·cap per oversized cell (linear in n). Recall trade:
+    // a dominated row is missed when its only lower-id near-dups land in
+    // other shards — but the duplicate FAMILIES that create mega-cells
+    // scatter uniformly, so a family of size f still collapses to about
+    // one representative per shard (keeps ceil(n/cap), drops f − that).
+    // The per-shard sizes concentrate tightly around cap (binomial).
+    val paired = maxCellSize match {
+      case None => assigned.withColumn("__split", lit(0L))
+      case Some(cap) =>
+        val sizes = assigned.groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("__n"))
+        assigned.join(broadcast(sizes), Seq("cent_id"))
+          .withColumn("__split", pmod(xxhash64(col("id")),
+            greatest(lit(1L), ceil(col("__n").cast("double") / cap)
+              .cast("long"))))
+          .drop("__n")
+    }
+    val dominated = paired
+      .select(col("cent_id"), col("__split"), col("id").as("id_a"),
+        col("v").as("va"))
+      .join(paired.select(col("cent_id"), col("__split"),
+        col("id").as("id_b"), col("v").as("vb")), Seq("cent_id", "__split"))
       .filter(col("id_a") < col("id_b") &&
         round(Similarity.cosine(col("va"), col("vb")), 4) >= threshold)
       .select(col("id_b").as("id")).distinct()

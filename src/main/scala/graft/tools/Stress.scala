@@ -372,6 +372,22 @@ object Stress {
           failed ::= s"SEMDEDUP_20K(dropped=$dropped too low)"
         dropped
       }
+      // Worst-case SKEW: nCentroids=1 forces the whole 20k slice into ONE
+      // cell — uncapped that is 400M in-cell cosines (~16× the gate
+      // budget); maxCellSize=512 shards it to ceil(20k/512)=40 hash
+      // shards ⇒ ~20k·512 ≈ 10M pairs, BELOW the healthy-cell gate
+      // above. Pins both the cost cap (budget) and that capped recall
+      // still collapses the clone families (drop count).
+      gated("SEMDEDUP_SKEW_CAP_20K", budgetSec = 20) {
+        val semEmb = bigEmb.filter(pmod(col("vec_id"), lit(4)) === 0)
+        val dropped = graft.ops.Dedup.semanticDedup(semEmb, "vec_id",
+            "embedding", nCentroids = 1, threshold = 0.9,
+            maxCellSize = Some(512))
+          .filter(!col("kept")).count()
+        if (dropped < semEmb.count() / 2)
+          failed ::= s"SEMDEDUP_SKEW_CAP_20K(dropped=$dropped too low)"
+        dropped
+      }
       bigEmb.unpersist()
     }
     spark.stop()

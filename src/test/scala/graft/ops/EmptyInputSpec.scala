@@ -94,6 +94,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sampling.mixtureBySource(docs, "doc_id", "src", "w",
       Map.empty).count() == 2)
     assert(Sampling.shuffleShards(emptyDocs, "doc_id", 4).count() == 0)
+    assert(Sampling.temperatureBySource(emptyDocs, "doc_id", "text",
+      alpha = 0.5, budget = 10L).count() == 0)
   }
 
   test("eighth-wave family (gopher rules, semantic dedup, unigram NLL) is " +

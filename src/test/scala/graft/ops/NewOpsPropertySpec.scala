@@ -224,6 +224,36 @@ class NewOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureBySource: alpha=1 == the natural uniform rate; alpha=0 " +
+    "equalizes shares with the min(1,·) cap; kept set partition-invariant") {
+    // 3 sources, 800/100/50 rows — the skewed-corpus shape temperature fixes
+    val rows = (0 until 800).map(i => (i.toLong, "head")) ++
+      (800 until 900).map(i => (i.toLong, "mid")) ++
+      (900 until 950).map(i => (i.toLong, "tail"))
+    val df = rows.toDF("id", "src")
+    // alpha=1: rate collapses to budget/total for EVERY source (the N^1
+    // cancels), i.e. exactly weightedByHash's uniform draw at 190/950 —
+    // both sides divide exact-integer doubles, so the rates are the same
+    // double and the kept sets must be identical, not just close
+    val nat = Sampling.temperatureBySource(df, "id", "src", 1.0, 190L)
+      .select("id").as[Long].collect().sorted.toList
+    val uni = Sampling.weightedByHash(df, "id", lit(190.0 / 950.0))
+      .select("id").as[Long].collect().sorted.toList
+    assert(nat == uni)
+    // alpha=0: per-source budget 150/3 = 50 rows; the 50-row tail computes
+    // rate 50/50 = 1 (cap branch, kept whole), head keeps at 50/800
+    val eq = Sampling.temperatureBySource(df, "id", "src", 0.0, 150L)
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = eq.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("tail") == 50, s"tail rate must cap at 1: $bySrc")
+    assert(bySrc("head") > 25 && bySrc("head") < 80, s"head ~50: $bySrc")
+    assert(bySrc("mid") > 25 && bySrc("mid") < 80, s"mid ~50: $bySrc")
+    // md5-draw determinism: the kept set is a pure function of the data
+    val again = Sampling.temperatureBySource(df.repartition(13), "id", "src",
+      0.0, 150L).select("id").as[Long].collect().sorted.toList
+    assert(again == eq.map(_._1).sorted.toList)
+  }
+
   test("bloomSemiJoin == semiJoin on random key sets") {
     forAllSeeded(Gen.zip(Gen.nonEmptyListOf(Gen.choose(0L, 1000L)),
       Gen.nonEmptyListOf(Gen.choose(0L, 1000L)))) { case (fs, ds) =>

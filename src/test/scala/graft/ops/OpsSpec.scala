@@ -1151,6 +1151,47 @@ class OpsSpec extends AnyFunSuite {
       (5L, true)))
   }
 
+  test("semanticDedup maxCellSize: skewed mega-cell cost is capped (shard " +
+    "sizes bounded), the family still collapses, and drops ⊆ uncapped drops") {
+    // skewed corpus: ONE direction owns 600 of 604 vectors — every seeded
+    // cell collapse lands them in a single cell, the all-pairs worst case
+    val fam = (10L until 610L).map { i =>
+      (i, Array(1.0f, (i % 7).toFloat * 1e-4f, 0.0f, 0.0f))
+    }
+    val others = Seq(
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f)), (4L, Array(0.7f, 0.7f, 0.0f, 0.0f)))
+    val df = (others ++ fam).toDF("vec_id", "embedding")
+    val cap = 50
+    val capped = Dedup.semanticDedup(df, "vec_id", "embedding",
+      nCentroids = 4, threshold = 0.9, maxCellSize = Some(cap))
+    val uncapped = Dedup.semanticDedup(df, "vec_id", "embedding",
+      nCentroids = 4, threshold = 0.9)
+    val keptCap = capped.filter(col("kept")).select("vec_id")
+      .as[Long].collect().toSet
+    val keptFull = uncapped.filter(col("kept")).select("vec_id")
+      .as[Long].collect().toSet
+    // capped drops are a SUBSET of uncapped drops (cap only removes pairs)
+    assert(keptFull.subsetOf(keptCap))
+    // the 600-member family still collapses to ~one rep per hash shard:
+    // ceil(600/50) = 12 shards → at most 12 + slack survivors, not 600
+    val famKept = keptCap.count(_ >= 10L)
+    assert(famKept <= 15, s"family kept $famKept of 600 — cap not engaging")
+    assert(famKept >= 1)
+    // cost bound: replay the shard assignment and pin every shard ≤ ~3×cap
+    // (xxhash64 split is deterministic, so this is a fixed number)
+    val nSplits = math.ceil(601.0 / cap).toLong // family cell ≈ 601 members
+    val splitSizes = df.selectExpr(s"pmod(xxhash64(vec_id), $nSplits) AS s")
+      .groupBy(col("s")).count().select("count").as[Long].collect()
+    assert(splitSizes.forall(_ <= 3L * cap),
+      s"hash shards unbalanced: ${splitSizes.mkString(",")}")
+    // determinism under repartition
+    val again = Dedup.semanticDedup(df.repartition(7), "vec_id", "embedding",
+      nCentroids = 4, threshold = 0.9, maxCellSize = Some(cap))
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(again == keptCap)
+  }
+
   test("unigramNll: in-vocab frequency ordering holds and OOV gets the " +
     "1/total floor") {
     val ref = Seq((1L, "a a a b")).toDF("doc_id", "text") // p(a)=3/4 p(b)=1/4

@@ -110,6 +110,18 @@ object OracleGen {
        SELECT cluster_size, count(*) AS n_clusters
        FROM szs GROUP BY 1"""
 
+  /** Leakage-safe grouped split oracle (q93): the q45 component closure,
+    * split decided by the CLUSTER id's md5 draw — members move together. */
+  def groupedSplitSql(n: Int, threshold: Double, mod: Int, rem: Int): String =
+    s"""WITH RECURSIVE
+       ${closureCtes(n, threshold)},
+       comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       SELECT id AS doc_id, cluster_id,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % $mod = $rem
+              THEN 'val' ELSE 'train' END AS split
+       FROM comp"""
+
   /** Quality-canonical dedup oracle: per near-dup cluster keep the member
     * with the most characters (doc_id ASC tie-break) — mirrors the q72
     * composition (components → join documents → top-1 window). */
@@ -450,6 +462,46 @@ object OracleGen {
          WHERE ${cosSql("a.v", "b.v")} >= $threshold)
        SELECT asg.id AS vec_id, asg.cent_id, (dom.id IS NULL) AS kept
        FROM asg LEFT JOIN dom ON asg.id = dom.id"""
+
+  /** Oracle for `Similarity.ivfFilteredTopK` (q88): full-corpus seeded
+    * centroids and nProbe assignment, candidate side restricted by
+    * `candWhere` (a SQL predicate over the e CTE's columns, e.g.
+    * `label % 2 = 0`), queries unfiltered. */
+  def ivfFilteredSql(k: Int, nCentroids: Int, nProbe: Int, queryStride: Long,
+                     candWhere: String): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+           label FROM embeddings),
+       cent AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
+       asg AS (SELECT id, v, label, cent_id FROM
+         (SELECT e.id, e.v, e.label, c.cent_id,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+          FROM e, cent c) WHERE rn <= $nProbe),
+       q AS (SELECT cent_id, id AS query_id, v AS qv FROM asg
+         WHERE id % $queryStride = 0),
+       cand AS (SELECT cent_id, id, v FROM asg WHERE $candWhere),
+       p AS (SELECT DISTINCT query_id, a.id AS cand_id,
+           ${cosSql("q.qv", "a.v")} AS cos
+         FROM q JOIN cand a ON q.cent_id = a.cent_id AND a.id <> q.query_id)
+       SELECT query_id, cand_id, cos FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+       WHERE rn <= $k"""
+
+  /** Oracle for `Dedup.semanticLeakage` (q89): eval set = id % mod = rem,
+    * per-train-row count of eval vectors within round-4 cosine
+    * `threshold`. */
+  def semanticLeakageSql(mod: Long, rem: Long, threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       ev AS (SELECT id AS eval_id, v AS ev FROM e WHERE id % $mod = $rem),
+       h AS (SELECT e.id,
+           CASE WHEN ${cosSql("e.v", "ev.ev")} >= $threshold
+                THEN 1 ELSE 0 END AS hit
+         FROM e, ev WHERE e.id % $mod <> $rem)
+       SELECT id AS vec_id, CAST(sum(hit) AS BIGINT) AS n_eval_hits,
+         (sum(hit) > 0) AS leaked
+       FROM h GROUP BY id"""
 
   /** Oracle for TRAINED `Similarity.ivfTopK` (q47): replays the QUANTIZED
     * Lloyd rounds of `Similarity.kMeansCentroids` in SQL — seed = first

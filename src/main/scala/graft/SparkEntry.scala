@@ -567,6 +567,15 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
 
+  /** Leakage-safe train/val split: the whole near-dup CLUSTER moves to
+    * one side (split keyed on the cluster label's md5 draw, mod 10 → ~10%
+    * of clusters in val) — document-level random splits let near-dups
+    * straddle the boundary and inflate validation metrics. */
+  private def qGroupedSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.groupedSplit(nearDupComponents(s, dir), mod = 10, rem = 0)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("split"))
+
   /** Cluster-size histogram over the near-dup components — the corpus
     * health metric a dedup pass reports (how much mass sits in how-large
     * duplicate families; singletons counted). Two tiny aggregates over
@@ -631,6 +640,25 @@ object SparkEntry {
   private def qAnnIvfTrained(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 5, nCentroids = 16, nProbe = 5, queryStride = 100, trainIters = 2)
+
+  /** FILTERED ANN: nearest neighbors among even-label vectors only —
+    * metadata-predicate vector search with the PRE-filter design (the
+    * index holds only admissible candidates, so recall is independent of
+    * the predicate's selectivity). Hash-verified: the oracle replays the
+    * same seeded cells + filtered candidate join (OracleGen.ivfFilteredSql). */
+  private def qAnnFiltered(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfFilteredTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      candPredicate = pmod(col("label"), lit(2)) === 0,
+      k = 5, nCentroids = 16, nProbe = 2, queryStride = 100)
+
+  /** SEMANTIC eval leakage: train vectors within 0.25 round-4 cosine of
+    * any eval vector (vec_id % 97 == 1 — 6 held-out rows at sf0.01) get
+    * flagged with their hit count — embedding-space benchmark
+    * decontamination, the paraphrase-catching sibling of q52's n-gram
+    * flags. */
+  private def qSemanticLeakage(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticLeakage(t(s, dir, "embeddings"), "vec_id", "embedding",
+      isEval = pmod(col("vec_id"), lit(97)) === 1, threshold = 0.25)
 
   /** Regex/string cleaning ops (engine-library generality: regexp_replace,
     * trim, case fold, split-part). */
@@ -776,6 +804,22 @@ object SparkEntry {
         alpha = 0.3, budget = 400L)
       .select("doc_id", "lang", "n_chars")
 
+  /** Nucleus (top-p) keep: per language, the smallest high-weight prefix
+    * holding half the group's character mass — all-integer keep test
+    * (cum·2 < tot), no float boundary for the oracle to disagree on. */
+  private def qNucleusKeep(s: SparkSession, dir: String): DataFrame =
+    Sampling.nucleusByGroup(t(s, dir, "documents"), Seq("lang"), "doc_id",
+        "n_chars", num = 1, den = 2)
+      .select("doc_id", "lang", "n_chars")
+
+  /** Per-source quantile normalization of the length score: raw scores
+    * aren't comparable across sources; percentiles are — the calibration
+    * step before a global quality threshold. */
+  private def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    Sampling.quantileNormalize(t(s, dir, "documents"), Seq("source"),
+        "doc_id", "n_chars")
+      .select("doc_id", "source", "n_chars", "pct")
+
   /** Reproducible global shuffle into 8 training shards: shard = md5
     * draw mod 8, pos = rank within shard by (draw, doc_id) — randomized
     * write order that reruns and engines reproduce bit-for-bit. */
@@ -840,6 +884,15 @@ object SparkEntry {
   private def qUnigramNll(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     TextAnalysis.unigramNll(docs.filter(col("doc_id") % 2 === 0), docs,
+      "doc_id", "text")
+  }
+
+  /** Interpolated bigram-LM NLL — q85's model one Markov order up: word
+    * ORDER now matters, unseen bigrams back off to the unigram floor.
+    * Same even-id reference fit. */
+  private def qBigramNll(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bigramNll(docs.filter(col("doc_id") % 2 === 0), docs,
       "doc_id", "text")
   }
 
@@ -1075,6 +1128,12 @@ object SparkEntry {
     "q85_unigram_nll" -> (qUnigramNll _),
     "q86_temperature_sample" -> (qTemperatureSample _),
     "q87_semantic_dedup_trained" -> (qSemanticDedupTrained _),
+    "q88_ann_filtered" -> (qAnnFiltered _),
+    "q89_semantic_leakage" -> (qSemanticLeakage _),
+    "q90_nucleus_keep" -> (qNucleusKeep _),
+    "q91_quantile_norm" -> (qQuantileNorm _),
+    "q92_bigram_nll" -> (qBigramNll _),
+    "q93_grouped_split" -> (qGroupedSplit _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1288,6 +1347,8 @@ object SparkEntry {
     "q28_minhash_lsh" -> OracleGen.jaccardSql(n = 4, threshold = 0.75),
     "q29_simhash_hybrid" -> OracleGen.jaccardSql(n = 2, threshold = 0.8),
     "q45_neardup_dedup" -> OracleGen.componentsSql(n = 2, threshold = 0.8),
+    "q93_grouped_split" ->
+      OracleGen.groupedSplitSql(n = 2, threshold = 0.8, mod = 10, rem = 0),
     "q50_incremental_dedup" ->
       OracleGen.incrementalSql(n = 3, threshold = 0.8, mod = 10),
     "q51_chunk_tokens" ->
@@ -1691,6 +1752,56 @@ object SparkEntry {
     "q87_semantic_dedup_trained" ->
       OracleGen.semanticDedupTrainedSql(nCentroids = 16, threshold = 0.35,
         trainIters = 2),
+    "q88_ann_filtered" ->
+      OracleGen.ivfFilteredSql(k = 5, nCentroids = 16, nProbe = 2,
+        queryStride = 100, candWhere = "label % 2 = 0"),
+    "q89_semantic_leakage" ->
+      OracleGen.semanticLeakageSql(mod = 97, rem = 1, threshold = 0.25),
+    "q90_nucleus_keep" ->
+      """WITH t AS (SELECT lang, doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+             sum(n_chars) OVER (PARTITION BY lang) AS tot
+           FROM documents)
+         SELECT doc_id, lang, n_chars FROM t
+         WHERE cum * 2 < tot * 1""",
+    "q91_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (PARTITION BY source
+             ORDER BY n_chars ASC, doc_id ASC), 6) AS pct
+         FROM documents""",
+    "q92_bigram_nll" ->
+      """WITH rt AS (SELECT doc_id AS rid, u.i AS pos, toks[u.i] AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id % 2 = 0),
+             UNNEST(generate_series(1, len(toks))) AS u(i)),
+         uni AS (SELECT tok, count(*) AS c1 FROM rt GROUP BY tok),
+         tot AS (SELECT sum(c1) AS total FROM uni),
+         bi AS (SELECT a.tok AS prev, b.tok AS tok, count(*) AS c2
+           FROM rt a JOIN rt b ON a.rid = b.rid AND b.pos = a.pos + 1
+           GROUP BY 1, 2),
+         dt AS (SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+             UNNEST(generate_series(1, len(toks))) AS u(i)),
+         pairs AS (SELECT doc_id, pos, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM dt),
+         s AS (SELECT doc_id,
+             CASE WHEN pairs.prev IS NULL
+               THEN -ln(CAST(COALESCE(u1.c1, 1) AS DOUBLE) / total)
+               ELSE -ln((CAST(COALESCE(b.c2, 0) AS DOUBLE)
+                           + CAST(COALESCE(u1.c1, 1) AS DOUBLE) / total)
+                        / (CAST(COALESCE(u2.c1, 0) AS DOUBLE) + 1.0)) END AS nll
+           FROM pairs
+           LEFT JOIN uni u1 ON pairs.tok = u1.tok
+           LEFT JOIN uni u2 ON pairs.prev = u2.tok
+           LEFT JOIN bi b ON pairs.prev = b.prev AND pairs.tok = b.tok
+           CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(sum(nll) / count(*), 4) AS avg_nll
+         FROM s GROUP BY doc_id""",
     "q85_unigram_nll" ->
       """WITH rt AS (SELECT u.tok
            FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)

@@ -1028,11 +1028,14 @@ object Dedup {
     // bound into ceil(n/cap) deterministic hash shards (xxhash64 of id —
     // a pure function of the data, so the result stays engine- and
     // partitioning-reproducible) and pairs only within a shard: cost
-    // drops to ~n·cap per oversized cell (linear in n). Recall trade:
-    // a dominated row is missed when its only lower-id near-dups land in
-    // other shards — but the duplicate FAMILIES that create mega-cells
-    // scatter uniformly, so a family of size f still collapses to about
-    // one representative per shard (keeps ceil(n/cap), drops f − that).
+    // drops to ~n·cap per oversized cell (linear in n). Recall trade
+    // (explicit, two regimes over s = ceil(n/cap) shards): a duplicate
+    // family of size f ≥ s collapses to ~1 representative per shard
+    // (drops f − s — the mega-family case that CREATES mega-cells);
+    // a small family f ≪ s only drops its birthday collisions, ~f²/2s
+    // members (SEMDEDUP_SKEW_CAP_20K pins both the cost budget and this
+    // predicted rate). Callers needing full small-family recall inside
+    // a skewed cell should raise the cap or pre-split by a content key.
     // The per-shard sizes concentrate tightly around cap (binomial).
     val paired = maxCellSize match {
       case None => assigned.withColumn("__split", lit(0L))
@@ -1057,6 +1060,66 @@ object Dedup {
       .join(dominated.withColumn("__dom", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cent_id"),
         col("__dom").isNull.as("kept"))
+  }
+
+  /** Leakage-safe train/validation split: the split is decided per
+    * near-dup CLUSTER (by the cluster label's md5 draw), never per
+    * document — so two near-duplicates can never straddle the boundary
+    * and inflate validation scores (the reason document-level random
+    * splits leak). `draw % mod == rem` sends the whole cluster to val;
+    * singletons are their own cluster, so unclustered docs still split
+    * ~1/mod. Input is the [[components]] relation (id, label); output
+    * (id, label, split). Pure function of the data — engine-,
+    * partitioning- and rerun-stable, and STABLE UNDER CORPUS GROWTH
+    * except where new members merge clusters (which is exactly when a
+    * re-split is semantically required).
+    *
+    * Scale: a pure map over the component relation — no shuffle, no
+    * join; the component computation upstream already paid its
+    * O(log d) rounds. */
+  def groupedSplit(components: DataFrame, mod: Int, rem: Int): DataFrame = {
+    require(mod > 0 && rem >= 0 && rem < mod, "need 0 <= rem < mod")
+    val draw = conv(substring(md5(col("label").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    components.select(col("id"), col("label"),
+      when(pmod(draw, lit(mod)) === rem, lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
+  /** SEMANTIC eval-set leakage — the embedding-space analogue of the
+    * n-gram contamination flags (`contaminationFlags`): a training vector
+    * is contaminated when ANY held-out/eval vector sits within `threshold`
+    * round-4 cosine of it. N-gram decontamination misses paraphrases;
+    * this catches them — the benchmark-decontamination step of a modern
+    * training pipeline run in embedding space.
+    *
+    * Output: one row per NON-eval vector — (id, n_eval_hits, leaked).
+    * Deterministic: hit counting is exact integer work over round-4
+    * cosines, so the oracle replays it verbatim.
+    *
+    * Scale shape: the eval set is tiny next to a 100 TB corpus, so it
+    * BROADCASTS and the corpus streams through map-side (a broadcast
+    * nested-loop over eval×train cosines, distributed across the train
+    * partitions — never a corpus shuffle); the per-id hit count is one
+    * combinable aggregation of narrow (id, hit) rows. A flag-only caller
+    * can skip even that shuffle with a broadcast semi-join on the same
+    * predicate; the count output is kept because audits want "how
+    * contaminated", not just "whether". */
+  def semanticLeakage(emb: DataFrame, idCol: String, vecCol: String,
+                      isEval: Column, threshold: Double): DataFrame = {
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), isEval.as("__eval"))
+    val eval = base.filter(col("__eval"))
+      .select(col("id").as("eval_id"), col("v").as("ev"))
+    base.filter(!col("__eval"))
+      .join(broadcast(eval), lit(true))
+      .select(col("id"),
+        (round(Similarity.cosine(col("v"), col("ev")), 4) >= threshold)
+          .cast("long").as("__hit"))
+      .groupBy(col("id"))
+      .agg(sum(col("__hit")).as("n_eval_hits"))
+      .select(col("id").as(idCol), col("n_eval_hits"),
+        (col("n_eval_hits") > 0).as("leaked"))
   }
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.

@@ -187,6 +187,60 @@ object Sampling {
     weightedByHash(joined, keyCol, col(rcol)).drop(rcol)
   }
 
+  /** Nucleus (top-p) keep per group: within each group, keep the
+    * smallest prefix of rows — ordered by weight DESC, key ASC — whose
+    * cumulative weight reaches fraction `num/den` of the group total
+    * (a row is kept iff the weight BEFORE it is still under the bar, so
+    * the set is minimal and always non-empty). The curation use: "keep
+    * the head of each language's quality-mass distribution", the
+    * data-selection analogue of nucleus sampling.
+    *
+    * The keep test is ALL-INTEGER when the weight column is integral
+    * (`cum·den < num·tot` — no float boundary for an oracle to disagree
+    * on; the [[weightedByHash]] integerization lesson applied to
+    * cumulative shares). Supply the fraction as a rational, not a
+    * double, for exactly that reason.
+    *
+    * Scale shape: ONE shuffle on the group columns; both windows (the
+    * running sum and the group total) share that partitioning, so they
+    * plan into the same exchange. No broadcast, no second pass. */
+  def nucleusByGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                     weightCol: String, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "fraction must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(weightCol).desc, col(keyCol).asc)
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cumCol = Iterator.from(0).map(i => s"__cum$i")
+      .dropWhile(df.columns.contains).next()
+    val totCol = Iterator.from(0).map(i => s"__tot$i")
+      .dropWhile(df.columns.contains).next()
+    df.withColumn(cumCol, coalesce(sum(col(weightCol)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .withColumn(totCol, sum(col(weightCol)).over(tot))
+      .filter(col(cumCol) * den < col(totCol) * num)
+      .drop(cumCol, totCol)
+  }
+
+  /** Per-group quantile normalization: each row's weight becomes its
+    * percent_rank within the group (0 at the group min, 1 at the max,
+    * key-ASC tie-break for determinism) — the cross-source score
+    * calibration step before a GLOBAL threshold: raw quality scores from
+    * different sources/classifiers aren't comparable, their percentiles
+    * are. round(·, 6) for cross-engine float stability.
+    *
+    * Scale: one shuffle on the group columns, rank assignment rides it. */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+                        keyCol: String, weightCol: String,
+                        outCol: String = "pct"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(weightCol).asc, col(keyCol).asc)
+    df.withColumn(outCol, round(percent_rank().over(w), 6))
+  }
+
   /** Deterministic global shuffle + shard assignment — the "write the
     * training set in randomized order across N shards" step. Every row
     * gets shard = draw % nShards and pos = its rank within the shard by

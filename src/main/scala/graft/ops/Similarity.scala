@@ -157,6 +157,55 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
+  /** FILTERED ANN — metadata-predicate vector search (the classically
+    * hard vector-retrieval case: "nearest neighbors WHERE label = X").
+    * This is the PRE-FILTER design: the candidate predicate is applied
+    * before the cell index is built, so every probed cell contains only
+    * admissible vectors and each query's k results are exact top-k *of
+    * the filtered corpus* within its probed cells. The alternative —
+    * post-filtering an unfiltered top-k — silently under-returns when
+    * the predicate is selective (k results, few survive the filter);
+    * pre-filtering keeps recall independent of selectivity.
+    *
+    * Queries stay UNFILTERED (you search on behalf of any row); centroids
+    * are seeded from the FULL corpus so cell geometry — and therefore the
+    * probe routing — is stable under any predicate (an index property:
+    * one cell layout serves every filter).
+    *
+    * Scale: identical to [[ivfTopK]] — centroid broadcast + one shuffle
+    * on cell id — except the shuffled candidate side is ALREADY filtered,
+    * so a selective predicate shrinks the exchange and the per-cell join
+    * instead of wasting them on rows the filter would discard. */
+  def ivfFilteredTopK(emb: DataFrame, idCol: String, vecCol: String,
+                      candPredicate: Column, k: Int = 5,
+                      nCentroids: Int = 16, nProbe: Int = 2,
+                      queryStride: Long = 100): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      candPredicate.as("__cand"))
+    val centroids = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    // materialized ONCE (lazy localCheckpoint, the q84 pattern): the
+    // assignment feeds BOTH the query side and the candidate side —
+    // without this each consumer re-runs the centroid fan-out + top-k
+    val assigned = Windows.topKPerGroup(
+      base.join(broadcast(centroids), lit(true))
+        .select(col("id"), col("v"), col("__cand"), col("cent_id"),
+          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
+      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
+      .localCheckpoint(eager = false)
+    val cells = assigned.filter(col("__cand"))
+      .select(col("cent_id"), col("id"), col("v"))
+    val queries = assigned.filter(col("id") % queryStride === 0)
+      .select(col("cent_id"), col("id").as("query_id"), col("v").as("qv"))
+    val scored = queries.join(cells, Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        round(cosine(col("qv"), col("v")), 4).as("cos"))
+      .distinct()
+    Windows.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id").asc), k)
+  }
+
   /** Distributed spherical k-means (Lloyd) coarse quantizer for IVF:
     * seeds with the first `nCentroids` vectors by id, then `iters` rounds
     * of assign-to-nearest (by cosine, over the broadcast centroids) and

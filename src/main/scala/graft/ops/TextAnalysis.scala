@@ -528,6 +528,61 @@ object TextAnalysis {
     * float: the per-doc sum of `−ln p` is order-sensitive; `round(·, 4)`
     * absorbs the ~1e-12 relative wobble (the q82/cosine/PSI precedent,
     * pinned at both verify scales). */
+  /** Interpolated BIGRAM-LM NLL — one Markov order up from
+    * [[unigramNll]], the closer stand-in for CCNet/Gopher's KenLM
+    * perplexity filter (repetitive or incoherent word ORDER scores badly
+    * even when the unigram mix looks fine). Model fit on `ref`:
+    * unigram counts c1 (vocab-sized), within-doc bigram counts c2.
+    * Score: first token pays −ln p1(t0); token i pays
+    * −ln((c2(t_{i−1},t_i) + p1(t_i)) / (c1(t_{i−1}) + 1)) — add-p1
+    * interpolation, so unseen bigrams back off to the unigram model and
+    * the estimate is total (never −ln 0); p1(w) = coalesce(c1,1)/T is
+    * q85's OOV floor.
+    *
+    * Scale shape: bigram formation is a lag window riding ONE shuffle on
+    * the doc id (never a positional self-join); the unigram vocab + the
+    * grand total broadcast; the bigram MODEL joins by shuffle on
+    * (prev, tok) — at corpus scale that table is vocab², deliberately
+    * not broadcast. Per-doc aggregation is combinable. Float: the
+    * probability chain is written in the identical IEEE order in the
+    * DuckDB oracle; per-doc Σ−ln is order-sensitive and round(·,4)
+    * absorbs it (q85 precedent). */
+  def bigramNll(ref: DataFrame, docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val rt = ref.select(col(idCol).as("rid"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val uni = rt.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false)
+    val total = uni.agg(sum(col("c1")).as("total"))
+    val rw = w.partitionBy(col("rid")).orderBy(col("pos").asc)
+    val bi = rt.withColumn("prev", lag(col("tok"), 1).over(rw))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = false)
+    val dw = w.partitionBy(col(idCol)).orderBy(col("pos").asc)
+    val pairs = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(dw))
+    val p1 = coalesce(col("c1_tok"), lit(1L)).cast("double") / col("total")
+    val scored = pairs
+      .join(broadcast(uni.select(col("tok"), col("c1").as("c1_tok"))),
+        Seq("tok"), "left")
+      .join(broadcast(uni.select(col("tok").as("prev"),
+        col("c1").as("c1_prev"))), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .join(broadcast(total), lit(true))
+      .select(col(idCol),
+        when(col("prev").isNull, -log(p1))
+          .otherwise(-log(
+            (coalesce(col("c2"), lit(0L)).cast("double") + p1) /
+              (coalesce(col("c1_prev"), lit(0L)).cast("double") + 1.0)))
+          .as("nll"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
+  }
+
   def unigramNll(ref: DataFrame, docs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
     // the model is materialized ONCE (lazy localCheckpoint, the q69

@@ -244,6 +244,57 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("q86: the temperature rate table broadcasts; the corpus never " +
+    "shuffles for the rate join") {
+    val p = plan("q86_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("q87: trained cells keep the q84 shape — equi pair join, no " +
+    "cartesian; Lloyd rounds are checkpointed (constant plan depth)") {
+    val p = plan("q87_semantic_dedup_trained")
+    assert(p.contains("cent_id"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q88: filtered ANN keeps the IVF shape — one centroid broadcast, " +
+    "cell equi-join, no cartesian; the predicate prunes pre-join") {
+    val p = plan("q88_ann_filtered")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(4000))
+    assert(p.contains("cent_id"), p.take(3000))
+  }
+
+  test("q89: the eval set broadcasts; the train corpus never shuffles " +
+    "for the leakage scan") {
+    val p = plan("q89_semantic_leakage")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q92: bigram formation is a lag window, not a positional self-join; " +
+    "vocab and total broadcast; no cartesian") {
+    val p = plan("q92_bigram_nll")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q93: the grouped split adds NO join or shuffle beyond the " +
+    "component relation it reads") {
+    val p = plan("q93_grouped_split")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the split itself is a projection: exactly the q45 component plan
+    // plus a Project — pin by absence of any *extra* join operator vs q45
+    val base = plan("q45_neardup_dedup")
+    def joins(s: String) = Seq("SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin")
+      .map(j => j.r.findAllIn(s).length).sum
+    assert(joins(p) == joins(base), s"split=${joins(p)} base=${joins(base)}")
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

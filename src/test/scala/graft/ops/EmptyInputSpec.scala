@@ -98,6 +98,25 @@ class EmptyInputSpec extends AnyFunSuite {
       alpha = 0.5, budget = 10L).count() == 0)
   }
 
+  test("ninth-wave family (filtered ANN, semantic leakage, nucleus keep, " +
+    "quantile norm) is total on empty input") {
+    assert(Similarity.ivfFilteredTopK(emptyEmb, "vec_id", "embedding",
+      candPredicate = lit(true)).count() == 0)
+    assert(Dedup.semanticLeakage(emptyEmb, "vec_id", "embedding",
+      isEval = lit(false), threshold = 0.5).count() == 0)
+    assert(Sampling.nucleusByGroup(
+      emptyDocs.withColumn("w", col("doc_id")),
+      Seq("text"), "doc_id", "w", 1, 2).count() == 0)
+    assert(Sampling.quantileNormalize(
+      emptyDocs.withColumn("w", col("doc_id")),
+      Seq("text"), "doc_id", "w").count() == 0)
+    assert(TextAnalysis.bigramNll(emptyDocs, emptyDocs, "doc_id", "text")
+      .count() == 0)
+    assert(Dedup.groupedSplit(
+      emptyDocs.select(col("doc_id").as("id"), col("doc_id").as("label")),
+      mod = 10, rem = 0).count() == 0)
+  }
+
   test("eighth-wave family (gopher rules, semantic dedup, unigram NLL) is " +
     "total on empty input") {
     assert(TextAnalysis.gopherRules(emptyDocs, "doc_id", "text").count() == 0)

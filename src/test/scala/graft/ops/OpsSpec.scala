@@ -1192,6 +1192,130 @@ class OpsSpec extends AnyFunSuite {
     assert(again == keptCap)
   }
 
+  test("ivfFilteredTopK: every result satisfies the predicate; with full " +
+    "probe it equals exact filtered top-k; post-filter would under-return") {
+    // 2 clear directions; odd ids cluster near a, even ids near b
+    def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f, 0f)
+    val rows = Seq(
+      (0L, vec(1, 0), 0), (1L, vec(0, 1), 1),          // seeds = centroids
+      (2L, vec(0.99, 0.14), 0), (3L, vec(0.97, 0.24), 1),
+      (4L, vec(0.95, 0.31), 0), (5L, vec(0.93, 0.37), 1),
+      (6L, vec(0.14, 0.99), 0), (7L, vec(0.24, 0.97), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // queries: id 0 (stride 2 hits 0,2,4,6); candidates: label == 0 only
+    val got = Similarity.ivfFilteredTopK(df, "vec_id", "embedding",
+        candPredicate = col("label") === 0, k = 3, nCentroids = 2,
+        nProbe = 2, queryStride = 2)
+      .select("query_id", "cand_id", "cos")
+      .as[(Long, Long, Double)].collect().toSeq
+    val evenIds = rows.filter(_._3 == 0).map(_._1).toSet
+    assert(got.nonEmpty && got.forall(r => evenIds.contains(r._2)),
+      s"candidate leaked past the predicate: $got")
+    // full probe (nProbe = nCentroids = every cell) ⇒ exact filtered
+    // top-k: replay in the JVM over the filtered candidate set
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.rint(d / (na * nb) * 1e4) / 1e4
+    }
+    val queries = rows.filter(_._1 % 2 == 0)
+    val expected = queries.flatMap { case (qid, qv, _) =>
+      rows.filter(r => r._3 == 0 && r._1 != qid)
+        .map(r => (qid, r._1, cos(qv, r._2)))
+        .sortBy { case (_, cid, c) => (-c, cid) }.take(3)
+    }.toSet
+    assert(got.toSet == expected, s"got=$got expected=$expected")
+    // the lesson post-filtering misses: query 6 (near the b-direction)
+    // still gets 3 admissible neighbors — an unfiltered top-3 around it
+    // is odd-heavy and would leave <3 after filtering
+    assert(got.count(_._1 == 6L) == 3)
+  }
+
+  test("semanticLeakage: known geometry — the duplicate leaks, the " +
+    "orthogonal row doesn't, eval rows never appear") {
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val c = Array(0f, 0f, 1f, 0f)
+    val near = Array(0.95f, 0.31f, 0f, 0f) // cos ~0.95 with a
+    // eval set: id % 10 == 1 → ids 1 (vector a) and 11 (vector c)
+    val df = Seq((1L, a), (2L, a), (3L, b), (10L, near), (11L, c))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticLeakage(df, "vec_id", "embedding",
+        isEval = pmod(col("vec_id"), lit(10)) === 1,
+        threshold = 0.9)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // ids 1 and 11 are eval → absent; 2 dup of a → leaked; 3 orthogonal
+    // → clean; 10 cos .95 → leaked
+    assert(got == Seq((2L, 1L, true), (3L, 0L, false), (10L, 1L, true)))
+  }
+
+  test("nucleusByGroup: minimal head prefix per group, integer keep test, " +
+    "ties broken by key; p=1 keeps everything") {
+    val df = Seq((1L, "g", 5L), (2L, "g", 3L), (3L, "g", 2L),
+      (10L, "h", 4L), (11L, "h", 4L), (12L, "h", 2L)).toDF("id", "grp", "w")
+    def kept(num: Int, den: Int): Set[Long] =
+      Sampling.nucleusByGroup(df, Seq("grp"), "id", "w", num, den)
+        .select("id").as[Long].collect().toSet
+    // g (tot 10, p=1/2): row 1 (w=5) alone reaches the bar — minimal set
+    // h (tot 10, p=1/2): 4+4 needed; id ASC makes the choice deterministic
+    assert(kept(1, 2) == Set(1L, 10L, 11L))
+    assert(kept(1, 1) == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // partition-invariance: same keep set under any input layout
+    assert(Sampling.nucleusByGroup(df.repartition(5), Seq("grp"), "id", "w",
+      1, 2).select("id").as[Long].collect().toSet == Set(1L, 10L, 11L))
+  }
+
+  test("quantileNormalize: percentiles land on (rank-1)/(n-1) per group; " +
+    "singleton groups get 0") {
+    val df = Seq((1L, "s", 10L), (2L, "s", 20L), (3L, "s", 30L),
+      (9L, "t", 7L)).toDF("id", "grp", "w")
+    val got = Sampling.quantileNormalize(df, Seq("grp"), "id", "w")
+      .orderBy("id").select("id", "pct").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.0), (2L, 0.5), (3L, 1.0), (9L, 0.0)))
+  }
+
+  test("groupedSplit: a cluster never straddles the boundary; singletons " +
+    "split at ~1/mod; deterministic under repartition") {
+    // 50 clusters of 4 members + 200 singletons
+    val comp = ((0 until 200).map(c => (1000L + c, 1000L + c)) ++
+      (0 until 50).flatMap(c => (0 until 4).map(m =>
+        (c.toLong * 10 + m, c.toLong * 10)))).toDF("id", "label")
+    val got = Dedup.groupedSplit(comp, mod = 10, rem = 0)
+      .select("id", "label", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.size == 400)
+    // members move together: one split value per label
+    assert(got.groupBy(_._2).values.forall(_.map(_._3).distinct.size == 1))
+    // ~10% of the 250 clusters in val; generous 3x bounds
+    val valClusters = got.filter(_._3 == "val").map(_._2).distinct.size
+    assert(valClusters > 8 && valClusters < 75, s"valClusters=$valClusters")
+    val again = Dedup.groupedSplit(comp.repartition(9), 10, 0)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(again == got.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("bigramNll: hand-computed interpolated chain — seen bigrams score " +
+    "low, unseen back off to the unigram floor") {
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    // c1: a=2 b=2, T=4; c2: (a,b)=2 (b,a)=1
+    val docs = Seq((10L, "a b"), (11L, "b z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNll(ref, docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc 10: -ln p1(a) = -ln .5; then p(b|a) = (2 + .5)/(2+1)
+    val d10 = r4((-math.log(0.5) - math.log(2.5 / 3.0)) / 2)
+    // doc 11: -ln p1(b); z unseen → p(z|b) = (0 + 1/4)/(2+1)
+    val d11 = r4((-math.log(0.5) - math.log(0.25 / 3.0)) / 2)
+    assert(got == Seq((10L, 2L, d10), (11L, 2L, d11)))
+    // word order matters now: "b a" scores differently from "a b"
+    val swapped = TextAnalysis.bigramNll(ref,
+      Seq((20L, "b a")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().head
+    assert(swapped._3 == r4((-math.log(0.5) - math.log(1.5 / 3.0)) / 2))
+  }
+
   test("unigramNll: in-vocab frequency ordering holds and OOV gets the " +
     "1/total floor") {
     val ref = Seq((1L, "a a a b")).toDF("doc_id", "text") // p(a)=3/4 p(b)=1/4

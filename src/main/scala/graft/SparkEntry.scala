@@ -820,6 +820,14 @@ object SparkEntry {
         "doc_id", "n_chars")
       .select("doc_id", "source", "n_chars", "pct")
 
+  /** UniMax epoch-capped budget allocation: 1400 examples over the five
+    * langs at ≤4 epochs each — fr/de hit the epoch cap (256/280), the
+    * rest share the water-filling level λ = 288. Exercises both the
+    * capped prefix and the level branch. */
+  private def qUnimaxAlloc(s: SparkSession, dir: String): DataFrame =
+    Sampling.unimaxAllocation(t(s, dir, "documents"), "lang",
+      budget = 1400L, maxEpochs = 4.0)
+
   /** Reproducible global shuffle into 8 training shards: shard = md5
     * draw mod 8, pos = rank within shard by (draw, doc_id) — randomized
     * write order that reruns and engines reproduce bit-for-bit. */
@@ -1134,6 +1142,7 @@ object SparkEntry {
     "q91_quantile_norm" -> (qQuantileNorm _),
     "q92_bigram_nll" -> (qBigramNll _),
     "q93_grouped_split" -> (qGroupedSplit _),
+    "q94_unimax_alloc" -> (qUnimaxAlloc _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1349,6 +1358,30 @@ object SparkEntry {
     "q45_neardup_dedup" -> OracleGen.componentsSql(n = 2, threshold = 0.8),
     "q93_grouped_split" ->
       OracleGen.groupedSplitSql(n = 2, threshold = 0.8, mod = 10, rem = 0),
+    "q94_unimax_alloc" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+           GROUP BY lang),
+         r AS (SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) * 4.0 AS cap,
+             row_number() OVER (ORDER BY CAST(n_docs AS DOUBLE) * 4.0 ASC,
+               lang ASC) AS rk,
+             sum(CAST(n_docs AS DOUBLE) * 4.0) OVER (
+               ORDER BY CAST(n_docs AS DOUBLE) * 4.0 ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             count(*) OVER () AS s FROM c),
+         f AS (SELECT *, (cap * (s - rk) <= 1400.0 - cum) AS isc FROM r),
+         k AS (SELECT coalesce(max(CASE WHEN isc THEN rk END), 0) AS k,
+             coalesce(max(CASE WHEN isc THEN cum END), 0.0) AS cumk,
+             max(s) AS s FROM f)
+         SELECT lang, n_docs,
+           round(CASE WHEN f.rk <= k.k OR k.k = k.s THEN cap
+                 ELSE least(cap, (1400.0 - k.cumk)
+                       / CAST(k.s - k.k AS DOUBLE)) END, 6) AS alloc,
+           round((CASE WHEN f.rk <= k.k OR k.k = k.s THEN cap
+                 ELSE least(cap, (1400.0 - k.cumk)
+                       / CAST(k.s - k.k AS DOUBLE)) END)
+               / CAST(n_docs AS DOUBLE), 6) AS epochs
+         FROM f, k""",
     "q50_incremental_dedup" ->
       OracleGen.incrementalSql(n = 3, threshold = 0.8, mod = 10),
     "q51_chunk_tokens" ->

@@ -187,6 +187,59 @@ object Sampling {
     weightedByHash(joined, keyCol, col(rcol)).drop(rcol)
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    * split a GLOBAL example budget across sources so that no source
+    * repeats more than `maxEpochs` times, and whatever budget the
+    * epoch-capped (small) sources cannot absorb redistributes EVENLY
+    * across the rest — the water-filling solve of
+    * Σ_s min(maxEpochs·N_s, λ) = budget. The multilingual-training
+    * allocation step: tail languages are bounded by repetition, head
+    * languages share the remaining level λ.
+    *
+    * Closed form over the TINY per-source table (no corpus pass beyond
+    * one combinable count): sort by cap = maxEpochs·N ascending, a
+    * source is capped iff its cap fits under the level implied by
+    * capping every smaller source (`cap·(S−r) ≤ budget − cum`), λ =
+    * (budget − cum_k)/(S − k) for the largest capped rank k. With
+    * integral `maxEpochs` (or any power-of-two fraction) every quantity
+    * up to λ is EXACT double arithmetic, so the oracle replays the
+    * branch decisions bit-for-bit; only the emitted alloc/epochs round
+    * to 6.
+    *
+    * Output: one row per source — (source, n_docs, alloc, epochs).
+    * Pair with [[weightedByHash]] (rate = alloc/N capped at 1) to
+    * materialize the sample, or a repeat-expand for epochs > 1. */
+  def unimaxAllocation(df: DataFrame, sourceCol: String, budget: Long,
+                       maxEpochs: Double): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(maxEpochs > 0, "maxEpochs must be > 0")
+    val W = org.apache.spark.sql.expressions.Window
+    val byCap = W.orderBy(col("__cap").asc, col(sourceCol).asc)
+    val caps = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__cap", col("n_docs").cast("double") * maxEpochs)
+      .withColumn("__r", row_number().over(byCap))
+      .withColumn("__cum", sum(col("__cap")).over(
+        byCap.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("__S", count(lit(1)).over(W.partitionBy()))
+      .withColumn("__isCapped",
+        col("__cap") * (col("__S") - col("__r")) <=
+          lit(budget.toDouble) - col("__cum"))
+    // k = largest capped rank (0 if none); __cum is increasing, so the
+    // max over capped rows IS the cum at k
+    val kRow = caps.agg(
+      coalesce(max(when(col("__isCapped"), col("__r"))), lit(0)).as("__k"),
+      coalesce(max(when(col("__isCapped"), col("__cum"))), lit(0.0))
+        .as("__cumK"))
+    val lam = (lit(budget.toDouble) - col("__cumK")) /
+      (col("__S") - col("__k")).cast("double")
+    val alloc = when(col("__r") <= col("__k") || col("__k") === col("__S"),
+      col("__cap")).otherwise(least(col("__cap"), lam))
+    caps.join(broadcast(kRow), lit(true))
+      .select(col(sourceCol), col("n_docs"),
+        round(alloc, 6).as("alloc"),
+        round(alloc / col("n_docs").cast("double"), 6).as("epochs"))
+  }
+
   /** Nucleus (top-p) keep per group: within each group, keep the
     * smallest prefix of rows — ordered by weight DESC, key ASC — whose
     * cumulative weight reaches fraction `num/den` of the group total

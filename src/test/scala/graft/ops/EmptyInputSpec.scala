@@ -115,6 +115,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.groupedSplit(
       emptyDocs.select(col("doc_id").as("id"), col("doc_id").as("label")),
       mod = 10, rem = 0).count() == 0)
+    assert(Sampling.unimaxAllocation(emptyDocs, "text", budget = 10L,
+      maxEpochs = 2.0).count() == 0)
   }
 
   test("eighth-wave family (gopher rules, semantic dedup, unigram NLL) is " +

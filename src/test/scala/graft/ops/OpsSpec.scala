@@ -1276,6 +1276,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0.0), (2L, 0.5), (3L, 1.0), (9L, 0.0)))
   }
 
+  test("unimaxAllocation: hand-computed water-filling — capped prefix, " +
+    "even level for the rest, and the all-capped / none-capped edges") {
+    // sources of 2/5/10 docs, maxEpochs 4 → caps 8/20/40
+    val df = ((0 until 2).map(i => (i.toLong, "a")) ++
+      (0 until 5).map(i => (100L + i, "b")) ++
+      (0 until 10).map(i => (200L + i, "c"))).toDF("id", "src")
+    def run(b: Long): Map[String, (Long, Double, Double)] =
+      Sampling.unimaxAllocation(df, "src", b, 4.0)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // B=40: a capped at 8 (4 ep); remaining 32 splits evenly → λ=16
+    assert(run(40L) == Map("a" -> ((2L, 8.0, 4.0)), "b" -> ((5L, 16.0, 3.2)),
+      "c" -> ((10L, 16.0, 1.6))))
+    // B=100 ≥ Σcap=68: everyone at the epoch cap
+    assert(run(100L) == Map("a" -> ((2L, 8.0, 4.0)), "b" -> ((5L, 20.0, 4.0)),
+      "c" -> ((10L, 40.0, 4.0))))
+    // B=12: nobody capped, pure even split λ=4
+    assert(run(12L) == Map("a" -> ((2L, 4.0, 2.0)), "b" -> ((5L, 4.0, 0.8)),
+      "c" -> ((10L, 4.0, 0.4))))
+    // the allocation always exhausts exactly min(B, Σcap)
+    assert(run(40L).values.map(_._2).sum == 40.0)
+    assert(run(100L).values.map(_._2).sum == 68.0)
+  }
+
   test("groupedSplit: a cluster never straddles the boundary; singletons " +
     "split at ~1/mod; deterministic under repartition") {
     // 50 clusters of 4 members + 200 singletons

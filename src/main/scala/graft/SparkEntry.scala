@@ -828,6 +828,15 @@ object SparkEntry {
     Sampling.unimaxAllocation(t(s, dir, "documents"), "lang",
       budget = 1400L, maxEpochs = 4.0)
 
+  /** Epoch expansion of the q94 allocation: fr/de docs appear exactly 4
+    * times; en/es/zh get floor(epochs) copies plus a deterministic
+    * fractional draw — the physically-repeated training set, tagged by
+    * copy number. */
+  private def qEpochExpand(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochExpand(t(s, dir, "documents"), "doc_id", "lang",
+        budget = 1400L, maxEpochs = 4.0)
+      .select("doc_id", "lang", "copy")
+
   /** Reproducible global shuffle into 8 training shards: shard = md5
     * draw mod 8, pos = rank within shard by (draw, doc_id) — randomized
     * write order that reruns and engines reproduce bit-for-bit. */
@@ -1143,6 +1152,7 @@ object SparkEntry {
     "q92_bigram_nll" -> (qBigramNll _),
     "q93_grouped_split" -> (qGroupedSplit _),
     "q94_unimax_alloc" -> (qUnimaxAlloc _),
+    "q95_epoch_expand" -> (qEpochExpand _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1382,6 +1392,40 @@ object SparkEntry {
                        / CAST(k.s - k.k AS DOUBLE)) END)
                / CAST(n_docs AS DOUBLE), 6) AS epochs
          FROM f, k""",
+    "q95_epoch_expand" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+           GROUP BY lang),
+         r AS (SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) * 4.0 AS cap,
+             row_number() OVER (ORDER BY CAST(n_docs AS DOUBLE) * 4.0 ASC,
+               lang ASC) AS rk,
+             sum(CAST(n_docs AS DOUBLE) * 4.0) OVER (
+               ORDER BY CAST(n_docs AS DOUBLE) * 4.0 ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             count(*) OVER () AS s FROM c),
+         f AS (SELECT *, (cap * (s - rk) <= 1400.0 - cum) AS isc FROM r),
+         k AS (SELECT coalesce(max(CASE WHEN isc THEN rk END), 0) AS k,
+             coalesce(max(CASE WHEN isc THEN cum END), 0.0) AS cumk,
+             max(s) AS s FROM f),
+         a AS (SELECT lang,
+             (CASE WHEN f.rk <= k.k OR k.k = k.s THEN cap
+              ELSE least(cap, (1400.0 - k.cumk)
+                    / CAST(k.s - k.k AS DOUBLE)) END)
+               / CAST(n_docs AS DOUBLE) AS ep
+           FROM f, k),
+         d AS (SELECT doc_id, documents.lang,
+             CAST(floor(ep) AS BIGINT) AS nf,
+             CAST(round((ep - floor(ep)) * 1000000.0) AS BIGINT) AS fm,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS v
+           FROM documents JOIN a USING (lang)),
+         e AS (SELECT doc_id, lang,
+             nf + CASE WHEN v * 1000000 < fm * 4294967296
+                  THEN 1 ELSE 0 END AS copies
+           FROM d)
+         SELECT doc_id, lang, u.c AS copy
+         FROM e, UNNEST(generate_series(1, copies)) AS u(c)
+         WHERE copies >= 1""",
     "q50_incremental_dedup" ->
       OracleGen.incrementalSql(n = 3, threshold = 0.8, mod = 10),
     "q51_chunk_tokens" ->

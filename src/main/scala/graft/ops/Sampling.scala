@@ -209,8 +209,13 @@ object Sampling {
     * Output: one row per source — (source, n_docs, alloc, epochs).
     * Pair with [[weightedByHash]] (rate = alloc/N capped at 1) to
     * materialize the sample, or a repeat-expand for epochs > 1. */
-  def unimaxAllocation(df: DataFrame, sourceCol: String, budget: Long,
-                       maxEpochs: Double): DataFrame = {
+  /** The water-filling solve shared by [[unimaxAllocation]] and
+    * [[epochExpand]]: per-source rows with an UNROUNDED `__alloc`
+    * column (exact doubles — both consumers round only at their own
+    * emission point, so the expansion's fractional draws see the same
+    * bits the oracle recomputes). */
+  private def unimaxRaw(df: DataFrame, sourceCol: String, budget: Long,
+                        maxEpochs: Double): DataFrame = {
     require(budget >= 0, "budget must be >= 0")
     require(maxEpochs > 0, "maxEpochs must be > 0")
     val W = org.apache.spark.sql.expressions.Window
@@ -232,12 +237,48 @@ object Sampling {
         .as("__cumK"))
     val lam = (lit(budget.toDouble) - col("__cumK")) /
       (col("__S") - col("__k")).cast("double")
-    val alloc = when(col("__r") <= col("__k") || col("__k") === col("__S"),
-      col("__cap")).otherwise(least(col("__cap"), lam))
     caps.join(broadcast(kRow), lit(true))
+      .withColumn("__alloc",
+        when(col("__r") <= col("__k") || col("__k") === col("__S"),
+          col("__cap")).otherwise(least(col("__cap"), lam)))
+  }
+
+  def unimaxAllocation(df: DataFrame, sourceCol: String, budget: Long,
+                       maxEpochs: Double): DataFrame =
+    unimaxRaw(df, sourceCol, budget, maxEpochs)
       .select(col(sourceCol), col("n_docs"),
-        round(alloc, 6).as("alloc"),
-        round(alloc / col("n_docs").cast("double"), 6).as("epochs"))
+        round(col("__alloc"), 6).as("alloc"),
+        round(col("__alloc") / col("n_docs").cast("double"), 6).as("epochs"))
+
+  /** Materialize a [[unimaxAllocation]]: each row repeats
+    * floor(epochs) times plus one more when its own md5 draw falls
+    * under the fractional epoch — so each source's realized example
+    * count lands on its allocation in expectation, per-row decisions
+    * are a pure function of the data (the [[weightedByHash]]
+    * integerized draw), and every copy is tagged 1..n so downstream
+    * shuffles ([[shuffleShards]]) can separate them.
+    *
+    * Scale shape: the allocation is a broadcast of the |sources|-row
+    * solve; expansion is a map-side `explode(sequence(...))` — rows out
+    * ≈ budget, no shuffle at all. */
+  def epochExpand(df: DataFrame, keyCol: String, sourceCol: String,
+                  budget: Long, maxEpochs: Double): DataFrame = {
+    val eps = unimaxRaw(df, sourceCol, budget, maxEpochs)
+      .select(col(sourceCol),
+        (col("__alloc") / col("n_docs").cast("double")).as("__ep"))
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val nFull = floor(col("__ep")).cast("long")
+    val fracMicros = round((col("__ep") - floor(col("__ep"))) * 1000000.0)
+      .cast("long")
+    val copies = (nFull +
+      when(v * lit(1000000L) < fracMicros * lit(4294967296L), 1L)
+        .otherwise(0L)).as("__copies")
+    df.join(broadcast(eps), Seq(sourceCol))
+      .withColumn("__copies", copies)
+      .filter(col("__copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__ep", "__copies")
   }
 
   /** Nucleus (top-p) keep per group: within each group, keep the

@@ -117,6 +117,8 @@ class EmptyInputSpec extends AnyFunSuite {
       mod = 10, rem = 0).count() == 0)
     assert(Sampling.unimaxAllocation(emptyDocs, "text", budget = 10L,
       maxEpochs = 2.0).count() == 0)
+    assert(Sampling.epochExpand(emptyDocs, "doc_id", "text", budget = 10L,
+      maxEpochs = 2.0).count() == 0)
   }
 
   test("eighth-wave family (gopher rules, semantic dedup, unigram NLL) is " +

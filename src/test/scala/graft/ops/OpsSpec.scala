@@ -1300,6 +1300,34 @@ class OpsSpec extends AnyFunSuite {
     assert(run(100L).values.map(_._2).sum == 68.0)
   }
 
+  test("epochExpand: integer epochs repeat exactly, fractional epochs " +
+    "draw per row, copies densely numbered, partition-invariant") {
+    val df = ((0 until 2).map(i => (i.toLong, "a")) ++
+      (0 until 5).map(i => (100L + i, "b")) ++
+      (0 until 10).map(i => (200L + i, "c"))).toDF("id", "src")
+    // B=40, E=4 → epochs: a=4.0 exact, b=3.2, c=1.6
+    val got = Sampling.epochExpand(df, "id", "src", 40L, 4.0)
+      .select("id", "src", "copy").as[(Long, String, Long)].collect().toSeq
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    // a: exactly 4 copies, numbered 1..4
+    for (i <- 0L until 2L) assert(perDoc(i) == Seq(1L, 2L, 3L, 4L))
+    // b: 3 or 4 copies; c: 1 or 2 — dense from 1 either way
+    for (i <- 100L until 105L) {
+      assert(perDoc(i).size == 3 || perDoc(i).size == 4, s"doc $i")
+      assert(perDoc(i) == (1L to perDoc(i).size).toSeq)
+    }
+    for (i <- 200L until 210L)
+      assert(perDoc(i).size == 1 || perDoc(i).size == 2, s"doc $i")
+    // realized counts near the allocation (a exactly 8; b in [15,20]; c in [10,20])
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("a") == 8)
+    assert(bySrc("b") >= 15 && bySrc("b") <= 20)
+    assert(bySrc("c") >= 10 && bySrc("c") <= 20)
+    val again = Sampling.epochExpand(df.repartition(7), "id", "src", 40L, 4.0)
+      .select("id", "copy").as[(Long, Long)].collect().toSeq.sorted
+    assert(again == got.map(r => (r._1, r._3)).sorted)
+  }
+
   test("groupedSplit: a cluster never straddles the boundary; singletons " +
     "split at ~1/mod; deterministic under repartition") {
     // 50 clusters of 4 members + 200 singletons

@@ -237,6 +237,14 @@ object SparkEntry {
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     Events.sessionize(Events.load(s, dir), gapSeconds = 1800)
 
+  /** Day-over-day PSI drift of the event value stream (bin width 50):
+    * q76's monitor walking the time axis — one smoothed-PSI row per day
+    * vs its predecessor, micro-unit integer summation so the per-day sum
+    * is engine-exact. */
+  private def qWindowedDrift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.windowedDrift(Events.load(s, dir), "ts", "value",
+      binWidth = 50.0)
+
   /** Exact dedup by bag-of-words content fingerprint. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
@@ -1153,6 +1161,7 @@ object SparkEntry {
     "q93_grouped_split" -> (qGroupedSplit _),
     "q94_unimax_alloc" -> (qUnimaxAlloc _),
     "q95_epoch_expand" -> (qEpochExpand _),
+    "q96_windowed_drift" -> (qWindowedDrift _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1426,6 +1435,29 @@ object SparkEntry {
          SELECT doc_id, lang, u.c AS copy
          FROM e, UNNEST(generate_series(1, copies)) AS u(c)
          WHERE copies >= 1""",
+    "q96_windowed_drift" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS cnt
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         p AS (SELECT day + 1 AS day, bin, cnt AS cnt_a FROM h),
+         c AS (SELECT day, bin, cnt AS cnt_b FROM h),
+         j AS (SELECT coalesce(p.day, c.day) AS day,
+             coalesce(p.bin, c.bin) AS bin,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+           FROM p FULL OUTER JOIN c ON p.day = c.day AND p.bin = c.bin),
+         t AS (SELECT day, sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b,
+             count(*) AS n_bins
+           FROM j GROUP BY day
+           HAVING sum(cnt_a) > 0 AND sum(cnt_b) > 0)
+         SELECT j.day, n_bins,
+           CAST(sum(CAST(round(
+               ((cnt_b + 0.5) / (tot_b + n_bins * 0.5)
+                 - (cnt_a + 0.5) / (tot_a + n_bins * 0.5))
+               * ln(((cnt_b + 0.5) / (tot_b + n_bins * 0.5))
+                   / ((cnt_a + 0.5) / (tot_a + n_bins * 0.5)))
+               * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS psi
+         FROM j JOIN t USING (day)
+         GROUP BY j.day, n_bins""",
     "q50_incremental_dedup" ->
       OracleGen.incrementalSql(n = 3, threshold = 0.8, mod = 10),
     "q51_chunk_tokens" ->

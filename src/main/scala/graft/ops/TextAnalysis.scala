@@ -433,6 +433,56 @@ object TextAnalysis {
           6).as("psi_contrib"))
   }
 
+  /** Day-over-day drift monitor: [[histogramDrift]]'s smoothed PSI
+    * computed for every consecutive-day pair of an event stream — the
+    * rolling health check an ingest pipeline alarms on (q76 compares two
+    * fixed corpora; this walks the time axis). One row per day that has
+    * a previous day: (day, n_bins, psi) where psi sums the smoothed
+    * contributions of yesterday→today.
+    *
+    * Determinism: per-bin contributions round to micro-units and SUM AS
+    * LONGS — a float sum of ~n_bins doubles is partial-order-sensitive
+    * at the last ulp, and a final round can land on a boundary; the
+    * integer sum cannot. psi = that exact long / 1e6 (one correctly-
+    * rounded division, identical in any engine).
+    *
+    * Scale shape: ONE histogram aggregation over the stream (map-side
+    * combined, one row per (day, bin) out), consumed twice via a lazy
+    * localCheckpoint — as itself and shifted one day forward — in a
+    * (day, bin) full-outer self-join; per-day totals are a tiny
+    * broadcast. Nothing after the histogram touches row-level data. */
+  def windowedDrift(df: DataFrame, tsCol: String, valueCol: String,
+                    binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val h = df.filter(col(valueCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"),
+        floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"))
+      .groupBy("day", "bin").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val prev = h.select(date_add(col("day"), 1).as("day"), col("bin"),
+      col("cnt").as("cnt_a"))
+    val cur = h.select(col("day"), col("bin"), col("cnt").as("cnt_b"))
+    val joined = prev.join(cur, Seq("day", "bin"), "full_outer")
+      .select(col("day"), col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    // a day enters the monitor only when BOTH itself and its
+    // predecessor contributed rows (tot == 0 ⇒ one side is absent)
+    val totals = joined.groupBy(col("day")).agg(
+        sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"),
+        count(lit(1)).as("n_bins"))
+      .filter(col("tot_a") > 0 && col("tot_b") > 0)
+    val pa = (col("cnt_a") + 0.5) / (col("tot_a") + col("n_bins") * 0.5)
+    val pb = (col("cnt_b") + 0.5) / (col("tot_b") + col("n_bins") * 0.5)
+    joined.join(broadcast(totals), Seq("day"))
+      .select(col("day"), col("n_bins"),
+        round((pb - pa) * log(pb / pa) * 1000000.0).cast("long")
+          .as("__cm"))
+      .groupBy(col("day"), col("n_bins"))
+      .agg((sum(col("__cm")).cast("double") / 1000000.0).as("psi"))
+      .select(col("day"), col("n_bins"), col("psi"))
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Scrub patterns. Deliberately restricted to syntax that Java regex and

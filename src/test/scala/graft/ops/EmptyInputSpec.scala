@@ -119,6 +119,10 @@ class EmptyInputSpec extends AnyFunSuite {
       maxEpochs = 2.0).count() == 0)
     assert(Sampling.epochExpand(emptyDocs, "doc_id", "text", budget = 10L,
       maxEpochs = 2.0).count() == 0)
+    assert(TextAnalysis.windowedDrift(
+      emptyDocs.select(col("doc_id").cast("timestamp").as("ts"),
+        col("doc_id").cast("double").as("value")),
+      "ts", "value", binWidth = 10.0).count() == 0)
   }
 
   test("eighth-wave family (gopher rules, semantic dedup, unigram NLL) is " +

@@ -1276,6 +1276,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0.0), (2L, 0.5), (3L, 1.0), (9L, 0.0)))
   }
 
+  test("windowedDrift: identical consecutive days score 0, a shifted day " +
+    "alarms, days without a predecessor are excluded") {
+    def day(d: String, vals: Seq[Double]) =
+      vals.map(v => (s"2024-01-$d 12:00:00", v))
+    val rows = day("01", Seq.fill(10)(10.0) ++ Seq.fill(10)(60.0)) ++
+      day("02", Seq.fill(10)(10.0) ++ Seq.fill(10)(60.0)) ++   // same dist
+      day("03", Seq.fill(20)(110.0)) ++                        // shifted
+      day("05", Seq.fill(20)(10.0))                            // gap before
+    val df = rows.toDF("s", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("value"))
+    val got = TextAnalysis.windowedDrift(df, "ts", "value", binWidth = 50.0)
+      .orderBy("day").as[(java.sql.Date, Long, Double)].collect().toSeq
+    // only days 02 and 03 have a predecessor (05's is the missing 04)
+    assert(got.map(_._1.toString) == Seq("2024-01-02", "2024-01-03"))
+    assert(got(0)._3 == 0.0, s"identical days must score 0: $got")
+    assert(got(1)._3 > 0.25, s"shifted day must alarm: $got")
+  }
+
   test("unimaxAllocation: hand-computed water-filling — capped prefix, " +
     "even level for the rest, and the all-capped / none-capped edges") {
     // sources of 2/5/10 docs, maxEpochs 4 → caps 8/20/40

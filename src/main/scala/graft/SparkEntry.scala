@@ -245,6 +245,14 @@ object SparkEntry {
     TextAnalysis.windowedDrift(Events.load(s, dir), "ts", "value",
       binWidth = 50.0)
 
+  /** Signed feature hashing of documents into 256 buckets — the
+    * vocab-free fixed-width vectorization for linear quality
+    * classifiers; sparse (doc, bucket, w) rows, zero-sum collisions
+    * dropped. */
+  private def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.featureHash(t(s, dir, "documents"), "doc_id", "text",
+      dim = 256)
+
   /** Exact dedup by bag-of-words content fingerprint. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
@@ -1162,6 +1170,7 @@ object SparkEntry {
     "q94_unimax_alloc" -> (qUnimaxAlloc _),
     "q95_epoch_expand" -> (qEpochExpand _),
     "q96_windowed_drift" -> (qWindowedDrift _),
+    "q97_feature_hash" -> (qFeatureHash _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1458,6 +1467,19 @@ object SparkEntry {
                * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS psi
          FROM j JOIN t USING (day)
          GROUP BY j.day, n_bins""",
+    "q97_feature_hash" ->
+      """WITH toks AS (SELECT doc_id, u.tok
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)),
+         s AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 256
+               AS bucket,
+             CASE WHEN CAST(('0x' || substring(md5(tok), 9, 1)) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+           FROM toks)
+         SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w
+         FROM s GROUP BY doc_id, bucket
+         HAVING sum(sgn) <> 0""",
     "q50_incremental_dedup" ->
       OracleGen.incrementalSql(n = 3, threshold = 0.8, mod = 10),
     "q51_chunk_tokens" ->

@@ -483,6 +483,35 @@ object TextAnalysis {
       .select(col("day"), col("n_bins"), col("psi"))
   }
 
+  /** Signed feature hashing (the hashing trick, Weinberger et al. 2009):
+    * each token lands in bucket md5(token) mod `dim` with a ± sign drawn
+    * from an independent hash bit, and a document's feature value per
+    * bucket is the signed token count — the unbiased fixed-width
+    * vectorization step for linear quality classifiers over unbounded
+    * vocabularies (no vocab table to build, ship, or version). Output is
+    * SPARSE: one row per (doc, bucket) with nonzero weight; zero-sum
+    * collisions drop (their feature value IS zero).
+    *
+    * Both hashes are md5 substrings (bucket = first 8 hex digits, sign =
+    * the 9th), so any engine replays them exactly — same portability
+    * argument as [[Sampling.bernoulliByHash]].
+    *
+    * Scale shape: explode is narrow; ONE map-side-combinable aggregation
+    * on (doc, bucket) — the same cost class as token counting. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    require(dim > 0, "dim must be > 0")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val bucket = pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long"), lit(dim.toLong))
+    val sign = when(pmod(conv(substring(md5(col("tok")), 9, 1), 16, 10)
+      .cast("long"), lit(2L)) === 0L, 1L).otherwise(-1L)
+    toks.select(col(idCol), bucket.as("bucket"), sign.as("__s"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__s")).as("w"))
+      .filter(col("w") =!= 0L)
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Scrub patterns. Deliberately restricted to syntax that Java regex and

@@ -123,6 +123,8 @@ class EmptyInputSpec extends AnyFunSuite {
       emptyDocs.select(col("doc_id").cast("timestamp").as("ts"),
         col("doc_id").cast("double").as("value")),
       "ts", "value", binWidth = 10.0).count() == 0)
+    assert(TextAnalysis.featureHash(emptyDocs, "doc_id", "text", dim = 8)
+      .count() == 0)
   }
 
   test("eighth-wave family (gopher rules, semantic dedup, unigram NLL) is " +

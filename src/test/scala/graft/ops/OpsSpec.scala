@@ -1276,6 +1276,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0.0), (2L, 0.5), (3L, 1.0), (9L, 0.0)))
   }
 
+  test("featureHash == exact JVM replay of the bucket and sign hashes; " +
+    "repeated tokens accumulate; zero-weight rows drop") {
+    val docs = Seq((1L, "a a b"), (2L, "c d e f")).toDF("doc_id", "text")
+    val got = TextAnalysis.featureHash(docs, "doc_id", "text", dim = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(t: String) = java.lang.Long.parseLong(md5hex(t).take(8), 16) % 16
+    def sign(t: String) =
+      if (java.lang.Long.parseLong(md5hex(t).substring(8, 9), 16) % 2 == 0) 1L
+      else -1L
+    val expected = Seq(1L -> "a", 1L -> "a", 1L -> "b",
+        2L -> "c", 2L -> "d", 2L -> "e", 2L -> "f")
+      .groupBy { case (d, t) => (d, bucket(t)) }
+      .map { case ((d, b), ts) => (d, b, ts.map(x => sign(x._2)).sum) }
+      .filter(_._3 != 0L).toSet
+    assert(got == expected)
+    // the repeated token carries weight ±2 in its bucket
+    assert(got.exists { case (d, b, w) =>
+      d == 1L && b == bucket("a") && math.abs(w) == 2 })
+  }
+
   test("windowedDrift: identical consecutive days score 0, a shifted day " +
     "alarms, days without a predecessor are excluded") {
     def day(d: String, vals: Seq[Double]) =

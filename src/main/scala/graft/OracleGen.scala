@@ -355,6 +355,42 @@ object OracleGen {
             ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
        WHERE rn <= $k"""
 
+  /** Oracle for `Similarity.rrfFuse` over the brute-force + LSH runs
+    * (q98): both runs re-ranked by (cos DESC, cand ASC), fused by
+    * Σ 1/(c + rank), top-fuseK per query. The LSH run restricts to the
+    * brute-force query stride so both runs cover the same query set. */
+  def rrfFusionSql(nBits: Int, dim: Int, runK: Int, fuseK: Int,
+                   stride: Long, c: Int): String =
+    s"""WITH bf AS (SELECT query_id, cand_id, cos FROM (
+         WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+           q AS (SELECT id AS query_id, v AS qv FROM e
+             WHERE id % $stride = 0),
+           p AS (SELECT query_id, e.id AS cand_id,
+               ${cosSql("q.qv", "e.v")} AS cos
+             FROM e, q WHERE e.id <> query_id)
+           SELECT query_id, cand_id, cos FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+           WHERE rn <= $runK)),
+       lsh AS (SELECT query_id, cand_id, cos
+         FROM (${annLshSql(nBits, dim, runK)})
+         WHERE query_id % $stride = 0),
+       r1 AS (SELECT query_id, cand_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
+         FROM bf),
+       r2 AS (SELECT query_id, cand_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
+         FROM lsh),
+       u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+       s AS (SELECT query_id, cand_id,
+           round(sum(1.0 / (rnk + $c)), 6) AS rrf
+         FROM u GROUP BY 1, 2)
+       SELECT query_id, cand_id, rrf FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, cand_id ASC) AS rn FROM s)
+       WHERE rn <= $fuseK"""
+
   /** Oracle for `Similarity.lshTopK(probeBits = p)` (q66): the query side
     * also probes each chunk key with one of its low `probeBits` bits
     * flipped; the corpus bucket side is unchanged. */

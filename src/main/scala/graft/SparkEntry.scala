@@ -245,6 +245,21 @@ object SparkEntry {
     TextAnalysis.windowedDrift(Events.load(s, dir), "ts", "value",
       binWidth = 50.0)
 
+  /** Hybrid retrieval by reciprocal-rank fusion: the exact brute-force
+    * cosine run and the LSH run (same stride-100 query set, k=10 each)
+    * merged by Σ 1/(60+rank), top-5 fused per query — rank-only
+    * combination, no cross-run score calibration. */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      k = 10, stride = 100)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+        k = 10, nBits = 16, dim = 64)
+      .filter(col("query_id") % 100 === 0)
+    Similarity.rrfFuse(Seq(bf, lsh), "query_id", "cand_id",
+      Seq(col("cos").desc, col("cand_id").asc), k = 5)
+  }
+
   /** Signed feature hashing of documents into 256 buckets — the
     * vocab-free fixed-width vectorization for linear quality
     * classifiers; sparse (doc, bucket, w) rows, zero-sum collisions
@@ -1171,6 +1186,7 @@ object SparkEntry {
     "q95_epoch_expand" -> (qEpochExpand _),
     "q96_windowed_drift" -> (qWindowedDrift _),
     "q97_feature_hash" -> (qFeatureHash _),
+    "q98_rrf_fusion" -> (qRrfFusion _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1480,6 +1496,9 @@ object SparkEntry {
          SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w
          FROM s GROUP BY doc_id, bucket
          HAVING sum(sgn) <> 0""",
+    "q98_rrf_fusion" ->
+      OracleGen.rrfFusionSql(nBits = 16, dim = 64, runK = 10, fuseK = 5,
+        stride = 100, c = 60),
     "q50_incremental_dedup" ->
       OracleGen.incrementalSql(n = 3, threshold = 0.8, mod = 10),
     "q51_chunk_tokens" ->

@@ -206,6 +206,41 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine N retriever
+    * runs over the same query set by summing 1/(c + rank) per candidate
+    * — the standard hybrid-retrieval merge (e.g. exact-cosine + LSH, or
+    * dense + BM25): a candidate that ranks decently in SEVERAL runs
+    * beats one that tops a single run, and no score calibration between
+    * runs is needed because only ranks enter.
+    *
+    * Each run is re-ranked internally by `rankOrder` (a deterministic
+    * total order — include a key tie-break), so callers pass raw scored
+    * runs, not pre-ranked ones. The fused score rounds to 6; summation
+    * order across runs cannot perturb it (IEEE addition is commutative,
+    * and each (query, cand) sums at most one term per run).
+    *
+    * Scale shape: per-run ranking rides one shuffle on the query column
+    * (WindowGroupLimit-free but runs are already top-k-sized); the
+    * fusion is ONE combinable aggregation over the unioned runs; the
+    * final top-k is a per-query window over ≤ N·k rows per query. */
+  def rrfFuse(runs: Seq[DataFrame], queryCol: String, candCol: String,
+              rankOrder: Seq[Column], k: Int, c: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "need at least one run")
+    require(k >= 1 && c >= 0, "need k >= 1 and c >= 0")
+    val ranked = runs.map { r =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(queryCol)).orderBy(rankOrder: _*)
+      r.withColumn("__rank", row_number().over(w))
+        .select(col(queryCol), col(candCol), col("__rank"))
+    }
+    val fused = ranked.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(candCol))
+      .agg(round(sum(lit(1.0) / (col("__rank") + lit(c.toLong))), 6)
+        .as("rrf"))
+    Windows.topKPerGroup(fused, Seq(col(queryCol)),
+      Seq(col("rrf").desc, col(candCol).asc), k)
+  }
+
   /** Distributed spherical k-means (Lloyd) coarse quantizer for IVF:
     * seeds with the first `nCentroids` vectors by id, then `iters` rounds
     * of assign-to-nearest (by cosine, over the broadcast centroids) and

@@ -1276,6 +1276,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0.0), (2L, 0.5), (3L, 1.0), (9L, 0.0)))
   }
 
+  test("rrfFuse: hand-computed fusion — consensus beats single-run tops, " +
+    "ties break on candidate id, runs need no score calibration") {
+    // run1 ranks: 1,2,3 ; run2 (different score scale!) ranks: 2,1,4
+    val run1 = Seq((10L, 1L, 0.9), (10L, 2L, 0.8), (10L, 3L, 0.7))
+      .toDF("q", "cand", "cos")
+    val run2 = Seq((10L, 2L, 95.0), (10L, 1L, 85.0), (10L, 4L, 60.0))
+      .toDF("q", "cand", "cos")
+    val got = Similarity.rrfFuse(Seq(run1, run2), "q", "cand",
+        Seq(col("cos").desc, col("cand").asc), k = 3, c = 0)
+      .select("q", "cand", "rrf").as[(Long, Long, Double)].collect().toSeq
+      .sortBy(r => (-r._3, r._2))
+    // cand 1: 1/1 + 1/2 = 1.5 ; cand 2: 1/2 + 1/1 = 1.5 (tie → id asc);
+    // cand 3 and 4: 1/3 each — k=3 keeps cand 3 by the id tie-break
+    assert(got == Seq((10L, 1L, 1.5), (10L, 2L, 1.5), (10L, 3L, 0.333333)))
+  }
+
   test("featureHash == exact JVM replay of the bucket and sign hashes; " +
     "repeated tokens accumulate; zero-weight rows drop") {
     val docs = Seq((1L, "a a b"), (2L, "c d e f")).toDF("doc_id", "text")

@@ -268,6 +268,13 @@ object SparkEntry {
     TextAnalysis.featureHash(t(s, dir, "documents"), "doc_id", "text",
       dim = 256)
 
+  /** Session assembly: each 30-min-gap session as its ordered
+    * event-type sequence — logs → training conversations; order imposed
+    * by array_sort over (ts, event_id) structs, never collect_list
+    * order. */
+  private def qSessionAssembly(s: SparkSession, dir: String): DataFrame =
+    Events.sessionAssemble(Events.load(s, dir), gapSeconds = 1800)
+
   /** Exact dedup by bag-of-words content fingerprint. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
@@ -1187,6 +1194,7 @@ object SparkEntry {
     "q96_windowed_drift" -> (qWindowedDrift _),
     "q97_feature_hash" -> (qFeatureHash _),
     "q98_rrf_fusion" -> (qRrfFusion _),
+    "q99_session_assembly" -> (qSessionAssembly _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1499,6 +1507,22 @@ object SparkEntry {
     "q98_rrf_fusion" ->
       OracleGen.rrfFusionSql(nBits = 16, dim = 64, runK = 10, fuseK = 5,
         stride = 100, c = 60),
+    "q99_session_assembly" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         e AS (SELECT user_id, event_id, event_type, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_id, event_type, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM e)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start, count(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS event_seq
+         FROM s GROUP BY user_id, session_seq""",
     "q50_incremental_dedup" ->
       OracleGen.incrementalSql(n = 3, threshold = 0.8, mod = 10),
     "q51_chunk_tokens" ->

@@ -55,22 +55,47 @@ object Events {
     * user inactivity. Batch analogue of `mapGroupsWithState` session
     * windows; one shuffle on user_id, then two window passes in the same
     * stage (same partitioning, no second exchange). */
-  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame =
+    withSessionSeq(events, gapSeconds)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).cast(TimestampNTZType).as("session_start"),
+        count(lit(1)).as("n_events"),
+        centSum(col("value")).as("sum_value"))
+
+  /** The gap-session assignment shared by [[sessionize]] and
+    * [[sessionAssemble]]: lag + cumulative-sum over one user_id shuffle;
+    * both window passes ride the same partitioning (no second
+    * exchange). */
+  private def withSessionSeq(events: DataFrame, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val prevTs = lag(col("ts"), 1).over(byUser)
     val newSession = when(prevTs.isNull ||
       unix_micros(col("ts")) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L
     ).otherwise(0L)
-    events
-      .withColumn("session_seq", sum(newSession).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events.withColumn("session_seq", sum(newSession).over(
+      byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Session ASSEMBLY: each session rebuilt as its ordered event-type
+    * sequence — the "turn logs into training conversations" step of an
+    * interaction-data pipeline ([[sessionize]] reports aggregates; this
+    * keeps the order-sensitive content). The sequence string is built
+    * from `array_sort(collect_list(struct(ts, event_id, …)))`:
+    * `collect_list` order under a shuffle is nondeterministic, the
+    * struct sort imposes the (ts, event_id) total order AFTER collection
+    * — the only safe pattern for ordered aggregation in a distributed
+    * groupBy. */
+  def sessionAssemble(events: DataFrame, gapSeconds: Long): DataFrame =
+    withSessionSeq(events, gapSeconds)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         min(col("ts")).cast(TimestampNTZType).as("session_start"),
         count(lit(1)).as("n_events"),
-        centSum(col("value")).as("sum_value"))
-  }
+        concat_ws(">", transform(array_sort(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("event_seq"))
 
   /** Order-independent money sum: per-row round to integer cents (exact —
     * the inputs are 2-decimal amounts), sum as long, divide once. A double

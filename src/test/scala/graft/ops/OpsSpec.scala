@@ -531,6 +531,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 2L), (2L, 2L))))
   }
 
+  test("sessionAssemble: ordered event-type sequences per gap session — " +
+    "order imposed by the struct sort, not collection order") {
+    val ts = Seq(60L -> "b", 0L -> "a", 4000L -> "c") // input out of order
+    val df = ts.zipWithIndex.map { case ((s, et), i) =>
+      (1L, i.toLong, new java.sql.Timestamp(1700000000000L + s * 1000), et)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.sessionAssemble(df.repartition(3), gapSeconds = 1800)
+      .orderBy("session_seq")
+      .select("session_seq", "n_events", "event_seq")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, "a>b"), (2L, 1L, "c")))
+  }
+
   test("multimodal resize: image payloads stride-downsampled, meta recomputed") {
     val docs = Seq((3L, "abcdefghij", "s", "en", 10L), (4L, "abcdefghij", "s", "en", 10L))
       .toDF("doc_id", "text", "source", "lang", "n_chars")

@@ -343,17 +343,22 @@ object OracleGen {
   }
 
   /** Oracle for `Similarity.lshTopK` (q30): same-bucket pairs, exact
-    * cosine, top-k per query. */
-  def annLshSql(nBits: Int, dim: Int, k: Int): String =
+    * cosine, top-k per query. `queryStride > 0` restricts the query side
+    * BEFORE scoring, mirroring lshCandidatePairs' queryStride (per-query
+    * results identical to post-filtering; the q98 fusion oracle uses it
+    * so both engines carry the same restricted plan). */
+  def annLshSql(nBits: Int, dim: Int, k: Int, queryStride: Long = 0): String = {
+    val qFilter = if (queryStride > 0) s" AND a.id % $queryStride = 0" else ""
     s"""${bucketCtes(nBits, dim, nBits / 8)},
        p AS (SELECT DISTINCT a.id AS query_id, c.id AS cand_id,
            ${cosSql("a.v", "c.v")} AS cos
          FROM b a JOIN b c
-           ON a.chunk = c.chunk AND a.key = c.key AND a.id <> c.id)
+           ON a.chunk = c.chunk AND a.key = c.key AND a.id <> c.id$qFilter)
        SELECT query_id, cand_id, cos FROM
          (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
        WHERE rn <= $k"""
+  }
 
   /** Oracle for `Similarity.rrfFuse` over the brute-force + LSH runs
     * (q98): both runs re-ranked by (cos DESC, cand ASC), fused by
@@ -374,8 +379,7 @@ object OracleGen {
                 ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
            WHERE rn <= $runK)),
        lsh AS (SELECT query_id, cand_id, cos
-         FROM (${annLshSql(nBits, dim, runK)})
-         WHERE query_id % $stride = 0),
+         FROM (${annLshSql(nBits, dim, runK, queryStride = stride)})),
        r1 AS (SELECT query_id, cand_id, row_number() OVER (
            PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
          FROM bf),
@@ -526,15 +530,18 @@ object OracleGen {
 
   /** Oracle for `Dedup.semanticLeakage` (q89): eval set = id % mod = rem,
     * per-train-row count of eval vectors within round-4 cosine
-    * `threshold`. */
+    * `threshold`. The eval side joins LEFT-outer (ON true), mirroring the
+    * Spark side's empty-eval contract: zero eval rows still yields one
+    * (id, 0, false) row per non-eval vector. */
   def semanticLeakageSql(mod: Long, rem: Long, threshold: Double): String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
          FROM embeddings),
        ev AS (SELECT id AS eval_id, v AS ev FROM e WHERE id % $mod = $rem),
        h AS (SELECT e.id,
-           CASE WHEN ${cosSql("e.v", "ev.ev")} >= $threshold
+           CASE WHEN ev.eval_id IS NOT NULL
+                  AND ${cosSql("e.v", "ev.ev")} >= $threshold
                 THEN 1 ELSE 0 END AS hit
-         FROM e, ev WHERE e.id % $mod <> $rem)
+         FROM e LEFT JOIN ev ON true WHERE e.id % $mod <> $rem)
        SELECT id AS vec_id, CAST(sum(hit) AS BIGINT) AS n_eval_hits,
          (sum(hit) > 0) AS leaked
        FROM h GROUP BY id"""

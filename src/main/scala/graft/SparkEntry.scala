@@ -253,9 +253,11 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       k = 10, stride = 100)
+    // queryStride restricts the LSH run's QUERY side before candidate
+    // scoring — identical per-query results, ~100× less candidate work
+    // than scoring every vector and post-filtering
     val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
-        k = 10, nBits = 16, dim = 64)
-      .filter(col("query_id") % 100 === 0)
+      k = 10, nBits = 16, dim = 64, queryStride = 100)
     Similarity.rrfFuse(Seq(bf, lsh), "query_id", "cand_id",
       Seq(col("cos").desc, col("cand_id").asc), k = 5)
   }

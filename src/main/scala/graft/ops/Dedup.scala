@@ -1026,8 +1026,10 @@ object Dedup {
     // family, or a degenerate centroid) turns the sweep quadratic no
     // matter how many cells exist. The cap sub-splits any cell over the
     // bound into ceil(n/cap) deterministic hash shards (xxhash64 of id —
-    // a pure function of the data, so the result stays engine- and
-    // partitioning-reproducible) and pairs only within a shard: cost
+    // a pure function of the data, so the result stays partitioning- and
+    // rerun-reproducible; xxhash64 is Spark-specific, so unlike the md5
+    // draws this shard split is NOT oracle-replayable and no oracle
+    // query engages the cap) and pairs only within a shard: cost
     // drops to ~n·cap per oversized cell (linear in n). Recall trade
     // (explicit, two regimes over s = ceil(n/cap) shards): a duplicate
     // family of size f ≥ s collapses to ~1 representative per shard
@@ -1093,9 +1095,12 @@ object Dedup {
     * this catches them — the benchmark-decontamination step of a modern
     * training pipeline run in embedding space.
     *
-    * Output: one row per NON-eval vector — (id, n_eval_hits, leaked).
-    * Deterministic: hit counting is exact integer work over round-4
-    * cosines, so the oracle replays it verbatim.
+    * Output: one row per NON-eval vector — (id, n_eval_hits, leaked) —
+    * INCLUDING when the eval predicate matches zero rows (the eval side
+    * joins LEFT-outer, so an empty eval set yields every non-eval row
+    * with n_eval_hits = 0, not an empty result). Deterministic: hit
+    * counting is exact integer work over round-4 cosines, so the oracle
+    * replays it verbatim.
     *
     * Scale shape: the eval set is tiny next to a 100 TB corpus, so it
     * BROADCASTS and the corpus streams through map-side (a broadcast
@@ -1111,13 +1116,18 @@ object Dedup {
       col(vecCol).cast("array<double>").as("v"), isEval.as("__eval"))
     val eval = base.filter(col("__eval"))
       .select(col("id").as("eval_id"), col("v").as("ev"))
+    // LEFT outer against the broadcast eval side: an empty eval set must
+    // still yield one (id, 0, false) row per non-eval vector — the
+    // documented contract — instead of an empty inner-join result
     base.filter(!col("__eval"))
-      .join(broadcast(eval), lit(true))
+      .join(broadcast(eval), lit(true), "left")
       .select(col("id"),
-        (round(Similarity.cosine(col("v"), col("ev")), 4) >= threshold)
-          .cast("long").as("__hit"))
+        when(col("eval_id").isNull, lit(0L))
+          .otherwise(
+            (round(Similarity.cosine(col("v"), col("ev")), 4) >= threshold)
+              .cast("long")).as("__hit"))
       .groupBy(col("id"))
-      .agg(sum(col("__hit")).as("n_eval_hits"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_eval_hits"))
       .select(col("id").as(idCol), col("n_eval_hits"),
         (col("n_eval_hits") > 0).as("leaked"))
   }

@@ -285,7 +285,8 @@ object Sampling {
     * smallest prefix of rows — ordered by weight DESC, key ASC — whose
     * cumulative weight reaches fraction `num/den` of the group total
     * (a row is kept iff the weight BEFORE it is still under the bar, so
-    * the set is minimal and always non-empty). The curation use: "keep
+    * with positive weights the set is minimal and always non-empty —
+    * see the positivity note below). The curation use: "keep
     * the head of each language's quality-mass distribution", the
     * data-selection analogue of nucleus sampling.
     *
@@ -294,6 +295,12 @@ object Sampling {
     * on; the [[weightedByHash]] integerization lesson applied to
     * cumulative shares). Supply the fraction as a rational, not a
     * double, for exactly that reason.
+    *
+    * Weights must be POSITIVE. The minimality and "always non-empty"
+    * guarantees hold only then: a group whose total weight is ≤ 0 drops
+    * ENTIRELY (0·den < 0·num is false for its head row), and negative
+    * weights break both the monotone prefix argument and the all-integer
+    * keep test's meaning. Filter or clamp non-positive weights first.
     *
     * Scale shape: ONE shuffle on the group columns; both windows (the
     * running sum and the group total) share that partitioning, so they

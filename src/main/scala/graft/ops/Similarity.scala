@@ -323,26 +323,37 @@ object Similarity {
     * single-probe set (spec-pinned), so recall can only go up. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               k: Int = 5, nBits: Int = 16, dim: Int = 64,
-              probeBits: Int = 0): DataFrame =
+              probeBits: Int = 0, queryStride: Long = 0): DataFrame =
     Windows.topKPerGroup(
-      lshCandidatePairs(emb, idCol, vecCol, nBits, dim, probeBits),
+      lshCandidatePairs(emb, idCol, vecCol, nBits, dim, probeBits,
+        queryStride),
       Seq(col("query_id")), Seq(col("cos").desc, col("cand_id").asc), k)
 
   /** The candidate stage of [[lshTopK]]: distinct scored same-bucket
     * (query_id, cand_id, cos) pairs, query side fanned out to Hamming-1
-    * probe keys when `probeBits` > 0. Exposed for calibration — the
-    * candidate count is the COST axis of the (probeBits → recall)
-    * operating curve recorded in PLANS.md (tools/RecallProbe sweeps it). */
+    * probe keys when `probeBits` > 0. `queryStride > 0` restricts the
+    * QUERY side to id % stride == 0 BEFORE candidate scoring — per-query
+    * results are identical to post-filtering a full run (buckets and
+    * per-query ranks never see other queries), but the candidate join
+    * and the top-k window shrink by ~stride× (the q98 fusion caller only
+    * fuses the stride query set; scoring every other query was waste).
+    * Exposed for calibration — the candidate count is the COST axis of
+    * the (probeBits → recall) operating curve recorded in PLANS.md
+    * (tools/RecallProbe sweeps it). */
   private[graft] def lshCandidatePairs(emb: DataFrame, idCol: String,
                                        vecCol: String, nBits: Int, dim: Int,
-                                       probeBits: Int): DataFrame = {
+                                       probeBits: Int,
+                                       queryStride: Long = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= 8, "probeBits in [0, 8]")
+    require(queryStride >= 0, "queryStride must be >= 0 (0 = all queries)")
     val sigs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       lshSignature(col(vecCol), nBits, dim).as("sig"))
     val chunked = chunkedBuckets(sigs, col("sig"), nBits / 8)
       .select(col("id"), col("v"), col("chunk"), col("key"))
-    val qside0 = chunked.select(col("chunk"), col("key"),
+    val qsideAll = chunked.select(col("chunk"), col("key"),
       col("id").as("query_id"), col("v").as("qv"))
+    val qside0 = if (queryStride > 0)
+      qsideAll.filter(col("query_id") % queryStride === 0) else qsideAll
     val qside = if (probeBits == 0) qside0
       else qside0.withColumn("key", explode(array(
         col("key") +: (0 until probeBits).map(j =>

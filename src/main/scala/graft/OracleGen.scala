@@ -546,6 +546,39 @@ object OracleGen {
          (sum(hit) > 0) AS leaked
        FROM h GROUP BY id"""
 
+  /** Oracle for `Dedup.semanticLeakageCellRouted` (q100): trained
+    * ([[lloydRoundCtes]]) or seeded cells over the FULL corpus, train
+    * side = top-1 cell, eval side = top-nProbe probe cells, hit test
+    * equi-joined on the cell id, counts LEFT-joined back so zero-hit
+    * train rows appear. */
+  def semanticLeakageCellSql(mod: Long, rem: Long, threshold: Double,
+                             nCentroids: Int, nProbe: Int,
+                             trainIters: Int, dim: Int = 64): String = {
+    val cent = if (trainIters > 0) s"c$trainIters" else "c0"
+    val rounds =
+      if (trainIters > 0) s",\n       ${lloydRoundCtes(trainIters, dim)}" else ""
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       c0 AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT $nCentroids)$rounds,
+       asg AS (SELECT id, v, cent_id, rn FROM
+         (SELECT e.id, e.v, c.cent_id,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+          FROM e, $cent c) WHERE rn <= $nProbe),
+       tr AS (SELECT id, v, cent_id FROM asg
+         WHERE rn = 1 AND id % $mod <> $rem),
+       ev AS (SELECT id AS eval_id, v AS ev, cent_id FROM asg
+         WHERE id % $mod = $rem),
+       h AS (SELECT tr.id,
+           CAST(sum(CASE WHEN ${cosSql("tr.v", "ev.ev")} >= $threshold
+                THEN 1 ELSE 0 END) AS BIGINT) AS n
+         FROM tr JOIN ev ON tr.cent_id = ev.cent_id GROUP BY tr.id)
+       SELECT tr.id AS vec_id,
+         CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
+         (coalesce(h.n, 0) > 0) AS leaked
+       FROM tr LEFT JOIN h ON tr.id = h.id"""
+  }
+
   /** Oracle for TRAINED `Similarity.ivfTopK` (q47): replays the QUANTIZED
     * Lloyd rounds of `Similarity.kMeansCentroids` in SQL — seed = first
     * nCentroids ids; each unrolled round assigns every vector to its

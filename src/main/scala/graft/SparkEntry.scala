@@ -700,6 +700,18 @@ object SparkEntry {
     Dedup.semanticLeakage(t(s, dir, "embeddings"), "vec_id", "embedding",
       isEval = pmod(col("vec_id"), lit(97)) === 1, threshold = 0.25)
 
+  /** CELL-ROUTED semantic leakage — q89's scale path: the same eval
+    * set/threshold, but the hit scan routes through 16 trained IVF cells
+    * (2 quantized Lloyd rounds, the q87 training) with eval vectors
+    * probing their 8 nearest cells — an equi-join on cell id against the
+    * broadcast eval side instead of the brute N·E nested loop. Counts
+    * lower-bound q89's; routed/brute agreement at these params is
+    * spec-measured (NewOpsPropertySpec). */
+  private def qSemanticLeakageRouted(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticLeakageCellRouted(t(s, dir, "embeddings"), "vec_id",
+      "embedding", isEval = pmod(col("vec_id"), lit(97)) === 1,
+      threshold = 0.25, nCentroids = 16, nProbe = 8, trainIters = 2)
+
   /** Regex/string cleaning ops (engine-library generality: regexp_replace,
     * trim, case fold, split-part). */
   private def qStringClean(s: SparkSession, dir: String): DataFrame =
@@ -1187,6 +1199,7 @@ object SparkEntry {
     "q87_semantic_dedup_trained" -> (qSemanticDedupTrained _),
     "q88_ann_filtered" -> (qAnnFiltered _),
     "q89_semantic_leakage" -> (qSemanticLeakage _),
+    "q100_semantic_leakage_routed" -> (qSemanticLeakageRouted _),
     "q90_nucleus_keep" -> (qNucleusKeep _),
     "q91_quantile_norm" -> (qQuantileNorm _),
     "q92_bigram_nll" -> (qBigramNll _),
@@ -1933,6 +1946,9 @@ object SparkEntry {
         queryStride = 100, candWhere = "label % 2 = 0"),
     "q89_semantic_leakage" ->
       OracleGen.semanticLeakageSql(mod = 97, rem = 1, threshold = 0.25),
+    "q100_semantic_leakage_routed" ->
+      OracleGen.semanticLeakageCellSql(mod = 97, rem = 1, threshold = 0.25,
+        nCentroids = 16, nProbe = 8, trainIters = 2),
     "q90_nucleus_keep" ->
       """WITH t AS (SELECT lang, doc_id, n_chars,
              coalesce(sum(n_chars) OVER (PARTITION BY lang

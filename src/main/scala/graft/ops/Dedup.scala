@@ -1132,6 +1132,92 @@ object Dedup {
         (col("n_eval_hits") > 0).as("leaked"))
   }
 
+  /** CELL-ROUTED semantic eval-leakage — the scale path for
+    * [[semanticLeakage]]. The brute form is N·E cosines (every train
+    * vector against every eval vector): correct and shuffle-free, but at
+    * 10^10 docs × 10^5 eval vectors that is 10^15 ops — the wrong cost
+    * class for the 100 TB design point. This variant routes the scan
+    * through the IVF cell geometry the repo already trains
+    * ([[Similarity.kMeansCentroids]], the q87/q47 path): every corpus
+    * vector is assigned ONCE to its top-1 cell, every eval vector probes
+    * its `nProbe` nearest cells, and the hit test joins train×eval ON THE
+    * CELL ID — an equi-join against a broadcast eval side, so each train
+    * vector is scored against only the eval vectors that probe its cell:
+    * ~E·nProbe/nCentroids cosines per train row instead of E.
+    *
+    * RECALL BOUND (explicit): a true leak (cos ≥ threshold) is counted
+    * iff the train vector's top-1 cell is among its eval partner's
+    * `nProbe` probed cells. Near-identical vectors rank cells
+    * near-identically, so leaks at high thresholds route together with
+    * high probability; `nProbe = nCentroids` degenerates to the exact
+    * brute-force relation (every pair meets). Counts are a LOWER bound on
+    * the brute counts per id (`leaked` never false-positives), and the
+    * routed/brute agreement at the pinned test params is spec-measured in
+    * NewOpsPropertySpec. Tune recall with nProbe; cost scales linearly in
+    * it.
+    *
+    * Same output contract as [[semanticLeakage]]: one row per NON-eval
+    * vector — (id, n_eval_hits, leaked) — including n_eval_hits = 0 rows
+    * (the hit counts LEFT-join back onto the full train assignment) and
+    * when the eval predicate matches zero rows. `trainIters > 0` uses the
+    * quantized-Lloyd trained cells (bit-reproducible across engines, the
+    * q87 determinism argument); 0 keeps the seeded first-N centroids.
+    * Centroids always come from the FULL corpus (train + eval) so the
+    * cell geometry is an index property, stable under the eval predicate
+    * (the q88 pre-filter argument).
+    *
+    * Plan shape: one broadcast centroid fan-out + one per-id top-rank
+    * window over the corpus (the q84/q88 assignment pattern, computed
+    * ONCE via lazy localCheckpoint and shared by both sides), then the
+    * hit join BROADCASTS the assigned eval rows and equi-joins on
+    * cent_id — the corpus never shuffles again: hit counting and the
+    * left join back both ride the assignment's id partitioning. */
+  def semanticLeakageCellRouted(emb: DataFrame, idCol: String, vecCol: String,
+                                isEval: Column, threshold: Double,
+                                nCentroids: Int = 16, nProbe: Int = 4,
+                                trainIters: Int = 0): DataFrame = {
+    require(nCentroids >= 1, "nCentroids must be >= 1")
+    require(nProbe >= 1 && nProbe <= nCentroids, "need 1 <= nProbe <= nCentroids")
+    require(trainIters >= 0, "trainIters must be >= 0")
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), isEval.as("__eval"))
+    val cent =
+      if (trainIters > 0)
+        Similarity.kMeansCentroids(base.select(col("id"), col("v")),
+          nCentroids, trainIters)
+      else base.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").as("cent_id"), col("v").as("cv"))
+    // ranked cell assignment of EVERY vector, computed once: rank 1 is
+    // the train side's home cell, ranks 1..nProbe are the eval side's
+    // probe set — one centroid fan-out + one per-id window serves both
+    val assigned = base.join(broadcast(cent), lit(true))
+      .select(col("id"), col("v"), col("__eval"), col("cent_id"),
+        round(Similarity.cosine(col("v"), col("cv")), 6).as("cent_cos"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("cent_cos").desc, col("cent_id").asc)))
+      .filter(col("__rk") <= nProbe)
+      .localCheckpoint(eager = false)
+    val train = assigned.filter(!col("__eval") && col("__rk") === 1)
+      .select(col("cent_id"), col("id"), col("v"))
+    val evalProbes = assigned.filter(col("__eval") && col("__rk") <= nProbe)
+      .select(col("cent_id"), col("id").as("eval_id"), col("v").as("ev"))
+    // a train row meets each eval vector AT MOST once (probe cells are
+    // distinct; the train side sits in exactly one cell), so the hit sum
+    // needs no pair dedup
+    val hits = train.join(broadcast(evalProbes), Seq("cent_id"))
+      .select(col("id"),
+        (round(Similarity.cosine(col("v"), col("ev")), 4) >= threshold)
+          .cast("long").as("__hit"))
+      .groupBy(col("id"))
+      .agg(sum(col("__hit")).as("__n"))
+    train.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("leaked"))
+  }
+
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
     * `lsh=false` (default): exact all-pairs via a broadcast of the smaller
     * projection — the verified baseline (O(N²) compute distributed over N

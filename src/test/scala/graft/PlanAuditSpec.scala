@@ -274,6 +274,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q100: the routed leakage hit test is a cell EQUI-join against the " +
+    "broadcast eval probes — no nested loop, no cartesian over the corpus") {
+    val p = plan("q100_semantic_leakage_routed")
+    assert(p.contains("BroadcastHashJoin") && p.contains("cent_id"),
+      p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("q92: bigram formation is a lag window, not a positional self-join; " +
     "vocab and total broadcast; no cartesian") {
     val p = plan("q92_bigram_nll")

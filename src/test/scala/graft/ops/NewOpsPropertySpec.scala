@@ -267,4 +267,41 @@ class NewOpsPropertySpec extends AnyFunSuite {
       assert(got == exact)
     }
   }
+
+  test("semanticLeakageCellRouted: per-id hits lower-bound brute, no " +
+    "false-positive leaked flags, nProbe = nCentroids degenerates to the " +
+    "exact brute relation, and recall at the q100 params is the measured " +
+    "0.84 band") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val isEval = pmod(col("vec_id"), lit(97)) === 1
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("vec_id"), col("n_eval_hits"))
+        .as[(Long, Long)].collect().toMap
+    val brute = toMap(Dedup.semanticLeakage(emb, "vec_id", "embedding",
+      isEval, threshold = 0.25))
+    val routed = toMap(Dedup.semanticLeakageCellRouted(emb, "vec_id",
+      "embedding", isEval, threshold = 0.25, nCentroids = 16, nProbe = 8,
+      trainIters = 2))
+    assert(routed.keySet == brute.keySet,
+      "routed must emit one row per non-eval vector, zero-hit rows included")
+    // lower bound per id ⇒ leaked never false-positives
+    routed.foreach { case (id, n) =>
+      assert(n <= brute(id), s"id=$id routed=$n brute=${brute(id)}")
+    }
+    // recall at the pinned q100 params (threshold 0.25 sits near the
+    // cosine noise floor of this synthetic corpus — the HARD routing
+    // case; real paraphrase leaks at >= 0.8 route together far more
+    // reliably): measured 40/69 at nProbe=4, 58/69 at nProbe=8 (0.841),
+    // 69/69 at nProbe=16. Gate at >= 0.8 so a routing regression shows.
+    val bruteLeaked = brute.count(_._2 > 0)
+    val routedLeaked = routed.count { case (id, n) => n > 0 }
+    assert(bruteLeaked > 0, "corpus lost its leaked pairs — regen drift?")
+    assert(routedLeaked.toDouble / bruteLeaked >= 0.8,
+      s"recall ${routedLeaked.toDouble / bruteLeaked} below the 0.84 band")
+    // exactness at full probe: every pair meets, the relation IS brute
+    val full = toMap(Dedup.semanticLeakageCellRouted(emb, "vec_id",
+      "embedding", isEval, threshold = 0.25, nCentroids = 16, nProbe = 16,
+      trainIters = 2))
+    assert(full == brute, "nProbe = nCentroids must equal brute exactly")
+  }
 }

@@ -71,7 +71,24 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fj,"runs":$Runs,"sink":"noop","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fj,"runs":$Runs,"sink":"noop","sf":"$sfDir"}"""
+    // the driver keeps only a byte-limited TAIL of stdout, which has
+    // truncated the head of the per-query object in past rounds
+    // (BENCH_r08 lost q01–q25) — so the full line also lands in a FILE
+    // (bench-out.json, overwritten per run; SPARK_GRAFT_BENCH_OUT
+    // overrides) and the tail-surviving last stdout line is the line
+    // itself, totals included
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(line)
+    // compact totals line LAST: whatever tail window the driver keeps,
+    // the totals and failure list always survive even when the full
+    // per-query object above gets cut
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$fj,"runs":$Runs,"sink":"noop","sf":"$sfDir","bench_out":"$outFile"}""")
     spark.stop()
   }
 }

@@ -972,10 +972,13 @@ object Dedup {
     * arXiv:2303.09540): cluster the embeddings with a coarse quantizer,
     * then inside each cluster drop every document whose cosine to a
     * LOWER-id cluster-mate reaches `threshold`. The clustering exists to
-    * bound the quadratic — pair work is Σ|cell|², not N²; at corpus
-    * scale `nCentroids` grows with N to hold |cell| roughly constant, so
-    * the in-cell join stays near-linear while assignment stays one
-    * broadcast of the centroid table (the q35 IVF shape).
+    * bound the quadratic — pair work is Σ|cell|², not N²; the cell count
+    * must GROW with N to hold |cell| roughly constant, so `nCentroids = 0`
+    * (the default) derives it as [[autoCellCount]] = ceil(N / target) —
+    * the in-cell join stays near-linear at any corpus size while
+    * assignment stays one broadcast of the centroid table (the q35 IVF
+    * shape). An explicit `nCentroids > 0` pins the count (what every
+    * oracle-checked query does, since the oracle must replay it).
     *
     * Determinism (what makes q84/q87 hash-checkable): centroids are the
     * first `nCentroids` vectors by id (q35's seeding) or, with
@@ -994,22 +997,31 @@ object Dedup {
     * set — at most one narrow row per dropped id — joins back onto the
     * assignment; every wide vector column dies before that final join. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    nCentroids: Int = 16,
+                    nCentroids: Int = 0,
                     threshold: Double = 0.6,
                     trainIters: Int = 0,
                     maxCellSize: Option[Int] = None): DataFrame = {
+    require(nCentroids >= 0, "nCentroids must be >= 0 (0 = auto from N)")
     require(trainIters >= 0, "trainIters must be >= 0")
     require(maxCellSize.forall(_ > 0), "maxCellSize must be > 0")
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    // nCentroids = 0 (the default): derive the cell count from the corpus
+    // so E|cell| stays ~semanticDedupTargetCellSize whatever N is — the
+    // pair sweep then costs ~N·target regardless of corpus growth, which
+    // is the property a fixed cell count loses at 100× (16 cells over
+    // 10^9 vectors = 10^16 pair tests). The one count() job is the price
+    // of auto mode; callers who know their N keep the explicit knob
+    // (every checked query pins it for oracle replay).
+    val k = if (nCentroids > 0) nCentroids else autoCellCount(base.count())
     // trainIters > 0: quantized-Lloyd TRAINED cells (q47's bit-reproducible
-    // k-means) — data-shaped cells dedup better than the id-seeded ones,
-    // and at corpus scale the caller grows nCentroids with N to hold
-    // E|cell| = N/nCentroids constant; trainIters = 0 keeps the seeded
-    // first-N centroids (the q84 oracle shape)
+    // k-means) — data-shaped cells dedup better than the id-seeded ones;
+    // auto mode (above) grows the cell count with N so E|cell| stays
+    // constant without caller bookkeeping; trainIters = 0 keeps the
+    // seeded first-N centroids (the q84 oracle shape)
     val cent =
-      if (trainIters > 0) Similarity.kMeansCentroids(base, nCentroids, trainIters)
-      else base.orderBy(col("id")).limit(nCentroids)
+      if (trainIters > 0) Similarity.kMeansCentroids(base, k, trainIters)
+      else base.orderBy(col("id")).limit(k)
         .select(col("id").as("cent_id"), col("v").as("cv"))
     // materialized ONCE (lazy localCheckpoint, the q69/q85 pattern): the
     // assignment feeds both the pair join and the final output — without
@@ -1062,6 +1074,20 @@ object Dedup {
       .join(dominated.withColumn("__dom", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cent_id"),
         col("__dom").isNull.as("kept"))
+  }
+
+  /** Default cell-count target for [[semanticDedup]]'s auto mode. */
+  val semanticDedupTargetCellSize: Long = 2000L
+
+  /** Auto cell count: ceil(n / target), min 1 — holds the EXPECTED cell
+    * size (and so the per-cell pair cost n·target) flat as the corpus
+    * grows. Pure arithmetic, spec-pinned flat across sizes
+    * (NewOpsPropertySpec). */
+  def autoCellCount(n: Long,
+                    targetCellSize: Long = semanticDedupTargetCellSize): Int = {
+    require(n >= 0 && targetCellSize > 0, "need n >= 0, targetCellSize > 0")
+    math.max(1L, (n + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue.toLong).toInt
   }
 
   /** Leakage-safe train/validation split: the split is decided per

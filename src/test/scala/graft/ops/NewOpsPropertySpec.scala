@@ -268,6 +268,34 @@ class NewOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("autoCellCount: expected cell size is flat (within one cell of the " +
+    "target) across corpus sizes, and auto semanticDedup matches an " +
+    "explicit call at the derived count") {
+    val target = Dedup.semanticDedupTargetCellSize
+    Seq(1L, 100L, 1999L, 2000L, 2001L, 50000L, 1234567L, 10_000_000_000L)
+      .foreach { n =>
+        val k = Dedup.autoCellCount(n)
+        assert(k >= 1, s"n=$n")
+        val expCell = n.toDouble / k
+        // ceil(n/target) cells ⇒ E|cell| in (target/2, target] once the
+        // corpus spans 2+ cells; below one target-full the single cell
+        // just holds everything
+        assert(expCell <= target, s"n=$n k=$k expCell=$expCell")
+        if (n > target) assert(expCell > target / 2.0,
+          s"n=$n k=$k expCell=$expCell")
+      }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.35)
+      .select("vec_id", "cent_id", "kept")
+      .as[(Long, Long, Boolean)].collect().sorted.toList
+    val explicit = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        nCentroids = Dedup.autoCellCount(emb.count()), threshold = 0.35)
+      .select("vec_id", "cent_id", "kept")
+      .as[(Long, Long, Boolean)].collect().sorted.toList
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("semanticLeakageCellRouted: per-id hits lower-bound brute, no " +
     "false-positive leaked flags, nProbe = nCentroids degenerates to the " +
     "exact brute relation, and recall at the q100 params is the measured " +

@@ -395,6 +395,62 @@ object OracleGen {
             ORDER BY rrf DESC, cand_id ASC) AS rn FROM s)
        WHERE rn <= $fuseK"""
 
+  /** Oracle for the HETEROGENEOUS hybrid fusion (q101):
+    * `TextAnalysis.bm25MoreLikeThis` (lexical run, document-as-query BM25
+    * with micro-unit per-term integerization and round-6 avgdl) fused by
+    * `Similarity.rrfFuse` with the brute-force dense cosine run over the
+    * shared id space. Both runs re-rank by (score DESC, cand ASC); rank
+    * is the ONLY thing that crosses into the fusion. */
+  def rrfHybridSql(runK: Int, fuseK: Int, stride: Long, c: Int,
+                   k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           round(avg(len(t)), 6) AS avgdl FROM docs),
+       tf AS (SELECT doc_id, u.term, CAST(count(*) AS DOUBLE) AS tf,
+           CAST(max(len(t)) AS DOUBLE) AS dl
+         FROM docs, UNNEST(t) AS u(term) GROUP BY doc_id, u.term),
+       dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         FROM tf GROUP BY term),
+       qt AS (SELECT DISTINCT doc_id AS query_id, u.term
+         FROM docs, UNNEST(t) AS u(term) WHERE doc_id % $stride = 0),
+       sm AS (SELECT qt.query_id, tf.doc_id AS cand_id,
+           CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+             * ${k1 + 1} / (tf + $k1 * (${1 - b} + $b * dl / avgdl))
+             * 1000000) AS BIGINT) AS m
+         FROM qt JOIN tf USING (term) JOIN dfreq USING (term), stats
+         WHERE tf.doc_id <> qt.query_id),
+       lex AS (SELECT query_id, cand_id, score FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, cand_id ASC) AS rn FROM
+            (SELECT query_id, cand_id,
+               round(CAST(sum(m) AS DOUBLE) / 1000000, 4) AS score
+             FROM sm GROUP BY 1, 2))
+         WHERE rn <= $runK),
+       e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % $stride = 0),
+       dp AS (SELECT query_id, e.id AS cand_id,
+           ${cosSql("q.qv", "e.v")} AS score
+         FROM e, q WHERE e.id <> query_id),
+       den AS (SELECT query_id, cand_id, score FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, cand_id ASC) AS rn FROM dp)
+         WHERE rn <= $runK),
+       r1 AS (SELECT query_id, cand_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rnk
+         FROM lex),
+       r2 AS (SELECT query_id, cand_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rnk
+         FROM den),
+       u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+       s AS (SELECT query_id, cand_id,
+           round(sum(1.0 / (rnk + $c)), 6) AS rrf
+         FROM u GROUP BY 1, 2)
+       SELECT query_id, cand_id, rrf FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, cand_id ASC) AS rn FROM s)
+       WHERE rn <= $fuseK"""
+
   /** Oracle for `Similarity.lshTopK(probeBits = p)` (q66): the query side
     * also probes each chunk key with one of its low `probeBits` bits
     * flipped; the corpus bucket side is unchanged. */

@@ -262,6 +262,24 @@ object SparkEntry {
       Seq(col("cos").desc, col("cand_id").asc), k = 5)
   }
 
+  /** HETEROGENEOUS hybrid retrieval: the lexical run (document-as-query
+    * BM25, TextAnalysis.bm25MoreLikeThis over the documents table) fused
+    * with the dense run (exact embedding cosine over the shared id
+    * space) by reciprocal-rank fusion — the realistic sparse+dense stack,
+    * where RRF's rank-only combination is what makes the two genuinely
+    * incomparable score scales (BM25 sums vs cosines) fusable with zero
+    * calibration. Same rrfFuse as q98, unchanged. */
+  private def qRrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val lex = TextAnalysis.bm25MoreLikeThis(t(s, dir, "documents"),
+        "doc_id", "text", queryStride = 100, k = 10)
+      .select(col("query_id"), col("cand_id"), col("score"))
+    val dense = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 10, stride = 100)
+      .select(col("query_id"), col("cand_id"), col("cos").as("score"))
+    Similarity.rrfFuse(Seq(lex, dense), "query_id", "cand_id",
+      Seq(col("score").desc, col("cand_id").asc), k = 5)
+  }
+
   /** Signed feature hashing of documents into 256 buckets — the
     * vocab-free fixed-width vectorization for linear quality
     * classifiers; sparse (doc, bucket, w) rows, zero-sum collisions
@@ -1209,6 +1227,7 @@ object SparkEntry {
     "q96_windowed_drift" -> (qWindowedDrift _),
     "q97_feature_hash" -> (qFeatureHash _),
     "q98_rrf_fusion" -> (qRrfFusion _),
+    "q101_rrf_hybrid" -> (qRrfHybrid _),
     "q99_session_assembly" -> (qSessionAssembly _),
   )
 
@@ -1522,6 +1541,8 @@ object SparkEntry {
     "q98_rrf_fusion" ->
       OracleGen.rrfFusionSql(nBits = 16, dim = 64, runK = 10, fuseK = 5,
         stride = 100, c = 60),
+    "q101_rrf_hybrid" ->
+      OracleGen.rrfHybridSql(runK = 10, fuseK = 5, stride = 100, c = 60),
     "q99_session_assembly" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
            CAST(ts AS TIMESTAMP) AS ts FROM events),

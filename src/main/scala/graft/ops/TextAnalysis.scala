@@ -341,6 +341,62 @@ object TextAnalysis {
       Seq(col("score").desc, col("doc_id").asc), k)
   }
 
+  /** BM25 "more-like-this": for each QUERY DOCUMENT (id % stride == 0),
+    * rank every other document by Σ over the query doc's DISTINCT terms
+    * of its Okapi BM25 term score — document-as-query retrieval, the
+    * lexical arm of a hybrid (sparse + dense) retrieval stack where the
+    * dense arm is embedding cosine over the same id space
+    * ([[graft.ops.Similarity.bruteForceTopK]]; q101 fuses the two with
+    * RRF).
+    *
+    * Cross-engine determinism: each (query, term, cand) score is the
+    * SAME double expression tree as [[bm25TopK]] (shared literals and
+    * associativity; avgdl pre-rounded to 6), then integerized to
+    * micro-units BEFORE the per-pair summation — the q76/q96 lesson:
+    * long sums are order-free where IEEE double sums are not, and the
+    * per-term 1e-6 quantization is far finer than any rank boundary the
+    * final round(·, 4) exposes.
+    *
+    * Scale shape: corpus postings are ONE explode → (doc, term) count
+    * shuffle; the query-side term list (stride docs' distinct terms)
+    * BROADCASTS into the postings join, so the corpus never shuffles for
+    * the probe; docfreq joins postings on term (map-side after its own
+    * tiny agg); the per-(query, cand) sum is one combinable aggregation
+    * and the top-k rides a WindowGroupLimit rank. */
+  def bm25MoreLikeThis(df: DataFrame, idCol: String, textCol: String,
+                       queryStride: Long = 100, k: Int = 10,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryStride >= 1 && k >= 1, "need queryStride >= 1, k >= 1")
+    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val tf = docs
+      .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      round(avg(size(col("t"))), 6).as("avgdl"))
+    val queryTerms = docs.filter(col("doc_id") % queryStride === 0)
+      .select(col("doc_id").as("query_id"), explode(col("t")).as("term"))
+      .distinct()
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val denom = col("tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    val termScoreMicros =
+      round(idf * col("tf") * lit(k1 + 1) / denom * 1000000.0).cast("long")
+    val scored = tf.join(broadcast(queryTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        termScoreMicros.as("__sm"))
+      .groupBy("query_id", "cand_id")
+      .agg(round(sum(col("__sm")).cast("double") / 1000000.0, 4).as("score"))
+    Windows.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("score").desc, col("cand_id").asc), k)
+  }
+
   /** Top-k terms per document by TF-IDF (keyword extraction — the
     * training-data-prep step behind topic filters and per-doc summaries).
     * tf = in-doc term count; idf = ln(N / docfreq); score rounded to 4

@@ -283,6 +283,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q101: hybrid fusion — query terms and docfreq equi-join into the " +
+    "postings (broadcast), no cartesian; nested-loop only for the 1-row " +
+    "stats broadcast and the dense run's broadcast query probe") {
+    val p = plan("q101_rrf_hybrid")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p.take(6000))
+  }
+
   test("q92: bigram formation is a lag window, not a positional self-join; " +
     "vocab and total broadcast; no cartesian") {
     val p = plan("q92_bigram_nll")

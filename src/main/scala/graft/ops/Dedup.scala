@@ -477,32 +477,47 @@ object Dedup {
     * than that many docs before the self-join — the classic inverted-index
     * skew bomb at 100 TB (a shingle shared by 1M docs creates 10^12 pairs).
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleSize: Int = 3, threshold: Double = 0.8,
-                   maxShingleFreq: Option[Int] = None): DataFrame = {
-    // Gram identity is xxhash64 from the explode on: every later step
-    // (distinct, hot-gram guard, self-join) only tests gram EQUALITY, so
-    // 8-byte keys replace ~25-byte gram strings in the postings, the
-    // materialized blocks, and the self-join exchange. Collision caveat
-    // as in [[containmentPairsSketch]].
+  /** The guarded distinct-gram postings BOTH inverted-index sweeps
+    * ([[jaccardPairs]], [[containmentPairs]]) self-join: per-doc DISTINCT
+    * xxhash64'd `shingleSize`-gram keys, with shingles appearing in more
+    * than `maxShingleFreq` docs anti-joined away FIRST (the hot-shingle
+    * cost guard — and the shared definition is deliberate: the stress
+    * gate's cost-class probe measures Σ posting² over exactly this
+    * relation, so a guard change in the operators IS a change in the
+    * gated metric). Gram identity is xxhash64 from the explode on: every
+    * later step (distinct, hot-gram guard, self-join) only tests gram
+    * EQUALITY, so 8-byte keys replace ~25-byte gram strings in the
+    * postings, the materialized blocks, and the self-join exchange.
+    * Collision caveat as in [[containmentPairsSketch]]. */
+  private[graft] def guardedDistinctGrams(df: DataFrame, idCol: String,
+                                          textCol: String, shingleSize: Int,
+                                          maxShingleFreq: Option[Int])
+      : DataFrame = {
     val grams = df
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(split(col(textCol), " "), shingleSize)))
           .as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
       .distinct()
-    // Hot-shingle guard FIRST, then per-doc counts over the retained gram
-    // universe — inter and the denominators must see the same universe or
-    // identical docs with hot grams would score (n-h)/(n+h) < 1 and slip
-    // under the threshold. Per-doc count via a window over the same doc_id
-    // partitioning (no extra self-joins).
-    val guarded = maxShingleFreq match {
+    maxShingleFreq match {
       case Some(maxF) =>
         val hot = grams.groupBy("g").agg(count(lit(1)).as("f"))
           .filter(col("f") > maxF).select("g")
         grams.join(broadcast(hot), Seq("g"), "left_anti")
       case None => grams
     }
+  }
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.8,
+                   maxShingleFreq: Option[Int] = None): DataFrame = {
+    // Hot-shingle guard FIRST, then per-doc counts over the retained gram
+    // universe — inter and the denominators must see the same universe or
+    // identical docs with hot grams would score (n-h)/(n+h) < 1 and slip
+    // under the threshold. Per-doc count via a window over the same doc_id
+    // partitioning (no extra self-joins).
+    val guarded = guardedDistinctGrams(df, idCol, textCol, shingleSize,
+      maxShingleFreq)
     // materialized once — both self-join sides read it (see
     // containmentPairs' identical note)
     val filtered = guarded.withColumn("n",
@@ -717,21 +732,11 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.9,
                        maxShingleFreq: Option[Int] = None): DataFrame = {
-    // xxhash64 gram identity — same narrowing (and collision caveat) as
-    // [[jaccardPairs]]: equality is all the sweep ever needs.
-    val grams = df
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(split(col(textCol), " "), shingleSize)))
-          .as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
-      .distinct()
-    val guarded = maxShingleFreq match {
-      case Some(maxF) =>
-        val hot = grams.groupBy("g").agg(count(lit(1)).as("f"))
-          .filter(col("f") > maxF).select("g")
-        grams.join(broadcast(hot), Seq("g"), "left_anti")
-      case None => grams
-    }
+    // same guarded posting relation as [[jaccardPairs]] — shared via
+    // [[guardedDistinctGrams]] (xxhash64 narrowing + hot-shingle
+    // anti-join; the stress cost-class probe measures this relation)
+    val guarded = guardedDistinctGrams(df, idCol, textCol, shingleSize,
+      maxShingleFreq)
     // materialize the guarded+counted postings once: BOTH self-join sides
     // read them, and each would otherwise re-run the gram explode, the
     // hot-gram anti-join, and the window count — two extra corpus scans

@@ -33,12 +33,36 @@ import graft.ops.{Dedup, TextAnalysis}
   * measured 12.8 s on 5k docs where the shipped shape takes ~0.5 s) at
   * 1/40 scale under the proportionally tightened budget — expected
   * outcome is BUDGET_OVER and exit 1.
+  *
+  * Since round 9 the three LONG posting sweeps (jaccard / sparse-cosine /
+  * containment, the shapes whose wall-clock swings ~2.5× with machine
+  * load) are primarily gated by DETERMINISTIC cost-class probes: the
+  * exact Σ posting² candidate-row count over the operators' own guarded
+  * posting relation, against an absolute ceiling with zero noise margin
+  * (see costClassGate). Their wall budgets remain only as generous
+  * backstops. `--plant-guard` demonstrates THAT gate catching the q62
+  * guard-loss class (boilerplate corpus, guard disabled — expected
+  * COST_CLASS_OVER and exit 1).
   */
 object Stress {
+  // cost-class ceilings (see costClassGate): measured 1.129e9 retained
+  // Σ posting² on the 2026-08-14 regenerated sf0.1 stress corpus for
+  // both probes (the guarded distinct postings and cosineIndex's
+  // docfreq-guarded postings retain the SAME posting lengths by
+  // construction). Values are DETERMINISTIC per corpus, so the ~2×
+  // headroom only covers testdata regeneration drift — zero machine
+  // noise enters. A lost guard lands ~8× over the ceiling even with the
+  // copy-perturbation diluting the template (--plant-guard measured
+  // Σ f² = 1.80e10 vs the 2.3e9 ceiling; an unperturbed boilerplate
+  // corpus lands ~100×).
+  private val PostingAbsMax = 2300000000L
+  private val CosineAbsMax = 2300000000L
+
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
     val dir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val plant = args.contains("--plant")
+    val plantGuard = args.contains("--plant-guard")
     val only = args.collectFirst { case a if a.startsWith("--only=") =>
       a.stripPrefix("--only=").toLowerCase }
     val copies0 = positional.lift(1).map(_.toInt).getOrElse(40)
@@ -46,14 +70,13 @@ object Stress {
     val spark = GraftSession(appName = "graft-stress")
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val big = docs
+    def replicate(base: org.apache.spark.sql.DataFrame) = base
       .crossJoin(spark.range(0, copies).withColumnRenamed("id", "copy"))
       .select((col("doc_id") * copies + col("copy")).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           (t, i) => when(pmod(i + col("copy"), lit(10)) < 3,
             concat(t, lit("_"), col("copy"))).otherwise(t))).as("text"))
-      .repartition(32)
-      .cache()
+    val big = replicate(docs).repartition(32).cache()
     println(s"DOCS=${big.count()} (distinct=${big.select("doc_id").distinct().count()})")
 
     // Per-run budget normalization — shared with the FaScale gate
@@ -63,6 +86,60 @@ object Stress {
     println(f"BUDGET_SCALE=$budgetScale%.2f")
 
     var failed = List.empty[String]
+
+    // ------- COST-CLASS probes (deterministic; zero machine noise) ------
+    // Σ posting² over the operators' OWN guarded posting relation
+    // (Dedup.guardedDistinctGrams for the jaccard/containment sweeps,
+    // Dedup.cosineIndex postings for the TF-IDF sweep — shared with the
+    // operators by construction, so a guard change in the operator IS a
+    // change in this metric). Σ f² is exactly the self-join's candidate
+    // row count — the cost the wall budgets were trying to bound through
+    // 2.5×-noisy wall-clock. Pure counts: replayable, no budget to
+    // re-widen. `maxF` scales with the corpus exactly as the gated shapes
+    // configure it (1% of docs, min 100).
+    def sumF2(postings: org.apache.spark.sql.DataFrame): Long =
+      postings.groupBy("g").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).cast("long")).collect()(0).getLong(0)
+    // maxF is FIXED across the two probe scales (1% of the FULL corpus):
+    // the operators configure maxF = 1% of their own corpus, but a probe
+    // whose cutoff moves with N measures the cutoff policy, not the cost
+    // class — mid-frequency corpus-wide grams under a moving cutoff
+    // quadruple across scales even with the guard working (measured
+    // ratio 3.6). With the cutoff pinned, a working guard is linear
+    // (every retained posting is bounded by the same constant) and a
+    // lost guard is ~4x.
+    def postingCost(d: org.apache.spark.sql.DataFrame,
+                    maxF: Option[Int]): Long =
+      sumF2(Dedup.guardedDistinctGrams(d, "doc_id", "text", 3, maxF))
+    def cosineCost(d: org.apache.spark.sql.DataFrame, maxF: Int): Long =
+      sumF2(Dedup.cosineIndex(d, "doc_id", "text", 3, maxF)._1
+        .select(col("doc_id"), col("g")))
+    // The GATE is the absolute ceiling: Σ f² is a pure function of the
+    // (deterministic) corpus, so the ceiling needs only ~2× headroom for
+    // testdata-regeneration drift — no machine-noise margin at all — and
+    // a lost guard overshoots it ~100× (--plant-guard). The half-scale
+    // probe is printed as telemetry, NOT gated on: measured full/half =
+    // 3.62 with the guard WORKING, because mid-frequency gram docfreq
+    // scales with the corpus on the replicated-duplicate shape (every
+    // common trigram's f doubles when base docs double, so retained f²
+    // quadruples) — on this corpus the scaling RATIO does not separate a
+    // working guard from a lost one; the absolute retained mass does,
+    // sharply.
+    def costClassGate(name: String, fullC: org.apache.spark.sql.DataFrame,
+                      halfC: org.apache.spark.sql.DataFrame,
+                      costAt: org.apache.spark.sql.DataFrame => Long,
+                      absMax: Long): Unit = {
+      if (only.forall(name.toLowerCase.contains)) {
+        val full = costAt(fullC)
+        val half = costAt(halfC)
+        val ratio = full.toDouble / half.toDouble
+        val ok = full <= absMax
+        if (!ok) failed ::= name
+        println(f"$name full=$full half=$half ratio=$ratio%.2f " +
+          f"(absMax=$absMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+      }
+    }
+
     def gated(name: String, budgetSec: Double)(body: => Long): Unit = {
       if (only.forall(name.toLowerCase.contains)) {
         val budget = budgetSec * budgetScale
@@ -82,7 +159,38 @@ object Stress {
         Dedup.simHashNearDups(big, "doc_id", "text", maxHamming = 12,
           shingleSize = 2, threshold = 0.8, featureShingle = 1).count()
       }
+    } else if (plantGuard) {
+      // PLANTED GUARD-LOSS DEMO: one boilerplate template verbatim in
+      // 1/3 of base docs, hot-shingle guard DISABLED — the exact q62
+      // regression class (reverted guard on a corpus with corpus-wide
+      // boilerplate). The template's grams carry f ≈ N/3 per copy
+      // stream, so the retained Σ f² lands ~8× over the ceiling
+      // (measured 1.80e10 vs 2.3e9): expected outcome is COST_CLASS_OVER
+      // and exit 1 — proving the deterministic gate catches what the
+      // noisy wall budgets were for, with zero machine-noise margin in
+      // the bound.
+      val boilDocs = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("all rights reserved terms of service privacy policy " +
+            "cookie notice copyright footer navigation home about " +
+            "contact page")).otherwise(col("text")).as("text"))
+      costClassGate("POSTING_COST_CLASS_PLANTED",
+        replicate(boilDocs).repartition(32),
+        replicate(boilDocs.filter(pmod(col("doc_id"), lit(2)) === 0))
+          .repartition(32),
+        d => postingCost(d, None), absMax = PostingAbsMax)
     } else {
+      // deterministic Σ posting² cost-class gates for the guarded
+      // sweeps — the PRIMARY regression detector for the three long
+      // shapes (wall budgets below stay only as generous backstops; see
+      // the cost-class comment above).
+      val halfBig = replicate(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .repartition(32)
+      val gateMaxF = (big.count() / 100).toInt max 100
+      costClassGate("POSTING_COST_CLASS_GUARDED", big, halfBig,
+        d => postingCost(d, Some(gateMaxF)), absMax = PostingAbsMax)
+      costClassGate("COSINE_COST_CLASS_GUARDED", big, halfBig,
+        d => cosineCost(d, gateMaxF), absMax = CosineAbsMax)
       // Budgets: measured local[32] 2026-08 (9.1 / 15.9 / 2.2 / 3.9 /
       // 1.5 / 153 s) × ~2.5 headroom.
       gated("MINHASH_PAIRS", budgetSec = 20) {
@@ -118,7 +226,13 @@ object Stress {
       // Same 2026-08-14 recalibration as its siblings: measured
       // 120 / 137 / 186 / 349 s across same-code runs; 500 s ≈ 1.4×
       // worst observed, still hours under the unguarded class.
-      gated("JACCARD_PAIRS_GUARDED", budgetSec = 500) {
+      // WALL BACKSTOP only (since round 9): the primary regression gate
+      // for this shape is POSTING_COST_CLASS_GUARDED above — exact
+      // candidate-row counts, immune to the ~2.5x machine-load swing
+      // that forced two rounds of budget re-widening. The generous wall
+      // ceiling still catches a non-cost pathology (e.g. a plan that
+      // recomputes the postings subtree per consumer).
+      gated("JACCARD_PAIRS_GUARDED", budgetSec = 900) {
         Dedup.jaccardPairs(big, "doc_id", "text", 3, 0.8,
           maxShingleFreq = Some((big.count() / 100).toInt max 100)).count()
       }
@@ -137,7 +251,8 @@ object Stress {
       // code path. 450 s ≈ 1.2× the worst observed run and still an
       // order+ under the unguarded all-pairs class (hours) — the
       // regression this gate exists to catch.
-      gated("SPARSE_COSINE_GUARDED", budgetSec = 450) {
+      // WALL BACKSTOP only — primary gate: COSINE_COST_CLASS_GUARDED.
+      gated("SPARSE_COSINE_GUARDED", budgetSec = 900) {
         Dedup.sparseCosinePairs(big, "doc_id", "text", 3,
           maxDocFreq = (big.count() / 100).toInt max 100,
           minCos = 0.6).count()
@@ -156,7 +271,9 @@ object Stress {
       // band (sibling SPARSE_COSINE dropped 339→142 s in the SAME
       // session this shape spiked). 500 s ≈ 1.25× worst observed;
       // the guard-bypass regression this catches is the HOURS class.
-      gated("CONTAINMENT_PAIRS_GUARDED", budgetSec = 500) {
+      // WALL BACKSTOP only — primary gate: POSTING_COST_CLASS_GUARDED
+      // (containment self-joins the same guardedDistinctGrams relation).
+      gated("CONTAINMENT_PAIRS_GUARDED", budgetSec = 900) {
         Dedup.containmentPairs(big, "doc_id", "text", 3, 0.9,
           maxShingleFreq = Some((big.count() / 100).toInt max 100)).count()
       }

@@ -635,6 +635,38 @@ object OracleGen {
        FROM tr LEFT JOIN h ON tr.id = h.id"""
   }
 
+  /** Oracle for `Similarity.ivfAdmitFromIndex` over an in-flight
+    * `ivfIndex` (q102): corpus = id % mod <> rem with seeded centroids
+    * and top-1 cells; batch = id % mod = rem probing nProbe cells; hit
+    * counts LEFT-joined back so clean batch vectors appear. */
+  def semanticAdmitIvfSql(mod: Long, rem: Long, threshold: Double,
+                          nCentroids: Int, nProbe: Int): String =
+    s"""WITH eall AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       e AS (SELECT id, v FROM eall WHERE id % $mod <> $rem),
+       cent AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id
+         LIMIT $nCentroids),
+       cells AS (SELECT id, v, cent_id FROM
+         (SELECT e.id, e.v, c.cent_id,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+          FROM e, cent c) WHERE rn = 1),
+       b AS (SELECT id, v FROM eall WHERE id % $mod = $rem),
+       basg AS (SELECT id, v, cent_id FROM
+         (SELECT b.id, b.v, c.cent_id,
+            row_number() OVER (PARTITION BY b.id
+              ORDER BY ${cosSql("b.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+          FROM b, cent c) WHERE rn <= $nProbe),
+       h AS (SELECT basg.id,
+           CAST(sum(CASE WHEN ${cosSql("basg.v", "cells.v")} >= $threshold
+                THEN 1 ELSE 0 END) AS BIGINT) AS n
+         FROM basg JOIN cells ON basg.cent_id = cells.cent_id
+         GROUP BY basg.id)
+       SELECT b.id AS vec_id,
+         CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         (coalesce(h.n, 0) > 0) AS is_dup
+       FROM b LEFT JOIN h ON b.id = h.id"""
+
   /** Oracle for TRAINED `Similarity.ivfTopK` (q47): replays the QUANTIZED
     * Lloyd rounds of `Similarity.kMeansCentroids` in SQL — seed = first
     * nCentroids ids; each unrolled round assigns every vector to its

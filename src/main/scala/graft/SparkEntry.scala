@@ -730,6 +730,23 @@ object SparkEntry {
       "embedding", isEval = pmod(col("vec_id"), lit(97)) === 1,
       threshold = 0.25, nCentroids = 16, nProbe = 8, trainIters = 2)
 
+  /** Incremental SEMANTIC admission against a frozen IVF index: 90% of
+    * the embeddings table is the indexed corpus (16 seeded cells, top-1
+    * assignment), the stride-10 remainder arrives as a batch probing its
+    * 4 nearest cells — "is this new vector semantically already in the
+    * corpus?" decided without re-indexing (the embedding-side analogue
+    * of q50/q75's persisted-index admission; PersistedIndexSpec pins the
+    * write→read round-trip giving identical flags). */
+  private def qSemanticAdmission(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (cent, cells) = Similarity.ivfIndex(
+      emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id", "embedding",
+      nCentroids = 16)
+    Similarity.ivfAdmitFromIndex(cent, cells,
+      emb.filter(pmod(col("vec_id"), lit(10)) === 0), "vec_id", "embedding",
+      threshold = 0.25, nProbe = 4)
+  }
+
   /** Regex/string cleaning ops (engine-library generality: regexp_replace,
     * trim, case fold, split-part). */
   private def qStringClean(s: SparkSession, dir: String): DataFrame =
@@ -1218,6 +1235,7 @@ object SparkEntry {
     "q88_ann_filtered" -> (qAnnFiltered _),
     "q89_semantic_leakage" -> (qSemanticLeakage _),
     "q100_semantic_leakage_routed" -> (qSemanticLeakageRouted _),
+    "q102_semantic_admission" -> (qSemanticAdmission _),
     "q90_nucleus_keep" -> (qNucleusKeep _),
     "q91_quantile_norm" -> (qQuantileNorm _),
     "q92_bigram_nll" -> (qBigramNll _),
@@ -1970,6 +1988,9 @@ object SparkEntry {
     "q100_semantic_leakage_routed" ->
       OracleGen.semanticLeakageCellSql(mod = 97, rem = 1, threshold = 0.25,
         nCentroids = 16, nProbe = 8, trainIters = 2),
+    "q102_semantic_admission" ->
+      OracleGen.semanticAdmitIvfSql(mod = 10, rem = 0, threshold = 0.25,
+        nCentroids = 16, nProbe = 4),
     "q90_nucleus_keep" ->
       """WITH t AS (SELECT lang, doc_id, n_chars,
              coalesce(sum(n_chars) OVER (PARTITION BY lang

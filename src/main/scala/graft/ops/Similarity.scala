@@ -241,6 +241,82 @@ object Similarity {
       Seq(col("rrf").desc, col(candCol).asc), k)
   }
 
+  /** Persisted IVF index artifacts — the EMBEDDING-family sibling of the
+    * text side's persisted indexes ([[graft.ops.Dedup.cosineIndex]],
+    * bandKeys): the coarse-quantizer centroid table `(cent_id, cv)` and
+    * the cell-grouped corpus `(cent_id, id, v)`, computed once per corpus
+    * build and written down; every later batch probes them via
+    * [[ivfAdmitFromIndex]] with the index FROZEN (the standard
+    * incremental-IR choice — admission decisions must not drift as the
+    * corpus grows between index builds). `trainIters > 0` trains the
+    * cells with the quantized-Lloyd rounds (q47/q87 determinism).
+    *
+    * Scale: the centroid table is tiny; the cell table is one corpus
+    * shuffle away (the per-id top-1 window) and is exactly what an IVF
+    * index IS — the corpus re-grouped by cell. Persist it hive-
+    * partitioned by `cent_id` and a probe reads only its probed cells. */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int = 16, trainIters: Int = 0)
+      : (DataFrame, DataFrame) = {
+    require(nCentroids >= 1 && trainIters >= 0,
+      "need nCentroids >= 1, trainIters >= 0")
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cent =
+      if (trainIters > 0) kMeansCentroids(base, nCentroids, trainIters)
+      else base.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").as("cent_id"), col("v").as("cv"))
+    val cells = Windows.topKPerGroup(
+      base.join(broadcast(cent), lit(true))
+        .select(col("id"), col("v"), col("cent_id"),
+          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
+      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), 1)
+      .select(col("cent_id"), col("id"), col("v"))
+    (cent, cells)
+  }
+
+  /** Incremental SEMANTIC admission against a persisted [[ivfIndex]]:
+    * flag each batch vector whose round-4 cosine to ANY indexed corpus
+    * vector in its `nProbe` probed cells reaches `threshold` — "is this
+    * new document semantically already in the training set?", decided
+    * WITHOUT touching corpus text or recomputing the index (the
+    * embedding-space analogue of [[graft.ops.Dedup.cosineAdmitFromIndex]],
+    * and the incremental face of [[graft.ops.Dedup.semanticLeakageCellRouted]]'s
+    * routing). Returns one row per batch vector — (id, n_hits, is_dup) —
+    * zero-hit batch vectors included.
+    *
+    * Recall mirrors the routed-leakage bound: a true near-dup is seen iff
+    * its indexed partner's home cell is among the batch vector's probed
+    * cells; `nProbe = nCentroids` is exhaustive over the index.
+    *
+    * Scale shape: the batch is small next to the indexed corpus — batch
+    * assignment rides the broadcast centroid table (a map), and the
+    * probe BROADCASTS the assigned batch into an equi-join on cell id,
+    * so the index streams through map-side and only probed cells do
+    * cosine work. No corpus shuffle at any point. */
+  def ivfAdmitFromIndex(centroids: DataFrame, cells: DataFrame,
+                        batch: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val b = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val probes = Windows.topKPerGroup(
+      b.join(broadcast(centroids), lit(true))
+        .select(col("id"), col("v"), col("cent_id"),
+          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
+      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
+      .select(col("cent_id"), col("id").as("batch_id"), col("v").as("bv"))
+    val hits = cells.join(broadcast(probes), Seq("cent_id"))
+      .select(col("batch_id"),
+        (round(cosine(col("bv"), col("v")), 4) >= threshold)
+          .cast("long").as("__hit"))
+      .groupBy(col("batch_id"))
+      .agg(sum(col("__hit")).as("__n"))
+    b.select(col("id"))
+      .join(hits, col("id") === col("batch_id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_hits"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** Distributed spherical k-means (Lloyd) coarse quantizer for IVF:
     * seeds with the first `nCentroids` vectors by id, then `iters` rounds
     * of assign-to-nearest (by cosine, over the broadcast centroids) and

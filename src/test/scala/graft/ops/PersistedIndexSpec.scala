@@ -87,4 +87,35 @@ class PersistedIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
     assert(viaIndex.sameElements(direct))
   }
+
+  test("IVF index (centroids + cells) survives a parquet round-trip — " +
+    "cells hive-partitioned by cent_id: identical semantic admission " +
+    "flags (the q102 contract)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val (cent, cells) = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCentroids = 16)
+    val direct = Similarity.ivfAdmitFromIndex(cent, cells, batch,
+        "vec_id", "embedding", threshold = 0.25, nProbe = 4)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(direct.nonEmpty && direct.exists(_._3),
+      "fixture must exercise real semantic hits")
+
+    val cDir = tmp("graft_ivf_cent")
+    val cellDir = tmp("graft_ivf_cells")
+    cent.write.mode("overwrite").parquet(cDir)
+    // the documented layout: partition by cell so a probe's scan prunes
+    // to its probed cells
+    cells.write.mode("overwrite").partitionBy("cent_id").parquet(cellDir)
+    val viaIndex = Similarity.ivfAdmitFromIndex(
+        spark.read.parquet(cDir),
+        // partition inference is off (GraftSession): cent_id reads back
+        // as string — restore the join type like any real reader would
+        spark.read.parquet(cellDir)
+          .withColumn("cent_id", $"cent_id".cast("long")),
+        batch, "vec_id", "embedding", threshold = 0.25, nProbe = 4)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(viaIndex.sameElements(direct))
+  }
 }

@@ -402,7 +402,7 @@ object OracleGen {
     * shared id space. Both runs re-rank by (score DESC, cand ASC); rank
     * is the ONLY thing that crosses into the fusion. */
   def rrfHybridSql(runK: Int, fuseK: Int, stride: Long, c: Int,
-                   k1: Double = 1.2, b: Double = 0.75): String =
+                   maxDf: Int, k1: Double = 1.2, b: Double = 0.75): String =
     s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
            round(avg(len(t)), 6) AS avgdl FROM docs),
@@ -418,7 +418,7 @@ object OracleGen {
              * ${k1 + 1} / (tf + $k1 * (${1 - b} + $b * dl / avgdl))
              * 1000000) AS BIGINT) AS m
          FROM qt JOIN tf USING (term) JOIN dfreq USING (term), stats
-         WHERE tf.doc_id <> qt.query_id),
+         WHERE tf.doc_id <> qt.query_id AND df <= $maxDf),
        lex AS (SELECT query_id, cand_id, score FROM
          (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY score DESC, cand_id ASC) AS rn FROM

@@ -271,7 +271,7 @@ object SparkEntry {
     * calibration. Same rrfFuse as q98, unchanged. */
   private def qRrfHybrid(s: SparkSession, dir: String): DataFrame = {
     val lex = TextAnalysis.bm25MoreLikeThis(t(s, dir, "documents"),
-        "doc_id", "text", queryStride = 100, k = 10)
+        "doc_id", "text", queryStride = 100, k = 10, maxDf = Some(50))
       .select(col("query_id"), col("cand_id"), col("score"))
     val dense = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 10, stride = 100)
@@ -1560,7 +1560,8 @@ object SparkEntry {
       OracleGen.rrfFusionSql(nBits = 16, dim = 64, runK = 10, fuseK = 5,
         stride = 100, c = 60),
     "q101_rrf_hybrid" ->
-      OracleGen.rrfHybridSql(runK = 10, fuseK = 5, stride = 100, c = 60),
+      OracleGen.rrfHybridSql(runK = 10, fuseK = 5, stride = 100, c = 60,
+        maxDf = 50),
     "q99_session_assembly" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
            CAST(ts AS TIMESTAMP) AS ts FROM events),

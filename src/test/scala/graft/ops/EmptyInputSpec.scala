@@ -127,6 +127,33 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("round-9 family (cell-routed leakage, IVF admission, BM25 " +
+    "more-like-this, RRF fusion) is total on empty input") {
+    assert(Dedup.semanticLeakageCellRouted(emptyEmb, "vec_id", "embedding",
+      isEval = lit(false), threshold = 0.5).count() == 0)
+    val (cent, cells) = Similarity.ivfIndex(emptyEmb, "vec_id", "embedding")
+    assert(cells.count() == 0)
+    assert(Similarity.ivfAdmitFromIndex(cent, cells, emptyEmb,
+      "vec_id", "embedding", threshold = 0.5).count() == 0)
+    // non-empty index, EMPTY batch — and the reverse: empty index,
+    // non-empty batch must flag nothing as dup (everything admitted)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (c2, cl2) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 4)
+    assert(Similarity.ivfAdmitFromIndex(c2, cl2, emptyEmb,
+      "vec_id", "embedding", threshold = 0.5).count() == 0)
+    val viaEmptyIdx = Similarity.ivfAdmitFromIndex(cent, cells, emb,
+      "vec_id", "embedding", threshold = 0.5)
+    assert(viaEmptyIdx.count() == emb.count() &&
+      viaEmptyIdx.filter(col("is_dup")).count() == 0)
+    assert(TextAnalysis.bm25MoreLikeThis(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    assert(Similarity.rrfFuse(
+      Seq(emptyDocs.select(col("doc_id").as("query_id"),
+        col("doc_id").as("cand_id"), col("doc_id").as("score"))),
+      "query_id", "cand_id", Seq(col("score").desc), k = 5).count() == 0)
+  }
+
   test("eighth-wave family (gopher rules, semantic dedup, unigram NLL) is " +
     "total on empty input") {
     assert(TextAnalysis.gopherRules(emptyDocs, "doc_id", "text").count() == 0)

@@ -747,6 +747,19 @@ object SparkEntry {
       threshold = 0.25, nProbe = 4)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * index-storage cut (int8 candidates + float re-rank, the two-tier
+    * ANN deployment shape); per-vector scale, quantized array, and the
+    * reconstruction-error bound all hash-verified against the DuckDB
+    * list-op replay. */
+  private def qEmbeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      // the q38 array precedent: arrow list FIELD NAMES differ between
+      // engines ('element' vs 'l'), so the checked face serializes the
+      // int8 array — every quantized value still enters the hash
+      .select(col("vec_id"), col("scale"),
+        array_join(col("q"), ",").as("q_str"), col("max_err"))
+
   /** Regex/string cleaning ops (engine-library generality: regexp_replace,
     * trim, case fold, split-part). */
   private def qStringClean(s: SparkSession, dir: String): DataFrame =
@@ -991,6 +1004,21 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** CCNet head/middle/tail partition: q85's unigram-NLL scores bucketed
+    * into per-LANGUAGE terciles (low NLL = head) — the language-calibrated
+    * quality partition CCNet feeds into keep/sample/drop decisions; an
+    * absolute NLL threshold would compare incomparable per-language
+    * perplexity ranges. */
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.unigramNll(docs.filter(col("doc_id") % 2 === 0),
+      docs, "doc_id", "text")
+    TextAnalysis.perplexityBuckets(
+      scored.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      Seq("lang"), "doc_id", "avg_nll")
+      .select(col("doc_id"), col("lang"), col("avg_nll"), col("bucket"))
+  }
+
   /** Interpolated bigram-LM NLL — q85's model one Markov order up: word
     * ORDER now matters, unseen bigrams back off to the unigram floor.
     * Same even-id reference fit. */
@@ -1230,12 +1258,14 @@ object SparkEntry {
     "q83_gopher_rules" -> (qGopherRules _),
     "q84_semantic_dedup" -> (qSemanticDedup _),
     "q85_unigram_nll" -> (qUnigramNll _),
+    "q103_ccnet_buckets" -> (qCcnetBuckets _),
     "q86_temperature_sample" -> (qTemperatureSample _),
     "q87_semantic_dedup_trained" -> (qSemanticDedupTrained _),
     "q88_ann_filtered" -> (qAnnFiltered _),
     "q89_semantic_leakage" -> (qSemanticLeakage _),
     "q100_semantic_leakage_routed" -> (qSemanticLeakageRouted _),
     "q102_semantic_admission" -> (qSemanticAdmission _),
+    "q104_embedding_quantize" -> (qEmbeddingQuantize _),
     "q90_nucleus_keep" -> (qNucleusKeep _),
     "q91_quantile_norm" -> (qQuantileNorm _),
     "q92_bigram_nll" -> (qBigramNll _),
@@ -1992,6 +2022,22 @@ object SparkEntry {
     "q102_semantic_admission" ->
       OracleGen.semanticAdmitIvfSql(mod = 10, rem = 0, threshold = 0.25,
         nCentroids = 16, nProbe = 4),
+    "q104_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         sc AS (SELECT vec_id, v,
+             round(list_max(list_transform(v, x -> abs(x))) / 127.0, 6)
+               AS scale
+           FROM e),
+         g AS (SELECT vec_id, v, scale,
+             CASE WHEN scale = 0 THEN 1.0 ELSE scale END AS s
+           FROM sc)
+         SELECT vec_id, scale,
+           array_to_string(list_transform(v, x -> CAST(greatest(-127.0,
+             least(127.0, round(x / s))) AS INT)), ',') AS q_str,
+           round(list_max(list_transform(v, x -> abs(x - greatest(-127.0,
+             least(127.0, round(x / s))) * s))), 6) AS max_err
+         FROM g""",
     "q90_nucleus_keep" ->
       """WITH t AS (SELECT lang, doc_id, n_chars,
              coalesce(sum(n_chars) OVER (PARTITION BY lang
@@ -2051,6 +2097,28 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens,
            round(sum(nll) / count(*), 4) AS avg_nll
          FROM s GROUP BY 1""",
+    "q103_ccnet_buckets" ->
+      """WITH rt AS (SELECT u.tok
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+           WHERE doc_id % 2 = 0),
+         model AS (SELECT tok, count(*) AS cnt FROM rt GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM rt),
+         dt AS (SELECT doc_id, u.tok
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)),
+         s AS (SELECT doc_id,
+             -ln(CAST(COALESCE(cnt, 1) AS DOUBLE) / total) AS nll
+           FROM dt CROSS JOIN tot LEFT JOIN model USING (tok)),
+         scored AS (SELECT doc_id,
+             round(sum(nll) / count(*), 4) AS avg_nll
+           FROM s GROUP BY 1),
+         j AS (SELECT sc.doc_id, d.lang, sc.avg_nll,
+             ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY sc.avg_nll ASC, sc.doc_id ASC) AS nt
+           FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id)
+         SELECT doc_id, lang, avg_nll,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM j""",
     "q86_temperature_sample" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          rates AS (SELECT lang,

@@ -241,6 +241,35 @@ object Similarity {
       Seq(col("rrf").desc, col(candCol).asc), k)
   }
 
+  /** Symmetric per-vector INT8 quantization of an embedding column — the
+    * standard 4× storage/bandwidth cut for a vector index at corpus
+    * scale (a 100 TB float32 index becomes 25 TB; candidate generation
+    * runs on int8, exact re-ranking on the float originals — the
+    * two-tier design every large ANN deployment ships). scale =
+    * round(max|x| / 127, 6); q_i = clamp(round(x_i / scale), ±127);
+    * `max_err` reports the per-vector reconstruction bound (≤ scale/2
+    * by construction — emitted so a pipeline can gate on it).
+    *
+    * Deterministic cross-engine: x is exact (float widened to double),
+    * scale is one IEEE division rounded to 6, q_i is one IEEE division
+    * rounded half-away-from-zero — the same value in any engine — so
+    * the oracle replays the arrays verbatim. A zero vector quantizes to
+    * zeros with scale 0 (division guarded); empty/null vectors propagate
+    * null scale/err (both engines agree). Pure map: no shuffle,
+    * codegen-friendly HOFs only. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scale = round(array_max(transform(v, x => abs(x))) / 127.0, 6)
+    val s = when(scale === 0.0, lit(1.0)).otherwise(scale)
+    val qElem = (x: Column) =>
+      greatest(lit(-127.0), least(lit(127.0), round(x / s)))
+    emb.select(col(idCol),
+      scale.as("scale"),
+      transform(v, x => qElem(x).cast("int")).as("q"),
+      round(array_max(transform(v, x => abs(x - qElem(x) * s))), 6)
+        .as("max_err"))
+  }
+
   /** Persisted IVF index artifacts — the EMBEDDING-family sibling of the
     * text side's persisted indexes ([[graft.ops.Dedup.cosineIndex]],
     * bandKeys): the coarse-quantizer centroid table `(cent_id, cv)` and

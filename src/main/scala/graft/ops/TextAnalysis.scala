@@ -736,6 +736,39 @@ object TextAnalysis {
         round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): within each group (language), rank documents by
+    * a quality score (ascending — for an NLL score low = fluent) and
+    * split them into `labels.length` equal NTILE buckets — the classic
+    * head/middle/tail partition CCNet uses to keep the head, sample the
+    * middle, and drop the tail. Per-group bucketing is the point: a
+    * cross-lingual absolute threshold is meaningless when each
+    * language's LM has its own perplexity range (the same calibration
+    * argument as [[graft.ops.Sampling.quantileNormalize]], which emits a
+    * continuous percentile where this emits the discrete CCNet
+    * partition).
+    *
+    * Deterministic: the window order is (score, key) — a total order —
+    * and NTILE's earlier-buckets-get-the-remainder split is the SQL
+    * standard both engines implement identically.
+    *
+    * Scale: ONE shuffle on the group columns; ntile rides it. */
+  def perplexityBuckets(scored: DataFrame, groupCols: Seq[String],
+                        keyCol: String, scoreCol: String,
+                        labels: Seq[String] = Seq("head", "middle", "tail"))
+      : DataFrame = {
+    require(labels.nonEmpty, "need at least one bucket label")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).asc, col(keyCol).asc)
+    val nt = Iterator.from(0).map(i => s"__ntile$i")
+      .dropWhile(scored.columns.contains).next()
+    scored.withColumn(nt, ntile(labels.length).over(w))
+      .withColumn("bucket",
+        element_at(array(labels.map(lit): _*), col(nt)))
+      .drop(nt)
+  }
+
   def unigramNll(ref: DataFrame, docs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
     // the model is materialized ONCE (lazy localCheckpoint, the q69

@@ -296,6 +296,21 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(auto == explicit && auto.nonEmpty)
   }
 
+  test("quantizeInt8: reconstruction error bounded by scale/2 + half-ulp; " +
+    "zero vector quantizes to zeros with scale 0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    // |x - round(x/s)*s| <= s/2 whenever no clamp engages; the max-abs
+    // element maps to exactly ±127 so the clamp never cuts a true value
+    assert(q.filter(col("max_err") > col("scale") / 2 + lit(1e-9))
+      .count() == 0)
+    assert(q.filter(col("scale") <= 0).count() == 0)
+    val zero = Seq((1L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(zero, "vec_id", "embedding")
+      .as[(Long, Double, Seq[Int], Double)].collect().head
+    assert(zq._2 == 0.0 && zq._3.forall(_ == 0) && zq._4 == 0.0)
+  }
+
   test("semanticLeakageCellRouted: per-id hits lower-bound brute, no " +
     "false-positive leaked flags, nProbe = nCentroids degenerates to the " +
     "exact brute relation, and recall at the q100 params is the measured " +

@@ -760,6 +760,15 @@ object SparkEntry {
       .select(col("vec_id"), col("scale"),
         array_join(col("q"), ",").as("q_str"), col("max_err"))
 
+  /** Two-tier ANN over the int8 representation: every candidate scored
+    * by the exact-integer int8 dot (×scales), top-20 per query re-ranked
+    * by exact float cosine, top-5 emitted — the retrieval shape the q104
+    * quantization exists for (wide scan on the 4×-smaller vectors, full
+    * precision only for candidates). Recall@5 vs q26 spec-measured. */
+  private def qTwoTierAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.int8RerankTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, candK = 20, queryStride = 100)
+
   /** Regex/string cleaning ops (engine-library generality: regexp_replace,
     * trim, case fold, split-part). */
   private def qStringClean(s: SparkSession, dir: String): DataFrame =
@@ -1266,6 +1275,7 @@ object SparkEntry {
     "q100_semantic_leakage_routed" -> (qSemanticLeakageRouted _),
     "q102_semantic_admission" -> (qSemanticAdmission _),
     "q104_embedding_quantize" -> (qEmbeddingQuantize _),
+    "q105_two_tier_ann" -> (qTwoTierAnn _),
     "q90_nucleus_keep" -> (qNucleusKeep _),
     "q91_quantile_norm" -> (qQuantileNorm _),
     "q92_bigram_nll" -> (qBigramNll _),
@@ -2038,6 +2048,37 @@ object SparkEntry {
            round(list_max(list_transform(v, x -> abs(x - greatest(-127.0,
              least(127.0, round(x / s))) * s))), 6) AS max_err
          FROM g""",
+    "q105_two_tier_ann" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         z AS (SELECT id, v, scale,
+             CASE WHEN scale = 0 THEN 1.0 ELSE scale END AS s
+           FROM (SELECT id, v,
+               round(list_max(list_transform(v, x -> abs(x))) / 127.0, 6)
+                 AS scale FROM e)),
+         qz AS (SELECT id, v, scale,
+             list_transform(v, x -> greatest(-127.0,
+               least(127.0, round(x / s)))) AS q
+           FROM z),
+         qs AS (SELECT id AS query_id, v AS qv, scale AS qscale, q AS qq
+           FROM qz WHERE id % 100 = 0),
+         ap AS (SELECT query_id, c.id AS cand_id, c.v, qs.qv,
+             round(list_dot_product(c.q, qs.qq) * c.scale * qs.qscale, 6)
+               AS approx
+           FROM qz c, qs WHERE c.id <> qs.query_id),
+         cand AS (SELECT query_id, cand_id, v, qv FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx DESC, cand_id ASC) AS rn FROM ap)
+           WHERE rn <= 20),
+         r AS (SELECT query_id, cand_id,
+             round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(v, v))), 4) AS cos
+           FROM cand)
+         SELECT query_id, cand_id, cos FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rn FROM r)
+         WHERE rn <= 5""",
     "q90_nucleus_keep" ->
       """WITH t AS (SELECT lang, doc_id, n_chars,
              coalesce(sum(n_chars) OVER (PARTITION BY lang

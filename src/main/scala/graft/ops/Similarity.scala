@@ -257,17 +257,70 @@ object Similarity {
     * zeros with scale 0 (division guarded); empty/null vectors propagate
     * null scale/err (both engines agree). Pure map: no shuffle,
     * codegen-friendly HOFs only. */
-  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = asDouble(col(vecCol))
+  /** The (scale, guarded divisor, clamped-round element) columns shared
+    * by [[quantizeInt8]] and [[int8RerankTopK]] — one definition so the
+    * stored artifact and the retrieval path can never quantize
+    * differently. */
+  private def int8Parts(vec: Column): (Column, Column, Column => Column) = {
+    val v = asDouble(vec)
     val scale = round(array_max(transform(v, x => abs(x))) / 127.0, 6)
     val s = when(scale === 0.0, lit(1.0)).otherwise(scale)
     val qElem = (x: Column) =>
       greatest(lit(-127.0), least(lit(127.0), round(x / s)))
+    (scale, s, qElem)
+  }
+
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val (scale, s, qElem) = int8Parts(col(vecCol))
     emb.select(col(idCol),
       scale.as("scale"),
       transform(v, x => qElem(x).cast("int")).as("q"),
       round(array_max(transform(v, x => abs(x - qElem(x) * s))), 6)
         .as("max_err"))
+  }
+
+  /** TWO-TIER retrieval over the [[quantizeInt8]] representation: the
+    * candidate stage scores every (query, candidate) pair with the INT8
+    * dot product rescaled by the two vectors' scales (exact integer
+    * arithmetic × two IEEE multiplies — bit-deterministic in any
+    * engine), keeps `candK` per query, and only those re-rank by exact
+    * float cosine for the final `k`. This is the deployment shape the
+    * int8 cut exists for: the wide scan runs on the 4×-smaller
+    * representation (at cluster scale: 4× less memory bandwidth and
+    * cache footprint on the N·Q stage), and full-precision vectors are
+    * touched for only candK·Q rows. Recall < 1 by construction —
+    * the int8 approximation can misrank near-ties across the candK
+    * boundary; raise `candK` to trade cost for recall (recall@5 vs the
+    * exact brute force is spec-measured in NewOpsPropertySpec). */
+  def int8RerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 5, candK: Int = 20,
+                     queryStride: Long = 100): DataFrame = {
+    require(k >= 1 && candK >= k && queryStride >= 1,
+      "need k >= 1, candK >= k, queryStride >= 1")
+    val (scale, _, qElem) = int8Parts(col(vecCol))
+    val all = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      scale.as("scale"),
+      transform(asDouble(col(vecCol)), x => qElem(x).cast("int")).as("q"))
+    val queries = all.filter(col("id") % queryStride === 0)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("scale").as("qscale"), col("q").as("qq"))
+    // int8 dot: exact long accumulation (|q| <= 127, dim-bounded — far
+    // inside long), then two IEEE multiplies and round(6): every engine
+    // computes the identical approx score
+    val dot = aggregate(
+      zip_with(col("q"), col("qq"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val approx = all.join(broadcast(queries), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("cand_id"), col("v"), col("qv"),
+        round(dot.cast("double") * col("scale") * col("qscale"), 6)
+          .as("approx"))
+    val cands = Windows.topKPerGroup(approx, Seq(col("query_id")),
+      Seq(col("approx").desc, col("cand_id").asc), candK)
+    val reranked = cands.select(col("query_id"), col("cand_id"),
+      round(cosine(col("qv"), col("v")), 4).as("cos"))
+    Windows.topKPerGroup(reranked, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
   /** Persisted IVF index artifacts — the EMBEDDING-family sibling of the

@@ -311,6 +311,29 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(zq._2 == 0.0 && zq._3.forall(_ == 0) && zq._4 == 0.0)
   }
 
+  test("int8RerankTopK: recall@5 vs the exact brute force at the q105 " +
+    "params, and candK = N-1 degenerates to the exact result") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("cand_id")).as[(Long, Long)]
+        .collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      k = 5, stride = 100))
+    val tiered = pairs(Similarity.int8RerankTopK(emb, "vec_id", "embedding",
+      k = 5, candK = 20, queryStride = 100))
+    assert(exact.size == 25 && tiered.size == 25)
+    // measured: 25/25 at candK=20 on this corpus (int8 over 64 dims
+    // preserves cosine order far beyond the top-5 margin); gate at >= 0.8
+    // so a quantization-order regression shows without pinning corpus
+    // regeneration drift
+    val recall = (exact & tiered).size.toDouble / exact.size
+    assert(recall >= 0.8, s"two-tier recall@5 = $recall")
+    // full candidate list = exact re-rank of everything = brute force
+    val full = pairs(Similarity.int8RerankTopK(emb, "vec_id", "embedding",
+      k = 5, candK = 499, queryStride = 100))
+    assert(full == exact, "candK = N-1 must equal the exact brute force")
+  }
+
   test("semanticLeakageCellRouted: per-id hits lower-bound brute, no " +
     "false-positive leaked flags, nProbe = nCentroids degenerates to the " +
     "exact brute relation, and recall at the q100 params is the measured " +

@@ -988,6 +988,15 @@ object SparkEntry {
       minWords = 50, maxWords = 100000, stopWords = Seq("the", "a"),
       minStops = 2)
 
+  /** Corpus data card: per-(lang, source) + rollup totals — docs, chars,
+    * words, exact-division mean words, and the q83 quality-rule keep
+    * count — the one-pass report a shipped training set carries. */
+  private def qCorpusCard(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusCard(t(s, dir, "documents"), "doc_id", "text",
+      groupCols = Seq("lang", "source"), charsCol = "n_chars",
+      minWords = 50, maxWords = 100000, stopWords = Seq("the", "a"),
+      minStops = 2)
+
   /** SemDedup over the embeddings table: 16 seeded cells bound the pair
     * work; drop any vector within round-4 cosine 0.35 of a lower-id
     * cluster-mate. */
@@ -1276,6 +1285,7 @@ object SparkEntry {
     "q102_semantic_admission" -> (qSemanticAdmission _),
     "q104_embedding_quantize" -> (qEmbeddingQuantize _),
     "q105_two_tier_ann" -> (qTwoTierAnn _),
+    "q106_corpus_card" -> (qCorpusCard _),
     "q90_nucleus_keep" -> (qNucleusKeep _),
     "q91_quantile_norm" -> (qQuantileNorm _),
     "q92_bigram_nll" -> (qBigramNll _),
@@ -2016,6 +2026,27 @@ object SparkEntry {
              AND (mean_word_len BETWEEN 3 AND 10)
              AND frac_alpha >= 0.8 AND n_stop_distinct >= 2 AS keep
          FROM m""",
+    "q106_corpus_card" ->
+      """WITH m AS (SELECT doc_id, lang, source, n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           round((length(text) - len(string_split(text, ' ')) + 1.0)
+             / len(string_split(text, ' ')), 4) AS mean_word_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+               w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS frac_alpha,
+           len(list_intersect(string_split(text, ' '), ['the', 'a']))
+             AS n_stop_distinct
+         FROM documents)
+         SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           round(CAST(sum(n_words) AS DOUBLE) / count(*), 4) AS avg_words,
+           CAST(sum(CASE WHEN (n_words BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3 AND 10)
+               AND frac_alpha >= 0.8 AND n_stop_distinct >= 2
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         FROM m GROUP BY ROLLUP (lang, source)""",
     "q84_semantic_dedup" ->
       OracleGen.semanticDedupSql(nCentroids = 16, threshold = 0.35),
     "q87_semantic_dedup_trained" ->

@@ -28,7 +28,8 @@ case class Config(
     splitRem: Int = 0,
     budget: Long = 1400L,
     maxEpochs: Double = 4.0,
-    nShards: Int = 8)
+    nShards: Int = 8,
+    nllBuckets: Boolean = false)
 
 /** The end-to-end TRAINING-DATA CURATION driver — the curation-side
   * sibling of [[graft.fa.Pipeline]]: the same staged-parquet pattern
@@ -39,6 +40,9 @@ case class Config(
   *   1. `quality`   — Gopher-style rule filter (q83's relation): word
   *                    count, mean word length, alpha fraction, stopword
   *                    presence.
+  *   1b. `nll_buckets` (optional, `Config.nllBuckets`) — CCNet
+  *                    per-language unigram-NLL terciles (q103's
+  *                    relation); the tail bucket drops.
   *   2. `clusters`  — MinHash-LSH near-dup pairs → connected components
   *                    (q45's relation) over the quality survivors.
   *   3. `deduped`   — one canonical doc per cluster (longest, id
@@ -118,21 +122,38 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
       docs.join(keep, Seq("doc_id"))
     }
 
+    // optional CCNet stage (q103's relation): per-language unigram-NLL
+    // terciles over the quality survivors — the model fits on the even-id
+    // half — and the tail bucket drops. A language with < 3 surviving
+    // docs has no tail tercile (NTILE's remainder split), so nothing
+    // drops there — the per-language calibration working as intended.
+    val curated =
+      if (!config.nllBuckets) quality
+      else stage("nll_buckets") {
+        val scored = TextAnalysis.unigramNll(
+          quality.filter(col("doc_id") % 2 === 0), quality, "doc_id", "text")
+        val bucketed = TextAnalysis.perplexityBuckets(
+          scored.join(quality.select("doc_id", "lang"), Seq("doc_id")),
+          Seq("lang"), "doc_id", "avg_nll")
+        quality.join(bucketed.filter(col("bucket") =!= "tail")
+          .select("doc_id"), Seq("doc_id"))
+      }
+
     val clusters = stage("clusters") {
-      val pairs = Dedup.minHashNearDups(quality, "doc_id", "text",
+      val pairs = Dedup.minHashNearDups(curated, "doc_id", "text",
         k = config.minhashK, bands = config.minhashBands,
         shingleSize = config.shingleSize,
         minEstJaccard = config.minEstJaccard,
         threshold = config.dupThreshold)
-      Dedup.components(quality.select("doc_id"),
+      Dedup.components(curated.select("doc_id"),
         pairs.select("doc_a", "doc_b"))
     }
 
     val deduped = stage("deduped") {
-      val canon = Dedup.canonicalPerCluster(clusters, quality,
+      val canon = Dedup.canonicalPerCluster(clusters, curated,
           "doc_id", "n_chars")
         .select(col("canonical_id").as("doc_id"), col("cluster_id"))
-      quality.join(canon, Seq("doc_id"))
+      curated.join(canon, Seq("doc_id"))
     }
 
     val split = stage("split") {

@@ -643,18 +643,26 @@ object TextAnalysis {
     * Mean word length reuses the `(n_chars − n_words + 1) / n_words`
     * identity (single-space tokenization) so no second pass over the
     * token array is needed. */
+  /** The four Gopher metric columns over a text column — ONE definition
+    * shared by [[gopherRules]] (the per-doc verdict) and [[corpusCard]]
+    * (the rollup report), so a rule tweak can never leave the card
+    * reporting a different keep rate than the filter applies. */
+  private def gopherCols(text: Column, stopWords: Seq[String])
+      : (Column, Column, Column, Column) = {
+    val toks = tokens(text)
+    val nW = size(toks)
+    val meanLen = round((length(text) - nW + 1).cast("double") / nW, 4)
+    val fracAlpha =
+      round(size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nW, 4)
+    val nStop = size(array_intersect(toks, array(stopWords.map(lit): _*)))
+    (nW, meanLen, fracAlpha, nStop)
+  }
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   minWords: Int = 50, maxWords: Int = 100000,
                   stopWords: Seq[String] = gopherStops,
                   minStops: Int = 2): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nW = size(toks)
-    val meanLen =
-      round((length(col(textCol)) - nW + 1).cast("double") / nW, 4)
-    val fracAlpha =
-      round(size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nW, 4)
-    val nStop =
-      size(array_intersect(toks, array(stopWords.map(lit): _*)))
+    val (nW, meanLen, fracAlpha, nStop) = gopherCols(col(textCol), stopWords)
     df.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
         fracAlpha.as("frac_alpha"), nStop.as("n_stop_distinct"))
       .withColumn("keep",
@@ -662,6 +670,33 @@ object TextAnalysis {
           col("mean_word_len").between(3.0, 10.0) &&
           col("frac_alpha") >= 0.8 &&
           col("n_stop_distinct") >= minStops)
+  }
+
+  /** Corpus data card: the per-(group…) + rollup-total report a training
+    * set ships with — document/char/word volumes and the quality-rule
+    * keep count, per source dimension and overall (the ROLLUP grand
+    * total), in ONE scan and one shuffle. Rule semantics are
+    * [[gopherRules]]' own columns (shared via the private helper), so
+    * the card's keep rate is exactly what the filter would do.
+    * `avg_words` divides two exact longs once (round 4) instead of
+    * averaging doubles — no partial-sum order in the result. */
+  def corpusCard(df: DataFrame, idCol: String, textCol: String,
+                 groupCols: Seq[String], charsCol: String,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 stopWords: Seq[String] = gopherStops,
+                 minStops: Int = 2): DataFrame = {
+    val (nW, meanLen, fracAlpha, nStop) = gopherCols(col(textCol), stopWords)
+    val keep = nW.between(minWords, maxWords) &&
+      meanLen.between(3.0, 10.0) && fracAlpha >= 0.8 && nStop >= minStops
+    df.select(groupCols.map(col) ++ Seq(col(charsCol).cast("long")
+        .as("__chars"), nW.cast("long").as("__nw"), keep.as("__keep")): _*)
+      .rollup(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("total_chars"),
+        sum(col("__nw")).as("total_words"),
+        round(sum(col("__nw")).cast("double") / count(lit(1)), 4)
+          .as("avg_words"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_keep"))
   }
 
   /** Unigram language-model scoring — the in-container stand-in for the

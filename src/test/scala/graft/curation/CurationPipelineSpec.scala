@@ -177,6 +177,26 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(first == second)
   }
 
+  test("optional CCNet stage: per-language NLL terciles drop each " +
+    "language's tail — and ONLY where a language has a tail tercile") {
+    val (in, out) = fixture()
+    new Pipeline(spark, in, out, cfg.copy(nllBuckets = true)).run()
+    assert(Files.exists(Path.of(s"$out/staging/nll_buckets/_SUCCESS")))
+    val kept = spark.read.parquet(s"$out/staging/nll_buckets")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // quality survivors: en {1,2,3,8} (4 docs -> tercile sizes 2/1/1,
+    // exactly one tail doc drops), fr {5,7} (2 docs -> NTILE(3) fills
+    // buckets 1..2 only, NO tail, nothing drops)
+    assert(kept("en").size == 3, s"en kept ${kept("en")}")
+    assert(kept("fr") == Set(5L, 7L), s"fr kept ${kept("fr")}")
+    // downstream stages ride the curated set: nothing dropped here may
+    // reappear in the split
+    val splitIds = spark.read.parquet(s"$out/staging/split")
+      .select("doc_id").as[Long].collect().toSet
+    assert(splitIds.subsetOf(kept.values.flatten.toSet))
+  }
+
   test("CLI main parses the fa-style flag surface and rejects missing " +
     "required flags") {
     val opts = Main.parseArgs(Array("--input", "/x", "--output", "/y",

@@ -253,15 +253,20 @@ object Similarity {
     * Deterministic cross-engine: x is exact (float widened to double),
     * scale is one IEEE division rounded to 6, q_i is one IEEE division
     * rounded half-away-from-zero — the same value in any engine — so
-    * the oracle replays the arrays verbatim. A zero vector quantizes to
-    * zeros with scale 0 (division guarded); empty/null vectors propagate
-    * null scale/err (both engines agree). Pure map: no shuffle,
-    * codegen-friendly HOFs only. */
-  /** The (scale, guarded divisor, clamped-round element) columns shared
-    * by [[quantizeInt8]] and [[int8RerankTopK]] — one definition so the
-    * stored artifact and the retrieval path can never quantize
-    * differently. */
-  private def int8Parts(vec: Column): (Column, Column, Column => Column) = {
+    * the oracle replays the arrays verbatim (the native expressions use
+    * Spark `Round`'s own BigDecimal HALF_UP algorithm). A zero or empty
+    * vector quantizes to zeros with scale 0 (division guarded); null
+    * vectors propagate null. Pure map: no shuffle; the per-element work
+    * is the native codegen'd [[graft.functions.Int8Vec]] family
+    * ([[quantizeInt8Hof]] is the spec-pinned built-ins reference). */
+  /** The (scale, guarded divisor, clamped-round element) columns of the
+    * BUILT-INS-ONLY int8 quantization — kept as the reference semantics
+    * for the native [[graft.functions.Int8Vec]] expressions (spec-pinned
+    * bit-equal; the same reference-vs-native pattern as
+    * [[cosineHof]]/[[cosine]]). The HOF lambdas evaluate interpreted per
+    * ELEMENT, which priced q104 at 2.49 s for 5k×64 vectors — the native
+    * loop is what ships. */
+  private[graft] def int8Parts(vec: Column): (Column, Column, Column => Column) = {
     val v = asDouble(vec)
     val scale = round(array_max(transform(v, x => abs(x))) / 127.0, 6)
     val s = when(scale === 0.0, lit(1.0)).otherwise(scale)
@@ -270,7 +275,9 @@ object Similarity {
     (scale, s, qElem)
   }
 
-  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Built-ins-only baseline of [[quantizeInt8]] (see [[int8Parts]]). */
+  private[graft] def quantizeInt8Hof(emb: DataFrame, idCol: String,
+                                     vecCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
     val (scale, s, qElem) = int8Parts(col(vecCol))
     emb.select(col(idCol),
@@ -278,6 +285,16 @@ object Similarity {
       transform(v, x => qElem(x).cast("int")).as("q"),
       round(array_max(transform(v, x => abs(x - qElem(x) * s))), 6)
         .as("max_err"))
+  }
+
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.Int8Vec._
+    val v = asDouble(col(vecCol))
+    val scale = int8_scale(v)
+    emb.select(col(idCol),
+      scale.as("scale"),
+      int8_quant(v, scale).as("q"),
+      int8_max_err(v, scale).as("max_err"))
   }
 
   /** TWO-TIER retrieval over the [[quantizeInt8]] representation: the
@@ -298,19 +315,18 @@ object Similarity {
                      queryStride: Long = 100): DataFrame = {
     require(k >= 1 && candK >= k && queryStride >= 1,
       "need k >= 1, candK >= k, queryStride >= 1")
-    val (scale, _, qElem) = int8Parts(col(vecCol))
-    val all = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      scale.as("scale"),
-      transform(asDouble(col(vecCol)), x => qElem(x).cast("int")).as("q"))
+    import graft.functions.Int8Vec._
+    val vIn = asDouble(col(vecCol))
+    val scale = int8_scale(vIn)
+    val all = emb.select(col(idCol).as("id"), vIn.as("v"),
+      scale.as("scale"), int8_quant(vIn, scale).as("q"))
     val queries = all.filter(col("id") % queryStride === 0)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("scale").as("qscale"), col("q").as("qq"))
     // int8 dot: exact long accumulation (|q| <= 127, dim-bounded — far
     // inside long), then two IEEE multiplies and round(6): every engine
     // computes the identical approx score
-    val dot = aggregate(
-      zip_with(col("q"), col("qq"), (a, b) => (a * b).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    val dot = int8_dot(col("q"), col("qq"))
     val approx = all.join(broadcast(queries), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"), col("v"), col("qv"),
         round(dot.cast("double") * col("scale") * col("qscale"), 6)

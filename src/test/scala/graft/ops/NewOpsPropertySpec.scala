@@ -311,6 +311,17 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(zq._2 == 0.0 && zq._3.forall(_ == 0) && zq._4 == 0.0)
   }
 
+  test("native Int8Vec expressions are bit-equal to the built-ins-only " +
+    "quantization reference on the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("scale"),
+          concat_ws(",", col("q")), col("max_err"))
+        .as[(Long, Double, String, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(Similarity.quantizeInt8(emb, "vec_id", "embedding")) ==
+      rows(Similarity.quantizeInt8Hof(emb, "vec_id", "embedding")))
+  }
+
   test("int8RerankTopK: recall@5 vs the exact brute force at the q105 " +
     "params, and candK = N-1 degenerates to the exact result") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

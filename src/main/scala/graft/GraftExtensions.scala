@@ -63,6 +63,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_entropy"),
       info("char_entropy", "char_entropy(string) - Shannon entropy (nats) of the code-point distribution"),
       (args: Seq[Expression]) => graft.functions.CharEntropy(args.head)))
+    ext.injectFunction((FunctionIdentifier("int8_scale"),
+      info("int8_scale", "int8_scale(array<double>) - round(max|x|/127, 6) symmetric quantization scale"),
+      (args: Seq[Expression]) => graft.functions.Int8Scale(args.head)))
+    ext.injectFunction((FunctionIdentifier("int8_quant"),
+      info("int8_quant", "int8_quant(array<double>, scale) - clamp(round(x/scale), +-127) int array"),
+      (args: Seq[Expression]) => graft.functions.Int8Quant(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("int8_max_err"),
+      info("int8_max_err", "int8_max_err(array<double>, scale) - round-6 max reconstruction error"),
+      (args: Seq[Expression]) => graft.functions.Int8MaxErr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("int8_dot"),
+      info("int8_dot", "int8_dot(array<int>, array<int>) - exact integer dot product"),
+      (args: Seq[Expression]) => graft.functions.Int8Dot(args(0), args(1))))
   }
 }
 
@@ -147,6 +159,18 @@ object GraftExtensions {
       "scala_udf")
     reg.createOrReplaceTempFunction("char_entropy",
       (args: Seq[Expression]) => graft.functions.CharEntropy(args.head),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("int8_scale",
+      (args: Seq[Expression]) => graft.functions.Int8Scale(args.head),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("int8_quant",
+      (args: Seq[Expression]) => graft.functions.Int8Quant(args(0), args(1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("int8_max_err",
+      (args: Seq[Expression]) => graft.functions.Int8MaxErr(args(0), args(1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("int8_dot",
+      (args: Seq[Expression]) => graft.functions.Int8Dot(args(0), args(1)),
       "scala_udf")
   }
 }

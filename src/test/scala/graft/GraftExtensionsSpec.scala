@@ -36,6 +36,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - math.log(4)) < 1e-9)
   }
 
+  test("SQL int8 family evaluates the native expressions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT int8_scale(v) AS s,
+                int8_quant(v, int8_scale(v)) AS q,
+                int8_max_err(v, int8_scale(v)) AS e,
+                int8_dot(int8_quant(v, int8_scale(v)),
+                         int8_quant(v, int8_scale(v))) AS d
+         FROM (SELECT CAST(array(1.27, -2.54, 0.0) AS ARRAY<DOUBLE>) AS v)""")
+      .collect()(0)
+    assert(r.getDouble(0) == 0.02)
+    assert(r.getSeq[Int](1) == Seq(64, -127, 0))
+    // max err: |1.27 - 64*0.02| = 0.01; |-2.54 + 127*0.02| = 0.0
+    assert(r.getDouble(2) == 0.01)
+    assert(r.getLong(3) == 64L * 64 + 127L * 127)
+  }
+
   test("SQL hyperplane_sig matches the Scala API and fail-fasts on wrong dim") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col

@@ -320,21 +320,36 @@ object Similarity {
     val scale = int8_scale(vIn)
     val all = emb.select(col(idCol).as("id"), vIn.as("v"),
       scale.as("scale"), int8_quant(vIn, scale).as("q"))
+      // materialized once (lazy, the q84/q88 pattern): the int8 scan, the
+      // query subset, and the float join-back all read it — without this
+      // each consumer re-runs the quantization over the corpus
+      .localCheckpoint(eager = false)
     val queries = all.filter(col("id") % queryStride === 0)
-      .select(col("id").as("query_id"), col("v").as("qv"),
-        col("scale").as("qscale"), col("q").as("qq"))
-    // int8 dot: exact long accumulation (|q| <= 127, dim-bounded — far
-    // inside long), then two IEEE multiplies and round(6): every engine
-    // computes the identical approx score
-    val dot = int8_dot(col("q"), col("qq"))
-    val approx = all.join(broadcast(queries), col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("cand_id"), col("v"), col("qv"),
-        round(dot.cast("double") * col("scale") * col("qscale"), 6)
-          .as("approx"))
+    // the candidate SCAN carries int8 + scale ONLY — this is the whole
+    // point of the representation (at cluster scale: the N·Q stage moves
+    // 4× fewer vector bytes); float vectors join back for just the
+    // candK·Q winners below. int8 dot: exact long accumulation (|q| <=
+    // 127, dim-bounded — far inside long), then two IEEE multiplies and
+    // round(6): every engine computes the identical approx score.
+    val approx = all.select(col("id"), col("scale"), col("q"))
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("scale").as("qscale"), col("q").as("qq"))),
+        col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        round(int8_dot(col("q"), col("qq")).cast("double")
+          * col("scale") * col("qscale"), 6).as("approx"))
     val cands = Windows.topKPerGroup(approx, Seq(col("query_id")),
-      Seq(col("approx").desc, col("cand_id").asc), candK)
-    val reranked = cands.select(col("query_id"), col("cand_id"),
-      round(cosine(col("qv"), col("v")), 4).as("cos"))
+        Seq(col("approx").desc, col("cand_id").asc), candK)
+      .select(col("query_id"), col("cand_id"))
+    // float join-back: the candidate list is candK·Q rows — it BROADCASTS
+    // into the corpus scan (no corpus shuffle), and the query vectors
+    // ride a second broadcast
+    val reranked = all.select(col("id").as("cand_id"), col("v"))
+      .join(broadcast(cands), Seq("cand_id"))
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("v").as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("v")), 4).as("cos"))
     Windows.topKPerGroup(reranked, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
   }

@@ -292,6 +292,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p.take(6000))
   }
 
+  test("q105: two-tier ANN — broadcast-only joins (int8 scan, candidate " +
+    "join-back); the corpus never sort-merge-shuffles") {
+    val p = plan("q105_two_tier_ann")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("q92: bigram formation is a lag window, not a positional self-join; " +
     "vocab and total broadcast; no cartesian") {
     val p = plan("q92_bigram_nll")

@@ -68,6 +68,45 @@ object Sources {
     if (Files.exists(Paths.get(path, "_SUCCESS"))) spark.read.parquet(path)
     else sinkParquet(compute, path, partitionBy)
 
+  /** WARC/WET record source (extension surface — the Common Crawl
+    * container every web-scale pretraining corpus starts from): each
+    * record parses to (warc_type, url, warc_date, content_length,
+    * payload). Implemented as a DISTRIBUTED scan — `spark.read.text`
+    * with the record header sentinel `WARC/1.0\r\n` as the line
+    * separator — so a directory of WET files is one multi-file read;
+    * header fields lift out with anchored regexes and the payload is
+    * everything past the first blank line, trailing record separators
+    * trimmed.
+    *
+    * Honesty notes for the 100 TB path:
+    *  - Splitting on the sentinel (not Content-Length) misparses a
+    *    payload that literally contains `WARC/1.0\r\n`. WET text
+    *    extracts essentially never do; for adversarial raw-response WARC
+    *    archives, use a Content-Length-driven custom InputFormat
+    *    instead.
+    *  - `.wet.gz` files decompress transparently via the Hadoop codec
+    *    but are NOT splittable — one task per file, which matches how
+    *    Common Crawl shards them (~150 MB each): parallelism = file
+    *    count, the standard arrangement. */
+  def warcRecords(spark: SparkSession, paths: String*): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("lineSep", "WARC/1.0\r\n").text(paths: _*)
+      // the bytes before the first sentinel (e.g. nothing, or a BOM) are
+      // not a record; real records always carry a WARC-Type header
+      .filter(col("value").rlike("(?m)^WARC-Type:"))
+      .select(
+        regexp_extract(col("value"), "(?m)^WARC-Type:\\s*(\\S+)", 1)
+          .as("warc_type"),
+        regexp_extract(col("value"), "(?m)^WARC-Target-URI:\\s*(\\S+)", 1)
+          .as("url"),
+        regexp_extract(col("value"), "(?m)^WARC-Date:\\s*(\\S+)", 1)
+          .as("warc_date"),
+        regexp_extract(col("value"), "(?m)^Content-Length:\\s*(\\d+)", 1)
+          .cast("long").as("content_length"),
+        regexp_replace(element_at(split(col("value"), "\r\n\r\n", 2), 2),
+          "(\r\n)+$", "").as("payload"))
+  }
+
   /** S1 (fa-etl.py:49-55): extract all entries of a `.zip` into `destDir`;
     * returns extracted file paths. Driver-side ingest utility (the
     * reference's unzip is also single-process); for distributed unzip at

@@ -423,8 +423,11 @@ object Similarity {
           .cast("long").as("__hit"))
       .groupBy(col("batch_id"))
       .agg(sum(col("__hit")).as("__n"))
+    // hits is at most |batch| narrow rows — broadcast by the same
+    // small-batch contract that broadcasts the probes, so the join-back
+    // never plans a sort-merge shuffle of either side
     b.select(col("id"))
-      .join(hits, col("id") === col("batch_id"), "left")
+      .join(broadcast(hits), col("id") === col("batch_id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("__n"), lit(0L)).as("n_hits"),
         (coalesce(col("__n"), lit(0L)) > 0).as("is_dup"))

@@ -292,6 +292,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p.take(6000))
   }
 
+  test("q102: index admission — the batch probes broadcast into the cell " +
+    "equi-join; the indexed corpus never sort-merge-shuffles") {
+    val p = plan("q102_semantic_admission")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("cent_id"),
+      p.take(4000))
+  }
+
+  test("q106: the corpus card is scan + ONE rollup expand — no join at all") {
+    val p = plan("q106_corpus_card")
+    assert(p.contains("Expand"), p.take(3000))
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+      .foreach(j => assert(!p.contains(j), s"$j in ${p.take(3000)}"))
+  }
+
   test("q105: two-tier ANN — broadcast-only joins (int8 scan, candidate " +
     "join-back); the corpus never sort-merge-shuffles") {
     val p = plan("q105_two_tier_ann")

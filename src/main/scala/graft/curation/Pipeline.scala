@@ -181,11 +181,47 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
         s"$outputDir/val.parquet")
     }
 
-    logged("shards") {
+    val shards = logged("shards") {
       Sampling.writeShards(expanded, "shard_key", config.nShards,
         s"$outputDir/shards")
       spark.read.parquet(s"$outputDir/shards")
     }
+    writeManifest(docs, quality, curated, deduped, split, shards)
+    shards
+  }
+
+  /** The run MANIFEST — the audit artifact a shipped training set
+    * carries: config + per-stage row counts, written as
+    * `manifest.json`. Deliberately DETERMINISTIC (no timestamps, no
+    * hostnames): every field is a pure function of (input, config), so
+    * a replay produces a byte-identical manifest — the cheap first
+    * check that two runs really were the same run (the shard files'
+    * byte-identity is the strong check; CurationPipelineSpec pins
+    * both). Counts come from the committed stage parquet, so the
+    * manifest describes what is ON DISK, not what a plan promised. */
+  private def writeManifest(docs: DataFrame, quality: DataFrame,
+                            curated: DataFrame, deduped: DataFrame,
+                            split: DataFrame, shards: DataFrame): Unit = {
+    val trainRows = split.filter(col("split") === "train").count()
+    val valRows = split.filter(col("split") === "val").count()
+    val fields = Seq(
+      "input_rows" -> docs.count().toString,
+      "quality_rows" -> quality.count().toString,
+      "curated_rows" -> curated.count().toString,
+      "deduped_rows" -> deduped.count().toString,
+      "train_rows" -> trainRows.toString,
+      "val_rows" -> valRows.toString,
+      "shard_rows" -> shards.count().toString,
+      "n_shards" -> config.nShards.toString,
+      "budget" -> config.budget.toString,
+      "max_epochs" -> config.maxEpochs.toString,
+      "split_mod" -> config.splitMod.toString,
+      "split_rem" -> config.splitRem.toString,
+      "dup_threshold" -> config.dupThreshold.toString,
+      "nll_buckets" -> config.nllBuckets.toString)
+    val json = fields.map { case (k, v) => s""""$k": $v""" }
+      .mkString("{\n  ", ",\n  ", "\n}\n")
+    Files.writeString(Paths.get(s"$outputDir/manifest.json"), json)
   }
 }
 

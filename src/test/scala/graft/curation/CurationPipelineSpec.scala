@@ -158,6 +158,16 @@ class CurationPipelineSpec extends AnyFunSuite {
           d.getFileName.toString ->
             md.digest(Files.readAllBytes(part)).map("%02x".format(_)).mkString
         }.toMap
+    // the run manifest is deterministic too (no timestamps): replay
+    // produces byte-identical manifest.json, and its counts match the
+    // fixture's derivation (5 deduped, 3 train -> 6 two-epoch rows)
+    val m1 = Files.readString(Path.of(s"$out1/manifest.json"))
+    val m2 = Files.readString(Path.of(s"$out2/manifest.json"))
+    assert(m1 == m2)
+    assert(m1.contains("\"deduped_rows\": 5") &&
+      m1.contains("\"train_rows\": 3") && m1.contains("\"shard_rows\": 6"),
+      m1)
+
     val a = shardBytes(out1)
     val b = shardBytes(out2)
     assert(a == b && a.nonEmpty, s"shard bytes differ: $a vs $b")

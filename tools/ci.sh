@@ -12,6 +12,14 @@ out=$(mktemp -d)
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out/verify"
 python3 tools/check.py /root/testdata/sf0.01 "$out/verify"
 
+# cross-SCALE probe (the verify-skill gotcha): every query must also
+# hash-match at sf0.001 — catches scale-dependent nondeterminism
+# (partition-count-sensitive float sums, rank ties that only collide at
+# one cardinality) that a single-scale gate cannot see
+out2=$(mktemp -d)
+sbt -batch "runMain graft.Verify /root/testdata/sf0.001 $out2/verify"
+python3 tools/check.py /root/testdata/sf0.001 "$out2/verify"
+
 # per-shape time budgets on the 200k-doc replicated corpus: catches
 # selectivity/candidate-volume regressions before the bench does
 sbt -batch "runMain graft.tools.Stress /root/testdata/sf0.1 40"

@@ -311,6 +311,40 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(zq._2 == 0.0 && zq._3.forall(_ == 0) && zq._4 == 0.0)
   }
 
+  test("rrfFuse is rank-only: a strictly monotone score transform leaves " +
+    "the fusion unchanged, and fusing a run with itself preserves the " +
+    "run's own order") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      k = 10, stride = 100)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      k = 10, nBits = 16, dim = 64, queryStride = 100)
+    val order = Seq(col("cos").desc, col("cand_id").asc)
+    def fused(runs: Seq[org.apache.spark.sql.DataFrame]) =
+      Similarity.rrfFuse(runs, "query_id", "cand_id", order, k = 5)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val base = fused(Seq(bf, lsh))
+    assert(base.nonEmpty)
+    // exp(3x) is strictly increasing and injective: identical ranks,
+    // identical fusion — no score magnitude ever crosses into the result
+    val warp = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("cos", exp(col("cos") * 3))
+    assert(fused(Seq(warp(bf), warp(lsh))) == base)
+    // self-fusion: every pair scores 2/(60+rank), so the fused top-5 IS
+    // the run's own top-5 in the run's own order
+    val self = Similarity.rrfFuse(Seq(bf, bf), "query_id", "cand_id",
+        order, k = 5)
+      .select(col("query_id"), col("cand_id"), col("rrf"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(-_._3).map(_._2).toSeq).toMap
+    val own = Windows.topKPerGroup(bf, Seq(col("query_id")), order, 5)
+      .select(col("query_id"), col("cand_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    assert(self == own)
+  }
+
   test("native Int8Vec expressions are bit-equal to the built-ins-only " +
     "quantization reference on the corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

@@ -698,4 +698,42 @@ object OracleGen {
             ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
        WHERE rn <= $k"""
   }
+
+  /** Unrolled scaled-integer PageRank over the events transition graph —
+    * replays [[graft.ops.Graph.pageRank]] bit-for-bit. Iterations are
+    * UNROLLED as chained CTEs (standard SQL forbids aggregates in a
+    * recursive term, and unrolling keeps each round a plain join+agg the
+    * optimizer understands). `//` on non-negative BIGINTs is DuckDB's
+    * floor division = Spark's truncating `div`; all sums are integer
+    * (DuckDB's HUGEINT sums cast back down), so no float order anywhere. */
+  def pageRankSql(iters: Int, microScale: Long = 1000000L,
+                  dampNum: Long = 85, dampDen: Long = 100): String = {
+    val teleport = microScale * (dampDen - dampNum) / dampDen
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+           CAST($teleport + ($dampNum * COALESCE(s.s, 0)) // $dampDen
+             AS BIGINT) AS r
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node, CAST(SUM((r.r * e.w) // e.ow) AS BIGINT) AS s
+           FROM ew e JOIN r${i - 1} r ON r.node = e.src
+           GROUP BY 1) s ON s.node = n.node)"""
+    }.mkString(",\n       ")
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       edges AS (SELECT src, dst, count(*) AS w FROM tr
+         WHERE src IS NOT NULL GROUP BY 1, 2),
+       nodes AS (SELECT src AS node FROM edges
+         UNION SELECT dst FROM edges),
+       outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+         FROM edges GROUP BY 1),
+       ew AS (SELECT e.src, e.dst, e.w, o.ow
+         FROM edges e JOIN outw o ON o.src = e.src),
+       r0 AS (SELECT node, CAST($microScale AS BIGINT) AS r FROM nodes),
+       $iterCtes
+       SELECT node, r AS rank_micros FROM r$iters"""
+  }
 }

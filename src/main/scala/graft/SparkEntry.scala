@@ -1188,6 +1188,31 @@ object SparkEntry {
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "measure", "val")
 
+  /** Link-graph quality ranking: weighted PageRank over the session-
+    * transition graph — nodes are the JSON `props.k` page keys, edges are
+    * per-user consecutive-event transitions under the `event_id` total
+    * order, 5 scaled-integer iterations (bit-exact in both engines; see
+    * [[graft.ops.Graph.pageRank]]). */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")),
+      iters = 5)
+
+  /** Collocation mining for tokenizer/vocab curation: adjacent-bigram
+    * PMI over the corpus, noise-floored at c2 >= 5. */
+  private def qPmiCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+      minCount = 5L)
+
+  /** DSIR targeted selection: every doc scored by the mean per-token
+    * log-likelihood ratio between the `src0`-domain unigram model and
+    * the raw-pool model; keep = the target model prefers it. Both models
+    * fit in one corpus scan (one group-by, two count columns). */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+      col("source") === "src0")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1297,6 +1322,9 @@ object SparkEntry {
     "q98_rrf_fusion" -> (qRrfFusion _),
     "q101_rrf_hybrid" -> (qRrfHybrid _),
     "q99_session_assembly" -> (qSessionAssembly _),
+    "q107_pagerank" -> (qPageRank _),
+    "q108_pmi_collocations" -> (qPmiCollocations _),
+    "q109_dsir_weights" -> (qDsirWeights _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2292,5 +2320,42 @@ object SparkEntry {
          count(*) AS n_events,
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
          FROM s GROUP BY user_id, session_seq""",
+    "q107_pagerank" -> OracleGen.pageRankSql(iters = 5),
+    "q108_pmi_collocations" ->
+      """WITH rt AS (SELECT doc_id AS rid, u.i AS pos, toks[u.i] AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+             UNNEST(generate_series(1, len(toks))) AS u(i)),
+         uni AS (SELECT tok, count(*) AS c1 FROM rt GROUP BY tok),
+         tot AS (SELECT CAST(sum(c1) AS BIGINT) AS T FROM uni),
+         bi0 AS (SELECT a.tok AS prev, b.tok AS tok, count(*) AS c2
+           FROM rt a JOIN rt b ON a.rid = b.rid AND b.pos = a.pos + 1
+           GROUP BY 1, 2),
+         btot AS (SELECT CAST(sum(c2) AS BIGINT) AS B FROM bi0)
+         SELECT bi0.prev AS prev, bi0.tok AS tok, c2,
+           round(ln((CAST(c2 AS DOUBLE) * T * T) /
+             (CAST(B AS DOUBLE) * up.c1 * ut.c1)), 4) AS pmi
+         FROM bi0
+           JOIN uni up ON up.tok = bi0.prev
+           JOIN uni ut ON ut.tok = bi0.tok
+           CROSS JOIN tot CROSS JOIN btot
+         WHERE c2 >= 5""",
+    "q109_dsir_weights" ->
+      """WITH dt AS (SELECT doc_id, source = 'src0' AS tgt, u.tok
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)),
+         model AS (SELECT tok, count(*) AS c_raw,
+             CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+           FROM dt GROUP BY 1),
+         tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+             CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM model),
+         s AS (SELECT doc_id,
+             ln(CAST(CASE WHEN c_tgt = 0 THEN 1 ELSE c_tgt END AS DOUBLE)
+                 / t_tgt)
+               - ln(CAST(c_raw AS DOUBLE) / t_raw) AS lr
+           FROM dt JOIN model USING (tok) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(sum(lr) / count(*), 4) AS avg_logratio,
+           round(sum(lr) / count(*), 4) > 0 AS keep
+         FROM s GROUP BY doc_id""",
   )
 }

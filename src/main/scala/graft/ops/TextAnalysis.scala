@@ -826,4 +826,95 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
   }
+
+  /** PMI collocation mining (Church & Hanks 1990) — the statistic behind
+    * both tokenizer-vocab curation (which adjacent pairs deserve a merge,
+    * the first step of a BPE-style induction) and phrase-table building:
+    * {{{ pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+    *             = ln( (c2·T·T) / (B·c1(a)·c1(b)) ) }}}
+    * with c2 the adjacent-bigram count, c1 the unigram counts, T total
+    * tokens, B total bigrams. `minCount` drops the classic PMI
+    * pathology — rare pairs score arbitrarily high on noise — before
+    * any float math happens.
+    *
+    * Scale shape: bigram formation is a lag window riding ONE shuffle on
+    * the doc id (the q92 pattern — never a positional self-join); both
+    * count tables are vocab-sized aggregates of that single pass, lazily
+    * checkpointed so the unfiltered bigram relation is materialized once
+    * and reused for the B total and the scored pairs. The unigram model
+    * and the two scalar totals BROADCAST onto the vocab²-bounded pair
+    * table; corpus-scale data is touched exactly once. Float: the PMI of
+    * a pair is ONE ln over integer-derived doubles (no float sums), so
+    * round(·,4) only absorbs the cross-engine libm ulp. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rid")).orderBy(col("pos").asc)
+    val rt = docs.select(col(idCol).as("rid"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val uni = rt.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false)
+    val total = uni.agg(sum(col("c1")).as("T"))
+    val bi0 = rt.withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = false)
+    val btot = bi0.agg(sum(col("c2")).as("B"))
+    bi0.filter(col("c2") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("prev"),
+        col("c1").as("c1p"))), Seq("prev"))
+      .join(broadcast(uni.select(col("tok"), col("c1").as("c1t"))),
+        Seq("tok"))
+      .join(broadcast(total), lit(true))
+      .join(broadcast(btot), lit(true))
+      .select(col("prev"), col("tok"), col("c2"),
+        round(log((col("c2").cast("double") * col("T") * col("T")) /
+          (col("B").cast("double") * col("c1p") * col("c1t"))), 4)
+          .as("pmi"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) —
+    * data selection by importance resampling: score every document by
+    * how much more likely a TARGET-domain language model finds its
+    * tokens than the raw-pool model does,
+    * {{{ avg_logratio(d) = (1/|d|) Σ_t [ ln p_tgt(t) − ln p_raw(t) ] }}}
+    * and keep documents the target model prefers (avg_logratio > 0).
+    * The paper uses hashed n-gram features; the unigram form here is the
+    * same estimator one Markov order down (the [[unigramNll]]/KenLM
+    * stand-in precedent). A zero target count backs off to the 1/T_tgt
+    * floor — q85's OOV rule — so the ratio is always finite; `isTarget`
+    * must match at least one document (an empty target makes every
+    * p_tgt degenerate).
+    *
+    * Scale shape: BOTH models come out of ONE aggregation over ONE
+    * corpus scan — the raw count and the target count are two columns of
+    * the same vocab-sized group-by (a second corpus pass for the target
+    * model is the naive shape; the conditional-sum column is free). The
+    * model and its totals broadcast back onto the token stream, so
+    * scoring is map-side; the per-doc mean is one combinable shuffle.
+    * Float: per-doc Σ of ln-ratios is order-sensitive; round(·,4) on the
+    * MEAN absorbs it (q85's proven contract, not the raw sum). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val dt = docs.select(col(idCol).as("id"), isTarget.as("__t"),
+      explode(tokens(col(textCol))).as("tok"))
+    val model = dt.groupBy(col("tok")).agg(
+        count(lit(1)).as("c_raw"),
+        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("c_tgt"))
+      .localCheckpoint(eager = false)
+    val tot = model.agg(sum(col("c_raw")).as("t_raw"),
+      sum(col("c_tgt")).as("t_tgt"))
+    dt.join(broadcast(model), Seq("tok"))
+      .join(broadcast(tot), lit(true))
+      .select(col("id"),
+        (log(when(col("c_tgt") === 0L, lit(1L)).otherwise(col("c_tgt"))
+            .cast("double") / col("t_tgt"))
+          - log(col("c_raw").cast("double") / col("t_raw"))).as("lr"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lr")) / count(lit(1)), 4).as("avg_logratio"))
+      .select(col("id").as(idCol), col("n_tokens"), col("avg_logratio"),
+        (col("avg_logratio") > 0).as("keep"))
+  }
 }

@@ -339,6 +339,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joins(p) == joins(base), s"split=${joins(p)} base=${joins(base)}")
   }
 
+  test("q107: pagerank's edge derivation and per-iteration joins are " +
+    "equi-joins — no cartesian anywhere in the iterated plan") {
+    // the final plan hides checkpointed iterations; audit one un-
+    // checkpointed round explicitly: edges ⨝ ranks on src must hash-join
+    val edges = graft.ops.Graph.transitionEdges(
+      spark.read.parquet(s"$dir/events.parquet"), "user_id", "event_id",
+      graft.ops.Events.jsonField(
+        org.apache.spark.sql.functions.col("props"), "$.k"))
+    val outw = edges.groupBy("src")
+      .agg(org.apache.spark.sql.functions.sum("w").as("ow"))
+    val round = edges.join(outw, Seq("src"))
+      .join(edges.select(org.apache.spark.sql.functions.col("src"),
+        org.apache.spark.sql.functions.lit(1000000L).as("r"))
+        .distinct(), Seq("src"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val full = plan("q107_pagerank")
+    assert(!full.contains("CartesianProduct"), full.take(3000))
+  }
+
+  test("q108: PMI pair scoring joins are all broadcast onto the vocab²-" +
+    "bounded pair table; bigrams come from a lag window, no self-join " +
+    "shuffle") {
+    val p = plan("q108_pmi_collocations")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the bigram relation itself is checkpointed (shows as ExistingRDD in
+    // the final plan), so pin its lag-window formation separately
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rid").orderBy("pos")
+    val bigrams = docs.select(
+        org.apache.spark.sql.functions.col("doc_id").as("rid"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "))
+          .as(Seq("pos", "tok")))
+      .withColumn("prev",
+        org.apache.spark.sql.functions.lag("tok", 1).over(w))
+    val bp = bigrams.queryExecution.executedPlan.toString
+    assert(bp.contains("Window") && !bp.contains("Join"), bp.take(2000))
+  }
+
+  test("q109: DSIR scores with ONE corpus-token aggregation (both models " +
+    "are columns of the same group-by) and broadcast model join-back") {
+    val p = plan("q109_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -206,4 +206,19 @@ class EmptyInputSpec extends AnyFunSuite {
       struct(col("text"))).count() == 0)
     assert(TextAnalysis.qualityMetrics(emptyDocs, "doc_id", "text").count() == 0)
   }
+
+  test("graph + selection family is total on empty input") {
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_id", LongType),
+        StructField("props", StringType))))
+    val edges = Graph.transitionEdges(emptyEvents, "user_id", "event_id",
+      Events.jsonField(col("props"), "$.k"))
+    assert(edges.count() == 0)
+    assert(Graph.pageRank(edges, iters = 2).count() == 0)
+    assert(TextAnalysis.pmiCollocations(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.dsirWeights(emptyDocs, "doc_id", "text",
+      col("doc_id") % 2 === 0).count() == 0)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hand-computed fixpoints + exactness invariants for the link-graph
+  * layer. PageRank here is scaled-integer arithmetic, so tests assert
+  * EXACT micros — any deviation is a real semantics change, not float
+  * noise. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long, Long)*) =
+    rows.toDF("src", "dst", "w")
+
+  test("transitionEdges: per-user lag under the total order; nulls drop " +
+    "BEFORE the lag so a null never breaks the chain") {
+    val ev = Seq(
+      (1L, 1L, Option(10L)), (1L, 2L, Option.empty[Long]),
+      (1L, 3L, Option(20L)), (1L, 4L, Option(10L)),
+      (2L, 5L, Option(20L)), (2L, 6L, Option(20L))
+    ).toDF("user_id", "event_id", "k")
+    val e = Graph.transitionEdges(ev, "user_id", "event_id", col("k"))
+      .as[(Long, Long, Long)].collect().toSet
+    // user 1: 10 -> 20 -> 10 (the null event vanishes, chain intact);
+    // user 2: one 20 -> 20 self-transition
+    assert(e == Set((10L, 20L, 1L), (20L, 10L, 1L), (20L, 20L, 1L)))
+  }
+
+  test("pageRank: the symmetric 2-cycle holds the uniform fixpoint " +
+    "exactly (teleport + damped full rank = initial rank)") {
+    val r = Graph.pageRank(edges((1L, 2L, 1L), (2L, 1L, 1L)), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank: a sink absorbs mass; hand-computed micros at fixpoint") {
+    // a -> b only. a gets teleport-only from iter 1; b's fixpoint is
+    // teleport + 85% of a's teleport rank.
+    val r = Graph.pageRank(edges((1L, 2L, 1L)), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("pageRank: weighted out-edges split contribution w/out_w " +
+    "(one iteration, hand-checked)") {
+    val r = Graph.pageRank(
+      edges((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)),
+      iters = 1).as[(Long, Long)].collect().toMap
+    // out_w(1) = 4: contrib 1->2 = 750000, 1->3 = 250000; nodes 2 and 3
+    // send their full initial rank to 1.
+    assert(r(2L) == 150000L + 85L * 750000L / 100L)
+    assert(r(3L) == 150000L + 85L * 250000L / 100L)
+    assert(r(1L) == 150000L + 85L * 2000000L / 100L)
+  }
+
+  test("pageRank is partitioning-invariant and bounded below by teleport " +
+    "(exact integer arithmetic end to end)") {
+    val e = (1L to 40L).map(i => (i % 10, (i * 7) % 10, 1L + i % 3))
+      .toDF("src", "dst", "w")
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val a = Graph.pageRank(e.repartition(1), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(e.repartition(13), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(_ >= 150000L))
+    // truncating division only LOSES mass: total never exceeds N * scale
+    assert(a.values.sum <= a.size * 1000000L)
+  }
+}

@@ -415,4 +415,65 @@ class NewOpsPropertySpec extends AnyFunSuite {
       trainIters = 2))
     assert(full == brute, "nProbe = nCentroids must equal brute exactly")
   }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("pmiCollocations == naive JVM PMI on random word docs; minCount " +
+    "drops rare pairs") {
+    val words = Vector("a", "b", "c", "d", "e")
+    val docGen = Gen.listOfN(12, Gen.oneOf(words)).map(_.mkString(" "))
+    forAllSeeded(Gen.listOfN(20, docGen), n = 3) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val toks = texts.map(_.split(" ").toSeq)
+      val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val t = toks.map(_.size).sum.toLong
+      val bi = toks.flatMap(ts => ts.zip(ts.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val btot = bi.values.sum
+      for (minCount <- Seq(1L, 3L)) {
+        val expected = bi.collect {
+          case ((p, w), c2) if c2 >= minCount =>
+            ((p, w), (c2, round4(math.log(
+              (c2.toDouble * t * t) / (btot.toDouble * uni(p) * uni(w))))))
+        }.toMap
+        val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount)
+          .as[(String, String, Long, Double)].collect()
+          .map { case (p, w, c2, pmi) => ((p, w), (c2, pmi)) }.toMap
+        assert(got == expected, s"minCount=$minCount")
+      }
+    }
+  }
+
+  test("dsirWeights: target-model-preferred docs keep; OOV-in-target " +
+    "tokens hit the 1/T floor; JVM replay matches at round-4") {
+    // target vocabulary is {x, z}; the raw pool adds y-heavy docs
+    val docs = Seq(
+      (0L, "x x z x", "tgt"), (1L, "z x z z", "tgt"),
+      (2L, "x z x z", "pool"), (3L, "y y y y", "pool"),
+      (4L, "x y z y", "pool")
+    ).toDF("doc_id", "text", "kind")
+    val got = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        col("kind") === "tgt")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // JVM replay with the same formula (floor c_tgt=0 -> 1)
+    val all = Seq("x x z x", "z x z z", "x z x z", "y y y y", "x y z y")
+      .map(_.split(" ").toSeq)
+    val tgtToks = all.take(2).flatten
+    val cRaw = all.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cTgt = tgtToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tRaw, tTgt) = (all.flatten.size.toLong, tgtToks.size.toLong)
+    def lr(tok: String): Double =
+      math.log(math.max(cTgt.getOrElse(tok, 0L), 1L).toDouble / tTgt) -
+        math.log(cRaw(tok).toDouble / tRaw)
+    all.zipWithIndex.foreach { case (ts, i) =>
+      val mean = round4(ts.map(lr).sum / ts.size)
+      val (_, n, avg, keep) = got(i.toLong)
+      assert(n == ts.size && avg == mean && keep == (mean > 0), s"doc $i")
+    }
+    // the target-language docs score positive, the y-only doc negative
+    assert(got(0L)._4 && got(1L)._4 && !got(3L)._4)
+  }
 }

@@ -707,11 +707,21 @@ object OracleGen {
     * floor division = Spark's truncating `div`; all sums are integer
     * (DuckDB's HUGEINT sums cast back down), so no float order anywhere. */
   def pageRankSql(iters: Int, microScale: Long = 1000000L,
-                  dampNum: Long = 85, dampDen: Long = 100): String = {
+                  dampNum: Long = 85, dampDen: Long = 100,
+                  seedSql: Option[String] = None): String = {
     val teleport = microScale * (dampDen - dampNum) / dampDen
+    // personalized form: teleport (and the initial rank) only where the
+    // seed predicate holds — `seedSql` is a predicate over `node`,
+    // mirroring Graph.personalizedPageRank's Column predicate
+    def gated(amount: Long, node: String): String = seedSql match {
+      case Some(p) =>
+        s"CASE WHEN ${p.replace("node", node)} THEN $amount ELSE 0 END"
+      case None => amount.toString
+    }
     val iterCtes = (1 to iters).map { i =>
       s"""r$i AS (SELECT n.node,
-           CAST($teleport + ($dampNum * COALESCE(s.s, 0)) // $dampDen
+           CAST(${gated(teleport, "n.node")}
+             + ($dampNum * COALESCE(s.s, 0)) // $dampDen
              AS BIGINT) AS r
          FROM nodes n LEFT JOIN (
            SELECT e.dst AS node, CAST(SUM((r.r * e.w) // e.ow) AS BIGINT) AS s
@@ -732,7 +742,8 @@ object OracleGen {
          FROM edges GROUP BY 1),
        ew AS (SELECT e.src, e.dst, e.w, o.ow
          FROM edges e JOIN outw o ON o.src = e.src),
-       r0 AS (SELECT node, CAST($microScale AS BIGINT) AS r FROM nodes),
+       r0 AS (SELECT node,
+         CAST(${gated(microScale, "node")} AS BIGINT) AS r FROM nodes),
        $iterCtes
        SELECT node, r AS rank_micros FROM r$iters"""
   }

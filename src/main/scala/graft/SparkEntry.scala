@@ -1199,6 +1199,16 @@ object SparkEntry {
         Events.jsonField(col("props"), "$.k")),
       iters = 5)
 
+  /** Crawl-frontier prioritization: PERSONALIZED PageRank with teleport
+    * restricted to the trusted seed pages (`node % 10 == 0`) — rank
+    * measures reachability from the seed set, the signal a crawler uses
+    * to order its frontier. Same integer iteration as q107. */
+  private def qPersonalizedPageRank(s: SparkSession, dir: String): DataFrame =
+    Graph.personalizedPageRank(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")),
+      seed = col("node") % 10 === 0, iters = 5)
+
   /** Collocation mining for tokenizer/vocab curation: adjacent-bigram
     * PMI over the corpus, noise-floored at c2 >= 5. */
   private def qPmiCollocations(s: SparkSession, dir: String): DataFrame =
@@ -1325,6 +1335,7 @@ object SparkEntry {
     "q107_pagerank" -> (qPageRank _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
+    "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2321,6 +2332,8 @@ object SparkEntry {
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
          FROM s GROUP BY user_id, session_seq""",
     "q107_pagerank" -> OracleGen.pageRankSql(iters = 5),
+    "q110_personalized_pagerank" ->
+      OracleGen.pageRankSql(iters = 5, seedSql = Some("node % 10 = 0")),
     "q108_pmi_collocations" ->
       """WITH rt AS (SELECT doc_id AS rid, u.i AS pos, toks[u.i] AS tok
            FROM (SELECT doc_id, string_split(text, ' ') AS toks
@@ -2347,11 +2360,11 @@ object SparkEntry {
              CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
            FROM dt GROUP BY 1),
          tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
-             CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM model),
+             CAST(sum(c_tgt) AS BIGINT) AS t_tgt,
+             count(*) AS v FROM model),
          s AS (SELECT doc_id,
-             ln(CAST(CASE WHEN c_tgt = 0 THEN 1 ELSE c_tgt END AS DOUBLE)
-                 / t_tgt)
-               - ln(CAST(c_raw AS DOUBLE) / t_raw) AS lr
+             ln(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + v))
+               - ln(CAST(c_raw + 1 AS DOUBLE) / (t_raw + v)) AS lr
            FROM dt JOIN model USING (tok) CROSS JOIN tot)
          SELECT doc_id, count(*) AS n_tokens,
            round(sum(lr) / count(*), 4) AS avg_logratio,

@@ -29,7 +29,9 @@ case class Config(
     budget: Long = 1400L,
     maxEpochs: Double = 4.0,
     nShards: Int = 8,
-    nllBuckets: Boolean = false)
+    nllBuckets: Boolean = false,
+    dsirTargetSource: Option[String] = None,
+    dsirMinLogratio: Double = 0.0)
 
 /** The end-to-end TRAINING-DATA CURATION driver — the curation-side
   * sibling of [[graft.fa.Pipeline]]: the same staged-parquet pattern
@@ -139,21 +141,36 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
           .select("doc_id"), Seq("doc_id"))
       }
 
+    // optional DSIR stage (q109's relation): keep only documents the
+    // TARGET-source unigram model prefers over the raw-pool model by at
+    // least `dsirMinLogratio` nats/token — targeted selection between
+    // the rule filter and the (more expensive) near-dup clustering, so
+    // dedup pays only for data that already matches the target domain
+    val selected =
+      if (config.dsirTargetSource.isEmpty) curated
+      else stage("dsir") {
+        val keep = TextAnalysis.dsirWeights(curated, "doc_id", "text",
+            col("source") === config.dsirTargetSource.get)
+          .filter(col("avg_logratio") > config.dsirMinLogratio)
+          .select("doc_id")
+        curated.join(keep, Seq("doc_id"))
+      }
+
     val clusters = stage("clusters") {
-      val pairs = Dedup.minHashNearDups(curated, "doc_id", "text",
+      val pairs = Dedup.minHashNearDups(selected, "doc_id", "text",
         k = config.minhashK, bands = config.minhashBands,
         shingleSize = config.shingleSize,
         minEstJaccard = config.minEstJaccard,
         threshold = config.dupThreshold)
-      Dedup.components(curated.select("doc_id"),
+      Dedup.components(selected.select("doc_id"),
         pairs.select("doc_a", "doc_b"))
     }
 
     val deduped = stage("deduped") {
-      val canon = Dedup.canonicalPerCluster(clusters, curated,
+      val canon = Dedup.canonicalPerCluster(clusters, selected,
           "doc_id", "n_chars")
         .select(col("canonical_id").as("doc_id"), col("cluster_id"))
-      curated.join(canon, Seq("doc_id"))
+      selected.join(canon, Seq("doc_id"))
     }
 
     val split = stage("split") {
@@ -186,7 +203,8 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
         s"$outputDir/shards")
       spark.read.parquet(s"$outputDir/shards")
     }
-    writeManifest(docs, quality, curated, deduped, split, shards)
+    writeManifest(docs, quality, curated, selected, deduped, split,
+      shards)
     shards
   }
 
@@ -200,14 +218,16 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
     * both). Counts come from the committed stage parquet, so the
     * manifest describes what is ON DISK, not what a plan promised. */
   private def writeManifest(docs: DataFrame, quality: DataFrame,
-                            curated: DataFrame, deduped: DataFrame,
-                            split: DataFrame, shards: DataFrame): Unit = {
+                            curated: DataFrame, selected: DataFrame,
+                            deduped: DataFrame, split: DataFrame,
+                            shards: DataFrame): Unit = {
     val trainRows = split.filter(col("split") === "train").count()
     val valRows = split.filter(col("split") === "val").count()
     val fields = Seq(
       "input_rows" -> docs.count().toString,
       "quality_rows" -> quality.count().toString,
       "curated_rows" -> curated.count().toString,
+      "selected_rows" -> selected.count().toString,
       "deduped_rows" -> deduped.count().toString,
       "train_rows" -> trainRows.toString,
       "val_rows" -> valRows.toString,
@@ -218,7 +238,8 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
       "split_mod" -> config.splitMod.toString,
       "split_rem" -> config.splitRem.toString,
       "dup_threshold" -> config.dupThreshold.toString,
-      "nll_buckets" -> config.nllBuckets.toString)
+      "nll_buckets" -> config.nllBuckets.toString,
+      "dsir_enabled" -> config.dsirTargetSource.isDefined.toString)
     val json = fields.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\n  ", ",\n  ", "\n}\n")
     Files.writeString(Paths.get(s"$outputDir/manifest.json"), json)

@@ -97,13 +97,45 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5,
                microScale: Long = 1000000L,
                dampNum: Long = 85, dampDen: Long = 100,
-               checkpointEvery: Int = 8): DataFrame = {
+               checkpointEvery: Int = 8): DataFrame =
+    prImpl(edges, iters, microScale, dampNum, dampDen, checkpointEvery,
+      seed = None)
+
+  /** PERSONALIZED PageRank (Haveliwala 2002, "Topic-Sensitive
+    * PageRank"): teleport mass lands ONLY on the seed nodes, so rank
+    * measures proximity to the seed set — the crawl-frontier
+    * prioritization / topic-expansion form ("rank everything by how
+    * reachable it is from the domains we trust"). `seed` is a predicate
+    * over `col("node")` (a Column so it replays in SQL oracles; a seed
+    * TABLE caller can semi-join its ids into the predicate upstream).
+    * Teleport is per-seed-unnormalized (each seed gets the full
+    * teleport share rather than 1/|S|): a global positive constant
+    * factor that leaves the ranking — what curation consumes —
+    * unchanged, while keeping the arithmetic integer. Non-seed nodes
+    * start (and teleport) at 0 and earn rank only through in-links from
+    * the seed neighborhood. */
+  def personalizedPageRank(edges: DataFrame, seed: Column, iters: Int = 5,
+                           microScale: Long = 1000000L,
+                           dampNum: Long = 85, dampDen: Long = 100,
+                           checkpointEvery: Int = 8): DataFrame =
+    prImpl(edges, iters, microScale, dampNum, dampDen, checkpointEvery,
+      seed = Some(seed))
+
+  private def prImpl(edges: DataFrame, iters: Int, microScale: Long,
+                     dampNum: Long, dampDen: Long, checkpointEvery: Int,
+                     seed: Option[Column]): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       "damping must satisfy 0 <= dampNum <= dampDen")
     require(microScale > 0, "microScale must be > 0")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val teleport = microScale * (dampDen - dampNum) / dampDen
+    // seeded: teleport (and the initial rank) lands only where the seed
+    // predicate holds; uniform: everywhere
+    def gated(amount: Long): Column = seed match {
+      case Some(p) => when(p, lit(amount)).otherwise(lit(0L))
+      case None => lit(amount)
+    }
     val e = edges.localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -113,14 +145,14 @@ object Graph {
     val ew = e.join(outw, Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("ow"))
       .localCheckpoint(eager = false)
-    var r = nodes.select(col("node"), lit(microScale).as("r"))
+    var r = nodes.select(col("node"), gated(microScale).as("r"))
     for (i <- 1 to iters) {
       val s = ew.join(r.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), expr("(r * w) div ow").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val next = nodes.join(s, nodes("node") === s("dst"), "left")
         .select(col("node"),
-          (lit(teleport) +
+          (gated(teleport) +
             expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("r"))
       r = if (i % checkpointEvery == 0 && i < iters)
         next.localCheckpoint(eager = false)

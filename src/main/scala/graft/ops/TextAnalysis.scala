@@ -882,10 +882,15 @@ object TextAnalysis {
     * and keep documents the target model prefers (avg_logratio > 0).
     * The paper uses hashed n-gram features; the unigram form here is the
     * same estimator one Markov order down (the [[unigramNll]]/KenLM
-    * stand-in precedent). A zero target count backs off to the 1/T_tgt
-    * floor — q85's OOV rule — so the ratio is always finite; `isTarget`
-    * must match at least one document (an empty target makes every
-    * p_tgt degenerate).
+    * stand-in precedent). Both models take SYMMETRIC Laplace smoothing,
+    * p(t) = (c(t)+1)/(T+V) with V the pool vocabulary size — q85's
+    * asymmetric 1/T floor would be WRONG here: it hands every
+    * target-OOV token ln(T_raw/T_tgt) > 0, i.e. unseen-by-the-target
+    * evidence would count FOR the target (a ratio statistic needs the
+    * same estimator on both sides; with add-one, an OOV token scores
+    * ln((T_raw+V)/(T_tgt+V)) − ln(c_raw+1) — negative as soon as the
+    * token has any raw mass). `isTarget` should match at least one
+    * document (an empty target degenerates to a constant-shift model).
     *
     * Scale shape: BOTH models come out of ONE aggregation over ONE
     * corpus scan — the raw count and the target count are two columns of
@@ -904,13 +909,14 @@ object TextAnalysis {
         sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("c_tgt"))
       .localCheckpoint(eager = false)
     val tot = model.agg(sum(col("c_raw")).as("t_raw"),
-      sum(col("c_tgt")).as("t_tgt"))
+      sum(col("c_tgt")).as("t_tgt"), count(lit(1)).as("v"))
     dt.join(broadcast(model), Seq("tok"))
       .join(broadcast(tot), lit(true))
       .select(col("id"),
-        (log(when(col("c_tgt") === 0L, lit(1L)).otherwise(col("c_tgt"))
-            .cast("double") / col("t_tgt"))
-          - log(col("c_raw").cast("double") / col("t_raw"))).as("lr"))
+        (log((col("c_tgt") + lit(1L)).cast("double") /
+            (col("t_tgt") + col("v")))
+          - log((col("c_raw") + lit(1L)).cast("double") /
+            (col("t_raw") + col("v")))).as("lr"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("lr")) / count(lit(1)), 4).as("avg_logratio"))

@@ -207,6 +207,39 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(splitIds.subsetOf(kept.values.flatten.toSet))
   }
 
+  test("optional DSIR stage: only docs the target-source unigram model " +
+    "prefers survive into clustering and the split") {
+    // mixed-source fixture: docs 5 and 7 carry the TARGET source; their
+    // vocabularies (cand*/delta*) define the target model, so the
+    // web-source topic docs (alfa*/bravo*/echo*) are target-OOV and
+    // score negative while 5 and 7 score positive (their topic tokens
+    // are 1/t_tgt vs a 3x-larger raw pool)
+    val base = Files.createTempDirectory("curation_dsir")
+    val in = base.resolve("documents.parquet").toString
+    Seq(
+      (1L, textA, "en", "web", 300L),
+      (3L, textB, "en", "web", 280L),
+      (5L, textC, "fr", "good", 270L),
+      (7L, textD, "fr", "good", 260L),
+      (8L, textE, "en", "web", 250L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(in)
+    val out = base.resolve("out").toString
+    new Pipeline(spark, in, out,
+      cfg.copy(dsirTargetSource = Some("good"))).run()
+    assert(Files.exists(Path.of(s"$out/staging/dsir/_SUCCESS")))
+    val kept = spark.read.parquet(s"$out/staging/dsir")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 7L), s"dsir kept $kept")
+    val splitIds = spark.read.parquet(s"$out/staging/split")
+      .select("doc_id").as[Long].collect().toSet
+    assert(splitIds.subsetOf(kept))
+    // manifest records the stage
+    val manifest = Files.readString(Path.of(s"$out/manifest.json"))
+    assert(manifest.contains(""""selected_rows": 2"""), manifest)
+    assert(manifest.contains(""""dsir_enabled": true"""), manifest)
+  }
+
   test("CLI main parses the fa-style flag surface and rejects missing " +
     "required flags") {
     val opts = Main.parseArgs(Array("--input", "/x", "--output", "/y",

@@ -56,6 +56,29 @@ class GraphSpec extends AnyFunSuite {
     assert(r(1L) == 150000L + 85L * 2000000L / 100L)
   }
 
+  test("personalizedPageRank: teleport lands only on seeds; downstream " +
+    "nodes earn rank through in-links (hand-computed chain fixpoint)") {
+    // chain 0 -> 1 -> 2 with seed {0}: 1 gets 85% of 0's teleport rank,
+    // 2 gets 85% of 1's — the geometric proximity-to-seed decay
+    val r = Graph.personalizedPageRank(
+      edges((0L, 1L, 1L), (1L, 2L, 1L)),
+      seed = col("node") % 10 === 0, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 150000L,
+      1L -> 85L * 150000L / 100L,
+      2L -> 85L * (85L * 150000L / 100L) / 100L))
+  }
+
+  test("personalizedPageRank with an all-true seed == uniform pageRank") {
+    val e = (1L to 40L).map(i => (i % 10, (i * 7) % 10, 1L + i % 3))
+      .toDF("src", "dst", "w")
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val uni = Graph.pageRank(e, iters = 3).as[(Long, Long)].collect().toMap
+    val per = Graph.personalizedPageRank(e, seed = lit(true), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(uni == per)
+  }
+
   test("pageRank is partitioning-invariant and bounded below by teleport " +
     "(exact integer arithmetic end to end)") {
     val e = (1L to 40L).map(i => (i % 10, (i * 7) % 10, 1L + i % 3))

@@ -446,8 +446,9 @@ class NewOpsPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("dsirWeights: target-model-preferred docs keep; OOV-in-target " +
-    "tokens hit the 1/T floor; JVM replay matches at round-4") {
+  test("dsirWeights: target-model-preferred docs keep; target-OOV " +
+    "tokens score AGAINST the target (symmetric Laplace smoothing); " +
+    "JVM replay matches at round-4") {
     // target vocabulary is {x, z}; the raw pool adds y-heavy docs
     val docs = Seq(
       (0L, "x x z x", "tgt"), (1L, "z x z z", "tgt"),
@@ -458,16 +459,17 @@ class NewOpsPropertySpec extends AnyFunSuite {
         col("kind") === "tgt")
       .as[(Long, Long, Double, Boolean)].collect()
       .map(r => r._1 -> r).toMap
-    // JVM replay with the same formula (floor c_tgt=0 -> 1)
+    // JVM replay with the same add-one formula over the pool vocab
     val all = Seq("x x z x", "z x z z", "x z x z", "y y y y", "x y z y")
       .map(_.split(" ").toSeq)
     val tgtToks = all.take(2).flatten
     val cRaw = all.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val cTgt = tgtToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val (tRaw, tTgt) = (all.flatten.size.toLong, tgtToks.size.toLong)
+    val v = cRaw.size.toLong
     def lr(tok: String): Double =
-      math.log(math.max(cTgt.getOrElse(tok, 0L), 1L).toDouble / tTgt) -
-        math.log(cRaw(tok).toDouble / tRaw)
+      math.log((cTgt.getOrElse(tok, 0L) + 1L).toDouble / (tTgt + v)) -
+        math.log((cRaw(tok) + 1L).toDouble / (tRaw + v))
     all.zipWithIndex.foreach { case (ts, i) =>
       val mean = round4(ts.map(lr).sum / ts.size)
       val (_, n, avg, keep) = got(i.toLong)

@@ -859,9 +859,13 @@ object Dedup {
     * recursive-CTE closure. (Fixpoint ⇒ labels constant along every edge
     * ⇒ constant per component ⇒ = the component min, which is stable.)
     *
-    * Scale shape: each round is one join + one groupBy on the edge list
-    * plus one label self-join (shuffles O(|V| + |E|)), with a checkpoint
-    * per round to stop lineage growth. Convergence detection costs no
+    * Scale shape: the loop runs over the PAIR-TOUCHED node set only —
+    * edge-free ids can never change label and rejoin as singletons after
+    * convergence — so each round is one join + one groupBy on the edge
+    * list plus one label self-join, shuffles O(|V_dup| + |E|) with
+    * |V_dup| the dup-graph node count (a small fraction of the corpus;
+    * 477 of 5000 docs at sf0.1 under the q45 pair relation), with a
+    * checkpoint per round to stop lineage growth. Convergence detection costs no
     * extra action: the jump job's checkpoint carries a CollectMetrics
     * count of still-decreasing labels (read via [[Observation]]), so a
     * round is exactly its two materializations — hook and jump. `checkpointDir` picks the
@@ -902,7 +906,17 @@ object Dedup {
       .select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
       .union(pairs.select(col(pairs.columns(1)).as("src"),
         col(pairs.columns(0)).as("dst"))))
-    var labels = persist(ids.select(col(idCol).as("id"), col(idCol).as("label")))
+    // Iterate ONLY over nodes that appear in some pair: a node with no
+    // edges can never change label (hook sees no neighbors, jump maps
+    // label=id to itself), so looping it through every round is pure
+    // waste — and the dominant one, since in a real corpus the dup-graph
+    // node set is a small fraction of the id universe (sf0.1 measured:
+    // 477 touched of 5000 docs, a ~10x loop shrink). Untouched
+    // ids rejoin as their own singleton label at the end. Labels stay
+    // ids of TOUCHED nodes throughout (init = own id; hook takes mins
+    // over touched neighbors), so the jump's self-lookup remains total.
+    var labels = persist(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     var iters = 0
     var done = false
     while (!done && iters < maxIters) {
@@ -946,7 +960,11 @@ object Dedup {
     edges.unpersist()
     require(done, s"components: no fixpoint after $maxIters rounds " +
       "(component diameter exceeds ~2^maxIters)")
-    labels
+    // singletons (ids with no pair) re-enter as their own label; the
+    // touched labels broadcast when small, else this is one equi-join
+    ids.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("label", "__lbl"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__lbl"), col("id")).as("label"))
   }
 
   /** End-to-end near-dup corpus dedup: keep one canonical doc (the

@@ -1223,6 +1223,25 @@ object SparkEntry {
     TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
       col("source") === "src0")
 
+  /** Event-sourced SCD2 dimension build: each user's `props.k` attribute
+    * collapsed to its change points with validity intervals — the
+    * as-of-queryable history a feature store derives from an append-only
+    * log. Total order (ts, event_id); see [[graft.ops.Events.scd2History]]. */
+  private def qScd2History(s: SparkSession, dir: String): DataFrame =
+    Events.scd2History(Events.load(s, dir), "user_id", "ts", "event_id",
+      Events.jsonField(col("props"), "$.k"))
+      // NTZ on the checked face — the q19 parquet-encoding precedent
+      .withColumn("valid_from", col("valid_from").cast(TimestampNTZType))
+      .withColumn("valid_to", col("valid_to").cast(TimestampNTZType))
+
+  /** Variance-optimal eval-set budgeting: Neyman allocation of a 1000-row
+    * labeling budget across languages by n_chars dispersion — exact
+    * integer moments, so the float sqrt is the only (correctly-rounded)
+    * non-integer step. */
+  private def qNeymanAllocation(s: SparkSession, dir: String): DataFrame =
+    Sampling.neymanAllocation(t(s, dir, "documents"), "lang", "n_chars",
+      budget = 1000L)
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1336,6 +1355,8 @@ object SparkEntry {
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
+    "q111_scd2_history" -> (qScd2History _),
+    "q112_neyman_allocation" -> (qNeymanAllocation _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2334,6 +2355,35 @@ object SparkEntry {
     "q107_pagerank" -> OracleGen.pageRankSql(iters = 5),
     "q110_personalized_pagerank" ->
       OracleGen.pageRankSql(iters = 5, seedSql = Some("node % 10 = 0")),
+    "q111_scd2_history" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS attr
+         FROM events),
+         nn AS (SELECT * FROM ev WHERE attr IS NOT NULL),
+         ch AS (SELECT user_id, ts, event_id, attr,
+             lag(attr) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS prev
+           FROM nn),
+         c2 AS (SELECT user_id, ts, event_id, attr FROM ch
+           WHERE prev IS NULL OR prev <> attr)
+         SELECT user_id, attr, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+         FROM c2 WINDOW w AS (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC)""",
+    "q112_neyman_allocation" ->
+      """WITH m AS (SELECT lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS s1,
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+         FROM documents GROUP BY 1),
+         w AS (SELECT lang, n,
+           CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS w
+           FROM m),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+         SELECT lang, n, w,
+           CASE WHEN tw = 0 THEN 0
+                ELSE least(n, (1000 * w) // tw) END AS alloc
+         FROM w CROSS JOIN t""",
     "q108_pmi_collocations" ->
       """WITH rt AS (SELECT doc_id AS rid, u.i AS pos, toks[u.i] AS tok
            FROM (SELECT doc_id, string_split(text, ' ') AS toks

@@ -103,6 +103,38 @@ object Events {
     * order varies run to run; integer summation removes the hazard class
     * entirely (and matches any engine's `sum(cast(round(x*100) as bigint))
     * / 100.0` bit for bit). */
+  /** SCD2 (type-2 slowly-changing-dimension) attribute history from an
+    * event stream: collapse each key's event sequence to the rows where
+    * `attr` CHANGES, and give every surviving row a validity interval —
+    * `valid_from` = its own timestamp, `valid_to` = the next change's
+    * timestamp (null ⇒ `is_current`). The event-sourcing move every
+    * warehouse / feature store runs to turn an append-only log into an
+    * as-of-queryable dimension; the intervals feed [[Joins]]' as-of and
+    * interval-join operators directly.
+    *
+    * Determinism: rows are ordered by the (`tsCol`, `ordCol`) TOTAL
+    * order (the q19 sessionize contract — `ordCol` breaks timestamp
+    * ties), and null attributes are dropped BEFORE the lag so a null
+    * never splits a run of equal values asymmetrically between engines.
+    * Two changes at the same timestamp produce an empty [t, t) interval
+    * — retained, deterministic, and faithful to the log.
+    *
+    * Scale shape: both windows ride ONE shuffle on the key (the second
+    * window's partitioning is the first's, so Catalyst plans a single
+    * exchange); nothing else touches event-scale data. */
+  def scd2History(events: DataFrame, keyCol: String, tsCol: String,
+                  ordCol: String, attr: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    events.select(col(keyCol), col(tsCol), col(ordCol), attr.as("attr"))
+      .filter(col("attr").isNotNull)
+      .withColumn("prev", lag(col("attr"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("attr"), col(tsCol).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 }

@@ -382,4 +382,46 @@ object Sampling {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** NEYMAN (variance-optimal) stratified allocation (Neyman 1934): give
+    * stratum h the share of `budget` proportional to N_h·S_h — strata
+    * that are BIG or INTERNALLY VARIED earn more samples, because that is
+    * where a mean estimate's variance comes from; a constant-valued
+    * stratum needs (and gets) almost none. The principled version of the
+    * flat per-stratum quota q49 draws, for building eval sets whose
+    * metric variance is minimized at a fixed labeling budget.
+    *
+    * Cross-engine exactness without rounding tricks: N_h·S_h (population
+    * sd) = sqrt(n·Σx² − (Σx)²)/n · n = sqrt(n·s2 − s1²), so the weight is
+    * the sqrt of an EXACTLY-computed integer (the moments are long sums
+    * of an integer-valued column). IEEE sqrt is correctly rounded in
+    * both engines, the floor drops the one inexact bit, and everything
+    * after — the total and the `(budget·w) div tw` share — is 64-bit
+    * integer arithmetic. `alloc` caps at the stratum size (can't sample
+    * more rows than exist); a fully-degenerate corpus (every stratum
+    * constant ⇒ every w = 0) allocates 0 everywhere rather than
+    * dividing by zero. Overflow envelope: n·s2 and budget·w must stay
+    * under 2^63 — holds whenever value² · rows · budget < 9·10^18 (the
+    * caller of a 10^12-row corpus scales `valueCol` down first).
+    *
+    * Scale shape: ONE combinable aggregation over the corpus (three long
+    * moments per stratum); the |strata|-row table then broadcasts its
+    * 1-row total. Row selection at the allocation is q49's existing
+    * rank-by-draw machinery. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val x = col(valueCol).cast("long")
+    val m = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"))
+    val wgt = m.select(col(strataCol), col("n"),
+      floor(sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+        .cast("double"))).cast("long").as("w"))
+    val tot = wgt.agg(sum(col("w")).as("tw"))
+    wgt.join(broadcast(tot), lit(true))
+      .select(col(strataCol), col("n"), col("w"),
+        when(col("tw") === 0L, lit(0L))
+          .otherwise(least(col("n"), expr(s"($budget * w) div tw")))
+          .as("alloc"))
+  }
 }

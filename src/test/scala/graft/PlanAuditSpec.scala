@@ -392,6 +392,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q111: both SCD2 windows (change-lag and interval-lead) ride ONE " +
+    "exchange on the key — the second window reuses the first's " +
+    "partitioning and sort") {
+    val p = plan("q111_scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q112: Neyman allocation is one combinable moment aggregation; " +
+    "the strata table never sort-merge-joins") {
+    val p = plan("q112_neyman_allocation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -220,5 +220,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.pmiCollocations(emptyDocs, "doc_id", "text").count() == 0)
     assert(TextAnalysis.dsirWeights(emptyDocs, "doc_id", "text",
       col("doc_id") % 2 === 0).count() == 0)
+    val emptyTs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("props", StringType))))
+    assert(Events.scd2History(emptyTs, "user_id", "ts", "event_id",
+      Events.jsonField(col("props"), "$.k")).count() == 0)
+    assert(Sampling.neymanAllocation(emptyDocs, "doc_id", "doc_id",
+      budget = 10L).count() == 0)
   }
 }

@@ -478,4 +478,61 @@ class NewOpsPropertySpec extends AnyFunSuite {
     // the target-language docs score positive, the y-only doc negative
     assert(got(0L)._4 && got(1L)._4 && !got(3L)._4)
   }
+
+  test("scd2History: runs collapse to change points with correct " +
+    "intervals; nulls drop without splitting a run; ties break on ordCol") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", Option(5L)),
+      (1L, 2L, "2024-01-01 00:00:02", Option(5L)),   // same value: no row
+      (1L, 3L, "2024-01-01 00:00:03", Option(7L)),   // change
+      (1L, 4L, "2024-01-01 00:00:04", Option.empty[Long]), // null: ignored
+      (1L, 5L, "2024-01-01 00:00:05", Option(7L)),   // run CONTINUES over null
+      (1L, 6L, "2024-01-01 00:00:06", Option(5L)),   // change back
+      (2L, 7L, "2024-01-01 00:00:01", Option(9L))    // singleton user
+    ).toDF("user_id", "event_id", "ts_s", "k")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.scd2History(ev, "user_id", "ts", "event_id", col("k"))
+      .select(col("user_id"), col("attr"),
+        unix_timestamp(col("valid_from")).as("f"),
+        unix_timestamp(col("valid_to")).as("t"), col("is_current"))
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().toSet
+    val base = got.map(_._3).min - 1 // epoch of 00:00:00
+    assert(got == Set(
+      (1L, 5L, base + 1, Some(base + 3), false),
+      (1L, 7L, base + 3, Some(base + 6), false),
+      (1L, 5L, base + 6, None, true),
+      (2L, 9L, base + 1, None, true)), got)
+  }
+
+  test("neymanAllocation == exact JVM integer replay; constant strata " +
+    "earn 0; alloc caps at stratum size") {
+    val g = Gen.listOfN(60, for {
+      s <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(0L, 500L)
+    } yield (s, v))
+    forAllSeeded(g, n = 4) { rows =>
+      // force one constant stratum (w = 0) and one tiny stratum (cap)
+      val data = rows ++ Seq(("const", 7L), ("const", 7L), ("tiny", 400L))
+      val df = data.zipWithIndex
+        .map { case ((s, v), i) => (i.toLong, s, v) }
+        .toDF("id", "lang", "n_chars")
+      val budget = 40L
+      val got = Sampling.neymanAllocation(df, "lang", "n_chars", budget)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      val byS = data.groupBy(_._1)
+      val w = byS.view.mapValues { vs =>
+        val n = vs.size.toLong
+        val s1 = vs.map(_._2).sum
+        val s2 = vs.map(v => v._2 * v._2).sum
+        (n, math.sqrt((n * s2 - s1 * s1).toDouble).toLong)
+      }.toMap
+      val tw = w.values.map(_._2).sum
+      w.foreach { case (s, (n, wh)) =>
+        val alloc = if (tw == 0) 0L else math.min(n, budget * wh / tw)
+        assert(got(s) == ((s, n, wh, alloc)), s"stratum $s")
+      }
+      assert(got("const")._4 == 0L)
+    }
+  }
 }

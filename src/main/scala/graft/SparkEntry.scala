@@ -1242,6 +1242,17 @@ object SparkEntry {
     Sampling.neymanAllocation(t(s, dir, "documents"), "lang", "n_chars",
       budget = 1000L)
 
+  /** Live-ops anomaly monitor: per-event-type trailing-hour 3/2σ z-test
+    * in exact integer arithmetic (range frame over epoch seconds, so ts
+    * ties are frame-symmetric and need no break; 3/2 because the
+    * synthetic uniform values cap |z| at √3 and self-inclusion caps z²
+    * at n−1 — both flag branches exercised at every verify scale). */
+  private def qRollingAnomaly(s: SparkSession, dir: String): DataFrame =
+    Events.rollingAnomalies(Events.load(s, dir), "event_type", "ts",
+      "value", windowSeconds = 3600L, sigmaNum = 3L, sigmaDen = 2L,
+      minEvents = 5L)
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1357,6 +1368,7 @@ object SparkEntry {
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
     "q111_scd2_history" -> (qScd2History _),
     "q112_neyman_allocation" -> (qNeymanAllocation _),
+    "q113_rolling_anomaly" -> (qRollingAnomaly _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2384,6 +2396,23 @@ object SparkEntry {
            CASE WHEN tw = 0 THEN 0
                 ELSE least(n, (1000 * w) // tw) END AS alloc
          FROM w CROSS JOIN t""",
+    "q113_rolling_anomaly" ->
+      """WITH ev AS (SELECT event_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+           CAST(round(value * 100) AS BIGINT) AS x
+         FROM events),
+         m AS (SELECT event_id, event_type, ts, value, x,
+             count(*) OVER w AS n_window,
+             CAST(sum(x) OVER w AS BIGINT) AS s1,
+             CAST(sum(x * x) OVER w AS BIGINT) AS s2
+           FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY sec ASC
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+         SELECT event_id, event_type, ts, value, n_window,
+           n_window >= 5 AND
+             4 * ((n_window * x - s1) * (n_window * x - s1)) >
+               9 * (n_window * s2 - s1 * s1) AS is_anomaly
+         FROM m""",
     "q108_pmi_collocations" ->
       """WITH rt AS (SELECT doc_id AS rid, u.i AS pos, toks[u.i] AS tok
            FROM (SELECT doc_id, string_split(text, ' ') AS toks

@@ -137,4 +137,61 @@ object Events {
 
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
+
+  /** Rolling anomaly flags over a trailing TIME window — the live-ops
+    * monitor for an ingestion stream: an event is anomalous when its
+    * value sits more than k = `sigmaNum/sigmaDen` standard deviations
+    * from the mean of its group's trailing `windowSeconds` (inclusive of
+    * itself). The z-test runs ENTIRELY in integers: with cent-scaled x
+    * and the trailing moments n, s1 = Σx, s2 = Σx²,
+    * {{{ |x − μ| > k·σ  ⇔  den²·(n·x − s1)² > num²·(n·s2 − s1²) }}}
+    * (multiply through by n²·den²; σ² = (n·s2 − s1²)/n²) — no division,
+    * no sqrt, no float anywhere, so the flag is engine-/partitioning-
+    * exact. `minEvents` suppresses the cold-start regime where a
+    * variance estimate is meaningless (and where n = 1 makes both sides
+    * 0). The threshold is RATIONAL because self-inclusion bounds the
+    * achievable z² at n − 1 (one outlier among n moves its own baseline)
+    * — a 3σ test needs trailing counts above 10, while thin streams run
+    * at 3/2σ and still get an exact test.
+    *
+    * The frame is a RANGE (value-based) frame over epoch seconds —
+    * events sharing a timestamp land in each other's frames
+    * symmetrically, so ties need no break at all (the reason this is a
+    * range, not rows, frame). Self-inclusion is deliberate: it biases
+    * AGAINST flagging (the point inflates its own baseline), never
+    * toward a false positive, and keeps the frame the SQL-standard one
+    * every engine implements identically.
+    *
+    * Overflow envelope: den²·(n·x)² must stay under 2^63 — cents ≤ 10^5,
+    * trailing counts ≤ 10^4 and den ≤ 2 give 4·10^18 < 9.2·10^18; wider
+    * windows or bigger currencies scale cents down first.
+    *
+    * Scale shape: ONE shuffle on the group key; all three moments ride
+    * the same window frame. */
+  def rollingAnomalies(events: DataFrame, groupCol: String, tsCol: String,
+                       valueCol: String, windowSeconds: Long = 3600L,
+                       sigmaNum: Long = 3L, sigmaDen: Long = 1L,
+                       minEvents: Long = 5L): DataFrame = {
+    require(windowSeconds > 0 && sigmaNum > 0 && sigmaDen > 0 &&
+      minEvents >= 2,
+      "need windowSeconds > 0, sigmaNum/sigmaDen > 0, minEvents >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__sec"))
+      .rangeBetween(-windowSeconds, 0)
+    events
+      .withColumn("__sec", unix_timestamp(col(tsCol)))
+      .withColumn("__x", round(col(valueCol) * 100).cast(LongType))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("__x")).over(w))
+      .withColumn("__s2", sum(col("__x") * col("__x")).over(w))
+      .select(col("event_id"), col(groupCol), col(tsCol), col(valueCol),
+        col("n_window"),
+        (col("n_window") >= minEvents &&
+          lit(sigmaDen * sigmaDen) *
+            ((col("n_window") * col("__x") - col("__s1")) *
+              (col("n_window") * col("__x") - col("__s1"))) >
+          lit(sigmaNum * sigmaNum) *
+            (col("n_window") * col("__s2") - col("__s1") * col("__s1")))
+          .as("is_anomaly"))
+  }
 }

@@ -409,6 +409,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("q113: all three rolling moments ride ONE range-frame window on " +
+    "ONE exchange — no join, no second shuffle") {
+    val p = plan("q113_rolling_anomaly")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n" + p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -504,6 +504,41 @@ class NewOpsPropertySpec extends AnyFunSuite {
       (2L, 9L, base + 1, None, true)), got)
   }
 
+  test("rollingAnomalies: hand-computed spike flags at 3/2 sigma; stable " +
+    "runs, cold starts and expired windows stay quiet; ts ties are " +
+    "frame-symmetric") {
+    val ev = Seq(
+      // one group, 5 stable cents then a spike, all inside one hour
+      (1L, "a", "2024-01-01 10:00:00", 1.00),
+      (2L, "a", "2024-01-01 10:05:00", 1.00),
+      (3L, "a", "2024-01-01 10:10:00", 1.00),
+      (4L, "a", "2024-01-01 10:15:00", 1.00),
+      (5L, "a", "2024-01-01 10:20:00", 1.00),
+      (6L, "a", "2024-01-01 10:25:00", 100.00), // the spike
+      (7L, "a", "2024-01-01 13:00:00", 100.00), // window expired: n=1
+      // ts tie group: both rows share the instant and see each other
+      (8L, "b", "2024-01-01 10:00:00", 1.00),
+      (9L, "b", "2024-01-01 10:00:00", 2.00)
+    ).toDF("event_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.rollingAnomalies(ev, "event_type", "ts", "value",
+        windowSeconds = 3600L, sigmaNum = 3L, sigmaDen = 2L, minEvents = 5L)
+      .select(col("event_id"), col("n_window"), col("is_anomaly"))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // cold start (n < 5) never flags
+    (1L to 4L).foreach(i => assert(got(i) == ((i, i, false)), s"event $i"))
+    // 5th stable event: n = 5 but variance 0 -> 0 > 0 is false
+    assert(got(5L) == ((5L, 5L, false)))
+    // the spike: n=6, x=10000, s1=10500, s2=100050000 ->
+    // 4*(49500)^2 = 9.801e9 > 9*(490050000) = 4.4105e9
+    assert(got(6L) == ((6L, 6L, true)))
+    // window expired: alone in its frame
+    assert(got(7L) == ((7L, 1L, false)))
+    // tie symmetry: both instant-sharing rows count each other (n = 2)
+    assert(got(8L)._2 == 2L && got(9L)._2 == 2L)
+    assert(!got(8L)._3 && !got(9L)._3)
+  }
+
   test("neymanAllocation == exact JVM integer replay; constant strata " +
     "earn 0; alloc caps at stratum size") {
     val g = Gen.listOfN(60, for {

@@ -747,4 +747,42 @@ object OracleGen {
        $iterCtes
        SELECT node, r AS rank_micros FROM r$iters"""
   }
+
+  /** Per-node triangle/wedge counts over the events transition graph —
+    * replays [[graft.ops.Graph.triangleCounts]]' degree-ordered
+    * orientation exactly: same (deg, id) tuple order, same
+    * orientation-minimal-corner production, pure integer counting. */
+  def triangleCountsSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM tr WHERE src IS NOT NULL AND src <> dst),
+       deg AS (SELECT node, count(*) AS deg FROM
+           (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         GROUP BY 1),
+       o AS (SELECT
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                THEN a ELSE b END AS src,
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                THEN b ELSE a END AS dst,
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                THEN db.deg ELSE da.deg END AS ddeg
+         FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+       tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         FROM o e1 JOIN o e2 ON e1.src = e2.src
+           AND (e1.ddeg < e2.ddeg
+             OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+         WHERE EXISTS (SELECT 1 FROM o e3
+           WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+       pn AS (SELECT node, count(*) AS triangles FROM
+           (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+         GROUP BY 1)
+       SELECT d.node, d.deg, d.deg * (d.deg - 1) // 2 AS wedges,
+         COALESCE(pn.triangles, 0) AS triangles
+       FROM deg d LEFT JOIN pn ON pn.node = d.node"""
 }

@@ -1242,6 +1242,15 @@ object SparkEntry {
     Sampling.neymanAllocation(t(s, dir, "documents"), "lang", "n_chars",
       budget = 1000L)
 
+  /** Local clustering structure of the session-transition graph: per-node
+    * triangle + wedge counts via degree-ordered orientation (skew-bounded
+    * wedge join; each triangle found once at its orientation-minimal
+    * corner). */
+  private def qTriangleCounts(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCounts(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")))
+
   /** Live-ops anomaly monitor: per-event-type trailing-hour 3/2σ z-test
     * in exact integer arithmetic (range frame over epoch seconds, so ts
     * ties are frame-symmetric and need no break; 3/2 because the
@@ -1369,6 +1378,7 @@ object SparkEntry {
     "q111_scd2_history" -> (qScd2History _),
     "q112_neyman_allocation" -> (qNeymanAllocation _),
     "q113_rolling_anomaly" -> (qRollingAnomaly _),
+    "q114_triangle_counts" -> (qTriangleCounts _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2396,6 +2406,7 @@ object SparkEntry {
            CASE WHEN tw = 0 THEN 0
                 ELSE least(n, (1000 * w) // tw) END AS alloc
          FROM w CROSS JOIN t""",
+    "q114_triangle_counts" -> OracleGen.triangleCountsSql,
     "q113_rolling_anomaly" ->
       """WITH ev AS (SELECT event_id, event_type,
            CAST(ts AS TIMESTAMP) AS ts, value,

@@ -409,6 +409,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("q114: triangle wedge formation and closure are equi-joins on " +
+    "node ids — no cartesian, no nested loop anywhere") {
+    val p = plan("q114_triangle_counts")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q113: all three rolling moments ride ONE range-frame window on " +
     "ONE exchange — no join, no second shuffle") {
     val p = plan("q113_rolling_anomaly")

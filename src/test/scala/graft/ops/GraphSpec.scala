@@ -79,6 +79,52 @@ class GraphSpec extends AnyFunSuite {
     assert(uni == per)
   }
 
+  test("triangleCounts: hand graph — one triangle plus a pendant; " +
+    "reversed duplicates and self-loops vanish in the simple-graph dedup") {
+    val e = edges((1L, 2L, 1L), (2L, 1L, 3L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 4L, 9L))
+    val got = Graph.triangleCounts(e)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1L)), 2L -> ((2L, 1L, 1L)),
+      3L -> ((3L, 3L, 1L)), 4L -> ((1L, 0L, 0L))), got)
+  }
+
+  test("triangleCounts: K5 — every node sees C(4,2)=6 triangles " +
+    "(each of the 10 global triangles counted once per member)") {
+    val k5 = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b, 1L)
+    val got = Graph.triangleCounts(k5.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 5)
+    got.foreach { case (n, deg, wedges, tri) =>
+      assert(deg == 4L && wedges == 6L && tri == 6L, s"node $n")
+    }
+  }
+
+  test("triangleCounts == naive all-triples count on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val es = (1 to 120).map(_ => (rnd.nextInt(12).toLong,
+        rnd.nextInt(12).toLong, 1L)).toDF("src", "dst", "w")
+      val und = es.as[(Long, Long, Long)].collect()
+        .map { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val nodes = und.flatMap { case (a, b) => Seq(a, b) }
+      def adj(x: Long, y: Long) = und((math.min(x, y), math.max(x, y)))
+      val expected = nodes.map { n =>
+        val nbrs = nodes.filter(m => m != n && adj(n, m)).toSeq
+        val tris = nbrs.combinations(2).count { case Seq(x, y) => adj(x, y) }
+        n -> ((nbrs.size.toLong,
+          nbrs.size.toLong * (nbrs.size - 1) / 2, tris.toLong))
+      }.toMap
+      val got = Graph.triangleCounts(es)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("pageRank is partitioning-invariant and bounded below by teleport " +
     "(exact integer arithmetic end to end)") {
     val e = (1L to 40L).map(i => (i % 10, (i * 7) % 10, 1L + i % 3))

@@ -1251,6 +1251,12 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")))
 
+  /** Weekly retention triangle over the event stream: cohort = ISO week
+    * of first activity; one row per (cohort, offset) with active-user
+    * counts — integer/date arithmetic end to end. */
+  private def qRetentionCohorts(s: SparkSession, dir: String): DataFrame =
+    Events.retentionCohorts(Events.load(s, dir), "user_id", "ts")
+
   /** Live-ops anomaly monitor: per-event-type trailing-hour 3/2σ z-test
     * in exact integer arithmetic (range frame over epoch seconds, so ts
     * ties are frame-symmetric and need no break; 3/2 because the
@@ -1379,6 +1385,7 @@ object SparkEntry {
     "q112_neyman_allocation" -> (qNeymanAllocation _),
     "q113_rolling_anomaly" -> (qRollingAnomaly _),
     "q114_triangle_counts" -> (qTriangleCounts _),
+    "q115_retention_cohorts" -> (qRetentionCohorts _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2407,6 +2414,17 @@ object SparkEntry {
                 ELSE least(n, (1000 * w) // tw) END AS alloc
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
+    "q115_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM ev GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+           FROM ev)
+         SELECT CAST(cw AS DATE) AS cohort_week,
+           (epoch_us(wk) - epoch_us(cw)) // 604800000000 AS week_offset,
+           count(*) AS n_active
+         FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
     "q113_rolling_anomaly" ->
       """WITH ev AS (SELECT event_id, event_type,
            CAST(ts AS TIMESTAMP) AS ts, value,

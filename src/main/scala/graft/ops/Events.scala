@@ -138,6 +138,33 @@ object Events {
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 
+  /** RETENTION COHORT matrix — the product-analytics triangle: users
+    * cohorted by the ISO week of their FIRST event, then one row per
+    * (cohort_week, week_offset) counting how many of that cohort were
+    * active `week_offset` weeks later. `date_trunc('week', ·)` is
+    * Monday-start ISO in both engines, and the offset divides an exact
+    * microsecond difference of two week-aligned instants, so the whole
+    * matrix is integer/date arithmetic — engine-exact.
+    *
+    * Scale shape: first-activity is one combinable min-aggregation on the
+    * user; the distinct (user, week) activity set is a second; the
+    * cohort join is an equi-join on the user key and the matrix rollup
+    * one more combinable count. Nothing non-combinable anywhere. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cw"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("wk"))
+      .distinct()
+    active.join(first, Seq(userCol))
+      .select(col("cw").cast(DateType).as("cohort_week"),
+        expr("(unix_timestamp(wk) - unix_timestamp(cw)) div 604800")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Rolling anomaly flags over a trailing TIME window — the live-ops
     * monitor for an ingestion stream: an event is anomalous when its
     * value sits more than k = `sigmaNum/sigmaDen` standard deviations

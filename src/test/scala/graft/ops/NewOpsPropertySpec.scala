@@ -539,6 +539,27 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(!got(8L)._3 && !got(9L)._3)
   }
 
+  test("retentionCohorts: hand-built two-cohort log — gaps leave holes, " +
+    "returns re-count, week 0 counts every cohort member once") {
+    // weeks (Mondays): 2024-01-01, -08, -15
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-03 10:00:00"), // u1 w0 twice
+      (1L, "2024-01-16 10:00:00"),                              // u1 skips w1, returns w2
+      (2L, "2024-01-04 10:00:00"), (2L, "2024-01-09 10:00:00"), // u2 w0, w1
+      (3L, "2024-01-10 10:00:00")                               // u3 cohort week2 (Jan 8)
+    ).toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.retentionCohorts(ev, "user_id", "ts")
+      .select(col("cohort_week").cast("string"), col("week_offset"),
+        col("n_active"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L),  // u1 + u2 (u1's two events collapse)
+      ("2024-01-01", 1L, 1L),  // u2 only — u1's gap leaves a hole
+      ("2024-01-01", 2L, 1L),  // u1 returns
+      ("2024-01-08", 0L, 1L)), got) // u3's own cohort
+  }
+
   test("neymanAllocation == exact JVM integer replay; constant strata " +
     "earn 0; alloc caps at stratum size") {
     val g = Gen.listOfN(60, for {

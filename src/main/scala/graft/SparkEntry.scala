@@ -1251,6 +1251,12 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")))
 
+  /** First-touch ordered funnel: view → click → purchase completion
+    * counts with strictly-increasing timestamps per user. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Events.funnel(Events.load(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
   /** Weekly retention triangle over the event stream: cohort = ISO week
     * of first activity; one row per (cohort, offset) with active-user
     * counts — integer/date arithmetic end to end. */
@@ -1386,6 +1392,7 @@ object SparkEntry {
     "q113_rolling_anomaly" -> (qRollingAnomaly _),
     "q114_triangle_counts" -> (qTriangleCounts _),
     "q115_retention_cohorts" -> (qRetentionCohorts _),
+    "q116_funnel" -> (qFunnel _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2414,6 +2421,21 @@ object SparkEntry {
                 ELSE least(n, (1000 * w) // tw) END AS alloc
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
+    "q116_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         s1 AS (SELECT user_id, min(ts) AS t FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM ev e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM ev e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+         SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
     "q115_retention_cohorts" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
            FROM events),

@@ -138,6 +138,45 @@ object Events {
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 
+  /** ORDERED FUNNEL conversion — the other half of the product-analytics
+    * pair with [[retentionCohorts]]: how many users complete each step
+    * of `steps` IN ORDER (strictly later timestamps). A user's step-k
+    * time is their EARLIEST step-k event after their step-(k−1) time —
+    * the standard first-touch funnel; reordered events (purchase before
+    * any view) correctly don't count.
+    *
+    * Deterministic: each stage keeps a min-timestamp per user (exact,
+    * order-independent); strict `>` makes a same-instant pair not a
+    * conversion in either engine.
+    *
+    * Scale shape: per step, one combinable min-aggregation on the user
+    * key plus one equi-join against the previous stage's (user, t)
+    * relation — the stage relations only shrink; each is lazily
+    * checkpointed because stage k feeds both stage k+1 and its own
+    * count row. Step counts union into one tiny |steps|-row result. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      .localCheckpoint(eager = false)
+    var out = reached.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step_idx"), lit(steps.head).as("step"),
+        col("n_users"))
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
+      reached = events.filter(col(typeCol) === step)
+        .join(reached.select(col(userCol), col("__t").as("__prev")),
+          Seq(userCol))
+        .filter(col(tsCol) > col("__prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint(eager = false)
+      out = out.union(reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2L).as("step_idx"), lit(step).as("step"),
+          col("n_users")))
+    }
+    out
+  }
+
   /** RETENTION COHORT matrix — the product-analytics triangle: users
     * cohorted by the ISO week of their FIRST event, then one row per
     * (cohort_week, week_offset) counting how many of that cohort were

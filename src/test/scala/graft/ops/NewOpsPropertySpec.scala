@@ -539,6 +539,28 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(!got(8L)._3 && !got(9L)._3)
   }
 
+  test("funnel: in-order completion only — pre-step events, skipped " +
+    "steps and same-instant pairs don't convert") {
+    val ev = Seq(
+      (1L, "view", "2024-01-01 10:00:00"),  // u1 completes all three
+      (1L, "click", "2024-01-01 10:01:00"),
+      (1L, "purchase", "2024-01-01 10:02:00"),
+      (2L, "click", "2024-01-01 09:00:00"), // click BEFORE view: no credit
+      (2L, "view", "2024-01-01 10:00:00"),
+      (3L, "view", "2024-01-01 10:00:00"),  // skips click entirely
+      (3L, "purchase", "2024-01-01 11:00:00"),
+      (4L, "purchase", "2024-01-01 10:00:00"), // never enters the funnel
+      (5L, "view", "2024-01-01 10:00:00"),  // same instant: strict > fails
+      (5L, "click", "2024-01-01 10:00:00")
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "view", 4L), (2L, "click", 1L),
+      (3L, "purchase", 1L)), got)
+  }
+
   test("retentionCohorts: hand-built two-cohort log — gaps leave holes, " +
     "returns re-count, week 0 counts every cohort member once") {
     // weeks (Mondays): 2024-01-01, -08, -15

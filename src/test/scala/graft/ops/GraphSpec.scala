@@ -102,6 +102,22 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCounts: a 2000-spoke star — the skew case the " +
+    "orientation exists for — runs with ZERO wedge candidates") {
+    // every spoke has deg 1 < the hub's 2000, so all edges orient
+    // spoke -> hub: out-degree 1 everywhere, wedge mass Σ C(outdeg,2)=0.
+    // Unoriented, the hub would fan out C(2000,2) ≈ 2M wedges; oriented,
+    // the wedge self-join input is empty — the O(√E) out-degree bound
+    // doing its job on the worst-case skew shape.
+    val star = (1L to 2000L).map(i => (0L, i, 1L)).toDF("src", "dst", "w")
+    val got = Graph.triangleCounts(star)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 2001)
+    assert(got.forall(_._4 == 0L), "a star has no triangles")
+    val hub = got.find(_._1 == 0L).get
+    assert(hub._2 == 2000L && hub._3 == 2000L * 1999L / 2)
+  }
+
   test("triangleCounts == naive all-triples count on random graphs") {
     val rnd = new scala.util.Random(7)
     (1 to 3).foreach { trial =>

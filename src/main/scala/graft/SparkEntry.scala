@@ -1251,6 +1251,16 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")))
 
+  /** Prefix-filter (AllPairs) Jaccard join — the SAME relation as q25
+    * through the better candidate cost class: only each doc's
+    * (1−t)-fraction prefix under the rare-first global order enters the
+    * posting self-join; exact verification restricted to candidates.
+    * Hash-checked against q25's unchanged oracle = algorithm
+    * equivalence, the q26/q30 precedent. */
+  private def qJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, tNum = 4L, tDen = 5L)
+
   /** First-touch ordered funnel: view → click → purchase completion
     * counts with strictly-increasing timestamps per user. */
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
@@ -1393,6 +1403,7 @@ object SparkEntry {
     "q114_triangle_counts" -> (qTriangleCounts _),
     "q115_retention_cohorts" -> (qRetentionCohorts _),
     "q116_funnel" -> (qFunnel _),
+    "q117_jaccard_prefix" -> (qJaccardPrefix _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -1603,6 +1614,9 @@ object SparkEntry {
          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
          FROM documents""",
     "q25_jaccard_pairs" -> OracleGen.jaccardSql(n = 3, threshold = 0.8),
+    // q117 computes q25's relation via prefix-filter candidates — same
+    // oracle on purpose: two algorithms, one checked truth
+    "q117_jaccard_prefix" -> OracleGen.jaccardSql(n = 3, threshold = 0.8),
     "q28_minhash_lsh" -> OracleGen.jaccardSql(n = 4, threshold = 0.75),
     "q29_simhash_hybrid" -> OracleGen.jaccardSql(n = 2, threshold = 0.8),
     "q45_neardup_dedup" -> OracleGen.componentsSql(n = 2, threshold = 0.8),

@@ -416,6 +416,13 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q117: prefix-filter join is equi-joins only — candidates from " +
+    "prefix postings, verification restricted to candidate pairs") {
+    val p = plan("q117_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q113: all three rolling moments ride ONE range-frame window on " +
     "ONE exchange — no join, no second shuffle") {
     val p = plan("q113_rolling_anomaly")

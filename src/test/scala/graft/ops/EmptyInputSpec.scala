@@ -30,6 +30,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text",
       maxShingleFreq = Some(10)).count() == 0)
     assert(Dedup.containmentPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.jaccardPairsPrefix(emptyDocs, "doc_id", "text").count() == 0)
   }
 
   test("similarity family is total on empty input") {

@@ -539,6 +539,32 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(!got(8L)._3 && !got(9L)._3)
   }
 
+  test("jaccardPairsPrefix == jaccardPairs on random word docs at " +
+    "several thresholds (algorithm equivalence incl. exact-multiple " +
+    "prefix lengths)") {
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = for {
+      len <- Gen.choose(3, 9)
+      ws <- Gen.listOfN(len, Gen.oneOf(words))
+    } yield ws.mkString(" ")
+    forAllSeeded(Gen.listOfN(25, docGen), n = 3) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // 4/5 hits exact ceil multiples (the float-ceil trap); 1/2 and 3/10
+      // exercise low-threshold long prefixes
+      for ((tn, td) <- Seq((4L, 5L), (1L, 2L), (3L, 10L))) {
+        val full = Dedup.jaccardPairs(docs, "doc_id", "text",
+            shingleSize = 2, threshold = tn.toDouble / td)
+          .as[(Long, Long, Double)].collect().toSet
+        val pre = Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+            shingleSize = 2, tNum = tn, tDen = td)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(pre == full, s"t=$tn/$td missing=${full -- pre} " +
+          s"extra=${pre -- full}")
+      }
+    }
+  }
+
   test("funnel: in-order completion only — pre-step events, skipped " +
     "steps and same-instant pairs don't convert") {
     val ev = Seq(

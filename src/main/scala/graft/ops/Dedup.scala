@@ -577,29 +577,55 @@ object Dedup {
     * a 5000-doc corpus; the 10× quadratic-mass cut is what survives a
     * 100× corpus, where the posting join IS the cost (the q89→q100
     * brute-vs-routed precedent). */
+  /** The ranked gram relation behind the prefix filter: distinct grams
+    * per doc carrying the global docfreq `f`, the doc's gram count `n`,
+    * and the doc-local rank `r` under the rare-first (f, g) total order.
+    * ONE definition shared by [[jaccardPairsPrefix]] and the stress
+    * tool's cost-class probe, so the gated metric IS the operator's
+    * candidate relation (the guardedDistinctGrams/cosineIndex gate
+    * precedent). */
+  private def rankedGrams(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val grams = guardedDistinctGrams(df, idCol, textCol, shingleSize, None)
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    grams.join(freq, Seq("g"))
+      .withColumn("n", count(lit(1))
+        .over(w.partitionBy(col("doc_id"))))
+      .withColumn("r", row_number()
+        .over(w.partitionBy(col("doc_id"))
+          .orderBy(col("f").asc, col("g").asc)))
+  }
+
+  private def prefixFilter(ranked: DataFrame,
+                           tNum: Long, tDen: Long): DataFrame = {
+    // round-4 admits J >= t - 1/20000; integer ceil-division keeps the
+    // prefix length exact at multiples (see jaccardPairsPrefix scaladoc)
+    val pNum = tNum * 20000L - tDen
+    val pDen = tDen * 20000L
+    ranked.filter(
+      col("r") <= col("n") -
+        expr(s"(n * $pNum + $pDen - 1) div $pDen") + 1)
+  }
+
+  /** The prefix posting relation (doc_id, g) alone — the self-join input
+    * whose Σ f² is [[jaccardPairsPrefix]]'s candidate cost; exposed for
+    * the deterministic cost-class stress gate. */
+  def prefixPostings(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3,
+                     tNum: Long = 4L, tDen: Long = 5L): DataFrame =
+    prefixFilter(rankedGrams(df, idCol, textCol, shingleSize), tNum, tDen)
+      .select(col("doc_id"), col("g"))
+
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3,
                          tNum: Long = 4L, tDen: Long = 5L): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       "threshold tNum/tDen must be in (0, 1]")
     val threshold = tNum.toDouble / tDen
-    val w = org.apache.spark.sql.expressions.Window
-    val grams = guardedDistinctGrams(df, idCol, textCol, shingleSize, None)
-    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
-    val ranked = grams.join(freq, Seq("g"))
-      .withColumn("n", count(lit(1))
-        .over(w.partitionBy(col("doc_id"))))
-      .withColumn("r", row_number()
-        .over(w.partitionBy(col("doc_id"))
-          .orderBy(col("f").asc, col("g").asc)))
+    val ranked = rankedGrams(df, idCol, textCol, shingleSize)
       .localCheckpoint()
-    // round-4 admits J >= t - 1/20000; integer ceil-division keeps the
-    // prefix length exact at multiples (see scaladoc)
-    val pNum = tNum * 20000L - tDen
-    val pDen = tDen * 20000L
-    val prefix = ranked.filter(
-      col("r") <= col("n") -
-        expr(s"(n * $pNum + $pDen - 1) div $pDen") + 1)
+    val prefix = prefixFilter(ranked, tNum, tDen)
     val cand = prefix.select(col("doc_id").as("doc_a"), col("g"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))

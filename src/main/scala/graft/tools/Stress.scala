@@ -57,6 +57,16 @@ object Stress {
   // corpus lands ~100×).
   private val PostingAbsMax = 2300000000L
   private val CosineAbsMax = 2300000000L
+  // q117's prefix posting relation on the same corpus: measured
+  // Σ f² = 2,498,350 (full) / 1,162,470 (half) — the (1−t)-prefix under
+  // the rare-first order sits ~450× below even the GUARDED full-posting
+  // mass (1.129e9), which is the whole point of the algorithm; ceiling
+  // ~2× measured, same regeneration-drift-only headroom as the others.
+  // A broken prefix-length computation (e.g. the float-ceil bug the
+  // rational arithmetic exists to prevent) either drops pairs
+  // (correctness specs catch it) or degenerates toward full postings
+  // (this ceiling catches it at ~450× over).
+  private val PrefixAbsMax = 5000000L
 
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
@@ -191,6 +201,12 @@ object Stress {
         d => postingCost(d, Some(gateMaxF)), absMax = PostingAbsMax)
       costClassGate("COSINE_COST_CLASS_GUARDED", big, halfBig,
         d => cosineCost(d, gateMaxF), absMax = CosineAbsMax)
+      // q117's prefix-filter candidate mass — UNguarded corpus, the
+      // prefix itself is the guard: Σ f² over Dedup.prefixPostings (the
+      // operator's own self-join input, shared by construction)
+      costClassGate("PREFIX_COST_CLASS", big, halfBig,
+        d => sumF2(Dedup.prefixPostings(d, "doc_id", "text", 3, 4L, 5L)),
+        absMax = PrefixAbsMax)
       // Budgets: measured local[32] 2026-08 (9.1 / 15.9 / 2.2 / 3.9 /
       // 1.5 / 153 s) × ~2.5 headroom.
       gated("MINHASH_PAIRS", budgetSec = 20) {

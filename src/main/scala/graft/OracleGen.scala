@@ -748,6 +748,49 @@ object OracleGen {
        SELECT node, r AS rank_micros FROM r$iters"""
   }
 
+  /** Deterministic weighted random walks over the events transition
+    * graph — replays [[graft.ops.Graph.randomWalks]] step for step: the
+    * same cumulative-bound inverse-CDF pick, the same
+    * `md5(walk_id # step) mod out_w` draw (the groupedSplit md5-hex
+    * idiom), steps unrolled as chained CTEs. */
+  def randomWalksSql(steps: Int): String = {
+    def draw(i: Int, prev: String): String =
+      s"""(CAST(('0x' || substring(md5(CAST($prev.walk_id AS VARCHAR)
+           || '#$i'), 1, 8)) AS BIGINT) % c.ow)"""
+    val stepCtes = (1 to steps).map { i =>
+      s"""s$i AS (SELECT s${i - 1}.walk_id, c.dst AS node
+         FROM s${i - 1} JOIN cums c ON c.src = s${i - 1}.node
+           AND ${draw(i, s"s${i - 1}")} >= c.lo
+           AND ${draw(i, s"s${i - 1}")} < c.hi)"""
+    }.mkString(",\n       ")
+    val unions = (1 to steps).map { i =>
+      s"UNION ALL SELECT walk_id, CAST($i AS BIGINT), node FROM s$i"
+    }.mkString("\n       ")
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       edges AS (SELECT src, dst, count(*) AS w FROM tr
+         WHERE src IS NOT NULL GROUP BY 1, 2),
+       cums AS (SELECT src, dst,
+           CAST(sum(w) OVER (PARTITION BY src ORDER BY dst ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w
+             AS BIGINT) AS lo,
+           CAST(sum(w) OVER (PARTITION BY src ORDER BY dst ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS hi,
+           CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS ow
+         FROM edges),
+       nodes AS (SELECT src AS node FROM edges
+         UNION SELECT dst FROM edges),
+       s0 AS (SELECT node AS walk_id, node FROM nodes),
+       $stepCtes
+       SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
+       $unions"""
+  }
+
   /** Per-node triangle/wedge counts over the events transition graph —
     * replays [[graft.ops.Graph.triangleCounts]]' degree-ordered
     * orientation exactly: same (deg, id) tuple order, same

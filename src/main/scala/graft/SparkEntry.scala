@@ -1261,6 +1261,16 @@ object SparkEntry {
     Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, tNum = 4L, tDen = 5L)
 
+  /** DeepWalk-style training-corpus generation: one 3-step weighted
+    * random walk per node of the transition graph, every step an md5
+    * inverse-CDF draw — the walk corpus is a pure function of the
+    * graph (engine-replayed by the oracle step for step). */
+  private def qRandomWalks(s: SparkSession, dir: String): DataFrame =
+    Graph.randomWalks(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")),
+      steps = 3)
+
   /** First-touch ordered funnel: view → click → purchase completion
     * counts with strictly-increasing timestamps per user. */
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
@@ -1404,6 +1414,7 @@ object SparkEntry {
     "q115_retention_cohorts" -> (qRetentionCohorts _),
     "q116_funnel" -> (qFunnel _),
     "q117_jaccard_prefix" -> (qJaccardPrefix _),
+    "q118_random_walks" -> (qRandomWalks _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2435,6 +2446,7 @@ object SparkEntry {
                 ELSE least(n, (1000 * w) // tw) END AS alloc
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
+    "q118_random_walks" -> OracleGen.randomWalksSql(steps = 3),
     "q116_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
            CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -193,6 +193,63 @@ object Graph {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** DETERMINISTIC weighted random walks (DeepWalk, Perozzi et al. 2014 /
+    * node2vec's first stage): one walk per node, each step choosing an
+    * out-edge with probability ∝ weight — but every "random" choice is
+    * the repo's standard md5 draw (`md5(walk_id # step) mod out_w`), so
+    * the generated walk corpus is a PURE FUNCTION of the graph:
+    * engine-replayable (the DuckDB oracle reproduces every step),
+    * partitioning-stable, and rerun-identical — the property that makes
+    * a graph-embedding training corpus auditable, exactly like the
+    * sampling layer's draws.
+    *
+    * Edge choice: per source, edges ordered by dst carry cumulative
+    * weight bounds [lo, hi); the draw (< out_w by construction) selects
+    * the unique covering edge — inverse-CDF sampling in integers. Walks
+    * reaching a SINK (no out-edges) terminate early (the inner join
+    * drops them); emitted rows are (walk_id, step, node) for every
+    * position reached, step 0 = the seed.
+    *
+    * Scale shape: the cumulative-bound relation rides ONE shuffle on
+    * src and is lazily checkpointed (every step probes it); each step
+    * is one equi-join of the frontier on src — the frontier stays one
+    * row per live walk. Walk count scales as |V| (one per node);
+    * callers wanting k walks/node union k seed sets with distinct
+    * walk_ids. */
+  def randomWalks(edges: DataFrame, steps: Int = 3): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst").asc)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val cums = edges
+      .withColumn("hi", sum(col("w")).over(ws))
+      .withColumn("lo", col("hi") - col("w"))
+      .withColumn("ow", sum(col("w")).over(wp))
+      .select(col("src"), col("dst"), col("lo"), col("hi"), col("ow"))
+      .localCheckpoint(eager = false)
+    // node set from the checkpointed cums (same edge relation) — deriving
+    // it from `edges` would re-run the whole upstream edge derivation
+    val nodes = cums.select(col("src").as("node"))
+      .union(cums.select(col("dst").as("node")))
+      .distinct()
+    var cur = nodes.select(col("node").as("walk_id"), col("node"))
+    var out = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    for (i <- 1 to steps) {
+      val draw = pmod(
+        conv(substring(md5(concat(col("walk_id").cast("string"),
+          lit(s"#$i"))), 1, 8), 16, 10).cast("long"),
+        col("ow"))
+      cur = cur.join(cums, cur("node") === cums("src"))
+        .filter(draw >= col("lo") && draw < col("hi"))
+        .select(col("walk_id"), col("dst").as("node"))
+        .localCheckpoint(eager = false)
+      out = out.union(
+        cur.select(col("walk_id"), lit(i.toLong).as("step"), col("node")))
+    }
+    out
+  }
+
   private def prImpl(edges: DataFrame, iters: Int, microScale: Long,
                      dampNum: Long, dampDen: Long, checkpointEvery: Int,
                      seed: Option[Column]): DataFrame = {

@@ -423,6 +423,13 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q118: every walk step is an equi-join of the frontier on src — " +
+    "no cartesian, no nested loop") {
+    val p = plan("q118_random_walks")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q113: all three rolling moments ride ONE range-frame window on " +
     "ONE exchange — no join, no second shuffle") {
     val p = plan("q113_rolling_anomaly")

@@ -218,6 +218,8 @@ class EmptyInputSpec extends AnyFunSuite {
       Events.jsonField(col("props"), "$.k"))
     assert(edges.count() == 0)
     assert(Graph.pageRank(edges, iters = 2).count() == 0)
+    assert(Graph.triangleCounts(edges).count() == 0)
+    assert(Graph.randomWalks(edges, steps = 2).count() == 0)
     assert(TextAnalysis.pmiCollocations(emptyDocs, "doc_id", "text").count() == 0)
     assert(TextAnalysis.dsirWeights(emptyDocs, "doc_id", "text",
       col("doc_id") % 2 === 0).count() == 0)

@@ -141,6 +141,48 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  private def md5Draw(walkId: Long, step: Int, ow: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$walkId#$step".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16) % ow
+  }
+
+  test("randomWalks == pure-JVM md5 inverse-CDF replay; sinks terminate " +
+    "walks early; partitioning-invariant") {
+    // 1 -> {2 (w=3), 3 (w=1)}, 2 -> {1 (w=1)}, 3 is a sink
+    val e = edges((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L))
+    val adj = Map( // src -> ordered (dst, lo, hi), ow
+      1L -> ((Seq((2L, 0L, 3L), (3L, 3L, 4L)), 4L)),
+      2L -> ((Seq((1L, 0L, 1L)), 1L)))
+    def replay(seed: Long, steps: Int): Seq[(Long, Long, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer((seed, 0L, seed))
+      var node = seed
+      var i = 1
+      var live = true
+      while (live && i <= steps) {
+        adj.get(node) match {
+          case None => live = false
+          case Some((cand, ow)) =>
+            val d = md5Draw(seed, i, ow)
+            node = cand.find(c => d >= c._2 && d < c._3).get._1
+            buf += ((seed, i.toLong, node))
+            i += 1
+        }
+      }
+      buf.toSeq
+    }
+    val expected = Seq(1L, 2L, 3L).flatMap(replay(_, 3)).toSet
+    val a = Graph.randomWalks(e, steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == expected, s"missing=${expected -- a} extra=${a -- expected}")
+    // walk 3 is seeded at a sink: exactly its step-0 row exists
+    assert(a.count(_._1 == 3L) == 1)
+    val b = Graph.randomWalks(e.repartition(7), steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("pageRank is partitioning-invariant and bounded below by teleport " +
     "(exact integer arithmetic end to end)") {
     val e = (1L to 40L).map(i => (i % 10, (i * 7) % 10, 1L + i % 3))

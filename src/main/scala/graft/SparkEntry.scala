@@ -1261,6 +1261,12 @@ object SparkEntry {
     Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, tNum = 4L, tDen = 5L)
 
+  /** Leave-one-out target encoding of event_type against the value
+    * target — cents-exact sums, one broadcast encode. */
+  private def qLooEncode(s: SparkSession, dir: String): DataFrame =
+    Events.looTargetEncode(t(s, dir, "events"), "event_type", "value",
+      Seq("event_id"))
+
   /** DeepWalk-style training-corpus generation: one 3-step weighted
     * random walk per node of the transition graph, every step an md5
     * inverse-CDF draw — the walk corpus is a pure function of the
@@ -1415,6 +1421,7 @@ object SparkEntry {
     "q116_funnel" -> (qFunnel _),
     "q117_jaccard_prefix" -> (qJaccardPrefix _),
     "q118_random_walks" -> (qRandomWalks _),
+    "q119_loo_target_encode" -> (qLooEncode _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2447,6 +2454,17 @@ object SparkEntry {
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
     "q118_random_walks" -> OracleGen.randomWalksSql(steps = 3),
+    "q119_loo_target_encode" ->
+      """WITH ev AS (SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         agg AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS s,
+             count(*) AS n
+           FROM ev GROUP BY 1)
+         SELECT event_id, ev.event_type,
+           CASE WHEN n > 1 THEN
+             CAST(s - cents AS DOUBLE) / CAST((n - 1) * 100 AS DOUBLE)
+           END AS loo_mean
+         FROM ev JOIN agg USING (event_type)""",
     "q116_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
            CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -138,6 +138,36 @@ object Events {
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 
+  /** LEAVE-ONE-OUT target encoding — the tabular-ML categorical encoder
+    * (Micci-Barreca 2001's mean encoding, LOO variant): each row's
+    * category is replaced by the mean target of the OTHER rows in its
+    * category, `loo = (Σ_cat − x) / (n_cat − 1)` — excluding the row's
+    * own target is what stops the encoding from leaking the label into
+    * the feature (the q93 grouped-split concern, one level down).
+    * Singleton categories encode null (no other rows to average).
+    *
+    * Exactness: targets are cent-scaled into longs, so sum and
+    * difference are exact integers; the single final division is one
+    * IEEE op on integer-derived doubles — identical in both engines, no
+    * rounding tricks needed.
+    *
+    * Scale shape: ONE combinable aggregation per category (the category
+    * table is tiny by definition of a categorical), broadcast back onto
+    * the fact stream — a map-side encode, the only shape that survives
+    * a 10^12-row fact table. */
+  def looTargetEncode(df: DataFrame, catCol: String, targetCol: String,
+                      keyCols: Seq[String]): DataFrame = {
+    val cents = round(col(targetCol) * 100).cast(LongType)
+    val agg = df.groupBy(col(catCol)).agg(
+      sum(cents).as("__s"), count(lit(1)).as("__n"))
+    df.join(broadcast(agg), Seq(catCol))
+      .select((keyCols.map(col) :+ col(catCol) :+
+        when(col("__n") > 1,
+          (col("__s") - cents).cast("double") /
+            ((col("__n") - 1) * 100).cast("double"))
+          .as("loo_mean")): _*)
+  }
+
   /** ORDERED FUNNEL conversion — the other half of the product-analytics
     * pair with [[retentionCohorts]]: how many users complete each step
     * of `steps` IN ORDER (strictly later timestamps). A user's step-k

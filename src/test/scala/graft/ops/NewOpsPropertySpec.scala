@@ -565,6 +565,24 @@ class NewOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("looTargetEncode: exact JVM replay (cents arithmetic); " +
+    "singletons encode null; own target never leaks into the feature") {
+    val df = Seq(
+      (1L, "a", 1.00), (2L, "a", 2.00), (3L, "a", 6.00),
+      (4L, "b", 5.50), (5L, "b", 4.50),
+      (6L, "c", 9.99) // singleton
+    ).toDF("event_id", "event_type", "value")
+    val got = Events.looTargetEncode(df, "event_type", "value",
+        Seq("event_id"))
+      .as[(Long, String, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    // category a sums to 9.00: each row's loo = (9 - own)/2, exact
+    assert(got(1L).contains(4.0) && got(2L).contains(3.5) &&
+      got(3L).contains(1.5))
+    assert(got(4L).contains(4.5) && got(5L).contains(5.5))
+    assert(got(6L).isEmpty, "singleton category must encode null")
+  }
+
   test("funnel: in-order completion only — pre-step events, skipped " +
     "steps and same-instant pairs don't convert") {
     val ev = Seq(

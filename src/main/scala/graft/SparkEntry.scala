@@ -1261,6 +1261,18 @@ object SparkEntry {
     Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, tNum = 4L, tDen = 5L)
 
+  /** Kaplan–Meier time-to-purchase from first signup, never-converters
+    * censored at the corpus horizon. */
+  private def qKaplanMeier(s: SparkSession, dir: String): DataFrame =
+    Events.kaplanMeier(Events.load(s, dir), "user_id", "ts", "event_type",
+      startType = "signup", eventType = "purchase")
+
+  /** 2-length frequent-sequence support: users doing type a strictly
+    * before some type b ((a,a) = repeat behavior). */
+  private def qSequenceSupport(s: SparkSession, dir: String): DataFrame =
+    Events.sequenceSupport(Events.load(s, dir), "user_id", "ts",
+      "event_type")
+
   /** Leave-one-out target encoding of event_type against the value
     * target — cents-exact sums, one broadcast encode. */
   private def qLooEncode(s: SparkSession, dir: String): DataFrame =
@@ -1422,6 +1434,8 @@ object SparkEntry {
     "q117_jaccard_prefix" -> (qJaccardPrefix _),
     "q118_random_walks" -> (qRandomWalks _),
     "q119_loo_target_encode" -> (qLooEncode _),
+    "q120_kaplan_meier" -> (qKaplanMeier _),
+    "q121_sequence_support" -> (qSequenceSupport _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2454,6 +2468,47 @@ object SparkEntry {
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
     "q118_random_walks" -> OracleGen.randomWalksSql(steps = 3),
+    "q120_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         fe AS (SELECT e.user_id, min(e.ts) AS te
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             (epoch_us(COALESCE(te, tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fe USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT d, count(*) AS n_at,
+             CAST(sum(obs) AS BIGINT) AS e_at
+           FROM dur GROUP BY 1),
+         r AS (SELECT d, n_at, e_at,
+             CAST(sum(n_at) OVER (ORDER BY d ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM byd),
+         lt AS (SELECT d, e_at, n_risk,
+             CASE WHEN e_at < n_risk
+               THEN ln(1.0 - CAST(e_at AS DOUBLE) / n_risk) END AS t
+           FROM r)
+         SELECT d AS duration_days, n_risk, e_at AS n_events,
+           CASE WHEN e_at = n_risk THEN 0.0
+                ELSE round(exp(sum(t) OVER (ORDER BY d ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+           END AS surv
+         FROM lt""",
+    "q121_sequence_support" ->
+      """WITH tt AS (SELECT user_id, event_type,
+           min(CAST(ts AS TIMESTAMP)) AS mn,
+           max(CAST(ts AS TIMESTAMP)) AS mx
+         FROM events GROUP BY 1, 2)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+         FROM tt a JOIN tt b ON a.user_id = b.user_id AND a.mn < b.mx
+         GROUP BY 1, 2""",
     "q119_loo_target_encode" ->
       """WITH ev AS (SELECT event_id, event_type,
            CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -138,6 +138,87 @@ object Events {
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 
+  /** KAPLAN–MEIER survival curve (Kaplan & Meier 1958) over the event
+    * log — the churn/conversion-lag statistic retention dashboards are
+    * built on: time-to-`eventType` from each user's first `startType`,
+    * with users who never convert CENSORED at the corpus horizon (the
+    * estimator's whole point — dropping them would bias survival down).
+    * Output: one row per distinct duration day,
+    * (duration_days, n_risk, n_events, surv) with
+    * `surv = Π_{d' ≤ d} (1 − events(d')/risk(d'))`.
+    *
+    * Determinism: durations are integer day counts (truncating division
+    * of exact epoch seconds); n_risk/n_events are exact counts; the
+    * product runs as exp(Σ ln(1 − e/n)) over an ORDERED cumulative
+    * frame (both engines accumulate in frame order), each term one ln
+    * of an integer-derived double — round(·,4) absorbs the ulp (the
+    * q85 ln-chain precedent). A risk set fully consumed by events
+    * (e = n, only possible at the last duration) short-circuits to
+    * surv = 0 rather than routing a −∞ through exp.
+    *
+    * Scale shape: two combinable per-user aggregations + one broadcast
+    * horizon; only the DISTINCT-DURATION table (≤ observation window in
+    * days — tiny by construction) goes through the single-partition
+    * ordered window (the q61 bucket-total precedent). */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, startType: String,
+                  eventType: String): DataFrame = {
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    val firstEv = events.filter(col(typeCol) === eventType)
+      .join(starts, Seq(userCol))
+      .filter(col(tsCol) > col("t0"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("te"))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts.join(firstEv, Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select(
+        when(col("te").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs"),
+        expr("(unix_timestamp(coalesce(te, tmax)) - unix_timestamp(t0))" +
+          " div 86400").as("d"))
+    val byD = dur.groupBy(col("d")).agg(count(lit(1)).as("n_at"),
+      sum(col("obs")).as("e_at"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
+    byD
+      .withColumn("n_risk", sum(col("n_at")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("__lt",
+        when(col("e_at") < col("n_risk"),
+          log(lit(1.0) - col("e_at").cast("double") / col("n_risk"))))
+      .withColumn("surv",
+        when(col("e_at") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(sum(col("__lt")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow))), 4)))
+      .select(col("d").as("duration_days"), col("n_risk"),
+        col("e_at").as("n_events"), col("surv"))
+  }
+
+  /** Ordered SEQUENCE support counts — for every ordered pair of event
+    * types (a, b), how many users did a STRICTLY BEFORE some b (the
+    * 2-length case of frequent-sequence mining; the pair table seeds
+    * funnel design, and (a, a) rows count repeat behavior: a second
+    * occurrence at a strictly later timestamp). Exists-semantics:
+    * min_ts(a) < max_ts(b) per user — exact timestamp comparison, no
+    * floats anywhere.
+    *
+    * Scale shape: one combinable (user, type) aggregation; the per-user
+    * type-pair join fans out at most |types|² rows per user (types are
+    * a small closed set by definition); one combinable count ends it. */
+  def sequenceSupport(events: DataFrame, userCol: String,
+                      tsCol: String, typeCol: String): DataFrame = {
+    val tt = events.groupBy(col(userCol), col(typeCol))
+      .agg(min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx"))
+    tt.select(col(userCol), col(typeCol).as("type_a"), col("mn"))
+      .join(tt.select(col(userCol), col(typeCol).as("type_b"), col("mx")),
+        Seq(userCol))
+      .filter(col("mn") < col("mx"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** LEAVE-ONE-OUT target encoding — the tabular-ML categorical encoder
     * (Micci-Barreca 2001's mean encoding, LOO variant): each row's
     * category is replaced by the mean target of the OTHER rows in its

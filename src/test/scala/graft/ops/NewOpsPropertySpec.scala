@@ -583,6 +583,49 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got(6L).isEmpty, "singleton category must encode null")
   }
 
+  test("kaplanMeier: hand-computed curve — censoring holds survival up, " +
+    "risk sets shrink correctly, exhausted risk set gives surv 0") {
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "purchase", "2024-01-02 00:30:00"),  // dur 1, observed
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (2L, "purchase", "2024-01-04 00:00:00"),  // dur 3, observed
+      (3L, "signup", "2024-01-01 00:00:00"),    // censored at horizon: dur 3
+      (4L, "purchase", "2024-01-01 06:00:00"),  // purchase BEFORE signup
+      (4L, "signup", "2024-01-02 00:00:00")     // -> censored, dur 2
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.kaplanMeier(ev, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 4L, 1L, 0.75), (2L, 3L, 0L, 0.75),
+      (3L, 2L, 1L, 0.375)), got)
+    // exhausted risk set: a lone converting user ends at surv = 0 exactly
+    val one = Seq((1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "purchase", "2024-01-02 00:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val g1 = Events.kaplanMeier(one, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(g1 == Seq((1L, 1L, 1L, 0.0)), g1)
+  }
+
+  test("sequenceSupport: strictly-before exists semantics; (a,a) counts " +
+    "repeats only") {
+    val ev = Seq(
+      (1L, "A", "2024-01-01 01:00:00"), (1L, "B", "2024-01-01 02:00:00"),
+      (2L, "B", "2024-01-01 01:00:00"), (2L, "A", "2024-01-01 02:00:00"),
+      (2L, "B", "2024-01-01 03:00:00")
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.sequenceSupport(ev, "user_id", "ts", "event_type")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("A", "B") -> 2L, ("B", "A") -> 1L,
+      ("B", "B") -> 1L), got)
+  }
+
   test("funnel: in-order completion only — pre-step events, skipped " +
     "steps and same-instant pairs don't convert") {
     val ev = Seq(

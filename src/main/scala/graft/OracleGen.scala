@@ -748,6 +748,46 @@ object OracleGen {
        SELECT node, r AS rank_micros FROM r$iters"""
   }
 
+  /** HITS over the events transition graph — replays
+    * [[graft.ops.Graph.hits]]' integer max-rescaled half-steps exactly,
+    * unrolled as CTEs. */
+  def hitsSql(iters: Int, microScale: Long = 1000000L): String = {
+    def half(i: Int, outName: String, prevName: String, prevCol: String,
+             joinCol: String, emitCol: String, outEdgeCol: String): String =
+      s"""${outName}raw AS (SELECT e.$outEdgeCol AS node,
+           CAST(SUM(p.$prevCol * e.w) AS BIGINT) AS raw
+         FROM edges e JOIN $prevName p ON p.node = e.$joinCol
+         GROUP BY 1),
+       ${outName}mx AS (SELECT CAST(max(raw) AS BIGINT) AS mx
+         FROM ${outName}raw),
+       $outName AS (SELECT n.node,
+           CASE WHEN mx IS NULL OR mx = 0 THEN 0
+                ELSE (COALESCE(raw, 0) * $microScale) // mx
+           END AS $emitCol
+         FROM nodes n LEFT JOIN ${outName}raw USING (node)
+           CROSS JOIN ${outName}mx)"""
+    val steps = (1 to iters).flatMap { i =>
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+      Seq(
+        half(i, s"a$i", hPrev, "h", "src", "a", "dst"),
+        half(i, s"h$i", s"a$i", "a", "dst", "h", "src"))
+    }.mkString(",\n       ")
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       edges AS (SELECT src, dst, count(*) AS w FROM tr
+         WHERE src IS NOT NULL GROUP BY 1, 2),
+       nodes AS (SELECT src AS node FROM edges
+         UNION SELECT dst FROM edges),
+       h0 AS (SELECT node, CAST($microScale AS BIGINT) AS h FROM nodes),
+       $steps
+       SELECT h$iters.node, h AS hub_micros, a AS auth_micros
+       FROM h$iters JOIN a$iters USING (node)"""
+  }
+
   /** Deterministic weighted random walks over the events transition
     * graph — replays [[graft.ops.Graph.randomWalks]] step for step: the
     * same cumulative-bound inverse-CDF pick, the same

@@ -1261,6 +1261,14 @@ object SparkEntry {
     Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, tNum = 4L, tDen = 5L)
 
+  /** HITS hubs/authorities on the transition graph — 2 integer
+    * max-rescaled iterations; the complementary link rank to q107. */
+  private def qHits(s: SparkSession, dir: String): DataFrame =
+    Graph.hits(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")),
+      iters = 2)
+
   /** Kaplan–Meier time-to-purchase from first signup, never-converters
     * censored at the corpus horizon. */
   private def qKaplanMeier(s: SparkSession, dir: String): DataFrame =
@@ -1436,6 +1444,7 @@ object SparkEntry {
     "q119_loo_target_encode" -> (qLooEncode _),
     "q120_kaplan_meier" -> (qKaplanMeier _),
     "q121_sequence_support" -> (qSequenceSupport _),
+    "q122_hits" -> (qHits _),
   )
 
   /** DuckDB list_filter over marker words — kept in sync with
@@ -2468,6 +2477,7 @@ object SparkEntry {
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
     "q118_random_walks" -> OracleGen.randomWalksSql(steps = 3),
+    "q122_hits" -> OracleGen.hitsSql(iters = 2),
     "q120_kaplan_meier" ->
       """WITH ev AS (SELECT user_id, event_type,
            CAST(ts AS TIMESTAMP) AS ts FROM events),

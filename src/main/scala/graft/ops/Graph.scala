@@ -193,6 +193,61 @@ object Graph {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — the OTHER classic link
+    * rank: an authority is pointed at by good hubs, a hub points at good
+    * authorities; on a browse/transition graph authorities are the
+    * destination pages users funnel INTO and hubs the launch pads, the
+    * complementary signal to [[pageRank]]'s stationary mass. Mutual
+    * recursion: a(v) = Σ_{u→v} h(u)·w, h(u) = Σ_{u→v} a(v)·w, iterated.
+    *
+    * Determinism + overflow: classic HITS L2-normalizes each half-step
+    * (irrational, engine-divergent); here each half-step rescales to
+    * `microScale` by the CURRENT MAX — `x' = (x·microScale) div max(x)`
+    * — which is the same projective normalization in pure integers (the
+    * ranking and ratios survive; scores read as micros-of-the-max).
+    * Growth per half-step before rescale is bounded by
+    * microScale · max_w · max_degree < 2^63 for any graph with
+    * w·deg < 9.2·10^12. All sums are exact integer; the oracle unrolls
+    * the half-steps as CTEs and replays bit-for-bit.
+    *
+    * Scale shape: each half-step is ONE equi-join of the score table on
+    * the edge relation + one combinable sum + one 1-row max broadcast;
+    * the edge relation is checkpointed once. Nodes with no in-(out-)
+    * edges hold authority (hub) 0. */
+  def hits(edges: DataFrame, iters: Int = 2,
+           microScale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && microScale > 0, "need iters >= 1, microScale > 0")
+    val e = edges.localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def halfStep(score: DataFrame, scoreCol: String, joinOn: String,
+                 outCol: String, emitAs: String): DataFrame = {
+      val raw = e.join(score.withColumnRenamed("node", joinOn), Seq(joinOn))
+        .select(col(outCol).as("node"),
+          (col(scoreCol) * col("w")).as("x"))
+        .groupBy(col("node")).agg(sum(col("x")).as("raw"))
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .join(broadcast(mx), lit(true))
+        .select(col("node"),
+          when(col("mx").isNull || col("mx") === 0L, lit(0L))
+            .otherwise(expr(s"(coalesce(raw, 0L) * $microScale) div mx"))
+            .as(emitAs))
+        .localCheckpoint(eager = false)
+    }
+    var h = nodes.select(col("node"), lit(microScale).as("h"))
+    var a = nodes.select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      a = halfStep(h, "h", "src", "dst", "a")
+      h = halfStep(a, "a", "dst", "src", "h")
+    }
+    h.join(a, Seq("node"))
+      .select(col("node"), col("h").as("hub_micros"),
+        col("a").as("auth_micros"))
+  }
+
   /** DETERMINISTIC weighted random walks (DeepWalk, Perozzi et al. 2014 /
     * node2vec's first stage): one walk per node, each step choosing an
     * out-edge with probability ∝ weight — but every "random" choice is

@@ -141,6 +141,29 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: star fixpoint — the hub holds hub mass, spokes hold " +
+    "authority; weighted split rescales to micros-of-max exactly") {
+    val star = Graph.hits(edges((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L)),
+      iters = 2).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(star(0L) == ((1000000L, 0L)))
+    Seq(1L, 2L, 3L).foreach(n => assert(star(n) == ((0L, 1000000L)), n))
+    // weighted: u -> v (w=3), u -> z (w=1): auth rescales to max, so
+    // v = 1e6 and z = (1e6*1e6) div 3e6 = 333333 micros
+    val wtd = Graph.hits(edges((0L, 1L, 3L), (0L, 2L, 1L)), iters = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(wtd(1L) == 1000000L && wtd(2L) == 333333L, wtd)
+    // partitioning invariance (exact integers end to end)
+    val e = (1L to 40L).map(i => (i % 10, (i * 7) % 10, 1L + i % 3))
+      .toDF("src", "dst", "w").groupBy("src", "dst").agg(sum("w").as("w"))
+    val p1 = Graph.hits(e.repartition(1), iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val p2 = Graph.hits(e.repartition(11), iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p1 == p2)
+  }
+
   private def md5Draw(walkId: Long, step: Int, ow: Long): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$walkId#$step".getBytes("UTF-8"))

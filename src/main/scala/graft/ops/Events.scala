@@ -348,7 +348,8 @@ object Events {
   def rollingAnomalies(events: DataFrame, groupCol: String, tsCol: String,
                        valueCol: String, windowSeconds: Long = 3600L,
                        sigmaNum: Long = 3L, sigmaDen: Long = 1L,
-                       minEvents: Long = 5L): DataFrame = {
+                       minEvents: Long = 5L,
+                       idCol: String = "event_id"): DataFrame = {
     require(windowSeconds > 0 && sigmaNum > 0 && sigmaDen > 0 &&
       minEvents >= 2,
       "need windowSeconds > 0, sigmaNum/sigmaDen > 0, minEvents >= 2")
@@ -361,7 +362,7 @@ object Events {
       .withColumn("n_window", count(lit(1)).over(w))
       .withColumn("__s1", sum(col("__x")).over(w))
       .withColumn("__s2", sum(col("__x") * col("__x")).over(w))
-      .select(col("event_id"), col(groupCol), col(tsCol), col(valueCol),
+      .select(col(idCol), col(groupCol), col(tsCol), col(valueCol),
         col("n_window"),
         (col("n_window") >= minEvents &&
           lit(sigmaDen * sigmaDen) *

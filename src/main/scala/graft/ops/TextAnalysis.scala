@@ -890,7 +890,10 @@ object TextAnalysis {
     * same estimator on both sides; with add-one, an OOV token scores
     * ln((T_raw+V)/(T_tgt+V)) − ln(c_raw+1) — negative as soon as the
     * token has any raw mass). `isTarget` should match at least one
-    * document (an empty target degenerates to a constant-shift model).
+    * document (an empty target degenerates to a constant-shift model);
+    * a NULL predicate result counts the row as non-target (the
+    * conditional sum skips it), so callers with three-valued predicates
+    * should coalesce explicitly.
     *
     * Scale shape: BOTH models come out of ONE aggregation over ONE
     * corpus scan — the raw count and the target count are two columns of

@@ -223,7 +223,7 @@ object OracleGen {
            sum(a.w * b.w) AS dot
          FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
-       SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+       SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) + 0.0 AS cos
        FROM dots
        JOIN norms na ON doc_a = na.doc_id
        JOIN norms nb ON doc_b = nb.doc_id
@@ -327,9 +327,13 @@ object OracleGen {
       }
       .mkString(" + ")
 
+  /** `+ 0.0` canonicalizes the sign of zero: a cosine rounding to zero
+    * from below is −0.0 in DuckDB but +0.0 in Spark's BigDecimal-HALF_UP
+    * round, and IEEE −0.0 + 0.0 = +0.0 in both engines (the q108 r9
+    * postmortem — every Spark face mirrors the idiom). */
   private def cosSql(a: String, b: String, scale: Int = 4): String =
-    s"""round(list_dot_product($a, $b)
-       / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $scale)"""
+    s"""(round(list_dot_product($a, $b)
+       / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $scale) + 0.0)"""
 
   /** Shared prefix: embeddings → signatures → byte-chunk buckets,
     * replicating `Similarity.lshSignature` + `chunkedBuckets`. */
@@ -533,7 +537,7 @@ object OracleGen {
               row_number() OVER (PARTITION BY e.id
                 ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
             FROM e, c${r - 1} c) WHERE rn = 1),
-         m$r AS (SELECT cent_id, i, round(avg(v[i]), 6) AS m
+         m$r AS (SELECT cent_id, i, round(avg(v[i]), 6) + 0.0 AS m
            FROM a$r, range(1, ${dim + 1}) t(i) GROUP BY cent_id, i),
          c$r AS (SELECT cent_id, list(m ORDER BY i) AS cv
            FROM m$r GROUP BY cent_id)"""
@@ -708,22 +712,47 @@ object OracleGen {
     * (DuckDB's HUGEINT sums cast back down), so no float order anywhere. */
   def pageRankSql(iters: Int, microScale: Long = 1000000L,
                   dampNum: Long = 85, dampDen: Long = 100,
-                  seedSql: Option[String] = None): String = {
+                  seedSql: Option[String] = None,
+                  edgeFilterSql: Option[String] = None,
+                  dangling: Boolean = false): String = {
     val teleport = microScale * (dampDen - dampNum) / dampDen
     // personalized form: teleport (and the initial rank) only where the
-    // seed predicate holds — `seedSql` is a predicate over `node`,
-    // mirroring Graph.personalizedPageRank's Column predicate
+    // seed predicate holds — `seedSql` is a predicate over the
+    // placeholder token `{node}` (or, for compatibility, the bare word
+    // `node` when `{node}` is absent), mirroring
+    // Graph.personalizedPageRank's Column predicate. The placeholder is
+    // the safe spelling: a blind word replace would silently corrupt any
+    // predicate containing `node` inside another identifier or literal
+    // (e.g. `node_id`), so prefer `{node}` in new call sites.
     def gated(amount: Long, node: String): String = seedSql match {
       case Some(p) =>
-        s"CASE WHEN ${p.replace("node", node)} THEN $amount ELSE 0 END"
+        val sub =
+          if (p.contains("{node}")) p.replace("{node}", node)
+          else p.replace("node", node)
+        s"CASE WHEN $sub THEN $amount ELSE 0 END"
       case None => amount.toString
     }
+    // dangling form: per iteration, D = Σ rank over nodes with no
+    // out-edges (one scalar CTE) and every node's pre-damping inflow
+    // gains D // N — mirroring prImpl's danglingRedistribute arm
     val iterCtes = (1 to iters).map { i =>
-      s"""r$i AS (SELECT n.node,
+      if (!dangling)
+        s"""r$i AS (SELECT n.node,
            CAST(${gated(teleport, "n.node")}
              + ($dampNum * COALESCE(s.s, 0)) // $dampDen
              AS BIGINT) AS r
          FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node, CAST(SUM((r.r * e.w) // e.ow) AS BIGINT) AS s
+           FROM ew e JOIN r${i - 1} r ON r.node = e.src
+           GROUP BY 1) s ON s.node = n.node)"""
+      else
+        s"""d$i AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dm
+           FROM r${i - 1} r WHERE r.node NOT IN (SELECT src FROM edges)),
+         r$i AS (SELECT n.node,
+           CAST(${gated(teleport, "n.node")}
+             + ($dampNum * (COALESCE(s.s, 0) + (d.dm // nc.nn))) // $dampDen
+             AS BIGINT) AS r
+         FROM nodes n CROSS JOIN d$i d CROSS JOIN nc LEFT JOIN (
            SELECT e.dst AS node, CAST(SUM((r.r * e.w) // e.ow) AS BIGINT) AS s
            FROM ew e JOIN r${i - 1} r ON r.node = e.src
            GROUP BY 1) s ON s.node = n.node)"""
@@ -735,9 +764,10 @@ object OracleGen {
              ORDER BY event_id ASC) AS src, k AS dst
          FROM ev WHERE k IS NOT NULL),
        edges AS (SELECT src, dst, count(*) AS w FROM tr
-         WHERE src IS NOT NULL GROUP BY 1, 2),
+         WHERE src IS NOT NULL${edgeFilterSql.map(f => s" AND ($f)").getOrElse("")} GROUP BY 1, 2),
        nodes AS (SELECT src AS node FROM edges
          UNION SELECT dst FROM edges),
+       nc AS (SELECT count(*) AS nn FROM nodes),
        outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
          FROM edges GROUP BY 1),
        ew AS (SELECT e.src, e.dst, e.w, o.ow

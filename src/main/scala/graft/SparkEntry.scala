@@ -976,8 +976,10 @@ object SparkEntry {
     * expression exists to avoid. */
   private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
-      round(graft.functions.CharEntropy.char_entropy(col("text")), 4)
-        .as("char_entropy"))
+      // + 0.0: a zero-entropy doc is -0.0 under DuckDB's -sum() face but
+      // +0.0 out of Spark round; the idiom pins +0.0 on both (q108 r9).
+      (round(graft.functions.CharEntropy.char_entropy(col("text")), 4)
+        + lit(0.0)).as("char_entropy"))
 
   /** Gopher-style rule filter with the measurements AND the verdict —
     * the stop list is the corpus's own function words ("the"/"a"; the
@@ -1118,8 +1120,8 @@ object SparkEntry {
       col("user_id"), col("event_id"), col("value"),
       lag(col("value"), 1).over(w).as("prev_value"),
       lead(col("value"), 1).over(w).as("next_value"),
-      round(col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2)
-        .as("delta"))
+      (round(col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2)
+        + lit(0.0)).as("delta"))
   }
 
   /** Native session_window (gap-based session assignment as a built-in
@@ -1198,6 +1200,21 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")),
       iters = 5)
+
+  /** TRUE (mass-conserving) PageRank on a graph with real dangling
+    * nodes: pages whose `src % 7 == 0` out-links are blocklisted (the
+    * linked-to-but-never-crawled case every web graph has) become sinks,
+    * and `danglingRedistribute = true` returns their rank to the graph
+    * as `D div N` per node each iteration — total mass conserves within
+    * the integer truncation envelope (GraphSpec pins the bound). Same
+    * scaled-integer determinism as q107; the oracle unrolls the extra
+    * one-scalar dangling CTE per iteration. */
+  private def qPageRankDangling(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k"))
+        .filter(col("src") % 7 =!= 0),
+      iters = 5, danglingRedistribute = true)
 
   /** Crawl-frontier prioritization: PERSONALIZED PageRank with teleport
     * restricted to the trusted seed pages (`node % 10 == 0`) — rank
@@ -1430,6 +1447,7 @@ object SparkEntry {
     "q101_rrf_hybrid" -> (qRrfHybrid _),
     "q99_session_assembly" -> (qSessionAssembly _),
     "q107_pagerank" -> (qPageRank _),
+    "q123_pagerank_dangling" -> (qPageRankDangling _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -1964,7 +1982,7 @@ object SparkEntry {
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
          pairs AS (SELECT query_id, e.vec_id AS cand_id,
              round(list_dot_product(qv, v)
-               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) + 0.0 AS cos
            FROM e, q WHERE e.vec_id <> query_id)
          SELECT query_id, cand_id, cos FROM
            (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2031,7 +2049,7 @@ object SparkEntry {
                   - (cnt_a + 0.5) / (tot_a + 0.5 * n_bins))
              * ln(((cnt_b + 0.5) / (tot_b + 0.5 * n_bins))
                   / ((cnt_a + 0.5) / (tot_a + 0.5 * n_bins))), 6)
-             AS psi_contrib
+             + 0.0 AS psi_contrib
          FROM j, s""",
     "q74_weighted_reservoir" ->
       """SELECT lang, doc_id FROM
@@ -2159,7 +2177,7 @@ object SparkEntry {
          tot AS (SELECT doc_id, sum(cnt) AS n FROM cc GROUP BY 1)
          SELECT cc.doc_id,
            round(-sum((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)),
-             4) AS char_entropy
+             4) + 0.0 AS char_entropy
          FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id, n""",
     "q83_gopher_rules" ->
       """WITH m AS (SELECT doc_id,
@@ -2246,7 +2264,7 @@ object SparkEntry {
            FROM qz WHERE id % 100 = 0),
          ap AS (SELECT query_id, c.id AS cand_id, c.v, qs.qv,
              round(list_dot_product(c.q, qs.qq) * c.scale * qs.qscale, 6)
-               AS approx
+               + 0.0 AS approx
            FROM qz c, qs WHERE c.id <> qs.query_id),
          cand AS (SELECT query_id, cand_id, v, qv FROM
            (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2255,7 +2273,7 @@ object SparkEntry {
          r AS (SELECT query_id, cand_id,
              round(list_dot_product(qv, v)
                / (sqrt(list_dot_product(qv, qv))
-                  * sqrt(list_dot_product(v, v))), 4) AS cos
+                  * sqrt(list_dot_product(v, v))), 4) + 0.0 AS cos
            FROM cand)
          SELECT query_id, cand_id, cos FROM
            (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2404,7 +2422,7 @@ object SparkEntry {
       """SELECT user_id, event_id, value,
          lag(value, 1) OVER w AS prev_value,
          lead(value, 1) OVER w AS next_value,
-         round(value - coalesce(lag(value, 1) OVER w, 0.0), 2) AS delta
+         round(value - coalesce(lag(value, 1) OVER w, 0.0), 2) + 0.0 AS delta
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
     "q41_pivot" ->
@@ -2444,6 +2462,8 @@ object SparkEntry {
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
          FROM s GROUP BY user_id, session_seq""",
     "q107_pagerank" -> OracleGen.pageRankSql(iters = 5),
+    "q123_pagerank_dangling" -> OracleGen.pageRankSql(iters = 5,
+      edgeFilterSql = Some("src % 7 <> 0"), dangling = true),
     "q110_personalized_pagerank" ->
       OracleGen.pageRankSql(iters = 5, seedSql = Some("node % 10 = 0")),
     "q111_scd2_history" ->
@@ -2586,7 +2606,7 @@ object SparkEntry {
          btot AS (SELECT CAST(sum(c2) AS BIGINT) AS B FROM bi0)
          SELECT bi0.prev AS prev, bi0.tok AS tok, c2,
            round(ln((CAST(c2 AS DOUBLE) * T * T) /
-             (CAST(B AS DOUBLE) * up.c1 * ut.c1)), 4) AS pmi
+             (CAST(B AS DOUBLE) * up.c1 * ut.c1)), 4) + 0.0 AS pmi
          FROM bi0
            JOIN uni up ON up.tok = bi0.prev
            JOIN uni ut ON ut.tok = bi0.tok
@@ -2606,7 +2626,7 @@ object SparkEntry {
                - ln(CAST(c_raw + 1 AS DOUBLE) / (t_raw + v)) AS lr
            FROM dt JOIN model USING (tok) CROSS JOIN tot)
          SELECT doc_id, count(*) AS n_tokens,
-           round(sum(lr) / count(*), 4) AS avg_logratio,
+           round(sum(lr) / count(*), 4) + 0.0 AS avg_logratio,
            round(sum(lr) / count(*), 4) > 0 AS keep
          FROM s GROUP BY doc_id""",
   )

@@ -804,7 +804,8 @@ object Dedup {
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+        // + 0.0 pins a zero cosine to +0.0 on both faces (q108 r9)
+        (round(col("dot") / (col("na") * col("nb")), 4) + lit(0.0)).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -966,6 +967,16 @@ object Dedup {
     * regardless of execution order and oracle-verifiable against a
     * recursive-CTE closure. (Fixpoint ⇒ labels constant along every edge
     * ⇒ constant per component ⇒ = the component min, which is stable.)
+    *
+    * PRECONDITION: both columns of `pairs` must reference ids present in
+    * `ids` (pairs ⊆ ids × ids). Since the label loop seeds from the
+    * pair-touched node set, an edge to a FOREIGN id does not stay inert —
+    * the foreign node participates in label propagation (it can bridge
+    * two otherwise-separate components and its id can win the min and
+    * leak into the output labels). Callers joining relations from
+    * different corpora should anti-join-check the edge list first
+    * (`pairs.select(src).except(ids)` count == 0) — cheap next to the
+    * component rounds themselves.
     *
     * Scale shape: the loop runs over the PAIR-TOUCHED node set only —
     * edge-free ids can never change label and rejoin as singletons after
@@ -1407,7 +1418,7 @@ object Dedup {
       }
     pairs
       .select(col("doc_a"), col("doc_b"),
-        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+        (round(Similarity.cosine(col("va"), col("vb")), 4) + lit(0.0)).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

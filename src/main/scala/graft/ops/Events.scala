@@ -159,7 +159,13 @@ object Events {
     * Scale shape: two combinable per-user aggregations + one broadcast
     * horizon; only the DISTINCT-DURATION table (≤ observation window in
     * days — tiny by construction) goes through the single-partition
-    * ordered window (the q61 bucket-total precedent). */
+    * ordered window (the q61 bucket-total precedent).
+    *
+    * TIMEZONE CONTRACT: the day-duration division assumes a fixed-offset
+    * session timezone (`spark.sql.session.timeZone=UTC`, as the
+    * deterministic-oracle pipeline pins). In a DST timezone a day
+    * spanning a transition is 86400±3600 s of epoch time and the
+    * truncating division mis-buckets the duration by one. */
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, startType: String,
                   eventType: String): DataFrame = {
@@ -299,7 +305,13 @@ object Events {
     * Scale shape: first-activity is one combinable min-aggregation on the
     * user; the distinct (user, week) activity set is a second; the
     * cohort join is an equi-join on the user key and the matrix rollup
-    * one more combinable count. Nothing non-combinable anywhere. */
+    * one more combinable count. Nothing non-combinable anywhere.
+    *
+    * TIMEZONE CONTRACT: "engine-exact integer arithmetic" holds under a
+    * fixed-offset session timezone (`spark.sql.session.timeZone=UTC`,
+    * as the pipeline pins) — in a DST timezone a week spanning a
+    * transition is 604800±3600 s and the division mis-buckets the
+    * offset by one ([[kaplanMeier]]'s day division shares the caveat). */
   def retentionCohorts(events: DataFrame, userCol: String,
                        tsCol: String): DataFrame = {
     val first = events.groupBy(col(userCol))

@@ -70,9 +70,19 @@ object Graph {
     * Simplifications (documented, standard for in-pipeline ranking):
     * fixed iteration count rather than an epsilon test (rank ordering
     * stabilizes in a handful of iterations; a convergence probe would
-    * add a per-round action), and NO dangling-mass redistribution —
-    * a node with no out-edges absorbs its rank (total mass is not
-    * conserved; relative ranking, which is what curation consumes, is).
+    * add a per-round action), and — by default — NO dangling-mass
+    * redistribution: a node with no out-edges absorbs its rank (total
+    * mass is not conserved; relative ranking, which is what curation
+    * consumes, is). `danglingRedistribute = true` opts into TRUE
+    * PageRank: each iteration collects the dangling nodes' rank as ONE
+    * scalar aggregate D and every node's pre-damping inflow gains
+    * `D div N` — total mass then conserves within the truncation
+    * envelope (< |E| + 2·|V| micros lost per iteration: one per edge
+    * contribution, one per node on the damping division, and < |V|
+    * total on `D div N`; GraphSpec pins the bound). The dangling SET is
+    * computed once (nodes minus edge sources — constant across
+    * iterations); the per-iteration cost is one semi-join sum producing
+    * a 1-row broadcast, nothing at edge scale.
     *
     * Overflow envelope: r(u) is bounded by total mass N·microScale, so
     * `r * w` needs N·microScale·max_w < 2^63 — at 10^9 nodes, default
@@ -97,9 +107,10 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5,
                microScale: Long = 1000000L,
                dampNum: Long = 85, dampDen: Long = 100,
-               checkpointEvery: Int = 8): DataFrame =
+               checkpointEvery: Int = 8,
+               danglingRedistribute: Boolean = false): DataFrame =
     prImpl(edges, iters, microScale, dampNum, dampDen, checkpointEvery,
-      seed = None)
+      seed = None, danglingRedistribute = danglingRedistribute)
 
   /** PERSONALIZED PageRank (Haveliwala 2002, "Topic-Sensitive
     * PageRank"): teleport mass lands ONLY on the seed nodes, so rank
@@ -119,7 +130,7 @@ object Graph {
                            dampNum: Long = 85, dampDen: Long = 100,
                            checkpointEvery: Int = 8): DataFrame =
     prImpl(edges, iters, microScale, dampNum, dampDen, checkpointEvery,
-      seed = Some(seed))
+      seed = Some(seed), danglingRedistribute = false)
 
   /** Per-node TRIANGLE and wedge counts over the undirected simple graph
     * — the local-clustering signal (triangles/wedges = how tightly a
@@ -307,12 +318,18 @@ object Graph {
 
   private def prImpl(edges: DataFrame, iters: Int, microScale: Long,
                      dampNum: Long, dampDen: Long, checkpointEvery: Int,
-                     seed: Option[Column]): DataFrame = {
+                     seed: Option[Column],
+                     danglingRedistribute: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       "damping must satisfy 0 <= dampNum <= dampDen")
     require(microScale > 0, "microScale must be > 0")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // personalized + dangling is unsupported: PPR classically returns
+    // dangling mass to the SEED set (a different redistribution law) —
+    // fail loudly rather than silently uniform-spreading it
+    require(seed.isEmpty || !danglingRedistribute,
+      "danglingRedistribute is not supported with a seed predicate")
     val teleport = microScale * (dampDen - dampNum) / dampDen
     // seeded: teleport (and the initial rank) lands only where the seed
     // predicate holds; uniform: everywhere
@@ -329,15 +346,39 @@ object Graph {
     val ew = e.join(outw, Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("ow"))
       .localCheckpoint(eager = false)
+    // dangling machinery (constant across iterations): the sink node set
+    // and the node count — both tiny, both broadcast each round
+    val sinks =
+      if (danglingRedistribute)
+        nodes.join(outw.select(col("src").as("node")), Seq("node"),
+          "left_anti").localCheckpoint(eager = false)
+      else null
+    val nCnt =
+      if (danglingRedistribute) nodes.agg(count(lit(1)).as("nn")) else null
     var r = nodes.select(col("node"), gated(microScale).as("r"))
     for (i <- 1 to iters) {
       val s = ew.join(r.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), expr("(r * w) div ow").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = nodes.join(s, nodes("node") === s("dst"), "left")
-        .select(col("node"),
-          (gated(teleport) +
-            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("r"))
+      val next =
+        if (!danglingRedistribute)
+          nodes.join(s, nodes("node") === s("dst"), "left")
+            .select(col("node"),
+              (gated(teleport) +
+                expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("r"))
+        else {
+          // D = Σ rank over sinks — ONE scalar aggregate per iteration,
+          // broadcast back; every node's pre-damping inflow gains D div N
+          val dm = r.join(sinks, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+          nodes.join(s, nodes("node") === s("dst"), "left")
+            .join(broadcast(dm), lit(true))
+            .join(broadcast(nCnt), lit(true))
+            .select(col("node"),
+              (gated(teleport) +
+                expr(s"($dampNum * (coalesce(s, 0L) + (dm div nn)))" +
+                  s" div $dampDen")).as("r"))
+        }
       r = if (i % checkpointEvery == 0 && i < iters)
         next.localCheckpoint(eager = false)
       else next

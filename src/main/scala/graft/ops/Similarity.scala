@@ -45,7 +45,9 @@ object Similarity {
       .select(col("cand_id").as("query_id"), col("v").as("qv"))
     val scored = base.join(broadcast(queries), col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("v")), 4).as("cos"))
+        // + 0.0 pins the sign of a zero cosine to the oracle's
+        // `round(...) + 0.0` face (q108 r9 signed-zero postmortem)
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
     Windows.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
@@ -151,7 +153,7 @@ object Similarity {
     val scored = queries.join(cells, Seq("cent_id"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("cand_id"),
-        round(cosine(col("qv"), col("v")), 4).as("cos"))
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
       .distinct()
     Windows.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
@@ -200,7 +202,7 @@ object Similarity {
     val scored = queries.join(cells, Seq("cent_id"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("cand_id"),
-        round(cosine(col("qv"), col("v")), 4).as("cos"))
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
       .distinct()
     Windows.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
@@ -336,8 +338,8 @@ object Similarity {
         col("scale").as("qscale"), col("q").as("qq"))),
         col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
-        round(int8_dot(col("q"), col("qq")).cast("double")
-          * col("scale") * col("qscale"), 6).as("approx"))
+        (round(int8_dot(col("q"), col("qq")).cast("double")
+          * col("scale") * col("qscale"), 6) + lit(0.0)).as("approx"))
     val cands = Windows.topKPerGroup(approx, Seq(col("query_id")),
         Seq(col("approx").desc, col("cand_id").asc), candK)
       .select(col("query_id"), col("cand_id"))
@@ -349,7 +351,7 @@ object Similarity {
       .join(broadcast(queries.select(col("id").as("query_id"),
         col("v").as("qv"))), Seq("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("v")), 4).as("cos"))
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
     Windows.topKPerGroup(reranked, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
@@ -555,7 +557,7 @@ object Similarity {
         col("id").as("cand_id"), col("v").as("v")), Seq("chunk", "key"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("v")), 4).as("cos"))
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
       .distinct()
   }
 }

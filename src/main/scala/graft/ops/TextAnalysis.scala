@@ -504,7 +504,7 @@ object TextAnalysis {
           - (col("cnt_a") + 0.5) / (col("tot_a") + col("n_bins") * 0.5))
           * log(((col("cnt_b") + 0.5) / (col("tot_b") + col("n_bins") * 0.5))
             / ((col("cnt_a") + 0.5) / (col("tot_a") + col("n_bins") * 0.5))),
-          6).as("psi_contrib"))
+          6).+(lit(0.0)).as("psi_contrib"))
   }
 
   /** Day-over-day drift monitor: [[histogramDrift]]'s smoothed PSI
@@ -869,9 +869,12 @@ object TextAnalysis {
       .join(broadcast(total), lit(true))
       .join(broadcast(btot), lit(true))
       .select(col("prev"), col("tok"), col("c2"),
-        round(log((col("c2").cast("double") * col("T") * col("T")) /
+        // + 0.0 canonicalizes the sign of zero: a PMI rounding to zero
+        // from below is -0.0 in DuckDB but +0.0 in Spark's HALF_UP
+        // round, and IEEE -0.0 + 0.0 = +0.0 on both engines.
+        (round(log((col("c2").cast("double") * col("T") * col("T")) /
           (col("B").cast("double") * col("c1p") * col("c1t"))), 4)
-          .as("pmi"))
+          + lit(0.0)).as("pmi"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) —
@@ -922,7 +925,9 @@ object TextAnalysis {
             (col("t_raw") + col("v")))).as("lr"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lr")) / count(lit(1)), 4).as("avg_logratio"))
+        // + 0.0: an avg log-ratio rounding to zero from below is -0.0 in
+        // DuckDB, +0.0 out of Spark round — pin +0.0 on both (q108 r9)
+        (round(sum(col("lr")) / count(lit(1)), 4) + lit(0.0)).as("avg_logratio"))
       .select(col("id").as(idCol), col("n_tokens"), col("avg_logratio"),
         (col("avg_logratio") > 0).as("keep"))
   }

@@ -220,4 +220,57 @@ class GraphSpec extends AnyFunSuite {
     // truncating division only LOSES mass: total never exceeds N * scale
     assert(a.values.sum <= a.size * 1000000L)
   }
+
+  test("pageRank danglingRedistribute: hand-computed 2-node micros — the " +
+    "sink's mass returns as D div N each iteration") {
+    // a -> b only; b is dangling. Iter 1: D = 1e6, D div 2 = 500000;
+    // r(a) = 150000 + 85% * 500000 = 575000,
+    // r(b) = 150000 + 85% * (1000000 + 500000) = 1425000.
+    // Iter 2: D = 1425000, D div 2 = 712500;
+    // r(a) = 150000 + 85% * 712500 = 755625,
+    // r(b) = 150000 + 85% * (575000 + 712500) = 1244375.
+    val r = Graph.pageRank(edges((1L, 2L, 1L)), iters = 2,
+      danglingRedistribute = true).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 755625L, 2L -> 1244375L))
+    // these particular divisions are exact: mass conserves to the micro
+    assert(r.values.sum == 2000000L)
+  }
+
+  test("pageRank danglingRedistribute conserves total mass within the " +
+    "truncation envelope (< |E| + 2|V| micros lost per iteration)") {
+    // drop all out-edges of nodes ≡ 0 (mod 3); dst = 7i+1 lands on the
+    // dropped class for i ≡ 2 (mod 3), so REAL dangling nodes exist
+    // (plain 7i would keep multiples of 3 unreachable and dangling-free)
+    val e = (1L to 60L).map(i => (i % 12, (i * 7 + 1) % 12, 1L + i % 4))
+      .toDF("src", "dst", "w")
+      .filter(col("src") % 3 =!= 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val iters = 4
+    val r = Graph.pageRank(e, iters = iters, danglingRedistribute = true)
+      .as[(Long, Long)].collect().toMap
+    val nV = r.size.toLong
+    val nE = e.count()
+    val total = r.values.sum
+    assert(total <= nV * 1000000L,
+      s"mass grew: $total > ${nV * 1000000L}")
+    assert(total >= nV * 1000000L - iters * (nE + 2 * nV),
+      s"lost more than the envelope: $total vs ${nV * 1000000L}")
+    // and it conserves STRICTLY more mass than the absorbing default
+    val abs = Graph.pageRank(e, iters = iters)
+      .as[(Long, Long)].collect().toMap
+    assert(abs.values.sum < total)
+    // partitioning-invariant, like the default path
+    val r13 = Graph.pageRank(e.repartition(13), iters = iters,
+      danglingRedistribute = true).as[(Long, Long)].collect().toMap
+    assert(r13 == r)
+  }
+
+  test("pageRank danglingRedistribute: no dangling nodes ⇒ identical to " +
+    "the default path (D = 0 every iteration)") {
+    val e = edges((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 1L))
+    val a = Graph.pageRank(e, iters = 3).as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(e, iters = 3, danglingRedistribute = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }

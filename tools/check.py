@@ -19,8 +19,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            v = 0.0
+        # Float-strict on purpose: the driver hashes typed values, so -0.0
+        # and +0.0 MUST hash differently here too (q108 r9 postmortem —
+        # normalizing the sign of zero let a DuckDB-round(-0.0) vs
+        # Spark-round(+0.0) divergence ship green).
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))

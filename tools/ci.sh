@@ -21,8 +21,11 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.001 $out2/verify"
 python3 tools/check.py /root/testdata/sf0.001 "$out2/verify"
 
 # per-shape time budgets on the 200k-doc replicated corpus: catches
-# selectivity/candidate-volume regressions before the bench does
-sbt -batch "runMain graft.tools.Stress /root/testdata/sf0.1 40"
+# selectivity/candidate-volume regressions before the bench does.
+# 14g heap: the leg once OOM'd at the default 8g after ~5 h of
+# back-to-back JVMs (r9 PLANS.md tail) — the corpus is 40× sf0.1 and
+# the machine has 128 GiB, so headroom is the cheap fix.
+SPARK_DRIVER_MEM=14g sbt -batch "runMain graft.tools.Stress /root/testdata/sf0.1 40"
 
 # FA pipeline gate (8 synthetic counties end-to-end): pinned panel rows,
 # calibrated wall budget, PHYSICAL partition-pruning check (scan numFiles

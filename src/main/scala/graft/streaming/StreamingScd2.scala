@@ -32,8 +32,15 @@ object StreamingScd2 {
   case class Change(user_id: Long, attr: Long, valid_from: Timestamp)
   case class Scd2State(attr: Long, tsMicros: Long, eventId: Long)
 
+  /** Tagged stream row: `kind = "change"` is a change-log entry (`ts` =
+    * valid_from, `event_id` = the changing event); `kind = "late"` is a
+    * DROPPED late row replayed verbatim for the quarantine table — the
+    * input [[Scd2Reconcile.converge]] needs to repair history. */
+  case class Scd2Out(user_id: Long, kind: String, attr: Long,
+                     ts: Timestamp, event_id: Long)
+
   class Scd2Processor
-      extends StatefulProcessor[Long, AttrEvent, Change] {
+      extends StatefulProcessor[Long, AttrEvent, Scd2Out] {
 
     @transient private var last: ValueState[Scd2State] = _
 
@@ -46,9 +53,9 @@ object StreamingScd2 {
       ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
 
     override def handleInputRows(userId: Long, rows: Iterator[AttrEvent],
-                                 timers: TimerValues): Iterator[Change] = {
+                                 timers: TimerValues): Iterator[Scd2Out] = {
       val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer[Change]()
+      val out = scala.collection.mutable.ArrayBuffer[Scd2Out]()
       var st = if (last.exists()) Option(last.get()) else None
       sorted.foreach { e =>
         val key = (micros(e.ts), e.event_id)
@@ -56,22 +63,37 @@ object StreamingScd2 {
           Ordering[(Long, Long)].lt(key, (s.tsMicros, s.eventId)))
         if (!lateOrEqual) {
           if (!st.map(_.attr).contains(e.attr))
-            out += Change(userId, e.attr, e.ts)
+            out += Scd2Out(userId, "change", e.attr, e.ts, e.event_id)
           st = Some(Scd2State(e.attr, key._1, key._2))
-        }
+        } else
+          out += Scd2Out(userId, "late", e.attr, e.ts, e.event_id)
       }
       st.foreach(last.update)
       out.iterator
     }
   }
 
-  /** The change-log stream: Append-mode transformWithState keyed by
-    * user; one shuffle on the key, constant state per key. */
-  def changeLog(events: Dataset[AttrEvent]): Dataset[Change] = {
+  /** The TAGGED stream: change-log entries AND the late-row quarantine
+    * in one Append output (split downstream on `kind`). Same state and
+    * ordering contract as [[changeLog]]; a real deployment sinks the
+    * "late" partition to the quarantine table that drives periodic
+    * [[Scd2Reconcile.converge]] repair. */
+  def taggedLog(events: Dataset[AttrEvent]): Dataset[Scd2Out] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .transformWithState(new Scd2Processor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The change-log stream: Append-mode transformWithState keyed by
+    * user; one shuffle on the key, constant state per key. (The
+    * change-only projection of [[taggedLog]] — late rows drop here BY
+    * CONTRACT; keep the tagged form when repair matters.) */
+  def changeLog(events: Dataset[AttrEvent]): Dataset[Change] = {
+    import events.sparkSession.implicits._
+    taggedLog(events)
+      .filter(_.kind == "change")
+      .map(o => Change(o.user_id, o.attr, o.ts))
   }
 }

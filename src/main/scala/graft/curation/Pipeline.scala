@@ -31,7 +31,10 @@ case class Config(
     nShards: Int = 8,
     nllBuckets: Boolean = false,
     dsirTargetSource: Option[String] = None,
-    dsirMinLogratio: Double = 0.0)
+    dsirMinLogratio: Double = 0.0,
+    graphEdgesPath: Option[String] = None,
+    graphRankIters: Int = 5,
+    graphRankMinMicros: Long = 150000L)
 
 /** The end-to-end TRAINING-DATA CURATION driver — the curation-side
   * sibling of [[graft.fa.Pipeline]]: the same staged-parquet pattern
@@ -156,21 +159,47 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
         curated.join(keep, Seq("doc_id"))
       }
 
+    // optional LINK-GRAPH quality stage (q107/q123's relation — the
+    // family's stated purpose): documents ranked by mass-conserving
+    // PageRank over the corpus link graph (`graphEdgesPath`: a parquet
+    // edge relation (src, dst, w) keyed by doc_id) and floored at
+    // `graphRankMinMicros`. Documents OUTSIDE the graph score the
+    // isolated-node fixpoint — exactly the teleport share, 150000 micros
+    // at the default damping — so the default floor passes them and the
+    // stage only ever CUTS by link evidence, never by absence of a
+    // crawl. Runs between selection and clustering so near-dup pays only
+    // for link-credible docs. Rank is a gate, not a carried column:
+    // downstream schemas (and the default-config shard bytes) are
+    // untouched.
+    val ranked =
+      if (config.graphEdgesPath.isEmpty) selected
+      else stage("graph_rank") {
+        val teleport = 1000000L * 15 / 100
+        val rank = graft.ops.Graph.pageRank(
+          spark.read.parquet(config.graphEdgesPath.get),
+          iters = config.graphRankIters, danglingRedistribute = true)
+        selected
+          .join(rank, selected("doc_id") === rank("node"), "left")
+          .filter(coalesce(col("rank_micros"), lit(teleport))
+            >= config.graphRankMinMicros)
+          .drop("node", "rank_micros")
+      }
+
     val clusters = stage("clusters") {
-      val pairs = Dedup.minHashNearDups(selected, "doc_id", "text",
+      val pairs = Dedup.minHashNearDups(ranked, "doc_id", "text",
         k = config.minhashK, bands = config.minhashBands,
         shingleSize = config.shingleSize,
         minEstJaccard = config.minEstJaccard,
         threshold = config.dupThreshold)
-      Dedup.components(selected.select("doc_id"),
+      Dedup.components(ranked.select("doc_id"),
         pairs.select("doc_a", "doc_b"))
     }
 
     val deduped = stage("deduped") {
-      val canon = Dedup.canonicalPerCluster(clusters, selected,
+      val canon = Dedup.canonicalPerCluster(clusters, ranked,
           "doc_id", "n_chars")
         .select(col("canonical_id").as("doc_id"), col("cluster_id"))
-      selected.join(canon, Seq("doc_id"))
+      ranked.join(canon, Seq("doc_id"))
     }
 
     val split = stage("split") {
@@ -203,8 +232,8 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
         s"$outputDir/shards")
       spark.read.parquet(s"$outputDir/shards")
     }
-    writeManifest(docs, quality, curated, selected, deduped, split,
-      shards)
+    writeManifest(docs, quality, curated, selected, ranked, deduped,
+      split, shards)
     shards
   }
 
@@ -219,7 +248,8 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
     * manifest describes what is ON DISK, not what a plan promised. */
   private def writeManifest(docs: DataFrame, quality: DataFrame,
                             curated: DataFrame, selected: DataFrame,
-                            deduped: DataFrame, split: DataFrame,
+                            ranked: DataFrame, deduped: DataFrame,
+                            split: DataFrame,
                             shards: DataFrame): Unit = {
     val trainRows = split.filter(col("split") === "train").count()
     val valRows = split.filter(col("split") === "val").count()
@@ -228,6 +258,7 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
       "quality_rows" -> quality.count().toString,
       "curated_rows" -> curated.count().toString,
       "selected_rows" -> selected.count().toString,
+      "ranked_rows" -> ranked.count().toString,
       "deduped_rows" -> deduped.count().toString,
       "train_rows" -> trainRows.toString,
       "val_rows" -> valRows.toString,
@@ -239,7 +270,8 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
       "split_rem" -> config.splitRem.toString,
       "dup_threshold" -> config.dupThreshold.toString,
       "nll_buckets" -> config.nllBuckets.toString,
-      "dsir_enabled" -> config.dsirTargetSource.isDefined.toString)
+      "dsir_enabled" -> config.dsirTargetSource.isDefined.toString,
+      "graph_rank_enabled" -> config.graphEdgesPath.isDefined.toString)
     val json = fields.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\n  ", ",\n  ", "\n}\n")
     Files.writeString(Paths.get(s"$outputDir/manifest.json"), json)

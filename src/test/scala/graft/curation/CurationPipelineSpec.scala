@@ -240,6 +240,53 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(manifest.contains(""""dsir_enabled": true"""), manifest)
   }
 
+  test("optional graph-rank stage: docs below the PageRank floor drop; " +
+    "docs outside the link graph pass at the isolated-node fixpoint") {
+    // star graph over the quality survivors: 1, 3, 7, 8 all point at 5
+    // (a TRAIN-draw singleton, so the surviving hub flows through to
+    // shards), and 5 has no out-links (dangling). With mass-conserving
+    // PageRank the hub's rank stays above 1.8M micros across the 5-iter
+    // oscillation while the pointers hold teleport + their dangling
+    // share (< 1M), and out-of-graph doc 2 scores the isolated-node
+    // fixpoint (150000). Floor 1,000,000 therefore keeps exactly the
+    // hub — pointers AND the uncrawled doc both fall below it.
+    val (in, out) = fixture()
+    val base = Path.of(out).getParent
+    val edgesPath = base.resolve("edges.parquet").toString
+    Seq((1L, 5L, 1L), (3L, 5L, 1L), (7L, 5L, 1L), (8L, 5L, 1L))
+      .toDF("src", "dst", "w").coalesce(1).write.parquet(edgesPath)
+    new Pipeline(spark, in, out,
+      cfg.copy(graphEdgesPath = Some(edgesPath),
+        graphRankMinMicros = 1000000L)).run()
+    assert(Files.exists(Path.of(s"$out/staging/graph_rank/_SUCCESS")))
+    val kept = spark.read.parquet(s"$out/staging/graph_rank")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L), s"graph_rank kept $kept")
+    val splitIds = spark.read.parquet(s"$out/staging/split")
+      .select("doc_id").as[Long].collect().toSet
+    assert(splitIds == Set(5L), s"split ids $splitIds")
+    val manifest = Files.readString(Path.of(s"$out/manifest.json"))
+    assert(manifest.contains(""""ranked_rows": 1"""), manifest)
+    assert(manifest.contains(""""graph_rank_enabled": true"""), manifest)
+  }
+
+  test("graph-rank stage with the DEFAULT floor: out-of-graph docs pass " +
+    "at the isolated-node fixpoint, nothing drops") {
+    val (in, out) = fixture()
+    val base = Path.of(out).getParent
+    val edgesPath = base.resolve("edges_def.parquet").toString
+    Seq((3L, 1L, 1L), (5L, 1L, 1L), (7L, 1L, 1L), (8L, 1L, 1L))
+      .toDF("src", "dst", "w").coalesce(1).write.parquet(edgesPath)
+    new Pipeline(spark, in, out,
+      cfg.copy(graphEdgesPath = Some(edgesPath))).run()
+    val kept = spark.read.parquet(s"$out/staging/graph_rank")
+      .select("doc_id").as[Long].collect().toSet
+    // default floor = teleport: in-graph docs all hold >= teleport
+    // (its the rank lower bound), out-of-graph docs coalesce to exactly
+    // teleport — the stage only ever cuts by link evidence
+    assert(kept == Set(1L, 2L, 3L, 5L, 7L, 8L), s"graph_rank kept $kept")
+  }
+
   test("CLI main parses the fa-style flag surface and rejects missing " +
     "required flags") {
     val opts = Main.parseArgs(Array("--input", "/x", "--output", "/y",

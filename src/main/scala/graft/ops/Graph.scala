@@ -161,31 +161,7 @@ object Graph {
     * the wedge self-join and the closing-edge join are equi-joins on
     * node ids whose skew the orientation already bounded. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val deg = und.select(col("a").as("node"))
-      .union(und.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = false)
-    // orient a->b when (deg(a), a) < (deg(b), b); carry the head's degree
-    // so wedge formation can order its two heads without another join
-    val o = und
-      .join(deg.select(col("node").as("a"), col("deg").as("dega")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("deg").as("degb")), Seq("b"))
-      .select(
-        when(col("dega") < col("degb") ||
-          (col("dega") === col("degb") && col("a") < col("b")),
-          struct(col("a").as("src"), col("b").as("dst"),
-            col("degb").as("ddeg")))
-          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
-            col("dega").as("ddeg"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.ddeg").as("ddeg"))
-      .localCheckpoint(eager = false)
+    val (deg, o) = degreeOriented(edges)
     val e1 = o.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
     val e2 = o.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
     val tri = e1.join(e2, Seq("src"))
@@ -203,6 +179,55 @@ object Graph {
         expr("deg * (deg - 1) div 2").as("wedges"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** (degrees, oriented edges) of an edge relation's undirected simple
+    * graph — [[triangleCounts]]' whole preparation, exposed as one unit
+    * so the stress gate's wedge-mass probe measures the operator's OWN
+    * oriented relation (an orientation change in the operator is, by
+    * construction, a change in the gated metric). */
+  private[graft] def degreeOriented(edges: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val und = undirectedSimple(edges)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    (deg, orientedEdges(und, deg))
+  }
+
+  /** The undirected simple graph of an edge relation (deduped, loops
+    * dropped, endpoints ordered) — [[triangleCounts]]' first step,
+    * shared with the stress gate's cost-class probe. */
+  private[graft] def undirectedSimple(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+  /** Degree-ordered orientation of an undirected simple graph: a→b when
+    * (deg(a), a) < (deg(b), b), carrying the head's degree so wedge
+    * formation can order its two heads without another join. This IS the
+    * O(√|E|)-out-degree bound [[triangleCounts]]' skew safety rests on —
+    * `private[graft]` so the stress gate measures the wedge candidate
+    * mass over the operator's own relation (an orientation change in the
+    * operator is, by construction, a change in the gated metric). */
+  private[graft] def orientedEdges(und: DataFrame,
+                                   deg: DataFrame): DataFrame =
+    und
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), Seq("b"))
+      .select(
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("degb").as("ddeg")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("dega").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+      .localCheckpoint(eager = false)
 
   /** HITS hubs & authorities (Kleinberg 1999) — the OTHER classic link
     * rank: an authority is pointed at by good hubs, a hub points at good

@@ -207,6 +207,50 @@ object Stress {
       costClassGate("PREFIX_COST_CLASS", big, halfBig,
         d => sumF2(Dedup.prefixPostings(d, "doc_id", "text", 3, 4L, 5L)),
         absMax = PrefixAbsMax)
+      // ------- GRAPH cost-class gates (deterministic) -------
+      // Wedge candidate mass Σ C(out-deg, 2) over triangleCounts' OWN
+      // degree-ordered orientation, on a 200k-node graph with 200
+      // planted 1000-spoke hubs (the skew shape the orientation exists
+      // for). A working orientation points every spoke AT its hub, so
+      // the mass stays ~|E|-linear (measured 261,914 exactly — spokes
+      // hold out-degree 1-3 from their hub edge plus whichever ring
+      // edges they win on the (deg, id) tie); an id-ordered or reversed
+      // orientation hands each hub C(999, 2) wedges → ~1e8, 180× the
+      // ceiling. Pure count: deterministic by construction, zero noise.
+      if (only.forall("graph_wedge_cost_class".contains)) {
+        val gN = 200000L
+        val ring = spark.range(gN).select(col("id").as("src"),
+          ((col("id") * 7 + 1) % gN).as("dst"), lit(1L).as("w"))
+        val hubs = spark.range(gN).select(col("id").as("src"),
+          (col("id") - pmod(col("id"), lit(1000L))).as("dst"),
+          lit(1L).as("w"))
+        val gEdges = ring.union(hubs)
+        val (_, oriented) = graft.ops.Graph.degreeOriented(gEdges)
+        val wedgeMass = oriented.groupBy("src")
+          .agg(count(lit(1)).as("f"))
+          .agg(expr("CAST(sum((f * (f - 1)) div 2) AS LONG)"))
+          .collect()(0).getLong(0)
+        val wedgeMax = 550000L // ~2x the measured 261,914 exact mass
+        val ok = wedgeMass <= wedgeMax
+        if (!ok) failed ::= "GRAPH_WEDGE_COST_CLASS"
+        println(s"GRAPH_WEDGE_COST_CLASS mass=$wedgeMass " +
+          s"(absMax=$wedgeMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        // Random-walk frontier bound on the same graph: every live walk
+        // contributes AT MOST one row per step (inverse-CDF selection
+        // picks the unique covering edge), so total output is hard-capped
+        // at (steps+1)·|V|. A frontier blow-up — cumulative bounds
+        // overlapping so a draw matches several edges — multiplies rows
+        // per step and smashes through this structural ceiling.
+        val steps = 3
+        val nNodes = gEdges.select(col("src").as("n"))
+          .union(gEdges.select(col("dst").as("n"))).distinct().count()
+        val walkRows = graft.ops.Graph.randomWalks(gEdges, steps).count()
+        val walkMax = (steps + 1) * nNodes
+        val wok = walkRows <= walkMax
+        if (!wok) failed ::= "GRAPH_WALK_FRONTIER"
+        println(s"GRAPH_WALK_FRONTIER rows=$walkRows nodes=$nNodes " +
+          s"(absMax=$walkMax) " + (if (wok) "OK" else "COST_CLASS_OVER"))
+      }
       // Budgets: measured local[32] 2026-08 (9.1 / 15.9 / 2.2 / 3.9 /
       // 1.5 / 153 s) × ~2.5 headroom.
       gated("MINHASH_PAIRS", budgetSec = 20) {

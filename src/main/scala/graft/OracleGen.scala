@@ -710,11 +710,15 @@ object OracleGen {
     * optimizer understands). `//` on non-negative BIGINTs is DuckDB's
     * floor division = Spark's truncating `div`; all sums are integer
     * (DuckDB's HUGEINT sums cast back down), so no float order anywhere. */
-  def pageRankSql(iters: Int, microScale: Long = 1000000L,
-                  dampNum: Long = 85, dampDen: Long = 100,
-                  seedSql: Option[String] = None,
-                  edgeFilterSql: Option[String] = None,
-                  dangling: Boolean = false): String = {
+  /** The nodes → out-weights → r0 → unrolled-iterations SUFFIX shared by
+    * every PageRank oracle, over an `edges(src, dst, w BIGINT)` CTE
+    * already in scope (composable: [[pageRankSql]] supplies the events
+    * transition graph, [[knnPageRankSql]] the IVF-routed semantic KNN
+    * graph). */
+  private def prCoreSql(iters: Int, microScale: Long,
+                        dampNum: Long, dampDen: Long,
+                        seedSql: Option[String],
+                        dangling: Boolean): String = {
     val teleport = microScale * (dampDen - dampNum) / dampDen
     // personalized form: teleport (and the initial rank) only where the
     // seed predicate holds — `seedSql` is a predicate over the
@@ -757,15 +761,7 @@ object OracleGen {
            FROM ew e JOIN r${i - 1} r ON r.node = e.src
            GROUP BY 1) s ON s.node = n.node)"""
     }.mkString(",\n       ")
-    s"""WITH ev AS (SELECT user_id, event_id,
-         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
-         FROM events),
-       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
-             ORDER BY event_id ASC) AS src, k AS dst
-         FROM ev WHERE k IS NOT NULL),
-       edges AS (SELECT src, dst, count(*) AS w FROM tr
-         WHERE src IS NOT NULL${edgeFilterSql.map(f => s" AND ($f)").getOrElse("")} GROUP BY 1, 2),
-       nodes AS (SELECT src AS node FROM edges
+    s"""nodes AS (SELECT src AS node FROM edges
          UNION SELECT dst FROM edges),
        nc AS (SELECT count(*) AS nn FROM nodes),
        outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
@@ -777,6 +773,48 @@ object OracleGen {
        $iterCtes
        SELECT node, r AS rank_micros FROM r$iters"""
   }
+
+  def pageRankSql(iters: Int, microScale: Long = 1000000L,
+                  dampNum: Long = 85, dampDen: Long = 100,
+                  seedSql: Option[String] = None,
+                  edgeFilterSql: Option[String] = None,
+                  dangling: Boolean = false): String =
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       edges AS (SELECT src, dst, count(*) AS w FROM tr
+         WHERE src IS NOT NULL${edgeFilterSql.map(f => s" AND ($f)").getOrElse("")} GROUP BY 1, 2),
+       ${prCoreSql(iters, microScale, dampNum, dampDen, seedSql, dangling)}"""
+
+  /** Oracle for `Similarity.knnGraph` + `Graph.pageRank` (q124): the
+    * [[ivfSql]] search with EVERY vector as a query builds the directed
+    * unit-weight k-NN edge relation, and [[prCoreSql]] replays the
+    * scaled-integer PageRank over it — two families composed with no new
+    * primitive on either face. */
+  def knnPageRankSql(k: Int, nCentroids: Int, nProbe: Int,
+                     iters: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       cent AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT $nCentroids),
+       asg AS (SELECT id, v, cent_id FROM
+         (SELECT e.id, e.v, c.cent_id,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC) AS rn
+          FROM e, cent c) WHERE rn <= $nProbe),
+       q AS (SELECT cent_id, id AS query_id, v AS qv FROM asg),
+       p AS (SELECT DISTINCT query_id, a.id AS cand_id,
+           ${cosSql("q.qv", "a.v")} AS cos
+         FROM q JOIN asg a ON q.cent_id = a.cent_id AND a.id <> q.query_id),
+       knn AS (SELECT query_id, cand_id FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+         WHERE rn <= $k),
+       edges AS (SELECT query_id AS src, cand_id AS dst,
+         CAST(1 AS BIGINT) AS w FROM knn),
+       ${prCoreSql(iters, 1000000L, 85L, 100L, None, dangling = false)}"""
 
   /** HITS over the events transition graph — replays
     * [[graft.ops.Graph.hits]]' integer max-rescaled half-steps exactly,

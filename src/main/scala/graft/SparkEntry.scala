@@ -1216,6 +1216,18 @@ object SparkEntry {
         .filter(col("src") % 7 =!= 0),
       iters = 5, danglingRedistribute = true)
 
+  /** Semantic centrality: PageRank over the IVF-routed k-NN graph of
+    * the embedding corpus — the graph×similarity composition (a doc
+    * central in its semantic neighborhood graph is a cluster core; the
+    * periphery is outliers), built from two existing families with no
+    * new primitive. Edge build = q35's cell routing with every vector a
+    * query; rank = q107's scaled-integer iteration. */
+  private def qKnnPageRank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 2),
+      iters = 5)
+
   /** Crawl-frontier prioritization: PERSONALIZED PageRank with teleport
     * restricted to the trusted seed pages (`node % 10 == 0`) — rank
     * measures reachability from the seed set, the signal a crawler uses
@@ -1448,6 +1460,7 @@ object SparkEntry {
     "q99_session_assembly" -> (qSessionAssembly _),
     "q107_pagerank" -> (qPageRank _),
     "q123_pagerank_dangling" -> (qPageRankDangling _),
+    "q124_knn_pagerank" -> (qKnnPageRank _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2464,6 +2477,9 @@ object SparkEntry {
     "q107_pagerank" -> OracleGen.pageRankSql(iters = 5),
     "q123_pagerank_dangling" -> OracleGen.pageRankSql(iters = 5,
       edgeFilterSql = Some("src % 7 <> 0"), dangling = true),
+    "q124_knn_pagerank" ->
+      OracleGen.knnPageRankSql(k = 5, nCentroids = 16, nProbe = 2,
+        iters = 5),
     "q110_personalized_pagerank" ->
       OracleGen.pageRankSql(iters = 5, seedSql = Some("node % 10 = 0")),
     "q111_scd2_history" ->

@@ -141,12 +141,18 @@ object Similarity {
         kMeansCentroids(base, nCentroids, trainIters, trainSampleFraction)
       else base.orderBy(col("id")).limit(nCentroids)
         .select(col("id").as("cent_id"), col("v").as("cv"))
-    // nProbe nearest cells per vector (rank over the broadcast centroids)
+    // nProbe nearest cells per vector (rank over the broadcast
+    // centroids), materialized ONCE (lazy localCheckpoint, the q88
+    // pattern): the assignment feeds BOTH the query side and the
+    // candidate side — without this each consumer re-runs the centroid
+    // fan-out + top-k, which doubles the dominant stage when the query
+    // side is the whole corpus (knnGraph's queryStride = 1)
     val assigned = Windows.topKPerGroup(
       base.join(broadcast(centroids), lit(true))
         .select(col("id"), col("v"), col("cent_id"),
           round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
       Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
+      .localCheckpoint(eager = false)
     val cells = assigned.select(col("cent_id"), col("id"), col("v"))
     val queries = cells.filter(col("id") % queryStride === 0)
       .select(col("cent_id"), col("id").as("query_id"), col("v").as("qv"))
@@ -158,6 +164,28 @@ object Similarity {
     Windows.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
+
+  /** Semantic K-NN GRAPH build — directed unit-weight edges from every
+    * vector to its k approximate nearest neighbors via the IVF cell
+    * routing (exactly [[ivfTopK]] with EVERY vector as a query): the
+    * graph×similarity bridge that turns an embedding corpus into input
+    * for the [[graft.ops.Graph]] family (PageRank centrality over the
+    * semantic neighborhood graph — q124 — HITS, components-as-clusters,
+    * walks for node2vec-style corpora).
+    *
+    * Scale shape: identical to [[ivfTopK]] — broadcast centroids, one
+    * shuffle on cell id, per-query work bounded by its probed cells —
+    * with the query side the whole corpus, so candidate volume is
+    * Σ_cells |cell|² · nProbe, the IVF contract (vs the N² all-pairs a
+    * brute k-NN graph would cost); output is N·k narrow edge rows.
+    * Recall < 1 by construction (a true neighbor outside the probed
+    * cells is unseen) — the standard approximate-KNN-graph trade. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int = 5, nCentroids: Int = 16,
+               nProbe: Int = 2): DataFrame =
+    ivfTopK(emb, idCol, vecCol, k, nCentroids, nProbe, queryStride = 1)
+      .select(col("query_id").as("src"), col("cand_id").as("dst"),
+        lit(1L).as("w"))
 
   /** FILTERED ANN — metadata-predicate vector search (the classically
     * hard vector-retrieval case: "nearest neighbors WHERE label = X").

@@ -309,6 +309,28 @@ class PlanAuditSpec extends AnyFunSuite {
       .foreach(j => assert(!p.contains(j), s"$j in ${p.take(3000)}"))
   }
 
+  test("q124: the KNN-graph build routes through the cell EQUI-join " +
+    "(the only nested loop is the 16-row centroid fan-out), and the " +
+    "rank iterations never go cartesian") {
+    // the rank side: pageRank lazily checkpoints the edge relation, so
+    // the checked query's own plan holds just the iterations — pin those
+    val pq = plan("q124_knn_pagerank")
+    assert(!pq.contains("CartesianProduct"), pq.take(4000))
+    assert(!pq.contains("BroadcastNestedLoopJoin"), pq.take(4000))
+    // the edge-build side (flattened behind the checkpoint above): audit
+    // the knnGraph plan directly. The cell assignment materializes once
+    // (lazy checkpoint — at most one BNLJ, the 16-row centroid fan-out,
+    // and none once flattened); the N-side candidate join MUST be the
+    // cent_id equi-join, never an all-pairs shape.
+    val pe = graft.ops.Similarity.knnGraph(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!pe.contains("CartesianProduct"), pe.take(4000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pe).length <= 1,
+      pe.take(6000))
+    assert(pe.contains("cent_id"), pe.take(4000))
+  }
+
   test("q105: two-tier ANN — broadcast-only joins (int8 scan, candidate " +
     "join-back); the corpus never sort-merge-shuffles") {
     val p = plan("q105_two_tier_ann")

@@ -789,6 +789,43 @@ object OracleGen {
          WHERE src IS NOT NULL${edgeFilterSql.map(f => s" AND ($f)").getOrElse("")} GROUP BY 1, 2),
        ${prCoreSql(iters, microScale, dampNum, dampDen, seedSql, dangling)}"""
 
+  /** Oracle for `Graph.labelPropagation` over the events transition
+    * graph (q125): seeds node % 10 == 0 → 1000000 micros (trusted),
+    * node % 10 == 5 → 0 (spam), prior 500000; per unrolled iteration an
+    * unlabeled node takes the in-neighbor weighted mean
+    * `num // den` (floor == Spark's truncating div on non-negatives),
+    * seeds clamp, in-edge-free nodes keep their prior score. */
+  def labelPropSql(iters: Int, priorMicros: Long = 500000L): String = {
+    val seedCase = "CASE WHEN n.node % 10 = 0 THEN 1000000 " +
+      "WHEN n.node % 10 = 5 THEN 0"
+    val iterCtes = (1 to iters).map { i =>
+      s"""s$i AS (SELECT n.node,
+           CAST($seedCase
+             WHEN a.num IS NOT NULL THEN a.num // a.den
+             ELSE p.s END AS BIGINT) AS s
+         FROM nodes n JOIN s${i - 1} p ON p.node = n.node LEFT JOIN (
+           SELECT e.dst, CAST(SUM(p2.s * e.w) AS BIGINT) AS num,
+             CAST(SUM(e.w) AS BIGINT) AS den
+           FROM ew e JOIN s${i - 1} p2 ON p2.node = e.src
+           GROUP BY 1) a ON a.dst = n.node)"""
+    }.mkString(",\n       ")
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       ew AS (SELECT src, dst, count(*) AS w FROM tr
+         WHERE src IS NOT NULL GROUP BY 1, 2),
+       nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+       s0 AS (SELECT n.node,
+         CAST($seedCase ELSE $priorMicros END AS BIGINT) AS s
+         FROM nodes n),
+       $iterCtes
+       SELECT node, s AS score_micros,
+         (node % 10 = 0 OR node % 10 = 5) AS is_seed FROM s$iters"""
+  }
+
   /** Oracle for `Similarity.knnGraph` + `Graph.pageRank` (q124): the
     * [[ivfSql]] search with EVERY vector as a query builds the directed
     * unit-weight k-NN edge relation, and [[prCoreSql]] replays the

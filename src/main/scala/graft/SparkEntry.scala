@@ -1228,6 +1228,33 @@ object SparkEntry {
         k = 5, nCentroids = 16, nProbe = 2),
       iters = 5)
 
+  /** Semi-supervised quality auto-labeling: label propagation over the
+    * transition graph — trusted pages (`node % 10 == 0` → 1e6 micros)
+    * and known-spam pages (`node % 10 == 5` → 0) clamp; every other
+    * page inherits the weighted mean of its in-neighbors, iterated.
+    * The audited-sliver → whole-corpus quality-score move, in the same
+    * scaled-integer determinism as q107. */
+  private def qLabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val edges = Graph.transitionEdges(t(s, dir, "events"), "user_id",
+      "event_id", Events.jsonField(col("props"), "$.k"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val seeds = nodes
+      .filter(col("node") % 10 === 0 || col("node") % 10 === 5)
+      .select(col("node"),
+        when(col("node") % 10 === 0, lit(1000000L)).otherwise(lit(0L))
+          .as("label"))
+    Graph.labelPropagation(edges, seeds, iters = 5)
+  }
+
+  /** Marketing-funnel accounting: LAST-TOUCH attribution — every
+    * purchase credits the user's latest strictly-preceding click under
+    * the (ts, event_id) total order; organic purchases keep a NULL
+    * touch. One user-key window, no event-log self-join. */
+  private def qLastTouchAttribution(s: SparkSession, dir: String): DataFrame =
+    Events.lastTouchAttribution(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", touchType = "click", convType = "purchase")
+
   /** Crawl-frontier prioritization: PERSONALIZED PageRank with teleport
     * restricted to the trusted seed pages (`node % 10 == 0`) — rank
     * measures reachability from the seed set, the signal a crawler uses
@@ -1461,6 +1488,8 @@ object SparkEntry {
     "q107_pagerank" -> (qPageRank _),
     "q123_pagerank_dangling" -> (qPageRankDangling _),
     "q124_knn_pagerank" -> (qKnnPageRank _),
+    "q125_label_propagation" -> (qLabelPropagation _),
+    "q126_last_touch_attribution" -> (qLastTouchAttribution _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2480,6 +2509,19 @@ object SparkEntry {
     "q124_knn_pagerank" ->
       OracleGen.knnPageRankSql(k = 5, nCentroids = 16, nProbe = 2,
         iters = 5),
+    "q125_label_propagation" -> OracleGen.labelPropSql(iters = 5),
+    "q126_last_touch_attribution" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+           WHERE event_type IN ('click', 'purchase')),
+         a AS (SELECT user_id, event_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_id
+           FROM f)
+         SELECT user_id, event_id AS conv_id, touch_id FROM a
+         WHERE event_type = 'purchase'""",
     "q110_personalized_pagerank" ->
       OracleGen.pageRankSql(iters = 5, seedSql = Some("node % 10 = 0")),
     "q111_scd2_history" ->

@@ -255,6 +255,38 @@ object Events {
           .as("loo_mean")): _*)
   }
 
+  /** LAST-TOUCH ATTRIBUTION — credit each conversion to the latest
+    * preceding touch event of the same user (the default attribution
+    * model of every campaign dashboard; first-touch is the same window
+    * with `first`). Output: one row per conversion,
+    * (`userCol`, conv_id, touch_id), touch_id NULL when no touch
+    * precedes (the organic conversion — kept, honestly, rather than
+    * silently dropped).
+    *
+    * Deterministic: "preceding" is the (`tsCol`, `ordCol`) TOTAL order
+    * (the q19 contract — `ordCol` breaks timestamp ties), and the frame
+    * excludes the current row, so a same-instant touch+conversion pair
+    * resolves identically in any engine (the touch attributes iff it
+    * sorts strictly earlier under the total order).
+    *
+    * Scale shape: events filter to the two types BEFORE the window (the
+    * only shuffle, on the user key) — the running last-touch is one
+    * frame-bounded window function, no self-join of the event log. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           tsCol: String, ordCol: String, typeCol: String,
+                           touchType: String, convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(ordCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col(userCol), col(ordCol), col(tsCol), col(typeCol))
+      .filter(col(typeCol).isin(touchType, convType))
+      .withColumn("touch_id",
+        last(when(col(typeCol) === touchType, col(ordCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(userCol), col(ordCol).as("conv_id"), col("touch_id"))
+  }
+
   /** ORDERED FUNNEL conversion — the other half of the product-analytics
     * pair with [[retentionCohorts]]: how many users complete each step
     * of `steps` IN ORDER (strictly later timestamps). A user's step-k

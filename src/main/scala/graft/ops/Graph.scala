@@ -341,6 +341,71 @@ object Graph {
     out
   }
 
+  /** SEMI-SUPERVISED LABEL PROPAGATION (Zhu & Ghahramani 2002) in
+    * scaled-integer arithmetic — spread a small audited label set over a
+    * graph to score every node: the auto-labeling move a corpus-scale
+    * quality pipeline uses when human judgments exist for a sliver of
+    * documents and the rest must inherit them through the structure
+    * (link graph, or [[Similarity.knnGraph]]'s semantic neighborhood).
+    *
+    * `seeds` is (node, label) with labels in micros (e.g. 1000000 =
+    * trusted, 0 = spam). Per iteration every UNLABELED node takes the
+    * weighted mean of its in-neighbors' scores,
+    * {{{ s'(v) = (Σ_{u→v} s(u)·w(u,v)) div (Σ_{u→v} w(u,v)) }}}
+    * while seeds CLAMP to their label (the algorithm's defining step —
+    * evidence never washes out) and in-edge-free nodes keep their prior
+    * (`priorMicros`, the uninformed midpoint by default). All integer:
+    * the truncating `div` on non-negative operands replays exactly in
+    * any engine (the [[pageRank]] determinism story), scores stay in
+    * [0, microScale] by induction (a weighted mean of in-range values,
+    * floor included), and the oracle unrolls iterations as CTEs.
+    *
+    * Scale shape: identical to [[pageRank]] — the edge relation
+    * checkpoints once, each iteration is ONE equi-join of the score
+    * table on `src` + ONE combinable (num, den) sum + the node
+    * join-back; seed flags ride the score relation so clamping is a
+    * projection, not a join. Overflow: Σ_in s·w ≤ microScale · in_w(v)
+    * — lower `microScale` if per-node in-weight can reach 2^63/micros.
+    *
+    * Converges toward the harmonic (graph-Laplacian) solution; a fixed
+    * small `iters` is the in-pipeline form (same rationale as
+    * [[pageRank]]'s fixed count). */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                       priorMicros: Long = 500000L,
+                       checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1 && checkpointEvery >= 1,
+      "need iters >= 1, checkpointEvery >= 1")
+    require(priorMicros >= 0, "priorMicros must be >= 0")
+    val e = edges.localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sd = seeds.select(col(seeds.columns(0)).as("node"),
+      col(seeds.columns(1)).as("__label"))
+    var s = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__label"), lit(priorMicros)).as("s"),
+        col("__label").isNotNull.as("is_seed"))
+      .localCheckpoint(eager = false)
+    for (i <- 1 to iters) {
+      val agg = e.join(s.select(col("node").as("src"), col("s").as("su")),
+          Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("su") * col("w")).as("num"), sum(col("w")).as("den"))
+      val next = s.join(agg, s("node") === agg("dst"), "left")
+        .select(s("node"),
+          when(col("is_seed"), s("s"))
+            .when(col("num").isNotNull, expr("num div den"))
+            .otherwise(s("s")).as("s"),
+          col("is_seed"))
+      s = if (i % checkpointEvery == 0 && i < iters)
+        next.localCheckpoint(eager = false)
+      else next
+    }
+    s.select(col("node"), col("s").as("score_micros"), col("is_seed"))
+  }
+
   private def prImpl(edges: DataFrame, iters: Int, microScale: Long,
                      dampNum: Long, dampDen: Long, checkpointEvery: Int,
                      seed: Option[Column],

@@ -265,6 +265,38 @@ class GraphSpec extends AnyFunSuite {
     assert(r13 == r)
   }
 
+  test("labelPropagation: seeds clamp, a chain saturates to its seed, " +
+    "and a contested node takes the weighted in-neighbor mean") {
+    // 0 (good, 1e6) -> 1 <- 3 (spam, 0) with weights 1 and 3: node 1 =
+    // (1e6*1 + 0*3) div 4 = 250000 at the fixpoint; 1 -> 2 saturates 2
+    // to node 1's score one iteration later
+    val e = edges((0L, 1L, 1L), (3L, 1L, 3L), (1L, 2L, 1L))
+    val seeds = Seq((0L, 1000000L), (3L, 0L)).toDF("node", "label")
+    val r = Graph.labelPropagation(e, seeds, iters = 5)
+      .select("node", "score_micros").as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 1000000L, 3L -> 0L, 1L -> 250000L,
+      2L -> 250000L))
+  }
+
+  test("labelPropagation: a seed with in-edges still clamps; an " +
+    "in-edge-free unlabeled node keeps the prior; scores stay in " +
+    "[0, 1e6]; partitioning-invariant") {
+    // 1 -> 0 pushes spamward mass INTO the good seed: 0 must stay 1e6.
+    // node 4 -> 5: 4 has no in-edges and no label -> holds prior 500000.
+    val e = edges((1L, 0L, 1L), (0L, 1L, 1L), (4L, 5L, 1L))
+    val seeds = Seq((0L, 1000000L)).toDF("node", "label")
+    val r = Graph.labelPropagation(e, seeds, iters = 6)
+      .select("node", "score_micros").as[(Long, Long)].collect().toMap
+    assert(r(0L) == 1000000L)
+    assert(r(1L) == 1000000L) // only in-neighbor is the good seed
+    assert(r(4L) == 500000L)
+    assert(r(5L) == 500000L)
+    assert(r.values.forall(v => v >= 0L && v <= 1000000L))
+    val r13 = Graph.labelPropagation(e.repartition(13), seeds, iters = 6)
+      .select("node", "score_micros").as[(Long, Long)].collect().toMap
+    assert(r13 == r)
+  }
+
   test("pageRank danglingRedistribute: no dangling nodes ⇒ identical to " +
     "the default path (D = 0 every iteration)") {
     val e = edges((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 1L))

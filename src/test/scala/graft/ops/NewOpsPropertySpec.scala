@@ -479,6 +479,27 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got(0L)._4 && got(1L)._4 && !got(3L)._4)
   }
 
+  test("lastTouchAttribution: latest strictly-preceding touch wins, " +
+    "organic conversions keep NULL, same-instant ties break on ordCol, " +
+    "users are isolated") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 08:00:00", "purchase"), // organic: no prior click
+      (1L, 2L, "2024-01-01 09:00:00", "click"),
+      (1L, 3L, "2024-01-01 09:30:00", "click"),    // the LATEST touch
+      (1L, 4L, "2024-01-01 10:00:00", "purchase"), // -> 3
+      (1L, 5L, "2024-01-01 11:00:00", "click"),
+      (1L, 6L, "2024-01-01 11:00:00", "purchase"), // same instant: 5 < 6 -> 5
+      (1L, 7L, "2024-01-01 12:00:00", "view"),     // non-touch type ignored
+      (2L, 8L, "2024-01-01 09:00:00", "purchase")  // other user: no leak
+    ).toDF("user_id", "event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.lastTouchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "click", "purchase")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, 1L, None), (1L, 4L, Some(3L)),
+      (1L, 6L, Some(5L)), (2L, 8L, None)))
+  }
+
   test("scd2History: runs collapse to change points with correct " +
     "intervals; nulls drop without splitting a run; ties break on ordCol") {
     val ev = Seq(

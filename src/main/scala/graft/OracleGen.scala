@@ -789,6 +789,57 @@ object OracleGen {
          WHERE src IS NOT NULL${edgeFilterSql.map(f => s" AND ($f)").getOrElse("")} GROUP BY 1, 2),
        ${prCoreSql(iters, microScale, dampNum, dampDen, seedSql, dangling)}"""
 
+  /** Oracle for `Similarity.pqTopK` (q127): per-subspace quantized-Lloyd
+    * codebook training, encoding, and integer-micros ADC scoring — the
+    * L2 edition of the [[lloydRoundCtes]] determinism story. The squared
+    * distance is generated as the EXPLICIT left-associated per-component
+    * chain so both engines evaluate the identical expression tree. */
+  def pqSql(m: Int, k: Int, trainIters: Int, topK: Int,
+            queryStride: Long, dim: Int): String = {
+    val sub = dim / m
+    def l2(a: String, b: String): String =
+      (1 to sub).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+        .mkString(" + ")
+    def assignCte(name: String, book: String): String =
+      s"""$name AS (SELECT id, j, sv, cid FROM
+           (SELECT s.id, s.j, s.sv, b.cid,
+              row_number() OVER (PARTITION BY s.id, s.j
+                ORDER BY round(${l2("s.sv", "b.cv")}, 6) ASC,
+                  b.cid ASC) AS rn
+            FROM subv s JOIN $book b ON b.j = s.j) WHERE rn = 1)"""
+    val rounds = (1 to trainIters).map { r =>
+      s"""${assignCte(s"a$r", s"b${r - 1}")},
+         mu$r AS (SELECT j, cid, i, round(avg(sv[i]), 6) + 0.0 AS mu
+           FROM a$r, range(1, ${sub + 1}) t(i) GROUP BY 1, 2, 3),
+         b$r AS (SELECT j, cid, list(mu ORDER BY i) AS cv
+           FROM mu$r GROUP BY 1, 2)"""
+    }.mkString(",\n       ")
+    val roundsPart = if (trainIters > 0) rounds + ",\n       " else ""
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       subv AS (SELECT id, j,
+           v[(j * $sub + 1):(j * $sub + $sub)] AS sv
+         FROM e, range(0, $m) t(j)),
+       seed AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS cid
+         FROM (SELECT * FROM e ORDER BY id LIMIT $k)),
+       b0 AS (SELECT j, cid,
+           v[(j * $sub + 1):(j * $sub + $sub)] AS cv
+         FROM seed, range(0, $m) t(j)),
+       $roundsPart${assignCte("enc", s"b$trainIters")},
+       qd AS (SELECT s.id AS query_id, s.j, b.cid,
+           CAST(round((${l2("s.sv", "b.cv")}) * 1000000.0) AS BIGINT) AS dm
+         FROM subv s JOIN b$trainIters b ON b.j = s.j
+         WHERE s.id % $queryStride = 0),
+       sc AS (SELECT qd.query_id, c.id AS cand_id,
+           CAST(SUM(qd.dm) AS BIGINT) AS adc_micros
+         FROM enc c JOIN qd ON qd.j = c.j AND qd.cid = c.cid
+         WHERE c.id <> qd.query_id GROUP BY 1, 2)
+       SELECT query_id, cand_id, adc_micros FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
+       WHERE rn <= $topK"""
+  }
+
   /** Oracle for `Graph.labelPropagation` over the events transition
     * graph (q125): seeds node % 10 == 0 → 1000000 micros (trusted),
     * node % 10 == 5 → 0 (spam), prior 500000; per unrolled iteration an

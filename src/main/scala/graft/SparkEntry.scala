@@ -1247,6 +1247,15 @@ object SparkEntry {
     Graph.labelPropagation(edges, seeds, iters = 5)
   }
 
+  /** Product-quantized ANN: per-subspace trained codebooks (8 bytes per
+    * vector, 32× compression) + integer-micros ADC scoring — the
+    * memory-bound-regime retrieval design past q104's int8. Training
+    * replays deterministically via the quantized-Lloyd pattern (L2
+    * edition). */
+  private def qPqAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      m = 8, k = 64, trainIters = 3, topK = 5, queryStride = 100)
+
   /** Marketing-funnel accounting: LAST-TOUCH attribution — every
     * purchase credits the user's latest strictly-preceding click under
     * the (ts, event_id) total order; organic purchases keep a NULL
@@ -1490,6 +1499,7 @@ object SparkEntry {
     "q124_knn_pagerank" -> (qKnnPageRank _),
     "q125_label_propagation" -> (qLabelPropagation _),
     "q126_last_touch_attribution" -> (qLastTouchAttribution _),
+    "q127_pq_ann" -> (qPqAnn _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2510,6 +2520,8 @@ object SparkEntry {
       OracleGen.knnPageRankSql(k = 5, nCentroids = 16, nProbe = 2,
         iters = 5),
     "q125_label_propagation" -> OracleGen.labelPropSql(iters = 5),
+    "q127_pq_ann" -> OracleGen.pqSql(m = 8, k = 64, trainIters = 3,
+      topK = 5, queryStride = 100, dim = 64),
     "q126_last_touch_attribution" ->
       """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
            WHERE event_type IN ('click', 'purchase')),

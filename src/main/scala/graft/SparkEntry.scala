@@ -1256,6 +1256,22 @@ object SparkEntry {
     Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       m = 8, k = 64, trainIters = 3, topK = 5, queryStride = 100)
 
+  /** Declarative data-quality gate (the Deequ idea, engine-native): six
+    * constraints over lineitem — four row-local checks sharing ONE scan,
+    * a composite-key uniqueness check, and an orders referential-
+    * integrity check — reported as exact integer counts. */
+  private def qQualityConstraints(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    DataQuality.check(li, Seq(
+      DataQuality.NotNull("l_shipdate_notnull", "l_shipdate"),
+      DataQuality.RangeIn("l_quantity_range", "l_quantity", 1, 50),
+      DataQuality.RangeIn("l_discount_range", "l_discount", 0.0, 0.1),
+      DataQuality.Holds("price_positive", col("l_extendedprice") > 0),
+      DataQuality.Unique("lineitem_pk", Seq("l_orderkey", "l_linenumber")),
+      DataQuality.ForeignKey("orderkey_fk", Seq("l_orderkey"),
+        t(s, dir, "orders"), Seq("o_orderkey"))))
+  }
+
   /** Marketing-funnel accounting: LAST-TOUCH attribution — every
     * purchase credits the user's latest strictly-preceding click under
     * the (ts, event_id) total order; organic purchases keep a NULL
@@ -1500,6 +1516,7 @@ object SparkEntry {
     "q125_label_propagation" -> (qLabelPropagation _),
     "q126_last_touch_attribution" -> (qLastTouchAttribution _),
     "q127_pq_ann" -> (qPqAnn _),
+    "q128_quality_constraints" -> (qQualityConstraints _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2522,6 +2539,53 @@ object SparkEntry {
     "q125_label_propagation" -> OracleGen.labelPropSql(iters = 5),
     "q127_pq_ann" -> OracleGen.pqSql(m = 8, k = 64, trainIters = 3,
       topK = 5, queryStride = 100, dim = 64),
+    "q128_quality_constraints" ->
+      """SELECT 'l_shipdate_notnull' AS check_name,
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS violations,
+           count(*) AS total,
+           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity_range',
+           CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1
+               AND l_quantity <= 50, false) THEN 1 ELSE 0 END) AS BIGINT),
+           count(*),
+           sum(CASE WHEN NOT coalesce(l_quantity >= 1
+               AND l_quantity <= 50, false) THEN 1 ELSE 0 END) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount_range',
+           CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0.0
+               AND l_discount <= 0.1, false) THEN 1 ELSE 0 END) AS BIGINT),
+           count(*),
+           sum(CASE WHEN NOT coalesce(l_discount >= 0.0
+               AND l_discount <= 0.1, false) THEN 1 ELSE 0 END) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'price_positive',
+           CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+             THEN 1 ELSE 0 END) AS BIGINT),
+           count(*),
+           sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+             THEN 1 ELSE 0 END) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_pk', CAST(sum(n - 1) AS BIGINT),
+           CAST(sum(n) AS BIGINT), sum(n - 1) = 0
+         FROM (SELECT count(*) AS n FROM lineitem
+               GROUP BY l_orderkey, l_linenumber)
+         UNION ALL
+         SELECT 'orderkey_fk',
+           (SELECT count(*) FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL),
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) = 0""",
     "q126_last_touch_attribution" ->
       """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
            WHERE event_type IN ('click', 'purchase')),

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative DATA-QUALITY constraint checking (the Deequ/Great-
+  * Expectations idea, engine-native): a constraint suite runs against a
+  * table and yields one row per constraint — (check_name, violations,
+  * total, pass) — the report a pipeline gates ingestion on. An ETL
+  * engine without this re-implements it ad hoc in every job; the FA
+  * pipeline's presence-validation stage (§2.10 O2) is the special case
+  * this generalizes.
+  *
+  * Scale design: every ROW-LOCAL constraint (null, range, predicate)
+  * compiles to one conditional-sum column of a SINGLE aggregation —
+  * checking 50 such constraints still scans the table ONCE with a
+  * combinable agg. Multi-row constraints cost what they must:
+  * uniqueness is one groupBy on the key (count minus distinct-by-key
+  * rows), a foreign key is one anti-join against the (broadcastable)
+  * referenced key set. The tiny per-constraint rows union at the end.
+  *
+  * Determinism: every output is an exact integer count — no floats
+  * anywhere, oracle-exact in any engine. */
+object DataQuality {
+
+  /** A named constraint to evaluate against a table. */
+  sealed trait Constraint { def name: String }
+
+  /** `col` must be non-null. */
+  final case class NotNull(name: String, col: String) extends Constraint
+
+  /** `col` must lie in [lo, hi] (nulls count as violations — use
+    * [[NotNull]] alongside if null has its own contract). */
+  final case class RangeIn(name: String, col: String, lo: Double,
+                           hi: Double) extends Constraint
+
+  /** Arbitrary row predicate that must hold (null → violation). */
+  final case class Holds(name: String, predicate: Column) extends Constraint
+
+  /** `cols` must be unique across rows (violations = rows in excess of
+    * one per key). */
+  final case class Unique(name: String, cols: Seq[String]) extends Constraint
+
+  /** Every non-null `cols` tuple must appear in `refCols` of `ref`
+    * (referential integrity; violations = orphan rows). */
+  final case class ForeignKey(name: String, cols: Seq[String],
+                              ref: DataFrame, refCols: Seq[String])
+      extends Constraint
+
+  /** Run the suite; one row per constraint:
+    * (check_name, violations, total, pass). Row order is the suite
+    * order (stable output for golden checks). */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    val spark = df.sparkSession
+    val rowLocal = constraints.collect {
+      case c: NotNull => c.name -> col(c.col).isNull
+      case c: RangeIn =>
+        // coalesce: a NULL comparison result (null value) is a violation
+        c.name -> !coalesce(col(c.col) >= c.lo && col(c.col) <= c.hi,
+          lit(false))
+      case c: Holds => c.name -> !coalesce(c.predicate, lit(false))
+    }
+    // all row-local constraints ride ONE combinable aggregation
+    val localCounts: Map[String, DataFrame] =
+      if (rowLocal.isEmpty) Map.empty
+      else {
+        val agg = df.agg(count(lit(1)).as("total"),
+          rowLocal.map { case (n, bad) =>
+            sum(bad.cast("long")).as(s"__v_$n")
+          }: _*).localCheckpoint(eager = false)
+        rowLocal.map { case (n, _) =>
+          n -> agg.select(lit(n).as("check_name"),
+            coalesce(col(s"__v_$n"), lit(0L)).as("violations"),
+            col("total"))
+        }.toMap
+      }
+    val reports = constraints.map {
+      case c: NotNull => localCounts(c.name)
+      case c: RangeIn => localCounts(c.name)
+      case c: Holds => localCounts(c.name)
+      case c: Unique =>
+        val keys = c.cols.map(col)
+        df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+          .agg(lit(c.name).as("check_name"),
+            coalesce(sum(col("__n") - 1), lit(0L)).as("violations"),
+            coalesce(sum(col("__n")), lit(0L)).as("total"))
+      case c: ForeignKey =>
+        val nonNull = c.cols.map(col(_).isNotNull).reduce(_ && _)
+        val refKeys = c.ref
+          .select(c.refCols.zip(c.cols).map { case (r, l) =>
+            col(r).as(l)
+          }: _*).distinct()
+        val orphans = df.filter(nonNull)
+          .join(broadcast(refKeys), c.cols, "left_anti")
+          .agg(coalesce(count(lit(1)), lit(0L)).as("violations"))
+        val total = df.agg(count(lit(1)).as("total"))
+        orphans.join(broadcast(total), lit(true))
+          .select(lit(c.name).as("check_name"), col("violations"),
+            col("total"))
+    }
+    reports.reduce(_ unionByName _)
+      .select(col("check_name"), col("violations"), col("total"),
+        (col("violations") === 0L).as("pass"))
+  }
+}

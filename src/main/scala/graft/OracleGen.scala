@@ -794,17 +794,22 @@ object OracleGen {
     * L2 edition of the [[lloydRoundCtes]] determinism story. The squared
     * distance is generated as the EXPLICIT left-associated per-component
     * chain so both engines evaluate the identical expression tree. */
-  def pqSql(m: Int, k: Int, trainIters: Int, topK: Int,
-            queryStride: Long, dim: Int): String = {
+  private def pqL2(a: String, b: String, sub: Int): String =
+    (1 to sub).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+      .mkString(" + ")
+
+  /** The PQ training/encoding CTE prefix shared by [[pqSql]] and
+    * [[ivfPqSql]]: e → subv → seeded b0 → `trainIters` quantized-Lloyd
+    * rounds → `enc` codes and `qd` ADC micros over `b<trainIters>`.
+    * Expects nothing in scope; leaves `e`, `enc`, `qd` available. */
+  private def pqCoreCtes(m: Int, k: Int, trainIters: Int,
+                         queryStride: Long, dim: Int): String = {
     val sub = dim / m
-    def l2(a: String, b: String): String =
-      (1 to sub).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
-        .mkString(" + ")
     def assignCte(name: String, book: String): String =
       s"""$name AS (SELECT id, j, sv, cid FROM
            (SELECT s.id, s.j, s.sv, b.cid,
               row_number() OVER (PARTITION BY s.id, s.j
-                ORDER BY round(${l2("s.sv", "b.cv")}, 6) ASC,
+                ORDER BY round(${pqL2("s.sv", "b.cv", sub)}, 6) ASC,
                   b.cid ASC) AS rn
             FROM subv s JOIN $book b ON b.j = s.j) WHERE rn = 1)"""
     val rounds = (1 to trainIters).map { r =>
@@ -815,7 +820,7 @@ object OracleGen {
            FROM mu$r GROUP BY 1, 2)"""
     }.mkString(",\n       ")
     val roundsPart = if (trainIters > 0) rounds + ",\n       " else ""
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
          FROM embeddings),
        subv AS (SELECT id, j,
            v[(j * $sub + 1):(j * $sub + $sub)] AS sv
@@ -827,9 +832,15 @@ object OracleGen {
          FROM seed, range(0, $m) t(j)),
        $roundsPart${assignCte("enc", s"b$trainIters")},
        qd AS (SELECT s.id AS query_id, s.j, b.cid,
-           CAST(round((${l2("s.sv", "b.cv")}) * 1000000.0) AS BIGINT) AS dm
+           CAST(round((${pqL2("s.sv", "b.cv", sub)}) * 1000000.0)
+             AS BIGINT) AS dm
          FROM subv s JOIN b$trainIters b ON b.j = s.j
-         WHERE s.id % $queryStride = 0),
+         WHERE s.id % $queryStride = 0)"""
+  }
+
+  def pqSql(m: Int, k: Int, trainIters: Int, topK: Int,
+            queryStride: Long, dim: Int): String =
+    s"""WITH ${pqCoreCtes(m, k, trainIters, queryStride, dim)},
        sc AS (SELECT qd.query_id, c.id AS cand_id,
            CAST(SUM(qd.dm) AS BIGINT) AS adc_micros
          FROM enc c JOIN qd ON qd.j = c.j AND qd.cid = c.cid
@@ -838,7 +849,37 @@ object OracleGen {
          (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
        WHERE rn <= $topK"""
-  }
+
+  /** Oracle for `Similarity.ivfPqTopK` (q129): the [[pqCoreCtes]] codes
+    * scored ONLY inside the query's `nProbe` IVF-routed cells (round-6
+    * cosine routing, the [[ivfSql]] coarse quantizer). */
+  def ivfPqSql(m: Int, k: Int, trainIters: Int, nCentroids: Int,
+               nProbe: Int, topK: Int, queryStride: Long,
+               dim: Int): String =
+    s"""WITH ${pqCoreCtes(m, k, trainIters, queryStride, dim)},
+       cent AS (SELECT id AS cent_id, v AS cv FROM e
+         ORDER BY id LIMIT $nCentroids),
+       rankedc AS (SELECT e.id, c.cent_id,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC,
+               c.cent_id ASC) AS rn
+         FROM e, cent c),
+       cells AS (SELECT cent_id, id FROM rankedc WHERE rn = 1),
+       probes AS (SELECT cent_id, id AS query_id FROM rankedc
+         WHERE rn <= $nProbe AND id % $queryStride = 0),
+       cand AS (SELECT DISTINCT p.query_id, cl.id
+         FROM probes p JOIN cells cl ON cl.cent_id = p.cent_id
+         WHERE cl.id <> p.query_id),
+       sc AS (SELECT qd.query_id, c.id AS cand_id,
+           CAST(SUM(qd.dm) AS BIGINT) AS adc_micros
+         FROM enc c JOIN cand ON cand.id = c.id
+         JOIN qd ON qd.query_id = cand.query_id
+           AND qd.j = c.j AND qd.cid = c.cid
+         GROUP BY 1, 2)
+       SELECT query_id, cand_id, adc_micros FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
+       WHERE rn <= $topK"""
 
   /** Oracle for `Graph.labelPropagation` over the events transition
     * graph (q125): seeds node % 10 == 0 → 1000000 micros (trusted),

@@ -1256,6 +1256,15 @@ object SparkEntry {
     Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       m = 8, k = 64, trainIters = 3, topK = 5, queryStride = 100)
 
+  /** IVF-PQ: the FAISS-shape composition — PQ codes scored only inside
+    * the query's IVF-probed cells, so the per-candidate stage shrinks
+    * from N to Σ|probed cells| while staying integer-ADC cheap. Same
+    * codebooks as q127, same routing as q35. */
+  private def qIvfPqAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      m = 8, k = 64, trainIters = 3, nCentroids = 16, nProbe = 2,
+      topK = 5, queryStride = 100)
+
   /** Declarative data-quality gate (the Deequ idea, engine-native): six
     * constraints over lineitem — four row-local checks sharing ONE scan,
     * a composite-key uniqueness check, and an orders referential-
@@ -1517,6 +1526,7 @@ object SparkEntry {
     "q126_last_touch_attribution" -> (qLastTouchAttribution _),
     "q127_pq_ann" -> (qPqAnn _),
     "q128_quality_constraints" -> (qQualityConstraints _),
+    "q129_ivfpq_ann" -> (qIvfPqAnn _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2539,6 +2549,8 @@ object SparkEntry {
     "q125_label_propagation" -> OracleGen.labelPropSql(iters = 5),
     "q127_pq_ann" -> OracleGen.pqSql(m = 8, k = 64, trainIters = 3,
       topK = 5, queryStride = 100, dim = 64),
+    "q129_ivfpq_ann" -> OracleGen.ivfPqSql(m = 8, k = 64, trainIters = 3,
+      nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100, dim = 64),
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

@@ -424,17 +424,30 @@ object Similarity {
              m: Int = 8, k: Int = 16, trainIters: Int = 2,
              topK: Int = 5, queryStride: Long = 100,
              dim: Int = 64): DataFrame = {
+    val (base, books, codes) =
+      pqArtifacts(emb, idCol, vecCol, m, k, trainIters, dim)
+    require(topK >= 1 && queryStride >= 1, "need topK, queryStride >= 1")
+    val qdist = pqAdcTable(base.filter(col("id") % queryStride === 0),
+      books, m, dim / m)
+    val scored = codes.join(broadcast(qdist), Seq("j", "cid"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("dm")).as("adc_micros"))
+      .select(col("query_id"), col("id").as("cand_id"), col("adc_micros"))
+    Windows.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("adc_micros").asc, col("cand_id").asc), topK)
+  }
+
+  /** The trained PQ representation — (base(id, v), codebooks(j, cid,
+    * cv), codes(id, j, cid)) — shared by [[pqTopK]] and [[ivfPqTopK]];
+    * see [[pqTopK]]'s scaladoc for the determinism contract. */
+  private[graft] def pqArtifacts(emb: DataFrame, idCol: String,
+                                 vecCol: String, m: Int, k: Int,
+                                 trainIters: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(m >= 1 && dim % m == 0, "need dim divisible by m")
-    require(k >= 1 && trainIters >= 0 && topK >= 1 && queryStride >= 1,
-      "need k, topK, queryStride >= 1 and trainIters >= 0")
+    require(k >= 1 && trainIters >= 0, "need k >= 1, trainIters >= 0")
     val sub = dim / m
-    // explicit left-associated squared-L2 chain — the shared expression
-    // tree both engines evaluate bit-identically (see scaladoc)
-    def l2(a: Column, b: Column): Column =
-      (0 until sub).map { i =>
-        val d = element_at(a, i + 1) - element_at(b, i + 1)
-        d * d
-      }.reduce(_ + _)
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(eager = false)
     val js = explode(sequence(lit(0), lit(m - 1))).as("j")
@@ -454,7 +467,7 @@ object Similarity {
     def assign(bk: DataFrame): DataFrame = Windows.topOnePerGroup(
       subv.join(broadcast(bk), Seq("j"))
         .select(col("id"), col("j"), col("sv"), col("cid"),
-          round(l2(col("sv"), col("cv")), 6).as("d")),
+          round(l2Chain(col("sv"), col("cv"), sub), 6).as("d")),
       Seq(col("id"), col("j")), Seq(col("d").asc, col("cid").asc))
     for (_ <- 1 to trainIters) {
       books = assign(books)
@@ -471,16 +484,82 @@ object Similarity {
     // encode: final top-1 code per (vector, subspace)
     val codes = assign(books).select(col("id"), col("j"), col("cid"))
       .localCheckpoint(eager = false)
-    // ADC table: per (query, subspace, codeword) distance in micros
-    val qdist = base.filter(col("id") % queryStride === 0)
-      .select(col("id").as("query_id"), col("v"), js)
+    (base, books, codes)
+  }
+
+  /** Explicit left-associated squared-L2 chain — the shared expression
+    * tree both engines evaluate bit-identically (see [[pqTopK]]). */
+  private def l2Chain(a: Column, b: Column, sub: Int): Column =
+    (0 until sub).map { i =>
+      val d = element_at(a, i + 1) - element_at(b, i + 1)
+      d * d
+    }.reduce(_ + _)
+
+  /** ADC table for a query set: per (query, subspace, codeword) squared
+    * distance in integer micros — queries·m·k rows, broadcast-sized. */
+  private[graft] def pqAdcTable(queries: DataFrame, books: DataFrame,
+                                m: Int, sub: Int): DataFrame = {
+    val js = explode(sequence(lit(0), lit(m - 1))).as("j")
+    queries.select(col("id").as("query_id"), col("v"), js)
       .select(col("query_id"), col("j"),
         slice(col("v"), col("j") * sub + 1, lit(sub)).as("qv"))
       .join(broadcast(books), Seq("j"))
       .select(col("query_id"), col("j"), col("cid"),
-        round(l2(col("qv"), col("cv")) * 1000000.0).cast("long").as("dm"))
-    val scored = codes.join(broadcast(qdist), Seq("j", "cid"))
-      .filter(col("id") =!= col("query_id"))
+        round(l2Chain(col("qv"), col("cv"), sub) * 1000000.0).cast("long")
+          .as("dm"))
+  }
+
+  /** IVF-PQ (the Jégou et al. 2011 deployment form, FAISS's IVFPQ): the
+    * IVF coarse quantizer routes each query to its `nProbe` nearest
+    * cells and ONLY those cells' members score, by the same integer ADC
+    * lookups as [[pqTopK]] — the composition that makes PQ usable at
+    * corpus scale, because the wide per-candidate stage shrinks from N
+    * to Σ|probed cells| while every candidate still costs just m table
+    * additions on its 8-byte codes. This variant encodes RAW vectors
+    * (not cell residuals — residual encoding is the classic refinement;
+    * raw codes keep one global codebook, simplify incremental adds, and
+    * replay in the oracle without m·nCentroids CTEs; documented trade).
+    *
+    * Scale shape: [[pqArtifacts]]' one-shuffle train/encode + the
+    * [[ivfTopK]] routing (broadcast centroids, cell equi-join) + the
+    * broadcast ADC table; candidates move as (query_id, id, j, code)
+    * narrow rows only. Recall compounds the two approximations (cell
+    * routing misses × quantization misranking) — both knobs (`nProbe`,
+    * `k`) trade cost for recall independently. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                m: Int = 8, k: Int = 64, trainIters: Int = 3,
+                nCentroids: Int = 16, nProbe: Int = 2,
+                topK: Int = 5, queryStride: Long = 100,
+                dim: Int = 64): DataFrame = {
+    require(topK >= 1 && queryStride >= 1 && nCentroids >= 1 && nProbe >= 1,
+      "need topK, queryStride, nCentroids, nProbe >= 1")
+    val (base, books, codes) =
+      pqArtifacts(emb, idCol, vecCol, m, k, trainIters, dim)
+    // IVF routing over the RAW vectors (the q35 coarse quantizer):
+    // members live in their top-1 cosine cell, queries probe nProbe
+    val cents = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val ranked = base.join(broadcast(cents), lit(true))
+      .select(col("id"), col("v"), col("cent_id"),
+        round(cosine(col("v"), col("cv")), 6).as("cent_cos"))
+      .localCheckpoint(eager = false)
+    val cells = Windows.topOnePerGroup(ranked, Seq(col("id")),
+      Seq(col("cent_cos").desc, col("cent_id").asc))
+      .select(col("cent_id"), col("id"))
+    val probes = Windows.topKPerGroup(
+        ranked.filter(col("id") % queryStride === 0),
+        Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc),
+        nProbe)
+      .select(col("cent_id"), col("id").as("query_id"))
+    // candidate pairs: probed cells' members (narrow, equi-join on cell)
+    val cand = probes.join(cells, Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+    val qdist = pqAdcTable(base.filter(col("id") % queryStride === 0),
+      books, m, dim / m)
+    val scored = codes.join(cand, Seq("id"))
+      .join(broadcast(qdist), Seq("query_id", "j", "cid"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("dm")).as("adc_micros"))
       .select(col("query_id"), col("id").as("cand_id"), col("adc_micros"))

@@ -387,6 +387,35 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"pq recall@5 = $recall")
   }
 
+  test("ivfPqTopK: nProbe = nCentroids (exhaustive probing) degenerates " +
+    "to the global pqTopK result; routed recall lower-bounds nothing " +
+    "but stays a large fraction of it at the q129 params") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("cand_id")).as[(Long, Long)]
+        .collect().toSet
+    val global = pairs(Similarity.pqTopK(emb, "vec_id", "embedding",
+      m = 8, k = 64, trainIters = 3, topK = 5, queryStride = 100))
+    val exhaustive = pairs(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      m = 8, k = 64, trainIters = 3, nCentroids = 16, nProbe = 16,
+      topK = 5, queryStride = 100))
+    assert(exhaustive == global,
+      "probing every cell must equal the unrouted ADC scan")
+    val routed = pairs(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      m = 8, k = 64, trainIters = 3, nCentroids = 16, nProbe = 2,
+      topK = 5, queryStride = 100))
+    assert(routed.size == 25)
+    // on the ISOTROPIC corpus cosine cells are weakly informative by
+    // construction: nProbe=2 of 16 covers ~1/8 of the corpus, so a
+    // ROUTING-BLIND sample would land ~12% overlap with the global ADC
+    // top-5 — measured routed overlap is 0.24, about 2x that (the
+    // routing earns its keep even here; clustered real corpora sit far
+    // higher). Gate above the blind-coverage floor so a router that
+    // stops routing (or probes the wrong cells) trips it.
+    val overlap = (routed & global).size.toDouble / global.size
+    assert(overlap >= 0.15, s"ivfpq overlap with global ADC = $overlap")
+  }
+
   test("int8RerankTopK: recall@5 vs the exact brute force at the q105 " +
     "params, and candK = N-1 degenerates to the exact result") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

@@ -326,6 +326,37 @@ object Events {
     out
   }
 
+  /** The PER-USER TRACE face of [[funnel]] — one row per (user,
+    * step_idx, step, ts = that user's step-k conversion instant), the
+    * same stage recurrence (step-k time = min ts of step-k events
+    * strictly after the step-(k−1) time) exposed as a relation instead
+    * of aggregated to counts. This is the convergence target of the
+    * streaming repair path ([[graft.streaming.FunnelReconcile]]):
+    * [[graft.streaming.StreamingFunnel]]'s in-order trace equals it row
+    * for row, and `funnel`'s counts are its per-step aggregation.
+    * Scale shape identical to [[funnel]]. */
+  def funnelTrace(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      .localCheckpoint(eager = false)
+    var out = reached.select(col(userCol), lit(1L).as("step_idx"),
+      lit(steps.head).as("step"), col("__t").as(tsCol))
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
+      reached = events.filter(col(typeCol) === step)
+        .join(reached.select(col(userCol), col("__t").as("__prev")),
+          Seq(userCol))
+        .filter(col(tsCol) > col("__prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint(eager = false)
+      out = out.union(reached.select(col(userCol),
+        lit(i + 2L).as("step_idx"), lit(step).as("step"),
+        col("__t").as(tsCol)))
+    }
+    out
+  }
+
   /** RETENTION COHORT matrix — the product-analytics triangle: users
     * cohorted by the ISO week of their FIRST event, then one row per
     * (cohort_week, week_offset) counting how many of that cohort were

@@ -27,10 +27,22 @@ object StreamingFunnel {
                          event_type: String)
   case class Progress(user_id: Long, step_idx: Int, step: String,
                       ts: Timestamp)
-  case class FunnelState(stepIdx: Int, tsMicros: Long)
+
+  /** Tagged stream row: `kind = "step"` is a funnel advance (the
+    * [[Progress]] payload); `kind = "late"` records DISORDER EVIDENCE —
+    * the event arrived below the user's high-water mark of already-seen
+    * (ts, event_id) order keys, so the user's stream trace may
+    * under-report and [[FunnelReconcile.converge]] must recompute it.
+    * (Unlike SCD2 the funnel has no per-row drop: a non-advancing event
+    * is usually just irrelevant — only ORDER INVERSION makes the trace
+    * untrustworthy, so that is what quarantines.) */
+  case class FunnelOut(user_id: Long, kind: String, step_idx: Int,
+                       step: String, ts: Timestamp, event_id: Long)
+  case class FunnelState(stepIdx: Int, tsMicros: Long,
+                         hwMicros: Long, hwEid: Long)
 
   class FunnelProcessor(steps: Seq[String])
-      extends StatefulProcessor[Long, FunnelEvent, Progress] {
+      extends StatefulProcessor[Long, FunnelEvent, FunnelOut] {
 
     @transient private var st: ValueState[FunnelState] = _
 
@@ -43,17 +55,27 @@ object StreamingFunnel {
       ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
 
     override def handleInputRows(userId: Long, rows: Iterator[FunnelEvent],
-                                 timers: TimerValues): Iterator[Progress] = {
+                                 timers: TimerValues): Iterator[FunnelOut] = {
       val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer[Progress]()
-      // stepIdx = index of the NEXT step to match; -1 ts = nothing yet
-      var cur = if (st.exists()) st.get() else FunnelState(0, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
+      // stepIdx = index of the NEXT step to match; hw = the largest
+      // (ts, event_id) SEEN (any type — disorder detection, not
+      // funnel progress)
+      var cur = if (st.exists()) st.get()
+        else FunnelState(0, Long.MinValue, Long.MinValue, Long.MinValue)
       sorted.foreach { e =>
+        val key = (micros(e.ts), e.event_id)
+        if (Ordering[(Long, Long)].lt(key, (cur.hwMicros, cur.hwEid)))
+          out += FunnelOut(userId, "late", -1, e.event_type, e.ts,
+            e.event_id)
+        else
+          cur = cur.copy(hwMicros = key._1, hwEid = key._2)
         if (cur.stepIdx < steps.length &&
           e.event_type == steps(cur.stepIdx) &&
           (cur.stepIdx == 0 || micros(e.ts) > cur.tsMicros)) {
-          out += Progress(userId, cur.stepIdx + 1, e.event_type, e.ts)
-          cur = FunnelState(cur.stepIdx + 1, micros(e.ts))
+          out += FunnelOut(userId, "step", cur.stepIdx + 1, e.event_type,
+            e.ts, e.event_id)
+          cur = cur.copy(stepIdx = cur.stepIdx + 1, tsMicros = micros(e.ts))
         }
       }
       st.update(cur)
@@ -61,15 +83,27 @@ object StreamingFunnel {
     }
   }
 
-  /** The progress stream: Append-mode transformWithState keyed by user;
-    * one shuffle on the key, constant state per key. */
-  def progress(events: Dataset[FunnelEvent],
-               steps: Seq[String]): Dataset[Progress] = {
+  /** The TAGGED stream: funnel advances AND disorder-evidence rows in
+    * one Append output (split downstream on `kind`); the "late"
+    * partition drives [[FunnelReconcile.converge]]'s periodic repair. */
+  def taggedProgress(events: Dataset[FunnelEvent],
+                     steps: Seq[String]): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "need at least one funnel step")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor(steps),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The progress stream: Append-mode transformWithState keyed by user;
+    * one shuffle on the key, constant state per key. (The step-only
+    * projection of [[taggedProgress]].) */
+  def progress(events: Dataset[FunnelEvent],
+               steps: Seq[String]): Dataset[Progress] = {
+    import events.sparkSession.implicits._
+    taggedProgress(events, steps)
+      .filter(_.kind == "step")
+      .map(o => Progress(o.user_id, o.step_idx, o.step, o.ts))
   }
 }

@@ -331,6 +331,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pe.contains("cent_id"), pe.take(4000))
   }
 
+  test("q127: PQ ADC scoring — the codes scan meets the broadcast ADC " +
+    "table on a (subspace, code) EQUI-join; never cartesian") {
+    val p = plan("q127_pq_ann")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
+  test("q128: quality constraints — row-local checks share ONE scan " +
+    "(single lineitem aggregate feeding every local report); the FK is " +
+    "a broadcast anti-join; only the 1-row total broadcast nests") {
+    val p = plan("q128_quality_constraints")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      p.take(6000))
+    assert(p.contains("LeftAnti"), p.take(4000))
+  }
+
+  test("q129: IVF-PQ — cell-routed candidates on equi-joins only " +
+    "(routing is behind the checkpoint; scoring is codes x broadcast " +
+    "ADC); never cartesian, never nested-loop") {
+    val p = plan("q129_ivfpq_ann")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("q105: two-tier ANN — broadcast-only joins (int8 scan, candidate " +
     "join-back); the corpus never sort-merge-shuffles") {
     val p = plan("q105_two_tier_ann")

@@ -90,6 +90,29 @@ def main(sf_dir, out_dir):
             results[name] = f"HASH-MISMATCH rows={len(got_rows)} first_diffs={diff}"
         else:
             results[name] = f"OK rows={len(got_rows)}"
+        # Signed-zero tripwire (q108 r9 postmortem): a -0.0 ANYWHERE in
+        # either face means a rounded statistic is sitting on the exact
+        # divergence class the `+ 0.0` canonicalization exists for — it
+        # may agree TODAY (both faces -0.0) and split on the next data
+        # regeneration. Warn loudly; the canonicalized faces never emit
+        # one.
+        def neg_zeros(cols):
+            n = 0
+            for c in cols:
+                for v in c:
+                    if isinstance(v, float) and v == 0.0 and \
+                            math.copysign(1.0, v) < 0:
+                        n += 1
+                    elif isinstance(v, list):
+                        n += sum(1 for x in v
+                                 if isinstance(x, float) and x == 0.0
+                                 and math.copysign(1.0, x) < 0)
+            return n
+        nz_got, nz_exp = neg_zeros(got_cols), neg_zeros(exp_cols)
+        if nz_got or nz_exp:
+            print(f"SIGNED_ZERO_WARN {name}: -0.0 present "
+                  f"(spark={nz_got}, oracle={nz_exp}) — add `+ 0.0` "
+                  f"canonicalization to both faces")
     ok = sum(1 for v in results.values() if v.startswith("OK"))
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v.startswith('OK') else 'FAIL'} {name}: {v[:400]}")

@@ -881,6 +881,29 @@ object OracleGen {
             ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
        WHERE rn <= $topK"""
 
+  /** Oracle for `Sampling.poissonBootstrap` over the events value
+    * column (q130): the same md5 draw on (event_id, replicate), the
+    * same [[graft.ops.Sampling.poissonThresholds]] CASE ladder (the
+    * constants come from the one Scala definition), cents-exact
+    * weighted sums, round-4 mean with signed-zero canonicalization. */
+  def poissonBootstrapSql(replicates: Int): String = {
+    val ts = graft.ops.Sampling.poissonThresholds
+    val ladder = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN v < $t THEN $k" }.mkString(" ")
+    s"""WITH r AS (SELECT event_id,
+         CAST(round(value * 100) AS BIGINT) AS c, u.b AS replicate
+         FROM events, UNNEST(range(0, $replicates)) u(b)),
+       d AS (SELECT replicate, c, CASE $ladder ELSE ${ts.length} END AS w
+         FROM (SELECT replicate, c,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#' ||
+               CAST(replicate AS VARCHAR)), 1, 8) AS BIGINT) AS v
+           FROM r))
+       SELECT CAST(replicate AS BIGINT) AS replicate,
+         round(CAST(SUM(w * c) AS DOUBLE) / (SUM(w) * 100.0), 4) + 0.0
+           AS mean_value
+       FROM d GROUP BY replicate"""
+  }
+
   /** Oracle for `Graph.labelPropagation` over the events transition
     * graph (q125): seeds node % 10 == 0 → 1000000 micros (trusted),
     * node % 10 == 5 → 0 (spam), prior 500000; per unrolled iteration an

@@ -1256,6 +1256,14 @@ object SparkEntry {
     Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       m = 8, k = 64, trainIters = 3, topK = 5, queryStride = 100)
 
+  /** Uncertainty for a corpus-scale mean without resampling shuffles:
+    * 100 Poisson-bootstrap replicate means of the event value, all in
+    * ONE combinable aggregation (Chamandy et al. 2012 — the distributed
+    * bootstrap); percentile CIs are an ORDER BY away. */
+  private def qPoissonBootstrap(s: SparkSession, dir: String): DataFrame =
+    Sampling.poissonBootstrap(Events.load(s, dir), "event_id", "value",
+      replicates = 100)
+
   /** IVF-PQ: the FAISS-shape composition — PQ codes scored only inside
     * the query's IVF-probed cells, so the per-candidate stage shrinks
     * from N to Σ|probed cells| while staying integer-ADC cheap. Same
@@ -1527,6 +1535,7 @@ object SparkEntry {
     "q127_pq_ann" -> (qPqAnn _),
     "q128_quality_constraints" -> (qQualityConstraints _),
     "q129_ivfpq_ann" -> (qIvfPqAnn _),
+    "q130_poisson_bootstrap" -> (qPoissonBootstrap _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2551,6 +2560,7 @@ object SparkEntry {
       topK = 5, queryStride = 100, dim = 64),
     "q129_ivfpq_ann" -> OracleGen.ivfPqSql(m = 8, k = 64, trainIters = 3,
       nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100, dim = 64),
+    "q130_poisson_bootstrap" -> OracleGen.poissonBootstrapSql(100),
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

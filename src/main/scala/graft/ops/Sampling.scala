@@ -408,6 +408,66 @@ object Sampling {
     * moments per stratum); the |strata|-row table then broadcasts its
     * 1-row total. Row selection at the allocation is q49's existing
     * rank-by-draw machinery. */
+  /** Poisson(1) inverse-CDF thresholds in units of the 32-bit md5 draw:
+    * draw v < thresholds(k) ⇔ the bootstrap weight is ≤ k − … i.e. the
+    * CASE ladder `WHEN v < t(0) THEN 0 WHEN v < t(1) THEN 1 …` yields a
+    * Poisson(1) variate. Computed ONCE here and embedded literally in
+    * both the Column tree and the oracle SQL, so the constants are
+    * identical by construction (`private[graft]` for OracleGen). The
+    * ladder truncates at 9 (P(X > 9) < 1.1e-7 — at most a handful of
+    * rows per hundred million draw the tail value; the truncation is
+    * part of the operator's definition, not an approximation bug). */
+  private[graft] val poissonThresholds: Seq[Long] = {
+    val pmf = (0 to 8).scanLeft(math.exp(-1.0)) { (p, k) => p / (k + 1) }
+    val cdf = pmf.take(9).scanLeft(0.0)(_ + _).tail
+    cdf.map(c => math.round(c * 4294967296.0))
+  }
+
+  /** POISSON BOOTSTRAP (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams" — the distributed bootstrap): every
+    * (row, replicate) pair draws an independent Poisson(1) WEIGHT
+    * instead of resampling with replacement, so all `replicates`
+    * resample means compute in ONE combinable aggregation over an N×B
+    * expansion — no per-replicate shuffles, no driver-side sampling,
+    * and the replicate means' spread estimates the sampling
+    * distribution of the mean (the with-replacement multinomial's
+    * per-row counts converge to independent Poisson(1) at large N).
+    *
+    * DETERMINISM: the weight is an integer inverse-CDF lookup of the
+    * repo's standard md5 draw on (key, replicate) — a pure function of
+    * the data, identical in any engine ([[poissonThresholds]] embeds
+    * the same constants in both faces); values integerize to cents
+    * before the weighted sum, so each replicate mean is one exact-long
+    * ratio rounded to 4 (`+ 0.0` canonicalizes a zero mean's sign).
+    * `keyCol` should be row-unique (duplicate keys draw identical
+    * weights — still deterministic, but the resamples correlate).
+    *
+    * Scale shape: the N×B expansion never materializes across the wire
+    * — partial aggregation collapses it to B rows per partition before
+    * the one tiny B-group shuffle. Output: (replicate, mean_value), B
+    * rows; percentile CIs are an ORDER BY away. */
+  def poissonBootstrap(df: DataFrame, keyCol: String, valueCol: String,
+                       replicates: Int = 100): DataFrame = {
+    require(replicates >= 1, "replicates must be >= 1")
+    val v = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit("#"), col("replicate").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = poissonThresholds.zipWithIndex.foldRight(
+      lit(poissonThresholds.length.toLong): Column) {
+      case ((t, k), acc) => when(v < t, lit(k.toLong)).otherwise(acc)
+    }
+    df.select(col(keyCol),
+        round(col(valueCol) * 100).cast("long").as("__c"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
+      .withColumn("__w", w)
+      .groupBy(col("replicate"))
+      .agg(sum(col("__w") * col("__c")).as("__num"),
+        sum(col("__w")).as("__den"))
+      .select(col("replicate").cast("long").as("replicate"),
+        (round(col("__num") / (col("__den") * 100.0), 4) + lit(0.0))
+          .as("mean_value"))
+  }
+
   def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
                        budget: Long): DataFrame = {
     require(budget >= 0, "budget must be >= 0")

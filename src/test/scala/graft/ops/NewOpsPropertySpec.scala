@@ -356,6 +356,31 @@ class NewOpsPropertySpec extends AnyFunSuite {
       rows(Similarity.quantizeInt8Hof(emb, "vec_id", "embedding")))
   }
 
+  test("poissonBootstrap: B rows, constant column reproduces the " +
+    "constant exactly, replicate means bracket the true mean, " +
+    "partitioning-invariant") {
+    val df = (1L to 400L).map(i => (i, (i % 7).toDouble + 1.0))
+      .toDF("k", "v")
+    val boot = Sampling.poissonBootstrap(df, "k", "v", replicates = 50)
+      .as[(Long, Double)].collect().toMap
+    assert(boot.size == 50 && boot.keySet == (0L to 49L).toSet)
+    // the weighted mean of a CONSTANT column is that constant for every
+    // replicate — num/den cancels exactly in cents
+    val const = Sampling.poissonBootstrap(
+        df.withColumn("v", lit(3.25)), "k", "v", replicates = 10)
+      .as[(Long, Double)].collect()
+    assert(const.forall(_._2 == 3.25), const.mkString(","))
+    // statistical sanity, deterministic by construction: the true mean
+    // sits inside the replicate range (400 rows, spread ~2 -> the 50
+    // fixed md5 draws bracket it comfortably)
+    val truth = df.agg(avg(col("v"))).as[Double].collect()(0)
+    assert(boot.values.min <= truth && truth <= boot.values.max,
+      s"truth $truth outside [${boot.values.min}, ${boot.values.max}]")
+    val boot13 = Sampling.poissonBootstrap(df.repartition(13), "k", "v",
+      replicates = 50).as[(Long, Double)].collect().toMap
+    assert(boot13 == boot)
+  }
+
   test("pqTopK: k results per query, non-negative integer ADC, and " +
     "recall@5 vs the exact L2 brute force at the q127 params") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

@@ -881,6 +881,32 @@ object OracleGen {
             ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
        WHERE rn <= $topK"""
 
+  /** Oracle for `Events.funnelTrace` (q131 plain / q132 windowed): the
+    * stage recurrence as chained CTEs — step-k time = min ts of step-k
+    * events strictly after (and optionally within `gapSeconds` of) the
+    * step-(k−1) time — unioned into the per-user trace. */
+  def funnelTraceSql(steps: Seq[String],
+                     gapSeconds: Option[Long] = None): String = {
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = '$st' GROUP BY 1)"""
+      else {
+        val gap = gapSeconds
+          .map(g => s" AND e.ts <= s$i.t + INTERVAL '$g' SECOND")
+          .getOrElse("")
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s$i ON e.user_id = s$i.user_id
+           WHERE e.event_type = '$st' AND e.ts > s$i.t$gap GROUP BY 1)"""
+      }
+    }.mkString(",\n       ")
+    val sel = steps.zipWithIndex.map { case (st, i) =>
+      s"""SELECT user_id, CAST(${i + 1} AS BIGINT) AS step_idx,
+         '$st' AS step, t AS ts FROM s${i + 1}"""
+    }.mkString("\n       UNION ALL ")
+    s"WITH $ctes\n       $sel"
+  }
+
   /** Oracle for `Sampling.poissonBootstrap` over the events value
     * column (q130): the same md5 draw on (event_id, replicate), the
     * same [[graft.ops.Sampling.poissonThresholds]] CASE ladder (the

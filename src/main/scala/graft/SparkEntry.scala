@@ -1256,6 +1256,24 @@ object SparkEntry {
     Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       m = 8, k = 64, trainIters = 3, topK = 5, queryStride = 100)
 
+  /** The per-user funnel TRACE (q116's relation one level down):
+    * (user, step_idx, step, conversion instant) — the convergence
+    * target of the streaming funnel repair path, here oracle-checked
+    * directly. */
+  private def qFunnelTrace(s: SparkSession, dir: String): DataFrame =
+    Events.funnelTrace(Events.load(s, dir), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+
+  /** WINDOWED funnel: each step must land within 24 h of the previous
+    * one — the "conversion within a day" contract; timestamp + interval
+    * arithmetic keeps the boundary engine-exact. */
+  private def qWindowedFunnel(s: SparkSession, dir: String): DataFrame =
+    Events.funnelTrace(Events.load(s, dir), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"),
+      maxGapSeconds = Some(86400L))
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+
   /** Uncertainty for a corpus-scale mean without resampling shuffles:
     * 100 Poisson-bootstrap replicate means of the event value, all in
     * ONE combinable aggregation (Chamandy et al. 2012 — the distributed
@@ -1536,6 +1554,8 @@ object SparkEntry {
     "q128_quality_constraints" -> (qQualityConstraints _),
     "q129_ivfpq_ann" -> (qIvfPqAnn _),
     "q130_poisson_bootstrap" -> (qPoissonBootstrap _),
+    "q131_funnel_trace" -> (qFunnelTrace _),
+    "q132_windowed_funnel" -> (qWindowedFunnel _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2561,6 +2581,11 @@ object SparkEntry {
     "q129_ivfpq_ann" -> OracleGen.ivfPqSql(m = 8, k = 64, trainIters = 3,
       nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100, dim = 64),
     "q130_poisson_bootstrap" -> OracleGen.poissonBootstrapSql(100),
+    "q131_funnel_trace" ->
+      OracleGen.funnelTraceSql(Seq("view", "click", "purchase")),
+    "q132_windowed_funnel" ->
+      OracleGen.funnelTraceSql(Seq("view", "click", "purchase"),
+        gapSeconds = Some(86400L)),
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

@@ -336,8 +336,17 @@ object Events {
     * for row, and `funnel`'s counts are its per-step aggregation.
     * Scale shape identical to [[funnel]]. */
   def funnelTrace(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String, steps: Seq[String]): DataFrame = {
+                  typeCol: String, steps: Seq[String],
+                  maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be > 0")
+    // WINDOWED form: step k must land within maxGap of step k−1 (the
+    // "conversion within a day" product-analytics contract). Timestamp
+    // + day-time-interval arithmetic is exact in any engine — no float
+    // epoch conversions at the boundary.
+    val withinGap = maxGapSeconds
+      .map(g => col(tsCol) <= col("__prev") + expr(s"INTERVAL $g SECONDS"))
+      .getOrElse(lit(true))
     var reached = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       .localCheckpoint(eager = false)
@@ -347,7 +356,7 @@ object Events {
       reached = events.filter(col(typeCol) === step)
         .join(reached.select(col(userCol), col("__t").as("__prev")),
           Seq(userCol))
-        .filter(col(tsCol) > col("__prev"))
+        .filter(col(tsCol) > col("__prev") && withinGap)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
         .localCheckpoint(eager = false)
       out = out.union(reached.select(col(userCol),

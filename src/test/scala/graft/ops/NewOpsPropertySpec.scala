@@ -356,6 +356,27 @@ class NewOpsPropertySpec extends AnyFunSuite {
       rows(Similarity.quantizeInt8Hof(emb, "vec_id", "embedding")))
   }
 
+  test("funnelTrace windowed: the gap boundary is INCLUSIVE (ts == prev " +
+    "+ gap converts; one second past does not), and the plain trace is " +
+    "the gap-infinity limit") {
+    val ev = Seq(
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 01:00:00"),   // within 1h: boundary-exact
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-01 01:00:01"),   // one second past: drops
+      (3L, "view", "2024-01-01 00:00:00")     // never clicks
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    def trace(gap: Option[Long]) =
+      Events.funnelTrace(ev, "user_id", "ts", "event_type",
+          Seq("view", "click"), maxGapSeconds = gap)
+        .select("user_id", "step_idx").as[(Long, Long)].collect().toSet
+    assert(trace(Some(3600L)) ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (1L, 2L)))
+    assert(trace(None) ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (1L, 2L), (2L, 2L)))
+  }
+
   test("poissonBootstrap: B rows, constant column reproduces the " +
     "constant exactly, replicate means bracket the true mean, " +
     "partitioning-invariant") {

@@ -922,7 +922,8 @@ object OracleGen {
        d AS (SELECT replicate, c, CASE $ladder ELSE ${ts.length} END AS w
          FROM (SELECT replicate, c,
              CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#' ||
-               CAST(replicate AS VARCHAR)), 1, 8) AS BIGINT) AS v
+               CAST(replicate // 4 AS VARCHAR)),
+               1 + 8 * CAST(replicate % 4 AS INT), 8) AS BIGINT) AS v
            FROM r))
        SELECT CAST(replicate AS BIGINT) AS replicate,
          round(CAST(SUM(w * c) AS DOUBLE) / (SUM(w) * 100.0), 4) + 0.0

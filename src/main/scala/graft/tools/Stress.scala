@@ -360,14 +360,31 @@ object Stress {
       // the narrow index; the other half's candidates are untouched. The
       // budget catches the guard losing the anti-join (candidate volume
       // reverts to quadratic and the count blows past any budget).
-      gated("LSH_DEGENERATE_BUCKET_200K", budgetSec = 10) { // measured 7.0 s @ scale 4.10 (~1.7 s reference) × ~6; a lost guard is hours
+      // COUNT-PRIMARY since round 10: the candidate count is
+      // deterministic (29,067 on this corpus — the guard dropping the
+      // boilerplate buckets; ceiling ~2x for regeneration drift) while
+      // the wall swings with sustained load (15.9 s observed right
+      // after the sketch shape's heap churn where the same code
+      // measured 7.0 s — the r9-documented noise class the 2 s calib
+      // probe cannot see; that swing tripped the old 10 s budget on an
+      // unchanged code path). A lost guard lands ~5e9 candidates
+      // (~170,000x the count ceiling) and hours of wall — both gates
+      // catch it; only the count gate is noise-free.
+      gated("LSH_DEGENERATE_BUCKET_200K", budgetSec = 60) {
         val boiler = big.select(col("doc_id"),
           when(pmod(col("doc_id"), lit(2)) === 0,
             lit("all rights reserved terms of service privacy policy " +
               "cookie notice copyright footer navigation home about contact"))
             .otherwise(col("text")).as("text"))
-        Dedup.minHashCandidates(boiler, "doc_id", "text", 16, 8, 3,
+        val n = Dedup.minHashCandidates(boiler, "doc_id", "text", 16, 8, 3,
           minEstJaccard = 0.5, maxBucketSize = Some(1000)).count()
+        val nMax = 60000L
+        if (n > nMax) {
+          failed ::= "LSH_DEGENERATE_BUCKET_COUNT"
+          println(s"LSH_DEGENERATE_BUCKET_COUNT n=$n (absMax=$nMax) " +
+            "COST_CLASS_OVER")
+        }
+        n
       }
       // q45's FULL pipeline at replicated scale: banded candidates →
       // est-prune → exact verify → O(log d) label contraction → canonical

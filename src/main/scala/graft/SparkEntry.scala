@@ -1282,6 +1282,63 @@ object SparkEntry {
     Sampling.poissonBootstrap(Events.load(s, dir), "event_id", "value",
       replicates = 100)
 
+  /** ENTITY RESOLUTION end-to-end: segmented edit-distance blocking
+    * (q46's candidate engine) → transitive-closure clustering →
+    * SURVIVORSHIP of the golden record — per entity: member count,
+    * canonical name (longest, id-asc tie), min price (cents-exact), and
+    * distinct brand count. The record-linkage composition a master-data
+    * pipeline runs nightly. */
+  private def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val recs = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"),
+        round(col("p_retailprice") * 100).cast(LongType).as("price_cents"),
+        col("p_brand"))
+    val mapped = Dedup.resolveEntities(recs, "id", "s", maxDist = 2)
+      .join(recs, "id")
+    // survivorship canonical = (longest name, min-id tie): max_by on the
+    // (length, -id) struct — a combinable aggregation, no per-entity sort
+    val canon = Windows.topOneByAgg(
+        mapped.select(col("entity_id"), col("s"), col("id")),
+        Seq(col("entity_id")),
+        struct(length(col("s")).as("len"), (-col("id")).as("neg_id")))
+      .select(col("entity_id"), col("s").as("canonical_name"))
+    mapped.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("price_cents")).as("min_price_cents"),
+        countDistinct(col("p_brand")).as("n_brands"))
+      .join(canon, "entity_id")
+      .select(col("entity_id"), col("n_members"), col("canonical_name"),
+        col("min_price_cents"), col("n_brands"))
+  }
+
+  /** SCD1 merge: apply a two-wave CDC batch (upserts, deletes, and
+    * genuine inserts, all derived deterministically from the orders
+    * table) to a base snapshot — last-write-wins per key by sequence
+    * number. The nightly MERGE INTO, engine-native. */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def cents = round(col("o_totalprice") * 100).cast(LongType)
+    val base = orders.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey"), cents.as("price_cents"), col("o_orderstatus"))
+    val w1 = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), (cents + 100).as("price_cents"),
+        col("o_orderstatus"), lit(1L).as("seq"), lit("U").as("op"))
+    val w2 = orders.filter(col("o_orderkey") % 14 === 0)
+      .select(col("o_orderkey"), (cents + 200).as("price_cents"),
+        col("o_orderstatus"), lit(2L).as("seq"),
+        when(col("o_orderkey") % 21 === 0, "D").otherwise("U").as("op"))
+    Snapshot.applyCdc(base, w1.unionByName(w2), Seq("o_orderkey"),
+      seqCol = "seq", opCol = "op")
+  }
+
+  /** Linear multi-touch attribution: every click before a purchase (and
+    * after the user's previous purchase) shares the conversion credit —
+    * integer micros, remainder to the last touch, so credit sums to
+    * exactly 1e6 per conversion. Complements q126's last-touch model. */
+  private def qLinearAttribution(s: SparkSession, dir: String): DataFrame =
+    Events.linearAttribution(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", touchType = "click", convType = "purchase")
+
   /** IVF-PQ: the FAISS-shape composition — PQ codes scored only inside
     * the query's IVF-probed cells, so the per-candidate stage shrinks
     * from N to Σ|probed cells| while staying integer-ADC cheap. Same
@@ -1556,6 +1613,9 @@ object SparkEntry {
     "q130_poisson_bootstrap" -> (qPoissonBootstrap _),
     "q131_funnel_trace" -> (qFunnelTrace _),
     "q132_windowed_funnel" -> (qWindowedFunnel _),
+    "q133_entity_resolution" -> (qEntityResolution _),
+    "q134_cdc_apply" -> (qCdcApply _),
+    "q135_linear_attribution" -> (qLinearAttribution _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2586,6 +2646,83 @@ object SparkEntry {
     "q132_windowed_funnel" ->
       OracleGen.funnelTraceSql(Seq("view", "click", "purchase"),
         gapSeconds = Some(86400L)),
+    "q133_entity_resolution" ->
+      """WITH RECURSIVE
+         p AS (SELECT p_partkey AS id, p_name AS s,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             p_brand
+           FROM part WHERE p_partkey % 10 = 0),
+         pr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
+           WHERE abs(length(a.s) - length(b.s)) <= 2
+             AND levenshtein(a.s, b.s) <= 2),
+         edges AS (SELECT ia AS src, ib AS dst FROM pr
+           UNION ALL SELECT ib, ia FROM pr),
+         reach AS (
+           SELECT id, id AS r FROM p
+           UNION
+           SELECT e.dst AS id, reach.r AS r
+           FROM reach JOIN edges e ON e.src = reach.id),
+         comp AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id),
+         m AS (SELECT c.entity_id, p.id, p.s, p.price_cents, p.p_brand
+           FROM comp c JOIN p ON c.id = p.id),
+         canon AS (SELECT entity_id, s,
+             row_number() OVER (PARTITION BY entity_id
+               ORDER BY length(s) DESC, id ASC) AS rn
+           FROM m),
+         agg AS (SELECT entity_id, count(*) AS n_members,
+             min(price_cents) AS min_price_cents,
+             count(DISTINCT p_brand) AS n_brands
+           FROM m GROUP BY 1)
+         SELECT a.entity_id, a.n_members, c.s AS canonical_name,
+           a.min_price_cents, a.n_brands
+         FROM agg a JOIN canon c ON a.entity_id = c.entity_id AND c.rn = 1""",
+    "q134_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus
+           FROM orders WHERE o_orderkey % 101 <> 0),
+         w1 AS (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 100 AS price_cents,
+             o_orderstatus, 1 AS seq, 'U' AS op
+           FROM orders WHERE o_orderkey % 7 = 0),
+         w2 AS (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 200 AS price_cents,
+             o_orderstatus, 2 AS seq,
+             CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders WHERE o_orderkey % 14 = 0),
+         ch AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+         latest AS (SELECT * FROM (SELECT *,
+             row_number() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1),
+         kept AS (SELECT b.* FROM base b
+           LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+           WHERE l.o_orderkey IS NULL)
+         SELECT o_orderkey, price_cents, o_orderstatus, 'base' AS src
+         FROM kept
+         UNION ALL
+         SELECT o_orderkey, price_cents, o_orderstatus, 'cdc' AS src
+         FROM latest WHERE op = 'U'""",
+    "q135_linear_attribution" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+           WHERE event_type IN ('click', 'purchase')),
+         b AS (SELECT user_id, event_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+               IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS conv_id
+           FROM f),
+         t AS (SELECT user_id, conv_id, event_id AS touch_id, ts FROM b
+           WHERE event_type = 'click' AND conv_id IS NOT NULL),
+         c AS (SELECT user_id, conv_id, touch_id,
+             row_number() OVER (PARTITION BY user_id, conv_id
+               ORDER BY ts ASC, touch_id ASC) AS rn,
+             count(*) OVER (PARTITION BY user_id, conv_id) AS n
+           FROM t)
+         SELECT user_id, conv_id, touch_id,
+           1000000 // n +
+             CASE WHEN rn = n THEN 1000000 % n ELSE 0 END AS credit_micros
+         FROM c""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

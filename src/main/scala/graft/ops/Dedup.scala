@@ -1553,6 +1553,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** ENTITY RESOLUTION clustering — the record-linkage composition:
+    * segmented edit-distance blocking ([[editDistancePairsSegmented]],
+    * complete for ≤ `maxDist` by pigeonhole) supplies the match pairs,
+    * [[components]] closes them transitively, and every record maps to
+    * its entity (= the min record id of its match-connected cluster;
+    * unmatched records stay their own singleton entity). Output:
+    * (`id`, `entity_id`) — survivorship (which attribute values the
+    * merged golden record keeps) is the caller's policy, applied as
+    * ordinary aggregates over this mapping (see q133 for the
+    * longest-name / min-price example).
+    *
+    * Transitive closure is the standard ER clustering choice: pairwise
+    * `dist ≤ maxDist` is not transitive, so clusters can chain records
+    * at pairwise distance > maxDist — intended (the alternative, leaving
+    * A≈B≈C unresolved, splits one entity into two), and bounded in
+    * practice by the blocking radius.
+    *
+    * Scale shape: inherits the two pieces' — candidate mass is gated by
+    * the segment index (never all-pairs), and the component loop touches
+    * only pair-touched records. */
+  def resolveEntities(df: DataFrame, idCol: String, strCol: String,
+                      maxDist: Int, maxIters: Int = 20): DataFrame = {
+    val pairs = editDistancePairsSegmented(df, idCol, strCol, maxDist)
+      .select(col("id_a"), col("id_b"))
+    components(df.select(col(idCol).as("id")), pairs, maxIters)
+      .select(col("id").as(idCol), col("label").as("entity_id"))
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 31).
@@ -1564,6 +1592,22 @@ object Dedup {
     * usual recall/cost dial, here always set for full recall. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, featureShingle: Int = 1): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val features =
+      if (featureShingle <= 1) toks else shingles(toks, featureShingle)
+    bandedHammingPairs(
+      df.select(col(idCol).as("doc_id"), simhash64(features).as("sh")),
+      maxHamming)
+  }
+
+  /** Pigeonhole-banded hamming pairs over ANY 64-bit signature relation
+    * `sigs(doc_id, sh)` — the candidate engine behind [[simHashPairs]],
+    * reused verbatim by [[Multimodal.imageNearDups]]' perceptual hashes
+    * (banding is a property of the 64-bit code, not of how it was
+    * computed). Complete for the requested radius: ≤ maxHamming
+    * differing bits cannot touch all maxHamming+1 chunks. */
+  private[ops] def bandedHammingPairs(sigs: DataFrame,
+                                      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
     val nChunks = maxHamming + 1
     val baseWidth = 64 / nChunks
@@ -1575,10 +1619,6 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("sh"), c * baseWidth).bitwiseAND(lit(mask)).as("key"))
     }
-    val toks = split(col(textCol), " ")
-    val features =
-      if (featureShingle <= 1) toks else shingles(toks, featureShingle)
-    val sigs = df.select(col(idCol).as("doc_id"), simhash64(features).as("sh"))
     val chunked = sigs.select(col("doc_id"), col("sh"),
         explode(array((0 until nChunks).map(chunkExpr): _*)).as("b"))
       .select(col("doc_id"), col("sh"),

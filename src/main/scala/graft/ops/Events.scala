@@ -287,6 +287,51 @@ object Events {
       .select(col(userCol), col(ordCol).as("conv_id"), col("touch_id"))
   }
 
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — the other standard attribution
+    * model ([[lastTouchAttribution]] is the degenerate 100%-to-last
+    * case): every touch that precedes a conversion shares the credit
+    * equally. "Precedes" binds each touch to its NEXT conversion under
+    * the (`tsCol`, `ordCol`) total order, so a touch credits exactly one
+    * conversion (the journey since the previous conversion) and touches
+    * after a user's final conversion credit nothing. Output: one row per
+    * attributed touch — (`userCol`, conv_id, touch_id, credit_micros).
+    *
+    * Deterministic: credit is INTEGER micros — each of a conversion's n
+    * touches gets `1e6 div n`, and the remainder `1e6 mod n` goes to the
+    * LAST touch (the one closest to the conversion), so per-conversion
+    * credit sums to exactly 1,000,000 and no float division order can
+    * differ between engines.
+    *
+    * Scale shape: filter to the two types BEFORE the windows; then ONE
+    * shuffle on the user key serves both window passes (next-conversion
+    * binding, then per-(user, conv) position/count — the second window's
+    * (user, conv_id) keys are user-prefixed, so the partitioning is
+    * reusable and Spark plans a sort, not a second exchange). No
+    * self-join of the event log. */
+  def linearAttribution(events: DataFrame, userCol: String,
+                        tsCol: String, ordCol: String, typeCol: String,
+                        touchType: String, convType: String): DataFrame = {
+    val wNext = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(ordCol).asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val bound = events.select(col(userCol), col(ordCol), col(tsCol),
+        col(typeCol))
+      .filter(col(typeCol).isin(touchType, convType))
+      .withColumn("conv_id",
+        first(when(col(typeCol) === convType, col(ordCol)),
+          ignoreNulls = true).over(wNext))
+      .filter(col(typeCol) === touchType && col("conv_id").isNotNull)
+    val wConv = Window.partitionBy(col(userCol), col("conv_id"))
+    val wPos = wConv.orderBy(col(tsCol).asc, col(ordCol).asc)
+    bound
+      .withColumn("rn", row_number().over(wPos))
+      .withColumn("n", count(lit(1)).over(wConv))
+      .select(col(userCol), col("conv_id"), col(ordCol).as("touch_id"),
+        (expr("1000000L div n") +
+          when(col("rn") === col("n"), pmod(lit(1000000L), col("n")))
+            .otherwise(lit(0L))).as("credit_micros"))
+  }
+
   /** ORDERED FUNNEL conversion — the other half of the product-analytics
     * pair with [[retentionCohorts]]: how many users complete each step
     * of `steps` IN ORDER (strictly later timestamps). A user's step-k

@@ -369,6 +369,90 @@ object Multimodal {
         md5(col("payload")).as("checksum")))
   }
 
+  /** PERCEPTUAL average-hash (aHash) of a decodable image: average-pool
+    * the integer Rec.601 luma onto an 8×8 grid (cell boundaries by floor
+    * division, every pixel in exactly one cell), threshold each cell mean
+    * against the mean of the 64 cell means, bit (cy*8+cx) set iff
+    * strictly above. All-integer arithmetic end to end, so the hash is a
+    * pure function of the decoded raster — re-encodings and small local
+    * edits of the same picture land within a few bits, which is what
+    * makes hamming-banded near-dup joins work on images. None for
+    * payloads ImageIO can't decode and for images smaller than the 8×8
+    * grid (a sub-icon image has no stable perceptual content). */
+  private[ops] def aHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            val c = cy * 8 + x * 8 / w
+            sums(c) += lum
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(64)(i => sums(i) / counts(i))
+        val thresh = means.sum / 64
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (means(i) > thresh) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-image perceptual hashes: partition-local decode (same
+    * `mapPartitions` shape as [[decodeFeatures]] — no shuffle), one row
+    * per DECODABLE image payload, (`media_id`, `ahash`). Undecodable or
+    * sub-8×8 payloads are dropped (their near-dup story is the exact
+    * checksum in `meta`, not a perceptual radius). */
+  def imageHashes(media: DataFrame, idCol: String = "media_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        aHash64(payload).map(h => (id, h))
+      })
+      .toDF(idCol, "ahash")
+  }
+
+  /** Image near-duplicate pairs: perceptual hashes ([[imageHashes]]) →
+    * pigeonhole-banded hamming join ([[Dedup.bandedHammingPairs]] — the
+    * same complete-for-the-radius candidate engine the text SimHash path
+    * uses). Output (`id_a`, `id_b`, `hamming`), id_a < id_b. The decode
+    * is partition-local; the only shuffle is the band-key join, whose
+    * candidate mass follows the SimHash envelope (maxHamming ≤ 3 ⇒
+    * ≥16-bit chunk keys, the ~linear regime to 10⁵–10⁶ images per
+    * shard). */
+  def imageNearDups(media: DataFrame, idCol: String = "media_id",
+                    payloadCol: String = "payload",
+                    maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs(
+      imageHashes(media, idCol, payloadCol)
+        .select(col(idCol).as("doc_id"), col("ahash").as("sh")),
+      maxHamming)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        col("hamming"))
+
   /** Frame sampling for "video" payloads: byte-range chunking + stride
     * sampling, all with built-in functions (no decode needed) — the real
     * frame boundaries would come from the container index; byte chunks

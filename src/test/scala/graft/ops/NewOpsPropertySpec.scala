@@ -827,4 +827,70 @@ class NewOpsPropertySpec extends AnyFunSuite {
       assert(got("const")._4 == 0L)
     }
   }
+
+  test("linearAttribution: equal split with remainder to LAST touch, " +
+    "touches bind to their NEXT conversion only, trailing touches and " +
+    "organic conversions emit nothing, same-instant click binds") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 09:00:00", "click"),
+      (1L, 2L, "2024-01-01 09:30:00", "click"),
+      (1L, 3L, "2024-01-01 09:45:00", "click"),
+      (1L, 4L, "2024-01-01 10:00:00", "purchase"), // 3 touches: 1e6 div 3
+      (1L, 5L, "2024-01-01 11:00:00", "click"),
+      (1L, 6L, "2024-01-01 12:00:00", "purchase"), // 1 touch: full credit
+      (1L, 7L, "2024-01-01 13:00:00", "click"),    // no later conv: dropped
+      (2L, 8L, "2024-01-01 09:00:00", "purchase"), // organic: no touch rows
+      (3L, 9L, "2024-01-01 09:00:00", "click"),    // same instant, 9 < 10:
+      (3L, 10L, "2024-01-01 09:00:00", "purchase") //   click binds
+    ).toDF("user_id", "event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.linearAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "click", "purchase")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 4L, 1L, 333333L), (1L, 4L, 2L, 333333L), (1L, 4L, 3L, 333334L),
+      (1L, 6L, 5L, 1000000L),
+      (3L, 10L, 9L, 1000000L)))
+    // per-conversion credit sums to exactly 1e6 — the integer-split
+    // invariant the remainder-to-last rule exists for
+    got.toSeq.groupBy(r => (r._1, r._2)).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sum == 1000000L)
+    }
+  }
+
+  test("applyCdc: last-write-wins by seq, deletes remove, inserts appear, " +
+    "untouched base passes through, delete-of-absent-key is a no-op, and " +
+    "an empty batch is identity") {
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"),
+      (4L, 40L, "d"), (5L, 50L, "e")).toDF("k", "v", "s")
+    val changes = Seq(
+      (2L, 21L, "b1", 1L, "U"), (2L, 22L, "b2", 2L, "U"), // seq 2 wins
+      (3L, 0L, "x", 1L, "D"),                             // delete
+      (6L, 60L, "f", 1L, "U"),                            // insert
+      (4L, 0L, "x", 1L, "D"), (4L, 41L, "d1", 2L, "U"),   // U after D: upsert
+      (7L, 0L, "x", 1L, "D")                              // absent key: no-op
+    ).toDF("k", "v", "s", "seq", "op")
+    val got = Snapshot.applyCdc(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, "a", "base"), (5L, 50L, "e", "base"),
+      (2L, 22L, "b2", "cdc"), (4L, 41L, "d1", "cdc"),
+      (6L, 60L, "f", "cdc")))
+    val empty = changes.filter(col("k") < 0)
+    val id = Snapshot.applyCdc(base, empty, Seq("k"), "seq", "op")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(id == base.as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2, r._3, "base")).toSet)
+  }
+
+  test("resolveEntities: transitive closure chains pairwise matches past " +
+    "the blocking radius; non-matching records stay singleton entities") {
+    // aaaa—aaab (dist 1), aaab—aabb (dist 1): one entity even though
+    // dist(aaaa, aabb) = 2 > maxDist 1. zzzz matches nothing.
+    val recs = Seq((10L, "aaaa"), (11L, "aaab"), (12L, "aabb"),
+      (13L, "zzzz")).toDF("id", "s")
+    val got = Dedup.resolveEntities(recs, "id", "s", maxDist = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+  }
 }

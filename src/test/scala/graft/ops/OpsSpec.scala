@@ -600,6 +600,75 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(1).width == (png.length % 640) + 1)
   }
 
+  /** Like [[pngFixture]] but the gradient runs top→bottom — same pixel
+    * value multiset, perceptually different layout. */
+  private def pngVerticalFixture(w: Int = 32, h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = y * 255 / (h - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image aHash: pure function of the raster (re-encode invariant), " +
+    "a one-pixel edit stays within the near-dup radius, a transposed " +
+    "layout does not, sub-8x8 and non-image payloads hash to None") {
+    val grad = pngFixture(32, 32)
+    // decode → re-encode: different PNG bytes, same raster, same hash
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(grad))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val reenc = bos.toByteArray
+    assert(Multimodal.aHash64(grad) == Multimodal.aHash64(reenc))
+    // one-pixel edit: a near-dup, not an exact dup — tiny hamming
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(grad))
+    img2.setRGB(0, 0, 0xFFFFFF)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img2, "png", bos2)
+    val near = bos2.toByteArray
+    val hGrad = Multimodal.aHash64(grad).get
+    val hNear = Multimodal.aHash64(near).get
+    assert(java.lang.Long.bitCount(hGrad ^ hNear) <= 3)
+    // transposed gradient: far outside the radius
+    val vert = pngVerticalFixture(32, 32)
+    val hVert = Multimodal.aHash64(vert).get
+    assert(java.lang.Long.bitCount(hGrad ^ hVert) > 3)
+    // degenerate payloads
+    assert(Multimodal.aHash64(null).isEmpty)
+    assert(Multimodal.aHash64("not an image".getBytes).isEmpty)
+    assert(Multimodal.aHash64(pngFixture(4, 4)).isEmpty) // sub-8x8
+  }
+
+  test("imageNearDups: banded hamming join finds exactly the brute-force " +
+    "pairs over the perceptual hashes; undecodable payloads drop out") {
+    val grad = pngFixture(32, 32)
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(grad))
+    img2.setRGB(0, 0, 0xFFFFFF)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img2, "png", bos2)
+    val media = Seq(
+      (1L, grad), (2L, bos2.toByteArray), (3L, pngVerticalFixture(32, 32)),
+      (4L, "text payload, not an image".getBytes)
+    ).toDF("media_id", "payload")
+    val hashes = Multimodal.imageHashes(media)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L)) // 4 dropped
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.imageNearDups(media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute && got.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
   test("tfIdfTopTerms scores match hand-computed tf*ln(N/df)") {
     // N=3; "rare" appears in 1 doc (idf=ln 3), "mid" in 2 (ln 1.5),
     // "the" in all 3 (idf=0 → never tops a doc with any rarer term)

@@ -1331,6 +1331,42 @@ object SparkEntry {
       seqCol = "seq", opCol = "op")
   }
 
+  /** Point-in-time join: each purchase picks up the SCD2 attribute
+    * version valid AT its timestamp — the standard consumption pattern
+    * of q111's history, as a containment m:1 equi-join (disjoint
+    * intervals ⇒ no window, no tie-break). */
+  private def qPitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Events.load(s, dir)
+    val hist = Events.scd2History(ev, "user_id", "ts", "event_id",
+        Events.jsonField(col("props"), "$.k"))
+      .select(col("user_id"), col("attr"), col("valid_from"), col("valid_to"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    Events.pointInTimeJoin(facts, hist, Seq("user_id"), "ts")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").cast(TimestampNTZType), col("attr"))
+  }
+
+  /** Non-hierarchical GROUPING SETS — per-flag and per-status marginals
+    * in ONE scan + one expand (a shape neither rollup q32 nor cube q39
+    * covers: the sets share no prefix). grouping_id disambiguates the
+    * all-NULL labels. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast(LongType))
+          .as("qty_cents"))
+
+  /** Robust outliers: MAD fences per event type (median ± 3·MAD) — the
+    * heavy-tail-safe screen a value-quality gate runs before training
+    * on numeric telemetry. */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    Events.madOutliers(Events.load(s, dir), "event_type", "event_id",
+      "value", k = 3.0)
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1616,6 +1652,9 @@ object SparkEntry {
     "q133_entity_resolution" -> (qEntityResolution _),
     "q134_cdc_apply" -> (qCdcApply _),
     "q135_linear_attribution" -> (qLinearAttribution _),
+    "q136_pit_join" -> (qPitJoin _),
+    "q137_grouping_sets" -> (qGroupingSets _),
+    "q138_mad_outliers" -> (qMadOutliers _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2723,6 +2762,48 @@ object SparkEntry {
            1000000 // n +
              CASE WHEN rn = n THEN 1000000 % n ELSE 0 END AS credit_micros
          FROM c""",
+    "q136_pit_join" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS attr
+         FROM events),
+         nn AS (SELECT * FROM ev WHERE attr IS NOT NULL),
+         ch AS (SELECT user_id, ts, event_id, attr,
+             lag(attr) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS prev
+           FROM nn),
+         c2 AS (SELECT user_id, ts, event_id, attr FROM ch
+           WHERE prev IS NULL OR prev <> attr),
+         hist AS (SELECT user_id, attr, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS valid_to
+           FROM c2),
+         f AS (SELECT user_id, event_id AS conv_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase')
+         SELECT f.user_id, f.conv_id, f.ts, h.attr
+         FROM f LEFT JOIN hist h ON f.user_id = h.user_id
+           AND h.valid_from <= f.ts
+           AND (h.valid_to IS NULL OR f.ts < h.valid_to)""",
+    "q137_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    "q138_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS med
+           FROM events GROUP BY 1),
+         wm AS (SELECT e.event_id, e.event_type, e.value, m.med
+           FROM events e JOIN med m ON e.event_type = m.event_type),
+         mad AS (SELECT event_type,
+             round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+           FROM wm GROUP BY 1)
+         SELECT wm.event_id, wm.event_type, wm.med, mad.mad,
+           round(abs(wm.value - wm.med), 4) AS dev,
+           round(abs(wm.value - wm.med), 4) > 3.0 * mad.mad AS is_outlier
+         FROM wm JOIN mad ON wm.event_type = mad.event_type""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

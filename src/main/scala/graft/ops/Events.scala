@@ -135,6 +135,73 @@ object Events {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
+  /** POINT-IN-TIME JOIN — attach to each fact row the dimension version
+    * that was valid AT the fact's timestamp: the standard consumption
+    * pattern of an SCD2 history ([[scd2History]] produces exactly the
+    * `history` shape this expects). Interval semantics are
+    * `valid_from <= ts < valid_to` (valid_to NULL = current row), the
+    * same half-open contract scd2History emits. Left semantics: facts
+    * before the key's first version (or with no history at all) keep
+    * nulls.
+    *
+    * PRECONDITION: per key, history intervals are DISJOINT (scd2History
+    * guarantees contiguous tiling). That is what makes this an m:1 join
+    * needing NO top-1 window — containment is a pure predicate on the
+    * (ts, interval) values, so unlike an as-of join there is no ordering
+    * and no tie to break: same-instant fact/change pairs resolve by the
+    * half-open boundary alone, identically in any engine.
+    *
+    * Scale shape: ONE equi-join on the keys with the containment
+    * predicate applied post-match; per-key history length (versions per
+    * entity — small by construction) bounds the intermediate blow-up.
+    * The as-of composition ([[Joins.asOfJoinBackward]]) remains the form
+    * for NON-tiling right sides. */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+                      keys: Seq[String], factTs: String,
+                      validFrom: String = "valid_from",
+                      validTo: String = "valid_to"): DataFrame = {
+    val renamed = keys.foldLeft(history)((df, k) =>
+      df.withColumnRenamed(k, s"__pit_$k"))
+    facts.join(renamed,
+        keys.map(k => facts(k) === renamed(s"__pit_$k")).reduce(_ && _) &&
+          col(validFrom) <= col(factTs) &&
+          (col(validTo).isNull || col(factTs) < col(validTo)),
+        "left")
+      .drop(keys.map(k => s"__pit_$k"): _*)
+      .drop(validFrom, validTo)
+  }
+
+  /** ROBUST OUTLIERS via Median Absolute Deviation — the heavy-tail-safe
+    * alternative to z-scores (one wild value drags a mean/stddev fence,
+    * but not the median's): per group, med = median(value), mad =
+    * median(|value − med|), flag rows with |value − med| > k·mad.
+    *
+    * Deterministic: both medians are EXACT interpolated percentiles
+    * rounded to 4 decimals before any downstream use (the q37-proven
+    * `percentile` ≡ `quantile_cont` parity), so the fence comparison
+    * runs on identical doubles in both engines — no raw-percentile ulp
+    * can flip a boundary row.
+    *
+    * Scale shape: two combinable aggregations on the group key with the
+    * tiny per-group stats broadcast back — the fact table never
+    * shuffles. Exact `percentile` buffers each group's values; at
+    * true 100 TB group sizes swap in `approx_percentile` (q67 precedent)
+    * — same two-pass shape, bounded memory. */
+  def madOutliers(events: DataFrame, groupCol: String, idCol: String,
+                  valCol: String, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col(groupCol))
+      .agg(round(percentile(col(valCol), lit(0.5)), 4).as("med"))
+    val withMed = events.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(round(percentile(abs(col(valCol) - col("med")), lit(0.5)), 4)
+        .as("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .select(col(idCol), col(groupCol), col("med"), col("mad"),
+        round(abs(col(valCol) - col("med")), 4).as("dev"),
+        (round(abs(col(valCol) - col("med")), 4) > lit(k) * col("mad"))
+          .as("is_outlier"))
+  }
+
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 

@@ -883,6 +883,50 @@ class NewOpsPropertySpec extends AnyFunSuite {
       .map(r => (r._1, r._2, r._3, "base")).toSet)
   }
 
+  test("pointInTimeJoin: half-open containment — boundary facts take the " +
+    "STARTING interval, pre-history and no-history facts keep nulls") {
+    val hist = Seq(
+      (1L, "A", "2024-01-01 10:00:00", Option("2024-01-01 12:00:00")),
+      (1L, "B", "2024-01-01 12:00:00", Option.empty[String])
+    ).toDF("user_id", "attr", "from_s", "to_s")
+      .select(col("user_id"), col("attr"),
+        to_timestamp(col("from_s")).as("valid_from"),
+        to_timestamp(col("to_s")).as("valid_to"))
+    val facts = Seq(
+      (1L, 1L, "2024-01-01 09:00:00"), // before first version -> null
+      (1L, 2L, "2024-01-01 10:00:00"), // inclusive start -> A
+      (1L, 3L, "2024-01-01 11:00:00"), // inside -> A
+      (1L, 4L, "2024-01-01 12:00:00"), // change instant: exclusive end -> B
+      (1L, 5L, "2024-01-01 13:00:00"), // open current -> B
+      (2L, 6L, "2024-01-01 10:00:00")  // keyless-history user -> null
+    ).toDF("user_id", "fact_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = Events.pointInTimeJoin(facts, hist, Seq("user_id"), "ts")
+      .select(col("fact_id"), col("attr"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some("A"), 3L -> Some("A"),
+      4L -> Some("B"), 5L -> Some("B"), 6L -> None))
+  }
+
+  test("madOutliers: MAD fences hand-checked — zero-MAD group flags any " +
+    "deviation, spread group stays quiet, the fence itself is NOT an " +
+    "outlier (strict >)") {
+    val ev = Seq(
+      // constant group with one wild row: mad = 0, so dev 99 > 0 flags
+      (1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 1.0), (4L, "a", 1.0),
+      (5L, "a", 100.0),
+      // spread group: med 20, mad 10, fence 30 — devs 10/0/10 quiet
+      (6L, "b", 10.0), (7L, "b", 20.0), (8L, "b", 30.0),
+      // boundary group: med 10, devs {10, 0, 30}, mad 10; dev 30 == 3*mad
+      (9L, "c", 0.0), (10L, "c", 10.0), (11L, "c", 40.0)
+    ).toDF("event_id", "event_type", "value")
+    val got = Events.madOutliers(ev, "event_type", "event_id", "value")
+      .select(col("event_id"), col("is_outlier"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got.filter(_._2).keySet == Set(5L))
+    assert(got.size == 11)
+  }
+
   test("resolveEntities: transitive closure chains pairwise matches past " +
     "the blocking radius; non-matching records stay singleton entities") {
     // aaaa—aaab (dist 1), aaab—aabb (dist 1): one entity even though

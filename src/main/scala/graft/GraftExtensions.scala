@@ -75,6 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("int8_dot"),
       info("int8_dot", "int8_dot(array<int>, array<int>) - exact integer dot product"),
       (args: Seq[Expression]) => graft.functions.Int8Dot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(string, string) - byte-level Jaro-Winkler similarity (DuckDB parity)"),
+      (args: Seq[Expression]) => graft.functions.JaroWinkler(args(0), args(1))))
   }
 }
 
@@ -171,6 +174,9 @@ object GraftExtensions {
       "scala_udf")
     reg.createOrReplaceTempFunction("int8_dot",
       (args: Seq[Expression]) => graft.functions.Int8Dot(args(0), args(1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      (args: Seq[Expression]) => graft.functions.JaroWinkler(args(0), args(1)),
       "scala_udf")
   }
 }

@@ -1367,6 +1367,15 @@ object SparkEntry {
     Events.madOutliers(Events.load(s, dir), "event_type", "event_id",
       "value", k = 3.0)
 
+  /** Graded fuzzy matching: first-token-blocked Jaro–Winkler pairs at
+    * ≥ 0.9 — the ranked-match complement of q46's hard edit radius,
+    * scored by the native codegen'd expression (bit-equal to DuckDB's
+    * jaro_winkler_similarity, so the raw doubles hash-verify). */
+  private def qJaroWinklerPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaroWinklerPairs(
+      t(s, dir, "part").filter(col("p_partkey") % 10 === 0),
+      "p_partkey", "p_name", threshold = 0.9)
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1655,6 +1664,7 @@ object SparkEntry {
     "q136_pit_join" -> (qPitJoin _),
     "q137_grouping_sets" -> (qGroupingSets _),
     "q138_mad_outliers" -> (qMadOutliers _),
+    "q139_jw_pairs" -> (qJaroWinklerPairs _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2804,6 +2814,14 @@ object SparkEntry {
            round(abs(wm.value - wm.med), 4) AS dev,
            round(abs(wm.value - wm.med), 4) > 3.0 * mad.mad AS is_outlier
          FROM wm JOIN mad ON wm.event_type = mad.event_type""",
+    "q139_jw_pairs" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s,
+             string_split(p_name, ' ')[1] AS blk
+           FROM part WHERE p_partkey % 10 = 0 AND p_name IS NOT NULL)
+         SELECT a.id AS id_a, b.id AS id_b,
+           round(jaro_winkler_similarity(a.s, b.s), 4) AS jw
+         FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+         WHERE round(jaro_winkler_similarity(a.s, b.s), 4) >= 0.9""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

@@ -73,6 +73,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(msgs.contains("expected dim 2"), msgs)
   }
 
+  test("SQL jaro_winkler evaluates the native expression with the pinned " +
+    "DuckDB-parity semantics (byte-level, empty=0, boost order)") {
+    import graft.functions.JaroWinkler
+    // DuckDB-probed reference values (see JaroWinkler scaladoc)
+    assert(JaroWinkler.compute("".getBytes, "".getBytes) == 0.0)
+    assert(JaroWinkler.compute("".getBytes, "x".getBytes) == 0.0)
+    assert(JaroWinkler.compute("abc".getBytes, "abc".getBytes) == 1.0)
+    // byte semantics: é is TWO match units — DuckDB says 0.84 exactly
+    assert(JaroWinkler.compute("héllo".getBytes("UTF-8"),
+      "hello".getBytes("UTF-8")) == 0.8400000000000001)
+    assert(JaroWinkler.compute("日本語abc".getBytes("UTF-8"),
+      "日本語abd".getBytes("UTF-8")) == 0.9666666666666666)
+    // the textbook pair (Winkler 1990): martha/marhta = 0.9611...
+    val m = JaroWinkler.compute("martha".getBytes, "marhta".getBytes)
+    assert(math.abs(m - 0.9611111111111111) < 1e-15, m)
+    // SQL face == Scala face == interpreted eval (codegen parity)
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') j").collect()(0).getDouble(0)
+    assert(viaSql == m)
+    // null-strict like every binary string function
+    assert(spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x') j")
+      .collect()(0).isNullAt(0))
+  }
+
   test("withExtensions wires functions at session build") {
     // a second session in the same JVM shares the context but gets its own
     // state; extensions must apply

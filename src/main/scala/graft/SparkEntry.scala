@@ -1376,6 +1376,13 @@ object SparkEntry {
       t(s, dir, "part").filter(col("p_partkey") % 10 === 0),
       "p_partkey", "p_name", threshold = 0.9)
 
+  /** Market-basket co-occurrence: item pairs sharing an order with
+    * support ≥ 2 and integer-micros lift — the A-Priori candidate-pair
+    * pass over lineitem baskets. */
+  private def qCooccurrence(s: SparkSession, dir: String): DataFrame =
+    Baskets.coPairs(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      minSupport = 2L)
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1665,6 +1672,7 @@ object SparkEntry {
     "q137_grouping_sets" -> (qGroupingSets _),
     "q138_mad_outliers" -> (qMadOutliers _),
     "q139_jw_pairs" -> (qJaroWinklerPairs _),
+    "q140_cooccurrence" -> (qCooccurrence _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2822,6 +2830,23 @@ object SparkEntry {
            round(jaro_winkler_similarity(a.s, b.s), 4) AS jw
          FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
          WHERE round(jaro_winkler_similarity(a.s, b.s), 4) >= 0.9""",
+    "q140_cooccurrence" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+           FROM lineitem WHERE l_orderkey IS NOT NULL
+             AND l_partkey IS NOT NULL),
+         n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+         s AS (SELECT it, count(*) AS s FROM b GROUP BY 1),
+         pr AS (SELECT a.it AS item_a, b2.it AS item_b,
+             count(*) AS support
+           FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, support,
+           (support * n_baskets * 1000000) // (sa.s * sb.s) AS lift_micros
+         FROM pr
+         JOIN s sa ON pr.item_a = sa.it
+         JOIN s sb ON pr.item_b = sb.it
+         CROSS JOIN n
+         WHERE support >= 2""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

@@ -927,6 +927,23 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got.size == 11)
   }
 
+  test("coPairs: support counts baskets not rows (duplicate lines dedupe), " +
+    "minSupport prunes, integer lift hand-checked") {
+    val rows = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"), // dup (1,a) collapses
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "d"),
+      (4L, "b"), (4L, "c")
+    ).toDF("bk", "it")
+    val got = Baskets.coPairs(rows, "bk", "it", minSupport = 2L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // n=4 baskets; s(a)=3 s(b)=3 s(c)=2; (a,c) support 1 pruned
+    assert(got == Map(
+      ("a", "b") -> (2L, 2L * 4 * 1000000L / 9),
+      ("b", "c") -> (2L, 2L * 4 * 1000000L / 6)))
+  }
+
   test("resolveEntities: transitive closure chains pairwise matches past " +
     "the blocking radius; non-matching records stay singleton entities") {
     // aaaa—aaab (dist 1), aaab—aabb (dist 1): one entity even though

@@ -1383,6 +1383,24 @@ object SparkEntry {
     Baskets.coPairs(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
       minSupport = 2L)
 
+  /** Winnowed-fingerprint overlap (the MOSS algorithm): pairs of
+    * documents sharing ≥ 2 selected 3-gram hashes under a w=10 window —
+    * guaranteed to surface any shared run of ≥ 12 tokens while joining
+    * only the sparse fingerprint relation. */
+  private def qWinnowing(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowedOverlapPairs(t(s, dir, "documents"),
+      "doc_id", "text", k = 3, w = 10, minShared = 2L)
+
+  /** Vocabulary drift: per-term KL(new ‖ old) contributions between the
+    * even/odd halves of the documents corpus — the text-side drift
+    * monitor pairing with the numeric PSI (q76/q96). */
+  private def qVocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.vocabKlDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text")
+  }
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1673,6 +1691,8 @@ object SparkEntry {
     "q138_mad_outliers" -> (qMadOutliers _),
     "q139_jw_pairs" -> (qJaroWinklerPairs _),
     "q140_cooccurrence" -> (qCooccurrence _),
+    "q141_winnowing" -> (qWinnowing _),
+    "q142_vocab_drift" -> (qVocabDrift _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2847,6 +2867,43 @@ object SparkEntry {
          JOIN s sb ON pr.item_b = sb.it
          CROSS JOIN n
          WHERE support >= 2""",
+    "q141_winnowing" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+             CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                  ELSE array_to_string(t[i:i+2], ' ') END AS g
+           FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+         k AS (SELECT doc_id, pos,
+             CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) * 1048576
+               + pos AS key
+           FROM g),
+         m AS (SELECT doc_id, min(key) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS wkey
+           FROM k),
+         f AS (SELECT DISTINCT doc_id, wkey // 1048576 AS h FROM m)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
+    "q142_vocab_drift" ->
+      """WITH co AS (SELECT u.term, count(*) AS c_old
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+           WHERE doc_id % 2 = 0 GROUP BY 1),
+         cn AS (SELECT u.term, count(*) AS c_new
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+           WHERE doc_id % 2 = 1 GROUP BY 1),
+         j AS (SELECT coalesce(co.term, cn.term) AS term,
+             coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+           FROM co FULL OUTER JOIN cn ON co.term = cn.term),
+         st AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+             CAST(sum(c_new) AS BIGINT) AS n_new,
+             count(*) AS v FROM j)
+         SELECT term, CAST(c_old AS BIGINT) AS c_old,
+           CAST(c_new AS BIGINT) AS c_new,
+           round(((c_new + 1.0) / (n_new + v)) *
+             ln(((c_new + 1.0) / (n_new + v)) /
+                ((c_old + 1.0) / (n_old + v))), 6) + 0.0 AS kl_term
+         FROM j CROSS JOIN st""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

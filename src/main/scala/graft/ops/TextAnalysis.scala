@@ -163,6 +163,115 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
 
+  /** Positions a packed (hash, pos) winnowing key can address: documents
+    * must have fewer than 2^20 token positions (a 1M-token doc is ~4 MB
+    * of text — chunk longer docs first, q51's operator). The packing
+    * keeps the window minimum a plain BIGINT `min` in both engines:
+    * h₁·S+p₁ < h₂·S+p₂ ⟺ h₁ < h₂ (or equal-h, smaller pos) since
+    * pos < S — so the struct-free frame min IS the (hash, leftmost-pos)
+    * winner. */
+  private val WinnowPosScale = 1048576L
+
+  /** WINNOWED document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every word `k`-gram, slide a window of
+    * `w` consecutive positions, keep each window's minimum hash. The
+    * GUARANTEE that makes it the standard overlap detector: any shared
+    * run of ≥ w+k−1 tokens contributes at least one IDENTICAL selected
+    * hash to both documents, while the fingerprint set is ~2/(w+1) the
+    * density of the full gram stream. Ties break to the leftmost
+    * position (any fixed rule preserves the guarantee); windows shorter
+    * than `w` at the document head emit their running min (prefix
+    * convention, mirrored in the oracle). Output: (doc_id, h) DISTINCT —
+    * one row per selected 32-bit gram hash.
+    *
+    * Everything is md5-integer draws + one frame-bounded window min —
+    * the determinism toolbox end to end, so the relation hash-verifies
+    * against DuckDB (q141). Short docs (< k tokens) fingerprint their
+    * whole text as one gram, the [[graft.functions.WordShingles]]
+    * convention.
+    *
+    * Scale shape: posexplode (positions ≈ tokens) → ONE window min on
+    * the doc key (the gram stream never joins anything) → distinct
+    * collapses ~w/2× before any downstream join. Fingerprints, not
+    * grams, are what crosses the wire. */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, w: Int = 10): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(-(w - 1), 0)
+    docs.select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") *
+          WinnowPosScale + col("pos")).as("key"))
+      .select(col("doc_id"), min(col("key")).over(wnd).as("wkey"))
+      .select(col("doc_id"), expr(s"wkey div $WinnowPosScale").as("h"))
+      .distinct()
+  }
+
+  /** TERM-LEVEL VOCABULARY DRIFT between two corpus snapshots — the
+    * text analogue of the numeric PSI drift pair (q76/q96): per-term
+    * contribution to KL(new ‖ old) over add-1-smoothed unigram
+    * distributions, `p·ln(p/q)` with p = (c_new+1)/(N_new+V),
+    * q = (c_old+1)/(N_old+V). Positive contributions = terms the new
+    * corpus over-represents (the emerging vocabulary a curation monitor
+    * alerts on); the column sums to the corpus-level KL. Smoothing puts
+    * vanished and newborn terms on the same footing instead of ±∞.
+    *
+    * Deterministic cross-engine: counts and totals are exact integers,
+    * p and q are single double divisions of those integers, and the
+    * round-6 `+ 0.0` canonicalization absorbs libm ulp and the signed
+    * zero (the q108 PMI precedent — same ln parity).
+    *
+    * Scale shape: two explode+count aggregations (combinable, shuffle
+    * on the term key), one full-outer term join, and a 1-row totals
+    * aggregate broadcast back. Nothing is quadratic in corpus or
+    * vocabulary. */
+  def vocabKlDrift(oldDocs: DataFrame, newDocs: DataFrame,
+                   textCol: String): DataFrame = {
+    def termCounts(df: DataFrame, as: String) =
+      df.select(explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(as))
+    val j = termCounts(oldDocs, "c_old")
+      .join(termCounts(newDocs, "c_new"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val stats = j.agg(sum(col("c_old")).as("n_old"),
+      sum(col("c_new")).as("n_new"), count(lit(1)).as("v"))
+    val p = (col("c_new") + lit(1.0)) / (col("n_new") + col("v"))
+    val q = (col("c_old") + lit(1.0)) / (col("n_old") + col("v"))
+    j.crossJoin(broadcast(stats))
+      .select(col("term"), col("c_old"), col("c_new"),
+        (round(p * log(p / q), 6) + lit(0.0)).as("kl_term"))
+  }
+
+  /** Document-overlap pairs via winnowed fingerprints — the MOSS
+    * composition: docs sharing ≥ `minShared` selected hashes, with the
+    * shared count as the overlap score. By the winnowing guarantee,
+    * every pair sharing a token run of ≥ w+k−1 words surfaces here —
+    * the boilerplate/quotation detector that works at corpus scale
+    * because only the sparse fingerprint relation is joined, never the
+    * gram stream. One equi-join on the 32-bit hash + one combinable
+    * pair count; hot hashes (corpus-wide boilerplate grams) are the
+    * skew knob — cap them upstream like [[graft.ops.Dedup]]'s hot-
+    * shingle guard if a corpus needs it. */
+  def winnowedOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, w: Int = 10,
+                           minShared: Long = 2L): DataFrame = {
+    val f = winnowedFingerprints(docs, idCol, textCol, k, w)
+    val a = f.select(col("h"), col("doc_id").as("doc_a"))
+    val b = f.select(col("h"), col("doc_id").as("doc_b"))
+    a.join(b, "h").filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Gopher-style repetition metrics + a composite keep flag — the
     * quality-filter pass a pretraining pipeline runs before dedup.
     *

@@ -927,6 +927,60 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got.size == 11)
   }
 
+  test("winnowing: a shared w+k-1 token run GUARANTEES a shared " +
+    "fingerprint; disjoint-vocab docs share nothing; short docs take the " +
+    "whole-text branch; selection is partition-invariant") {
+    val k = 3; val w = 10
+    val common = (1 to (w + k - 1)).map(i => s"c$i").mkString(" ") // 12 toks
+    val docA = ((1 to 20).map(i => s"a$i") :+ common) ++ (21 to 40).map(i => s"a$i")
+    val docB = ((1 to 20).map(i => s"b$i") :+ common) ++ (21 to 40).map(i => s"b$i")
+    val docC = (1 to 40).map(i => s"x$i") // disjoint vocabulary
+    val docs = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
+      (3L, docC.mkString(" ")), (4L, "tiny doc")).toDF("doc_id", "text")
+    val pairs = TextAnalysis
+      .winnowedOverlapPairs(docs, "doc_id", "text", k, w, minShared = 1L)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"guarantee violated: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // short doc: whole text is the single gram -> exactly one fingerprint
+    val fps = TextAnalysis.winnowedFingerprints(docs, "doc_id", "text", k, w)
+    assert(fps.filter(col("doc_id") === 4L).count() == 1L)
+    // density: far fewer fingerprints than positions, never zero
+    val n1 = fps.filter(col("doc_id") === 1L).count()
+    assert(n1 > 0 && n1 < docA.length)
+    // pure function of the data: partitioning cannot change selection
+    val re = TextAnalysis.winnowedFingerprints(
+      docs.repartition(7), "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().toSet
+    assert(re == fps.as[(Long, Long)].collect().toSet)
+  }
+
+  test("vocabKlDrift: hand-computed smoothed contributions; identical " +
+    "corpora drift to exactly +0.0 everywhere") {
+    val oldC = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val newC = Seq((2L, "a b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabKlDrift(oldC, newC, "text")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // V=3, N_old=3, N_new=4
+    def contrib(cn: Long, co: Long): Double = {
+      val p = (cn + 1.0) / (4 + 3)
+      val q = (co + 1.0) / (3 + 3)
+      BigDecimal(p * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    assert(got == Map(
+      "a" -> (2L, 1L, contrib(1, 2)),
+      "b" -> (1L, 2L, contrib(2, 1)),
+      "c" -> (0L, 1L, contrib(1, 0))))
+    // p == q term-by-term when the corpora are identical: ln 1 = 0, and
+    // the +0.0 canonicalization keeps the sign positive
+    val same = TextAnalysis.vocabKlDrift(oldC, oldC, "text")
+      .as[(String, Long, Long, Double)].collect()
+    assert(same.forall(r => r._4 == 0.0 &&
+      !(1.0 / r._4).isNegInfinity)) // not -0.0
+  }
+
   test("coPairs: support counts baskets not rows (duplicate lines dedupe), " +
     "minSupport prunes, integer lift hand-checked") {
     val rows = Seq(

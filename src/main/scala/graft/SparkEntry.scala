@@ -1401,6 +1401,19 @@ object SparkEntry {
       docs.filter(col("doc_id") % 2 === 1), "text")
   }
 
+  /** Robust volume trend: Theil–Sen slope of daily event counts per
+    * type — median of pairwise slopes, immune to outage/spike days that
+    * would drag an OLS fit. */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame =
+    Events.theilSenTrend(Events.load(s, dir), "event_type", "ts")
+
+  /** Benford first-digit screen on order totals per priority class —
+    * integer-cents digit extraction (no float log10 bucketing), χ² term
+    * per digit. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    DataQuality.benfordDigits(t(s, dir, "orders"), "o_orderpriority",
+      "o_totalprice")
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1693,6 +1706,8 @@ object SparkEntry {
     "q140_cooccurrence" -> (qCooccurrence _),
     "q141_winnowing" -> (qWinnowing _),
     "q142_vocab_drift" -> (qVocabDrift _),
+    "q143_theilsen_trend" -> (qTheilSen _),
+    "q144_benford_digits" -> (qBenford _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2904,6 +2919,33 @@ object SparkEntry {
              ln(((c_new + 1.0) / (n_new + v)) /
                 ((c_old + 1.0) / (n_old + v))), 6) + 0.0 AS kl_term
          FROM j CROSS JOIN st""",
+    "q143_theilsen_trend" ->
+      """WITH daily AS (SELECT event_type,
+             epoch(date_trunc('day', ts)) // 86400 AS day,
+             count(*) AS y
+           FROM events GROUP BY 1, 2),
+         sl AS (SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+               AS slope
+           FROM daily a JOIN daily b ON a.event_type = b.event_type
+             AND b.day > a.day)
+         SELECT event_type, count(*) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 4) + 0.0 AS slope_med
+         FROM sl GROUP BY 1""",
+    "q144_benford_digits" ->
+      """WITH obs AS (SELECT o_orderpriority,
+             CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS observed
+           FROM orders WHERE o_totalprice > 0 GROUP BY 1, 2),
+         t AS (SELECT o_orderpriority, CAST(sum(observed) AS BIGINT) AS n
+           FROM obs GROUP BY 1)
+         SELECT obs.o_orderpriority, digit, observed,
+           round(n * log10(1.0 + 1.0 / digit), 4) AS expected,
+           round((observed - n * log10(1.0 + 1.0 / digit)) *
+                 (observed - n * log10(1.0 + 1.0 / digit)) /
+                 (n * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+         FROM obs JOIN t ON obs.o_orderpriority = t.o_orderpriority""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

@@ -103,4 +103,39 @@ object DataQuality {
       .select(col("check_name"), col("violations"), col("total"),
         (col("violations") === 0L).as("pass"))
   }
+
+  /** BENFORD first-digit test per group — the forensic data-quality
+    * screen (Benford 1938; fabricated or unit-mixed numeric columns
+    * miss the log distribution): observed first-significant-digit
+    * counts vs expected n·log₁₀(1+1/d), with the per-digit χ² term
+    * (o−e)²/e. Consumers sum the 9 terms per group and compare to the
+    * χ²(8) tail; the per-digit breakdown is what an auditor actually
+    * reads (WHICH digit is inflated).
+    *
+    * Deterministic: the first digit is taken from the INTEGER cents
+    * string — `substring(cast(round(x·100) as bigint as string), 1, 1)`
+    * — no float log10 near power-of-ten boundaries can misbucket;
+    * expected counts and χ² terms are single mirrored double chains
+    * rounded to 4 (q37/q108 parity precedents). Non-positive values are
+    * excluded (Benford is defined on positive magnitudes).
+    *
+    * Scale shape: one combinable (group, digit) count + a broadcast
+    * per-group total join — two small aggregations over one scan. */
+  def benfordDigits(df: DataFrame, groupCol: String,
+                    valCol: String): DataFrame = {
+    val cents = round(col(valCol) * 100).cast("long")
+    val obs = df.filter(col(valCol) > 0)
+      .select(col(groupCol),
+        substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val totals = obs.groupBy(col(groupCol))
+      .agg(sum(col("observed")).as("n"))
+    val e = col("n") * log10(lit(1.0) + lit(1.0) / col("digit"))
+    obs.join(broadcast(totals), groupCol)
+      .select(col(groupCol), col("digit"), col("observed"),
+        round(e, 4).as("expected"),
+        round((col("observed") - e) * (col("observed") - e) / e, 4)
+          .as("chi2_term"))
+  }
 }

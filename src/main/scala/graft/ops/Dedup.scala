@@ -1636,7 +1636,7 @@ object Dedup {
     * (banding is a property of the 64-bit code, not of how it was
     * computed). Complete for the requested radius: ≤ maxHamming
     * differing bits cannot touch all maxHamming+1 chunks. */
-  private[ops] def bandedHammingPairs(sigs: DataFrame,
+  private[graft] def bandedHammingPairs(sigs: DataFrame,
                                       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
     val nChunks = maxHamming + 1

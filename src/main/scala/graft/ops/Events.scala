@@ -202,6 +202,47 @@ object Events {
           .as("is_outlier"))
   }
 
+  /** THEIL–SEN robust trend per group (Theil 1950, Sen 1968): the median
+    * of all pairwise slopes of the group's daily counts — up to ~29%
+    * corrupted days cannot move it, unlike an OLS slope (one outage day
+    * drags a least-squares fit; it's just one slope among C(n,2) here).
+    * The drift-monitor question it answers: is this event type's volume
+    * trending, robustly?
+    *
+    * Deterministic: days are exact integers (UTC epoch-day — the
+    * fixed-offset session-timezone contract, [[retentionCohorts]]
+    * precedent), each pairwise slope is ONE double division of exact
+    * integers (bit-identical cross-engine), and the median is the exact
+    * interpolated percentile rounded to 4 with `+ 0.0` (slopes can be
+    * negative — the signed-zero rule).
+    *
+    * Scale shape: the daily rollup collapses the event log first (ONE
+    * combinable aggregation — the expensive input never self-joins);
+    * the pairwise stage is days², bounded by the OBSERVATION WINDOW
+    * (366 days ⇒ ≤ 67k pairs per group), not by corpus size. For
+    * multi-year windows, run per-year and median the medians, or
+    * subsample days — the standard Theil–Sen scale moves. */
+  def theilSenTrend(events: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily = events
+      .select(col(groupCol),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select(col(groupCol), col("day").as("d1"), col("y").as("y1"))
+    val b = daily.select(col(groupCol), col("day").as("d2"), col("y").as("y2"))
+    a.join(b, groupCol)
+      .filter(col("d2") > col("d1"))
+      .select(col(groupCol),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(percentile(col("slope"), lit(0.5)), 4) + lit(0.0))
+          .as("slope_med"))
+  }
+
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 

@@ -65,7 +65,7 @@ object Multimodal {
     * Scale note: per-pixel getRGB is fine for thumbnail-class media; a
     * 100 TB pipeline feeding large images should read the Raster data
     * buffer per row instead — same operator shape, partition-local. */
-  private[ops] def decodeImage(payload: Array[Byte])
+  private[graft] def decodeImage(payload: Array[Byte])
       : Option[(Int, Int, Array[Float])] = {
     if (payload == null) return None
     try {

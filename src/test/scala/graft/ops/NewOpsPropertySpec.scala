@@ -981,6 +981,39 @@ class NewOpsPropertySpec extends AnyFunSuite {
       !(1.0 / r._4).isNegInfinity)) // not -0.0
   }
 
+  test("theilSenTrend: the outlier day moves 4 of 10 pairwise slopes but " +
+    "not the median — robust slope stays the clean trend") {
+    // days 0..4 with counts 10,12,14,16,100 (perfect +2/day, then a spike)
+    val counts = Seq(0 -> 10, 1 -> 12, 2 -> 14, 3 -> 16, 4 -> 100)
+    val ev = counts.toDF("d", "y")
+      .select(expr("explode(sequence(1, y))").as("i"), col("d"))
+      .select(lit("a").as("event_type"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          make_dt_interval(col("d"))).as("ts"))
+    val got = Events.theilSenTrend(ev, "event_type", "ts")
+      .as[(String, Long, Double)].collect().head
+    assert(got == (("a", 10L, 2.0)), got)
+  }
+
+  test("benfordDigits: integer-cents digit extraction, non-positives " +
+    "excluded, hand-computed chi2 terms") {
+    val df = Seq(("g", 1.00), ("g", 1.50), ("g", 2.00), ("g", 9.99),
+      ("g", 0.50), ("g", -3.0), ("g", 0.0)).toDF("grp", "v")
+    val got = DataQuality.benfordDigits(df, "grp", "v")
+      .as[(String, Int, Long, Double, Double)].collect()
+      .map(r => r._2 -> (r._3, r._4, r._5)).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def exp(d: Int) = 5 * math.log10(1.0 + 1.0 / d)
+    def chi(o: Long, d: Int) = r4((o - exp(d)) * (o - exp(d)) / exp(d))
+    // cents: 100->1, 150->1, 200->2, 999->9, 50->5; -3 and 0 excluded
+    assert(got == Map(
+      1 -> (2L, r4(exp(1)), chi(2, 1)),
+      2 -> (1L, r4(exp(2)), chi(1, 2)),
+      5 -> (1L, r4(exp(5)), chi(1, 5)),
+      9 -> (1L, r4(exp(9)), chi(1, 9))), got)
+  }
+
   test("coPairs: support counts baskets not rows (duplicate lines dedupe), " +
     "minSupport prunes, integer lift hand-checked") {
     val rows = Seq(

@@ -318,6 +318,22 @@ object OracleGen {
       .map { case (p, j) => s"$vec[${j + 1}] * ($p)" }
       .mkString(" + ")
 
+  /** Oracle for `Similarity.jlProjected` (q146): one SELECT per output
+    * dimension over the shared embeddings CTE, each emitting the SAME
+    * left-associated plane-dot chain the Spark HOF fold evaluates,
+    * round-6 `+ 0.0` (coords go negative — signed-zero rule). */
+  def jlProjectSql(outDim: Int, dim: Int): String = {
+    val branches = graft.ops.Similarity.hyperplanes(outDim, dim).zipWithIndex
+      .map { case (p, j) =>
+        s"""SELECT vec_id, $j AS dim_j,
+           round(${planeDot("v", p)}, 6) + 0.0 AS coord FROM e"""
+      }
+      .mkString("\n UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings)
+       $branches"""
+  }
+
   /** Signature expression replicating `Similarity.lshSignature`: sign bit
     * per seeded hyperplane, packed little-endian into a BIGINT. */
   private def sigSql(vec: String, nBits: Int, dim: Int): String =

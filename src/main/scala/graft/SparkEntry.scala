@@ -1414,6 +1414,32 @@ object SparkEntry {
     DataQuality.benfordDigits(t(s, dir, "orders"), "o_orderpriority",
       "o_totalprice")
 
+  /** Incremental aggregate maintenance: per-customer order count +
+    * cents total maintained from the OLD snapshot plus only the
+    * changed-key deltas (q59's diff relation) — the oracle does the
+    * FULL recompute over the new snapshot, so equality proves the
+    * materialized-view algebra. */
+  private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def cents = round(col("o_totalprice") * 100).cast(LongType)
+    val oldV = orders.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("price_cents"))
+    val newV = orders.filter(col("o_orderkey") % 103 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("price_cents"))
+    Snapshot.maintainAgg(oldV, newV, Seq("o_orderkey"),
+      groupCol = "o_custkey", centsCol = "price_cents")
+  }
+
+  /** Johnson–Lindenstrauss projection of the embeddings to 16 dims via
+    * the seeded hyperplane family — coordinates hash-verify because the
+    * matrix is a build-time constant both engines share. */
+  private def qJlProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlProjected(t(s, dir, "embeddings"), "vec_id", "embedding",
+      outDim = 16, dim = 64)
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1708,6 +1734,8 @@ object SparkEntry {
     "q142_vocab_drift" -> (qVocabDrift _),
     "q143_theilsen_trend" -> (qTheilSen _),
     "q144_benford_digits" -> (qBenford _),
+    "q145_incremental_agg" -> (qIncrementalAgg _),
+    "q146_jl_project" -> (qJlProject _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2946,6 +2974,16 @@ object SparkEntry {
                  (observed - n * log10(1.0 + 1.0 / digit)) /
                  (n * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
          FROM obs JOIN t ON obs.o_orderpriority = t.o_orderpriority""",
+    "q145_incremental_agg" ->
+      """WITH n AS (SELECT o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 103 <> 0)
+         SELECT o_custkey, count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+         FROM n GROUP BY 1""",
+    "q146_jl_project" -> OracleGen.jlProjectSql(outDim = 16, dim = 64),
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

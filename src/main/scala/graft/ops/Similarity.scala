@@ -68,6 +68,45 @@ object Similarity {
     * Fails fast on a dimension mismatch: a silent all-zero signature would
     * collapse the whole corpus into one bucket (an O(N²) cross join
     * downstream). */
+  /** JOHNSON–LINDENSTRAUSS random projection to `outDim` dimensions —
+    * the dimensionality-reduction step an embedding pipeline runs before
+    * brute-force or ANN scoring (distances are preserved within
+    * 1 ± ε for outDim = O(ln N / ε²); the PRACTICAL win is outDim/dim
+    * less score arithmetic and shuffle width). The projection matrix is
+    * the SAME seeded hyperplane family the LSH signatures use
+    * ([[hyperplanes]]) — known at build time, so DuckDB replays the
+    * identical matrix and the oracle hash-verifies coordinates (q146).
+    *
+    * Output: one (id, dim_j, coord) row per projected coordinate,
+    * coord = round-6 `+ 0.0` of the left-associated dot fold (the
+    * annLshSql parity contract — same fold order both engines, signed
+    * zero canonicalized since coords go negative).
+    *
+    * Scale shape: per-row map-side arithmetic, no shuffle. The HOF fold
+    * is interpreted per element — fine at thousands of vectors; a
+    * 100 TB run lifts it to a native Expression exactly like
+    * [[graft.functions.HyperplaneSig]] did for the sign-only variant
+    * (same escalation, measured there at ~30 µs/pair interpreted). */
+  def jlProject(vec: Column, outDim: Int = 16, dim: Int = 64): Column = {
+    val planes = hyperplanes(outDim, dim)
+    val v = asDouble(vec)
+    val coords = array(planes.zipWithIndex.map { case (p, j) =>
+      val plane = array(p.map(lit).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(v, plane, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      struct(lit(j).as("dim_j"), (round(dot, 6) + lit(0.0)).as("coord"))
+    }.toIndexedSeq: _*)
+    coords
+  }
+
+  /** [[jlProject]] exploded to the checked-relation shape:
+    * (`idCol`, dim_j, coord). */
+  def jlProjected(df: DataFrame, idCol: String, vecCol: String,
+                  outDim: Int = 16, dim: Int = 64): DataFrame =
+    df.select(col(idCol), explode(jlProject(col(vecCol), outDim, dim))
+        .as("c"))
+      .select(col(idCol), col("c.dim_j").as("dim_j"), col("c.coord").as("coord"))
+
   def lshSignature(vec: Column, nBits: Int = 16, dim: Int = 64): Column = {
     val planes = hyperplanes(nBits, dim)
     val v0 = asDouble(vec)

@@ -95,4 +95,50 @@ object Snapshot {
       .select((keys ++ valueCols).map(col) :+ lit("cdc").as("src"): _*)
     kept.unionByName(upserted)
   }
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view algebra
+    * (count/sum are self-maintainable: Gupta & Mumick's classic result):
+    * given the OLD snapshot and the NEW one, produce the new per-group
+    * (row count, integer sum) WITHOUT re-aggregating unchanged rows —
+    * base aggregate ⊕ (new-side delta of changed keys) ⊖ (old-side
+    * delta of changed keys). Changed keys come from [[diff]], so the
+    * three pieces compose from operators this library already verifies.
+    *
+    * THE CONTRACT (and exactly what q145's oracle checks): the
+    * incremental result equals the full recompute over the new
+    * snapshot, group for group — because count/sum form an abelian
+    * group, subtraction of the old contributions is exact (INTEGER
+    * measures only — floats would accumulate ulp drift under ⊖, which
+    * is why every production incremental pipeline aggregates cents, not
+    * dollars).
+    *
+    * Scale shape: at 100 TB the base aggregate is a STORED table (here
+    * recomputed from oldDf for a self-contained checked query — one
+    * combinable aggregation); the incremental path then costs ONE
+    * full-outer key diff plus aggregations over the CHANGED-key rows
+    * only (semi-join pushdown) — cost tracks the delta, not the
+    * corpus. Groups whose count reaches zero drop out (a group is its
+    * rows, not a tombstone). */
+  def maintainAgg(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                  groupCol: String, centsCol: String): DataFrame = {
+    val changed = diff(oldDf, newDf, keys).select(keys.map(col): _*)
+      .localCheckpoint(eager = false)
+    def agg(df: DataFrame, sign: Long) =
+      df.join(broadcast(changed), keys, "left_semi")
+        .groupBy(col(groupCol))
+        .agg((count(lit(1)) * sign).as("dn"), (sum(col(centsCol)) * sign).as("ds"))
+    val baseAgg = oldDf.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n0"), sum(col(centsCol)).as("s0"))
+    baseAgg
+      .join(agg(oldDf, -1L).select(col(groupCol), col("dn").as("dn_o"),
+        col("ds").as("ds_o")), Seq(groupCol), "full_outer")
+      .join(agg(newDf, 1L).select(col(groupCol), col("dn").as("dn_n"),
+        col("ds").as("ds_n")), Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn_o"), lit(0L)) +
+          coalesce(col("dn_n"), lit(0L))).as("n_rows"),
+        (coalesce(col("s0"), lit(0L)) + coalesce(col("ds_o"), lit(0L)) +
+          coalesce(col("ds_n"), lit(0L))).as("total_cents"))
+      .filter(col("n_rows") > 0)
+  }
 }

@@ -1014,6 +1014,41 @@ class NewOpsPropertySpec extends AnyFunSuite {
       9 -> (1L, r4(exp(9)), chi(1, 9))), got)
   }
 
+  test("maintainAgg: removed/changed/added keys adjust exactly, untouched " +
+    "groups ride the base aggregate, emptied groups drop — and the " +
+    "incremental result equals the full recompute") {
+    val oldV = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (5L, "c", 5L)).toDF("k", "g", "cents")
+    val newV = Seq((2L, "a", 25L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("k", "g", "cents") // 1 removed, 2 changed, 3 untouched, 4 added, c emptied
+    val got = Snapshot.maintainAgg(oldV, newV, Seq("k"), "g", "cents")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 25L), ("b", 2L, 70L)))
+    val full = newV.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == full)
+  }
+
+  test("jlProjected: coordinates equal the left-associated plane-dot fold " +
+    "replayed in Scala, all outDim rows per vector") {
+    val vec = Array.tabulate(64)(i => (i % 7 - 3).toDouble / 4.0)
+    val df = Seq((1L, vec)).toDF("vec_id", "embedding")
+    val got = Similarity.jlProjected(df, "vec_id", "embedding",
+        outDim = 16, dim = 64)
+      .as[(Long, Int, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(got.size == 16)
+    val planes = Similarity.hyperplanes(16, 64)
+    planes.zipWithIndex.foreach { case (p, j) =>
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += vec(i) * p(i); i += 1 }
+      val want = BigDecimal(acc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(got(j) == want, s"dim $j")
+    }
+  }
+
   test("coPairs: support counts baskets not rows (duplicate lines dedupe), " +
     "minSupport prunes, integer lift hand-checked") {
     val rows = Seq(

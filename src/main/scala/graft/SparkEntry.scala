@@ -1440,6 +1440,37 @@ object SparkEntry {
     Similarity.jlProjected(t(s, dir, "embeddings"), "vec_id", "embedding",
       outDim = 16, dim = 64)
 
+  /** CUPED variance reduction: per-user experiment metric adjusted by
+    * the pre-period covariate, θ from integer moments — the A/B-test
+    * power move, engine-exact. */
+  private def qCuped(s: SparkSession, dir: String): DataFrame =
+    Events.cuped(Events.load(s, dir), "user_id", "ts", "value",
+      cutoff = "2024-01-15 00:00:00")
+
+  /** All-integer weighted median: median unit price weighted by
+    * quantity per return flag — no float anywhere, the strongest
+    * determinism class. */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame =
+    Windows.weightedMedian(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("price_cents"),
+        round(col("l_quantity")).cast(LongType).as("qty")),
+      "l_returnflag", "price_cents", "qty")
+      .select(col("l_returnflag"), col("wmedian").as("wmedian_cents"))
+
+  /** k-NN majority-vote classification: stride vectors labeled by their
+    * 5 nearest labeled neighbors (label = vec_id % 5) — the
+    * weak-supervision spread of a small audited label set. */
+  private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val labeled = e.filter(col("vec_id") % 100 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        (col("vec_id") % 5).as("label"))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.knnClassify(labeled, queries, k = 5)
+  }
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1736,6 +1767,9 @@ object SparkEntry {
     "q144_benford_digits" -> (qBenford _),
     "q145_incremental_agg" -> (qIncrementalAgg _),
     "q146_jl_project" -> (qJlProject _),
+    "q147_cuped" -> (qCuped _),
+    "q148_weighted_median" -> (qWeightedMedian _),
+    "q149_knn_classify" -> (qKnnClassify _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2984,6 +3018,66 @@ object SparkEntry {
              AS total_cents
          FROM n GROUP BY 1""",
     "q146_jl_project" -> OracleGen.jlProjectSql(outDim = 16, dim = 64),
+    "q147_cuped" ->
+      """WITH per AS (SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                 < TIMESTAMP '2024-01-15 00:00:00'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS x_cents,
+             CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                 >= TIMESTAMP '2024-01-15 00:00:00'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS y_cents
+           FROM events GROUP BY 1),
+         m AS (SELECT count(*) AS n,
+             CAST(sum(x_cents) AS BIGINT) AS sx,
+             CAST(sum(y_cents) AS BIGINT) AS sy,
+             CAST(sum(x_cents * x_cents) AS BIGINT) AS sxx,
+             CAST(sum(x_cents * y_cents) AS BIGINT) AS sxy
+           FROM per)
+         SELECT user_id, x_cents, y_cents,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS theta,
+           round(CAST(y_cents AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(x_cents AS DOUBLE)
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4) + 0.0
+             AS y_adj
+         FROM per CROSS JOIN m""",
+    "q148_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, v,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+           FROM g)
+         SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_cents
+         FROM c WHERE 2 * cum >= tot GROUP BY 1""",
+    "q149_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id % 100 = 0),
+         pairs AS (SELECT query_id, e.vec_id AS cand_id,
+             e.vec_id % 5 AS label,
+             round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(v, v))), 4) + 0.0 AS cos
+           FROM e, q WHERE e.vec_id % 100 <> 0),
+         top AS (SELECT query_id, label FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id ASC) AS rn FROM pairs)
+           WHERE rn <= 5),
+         votes AS (SELECT query_id, label, count(*) AS votes
+           FROM top GROUP BY 1, 2)
+         SELECT query_id, label AS pred_label, votes FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY votes DESC, label ASC) AS vr FROM votes)
+         WHERE vr = 1""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

@@ -243,6 +243,50 @@ object Events {
           .as("slope_med"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
+    * standard A/B-test move: adjust each user's experiment-period metric
+    * Y by their PRE-period covariate X, Y' = Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X), shrinking metric variance by the squared
+    * pre/post correlation (often 40–60% on revenue metrics ⇒ the same
+    * experiment powers in half the traffic). Output: one row per user —
+    * (`userCol`, x_cents, y_cents, theta, y_adj).
+    *
+    * Deterministic: X and Y are integer cent sums; θ comes from INTEGER
+    * moments — (n·Sxy − SxSy) / (n·Sxx − Sx²) as one double division of
+    * exact longs — and the adjustment chain is mirrored literally in
+    * the oracle, round-4 `+ 0.0` (adjusted metrics go negative).
+    *
+    * PRECONDITION: var(X) > 0 (a constant covariate has nothing to
+    * explain; the division would be ±∞/NaN in any engine).
+    *
+    * Scale shape: one combinable per-user aggregation (the conditional
+    * pre/post split costs nothing — same scan), one 1-row moment
+    * aggregate broadcast back. Overflow envelope: |Sxy| ≲ users ·
+    * (per-user cents)² — 1e5-cent users × 1e9 rows stays under 2^63
+    * only if per-user mass is bounded; cap or rescale cents first at
+    * that extreme. */
+  def cuped(events: DataFrame, userCol: String, tsCol: String,
+            valCol: String, cutoff: String): DataFrame = {
+    val cents = round(col(valCol) * 100).cast("long")
+    val cut = to_timestamp(lit(cutoff))
+    val per = events.groupBy(col(userCol)).agg(
+      sum(when(col(tsCol) < cut, cents).otherwise(lit(0L))).as("x_cents"),
+      sum(when(col(tsCol) >= cut, cents).otherwise(lit(0L))).as("y_cents"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("x_cents")).as("sx"), sum(col("y_cents")).as("sy"),
+      sum(col("x_cents") * col("x_cents")).as("sxx"),
+      sum(col("x_cents") * col("y_cents")).as("sxy"))
+    val theta = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    per.crossJoin(broadcast(m))
+      .select(col(userCol), col("x_cents"), col("y_cents"),
+        (round(theta, 6) + lit(0.0)).as("theta"),
+        (round(col("y_cents").cast("double") -
+          theta * (col("x_cents").cast("double") -
+            col("sx").cast("double") / col("n").cast("double")), 4) +
+          lit(0.0)).as("y_adj"))
+  }
+
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 

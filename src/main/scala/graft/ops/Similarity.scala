@@ -52,6 +52,38 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
+  /** k-NN MAJORITY-VOTE CLASSIFIER — the simplest embedding-space
+    * labeler (Fix & Hodges 1951): each query takes the modal label of
+    * its k nearest labeled vectors by cosine; vote ties break to the
+    * SMALLEST label, rank ties to the smallest candidate id (the q26
+    * determinism contract). The weak-supervision move a curation
+    * pipeline uses to spread a small audited label set over a corpus —
+    * the non-graph sibling of [[graft.ops.Graph.labelPropagation]].
+    * Output: (query_id, pred_label, votes).
+    *
+    * Scale shape: queries broadcast against the labeled corpus (one
+    * scan, no shuffle of the big side), per-query top-k via
+    * WindowGroupLimit, then a tiny (query, label) vote count. Swap the
+    * brute-force scoring for [[ivfTopK]] routing at corpus scale — the
+    * vote stage is identical. */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int = 5)
+      : DataFrame = {
+    val base = labeled.select(col("id").as("cand_id"),
+      asDouble(col("vec")).as("v"), col("label"))
+    val q = queries.select(col("id").as("query_id"),
+      asDouble(col("vec")).as("qv"))
+    val scored = base.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("label"),
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
+    val top = Windows.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id").asc), k)
+    val votes = top.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    Windows.topOneByAgg(votes, Seq(col("query_id")),
+      struct(col("votes"), (-col("label")).as("neg")))
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-bit signatures.
     * `private[graft]` so OracleGen can embed the same constants in the
     * DuckDB oracle SQL. */

@@ -86,4 +86,31 @@ object Windows {
     df.withColumn(outCol,
       sum(value).over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** WEIGHTED MEDIAN per group — the lower weighted median: the smallest
+    * value v whose cumulative weight reaches half the total
+    * (2·cum(v) ≥ total). ALL-INTEGER (values and weights are longs), so
+    * unlike the interpolated [[graft.ops.Events.madOutliers]] medians
+    * there is no float anywhere — the strongest determinism class.
+    * The estimator a revenue dashboard wants when rows carry volume
+    * (median price paid per UNIT, not per order line).
+    *
+    * Scale shape: collapse to one row per (group, value) FIRST (one
+    * combinable aggregation — the cumulative window then runs over
+    * distinct values, not raw rows), one cumulative-sum window on the
+    * group key, one min-aggregate. A group's distinct-value count, not
+    * its row count, bounds the window. */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+                     weightCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(sum(col(weightCol)).as("w"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    g.withColumn("cum", sum(col("w")).over(cum))
+      .withColumn("tot", sum(col("w")).over(tot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("v")).as("wmedian"))
+  }
 }

@@ -1049,6 +1049,54 @@ class NewOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cuped: perfectly pre-correlated users adjust to a CONSTANT metric " +
+    "(theta = 2 exactly, variance fully explained)") {
+    // (x, y) cents: (100,200) (200,400) (300,600) — y = 2x, so theta = 2
+    // and y_adj = y - 2(x - 200) = 400 for every user
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.00), (1L, "2024-02-01 00:00:00", 2.00),
+      (2L, "2024-01-01 00:00:00", 2.00), (2L, "2024-02-01 00:00:00", 4.00),
+      (3L, "2024-01-01 00:00:00", 3.00), (3L, "2024-02-01 00:00:00", 6.00)
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.cuped(ev, "user_id", "ts", "value",
+        "2024-01-15 00:00:00")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.forall(r => r._4 == 2.0 && r._5 == 400.0), got.toSeq)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 100L, 200L), (2L, 200L, 400L), (3L, 300L, 600L)))
+  }
+
+  test("weightedMedian: weight mass moves the median where row-median " +
+    "would not; lower-median convention on even splits") {
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 1L), ("g", 30L, 10L),
+      ("h", 1L, 1L), ("h", 2L, 1L)).toDF("grp", "v", "w")
+    val got = Windows.weightedMedian(df, "grp", "v", "w")
+      .as[(String, Long)].collect().toMap
+    // g: total 12, cum(10)=1 cum(20)=2 cum(30)=12 -> first 2cum>=tot is 30
+    // h: total 2, cum(1)=1 -> 2*1>=2 -> lower median 1
+    assert(got == Map("g" -> 30L, "h" -> 1L))
+  }
+
+  test("knnClassify: majority label wins; vote ties break to the " +
+    "smallest label") {
+    val labeled = Seq(
+      (1L, Array(1.0, 0.0), 0L), (2L, Array(0.9, 0.1), 0L),
+      (3L, Array(0.0, 1.0), 1L), (4L, Array(0.1, 0.9), 1L)
+    ).toDF("id", "vec", "label")
+    val q1 = Seq((10L, Array(1.0, 0.05))).toDF("id", "vec")
+    val got1 = Similarity.knnClassify(labeled, q1, k = 3)
+      .as[(Long, Long, Long)].collect().head
+    assert(got1 == ((10L, 0L, 2L)), got1) // two label-0 neighbors of 3
+    // equidistant query, k=2: one vote each -> smallest label wins
+    val q2 = Seq((11L, Array(1.0, 1.0))).toDF("id", "vec")
+    val got2 = Similarity.knnClassify(
+      Seq((1L, Array(1.0, 0.0), 0L), (2L, Array(0.0, 1.0), 1L))
+        .toDF("id", "vec", "label"), q2, k = 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(got2 == ((11L, 0L, 1L)), got2)
+  }
+
   test("coPairs: support counts baskets not rows (duplicate lines dedupe), " +
     "minSupport prunes, integer lift hand-checked") {
     val rows = Seq(

@@ -1471,6 +1471,19 @@ object SparkEntry {
     Similarity.knnClassify(labeled, queries, k = 5)
   }
 
+  /** RFM segmentation: quintile-scored recency/frequency/monetary per
+    * purchasing user with the "555"-style segment label; deterministic
+    * ntile via (metric, user) total orders. */
+  private def qRfm(s: SparkSession, dir: String): DataFrame =
+    Events.rfmSegments(Events.load(s, dir), "user_id", "ts", "value",
+      convType = "purchase", typeCol = "event_type")
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — exact integer micros probabilities. */
+  private def qMarkov(s: SparkSession, dir: String): DataFrame =
+    Events.markovTransitions(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type")
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1770,6 +1783,8 @@ object SparkEntry {
     "q147_cuped" -> (qCuped _),
     "q148_weighted_median" -> (qWeightedMedian _),
     "q149_knn_classify" -> (qKnnClassify _),
+    "q150_rfm_segments" -> (qRfm _),
+    "q151_markov_transitions" -> (qMarkov _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3078,6 +3093,43 @@ object SparkEntry {
            (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY votes DESC, label ASC) AS vr FROM votes)
          WHERE vr = 1""",
+    "q150_rfm_segments" ->
+      """WITH conv AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+         nw AS (SELECT max(ts) AS now FROM conv),
+         per AS (SELECT user_id, max(ts) AS last_ts,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+           FROM conv GROUP BY 1)
+         SELECT user_id,
+           (CAST(epoch(now) AS BIGINT) - CAST(epoch(last_ts) AS BIGINT))
+             // 86400 AS recency_days,
+           frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY epoch(now) - epoch(last_ts) ASC,
+             user_id ASC) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+             AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+             AS BIGINT) AS m_score,
+           CAST(ntile(5) OVER (ORDER BY epoch(now) - epoch(last_ts) ASC,
+               user_id ASC) AS VARCHAR) ||
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+               AS VARCHAR) ||
+             CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+               AS VARCHAR) AS segment
+         FROM per CROSS JOIN nw""",
+    "q151_markov_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS to_type
+           FROM events),
+         pr AS (SELECT from_type, to_type, count(*) AS n FROM seq
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM pr
+           GROUP BY 1)
+         SELECT pr.from_type, to_type, n, (n * 1000000) // tot AS p_micros
+         FROM pr JOIN t ON pr.from_type = t.from_type""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

@@ -287,6 +287,75 @@ object Events {
           lit(0.0)).as("y_adj"))
   }
 
+  /** RFM SEGMENTATION — the classic customer-value triage: per user,
+    * Recency (days since last `convType` event, measured from the
+    * corpus's max event time — a deterministic "now"), Frequency
+    * (conversion count) and Monetary (cents total), each scored into
+    * quintiles and concatenated into the familiar "555"-style segment
+    * label. Quintile determinism: `ntile` needs a TOTAL order, so every
+    * score orders by (metric, user id) — R ascending-is-better (tie:
+    * user asc), F/M descending-is-better (tie: user asc) — the q43
+    * contract.
+    *
+    * Scale shape: one combinable per-user aggregation, a 1-row max-ts
+    * broadcast, then three single-partition-per-score ntile windows
+    * over the USER-LEVEL relation (users ≪ events; at true
+    * billions-of-users scale swap ntile for percent_rank bucketing,
+    * which keeps the user key partitioned — same scores away from
+    * quintile boundaries). */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valCol: String, convType: String, typeCol: String)
+      : DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+    val now = conv.agg(max(col(tsCol)).as("now"))
+    val per = conv.groupBy(col(userCol)).agg(
+      max(col(tsCol)).as("last_ts"),
+      count(lit(1)).as("frequency"),
+      sum(round(col(valCol) * 100).cast("long")).as("monetary_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+    val rW = w.orderBy(expr("unix_timestamp(now) - unix_timestamp(last_ts)")
+      .asc, col(userCol).asc)
+    val fW = w.orderBy(col("frequency").desc, col(userCol).asc)
+    val mW = w.orderBy(col("monetary_cents").desc, col(userCol).asc)
+    per.crossJoin(broadcast(now))
+      .select(col(userCol),
+        expr("(unix_timestamp(now) - unix_timestamp(last_ts)) div 86400")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        ntile(5).over(rW).cast("long").as("r_score"),
+        ntile(5).over(fW).cast("long").as("f_score"),
+        ntile(5).over(mW).cast("long").as("m_score"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"),
+        col("m_score")))
+  }
+
+  /** FIRST-ORDER MARKOV TRANSITIONS over the event-type sequence — the
+    * behavioral model product analytics fits first: P(next type | type)
+    * per user-ordered stream, as exact integer micros (count·1e6 div
+    * row total — non-negative, so Spark's `div` = DuckDB's `//`).
+    * Sequence order is the (`tsCol`, `ordCol`) total order; each user's
+    * final event has no successor and drops. Output: (from_type,
+    * to_type, n, p_micros).
+    *
+    * Scale shape: ONE user-key window (lead) + one tiny
+    * (from, to) count — the |types|² result is dashboard-sized no
+    * matter the corpus. */
+  def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
+                        ordCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000L div tot").as("p_micros"))
+  }
+
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 

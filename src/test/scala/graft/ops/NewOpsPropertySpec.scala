@@ -1097,6 +1097,43 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got2 == ((11L, 0L, 1L)), got2)
   }
 
+  test("rfmSegments: distinct-metric users land one per quintile with " +
+    "the documented orderings (R asc-better, F/M desc-better)") {
+    val ev = (1 to 5).map { u =>
+      (u.toLong, s"2024-01-0$u 00:00:00", "purchase", u.toDouble)
+    }.toDF("user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.rfmSegments(ev, "user_id", "ts", "value",
+        "purchase", "event_type")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().sortBy(_._1)
+    (1 to 5).foreach { u =>
+      val r = got(u - 1)
+      // recency: user 5 bought last (0 days ago) -> best r_score 1
+      assert(r == ((u.toLong, (5 - u).toLong, 1L, u * 100L,
+        (6 - u).toLong, u.toLong, (6 - u).toLong,
+        s"${6 - u}$u${6 - u}")), s"user $u: $r")
+    }
+  }
+
+  test("markovTransitions: integer-micros row-normalized transition " +
+    "counts over the per-user total order") {
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (1L, 4L, "click"),
+      (2L, 5L, "view"), (2L, 6L, "view")
+    ).map { case (u, i, t) => (u, i, s"2024-01-01 00:0$i:00", t) }
+      .toDF("user_id", "event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.markovTransitions(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("view", "click", 1L, 500000L), ("view", "view", 1L, 500000L),
+      ("click", "purchase", 1L, 1000000L),
+      ("purchase", "click", 1L, 1000000L)))
+  }
+
   test("coPairs: support counts baskets not rows (duplicate lines dedupe), " +
     "minSupport prunes, integer lift hand-checked") {
     val rows = Seq(

@@ -1484,6 +1484,18 @@ object SparkEntry {
     Events.markovTransitions(Events.load(s, dir), "user_id", "ts",
       "event_id", "event_type")
 
+  /** Gini concentration of per-user spend within each event type —
+    * the corpus-balance inequality screen, all-integer micros. */
+  private def qGini(s: SparkSession, dir: String): DataFrame =
+    Events.giniConcentration(Events.load(s, dir), "event_type", "user_id",
+      "value")
+
+  /** Daily-count autocorrelation at lags 1–3 per event type — the
+    * seasonality probe; Pearson r from exact integer moments. */
+  private def qAutocorr(s: SparkSession, dir: String): DataFrame =
+    Events.dailyAutocorrelation(Events.load(s, dir), "event_type", "ts",
+      maxLag = 3)
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1785,6 +1797,8 @@ object SparkEntry {
     "q149_knn_classify" -> (qKnnClassify _),
     "q150_rfm_segments" -> (qRfm _),
     "q151_markov_transitions" -> (qMarkov _),
+    "q152_gini_concentration" -> (qGini _),
+    "q153_daily_autocorr" -> (qAutocorr _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3130,6 +3144,44 @@ object SparkEntry {
            GROUP BY 1)
          SELECT pr.from_type, to_type, n, (n * 1000000) // tot AS p_micros
          FROM pr JOIN t ON pr.from_type = t.from_type""",
+    "q152_gini_concentration" ->
+      """WITH per AS (SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY x ASC, user_id ASC) AS BIGINT) AS i
+           FROM per),
+         m AS (SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+           FROM r GROUP BY 1)
+         SELECT event_type, n, sx AS total_cents,
+           (2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS gini_micros
+         FROM m""",
+    "q153_daily_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS y
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, day, y, u.lag
+           FROM daily, UNNEST([1, 2, 3]) AS u(lag)),
+         j AS (SELECT l.event_type, l.lag, l.y AS x, b.y AS y2
+           FROM l JOIN daily b ON l.event_type = b.event_type
+             AND l.day + l.lag = b.day),
+         m AS (SELECT event_type, lag, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y2) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y2 * y2) AS BIGINT) AS syy,
+             CAST(sum(x * y2) AS BIGINT) AS sxy
+           FROM j GROUP BY 1, 2)
+         SELECT event_type, lag, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) + 0.0
+           END AS r
+         FROM m""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

@@ -356,6 +356,86 @@ object Events {
         expr("n * 1000000L div tot").as("p_micros"))
   }
 
+  /** GINI CONCENTRATION per group — the inequality screen a corpus
+    * monitor runs on any mass distribution (spend per user here; tokens
+    * per source, docs per domain in a curation pipeline): G = 0 is
+    * perfect equality, → 1 is one-entity dominance. ALL-INTEGER via the
+    * sorted-rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ
+    * ascending, emitted as floor-division micros — no float anywhere
+    * (the q148 determinism class). Rank ties break by the entity id
+    * (total order, the q43 contract); the numerator is provably ≥ 0
+    * under any ascending order.
+    *
+    * Scale shape: one per-entity aggregation, one rank window over the
+    * ENTITY-level relation, one combinable group aggregate. Overflow:
+    * Σ i·xᵢ ≤ n²·max(x) — 1e6 entities × 1e9 cents needs the cents
+    * rescaled; documented, not guarded. */
+  def giniConcentration(events: DataFrame, groupCol: String,
+                        entityCol: String, valCol: String): DataFrame = {
+    val per = events.groupBy(col(groupCol), col(entityCol))
+      .agg(sum(round(col(valCol) * 100).cast("long")).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("x").asc, col(entityCol).asc)
+    per.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col(groupCol), col("n"), col("sx").as("total_cents"),
+        expr("(2 * six - (n + 1) * sx) * 1000000L div (n * sx)")
+          .as("gini_micros"))
+  }
+
+  /** AUTOCORRELATION of the daily count series per group at lags 1..k —
+    * the seasonality probe behind every volume-anomaly monitor (a
+    * strong lag-7 says weekly rhythm; a collapse at lag 1 says the
+    * series went white). Pearson r per (group, lag) over (day, day+lag)
+    * count pairs.
+    *
+    * Deterministic: counts are integers, all five moments are exact
+    * longs, and r = (n·Σxy − ΣxΣy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))
+    * — each sqrt takes ONE exact integer (int→double conversion is
+    * exact to 2^53; taking √a·√b instead of √(a·b) keeps the operand
+    * inside int64 at any realistic scale), round-4 `+ 0.0` (r goes
+    * negative). Degenerate windows (either side constant ⇒ zero
+    * variance) are emitted with NULL r rather than a NaN face.
+    *
+    * Scale shape: daily rollup first (the log collapses before
+    * anything joins), then ONE self-equi-join on (group, day+lag) per
+    * the exploded lag list — output is |groups|·k rows. */
+  def dailyAutocorrelation(events: DataFrame, groupCol: String,
+                           tsCol: String, maxLag: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .select(col(groupCol),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val lags = daily.crossJoin(
+      broadcast(Seq.range(1, maxLag + 1).toDF("lag")))
+    val b = daily.select(col(groupCol), col("day").as("day2"),
+      col("y").as("y2"))
+    val joined = lags.join(b,
+      lags(groupCol) === b(groupCol) &&
+        col("day") + col("lag") === col("day2"))
+      .select(lags(groupCol), col("lag"), col("y").as("x"), col("y2"))
+    val m = joined.groupBy(col(groupCol), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y2")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y2") * col("y2")).as("syy"),
+        sum(col("x") * col("y2")).as("sxy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col(groupCol), col("lag"), col("n"),
+      when(vx > 0 && vy > 0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 4) + lit(0.0))
+        .as("r"))
+  }
+
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 

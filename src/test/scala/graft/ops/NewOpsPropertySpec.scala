@@ -1134,6 +1134,40 @@ class NewOpsPropertySpec extends AnyFunSuite {
       ("purchase", "click", 1L, 1000000L)))
   }
 
+  test("giniConcentration: equality scores 0, one-entity dominance " +
+    "scores (n-1)/n in micros") {
+    val ev = (
+      (1 to 5).map(u => ("eq", u.toLong, 1.00)) ++
+      (1 to 4).map(u => ("dom", u.toLong, 0.00)) :+ (("dom", 5L, 1.00))
+    ).toDF("event_type", "user_id", "value")
+    val got = Events.giniConcentration(ev, "event_type", "user_id", "value")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      "eq" -> (5L, 500L, 0L),
+      "dom" -> (5L, 100L, 800000L))) // (n-1)/n = 0.8
+  }
+
+  test("dailyAutocorrelation: an alternating series scores r = -1/+1/-1 " +
+    "at lags 1/2/3; a constant series yields NULL r (zero variance)") {
+    // 6 days alternating 1,3,1,3,1,3 events; plus a constant-2 group
+    def events(tp: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (1 to c).map(i => (tp, f"2024-01-${d + 1}%02d 0$i:00:00"))
+      }
+    val ev = (events("alt", Seq(1, 3, 1, 3, 1, 3)) ++
+      events("const", Seq(2, 2, 2, 2)))
+      .toDF("event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.dailyAutocorrelation(ev, "event_type", "ts", maxLag = 3)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("alt", 1)) == ((5L, Some(-1.0))))
+    assert(got(("alt", 2)) == ((4L, Some(1.0))))
+    assert(got(("alt", 3)) == ((3L, Some(-1.0))))
+    (1 to 3).foreach(l => assert(got(("const", l))._2.isEmpty, s"lag $l"))
+  }
+
   test("coPairs: support counts baskets not rows (duplicate lines dedupe), " +
     "minSupport prunes, integer lift hand-checked") {
     val rows = Seq(

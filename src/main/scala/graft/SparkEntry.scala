@@ -1496,6 +1496,18 @@ object SparkEntry {
     Events.dailyAutocorrelation(Events.load(s, dir), "event_type", "ts",
       maxLag = 3)
 
+  /** Lorenz curve at decile resolution per event type — the cumulative-
+    * share picture behind q152's Gini scalar, all-integer micros. */
+  private def qLorenz(s: SparkSession, dir: String): DataFrame =
+    Events.lorenzDeciles(Events.load(s, dir), "event_type", "user_id",
+      "value")
+
+  /** Chi-square independence of order priority × status — per-cell
+    * observed/expected/chi2 terms over ONE contingency aggregation. */
+  private def qChi2(s: SparkSession, dir: String): DataFrame =
+    DataQuality.chi2Independence(t(s, dir, "orders"), "o_orderpriority",
+      "o_orderstatus")
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1799,6 +1811,8 @@ object SparkEntry {
     "q151_markov_transitions" -> (qMarkov _),
     "q152_gini_concentration" -> (qGini _),
     "q153_daily_autocorr" -> (qAutocorr _),
+    "q154_lorenz_deciles" -> (qLorenz _),
+    "q155_chi2_independence" -> (qChi2 _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3182,6 +3196,52 @@ object SparkEntry {
                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) + 0.0
            END AS r
          FROM m""",
+    "q154_lorenz_deciles" ->
+      """WITH per AS (SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         d AS (SELECT event_type, x,
+             CAST(ntile(10) OVER (PARTITION BY event_type
+               ORDER BY x ASC, user_id ASC) AS BIGINT) AS decile
+           FROM per),
+         g AS (SELECT event_type, decile, count(*) AS n_entities,
+             CAST(sum(x) AS BIGINT) AS decile_cents
+           FROM d GROUP BY 1, 2),
+         c AS (SELECT event_type, decile, n_entities, decile_cents,
+             CAST(sum(decile_cents) OVER (PARTITION BY event_type
+               ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents,
+             CAST(sum(decile_cents) OVER (PARTITION BY event_type)
+               AS BIGINT) AS total_cents
+           FROM g)
+         SELECT event_type, decile, n_entities, decile_cents,
+           cum_cents * 1000000 // total_cents AS cum_share_micros
+         FROM c""",
+    "q155_chi2_independence" ->
+      """WITH cells AS (SELECT o_orderpriority, o_orderstatus,
+             count(*) AS observed
+           FROM orders WHERE o_orderpriority IS NOT NULL
+             AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT o_orderpriority,
+             CAST(sum(observed) AS BIGINT) AS row_tot
+           FROM cells GROUP BY 1),
+         ct AS (SELECT o_orderstatus,
+             CAST(sum(observed) AS BIGINT) AS col_tot
+           FROM cells GROUP BY 1),
+         nn AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells)
+         SELECT cells.o_orderpriority, cells.o_orderstatus, observed,
+           round(CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             AS expected,
+           round((observed - CAST(row_tot * col_tot AS DOUBLE)
+               / CAST(n AS DOUBLE))
+             * (observed - CAST(row_tot * col_tot AS DOUBLE)
+               / CAST(n AS DOUBLE))
+             / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+             AS chi2_term
+         FROM cells
+         JOIN rt ON cells.o_orderpriority = rt.o_orderpriority
+         JOIN ct ON cells.o_orderstatus = ct.o_orderstatus
+         CROSS JOIN nn""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

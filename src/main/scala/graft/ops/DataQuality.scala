@@ -121,6 +121,34 @@ object DataQuality {
     *
     * Scale shape: one combinable (group, digit) count + a broadcast
     * per-group total join — two small aggregations over one scan. */
+  /** χ² INDEPENDENCE test between two categorical columns — the
+    * contingency screen ("is priority independent of status?") that
+    * catches encoding leaks and spurious correlations before a model
+    * memorizes them. Per cell: observed count, expected =
+    * rowTotal·colTotal/N (one double division of exact longs), and the
+    * (o−e)²/e term, round-4 (non-negative — no signed-zero exposure).
+    * Consumers sum the terms and read the χ²((r−1)(c−1)) tail.
+    *
+    * Scale shape: ONE (a, b) count aggregation; marginals derive from
+    * it (they never rescan the input) and broadcast back. */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("observed"))
+      .localCheckpoint(eager = false)
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("observed")).as("row_tot"))
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("observed")).as("col_tot"))
+    val n = cells.agg(sum(col("observed")).as("n"))
+    val e = (col("row_tot") * col("col_tot")).cast("double") /
+      col("n").cast("double")
+    cells.join(broadcast(rowT), aCol).join(broadcast(colT), bCol)
+      .crossJoin(broadcast(n))
+      .select(col(aCol), col(bCol), col("observed"),
+        round(e, 4).as("expected"),
+        round((col("observed") - e) * (col("observed") - e) / e, 4)
+          .as("chi2_term"))
+  }
+
   def benfordDigits(df: DataFrame, groupCol: String,
                     valCol: String): DataFrame = {
     val cents = round(col(valCol) * 100).cast("long")

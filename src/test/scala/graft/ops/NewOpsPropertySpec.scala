@@ -1168,6 +1168,41 @@ class NewOpsPropertySpec extends AnyFunSuite {
     (1 to 3).foreach(l => assert(got(("const", l))._2.isEmpty, s"lag $l"))
   }
 
+  test("lorenzDeciles: one-user deciles give exact integer cumulative " +
+    "shares ending at 1e6, monotone") {
+    val ev = (1 to 10).map(u => ("t", u.toLong, u.toDouble))
+      .toDF("event_type", "user_id", "value")
+    val got = Events.lorenzDeciles(ev, "event_type", "user_id", "value")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.length == 10)
+    val total = 5500L // cents of 1..10 dollars
+    (1 to 10).foreach { d =>
+      val cum = (1 to d).map(_ * 100L).sum
+      assert(got(d - 1) == (("t", d.toLong, 1L, d * 100L,
+        cum * 1000000L / total)), s"decile $d")
+    }
+    assert(got.last._5 == 1000000L)
+  }
+
+  test("chi2Independence: perfectly proportional tables score exactly " +
+    "zero in every cell; a skewed cell scores the hand formula") {
+    val indep = (
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(30)(("y", "p")) ++ Seq.fill(60)(("y", "q"))
+    ).toDF("a", "b")
+    val got = DataQuality.chi2Independence(indep, "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(got.length == 4 && got.forall(_._5 == 0.0), got.toSeq)
+    // dependent: diagonal-heavy 2x2 — check one cell by hand
+    val dep = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))).toDF("a", "b")
+    val cell = DataQuality.chi2Independence(dep, "a", "b")
+      .filter(col("a") === "x" && col("b") === "p")
+      .as[(String, String, Long, Double, Double)].collect().head
+    // expected = 40*40/80 = 20; chi2 = (30-20)^2/20 = 5
+    assert(cell._4 == 20.0 && cell._5 == 5.0, cell)
+  }
+
   test("coPairs: support counts baskets not rows (duplicate lines dedupe), " +
     "minSupport prunes, integer lift hand-checked") {
     val rows = Seq(

@@ -817,19 +817,29 @@ object OracleGen {
   /** The PQ training/encoding CTE prefix shared by [[pqSql]] and
     * [[ivfPqSql]]: e → subv → seeded b0 → `trainIters` quantized-Lloyd
     * rounds → `enc` codes and `qd` ADC micros over `b<trainIters>`.
+    * `trainStride > 1` mirrors `Similarity.pqArtifacts`'s sample
+    * trainer: rounds assign only `id % trainStride = 0` subvectors,
+    * the final encode assigns the full corpus.
     * Expects nothing in scope; leaves `e`, `enc`, `qd` available. */
   private def pqCoreCtes(m: Int, k: Int, trainIters: Int,
-                         queryStride: Long, dim: Int): String = {
+                         queryStride: Long, dim: Int,
+                         trainStride: Long = 1): String = {
     val sub = dim / m
-    def assignCte(name: String, book: String): String =
+    def assignCte(name: String, book: String, src: String): String =
       s"""$name AS (SELECT id, j, sv, cid FROM
            (SELECT s.id, s.j, s.sv, b.cid,
               row_number() OVER (PARTITION BY s.id, s.j
                 ORDER BY round(${pqL2("s.sv", "b.cv", sub)}, 6) ASC,
                   b.cid ASC) AS rn
-            FROM subv s JOIN $book b ON b.j = s.j) WHERE rn = 1)"""
+            FROM $src s JOIN $book b ON b.j = s.j) WHERE rn = 1)"""
+    val trainSrc = if (trainStride > 1) "subvt" else "subv"
+    val trainCte =
+      if (trainStride > 1)
+        s""",
+       subvt AS (SELECT * FROM subv WHERE id % $trainStride = 0)"""
+      else ""
     val rounds = (1 to trainIters).map { r =>
-      s"""${assignCte(s"a$r", s"b${r - 1}")},
+      s"""${assignCte(s"a$r", s"b${r - 1}", trainSrc)},
          mu$r AS (SELECT j, cid, i, round(avg(sv[i]), 6) + 0.0 AS mu
            FROM a$r, range(1, ${sub + 1}) t(i) GROUP BY 1, 2, 3),
          b$r AS (SELECT j, cid, list(mu ORDER BY i) AS cv
@@ -840,13 +850,13 @@ object OracleGen {
          FROM embeddings),
        subv AS (SELECT id, j,
            v[(j * $sub + 1):(j * $sub + $sub)] AS sv
-         FROM e, range(0, $m) t(j)),
+         FROM e, range(0, $m) t(j))$trainCte,
        seed AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS cid
          FROM (SELECT * FROM e ORDER BY id LIMIT $k)),
        b0 AS (SELECT j, cid,
            v[(j * $sub + 1):(j * $sub + $sub)] AS cv
          FROM seed, range(0, $m) t(j)),
-       $roundsPart${assignCte("enc", s"b$trainIters")},
+       $roundsPart${assignCte("enc", s"b$trainIters", "subv")},
        qd AS (SELECT s.id AS query_id, s.j, b.cid,
            CAST(round((${pqL2("s.sv", "b.cv", sub)}) * 1000000.0)
              AS BIGINT) AS dm
@@ -855,8 +865,9 @@ object OracleGen {
   }
 
   def pqSql(m: Int, k: Int, trainIters: Int, topK: Int,
-            queryStride: Long, dim: Int): String =
-    s"""WITH ${pqCoreCtes(m, k, trainIters, queryStride, dim)},
+            queryStride: Long, dim: Int,
+            trainStride: Long = 1): String =
+    s"""WITH ${pqCoreCtes(m, k, trainIters, queryStride, dim, trainStride)},
        sc AS (SELECT qd.query_id, c.id AS cand_id,
            CAST(SUM(qd.dm) AS BIGINT) AS adc_micros
          FROM enc c JOIN qd ON qd.j = c.j AND qd.cid = c.cid
@@ -871,8 +882,8 @@ object OracleGen {
     * cosine routing, the [[ivfSql]] coarse quantizer). */
   def ivfPqSql(m: Int, k: Int, trainIters: Int, nCentroids: Int,
                nProbe: Int, topK: Int, queryStride: Long,
-               dim: Int): String =
-    s"""WITH ${pqCoreCtes(m, k, trainIters, queryStride, dim)},
+               dim: Int, trainStride: Long = 1): String =
+    s"""WITH ${pqCoreCtes(m, k, trainIters, queryStride, dim, trainStride)},
        cent AS (SELECT id AS cent_id, v AS cv FROM e
          ORDER BY id LIMIT $nCentroids),
        rankedc AS (SELECT e.id, c.cent_id,

@@ -1251,10 +1251,13 @@ object SparkEntry {
     * vector, 32× compression) + integer-micros ADC scoring — the
     * memory-bound-regime retrieval design past q104's int8. Training
     * replays deterministically via the quantized-Lloyd pattern (L2
-    * edition). */
+    * edition), on the stride-4 id sample (FAISS's sample-train +
+    * encode-once shape: trainIters sample passes + ONE corpus pass,
+    * instead of trainIters+1 corpus passes). */
   private def qPqAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      m = 8, k = 64, trainIters = 3, topK = 5, queryStride = 100)
+      m = 8, k = 64, trainIters = 3, topK = 5, queryStride = 100,
+      trainStride = 4)
 
   /** The per-user funnel TRACE (q116's relation one level down):
     * (user, step_idx, step, conversion instant) — the convergence
@@ -1523,7 +1526,7 @@ object SparkEntry {
   private def qIvfPqAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       m = 8, k = 64, trainIters = 3, nCentroids = 16, nProbe = 2,
-      topK = 5, queryStride = 100)
+      topK = 5, queryStride = 100, trainStride = 4)
 
   /** Declarative data-quality gate (the Deequ idea, engine-native): six
     * constraints over lineitem — four row-local checks sharing ONE scan,
@@ -2834,9 +2837,10 @@ object SparkEntry {
         iters = 5),
     "q125_label_propagation" -> OracleGen.labelPropSql(iters = 5),
     "q127_pq_ann" -> OracleGen.pqSql(m = 8, k = 64, trainIters = 3,
-      topK = 5, queryStride = 100, dim = 64),
+      topK = 5, queryStride = 100, dim = 64, trainStride = 4),
     "q129_ivfpq_ann" -> OracleGen.ivfPqSql(m = 8, k = 64, trainIters = 3,
-      nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100, dim = 64),
+      nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100, dim = 64,
+      trainStride = 4),
     "q130_poisson_bootstrap" -> OracleGen.poissonBootstrapSql(100),
     "q131_funnel_trace" ->
       OracleGen.funnelTraceSql(Seq("view", "click", "purchase")),

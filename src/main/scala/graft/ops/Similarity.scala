@@ -494,14 +494,13 @@ object Similarity {
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              m: Int = 8, k: Int = 16, trainIters: Int = 2,
              topK: Int = 5, queryStride: Long = 100,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64, trainStride: Long = 1): DataFrame = {
     val (base, books, codes) =
-      pqArtifacts(emb, idCol, vecCol, m, k, trainIters, dim)
+      pqArtifacts(emb, idCol, vecCol, m, k, trainIters, dim, trainStride)
     require(topK >= 1 && queryStride >= 1, "need topK, queryStride >= 1")
     val qdist = pqAdcTable(base.filter(col("id") % queryStride === 0),
       books, m, dim / m)
-    val scored = codes.join(broadcast(qdist), Seq("j", "cid"))
-      .filter(col("id") =!= col("query_id"))
+    val scored = pqScoredPairs(codes, qdist)
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("dm")).as("adc_micros"))
       .select(col("query_id"), col("id").as("cand_id"), col("adc_micros"))
@@ -509,15 +508,37 @@ object Similarity {
       Seq(col("adc_micros").asc, col("cand_id").asc), topK)
   }
 
+  /** The brute-ADC scoring relation — (query_id, id, j, cid, dm) rows
+    * entering [[pqTopK]]'s per-candidate sum. Exposed so the stress
+    * gate's candidate-mass count measures the operator's OWN join (a
+    * codes- or ADC-table-duplication regression IS a change in this
+    * count): structurally queries · (N−1) · m rows, exactly. */
+  private[graft] def pqScoredPairs(codes: DataFrame,
+                                   qdist: DataFrame): DataFrame =
+    codes.join(broadcast(qdist), Seq("j", "cid"))
+      .filter(col("id") =!= col("query_id"))
+
   /** The trained PQ representation — (base(id, v), codebooks(j, cid,
     * cv), codes(id, j, cid)) — shared by [[pqTopK]] and [[ivfPqTopK]];
-    * see [[pqTopK]]'s scaladoc for the determinism contract. */
+    * see [[pqTopK]]'s scaladoc for the determinism contract.
+    *
+    * `trainStride > 1` trains the Lloyd rounds on the deterministic
+    * id-stride sample (`id % trainStride == 0` — the q86 sampling
+    * idiom, a pure function of ids so the oracle replays it) and then
+    * encodes the FULL corpus with ONE final assignment. This is the
+    * deployment-standard shape (FAISS trains codebooks on a bounded
+    * sample; Jégou et al. 2011 §V): at corpus scale it turns
+    * trainIters+1 full-corpus passes into trainIters sample passes +
+    * one full encode pass. trainStride = 1 keeps the legacy
+    * full-corpus trainer. */
   private[graft] def pqArtifacts(emb: DataFrame, idCol: String,
                                  vecCol: String, m: Int, k: Int,
-                                 trainIters: Int, dim: Int)
+                                 trainIters: Int, dim: Int,
+                                 trainStride: Long = 1)
       : (DataFrame, DataFrame, DataFrame) = {
     require(m >= 1 && dim % m == 0, "need dim divisible by m")
     require(k >= 1 && trainIters >= 0, "need k >= 1, trainIters >= 0")
+    require(trainStride >= 1, "need trainStride >= 1")
     val sub = dim / m
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(eager = false)
@@ -535,25 +556,37 @@ object Similarity {
       .select(col("j"), col("cid"),
         slice(col("v"), col("j") * sub + 1, lit(sub)).as("cv"))
       .localCheckpoint(eager = false)
-    def assign(bk: DataFrame): DataFrame = Windows.topOnePerGroup(
-      subv.join(broadcast(bk), Seq("j"))
-        .select(col("id"), col("j"), col("sv"), col("cid"),
-          round(l2Chain(col("sv"), col("cv"), sub), 6).as("d")),
-      Seq(col("id"), col("j")), Seq(col("d").asc, col("cid").asc))
+    // training sample: a pure function of ids, so both engines draw it
+    val subvTrain =
+      if (trainStride > 1) subv.filter(col("id") % trainStride === 0)
+      else subv
+    def assign(bk: DataFrame, sv: DataFrame): DataFrame =
+      Windows.topOnePerGroup(
+        sv.join(broadcast(bk), Seq("j"))
+          .select(col("id"), col("j"), col("sv"), col("cid"),
+            round(l2Chain(col("sv"), col("cv"), sub), 6).as("d")),
+        Seq(col("id"), col("j")), Seq(col("d").asc, col("cid").asc))
+    // per-round mean: ONE groupBy with `sub` per-position avg columns
+    // (the positions are a compile-time constant) — not
+    // posexplode → groupBy(j,cid,pos) → collect_list, which shuffles
+    // N·m·sub exploded rows twice; this shuffles N·m rows once with
+    // sub accumulators. Same value set per (j,cid,pos) → same round-6
+    // means.
+    val mus = (0 until sub).map { i =>
+      (round(avg(element_at(col("sv"), i + 1)), 6) + lit(0.0))
+        .as(s"mu$i")
+    }
     for (_ <- 1 to trainIters) {
-      books = assign(books)
-        .select(col("j"), col("cid"), posexplode(col("sv")))
-        .groupBy(col("j"), col("cid"), col("pos"))
-        .agg((round(avg(col("col")), 6) + lit(0.0)).as("mu"))
+      books = assign(books, subvTrain)
         .groupBy(col("j"), col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mu"))))
-          .as("pm"))
+        .agg(mus.head, mus.tail: _*)
         .select(col("j"), col("cid"),
-          transform(col("pm"), x => x.getField("mu")).as("cv"))
+          array((0 until sub).map(i => col(s"mu$i")): _*).as("cv"))
         .localCheckpoint(eager = false)
     }
-    // encode: final top-1 code per (vector, subspace)
-    val codes = assign(books).select(col("id"), col("j"), col("cid"))
+    // encode: final top-1 code per (vector, subspace) — always the FULL
+    // corpus, the one unavoidable N-pass
+    val codes = assign(books, subv).select(col("id"), col("j"), col("cid"))
       .localCheckpoint(eager = false)
     (base, books, codes)
   }
@@ -601,13 +634,33 @@ object Similarity {
                 m: Int = 8, k: Int = 64, trainIters: Int = 3,
                 nCentroids: Int = 16, nProbe: Int = 2,
                 topK: Int = 5, queryStride: Long = 100,
-                dim: Int = 64): DataFrame = {
+                dim: Int = 64, trainStride: Long = 1): DataFrame = {
     require(topK >= 1 && queryStride >= 1 && nCentroids >= 1 && nProbe >= 1,
       "need topK, queryStride, nCentroids, nProbe >= 1")
     val (base, books, codes) =
-      pqArtifacts(emb, idCol, vecCol, m, k, trainIters, dim)
-    // IVF routing over the RAW vectors (the q35 coarse quantizer):
-    // members live in their top-1 cosine cell, queries probe nProbe
+      pqArtifacts(emb, idCol, vecCol, m, k, trainIters, dim, trainStride)
+    val cand = ivfRoutedCandidates(base, nCentroids, nProbe, queryStride)
+    val qdist = pqAdcTable(base.filter(col("id") % queryStride === 0),
+      books, m, dim / m)
+    val scored = codes.join(cand, Seq("id"))
+      .join(broadcast(qdist), Seq("query_id", "j", "cid"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("dm")).as("adc_micros"))
+      .select(col("query_id"), col("id").as("cand_id"), col("adc_micros"))
+    Windows.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("adc_micros").asc, col("cand_id").asc), topK)
+  }
+
+  /** [[ivfPqTopK]]'s routing stage — the (query_id, id) candidate pairs
+    * from the query's `nProbe` probed IVF cells (the q35 coarse
+    * quantizer: broadcast centroids, round-6 cosine, members in their
+    * top-1 cell). Exposed so the stress gate's candidate-mass count
+    * measures the operator's OWN routing relation: a lost nProbe filter
+    * reverts this to all-cells ≈ all-pairs, ~nCentroids/nProbe× the
+    * pinned mass. `base` must be (id, v) with v already double[]. */
+  private[graft] def ivfRoutedCandidates(base: DataFrame, nCentroids: Int,
+                                         nProbe: Int,
+                                         queryStride: Long): DataFrame = {
     val cents = base.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
     val ranked = base.join(broadcast(cents), lit(true))
@@ -623,19 +676,10 @@ object Similarity {
         nProbe)
       .select(col("cent_id"), col("id").as("query_id"))
     // candidate pairs: probed cells' members (narrow, equi-join on cell)
-    val cand = probes.join(cells, Seq("cent_id"))
+    probes.join(cells, Seq("cent_id"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"))
       .distinct()
-    val qdist = pqAdcTable(base.filter(col("id") % queryStride === 0),
-      books, m, dim / m)
-    val scored = codes.join(cand, Seq("id"))
-      .join(broadcast(qdist), Seq("query_id", "j", "cid"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("dm")).as("adc_micros"))
-      .select(col("query_id"), col("id").as("cand_id"), col("adc_micros"))
-    Windows.topKPerGroup(scored, Seq(col("query_id")),
-      Seq(col("adc_micros").asc, col("cand_id").asc), topK)
   }
 
   /** Persisted IVF index artifacts — the EMBEDDING-family sibling of the

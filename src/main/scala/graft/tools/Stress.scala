@@ -217,7 +217,9 @@ object Stress {
       // edges they win on the (deg, id) tie); an id-ordered or reversed
       // orientation hands each hub C(999, 2) wedges → ~1e8, 180× the
       // ceiling. Pure count: deterministic by construction, zero noise.
-      if (only.forall("graph_wedge_cost_class".contains)) {
+      val wedgeOn = only.forall("graph_wedge_cost_class".contains)
+      val walkOn = only.forall("graph_walk_frontier".contains)
+      if (wedgeOn || walkOn) {
         val gN = 200000L
         val ring = spark.range(gN).select(col("id").as("src"),
           ((col("id") * 7 + 1) % gN).as("dst"), lit(1L).as("w"))
@@ -225,31 +227,98 @@ object Stress {
           (col("id") - pmod(col("id"), lit(1000L))).as("dst"),
           lit(1L).as("w"))
         val gEdges = ring.union(hubs)
-        val (_, oriented) = graft.ops.Graph.degreeOriented(gEdges)
-        val wedgeMass = oriented.groupBy("src")
-          .agg(count(lit(1)).as("f"))
-          .agg(expr("CAST(sum((f * (f - 1)) div 2) AS LONG)"))
-          .collect()(0).getLong(0)
-        val wedgeMax = 550000L // ~2x the measured 261,914 exact mass
-        val ok = wedgeMass <= wedgeMax
-        if (!ok) failed ::= "GRAPH_WEDGE_COST_CLASS"
-        println(s"GRAPH_WEDGE_COST_CLASS mass=$wedgeMass " +
-          s"(absMax=$wedgeMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        if (wedgeOn) {
+          val (_, oriented) = graft.ops.Graph.degreeOriented(gEdges)
+          val wedgeMass = oriented.groupBy("src")
+            .agg(count(lit(1)).as("f"))
+            .agg(expr("CAST(sum((f * (f - 1)) div 2) AS LONG)"))
+            .collect()(0).getLong(0)
+          val wedgeMax = 550000L // ~2x the measured 261,914 exact mass
+          val ok = wedgeMass <= wedgeMax
+          if (!ok) failed ::= "GRAPH_WEDGE_COST_CLASS"
+          println(s"GRAPH_WEDGE_COST_CLASS mass=$wedgeMass " +
+            s"(absMax=$wedgeMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        }
         // Random-walk frontier bound on the same graph: every live walk
         // contributes AT MOST one row per step (inverse-CDF selection
         // picks the unique covering edge), so total output is hard-capped
         // at (steps+1)·|V|. A frontier blow-up — cumulative bounds
         // overlapping so a draw matches several edges — multiplies rows
         // per step and smashes through this structural ceiling.
-        val steps = 3
-        val nNodes = gEdges.select(col("src").as("n"))
-          .union(gEdges.select(col("dst").as("n"))).distinct().count()
-        val walkRows = graft.ops.Graph.randomWalks(gEdges, steps).count()
-        val walkMax = (steps + 1) * nNodes
-        val wok = walkRows <= walkMax
-        if (!wok) failed ::= "GRAPH_WALK_FRONTIER"
-        println(s"GRAPH_WALK_FRONTIER rows=$walkRows nodes=$nNodes " +
-          s"(absMax=$walkMax) " + (if (wok) "OK" else "COST_CLASS_OVER"))
+        // Own guard (not nested in the wedge gate's): `--only
+        // graph_walk_frontier` runs it independently.
+        if (walkOn) {
+          val steps = 3
+          val nNodes = gEdges.select(col("src").as("n"))
+            .union(gEdges.select(col("dst").as("n"))).distinct().count()
+          val walkRows = graft.ops.Graph.randomWalks(gEdges, steps).count()
+          val walkMax = (steps + 1) * nNodes
+          val wok = walkRows <= walkMax
+          if (!wok) failed ::= "GRAPH_WALK_FRONTIER"
+          println(s"GRAPH_WALK_FRONTIER rows=$walkRows nodes=$nNodes " +
+            s"(absMax=$walkMax) " + (if (wok) "OK" else "COST_CLASS_OVER"))
+        }
+      }
+      // ------- PQ / IVF-PQ ADC cost-class gates (deterministic) -------
+      // The two slowest bench families previously had plan pins but no
+      // candidate-mass gate — a routing/table-duplication regression
+      // would have surfaced only as wall-clock noise. Both counts run the
+      // operators' OWN relations (Similarity.pqScoredPairs /
+      // ivfRoutedCandidates) on a 40×-replicated, per-copy-perturbed
+      // embedding corpus — pure functions of the deterministic corpus,
+      // pinned exact with ~2× regeneration-drift headroom, zero machine
+      // noise.
+      val pqOn = only.forall("pq_adc_cost_class".contains)
+      val ivfpqOn = only.forall("ivfpq_route_cost_class".contains)
+      if (pqOn || ivfpqOn) {
+        import graft.ops.Similarity
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        // per-copy deterministic perturbation: copies must land in
+        // DIFFERENT IVF cells (identical copies would collapse routing
+        // into one degenerate cell and the gate couldn't see a lost
+        // nProbe filter)
+        val bigEmb = emb
+          .crossJoin(spark.range(0, copies).withColumnRenamed("id", "copy"))
+          .select((col("vec_id") * copies + col("copy")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x.cast("double") +
+                (pmod(col("copy") * 37 + i * 13, lit(100)) - 50) / 100.0)
+              .as("embedding"))
+          .repartition(32)
+        val qStride = 4000L
+        val nEmb = bigEmb.count()
+        if (pqOn) {
+          // brute ADC is structurally queries·(N−1)·m: 20·79,999·8 =
+          // 12,799,840 on the 40× corpus. A codes- or ADC-table
+          // duplication regression multiplies it.
+          val (_, books, codes) = Similarity.pqArtifacts(bigEmb,
+            "vec_id", "embedding", m = 8, k = 64, trainIters = 0,
+            dim = 64)
+          val base = bigEmb.select(col("vec_id").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          val qdist = Similarity.pqAdcTable(
+            base.filter(col("id") % qStride === 0), books, 8, 8)
+          val mass = Similarity.pqScoredPairs(codes, qdist).count()
+          val massMax = 26000000L // ~2x the structural 12,799,840
+          val ok = mass <= massMax
+          if (!ok) failed ::= "PQ_ADC_COST_CLASS"
+          println(s"PQ_ADC_COST_CLASS mass=$mass n=$nEmb " +
+            s"(absMax=$massMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        }
+        if (ivfpqOn) {
+          val base = bigEmb.select(col("vec_id").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          val cand = Similarity.ivfRoutedCandidates(base,
+            nCentroids = 16, nProbe = 2, queryStride = qStride).count()
+          // measured 239,140 exact on this corpus (2026-08-14, 40×
+          // perturbed embeddings); a lost nProbe filter reverts routing
+          // to all cells ≈ 20·N = 1.6e6, ~6.7× over this ceiling
+          val candMax = 400000L
+          val ok = cand <= candMax
+          if (!ok) failed ::= "IVFPQ_ROUTE_COST_CLASS"
+          println(s"IVFPQ_ROUTE_COST_CLASS cand=$cand n=$nEmb " +
+            s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        }
       }
       // Budgets: measured local[32] 2026-08 (9.1 / 15.9 / 2.2 / 3.9 /
       // 1.5 / 153 s) × ~2.5 headroom.

@@ -892,6 +892,15 @@ object SparkEntry {
   private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanWords = 10)
 
+  /** Sliding-window exact-substring dedup (Lee et al. 2022 direction):
+    * 10-word windows every 4 words, global first occurrence wins, a
+    * word survives iff any covering window does — catches duplicated
+    * passages that straddle q77's non-overlapping tile boundaries at
+    * different offsets (offset-invariant where tiling is not). */
+  private def qSlidingSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.slidingSpanDedup(t(s, dir, "documents"), "doc_id", "text",
+      spanWords = 10, stride = 4)
+
   /** Mixture sampling toward per-source char budgets: src0 capped at
     * 4000 chars (≈ half its mass), src1 at 2000 (≈ quarter), src2's
     * budget exceeds its total (rate 1), every other source unlisted
@@ -1816,6 +1825,7 @@ object SparkEntry {
     "q153_daily_autocorr" -> (qAutocorr _),
     "q154_lorenz_deciles" -> (qLorenz _),
     "q155_chi2_independence" -> (qChi2 _),
+    "q156_sliding_span_dedup" -> (qSlidingSpanDedup _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3246,6 +3256,37 @@ object SparkEntry {
          JOIN rt ON cells.o_orderpriority = rt.o_orderpriority
          JOIN ct ON cells.o_orderstatus = ct.o_orderstatus
          CROSS JOIN nn""",
+    "q156_sliding_span_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         w0 AS (SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - 1, 0) + 1, 4)) AS pos
+           FROM base),
+         w AS (SELECT doc_id, CAST(pos AS BIGINT) AS st,
+             array_to_string(t[pos + 1 : pos + 10], ' ') AS wtext
+           FROM w0),
+         k AS (SELECT doc_id, st FROM
+             (SELECT doc_id, st,
+                row_number() OVER (PARTITION BY wtext
+                  ORDER BY doc_id, st) AS rn FROM w)
+           WHERE rn = 1),
+         kc AS (SELECT doc_id, count(*) AS n_kept FROM k GROUP BY doc_id),
+         totals AS (SELECT doc_id, count(*) AS n_windows
+           FROM w GROUP BY doc_id),
+         words AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i, t[i] AS word
+           FROM base, unnest(range(1, len(t) + 1)) u(i)),
+         cw AS (SELECT wo.doc_id, wo.i, wo.word FROM words wo
+           WHERE EXISTS (SELECT 1 FROM k
+             WHERE k.doc_id = wo.doc_id AND k.st <= wo.i
+               AND wo.i < k.st + 10)),
+         reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i)
+             AS clean_text
+           FROM cw GROUP BY doc_id)
+         SELECT totals.doc_id, n_windows,
+           coalesce(n_kept, 0) AS n_kept,
+           coalesce(clean_text, '') AS clean_text
+         FROM totals LEFT JOIN kc USING (doc_id)
+         LEFT JOIN reb USING (doc_id)""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

@@ -1721,4 +1721,77 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** SLIDING-window exact-substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * direction, stride-windowed): [[spanDedup]] tiles documents into
+    * NON-overlapping spans, so a passage duplicated at different word
+    * offsets in two documents straddles span boundaries and every
+    * tile differs — both it and winnowing's fingerprint sampling can
+    * miss it. Here windows of `spanWords` words start every `stride`
+    * words (stride < spanWords ⇒ overlapping); a window survives iff
+    * it is the globally FIRST occurrence of its text (smallest
+    * (doc_id, start)), and a WORD survives iff ANY window covering it
+    * survives. In the first-occurrence document every window wins, so
+    * it is untouched; in a later copy, windows fully inside the
+    * duplicated passage lose, and only the ≤ spanWords-word fringes
+    * survive via their straddling windows (exactly the boundary
+    * imprecision Lee et al. accept). Offset sensitivity: a window in
+    * the copy matches one in the original iff both land on the stride
+    * grid at the same intra-passage offset, i.e. the two passage
+    * offsets agree mod `stride` — stride 1 is fully offset-invariant
+    * (the suffix-array exactness), larger strides trade that recall
+    * for window volume. Either way this catches what [[spanDedup]]'s
+    * fixed tiling structurally cannot: tiling only matches passages
+    * whose offsets agree mod `spanWords` AND whose duplicated region
+    * covers whole tiles.
+    *
+    * Scale shape: same two combinable hash aggregations as
+    * [[spanDedup]] — winner-per-window is ONE
+    * groupBy(xxhash64(window)) with a min(struct) that map-side
+    * combines, keyed by 8-byte hashes (window text stays OUT of the
+    * winner shuffle: only (doc_id, start) rides the struct);
+    * reassembly is doc-local — the kept starts collect per doc
+    * (≤ len/stride longs) and the word filter is a per-row
+    * higher-order function over the doc's own word array, no
+    * word-level shuffle. Window volume is len/stride rows per doc
+    * (spanWords/stride × the tiled volume — the overlap factor is the
+    * price of offset invariance). Same 64-bit collision caveat as
+    * [[spanDedup]].
+    *
+    * Output: doc_id, n_windows, n_kept (surviving windows),
+    * clean_text (surviving words, original order, '' if none). */
+  def slidingSpanDedup(df: DataFrame, idCol: String, textCol: String,
+                       spanWords: Int = 10, stride: Int = 5): DataFrame = {
+    require(spanWords > 0, "spanWords must be > 0")
+    require(stride > 0 && stride <= spanWords,
+      "need 0 < stride <= spanWords")
+    val docs = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    val windows = docs
+      .select(col("doc_id"), col("t"), posexplode(
+        sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+          lit(stride))))
+      .select(col("doc_id"), col("col").cast("long").as("start"),
+        array_join(slice(col("t"), col("col") + 1, lit(spanWords)), " ")
+          .as("w"))
+    val kept = windows
+      .groupBy(xxhash64(col("w")).as("h"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("win"))
+      .select(col("win.doc_id").as("doc_id"), col("win.start").as("start"))
+    val keptPerDoc = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(col("start"))).as("starts"))
+    val totals = windows.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"))
+    docs.join(totals, Seq("doc_id"))
+      .join(keptPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(array_join(filter(col("t"), (word, i) =>
+          exists(col("starts"), st =>
+            st <= i.cast("long") &&
+              i.cast("long") < st + spanWords)), " "), lit(""))
+          .as("clean_text"))
+  }
 }

@@ -196,6 +196,31 @@ class OpsSpec extends AnyFunSuite {
       (4L, 2L, 1L, "p q r"))))
   }
 
+  test("slidingSpanDedup catches a boundary-straddling duplicated " +
+    "passage that spanDedup's fixed tiling structurally misses") {
+    // the same 8-word passage at offset 2 in doc 1 and offset 4 in
+    // doc 2 (offsets agree mod stride=2 but NOT mod spanWords=4):
+    // every spanWords tile mixes passage and unique words, so
+    // spanDedup sees all-distinct tiles and removes nothing
+    val docs = Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 p5 p6 p7 p8 u3 u4"),
+      (2L, "v1 v2 v3 v4 p1 p2 p3 p4 p5 p6 p7 p8 v5 v6"),
+    ).toDF("doc_id", "text")
+    val tiled = Dedup.spanDedup(docs, "doc_id", "text", spanWords = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(tiled.forall { case (_, n, kept, _) => n == kept },
+      "tiling misses the straddling duplicate entirely")
+    val slid = Dedup.slidingSpanDedup(docs, "doc_id", "text",
+      spanWords = 4, stride = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(slid.sameElements(Array(
+      // first occurrence untouched
+      (1L, 6L, 6L, "u1 u2 p1 p2 p3 p4 p5 p6 p7 p8 u3 u4"),
+      // copy loses the passage interior; <spanWords-word fringes
+      // survive via their straddling (unique) windows
+      (2L, 7L, 4L, "v1 v2 v3 v4 p1 p2 p7 p8 v5 v6"))))
+  }
+
   test("jaccardPairs finds permuted near-identical docs, skips distinct ones") {
     val docs = Seq(
       (1L, "x y z w v u t s"),

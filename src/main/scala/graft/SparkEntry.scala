@@ -1520,6 +1520,16 @@ object SparkEntry {
     DataQuality.chi2Independence(t(s, dir, "orders"), "o_orderpriority",
       "o_orderstatus")
 
+  /** The stream-stream interval join's BATCH face, oracle-checked:
+    * clicks joined to same-user purchases within 1 h after. The
+    * streaming face (two-sided watermarks, built-in join) is pinned
+    * equal to this relation by StreamStreamJoinSpec — registering the
+    * batch face puts the op under the contract, not just the suite. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    Events.intervalJoin(Events.load(s, dir), "user_id", "ts", "event_id",
+      "event_type", leftType = "click", rightType = "purchase",
+      windowSeconds = 3600L)
+
   /** Linear multi-touch attribution: every click before a purchase (and
     * after the user's previous purchase) shares the conversion credit —
     * integer micros, remainder to the last touch, so credit sums to
@@ -1826,6 +1836,7 @@ object SparkEntry {
     "q154_lorenz_deciles" -> (qLorenz _),
     "q155_chi2_independence" -> (qChi2 _),
     "q156_sliding_span_dedup" -> (qSlidingSpanDedup _),
+    "q157_interval_join" -> (qIntervalJoin _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3287,6 +3298,15 @@ object SparkEntry {
            coalesce(clean_text, '') AS clean_text
          FROM totals LEFT JOIN kc USING (doc_id)
          LEFT JOIN reb USING (doc_id)""",
+    "q157_interval_join" ->
+      """WITH l AS (SELECT user_id, event_id AS left_id, ts AS left_ts
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, event_id AS right_id, ts AS right_ts
+           FROM events WHERE event_type = 'purchase')
+         SELECT l.user_id, left_id, right_id, left_ts, right_ts
+         FROM l JOIN r ON r.user_id = l.user_id
+           AND right_ts > left_ts
+           AND right_ts <= left_ts + INTERVAL 3600 SECOND""",
     "q128_quality_constraints" ->
       """SELECT 'l_shipdate_notnull' AS check_name,
            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)

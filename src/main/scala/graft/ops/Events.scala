@@ -707,6 +707,34 @@ object Events {
     out
   }
 
+  /** BATCH face of the native stream-stream interval join (q157): left
+    * events joined to SAME-user right events strictly after and within
+    * `windowSeconds` — the click→purchase-within-1h shape. The streaming
+    * face is the IDENTICAL join condition under two-sided watermarks
+    * (`StreamStreamJoinSpec` pins stream == this face on an in-order
+    * replay; watermark − interval bounds the join state, which is what
+    * makes the stream runnable forever). Spark plans the user equi-key
+    * as a hash join with the time range as residual — both sides
+    * shuffle once on user_id, no range explosion. */
+  def intervalJoin(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String, leftType: String,
+                   rightType: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be > 0")
+    val l = events.filter(col(typeCol) === leftType)
+      .select(col(userCol).as("user_id"), col(idCol).as("left_id"),
+        col(tsCol).as("left_ts"))
+    val r = events.filter(col(typeCol) === rightType)
+      .select(col(userCol).as("__ru"), col(idCol).as("right_id"),
+        col(tsCol).as("right_ts"))
+    l.join(r, col("user_id") === col("__ru") &&
+        col("right_ts") > col("left_ts") &&
+        col("right_ts") <=
+          col("left_ts") + expr(s"INTERVAL $windowSeconds SECOND"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts").cast(TimestampNTZType).as("left_ts"),
+        col("right_ts").cast(TimestampNTZType).as("right_ts"))
+  }
+
   /** The PER-USER TRACE face of [[funnel]] — one row per (user,
     * step_idx, step, ts = that user's step-k conversion instant), the
     * same stage recurrence (step-k time = min ts of step-k events

@@ -44,9 +44,13 @@ class StreamStreamJoinSpec extends AnyFunSuite {
 
     val cond = "s_user = p_user AND conv_ts > click_ts AND " +
       "conv_ts <= click_ts + INTERVAL 1 HOUR"
-    val expected = clicks.withColumnRenamed("user_id", "s_user")
-      .join(purchases.withColumnRenamed("user_id", "p_user"), expr(cond))
-      .select(col("s_user"), col("click_id"), col("conv_id"))
+    // the REGISTERED batch face (q157) — the stream must equal the
+    // relation the contract oracle-checks, not a spec-local re-derivation
+    val expected = Events.intervalJoin(
+        Events.load(spark, "/root/testdata/sf0.001"),
+        "user_id", "ts", "event_id", "event_type",
+        leftType = "click", rightType = "purchase", windowSeconds = 3600L)
+      .select(col("user_id"), col("left_id"), col("right_id"))
       .as[(Long, Long, Long)].collect().toSet
     assert(expected.nonEmpty)
 

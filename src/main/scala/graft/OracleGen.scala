@@ -825,13 +825,31 @@ object OracleGen {
                          queryStride: Long, dim: Int,
                          trainStride: Long = 1): String = {
     val sub = dim / m
-    def assignCte(name: String, book: String, src: String): String =
+    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       ${pqTrainCtes(m, k, trainIters, trainStride, dim, "e")},
+       qd AS (SELECT s.id AS query_id, s.j, b.cid,
+           CAST(round((${pqL2("s.sv", "b.cv", sub)}) * 1000000.0)
+             AS BIGINT) AS dm
+         FROM subv s JOIN b$trainIters b ON b.j = s.j
+         WHERE s.id % $queryStride = 0)"""
+  }
+
+  /** The PQ subvector/seed/Lloyd-round/encode CTE block over any (id, v)
+    * relation `src` — shared by [[pqCoreCtes]] (raw vectors) and
+    * [[ivfPqResidualSql]] (cell residuals). Emits subv, (subvt), seed,
+    * b0..b`trainIters`, enc. */
+  private def pqTrainCtes(m: Int, k: Int, trainIters: Int,
+                          trainStride: Long, dim: Int,
+                          src: String): String = {
+    val sub = dim / m
+    def assignCte(name: String, book: String, from: String): String =
       s"""$name AS (SELECT id, j, sv, cid FROM
            (SELECT s.id, s.j, s.sv, b.cid,
               row_number() OVER (PARTITION BY s.id, s.j
                 ORDER BY round(${pqL2("s.sv", "b.cv", sub)}, 6) ASC,
                   b.cid ASC) AS rn
-            FROM $src s JOIN $book b ON b.j = s.j) WHERE rn = 1)"""
+            FROM $from s JOIN $book b ON b.j = s.j) WHERE rn = 1)"""
     val trainSrc = if (trainStride > 1) "subvt" else "subv"
     val trainCte =
       if (trainStride > 1)
@@ -846,22 +864,15 @@ object OracleGen {
            FROM mu$r GROUP BY 1, 2)"""
     }.mkString(",\n       ")
     val roundsPart = if (trainIters > 0) rounds + ",\n       " else ""
-    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-         FROM embeddings),
-       subv AS (SELECT id, j,
+    s"""subv AS (SELECT id, j,
            v[(j * $sub + 1):(j * $sub + $sub)] AS sv
-         FROM e, range(0, $m) t(j))$trainCte,
+         FROM $src, range(0, $m) t(j))$trainCte,
        seed AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS cid
-         FROM (SELECT * FROM e ORDER BY id LIMIT $k)),
+         FROM (SELECT * FROM $src ORDER BY id LIMIT $k)),
        b0 AS (SELECT j, cid,
            v[(j * $sub + 1):(j * $sub + $sub)] AS cv
          FROM seed, range(0, $m) t(j)),
-       $roundsPart${assignCte("enc", s"b$trainIters", "subv")},
-       qd AS (SELECT s.id AS query_id, s.j, b.cid,
-           CAST(round((${pqL2("s.sv", "b.cv", sub)}) * 1000000.0)
-             AS BIGINT) AS dm
-         FROM subv s JOIN b$trainIters b ON b.j = s.j
-         WHERE s.id % $queryStride = 0)"""
+       $roundsPart${assignCte("enc", s"b$trainIters", "subv")}"""
   }
 
   def pqSql(m: Int, k: Int, trainIters: Int, topK: Int,
@@ -907,6 +918,62 @@ object OracleGen {
          (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
        WHERE rn <= $topK"""
+
+  /** Oracle for `Similarity.ivfPqResidualTopK` (q158): the [[ivfPqSql]]
+    * routing, but members encode v − own-cell-centroid residuals and
+    * each query scores a probed cell's candidates with the ADC table of
+    * its residual against THAT cell's centroid. Residual subtraction is
+    * exact IEEE on both engines; everything else is the [[pqTrainCtes]]
+    * determinism story. */
+  def ivfPqResidualSql(m: Int, k: Int, trainIters: Int, nCentroids: Int,
+                       nProbe: Int, topK: Int, queryStride: Long,
+                       dim: Int, trainStride: Long = 1): String = {
+    val sub = dim / m
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       cent AS (SELECT id AS cent_id, v AS cv FROM e
+         ORDER BY id LIMIT $nCentroids),
+       rankedc AS (SELECT e.id, c.cent_id,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC,
+               c.cent_id ASC) AS rn
+         FROM e, cent c),
+       cells AS (SELECT cent_id, id FROM rankedc WHERE rn = 1),
+       probes AS (SELECT cent_id, id AS query_id FROM rankedc
+         WHERE rn <= $nProbe AND id % $queryStride = 0),
+       resid AS (SELECT e.id,
+           list_transform(range(1, ${dim + 1}),
+             i -> e.v[i] - c.cv[i]) AS v
+         FROM e JOIN cells cl ON cl.id = e.id
+         JOIN cent c ON c.cent_id = cl.cent_id),
+       ${pqTrainCtes(m, k, trainIters, trainStride, dim, "resid")},
+       qresid AS (SELECT p.query_id, p.cent_id,
+           list_transform(range(1, ${dim + 1}),
+             i -> e.v[i] - c.cv[i]) AS rv
+         FROM probes p JOIN e ON e.id = p.query_id
+         JOIN cent c ON c.cent_id = p.cent_id),
+       qsub AS (SELECT query_id, cent_id, j,
+           rv[(j * $sub + 1):(j * $sub + $sub)] AS sv
+         FROM qresid, range(0, $m) t(j)),
+       qd AS (SELECT s.query_id, s.cent_id, s.j, b.cid,
+           CAST(round((${pqL2("s.sv", "b.cv", sub)}) * 1000000.0)
+             AS BIGINT) AS dm
+         FROM qsub s JOIN b$trainIters b ON b.j = s.j),
+       cand AS (SELECT DISTINCT p.query_id, cl.cent_id, cl.id
+         FROM probes p JOIN cells cl ON cl.cent_id = p.cent_id
+         WHERE cl.id <> p.query_id),
+       sc AS (SELECT qd.query_id, c.id AS cand_id,
+           CAST(SUM(qd.dm) AS BIGINT) AS adc_micros
+         FROM enc c JOIN cand ON cand.id = c.id
+         JOIN qd ON qd.query_id = cand.query_id
+           AND qd.cent_id = cand.cent_id
+           AND qd.j = c.j AND qd.cid = c.cid
+         GROUP BY 1, 2)
+       SELECT query_id, cand_id, adc_micros FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
+       WHERE rn <= $topK"""
+  }
 
   /** Oracle for `Events.funnelTrace` (q131 plain / q132 windowed): the
     * stage recurrence as chained CTEs — step-k time = min ts of step-k

@@ -661,6 +661,25 @@ object Similarity {
   private[graft] def ivfRoutedCandidates(base: DataFrame, nCentroids: Int,
                                          nProbe: Int,
                                          queryStride: Long): DataFrame = {
+    val (_, cells, probes) = ivfRouting(base, nCentroids, nProbe,
+      queryStride)
+    // candidate pairs: probed cells' members (narrow, equi-join on cell)
+    probes.select(col("cent_id"), col("query_id"))
+      .join(cells.select(col("cent_id"), col("id")), Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+  }
+
+  /** The shared IVF coarse-quantizer routing (the q35 shape): returns
+    * (cents(cent_id, cv), cells(cent_id, id, v) — every member in its
+    * top-1 round-6-cosine cell — and probes(cent_id, query_id, v) —
+    * each query's nProbe nearest cells), vectors riding along so
+    * residual variants can subtract centroids without a second corpus
+    * join. `base` must be (id, v) with v already double[]. */
+  private[graft] def ivfRouting(base: DataFrame, nCentroids: Int,
+                                nProbe: Int, queryStride: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cents = base.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
     val ranked = base.join(broadcast(cents), lit(true))
@@ -669,17 +688,89 @@ object Similarity {
       .localCheckpoint(eager = false)
     val cells = Windows.topOnePerGroup(ranked, Seq(col("id")),
       Seq(col("cent_cos").desc, col("cent_id").asc))
-      .select(col("cent_id"), col("id"))
+      .select(col("cent_id"), col("id"), col("v"))
     val probes = Windows.topKPerGroup(
         ranked.filter(col("id") % queryStride === 0),
         Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc),
         nProbe)
-      .select(col("cent_id"), col("id").as("query_id"))
-    // candidate pairs: probed cells' members (narrow, equi-join on cell)
-    probes.join(cells, Seq("cent_id"))
+      .select(col("cent_id"), col("id").as("query_id"), col("v"))
+    (cents, cells, probes)
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the classic recall refinement at
+    * the same bytes (Jégou et al. 2011 §V.B; FAISS IVFPQ's default):
+    * each member encodes r = v − centroid(cell(v)) instead of the raw
+    * vector, and each query scores a probed cell's candidates with the
+    * ADC table of ITS residual against THAT cell's centroid, so
+    * d(q, v) ≈ ‖(q − c) − code(v − c)‖². Residuals concentrate around
+    * the origin (the coarse quantizer has already absorbed the
+    * between-cell variance), so the m·k codewords spend their capacity
+    * on within-cell structure.
+    *
+    * Measured (RecallProbe, same params/bytes, L2 truth): on a
+    * 16-cluster corpus recall@5 = 0.32 residual vs 0.15 raw — the 2.1×
+    * gain the refinement exists for; on the synthetic ISOTROPIC sf
+    * embeddings 0.13 vs 0.18 — cells carry no structure there, so
+    * residuals (v − c with v, c near-independent) only widen the
+    * distribution the codewords must cover. Pick residual encoding
+    * when the corpus clusters (real embedding corpora do, by
+    * construction); the isotropic number is the documented honesty
+    * bound, same family as [[pqTopK]]'s recall note.
+    *
+    * Scale shape: [[ivfRouting]] + ONE broadcast-centroid zip_with for
+    * member residuals (no extra shuffle — cells already carry v), the
+    * [[pqArtifacts]] sample-train/encode-once dataflow over residuals,
+    * and an ADC table of queries·nProbe·m·k rows (nProbe× the raw
+    * variant's — still broadcast-sized). Candidate scoring is the same
+    * (query, cell, subspace, code) equi-join + combinable long sum.
+    * Determinism: residual subtraction is exact IEEE on both engines;
+    * everything downstream is the proven PQ story. */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        m: Int = 8, k: Int = 64, trainIters: Int = 3,
+                        nCentroids: Int = 16, nProbe: Int = 2,
+                        topK: Int = 5, queryStride: Long = 100,
+                        dim: Int = 64, trainStride: Long = 1): DataFrame = {
+    require(topK >= 1 && queryStride >= 1 && nCentroids >= 1 && nProbe >= 1,
+      "need topK, queryStride, nCentroids, nProbe >= 1")
+    val sub = dim / m
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = false)
+    val (cents, cells, probes) =
+      ivfRouting(base, nCentroids, nProbe, queryStride)
+    // member residuals: v − own-cell centroid (broadcast zip_with)
+    val resid = cells.join(broadcast(cents), Seq("cent_id"))
+      .select(col("cent_id"), col("id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+      .localCheckpoint(eager = false)
+    val (_, books, codes) =
+      pqArtifacts(resid, "id", "v", m, k, trainIters, dim, trainStride)
+    // per-(query, probed cell) residual ADC table — queries·nProbe·m·k
+    // rows, broadcast
+    val js = explode(sequence(lit(0), lit(m - 1))).as("j")
+    val qd = probes.join(broadcast(cents), Seq("cent_id"))
+      .select(col("query_id"), col("cent_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+      .select(col("query_id"), col("cent_id"), col("rv"), js)
+      .select(col("query_id"), col("cent_id"), col("j"),
+        slice(col("rv"), col("j") * sub + 1, lit(sub)).as("qv"))
+      .join(broadcast(books), Seq("j"))
+      .select(col("query_id"), col("cent_id"), col("j"), col("cid"),
+        round(l2Chain(col("qv"), col("cv"), sub) * 1000000.0).cast("long")
+          .as("dm"))
+    // candidates keep their cell: a member scores against the query's
+    // residual table FOR THAT member's cell
+    val cand = probes.select(col("cent_id"), col("query_id"))
+      .join(cells.select(col("cent_id"), col("id")), Seq("cent_id"))
       .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id"))
+      .select(col("query_id"), col("cent_id"), col("id"))
       .distinct()
+    val scored = codes.join(cand, Seq("id"))
+      .join(broadcast(qd), Seq("query_id", "cent_id", "j", "cid"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("dm")).as("adc_micros"))
+      .select(col("query_id"), col("id").as("cand_id"), col("adc_micros"))
+    Windows.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("adc_micros").asc, col("cand_id").asc), topK)
   }
 
   /** Persisted IVF index artifacts — the EMBEDDING-family sibling of the

@@ -73,6 +73,108 @@ object RecallProbe {
         println(f"| $pb | ${recalls.sum / recalls.size}%.3f | $cands |")
       }
     }
+    // Residual vs raw IVF-PQ encoding at the SAME bytes (q129 vs q158
+    // params): recall@5 against brute-force cosine. Residual encoding
+    // spends the m·k codewords on within-cell structure — the classic
+    // Jégou §V.B refinement this block quantifies on our corpus.
+    {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      def topSets(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "cand_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val bf = topSets(graft.ops.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", k = 5, stride = 100))
+      def recall(got: Map[Long, Set[Long]]): Double = {
+        val rs = bf.map { case (q, truth) =>
+          got.get(q).map(c => (c & truth).size.toDouble / truth.size)
+            .getOrElse(0.0) }
+        rs.sum / rs.size
+      }
+      val raw = topSets(graft.ops.Similarity.ivfPqTopK(
+        emb, "vec_id", "embedding", m = 8, k = 64, trainIters = 3,
+        nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100,
+        trainStride = 4))
+      val res = topSets(graft.ops.Similarity.ivfPqResidualTopK(
+        emb, "vec_id", "embedding", m = 8, k = 64, trainIters = 3,
+        nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100,
+        trainStride = 4))
+      println(f"IVFPQ recall@5 (cosine truth) raw=${recall(raw)}%.3f " +
+        f"residual=${recall(res)}%.3f (m=8 k=64 iters=3 nProbe=2 " +
+        "trainStride=4, same bytes)")
+      // ADC approximates L2, not cosine — also score both against the
+      // exact L2 top-5 so quantization quality is not confounded by the
+      // metric mismatch on non-normalized vectors
+      val base = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      val l2truth = base.filter(col("id") % 100 === 0)
+        .select(col("id").as("query_id"), col("v").as("qv"))
+        .join(base.select(col("id").as("cand_id"), col("v")), lit(true))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          aggregate(zip_with(col("qv"), col("v"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+      val l2bf = graft.ops.Windows.topKPerGroup(l2truth,
+        Seq(col("query_id")), Seq(col("d2").asc, col("cand_id").asc), 5)
+        .select("query_id", "cand_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      def recallL2(got: Map[Long, Set[Long]]): Double = {
+        val rs = l2bf.map { case (q, truth) =>
+          got.get(q).map(c => (c & truth).size.toDouble / truth.size)
+            .getOrElse(0.0) }
+        rs.sum / rs.size
+      }
+      println(f"IVFPQ recall@5 (L2 truth) raw=${recallL2(raw)}%.3f " +
+        f"residual=${recallL2(res)}%.3f")
+    }
+    // Same comparison on a CLUSTERED corpus (16 well-separated centers,
+    // small within-cluster noise — the regime residual encoding exists
+    // for; the synthetic sf embeddings are isotropic, PQ's documented
+    // worst case, where residuals only ADD variance). Deterministic:
+    // centers and noise are pure functions of (id, i).
+    {
+      val clustered = spark.range(2000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(col("id") % 16 * 31 + i * 7, lit(13)) - 6).cast("double") +
+            (pmod(xxhash64(concat_ws("_", col("id"), i)), lit(1000))
+              / 1000.0 - 0.5) * 0.2).as("embedding"))
+        // eager: a range-built frame reused across the operator's
+        // self-joins trips conflicting-reference analysis otherwise
+        .localCheckpoint()
+      def topSets(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "cand_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val base = clustered.select(col("vec_id").as("id"),
+        col("embedding").as("v"))
+      val l2truth = base.filter(col("id") % 100 === 0)
+        .select(col("id").as("query_id"), col("v").as("qv"))
+        .join(base.select(col("id").as("cand_id"), col("v")), lit(true))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          aggregate(zip_with(col("qv"), col("v"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+      val l2bf = graft.ops.Windows.topKPerGroup(l2truth,
+        Seq(col("query_id")), Seq(col("d2").asc, col("cand_id").asc), 5)
+        .select("query_id", "cand_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      def recallL2(got: Map[Long, Set[Long]]): Double = {
+        val rs = l2bf.map { case (q, truth) =>
+          got.get(q).map(c => (c & truth).size.toDouble / truth.size)
+            .getOrElse(0.0) }
+        rs.sum / rs.size
+      }
+      val raw = topSets(graft.ops.Similarity.ivfPqTopK(
+        clustered, "vec_id", "embedding", m = 8, k = 64, trainIters = 3,
+        nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100,
+        trainStride = 4))
+      val res = topSets(graft.ops.Similarity.ivfPqResidualTopK(
+        clustered, "vec_id", "embedding", m = 8, k = 64, trainIters = 3,
+        nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100,
+        trainStride = 4))
+      println(f"IVFPQ recall@5 CLUSTERED (L2 truth) raw=${recallL2(raw)}%.3f " +
+        f"residual=${recallL2(res)}%.3f (same params, same bytes)")
+    }
     spark.stop()
   }
 }

@@ -1547,6 +1547,41 @@ object SparkEntry {
       m = 8, k = 64, trainIters = 3, nCentroids = 16, nProbe = 2,
       topK = 5, queryStride = 100, trainStride = 4)
 
+  /** Entity-resolution SURVIVORSHIP (q133's golden-record step made
+    * pluggable): resolve once, then pick each entity's survivor under
+    * the three standard MDM rules — most-complete (longest name),
+    * most-recent (largest version; p_size as the surrogate), and
+    * source-priority (p_brand ladder, unlisted sources lose) — each ONE
+    * combinable max_by agg over the same mapped relation. */
+  private def qErSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup.Survivorship
+    val recs = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"),
+        col("p_size").cast(LongType).as("ver"), col("p_brand").as("src"))
+    val mapped = Dedup.resolveEntities(recs, "id", "s", maxDist = 2)
+      .join(recs, "id")
+    val complete = Dedup.survivors(mapped, "entity_id", "id",
+        Survivorship.MostComplete("s"))
+      .select(col("entity_id"), col("s").as("name_complete"))
+    val recent = Dedup.survivors(mapped, "entity_id", "id",
+        Survivorship.MostRecent("ver"))
+      .select(col("entity_id"), col("id").as("id_recent"),
+        col("ver").as("ver_recent"))
+    val prio = Dedup.survivors(mapped, "entity_id", "id",
+        Survivorship.SourcePriority("src",
+          Seq("Brand#13", "Brand#7")))
+      .select(col("entity_id"), col("id").as("id_priority"),
+        col("src").as("src_priority"))
+    mapped.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(complete, "entity_id")
+      .join(recent, "entity_id")
+      .join(prio, "entity_id")
+      .select(col("entity_id"), col("n_members"), col("name_complete"),
+        col("id_recent"), col("ver_recent"), col("id_priority"),
+        col("src_priority"))
+  }
+
   /** IVF-PQ with residual encoding (q129's recall refinement at the
     * same bytes): members encode v − own-cell centroid, queries score
     * each probed cell with the ADC table of their residual against
@@ -1849,6 +1884,7 @@ object SparkEntry {
     "q156_sliding_span_dedup" -> (qSlidingSpanDedup _),
     "q157_interval_join" -> (qIntervalJoin _),
     "q158_ivfpq_residual" -> (qIvfPqResidual _),
+    "q159_er_survivorship" -> (qErSurvivorship _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2913,6 +2949,43 @@ object SparkEntry {
          SELECT a.entity_id, a.n_members, c.s AS canonical_name,
            a.min_price_cents, a.n_brands
          FROM agg a JOIN canon c ON a.entity_id = c.entity_id AND c.rn = 1""",
+    "q159_er_survivorship" ->
+      """WITH RECURSIVE
+         p AS (SELECT p_partkey AS id, p_name AS s,
+             CAST(p_size AS BIGINT) AS ver, p_brand AS src
+           FROM part WHERE p_partkey % 10 = 0),
+         pr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
+           WHERE abs(length(a.s) - length(b.s)) <= 2
+             AND levenshtein(a.s, b.s) <= 2),
+         edges AS (SELECT ia AS src, ib AS dst FROM pr
+           UNION ALL SELECT ib, ia FROM pr),
+         reach AS (
+           SELECT id, id AS r FROM p
+           UNION
+           SELECT e.dst AS id, reach.r AS r
+           FROM reach JOIN edges e ON e.src = reach.id),
+         comp AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id),
+         m AS (SELECT c.entity_id, p.id, p.s, p.ver, p.src
+           FROM comp c JOIN p ON c.id = p.id),
+         compl AS (SELECT entity_id, s,
+             row_number() OVER (PARTITION BY entity_id
+               ORDER BY length(s) DESC, id ASC) AS rn FROM m),
+         rec AS (SELECT entity_id, id, ver,
+             row_number() OVER (PARTITION BY entity_id
+               ORDER BY ver DESC, id ASC) AS rn FROM m),
+         prio AS (SELECT entity_id, id, src,
+             row_number() OVER (PARTITION BY entity_id
+               ORDER BY (CASE WHEN src = 'Brand#13' THEN 1
+                 WHEN src = 'Brand#7' THEN 2 ELSE 3 END) ASC,
+                 id ASC) AS rn FROM m),
+         agg AS (SELECT entity_id, count(*) AS n_members FROM m GROUP BY 1)
+         SELECT a.entity_id, a.n_members, c.s AS name_complete,
+           r.id AS id_recent, r.ver AS ver_recent,
+           pp.id AS id_priority, pp.src AS src_priority
+         FROM agg a
+         JOIN compl c ON c.entity_id = a.entity_id AND c.rn = 1
+         JOIN rec r ON r.entity_id = a.entity_id AND r.rn = 1
+         JOIN prio pp ON pp.entity_id = a.entity_id AND pp.rn = 1""",
     "q134_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

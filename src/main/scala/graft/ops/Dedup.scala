@@ -1611,6 +1611,67 @@ object Dedup {
       .select(col("id").as(idCol), col("label").as("entity_id"))
   }
 
+  /** Pluggable SURVIVORSHIP for entity resolution — the MDM
+    * "golden record" rules (most-complete / most-recent /
+    * source-priority are the standard trio). Every strategy compiles
+    * to ONE max_by ordering struct ending on (−id), so survivor
+    * picking is always a single combinable aggregation (map-side
+    * combine keeps one candidate per entity per partition) — never a
+    * per-entity sort, whatever the rule. */
+  object Survivorship {
+    sealed trait Strategy {
+      /** The max_by key; strategies end on (−id) so ties resolve to
+        * the smallest id — a total order, required for determinism. */
+      private[graft] def key(idCol: String): Column
+    }
+    /** Longest `strCol` wins (the most-complete record). */
+    final case class MostComplete(strCol: String) extends Strategy {
+      private[graft] def key(idCol: String): Column =
+        struct(length(col(strCol)).as("k1"), (-col(idCol)).as("k2"))
+    }
+    /** Largest `recencyCol` wins (the most-recent record); any
+      * totally-ordered version/timestamp column qualifies. */
+    final case class MostRecent(recencyCol: String) extends Strategy {
+      private[graft] def key(idCol: String): Column =
+        struct(col(recencyCol).as("k1"), (-col(idCol)).as("k2"))
+    }
+    /** Earliest source in `priority` wins; records from unlisted
+      * sources lose to every listed one. */
+    final case class SourcePriority(srcCol: String,
+                                    priority: Seq[String])
+        extends Strategy {
+      private[graft] def key(idCol: String): Column = {
+        val rank = priority.zipWithIndex
+          .foldLeft(lit(-(priority.length + 1).toLong)) {
+            case (acc, (s, i)) =>
+              when(col(srcCol) === s, lit(-(i + 1).toLong))
+                .otherwise(acc)
+          }
+        struct(rank.as("k1"), (-col(idCol)).as("k2"))
+      }
+    }
+  }
+
+  /** One surviving "golden" row per entity under `strategy`: all of
+    * `records`' columns ride the max_by struct, so the survivor comes
+    * back whole. `records` must already carry `entityCol` (join
+    * [[resolveEntities]]' mapping back to the records once, then call
+    * this per strategy — the resolution is the expensive part, the
+    * survivor pick is one cheap combinable agg). */
+  def survivors(records: DataFrame, entityCol: String, idCol: String,
+                strategy: Survivorship.Strategy): DataFrame =
+    Windows.topOneByAgg(records, Seq(col(entityCol)),
+      strategy.key(idCol))
+
+  /** [[resolveEntities]] composed with [[survivors]] — the one-call
+    * face when a single strategy is wanted. */
+  def resolveEntitiesSurvivors(df: DataFrame, idCol: String,
+                               strCol: String, maxDist: Int,
+                               strategy: Survivorship.Strategy,
+                               maxIters: Int = 20): DataFrame =
+    survivors(resolveEntities(df, idCol, strCol, maxDist, maxIters)
+      .join(df, idCol), "entity_id", idCol, strategy)
+
   // ------------------------------------------------------------ simhash
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 31).

@@ -1230,4 +1230,38 @@ class NewOpsPropertySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
   }
+
+  test("survivorship strategies pick the golden record per rule: " +
+    "most-complete (length, id tie), most-recent (version), " +
+    "source-priority (ladder order, unlisted sources lose)") {
+    import graft.ops.Dedup.Survivorship
+    // one entity of three records + a singleton
+    val recs = Seq(
+      (10L, 10L, "aaaa x", 3L, "crm"),
+      (10L, 11L, "aaaa",   9L, "unknown"),
+      (10L, 12L, "aaaa y", 9L, "erp"),
+      (20L, 20L, "zzzz",   1L, "unknown"),
+    ).toDF("entity_id", "id", "s", "ver", "src")
+    def pick(st: Survivorship.Strategy): Map[Long, Long] =
+      Dedup.survivors(recs, "entity_id", "id", st)
+        .select("entity_id", "id").as[(Long, Long)].collect().toMap
+    // longest s: ids 10/12 tie at length 6 -> min id 10
+    assert(pick(Survivorship.MostComplete("s")) ==
+      Map(10L -> 10L, 20L -> 20L))
+    // largest ver: ids 11/12 tie at 9 -> min id 11
+    assert(pick(Survivorship.MostRecent("ver")) ==
+      Map(10L -> 11L, 20L -> 20L))
+    // erp outranks crm; "unknown" (unlisted) loses to both; the
+    // singleton's unlisted source still survives (it is alone)
+    assert(pick(Survivorship.SourcePriority("src", Seq("erp", "crm"))) ==
+      Map(10L -> 12L, 20L -> 20L))
+    // one-call face: resolution + survivorship compose (dist-1 chain
+    // collapses to one entity; survivor = most recent)
+    val one = Dedup.resolveEntitiesSurvivors(
+        Seq((1L, "aaaa", 5L), (2L, "aaab", 7L), (3L, "zzzz", 1L))
+          .toDF("id", "s", "ver"),
+        "id", "s", maxDist = 1, Survivorship.MostRecent("ver"))
+      .select("entity_id", "id").as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 2L, 3L -> 3L))
+  }
 }

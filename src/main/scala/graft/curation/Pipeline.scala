@@ -174,7 +174,10 @@ class Pipeline(spark: SparkSession, inputPath: String, outputDir: String,
     val ranked =
       if (config.graphEdgesPath.isEmpty) selected
       else stage("graph_rank") {
-        val teleport = 1000000L * 15 / 100
+        // derived from the SAME defaults pageRank runs with below —
+        // never re-derived inline (it would silently diverge if the
+        // damping/scale defaults ever changed)
+        val teleport = graft.ops.Graph.teleportMicros()
         val rank = graft.ops.Graph.pageRank(
           spark.read.parquet(config.graphEdgesPath.get),
           iters = config.graphRankIters, danglingRedistribute = true)

@@ -112,6 +112,16 @@ object Graph {
     prImpl(edges, iters, microScale, dampNum, dampDen, checkpointEvery,
       seed = None, danglingRedistribute = danglingRedistribute)
 
+  /** The teleport share — [[pageRank]]'s isolated-node FIXPOINT (a node
+    * with no in-edges holds exactly this rank at every iteration).
+    * Exposed so consumers that treat off-graph entities as isolated
+    * nodes (curation's graph_rank stage) derive the constant from the
+    * SAME parameters they pass to pageRank instead of re-deriving it
+    * inline — the two cannot silently diverge when defaults change. */
+  def teleportMicros(microScale: Long = 1000000L, dampNum: Long = 85,
+                     dampDen: Long = 100): Long =
+    microScale * (dampDen - dampNum) / dampDen
+
   /** PERSONALIZED PageRank (Haveliwala 2002, "Topic-Sensitive
     * PageRank"): teleport mass lands ONLY on the seed nodes, so rank
     * measures proximity to the seed set — the crawl-frontier
@@ -420,7 +430,7 @@ object Graph {
     // fail loudly rather than silently uniform-spreading it
     require(seed.isEmpty || !danglingRedistribute,
       "danglingRedistribute is not supported with a seed predicate")
-    val teleport = microScale * (dampDen - dampNum) / dampDen
+    val teleport = teleportMicros(microScale, dampNum, dampDen)
     // seeded: teleport (and the initial rank) lands only where the seed
     // predicate holds; uniform: everywhere
     def gated(amount: Long): Column = seed match {

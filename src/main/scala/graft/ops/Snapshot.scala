@@ -80,6 +80,11 @@ object Snapshot {
                seqCol: String, opCol: String,
                upsertOp: String = "U", deleteOp: String = "D"): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
+    // the provenance column is appended below — a base that already
+    // carries one would pass the shape check (it lands in valueCols)
+    // and then be silently overwritten with "base"/"cdc"
+    require(!base.columns.contains("src"),
+      "base must not carry a 'src' column (reserved for provenance)")
     val valueCols = base.columns.filterNot(keys.contains).toSeq
     val expected = (keys ++ valueCols ++ Seq(seqCol, opCol)).sorted
     require(changes.columns.sorted.toSeq == expected,

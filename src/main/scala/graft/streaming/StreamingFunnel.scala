@@ -65,17 +65,24 @@ object StreamingFunnel {
         else FunnelState(0, Long.MinValue, Long.MinValue, Long.MinValue)
       sorted.foreach { e =>
         val key = (micros(e.ts), e.event_id)
-        if (Ordering[(Long, Long)].lt(key, (cur.hwMicros, cur.hwEid)))
+        if (Ordering[(Long, Long)].lt(key, (cur.hwMicros, cur.hwEid))) {
+          // quarantine ONLY: a late (out-of-order) event must not
+          // mutate funnel state or emit a "step" row — its user is
+          // recomputed by the reconcile path; letting it advance would
+          // put disorder-driven rows in progress()'s trace with no
+          // disorder signal attached
           out += FunnelOut(userId, "late", -1, e.event_type, e.ts,
             e.event_id)
-        else
+        } else {
           cur = cur.copy(hwMicros = key._1, hwEid = key._2)
-        if (cur.stepIdx < steps.length &&
-          e.event_type == steps(cur.stepIdx) &&
-          (cur.stepIdx == 0 || micros(e.ts) > cur.tsMicros)) {
-          out += FunnelOut(userId, "step", cur.stepIdx + 1, e.event_type,
-            e.ts, e.event_id)
-          cur = cur.copy(stepIdx = cur.stepIdx + 1, tsMicros = micros(e.ts))
+          if (cur.stepIdx < steps.length &&
+            e.event_type == steps(cur.stepIdx) &&
+            (cur.stepIdx == 0 || micros(e.ts) > cur.tsMicros)) {
+            out += FunnelOut(userId, "step", cur.stepIdx + 1, e.event_type,
+              e.ts, e.event_id)
+            cur = cur.copy(stepIdx = cur.stepIdx + 1,
+              tsMicros = micros(e.ts))
+          }
         }
       }
       st.update(cur)

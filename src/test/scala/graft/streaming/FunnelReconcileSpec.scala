@@ -124,8 +124,11 @@ class FunnelReconcileSpec extends AnyFunSuite {
 
       val tagged = spark.table("funnel_hand_out").localCheckpoint()
       assert(tagged.filter(col("kind") === "late").count() == 1)
-      // stream alone: only the (late-arriving) view advanced
-      assert(tagged.filter(col("kind") === "step").count() == 1)
+      // stream alone: NOTHING advanced — the view is late (behind the
+      // click's high-water mark) so it is quarantined only, never
+      // mutating funnel state; progress()'s trace therefore carries no
+      // disorder-driven rows, and the repair below recovers both steps
+      assert(tagged.filter(col("kind") === "step").count() == 0)
 
       val full = spark.read.parquet(dir)
         .select(col("user_id"), col("event_id"), col("ts"),

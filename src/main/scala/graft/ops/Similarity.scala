@@ -92,6 +92,58 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Deterministic Householder unit vectors (seeded) — the rotation
+    * family for [[opqRotate]]. `private[graft]` for the same oracle-
+    * embedding reason as [[hyperplanes]]. */
+  private[graft] def householderVectors(reflections: Int,
+                                        dim: Int): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(11)
+    Seq.fill(reflections) {
+      val u = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(u.map(x => x * x).sum)
+      u.map(_ / n)
+    }
+  }
+
+  /** OPQ-STYLE fixed rotation before product quantization (Ge et al.
+    * 2013's optimized PQ premise, the non-learned form: a seeded
+    * orthonormal rotation decorrelates/balances energy across the m
+    * subspaces; FAISS ships the same idea as OPQMatrix / random
+    * pre-rotation). R is a product of `reflections` Householder
+    * reflections H = I − 2uuᵀ with [[householderVectors]]' seeded unit
+    * vectors — exactly orthonormal by construction (up to float
+    * rounding), so L2 distances are preserved and PQ in the rotated
+    * space targets the SAME neighbor ranking. Each reflection is one
+    * projection stage (v := v − 2(u·v)u via zip_with), materialized
+    * per reflection so the expression tree stays linear in
+    * `reflections`. Per-row map work, no shuffle.
+    *
+    * Measured (RecallProbe, PQ m=8 k=64 iters=3, L2 truth): recall@5
+    * 0.22 → 0.21 on the isotropic sf embeddings (already balanced —
+    * nothing for a rotation to fix) and 0.15 → 0.12 on the 16-cluster
+    * corpus (its structure is axis-aligned, which plain PQ's
+    * coordinate subspaces exploit directly; rotating smears it across
+    * subspaces). NO registered query face — the seeded non-learned
+    * rotation only pays off when subspace energies are unbalanced,
+    * which neither test corpus exhibits; the op stays available for
+    * corpora that are (e.g. PCA-projected embeddings, whose leading
+    * dims dominate). A LEARNED R (full OPQ, alternating Procrustes)
+    * is the documented next step if such a corpus shows up. */
+  def opqRotate(df: DataFrame, vecCol: String, reflections: Int = 4,
+                dim: Int = 64): DataFrame = {
+    require(reflections >= 1, "need reflections >= 1")
+    householderVectors(reflections, dim).foldLeft(
+      df.withColumn(vecCol, asDouble(col(vecCol)))) { (d, uArr) =>
+        val u = array(uArr.map(lit).toIndexedSeq: _*)
+        d.withColumn("__hdot",
+            aggregate(zip_with(col(vecCol), u, (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x))
+          .withColumn(vecCol, zip_with(col(vecCol), u,
+            (x, uc) => x - lit(2.0) * col("__hdot") * uc))
+          .drop("__hdot")
+    }
+  }
+
   /** Random-hyperplane LSH signature (nBits) of a vector column — the
     * native [[graft.functions.HyperplaneSig]] expression (one codegen'd
     * nested loop per row; the HOF baseline below evaluates nBits×dim

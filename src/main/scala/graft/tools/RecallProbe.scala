@@ -126,6 +126,18 @@ object RecallProbe {
       }
       println(f"IVFPQ recall@5 (L2 truth) raw=${recallL2(raw)}%.3f " +
         f"residual=${recallL2(res)}%.3f")
+      // OPQ-style pre-rotation (stretch probe): plain PQ vs PQ over the
+      // Householder-rotated corpus, both vs the SAME L2 truth (the
+      // rotation is orthonormal, so true neighbors are unchanged)
+      val pqPlain = topSets(graft.ops.Similarity.pqTopK(
+        emb, "vec_id", "embedding", m = 8, k = 64, trainIters = 3,
+        topK = 5, queryStride = 100, trainStride = 4))
+      val pqRot = topSets(graft.ops.Similarity.pqTopK(
+        graft.ops.Similarity.opqRotate(emb, "embedding"), "vec_id",
+        "embedding", m = 8, k = 64, trainIters = 3, topK = 5,
+        queryStride = 100, trainStride = 4))
+      println(f"PQ recall@5 (L2 truth) plain=${recallL2(pqPlain)}%.3f " +
+        f"opq-rotated=${recallL2(pqRot)}%.3f")
     }
     // Same comparison on a CLUSTERED corpus (16 well-separated centers,
     // small within-cluster noise — the regime residual encoding exists
@@ -174,6 +186,15 @@ object RecallProbe {
         trainStride = 4))
       println(f"IVFPQ recall@5 CLUSTERED (L2 truth) raw=${recallL2(raw)}%.3f " +
         f"residual=${recallL2(res)}%.3f (same params, same bytes)")
+      val pqPlain = topSets(graft.ops.Similarity.pqTopK(
+        clustered, "vec_id", "embedding", m = 8, k = 64, trainIters = 3,
+        topK = 5, queryStride = 100, trainStride = 4))
+      val pqRot = topSets(graft.ops.Similarity.pqTopK(
+        graft.ops.Similarity.opqRotate(clustered, "embedding"), "vec_id",
+        "embedding", m = 8, k = 64, trainIters = 3, topK = 5,
+        queryStride = 100, trainStride = 4))
+      println(f"PQ recall@5 CLUSTERED (L2 truth) plain=${recallL2(pqPlain)}%.3f " +
+        f"opq-rotated=${recallL2(pqRot)}%.3f")
     }
     spark.stop()
   }

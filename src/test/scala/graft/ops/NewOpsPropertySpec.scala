@@ -1231,6 +1231,26 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
   }
 
+  test("opqRotate is orthonormal: pairwise L2 distances are preserved " +
+    "(to float rounding) and the map is not the identity") {
+    val vecs = Seq(
+      (1L, Array(1.0, 2.0, -3.0, 0.5)),
+      (2L, Array(-2.0, 0.0, 1.0, 4.0)),
+      (3L, Array(0.0, 0.0, 0.0, 1.0)),
+    ).toDF("vec_id", "embedding")
+    val rot = graft.ops.Similarity.opqRotate(vecs, "embedding",
+        reflections = 3, dim = 4)
+      .as[(Long, Array[Double])].collect().toMap
+    val orig = vecs.as[(Long, Array[Double])].collect().toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- orig.keys; j <- orig.keys if i < j)
+      assert(math.abs(d2(orig(i), orig(j)) - d2(rot(i), rot(j))) < 1e-9,
+        s"distance ($i,$j) not preserved")
+    assert(orig.keys.exists(i => d2(orig(i), rot(i)) > 1e-6),
+      "rotation must not be the identity")
+  }
+
   test("survivorship strategies pick the golden record per rule: " +
     "most-complete (length, id tie), most-recent (version), " +
     "source-priority (ladder order, unlisted sources lose)") {

@@ -1520,6 +1520,14 @@ object SparkEntry {
     DataQuality.chi2Independence(t(s, dir, "orders"), "o_orderpriority",
       "o_orderstatus")
 
+  /** Exact ROC AUC (Mann–Whitney rank-sum, average-rank ties) per
+    * source: does document length separate English from non-English —
+    * the quality-classifier calibration eval, integer-exact numerator
+    * (2U) plus the one round-4 division. */
+  private def qRankSumAuc(s: SparkSession, dir: String): DataFrame =
+    DataQuality.rankSumAuc(t(s, dir, "documents"), "source", "n_chars",
+      col("lang") === "en")
+
   /** The stream-stream interval join's BATCH face, oracle-checked:
     * clicks joined to same-user purchases within 1 h after. The
     * streaming face (two-sided watermarks, built-in join) is pinned
@@ -1885,6 +1893,7 @@ object SparkEntry {
     "q157_interval_join" -> (qIntervalJoin _),
     "q158_ivfpq_residual" -> (qIvfPqResidual _),
     "q159_er_survivorship" -> (qErSurvivorship _),
+    "q160_rank_sum_auc" -> (qRankSumAuc _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2986,6 +2995,26 @@ object SparkEntry {
          JOIN compl c ON c.entity_id = a.entity_id AND c.rn = 1
          JOIN rec r ON r.entity_id = a.entity_id AND r.rn = 1
          JOIN prio pp ON pp.entity_id = a.entity_id AND pp.rn = 1""",
+    "q160_rank_sum_auc" ->
+      """WITH per AS (SELECT source, n_chars AS s, count(*) AS cnt,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+           FROM documents GROUP BY 1, 2),
+         c AS (SELECT source, s, cnt, pos,
+             COALESCE(sum(cnt) OVER (PARTITION BY source ORDER BY s ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+           FROM per),
+         a AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+             CAST(sum(pos * (2 * cum + cnt + 1)) AS BIGINT) AS r2
+           FROM c GROUP BY 1)
+         SELECT source, n_pos, n_neg,
+           r2 - n_pos * (n_pos + 1) AS u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * n_neg AS DOUBLE), 4) END AS auc
+         FROM a""",
     "q134_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

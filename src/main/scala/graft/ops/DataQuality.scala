@@ -149,6 +149,49 @@ object DataQuality {
           .as("chi2_term"))
   }
 
+  /** EXACT ROC AUC via the Mann–Whitney rank-sum identity (Hanley &
+    * McNeil 1982): AUC = U / (n⁺·n⁻) with U = R⁺ − n⁺(n⁺+1)/2, average
+    * ranks on ties — the standard "does this score separate the
+    * classes" eval for quality-classifier calibration, computed exactly
+    * (no sampling, no histogram binning).
+    *
+    * Determinism: the distinct-value collapse (the q148 weighted-median
+    * trick) makes ties exact — per distinct score: cnt, pos, and
+    * cum = rows strictly below; the average rank of that tie group is
+    * cum + (cnt+1)/2, so 2·R⁺ = Σ pos·(2·cum + cnt + 1) stays INTEGER
+    * (the ½s cancel), and 2U = 2R⁺ − n⁺(n⁺+1) is the exact integer
+    * numerator both engines agree on bit-for-bit; the one double
+    * division rounds to 4. Zero-class groups emit NULL, never NaN.
+    *
+    * Scale shape: ONE combinable (group, score) count aggregation —
+    * the corpus collapses to its distinct scores before anything else —
+    * then a window over DISTINCT scores per group (bounded by score
+    * cardinality, not row count; quality scores are quantized in
+    * practice) and one combinable final agg. `scoreCol` must be
+    * exact-valued (integer-like); floats with ulp noise would make tie
+    * groups engine-dependent. */
+  def rankSumAuc(df: DataFrame, groupCol: String, scoreCol: String,
+                 labelCol: Column): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("s").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val u2 = col("r2") - col("n_pos") * (col("n_pos") + 1)
+    per.withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(col("cnt") - col("pos")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cum") + col("cnt") + 1)).as("r2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        u2.as("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(u2.cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 4))
+          .as("auc"))
+  }
+
   def benfordDigits(df: DataFrame, groupCol: String,
                     valCol: String): DataFrame = {
     val cents = round(col(valCol) * 100).cast("long")

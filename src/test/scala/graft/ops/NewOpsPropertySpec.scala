@@ -1231,6 +1231,28 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
   }
 
+  test("rankSumAuc: perfect separation = 1, reversal = 0, all-tied = 0.5, " +
+    "interleaved ties take average ranks, one-class groups emit NULL") {
+    import graft.ops.DataQuality
+    val rows = Seq(
+      // g1: positives {3,4} above negatives {1,2} -> AUC 1
+      ("g1", 1L, false), ("g1", 2L, false), ("g1", 3L, true), ("g1", 4L, true),
+      // g2: positives {1,2} below negatives {3,4} -> AUC 0
+      ("g2", 1L, true), ("g2", 2L, true), ("g2", 3L, false), ("g2", 4L, false),
+      // g3: every score tied -> AUC 0.5 exactly (average ranks)
+      ("g3", 7L, true), ("g3", 7L, false), ("g3", 7L, true), ("g3", 7L, false),
+      // g4: pos at {1,3}, neg at {2,3}: pairs (1,2)=0 (1,3)=0 (3,2)=1
+      // (3,3)=0.5 -> U = 1.5, AUC = 1.5/4 = 0.375
+      ("g4", 1L, true), ("g4", 3L, true), ("g4", 2L, false), ("g4", 3L, false),
+      // g5: one class only -> NULL
+      ("g5", 1L, true), ("g5", 2L, true),
+    ).toDF("g", "score", "is_pos")
+    val got = DataQuality.rankSumAuc(rows, "g", "score", col("is_pos"))
+      .select("g", "auc").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("g1" -> Some(1.0), "g2" -> Some(0.0),
+      "g3" -> Some(0.5), "g4" -> Some(0.375), "g5" -> None))
+  }
+
   test("opqRotate is orthonormal: pairwise L2 distances are preserved " +
     "(to float rounding) and the map is not the identity") {
     val vecs = Seq(

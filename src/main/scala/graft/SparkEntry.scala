@@ -1520,6 +1520,19 @@ object SparkEntry {
     DataQuality.chi2Independence(t(s, dir, "orders"), "o_orderpriority",
       "o_orderstatus")
 
+  /** Frequent contiguous event sequences (PrefixSpan's contiguous
+    * case): length-2/3 type n-grams per user stream, support = distinct
+    * users containing the gram, support ≥ 5. */
+  private def qFrequentSequences(s: SparkSession, dir: String): DataFrame =
+    Events.frequentSequences(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", maxLen = 3, minSupport = 5L)
+
+  /** Per-type OLS trend of the daily event-count series — exact
+    * integer moments, one round-4 division each for slope/intercept;
+    * the least-squares complement to q143's Theil–Sen. */
+  private def qDailyTrend(s: SparkSession, dir: String): DataFrame =
+    Events.dailyTrend(Events.load(s, dir), "event_type", "ts")
+
   /** Exact ROC AUC (Mann–Whitney rank-sum, average-rank ties) per
     * source: does document length separate English from non-English —
     * the quality-classifier calibration eval, integer-exact numerator
@@ -1894,6 +1907,8 @@ object SparkEntry {
     "q158_ivfpq_residual" -> (qIvfPqResidual _),
     "q159_er_survivorship" -> (qErSurvivorship _),
     "q160_rank_sum_auc" -> (qRankSumAuc _),
+    "q161_frequent_sequences" -> (qFrequentSequences _),
+    "q162_daily_trend" -> (qDailyTrend _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3015,6 +3030,41 @@ object SparkEntry {
              round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
                / CAST(2 * n_pos * n_neg AS DOUBLE), 4) END AS auc
          FROM a""",
+    "q161_frequent_sequences" ->
+      """WITH s AS (SELECT user_id, event_type AS t0,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS t1,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS t2
+           FROM events),
+         g AS (SELECT DISTINCT user_id, CAST(2 AS BIGINT) AS len,
+             t0 || '>' || t1 AS gram
+           FROM s WHERE t1 IS NOT NULL
+           UNION
+           SELECT DISTINCT user_id, CAST(3 AS BIGINT) AS len,
+             t0 || '>' || t1 || '>' || t2 AS gram
+           FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL)
+         SELECT len, gram, count(*) AS support
+         FROM g GROUP BY 1, 2 HAVING count(*) >= 5""",
+    "q162_daily_trend" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS x,
+             count(*) AS y
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT event_type, n AS n_days,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0 END AS slope,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0 END
+             AS intercept
+         FROM m""",
     "q134_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -356,6 +356,40 @@ object Events {
         expr("n * 1000000L div tot").as("p_micros"))
   }
 
+  /** FREQUENT CONTIGUOUS EVENT SEQUENCES (PrefixSpan's contiguous
+    * special case, the n-gram form every clickstream miner ships):
+    * per-user event streams in (ts, ord) order yield their length-2..n
+    * contiguous type n-grams; SUPPORT counts DISTINCT USERS containing
+    * the gram (the sequential-mining convention — one user repeating a
+    * path doesn't inflate it); grams below `minSupport` drop.
+    *
+    * Scale shape: ONE shuffle on the user key, all n-gram lengths from
+    * the SAME window pass (lead(1)..lead(n−1) share the sort), per-user
+    * distinct + the support count both combinable hash aggs. Output is
+    * bounded by distinct gram volume, never row volume. Integer counts
+    * — engine-exact. */
+  def frequentSequences(events: DataFrame, userCol: String, tsCol: String,
+                        ordCol: String, typeCol: String, maxLen: Int = 3,
+                        minSupport: Long = 1L): DataFrame = {
+    require(maxLen >= 2, "need maxLen >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    val leads = events.select(
+      (col(userCol) +: (0 until maxLen).map(i =>
+        (if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+          .as(s"t$i"))): _*)
+    val grams = (2 to maxLen).map { n =>
+      leads.filter((1 until n).map(i => col(s"t$i").isNotNull)
+          .reduce(_ && _))
+        .select(col(userCol), lit(n.toLong).as("len"),
+          concat_ws(">", (0 until n).map(i => col(s"t$i")): _*).as("gram"))
+    }.reduce(_ unionByName _)
+    grams.distinct()
+      .groupBy(col("len"), col("gram"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** GINI CONCENTRATION per group — the inequality screen a corpus
     * monitor runs on any mass distribution (spend per user here; tokens
     * per source, docs per domain in a curation pipeline): G = 0 is
@@ -403,6 +437,42 @@ object Events {
     * Scale shape: daily rollup first (the log collapses before
     * anything joins), then ONE self-equi-join on (group, day+lag) per
     * the exploded lag list — output is |groups|·k rows. */
+  /** Per-group OLS TREND of the daily count series — the least-squares
+    * complement to [[theilSenTrend]]'s robust slope (classic trade:
+    * OLS is the BLUE estimator under iid noise, Theil–Sen survives
+    * outliers): slope and intercept from the five EXACT integer
+    * moments (n, Σx, Σy, Σxy, Σxx over day-index x and daily count y),
+    * one round-4 double division each, signed-zero canonicalized (a
+    * flat series legitimately rounds to −0.0 from below). Single-day
+    * groups (denominator 0) emit NULL — never a NaN face.
+    *
+    * Scale shape: the daily rollup collapses the log first (combinable
+    * count), then ONE combinable moment aggregation per group — no
+    * window, no join. */
+  def dailyTrend(events: DataFrame, groupCol: String,
+                 tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("x"))
+      .groupBy(col(groupCol), col("x"))
+      .agg(count(lit(1)).as("y"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    daily.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(groupCol), col("n").as("n_days"),
+        when(den =!= 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / den.cast("double"), 4) + lit(0.0))
+          .as("slope"),
+        when(den =!= 0,
+          round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / den.cast("double"), 4) + lit(0.0))
+          .as("intercept"))
+  }
+
   def dailyAutocorrelation(events: DataFrame, groupCol: String,
                            tsCol: String, maxLag: Int = 3): DataFrame = {
     val spark = events.sparkSession

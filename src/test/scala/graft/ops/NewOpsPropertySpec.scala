@@ -1231,6 +1231,44 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
   }
 
+  test("frequentSequences: user-distinct support (a user repeating a " +
+    "path counts once), minSupport prunes, bigrams+trigrams from one " +
+    "ordered stream") {
+    val ev = Seq(
+      // user 1: a b a b -> bigrams a>b (x2, counts once), b>a; trigrams
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (1L, 4L, 4L, "b"),
+      // user 2: a b c
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"), (2L, 3L, 7L, "c"),
+    ).toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = graft.ops.Events.frequentSequences(ev, "user_id", "ts",
+        "event_id", "event_type", maxLen = 3, minSupport = 2L)
+      .as[(Long, String, Long)].collect().toSet
+    // only a>b is shared by both users; everything else has support 1
+    assert(got == Set((2L, "a>b", 2L)))
+  }
+
+  test("dailyTrend: exact slope/intercept on a hand series; " +
+    "single-day groups emit NULL") {
+    val ev = Seq(
+      // g: counts 1,2,3 on consecutive days -> slope 1 exactly
+      (1L, "2024-01-01 00:00:00", "g"),
+      (2L, "2024-01-02 00:00:00", "g"), (3L, "2024-01-02 01:00:00", "g"),
+      (4L, "2024-01-03 00:00:00", "g"), (5L, "2024-01-03 01:00:00", "g"),
+      (6L, "2024-01-03 02:00:00", "g"),
+      // h: one day only
+      (7L, "2024-01-01 00:00:00", "h"),
+    ).toDF("event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = graft.ops.Events.dailyTrend(ev, "event_type", "ts")
+      .select("event_type", "n_days", "slope")
+      .as[(String, Long, Option[Double])].collect()
+      .map { case (t, n, s) => t -> ((n, s)) }.toMap
+    assert(got("g") == (3L, Some(1.0)))
+    assert(got("h") == (1L, None))
+  }
+
   test("rankSumAuc: perfect separation = 1, reversal = 0, all-tied = 0.5, " +
     "interleaved ties take average ranks, one-class groups emit NULL") {
     import graft.ops.DataQuality

@@ -1533,6 +1533,16 @@ object SparkEntry {
   private def qDailyTrend(s: SparkSession, dir: String): DataFrame =
     Events.dailyTrend(Events.load(s, dir), "event_type", "ts")
 
+  /** Quantile normalization of per-source doc length onto the pooled
+    * distribution (Bolstad's microarray move for cross-corpus quality
+    * calibration) — all-integer grid mapping, the normalized score IS
+    * a pooled value. */
+  private def qQuantileNormalize(s: SparkSession, dir: String): DataFrame =
+    DataQuality.quantileNormalize(t(s, dir, "documents"), "doc_id",
+        "source", "n_chars", gridSize = 100)
+      .select(col("id").as("doc_id"), col("grp").as("source"),
+        col("v").as("n_chars"), col("norm").as("norm_chars"))
+
   /** Exact ROC AUC (Mann–Whitney rank-sum, average-rank ties) per
     * source: does document length separate English from non-English —
     * the quality-classifier calibration eval, integer-exact numerator
@@ -1909,6 +1919,7 @@ object SparkEntry {
     "q160_rank_sum_auc" -> (qRankSumAuc _),
     "q161_frequent_sequences" -> (qFrequentSequences _),
     "q162_daily_trend" -> (qDailyTrend _),
+    "q163_quantile_normalize" -> (qQuantileNormalize _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3065,6 +3076,34 @@ object SparkEntry {
                / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0 END
              AS intercept
          FROM m""",
+    "q163_quantile_normalize" ->
+      """WITH rws AS (SELECT doc_id AS id, source AS grp,
+             CAST(n_chars AS BIGINT) AS v FROM documents),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rws),
+         pooled AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM rws
+           GROUP BY 1),
+         cumd AS (SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM pooled),
+         gv0 AS (SELECT v,
+             (200 * (cum - cnt) + nn) // (2 * nn) AS glo,
+             CASE WHEN 200 * cum >= nn
+               THEN (200 * cum - nn) // (2 * nn) ELSE -1 END AS ghi
+           FROM cumd CROSS JOIN tot),
+         gridv AS (SELECT u.gq, v AS norm
+           FROM gv0, UNNEST(range(glo, ghi + 1)) u(gq)
+           WHERE glo <= ghi),
+         ranked AS (SELECT id, grp, v,
+             CAST(row_number() OVER (PARTITION BY grp
+               ORDER BY v ASC, id ASC) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS gn
+           FROM rws)
+         SELECT id AS doc_id, grp AS source, v AS n_chars, norm
+           AS norm_chars
+         FROM ranked JOIN gridv
+           ON gridv.gq = ((2 * i - 1) * 100) // (2 * gn)""",
     "q134_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -192,6 +192,61 @@ object DataQuality {
           .as("auc"))
   }
 
+  /** QUANTILE NORMALIZATION of a per-group score onto the POOLED
+    * distribution (Bolstad et al. 2003's microarray move, reused
+    * verbatim for calibrating quality scores across corpora: a "0.8
+    * from source A" and a "0.8 from source B" rarely mean the same
+    * thing; after normalization equal ranks mean equal values): each
+    * row's within-group midpoint rank q = (2i−1)/(2n) maps to the
+    * pooled distribution's value at that quantile, discretized to a
+    * `gridSize`-point grid.
+    *
+    * ALL-INTEGER: the grid assignment is ((2i−1)·G) div (2n); the
+    * pooled grid value for point g is the smallest v whose cumulative
+    * count satisfies 2G·cum ≥ (2g+1)·N — computed by giving each
+    * distinct value its OWN g-range [(2G·cumPrev+N) div 2N,
+    * (2G·cum−N) div 2N] and exploding it (exactly G rows total, every
+    * operand non-negative so truncating and flooring division agree
+    * across engines). No float appears anywhere; the normalized score
+    * IS a pooled value.
+    *
+    * Scale shape: pooled side collapses to distinct values (ONE
+    * combinable count agg) before its single-partition cumulative
+    * window — bounded by score cardinality, the q148/q160 distinct-
+    * value precedent; the grid (`gridSize` rows) broadcasts back onto
+    * the row side, whose only shuffle is the per-group rank window. */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        valCol: String, gridSize: Int = 100): DataFrame = {
+    require(gridSize >= 1, "need gridSize >= 1")
+    val g2 = lit(2L * gridSize)
+    val rows = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      col(valCol).cast("long").as("v"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val gridVals = rows.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("nn"))))
+      .select(col("v"),
+        expr(s"(${2L * gridSize} * (cum - cnt) + nn) div (2 * nn)")
+          .as("glo"),
+        when(g2 * col("cum") >= col("nn"),
+          expr(s"(${2L * gridSize} * cum - nn) div (2 * nn)"))
+          .otherwise(lit(-1L)).as("ghi"))
+      .filter(col("glo") <= col("ghi"))
+      .select(col("v"), explode(sequence(col("glo"), col("ghi")))
+        .as("gq"))
+      .select(col("gq"), col("v").as("norm"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v").asc, col("id").asc)
+    val szs = rows.groupBy(col("grp")).agg(count(lit(1)).as("gn"))
+    rows.withColumn("i", row_number().over(wg).cast("long"))
+      .join(broadcast(szs), "grp")
+      .withColumn("gq",
+        expr(s"((2 * i - 1) * $gridSize) div (2 * gn)"))
+      .join(broadcast(gridVals), Seq("gq"))
+      .select(col("id"), col("grp"), col("v"), col("norm"))
+  }
+
   def benfordDigits(df: DataFrame, groupCol: String,
                     valCol: String): DataFrame = {
     val cents = round(col(valCol) * 100).cast("long")

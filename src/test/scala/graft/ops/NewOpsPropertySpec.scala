@@ -1269,6 +1269,32 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got("h") == (1L, None))
   }
 
+  test("quantileNormalize: identity at grid resolution on one group, " +
+    "and equal within-group ranks get EQUAL pooled values across " +
+    "groups (the calibration property)") {
+    import graft.ops.DataQuality
+    // one group, distinct values, gridSize == n -> exact identity
+    val one = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "a", 40L)).toDF("id", "g", "v")
+    val idGot = DataQuality.quantileNormalize(one, "id", "g", "v",
+        gridSize = 4)
+      .select("v", "norm").as[(Long, Long)].collect().toMap
+    assert(idGot == Map(10L -> 10L, 20L -> 20L, 30L -> 30L, 40L -> 40L))
+    // two groups on disjoint scales: after normalization, rank k in A
+    // and rank k in B land on the SAME pooled value
+    val two = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (11L, "b", 101L), (12L, "b", 102L), (13L, "b", 103L))
+      .toDF("id", "g", "v")
+    val norm = DataQuality.quantileNormalize(two, "id", "g", "v",
+        gridSize = 2)
+      .select("id", "norm").as[(Long, Long)].collect().toMap
+    for (k <- 1 to 3)
+      assert(norm(k.toLong) == norm(10L + k),
+        s"rank $k: ${norm(k.toLong)} vs ${norm(10L + k)}")
+    // monotone within a group
+    assert(norm(1L) <= norm(2L) && norm(2L) <= norm(3L))
+  }
+
   test("rankSumAuc: perfect separation = 1, reversal = 0, all-tied = 0.5, " +
     "interleaved ties take average ranks, one-class groups emit NULL") {
     import graft.ops.DataQuality

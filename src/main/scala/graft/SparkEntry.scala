@@ -1533,6 +1533,14 @@ object SparkEntry {
   private def qDailyTrend(s: SparkSession, dir: String): DataFrame =
     Events.dailyTrend(Events.load(s, dir), "event_type", "ts")
 
+  /** Curriculum interleave: global training order that round-robins
+    * the per-source quality-sorted streams (skipping exhausted
+    * sources) — closed-form position from the broadcast size table,
+    * never a single-partition global sort. */
+  private def qCurriculumInterleave(s: SparkSession, dir: String): DataFrame =
+    Sampling.curriculumInterleave(t(s, dir, "documents"), "doc_id",
+      "source", "n_chars")
+
   /** Quantile normalization of per-source doc length onto the pooled
     * distribution (Bolstad's microarray move for cross-corpus quality
     * calibration) — all-integer grid mapping, the normalized score IS
@@ -1920,6 +1928,7 @@ object SparkEntry {
     "q161_frequent_sequences" -> (qFrequentSequences _),
     "q162_daily_trend" -> (qDailyTrend _),
     "q163_quantile_normalize" -> (qQuantileNormalize _),
+    "q164_curriculum_interleave" -> (qCurriculumInterleave _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3104,6 +3113,19 @@ object SparkEntry {
            AS norm_chars
          FROM ranked JOIN gridv
            ON gridv.gq = ((2 * i - 1) * 100) // (2 * gn)""",
+    "q164_curriculum_interleave" ->
+      """WITH ranked AS (SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS r
+           FROM documents),
+         sizes AS (SELECT source AS s2, CAST(count(*) AS BIGINT) AS n2
+           FROM documents GROUP BY 1)
+         SELECT doc_id, source, n_chars, r AS source_rank,
+           CAST(sum(least(r - 1, n2)
+             + CASE WHEN n2 >= r AND s2 <= source THEN 1 ELSE 0 END)
+             AS BIGINT) AS pos
+         FROM ranked CROSS JOIN sizes
+         GROUP BY doc_id, source, n_chars, r""",
     "q134_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

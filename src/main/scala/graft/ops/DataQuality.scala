@@ -199,7 +199,10 @@ object DataQuality {
     * thing; after normalization equal ranks mean equal values): each
     * row's within-group midpoint rank q = (2i−1)/(2n) maps to the
     * pooled distribution's value at that quantile, discretized to a
-    * `gridSize`-point grid.
+    * `gridSize`-point grid. ([[graft.ops.Sampling.quantileNormalize]]
+    * stops at the within-group percentile itself — a fraction; this op
+    * goes the further Bolstad step and lands every group on the POOLED
+    * VALUE scale, so thresholds stay in score units.)
     *
     * ALL-INTEGER: the grid assignment is ((2i−1)·G) div (2n); the
     * pooled grid value for point g is the smallest v whose cumulative

@@ -342,6 +342,46 @@ object Sampling {
     df.withColumn(outCol, round(percent_rank().over(w), 6))
   }
 
+  /** CURRICULUM INTERLEAVE — the deterministic training-order
+    * scheduler: within each source, docs order by (quality DESC, key
+    * ASC); globally, round r takes every surviving source's rank-r doc
+    * in source order (round-robin that skips exhausted sources) — the
+    * standard "interleave the per-source quality-sorted streams" batch
+    * schedule that keeps every mixture component present from the
+    * first batch onward instead of concatenating corpora.
+    *
+    * The global position is CLOSED-FORM, no global sort:
+    *   pos(s, r) = Σ_{s'} [ min(r−1, n_{s'}) + 1{n_{s'} ≥ r, s' ≤ s} ]
+    * (docs of earlier rounds from all sources, plus this round's
+    * sources at-or-before s). Every term is an integer over the
+    * per-source size table.
+    *
+    * Scale shape: ONE window per source for the rank (the shuffle),
+    * then each ranked row meets the broadcast per-source size table —
+    * bounded by SOURCE CARDINALITY, not rows (the mixture components
+    * of a training set are tens, not millions; same bounded-dim
+    * argument as mixtureBySource's rate table) — and one combinable
+    * sum. Never a single-partition global ordering, which is how a
+    * naive row_number-over-everything would compute the same thing. */
+  def curriculumInterleave(df: DataFrame, keyCol: String,
+                           sourceCol: String,
+                           qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(qualityCol).desc, col(keyCol).asc)
+    val ranked = df.select(col(keyCol), col(sourceCol), col(qualityCol))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val sizes = df.groupBy(col(sourceCol).as("__s2"))
+      .agg(count(lit(1)).as("__n2"))
+    ranked.join(broadcast(sizes), lit(true))
+      .groupBy(col(keyCol), col(sourceCol), col(qualityCol), col("r"))
+      .agg(sum(least(col("r") - 1, col("__n2")) +
+        when(col("__n2") >= col("r") &&
+          col("__s2") <= col(sourceCol), 1L).otherwise(0L)).as("pos"))
+      .select(col(keyCol), col(sourceCol), col(qualityCol),
+        col("r").as("source_rank"), col("pos"))
+  }
+
   /** Deterministic global shuffle + shard assignment — the "write the
     * training set in randomized order across N shards" step. Every row
     * gets shard = draw % nShards and pos = its rank within the shard by

@@ -1269,6 +1269,23 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got("h") == (1L, None))
   }
 
+  test("curriculumInterleave: round-robin of quality-sorted streams, " +
+    "skipping exhausted sources; pos is the exact permutation a global " +
+    "(round, source) sort would give — without the global sort") {
+    val docs = Seq(
+      (1L, "a", 30L), (2L, "a", 20L), (3L, "a", 10L), // ranks 1,2,3
+      (4L, "b", 99L), (5L, "b", 1L),                  // ranks 1,2
+      (6L, "c", 50L),                                 // rank 1
+    ).toDF("doc_id", "source", "q")
+    val got = graft.ops.Sampling.curriculumInterleave(docs, "doc_id",
+        "source", "q")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    // rounds: (a1,b1,c1), (a2,b2 — c exhausted), (a3)
+    assert(got == Map(1L -> 1L, 4L -> 2L, 6L -> 3L,
+      2L -> 4L, 5L -> 5L, 3L -> 6L))
+    assert(got.values.toSet == (1L to 6L).toSet, "pos is a permutation")
+  }
+
   test("quantileNormalize: identity at grid resolution on one group, " +
     "and equal within-group ranks get EQUAL pooled values across " +
     "groups (the calibration property)") {

@@ -380,6 +380,59 @@ object OracleGen {
        WHERE rn <= $k"""
   }
 
+  /** Oracle for `Similarity.retrievalEval` over the LSH run vs the
+    * brute-force truth (q165): MRR/NDCG@k with the DCG weights and
+    * their prefix sums taken from the ONE Scala definition
+    * (`Similarity.ndcgWeightMicros` — no engine computes a log at
+    * query time; the poissonThresholds constant-embedding precedent). */
+  def retrievalEvalSql(nBits: Int, dim: Int, k: Int,
+                       stride: Long): String = {
+    val w = graft.ops.Similarity.ndcgWeightMicros.take(k)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val wts = w.zip(prefix).zipWithIndex
+      .map { case ((wm, pm), i) => s"(${i + 1}, $wm, $pm)" }
+      .mkString(", ")
+    s"""WITH run0 AS (SELECT query_id, cand_id, cos
+         FROM (${annLshSql(nBits, dim, k, queryStride = stride)})),
+       run AS (SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cand_id ASC) AS rnk
+         FROM run0),
+       e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       q AS (SELECT id AS query_id, v AS qv FROM e
+         WHERE id % $stride = 0),
+       bp AS (SELECT query_id, e.id AS cand_id,
+           ${cosSql("q.qv", "e.v")} AS cos
+         FROM e, q WHERE e.id <> query_id),
+       tru AS (SELECT query_id, cand_id FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rn FROM bp)
+         WHERE rn <= $k),
+       wts(rnk, wm, pm) AS (VALUES $wts),
+       marked AS (SELECT r.query_id, r.rnk,
+           CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         FROM run r LEFT JOIN tru t ON t.query_id = r.query_id
+           AND t.cand_id = r.cand_id),
+       per AS (SELECT m.query_id,
+           CAST(sum(rel) AS BIGINT) AS hits_at_k,
+           min(CASE WHEN rel = 1 THEN m.rnk END) AS first_rel,
+           CAST(sum(CASE WHEN rel = 1 THEN w.wm ELSE 0 END) AS BIGINT)
+             AS dcg_micros
+         FROM marked m JOIN wts w ON w.rnk = m.rnk GROUP BY 1),
+       nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         FROM tru GROUP BY 1)
+       SELECT n.query_id, n.n_rel,
+         COALESCE(hits_at_k, 0) AS hits_at_k,
+         COALESCE(CASE WHEN first_rel IS NOT NULL
+           THEN 1000000 // first_rel END, 0) AS rr_micros,
+         COALESCE(dcg_micros, 0) AS dcg_micros,
+         round(CAST(COALESCE(dcg_micros, 0) AS DOUBLE)
+           / CAST(pw.pm AS DOUBLE), 4) AS ndcg
+       FROM nrel n LEFT JOIN per ON per.query_id = n.query_id
+       JOIN wts pw ON pw.rnk = least($k, n.n_rel)"""
+  }
+
   /** Oracle for `Similarity.rrfFuse` over the brute-force + LSH runs
     * (q98): both runs re-ranked by (cos DESC, cand ASC), fused by
     * Σ 1/(c + rank), top-fuseK per query. The LSH run restricts to the

@@ -1533,6 +1533,26 @@ object SparkEntry {
   private def qDailyTrend(s: SparkSession, dir: String): DataFrame =
     Events.dailyTrend(Events.load(s, dir), "event_type", "ts")
 
+  /** Retrieval eval: MRR / NDCG@5 / hits@5 of the LSH ANN run against
+    * the brute-force truth per query — the IR monitoring triple as a
+    * checked relation (RecallProbe's measurement made contractual).
+    * DCG weights are build-time integer micros shared with the oracle;
+    * the one float op is NDCG's round-4 division. */
+  private def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val run = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+        nBits = 16, dim = 64, queryStride = 100)
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "cand_id", "rank")
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        k = 5, stride = 100)
+      .select("query_id", "cand_id")
+    Similarity.retrievalEval(run, truth, k = 5)
+  }
+
   /** Curriculum interleave: global training order that round-robins
     * the per-source quality-sorted streams (skipping exhausted
     * sources) — closed-form position from the broadcast size table,
@@ -1929,6 +1949,7 @@ object SparkEntry {
     "q162_daily_trend" -> (qDailyTrend _),
     "q163_quantile_normalize" -> (qQuantileNormalize _),
     "q164_curriculum_interleave" -> (qCurriculumInterleave _),
+    "q165_retrieval_eval" -> (qRetrievalEval _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3126,6 +3147,9 @@ object SparkEntry {
              AS BIGINT) AS pos
          FROM ranked CROSS JOIN sizes
          GROUP BY doc_id, source, n_chars, r""",
+    "q165_retrieval_eval" ->
+      OracleGen.retrievalEvalSql(nBits = 16, dim = 64, k = 5,
+        stride = 100),
     "q134_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -92,6 +92,60 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** DCG position weights in integer micros — round(1e6 / log2(i+1))
+    * for rank i, the ONE definition both faces share (the
+    * poissonThresholds precedent: the oracle SQL embeds these exact
+    * longs, so no engine ever computes a logarithm at query time). */
+  val ndcgWeightMicros: IndexedSeq[Long] = (1 to 64).map { i =>
+    math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0)))
+  }
+
+  /** Retrieval EVALUATION of a ranked run against a binary truth set —
+    * the IR eval triple every ANN/retrieval deployment monitors:
+    * hits@k (recall numerator), MRR (1e6 div first-relevant-rank —
+    * exact integer micros), and NDCG@k. DCG sums [[ndcgWeightMicros]]
+    * over the relevant ranks and IDCG is the weight PREFIX SUM at
+    * min(k, n_rel) — both pure long integers precomputed at build time, so
+    * the single round-4 division for NDCG is the only float op (NDCG
+    * is non-negative: no signed-zero exposure).
+    *
+    * `run` must carry (query_id, cand_id, rank 1..k); `truth` carries
+    * the relevant (query_id, cand_id) pairs. Queries in `truth` with
+    * no run rows (router returned nothing) score zeros — the honest
+    * face: silently dropping them would inflate every mean.
+    *
+    * Scale shape: one equi-join run⋈truth on (query, cand), two
+    * combinable aggs, truth-side n_rel combinable — output is one row
+    * per query. */
+  def retrievalEval(run: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= ndcgWeightMicros.length,
+      s"need 1 <= k <= ${ndcgWeightMicros.length}")
+    val weights = array(ndcgWeightMicros.take(k).map(lit): _*)
+    val prefix = array(
+      ndcgWeightMicros.take(k).scanLeft(0L)(_ + _).tail.map(lit): _*)
+    val marked = run
+      .join(truth.select(col("query_id"), col("cand_id"),
+        lit(1L).as("rel")), Seq("query_id", "cand_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val per = marked.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("hits_at_k"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel"),
+        sum(when(col("rel") === 1L,
+          element_at(weights, col("rank").cast("int")))
+          .otherwise(0L)).as("dcg_micros"))
+    val nrel = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    nrel.join(per, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        coalesce(when(col("first_rel").isNotNull,
+          expr("1000000L div first_rel")), lit(0L)).as("rr_micros"),
+        coalesce(col("dcg_micros"), lit(0L)).as("dcg_micros"),
+        round(coalesce(col("dcg_micros"), lit(0L)).cast("double") /
+          element_at(prefix, least(lit(k), col("n_rel")).cast("int"))
+            .cast("double"), 4).as("ndcg"))
+  }
+
   /** Deterministic Householder unit vectors (seeded) — the rotation
     * family for [[opqRotate]]. `private[graft]` for the same oracle-
     * embedding reason as [[hyperplanes]]. */

@@ -1269,6 +1269,31 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got("h") == (1L, None))
   }
 
+  test("retrievalEval: hand MRR/NDCG — perfect run scores 1.0, " +
+    "relevant-at-rank-2 only gives rr 500000 and the weight ratio, " +
+    "truth queries missing from the run score zeros") {
+    import graft.ops.Similarity
+    val run = Seq(
+      // q1: relevant at ranks 1,2 of 2 -> perfect
+      (1L, 10L, 1), (1L, 11L, 2),
+      // q2: relevant only at rank 2
+      (2L, 20L, 1), (2L, 21L, 2),
+    ).toDF("query_id", "cand_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 21L), (2L, 99L),
+      (3L, 30L)).toDF("query_id", "cand_id")
+    val got = Similarity.retrievalEval(run, truth, k = 2)
+      .select("query_id", "hits_at_k", "rr_micros", "ndcg")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val w = Similarity.ndcgWeightMicros
+    assert(got(1L) == ((2L, 1000000L, 1.0)))
+    // q2: n_rel=2 -> idcg = w1+w2; dcg = w2 (hit at rank 2)
+    val exp2 = BigDecimal(w(1).toDouble / (w(0) + w(1)).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L) == ((1L, 500000L, exp2)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("curriculumInterleave: round-robin of quality-sorted streams, " +
     "skipping exhausted sources; pos is the exact permutation a global " +
     "(round, source) sort would give — without the global sort") {

@@ -1533,6 +1533,12 @@ object SparkEntry {
   private def qDailyTrend(s: SparkSession, dir: String): DataFrame =
     Events.dailyTrend(Events.load(s, dir), "event_type", "ts")
 
+  /** Two-sample KS per source vs the rest of the corpus over doc
+    * length — the unbinned CDF-shape drift test beside PSI/KL/χ²;
+    * exact integer numerator, one round-4 division. */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame =
+    DataQuality.ksAgainstRest(t(s, dir, "documents"), "source", "n_chars")
+
   /** Retrieval eval: MRR / NDCG@5 / hits@5 of the LSH ANN run against
     * the brute-force truth per query — the IR monitoring triple as a
     * checked relation (RecallProbe's measurement made contractual).
@@ -1950,6 +1956,7 @@ object SparkEntry {
     "q163_quantile_normalize" -> (qQuantileNormalize _),
     "q164_curriculum_interleave" -> (qCurriculumInterleave _),
     "q165_retrieval_eval" -> (qRetrievalEval _),
+    "q166_ks_drift" -> (qKsTest _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3150,6 +3157,35 @@ object SparkEntry {
     "q165_retrieval_eval" ->
       OracleGen.retrievalEvalSql(nBits = 16, dim = 64, k = 5,
         stride = 100),
+    "q166_ks_drift" ->
+      """WITH rws AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+           FROM documents),
+         pergv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c1
+           FROM rws GROUP BY 1, 2),
+         gcum AS (SELECT v, CAST(sum(count(*)) OVER (ORDER BY v ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cumall
+           FROM rws GROUP BY v),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rws),
+         sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n1,
+             nn - count(*) AS n2
+           FROM rws CROSS JOIN tot GROUP BY grp, nn),
+         mtx AS (SELECT s.grp, g.v, g.cumall, s.n1, s.n2,
+             COALESCE(p.c1, 0) AS c1
+           FROM gcum g CROSS JOIN sizes s
+           LEFT JOIN pergv p ON p.grp = s.grp AND p.v = g.v),
+         c AS (SELECT grp, n1, n2,
+             abs(CAST(sum(c1) OVER (PARTITION BY grp ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) * n2
+               - (cumall - CAST(sum(c1) OVER (PARTITION BY grp
+                   ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT)) * n1) AS dnum
+           FROM mtx)
+         SELECT grp, n1, n2, max(dnum) AS d_num,
+           round(CAST(max(dnum) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 4)
+             AS ks
+         FROM c GROUP BY grp, n1, n2""",
     "q134_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

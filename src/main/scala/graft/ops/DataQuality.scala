@@ -250,6 +250,54 @@ object DataQuality {
       .select(col("id"), col("grp"), col("v"), col("norm"))
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic, each group vs the REST
+    * of the corpus — the nonparametric distribution-drift test that
+    * completes the drift family (PSI/KL see binned mass, χ² sees
+    * categories; KS sees the full CDF shape with no binning choice):
+    * D = max over values of |F_group − F_rest|.
+    *
+    * EXACT INTEGERS until the last step: D's numerator is
+    * max |cum₁·n₂ − cum₂·n₁| over the global distinct values (the sup
+    * of a step function is attained where a step changes, and
+    * evaluating at every global distinct value covers both families'
+    * jumps); the single float op is the round-4 division by n₁·n₂.
+    *
+    * Scale shape: the corpus collapses to per-(group, value) counts
+    * and global distinct-value cumulative counts (combinable aggs +
+    * the q148/q160/q163 distinct-value window); the evaluation matrix
+    * is groups × distinct values — both BOUNDED cardinalities (the
+    * mixture-components argument), built by broadcasting the tiny
+    * group-size table, never touching row volume again. */
+  def ksAgainstRest(df: DataFrame, groupCol: String,
+                    valCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"),
+      col(valCol).cast("long").as("v"))
+    val perGV = rows.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c1"))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val globalCum = rows.groupBy(col("v")).agg(count(lit(1)).as("cAll"))
+      .withColumn("cumAll", sum(col("cAll")).over(wAll))
+      .select(col("v"), col("cumAll"))
+    val sizes = rows.groupBy(col("grp")).agg(count(lit(1)).as("n1"))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("nn"))))
+      .select(col("grp"), col("n1"), (col("nn") - col("n1")).as("n2"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    globalCum.join(broadcast(sizes), lit(true))
+      .join(perGV, Seq("grp", "v"), "left")
+      .withColumn("cum1", sum(coalesce(col("c1"), lit(0L))).over(wG))
+      .withColumn("dnum",
+        abs(col("cum1") * col("n2") - (col("cumAll") - col("cum1")) * col("n1")))
+      .groupBy(col("grp"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("dnum")).as("d_num"))
+      .select(col("grp"), col("n1"), col("n2"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 4).as("ks"))
+  }
+
   def benfordDigits(df: DataFrame, groupCol: String,
                     valCol: String): DataFrame = {
     val cents = round(col(valCol) * 100).cast("long")

@@ -1269,6 +1269,31 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got("h") == (1L, None))
   }
 
+  test("ksAgainstRest: disjoint supports give KS = 1, identical " +
+    "distributions give KS = 0, and a hand case matches the exact " +
+    "step-function maximum") {
+    import graft.ops.DataQuality
+    // a={1,2}, b={10,20}: disjoint -> D=1 for both vs rest
+    val disjoint = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L))
+      .toDF("g", "v")
+    val d1 = DataQuality.ksAgainstRest(disjoint, "g", "v")
+      .select("grp", "ks").as[(String, Double)].collect().toMap
+    assert(d1 == Map("a" -> 1.0, "b" -> 1.0))
+    // identical distributions -> D=0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    val d2 = DataQuality.ksAgainstRest(same, "g", "v")
+      .select("grp", "ks").as[(String, Double)].collect().toMap
+    assert(d2 == Map("a" -> 0.0, "b" -> 0.0))
+    // hand case: a={1,3}, rest={2,4}: F_a-F_rest steps are
+    // +1/2 at 1, 0 at 2, +1/2 at 3, 0 at 4 -> D = 0.5
+    val hand = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L))
+      .toDF("g", "v")
+    val d3 = DataQuality.ksAgainstRest(hand, "g", "v")
+      .select("grp", "ks").as[(String, Double)].collect().toMap
+    assert(d3 == Map("a" -> 0.5, "b" -> 0.5))
+  }
+
   test("retrievalEval: hand MRR/NDCG — perfect run scores 1.0, " +
     "relevant-at-rank-2 only gives rr 500000 and the weight ratio, " +
     "truth queries missing from the run score zeros") {

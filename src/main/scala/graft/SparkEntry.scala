@@ -1533,6 +1533,14 @@ object SparkEntry {
   private def qDailyTrend(s: SparkSession, dir: String): DataFrame =
     Events.dailyTrend(Events.load(s, dir), "event_type", "ts")
 
+  /** Source-pair overlap card: distinct content-fingerprint set sizes,
+    * intersection, exact Jaccard micros for every source pair sharing
+    * a fingerprint — "which mixture components are secretly the same
+    * crawl". */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(t(s, dir, "documents"), "source",
+      TextAnalysis.contentFingerprint(col("text")))
+
   /** Two-sample KS per source vs the rest of the corpus over doc
     * length — the unbinned CDF-shape drift test beside PSI/KL/χ²;
     * exact integer numerator, one round-4 division. */
@@ -1957,6 +1965,7 @@ object SparkEntry {
     "q164_curriculum_interleave" -> (qCurriculumInterleave _),
     "q165_retrieval_eval" -> (qRetrievalEval _),
     "q166_ks_drift" -> (qKsTest _),
+    "q167_source_overlap" -> (qSourceOverlap _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3186,6 +3195,24 @@ object SparkEntry {
            round(CAST(max(dnum) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 4)
              AS ks
          FROM c GROUP BY grp, n1, n2""",
+    "q167_source_overlap" ->
+      """WITH sf AS (SELECT DISTINCT source AS s,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS f
+           FROM documents),
+         sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM sf
+           GROUP BY 1),
+         inter AS (SELECT a.s AS sa, b.s AS sb,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM sf a JOIN sf b ON a.f = b.f AND a.s < b.s
+           GROUP BY 1, 2)
+         SELECT sa AS source_a, sb AS source_b,
+           za.n AS n_a, zb.n AS n_b, n_common,
+           n_common * 1000000 // (za.n + zb.n - n_common)
+             AS jaccard_micros
+         FROM inter
+         JOIN sizes za ON za.s = sa
+         JOIN sizes zb ON zb.s = sb""",
     "q134_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -1611,6 +1611,39 @@ object Dedup {
       .select(col("id").as(idCol), col("label").as("entity_id"))
   }
 
+  /** CORPUS-PAIR OVERLAP card — for every pair of sources sharing at
+    * least one content fingerprint: distinct-fingerprint set sizes,
+    * intersection, and exact Jaccard in integer micros. The
+    * corpus-card metric that answers "which of my mixture components
+    * are secretly the same crawl" before mixture weights are tuned on
+    * double-counted mass.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, fp) rows
+    * first (one combinable agg); the intersection self-join keys on
+    * the fingerprint, whose posting length is bounded by SOURCE
+    * CARDINALITY (a fingerprint appears once per source after the
+    * distinct), so candidate volume is ≤ C(|sources|, 2) per
+    * fingerprint — never row-quadratic. Sizes broadcast back onto the
+    * (tiny) pair relation. All integers. */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+                    fp: Column): DataFrame = {
+    val sf = df.select(col(sourceCol).as("s"), fp.as("f")).distinct()
+      .localCheckpoint(eager = false)
+    val sizes = sf.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val inter = sf.join(sf.select(col("s").as("s2"), col("f")), Seq("f"))
+      .filter(col("s") < col("s2"))
+      .groupBy(col("s"), col("s2")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("s"), col("n").as("n_a"))),
+        Seq("s"))
+      .join(broadcast(sizes.select(col("s").as("s2"),
+        col("n").as("n_b"))), Seq("s2"))
+      .select(col("s").as("source_a"), col("s2").as("source_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        expr("n_common * 1000000L div (n_a + n_b - n_common)")
+          .as("jaccard_micros"))
+  }
+
   /** Pluggable SURVIVORSHIP for entity resolution — the MDM
     * "golden record" rules (most-complete / most-recent /
     * source-priority are the standard trio). Every strategy compiles

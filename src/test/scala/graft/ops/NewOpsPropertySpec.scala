@@ -1269,6 +1269,24 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got("h") == (1L, None))
   }
 
+  test("sourceOverlap: exact pairwise Jaccard over distinct " +
+    "fingerprints; within-source duplicates collapse; disjoint pairs " +
+    "are absent") {
+    val docs = Seq(
+      ("a", "x x"), ("a", "x"), // same fp after distinct-token sort!
+      ("a", "y"), ("b", "x"), ("b", "z"), ("c", "w"),
+    ).toDF("source", "text")
+    val got = graft.ops.Dedup.sourceOverlap(docs, "source",
+        graft.ops.TextAnalysis.contentFingerprint(col("text")))
+      .select("source_a", "source_b", "n_a", "n_b", "n_common",
+        "jaccard_micros")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // a = {fp(x), fp(y)} (the "x x" doc collapses with "x"), b =
+    // {fp(x), fp(z)}: intersection 1, union 3 -> 333333 micros; c
+    // shares nothing -> absent
+    assert(got == Set(("a", "b", 2L, 2L, 1L, 333333L)))
+  }
+
   test("ksAgainstRest: disjoint supports give KS = 1, identical " +
     "distributions give KS = 0, and a hand case matches the exact " +
     "step-function maximum") {

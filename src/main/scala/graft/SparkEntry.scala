@@ -1533,6 +1533,14 @@ object SparkEntry {
   private def qDailyTrend(s: SparkSession, dir: String): DataFrame =
     Events.dailyTrend(Events.load(s, dir), "event_type", "ts")
 
+  /** Circular block bootstrap of the per-type daily count series —
+    * dependence-preserving resampling for autocorrelated series (the
+    * iid q130 bootstrap destroys it); md5-draw block starts, replicate
+    * means round-4. */
+  private def qBlockBootstrap(s: SparkSession, dir: String): DataFrame =
+    Sampling.blockBootstrap(Events.load(s, dir), "event_type", "ts",
+      blockLen = 7, replicates = 50)
+
   /** Source-pair overlap card: distinct content-fingerprint set sizes,
     * intersection, exact Jaccard micros for every source pair sharing
     * a fingerprint — "which mixture components are secretly the same
@@ -1966,6 +1974,7 @@ object SparkEntry {
     "q165_retrieval_eval" -> (qRetrievalEval _),
     "q166_ks_drift" -> (qKsTest _),
     "q167_source_overlap" -> (qSourceOverlap _),
+    "q168_block_bootstrap" -> (qBlockBootstrap _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3213,6 +3222,32 @@ object SparkEntry {
          FROM inter
          JOIN sizes za ON za.s = sa
          JOIN sizes zb ON zb.s = sb""",
+    "q168_block_bootstrap" ->
+      """WITH daily AS (SELECT event_type AS g,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         series AS (SELECT g,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY day ASC)
+               AS BIGINT) - 1 AS pos, y
+           FROM daily),
+         lens AS (SELECT g, CAST(count(*) AS BIGINT) AS len FROM series
+           GROUP BY 1),
+         blocks AS (SELECT g, len, u.b, u2.j,
+             CAST(('0x' || substring(md5(g || '#' ||
+                 CAST(u.b AS VARCHAR) || '#' || CAST(u2.j AS VARCHAR)),
+               1, 8)) AS BIGINT) % len AS s
+           FROM lens,
+             UNNEST(range(0, 50)) u(b),
+             UNNEST(range(0, (len + 6) // 7)) u2(j)),
+         picks AS (SELECT g, len, b, (s + u3.o) % len AS pos
+           FROM blocks, UNNEST(range(0, 7)) u3(o)
+           WHERE j * 7 + u3.o < len)
+         SELECT p.g, CAST(p.b AS BIGINT) AS replicate,
+           round(CAST(sum(sr.y) AS DOUBLE) / CAST(max(p.len) AS DOUBLE),
+             4) AS mean_count
+         FROM picks p JOIN series sr ON sr.g = p.g AND sr.pos = p.pos
+         GROUP BY 1, 2""",
     "q134_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

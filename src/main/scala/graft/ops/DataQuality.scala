@@ -104,23 +104,6 @@ object DataQuality {
         (col("violations") === 0L).as("pass"))
   }
 
-  /** BENFORD first-digit test per group — the forensic data-quality
-    * screen (Benford 1938; fabricated or unit-mixed numeric columns
-    * miss the log distribution): observed first-significant-digit
-    * counts vs expected n·log₁₀(1+1/d), with the per-digit χ² term
-    * (o−e)²/e. Consumers sum the 9 terms per group and compare to the
-    * χ²(8) tail; the per-digit breakdown is what an auditor actually
-    * reads (WHICH digit is inflated).
-    *
-    * Deterministic: the first digit is taken from the INTEGER cents
-    * string — `substring(cast(round(x·100) as bigint as string), 1, 1)`
-    * — no float log10 near power-of-ten boundaries can misbucket;
-    * expected counts and χ² terms are single mirrored double chains
-    * rounded to 4 (q37/q108 parity precedents). Non-positive values are
-    * excluded (Benford is defined on positive magnitudes).
-    *
-    * Scale shape: one combinable (group, digit) count + a broadcast
-    * per-group total join — two small aggregations over one scan. */
   /** χ² INDEPENDENCE test between two categorical columns — the
     * contingency screen ("is priority independent of status?") that
     * catches encoding leaks and spurious correlations before a model
@@ -298,6 +281,23 @@ object DataQuality {
           (col("n1") * col("n2")).cast("double"), 4).as("ks"))
   }
 
+  /** BENFORD first-digit test per group — the forensic data-quality
+    * screen (Benford 1938; fabricated or unit-mixed numeric columns
+    * miss the log distribution): observed first-significant-digit
+    * counts vs expected n·log₁₀(1+1/d), with the per-digit χ² term
+    * (o−e)²/e. Consumers sum the 9 terms per group and compare to the
+    * χ²(8) tail; the per-digit breakdown is what an auditor actually
+    * reads (WHICH digit is inflated).
+    *
+    * Deterministic: the first digit is taken from the INTEGER cents
+    * string — `substring(cast(round(x·100) as bigint as string), 1, 1)`
+    * — no float log10 near power-of-ten boundaries can misbucket;
+    * expected counts and χ² terms are single mirrored double chains
+    * rounded to 4 (q37/q108 parity precedents). Non-positive values are
+    * excluded (Benford is defined on positive magnitudes).
+    *
+    * Scale shape: one combinable (group, digit) count + a broadcast
+    * per-group total join — two small aggregations over one scan. */
   def benfordDigits(df: DataFrame, groupCol: String,
                     valCol: String): DataFrame = {
     val cents = round(col(valCol) * 100).cast("long")

@@ -342,6 +342,60 @@ object Sampling {
     df.withColumn(outCol, round(percent_rank().over(w), 6))
   }
 
+  /** CIRCULAR BLOCK BOOTSTRAP of the per-group daily count series
+    * (Politis & Romano 1992's circular variant of Künsch's moving-block
+    * bootstrap): the iid bootstrap ([[poissonBootstrap]]) is WRONG for
+    * autocorrelated series — resampling single days destroys the
+    * dependence structure the statistic's variance lives in; block
+    * resampling preserves within-block dependence, and the circular
+    * wrap keeps every position equally likely (no edge bias). Each
+    * replicate rebuilds a length-L series from ⌈L/blockLen⌉ blocks
+    * whose start positions are md5 draws keyed (group, replicate,
+    * block) — the pure-function-of-data determinism contract, mirrored
+    * verbatim in the oracle — and reports the replicate mean.
+    *
+    * Scale shape: the log collapses to the daily series first; the
+    * expansion is |groups|·replicates·L narrow rows that equi-join the
+    * series on (group, position) — no nested loop, everything
+    * combinable. */
+  def blockBootstrap(events: DataFrame, groupCol: String, tsCol: String,
+                     blockLen: Int = 7,
+                     replicates: Int = 50): DataFrame = {
+    require(blockLen >= 1 && replicates >= 1,
+      "need blockLen, replicates >= 1")
+    val daily = events.select(col(groupCol).as("g"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("g"), col("day")).agg(count(lit(1)).as("y"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("day").asc)
+    val series = daily
+      .withColumn("pos", (row_number().over(wd) - 1).cast("long"))
+      .select(col("g"), col("pos"), col("y"))
+      .localCheckpoint(eager = false)
+    val lens = series.groupBy(col("g")).agg(count(lit(1)).as("len"))
+    val picks = lens
+      .select(col("g"), col("len"),
+        explode(sequence(lit(0L), lit(replicates - 1L))).as("b"))
+      .select(col("g"), col("len"), col("b"),
+        explode(sequence(lit(0L),
+          expr(s"(len + ${blockLen - 1}) div $blockLen - 1"))).as("j"))
+      .withColumn("s",
+        conv(substring(md5(concat_ws("#", col("g"), col("b"), col("j"))),
+          1, 8), 16, 10).cast("long") % col("len"))
+      .select(col("g"), col("len"), col("b"), col("j"), col("s"),
+        explode(sequence(lit(0L), lit(blockLen - 1L))).as("o"))
+      // the last block is partial: trim the rebuilt series to length L
+      .filter(col("j") * blockLen + col("o") < col("len"))
+      .withColumn("pos", (col("s") + col("o")) % col("len"))
+    picks
+      .join(series, Seq("g", "pos"))
+      .groupBy(col("g"), col("b"))
+      .agg(round(sum(col("y")).cast("double") /
+        max(col("len")).cast("double"), 4).as("mean_count"))
+      .select(col("g"), col("b").as("replicate"), col("mean_count"))
+  }
+
   /** CURRICULUM INTERLEAVE — the deterministic training-order
     * scheduler: within each source, docs order by (quality DESC, key
     * ASC); globally, round r takes every surviving source's rank-r doc

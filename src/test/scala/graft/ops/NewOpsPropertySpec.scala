@@ -1269,6 +1269,28 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got("h") == (1L, None))
   }
 
+  test("blockBootstrap: a constant daily series bootstraps to exactly " +
+    "its constant mean in every replicate; means of a varying series " +
+    "stay inside [min, max] and the replicate count is exact") {
+    // group g: 10 days x 3 events/day (constant) -> every replicate
+    // mean is exactly 3.0 regardless of which blocks were drawn
+    val const = (0 until 10).flatMap(d => (0 until 3).map(i =>
+      (d * 3L + i, s"2024-01-${"%02d".format(d + 1)} 0$i:00:00", "g")))
+    val vary = (0 until 10).flatMap(d => (0 to d % 4).map(i =>
+      (1000L + d * 10 + i, s"2024-02-${"%02d".format(d + 1)} 0$i:00:00",
+        "h")))
+    val ev = (const ++ vary).toDF("event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = graft.ops.Sampling.blockBootstrap(ev, "event_type", "ts",
+        blockLen = 3, replicates = 20)
+      .as[(String, Long, Double)].collect()
+    assert(got.count(_._1 == "g") == 20 && got.count(_._1 == "h") == 20)
+    assert(got.filter(_._1 == "g").forall(_._3 == 3.0),
+      "constant series must bootstrap to its constant")
+    // h's daily counts are 1..4 -> every block-resampled mean in [1, 4]
+    assert(got.filter(_._1 == "h").forall(r => r._3 >= 1.0 && r._3 <= 4.0))
+  }
+
   test("sourceOverlap: exact pairwise Jaccard over distinct " +
     "fingerprints; within-source duplicates collapse; disjoint pairs " +
     "are absent") {

@@ -1262,4 +1262,34 @@ object OracleGen {
        SELECT d.node, d.deg, d.deg * (d.deg - 1) // 2 AS wedges,
          COALESCE(pn.triangles, 0) AS triangles
        FROM deg d LEFT JOIN pn ON pn.node = d.node"""
+
+  /** Oracle for `Graph.coreness` (q169): the iterated-H-operator
+    * recurrence unrolled as CTEs — per iteration the per-node h-index
+    * is `MAX(LEAST(value, rank))` over neighbour values sorted
+    * descending, exactly the Spark window; every quantity is BIGINT so
+    * the replay is bit-for-bit (tie order in the sort is provably
+    * value-invariant). */
+  def corenessSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT node, MAX(LEAST(cn, rk)) AS c FROM (
+           SELECT t.node, p.c AS cn,
+             row_number() OVER (PARTITION BY t.node
+               ORDER BY p.c DESC) AS rk
+           FROM adj t JOIN c${i - 1} p ON p.node = t.nb)
+         GROUP BY 1)"""
+    }.mkString(",\n       ")
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM tr WHERE src IS NOT NULL AND src <> dst),
+       adj AS (SELECT a AS node, b AS nb FROM und
+         UNION ALL SELECT b, a FROM und),
+       c0 AS (SELECT node, COUNT(*) AS c FROM adj GROUP BY 1),
+       $iterCtes
+       SELECT node, c AS coreness FROM c$iters"""
+  }
 }

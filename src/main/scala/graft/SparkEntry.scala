@@ -1750,6 +1750,18 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")))
 
+  /** Core-number (k-core) decomposition of the session-transition
+    * graph — the density-peeling tier beside q114's triangle counts
+    * (coreness is the standard "how deep in a dense subgraph" signal
+    * used to pick crawl seeds and to spot link farms: degree says how
+    * many neighbours, coreness says how well-connected those
+    * neighbours stay under peeling). Iterated h-index form, all
+    * integer; see [[graft.ops.Graph.coreness]]. */
+  private def qCoreness(s: SparkSession, dir: String): DataFrame =
+    Graph.coreness(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")), iters = 8)
+
   /** Prefix-filter (AllPairs) Jaccard join — the SAME relation as q25
     * through the better candidate cost class: only each doc's
     * (1−t)-fraction prefix under the rare-first global order enters the
@@ -1975,6 +1987,7 @@ object SparkEntry {
     "q166_ks_drift" -> (qKsTest _),
     "q167_source_overlap" -> (qSourceOverlap _),
     "q168_block_bootstrap" -> (qBlockBootstrap _),
+    "q169_coreness" -> (qCoreness _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3748,6 +3761,7 @@ object SparkEntry {
                 ELSE least(n, (1000 * w) // tw) END AS alloc
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
+    "q169_coreness" -> OracleGen.corenessSql(iters = 8),
     "q118_random_walks" -> OracleGen.randomWalksSql(steps = 3),
     "q122_hits" -> OracleGen.hitsSql(iters = 2),
     "q120_kaplan_meier" ->

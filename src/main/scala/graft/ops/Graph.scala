@@ -190,6 +190,56 @@ object Graph {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** Core-number (k-core) decomposition via the iterated H-operator
+    * (Lü et al., "The H-index of a network node and its relation to
+    * degree and coreness", Nature Communications 2016): start every
+    * node at its degree and repeatedly replace each node's value with
+    * the h-index of its neighbours' values — the sequence is
+    * monotonically non-increasing and converges to the node's core
+    * number. The per-node h-index is computed as
+    * `max(least(value, rank))` over the neighbour values sorted
+    * descending; ties in the sort cannot change the result (equal
+    * values occupy the same rank positions in any order), so the
+    * window needs no tie-break to be deterministic — every quantity is
+    * a 64-bit integer and the oracle unrolls iterations as CTEs.
+    *
+    * A fixed `iters` is the in-pipeline form ([[pageRank]] rationale):
+    * both faces replay the same prefix of the monotone sequence, so
+    * the contract is exact at any iteration count; convergence to the
+    * true coreness needs iters ≥ the graph's "h-convergence depth"
+    * (small in practice — degree already equals coreness on cliques,
+    * and each round propagates one more hop of peeling).
+    *
+    * Scale shape: the undirected simple graph is one dedup shuffle,
+    * then each iteration is ONE equi-join of the value table onto the
+    * symmetric adjacency + ONE per-node window whose length is the
+    * node's degree (distributed by node, never global) + ONE
+    * combinable max aggregation. Degree skew bounds the window length;
+    * there is no all-pairs stage anywhere. */
+  def coreness(edges: DataFrame, iters: Int = 8,
+               checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && checkpointEvery >= 1,
+      "need iters >= 1, checkpointEvery >= 1")
+    val und = undirectedSimple(edges)
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .union(und.select(col("b").as("node"), col("a").as("nb")))
+      .localCheckpoint(eager = false)
+    var c = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
+    for (i <- 1 to iters) {
+      val nbv = adj
+        .join(c.select(col("node").as("nb"), col("c").as("cn")), Seq("nb"))
+        .select(col("node"), col("cn"))
+      val w = Window.partitionBy(col("node")).orderBy(col("cn").desc)
+      val next = nbv.withColumn("rk", row_number().over(w))
+        .groupBy(col("node"))
+        .agg(max(least(col("cn"), col("rk"))).as("c"))
+      c = if (i % checkpointEvery == 0 && i < iters)
+        next.localCheckpoint(eager = false)
+      else next
+    }
+    c.select(col("node"), col("c").as("coreness"))
+  }
+
   /** (degrees, oriented edges) of an edge relation's undirected simple
     * graph — [[triangleCounts]]' whole preparation, exposed as one unit
     * so the stress gate's wedge-mass probe measures the operator's OWN

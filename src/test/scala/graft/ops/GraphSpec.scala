@@ -118,6 +118,65 @@ class GraphSpec extends AnyFunSuite {
     assert(hub._2 == 2000L && hub._3 == 2000L * 1999L / 2)
   }
 
+  test("coreness: 4-clique with a pendant 2-chain — clique nodes sit in " +
+    "the 3-core, the chain peels to coreness 1 (node 5 has degree 2 but " +
+    "core number 1: the 2-core drops it once the leaf goes)") {
+    val e = edges((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (2L, 3L, 1L),
+      (2L, 4L, 1L), (3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L))
+    val got = Graph.coreness(e, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L), got)
+  }
+
+  test("coreness: any tree peels to 1 everywhere once the h-iteration " +
+    "has propagated the leaves inward (path of 9 needs 4 rounds)") {
+    val path = (1L to 8L).map(i => (i, i + 1, 1L))
+    val got = Graph.coreness(path.toDF("src", "dst", "w"), iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.forall(_ == 1L), got)
+    // too few iterations: the middle of the path has not peeled yet —
+    // the fixed-iters contract is a PREFIX of the monotone sequence
+    val early = Graph.coreness(path.toDF("src", "dst", "w"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(early(5L) == 2L && early(1L) == 1L, early)
+  }
+
+  test("coreness == naive peeling on random graphs; always <= degree") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val es = (1 to 100).map(_ => (rnd.nextInt(14).toLong,
+        rnd.nextInt(14).toLong, 1L)).toDF("src", "dst", "w")
+      val und = es.as[(Long, Long, Long)].collect()
+        .map { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val nodes = und.flatMap { case (a, b) => Seq(a, b) }
+      // naive peeling: for k = 1, 2, ... remove nodes of degree < k to a
+      // fixpoint; a node's core number is the last k it survived
+      val core = scala.collection.mutable.Map[Long, Long]()
+      var alive = nodes
+      var k = 1L
+      while (alive.nonEmpty) {
+        var changed = true
+        while (changed) {
+          val deg = alive.map(n => n -> und.count { case (a, b) =>
+            (a == n && alive(b)) || (b == n && alive(a)) }).toMap
+          val drop = alive.filter(deg(_) < k)
+          changed = drop.nonEmpty
+          alive = alive -- drop
+        }
+        alive.foreach(core(_) = k)
+        k += 1
+      }
+      val deg = nodes.map(n => n -> und.count { case (a, b) =>
+        a == n || b == n }.toLong).toMap
+      val got = Graph.coreness(es, iters = 20)
+        .as[(Long, Long)].collect().toMap
+      assert(got == core.toMap, s"trial $trial")
+      got.foreach { case (n, c) => assert(c <= deg(n), s"node $n") }
+    }
+  }
+
   test("triangleCounts == naive all-triples count on random graphs") {
     val rnd = new scala.util.Random(7)
     (1 to 3).foreach { trial =>

@@ -1263,6 +1263,48 @@ object OracleGen {
          COALESCE(pn.triangles, 0) AS triangles
        FROM deg d LEFT JOIN pn ON pn.node = d.node"""
 
+  /** Oracle for `Similarity.mmrRerank` (q170): the λ=1/2 greedy MMR
+    * loop unrolled as CTEs — pick 1 is pure relevance; each later pick
+    * is argmax of `rel − max sim-to-selected`, a subtraction of two
+    * round-4 doubles (bit-identical across engines), ties to the
+    * smaller cand_id. */
+  def mmrSql(candK: Int, k: Int, stride: Long): String = {
+    val steps = (2 to k).map { i =>
+      s"""p$i AS (SELECT query_id, cand_id, v, rel,
+           CAST($i AS BIGINT) AS pick FROM (
+           SELECT c.query_id, c.cand_id, c.v, c.rel,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY c.rel - m.maxsim DESC, c.cand_id ASC) AS rn
+           FROM (SELECT c2.query_id, c2.cand_id,
+               MAX(${cosSql("c2.v", "s.v", 4)}) AS maxsim
+             FROM cand c2 JOIN r${i - 1} s ON s.query_id = c2.query_id
+             WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} x
+               WHERE x.query_id = c2.query_id
+                 AND x.cand_id = c2.cand_id)
+             GROUP BY 1, 2) m
+           JOIN cand c ON c.query_id = m.query_id
+             AND c.cand_id = m.cand_id) WHERE rn = 1),
+         r$i AS (SELECT * FROM r${i - 1} UNION ALL SELECT * FROM p$i)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % $stride = 0),
+       pairs AS (SELECT query_id, e.id AS cand_id, e.v,
+           ${cosSql("qv", "e.v", 4)} AS rel
+         FROM e, q WHERE e.id <> query_id),
+       cand AS (SELECT query_id, cand_id, v, rel FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, cand_id ASC) AS rn
+           FROM pairs) WHERE rn <= $candK),
+       r1 AS (SELECT query_id, cand_id, v, rel,
+           CAST(1 AS BIGINT) AS pick FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, cand_id ASC) AS rn
+           FROM cand) WHERE rn = 1),
+       $steps
+       SELECT query_id, pick, cand_id, rel FROM r$k"""
+  }
+
   /** Oracle for `Graph.coreness` (q169): the iterated-H-operator
     * recurrence unrolled as CTEs — per iteration the per-node h-index
     * is `MAX(LEAST(value, rank))` over neighbour values sorted

@@ -1750,6 +1750,14 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")))
 
+  /** Diversity-aware re-ranking: λ=1/2 maximal marginal relevance over
+    * the q26 candidate pool — the selection stage that keeps
+    * near-duplicate passages from crowding a retrieval or few-shot
+    * context window. See [[graft.ops.Similarity.mmrRerank]]. */
+  private def qMmrRerank(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrRerank(t(s, dir, "embeddings"), "vec_id", "embedding",
+      candK = 20, k = 5, stride = 100)
+
   /** Core-number (k-core) decomposition of the session-transition
     * graph — the density-peeling tier beside q114's triangle counts
     * (coreness is the standard "how deep in a dense subgraph" signal
@@ -1988,6 +1996,7 @@ object SparkEntry {
     "q167_source_overlap" -> (qSourceOverlap _),
     "q168_block_bootstrap" -> (qBlockBootstrap _),
     "q169_coreness" -> (qCoreness _),
+    "q170_mmr_rerank" -> (qMmrRerank _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3762,6 +3771,7 @@ object SparkEntry {
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
     "q169_coreness" -> OracleGen.corenessSql(iters = 8),
+    "q170_mmr_rerank" -> OracleGen.mmrSql(candK = 20, k = 5, stride = 100),
     "q118_random_walks" -> OracleGen.randomWalksSql(steps = 3),
     "q122_hits" -> OracleGen.hitsSql(iters = 2),
     "q120_kaplan_meier" ->

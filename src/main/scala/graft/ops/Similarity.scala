@@ -84,6 +84,66 @@ object Similarity {
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998) with λ = 1/2: greedily pick `k` results per query from its
+    * `candK`-candidate pool, each pick the argmax of
+    * `rel(d) − max_{s∈S} sim(d, s)` (λ = 1/2 makes the 2×-scaled MMR
+    * objective this exact difference — two round-4 doubles subtracted,
+    * so the sort key is bit-identical across engines and the oracle
+    * unrolls the greedy loop as CTEs; pick 1 is pure relevance). The
+    * diversity-aware top-k a retrieval or few-shot-selection stage
+    * runs so near-duplicate passages don't crowd out coverage.
+    *
+    * Ties: mmr desc, then cand_id asc (q26 contract). Output:
+    * (query_id, pick, cand_id, rel) — `pick` is the selection order.
+    *
+    * Scale shape: relevance is the [[bruteForceTopK]] broadcast scan
+    * (swap in [[ivfTopK]] routing at corpus scale — the greedy stage
+    * only ever sees the candidate pool); the pool (candK rows/query)
+    * checkpoints once, then each of the k−1 steps is a per-query
+    * equi-join of pool × selected (≤ candK·(k−1) sims per query) + a
+    * degree-bounded window. Nothing global, nothing quadratic in the
+    * corpus. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                candK: Int = 20, k: Int = 5, stride: Long = 100)
+      : DataFrame = {
+    require(k >= 1 && candK >= k, "need 1 <= k <= candK")
+    val base = emb.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("v"))
+    val queries = base.filter(col("cand_id") % stride === 0)
+      .select(col("cand_id").as("query_id"), col("v").as("qv"))
+    val scored = base.join(broadcast(queries),
+        col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("v"),
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("rel"))
+    val cands = Windows.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("rel").desc, col("cand_id").asc), candK)
+      .localCheckpoint(eager = false)
+    var picked = Windows.topKPerGroup(cands, Seq(col("query_id")),
+        Seq(col("rel").desc, col("cand_id").asc), 1)
+      .withColumn("pick", lit(1L))
+    for (step <- 2 to k) {
+      val rem = cands.join(picked.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val ms = rem
+        .join(picked.select(col("query_id"), col("v").as("sv")),
+          Seq("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          (round(cosine(col("v"), col("sv")), 4) + lit(0.0)).as("sim"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val next = Windows.topKPerGroup(
+        rem.join(ms, Seq("query_id", "cand_id"))
+          .withColumn("mmr", col("rel") - col("maxsim")),
+        Seq(col("query_id")),
+        Seq(col("mmr").desc, col("cand_id").asc), 1)
+        .select(col("query_id"), col("cand_id"), col("v"), col("rel"))
+        .withColumn("pick", lit(step.toLong))
+      picked = picked.union(next)
+    }
+    picked.select(col("query_id"), col("pick"), col("cand_id"), col("rel"))
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-bit signatures.
     * `private[graft]` so OracleGen can embed the same constants in the
     * DuckDB oracle SQL. */

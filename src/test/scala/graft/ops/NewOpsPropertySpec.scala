@@ -1334,6 +1334,62 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(d3 == Map("a" -> 0.5, "b" -> 0.5))
   }
 
+  test("mmrRerank: diversity beats relevance at pick 2 — the runner-up " +
+    "by cosine is nearly parallel to pick 1, so the more distant " +
+    "third candidate wins the MMR step") {
+    import graft.ops.Similarity
+    // query (1,0,0); c1=(3,1,0) top by rel; c2=(3,1.1,0) second by rel
+    // but sim(c2,c1)=0.9996 -> mmr -0.0607; c3=(3,0,1.2) has rel 0.9285
+    // and sim(c3,c1)=0.8809 -> mmr 0.0476 -> c3 is pick 2
+    val emb = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(3.0, 1.0, 0.0)),
+      (2L, Array(3.0, 1.1, 0.0)),
+      (3L, Array(3.0, 0.0, 1.2))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        candK = 3, k = 3, stride = 100)
+      .select("query_id", "pick", "cand_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 1L), (0L, 2L, 3L), (0L, 3L, 2L)), got)
+  }
+
+  test("mmrRerank == naive greedy MMR on random non-negative vectors") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(23)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    (1 to 2).foreach { trial =>
+      val vecs = (0L to 10L).map(i =>
+        i -> Array.fill(4)(rnd.nextDouble() + 0.05))
+      val emb = vecs.toDF("vec_id", "embedding")
+      val q = vecs.head._2
+      val rel = vecs.tail.map { case (i, v) => i -> r4(cos(q, v)) }.toMap
+      val pool = rel.toSeq.sortBy { case (i, r) => (-r, i) }.take(6)
+        .map(_._1)
+      var sel = Vector(pool.minBy(i => (-rel(i), i)))
+      while (sel.size < 4) {
+        val remIds = pool.filterNot(sel.contains)
+        val next = remIds.minBy { d =>
+          val ms = sel.map(s =>
+            r4(cos(vecs(d.toInt)._2, vecs(s.toInt)._2))).max
+          (-(rel(d) - ms), d)
+        }
+        sel :+= next
+      }
+      val got = Similarity.mmrRerank(emb, "vec_id", "embedding",
+          candK = 6, k = 4, stride = 100)
+        .orderBy("pick").select("cand_id")
+        .as[Long].collect().toVector
+      assert(got == sel, s"trial $trial: got $got want $sel")
+    }
+  }
+
   test("retrievalEval: hand MRR/NDCG — perfect run scores 1.0, " +
     "relevant-at-rank-2 only gives rr 500000 and the weight ratio, " +
     "truth queries missing from the run score zeros") {

@@ -1750,6 +1750,14 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")))
 
+  /** Sequential level-shift detection: one-sided upper CUSUM over each
+    * event type's daily counts, baselined on the first week — the
+    * "WHEN did it drift" monitor beside the distributional drift tests.
+    * See [[graft.ops.DataQuality.cusumDrift]]. */
+  private def qCusumDrift(s: SparkSession, dir: String): DataFrame =
+    DataQuality.cusumDrift(Events.load(s, dir), "event_type", "ts",
+      baselineDays = 7, slackMicros = 0L, thresholdMicros = 5000000L)
+
   /** Diversity-aware re-ranking: λ=1/2 maximal marginal relevance over
     * the q26 candidate pool — the selection stage that keeps
     * near-duplicate passages from crowding a retrieval or few-shot
@@ -1997,6 +2005,7 @@ object SparkEntry {
     "q168_block_bootstrap" -> (qBlockBootstrap _),
     "q169_coreness" -> (qCoreness _),
     "q170_mmr_rerank" -> (qMmrRerank _),
+    "q171_cusum_drift" -> (qCusumDrift _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3772,6 +3781,32 @@ object SparkEntry {
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
     "q169_coreness" -> OracleGen.corenessSql(iters = 8),
     "q170_mmr_rerank" -> OracleGen.mmrSql(candK = 20, k = 5, stride = 100),
+    "q171_cusum_drift" ->
+      """WITH daily AS (SELECT event_type AS g,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         start AS (SELECT g, MIN(day) AS d0 FROM daily GROUP BY 1),
+         tgt AS (SELECT d.g,
+             CAST(SUM(d.y) * 1000000 AS BIGINT) // COUNT(*) AS target
+           FROM daily d JOIN start s ON s.g = d.g
+           WHERE d.day < s.d0 + 7 GROUP BY 1),
+         mon AS (SELECT d.g, d.day, d.y,
+             d.y * 1000000 - t.target AS dd
+           FROM daily d JOIN start s ON s.g = d.g JOIN tgt t ON t.g = d.g
+           WHERE d.day >= s.d0 + 7),
+         cum AS (SELECT g, day, y,
+             CAST(SUM(dd) OVER (PARTITION BY g ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c
+           FROM mon),
+         res AS (SELECT g, day, y,
+             c - LEAST(MIN(c) OVER (PARTITION BY g ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) AS cusum_micros
+           FROM cum)
+         SELECT g, day, y, cusum_micros,
+           cusum_micros > 5000000 AS alarm FROM res""",
     "q118_random_walks" -> OracleGen.randomWalksSql(steps = 3),
     "q122_hits" -> OracleGen.hitsSql(iters = 2),
     "q120_kaplan_meier" ->

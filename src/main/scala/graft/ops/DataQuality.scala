@@ -315,4 +315,62 @@ object DataQuality {
         round((col("observed") - e) * (col("observed") - e) / e, 4)
           .as("chi2_term"))
   }
+
+  /** One-sided upper CUSUM change detection (Page 1954) over a
+    * per-group daily count series — the SEQUENTIAL drift detector
+    * beside the distributional ones (PSI q76, KL q142, KS q166): those
+    * ask "has the distribution moved", CUSUM asks "WHEN did the level
+    * shift", accumulating evidence across days so a small sustained
+    * shift alarms even though no single day would.
+    *
+    * The recurrence S_t = max(0, S_{t−1} + (x_t − target − slack)) is
+    * computed CLOSED-FORM as `C_t − min(0, min_{j≤t} C_j)` with C the
+    * running sum of deviations — two window passes instead of a
+    * sequential fold, the identity that makes CUSUM data-parallel. The
+    * target is the mean of each group's first `baselineDays` OBSERVED
+    * days in integer micros (`sum·1e6 div n` — truncating div on
+    * non-negatives, `//` parity), deviations are exact micros, so every
+    * value replays bit-for-bit; days with no events are unobserved (the
+    * daily-rollup convention of q143/q153/q168), not zeros.
+    *
+    * Output: one row per monitored (group, day) — days after the
+    * baseline window — with the running `cusum_micros` and the
+    * `alarm` flag (cusum > thresholdMicros).
+    *
+    * Scale shape: one combinable daily rollup, two tiny per-group aggs
+    * (baseline start, target), then windows over the per-group DAILY
+    * table — window length is the observation window in days, the
+    * documented ≤window-days single-partition precedent, never event
+    * volume. */
+  def cusumDrift(events: DataFrame, groupCol: String, tsCol: String,
+                 baselineDays: Int = 7, slackMicros: Long = 0L,
+                 thresholdMicros: Long = 5000000L): DataFrame = {
+    require(baselineDays >= 1, "baselineDays must be >= 1")
+    require(slackMicros >= 0 && thresholdMicros >= 0,
+      "slack and threshold must be >= 0")
+    val daily = events
+      .select(col(groupCol).as("g"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("g"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val start = daily.groupBy(col("g")).agg(min(col("day")).as("d0"))
+    val target = daily.join(start, Seq("g"))
+      .filter(col("day") < col("d0") + baselineDays)
+      .groupBy(col("g"))
+      .agg(expr("sum(y) * 1000000 div count(1)").as("target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("day").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    daily.join(start, Seq("g")).join(target, Seq("g"))
+      .filter(col("day") >= col("d0") + baselineDays)
+      .withColumn("dd", col("y") * 1000000L - col("target")
+        - lit(slackMicros))
+      .withColumn("c", sum(col("dd")).over(w))
+      .withColumn("cusum_micros",
+        col("c") - least(min(col("c")).over(w), lit(0L)))
+      .select(col("g"), col("day"), col("y"), col("cusum_micros"),
+        (col("cusum_micros") > thresholdMicros).as("alarm"))
+  }
 }

@@ -57,4 +57,35 @@ class DataQualitySpec extends AnyFunSuite {
       .as[(String, Long, Long, Boolean)].collect()
     assert(empty.forall(r => r._2 == 0L && r._4), empty.mkString(","))
   }
+
+  test("cusumDrift: hand series — baseline mean 3, deviations " +
+    "accumulate, a sustained shift alarms; the max(0,·) clamp resets " +
+    "after a below-target run (closed-form == sequential recurrence)") {
+    // day0: 2 events, day1: 4 (baseline, target = 3e6 micros)
+    // monitored: day2: 3 (dd 0), day3: 5 (+2e6), day4: 1 (-2e6),
+    // day5: 6 (+3e6) -> C = 0, 2e6, 0, 3e6; runmin >= 0 -> S = C
+    val counts = Seq(0 -> 2, 1 -> 4, 2 -> 3, 3 -> 5, 4 -> 1, 5 -> 6)
+    val ev = counts.flatMap { case (d, n) =>
+      (1 to n).map(_ => ("a", f"2024-01-${d + 1}%02d 10:00:00"))
+    }.toDF("g", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = DataQuality.cusumDrift(ev, "g", "ts", baselineDays = 2,
+        slackMicros = 0L, thresholdMicros = 2500000L)
+      .orderBy("day")
+      .select("y", "cusum_micros", "alarm")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((3L, 0L, false), (5L, 2000000L, false),
+      (1L, 0L, false), (6L, 3000000L, true)), got)
+    // clamp case: a deep dip then recovery — S restarts from the dip,
+    // not from the pre-dip surplus
+    val counts2 = Seq(0 -> 3, 1 -> 3, 2 -> 1, 3 -> 4)
+    val ev2 = counts2.flatMap { case (d, n) =>
+      (1 to n).map(_ => ("b", f"2024-02-${d + 1}%02d 10:00:00"))
+    }.toDF("g", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val got2 = DataQuality.cusumDrift(ev2, "g", "ts", baselineDays = 2,
+        slackMicros = 0L, thresholdMicros = 2500000L)
+      .orderBy("day").select("cusum_micros")
+      .as[Long].collect().toSeq
+    // day2: dd=-2e6 -> S=0 (clamped); day3: dd=+1e6 -> S=1e6
+    assert(got2 == Seq(0L, 1000000L), got2)
+  }
 }

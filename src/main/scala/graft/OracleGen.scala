@@ -1263,6 +1263,67 @@ object OracleGen {
          COALESCE(pn.triangles, 0) AS triangles
        FROM deg d LEFT JOIN pn ON pn.node = d.node"""
 
+  /** Oracle for `TextAnalysis.bpeTrain` (q172): the BPE merge loop
+    * unrolled as CTE blocks — per round one pair count + a 1-row
+    * top-1, then the vectorized greedy merge (gaps-and-islands parity
+    * for equal-symbol runs). Strings and integers only. */
+  def bpeSql(merges: Int): String = {
+    val steps = (1 to merges).map { i =>
+      val prev = s"s${i - 1}"
+      val pairAndBest =
+        s"""p$i AS (SELECT sym, nxt, CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM (SELECT sym, freq, lead(sym) OVER (PARTITION BY word
+               ORDER BY pos ASC) AS nxt
+             FROM $prev) WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         b$i AS (SELECT sym AS bx, nxt AS by, cnt FROM p$i
+           ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1)"""
+      val mergeCtes = if (i < merges)
+        s""",
+         t$i AS (SELECT s.word, s.freq, s.pos, s.sym, b.bx, b.by,
+             lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos ASC)
+               AS nxts,
+             lag(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos ASC)
+               AS lags
+           FROM $prev s CROSS JOIN b$i b),
+         u$i AS (SELECT *, SUM(CASE WHEN sym = bx
+               AND (lags IS NULL OR lags <> bx) THEN 1 ELSE 0 END)
+             OVER (PARTITION BY word ORDER BY pos ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS runid
+           FROM t$i),
+         v$i AS (SELECT *, MIN(CASE WHEN sym = bx THEN pos END)
+             OVER (PARTITION BY word, runid) AS runmin FROM u$i),
+         w$i AS (SELECT *, (sym = bx AND nxts = by
+             AND (bx <> by OR (pos - runmin) % 2 = 0)) AS strt
+           FROM v$i),
+         x$i AS (SELECT *, COALESCE(lag(strt) OVER (PARTITION BY word
+             ORDER BY pos ASC), FALSE) AS scnd FROM w$i),
+         s$i AS (SELECT word, freq,
+             row_number() OVER (PARTITION BY word ORDER BY pos ASC)
+               AS pos,
+             CASE WHEN strt THEN bx || by ELSE sym END AS sym
+           FROM x$i WHERE NOT scnd)"""
+      else ""
+      pairAndBest + mergeCtes
+    }.mkString(",\n       ")
+    val outs = (1 to merges).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, bx AS lhs, by AS rhs,
+         cnt AS pair_count FROM b$i""").mkString("\n       UNION ALL ")
+    s"""WITH words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS w
+           FROM documents)
+         WHERE length(w) > 0 GROUP BY 1),
+       s0 AS (SELECT w.word, w.freq, u.i AS pos,
+           CASE WHEN u.i = length(w.word)
+             THEN substring(w.word, CAST(u.i AS INT), 1) || '</w>'
+             ELSE substring(w.word, CAST(u.i AS INT), 1) END AS sym
+         FROM words w,
+           UNNEST(generate_series(1, CAST(length(w.word) AS BIGINT)))
+             AS u(i)),
+       $steps
+       $outs"""
+  }
+
   /** Oracle for `Similarity.mmrRerank` (q170): the λ=1/2 greedy MMR
     * loop unrolled as CTEs — pick 1 is pure relevance; each later pick
     * is argmax of `rel − max sim-to-selected`, a subtraction of two

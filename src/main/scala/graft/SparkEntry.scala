@@ -1750,6 +1750,12 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")))
 
+  /** Distributed BPE tokenizer training: six global merge rounds over
+    * the corpus word-frequency table, emitting the learned merge table
+    * in training order. See [[graft.ops.TextAnalysis.bpeTrain]]. */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", merges = 6)
+
   /** Sequential level-shift detection: one-sided upper CUSUM over each
     * event type's daily counts, baselined on the first week — the
     * "WHEN did it drift" monitor beside the distributional drift tests.
@@ -2006,6 +2012,7 @@ object SparkEntry {
     "q169_coreness" -> (qCoreness _),
     "q170_mmr_rerank" -> (qMmrRerank _),
     "q171_cusum_drift" -> (qCusumDrift _),
+    "q172_bpe_train" -> (qBpeTrain _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3781,6 +3788,7 @@ object SparkEntry {
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
     "q169_coreness" -> OracleGen.corenessSql(iters = 8),
     "q170_mmr_rerank" -> OracleGen.mmrSql(candK = 20, k = 5, stride = 100),
+    "q172_bpe_train" -> OracleGen.bpeSql(merges = 6),
     "q171_cusum_drift" ->
       """WITH daily AS (SELECT event_type AS g,
              CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,

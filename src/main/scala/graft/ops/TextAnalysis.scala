@@ -1040,4 +1040,95 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("avg_logratio"),
         (col("avg_logratio") > 0).as("keep"))
   }
+
+  /** Distributed BPE vocabulary induction (Sennrich, Haddow & Birch
+    * 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units") — the tokenizer-training step of an LLM data pipeline,
+    * run as `merges` global rounds over the corpus WORD-FREQUENCY
+    * table. Each round counts every adjacent symbol pair (weighted by
+    * word frequency), merges the globally most frequent pair
+    * (ties: count desc, then left/right symbol ascending — pure ASCII
+    * byte order on both engines), and emits the merge rule; the output
+    * is the learned merge table (step, left, right, pair_count), i.e.
+    * the BPE vocab in training order. The final character of each word
+    * carries the classic `</w>` end-marker so merges cannot cross word
+    * boundaries when the vocab is applied.
+    *
+    * Merging left-to-right greedily is vectorized, not folded: for a
+    * pair (x,y) with x ≠ y occurrences can never overlap, so every
+    * candidate position merges; for x == y only alternate positions of
+    * each maximal x-run merge, recovered with the gaps-and-islands
+    * window idiom (run id = running count of run starts; position
+    * parity inside the run picks the odd offsets). Everything is
+    * integers and strings — the oracle unrolls the rounds as CTEs and
+    * replays bit-for-bit.
+    *
+    * Scale shape: one corpus scan builds (word, freq) — from there the
+    * working set is the DISTINCT-WORD symbol table (Σ|word| rows,
+    * vocabulary-bounded, NOT corpus-bounded — the reason Sennrich's
+    * algorithm trains on word counts). Per round: one per-word window
+    * pass + one combinable pair count + a 1-row global top-1 that
+    * broadcasts back; nothing rescans the corpus. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int)
+      : DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val wp = Window.partitionBy(col("word")).orderBy(col("pos").asc)
+    var syms = words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("freq"), col("pos"),
+        when(col("pos") === length(col("word")),
+          concat(expr("substring(word, pos, 1)"), lit("</w>")))
+          .otherwise(expr("substring(word, pos, 1)")).as("sym"))
+      .localCheckpoint(eager = false)
+    var out: DataFrame = null
+    for (m <- 1 to merges) {
+      val pairs = syms
+        .withColumn("nxt", lead(col("sym"), 1).over(wp))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(1)
+        .select(col("sym").as("bx"), col("nxt").as("by"), col("cnt"))
+        .localCheckpoint(eager = false)
+      val stepOut = best.select(lit(m.toLong).as("step"),
+        col("bx").as("lhs"), col("by").as("rhs"),
+        col("cnt").as("pair_count"))
+      out = if (out == null) stepOut else out.union(stepOut)
+      if (m < merges) {
+        val t = syms.crossJoin(broadcast(best.select(col("bx"), col("by"))))
+          .withColumn("nxts", lead(col("sym"), 1).over(wp))
+          .withColumn("lags", lag(col("sym"), 1).over(wp))
+          .withColumn("runid", sum(when(col("sym") === col("bx") &&
+              (col("lags").isNull || col("lags") =!= col("bx")), 1L)
+              .otherwise(0L))
+            .over(wp.rowsBetween(Window.unboundedPreceding, 0)))
+        val v = t
+          .withColumn("runmin",
+            min(when(col("sym") === col("bx"), col("pos")))
+              .over(Window.partitionBy(col("word"), col("runid"))))
+          .withColumn("strt", col("sym") === col("bx") &&
+            col("nxts") === col("by") &&
+            (col("bx") =!= col("by") ||
+              (col("pos") - col("runmin")) % 2 === 0))
+          .withColumn("scnd",
+            coalesce(lag(col("strt"), 1).over(wp), lit(false)))
+        syms = v.filter(!col("scnd"))
+          .withColumn("sym2", when(col("strt"),
+            concat(col("bx"), col("by"))).otherwise(col("sym")))
+          .withColumn("pos2", row_number().over(wp))
+          .select(col("word"), col("freq"), col("pos2").as("pos"),
+            col("sym2").as("sym"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    out
+  }
 }

@@ -1334,6 +1334,37 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(d3 == Map("a" -> 0.5, "b" -> 0.5))
   }
 
+  test("bpeTrain: hand corpus — (a,a) merges first by weighted count, " +
+    "then (a,b</w>), then the two fused symbols; equal-symbol runs " +
+    "merge leftmost-greedily (aaab -> [aa, a, b</w>])") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      .orderBy("step")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "a", 4L),
+      (2L, "a", "b</w>", 3L),
+      (3L, "aa", "ab</w>", 2L)), got)
+  }
+
+  test("bpeTrain: even-length equal-symbol run pairs up without " +
+    "overlap, and count ties break lexicographically on (lhs, rhs)") {
+    import graft.ops.TextAnalysis
+    // aaaa -> [a,a,a,a</w>]; round 1 merges (a,a) count 2 (positions
+    // 1-2 only: position 2 is consumed, position 3's next is a</w>),
+    // leaving [aa, a, a</w>]; round 2 ties (aa,a) vs (a,a</w>) at 1,
+    // lexicographic lhs picks (a, a</w>)
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      .orderBy("step")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "a", 2L),
+      (2L, "a", "a</w>", 1L),
+      (3L, "aa", "aa</w>", 1L)), got)
+  }
+
   test("mmrRerank: diversity beats relevance at pick 2 — the runner-up " +
     "by cosine is nearly parallel to pick 1, so the more distant " +
     "third candidate wins the MMR step") {

@@ -433,6 +433,50 @@ object OracleGen {
        JOIN wts pw ON pw.rnk = least($k, n.n_rel)"""
   }
 
+  /** Oracle for `Similarity.averagePrecision` over the LSH run vs
+    * brute-force truth (q173): same run/truth derivation as
+    * [[retrievalEvalSql]], then the all-integer AP contract —
+    * per-hit (1e6·tp)//rank summed and divided by min(k, n_rel). */
+  def averagePrecisionSql(nBits: Int, dim: Int, k: Int,
+                          stride: Long): String =
+    s"""WITH run0 AS (SELECT query_id, cand_id, cos
+         FROM (${annLshSql(nBits, dim, k, queryStride = stride)})),
+       run AS (SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cand_id ASC) AS rnk
+         FROM run0),
+       e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       q AS (SELECT id AS query_id, v AS qv FROM e
+         WHERE id % $stride = 0),
+       bp AS (SELECT query_id, e.id AS cand_id,
+           ${cosSql("q.qv", "e.v")} AS cos
+         FROM e, q WHERE e.id <> query_id),
+       tru AS (SELECT query_id, cand_id FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rn FROM bp)
+         WHERE rn <= $k),
+       marked AS (SELECT r.query_id, r.rnk,
+           CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         FROM run r LEFT JOIN tru t ON t.query_id = r.query_id
+           AND t.cand_id = r.cand_id),
+       cum AS (SELECT query_id, rnk, rel,
+           CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rnk ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS tp
+         FROM marked),
+       per AS (SELECT query_id,
+           CAST(sum(CASE WHEN rel = 1
+             THEN (1000000 * tp) // rnk ELSE 0 END) AS BIGINT) AS ap_num,
+           CAST(sum(rel) AS BIGINT) AS n_hits
+         FROM cum GROUP BY 1),
+       nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         FROM tru GROUP BY 1)
+       SELECT n.query_id, n.n_rel,
+         COALESCE(n_hits, 0) AS n_hits,
+         COALESCE(ap_num // least($k, n.n_rel), 0) AS ap_micros
+       FROM nrel n LEFT JOIN per ON per.query_id = n.query_id"""
+
   /** Oracle for `Similarity.rrfFuse` over the brute-force + LSH runs
     * (q98): both runs re-ranked by (cos DESC, cand ASC), fused by
     * Σ 1/(c + rank), top-fuseK per query. The LSH run restricts to the
@@ -1262,6 +1306,81 @@ object OracleGen {
        SELECT d.node, d.deg, d.deg * (d.deg - 1) // 2 AS wedges,
          COALESCE(pn.triangles, 0) AS triangles
        FROM deg d LEFT JOIN pn ON pn.node = d.node"""
+
+  /** Oracle for `Events.decayedEngagement` (q182): the decay table is
+    * the SAME build-time constants the Spark face sums
+    * (Events.decayWeightMicros — q165 ndcgWeightMicros precedent). */
+  def decayedEngagementSql: String = {
+    val wts = graft.ops.Events.decayWeightMicros.zipWithIndex
+      .map { case (w, l) => s"($l, $w)" }.mkString(", ")
+    s"""WITH pd AS (SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       ref AS (SELECT max(day) AS ref FROM pd),
+       wts(lg, w_micros) AS (VALUES $wts)
+       SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(n * COALESCE(w_micros, 0)) AS BIGINT) AS score_micros
+       FROM pd CROSS JOIN ref
+       LEFT JOIN wts ON wts.lg = ref.ref - pd.day
+       GROUP BY 1"""
+  }
+
+  /** Oracle for `Graph.linkPrediction` (q176): same transition-graph
+    * derivation as [[triangleCountsSql]], wedge self-join on centers
+    * under the degree cap, existing edges anti-joined away. */
+  def linkPredictionSql(minCommon: Long, maxCenterDeg: Long): String =
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM tr WHERE src IS NOT NULL AND src <> dst),
+       adj AS (SELECT a AS w, b AS n FROM und
+         UNION ALL SELECT b, a FROM und),
+       deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM adj
+         GROUP BY 1),
+       ctr AS (SELECT adj.w, adj.n FROM adj JOIN deg ON deg.w = adj.w
+         WHERE deg.deg <= $maxCenterDeg),
+       cn AS (SELECT x.n AS u, y.n AS v, CAST(count(*) AS BIGINT) AS cn
+         FROM ctr x JOIN ctr y ON x.w = y.w AND x.n < y.n
+         GROUP BY 1, 2 HAVING count(*) >= $minCommon),
+       ne AS (SELECT cn.* FROM cn
+         WHERE NOT EXISTS (SELECT 1 FROM und
+           WHERE und.a = cn.u AND und.b = cn.v))
+       SELECT u, v, cn, du.deg AS deg_u, dv.deg AS deg_v,
+         (1000000 * cn) // (du.deg + dv.deg - cn) AS jaccard_micros
+       FROM ne JOIN deg du ON du.w = u JOIN deg dv ON dv.w = v"""
+
+  /** Oracle for `Graph.degreeAssortativity` (q177): symmetric edge
+    * list, integer moments, one round-4 division (denominators equal
+    * by symmetry — no sqrt). */
+  def assortativitySql: String =
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM tr WHERE src IS NOT NULL AND src <> dst),
+       adj AS (SELECT a AS s, b AS d FROM und
+         UNION ALL SELECT b, a FROM und),
+       deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM adj
+         GROUP BY 1),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(dx.deg) AS BIGINT) AS sx,
+           CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+           CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy
+         FROM adj JOIN deg dx ON dx.s = adj.s
+           JOIN deg dy ON dy.s = adj.d)
+       SELECT m, sx, sxx, sxy,
+         CASE WHEN m * sxx - sx * sx <> 0 THEN
+           round(CAST(m * sxy - sx * sx AS DOUBLE)
+             / CAST(m * sxx - sx * sx AS DOUBLE), 4) + 0.0 END
+           AS assortativity
+       FROM m"""
 
   /** Oracle for `TextAnalysis.bpeTrain` (q172): the BPE merge loop
     * unrolled as CTE blocks — per round one pair count + a 1-row

@@ -1601,6 +1601,100 @@ object SparkEntry {
     DataQuality.rankSumAuc(t(s, dir, "documents"), "source", "n_chars",
       col("lang") === "en")
 
+  /** Mean-average-precision numerator: per-query ALL-INTEGER average
+    * precision of the LSH run against brute-force truth — the
+    * rank-sensitive eval beside q165's hits/MRR/NDCG triple. Same
+    * run/truth derivation as q165. */
+  private def qAveragePrecision(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val run = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+        nBits = 16, dim = 64, queryStride = 100)
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "cand_id", "rank")
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        k = 5, stride = 100)
+      .select("query_id", "cand_id")
+    Similarity.averagePrecision(run, truth, k = 5)
+  }
+
+  /** Difference-in-differences per event type at the q147 cutoff:
+    * (treated post − pre) − (control post − pre) on micro-exact cell
+    * means, treatment = the deterministic user_id%2 holdout — the
+    * quasi-experimental causal read beside CUPED's variance shrink. */
+  private def qDidEstimator(s: SparkSession, dir: String): DataFrame =
+    Events.didEstimator(Events.load(s, dir), "event_type", "user_id",
+      "ts", "value", cutoff = "2024-01-15 00:00:00")
+
+  /** Calibration card of the (source, length-bucket) base-rate
+    * classifier for lang=en, fit on the id%3=0 train slice (3 is
+    * coprime to the id-round-robin source period, so every cell spans
+    * both halves), binned on the eval rows — reliability-diagram rows + the ECE numerator, all
+    * integer. */
+  private def qCalibrationCard(s: SparkSession, dir: String): DataFrame =
+    DataQuality.calibrationCard(t(s, dir, "documents"), "doc_id",
+      Seq(col("source"), expr("n_chars div 100")), col("lang") === "en",
+      bins = 10, trainMod = 3L)
+
+  /** Common-neighbor / Jaccard link prediction on the session graph —
+    * the "which edge forms next" ranking; the hub-center degree cap
+    * (the similarity-join stop-word trade) is set non-binding at 128
+    * on this dense 100-node graph — its semantics are spec-pinned. */
+  private def qLinkPrediction(s: SparkSession, dir: String): DataFrame =
+    Graph.linkPrediction(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")),
+      minCommon = 2L, maxCenterDeg = 128L)
+
+  /** Degree assortativity of the session graph (Newman 2002) — the
+    * 1-row hubs-link-hubs texture card; integer moments, one round-4
+    * division, no sqrt (marginals equal by symmetry). */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame =
+    Graph.degreeAssortativity(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")))
+
+  /** Flesch reading ease per doc in integer micros — the readability
+    * tier of the quality stack (vowel-group syllables, terminal-
+    * punctuation sentences floored at 1). */
+  private def qReadability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Order-independent per-group content checksums over lineitem's
+    * key/flag columns — the migration/CDC verification screen (xor +
+    * mod-sum of 60-bit md5 row hashes, combinable). */
+  private def qGroupChecksum(s: SparkSession, dir: String): DataFrame =
+    DataQuality.groupChecksum(t(s, dir, "lineitem"), "l_returnflag",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus"))
+
+  /** 2-D Pareto frontier per return flag: cheapest price for each
+    * quantity level — the skyline operator as two windows on one
+    * shuffle, never a quadratic self-join. */
+  private def qParetoFrontier(s: SparkSession, dir: String): DataFrame =
+    Windows.paretoFrontier(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast(LongType)
+          .as("price_cents"),
+        round(col("l_quantity")).cast(LongType).as("qty")),
+      Seq(col("l_returnflag")), "price_cents", "qty")
+
+  /** Classical additive seasonal decomposition of each event type's
+    * daily series — centered 7-day trend, epoch-dow seasonal, residual;
+    * all integer micros. */
+  private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    Events.seasonalDecompose(Events.load(s, dir), "event_type", "ts")
+
+  /** Exponentially-decayed per-user engagement score — build-time
+    * 0.9^lag micro weights (q165 constants precedent), pure integer
+    * dot product, no window. */
+  private def qDecayedEngagement(s: SparkSession, dir: String): DataFrame =
+    Events.decayedEngagement(Events.load(s, dir), "user_id", "ts")
+
   /** The stream-stream interval join's BATCH face, oracle-checked:
     * clicks joined to same-user purchases within 1 h after. The
     * streaming face (two-sided watermarks, built-in join) is pinned
@@ -2013,6 +2107,16 @@ object SparkEntry {
     "q170_mmr_rerank" -> (qMmrRerank _),
     "q171_cusum_drift" -> (qCusumDrift _),
     "q172_bpe_train" -> (qBpeTrain _),
+    "q173_average_precision" -> (qAveragePrecision _),
+    "q174_did_estimator" -> (qDidEstimator _),
+    "q175_calibration_card" -> (qCalibrationCard _),
+    "q176_link_prediction" -> (qLinkPrediction _),
+    "q177_assortativity" -> (qAssortativity _),
+    "q178_readability" -> (qReadability _),
+    "q179_group_checksum" -> (qGroupChecksum _),
+    "q180_pareto_frontier" -> (qParetoFrontier _),
+    "q181_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q182_decayed_engagement" -> (qDecayedEngagement _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -3817,6 +3921,136 @@ object SparkEntry {
            cusum_micros > 5000000 AS alarm FROM res""",
     "q118_random_walks" -> OracleGen.randomWalksSql(steps = 3),
     "q122_hits" -> OracleGen.hitsSql(iters = 2),
+    "q173_average_precision" ->
+      OracleGen.averagePrecisionSql(nBits = 16, dim = 64, k = 5,
+        stride = 100),
+    "q175_calibration_card" ->
+      """WITH base AS (SELECT doc_id AS id, source AS f0,
+             n_chars // 100 AS f1, (lang = 'en') AS y FROM documents),
+         rates AS (SELECT f0, f1,
+             (1000000 * CAST(sum(CASE WHEN y THEN 1 ELSE 0 END)
+               AS BIGINT)) // CAST(count(*) AS BIGINT) AS pred
+           FROM base WHERE id % 3 = 0 GROUP BY 1, 2),
+         ev AS (SELECT b.y, rates.pred FROM base b
+           LEFT JOIN rates ON rates.f0 = b.f0 AND rates.f1 = b.f1
+           WHERE b.id % 3 <> 0),
+         bb AS (SELECT CASE WHEN pred IS NULL THEN -1
+             ELSE least(9, (pred * 10) // 1000000) END AS bin, y, pred
+           FROM ev),
+         agg AS (SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pred) AS BIGINT) AS pw,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+           FROM bb GROUP BY 1)
+         SELECT bin, n, pw // n AS mean_pred_micros,
+           (1000000 * pos) // n AS obs_rate_micros,
+           pw // n - (1000000 * pos) // n AS gap_micros,
+           abs(pw // n - (1000000 * pos) // n) * n AS ece_num
+         FROM agg""",
+    "q176_link_prediction" ->
+      OracleGen.linkPredictionSql(minCommon = 2L, maxCenterDeg = 128L),
+    "q177_assortativity" -> OracleGen.assortativitySql,
+    "q178_readability" ->
+      """WITH b AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT)
+               + CAST(len(list_filter(string_split(lower(text), ' '),
+                   w -> NOT regexp_matches(w, '[aeiouy]'))) AS BIGINT)
+               AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           206835000 - (1015000 * n_words) // n_sentences
+             - (84600000 * n_syllables) // n_words AS flesch_micros
+         FROM b""",
+    "q179_group_checksum" ->
+      """WITH h AS (SELECT l_returnflag,
+             CAST(('0x' || substring(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_partkey AS VARCHAR) || '|' ||
+               CAST(l_suppkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               l_returnflag || '|' || l_linestatus), 1, 15)) AS BIGINT)
+               AS h
+           FROM lineitem)
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(h) AS xor_sig,
+           CAST(sum(h % 1000000007) AS BIGINT) AS sum_sig
+         FROM h GROUP BY 1""",
+    "q180_pareto_frontier" ->
+      """WITH li AS (SELECT l_returnflag, l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem),
+         w AS (SELECT *,
+             max(qty) OVER (PARTITION BY l_returnflag
+               ORDER BY price_cents ASC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mprev,
+             max(qty) OVER (PARTITION BY l_returnflag, price_cents)
+               AS meq
+           FROM li)
+         SELECT l_returnflag, l_orderkey, l_linenumber, price_cents, qty
+         FROM w WHERE (mprev IS NULL OR mprev < qty) AND meq = qty""",
+    "q181_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type AS g,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT g, day, y,
+             CAST(count(*) OVER w7 AS BIGINT) AS n7,
+             CAST(sum(y) OVER w7 AS BIGINT) AS s7
+           FROM daily WINDOW w7 AS (PARTITION BY g ORDER BY day ASC
+             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t3 AS (SELECT g, day, day % 7 AS dow, y,
+             CASE WHEN n7 = 7 THEN (1000000 * s7) // 7 END
+               AS trend_micros,
+             1000000 * y - CASE WHEN n7 = 7 THEN (1000000 * s7) // 7 END
+               AS detr
+           FROM t),
+         seas AS (SELECT g, dow, CAST(sum(detr) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM t3 WHERE detr IS NOT NULL GROUP BY 1, 2),
+         s2 AS (SELECT g, dow,
+             CASE WHEN sd >= 0 THEN sd // nd ELSE -((-sd) // nd) END
+               AS seasonal_micros
+           FROM seas)
+         SELECT t3.g AS event_type, t3.day, t3.dow, t3.y,
+           t3.trend_micros, s2.seasonal_micros,
+           t3.detr - s2.seasonal_micros AS resid_micros
+         FROM t3 LEFT JOIN s2 ON s2.g = t3.g AND s2.dow = t3.dow""",
+    "q182_decayed_engagement" -> OracleGen.decayedEngagementSql,
+    "q174_did_estimator" ->
+      """WITH cells AS (SELECT event_type,
+             (user_id % 2 = 1) AS treated,
+             (ts >= TIMESTAMP '2024-01-15 00:00:00') AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+           FROM events GROUP BY 1, 2, 3),
+         m AS (SELECT event_type, treated, post, n,
+             (1000000 * s) // n AS mm
+           FROM cells),
+         piv AS (SELECT event_type,
+             max(CASE WHEN treated AND NOT post THEN n END) AS n_t_pre,
+             max(CASE WHEN treated AND post THEN n END) AS n_t_post,
+             max(CASE WHEN NOT treated AND NOT post THEN n END)
+               AS n_c_pre,
+             max(CASE WHEN NOT treated AND post THEN n END) AS n_c_post,
+             max(CASE WHEN treated AND NOT post THEN mm END)
+               AS m_t_pre_micros,
+             max(CASE WHEN treated AND post THEN mm END)
+               AS m_t_post_micros,
+             max(CASE WHEN NOT treated AND NOT post THEN mm END)
+               AS m_c_pre_micros,
+             max(CASE WHEN NOT treated AND post THEN mm END)
+               AS m_c_post_micros
+           FROM m GROUP BY 1)
+         SELECT *, (m_t_post_micros - m_t_pre_micros)
+           - (m_c_post_micros - m_c_pre_micros) AS did_micros
+         FROM piv""",
     "q120_kaplan_meier" ->
       """WITH ev AS (SELECT user_id, event_type,
            CAST(ts AS TIMESTAMP) AS ts FROM events),

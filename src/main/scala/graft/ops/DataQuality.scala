@@ -281,6 +281,96 @@ object DataQuality {
           (col("n1") * col("n2")).cast("double"), 4).as("ks"))
   }
 
+  /** ORDER-INDEPENDENT GROUP CHECKSUM — the migration/CDC verification
+    * primitive: a per-group content signature that any engine computes
+    * identically from the same logical rows, regardless of
+    * partitioning, ordering or physical layout. Two snapshots (or two
+    * engines, or the two sides of a CDC apply) agree iff every group's
+    * (n_rows, xor_sig, sum_sig) triple agrees — the cheap first check
+    * before any row-level diff (q59's snapshot diff is the expensive
+    * second step this screen gates).
+    *
+    * Row hash: md5 of the '|'-joined canonical row string (NULLs render
+    * as a reserved sentinel so (NULL,"x") ≠ ("x",NULL) — concat_ws's
+    * silent null-skip would conflate them), truncated to 15 hex chars =
+    * a 60-bit non-negative long. Signatures: bit_xor (order-free,
+    * overflow-free) plus the mod-1e9+7 sum (catches the duplicated-row
+    * ⊕ self-cancellation xor alone would miss: a row appearing twice
+    * xors to zero but sums twice). Callers pass INTEGER/STRING columns
+    * only — float-to-string rendering is engine-specific and belongs
+    * to a cents-casting stage upstream.
+    *
+    * Scale shape: ONE combinable aggregation over one scan; both
+    * signatures are commutative/associative, so map-side partial
+    * aggregation applies and the shuffle carries |groups| rows. */
+  def groupChecksum(df: DataFrame, groupCol: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one content column")
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    df.select(col(groupCol),
+        conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_sig"),
+        sum(col("h") % 1000000007L).as("sum_sig"))
+  }
+
+  /** CALIBRATION CARD (reliability diagram + the ECE numerator,
+    * Naeini et al. 2015 / Guo et al. 2017's evaluation): fit the
+    * simplest honest classifier — the per-feature-cell base rate on a
+    * deterministic TRAIN slice (`idCol % trainMod = 0`, the q93
+    * hash-split family; pick `trainMod` COPRIME to any id-derived
+    * feature period — an id-round-robin source column makes a parity
+    * split degenerate, every eval cell unseen) — then on the EVAL half, bucket its predictions into
+    * `bins` equal-width probability bins and compare each bin's mean
+    * prediction with the observed positive rate. The gap column is
+    * what a reliability diagram plots; Σ|gap|·n / N is ECE. Eval rows
+    * whose feature cell never appeared in train land in bin −1 with a
+    * NULL prediction (the honest face — dropping them would hide
+    * coverage holes).
+    *
+    * ALL-INTEGER: predictions are micros ((1e6·pos) div n over train),
+    * bin = (pred·bins) div 1e6 clamped to bins−1, bin means are
+    * (Σpred) div n and (1e6·pos) div n — every operand a non-negative
+    * long, so Spark `div` = DuckDB `//`; no float anywhere.
+    *
+    * Scale shape: one combinable train agg per feature cell (bounded
+    * by feature cardinality), broadcast onto the eval scan, one
+    * combinable per-bin agg → ≤ bins+1 rows. */
+  def calibrationCard(df: DataFrame, idCol: String,
+                      featureCols: Seq[Column], labelCol: Column,
+                      bins: Int = 10, trainMod: Long = 2L): DataFrame = {
+    require(bins >= 2 && trainMod >= 2L, "need bins >= 2, trainMod >= 2")
+    val feats = featureCols.zipWithIndex
+      .map { case (c, i) => c.as(s"f$i") }
+    val fNames = featureCols.indices.map(i => s"f$i")
+    val base = df.select(col(idCol).as("id") +: labelCol.as("y") +: feats: _*)
+    val rates = base.filter(col("id") % trainMod === 0)
+      .groupBy(fNames.map(col): _*)
+      .agg(count(lit(1)).as("tn"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("tpos"))
+      .withColumn("pred_micros", expr("(1000000L * tpos) div tn"))
+      .select(fNames.map(col) :+ col("pred_micros"): _*)
+    base.filter(col("id") % trainMod =!= 0)
+      .join(broadcast(rates), fNames, "left")
+      .withColumn("bin",
+        when(col("pred_micros").isNull, lit(-1L))
+          .otherwise(least(lit(bins - 1L),
+            expr(s"(pred_micros * $bins) div 1000000"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pred_micros")).as("pw"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .select(col("bin"), col("n"),
+        expr("pw div n").as("mean_pred_micros"),
+        expr("(1000000L * pos) div n").as("obs_rate_micros"),
+        (expr("pw div n") - expr("(1000000L * pos) div n"))
+          .as("gap_micros"),
+        (abs(expr("pw div n") - expr("(1000000L * pos) div n")) * col("n"))
+          .as("ece_num"))
+  }
+
   /** BENFORD first-digit test per group — the forensic data-quality
     * screen (Benford 1938; fabricated or unit-mixed numeric columns
     * miss the log distribution): observed first-significant-digit

@@ -287,6 +287,55 @@ object Events {
           lit(0.0)).as("y_adj"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES estimator per segment (Card & Krueger
+    * 1994's quasi-experimental workhorse): when a change ships to the
+    * treated population at a known `cutoff`, the causal read is
+    * (treated post − treated pre) − (control post − control pre) —
+    * the control arm's delta nets out the seasonal drift a naive
+    * pre/post diff would swallow. The complement to [[cuped]]: CUPED
+    * shrinks variance WITHIN a randomized experiment; DiD recovers an
+    * effect when assignment wasn't randomized but a parallel-trends
+    * control exists.
+    *
+    * Determinism: cell means are DEFINED in micros over exact cents —
+    * mean_micros = (1e6·Σcents) div n, every operand a non-negative
+    * long (values are money, ≥ 0), so Spark `div` = DuckDB `//` and
+    * did_micros = (m_t_post − m_t_pre) − (m_c_post − m_c_pre) is pure
+    * integer arithmetic; no float anywhere. A segment missing any of
+    * its four cells yields NULL (not a silently-biased estimate).
+    * Treatment is the deterministic holdout `userCol % 2 = 1` (the
+    * q49/q93 hash-split family's simplest member).
+    *
+    * Scale shape: ONE combinable (segment, treated, post) count+sum
+    * aggregation over one scan, then a 4-way conditional pivot per
+    * segment — output is |segments| rows. */
+  def didEstimator(events: DataFrame, groupCol: String, userCol: String,
+                   tsCol: String, valCol: String,
+                   cutoff: String): DataFrame = {
+    val cut = to_timestamp(lit(cutoff))
+    val cells = events.select(col(groupCol),
+        (col(userCol) % 2 === 1).as("treated"),
+        (col(tsCol) >= cut).as("post"),
+        round(col(valCol) * 100).cast(LongType).as("cents"))
+      .groupBy(col(groupCol), col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("mm", expr("(1000000L * s) div n"))
+    def cell(t: Boolean, p: Boolean, c: String): Column =
+      max(when(col("treated") === t && col("post") === p, col(c)))
+    cells.groupBy(col(groupCol))
+      .agg(cell(t = true, p = false, "n").as("n_t_pre"),
+        cell(t = true, p = true, "n").as("n_t_post"),
+        cell(t = false, p = false, "n").as("n_c_pre"),
+        cell(t = false, p = true, "n").as("n_c_post"),
+        cell(t = true, p = false, "mm").as("m_t_pre_micros"),
+        cell(t = true, p = true, "mm").as("m_t_post_micros"),
+        cell(t = false, p = false, "mm").as("m_c_pre_micros"),
+        cell(t = false, p = true, "mm").as("m_c_post_micros"))
+      .withColumn("did_micros",
+        (col("m_t_post_micros") - col("m_t_pre_micros")) -
+          (col("m_c_post_micros") - col("m_c_pre_micros")))
+  }
+
   /** RFM SEGMENTATION — the classic customer-value triage: per user,
     * Recency (days since last `convType` event, measured from the
     * corpus's max event time — a deterministic "now"), Frequency
@@ -505,6 +554,111 @@ object Events {
           (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 4) + lit(0.0))
         .as("r"))
   }
+
+  /** ADDITIVE SEASONAL DECOMPOSITION of each group's daily count series
+    * — the classical-decomposition core of STL (Cleveland et al. 1990,
+    * the moving-average skeleton without loess): trend = centered
+    * 7-day moving average, seasonal = day-of-week mean of the
+    * detrended series, residual = the rest. The series triage every
+    * metrics review starts with — "is the drop a trend break or just
+    * the weekend".
+    *
+    * ALL-INTEGER in micros: trend = (1e6·Σ₇y) div 7 only where the
+    * full ±3 window exists (edges stay NULL — classical decomposition
+    * has no trend there, and extrapolating would fabricate one);
+    * detrended = 1e6·y − trend; seasonal(dow) = (Σ detrended) div n
+    * over that group's non-edge days, which can be negative — the
+    * quotient is `div` = truncation toward zero in BOTH engines on
+    * BIGINTs (DuckDB's `//` on integers truncates like its integer
+    * division; negative-operand floor-vs-truncate divergence only
+    * exists against Python's `//`, not DuckDB's BIGINT division) — so
+    * to stay in the one-semantics class the division is written as
+    * sign(x)·(|x| div n): floor and truncate agree on non-negative
+    * operands, and both faces carry the sign outside. Residual =
+    * detrended − seasonal. dow = day mod 7 (epoch-day residue — a
+    * fixed 7-phase, not a calendar weekday; UTC session-timezone
+    * contract as q120).
+    *
+    * Scale shape: one combinable daily collapse, then all three passes
+    * are windows over the per-group DAILY table (≤ observation window
+    * in days — the q113/q153 tiny-partition precedent) plus one
+    * combinable (group, dow) agg broadcast back. */
+  def seasonalDecompose(events: DataFrame, groupCol: String,
+                        tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val w7 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("day").asc)
+      .rangeBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("y")).over(w7))
+      .withColumn("trend_micros",
+        when(col("n7") === 7, expr("(1000000L * s7) div 7")))
+      .withColumn("detr_micros",
+        lit(1000000L) * col("y") - col("trend_micros"))
+      .withColumn("dow", expr("day % 7"))
+    val seas = t.filter(col("detr_micros").isNotNull)
+      .groupBy(col(groupCol), col("dow"))
+      .agg(sum(col("detr_micros")).as("sd"), count(lit(1)).as("nd"))
+      .withColumn("seasonal_micros",
+        when(col("sd") >= 0, expr("sd div nd"))
+          .otherwise(-expr("(-sd) div nd")))
+      .select(col(groupCol), col("dow"), col("seasonal_micros"))
+    t.join(broadcast(seas), Seq(groupCol, "dow"), "left")
+      .select(col(groupCol), col("day"), col("dow"), col("y"),
+        col("trend_micros"), col("seasonal_micros"),
+        (col("detr_micros") - col("seasonal_micros")).as("resid_micros"))
+  }
+
+  /** EXPONENTIALLY-DECAYED ENGAGEMENT SCORE per user — the recency-
+    * weighted activity scalar ranking/churn models consume (each
+    * event counts 0.9^(days-ago), "ago" measured from the corpus's max
+    * event day, the [[rfmSegments]] deterministic "now"): recent
+    * activity dominates, month-old activity barely registers, and the
+    * score is incrementally maintainable (one multiply per day).
+    *
+    * Determinism: the decay weights are BUILD-TIME integer-micros
+    * constants from the ONE Scala definition ([[decayWeightMicros]],
+    * the q165 DCG-constants precedent — no engine computes pow(0.9, k)
+    * at query time); lags beyond the table score zero (a documented
+    * truncation at < 0.05% weight, not a float underflow surprise).
+    * score = Σ n(day)·w(lag) is a pure integer dot product.
+    *
+    * Scale shape: one combinable (user, day) collapse, a 1-row max-day
+    * broadcast, a broadcast equi-join onto the ≤31-row weight table,
+    * one combinable per-user sum — no window anywhere. */
+  def decayedEngagement(events: DataFrame, userCol: String,
+                        tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perDay = events
+      .select(col(userCol),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col(userCol), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val ref = perDay.agg(max(col("day")).as("ref"))
+    val wts = decayWeightMicros.zipWithIndex
+      .map { case (w, l) => (l.toLong, w) }.toDF("lag", "w_micros")
+    perDay.crossJoin(broadcast(ref))
+      .withColumn("lag", col("ref") - col("day"))
+      .join(broadcast(wts), Seq("lag"), "left")
+      .groupBy(col(userCol))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("n") * coalesce(col("w_micros"), lit(0L)))
+          .as("score_micros"))
+  }
+
+  /** round(1e6 · 0.9^lag) for lag 0..29 — the ONE definition of the
+    * [[decayedEngagement]] decay table; the oracle embeds these exact
+    * longs (q165 ndcgWeightMicros precedent). */
+  val decayWeightMicros: IndexedSeq[Long] =
+    (0 until 30).map(l => math.round(1000000.0 * math.pow(0.9, l)))
 
   /** LORENZ CURVE at decile resolution — the picture behind
     * [[giniConcentration]]'s scalar: per group, entities sort ascending

@@ -240,6 +240,91 @@ object Graph {
     c.select(col("node"), col("c").as("coreness"))
   }
 
+  /** LINK PREDICTION by common-neighbor / Jaccard scoring (Liben-Nowell
+    * & Kleinberg 2003's strongest simple baselines): for every
+    * NON-adjacent pair (u, v) sharing ≥ `minCommon` neighbours, emit
+    * the common-neighbour count and the neighbourhood Jaccard
+    * cn·1e6 div (deg(u)+deg(v)−cn) — the "which edge forms next"
+    * ranking that powers related-page suggestions and crawl-frontier
+    * prioritization on the same session graph q107/q114 rank.
+    *
+    * All-integer (counts + one non-negative `div` = DuckDB `//`).
+    *
+    * Scale shape & cost class: candidate pairs come from the wedge
+    * self-join adj⋈adj on the CENTER node — the SAME Σ C(deg, 2) mass
+    * the stress gate's wedge probe bounds. Unlike triangles, the
+    * orientation trick cannot dodge hub mass here (a pair's common
+    * neighbours must ALL be seen, whichever endpoint is smaller), so
+    * hubs are governed the way similarity self-joins govern stop-words
+    * (the q45/q69 maxDocFreq precedent): centers with
+    * deg > `maxCenterDeg` are excluded from wedge formation — a hub
+    * shared by half the graph predicts nothing (its Jaccard ≈ 0 for
+    * every pair) while costing C(deg, 2); the cap is the documented
+    * recall trade, deterministic on both faces. Degrees in the output
+    * stay the TRUE simple-graph degrees. */
+  def linkPrediction(edges: DataFrame, minCommon: Long = 2L,
+                     maxCenterDeg: Long = 64L): DataFrame = {
+    require(minCommon >= 1L && maxCenterDeg >= 1L,
+      "need minCommon >= 1, maxCenterDeg >= 1")
+    val und = undirectedSimple(edges)
+    val adj = und.select(col("a").as("w"), col("b").as("n"))
+      .union(und.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val centers = adj.join(
+      deg.filter(col("deg") <= maxCenterDeg).select(col("w")), Seq("w"))
+    val cn = centers.as("x")
+      .join(centers.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(und, col("u") === col("a") && col("v") === col("b"),
+        "left_anti")
+    cn.join(deg.select(col("w").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("w").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        expr("(1000000L * cn) div (deg_u + deg_v - cn)")
+          .as("jaccard_micros"))
+  }
+
+  /** DEGREE ASSORTATIVITY of the undirected simple graph (Newman 2002):
+    * the Pearson correlation of the degrees at the two ends of an edge,
+    * over the symmetric directed edge list (each undirected edge
+    * contributes both orderings, the standard convention — making the
+    * two marginals identical). Positive = hubs link hubs (social
+    * texture), negative = hubs link leaves (web/biological texture) —
+    * the one-number texture card read before trusting any
+    * degree-targeted sampling of a link graph.
+    *
+    * Determinism: all five moments are exact 64-bit integer sums; the
+    * single float step is r = (M·Σxy − Σx·Σy) / (M·Σxx − (Σx)²) —
+    * denominators identical by symmetry, so no sqrt is ever needed —
+    * round-4 + signed-zero canonicalization. A degree-regular graph
+    * (zero variance) yields NULL, never NaN.
+    *
+    * Scale shape: one edge-dedup shuffle, one combinable degree agg,
+    * two broadcast-sized joins of degrees onto edges, one combinable
+    * moment agg → a 1-row card. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = undirectedSimple(edges)
+    val adj = und.select(col("a").as("s"), col("b").as("d"))
+      .union(und.select(col("b").as("s"), col("a").as("d")))
+    val deg = adj.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val num = (col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
+    val den = (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    adj
+      .join(deg.select(col("s"), col("deg").as("dx")), Seq("s"))
+      .join(deg.select(col("s").as("d"), col("deg").as("dy")), Seq("d"))
+      .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+        when(den =!= 0.0, round(num / den, 4) + lit(0.0))
+          .as("assortativity"))
+  }
+
   /** (degrees, oriented edges) of an edge relation's undirected simple
     * graph — [[triangleCounts]]' whole preparation, exposed as one unit
     * so the stress gate's wedge-mass probe measures the operator's OWN

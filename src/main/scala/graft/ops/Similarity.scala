@@ -206,6 +206,49 @@ object Similarity {
             .cast("double"), 4).as("ndcg"))
   }
 
+  /** AVERAGE PRECISION per query (the MAP numerator) — the rank-
+    * sensitive complement to [[retrievalEval]]'s triple: NDCG rewards
+    * any relevant hit by position weight, AP multiplies each hit by the
+    * PRECISION at its rank, so a run that front-loads its relevant
+    * results scores strictly higher than one that buries them below
+    * non-relevant ones (Manning et al., IR ch. 8).
+    *
+    * ALL-INTEGER contract: the metric is DEFINED in micros —
+    * ap_micros = (Σ_{hit at rank j} (1e6·tp_j) div j) div min(k, n_rel)
+    * with tp_j the cumulative hits through rank j. Every operand is a
+    * non-negative long, so Spark's truncating `div` equals DuckDB's
+    * floor `//` and both faces agree bit-for-bit; no float appears
+    * anywhere (stronger than the round-4 class). Queries in `truth`
+    * with no run rows score zeros, the [[retrievalEval]] honesty rule.
+    *
+    * Scale shape: one equi-join run⋈truth on (query, cand), one
+    * per-query rank window over ≤ k rows, two combinable aggs — output
+    * is one row per query. */
+  def averagePrecision(run: DataFrame, truth: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val marked = run
+      .join(truth.select(col("query_id"), col("cand_id"),
+        lit(1L).as("rel")), Seq("query_id", "cand_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val per = marked.withColumn("tp", sum(col("rel")).over(w))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rel") === 1L,
+          expr("(1000000L * tp) div rank")).otherwise(0L)).as("ap_num"),
+        sum(col("rel")).as("n_hits"))
+    val nrel = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    nrel.join(per, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(expr(s"ap_num div least(${k}L, n_rel)"), lit(0L))
+          .as("ap_micros"))
+  }
+
   /** Deterministic Householder unit vectors (seeded) — the rotation
     * family for [[opqRotate]]. `private[graft]` for the same oracle-
     * embedding reason as [[hyperplanes]]. */

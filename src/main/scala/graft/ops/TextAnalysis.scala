@@ -752,6 +752,43 @@ object TextAnalysis {
     * Mean word length reuses the `(n_chars − n_words + 1) / n_words`
     * identity (single-space tokenization) so no second pass over the
     * token array is needed. */
+  /** FLESCH READING EASE per document (Flesch 1948; Kincaid's military
+    * re-fit made it the de-facto prose-difficulty screen) — the
+    * readability tier of the quality stack: Gopher rules catch
+    * boilerplate and gibberish, readability flags text whose register
+    * is wrong for the training mix (legalese, OCR shred, word salad).
+    *
+    * Counts are fully deterministic: words = the single-space token
+    * convention ([[tokens]]); sentences = terminal-punctuation runs
+    * `[.!?]+` with a floor of 1 (headline-style fragments count as one
+    * sentence, not zero — avoiding the divide-by-zero the formula
+    * otherwise hits); syllables = the standard vowel-group
+    * approximation (runs of `[aeiouy]` in the lowercased text) plus one
+    * per vowel-less word (every word carries ≥ 1 syllable — "rhythm",
+    * digit strings). The score is DEFINED in integer micros:
+    * 206.835e6 − (1.015e6·W) div S − (84.6e6·Y) div W, every operand a
+    * non-negative long (`div` = `//`), so both faces agree bit-for-bit
+    * — no float anywhere.
+    *
+    * Scale shape: one scan, three codegen'd regexp/array passes per
+    * row, no shuffle — costs exactly the scan at any corpus size. */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val low = lower(col(textCol))
+    df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        (size(regexp_extract_all(low, lit("[aeiouy]+"), lit(0)))
+          .cast("long") +
+          size(filter(split(low, " "), w => !w.rlike("[aeiouy]")))
+            .cast("long")).as("n_syllables"))
+      .withColumn("flesch_micros",
+        lit(206835000L) - expr("(1015000L * n_words) div n_sentences")
+          - expr("(84600000L * n_syllables) div n_words"))
+  }
+
   /** The four Gopher metric columns over a text column — ONE definition
     * shared by [[gopherRules]] (the per-doc verdict) and [[corpusCard]]
     * (the rollup report), so a rule tweak can never leave the card

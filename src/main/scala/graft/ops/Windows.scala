@@ -87,6 +87,40 @@ object Windows {
       sum(value).over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
+  /** 2-D PARETO FRONTIER (skyline) per group — the multi-objective
+    * filter (Börzsönyi et al. 2001's SKYLINE OF): keep a row iff no
+    * other row in its group DOMINATES it, i.e. is ≤ on the minimized
+    * column and ≥ on the maximized column with at least one strict.
+    * The "best price for the quantity" / "best quality for the length"
+    * trade-off curve, computed without the naive quadratic self-join.
+    *
+    * Window formulation (all-integer compares, no float): sort each
+    * group by the minimized column; a row is dominated iff
+    * (a) some STRICTLY-cheaper row reaches ≥ its maximized value — a
+    * RANGE frame max over x' < x, or (b) an equal-cost row strictly
+    * beats it — the partition-by-(group, x) max. Equal (x, y) pairs
+    * do not dominate each other, so duplicates of a frontier point all
+    * survive (set semantics would be a `distinct` upstream).
+    *
+    * Scale shape: two windows on the SAME (group ordered-by x) shuffle
+    * — Spark plans one Exchange + two Sort/Window passes, nothing
+    * quadratic anywhere; the range frame is monotone so each partition
+    * streams. Group cardinality spreads the shuffle; a single giant
+    * group degrades to its own partition (the documented window-op
+    * bound, q07 precedent). */
+  def paretoFrontier(df: DataFrame, groupCols: Seq[Column],
+                     minCol: String, maxCol: String): DataFrame = {
+    val strictlyBelow = Window.partitionBy(groupCols: _*)
+      .orderBy(col(minCol).asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameX = Window.partitionBy(groupCols :+ col(minCol): _*)
+    df.withColumn("__mPrev", max(col(maxCol)).over(strictlyBelow))
+      .withColumn("__mEq", max(col(maxCol)).over(sameX))
+      .filter((col("__mPrev").isNull || col("__mPrev") < col(maxCol)) &&
+        col("__mEq") === col(maxCol))
+      .drop("__mPrev", "__mEq")
+  }
+
   /** WEIGHTED MEDIAN per group — the lower weighted median: the smallest
     * value v whose cumulative weight reaches half the total
     * (2·cum(v) ≥ total). ALL-INTEGER (values and weights are longs), so

@@ -1386,7 +1386,9 @@ object OracleGen {
     * unrolled as CTE blocks — per round one pair count + a 1-row
     * top-1, then the vectorized greedy merge (gaps-and-islands parity
     * for equal-symbol runs). Strings and integers only. */
-  def bpeSql(merges: Int): String = {
+  def bpeSql(merges: Int): String = bpeSqlCore(merges, applyLast = false)
+
+  private def bpeSqlCore(merges: Int, applyLast: Boolean): String = {
     val steps = (1 to merges).map { i =>
       val prev = s"s${i - 1}"
       val pairAndBest =
@@ -1396,7 +1398,7 @@ object OracleGen {
              FROM $prev) WHERE nxt IS NOT NULL GROUP BY 1, 2),
          b$i AS (SELECT sym AS bx, nxt AS by, cnt FROM p$i
            ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1)"""
-      val mergeCtes = if (i < merges)
+      val mergeCtes = if (i < merges || applyLast)
         s""",
          t$i AS (SELECT s.word, s.freq, s.pos, s.sym, b.bx, b.by,
              lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos ASC)
@@ -1425,9 +1427,25 @@ object OracleGen {
       else ""
       pairAndBest + mergeCtes
     }.mkString(",\n       ")
-    val outs = (1 to merges).map(i =>
-      s"""SELECT CAST($i AS BIGINT) AS step, bx AS lhs, by AS rhs,
-         cnt AS pair_count FROM b$i""").mkString("\n       UNION ALL ")
+    val outs =
+      if (applyLast)
+        s"""wtok AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+           FROM s$merges GROUP BY 1),
+         docw AS (SELECT doc_id, w AS word
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE length(w) > 0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars_tok,
+           CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+           (1000000 * CAST(sum(n_sub) AS BIGINT))
+             // CAST(sum(length(word)) AS BIGINT) AS compression_micros
+         FROM docw JOIN wtok USING (word) GROUP BY 1"""
+      else
+        (1 to merges).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS step, bx AS lhs, by AS rhs,
+             cnt AS pair_count FROM b$i""").mkString("\n       UNION ALL ")
+    val lead = if (applyLast) s",\n       " else "\n       "
     s"""WITH words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS w
            FROM documents)
@@ -1439,9 +1457,14 @@ object OracleGen {
          FROM words w,
            UNNEST(generate_series(1, CAST(length(w.word) AS BIGINT)))
              AS u(i)),
-       $steps
-       $outs"""
+       $steps$lead$outs"""
   }
+
+  /** Oracle for `TextAnalysis.bpeEncode` (q185): the SAME unrolled
+    * merge loop as [[bpeSql]] but every learned rule is APPLIED
+    * (including the last), then the per-word token counts roll up to
+    * the per-doc compression card. */
+  def bpeEncodeSql(merges: Int): String = bpeSqlCore(merges, applyLast = true)
 
   /** Oracle for `Similarity.mmrRerank` (q170): the λ=1/2 greedy MMR
     * loop unrolled as CTEs — pick 1 is pure relevance; each later pick

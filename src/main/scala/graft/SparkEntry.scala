@@ -1695,6 +1695,34 @@ object SparkEntry {
   private def qDecayedEngagement(s: SparkSession, dir: String): DataFrame =
     Events.decayedEngagement(Events.load(s, dir), "user_id", "ts")
 
+  /** Isotonic (PAVA) calibration of P(lang=en) against the doc-length
+    * bucket — the distributed minimax closed form over the bucket
+    * collapse; the calibration FIX beside q175's EVAL. */
+  private def qIsotonicCalibration(s: SparkSession, dir: String): DataFrame =
+    DataQuality.isotonicCalibration(t(s, dir, "documents"),
+      expr("n_chars div 50"), col("lang") === "en")
+
+  /** Spearman rank correlation of quantity vs price per return flag —
+    * centered doubled average ranks, integer moments, one round-4
+    * sqrt division. */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame =
+    DataQuality.spearman(t(s, dir, "lineitem"), "l_returnflag",
+      "l_quantity", "l_extendedprice")
+
+  /** BPE fit-and-apply: train q172's six merges, encode the corpus,
+    * report the per-doc tokenizer compression card. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+      merges = 6)
+
+  /** Content-defined chunking duplicate inventory — boundaries from a
+    * trailing 4-gram hash (mod 16), so shared passages chunk
+    * identically at ANY offset; the alignment-free storage-dedup tier
+    * beside tile (q77) and sliding (q156) spans. */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+      gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
+
   /** The stream-stream interval join's BATCH face, oracle-checked:
     * clicks joined to same-user purchases within 1 h after. The
     * streaming face (two-sided watermarks, built-in join) is pinned
@@ -2117,6 +2145,10 @@ object SparkEntry {
     "q180_pareto_frontier" -> (qParetoFrontier _),
     "q181_seasonal_decompose" -> (qSeasonalDecompose _),
     "q182_decayed_engagement" -> (qDecayedEngagement _),
+    "q183_isotonic_calibration" -> (qIsotonicCalibration _),
+    "q184_spearman_rank" -> (qSpearman _),
+    "q185_bpe_encode" -> (qBpeEncode _),
+    "q186_cdc_chunks" -> (qCdcChunks _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4023,6 +4055,77 @@ object SparkEntry {
            t3.detr - s2.seasonal_micros AS resid_micros
          FROM t3 LEFT JOIN s2 ON s2.g = t3.g AND s2.dow = t3.dow""",
     "q182_decayed_engagement" -> OracleGen.decayedEngagementSql,
+    "q183_isotonic_calibration" ->
+      """WITH per AS (SELECT n_chars // 50 AS b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+           FROM documents GROUP BY 1),
+         cum AS (SELECT b, n, pos,
+             CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY b) AS BIGINT) AS cp FROM per),
+         ivals AS (SELECT l.b AS j, h.b AS k,
+             (1000000 * (h.cp - (l.cp - l.pos)))
+               // (h.cn - (l.cn - l.n)) AS am
+           FROM cum l JOIN cum h ON l.b <= h.b),
+         mm AS (SELECT c.b AS i, v.j, min(v.am) AS mn
+           FROM cum c JOIN ivals v ON v.j <= c.b AND c.b <= v.k
+           GROUP BY 1, 2),
+         fit AS (SELECT i, max(mn) AS fit_micros FROM mm GROUP BY 1)
+         SELECT c.b, c.n, c.pos, (1000000 * c.pos) // c.n AS raw_micros,
+           f.fit_micros
+         FROM cum c JOIN fit f ON f.i = c.b""",
+    "q184_spearman_rank" ->
+      """WITH base AS (SELECT l_returnflag AS grp, l_quantity AS x,
+             l_extendedprice AS y FROM lineitem),
+         sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM base
+           GROUP BY 1),
+         cx AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS cnt FROM base
+           GROUP BY 1, 2),
+         rx AS (SELECT grp, x, 2 * coalesce(sum(cnt) OVER (PARTITION BY grp
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) + cnt + 1 AS rxv FROM cx),
+         cy AS (SELECT grp, y, CAST(count(*) AS BIGINT) AS cnt FROM base
+           GROUP BY 1, 2),
+         ry AS (SELECT grp, y, 2 * coalesce(sum(cnt) OVER (PARTITION BY grp
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) + cnt + 1 AS ryv FROM cy),
+         j AS (SELECT b.grp, s.n, rx.rxv - (s.n + 1) AS dx,
+             ry.ryv - (s.n + 1) AS dy
+           FROM base b JOIN rx ON rx.grp = b.grp AND rx.x = b.x
+             JOIN ry ON ry.grp = b.grp AND ry.y = b.y
+             JOIN sizes s ON s.grp = b.grp),
+         m AS (SELECT grp, max(n) AS n,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy FROM j GROUP BY 1)
+         SELECT grp, n, CASE WHEN sxx > 0 AND syy > 0
+             THEN round(CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE))
+               * sqrt(CAST(syy AS DOUBLE))), 4) + 0.0 END AS rho
+         FROM m""",
+    "q185_bpe_encode" -> OracleGen.bpeEncodeSql(merges = 6),
+    "q186_cdc_chunks" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, t[pos + 1] AS word,
+             t FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos
+               FROM base)),
+         b AS (SELECT doc_id, pos, word,
+             CASE WHEN pos >= 3 AND
+                 CAST(('0x' || substring(md5(
+                     array_to_string(t[pos - 2 : pos + 1], ' ')), 1, 15))
+                   AS BIGINT) % 16 = 0
+               THEN 1 ELSE 0 END AS boundary FROM w),
+         c AS (SELECT doc_id, pos, word,
+             coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id FROM b),
+         ch AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_words,
+             string_agg(word, ' ' ORDER BY pos) AS chunk_text
+           FROM c GROUP BY 1, 2)
+         SELECT md5(chunk_text) AS fp, max(n_words) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM ch GROUP BY 1 HAVING count(*) >= 2""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

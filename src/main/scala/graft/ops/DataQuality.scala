@@ -281,6 +281,119 @@ object DataQuality {
           (col("n1") * col("n2")).cast("double"), 4).as("ks"))
   }
 
+  /** SPEARMAN RANK CORRELATION per group — the monotone-association
+    * screen beside Pearson trends (q162) and Kendall-free of
+    * distribution assumptions: ρ_s = Pearson correlation of the
+    * AVERAGE RANKS of the two columns. The data-quality reading: "does
+    * quantity still order price" per segment — a rank-correlation
+    * break flags unit mixups that means-based drift misses.
+    *
+    * Determinism (the q160 AUC move, applied twice): per column, ranks
+    * come off the DISTINCT-VALUE collapse — a tie group's average rank
+    * is cum + (cnt+1)/2, so DOUBLED ranks 2·cum + cnt + 1 are exact
+    * integers; Pearson is scale-invariant, so correlating the doubled
+    * ranks IS ρ_s. All five moments are exact integer sums; the one
+    * float step divides by the product of two IEEE sqrt's of
+    * integer-derived doubles (the q153 autocorrelation precedent),
+    * round-4 + signed-zero. Zero-variance sides yield NULL, never NaN.
+    * Overflow discipline: ranks enter the moments CENTERED — the mean
+    * doubled rank is exactly n+1, so d = 2r − (n+1) is an exact
+    * integer deviation, Σdx = 0 drops out, and every sum is bounded by
+    * n³ (safe past 10⁹ rows per group in int64, where the raw-moment
+    * n·Σ(2r)² form overflows at ~10⁵).
+    *
+    * Scale shape: two combinable (group, value) collapses, each with a
+    * per-group distinct-value window (bounded by value cardinality),
+    * two equi-joins back onto the rows + a broadcast group-size join,
+    * one combinable moment agg → one row per group. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    def ranks(vc: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("v").asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      df.select(col(groupCol).as("grp"), col(vc).as("v"))
+        .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col("grp"), col("v").as(vc),
+          (lit(2L) * col("cum") + col("cnt") + 1L).as(out))
+    }
+    val sizes = df.select(col(groupCol).as("grp"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val joined = df.select(col(groupCol).as("grp"), col(xCol), col(yCol))
+      .join(ranks(xCol, "rx"), Seq("grp", xCol))
+      .join(ranks(yCol, "ry"), Seq("grp", yCol))
+      .join(broadcast(sizes), Seq("grp"))
+      .withColumn("dx", col("rx") - (col("n") + 1L))
+      .withColumn("dy", col("ry") - (col("n") + 1L))
+    joined.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("grp"), col("n"),
+        when(col("sxx") > 0 && col("syy") > 0,
+          round(col("sxy").cast("double") /
+            (sqrt(col("sxx").cast("double")) *
+              sqrt(col("syy").cast("double"))), 4) + lit(0.0))
+          .as("rho"))
+  }
+
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators fit) of a binary
+    * label against a bucketed score — the calibration FIX beside
+    * [[calibrationCard]]'s calibration EVAL (Zadrozny & Elkan 2002;
+    * the standard post-hoc calibrator when Platt's sigmoid shape is
+    * wrong): the best monotone-nondecreasing probability curve through
+    * the per-bucket observed rates, in weighted least squares.
+    *
+    * Distributed form: not the sequential stack-based PAVA (a chain
+    * algorithm with no parallel structure) but its CLOSED FORM, the
+    * minimax identity fit(i) = max_{j≤i} min_{k≥i} avg(y[j..k])
+    * (Robertson–Wright–Dykstra 1988 §1.2) over the BUCKET-collapsed
+    * relation: B buckets yield O(B³) (i, j, k) triples of exact
+    * prefix-sum averages — embarrassingly parallel joins, and B is a
+    * calibration-resolution constant (tens), not a data size. The
+    * monotone j/k ranges make the result nondecreasing in i REGARDLESS
+    * of how the interval averages are rounded, so flooring to micros
+    * keeps both the contract exact and the output isotonic.
+    *
+    * ALL-INTEGER: interval average = (1e6·Σpos) div Σcnt off exact
+    * prefix sums; max/min over longs. The one single-partition window
+    * (prefix sums over B buckets) is the q61 bucket-total precedent.
+    * Output: (b, n, pos, raw_micros, fit_micros), fit nondecreasing. */
+  def isotonicCalibration(df: DataFrame, scoreBucket: Column,
+                          labelCol: Column): DataFrame = {
+    val per = df.select(scoreBucket.as("b"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("b").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = per
+      .withColumn("cn", sum(col("n")).over(wc))
+      .withColumn("cp", sum(col("pos")).over(wc))
+      .localCheckpoint(eager = false)
+    val lo = cum.select(col("b").as("j"), (col("cn") - col("n")).as("cn0"),
+      (col("cp") - col("pos")).as("cp0"))
+    val hi = cum.select(col("b").as("k"), col("cn").as("cn1"),
+      col("cp").as("cp1"))
+    val ivals = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("(1000000L * (cp1 - cp0)) div (cn1 - cn0)").as("avg_micros"))
+    val idx = cum.select(col("b").as("i"))
+    val fit = idx
+      .join(ivals, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j"))
+      .agg(min(col("avg_micros")).as("mm"))
+      .groupBy(col("i"))
+      .agg(max(col("mm")).as("fit_micros"))
+    cum.join(fit, col("b") === col("i"))
+      .select(col("b"), col("n"), col("pos"),
+        expr("(1000000L * pos) div n").as("raw_micros"),
+        col("fit_micros"))
+  }
+
   /** ORDER-INDEPENDENT GROUP CHECKSUM — the migration/CDC verification
     * primitive: a per-group content signature that any engine computes
     * identically from the same logical rows, regardless of

@@ -1786,6 +1786,62 @@ object Dedup {
     * clean_text ('' when every span was a duplicate). The last span of a
     * doc may be shorter than `spanWords`; it participates like any other
     * (a short tail equal to another doc's short tail IS a duplicate). */
+  /** CONTENT-DEFINED CHUNKING duplicate report — the storage-dedup
+    * move (Muthitacharoen et al. 2001 LBFS; FastCDC's ancestor)
+    * applied at word granularity: a chunk boundary falls AFTER any
+    * position whose trailing `gramSize`-word window hashes to
+    * 0 mod `boundaryMod`, so boundaries depend ONLY on local content —
+    * two documents sharing a long passage cut it into IDENTICAL chunks
+    * regardless of where the passage sits in each doc (the alignment
+    * problem fixed-tile spans (q77) solve only probabilistically and
+    * sliding spans (q156) solve at stride cost). Expected chunk length
+    * = `boundaryMod` words. Output: one row per chunk fingerprint
+    * occurring ≥ `minOccurrences` times — (fp, n_words, n_occ,
+    * n_docs), the duplicated-passage inventory.
+    *
+    * Determinism: the boundary hash is the md5-prefix integer (the
+    * sampling layer's draw idiom) of the space-joined gram; chunk
+    * membership is a prefix count of boundary flags; the chunk string
+    * re-assembles under the (pos) total order. All integers + md5 —
+    * both faces replay bit-for-bit.
+    *
+    * Scale shape: ONE per-doc window pass (the word table shuffles
+    * once on doc_id; lag-gram, boundary flag and the running chunk id
+    * all ride it), one (doc, chunk) reassembly agg, one combinable
+    * fingerprint count — no self-join anywhere; candidate volume is
+    * corpus word count, linear. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                gramSize: Int = 4, boundaryMod: Long = 16L,
+                minOccurrences: Long = 2L): DataFrame = {
+    require(gramSize >= 1 && boundaryMod >= 2L && minOccurrences >= 1L,
+      "need gramSize >= 1, boundaryMod >= 2, minOccurrences >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val words = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+    val chunks = words
+      .withColumn("gram", concat_ws(" ",
+        (gramSize - 1 to 0 by -1).map(k => lag(col("word"), k).over(w)): _*))
+      .withColumn("boundary",
+        col("pos") >= gramSize - 1 &&
+          conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+            % boundaryMod === 0L)
+      .withColumn("chunk_id",
+        coalesce(sum(col("boundary").cast("long")).over(wPrev), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("chunk_text"))
+    chunks.groupBy(md5(col("chunk_text")).as("fp"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= minOccurrences)
+  }
+
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 spanWords: Int = 10): DataFrame = {
     require(spanWords > 0, "spanWords must be > 0")

@@ -1107,7 +1107,43 @@ object TextAnalysis {
     * pass + one combinable pair count + a 1-row global top-1 that
     * broadcasts back; nothing rescans the corpus. */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int)
-      : DataFrame = {
+      : DataFrame = bpeCore(docs, textCol, merges, applyLast = false)._2
+
+  /** BPE tokenizer fit-and-APPLY card (q172's other half): train the
+    * same `merges` rounds, apply EVERY learned merge to the
+    * distinct-word symbol table, and report per document how the
+    * tokenizer compresses it — (n_words, n_chars_tok = pre-merge
+    * symbol count, n_bpe_tokens, compression_micros = token/char
+    * ratio). This is the number a budget planner actually consumes
+    * (tokens-per-byte of each doc under the CURRENT vocab), and the
+    * fit+apply composition every tokenizer deployment runs.
+    *
+    * Scale shape: training as [[bpeTrain]] (vocabulary-bounded working
+    * set); application costs nothing extra (the loop's own merge step,
+    * run once more for the final rule); the per-doc rollup is one
+    * corpus explode joined to the DISTINCT-WORD token counts (a
+    * broadcast-sized dimension) + one combinable agg. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Int): DataFrame = {
+    val syms = bpeCore(docs, textCol, merges, applyLast = true)._1
+    val wtok = syms.groupBy(col("word")).agg(count(lit(1)).as("n_sub"))
+    val docw = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    docw.join(broadcast(wtok), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars_tok"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+      .withColumn("compression_micros",
+        expr("(1000000L * n_bpe_tokens) div n_chars_tok"))
+  }
+
+  /** Shared BPE loop: returns (final symbol table, merge table).
+    * `applyLast` controls whether the last learned rule is applied to
+    * the symbol table (encode) or only recorded (train). */
+  private def bpeCore(docs: DataFrame, textCol: String, merges: Int,
+                      applyLast: Boolean): (DataFrame, DataFrame) = {
     require(merges >= 1, "merges must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val words = docs
@@ -1139,7 +1175,7 @@ object TextAnalysis {
         col("bx").as("lhs"), col("by").as("rhs"),
         col("cnt").as("pair_count"))
       out = if (out == null) stepOut else out.union(stepOut)
-      if (m < merges) {
+      if (m < merges || applyLast) {
         val t = syms.crossJoin(broadcast(best.select(col("bx"), col("by"))))
           .withColumn("nxts", lead(col("sym"), 1).over(wp))
           .withColumn("lags", lag(col("sym"), 1).over(wp))
@@ -1166,6 +1202,6 @@ object TextAnalysis {
           .localCheckpoint(eager = false)
       }
     }
-    out
+    (syms, out)
   }
 }

@@ -88,4 +88,49 @@ class DataQualitySpec extends AnyFunSuite {
     // day2: dd=-2e6 -> S=0 (clamped); day3: dd=+1e6 -> S=1e6
     assert(got2 == Seq(0L, 1000000L), got2)
   }
+
+  test("spearman: monotone association is exactly 1, anti-monotone -1, " +
+    "a hand permutation scores 0.5, ties keep perfection via average " +
+    "ranks, zero-variance side yields NULL not NaN") {
+    val rows = Seq(
+      ("g", 1.0, 10.0), ("g", 2.0, 20.0), ("g", 3.0, 30.0),
+      ("h", 1.0, 9.0), ("h", 2.0, 5.0), ("h", 3.0, 1.0),
+      // x = 1,2,3 vs y = 2,1,3: dx = (-2,0,2), dy = (0,-2,2) doubled
+      // -> rho = 4 / sqrt(8*8) = 0.5
+      ("m", 1.0, 2.0), ("m", 2.0, 1.0), ("m", 3.0, 3.0),
+      // tied x values get one average rank; still perfectly monotone
+      ("t", 1.0, 5.0), ("t", 1.0, 5.0), ("t", 2.0, 9.0),
+      ("z", 1.0, 7.0), ("z", 1.0, 8.0), ("z", 1.0, 9.0))
+      .toDF("g", "x", "y")
+    val got = DataQuality.spearman(rows, "g", "x", "y")
+      .orderBy("grp").select("grp", "rho")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(("g", Some(1.0)), ("h", Some(-1.0)),
+      ("m", Some(0.5)), ("t", Some(1.0)), ("z", None)), got)
+  }
+
+  test("isotonicCalibration: PAVA pools the violating adjacent pair to " +
+    "their pooled rate; weights pool by counts, not bucket-equally") {
+    // rates 0.2, 0.6, 0.4, 0.8 -> the 0.6/0.4 violation pools to 0.5
+    val data = Seq((0, 10, 2), (1, 10, 6), (2, 10, 4), (3, 10, 8))
+      .flatMap { case (b, n, pos) =>
+        (1 to n).map(i => (b.toLong, i <= pos)) }
+      .toDF("b", "y")
+    val got = DataQuality.isotonicCalibration(data, col("b"), col("y"))
+      .orderBy("b").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 10L, 2L, 200000L, 200000L),
+      (1L, 10L, 6L, 600000L, 500000L),
+      (2L, 10L, 4L, 400000L, 500000L),
+      (3L, 10L, 8L, 800000L, 800000L)), got)
+    // weighted: (n=1, rate 1.0) then (n=3, rate 0) pools to 1/4
+    val wtd = Seq((0, 1, 1), (1, 3, 0))
+      .flatMap { case (b, n, pos) =>
+        (1 to n).map(i => (b.toLong, i <= pos)) }
+      .toDF("b", "y")
+    val got2 = DataQuality.isotonicCalibration(wtd, col("b"), col("y"))
+      .orderBy("b").select("raw_micros", "fit_micros")
+      .as[(Long, Long)].collect().toSeq
+    assert(got2 == Seq((1000000L, 250000L), (0L, 250000L)), got2)
+  }
 }

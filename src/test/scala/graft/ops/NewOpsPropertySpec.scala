@@ -1365,6 +1365,25 @@ class NewOpsPropertySpec extends AnyFunSuite {
       (3L, "aa", "aa</w>", 1L)), got)
   }
 
+  test("bpeEncode: applies EVERY learned merge (including the last) — " +
+    "3 merges collapse aaab to one token; fewer merges tokenize " +
+    "coarser, and the per-doc card rolls up by occurrence") {
+    import graft.ops.TextAnalysis
+    // same corpus as the bpeTrain hand test: merges learned are
+    // (a,a), (a,b</w>), (aa,ab</w>); applying all three:
+    //   aaab -> [aa,a,b</w>] -> [aa,ab</w>] -> [aaab</w>]  (1 token)
+    //   ab   -> [a,b</w>]    -> [ab</w>]                   (1 token)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got3 = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got3 == Seq((1L, 3L, 10L, 3L, 300000L)), got3)
+    // merges=1 applies only (a,a): aaab -> [aa,a,b</w>] (3 tokens),
+    // ab stays [a,b</w>] (2) -> 3+3+2 = 8 tokens over 10 chars
+    val got1 = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
+  }
+
   test("mmrRerank: diversity beats relevance at pick 2 — the runner-up " +
     "by cosine is nearly parallel to pick 1, so the more distant " +
     "third candidate wins the MMR step") {

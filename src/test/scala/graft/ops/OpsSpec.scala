@@ -221,6 +221,28 @@ class OpsSpec extends AnyFunSuite {
       (2L, 7L, 4L, "v1 v2 v3 v4 p1 p2 p7 p8 v5 v6"))))
   }
 
+  test("cdcChunks: boundaries are content-defined — a shared passage " +
+    "chunks identically at DIFFERENT offsets (where fixed tiling needs " +
+    "aligned offsets); disjoint docs share nothing") {
+    val passage = (1 to 100).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $passage"),
+      (2L, s"w1 w2 w3 w4 w5 w6 w7 $passage")).toDF("doc_id", "text")
+    val dup = Dedup.cdcChunks(docs, "doc_id", "text",
+      gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
+      .as[(String, Long, Long, Long)].collect()
+    // every duplicate chunk is the passage seen from both docs, and
+    // the bulk of the passage mass is recovered despite the offsets
+    // disagreeing mod every fixed span width
+    assert(dup.nonEmpty && dup.forall(r => r._3 == 2L && r._4 == 2L), dup.toSeq)
+    assert(dup.map(_._2).sum >= 50L, s"shared mass ${dup.map(_._2).sum}")
+    val disjoint = Seq(
+      (1L, (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.cdcChunks(disjoint, "doc_id", "text", 4, 16L, 2L)
+      .count() == 0L)
+  }
+
   test("jaccardPairs finds permuted near-identical docs, skips distinct ones") {
     val docs = Seq(
       (1L, "x y z w v u t s"),

@@ -1723,6 +1723,17 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Strongly connected components of the session-transition graph,
+    * sparsified by a deterministic edge filter so the condensation is
+    * nontrivial (the full 100-node graph is one giant SCC) — mutual-
+    * navigation page rings, the directed analysis weak components
+    * can't express. */
+  private def qScc(s: SparkSession, dir: String): DataFrame =
+    Graph.scc(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k"))
+        .filter(expr("(src * 31 + dst) % 5 < 1")))
+
   /** The stream-stream interval join's BATCH face, oracle-checked:
     * clicks joined to same-user purchases within 1 h after. The
     * streaming face (two-sided watermarks, built-in join) is pinned
@@ -2149,6 +2160,7 @@ object SparkEntry {
     "q184_spearman_rank" -> (qSpearman _),
     "q185_bpe_encode" -> (qBpeEncode _),
     "q186_cdc_chunks" -> (qCdcChunks _),
+    "q187_scc" -> (qScc _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4126,6 +4138,28 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_occ,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM ch GROUP BY 1 HAVING count(*) >= 2""",
+    "q187_scc" ->
+      """WITH RECURSIVE
+         ev AS (SELECT user_id, event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events),
+         tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+               ORDER BY event_id ASC) AS src, k AS dst
+           FROM ev WHERE k IS NOT NULL),
+         edges AS (SELECT src, dst FROM tr
+           WHERE src IS NOT NULL AND src <> dst
+             AND (src * 31 + dst) % 5 < 1 GROUP BY 1, 2),
+         nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+         reach AS (
+           SELECT n AS a, n AS b FROM nodes
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         -- SCC id = min node mutually reachable with a (self included
+         -- via the reflexive base rows)
+         s AS (SELECT r1.a AS node, min(r1.b) AS scc_id
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+           GROUP BY 1)
+         SELECT node, scc_id FROM s""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

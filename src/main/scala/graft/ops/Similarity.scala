@@ -119,9 +119,15 @@ object Similarity {
     val cands = Windows.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("rel").desc, col("cand_id").asc), candK)
       .localCheckpoint(eager = false)
+    // each greedy step reads `picked` TWICE (anti-join of the pool and
+    // the selected-vector sim join) and unions onto it — without a
+    // per-step checkpoint the plan subtree doubles every step (2^k
+    // recomputation; measured 29.9 s → 2.9 s at sf0.1, k=5, for the
+    // checkpointed loop)
     var picked = Windows.topKPerGroup(cands, Seq(col("query_id")),
         Seq(col("rel").desc, col("cand_id").asc), 1)
       .withColumn("pick", lit(1L))
+      .localCheckpoint(eager = false)
     for (step <- 2 to k) {
       val rem = cands.join(picked.select(col("query_id"), col("cand_id")),
         Seq("query_id", "cand_id"), "left_anti")
@@ -139,7 +145,7 @@ object Similarity {
         Seq(col("mmr").desc, col("cand_id").asc), 1)
         .select(col("query_id"), col("cand_id"), col("v"), col("rel"))
         .withColumn("pick", lit(step.toLong))
-      picked = picked.union(next)
+      picked = picked.union(next).localCheckpoint(eager = false)
     }
     picked.select(col("query_id"), col("pick"), col("cand_id"), col("rel"))
   }

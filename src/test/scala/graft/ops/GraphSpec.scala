@@ -364,4 +364,26 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("scc: two 2-cycles joined one-way stay separate components, a " +
+    "DAG tail is all singletons, and self-loops don't mint components") {
+    // 1<->2, 3<->4 with 2->3 (one-way bridge: NOT merged);
+    // chain 10->11->12 all singleton; 7->7 self-loop drops out entirely
+    val e = edges((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 1L), (4L, 3L, 1L),
+      (2L, 3L, 1L), (10L, 11L, 1L), (11L, 12L, 1L), (7L, 7L, 1L))
+    val got = Graph.scc(e).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 11L, 12L -> 12L), got)
+  }
+
+  test("scc: multi-round resolution — a component whose backward reach " +
+    "passes through an earlier-resolved singleton still gets ITS OWN " +
+    "min id, never the removed node's") {
+    // 0 -> 4 -> 5<->6: round 1 resolves only 0 (f=b=0); 4 resolves in
+    // round 2, the 5<->6 cycle in round 3 — and 5's component id is 5,
+    // not 0 or 4 (removal soundness, the Fleischer partition argument)
+    val e = edges((0L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L), (6L, 5L, 1L))
+    val got = Graph.scc(e).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 4L -> 4L, 5L -> 5L, 6L -> 5L), got)
+  }
 }

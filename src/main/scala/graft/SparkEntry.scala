@@ -1723,6 +1723,14 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Stratified (blocked) ATE of the user_id-parity "treatment" on
+    * event value, blocked by event_type — per-stratum contrasts plus
+    * the size-weighted total row; single-arm strata report NULL and
+    * stay out of the estimate (overlap trim). */
+  private def qStratifiedAte(s: SparkSession, dir: String): DataFrame =
+    Events.stratifiedAte(Events.load(s, dir), "event_type", "user_id",
+      "value")
+
   /** Strongly connected components of the session-transition graph,
     * sparsified by a deterministic edge filter so the condensation is
     * nontrivial (the full 100-node graph is one giant SCC) — mutual-
@@ -2161,6 +2169,7 @@ object SparkEntry {
     "q185_bpe_encode" -> (qBpeEncode _),
     "q186_cdc_chunks" -> (qCdcChunks _),
     "q187_scc" -> (qScc _),
+    "q188_stratified_ate" -> (qStratifiedAte _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4160,6 +4169,35 @@ object SparkEntry {
            FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
            GROUP BY 1)
          SELECT node, scc_id FROM s""",
+    "q188_stratified_ate" ->
+      """WITH cells AS (SELECT event_type AS stratum,
+             (user_id % 2 = 1) AS treated,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cs
+           FROM events GROUP BY 1, 2),
+         per AS (SELECT stratum,
+             max(CASE WHEN treated THEN cn END) AS n_t,
+             max(CASE WHEN NOT treated THEN cn END) AS n_c,
+             max(CASE WHEN treated THEN cs END) AS s_t,
+             max(CASE WHEN NOT treated THEN cs END) AS s_c
+           FROM cells GROUP BY 1),
+         p3 AS (SELECT stratum,
+             coalesce(n_t, 0) + coalesce(n_c, 0) AS n, n_t, n_c,
+             (1000000 * s_t) // n_t AS mt_micros,
+             (1000000 * s_c) // n_c AS mc_micros,
+             (1000000 * s_t) // n_t - (1000000 * s_c) // n_c
+               AS effect_micros
+           FROM per)
+         SELECT stratum, n, n_t, n_c, mt_micros, mc_micros, effect_micros
+         FROM p3
+         UNION ALL
+         SELECT CAST(NULL AS VARCHAR), CAST(sum(n) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(sign(sum(n * effect_micros)) AS BIGINT)
+             * CAST(abs(sum(n * effect_micros))
+                 // CAST(sum(n) AS BIGINT) AS BIGINT)
+         FROM p3 WHERE effect_micros IS NOT NULL""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -336,6 +336,67 @@ object Events {
           (col("m_c_post_micros") - col("m_c_pre_micros")))
   }
 
+  /** STRATIFIED (blocked / post-stratified) ATE estimator — the
+    * propensity-stratification workhorse (Imbens & Rubin 2015 ch. 17;
+    * with strata as propensity-score blocks this is Rosenbaum & Rubin
+    * 1984's subclassification): within each stratum the treated/control
+    * contrast is unconfounded-by-assumption, and the average treatment
+    * effect is the stratum-size-weighted mean of the per-stratum
+    * contrasts, {{{ ATE = Σ_s (n_s / n) · (ȳ_t,s − ȳ_c,s) }}}. The
+    * observational complement to [[didEstimator]] (which needs a time
+    * cutoff) and [[cupedAdjust]] (which needs a pre-period covariate).
+    *
+    * Output: one row per stratum — (stratum, n, n_t, n_c, mt_micros,
+    * mc_micros, effect_micros) — plus ONE total row (stratum NULL)
+    * whose effect is the weighted ATE over the USED strata. A stratum
+    * missing an arm keeps its row with NULL effect and is excluded
+    * from the total (the standard overlap trim; silently imputing
+    * would bias the estimate), with its rows also excluded from the
+    * total's n so the weights stay honest.
+    *
+    * Determinism: per-stratum means are (1e6·Σcents) div n over
+    * non-negative operands; the total's weighted sum can be NEGATIVE,
+    * so it divides as sign(w)·(|w| div n) — truncation expressed
+    * identically on both faces (the attribution-share idiom at
+    * `Events.scala:571-576`).
+    *
+    * Scale shape: ONE combinable (stratum, arm) count/sum aggregation
+    * over the event scan, a stratum-level pivot, and a 1-row total off
+    * the stratum relation (strata ≪ events). Nothing event-scale past
+    * the first agg. */
+  def stratifiedAte(events: DataFrame, stratCol: String, userCol: String,
+                    valCol: String): DataFrame = {
+    val per = events.select(col(stratCol).as("stratum"),
+        (col(userCol) % 2 === 1).as("treated"),
+        round(col(valCol) * 100).cast(LongType).as("cents"))
+      .groupBy(col("stratum"), col("treated"))
+      .agg(count(lit(1)).as("cn"), sum(col("cents")).as("cs"))
+      .groupBy(col("stratum"))
+      .agg(max(when(col("treated"), col("cn"))).as("n_t"),
+        max(when(!col("treated"), col("cn"))).as("n_c"),
+        max(when(col("treated"), col("cs"))).as("s_t"),
+        max(when(!col("treated"), col("cs"))).as("s_c"))
+      .select(col("stratum"),
+        (coalesce(col("n_t"), lit(0L)) + coalesce(col("n_c"), lit(0L)))
+          .as("n"),
+        col("n_t"), col("n_c"),
+        expr("(1000000L * s_t) div n_t").as("mt_micros"),
+        expr("(1000000L * s_c) div n_c").as("mc_micros"))
+      .withColumn("effect_micros", col("mt_micros") - col("mc_micros"))
+      .localCheckpoint(eager = false)
+    val total = per.filter(col("effect_micros").isNotNull)
+      .agg(sum(col("n")).as("n"),
+        sum(col("n") * col("effect_micros")).as("w"))
+      .select(lit(null).cast(per.schema("stratum").dataType).as("stratum"),
+        col("n"), lit(null).cast("long").as("n_t"),
+        lit(null).cast("long").as("n_c"),
+        lit(null).cast("long").as("mt_micros"),
+        lit(null).cast("long").as("mc_micros"),
+        (signum(col("w")).cast("long") *
+          expr("(abs(w)) div n")).as("effect_micros"))
+    per.unionByName(total)
+  }
+
   /** RFM SEGMENTATION — the classic customer-value triage: per user,
     * Recency (days since last `convType` event, measured from the
     * corpus's max event time — a deterministic "now"), Frequency

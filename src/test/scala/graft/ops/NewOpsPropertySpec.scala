@@ -1637,6 +1637,32 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got("b").isEmpty, "incomplete 2x2 must be NULL")
   }
 
+  test("stratifiedAte: weighted per-stratum contrasts — a single-arm " +
+    "stratum reports NULL and stays out of the total; a negative ATE " +
+    "divides sign-symmetrically") {
+    import graft.ops.Events
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    // stratum a (n=4): treated mean 300c, control mean 100c -> +200c
+    // stratum b (n=2): treated mean 100c, control mean 600c -> -500c
+    // ATE = (4*200e6 + 2*(-500e6)) / 6 = -200e6/6 = -33333333.33 ->
+    // sign-symmetric truncation = -33333333
+    val ev = Seq(
+      ("a", 1L, ts, 3.0), ("a", 3L, ts, 3.0),
+      ("a", 2L, ts, 1.0), ("a", 4L, ts, 1.0),
+      ("b", 1L, ts, 1.0), ("b", 2L, ts, 6.0),
+      // stratum c: only control -> NULL effect, excluded from total
+      ("c", 2L, ts, 9.0), ("c", 4L, ts, 9.0),
+    ).toDF("event_type", "user_id", "ts", "value")
+    val got = Events.stratifiedAte(ev, "event_type", "user_id", "value")
+      .select("stratum", "n", "effect_micros")
+      .as[(Option[String], Long, Option[Long])].collect()
+      .map(r => (r._1.getOrElse("TOTAL"), (r._2, r._3))).toMap
+    assert(got("a") == ((4L, Some(200000000L))), got)
+    assert(got("b") == ((2L, Some(-500000000L))), got)
+    assert(got("c") == ((2L, None)), got)
+    assert(got("TOTAL") == ((6L, Some(-33333333L))), got)
+  }
+
   test("linkPrediction: 4-cycle scores both diagonals at Jaccard 1.0; " +
     "existing edges are never predicted; the center-degree cap removes " +
     "hub-mediated candidates") {

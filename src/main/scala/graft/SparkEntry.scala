@@ -1723,6 +1723,24 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Blocking-quality evaluation: length-bucket and first-token
+    * blocking scored against exact edit-distance-≤2 truth on the q133
+    * part sample — reduction ratio vs pairs completeness, the
+    * ER-blocking trade made contractual. The Spark face computes truth
+    * via the COMPLETE segmented scheme (pinned pair-set-equal to
+    * all-pairs); the oracle computes it as the literal all-pairs
+    * filter. */
+  private def qBlockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val recs = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val truth = Dedup.editDistancePairsSegmented(recs, "id", "s", 2)
+      .select(col("id_a"), col("id_b"))
+    Dedup.blockingQuality(recs, "id",
+      Seq("len4" -> expr("length(s) div 4"),
+        "first_token" -> split(col("s"), " ").getItem(0)),
+      truth)
+  }
+
   /** Stratified (blocked) ATE of the user_id-parity "treatment" on
     * event value, blocked by event_type — per-stratum contrasts plus
     * the size-weighted total row; single-arm strata report NULL and
@@ -2170,6 +2188,7 @@ object SparkEntry {
     "q186_cdc_chunks" -> (qCdcChunks _),
     "q187_scc" -> (qScc _),
     "q188_stratified_ate" -> (qStratifiedAte _),
+    "q189_blocking_quality" -> (qBlockingQuality _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4198,6 +4217,41 @@ object SparkEntry {
              * CAST(abs(sum(n * effect_micros))
                  // CAST(sum(n) AS BIGINT) AS BIGINT)
          FROM p3 WHERE effect_micros IS NOT NULL""",
+    "q189_blocking_quality" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
+           WHERE p_partkey % 10 = 0),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM p),
+         t AS (SELECT a.id AS id_a, b.id AS id_b
+           FROM p a JOIN p b ON a.id < b.id
+           WHERE levenshtein(a.s, b.s) <= 2),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM t),
+         c1 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM p a JOIN p b ON a.id < b.id
+             AND length(a.s) // 4 = length(b.s) // 4),
+         c2 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM p a JOIN p b ON a.id < b.id
+             AND string_split(a.s, ' ')[1] = string_split(b.s, ' ')[1]),
+         card AS (
+           SELECT 'len4' AS scheme,
+             (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT) FROM c1 JOIN t
+               USING (id_a, id_b)) AS n_found
+           UNION ALL
+           SELECT 'first_token',
+             (SELECT CAST(count(*) AS BIGINT) FROM c2),
+             (SELECT CAST(count(*) AS BIGINT) FROM c2 JOIN t
+               USING (id_a, id_b)))
+         SELECT scheme, n_records,
+           (n_records * (n_records - 1)) // 2 AS n_all_pairs,
+           n_cand, n_truth, n_found,
+           CASE WHEN n_records >= 2 THEN 1000000 - (1000000 * n_cand)
+             // ((n_records * (n_records - 1)) // 2) END
+             AS reduction_ratio_micros,
+           CASE WHEN n_truth > 0 THEN (1000000 * n_found) // n_truth END
+             AS pairs_completeness_micros,
+           CASE WHEN n_cand > 0 THEN (1000000 * n_found) // n_cand END
+             AS pair_quality_micros
+         FROM card, n, nt""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

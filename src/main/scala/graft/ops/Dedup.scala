@@ -1583,6 +1583,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jw"))
   }
 
+  /** BLOCKING QUALITY card (Christen 2012 §7.2, "Data Matching") — the
+    * evaluation every record-linkage deployment runs before trusting a
+    * blocking scheme: against a TRUTH pair set (labeled duplicates, or
+    * exact pairs computed on a sample), each candidate scheme reports
+    *  - reduction ratio  RR = 1 − |cand| / C(n,2)   (cost saved),
+    *  - pairs completeness PC = |truth ∩ cand| / |truth| (recall kept),
+    *  - pair quality      PQ = |truth ∩ cand| / |cand|  (precision),
+    * all floor-micros of non-negative counts. The RR/PC trade IS the
+    * blocking design decision; this card makes it contractual the way
+    * q165 made ANN recall contractual.
+    *
+    * `schemes` maps a scheme name to its blocking-key Column over
+    * `records`; rows with a NULL key block with nothing (standard
+    * missing-key semantics). `truth` is any (id_a, id_b) relation with
+    * id_a < id_b — at 100 TB it's your labeled sample, SMALL by
+    * construction (nobody computes all-pairs truth at corpus scale),
+    * which is what makes the card cheap whatever the corpus size.
+    *
+    * Scale shape: per scheme ONE equi-self-join on the key (candidate
+    * mass Σ_blocks C(|b|,2) — the same cost class the stress gate's Σf²
+    * probe bounds), one count, one equi-join against the (small) truth
+    * set; the four counts are 1-row relations cross-joined into the
+    * card (broadcast by construction). */
+  def blockingQuality(records: DataFrame, idCol: String,
+                      schemes: Seq[(String, Column)],
+                      truth: DataFrame): DataFrame = {
+    require(schemes.nonEmpty, "need at least one blocking scheme")
+    val tp = truth
+      .select(col(truth.columns(0)).as("id_a"),
+        col(truth.columns(1)).as("id_b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nRec = records.agg(count(lit(1)).as("n_records"))
+    val nTruth = tp.agg(count(lit(1)).as("n_truth"))
+    schemes.map { case (name, keyCol) =>
+      val keyed = records.select(col(idCol).as("id"), keyCol.as("k"))
+        .filter(col("k").isNotNull)
+        .localCheckpoint(eager = false)
+      val cand = keyed.select(col("k"), col("id").as("id_a"))
+        .join(keyed.select(col("k"), col("id").as("id_b")), Seq("k"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nFound = cand.join(tp, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_found"))
+      nRec.crossJoin(nTruth).crossJoin(nCand).crossJoin(nFound)
+        .select(lit(name).as("scheme"), col("n_records"),
+          expr("(n_records * (n_records - 1)) div 2").as("n_all_pairs"),
+          col("n_cand"), col("n_truth"), col("n_found"))
+        .withColumn("reduction_ratio_micros",
+          when(col("n_all_pairs") > 0,
+            lit(1000000L) - expr("(1000000L * n_cand) div n_all_pairs")))
+        .withColumn("pairs_completeness_micros",
+          when(col("n_truth") > 0,
+            expr("(1000000L * n_found) div n_truth")))
+        .withColumn("pair_quality_micros",
+          when(col("n_cand") > 0,
+            expr("(1000000L * n_found) div n_cand")))
+    }.reduce(_ unionByName _)
+  }
+
   /** ENTITY RESOLUTION clustering — the record-linkage composition:
     * segmented edit-distance blocking ([[editDistancePairsSegmented]],
     * complete for ≤ `maxDist` by pigeonhole) supplies the match pairs,

@@ -243,6 +243,30 @@ class OpsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("blockingQuality: RR/PC/PQ hand card — first-token blocking " +
+    "misses the cross-token true pair, NULL keys block with nothing, " +
+    "and all metrics are exact floor-micros") {
+    val recs = Seq((1L, "acme corp"), (2L, "acme co"), (3L, "bcme corp"),
+      (4L, "zzz"), (5L, null.asInstanceOf[String])).toDF("id", "s")
+    // truth: (1,2) ed=2 and (1,3) ed=1
+    val truth = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.blockingQuality(recs, "id",
+      Seq("len4" -> expr("length(s) div 4"),
+        "first_token" -> split(col("s"), " ").getItem(0)), truth)
+      .select("scheme", "n_records", "n_all_pairs", "n_cand", "n_truth",
+        "n_found", "reduction_ratio_micros", "pairs_completeness_micros",
+        "pair_quality_micros")
+      .as[(String, Long, Long, Long, Long, Long,
+        Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // len4: lengths 9,7,9,3 -> buckets 2,1,2,0; null drops -> cand {(1,3)}
+    assert(got("len4") == (("len4", 5L, 10L, 1L, 2L, 1L,
+      Some(900000L), Some(500000L), Some(1000000L))), got("len4"))
+    // first_token: {acme:{1,2}} -> cand {(1,2)}; (1,3) escapes the block
+    assert(got("first_token") == (("first_token", 5L, 10L, 1L, 2L, 1L,
+      Some(900000L), Some(500000L), Some(1000000L))), got("first_token"))
+  }
+
   test("jaccardPairs finds permuted near-identical docs, skips distinct ones") {
     val docs = Seq(
       (1L, "x y z w v u t s"),

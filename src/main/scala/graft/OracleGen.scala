@@ -351,6 +351,41 @@ object OracleGen {
     s"""(round(list_dot_product($a, $b)
        / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $scale) + 0.0)"""
 
+  /** Oracle for `Similarity.marginMining` (q190): the same pair/
+    * k-NN-mean/ratio pipeline — shift-idiom means, sign-symmetric
+    * ratio division, margin-desc/target-asc top-1 per source. */
+  def marginMiningSql(k: Int, thresholdMicros: Long): String = {
+    val km = k.toLong * 1000000L
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       s AS (SELECT id AS src_id, v AS sv FROM e WHERE id % 2 = 0),
+       d AS (SELECT id AS dst_id, v AS dv FROM e WHERE id % 2 = 1),
+       p AS (SELECT src_id, dst_id,
+           CAST(round((${cosSql("sv", "dv")}) * 1000000) AS BIGINT) AS cm
+         FROM s, d),
+       ax AS (SELECT src_id,
+           ((CAST(sum(cm) AS BIGINT) + $km) // $k) - 1000000 AS a_src
+         FROM (SELECT src_id, cm, row_number() OVER (PARTITION BY src_id
+             ORDER BY cm DESC, dst_id ASC) AS rn FROM p)
+         WHERE rn <= $k GROUP BY 1),
+       ay AS (SELECT dst_id,
+           ((CAST(sum(cm) AS BIGINT) + $km) // $k) - 1000000 AS a_dst
+         FROM (SELECT dst_id, cm, row_number() OVER (PARTITION BY dst_id
+             ORDER BY cm DESC, src_id ASC) AS rn FROM p)
+         WHERE rn <= $k GROUP BY 1),
+       m AS (SELECT p.src_id, p.dst_id, p.cm,
+           CASE WHEN ax.a_src + ay.a_dst > 0
+             THEN CAST(sign(p.cm) AS BIGINT)
+               * CAST((2000000 * abs(p.cm)) // (ax.a_src + ay.a_dst)
+                   AS BIGINT) END AS margin_micros
+         FROM p JOIN ax USING (src_id) JOIN ay USING (dst_id))
+       SELECT src_id, dst_id, cm AS cos_micros, margin_micros
+       FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+           ORDER BY margin_micros DESC, dst_id ASC) AS rn
+         FROM m WHERE margin_micros IS NOT NULL)
+       WHERE rn = 1 AND margin_micros >= $thresholdMicros"""
+  }
+
   /** Shared prefix: embeddings → signatures → byte-chunk buckets,
     * replicating `Similarity.lshSignature` + `chunkedBuckets`. */
   private def bucketCtes(nBits: Int, dim: Int, nChunks: Int): String = {

@@ -1723,6 +1723,15 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Margin-based candidate mining (the LASER/CCMatrix ratio-margin
+    * criterion) between the embedding table's parity halves: each
+    * source's best target by cosine-over-mean-kNN-cosine, kept at
+    * ratio ≥ 1 — the hubness-robust alignment mining absolute
+    * thresholds can't do. */
+  private def qMarginMining(s: SparkSession, dir: String): DataFrame =
+    Similarity.marginMining(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 4, marginThresholdMicros = 1000000L)
+
   /** Blocking-quality evaluation: length-bucket and first-token
     * blocking scored against exact edit-distance-≤2 truth on the q133
     * part sample — reduction ratio vs pairs completeness, the
@@ -2189,6 +2198,7 @@ object SparkEntry {
     "q187_scc" -> (qScc _),
     "q188_stratified_ate" -> (qStratifiedAte _),
     "q189_blocking_quality" -> (qBlockingQuality _),
+    "q190_margin_mining" -> (qMarginMining _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4252,6 +4262,8 @@ object SparkEntry {
            CASE WHEN n_cand > 0 THEN (1000000 * n_found) // n_cand END
              AS pair_quality_micros
          FROM card, n, nt""",
+    "q190_margin_mining" ->
+      OracleGen.marginMiningSql(k = 4, thresholdMicros = 1000000L),
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

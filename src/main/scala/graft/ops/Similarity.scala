@@ -150,6 +150,71 @@ object Similarity {
     picked.select(col("query_id"), col("pick"), col("cand_id"), col("rel"))
   }
 
+  /** MARGIN-BASED candidate mining (Artetxe & Schwenk 2019, "Margin-
+    * based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" — the LASER/CCMatrix alignment criterion): a source→
+    * target match is accepted not by raw cosine but by the RATIO
+    * margin — cosine divided by the mean of the two sides' k-NN
+    * cosines — which cancels the hubness that makes absolute-threshold
+    * mining precision collapse (a "hub" target close to everything has
+    * a high denominator everywhere, so it stops winning every source).
+    * The checked face splits the embedding table by id parity into a
+    * source and target half (the two-corpus case routes each side's
+    * relation in); output is each source's best target by margin,
+    * kept when margin ≥ `marginThresholdMicros` (ratio ≥ 1 = "closer
+    * than its average neighborhood", the paper's operating point).
+    *
+    * Determinism: cosines are the round-4 + signed-zero contract
+    * scaled to exact integer micros; k-NN means use the SHIFT idiom
+    * (Σcm + k·1e6) div k − 1e6 so the floor-division operand is
+    * non-negative whatever the cosine signs; the ratio divides
+    * sign-symmetrically (sign(cm)·(2e6·|cm| div (aₓ+a_y)), NULL when
+    * the denominator isn't positive). Ties: margin desc, target id asc.
+    *
+    * Scale shape: the pair relation broadcasts the query half against
+    * one target scan and checkpoints ONCE (three readers: two k-NN
+    * windows + the margin join); both windows are degree-bounded
+    * top-k (WindowGroupLimit), the margin join is two equi-joins on
+    * the pair keys. At corpus scale swap the brute-force pair stage
+    * for [[ivfTopK]]-style cell routing — margins only ever need each
+    * side's top-k, which routing preserves. */
+  def marginMining(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 4, marginThresholdMicros: Long = 1000000L)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val src = base.filter(col("id") % 2 === 0)
+      .select(col("id").as("src_id"), col("v").as("sv"))
+    val dst = base.filter(col("id") % 2 === 1)
+      .select(col("id").as("dst_id"), col("v").as("dv"))
+    val pairs = dst.join(broadcast(src))
+      .select(col("src_id"), col("dst_id"),
+        round((round(cosine(col("sv"), col("dv")), 4) + lit(0.0)) *
+          1000000).cast("long").as("cm"))
+      .localCheckpoint(eager = false)
+    def nnAvg(side: String, other: String, out: String): DataFrame =
+      Windows.topKPerGroup(pairs, Seq(col(side)),
+          Seq(col("cm").desc, col(other).asc), k)
+        .groupBy(col(side))
+        .agg(sum(col("cm")).as("s"))
+        .select(col(side),
+          (expr(s"(s + ${k.toLong * 1000000L}L) div ${k}L") -
+            1000000L).as(out))
+    val m = pairs
+      .join(nnAvg("src_id", "dst_id", "a_src"), Seq("src_id"))
+      .join(nnAvg("dst_id", "src_id", "a_dst"), Seq("dst_id"))
+      .withColumn("margin_micros",
+        when(col("a_src") + col("a_dst") > 0,
+          signum(col("cm")).cast("long") *
+            expr("(2000000L * abs(cm)) div (a_src + a_dst)")))
+      .filter(col("margin_micros").isNotNull)
+    Windows.topKPerGroup(m, Seq(col("src_id")),
+        Seq(col("margin_micros").desc, col("dst_id").asc), 1)
+      .filter(col("margin_micros") >= marginThresholdMicros)
+      .select(col("src_id"), col("dst_id"), col("cm").as("cos_micros"),
+        col("margin_micros"))
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-bit signatures.
     * `private[graft]` so OracleGen can embed the same constants in the
     * DuckDB oracle SQL. */

@@ -1384,6 +1384,31 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("marginMining: hand ratio margins — identical pair wins at " +
+    "ratio > 1, a negative denominator pair drops to NULL not a bogus " +
+    "sign flip, and the threshold gates the output") {
+    import graft.ops.Similarity
+    // sources (even): 0=(1,0), 2=(0,1); targets (odd): 1=(1,0),
+    // 3=(0.6,0.8), 5=(-1,0). k=2 shift-idiom means give a_src(0)=8e5,
+    // a_src(2)=4e5, a_dst(1)=5e5, a_dst(3)=7e5, a_dst(5)=-5e5; so
+    // (0,1): (2e6*1e6)//13e5 = 1538461; (2,3): (2e6*8e5)//11e5 =
+    // 1454545; (2,5) has denominator -1e5 -> NULL (filtered, never a
+    // flipped sign)
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
+      (1L, Array(1.0, 0.0)), (3L, Array(0.6, 0.8)),
+      (5L, Array(-1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.marginMining(emb, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 1000000L, 1538461L),
+      (2L, 3L, 800000L, 1454545L)), got)
+    val strict = Similarity.marginMining(emb, "vec_id", "embedding",
+        k = 2, marginThresholdMicros = 1500000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(strict == Set((0L, 1L, 1000000L, 1538461L)), strict)
+  }
+
   test("mmrRerank: diversity beats relevance at pick 2 — the runner-up " +
     "by cosine is nearly parallel to pick 1, so the more distant " +
     "third candidate wins the MMR step") {

@@ -1723,6 +1723,15 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Split-conformal prediction card at α = 0.1 on event values by
+    * type: per-group train-mean predictor, exact calibration quantile
+    * q̂, and realized eval-split coverage — the distribution-free
+    * interval guarantee, verified empirically (expect ≈ 900000
+    * micros). */
+  private def qConformalCard(s: SparkSession, dir: String): DataFrame =
+    DataQuality.conformalCard(Events.load(s, dir), "event_type",
+      "event_id", "value")
+
   /** Margin-based candidate mining (the LASER/CCMatrix ratio-margin
     * criterion) between the embedding table's parity halves: each
     * source's best target by cosine-over-mean-kNN-cosine, kept at
@@ -2199,6 +2208,7 @@ object SparkEntry {
     "q188_stratified_ate" -> (qStratifiedAte _),
     "q189_blocking_quality" -> (qBlockingQuality _),
     "q190_margin_mining" -> (qMarginMining _),
+    "q191_conformal_card" -> (qConformalCard _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4264,6 +4274,35 @@ object SparkEntry {
          FROM card, n, nt""",
     "q190_margin_mining" ->
       OracleGen.marginMiningSql(k = 4, thresholdMicros = 1000000L),
+    "q191_conformal_card" ->
+      """WITH b AS (SELECT event_type AS grp, event_id AS id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 3 AS slot
+           FROM events),
+         tr AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_train,
+             (1000000 * CAST(sum(cents) AS BIGINT))
+               // CAST(count(*) AS BIGINT) AS pred_micros
+           FROM b WHERE slot = 0 GROUP BY 1),
+         ca AS (SELECT b.grp, b.id,
+             abs(1000000 * b.cents - t.pred_micros) AS score
+           FROM b JOIN tr t ON t.grp = b.grp WHERE b.slot = 1),
+         rk AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
+             ((CAST(count(*) AS BIGINT) + 1) * 9 + 9) // 10 AS r
+           FROM ca GROUP BY 1),
+         qh AS (SELECT c.grp, rk.n_cal, c.score AS qhat
+           FROM (SELECT grp, score, row_number() OVER (PARTITION BY grp
+               ORDER BY score ASC, id ASC) AS rn FROM ca) c
+           JOIN rk ON rk.grp = c.grp AND c.rn = rk.r)
+         SELECT b.grp, max(t.n_train) AS n_train, max(q.n_cal) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           max(t.pred_micros) AS pred_micros, max(q.qhat) AS qhat,
+           (1000000 * CAST(sum(CASE WHEN
+               abs(1000000 * b.cents - t.pred_micros) <= q.qhat
+             THEN 1 ELSE 0 END) AS BIGINT))
+             // CAST(count(*) AS BIGINT) AS coverage_micros
+         FROM b JOIN tr t ON t.grp = b.grp JOIN qh q ON q.grp = b.grp
+         WHERE b.slot = 2 GROUP BY 1""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

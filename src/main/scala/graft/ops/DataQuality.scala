@@ -394,6 +394,80 @@ object DataQuality {
         col("fit_micros"))
   }
 
+  /** SPLIT-CONFORMAL prediction card (Vovk's inductive conformal; Lei
+    * et al. 2018 JASA form) — the distribution-free interval the
+    * model-monitoring stack wraps around ANY point predictor: fit on a
+    * train split, take q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest absolute
+    * residual on a CALIBRATION split, and the interval pred ± q̂ covers
+    * ≥ 1−α of fresh data by exchangeability alone — no model or noise
+    * assumptions. The card reports the guarantee empirically: per
+    * group, the fitted mean, q̂, and the realized coverage on a third
+    * EVAL split (expect ≈ (1−α)·1e6 micros).
+    *
+    * The predictor here is the per-group train mean — deliberately the
+    * simplest regressor; the op's value is the conformal machinery,
+    * which wraps any scoring stage the same way.
+    *
+    * Determinism: the 3-way split is the md5-prefix integer of the id
+    * mod 3 (the q93 split idiom); residuals are exact integer
+    * micro-cents; q̂ is an exact order statistic (row_number under
+    * (score, id) — the picked VALUE doesn't depend on the tie-break,
+    * ranks within equal scores are interchangeable); the ceil rank is
+    * ((n_cal+1)·(αden−αnum) + αden−1) div αden, all non-negative.
+    * Groups missing any of the three splits are DROPPED (inner-join
+    * contract) — a group too small to calibrate has no guarantee to
+    * report. If the rank exceeds n_cal (tiny calib set), conformal
+    * prescribes an infinite interval: no q̂ row exists and the group
+    * drops, rather than reporting a fake finite quantile.
+    *
+    * Scale shape: one combinable train agg, one residual join (group-
+    * keyed, groups ≪ rows), a per-group order-statistic window over
+    * CALIB rows only, one combinable eval agg. */
+  def conformalCard(df: DataFrame, groupCol: String, idCol: String,
+                    valCol: String, alphaNum: Long = 1L,
+                    alphaDen: Long = 10L): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      "need 0 < alphaNum < alphaDen")
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        round(col(valCol) * 100).cast("long").as("cents"))
+      .withColumn("slot",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 3)
+      .localCheckpoint(eager = false)
+    val train = base.filter(col("slot") === 0)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_train"), sum(col("cents")).as("s"))
+      .select(col("grp"), col("n_train"),
+        expr("(1000000L * s) div n_train").as("pred_micros"))
+    val calib = base.filter(col("slot") === 1)
+      .join(train, Seq("grp"))
+      .select(col("grp"), col("id"),
+        abs(lit(1000000L) * col("cents") - col("pred_micros")).as("score"))
+    val rk = calib.groupBy(col("grp")).agg(count(lit(1)).as("n_cal"))
+      .withColumn("r",
+        expr(s"((n_cal + 1L) * ${alphaDen - alphaNum}L + ${alphaDen - 1}L)" +
+          s" div ${alphaDen}L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("score").asc, col("id").asc)
+    val qhat = calib.withColumn("rn", row_number().over(w).cast("long"))
+      .join(rk, Seq("grp"))
+      .filter(col("rn") === col("r"))
+      .select(col("grp"), col("n_cal"), col("score").as("qhat"))
+    val evalCard = base.filter(col("slot") === 2)
+      .join(train, Seq("grp"))
+      .join(qhat, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_train")).as("n_train"), max(col("n_cal")).as("n_cal"),
+        max(col("pred_micros")).as("pred_micros"),
+        max(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_eval"),
+        sum(when(abs(lit(1000000L) * col("cents") - col("pred_micros"))
+          <= col("qhat"), 1L).otherwise(0L)).as("cov"))
+    evalCard.select(col("grp"), col("n_train"), col("n_cal"),
+      col("n_eval"), col("pred_micros"), col("qhat"),
+      expr("(1000000L * cov) div n_eval").as("coverage_micros"))
+  }
+
   /** ORDER-INDEPENDENT GROUP CHECKSUM — the migration/CDC verification
     * primitive: a per-group content signature that any engine computes
     * identically from the same logical rows, regardless of

@@ -109,6 +109,42 @@ class DataQualitySpec extends AnyFunSuite {
       ("m", Some(0.5)), ("t", Some(1.0)), ("z", None)), got)
   }
 
+  test("conformalCard: q-hat is the exact ceil((n+1)(1-alpha)) order " +
+    "statistic of calib residuals and eval coverage matches an " +
+    "independent JVM-md5 re-derivation; a group with an empty split " +
+    "drops") {
+    def md5slot(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 3
+    }
+    val rows = (1L to 90L).map(i => ("a", i, (i % 7).toDouble + 1.0)) ++
+      (100L to 140L).map(i => ("b", i, (i % 5).toDouble * 2.0 + 0.5))
+    // group "c": ids picked so slot 1 (calib) never occurs -> dropped
+    val cIds = (1000L to 3000L).filter(md5slot(_) != 1L).take(6)
+    val all = rows ++ cIds.map(i => ("c", i, 3.0))
+    val got = DataQuality.conformalCard(
+      all.toDF("grp", "id", "v"), "grp", "id", "v")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!got.contains("c"), got.keys)
+    for (g <- Seq("a", "b")) {
+      val grows = all.filter(_._1 == g)
+      val cents = grows.map { case (_, i, v) => (i, math.round(v * 100)) }
+      val train = cents.filter(c => md5slot(c._1) == 0L)
+      val pred = 1000000L * train.map(_._2).sum / train.size
+      val calib = cents.filter(c => md5slot(c._1) == 1L)
+        .map(c => math.abs(1000000L * c._2 - pred)).sorted
+      val r = ((calib.size + 1L) * 9L + 9L) / 10L
+      val qhat = calib((r - 1).toInt)
+      val ev = cents.filter(c => md5slot(c._1) == 2L)
+      val cov = 1000000L * ev.count(c =>
+        math.abs(1000000L * c._2 - pred) <= qhat) / ev.size
+      assert(got(g) == ((g, train.size.toLong, calib.size.toLong,
+        ev.size.toLong, pred, qhat, cov)), (g, got(g)))
+    }
+  }
+
   test("isotonicCalibration: PAVA pools the violating adjacent pair to " +
     "their pooled rate; weights pool by counts, not bucket-equally") {
     // rates 0.2, 0.6, 0.4, 0.8 -> the 0.6/0.4 violation pools to 0.5

@@ -351,6 +351,39 @@ object OracleGen {
     s"""(round(list_dot_product($a, $b)
        / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $scale) + 0.0)"""
 
+  /** Oracle for `Similarity.kCenterSelect` (q192): the Gonzalez greedy
+    * loop unrolled — seed = min id, each step a min-over-selected of
+    * the per-pair rounded L2 micros, then a (dm DESC, id ASC) top-1.
+    * The accumulator CTEs are MATERIALIZED: each step reads s_{i-1}
+    * twice (NOT IN + join), so DuckDB's default CTE inlining doubles
+    * the plan per step — the SQL face of the same 2^k hazard the Spark
+    * face's per-step localCheckpoint prevents (>150 s inlined at k=8,
+    * sub-second materialized). */
+  def kCenterSql(k: Int, dim: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""d$i AS (SELECT c.id,
+           CAST(min(round((${pqL2("c.v", "s.v", dim)}) * 1000000))
+             AS BIGINT) AS dm
+         FROM e c, s${i - 1} s
+         WHERE c.id NOT IN (SELECT id FROM s${i - 1}) GROUP BY c.id),
+       p$i AS MATERIALIZED (SELECT e.id, e.v, d$i.dm
+         FROM d$i JOIN e USING (id)
+         ORDER BY d$i.dm DESC, e.id ASC LIMIT 1),
+       s$i AS MATERIALIZED (SELECT id, v FROM s${i - 1}
+         UNION ALL SELECT id, v FROM p$i)"""
+    }.mkString(",\n       ")
+    val outs = s"SELECT CAST(1 AS BIGINT) AS pick, id AS cand_id, " +
+      "CAST(NULL AS BIGINT) AS d_micros FROM s1" +
+      (2 to k).map(i =>
+        s"\n       UNION ALL SELECT CAST($i AS BIGINT), id, dm FROM p$i")
+        .mkString
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       s1 AS (SELECT id, v FROM e WHERE id = (SELECT min(id) FROM e)),
+       $steps
+       $outs"""
+  }
+
   /** Oracle for `Similarity.marginMining` (q190): the same pair/
     * k-NN-mean/ratio pipeline — shift-idiom means, sign-symmetric
     * ratio division, margin-desc/target-asc top-1 per source. */

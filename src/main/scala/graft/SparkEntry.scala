@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Gonzalez k-center coreset over the embedding corpus: 8 maximally-
+    * spread exemplars with their selection radii — the coverage-style
+    * diverse subset beside q170's per-query MMR. */
+  private def qKCenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 8, dim = 64)
+
   /** Split-conformal prediction card at α = 0.1 on event values by
     * type: per-group train-mean predictor, exact calibration quantile
     * q̂, and realized eval-split coverage — the distribution-free
@@ -2209,6 +2216,7 @@ object SparkEntry {
     "q189_blocking_quality" -> (qBlockingQuality _),
     "q190_margin_mining" -> (qMarginMining _),
     "q191_conformal_card" -> (qConformalCard _),
+    "q192_kcenter_coreset" -> (qKCenter _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4303,6 +4311,7 @@ object SparkEntry {
              // CAST(count(*) AS BIGINT) AS coverage_micros
          FROM b JOIN tr t ON t.grp = b.grp JOIN qh q ON q.grp = b.grp
          WHERE b.slot = 2 GROUP BY 1""",
+    "q192_kcenter_coreset" -> OracleGen.kCenterSql(k = 8, dim = 64),
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -215,6 +215,59 @@ object Similarity {
         col("margin_micros"))
   }
 
+  /** k-CENTER CORESET selection (Gonzalez 1985 greedy farthest-point —
+    * the 2-approximation every coreset / diverse-subset pipeline
+    * reaches for): seed with the min-id point, then repeatedly add the
+    * point FARTHEST from the selected set (max over candidates of min
+    * squared-L2 to any pick). Where [[mmrRerank]] diversifies a
+    * per-query shortlist, k-center covers the whole corpus — the
+    * "pick k maximally-spread exemplars" move behind annotation-budget
+    * allocation, prototype selection, and seeding [[ivfCentroids]]
+    * far apart. Output: (pick, cand_id, d_micros) — d_micros is the
+    * selection radius (NULL for the seed), nonincreasing by
+    * construction, and pick k+1's radius bounds the covering radius
+    * of the chosen k within 2×.
+    *
+    * Determinism: squared L2 is the explicit left-associated
+    * [[l2Chain]] both engines evaluate bit-identically (the PQ
+    * contract), rounded to integer micros per pair BEFORE the min;
+    * argmax ties break id-asc. The greedy loop unrolls as oracle CTEs.
+    *
+    * Scale shape: the selected set is ≤ k rows — every step broadcasts
+    * it against ONE corpus scan (candidates × ≤k sims), one combinable
+    * min-agg, one 1-row argmax; per-step checkpoint keeps the plan
+    * linear in k (the mmrRerank lesson). O(N·k²) total sims, never
+    * quadratic in the corpus. */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 5, dim: Int = 64): DataFrame = {
+    require(k >= 1 && dim >= 1, "need k >= 1, dim >= 1")
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = false)
+    var selected = base
+      .join(broadcast(base.agg(min(col("id")).as("id"))), Seq("id"))
+      .select(lit(1L).as("pick"), col("id"), col("v"),
+        lit(null).cast("long").as("d_micros"))
+      .localCheckpoint(eager = false)
+    for (step <- 2 to k) {
+      val top = base
+        .join(selected.select(col("id").as("sid")),
+          col("id") === col("sid"), "left_anti")
+        .crossJoin(broadcast(selected.select(col("v").as("sv"))))
+        .select(col("id"),
+          round(l2Chain(col("v"), col("sv"), dim) * 1000000.0)
+            .cast("long").as("dm"))
+        .groupBy(col("id")).agg(min(col("dm")).as("dm"))
+        .agg(max(struct(col("dm"), (-col("id")).as("nid"),
+          col("id"))).as("m"))
+        .select(col("m.id").as("id"), col("m.dm").as("d_micros"))
+      val pick = top.join(base, Seq("id"))
+        .select(lit(step.toLong).as("pick"), col("id"), col("v"),
+          col("d_micros"))
+      selected = selected.unionByName(pick).localCheckpoint(eager = false)
+    }
+    selected.select(col("pick"), col("id").as("cand_id"), col("d_micros"))
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-bit signatures.
     * `private[graft]` so OracleGen can embed the same constants in the
     * DuckDB oracle SQL. */

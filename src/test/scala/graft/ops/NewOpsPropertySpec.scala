@@ -1384,6 +1384,24 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("kCenterSelect: greedy farthest-point on a line — seed is min " +
+    "id, radii are exact squared-L2 micros and nonincreasing, distance " +
+    "ties break id-asc") {
+    import graft.ops.Similarity
+    // positions 0, 10, 4, 6: seed id1(0); pick2 = id2(10, d=100);
+    // pick3: id3 min(16,36)=16 vs id4 min(36,16)=16 -> tie -> id3;
+    // pick4: id4 min(36,16,4)=4
+    val emb = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(10.0, 0.0)),
+      (3L, Array(4.0, 0.0)), (4L, Array(6.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(emb, "vec_id", "embedding",
+        k = 4, dim = 2)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, 1L, None), (2L, 2L, Some(100000000L)),
+      (3L, 3L, Some(16000000L)), (4L, 4L, Some(4000000L))), got)
+  }
+
   test("marginMining: hand ratio margins — identical pair wins at " +
     "ratio > 1, a negative denominator pair drops to NULL not a bogus " +
     "sign flip, and the threshold gates the output") {

@@ -58,4 +58,35 @@ class StreamingDedupSpec extends AnyFunSuite {
       .as[(Long, String)].collect().sorted
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
+
+  test("native dropDuplicatesWithinWatermark == batch dropDuplicates on " +
+    "an at-least-once replay whose duplicate re-delivery gap is inside " +
+    "the delay (the built-in EXACT-dedup tier beside near-dup admit)") {
+    import graft.ops.Events
+    val ev = Events.load(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"))
+    // at-least-once source: every event delivered twice, same payload —
+    // the exact-key dedup dropDuplicatesWithinWatermark exists for.
+    // Within-watermark state eviction is the 100 TB/day contract plain
+    // dropDuplicates (unbounded key state) cannot honor.
+    val src = Files.createTempDirectory("sdedup_wm").toString
+    ev.union(ev).coalesce(1).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(src)
+    val expected = ev.select("event_id").distinct()
+      .as[Long].collect().toSet
+    val q = spark.readStream.schema(ev.schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ddw_out").select("event_id")
+        .as[Long].collect()
+      assert(got.length == got.toSet.size, "a key emitted twice")
+      assert(got.toSet == expected,
+        s"missing=${(expected -- got.toSet).take(5)}")
+    } finally q.stop()
+  }
 }

@@ -955,6 +955,27 @@ object OracleGen {
        SELECT node, r AS rank_micros FROM r$iters"""
   }
 
+  /** Oracle for `TextAnalysis.textRank` (q193): the word-adjacency
+    * edge derivation + the SAME [[prCoreSql]] rank core q107 uses. */
+  def textRankSql(iters: Int, minLen: Int): String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents),
+       wt AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           lower(t[pos + 1]) AS word
+         FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos
+           FROM base)),
+       k AS (SELECT doc_id, pos, word FROM wt
+         WHERE length(word) >= $minLen),
+       adj AS (SELECT lag(word) OVER (PARTITION BY doc_id
+             ORDER BY pos ASC) AS a, word AS b
+         FROM k),
+       und AS (SELECT least(a, b) AS x, greatest(a, b) AS y,
+           CAST(count(*) AS BIGINT) AS w
+         FROM adj WHERE a IS NOT NULL AND a <> b GROUP BY 1, 2),
+       edges AS (SELECT x AS src, y AS dst, w FROM und
+         UNION ALL SELECT y, x, w FROM und),
+       ${prCoreSql(iters, 1000000L, 85, 100, None, dangling = false)}"""
+
   def pageRankSql(iters: Int, microScale: Long = 1000000L,
                   dampNum: Long = 85, dampDen: Long = 100,
                   seedSql: Option[String] = None,

@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** TextRank keyword scoring: PageRank over the word co-occurrence
+    * graph — unsupervised "what is this corpus about", composed from
+    * the adjacency derivation + the q107 rank core unchanged. */
+  private def qTextRank(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textRank(t(s, dir, "documents"), "doc_id", "text",
+      minLen = 3, iters = 3)
+
   /** Gonzalez k-center coreset over the embedding corpus: 8 maximally-
     * spread exemplars with their selection radii — the coverage-style
     * diverse subset beside q170's per-query MMR. */
@@ -2217,6 +2224,7 @@ object SparkEntry {
     "q190_margin_mining" -> (qMarginMining _),
     "q191_conformal_card" -> (qConformalCard _),
     "q192_kcenter_coreset" -> (qKCenter _),
+    "q193_textrank" -> (qTextRank _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4312,6 +4320,7 @@ object SparkEntry {
          FROM b JOIN tr t ON t.grp = b.grp JOIN qh q ON q.grp = b.grp
          WHERE b.slot = 2 GROUP BY 1""",
     "q192_kcenter_coreset" -> OracleGen.kCenterSql(k = 8, dim = 64),
+    "q193_textrank" -> OracleGen.textRankSql(iters = 3, minLen = 3),
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

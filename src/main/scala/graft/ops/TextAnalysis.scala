@@ -1139,6 +1139,41 @@ object TextAnalysis {
         expr("(1000000L * n_bpe_tokens) div n_chars_tok"))
   }
 
+  /** TEXTRANK keyword scoring (Mihalcea & Tarau 2004) — unsupervised
+    * keyword extraction as PageRank over the word CO-OCCURRENCE graph:
+    * nodes are (lowercased, length ≥ `minLen`) words, an undirected
+    * weighted edge links words ADJACENT in the filtered sequence, and
+    * a word's importance is its stationary rank — the corpus-level
+    * "what is this collection about" signal TF-IDF (q48) can't give
+    * (TF-IDF scores words per doc against the corpus; TextRank scores
+    * them by how centrally they co-occur). Composition: the edge
+    * derivation here + [[graft.ops.Graph.pageRank]] unchanged — same
+    * scaled-integer determinism, same oracle core.
+    *
+    * Scale shape: one per-doc lag window over the token explode (the
+    * [[graft.ops.Graph.transitionEdges]] shape with doc as the
+    * sequence key), one combinable edge count; graph size is bounded
+    * by VOCABULARY, not corpus — the rank loop's working set collapses
+    * by the same distinct-word move as [[bpeTrain]]. */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               minLen: Int = 3, iters: Int = 3): DataFrame = {
+    require(minLen >= 1 && iters >= 1, "need minLen >= 1, iters >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val kept = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"), lower(col("word")).as("word"))
+      .filter(length(col("word")) >= minLen)
+    val und = kept.withColumn("a", lag(col("word"), 1).over(w))
+      .filter(col("a").isNotNull && col("a") =!= col("word"))
+      .select(least(col("a"), col("word")).as("x"),
+        greatest(col("a"), col("word")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+    val edges = und.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .union(und.select(col("y").as("src"), col("x").as("dst"), col("w")))
+    graft.ops.Graph.pageRank(edges, iters = iters)
+  }
+
   /** Shared BPE loop: returns (final symbol table, merge table).
     * `applyLast` controls whether the last learned rule is applied to
     * the symbol table (encode) or only recorded (train). */

@@ -1384,6 +1384,23 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("textRank: co-occurrence edges respect minLen and lowercase; " +
+    "symmetric two-word components hold the exact 1e6 fixpoint " +
+    "whatever their edge weight; self-adjacency never makes an edge") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "Alpha beta alpha ab"), // 'ab' filtered; (alpha,beta) w=2
+      (2L, "gamma gamma delta")    // self-pair dropped; (gamma,delta) w=1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.textRank(docs, "doc_id", "text",
+        minLen = 3, iters = 3)
+      .as[(String, Long)].collect().toMap
+    // each component is a symmetric pair: full rank flows across every
+    // iteration, so r = teleport + 0.85e6 = 1e6 exactly, independent of w
+    assert(got == Map("alpha" -> 1000000L, "beta" -> 1000000L,
+      "gamma" -> 1000000L, "delta" -> 1000000L), got)
+  }
+
   test("kCenterSelect: greedy farthest-point on a line — seed is min " +
     "id, radii are exact squared-L2 micros and nonincreasing, distance " +
     "ties break id-asc") {

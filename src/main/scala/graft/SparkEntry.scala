@@ -1723,6 +1723,14 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Decision-stump split finder: per numeric lineitem feature, the
+    * exact Gini-minimizing threshold against the returned-flag label —
+    * the distributed CART inner loop as a feature-screening card. */
+  private def qGiniStump(s: SparkSession, dir: String): DataFrame =
+    DataQuality.giniStump(t(s, dir, "lineitem"),
+      col("l_returnflag") === "R",
+      Seq("l_quantity", "l_discount", "l_extendedprice"))
+
   /** TextRank keyword scoring: PageRank over the word co-occurrence
     * graph — unsupervised "what is this corpus about", composed from
     * the adjacency derivation + the q107 rank core unchanged. */
@@ -2225,6 +2233,7 @@ object SparkEntry {
     "q191_conformal_card" -> (qConformalCard _),
     "q192_kcenter_coreset" -> (qKCenter _),
     "q193_textrank" -> (qTextRank _),
+    "q194_gini_stump" -> (qGiniStump _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4321,6 +4330,37 @@ object SparkEntry {
          WHERE b.slot = 2 GROUP BY 1""",
     "q192_kcenter_coreset" -> OracleGen.kCenterSql(k = 8, dim = 64),
     "q193_textrank" -> OracleGen.textRankSql(iters = 3, minLen = 3),
+    "q194_gini_stump" ->
+      """WITH raw AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+             END AS y, l_quantity, l_discount, l_extendedprice
+           FROM lineitem),
+         f AS (SELECT 'l_quantity' AS feature,
+             CAST(l_quantity AS DOUBLE) AS x, y FROM raw
+           UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), y
+           FROM raw
+           UNION ALL SELECT 'l_extendedprice',
+             CAST(l_extendedprice AS DOUBLE), y FROM raw),
+         g AS (SELECT feature, x, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos
+           FROM f GROUP BY 1, 2),
+         c AS (SELECT feature, x,
+             CAST(sum(cnt) OVER wc AS BIGINT) AS cn,
+             CAST(sum(pos) OVER wc AS BIGINT) AS cp,
+             CAST(sum(cnt) OVER wa AS BIGINT) AS n,
+             CAST(sum(pos) OVER wa AS BIGINT) AS p
+           FROM g
+           WINDOW wc AS (PARTITION BY feature ORDER BY x ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wa AS (PARTITION BY feature)),
+         s AS (SELECT feature, x, cn AS n_left, cp AS pos_left,
+             (1000000 * cp * (cn - cp)) // cn
+               + (1000000 * (p - cp) * ((n - cn) - (p - cp))) // (n - cn)
+               AS score_micros
+           FROM c WHERE cn < n)
+         SELECT feature, x AS threshold, n_left, pos_left, score_micros
+         FROM (SELECT *, row_number() OVER (PARTITION BY feature
+             ORDER BY score_micros ASC, x ASC) AS rn FROM s)
+         WHERE rn = 1""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

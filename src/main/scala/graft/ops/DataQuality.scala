@@ -394,6 +394,64 @@ object DataQuality {
         col("fit_micros"))
   }
 
+  /** DECISION-STUMP split finder — the one-level CART induction step
+    * (Breiman et al. 1984), distributed: for each numeric feature, the
+    * threshold t minimizing the size-weighted Gini impurity of the
+    * x ≤ t / x > t split against a binary label. This is the inner
+    * loop of every tree/GBDT trainer AND the feature-screening card
+    * ("which raw column separates the label best, and where") — the
+    * supervised complement to the unsupervised drift/association
+    * screens (q76 PSI, q155 χ², q184 Spearman).
+    *
+    * Exact integer evaluation off the distinct-value collapse: per
+    * candidate threshold the split is (cumN, cumP) vs the remainder —
+    * prefix sums of per-value counts — and the criterion
+    * {{{ score = (1e6·pL(nL−pL)) div nL + (1e6·pR(nR−pR)) div nR }}}
+    * (each side's scaled Gini numerator; the shared 2/n factor is
+    * rank-irrelevant and dropped) is pure long arithmetic, identical
+    * on both faces. p(n−p) ≤ n²/4 keeps 1e6·p(n−p) inside int64 to
+    * ~n = 6e6 rows per feature; past that, drop the 1e6 scale (the
+    * div already quantizes). Argmin ties break threshold-asc; the max
+    * value is excluded as a threshold (its right side is empty).
+    *
+    * Scale shape: one unpivot explode (|features| rows per input row),
+    * one combinable (feature, value) collapse, one per-feature window
+    * over DISTINCT values, a combinable argmin — the [[spearman]] /
+    * q160 distinct-collapse dataflow. */
+  def giniStump(df: DataFrame, labelCol: Column, features: Seq[String])
+      : DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val fx = features.map(f =>
+      struct(lit(f).as("feature"), col(f).cast("double").as("x")))
+    val long = df.select(when(labelCol, 1L).otherwise(0L).as("y"),
+        explode(array(fx: _*)).as("fx"))
+      .select(col("fx.feature").as("feature"), col("fx.x").as("x"),
+        col("y"))
+    val g = long.groupBy(col("feature"), col("x"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature")).orderBy(col("x").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature"))
+    val s = g
+      .withColumn("cn", sum(col("cnt")).over(wCum))
+      .withColumn("cp", sum(col("pos")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("p", sum(col("pos")).over(wAll))
+      .filter(col("cn") < col("n"))
+      .select(col("feature"), col("x"), col("cn").as("n_left"),
+        col("cp").as("pos_left"),
+        (expr("(1000000L * cp * (cn - cp)) div cn") +
+          expr("(1000000L * (p - cp) * ((n - cn) - (p - cp)))" +
+            " div (n - cn)")).as("score_micros"))
+    graft.ops.Windows.topOneByAgg(s, Seq(col("feature")),
+        struct((-col("score_micros")).as("ns"), (-col("x")).as("nx")))
+      .select(col("feature"), col("x").as("threshold"),
+        col("n_left"), col("pos_left"), col("score_micros"))
+  }
+
   /** SPLIT-CONFORMAL prediction card (Vovk's inductive conformal; Lei
     * et al. 2018 JASA form) — the distribution-free interval the
     * model-monitoring stack wraps around ANY point predictor: fit on a

@@ -109,6 +109,21 @@ class DataQualitySpec extends AnyFunSuite {
       ("m", Some(0.5)), ("t", Some(1.0)), ("z", None)), got)
   }
 
+  test("giniStump: the perfect separator scores 0 at the boundary " +
+    "value; a weak feature's best split is the exact integer " +
+    "impurity sum; the max value is never a threshold") {
+    val rows = Seq(
+      (1.0, 5.0, false), (1.0, 7.0, false), (2.0, 5.0, false),
+      (3.0, 7.0, true), (3.0, 5.0, true), (3.0, 7.0, true))
+      .toDF("a", "b", "y")
+    val got = DataQuality.giniStump(rows, col("y"), Seq("a", "b"))
+      .as[(String, Double, Long, Long, Long)].collect().toSet
+    // a: threshold 2 splits (3,0)|(3,3) -> 0; threshold 1 scores 750000
+    // b: only threshold 5 -> (3,1)|(3,2) -> 666666 + 666666
+    assert(got == Set(("a", 2.0, 3L, 0L, 0L),
+      ("b", 5.0, 3L, 1L, 1333332L)), got)
+  }
+
   test("conformalCard: q-hat is the exact ceil((n+1)(1-alpha)) order " +
     "statistic of calib residuals and eval coverage matches an " +
     "independent JVM-md5 re-derivation; a group with an empty split " +

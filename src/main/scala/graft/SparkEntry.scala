@@ -1723,6 +1723,14 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Off-policy replay evaluation: a greedy per-segment policy learned
+    * on the train split, scored on eval rounds whose logged arm
+    * matches — the unbiased offline estimate of online reward, with
+    * the match rate reported beside it. */
+  private def qReplayEval(s: SparkSession, dir: String): DataFrame =
+    Events.replayEval(Events.load(s, dir), "event_type", "user_id",
+      "event_id", "value", nContexts = 4)
+
   /** Decision-stump split finder: per numeric lineitem feature, the
     * exact Gini-minimizing threshold against the returned-flag label —
     * the distributed CART inner loop as a feature-screening card. */
@@ -2234,6 +2242,7 @@ object SparkEntry {
     "q192_kcenter_coreset" -> (qKCenter _),
     "q193_textrank" -> (qTextRank _),
     "q194_gini_stump" -> (qGiniStump _),
+    "q195_replay_eval" -> (qReplayEval _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4361,6 +4370,30 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY feature
              ORDER BY score_micros ASC, x ASC) AS rn FROM s)
          WHERE rn = 1""",
+    "q195_replay_eval" ->
+      """WITH b AS (SELECT event_type AS arm, user_id % 4 AS ctx,
+             event_id AS id, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 AS slot
+           FROM events),
+         cells AS (SELECT ctx, arm,
+             (1000000 * CAST(sum(cents) AS BIGINT))
+               // CAST(count(*) AS BIGINT) AS m
+           FROM b WHERE slot = 0 GROUP BY 1, 2),
+         best AS (SELECT ctx, max(m) AS m FROM cells GROUP BY 1),
+         policy AS (SELECT c.ctx, min(c.arm) AS arm
+           FROM cells c JOIN best USING (ctx, m) GROUP BY 1),
+         ev AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n_eval FROM b
+           WHERE slot = 1 GROUP BY 1)
+         SELECT b.ctx, b.arm, ev.n_eval,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           (1000000 * CAST(sum(b.cents) AS BIGINT))
+             // CAST(count(*) AS BIGINT) AS reward_micros,
+           (1000000 * CAST(count(*) AS BIGINT)) // ev.n_eval
+             AS match_rate_micros
+         FROM b JOIN policy p ON p.ctx = b.ctx AND p.arm = b.arm
+           JOIN ev ON ev.ctx = b.ctx
+         WHERE b.slot = 1 GROUP BY 1, 2, 3""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -397,6 +397,66 @@ object Events {
     per.unionByName(total)
   }
 
+  /** OFF-POLICY REPLAY EVALUATION (Li et al. 2011, "Unbiased Offline
+    * Evaluation of Contextual-bandit-based News Article Recommendation
+    * Algorithms") — the estimator every bandit/recommender deployment
+    * runs before shipping a policy: learn a greedy policy on a TRAIN
+    * split (per context, the arm with the best mean reward), then on
+    * the EVAL split keep only rounds where the LOGGED arm equals the
+    * policy's choice and average their rewards. Under uniform logging
+    * the matched-rounds mean is an unbiased estimate of the policy's
+    * online reward — no simulator, no counterfactual model.
+    *
+    * Context here is a user segment (userCol mod `nContexts`), arm is
+    * the logged `armCol`, reward is exact cents. Output per context:
+    * the chosen arm, eval-split volume, matched volume (the replay
+    * match rate is the estimator's effective sample size — report it,
+    * don't hide it), and the matched-mean reward in micros.
+    *
+    * Determinism: the train/eval split is the md5-prefix idiom on the
+    * event id; arm choice is argmax of (mean micros, arm asc) — one
+    * combinable max_by; all means are (1e6·Σcents) div n on
+    * non-negative operands. Contexts with no train rounds for any arm
+    * or no matched eval rounds drop (inner joins) — an unevaluable
+    * policy cell, not a zero.
+    *
+    * Scale shape: two combinable aggs (train cells, eval matched) + a
+    * broadcast-sized policy table join; nothing event-scale past the
+    * first pass. */
+  def replayEval(events: DataFrame, armCol: String, userCol: String,
+                 idCol: String, valCol: String,
+                 nContexts: Int = 4): DataFrame = {
+    require(nContexts >= 1, "nContexts must be >= 1")
+    val base = events.select(col(armCol).as("arm"),
+        (col(userCol) % nContexts).as("ctx"), col(idCol).as("id"),
+        round(col(valCol) * 100).cast("long").as("cents"))
+      .withColumn("slot",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+      .localCheckpoint(eager = false)
+    val cells = base.filter(col("slot") === 0)
+      .groupBy(col("ctx"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .select(col("ctx"), col("arm"),
+        expr("(1000000L * s) div n").as("m"))
+    // argmax with arm-asc ties as two combinable aggs (strings can't
+    // ride a negated max_by struct field)
+    val policy = cells
+      .join(cells.groupBy(col("ctx")).agg(max(col("m")).as("m")),
+        Seq("ctx", "m"))
+      .groupBy(col("ctx")).agg(min(col("arm")).as("arm"))
+    val evalRounds = base.filter(col("slot") === 1)
+      .groupBy(col("ctx")).agg(count(lit(1)).as("n_eval"))
+    base.filter(col("slot") === 1)
+      .join(broadcast(policy), Seq("ctx", "arm"))
+      .groupBy(col("ctx"), col("arm"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("cents")).as("s"))
+      .join(broadcast(evalRounds), Seq("ctx"))
+      .select(col("ctx"), col("arm"), col("n_eval"), col("n_matched"),
+        expr("(1000000L * s) div n_matched").as("reward_micros"),
+        expr("(1000000L * n_matched) div n_eval").as("match_rate_micros"))
+  }
+
   /** RFM SEGMENTATION — the classic customer-value triage: per user,
     * Recency (days since last `convType` event, measured from the
     * corpus's max event time — a deterministic "now"), Frequency

@@ -1384,6 +1384,38 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("replayEval: greedy policy from the train split, unbiased " +
+    "matched-rounds mean on eval, equal-mean arms tie to the " +
+    "lexicographically smaller arm, match rate reported exactly") {
+    import graft.ops.Events
+    def slot(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val ids = (1L to 400L)
+    val tr = ids.filter(slot(_) == 0L).take(6)
+    val ev = ids.filter(slot(_) == 1L).take(4)
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val rows = Seq(
+      // ctx 0 train: arm a mean 300c, arm b mean 100c -> policy a
+      ("a", 2L, tr(0), 3.0), ("a", 2L, tr(1), 3.0), ("b", 2L, tr(2), 1.0),
+      // ctx 1 train: arms b and c tie at 500c -> policy b (min arm)
+      ("b", 3L, tr(3), 5.0), ("c", 3L, tr(4), 5.0),
+      // ctx 0 eval: two matched a-rounds (200c, 400c) + one unmatched b
+      ("a", 2L, ev(0), 2.0), ("a", 2L, ev(1), 4.0), ("b", 2L, ev(2), 9.0),
+      // ctx 1 eval: one matched b-round
+      ("b", 3L, ev(3), 7.0)
+    ).map { case (arm, u, id, v) => (arm, u, id, v, ts) }
+      .toDF("event_type", "user_id", "event_id", "value", "ts")
+    val got = Events.replayEval(rows, "event_type", "user_id",
+        "event_id", "value", nContexts = 2)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, "a", 3L, 2L, 300000000L, 666666L),
+      (1L, "b", 1L, 1L, 700000000L, 1000000L)), got)
+  }
+
   test("textRank: co-occurrence edges respect minLen and lowercase; " +
     "symmetric two-word components hold the exact 1e6 fixpoint " +
     "whatever their edge weight; self-adjacency never makes an edge") {

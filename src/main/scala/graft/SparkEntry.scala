@@ -1723,6 +1723,16 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Neighborhood function N(h) of the sparsified session graph —
+    * ordered pairs within h hops for h = 0..4, the effective-diameter
+    * card (exact ANF face; HyperANF's HLL swap is the web-scale
+    * path). */
+  private def qNeighborhoodFn(s: SparkSession, dir: String): DataFrame =
+    Graph.neighborhoodFunction(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k"))
+        .filter(expr("(src * 31 + dst) % 5 < 1")), maxHops = 4)
+
   /** Off-policy replay evaluation: a greedy per-segment policy learned
     * on the train split, scored on eval rounds whose logged arm
     * matches — the unbiased offline estimate of online reward, with
@@ -2243,6 +2253,7 @@ object SparkEntry {
     "q193_textrank" -> (qTextRank _),
     "q194_gini_stump" -> (qGiniStump _),
     "q195_replay_eval" -> (qReplayEval _),
+    "q196_neighborhood_fn" -> (qNeighborhoodFn _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4394,6 +4405,32 @@ object SparkEntry {
          FROM b JOIN policy p ON p.ctx = b.ctx AND p.arm = b.arm
            JOIN ev ON ev.ctx = b.ctx
          WHERE b.slot = 1 GROUP BY 1, 2, 3""",
+    "q196_neighborhood_fn" ->
+      """WITH ev AS (SELECT user_id, event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events),
+         tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+               ORDER BY event_id ASC) AS src, k AS dst
+           FROM ev WHERE k IS NOT NULL),
+         edges AS (SELECT src, dst FROM tr
+           WHERE src IS NOT NULL AND src <> dst
+             AND (src * 31 + dst) % 5 < 1 GROUP BY 1, 2),
+         nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+         r0 AS MATERIALIZED (SELECT n AS a, n AS b FROM nodes),
+         r1 AS MATERIALIZED (SELECT a, b FROM r0 UNION
+           SELECT r.a, e.dst FROM r0 r JOIN edges e ON e.src = r.b),
+         r2 AS MATERIALIZED (SELECT a, b FROM r1 UNION
+           SELECT r.a, e.dst FROM r1 r JOIN edges e ON e.src = r.b),
+         r3 AS MATERIALIZED (SELECT a, b FROM r2 UNION
+           SELECT r.a, e.dst FROM r2 r JOIN edges e ON e.src = r.b),
+         r4 AS MATERIALIZED (SELECT a, b FROM r3 UNION
+           SELECT r.a, e.dst FROM r3 r JOIN edges e ON e.src = r.b)
+         SELECT CAST(0 AS BIGINT) AS h,
+           CAST((SELECT count(*) FROM r0) AS BIGINT) AS n_pairs
+         UNION ALL SELECT 1, CAST((SELECT count(*) FROM r1) AS BIGINT)
+         UNION ALL SELECT 2, CAST((SELECT count(*) FROM r2) AS BIGINT)
+         UNION ALL SELECT 3, CAST((SELECT count(*) FROM r3) AS BIGINT)
+         UNION ALL SELECT 4, CAST((SELECT count(*) FROM r4) AS BIGINT)""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

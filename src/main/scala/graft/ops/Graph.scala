@@ -621,6 +621,48 @@ object Graph {
     r.select(col("node"), col("r").as("rank_micros"))
   }
 
+  /** NEIGHBORHOOD FUNCTION N(h) — how many ordered (source, target)
+    * pairs are within h hops, for h = 0..`maxHops` (Palmer et al.
+    * 2002 ANF; Boldi et al. 2011 HyperANF): the curve whose knee is
+    * the EFFECTIVE DIAMETER, the one-number answer to "how navigable
+    * is this graph" that degree distributions can't give. This is the
+    * EXACT face — per hop one frontier-expansion equi-join + a
+    * distinct — which is O(Σ|N_h|) pair state: right for the
+    * node-bounded graphs the checked faces rank (vocabulary / page-key
+    * universes), and the oracle for any sketch. At web scale the same
+    * loop rides one HLL register set per node
+    * ([[graft.ops.Sketches]]) instead of materialized pairs —
+    * HyperANF IS this algorithm with the distinct replaced by a
+    * mergeable sketch union; the card's shape is unchanged.
+    *
+    * Output: (h, n_pairs), h = 0 counting the reflexive pairs, each
+    * later row cumulative (within h hops, not exactly h). Monotone
+    * nondecreasing by construction; the five counts are the card. */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int = 4)
+      : DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var reach = nodes.select(col("node").as("a"), col("node").as("b"))
+      .localCheckpoint(eager = false)
+    val counts = scala.collection.mutable.ArrayBuffer(0L -> reach.count())
+    for (h <- 1 to maxHops) {
+      reach = reach
+        .join(e.select(col("src").as("b"), col("dst")), Seq("b"))
+        .select(col("a"), col("dst").as("b"))
+        .union(reach)
+        .distinct()
+        .localCheckpoint(eager = false)
+      counts += h.toLong -> reach.count()
+    }
+    import spark.implicits._
+    counts.toSeq.toDF("h", "n_pairs")
+  }
+
   /** STRONGLY CONNECTED COMPONENTS of a directed graph — the analysis
     * [[Dedup.components]]' undirected union-find cannot express: "which
     * page groups can users cycle among" (navigation loops), mutual-link

@@ -365,6 +365,17 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("neighborhoodFunction: path graph counts cumulative h-hop pairs " +
+    "exactly and saturates at the diameter; self-loops and duplicate " +
+    "edges never inflate the card") {
+    val e = edges((1L, 2L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 1L, 1L))
+    val got = Graph.neighborhoodFunction(e, maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 4L, 1L -> 7L, 2L -> 9L, 3L -> 10L,
+      4L -> 10L), got)
+  }
+
   test("scc: two 2-cycles joined one-way stay separate components, a " +
     "DAG tail is all singletons, and self-loops don't mint components") {
     // 1<->2, 3<->4 with 2->3 (one-way bridge: NOT merged);

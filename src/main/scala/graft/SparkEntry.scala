@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Binary-segmentation change-point per event type: WHEN the daily
+    * level shifted and by how much — the retrospective complement to
+    * q171's sequential CUSUM, as one exact argmax over day-prefix
+    * sums. */
+  private def qBinsegChangepoint(s: SparkSession, dir: String): DataFrame =
+    Events.binsegChangepoint(Events.load(s, dir), "event_type", "ts")
+
   /** Neighborhood function N(h) of the sparsified session graph —
     * ordered pairs within h hops for h = 0..4, the effective-diameter
     * card (exact ANF face; HyperANF's HLL swap is the web-scale
@@ -2254,6 +2261,7 @@ object SparkEntry {
     "q194_gini_stump" -> (qGiniStump _),
     "q195_replay_eval" -> (qReplayEval _),
     "q196_neighborhood_fn" -> (qNeighborhoodFn _),
+    "q197_binseg_changepoint" -> (qBinsegChangepoint _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4431,6 +4439,31 @@ object SparkEntry {
          UNION ALL SELECT 2, CAST((SELECT count(*) FROM r2) AS BIGINT)
          UNION ALL SELECT 3, CAST((SELECT count(*) FROM r3) AS BIGINT)
          UNION ALL SELECT 4, CAST((SELECT count(*) FROM r4) AS BIGINT)""",
+    "q197_binseg_changepoint" ->
+      """WITH daily AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT grp, day,
+             CAST(count(*) OVER wc AS BIGINT) AS nl,
+             CAST(sum(y) OVER wc AS BIGINT) AS sl,
+             CAST(count(*) OVER wa AS BIGINT) AS n,
+             CAST(sum(y) OVER wa AS BIGINT) AS stot
+           FROM daily
+           WINDOW wc AS (PARTITION BY grp ORDER BY day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wa AS (PARTITION BY grp)),
+         s AS (SELECT grp, day, nl, n - nl AS nr, sl, stot - sl AS sr,
+             (1000000 * sl * sl) // nl
+               + (1000000 * (stot - sl) * (stot - sl)) // (n - nl)
+               - (1000000 * stot * stot) // n AS gain_micros
+           FROM c WHERE nl < n)
+         SELECT grp, day AS split_day, nl AS n_left, nr AS n_right,
+           (1000000 * sl) // nl AS mean_left_micros,
+           (1000000 * sr) // nr AS mean_right_micros, gain_micros
+         FROM (SELECT *, row_number() OVER (PARTITION BY grp
+             ORDER BY gain_micros DESC, day ASC) AS rn FROM s)
+         WHERE rn = 1""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

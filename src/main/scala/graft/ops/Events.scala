@@ -676,6 +676,64 @@ object Events {
         .as("r"))
   }
 
+  /** BINARY-SEGMENTATION CHANGE-POINT (Scott & Knott 1974; the first
+    * split of binary segmentation, the standard retrospective
+    * change-point scan): per group, the day that best splits its daily
+    * count series into two constant segments — argmax over split
+    * points of the SSE reduction, which by the ANOVA identity equals
+    * maximizing S_L²/n_L + S_R²/n_R (S = segment sum, n = segment
+    * days). The retrospective complement to [[graft.ops.DataQuality]]'s
+    * sequential CUSUM (q171): CUSUM answers "is it drifting NOW",
+    * binseg answers "WHEN did the level shift, and by how much".
+    *
+    * Exact integers off per-group day-prefix sums: score_micros =
+    * (1e6·S_L²) div n_L + (1e6·S_R²) div n_R, gain = score − the
+    * no-split base (1e6·S²) div n (≥ 0 up to floor error by
+    * Cauchy–Schwarz). Overflow bound: 1e6·S² needs S ≤ ~3e6 events
+    * per group — drop the 1e6 scale past that. Ties break day-asc;
+    * the last day is excluded (empty right segment). Output:
+    * (group, split_day = last left day, n_left, n_right,
+    * mean_left_micros, mean_right_micros, gain_micros).
+    *
+    * Scale shape: one combinable daily rollup, one per-group window
+    * over DAYS (≤ window-days rows per group, the q153/q181
+    * precedent), one combinable argmax. */
+  def binsegChangepoint(events: DataFrame, groupCol: String,
+                        tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("day").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    val s = daily
+      .withColumn("nl", count(lit(1)).over(wCum))
+      .withColumn("sl", sum(col("y")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("stot", sum(col("y")).over(wAll))
+      .filter(col("nl") < col("n"))
+      .select(col("grp"), col("day"), col("nl"),
+        (col("n") - col("nl")).as("nr"), col("sl"),
+        (col("stot") - col("sl")).as("sr"), col("n"), col("stot"))
+      .withColumn("gain_micros",
+        expr("(1000000L * sl * sl) div nl") +
+          expr("(1000000L * sr * sr) div nr") -
+          expr("(1000000L * stot * stot) div n"))
+    graft.ops.Windows.topOneByAgg(s, Seq(col("grp")),
+        struct(col("gain_micros"), (-col("day")).as("nd")))
+      .select(col("grp"), col("day").as("split_day"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        expr("(1000000L * sl) div nl").as("mean_left_micros"),
+        expr("(1000000L * sr) div nr").as("mean_right_micros"),
+        col("gain_micros"))
+  }
+
   /** ADDITIVE SEASONAL DECOMPOSITION of each group's daily count series
     * — the classical-decomposition core of STL (Cleveland et al. 1990,
     * the moving-average skeleton without loess): trend = centered

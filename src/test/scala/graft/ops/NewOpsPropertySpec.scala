@@ -1384,6 +1384,27 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("binsegChangepoint: a clean level shift splits exactly at the " +
+    "boundary with the ANOVA gain; a flat series gains 0 and ties to " +
+    "the earliest day") {
+    import graft.ops.Events
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val rows =
+      (Seq.fill(2)(ts(1)) ++ Seq.fill(2)(ts(2)) ++
+        Seq.fill(8)(ts(3)) ++ Seq.fill(8)(ts(4))).map(("g", _)) ++
+      (1 to 3).map(d => ("flat", ts(d)))
+    val got = Events.binsegChangepoint(rows.toDF("event_type", "ts"),
+        "event_type", "ts")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val day = (d: Int) => java.time.LocalDate.of(2024, 1, d).toEpochDay
+    // g: [2,2,8,8] -> split after day 2: 8e6+128e6-100e6 = 36e6
+    assert(got("g") == (("g", day(2), 2L, 2L, 2000000L, 8000000L,
+      36000000L)), got("g"))
+    // flat [1,1,1]: every split gains 0 (up to floor), earliest day wins
+    assert(got("flat")._2 == day(1) && got("flat")._7 <= 0L, got("flat"))
+  }
+
   test("replayEval: greedy policy from the train split, unbiased " +
     "matched-rounds mean on eval, equal-mean arms tie to the " +
     "lexicographically smaller arm, match rate reported exactly") {

@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Two-proportion Wilson/Newcombe interval card per event type:
+    * conversion = value ≥ 100, arms by user parity — per-arm 95%
+    * score intervals and the Newcombe interval for the lift. */
+  private def qTwoProportion(s: SparkSession, dir: String): DataFrame =
+    Events.twoProportionCard(Events.load(s, dir), "event_type",
+      "user_id", col("value") >= 100.0)
+
   /** Binary-segmentation change-point per event type: WHEN the daily
     * level shifted and by how much — the retrospective complement to
     * q171's sequential CUSUM, as one exact argmax over day-prefix
@@ -2262,6 +2269,7 @@ object SparkEntry {
     "q195_replay_eval" -> (qReplayEval _),
     "q196_neighborhood_fn" -> (qNeighborhoodFn _),
     "q197_binseg_changepoint" -> (qBinsegChangepoint _),
+    "q198_two_proportion" -> (qTwoProportion _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4464,6 +4472,55 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY grp
              ORDER BY gain_micros DESC, day ASC) AS rn FROM s)
          WHERE rn = 1""",
+    "q198_two_proportion" ->
+      """WITH cells AS (SELECT event_type AS grp,
+             (user_id % 2 = 1) AS treated,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         per AS (SELECT grp,
+             max(CASE WHEN treated THEN n END) AS n_t,
+             max(CASE WHEN treated THEN x END) AS x_t,
+             max(CASE WHEN NOT treated THEN n END) AS n_c,
+             max(CASE WHEN NOT treated THEN x END) AS x_c
+           FROM cells GROUP BY 1),
+         b1 AS (SELECT grp, n_t, x_t, n_c, x_c,
+             CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS pt,
+             CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS pc
+           FROM per),
+         b2 AS (SELECT *,
+             (pt + (1.96 * 1.96) / (2.0 * CAST(n_t AS DOUBLE))
+               + (-1.96) * sqrt(pt * (1.0 - pt) / CAST(n_t AS DOUBLE)
+                 + (1.96 * 1.96) / (4.0 * CAST(n_t AS DOUBLE)
+                   * CAST(n_t AS DOUBLE))))
+               / (1.0 + (1.96 * 1.96) / CAST(n_t AS DOUBLE)) AS lt,
+             (pt + (1.96 * 1.96) / (2.0 * CAST(n_t AS DOUBLE))
+               + 1.96 * sqrt(pt * (1.0 - pt) / CAST(n_t AS DOUBLE)
+                 + (1.96 * 1.96) / (4.0 * CAST(n_t AS DOUBLE)
+                   * CAST(n_t AS DOUBLE))))
+               / (1.0 + (1.96 * 1.96) / CAST(n_t AS DOUBLE)) AS ut,
+             (pc + (1.96 * 1.96) / (2.0 * CAST(n_c AS DOUBLE))
+               + (-1.96) * sqrt(pc * (1.0 - pc) / CAST(n_c AS DOUBLE)
+                 + (1.96 * 1.96) / (4.0 * CAST(n_c AS DOUBLE)
+                   * CAST(n_c AS DOUBLE))))
+               / (1.0 + (1.96 * 1.96) / CAST(n_c AS DOUBLE)) AS lc,
+             (pc + (1.96 * 1.96) / (2.0 * CAST(n_c AS DOUBLE))
+               + 1.96 * sqrt(pc * (1.0 - pc) / CAST(n_c AS DOUBLE)
+                 + (1.96 * 1.96) / (4.0 * CAST(n_c AS DOUBLE)
+                   * CAST(n_c AS DOUBLE))))
+               / (1.0 + (1.96 * 1.96) / CAST(n_c AS DOUBLE)) AS uc
+           FROM b1)
+         SELECT grp, n_t, x_t, n_c, x_c,
+           round(pt, 6) + 0.0 AS rate_t, round(pc, 6) + 0.0 AS rate_c,
+           round(pt - pc, 6) + 0.0 AS diff,
+           round(lt, 6) + 0.0 AS lo_t, round(ut, 6) + 0.0 AS hi_t,
+           round(lc, 6) + 0.0 AS lo_c, round(uc, 6) + 0.0 AS hi_c,
+           round(pt - pc - sqrt((pt - lt) * (pt - lt)
+             + (uc - pc) * (uc - pc)), 6) + 0.0 AS diff_lo,
+           round(pt - pc + sqrt((ut - pt) * (ut - pt)
+             + (pc - lc) * (pc - lc)), 6) + 0.0 AS diff_hi
+         FROM b2""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

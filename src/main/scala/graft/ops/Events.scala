@@ -397,6 +397,69 @@ object Events {
     per.unionByName(total)
   }
 
+  /** TWO-PROPORTION interval card — Wilson score intervals per arm
+    * (Wilson 1927; the small-sample-safe default every A/B platform
+    * ships instead of the Wald interval, whose coverage collapses near
+    * 0/1) and the Newcombe score interval for the rate DIFFERENCE
+    * (Newcombe 1998, method 10: the square-root combination of the
+    * per-arm Wilson bounds). Per group: arm sizes, conversion counts,
+    * rates, per-arm 95% bounds, and the diff with its interval — the
+    * "is the lift real" card beside the point estimators (q147 CUPED,
+    * q174 DiD, q188 stratified ATE).
+    *
+    * Determinism: counts are exact; every derived value is a FIXED
+    * double expression tree evaluated from those counts (z = 1.96
+    * embedded as the same literal on both faces, left-associated
+    * arithmetic mirrored term-for-term — the cosine-contract
+    * discipline), with only the OUTPUT columns rounded (round-6 +
+    * signed-zero). A group missing an arm reports NULL bounds, never
+    * a one-armed "lift". */
+  def twoProportionCard(events: DataFrame, groupCol: String,
+                        userCol: String, success: Column,
+                        z: Double = 1.96): DataFrame = {
+    val cells = events.select(col(groupCol).as("grp"),
+        (col(userCol) % 2 === 1).as("treated"),
+        when(success, 1L).otherwise(0L).as("y"))
+      .groupBy(col("grp"), col("treated"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("x"))
+      .groupBy(col("grp"))
+      .agg(max(when(col("treated"), col("n"))).as("n_t"),
+        max(when(col("treated"), col("x"))).as("x_t"),
+        max(when(!col("treated"), col("n"))).as("n_c"),
+        max(when(!col("treated"), col("x"))).as("x_c"))
+    def rate(x: Column, n: Column): Column =
+      x.cast("double") / n.cast("double")
+    def wilson(x: Column, n: Column, sign: Double): Column = {
+      val nd = n.cast("double")
+      val p = rate(x, n)
+      val z2 = lit(z * z)
+      (p + z2 / (lit(2.0) * nd) + lit(sign * z) *
+        sqrt(p * (lit(1.0) - p) / nd +
+          z2 / (lit(4.0) * nd * nd))) / (lit(1.0) + z2 / nd)
+    }
+    val b = cells
+      .withColumn("pt", rate(col("x_t"), col("n_t")))
+      .withColumn("pc", rate(col("x_c"), col("n_c")))
+      .withColumn("lt", wilson(col("x_t"), col("n_t"), -1.0))
+      .withColumn("ut", wilson(col("x_t"), col("n_t"), 1.0))
+      .withColumn("lc", wilson(col("x_c"), col("n_c"), -1.0))
+      .withColumn("uc", wilson(col("x_c"), col("n_c"), 1.0))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    b.select(col("grp"), col("n_t"), col("x_t"), col("n_c"), col("x_c"),
+      r6(col("pt")).as("rate_t"), r6(col("pc")).as("rate_c"),
+      r6(col("pt") - col("pc")).as("diff"),
+      r6(col("lt")).as("lo_t"), r6(col("ut")).as("hi_t"),
+      r6(col("lc")).as("lo_c"), r6(col("uc")).as("hi_c"),
+      r6(col("pt") - col("pc") -
+        sqrt((col("pt") - col("lt")) * (col("pt") - col("lt")) +
+          (col("uc") - col("pc")) * (col("uc") - col("pc"))))
+        .as("diff_lo"),
+      r6(col("pt") - col("pc") +
+        sqrt((col("ut") - col("pt")) * (col("ut") - col("pt")) +
+          (col("pc") - col("lc")) * (col("pc") - col("lc"))))
+        .as("diff_hi"))
+  }
+
   /** OFF-POLICY REPLAY EVALUATION (Li et al. 2011, "Unbiased Offline
     * Evaluation of Contextual-bandit-based News Article Recommendation
     * Algorithms") — the estimator every bandit/recommender deployment

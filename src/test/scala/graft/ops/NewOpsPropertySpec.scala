@@ -1384,6 +1384,45 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("twoProportionCard: Wilson bounds match an independent scalar " +
+    "re-derivation, the Newcombe diff interval brackets the lift, and " +
+    "a one-armed group reports NULL bounds not a fake lift") {
+    import graft.ops.Events
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    // grp a: treated (odd users) 4 rounds 3 conv; control 4 rounds 1 conv
+    val rows = Seq(
+      ("a", 1L, 150.0), ("a", 1L, 150.0), ("a", 3L, 150.0), ("a", 3L, 50.0),
+      ("a", 2L, 150.0), ("a", 2L, 50.0), ("a", 4L, 50.0), ("a", 4L, 50.0),
+      ("b", 1L, 150.0), ("b", 3L, 50.0) // no control arm
+    ).map { case (g, u, v) => (g, u, v, ts) }
+      .toDF("event_type", "user_id", "value", "ts")
+    val got = Events.twoProportionCard(rows, "event_type", "user_id",
+        col("value") >= 100.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def wilson(x: Long, n: Long, s: Double): Double = {
+      val p = x.toDouble / n.toDouble; val z2 = 1.96 * 1.96; val nd = n.toDouble
+      (p + z2 / (2.0 * nd) + (s * 1.96) *
+        math.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))) /
+        (1.0 + z2 / nd)
+    }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    val a = got("a")
+    assert(a.getLong(1) == 4L && a.getLong(2) == 3L &&
+      a.getLong(3) == 4L && a.getLong(4) == 1L)
+    assert(a.getDouble(8) == r6(wilson(3, 4, -1.0)), "lo_t")
+    assert(a.getDouble(9) == r6(wilson(3, 4, 1.0)), "hi_t")
+    val d = 0.75 - 0.25
+    val dlo = d - math.sqrt(math.pow(0.75 - wilson(3, 4, -1), 2) +
+      math.pow(wilson(1, 4, 1) - 0.25, 2))
+    assert(a.getDouble(12) == r6(dlo), "diff_lo")
+    assert(a.getDouble(12) < d && d < a.getDouble(13), "bracket")
+    val b = got("b")
+    assert(!b.isNullAt(1) && b.isNullAt(3) && b.isNullAt(12),
+      "one-armed group must have NULL diff bounds")
+  }
+
   test("binsegChangepoint: a clean level shift splits exactly at the " +
     "boundary with the ANOVA gain; a flat series gains 0 and ties to " +
     "the earliest day") {

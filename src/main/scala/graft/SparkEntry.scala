@@ -1723,6 +1723,12 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Forecast-baseline backtest per event type: naive and seasonal-
+    * naive MAE/MAPE over the daily series — the floor any shipped
+    * forecaster must beat. */
+  private def qForecastBacktest(s: SparkSession, dir: String): DataFrame =
+    Events.forecastBacktest(Events.load(s, dir), "event_type", "ts")
+
   /** Two-proportion Wilson/Newcombe interval card per event type:
     * conversion = value ≥ 100, arms by user parity — per-arm 95%
     * score intervals and the Newcombe interval for the lift. */
@@ -2270,6 +2276,7 @@ object SparkEntry {
     "q196_neighborhood_fn" -> (qNeighborhoodFn _),
     "q197_binseg_changepoint" -> (qBinsegChangepoint _),
     "q198_two_proportion" -> (qTwoProportion _),
+    "q199_forecast_backtest" -> (qForecastBacktest _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4521,6 +4528,28 @@ object SparkEntry {
            round(pt - pc + sqrt((ut - pt) * (ut - pt)
              + (pc - lc) * (pc - lc)), 6) + 0.0 AS diff_hi
          FROM b2""",
+    "q199_forecast_backtest" ->
+      """WITH daily AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         n1 AS (SELECT a.grp, CAST(count(*) AS BIGINT) AS n_naive,
+             (1000000 * CAST(sum(abs(a.y - b.y)) AS BIGINT))
+               // CAST(count(*) AS BIGINT) AS mae_naive_micros,
+             CAST(sum((1000000 * abs(a.y - b.y)) // a.y) AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS mape_naive_micros
+           FROM daily a JOIN daily b
+             ON a.grp = b.grp AND a.day = b.day + 1 GROUP BY 1),
+         s7 AS (SELECT a.grp, CAST(count(*) AS BIGINT) AS n_snaive,
+             (1000000 * CAST(sum(abs(a.y - b.y)) AS BIGINT))
+               // CAST(count(*) AS BIGINT) AS mae_snaive_micros,
+             CAST(sum((1000000 * abs(a.y - b.y)) // a.y) AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS mape_snaive_micros
+           FROM daily a JOIN daily b
+             ON a.grp = b.grp AND a.day = b.day + 7 GROUP BY 1)
+         SELECT grp, n_naive, mae_naive_micros, mape_naive_micros,
+           n_snaive, mae_snaive_micros, mape_snaive_micros
+         FROM n1 JOIN s7 USING (grp)""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -739,6 +739,47 @@ object Events {
         .as("r"))
   }
 
+  /** FORECAST-BASELINE BACKTEST — the "beat this or don't ship" card
+    * (Hyndman & Athanasopoulos, FPP: any forecaster is judged against
+    * the naive and seasonal-naive baselines first): per group, replay
+    * the two baselines over the daily count series — ŷ(d) = y(d−1)
+    * (naive) and ŷ(d) = y(d−7) (seasonal-naive) — and report each
+    * baseline's scored-day count, MAE and MAPE in exact integer
+    * micros. A model whose backtest MAE doesn't beat these numbers is
+    * noise; publishing the floor beside the model is the
+    * forecast-review discipline.
+    *
+    * Determinism: counts are exact; MAE = (1e6·Σ|y−ŷ|) div n; MAPE
+    * sums per-day (1e6·|y−ŷ|) div y (y ≥ 1 — it's a count) then
+    * divides by n — floors mirrored on both faces. Days without a
+    * lag-d predecessor simply aren't scored (no fabricated history).
+    *
+    * Scale shape: one combinable daily rollup, two day-shifted
+    * equi-self-joins on (group, day) (days ≪ events), two combinable
+    * aggs, one group join. */
+  def forecastBacktest(events: DataFrame, groupCol: String,
+                       tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(eager = false)
+    def baseline(lagDays: Int, tag: String): DataFrame =
+      daily.join(daily.select(col("grp"),
+          (col("day") + lagDays).as("day"), col("y").as("yhat")),
+          Seq("grp", "day"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("y") - col("yhat"))).as("sae"),
+          sum(expr("(1000000L * abs(y - yhat)) div y")).as("sape"))
+        .select(col("grp"), col("n").as(s"n_$tag"),
+          expr("(1000000L * sae) div n").as(s"mae_${tag}_micros"),
+          expr("sape div n").as(s"mape_${tag}_micros"))
+    baseline(1, "naive").join(baseline(7, "snaive"), Seq("grp"))
+  }
+
   /** BINARY-SEGMENTATION CHANGE-POINT (Scott & Knott 1974; the first
     * split of binary segmentation, the standard retrospective
     * change-point scan): per group, the day that best splits its daily

@@ -1384,6 +1384,28 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("forecastBacktest: hand series — naive scores every day with a " +
+    "predecessor, seasonal-naive only past day 7, MAE/MAPE are exact " +
+    "floor-micros") {
+    import graft.ops.Events
+    // 9 days of counts: 2,4,2,4,2,4,2,4,3
+    val counts = Seq(2, 4, 2, 4, 2, 4, 2, 4, 3)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("g",
+        java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")))
+    }
+    val got = Events.forecastBacktest(rows.toDF("event_type", "ts"),
+        "event_type", "ts")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // naive: 8 scored days, |diff| = 2,2,2,2,2,2,2,1 -> mae = 15e6//8
+    // mape per day: (1e6*2)//4=5e5 x4 (y=4 days), (1e6*2)//2=1e6 x3
+    //   (y=2 days), (1e6*1)//3=333333 -> sum 5333333 // 8 = 666666
+    // snaive: days 8,9 vs 1,2: |4-2|=2 (y=4), |3-4|=1 (y=3)
+    //   mae = (1e6*3)//2 = 1.5e6; mape = (5e5 + 333333)//2 = 416666
+    assert(got == Seq(("g", 8L, 1875000L, 666666L, 2L, 1500000L,
+      416666L)), got)
+  }
+
   test("twoProportionCard: Wilson bounds match an independent scalar " +
     "re-derivation, the Newcombe diff interval brackets the lift, and " +
     "a one-armed group reports NULL bounds not a fake lift") {

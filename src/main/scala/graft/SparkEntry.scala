@@ -1723,6 +1723,21 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Referential-integrity audit over the TPC-H-ish foreign keys:
+    * per relationship, NULL-key and orphan counts with the orphan
+    * rate — the dbt-style relationship test at warehouse scale
+    * (distinct-key anti-joins, never row-level child×parent). */
+  private def qIntegrityAudit(s: SparkSession, dir: String): DataFrame =
+    DataQuality.integrityAudit(Seq(
+      ("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey"),
+      ("orders_customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"),
+      ("lineitem_part", t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part"), "p_partkey"),
+      ("customer_nation", t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey")))
+
   /** Forecast-baseline backtest per event type: naive and seasonal-
     * naive MAE/MAPE over the daily series — the floor any shipped
     * forecaster must beat. */
@@ -2277,6 +2292,7 @@ object SparkEntry {
     "q197_binseg_changepoint" -> (qBinsegChangepoint _),
     "q198_two_proportion" -> (qTwoProportion _),
     "q199_forecast_backtest" -> (qForecastBacktest _),
+    "q200_integrity_audit" -> (qIntegrityAudit _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4550,6 +4566,54 @@ object SparkEntry {
          SELECT grp, n_naive, mae_naive_micros, mape_naive_micros,
            n_snaive, mae_snaive_micros, mape_snaive_micros
          FROM n1 JOIN s7 USING (grp)""",
+    "q200_integrity_audit" ->
+      """WITH a1 AS (SELECT 'lineitem_orders' AS rel,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_key,
+             CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                 AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_orphan,
+             CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL THEN 1 ELSE 0
+               END) AS BIGINT) AS n_keyed
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey
+             FROM orders) o ON o.o_orderkey = l.l_orderkey),
+         a2 AS (SELECT 'orders_customer',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(sum(CASE WHEN c.o_custkey IS NOT NULL
+                 AND p.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN c.o_custkey IS NOT NULL THEN 1 ELSE 0
+               END) AS BIGINT)
+           FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey
+             FROM customer) p ON p.c_custkey = c.o_custkey),
+         a3 AS (SELECT 'lineitem_part',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(sum(CASE WHEN l.l_partkey IS NOT NULL
+                 AND p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN l.l_partkey IS NOT NULL THEN 1 ELSE 0
+               END) AS BIGINT)
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey
+             FROM part) p ON p.p_partkey = l.l_partkey),
+         a4 AS (SELECT 'customer_nation',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(sum(CASE WHEN c.c_nationkey IS NOT NULL
+                 AND n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN c.c_nationkey IS NOT NULL THEN 1 ELSE 0
+               END) AS BIGINT)
+           FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey
+             FROM nation) n ON n.n_nationkey = c.c_nationkey),
+         u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+           UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+         SELECT rel, n_child, n_null_key, n_orphan,
+           CASE WHEN n_keyed > 0 THEN (1000000 * n_orphan) // n_keyed END
+             AS orphan_rate_micros
+         FROM u""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

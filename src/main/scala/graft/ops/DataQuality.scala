@@ -394,6 +394,49 @@ object DataQuality {
         col("fit_micros"))
   }
 
+  /** REFERENTIAL-INTEGRITY AUDIT — the relationship test of the dbt/
+    * great-expectations school run as a scale-shaped card: for each
+    * declared child→parent relationship, how many child rows carry a
+    * NULL key, how many are ORPHANS (key present, no parent row), and
+    * the orphan rate in micros. The first audit any warehouse
+    * migration or CDC pipeline runs — a nonzero orphan rate is how
+    * half-applied deletes and out-of-order loads announce themselves.
+    *
+    * `rels` lists (name, child, childKey, parent, parentKey). Output:
+    * one row per relationship — (rel, n_child, n_null_key, n_orphan,
+    * orphan_rate_micros) with the rate over the NON-NULL keyed rows
+    * (a NULL key is its own defect class, not an orphan).
+    *
+    * Scale shape: per relationship ONE left-anti join of the child's
+    * DISTINCT keys against the parent's distinct keys (key-domain
+    * sized, not row sized) re-joined to per-key child counts — plus
+    * one combinable count agg. Never a row-level child×parent join. */
+  def integrityAudit(rels: Seq[(String, DataFrame, String, DataFrame,
+                     String)]): DataFrame = {
+    require(rels.nonEmpty, "need at least one relationship")
+    rels.map { case (name, child, childKey, parent, parentKey) =>
+      val keyed = child.select(col(childKey).as("k"))
+      val counts = keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false)
+      val totals = counts.agg(
+        sum(when(col("k").isNotNull, col("cnt")).otherwise(0L))
+          .as("n_keyed"),
+        sum(when(col("k").isNull, col("cnt")).otherwise(0L))
+          .as("n_null_key"))
+      val orphans = counts.filter(col("k").isNotNull)
+        .join(parent.select(col(parentKey).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_orphan"))
+      totals.crossJoin(orphans)
+        .select(lit(name).as("rel"),
+          (col("n_keyed") + col("n_null_key")).as("n_child"),
+          col("n_null_key"), col("n_orphan"),
+          when(col("n_keyed") > 0,
+            expr("(1000000L * n_orphan) div n_keyed"))
+            .as("orphan_rate_micros"))
+    }.reduce(_ unionByName _)
+  }
+
   /** DECISION-STUMP split finder — the one-level CART induction step
     * (Breiman et al. 1984), distributed: for each numeric feature, the
     * threshold t minimizing the size-weighted Gini impurity of the

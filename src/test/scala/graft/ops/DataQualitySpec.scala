@@ -109,6 +109,19 @@ class DataQualitySpec extends AnyFunSuite {
       ("m", Some(0.5)), ("t", Some(1.0)), ("z", None)), got)
   }
 
+  test("integrityAudit: null keys and orphans are separate defect " +
+    "classes, the rate is over keyed rows only, and duplicate parent " +
+    "keys never double-count children") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk") // dup parent key
+    val got = DataQuality.integrityAudit(
+      Seq(("c_p", child, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    // 5 child rows: 1 null key, keyed = 4, orphans = the one fk=9 row
+    assert(got == Seq(("c_p", 5L, 1L, 1L, Some(250000L))), got)
+  }
+
   test("giniStump: the perfect separator scores 0 at the boundary " +
     "value; a weak feature's best split is the exact integer " +
     "impurity sum; the max value is never a threshold") {

@@ -699,33 +699,43 @@ object Graph {
           maxIters: Int = 128): DataFrame = {
     require(maxRounds >= 1 && maxIters >= 1,
       "need maxRounds >= 1, maxIters >= 1")
-    // min-label fixpoint: lab(v) = min(v, min over edges (v ~ u) of
-    // lab(u)), propagating dst→src when `reverse` is false (min id
-    // reachable FROM v) and src→dst when true (min id REACHING v).
-    def minLabel(e: DataFrame, nodes: DataFrame,
-                 reverse: Boolean, out: String): DataFrame = {
-      val (labSide, nodeSide) = if (reverse) ("src", "dst") else ("dst", "src")
-      var lab = nodes.select(col("node"), col("node").as("lab"))
+    // fused min-label fixpoint: f(v) = min id reachable FROM v
+    // (propagates dst→src) and b(v) = min id REACHING v (src→dst),
+    // both directions in ONE tagged edge relation so each Jacobi sweep
+    // is a single join + agg + convergence count (two separate
+    // fixpoints measured ~2× the driver-side job latency on the
+    // node-bounded graphs this ranks).
+    def minLabels(e: DataFrame, nodes: DataFrame): DataFrame = {
+      val e2 = e.select(col("dst").as("from"), col("src").as("to"),
+          lit(true).as("isF"))
+        .union(e.select(col("src").as("from"), col("dst").as("to"),
+          lit(false).as("isF")))
+        .localCheckpoint(eager = false)
+      var lab = nodes.select(col("node"), col("node").as("f"),
+          col("node").as("b"))
         .localCheckpoint(eager = false)
       var changed = 1L
       var it = 0
       while (changed > 0 && it < maxIters) {
         it += 1
-        val nbr = e
-          .join(lab.select(col("node").as(labSide), col("lab").as("nl")),
-            Seq(labSide))
-          .groupBy(col(nodeSide))
-          .agg(min(col("nl")).as("nbr"))
-          .select(col(nodeSide).as("node"), col("nbr"))
+        val nbr = e2
+          .join(lab.select(col("node").as("from"), col("f"), col("b")),
+            Seq("from"))
+          .groupBy(col("to"))
+          .agg(min(when(col("isF"), col("f"))).as("nf"),
+            min(when(!col("isF"), col("b"))).as("nb"))
+          .select(col("to").as("node"), col("nf"), col("nb"))
         val next = lab.join(nbr, Seq("node"), "left")
-          .select(col("node"), col("lab").as("prev"),
-            least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
+          .select(col("node"), col("f").as("pf"), col("b").as("pb"),
+            least(col("f"), coalesce(col("nf"), col("f"))).as("f"),
+            least(col("b"), coalesce(col("nb"), col("b"))).as("b"))
           .localCheckpoint(eager = false)
-        changed = next.filter(col("lab") < col("prev")).count()
-        lab = next.select(col("node"), col("lab"))
+        changed = next.filter(col("f") < col("pf") || col("b") < col("pb"))
+          .count()
+        lab = next.select(col("node"), col("f"), col("b"))
       }
       require(changed == 0, s"scc label fixpoint not reached in $maxIters")
-      lab.select(col("node"), col("lab").as(out))
+      lab
     }
     var rem = edges
       .select(col("src").cast("long").as("src"),
@@ -742,9 +752,7 @@ object Graph {
     var rounds = 0
     while (remaining > 0 && rounds < maxRounds) {
       rounds += 1
-      val lab = minLabel(rem, nodes, reverse = false, "f")
-        .join(minLabel(rem, nodes, reverse = true, "b"), Seq("node"))
-        .localCheckpoint(eager = false)
+      val lab = minLabels(rem, nodes)
       val res = lab.filter(col("f") === col("b"))
         .select(col("node"), col("f").as("scc_id"))
       out = if (out == null) res else out.union(res)

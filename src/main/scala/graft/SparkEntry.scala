@@ -1723,6 +1723,25 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Bivariate Mahalanobis outliers per return flag: the 5 lineitems
+    * whose (quantity, price-cents) pair is farthest from the group
+    * cloud under its own covariance — joint anomalies marginal
+    * screens miss. */
+  private def qMahalanobis(s: SparkSession, dir: String): DataFrame = {
+    // lineitem has no unique key (duplicate l_linenumber per order), so
+    // the tie-break id is a CONTENT hash of (grp, x, y): rows tying on
+    // (d2, id) are bitwise-identical output rows, making top-k a
+    // deterministic multiset whichever copies win
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("xq"),
+        round(col("l_extendedprice") * 100).cast("long").as("yc"))
+      .withColumn("rowid",
+        conv(substring(md5(concat_ws("#", col("l_returnflag"),
+          col("xq"), col("yc"))), 1, 15), 16, 10).cast("long"))
+    DataQuality.mahalanobisOutliers(li, "l_returnflag", "rowid",
+      col("xq"), col("yc"), k = 5)
+  }
+
   /** Referential-integrity audit over the TPC-H-ish foreign keys:
     * per relationship, NULL-key and orphan counts with the orphan
     * rate — the dbt-style relationship test at warehouse scale
@@ -2293,6 +2312,7 @@ object SparkEntry {
     "q198_two_proportion" -> (qTwoProportion _),
     "q199_forecast_backtest" -> (qForecastBacktest _),
     "q200_integrity_audit" -> (qIntegrityAudit _),
+    "q201_mahalanobis_outliers" -> (qMahalanobis _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4614,6 +4634,40 @@ object SparkEntry {
            CASE WHEN n_keyed > 0 THEN (1000000 * n_orphan) // n_keyed END
              AS orphan_rate_micros
          FROM u""",
+    "q201_mahalanobis_outliers" ->
+      """WITH base AS (SELECT l_returnflag AS grp,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+         wid AS (SELECT grp, x, y,
+             CAST(('0x' || substring(md5(grp || '#'
+                 || CAST(x AS VARCHAR) || '#' || CAST(y AS VARCHAR)),
+               1, 15)) AS BIGINT) AS id
+           FROM base),
+         m AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+           FROM base GROUP BY 1),
+         mm AS (SELECT grp, n, sx, sy,
+             n * sxx - sx * sx AS a, n * syy - sy * sy AS b,
+             n * sxy - sx * sy AS c
+           FROM m),
+         mg AS (SELECT * FROM mm WHERE a * b - c * c > 0),
+         sc AS (SELECT w.grp, w.id, w.x, w.y,
+             round((ud * ud * bd - 2.0 * ud * vd * cd + vd * vd * ad)
+               / (ad * bd - cd * cd), 6) + 0.0 AS d2
+           FROM (SELECT w.grp, w.id, w.x, w.y,
+               CAST(g.n * CAST(w.x AS HUGEINT) - g.sx AS DOUBLE) AS ud,
+               CAST(g.n * CAST(w.y AS HUGEINT) - g.sy AS DOUBLE) AS vd,
+               CAST(g.a AS DOUBLE) AS ad, CAST(g.b AS DOUBLE) AS bd,
+               CAST(g.c AS DOUBLE) AS cd
+             FROM wid w JOIN mg g ON g.grp = w.grp) w)
+         SELECT grp, id, x, y, d2 AS d2_score
+         FROM (SELECT *, row_number() OVER (PARTITION BY grp
+             ORDER BY d2 DESC, id ASC) AS rn FROM sc)
+         WHERE rn <= 5""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

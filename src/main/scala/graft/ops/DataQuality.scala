@@ -394,6 +394,68 @@ object DataQuality {
         col("fit_micros"))
   }
 
+  /** BIVARIATE MAHALANOBIS OUTLIERS — multivariate anomaly scoring
+    * per group (Mahalanobis 1936): the squared distance of each
+    * (x, y) row from its group's mean under the group covariance,
+    * which catches the anomalies MARGINAL screens (q138 MAD, q80
+    * winsorize) cannot — a row whose x and y are each unremarkable
+    * but jointly off the correlation axis. Top `k` rows per group.
+    *
+    * Exactness: with a = n·Σx²−(Σx)², b = n·Σy²−(Σy)², c =
+    * n·Σxy−Σx·Σy and per-row u = n·x−Σx, v = n·y−Σy (all EXACT
+    * integers — accumulated in decimal(38,0) on the Spark face and
+    * HUGEINT on the DuckDB face, both exact 128-bit integer domains,
+    * since (Σcents)² overflows int64 at warehouse row counts), the
+    * closed form d² = (u²b − 2uvc + v²a) / (ab − c²) needs no n
+    * anywhere. The one float step casts those exact integers to
+    * DOUBLE (IEEE round-half-even in both engines) and evaluates the
+    * mirrored expression, round-6 + signed-zero. Degenerate groups
+    * (ab = c², a collinear or constant cloud) yield no rows — the
+    * covariance is singular and the distance undefined; report
+    * nothing rather than an arbitrary pseudo-inverse.
+    *
+    * Scale shape: ONE combinable moment agg, a broadcast of the tiny
+    * per-group moment table back onto the scan, one per-group top-k
+    * window (WindowGroupLimit). */
+  def mahalanobisOutliers(df: DataFrame, groupCol: String, idCol: String,
+                          xCol: Column, yCol: Column, k: Int = 5)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val d38 = "decimal(38,0)"
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val m = base.groupBy(col("grp"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"))
+      .select(col("grp"),
+        col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("a"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("b"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("c"))
+      .filter(col("a") * col("b") - col("c") * col("c") > 0)
+    val scored = base.join(broadcast(m), Seq("grp"))
+      .withColumn("u", (col("n") * col("x").cast(d38) - col("sx"))
+        .cast("double"))
+      .withColumn("v", (col("n") * col("y").cast(d38) - col("sy"))
+        .cast("double"))
+      .withColumn("ad", col("a").cast("double"))
+      .withColumn("bd", col("b").cast("double"))
+      .withColumn("cd", col("c").cast("double"))
+      .withColumn("d2",
+        round((col("u") * col("u") * col("bd") -
+          lit(2.0) * col("u") * col("v") * col("cd") +
+          col("v") * col("v") * col("ad")) /
+          (col("ad") * col("bd") - col("cd") * col("cd")), 6) + lit(0.0))
+    graft.ops.Windows.topKPerGroup(scored, Seq(col("grp")),
+        Seq(col("d2").desc, col("id").asc), k)
+      .select(col("grp"), col("id"), col("x"), col("y"),
+        col("d2").as("d2_score"))
+  }
+
   /** REFERENTIAL-INTEGRITY AUDIT — the relationship test of the dbt/
     * great-expectations school run as a scale-shaped card: for each
     * declared child→parent relationship, how many child rows carry a

@@ -109,6 +109,24 @@ class DataQualitySpec extends AnyFunSuite {
       ("m", Some(0.5)), ("t", Some(1.0)), ("z", None)), got)
   }
 
+  test("mahalanobisOutliers: the off-correlation point out-scores the " +
+    "on-axis extreme, ties break id-asc, and a singular (collinear) " +
+    "group reports nothing") {
+    val rows = Seq(
+      ("g", 1L, 1L, 1L), ("g", 2L, 2L, 2L), ("g", 3L, 3L, 3L),
+      ("g", 4L, 3L, 1L),
+      // collinear group: covariance singular -> no output
+      ("s", 5L, 1L, 2L), ("s", 6L, 2L, 4L), ("s", 7L, 3L, 6L))
+      .toDF("grp", "id", "x", "y")
+    val got = DataQuality.mahalanobisOutliers(rows, "grp", "id",
+        col("x"), col("y"), k = 2)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // hand: a=b=11, c=5, det 96; (3,1) -> 288/96 = 3.0 tops;
+    // (1,1) and (3,3) tie at 224/96 -> id 1 wins the second slot
+    assert(got == Seq(("g", 4L, 3L, 1L, 3.0),
+      ("g", 1L, 1L, 1L, 2.333333)), got)
+  }
+
   test("integrityAudit: null keys and orphans are separate defect " +
     "classes, the rate is over keyed rows only, and duplicate parent " +
     "keys never double-count children") {

@@ -1723,6 +1723,14 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Peak concurrent 5-minute activity intervals per event type via
+    * the exact sweep line — the provisioning number time-bucket
+    * histograms approximate. */
+  private def qIntervalConcurrency(s: SparkSession, dir: String)
+      : DataFrame =
+    Events.intervalConcurrency(Events.load(s, dir), "event_type", "ts",
+      durationSeconds = 300L)
+
   /** Bivariate Mahalanobis outliers per return flag: the 5 lineitems
     * whose (quantity, price-cents) pair is farthest from the group
     * cloud under its own covariance — joint anomalies marginal
@@ -2313,6 +2321,7 @@ object SparkEntry {
     "q199_forecast_backtest" -> (qForecastBacktest _),
     "q200_integrity_audit" -> (qIntegrityAudit _),
     "q201_mahalanobis_outliers" -> (qMahalanobis _),
+    "q202_interval_concurrency" -> (qIntervalConcurrency _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4668,6 +4677,23 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY grp
              ORDER BY d2 DESC, id ASC) AS rn FROM sc)
          WHERE rn <= 5""",
+    "q202_interval_concurrency" ->
+      """WITH ts0 AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+           FROM events),
+         pts AS (SELECT grp, t, CAST(1 AS BIGINT) AS d FROM ts0
+           UNION ALL SELECT grp, t + 300, CAST(-1 AS BIGINT) FROM ts0),
+         run AS (SELECT grp, t,
+             CAST(sum(d) OVER (PARTITION BY grp ORDER BY t ASC, d ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c
+           FROM pts),
+         pk AS (SELECT grp, max(c) AS peak_concurrency FROM run
+           GROUP BY 1)
+         SELECT r.grp, p.peak_concurrency, min(r.t) AS peak_at
+         FROM run r JOIN pk p ON p.grp = r.grp
+           AND r.c = p.peak_concurrency
+         GROUP BY 1, 2""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -1384,6 +1384,29 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("intervalConcurrency: sweep peaks where three windows overlap, " +
+    "an exclusive end never overlaps a same-instant start, and " +
+    "peak_at is the FIRST peak instant") {
+    import graft.ops.Events
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // dur 60s: events at :00, :30, :50 -> 3 concurrent at :50..:59;
+    // an event exactly at :00+60 (:01:00) starts as the first ENDS ->
+    // never 4. Group "b": two disjoint events -> peak 1 at the first.
+    val rows = Seq(
+      ("a", ts("00:00:00")), ("a", ts("00:00:30")), ("a", ts("00:00:50")),
+      ("a", ts("00:01:00")),
+      ("b", ts("00:00:00")), ("b", ts("00:10:00")))
+      .toDF("event_type", "ts")
+    val got = Events.intervalConcurrency(rows, "event_type", "ts",
+        durationSeconds = 60L)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val epoch = (s: String) =>
+      ts(s).toInstant.getEpochSecond
+    assert(got("a") == ((3L, epoch("00:00:50"))), got("a"))
+    assert(got("b") == ((1L, epoch("00:00:00"))), got("b"))
+  }
+
   test("forecastBacktest: hand series — naive scores every day with a " +
     "predecessor, seasonal-naive only past day 7, MAE/MAPE are exact " +
     "floor-micros") {

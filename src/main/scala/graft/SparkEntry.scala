@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Inter-event burstiness per user (Goh–Barabási B in [−1, 1]) —
+    * the automation screen: scripted clients sit near −1, organic
+    * humans are bursty. */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    Events.burstiness(Events.load(s, dir), "user_id", "ts",
+      minEvents = 5)
+
   /** Peak concurrent 5-minute activity intervals per event type via
     * the exact sweep line — the provisioning number time-bucket
     * histograms approximate. */
@@ -2322,6 +2329,7 @@ object SparkEntry {
     "q200_integrity_audit" -> (qIntegrityAudit _),
     "q201_mahalanobis_outliers" -> (qMahalanobis _),
     "q202_interval_concurrency" -> (qIntervalConcurrency _),
+    "q203_burstiness" -> (qBurstiness _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4694,6 +4702,25 @@ object SparkEntry {
          FROM run r JOIN pk p ON p.grp = r.grp
            AND r.c = p.peak_concurrency
          GROUP BY 1, 2""",
+    "q203_burstiness" ->
+      """WITH e AS (SELECT user_id AS u,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             event_id AS eid
+           FROM events),
+         g AS (SELECT u, t - lag(t) OVER (PARTITION BY u
+             ORDER BY t ASC, eid ASC) AS g
+           FROM e),
+         m AS (SELECT u, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(g * g) AS BIGINT) AS sgg
+           FROM g WHERE g IS NOT NULL GROUP BY 1)
+         SELECT u, n,
+           CASE WHEN sg > 0 AND n * sgg - sg * sg >= 0 THEN
+             round((sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
+                 - CAST(sg AS DOUBLE))
+               / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
+                 + CAST(sg AS DOUBLE)), 4) + 0.0 END AS burstiness
+         FROM m WHERE n >= 4""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -739,6 +739,49 @@ object Events {
         .as("r"))
   }
 
+  /** BURSTINESS of inter-event gaps (Goh & Barabási 2008): per user,
+    * B = (σ − μ)/(σ + μ) over the inter-arrival seconds — B → −1 for
+    * a metronome, 0 for a Poisson process, → +1 for extreme bursts.
+    * The bot/automation screen rate caps can't express: a scripted
+    * client is TOO REGULAR (B near −1), organic humans are bursty —
+    * flagging the left tail catches what volume thresholds miss.
+    *
+    * Exactness: gaps are integer seconds off the per-user lag window
+    * (second-truncated, the q202 contract); n, Σg, Σg² are exact
+    * longs; σ and μ meet in ONE mirrored double expression —
+    * (sqrt(n·Σg² − (Σg)²) − √n·Σg/√n... kept literally as
+    * (sqrt(nd·sgg − sg·sg) − sg) / (sqrt(nd·sgg − sg·sg) + sg) after
+    * dividing both sides by n·μ's common factor: B = (√(n·Σg²−(Σg)²)
+    * − Σg) / (√(n·Σg²−(Σg)²) + Σg) since σ/μ = √(n·Σg²−(Σg)²)/Σg —
+    * round-4 + signed-zero. Users with < `minEvents` events or zero
+    * total gap (all same second) emit NULL, never NaN.
+    *
+    * Scale shape: one per-user lag window + one combinable moment
+    * agg. Output one row per qualifying user. */
+  def burstiness(events: DataFrame, userCol: String, tsCol: String,
+                 minEvents: Int = 5): DataFrame = {
+    require(minEvents >= 3, "minEvents must be >= 3")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("t").asc, col("eid").asc)
+    val gaps = events.select(col(userCol).as("u"),
+        expr(s"unix_timestamp(date_trunc('second', $tsCol))").as("t"),
+        col("event_id").as("eid"))
+      .withColumn("g", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("g").isNotNull)
+    gaps.groupBy(col("u"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sgg"))
+      .filter(col("n") >= minEvents - 1)
+      .select(col("u"), col("n"),
+        when(col("sg") > 0 &&
+          col("n") * col("sgg") - col("sg") * col("sg") >= 0,
+          round((sqrt((col("n") * col("sgg") - col("sg") * col("sg"))
+            .cast("double")) - col("sg").cast("double")) /
+            (sqrt((col("n") * col("sgg") - col("sg") * col("sg"))
+              .cast("double")) + col("sg").cast("double")), 4) + lit(0.0))
+          .as("burstiness"))
+  }
+
   /** INTERVAL CONCURRENCY (sweep line) — peak simultaneous activity
     * per group: each event opens a `durationSeconds` activity
     * interval, and the card reports the maximum number of overlapping

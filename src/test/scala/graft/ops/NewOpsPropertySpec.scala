@@ -1384,6 +1384,29 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("burstiness: a metronome scores -1 exactly... up to the zero-" +
+    "variance NULL guard; equal-gap users score below a bursty user; " +
+    "too-few-events users drop") {
+    import graft.ops.Events
+    def ts(sec: Long) =
+      new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val rows =
+      // metronome: gaps 10,10,10,10 -> variance 0 -> B = -1.0
+      (0 to 4).map(i => (1L, i.toLong, ts(i * 10L))) ++
+      // bursty: gaps 1,1,1,97 -> B well above the metronome
+      Seq((2L, 10L, ts(0)), (2L, 11L, ts(1)), (2L, 12L, ts(2)),
+        (2L, 13L, ts(3)), (2L, 14L, ts(100))) ++
+      // only 3 events (2 gaps) -> dropped at minEvents = 5
+      Seq((3L, 20L, ts(0)), (3L, 21L, ts(5)), (3L, 22L, ts(9)))
+    val got = Events.burstiness(
+        rows.toDF("user_id", "event_id", "ts"), "user_id", "ts")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L).contains(-1.0), got.get(1L))
+    assert(got(2L).exists(b => b > -1.0 && b < 1.0), got.get(2L))
+    assert(!got.contains(3L), got.keys)
+  }
+
   test("intervalConcurrency: sweep peaks where three windows overlap, " +
     "an exclusive end never overlaps a same-instant start, and " +
     "peak_at is the FIRST peak instant") {

@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Decile lift/gains curve of doc length as a predictor of
+    * lang = en — "the top tile captures k× base rate", the
+    * threshold-free targeting eval beside q160's AUC. */
+  private def qLiftCurve(s: SparkSession, dir: String): DataFrame =
+    DataQuality.liftCurve(t(s, dir, "documents"), col("n_chars"),
+      col("lang") === "en", col("doc_id"), buckets = 10)
+
   /** Inter-event burstiness per user (Goh–Barabási B in [−1, 1]) —
     * the automation screen: scripted clients sit near −1, organic
     * humans are bursty. */
@@ -2330,6 +2337,7 @@ object SparkEntry {
     "q201_mahalanobis_outliers" -> (qMahalanobis _),
     "q202_interval_concurrency" -> (qIntervalConcurrency _),
     "q203_burstiness" -> (qBurstiness _),
+    "q204_lift_curve" -> (qLiftCurve _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4721,6 +4729,30 @@ object SparkEntry {
                / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
                  + CAST(sg AS DOUBLE)), 4) + 0.0 END AS burstiness
          FROM m WHERE n >= 4""",
+    "q204_lift_curve" ->
+      """WITH t AS (SELECT ntile(10) OVER (ORDER BY n_chars DESC,
+             doc_id ASC) AS tile,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         g AS (SELECT CAST(tile AS BIGINT) AS tile,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+           FROM t GROUP BY 1),
+         c AS (SELECT tile, n, pos,
+             CAST(sum(n) OVER wc AS BIGINT) AS cum_n,
+             CAST(sum(pos) OVER wc AS BIGINT) AS cum_pos,
+             CAST(sum(n) OVER wa AS BIGINT) AS total_n,
+             CAST(sum(pos) OVER wa AS BIGINT) AS total_pos
+           FROM g
+           WINDOW wc AS (ORDER BY tile ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wa AS ())
+         SELECT tile, n, pos, cum_n, cum_pos,
+           CASE WHEN total_pos > 0
+             THEN (1000000 * cum_pos) // total_pos END AS gain_micros,
+           CASE WHEN total_pos > 0
+             THEN (1000000 * cum_pos * total_n) // (cum_n * total_pos)
+             END AS lift_micros
+         FROM c""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -394,6 +394,56 @@ object DataQuality {
         col("fit_micros"))
   }
 
+  /** LIFT / CUMULATIVE-GAINS CURVE — the targeting eval every
+    * propensity model ships with: sort by score descending, cut into
+    * `buckets` equal tiles, and per tile report the positives
+    * captured so far (gains) and the cumulative precision relative to
+    * the base rate (lift). "Top decile captures 4× base rate" is this
+    * card's first row; it's the threshold-free complement to one-number
+    * AUC (q160) and the business-facing face of the calibration card.
+    *
+    * Determinism: tiles come from ntile over (score desc, id asc) —
+    * the q43 total-order contract; every metric is exact integer
+    * division of exact counts: gain = (1e6·cum_pos) div total_pos,
+    * lift = (1e6·cum_pos·total_n) div (cum_n·total_pos). Overflow:
+    * cum_pos·total_n ≤ n² — fine to ~3e6 rows scored; decimal-promote
+    * past that.
+    *
+    * Scale shape: scoring is embarrassingly parallel; the ntile is ONE
+    * global window over scored rows (the q43/RFM precedent — swap for
+    * percent_rank bucketing at true scale, same tiles away from
+    * boundaries), then one combinable per-tile agg + a prefix over
+    * `buckets` rows. */
+  def liftCurve(df: DataFrame, scoreCol: Column, labelCol: Column,
+                idCol: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id").asc)
+    val tiled = df.select(scoreCol.as("score"), idCol.as("id"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .withColumn("tile", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tile").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    tiled
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("pos")).over(wc))
+      .withColumn("total_n", sum(col("n")).over(wa))
+      .withColumn("total_pos", sum(col("pos")).over(wa))
+      .select(col("tile"), col("n"), col("pos"), col("cum_n"),
+        col("cum_pos"),
+        when(col("total_pos") > 0,
+          expr("(1000000L * cum_pos) div total_pos")).as("gain_micros"),
+        when(col("total_pos") > 0,
+          expr("(1000000L * cum_pos * total_n) div (cum_n * total_pos)"))
+          .as("lift_micros"))
+  }
+
   /** BIVARIATE MAHALANOBIS OUTLIERS — multivariate anomaly scoring
     * per group (Mahalanobis 1936): the squared distance of each
     * (x, y) row from its group's mean under the group covariance,

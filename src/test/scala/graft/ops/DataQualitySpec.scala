@@ -109,6 +109,27 @@ class DataQualitySpec extends AnyFunSuite {
       ("m", Some(0.5)), ("t", Some(1.0)), ("z", None)), got)
   }
 
+  test("liftCurve: a perfect ranker's top tile lifts at 1/base-rate, " +
+    "gains reach 1e6 exactly at the last positive tile, and the final " +
+    "row's lift is exactly 1e6") {
+    // 10 rows, scores 10..1, positives are the top 2 scores
+    val rows = (1 to 10).map(i =>
+      (i.toLong, (11 - i).toLong, i <= 2)).toSeq
+      .toDF("id", "score", "y")
+    val got = DataQuality.liftCurve(rows, col("score"), col("y"),
+        col("id"), buckets = 5)
+      .orderBy("tile")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    // tiles of 2: tile 1 holds both positives -> gain 1e6, lift 5e6
+    assert(got.head == ((1L, 2L, 2L, 2L, 2L, Some(1000000L),
+      Some(5000000L))), got.head)
+    assert(got.last == ((5L, 2L, 0L, 10L, 2L, Some(1000000L),
+      Some(1000000L))), got.last)
+    assert(got.map(_._7.get) == Seq(5000000L, 2500000L, 1666666L,
+      1250000L, 1000000L), got)
+  }
+
   test("mahalanobisOutliers: the off-correlation point out-scores the " +
     "on-axis extreme, ties break id-asc, and a singular (collinear) " +
     "group reports nothing") {

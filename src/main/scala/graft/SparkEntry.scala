@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Wasserstein-1 drift of each return flag's quantity distribution
+    * vs the rest — the magnitude-aware drift screen beside q166's KS
+    * (how FAR mass moved, not just the worst gap). */
+  private def qWassersteinDrift(s: SparkSession, dir: String): DataFrame =
+    DataQuality.wassersteinDrift(t(s, dir, "lineitem"), "l_returnflag",
+      col("l_quantity"))
+
   /** Decile lift/gains curve of doc length as a predictor of
     * lang = en — "the top tile captures k× base rate", the
     * threshold-free targeting eval beside q160's AUC. */
@@ -2338,6 +2345,7 @@ object SparkEntry {
     "q202_interval_concurrency" -> (qIntervalConcurrency _),
     "q203_burstiness" -> (qBurstiness _),
     "q204_lift_curve" -> (qLiftCurve _),
+    "q205_wasserstein_drift" -> (qWassersteinDrift _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4753,6 +4761,33 @@ object SparkEntry {
              THEN (1000000 * cum_pos * total_n) // (cum_n * total_pos)
              END AS lift_micros
          FROM c""",
+    "q205_wasserstein_drift" ->
+      """WITH per AS (SELECT l_returnflag AS grp,
+             CAST(l_quantity AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         grid AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt_all
+           FROM per GROUP BY 1),
+         sizes AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g
+           FROM per GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS n FROM grid),
+         mx AS (SELECT s.grp, g.v, s.n_g, t.n, g.cnt_all,
+             coalesce(p.cnt, 0) AS cnt_g
+           FROM sizes s CROSS JOIN tot t CROSS JOIN grid g
+           LEFT JOIN per p ON p.grp = s.grp AND p.v = g.v),
+         c AS (SELECT grp, v, n_g, n - n_g AS n_r,
+             CAST(sum(cnt_g) OVER w AS BIGINT) AS cum_g,
+             CAST(sum(cnt_all) OVER w AS BIGINT) AS cum_all,
+             lead(v) OVER (PARTITION BY grp ORDER BY v ASC) - v AS gap
+           FROM mx
+           WINDOW w AS (PARTITION BY grp ORDER BY v ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT grp, max(n_g) AS n_g, max(n_r) AS n_rest,
+           CASE WHEN max(n_g) > 0 AND max(n_r) > 0 THEN
+             CAST(sum(((1000000 * abs(cum_g * n_r
+                 - (cum_all - cum_g) * n_g)) // (n_g * n_r)) * gap)
+               AS BIGINT) END AS w1_micros
+         FROM c WHERE gap IS NOT NULL GROUP BY 1""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -394,6 +394,65 @@ object DataQuality {
         col("fit_micros"))
   }
 
+  /** WASSERSTEIN-1 (earth mover's) drift distance — per group vs the
+    * REST of the corpus, over an integer-valued column: W₁ =
+    * ∫|F_g − F_rest| dv, the drift metric that (unlike KS, q166) sees
+    * HOW FAR mass moved, not just the worst single gap — the
+    * magnitude-aware screen for "did quantities shift by one bucket or
+    * ten". Computed on the global distinct-value jumps: per
+    * consecutive value pair, |cum_g·n_rest − cum_rest·n_g| · gap,
+    * normalized by n_g·n_rest.
+    *
+    * Determinism/overflow: every CDF-gap term floors to micros
+    * INDEPENDENTLY — ((1e6·|Δ|) div (n_g·n_rest))·gap summed — which
+    * keeps every operand under 1e18 where the single-division form
+    * overflows int64 (1e6·Σ|Δ|·gap needs ~1e21 at warehouse counts).
+    * The per-term floor is the documented contract: both faces floor
+    * identically, and the true W₁ exceeds the reported value by less
+    * than (value range) micros — a quantization the drift DECISION
+    * never feels. NULL when a side is empty.
+    *
+    * Scale shape: one combinable (group, value) collapse, per-group
+    * windows over the distinct-value grid (the q166 evaluation-matrix
+    * shape: groups × distinct values), one combinable sum. */
+  def wassersteinDrift(df: DataFrame, groupCol: String, valCol: Column)
+      : DataFrame = {
+    val per = df.select(col(groupCol).as("grp"),
+        valCol.cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val grid = per.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all"))
+      .localCheckpoint(eager = false)
+    val sizes = per.groupBy(col("grp")).agg(sum(col("cnt")).as("n_g"))
+    val tot = grid.agg(sum(col("cnt_all")).as("n")).localCheckpoint()
+    // every group × every grid value (groups ≪ rows; the q166 matrix)
+    val matrix = sizes.crossJoin(broadcast(tot))
+      .join(grid.crossJoin(broadcast(sizes.select(col("grp")))),
+        Seq("grp"))
+      .join(per, Seq("grp", "v"), "left")
+      .select(col("grp"), col("v"), col("n_g"), col("n"),
+        col("cnt_all"), coalesce(col("cnt"), lit(0L)).as("cnt_g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v").asc)
+    val wc = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    matrix
+      .withColumn("cum_g", sum(col("cnt_g")).over(wc))
+      .withColumn("cum_all", sum(col("cnt_all")).over(wc))
+      .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+      .filter(col("gap").isNotNull)
+      .withColumn("n_r", col("n") - col("n_g"))
+      .withColumn("term",
+        expr("((1000000L * abs(cum_g * n_r - (cum_all - cum_g) * n_g))" +
+          " div (n_g * n_r)) * gap"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n_g"), max(col("n_r")).as("n_rest"),
+        sum(col("term")).as("w1_micros"))
+      .select(col("grp"), col("n_g"), col("n_rest"),
+        when(col("n_g") > 0 && col("n_rest") > 0, col("w1_micros"))
+          .as("w1_micros"))
+  }
+
   /** LIFT / CUMULATIVE-GAINS CURVE — the targeting eval every
     * propensity model ships with: sort by score descending, cut into
     * `buckets` equal tiles, and per tile report the positives

@@ -109,6 +109,19 @@ class DataQualitySpec extends AnyFunSuite {
       ("m", Some(0.5)), ("t", Some(1.0)), ("z", None)), got)
   }
 
+  test("wassersteinDrift: hand two-group case equals the integral of " +
+    "|F_g - F_rest| to term-floored micros, symmetric across the " +
+    "group/rest split") {
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("grp", "v")
+    val got = DataQuality.wassersteinDrift(rows, "grp", col("v"))
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // W1 = |2/3-0|*1 + |1-1/2|*1 = 7/6 -> 666666 + 500000 term-floored
+    assert(got("a") == (("a", 3L, 2L, Some(1166666L))), got("a"))
+    assert(got("b") == (("b", 2L, 3L, Some(1166666L))), got("b"))
+  }
+
   test("liftCurve: a perfect ranker's top tile lifts at 1/base-rate, " +
     "gains reach 1e6 exactly at the last positive tile, and the final " +
     "row's lift is exactly 1e6") {

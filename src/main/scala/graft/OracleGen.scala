@@ -351,6 +351,23 @@ object OracleGen {
     s"""(round(list_dot_product($a, $b)
        / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $scale) + 0.0)"""
 
+  /** Oracle for `Similarity.hardNegatives` (q206): label-mismatch
+    * filter before the per-anchor round-4 cosine top-k. */
+  def hardNegativesSql(stride: Long, k: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       lab AS (SELECT doc_id AS id, lang FROM documents),
+       b AS (SELECT e.id, e.v, lab.lang FROM e JOIN lab USING (id)),
+       q AS (SELECT id AS query_id, v AS qv, lang AS q_lang FROM b
+         WHERE id % $stride = 0),
+       p AS (SELECT q.query_id, b.id AS cand_id,
+           ${cosSql("q.qv", "b.v")} AS cos
+         FROM b, q WHERE b.id <> q.query_id AND b.lang <> q.q_lang)
+       SELECT query_id, cand_id, cos FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+       WHERE rn <= $k"""
+
   /** Oracle for `Similarity.kCenterSelect` (q192): the Gonzalez greedy
     * loop unrolled — seed = min id, each step a min-over-selected of
     * the per-pair rounded L2 micros, then a (dm DESC, id ASC) top-1.

@@ -1723,6 +1723,14 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Hard-negative mining for contrastive training: per strided
+    * anchor, the 3 most-similar embeddings with a DIFFERENT language
+    * label — the near-misses that carry the gradient. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(t(s, dir, "embeddings"),
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "vec_id", "embedding", stride = 10L, k = 3)
+
   /** Wasserstein-1 drift of each return flag's quantity distribution
     * vs the rest — the magnitude-aware drift screen beside q166's KS
     * (how FAR mass moved, not just the worst gap). */
@@ -2346,6 +2354,7 @@ object SparkEntry {
     "q203_burstiness" -> (qBurstiness _),
     "q204_lift_curve" -> (qLiftCurve _),
     "q205_wasserstein_drift" -> (qWassersteinDrift _),
+    "q206_hard_negatives" -> (qHardNegatives _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4788,6 +4797,8 @@ object SparkEntry {
                  - (cum_all - cum_g) * n_g)) // (n_g * n_r)) * gap)
                AS BIGINT) END AS w1_micros
          FROM c WHERE gap IS NOT NULL GROUP BY 1""",
+    "q206_hard_negatives" ->
+      OracleGen.hardNegativesSql(stride = 10L, k = 3),
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

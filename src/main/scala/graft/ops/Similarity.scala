@@ -215,6 +215,46 @@ object Similarity {
         col("margin_micros"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training (the in-batch-
+    * negatives upgrade of DPR/SimCLR pipelines: Karpukhin et al. 2020
+    * showed retrieval quality hinges on negatives that are CLOSE but
+    * wrong): for each anchor, the k most-similar vectors whose LABEL
+    * differs — random negatives are trivially separable and teach
+    * nothing; the near-misses carry the gradient. Output:
+    * (query_id, cand_id, cos) per anchor, the training-pair table a
+    * contrastive run consumes.
+    *
+    * Same determinism contract as [[bruteForceTopK]] (round-4 +
+    * signed-zero cosine before ranking, cand-id tie-break); the label
+    * mismatch filters BEFORE ranking, so a k-th same-label neighbor
+    * never crowds out a true negative.
+    *
+    * Scale shape: the strided anchor set broadcasts against one
+    * labeled corpus scan; per-anchor top-k via WindowGroupLimit. At
+    * corpus scale route with [[ivfTopK]] cells and OVER-FETCH
+    * (probe > k) before the label filter — mismatch survives routing
+    * unchanged. */
+  def hardNegatives(emb: DataFrame, labels: DataFrame, idCol: String,
+                    vecCol: String, stride: Long = 10L, k: Int = 3)
+      : DataFrame = {
+    require(stride >= 1 && k >= 1, "need stride >= 1, k >= 1")
+    val lab = labels.select(col(labels.columns(0)).as("cand_id"),
+      col(labels.columns(1)).as("cand_label"))
+    val base = emb.select(col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("v"))
+      .join(lab, Seq("cand_id"))
+    val q = base.filter(col("cand_id") % stride === 0)
+      .select(col("cand_id").as("query_id"), col("v").as("qv"),
+        col("cand_label").as("q_label"))
+    val scored = base.join(broadcast(q),
+        col("cand_id") =!= col("query_id") &&
+          col("cand_label") =!= col("q_label"))
+      .select(col("query_id"), col("cand_id"),
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
+    Windows.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id").asc), k)
+  }
+
   /** k-CENTER CORESET selection (Gonzalez 1985 greedy farthest-point —
     * the 2-approximation every coreset / diverse-subset pipeline
     * reaches for): seed with the min-id point, then repeatedly add the

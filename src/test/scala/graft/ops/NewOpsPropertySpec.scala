@@ -1384,6 +1384,25 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("hardNegatives: the NEAREST same-label vector never appears — " +
+    "the top negative is the closest DIFFERENT-label one; anchors are " +
+    "the strided ids only") {
+    import graft.ops.Similarity
+    // anchor 0 (label A, (1,0)); 1=(0.99,0.1) label A (nearest overall,
+    // excluded); 2=(0.9,0.3) label B (top negative); 3=(0,1) label B
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.99, 0.1)),
+      (2L, Array(0.9, 0.3)), (3L, Array(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val labels = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"))
+      .toDF("doc_id", "lang")
+    val got = Similarity.hardNegatives(emb, labels, "vec_id",
+        "embedding", stride = 10L, k = 2)
+      .select("query_id", "cand_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((0L, 2L), (0L, 3L)), got)
+  }
+
   test("burstiness: a metronome scores -1 exactly... up to the zero-" +
     "variance NULL guard; equal-gap users score below a bursty user; " +
     "too-few-events users drop") {

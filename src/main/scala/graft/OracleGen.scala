@@ -1593,7 +1593,8 @@ object OracleGen {
              GROUP BY 1, 2) m
            JOIN cand c ON c.query_id = m.query_id
              AND c.cand_id = m.cand_id) WHERE rn = 1),
-         r$i AS (SELECT * FROM r${i - 1} UNION ALL SELECT * FROM p$i)"""
+         r$i AS MATERIALIZED (SELECT * FROM r${i - 1}
+           UNION ALL SELECT * FROM p$i)"""
     }.mkString(",\n       ")
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
          FROM embeddings),

@@ -1723,6 +1723,16 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** WOE / Information Value of document length and word count as
+    * predictors of lang = en — the interpretable credit-scoring
+    * feature screen beside q194's single-split stump. */
+  private def qWoeIv(s: SparkSession, dir: String): DataFrame =
+    DataQuality.woeIv(
+      t(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " "))),
+      col("lang") === "en", col("doc_id"),
+      Seq("n_chars", "n_words"), buckets = 5)
+
   /** Hard-negative mining for contrastive training: per strided
     * anchor, the 3 most-similar embeddings with a DIFFERENT language
     * label — the near-misses that carry the gradient. */
@@ -2355,6 +2365,7 @@ object SparkEntry {
     "q204_lift_curve" -> (qLiftCurve _),
     "q205_wasserstein_drift" -> (qWassersteinDrift _),
     "q206_hard_negatives" -> (qHardNegatives _),
+    "q207_woe_iv" -> (qWoeIv _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4799,6 +4810,41 @@ object SparkEntry {
          FROM c WHERE gap IS NOT NULL GROUP BY 1""",
     "q206_hard_negatives" ->
       OracleGen.hardNegativesSql(stride = 10L, k = 3),
+    "q207_woe_iv" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         f AS (SELECT 'n_chars' AS feature, CAST(n_chars AS DOUBLE) AS x,
+             doc_id AS rid, y FROM d
+           UNION ALL SELECT 'n_words', CAST(n_words AS DOUBLE), doc_id, y
+           FROM d),
+         t AS (SELECT feature, CAST(ntile(5) OVER (PARTITION BY feature
+             ORDER BY x ASC, rid ASC) AS BIGINT) AS tile, y FROM f),
+         g AS (SELECT feature, tile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos FROM t GROUP BY 1, 2),
+         tt AS (SELECT feature, CAST(sum(pos) AS BIGINT) AS pos_tot,
+             CAST(sum(n - pos) AS BIGINT) AS neg_tot
+           FROM g GROUP BY 1),
+         b AS (SELECT g.feature, g.tile, g.n, g.pos,
+             CASE WHEN g.pos > 0 AND g.n - g.pos > 0 THEN
+               CAST(round(ln(CAST(g.pos * tt.neg_tot AS DOUBLE)
+                 / CAST((g.n - g.pos) * tt.pos_tot AS DOUBLE))
+                 * 1000000.0) AS BIGINT) END AS woe_micros,
+             (1000000 * g.pos) // tt.pos_tot
+               - (1000000 * (g.n - g.pos)) // tt.neg_tot AS sd
+           FROM g JOIN tt USING (feature)),
+         b2 AS (SELECT feature, tile, n, pos, woe_micros,
+             CASE WHEN woe_micros IS NOT NULL THEN
+               CAST(sign(sd * woe_micros) AS BIGINT)
+                 * (abs(sd * woe_micros) // 1000000) END AS iv_micros
+           FROM b)
+         SELECT feature, tile, n, pos, woe_micros, iv_micros FROM b2
+         UNION ALL
+         SELECT feature, CAST(NULL AS BIGINT), CAST(sum(n) AS BIGINT),
+           CAST(sum(pos) AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(sum(iv_micros) AS BIGINT)
+         FROM b2 GROUP BY 1""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

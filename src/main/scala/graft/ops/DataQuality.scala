@@ -394,6 +394,74 @@ object DataQuality {
         col("fit_micros"))
   }
 
+  /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE card — the credit-scoring
+    * feature screen (Siddiqi 2006): bucket a numeric feature into
+    * quantile tiles, per tile WOE = ln(pos-share / neg-share), and the
+    * feature's Information Value IV = Σ (pos-share − neg-share)·WOE.
+    * The interpretable complement to [[giniStump]] (which finds ONE
+    * split; WOE maps the whole response curve and IV one-numbers the
+    * feature: < 0.02 useless, > 0.3 strong).
+    *
+    * Determinism: tiles via ntile over (value, id) — q43 contract;
+    * WOE's one float op is ln of a ratio of EXACT integer products
+    * (pos_t·neg_total vs neg_t·pos_total — no intermediate float
+    * shares), rounded to integer micros immediately (the q82 ln
+    * contract); each tile's IV contribution is then pure integer
+    * arithmetic — (share-diff micros × woe micros) sign-symmetric div
+    * 1e6 — so the per-feature total is a sum of exact longs, immune
+    * to float summation order. One-class tiles (pos or neg empty)
+    * have undefined WOE: NULL, excluded from IV (the standard
+    * zero-cell treatment; smoothing is a caller-side choice).
+    * Output: per (feature, tile) rows carrying the tile's WOE and IV
+    * contribution, plus one total row per feature (tile NULL) with
+    * the summed IV.
+    *
+    * Scale shape: per feature one global ntile window (q204/RFM
+    * precedent), one combinable tile agg, a broadcast totals join;
+    * tiles ≪ rows everywhere past the first agg. */
+  def woeIv(df: DataFrame, labelCol: Column, idCol: Column,
+            features: Seq[String], buckets: Int = 5): DataFrame = {
+    require(features.nonEmpty && buckets >= 2,
+      "need features and buckets >= 2")
+    val tiles = features.map { f =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("x").asc, col("rid").asc)
+      df.select(col(f).cast("double").as("x"), idCol.as("rid"),
+          when(labelCol, 1L).otherwise(0L).as("y"))
+        .withColumn("tile", ntile(buckets).over(w).cast("long"))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .select(lit(f).as("feature"), col("tile"), col("n"), col("pos"))
+    }.reduce(_ unionByName _).localCheckpoint(eager = false)
+    val totals = tiles.groupBy(col("feature"))
+      .agg(sum(col("pos")).as("pos_tot"),
+        sum(col("n") - col("pos")).as("neg_tot"))
+    val b = tiles.join(broadcast(totals), Seq("feature"))
+      .withColumn("neg", col("n") - col("pos"))
+      .withColumn("woe_micros",
+        when(col("pos") > 0 && col("neg") > 0,
+          round(log((col("pos") * col("neg_tot")).cast("double") /
+            (col("neg") * col("pos_tot")).cast("double")) *
+            lit(1000000.0)).cast("long")))
+      .withColumn("sd_micros",
+        expr("(1000000L * pos) div pos_tot") -
+          expr("(1000000L * neg) div neg_tot"))
+      .withColumn("iv_micros",
+        when(col("woe_micros").isNotNull,
+          signum(col("sd_micros") * col("woe_micros")).cast("long") *
+            expr("abs(sd_micros * woe_micros) div 1000000L")))
+      .localCheckpoint(eager = false)
+    val total = b.groupBy(col("feature"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"),
+        sum(col("iv_micros")).as("iv_micros"))
+      .select(col("feature"), lit(null).cast("long").as("tile"),
+        col("n"), col("pos"), lit(null).cast("long").as("woe_micros"),
+        col("iv_micros"))
+    b.select(col("feature"), col("tile"), col("n"), col("pos"),
+        col("woe_micros"), col("iv_micros"))
+      .unionByName(total)
+  }
+
   /** WASSERSTEIN-1 (earth mover's) drift distance — per group vs the
     * REST of the corpus, over an integer-valued column: W₁ =
     * ∫|F_g − F_rest| dv, the drift metric that (unlike KS, q166) sees

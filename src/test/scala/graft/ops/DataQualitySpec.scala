@@ -109,6 +109,31 @@ class DataQualitySpec extends AnyFunSuite {
       ("m", Some(0.5)), ("t", Some(1.0)), ("z", None)), got)
   }
 
+  test("woeIv: hand 2-tile case — WOE is the exact log-odds ratio in " +
+    "micros, a one-class tile goes NULL and stays out of IV, and the " +
+    "total row sums the exact integer contributions") {
+    // 8 rows, feature x: tile1 = x 1..4 (1 pos), tile2 = x 5..8 (4 pos
+    // -> one-class)
+    val rows = (1 to 8).map(i => (i.toLong, i.toDouble, i >= 4))
+      .toDF("id", "x", "y")
+    val got = DataQuality.woeIv(rows, col("y"), col("id"),
+        Seq("x"), buckets = 2)
+      .as[(String, Option[Long], Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._2 -> r).toMap
+    // tile1: pos 1, neg 3; totals pos 5 neg 3 ->
+    //   woe = ln((1*3)/(3*5)) = ln(0.2) -> -1609438 micros
+    //   sd = 200000 - 1000000 = -800000; iv = sign* (abs(-800000 *
+    //   -1609438) // 1e6) = 1287550
+    val woe1 = math.round(math.log(3.0 / 15.0) * 1000000.0)
+    assert(got(Some(1L)) == ((("x", Some(1L), 4L, 1L, Some(woe1),
+      Some(800000L * -woe1 / 1000000L)))), got(Some(1L)))
+    // tile2: neg = 0 -> NULL woe, no IV contribution
+    assert(got(Some(2L))._5.isEmpty && got(Some(2L))._6.isEmpty)
+    // total: IV = tile1's contribution alone
+    assert(got(None) == (("x", None, 8L, 5L, None,
+      Some(800000L * -woe1 / 1000000L))), got(None))
+  }
+
   test("wassersteinDrift: hand two-group case equals the integral of " +
     "|F_g - F_rest| to term-floored micros, symmetric across the " +
     "group/rest split") {

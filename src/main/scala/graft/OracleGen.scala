@@ -351,6 +351,37 @@ object OracleGen {
     s"""(round(list_dot_product($a, $b)
        / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $scale) + 0.0)"""
 
+  /** Oracle for `Similarity.silhouetteCard` (q208): id-seeded
+    * centroids, per-point nearest/second-nearest L2 micros,
+    * sign-symmetric silhouette and per-cell means. */
+  def silhouetteSql(nCentroids: Int, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       cents AS (SELECT id AS cent_id, v AS cv FROM e
+         ORDER BY id ASC LIMIT $nCentroids),
+       d AS (SELECT e.id, c.cent_id,
+           CAST(round((${pqL2("e.v", "c.cv", dim)}) * 1000000)
+             AS BIGINT) AS d
+         FROM e, cents c),
+       r AS (SELECT id, cent_id, d, row_number() OVER (PARTITION BY id
+           ORDER BY d ASC, cent_id ASC) AS rk FROM d),
+       per AS (SELECT id,
+           max(CASE WHEN rk = 1 THEN cent_id END) AS cell,
+           max(CASE WHEN rk = 1 THEN d END) AS a,
+           max(CASE WHEN rk = 2 THEN d END) AS b
+         FROM r WHERE rk <= 2 GROUP BY 1),
+       s AS (SELECT cell,
+           CASE WHEN greatest(a, b) = 0 THEN 0
+             ELSE CAST(sign(b - a) AS BIGINT)
+               * ((1000000 * abs(b - a)) // greatest(a, b)) END AS s,
+           a
+         FROM per)
+       SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         CAST(sign(sum(s)) AS BIGINT)
+           * CAST(abs(sum(s)) // count(*) AS BIGINT) AS mean_sil_micros,
+         CAST(sum(a) // count(*) AS BIGINT) AS mean_a_micros
+       FROM s GROUP BY 1"""
+
   /** Oracle for `Similarity.hardNegatives` (q206): label-mismatch
     * filter before the per-anchor round-4 cosine top-k. */
   def hardNegativesSql(stride: Long, k: Int): String =

@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Simplified silhouette of the id-seeded IVF cells — per cell the
+    * mean (b−a)/max(a,b), grading the SAME clustering the routed ANN
+    * queries use. */
+  private def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteCard(t(s, dir, "embeddings"), "vec_id",
+      "embedding", nCentroids = 16, dim = 64)
+
   /** WOE / Information Value of document length and word count as
     * predictors of lang = en — the interpretable credit-scoring
     * feature screen beside q194's single-split stump. */
@@ -2366,6 +2373,7 @@ object SparkEntry {
     "q205_wasserstein_drift" -> (qWassersteinDrift _),
     "q206_hard_negatives" -> (qHardNegatives _),
     "q207_woe_iv" -> (qWoeIv _),
+    "q208_silhouette" -> (qSilhouette _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4845,6 +4853,8 @@ object SparkEntry {
            CAST(sum(pos) AS BIGINT), CAST(NULL AS BIGINT),
            CAST(sum(iv_micros) AS BIGINT)
          FROM b2 GROUP BY 1""",
+    "q208_silhouette" ->
+      OracleGen.silhouetteSql(nCentroids = 16, dim = 64),
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -215,6 +215,62 @@ object Similarity {
         col("margin_micros"))
   }
 
+  /** SIMPLIFIED SILHOUETTE clustering-quality card (Hruschka et al.
+    * 2004's linear-time variant of Rousseeuw 1987): per point,
+    * a = squared-L2 to its OWN centroid, b = squared-L2 to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; per cell the
+    * mean s answers "is this cluster real or an artifact of k" —
+    * the eval the ANN family (q35/q47 IVF cells, q84 semantic-dedup
+    * cells) ships without. The full silhouette's all-pairs a/b is
+    * quadratic; the centroid form is the standard scale substitute
+    * and what sklearn's users actually run at size.
+    *
+    * Determinism: distances are per-pair rounded [[l2Chain]] micros
+    * (the PQ contract); assignment = min distance, centroid-id ties
+    * ascending; s divides sign-symmetrically by max(a, b) with the
+    * degenerate a = b = 0 point scoring 0 (a point ON two centroids
+    * separates nothing). Per-cell mean divides the signed sum
+    * sign-symmetrically (the attribution idiom). Centroids here are
+    * the id-seeded set ([[ivfRouting]]'s choice) so the card grades
+    * the SAME clustering the routed queries use.
+    *
+    * Scale shape: one broadcast of nCentroids rows against one corpus
+    * scan, a per-point 2-extremes window (WindowGroupLimit), one
+    * combinable per-cell agg. */
+  def silhouetteCard(emb: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int = 16, dim: Int = 64): DataFrame = {
+    require(nCentroids >= 2 && dim >= 1,
+      "need nCentroids >= 2, dim >= 1")
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = false)
+    val cents = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val dists = base.crossJoin(broadcast(cents))
+      .select(col("id"), col("cent_id"),
+        round(l2Chain(col("v"), col("cv"), dim) * 1000000.0)
+          .cast("long").as("d"))
+    val two = Windows.topKPerGroup(dists, Seq(col("id")),
+        Seq(col("d").asc, col("cent_id").asc), 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("d").asc, col("cent_id").asc)
+    val per = two.withColumn("rk", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(max(when(col("rk") === 1, col("cent_id"))).as("cell"),
+        max(when(col("rk") === 1, col("d"))).as("a"),
+        max(when(col("rk") === 2, col("d"))).as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) === 0L, lit(0L))
+          .otherwise(signum(col("b") - col("a")).cast("long") *
+            expr("(1000000L * abs(b - a)) div greatest(a, b)")))
+    per.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"),
+        sum(col("a")).as("sa"))
+      .select(col("cell"), col("n"),
+        (signum(col("ss")).cast("long") * expr("abs(ss) div n"))
+          .as("mean_sil_micros"),
+        expr("sa div n").as("mean_a_micros"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training (the in-batch-
     * negatives upgrade of DPR/SimCLR pipelines: Karpukhin et al. 2020
     * showed retrieval quality hinges on negatives that are CLOSE but

@@ -1384,6 +1384,22 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("silhouetteCard: a point on its centroid scores 1e6, an " +
+    "equidistant point scores 0 (never NaN), per-cell means floor " +
+    "sign-symmetrically") {
+    import graft.ops.Similarity
+    val emb = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(10.0, 0.0)), // seeded centroids
+      (3L, Array(1.0, 0.0)), (4L, Array(5.0, 0.0))   // member, midpoint
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.silhouetteCard(emb, "vec_id", "embedding",
+        nCentroids = 2, dim = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // cell 1: s = {1e6 (on centroid), 987654 (near), 0 (midpoint tie)}
+    assert(got == Set((1L, 3L, 662551L, 8666666L),
+      (2L, 1L, 1000000L, 0L)), got)
+  }
+
   test("hardNegatives: the NEAREST same-label vector never appears — " +
     "the top negative is the closest DIFFERENT-label one; anchors are " +
     "the strided ids only") {

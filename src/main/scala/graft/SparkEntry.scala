@@ -1723,6 +1723,15 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Cohen's kappa between the q23 n-gram language classifier and the
+    * gold lang label — chance-corrected agreement, the annotation-QA
+    * gate raw accuracy can't be on a skewed label set. */
+  private def qCohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    DataQuality.cohensKappa(d, TextAnalysis.langId(col("text")),
+      col("lang"))
+  }
+
   /** Simplified silhouette of the id-seeded IVF cells — per cell the
     * mean (b−a)/max(a,b), grading the SAME clustering the routed ANN
     * queries use. */
@@ -2374,6 +2383,7 @@ object SparkEntry {
     "q206_hard_negatives" -> (qHardNegatives _),
     "q207_woe_iv" -> (qWoeIv _),
     "q208_silhouette" -> (qSilhouette _),
+    "q209_cohens_kappa" -> (qCohensKappa _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -2396,7 +2406,10 @@ object SparkEntry {
   private def duckHits(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  private def langIdOracle: String = {
+  /** The langid prediction as reusable CTEs ending in
+    * `pred(doc_id, pred_lang)` — shared by q23 and the q209 agreement
+    * card so the two can never drift. */
+  private def langIdCtes: String = {
     val hits = TextAnalysis.markers.map { case (lang, ws) =>
       s"${duckHits(ws)} AS hits_$lang"
     }.mkString(", ")
@@ -2404,10 +2417,15 @@ object SparkEntry {
     val best = s"greatest(${langs.map(l => s"hits_$l").mkString(",")})"
     val cases = langs.map(l =>
       s"WHEN hits_$l = best AND best > 0 THEN '$l'").mkString(" ")
-    s"""WITH h AS (SELECT doc_id, $hits FROM documents),
-        b AS (SELECT *, $best AS best FROM h)
-        SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM b"""
+    s"""h AS (SELECT doc_id, $hits FROM documents),
+        b AS (SELECT *, $best AS best FROM h),
+        pred AS (SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+          FROM b)"""
   }
+
+  private def langIdOracle: String =
+    s"""WITH $langIdCtes
+        SELECT doc_id, pred_lang FROM pred"""
 
   /** Shared q53/q60 oracle fragments — ONE definition of the repetition
     * metrics and the keep predicate, so the funnel can never drift from
@@ -4855,6 +4873,29 @@ object SparkEntry {
          FROM b2 GROUP BY 1""",
     "q208_silhouette" ->
       OracleGen.silhouetteSql(nCentroids = 16, dim = 64),
+    "q209_cohens_kappa" ->
+      s"""WITH $langIdCtes,
+         j AS (SELECT p.pred_lang AS a, d.lang AS bl
+           FROM pred p JOIN documents d USING (doc_id)),
+         cells AS (SELECT a, bl, CAST(count(*) AS BIGINT) AS cnt
+           FROM j GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = bl THEN cnt ELSE 0 END) AS BIGINT)
+               AS agree
+           FROM cells),
+         ra AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS r FROM cells
+           GROUP BY 1),
+         sb AS (SELECT bl AS a, CAST(sum(cnt) AS BIGINT) AS s FROM cells
+           GROUP BY 1),
+         e AS (SELECT CAST(coalesce(sum(r * s), 0) AS BIGINT) AS e
+           FROM ra JOIN sb USING (a))
+         SELECT n, agree, (1000000 * agree) // n AS po_micros,
+           (1000000 * e) // (n * n) AS pe_micros,
+           CASE WHEN n * n - e > 0 THEN
+             CAST(sign(n * agree - e) AS BIGINT)
+               * ((1000000 * abs(n * agree - e)) // (n * n - e)) END
+             AS kappa_micros
+         FROM tot, e""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

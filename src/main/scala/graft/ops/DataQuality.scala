@@ -394,6 +394,45 @@ object DataQuality {
         col("fit_micros"))
   }
 
+  /** COHEN'S KAPPA agreement card (Cohen 1960) — chance-corrected
+    * agreement between two labelers over the same rows: κ =
+    * (p_o − p_e)/(1 − p_e) with p_o the observed agreement and p_e
+    * the agreement two independent raters with these marginals would
+    * reach by luck. THE annotation-QA number — raw agreement flatters
+    * any skewed label set (two raters stamping 90% "en" agree 81% by
+    * chance alone), and every labeling pipeline (human or
+    * model-as-judge) gates on κ, not accuracy.
+    *
+    * Exact integers end-to-end: with A = Σ agree, E = Σ_c row_c·col_c
+    * (marginal products), κ = (n·A − E)/(n² − E) — one sign-symmetric
+    * micros division; p_o, p_e floor to micros off the same counts.
+    * Degenerate marginals (n² = E: both raters constant) → NULL κ.
+    * Overflow: E ≤ n² — int64 to ~3e9 rows; decimal-promote past.
+    *
+    * Scale shape: one combinable (a, b) cell count; everything after
+    * is class-cardinality-sized (marginal join + 1-row card). */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column)
+      : DataFrame = {
+    val cells = df.select(raterA.as("a"), raterB.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val tot = cells.agg(sum(col("cnt")).as("n"),
+      sum(when(col("a") === col("b"), col("cnt")).otherwise(0L))
+        .as("agree"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("cnt")).as("r"))
+    val sb = cells.groupBy(col("b").as("a")).agg(sum(col("cnt")).as("s"))
+    val e = ra.join(sb, Seq("a"))
+      .agg(coalesce(sum(col("r") * col("s")), lit(0L)).as("e"))
+    tot.crossJoin(e)
+      .select(col("n"), col("agree"),
+        expr("(1000000L * agree) div n").as("po_micros"),
+        expr("(1000000L * e) div (n * n)").as("pe_micros"),
+        when(col("n") * col("n") - col("e") > 0,
+          signum(col("n") * col("agree") - col("e")).cast("long") *
+            expr("(1000000L * abs(n * agree - e)) div (n * n - e)"))
+          .as("kappa_micros"))
+  }
+
   /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE card — the credit-scoring
     * feature screen (Siddiqi 2006): bucket a numeric feature into
     * quantile tiles, per tile WOE = ln(pos-share / neg-share), and the

@@ -109,6 +109,28 @@ class DataQualitySpec extends AnyFunSuite {
       ("m", Some(0.5)), ("t", Some(1.0)), ("z", None)), got)
   }
 
+  test("cohensKappa: hand confusion matrix matches the closed form, " +
+    "perfect agreement is exactly 1e6, constant raters go NULL, and " +
+    "skew-inflated raw agreement is corrected away") {
+    // 10 rows: 8 both-'x' agreements, 1 (x,y), 1 (y,x):
+    // po = 0.8; marginals rater A: x9 y1, rater B: x9 y1 ->
+    // pe = (81+1)/100 = 0.82 -> kappa = (8-8.2)/(10-8.2) scaled:
+    // (n*agree - e)/(n*n - e) = (80-82)/(100-82) = -2/18 -> -111111
+    val rows = (Seq.fill(8)(("x", "x")) ++ Seq(("x", "y"), ("y", "x")))
+      .toDF("a", "b")
+    val got = DataQuality.cohensKappa(rows, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got == ((10L, 8L, 800000L, 820000L, Some(-111111L))), got)
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z"))
+      .toDF("a", "b")
+    assert(DataQuality.cohensKappa(perfect, col("a"), col("b"))
+      .select("kappa_micros").as[Option[Long]].head()
+      .contains(1000000L))
+    val constant = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(DataQuality.cohensKappa(constant, col("a"), col("b"))
+      .select("kappa_micros").as[Option[Long]].head().isEmpty)
+  }
+
   test("woeIv: hand 2-tile case — WOE is the exact log-odds ratio in " +
     "micros, a one-class tile goes NULL and stays out of IV, and the " +
     "total row sums the exact integer contributions") {

@@ -1723,6 +1723,12 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** DAU / trailing-28-day MAU stickiness per day — the sliding
+    * DISTINCT count no window sum expresses. */
+  private def qStickiness(s: SparkSession, dir: String): DataFrame =
+    Events.stickiness(Events.load(s, dir), "user_id", "ts",
+      windowDays = 28)
+
   /** Cohen's kappa between the q23 n-gram language classifier and the
     * gold lang label — chance-corrected agreement, the annotation-QA
     * gate raw accuracy can't be on a skewed label set. */
@@ -2384,6 +2390,7 @@ object SparkEntry {
     "q207_woe_iv" -> (qWoeIv _),
     "q208_silhouette" -> (qSilhouette _),
     "q209_cohens_kappa" -> (qCohensKappa _),
+    "q210_stickiness" -> (qStickiness _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4896,6 +4903,20 @@ object SparkEntry {
                * ((1000000 * abs(n * agree - e)) // (n * n - e)) END
              AS kappa_micros
          FROM tot, e""",
+    "q210_stickiness" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+           FROM events),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs
+           GROUP BY 1),
+         mau AS (SELECT g.day AS d,
+             CAST(count(DISTINCT p.u) AS BIGINT) AS mau
+           FROM dau g JOIN pairs p
+             ON p.day <= g.day AND p.day > g.day - 28
+           GROUP BY 1)
+         SELECT dau.day, dau.dau, mau.mau,
+           (1000000 * dau.dau) // mau.mau AS stickiness_micros
+         FROM dau JOIN mau ON mau.d = dau.day""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

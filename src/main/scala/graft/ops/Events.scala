@@ -739,6 +739,43 @@ object Events {
         .as("r"))
   }
 
+  /** DAU/MAU STICKINESS — the product-engagement ratio (daily active
+    * over trailing-28-day active users, per day): the one number that
+    * separates "many users" from "users who come back", and a sliding
+    * DISTINCT count, which no window sum expresses (a user active on
+    * 5 of the 28 days counts once in MAU — partial aggregates don't
+    * merge; this is why engagement pipelines materialize the
+    * (user, day) relation first).
+    *
+    * Shape: collapse to DISTINCT (user, day) — the only event-scale
+    * pass — then DAU is a per-day count and MAU joins the day GRID to
+    * the pair relation on a trailing range (grid ≪ days·users; the
+    * join is day-grid × active-pairs bounded, and the range residual
+    * rides a day equi-bucket at real scale). Days with activity only
+    * inside their trailing window but none that day still appear (the
+    * grid is all active days; a fully-dark day has no DAU row by
+    * construction and is absent — dashboards interpolate zeros, the
+    * relation doesn't invent them). Output: (day, dau, mau,
+    * stickiness_micros = (1e6·dau) div mau). */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val pairs = events.select(col(userCol).as("u"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val grid = dau.select(col("day").as("d"))
+    val mau = grid.join(pairs,
+        col("day") <= col("d") && col("day") > col("d") - windowDays)
+      .groupBy(col("d"))
+      .agg(count_distinct(col("u")).as("mau"))
+    dau.join(mau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("(1000000L * dau) div mau").as("stickiness_micros"))
+  }
+
   /** BURSTINESS of inter-event gaps (Goh & Barabási 2008): per user,
     * B = (σ − μ)/(σ + μ) over the inter-arrival seconds — B → −1 for
     * a metronome, 0 for a Poisson process, → +1 for extreme bursts.

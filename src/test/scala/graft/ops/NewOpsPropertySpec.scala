@@ -1384,6 +1384,25 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("stickiness: a user active on many days counts ONCE in MAU, " +
+    "the trailing window slides off old users, and only active days " +
+    "appear") {
+    import graft.ops.Events
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // windowDays=3: u1 active d1,d2,d3; u2 active d1 only; d5 has u3
+    val rows = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (1L, ts(3)),
+      (2L, ts(1)), (3L, ts(5))).toDF("user_id", "ts")
+    val got = Events.stickiness(rows, "user_id", "ts", windowDays = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val day = (d: Int) => java.time.LocalDate.of(2024, 1, d).toEpochDay
+    assert(got(day(1)) == ((2L, 2L, 1000000L)), got)     // u1,u2
+    assert(got(day(2)) == ((1L, 2L, 500000L)), got)      // mau {u1,u2}
+    assert(got(day(3)) == ((1L, 2L, 500000L)), got)      // u2 in window
+    assert(got(day(5)) == ((1L, 2L, 500000L)), got)      // {u1@d3, u3}
+    assert(!got.contains(day(4)), "dark day must be absent")
+  }
+
   test("silhouetteCard: a point on its centroid scores 1e6, an " +
     "equidistant point scores 0 (never NaN), per-cell means floor " +
     "sign-symmetrically") {

@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Time-weighted average value per (event type, day) — each reading
+    * holds until the next, the last until midnight; exact micros via
+    * schoolbook long division. */
+  private def qTwap(s: SparkSession, dir: String): DataFrame =
+    Events.twap(Events.load(s, dir), "event_type", "ts", "event_id",
+      "value")
+
   /** DAU / trailing-28-day MAU stickiness per day — the sliding
     * DISTINCT count no window sum expresses. */
   private def qStickiness(s: SparkSession, dir: String): DataFrame =
@@ -2391,6 +2398,7 @@ object SparkEntry {
     "q208_silhouette" -> (qSilhouette _),
     "q209_cohens_kappa" -> (qCohensKappa _),
     "q210_stickiness" -> (qStickiness _),
+    "q211_twap" -> (qTwap _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4917,6 +4925,26 @@ object SparkEntry {
          SELECT dau.day, dau.dau, mau.mau,
            (1000000 * dau.dau) // mau.mau AS stickiness_micros
          FROM dau JOIN mau ON mau.d = dau.day""",
+    "q211_twap" ->
+      """WITH b AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day,
+             event_id AS eid,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         d AS (SELECT grp, day, cents,
+             coalesce(lead(t) OVER (PARTITION BY grp, day
+                 ORDER BY t ASC, eid ASC), (day + 1) * 86400) - t AS dur
+           FROM b),
+         m AS (SELECT grp, day, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents * dur) AS BIGINT) AS wsum,
+             CAST(sum(dur) AS BIGINT) AS dsum
+           FROM d GROUP BY 1, 2)
+         SELECT grp, day, n,
+           (wsum // dsum) * 1000000 + ((wsum % dsum) * 1000000) // dsum
+             AS twap_micros
+         FROM m WHERE dsum > 0""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

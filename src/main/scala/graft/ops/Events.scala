@@ -739,6 +739,51 @@ object Events {
         .as("r"))
   }
 
+  /** TIME-WEIGHTED AVERAGE (TWAP) per group and day — the aggregation
+    * finance/sensor pipelines need where the PLAIN mean is wrong: a
+    * value holds until the next observation, so each reading weighs
+    * by how long it was in force. Per (group, day): segments run from
+    * each event to the next (the day's last event extends to
+    * midnight), TWAP = Σ value·duration / Σ duration.
+    *
+    * Exactness without overflow: Σ(cents·dur) and Σdur are exact
+    * longs; the micros quotient uses SCHOOLBOOK LONG DIVISION —
+    * twap = q·1e6 + (r·1e6) div S with q = W div S, r = W mod S —
+    * exact floor of 1e6·W/S while every intermediate stays ≤ 1e14
+    * (the naive 1e6·W overflows int64 at ~sf0.3 event volumes). Both
+    * faces mirror the two-step form. Ordering ties (same second)
+    * break on event id: a zero-length segment weighs zero whichever
+    * of the tied events "holds" it, so the relation is
+    * tie-insensitive.
+    *
+    * Scale shape: one per-(group, day) lead window + one combinable
+    * agg. */
+  def twap(events: DataFrame, groupCol: String, tsCol: String,
+           idCol: String, valCol: String): DataFrame = {
+    val base = events.select(col(groupCol).as("grp"),
+      expr(s"unix_timestamp(date_trunc('second', $tsCol))").as("t"),
+      expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+        .as("day"),
+      col(idCol).as("eid"),
+      round(col(valCol) * 100).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("day"))
+      .orderBy(col("t").asc, col("eid").asc)
+    base
+      .withColumn("dur",
+        coalesce(lead(col("t"), 1).over(w),
+          (col("day") + 1) * 86400L) - col("t"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents") * col("dur")).as("wsum"),
+        sum(col("dur")).as("dsum"))
+      .filter(col("dsum") > 0)
+      .select(col("grp"), col("day"), col("n"),
+        (expr("(wsum div dsum) * 1000000L") +
+          expr("((wsum % dsum) * 1000000L) div dsum"))
+          .as("twap_micros"))
+  }
+
   /** DAU/MAU STICKINESS — the product-engagement ratio (daily active
     * over trailing-28-day active users, per day): the one number that
     * separates "many users" from "users who come back", and a sliding

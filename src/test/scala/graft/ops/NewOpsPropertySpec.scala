@@ -1384,6 +1384,25 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("twap: readings weigh by holding time (last extends to " +
+    "midnight), the long-division micros are exact, and a same-second " +
+    "tie contributes a zero-length segment") {
+    import graft.ops.Events
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val rows = Seq(
+      ("a", 1L, ts("00:00:00"), 1.0), ("a", 2L, ts("00:00:10"), 2.0),
+      ("b", 3L, ts("00:00:00"), 1.0), ("b", 4L, ts("00:00:00"), 3.0))
+      .toDF("event_type", "event_id", "ts", "value")
+    val got = Events.twap(rows, "event_type", "ts", "event_id", "value")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // a: (100c*10s + 200c*86390s)/86400s -> 199 full + exact remainder
+    assert(got("a") == ((2L,
+      199L * 1000000L + 85400L * 1000000L / 86400L)), got("a"))
+    // b: id 3's segment is zero-length; id 4 holds the whole day
+    assert(got("b") == ((2L, 300000000L)), got("b"))
+  }
+
   test("stickiness: a user active on many days counts ONCE in MAU, " +
     "the trailing window slides off old users, and only active days " +
     "appear") {

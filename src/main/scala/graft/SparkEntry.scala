@@ -1723,6 +1723,13 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Nelson–Aalen cumulative hazard over the q120 survival relation —
+    * the sum-of-rates estimator, exact integer micros where KM needs
+    * ln/exp. */
+  private def qNelsonAalen(s: SparkSession, dir: String): DataFrame =
+    Events.nelsonAalen(Events.load(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", eventType = "purchase")
+
   /** Time-weighted average value per (event type, day) — each reading
     * holds until the next, the last until midnight; exact micros via
     * schoolbook long division. */
@@ -2399,6 +2406,7 @@ object SparkEntry {
     "q209_cohens_kappa" -> (qCohensKappa _),
     "q210_stickiness" -> (qStickiness _),
     "q211_twap" -> (qTwap _),
+    "q212_nelson_aalen" -> (qNelsonAalen _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4945,6 +4953,37 @@ object SparkEntry {
            (wsum // dsum) * 1000000 + ((wsum % dsum) * 1000000) // dsum
              AS twap_micros
          FROM m WHERE dsum > 0""",
+    "q212_nelson_aalen" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         fe AS (SELECT e.user_id, min(e.ts) AS te
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             (epoch_us(COALESCE(te, tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fe USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT d, count(*) AS n_at,
+             CAST(sum(obs) AS BIGINT) AS e_at
+           FROM dur GROUP BY 1),
+         r AS (SELECT d, n_at, e_at,
+             CAST(sum(n_at) OVER (ORDER BY d ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM byd),
+         h AS (SELECT d, n_risk, e_at,
+             (1000000 * e_at) // n_risk AS hazard_micros
+           FROM r)
+         SELECT d AS duration_days, n_risk, e_at AS n_events,
+           hazard_micros,
+           CAST(sum(hazard_micros) OVER (ORDER BY d ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_hazard_micros
+         FROM h""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

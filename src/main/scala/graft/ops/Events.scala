@@ -1219,6 +1219,56 @@ object Events {
         col("e_at").as("n_events"), col("surv"))
   }
 
+  /** NELSON–AALEN cumulative hazard (Nelson 1972, Aalen 1978) — the
+    * survival family's OTHER estimator over the same
+    * (duration, n_risk, n_events) relation as [[kaplanMeier]]:
+    * H(t) = Σ_{d ≤ t} e_d / n_risk(d), the cumulative event RATE —
+    * better behaved than KM in small risk sets (no product collapsing
+    * to 0 at the first saturated day) and the input to hazard-ratio
+    * eyeballing. Same start/first-event/censor-at-horizon protocol as
+    * q120, so the two estimators are directly comparable per day.
+    *
+    * Exactness: where KM needs ln/exp (float, round-4), the NA
+    * estimator is a SUM of ratios — each day's hazard term floors to
+    * micros ((1e6·e) div n_risk) and the cumulative sum is then exact
+    * long arithmetic, immune to float summation order (the q205/q207
+    * term-floor discipline; per-term floor error < 1 micro·days).
+    *
+    * Scale shape: identical to KM — per-user min-aggregations, one
+    * duration rollup, one suffix window over DAYS. */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, startType: String,
+                  eventType: String): DataFrame = {
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    val firstEv = events.filter(col(typeCol) === eventType)
+      .join(starts, Seq(userCol))
+      .filter(col(tsCol) > col("t0"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("te"))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts.join(firstEv, Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select(
+        when(col("te").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs"),
+        expr("(unix_timestamp(coalesce(te, tmax)) - unix_timestamp(t0))" +
+          " div 86400").as("d"))
+    val byD = dur.groupBy(col("d")).agg(count(lit(1)).as("n_at"),
+      sum(col("obs")).as("e_at"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
+    byD
+      .withColumn("n_risk", sum(col("n_at")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("hazard_micros", expr("(1000000L * e_at) div n_risk"))
+      .withColumn("cum_hazard_micros",
+        sum(col("hazard_micros")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("d").as("duration_days"), col("n_risk"),
+        col("e_at").as("n_events"), col("hazard_micros"),
+        col("cum_hazard_micros"))
+  }
+
   /** Ordered SEQUENCE support counts — for every ordered pair of event
     * types (a, b), how many users did a STRICTLY BEFORE some b (the
     * 2-length case of frequent-sequence mining; the pair table seeds

@@ -1384,6 +1384,26 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("nelsonAalen: hand cohort — hazard terms are exact e/n_risk " +
+    "micros, the cumulative sum is pure integer, censored users hold " +
+    "the risk set, and a saturated last day stays finite (unlike KM)") {
+    import graft.ops.Events
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // 3 users sign up d1; u1 converts d2 (dur 1), u2 converts d3
+    // (dur 2), u3 never (censored at horizon d3 -> dur 2)
+    val rows = Seq(
+      (1L, "signup", ts(1)), (2L, "signup", ts(1)), (3L, "signup", ts(1)),
+      (1L, "purchase", ts(2)), (2L, "purchase", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.nelsonAalen(rows, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // d=1: 1 event / 3 at risk -> 333333; d=2: 1 event / 2 at risk
+    // (u2 event + u3 censored share the day) -> 500000; cum 833333
+    assert(got == Seq((1L, 3L, 1L, 333333L, 333333L),
+      (2L, 2L, 1L, 500000L, 833333L)), got)
+  }
+
   test("twap: readings weigh by holding time (last extends to " +
     "midnight), the long-division micros are exact, and a same-second " +
     "tie contributes a zero-length segment") {

@@ -1723,6 +1723,11 @@ object SparkEntry {
     Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
       gramSize = 4, boundaryMod = 16L, minOccurrences = 2L)
 
+  /** Per-user consecutive-active-day streaks (gaps-and-islands):
+    * total days, streak count, longest and current streak. */
+  private def qActivityStreaks(s: SparkSession, dir: String): DataFrame =
+    Events.activityStreaks(Events.load(s, dir), "user_id", "ts")
+
   /** Nelson–Aalen cumulative hazard over the q120 survival relation —
     * the sum-of-rates estimator, exact integer micros where KM needs
     * ln/exp. */
@@ -2407,6 +2412,7 @@ object SparkEntry {
     "q210_stickiness" -> (qStickiness _),
     "q211_twap" -> (qTwap _),
     "q212_nelson_aalen" -> (qNelsonAalen _),
+    "q213_activity_streaks" -> (qActivityStreaks _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4984,6 +4990,22 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS cum_hazard_micros
          FROM h""",
+    "q213_activity_streaks" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+           FROM events),
+         isl AS (SELECT u, day,
+             day - CAST(dense_rank() OVER (PARTITION BY u
+               ORDER BY day ASC) AS BIGINT) AS g
+           FROM pairs),
+         runs AS (SELECT u, g, CAST(count(*) AS BIGINT) AS len,
+             max(day) AS run_end
+           FROM isl GROUP BY 1, 2)
+         SELECT u, CAST(sum(len) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           max(len) AS longest,
+           max_by(len, run_end) AS current
+         FROM runs GROUP BY 1""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

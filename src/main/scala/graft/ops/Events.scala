@@ -784,6 +784,38 @@ object Events {
           .as("twap_micros"))
   }
 
+  /** ACTIVITY STREAKS — the gaps-and-islands classic as an engagement
+    * card: per user, consecutive-active-day runs (a streak breaks on
+    * any dark day), reporting total active days, number of streaks,
+    * the LONGEST streak, and the CURRENT streak (the run containing
+    * the user's most recent active day) — the retention mechanic
+    * every habit-loop product (and its analysts) tracks.
+    *
+    * The island key is day − dense_rank(day): constant exactly while
+    * days are consecutive — the textbook trick, entirely in one
+    * per-user window pass over DISTINCT (user, day). All counts
+    * exact; ties impossible (distinct days).
+    *
+    * Scale shape: one distinct collapse (the q210 relation), one
+    * per-user window, two combinable aggs. */
+  def activityStreaks(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("day").asc)
+    val islands = events.select(col(userCol).as("u"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .distinct()
+      .withColumn("isl", col("day") - dense_rank().over(w).cast("long"))
+    val runs = islands.groupBy(col("u"), col("isl"))
+      .agg(count(lit(1)).as("len"), max(col("day")).as("run_end"))
+    runs.groupBy(col("u"))
+      .agg(sum(col("len")).as("n_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest"),
+        max_by(col("len"), col("run_end")).as("current"))
+  }
+
   /** DAU/MAU STICKINESS — the product-engagement ratio (daily active
     * over trailing-28-day active users, per day): the one number that
     * separates "many users" from "users who come back", and a sliding

@@ -1384,6 +1384,22 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(got1 == Seq((1L, 3L, 10L, 8L, 800000L)), got1)
   }
 
+  test("activityStreaks: islands break on dark days, repeats within a " +
+    "day don't extend a streak, and current is the run holding the " +
+    "LAST active day even when a longer one came earlier") {
+    import graft.ops.Events
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // u1: d1,d2,d3 (streak 3) then d5,d5-dup (streak 1): longest 3,
+    // current 1; u2: single day
+    val rows = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (1L, ts(5)),
+      (1L, ts(5)), (2L, ts(9))).toDF("user_id", "ts")
+    val got = Events.activityStreaks(rows, "user_id", "ts")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 2L, 3L, 1L)), got(1L))
+    assert(got(2L) == ((2L, 1L, 1L, 1L, 1L)), got(2L))
+  }
+
   test("nelsonAalen: hand cohort — hazard terms are exact e/n_risk " +
     "micros, the cumulative sum is pure integer, censored users hold " +
     "the risk set, and a saturated last day stays finite (unlike KM)") {

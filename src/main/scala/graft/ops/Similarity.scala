@@ -165,9 +165,13 @@ object Similarity {
     * than its average neighborhood", the paper's operating point).
     *
     * Determinism: cosines are the round-4 + signed-zero contract
-    * scaled to exact integer micros; k-NN means use the SHIFT idiom
-    * (Σcm + k·1e6) div k − 1e6 so the floor-division operand is
-    * non-negative whatever the cosine signs; the ratio divides
+    * scaled to exact integer micros; k-NN means divide the summed
+    * top-k cosines by the ACTUAL neighbor count n ≤ k via the SHIFT
+    * idiom (Σcm + n·1e6) div n − 1e6, so the floor-division operand
+    * is non-negative whatever the cosine signs and a side with fewer
+    * than k neighbors is averaged over what it has (padding missing
+    * neighbors with cosine 0 would deflate the denominator and bias
+    * margins upward on tiny sides); the ratio divides
     * sign-symmetrically (sign(cm)·(2e6·|cm| div (aₓ+a_y)), NULL when
     * the denominator isn't positive). Ties: margin desc, target id asc.
     *
@@ -175,9 +179,9 @@ object Similarity {
     * one target scan and checkpoints ONCE (three readers: two k-NN
     * windows + the margin join); both windows are degree-bounded
     * top-k (WindowGroupLimit), the margin join is two equi-joins on
-    * the pair keys. At corpus scale swap the brute-force pair stage
-    * for [[ivfTopK]]-style cell routing — margins only ever need each
-    * side's top-k, which routing preserves. */
+    * the pair keys. This brute face is the ORACLE for
+    * [[marginMiningRouted]], the shipped corpus-scale form — margins
+    * only ever need each side's top-k, which cell routing preserves. */
   def marginMining(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int = 4, marginThresholdMicros: Long = 1000000L)
       : DataFrame = {
@@ -191,15 +195,23 @@ object Similarity {
       .select(col("src_id"), col("dst_id"),
         round((round(cosine(col("sv"), col("dv")), 4) + lit(0.0)) *
           1000000).cast("long").as("cm"))
-      .localCheckpoint(eager = false)
+    marginFromPairs(pairs, k, marginThresholdMicros)
+  }
+
+  /** Shared margin tail over a (src_id, dst_id, cm) pair relation: the
+    * two per-side k-NN mean windows, the ratio-margin join, and the
+    * threshold + per-source top-1 — identical arithmetic for the brute
+    * and routed pair stages (exhaustive-equivalence depends on it). */
+  private def marginFromPairs(rawPairs: DataFrame, k: Int,
+                              marginThresholdMicros: Long): DataFrame = {
+    val pairs = rawPairs.localCheckpoint(eager = false)
     def nnAvg(side: String, other: String, out: String): DataFrame =
       Windows.topKPerGroup(pairs, Seq(col(side)),
           Seq(col("cm").desc, col(other).asc), k)
         .groupBy(col(side))
-        .agg(sum(col("cm")).as("s"))
+        .agg(sum(col("cm")).as("s"), count(lit(1)).as("nn"))
         .select(col(side),
-          (expr(s"(s + ${k.toLong * 1000000L}L) div ${k}L") -
-            1000000L).as(out))
+          (expr("(s + nn * 1000000L) div nn") - 1000000L).as(out))
     val m = pairs
       .join(nnAvg("src_id", "dst_id", "a_src"), Seq("src_id"))
       .join(nnAvg("dst_id", "src_id", "a_dst"), Seq("dst_id"))
@@ -213,6 +225,75 @@ object Similarity {
       .filter(col("margin_micros") >= marginThresholdMicros)
       .select(col("src_id"), col("dst_id"), col("cm").as("cos_micros"),
         col("margin_micros"))
+  }
+
+  /** [[marginMiningRouted]]'s pair stage — the cross-parity candidate
+    * pairs whose two sides share a probed IVF cell, in BOTH directions
+    * (src probing dst's home cell ∪ dst probing src's home cell), so
+    * each side's top-k neighborhood is preserved by its OWN probes.
+    * Exposed for the stress gate: candidate mass here is
+    * Σ_cells |probes ∩ even|·|homes ∩ odd| (+ the mirror), the routed
+    * cost class — a lost nProbe filter reverts it to the brute N²/4.
+    * `base` must be (id, v) with v already double[]. */
+  private[graft] def marginRoutedPairs(base: DataFrame, nCentroids: Int,
+                                       nProbe: Int): DataFrame = {
+    val (_, cells, probes) = ivfRouting(base, nCentroids, nProbe, 1L)
+    val mem = cells.select(col("cent_id"), col("id").as("m_id"),
+      col("v").as("mv"))
+    val prb = probes.select(col("cent_id"), col("query_id").as("p_id"),
+      col("v").as("pv"))
+    val cm = (sv: Column, dv: Column) =>
+      round((round(cosine(sv, dv), 4) + lit(0.0)) * 1000000)
+        .cast("long").as("cm")
+    val fwd = prb.filter(col("p_id") % 2 === 0)
+      .join(mem.filter(col("m_id") % 2 === 1), Seq("cent_id"))
+      .select(col("p_id").as("src_id"), col("m_id").as("dst_id"),
+        cm(col("pv"), col("mv")))
+    val bwd = prb.filter(col("p_id") % 2 === 1)
+      .join(mem.filter(col("m_id") % 2 === 0), Seq("cent_id"))
+      .select(col("m_id").as("src_id"), col("p_id").as("dst_id"),
+        cm(col("mv"), col("pv")))
+    fwd.unionByName(bwd).distinct()
+  }
+
+  /** ROUTED margin-based candidate mining — [[marginMining]]'s
+    * criterion on the [[ivfRouting]] candidate stage (the q35→q127
+    * move applied to mining): instead of broadcasting one parity half
+    * of the corpus into an N²/4 brute pair stage, each side's
+    * candidates come from its `nProbe` probed IVF cells, in both
+    * directions so BOTH sides' k-NN means are taken over their own
+    * probed neighborhoods. The margin arithmetic downstream of the
+    * pair stage is byte-identical to the brute face
+    * ([[marginFromPairs]]), so at nProbe = nCentroids the routed
+    * output EQUALS the brute output (exhaustive equivalence, the q35
+    * recall contract — spec-pinned); at nProbe < nCentroids recall < 1
+    * by construction, the standard ANN trade. Measured (RecallProbe,
+    * sf0.1, nProbe = 4 of 16): 0.670 of the brute accepted pairs
+    * survive routing on the synthetic ISOTROPIC embeddings — the
+    * documented IVF worst case (cells carry no structure there; a
+    * clustered real corpus routes much tighter, the q158 precedent).
+    *
+    * Scale shape: ONE broadcast of nCentroids rows, one corpus-wide
+    * assignment window, and per-cell equi-joins — no corpus broadcast,
+    * no all-pairs stage anywhere. Because the query side is the WHOLE
+    * corpus (both parities need their k-NN means), routed pair mass is
+    * structurally N²·nProbe/(2C) with C = nCentroids — so SIZE C WITH
+    * THE CORPUS, C ≈ √N (the FAISS nlist guidance), which makes the
+    * mass ≈ N^1.5·nProbe/2 and the per-query candidate count
+    * N·nProbe/C ≈ √N·nProbe. The stress gate (MARGIN_ROUTE_COST_CLASS)
+    * pins exactly that configuration; the checked sf faces keep the
+    * shared 16-cell quantizer so the oracle replay stays tractable.
+    * The k-NN mean windows and the margin equi-joins run on the routed
+    * pair relation (checkpointed once, three readers). */
+  def marginMiningRouted(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int = 4, marginThresholdMicros: Long = 1000000L,
+                         nCentroids: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
+    require(k >= 1 && nCentroids >= 1 && nProbe >= 1,
+      "need k, nCentroids, nProbe >= 1")
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    marginFromPairs(marginRoutedPairs(base, nCentroids, nProbe), k,
+      marginThresholdMicros)
   }
 
   /** SIMPLIFIED SILHOUETTE clustering-quality card (Hruschka et al.
@@ -286,10 +367,10 @@ object Similarity {
     * never crowds out a true negative.
     *
     * Scale shape: the strided anchor set broadcasts against one
-    * labeled corpus scan; per-anchor top-k via WindowGroupLimit. At
-    * corpus scale route with [[ivfTopK]] cells and OVER-FETCH
-    * (probe > k) before the label filter — mismatch survives routing
-    * unchanged. */
+    * labeled corpus scan; per-anchor top-k via WindowGroupLimit. This
+    * brute face is the ORACLE for [[hardNegativesRouted]], the shipped
+    * corpus-scale form (cell routing; mismatch survives routing
+    * unchanged). */
   def hardNegatives(emb: DataFrame, labels: DataFrame, idCol: String,
                     vecCol: String, stride: Long = 10L, k: Int = 3)
       : DataFrame = {
@@ -309,6 +390,85 @@ object Similarity {
         (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
     Windows.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
+  }
+
+  /** [[hardNegativesRouted]]'s scored candidate relation — anchors
+    * probe their `nProbe` nearest IVF cells and score ONLY those
+    * cells' label-mismatched members (round-4 + signed-zero cosine).
+    * Exposed for the stress gate: this relation's row count is the
+    * routed candidate mass (anchors × their probed cells' members),
+    * vs the brute face's anchors × (N−1) — a lost nProbe filter
+    * reverts it to ≈ the brute class. */
+  private[graft] def hardNegRoutedScored(emb: DataFrame, labels: DataFrame,
+                                         idCol: String, vecCol: String,
+                                         stride: Long, nCentroids: Int,
+                                         nProbe: Int): DataFrame = {
+    val lab = labels.select(col(labels.columns(0)).as("id"),
+      col(labels.columns(1)).as("lbl"))
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(lab, Seq("id"))
+    val cents = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    // one assignment relation feeds homes AND probes (the q35/q88
+    // materialize-once pattern)
+    val ranked = base.join(broadcast(cents), lit(true))
+      .select(col("id"), col("v"), col("lbl"), col("cent_id"),
+        round(cosine(col("v"), col("cv")), 6).as("cent_cos"))
+      .localCheckpoint(eager = false)
+    val cells = Windows.topOnePerGroup(ranked, Seq(col("id")),
+        Seq(col("cent_cos").desc, col("cent_id").asc))
+      .select(col("cent_id"), col("id").as("cand_id"), col("v"),
+        col("lbl").as("cand_label"))
+    val probes = Windows.topKPerGroup(
+        ranked.filter(col("id") % stride === 0),
+        Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc),
+        nProbe)
+      .select(col("cent_id"), col("id").as("query_id"),
+        col("v").as("qv"), col("lbl").as("q_label"))
+    probes.join(cells, Seq("cent_id"))
+      .filter(col("cand_id") =!= col("query_id") &&
+        col("cand_label") =!= col("q_label"))
+      .select(col("query_id"), col("cand_id"),
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
+      .distinct()
+  }
+
+  /** ROUTED hard-negative mining — [[hardNegatives]]' label-mismatch
+    * top-k on the [[ivfRouting]] candidate stage: each anchor scores
+    * only the members of its `nProbe` probed IVF cells instead of the
+    * whole labeled corpus, killing the corpus-proportional broadcast
+    * (N/stride anchors × full scan = N²/stride cosines) the brute face
+    * pays. The probed-cell membership is the OVER-FETCH: routing cuts
+    * candidates BEFORE the label filter, and because every mismatched
+    * member of a probed cell is scored (not a pre-cut top-k), a k-th
+    * same-label neighbor can never crowd a true negative out —
+    * mismatch-then-rank order is preserved from the brute face.
+    *
+    * At nProbe = nCentroids every cell is probed and the routed output
+    * EQUALS the brute output (exhaustive equivalence, spec-pinned); at
+    * nProbe < nCentroids a negative hiding outside the anchor's probed
+    * cells is unseen — the standard ANN recall trade. Measured
+    * (RecallProbe, sf0.1, nProbe = 4 of 16): 0.515 of the brute
+    * top-3 negatives survive routing on the synthetic ISOTROPIC
+    * embeddings (the documented IVF worst case — no cell structure to
+    * exploit; clustered corpora route much tighter, and for training
+    * purposes any routed near-miss is a valid hard negative even when
+    * it isn't the globally nearest one).
+    *
+    * Scale shape: broadcast of nCentroids rows + ONE corpus assignment
+    * window + a per-cell equi-join whose mass is stress-gated (the
+    * IVFPQ_ROUTE class); anchors never broadcast, the corpus never
+    * broadcasts. */
+  def hardNegativesRouted(emb: DataFrame, labels: DataFrame, idCol: String,
+                          vecCol: String, stride: Long = 10L, k: Int = 3,
+                          nCentroids: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
+    require(stride >= 1 && k >= 1 && nCentroids >= 1 && nProbe >= 1,
+      "need stride, k, nCentroids, nProbe >= 1")
+    Windows.topKPerGroup(
+      hardNegRoutedScored(emb, labels, idCol, vecCol, stride, nCentroids,
+        nProbe),
+      Seq(col("query_id")), Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
   /** k-CENTER CORESET selection (Gonzalez 1985 greedy farthest-point —
@@ -1274,6 +1434,104 @@ object Similarity {
     // hits is at most |batch| narrow rows — broadcast by the same
     // small-batch contract that broadcasts the probes, so the join-back
     // never plans a sort-merge shuffle of either side
+    b.select(col("id"))
+      .join(broadcast(hits), col("id") === col("batch_id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_hits"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("is_dup"))
+  }
+
+  /** Persisted IVF-PQ index artifacts — the production ANN shape
+    * ([[ivfIndex]] upgraded with the PQ compression the index would
+    * actually ship at 100 TB): the coarse-quantizer centroid table
+    * `(cent_id, cv)`, the PQ codebooks `(j, cid, cv)` (m·k rows,
+    * broadcast-sized), and the CELL-KEYED code table
+    * `(cent_id, id, j, cid)` — the corpus as m·N narrow code rows,
+    * 8 bytes of codes per vector instead of 256 bytes of floats.
+    * Codes are raw-vector encodings (the q127 choice: one global
+    * codebook, incremental adds need no per-cell retraining, oracle
+    * replays without m·nCentroids CTEs — documented trade vs q158's
+    * residuals). `trainIters`/`trainStride` run the quantized-Lloyd
+    * codebook training on the deterministic id-stride sample
+    * ([[pqArtifacts]]).
+    *
+    * Scale: persist the code table hive-partitioned by `cent_id`
+    * (PersistedIndexSpec pins the round-trip) — a probing batch reads
+    * ONLY its probed cells' partitions, so admission cost scales with
+    * probed-cell volume, not corpus volume, and the scanned bytes are
+    * the 32×-compressed codes. */
+  def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int = 16, m: Int = 8, k: Int = 64,
+                 trainIters: Int = 0, dim: Int = 64,
+                 trainStride: Long = 1)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(nCentroids >= 1, "nCentroids must be >= 1")
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = false)
+    val cent = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val cells = Windows.topOnePerGroup(
+      base.join(broadcast(cent), lit(true))
+        .select(col("id"), col("cent_id"),
+          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
+      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc))
+      .select(col("cent_id"), col("id"))
+    val (_, books, codes) =
+      pqArtifacts(base, "id", "v", m, k, trainIters, dim, trainStride)
+    val cellCodes = codes.join(cells, Seq("id"))
+      .select(col("cent_id"), col("id"), col("j"), col("cid"))
+    (cent, books, cellCodes)
+  }
+
+  /** Incremental ADC admission against a persisted [[ivfPqIndex]]: flag
+    * each batch vector whose ADC-approximated squared-L2 to ANY indexed
+    * corpus vector in its `nProbe` probed cells is ≤
+    * `adcThresholdMicros` — the [[ivfAdmitFromIndex]] decision made on
+    * the COMPRESSED index: the probe touches 8-byte codes, never corpus
+    * floats, which is what makes frozen-index admission affordable when
+    * the index itself is too big to keep uncompressed. Output mirrors
+    * [[ivfAdmitFromIndex]]: one row per batch vector,
+    * (id, n_hits, is_dup), zero-hit vectors included.
+    *
+    * Determinism: the batch-side ADC table is the [[pqAdcTable]]
+    * integer-micros contract; per-candidate ADC is a combinable long
+    * sum of m table rows; the threshold compares exact longs. Recall
+    * compounds cell-routing misses with PQ misranking near the
+    * threshold — both documented trades ([[ivfPqTopK]]).
+    *
+    * Scale shape: batch assignment rides the broadcast centroid table;
+    * the probe joins the code table on `cent_id` (partition-pruned when
+    * the index is cent_id-partitioned parquet) against the BROADCAST
+    * probe list, then looks codes up in the BROADCAST ADC table
+    * (batch·m·k rows). The corpus-sized code table streams map-side —
+    * no corpus shuffle, no float decode. */
+  def ivfPqAdmitFromIndex(centroids: DataFrame, books: DataFrame,
+                          codes: DataFrame, batch: DataFrame,
+                          idCol: String, vecCol: String,
+                          adcThresholdMicros: Long, nProbe: Int = 4,
+                          m: Int = 8, dim: Int = 64): DataFrame = {
+    require(nProbe >= 1 && m >= 1 && dim % m == 0,
+      "need nProbe >= 1, m >= 1, dim divisible by m")
+    val b = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = false)
+    val probes = Windows.topKPerGroup(
+      b.join(broadcast(centroids), lit(true))
+        .select(col("id"), col("cent_id"),
+          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
+      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
+      .select(col("cent_id"), col("id").as("batch_id"))
+    val qd = pqAdcTable(b, books, m, dim / m)
+      .select(col("query_id").as("batch_id"), col("j"), col("cid"),
+        col("dm"))
+    // each indexed id lives in exactly ONE cell (top-1 assignment), so
+    // (batch_id, id) pairs are unique without a distinct
+    val scored = codes.join(broadcast(probes), Seq("cent_id"))
+      .join(broadcast(qd), Seq("batch_id", "j", "cid"))
+      .groupBy(col("batch_id"), col("id"))
+      .agg(sum(col("dm")).as("adc"))
+    val hits = scored.filter(col("adc") <= adcThresholdMicros)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("__n"))
     b.select(col("id"))
       .join(broadcast(hits), col("id") === col("batch_id"), "left")
       .select(col("id").as(idCol),

@@ -196,6 +196,33 @@ object RecallProbe {
       println(f"PQ recall@5 CLUSTERED (L2 truth) plain=${recallL2(pqPlain)}%.3f " +
         f"opq-rotated=${recallL2(pqRot)}%.3f")
     }
+    // Routed mining recall vs the brute faces at the shipped q190/q206
+    // sf0.1 params (round-12 brief items 1–2): what fraction of the
+    // brute output survives cell routing at nProbe = 4 of 16.
+    {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val labels = docs.select(col("doc_id"), col("lang"))
+      def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+        df.select(col(a), col(b)).as[(Long, Long)].collect().toSet
+      val mBrute = pairSet(graft.ops.Similarity.marginMining(
+        emb, "vec_id", "embedding", k = 4), "src_id", "dst_id")
+      val mRouted = pairSet(graft.ops.Similarity.marginMiningRouted(
+        emb, "vec_id", "embedding", k = 4, nCentroids = 16, nProbe = 4),
+        "src_id", "dst_id")
+      println(f"MARGIN routed-vs-brute: brute=${mBrute.size} " +
+        f"routed=${mRouted.size} overlap=${(mBrute & mRouted).size} " +
+        f"recall=${(mBrute & mRouted).size.toDouble / mBrute.size}%.3f")
+      val hBrute = pairSet(graft.ops.Similarity.hardNegatives(
+        emb, labels, "vec_id", "embedding", stride = 10L, k = 3),
+        "query_id", "cand_id")
+      val hRouted = pairSet(graft.ops.Similarity.hardNegativesRouted(
+        emb, labels, "vec_id", "embedding", stride = 10L, k = 3,
+        nCentroids = 16, nProbe = 4), "query_id", "cand_id")
+      println(f"HARDNEG routed-vs-brute: brute=${hBrute.size} " +
+        f"routed=${hRouted.size} overlap=${(hBrute & hRouted).size} " +
+        f"recall=${(hBrute & hRouted).size.toDouble / hBrute.size}%.3f")
+    }
     spark.stop()
   }
 }

@@ -270,7 +270,9 @@ object Stress {
       // noise.
       val pqOn = only.forall("pq_adc_cost_class".contains)
       val ivfpqOn = only.forall("ivfpq_route_cost_class".contains)
-      if (pqOn || ivfpqOn) {
+      val marginOn = only.forall("margin_route_cost_class".contains)
+      val hardnegOn = only.forall("hardneg_route_cost_class".contains)
+      if (pqOn || ivfpqOn || marginOn || hardnegOn) {
         import graft.ops.Similarity
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         // per-copy deterministic perturbation: copies must land in
@@ -317,6 +319,48 @@ object Stress {
           val ok = cand <= candMax
           if (!ok) failed ::= "IVFPQ_ROUTE_COST_CLASS"
           println(s"IVFPQ_ROUTE_COST_CLASS cand=$cand n=$nEmb " +
+            s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        }
+        if (marginOn) {
+          // Margin mining's query side is the WHOLE corpus (both parity
+          // halves need their k-NN means), so routed pair mass is
+          // structurally N²·nProbe/(2C) — the cut over brute N²/4 is
+          // C/(2·nProbe), which only wins when the cell count scales
+          // with the corpus (the FAISS nlist ∝ √N sizing the operator
+          // scaladoc contracts). The gate therefore measures at the
+          // scale-correct configuration for its corpus: N = 20,000
+          // (quarter slice, both parities), C = 128 ≈ √N·0.9,
+          // nProbe = 4 → measured 2,060,961 exact (2026-08-15; trained-
+          // free seeded cells are skewed, so the uniform-cell estimate
+          // 6.3e6 overshoots). A lost nProbe filter reverts probes to
+          // all C cells — mass → N²/2 = 2e8, ~44× over this ceiling.
+          val base = bigEmb.filter(col("vec_id") < 20000)
+            .select(col("vec_id").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+          val cand = Similarity.marginRoutedPairs(base,
+            nCentroids = 128, nProbe = 4).count()
+          val candMax = 4500000L // ~2.2x the measured mass
+          val ok = cand <= candMax
+          if (!ok) failed ::= "MARGIN_ROUTE_COST_CLASS"
+          println(s"MARGIN_ROUTE_COST_CLASS cand=$cand n=20000 " +
+            s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        }
+        if (hardnegOn) {
+          // deterministic 7-way label so the mismatch filter engages the
+          // routed relation the q206 face ships
+          val labels = bigEmb.select(col("vec_id").as("doc_id"),
+            concat(lit("L"), (col("vec_id") % 7).cast("string")).as("lang"))
+          // measured 376,424 exact (2026-08-15, 40× perturbed corpus:
+          // 20 anchors × 4 probed cells × ~5000-member cells × 6/7
+          // mismatch); the brute face is anchors × mismatched corpus ≈
+          // (N/4000)·N·6/7 = 1.37e8, ~180× over this ceiling
+          val cand = Similarity.hardNegRoutedScored(bigEmb, labels,
+            "vec_id", "embedding", stride = qStride,
+            nCentroids = 16, nProbe = 4).count()
+          val candMax = 760000L // ~2x the measured mass
+          val ok = cand <= candMax
+          if (!ok) failed ::= "HARDNEG_ROUTE_COST_CLASS"
+          println(s"HARDNEG_ROUTE_COST_CLASS cand=$cand n=$nEmb " +
             s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
         }
       }

@@ -118,4 +118,53 @@ class PersistedIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     assert(viaIndex.sameElements(direct))
   }
+
+  test("IVF-PQ index (centroids + codebooks + cent_id-keyed codes) " +
+    "survives a parquet round-trip — codes hive-partitioned by cent_id " +
+    "— with identical ADC admission flags, and a probed-cell read " +
+    "PRUNES partitions (the q214 contract)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val (cent, books, codes) = Similarity.ivfPqIndex(corpus, "vec_id",
+      "embedding", nCentroids = 16, m = 8, k = 64, trainIters = 2,
+      dim = 64, trainStride = 4)
+    val direct = Similarity.ivfPqAdmitFromIndex(cent, books, codes,
+        batch, "vec_id", "embedding", adcThresholdMicros = 1100000L,
+        nProbe = 4)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(direct.nonEmpty && direct.exists(_._3) &&
+      direct.exists(!_._3),
+      "fixture must exercise real hits AND real rejections")
+
+    val cDir = tmp("graft_ivfpq_cent")
+    val bDir = tmp("graft_ivfpq_books")
+    val codeDir = tmp("graft_ivfpq_codes")
+    cent.write.mode("overwrite").parquet(cDir)
+    books.write.mode("overwrite").parquet(bDir)
+    // the documented layout: codes partitioned by cell so a probe's
+    // scan reads only its probed cells' partitions
+    codes.write.mode("overwrite").partitionBy("cent_id").parquet(codeDir)
+    val rereadCodes = spark.read.parquet(codeDir)
+      .withColumn("cent_id", $"cent_id".cast("long"))
+    val viaIndex = Similarity.ivfPqAdmitFromIndex(
+        spark.read.parquet(cDir), spark.read.parquet(bDir), rereadCodes,
+        batch, "vec_id", "embedding", adcThresholdMicros = 1100000L,
+        nProbe = 4)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(viaIndex.sameElements(direct))
+
+    // partition-pruning pin: a probed-cells filter on the persisted
+    // code table must reach the scan as a PartitionFilter, not a
+    // post-scan Filter — the property that makes frozen-index probes
+    // cost probed-cell bytes instead of corpus bytes
+    val pruned = spark.read.parquet(codeDir)
+      .filter($"cent_id".isin("1", "3", "5"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cent_id"),
+      s"cent_id filter must prune partitions:\n$scan")
+  }
 }

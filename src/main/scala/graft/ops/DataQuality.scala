@@ -511,9 +511,14 @@ object DataQuality {
     * normalized by n_g·n_rest.
     *
     * Determinism/overflow: every CDF-gap term floors to micros
-    * INDEPENDENTLY — ((1e6·|Δ|) div (n_g·n_rest))·gap summed — which
-    * keeps every operand under 1e18 where the single-division form
-    * overflows int64 (1e6·Σ|Δ|·gap needs ~1e21 at warehouse counts).
+    * INDEPENDENTLY — ((1e6·|Δ|) div (n_g·n_rest))·gap summed — with
+    * Δ = cum_g·n_rest − cum_rest·n_g and the 1e6 scale carried in
+    * decimal(38,0) (Spark) / HUGEINT (DuckDB): |Δ| ≤ n_g·n_rest ≤
+    * n²/4, so the int64 form overflows around n ≈ 6e6 rows — far
+    * below warehouse scale — while the 128-bit domain is exact to
+    * n ≈ 6e15 (the mahalanobis ladder; spec-pinned past the old
+    * bound). Each post-division term is ≤ 1e6·gap, back inside int64,
+    * and the term sum is ≤ 1e6·(value range).
     * The per-term floor is the documented contract: both faces floor
     * identically, and the true W₁ exceeds the reported value by less
     * than (value range) micros — a quantization the drift DECISION
@@ -550,8 +555,12 @@ object DataQuality {
       .filter(col("gap").isNotNull)
       .withColumn("n_r", col("n") - col("n_g"))
       .withColumn("term",
-        expr("((1000000L * abs(cum_g * n_r - (cum_all - cum_g) * n_g))" +
-          " div (n_g * n_r)) * gap"))
+        // Δ and 1e6·|Δ| in decimal(38,0) — n²/4-sized, past int64 at
+        // ~6e6 rows; the quotient (≤ 1e6) returns to long
+        expr("cast((cast(1000000 as decimal(38,0))" +
+          " * abs(cast(cum_g as decimal(38,0)) * n_r" +
+          " - (cum_all - cum_g) * cast(n_g as decimal(38,0))))" +
+          " div (cast(n_g as decimal(38,0)) * n_r) as bigint) * gap"))
       .groupBy(col("grp"))
       .agg(max(col("n_g")).as("n_g"), max(col("n_r")).as("n_rest"),
         sum(col("term")).as("w1_micros"))
@@ -729,10 +738,16 @@ object DataQuality {
     * prefix sums of per-value counts — and the criterion
     * {{{ score = (1e6·pL(nL−pL)) div nL + (1e6·pR(nR−pR)) div nR }}}
     * (each side's scaled Gini numerator; the shared 2/n factor is
-    * rank-irrelevant and dropped) is pure long arithmetic, identical
-    * on both faces. p(n−p) ≤ n²/4 keeps 1e6·p(n−p) inside int64 to
-    * ~n = 6e6 rows per feature; past that, drop the 1e6 scale (the
-    * div already quantizes). Argmin ties break threshold-asc; the max
+    * rank-irrelevant and dropped) is exact integer arithmetic on both
+    * faces, with the products ACCUMULATED IN decimal(38,0) on the
+    * Spark face and HUGEINT on the DuckDB face (the mahalanobis
+    * 128-bit ladder): 1e6·p(n−p) ≤ 1e6·n²/4 overflows int64 at
+    * ~n = 6e6 rows per feature, so the 128-bit domain carries the
+    * products to n ≈ 3.6e13 rows/feature — past any single feature's
+    * realistic cardinality-collapse volume. Each POST-DIVISION term is
+    * ≤ 1e6·n/4, back inside int64 to n ≈ 3.6e13 as well (the div
+    * lands in long on both engines; spec-pinned past the old bound).
+    * Argmin ties break threshold-asc; the max
     * value is excluded as a threshold (its right side is empty).
     *
     * Scale shape: one unpivot explode (|features| rows per input row),
@@ -764,9 +779,13 @@ object DataQuality {
       .filter(col("cn") < col("n"))
       .select(col("feature"), col("x"), col("cn").as("n_left"),
         col("cp").as("pos_left"),
-        (expr("(1000000L * cp * (cn - cp)) div cn") +
-          expr("(1000000L * (p - cp) * ((n - cn) - (p - cp)))" +
-            " div (n - cn)")).as("score_micros"))
+        // products in decimal(38,0) (the 128-bit exact domain; int64
+        // overflows at ~6e6 rows/feature), quotients back in long
+        (expr("cast((cast(1000000 as decimal(38,0)) * cp * (cn - cp))" +
+            " div cn as bigint)") +
+          expr("cast((cast(1000000 as decimal(38,0)) * (p - cp)" +
+            " * ((n - cn) - (p - cp))) div (n - cn) as bigint)"))
+          .as("score_micros"))
     graft.ops.Windows.topOneByAgg(s, Seq(col("feature")),
         struct((-col("score_micros")).as("ns"), (-col("x")).as("nx")))
       .select(col("feature"), col("x").as("threshold"),
@@ -856,10 +875,16 @@ object DataQuality {
     * before any row-level diff (q59's snapshot diff is the expensive
     * second step this screen gates).
     *
-    * Row hash: md5 of the '|'-joined canonical row string (NULLs render
-    * as a reserved sentinel so (NULL,"x") ≠ ("x",NULL) — concat_ws's
-    * silent null-skip would conflate them), truncated to 15 hex chars =
-    * a 60-bit non-negative long. Signatures: bit_xor (order-free,
+    * Row hash: md5 of the '|'-joined canonical row string. NULLs render
+    * as the EXPLICIT reserved sentinel U+0001 (a control
+    * char no text column legitimately contains; spelled as the escape
+    * backslash-u0001 so
+    * it is visible in source review) so NULL ≠ '' and (NULL,"x") ≠
+    * ("x",NULL) — concat_ws's silent null-skip, or a coalesce-to-'',
+    * would conflate them and false-negative a verification primitive.
+    * The q179 oracle mirrors it as DuckDB `chr(1)` per column.
+    * Truncated to 15 hex chars = a 60-bit non-negative long.
+    * Signatures: bit_xor (order-free,
     * overflow-free) plus the mod-1e9+7 sum (catches the duplicated-row
     * ⊕ self-cancellation xor alone would miss: a row appearing twice
     * xors to zero but sums twice). Callers pass INTEGER/STRING columns
@@ -873,7 +898,7 @@ object DataQuality {
                     cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one content column")
     val canon = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
     df.select(col(groupCol),
         conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col(groupCol))

@@ -746,12 +746,22 @@ object Events {
     * each event to the next (the day's last event extends to
     * midnight), TWAP = Σ value·duration / Σ duration.
     *
-    * Exactness without overflow: Σ(cents·dur) and Σdur are exact
-    * longs; the micros quotient uses SCHOOLBOOK LONG DIVISION —
-    * twap = q·1e6 + (r·1e6) div S with q = W div S, r = W mod S —
-    * exact floor of 1e6·W/S while every intermediate stays ≤ 1e14
-    * (the naive 1e6·W overflows int64 at ~sf0.3 event volumes). Both
-    * faces mirror the two-step form. Ordering ties (same second)
+    * Exactness without overflow: W = Σ(cents·dur) and the schoolbook
+    * quotient — twap = q·1e6 + (r·1e6) div S with q = W div S,
+    * r = W mod S, the exact floor of 1e6·W/S — are carried in
+    * decimal(38,0) on the Spark face and HUGEINT on the DuckDB face.
+    * Domain analysis (r12): the per-day durations PARTITION the day
+    * (S ≤ 86400), so W ≤ max_cents·86400 — W tops int64 only when
+    * max_cents > ~1.07e14, at which point the OUTPUT q·1e6 > ~1e20
+    * cannot fit int64 either. The 128-bit carry therefore buys
+    * DETECTABILITY, not range: in-domain results (weighted-mean value
+    * ≤ ~$1e10) are bit-identical on both faces, and an out-of-domain
+    * group yields NULL on the Spark face (try_cast — the plain
+    * non-ANSI decimal→bigint cast WRAPS via BigDecimal.longValue,
+    * which would reproduce the very garbage being killed) instead of
+    * the silently wrapped value the pure-long form produced —
+    * spec-pinned. Both faces mirror the two-step
+    * form. Ordering ties (same second)
     * break on event id: a zero-length segment weighs zero whichever
     * of the tied events "holds" it, so the relation is
     * tie-insensitive.
@@ -775,12 +785,18 @@ object Events {
           (col("day") + 1) * 86400L) - col("t"))
       .groupBy(col("grp"), col("day"))
       .agg(count(lit(1)).as("n"),
-        sum(col("cents") * col("dur")).as("wsum"),
+        // product AND sum in the 128-bit domain: a wrapped long here
+        // would be silent garbage; decimal overflows to NULL instead
+        sum(col("cents").cast("decimal(38,0)") * col("dur")).as("wsum"),
         sum(col("dur")).as("dsum"))
       .filter(col("dsum") > 0)
       .select(col("grp"), col("day"), col("n"),
-        (expr("(wsum div dsum) * 1000000L") +
-          expr("((wsum % dsum) * 1000000L) div dsum"))
+        // try_cast: a plain decimal->bigint cast WRAPS in non-ANSI
+        // mode (BigDecimal.longValue), reproducing exactly the silent
+        // garbage the promotion exists to kill; try_cast nulls instead
+        (expr("try_cast(cast(wsum div dsum as decimal(38,0)) * 1000000" +
+            " as bigint)") +
+          expr("cast(((wsum % dsum) * 1000000) div dsum as bigint)"))
           .as("twap_micros"))
   }
 
@@ -871,15 +887,19 @@ object Events {
     * total gap (all same second) emit NULL, never NaN.
     *
     * Scale shape: one per-user lag window + one combinable moment
-    * agg. Output one row per qualifying user. */
+    * agg. Output one row per qualifying user. `idCol` is the same-second
+    * ordering tie-break (any unique event key — the twap contract; gaps
+    * between same-second events are zero whichever tied event leads, so
+    * the moment sums are tie-insensitive). */
   def burstiness(events: DataFrame, userCol: String, tsCol: String,
-                 minEvents: Int = 5): DataFrame = {
+                 minEvents: Int = 5, idCol: String = "event_id")
+      : DataFrame = {
     require(minEvents >= 3, "minEvents must be >= 3")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("t").asc, col("eid").asc)
     val gaps = events.select(col(userCol).as("u"),
         expr(s"unix_timestamp(date_trunc('second', $tsCol))").as("t"),
-        col("event_id").as("eid"))
+        col(idCol).as("eid"))
       .withColumn("g", col("t") - lag(col("t"), 1).over(w))
       .filter(col("g").isNotNull)
     gaps.groupBy(col("u"))
@@ -996,11 +1016,18 @@ object Events {
     * sequential CUSUM (q171): CUSUM answers "is it drifting NOW",
     * binseg answers "WHEN did the level shift, and by how much".
     *
-    * Exact integers off per-group day-prefix sums: score_micros =
-    * (1e6·S_L²) div n_L + (1e6·S_R²) div n_R, gain = score − the
-    * no-split base (1e6·S²) div n (≥ 0 up to floor error by
-    * Cauchy–Schwarz). Overflow bound: 1e6·S² needs S ≤ ~3e6 events
-    * per group — drop the 1e6 scale past that. Ties break day-asc;
+    * Exact integers off per-group day-prefix sums, via the ANOVA
+    * identity in its SINGLE-DIVISION form: S_L²/n_L + S_R²/n_R − S²/n
+    * = D²/(n_L·n_R·n) with D = S_L·n_R − S_R·n_L exactly, so
+    * gain_micros = (1e6·D²) div (n_L·n_R·n) — ONE floor (error < 1
+    * micro) where the three-term form pays three, and one product
+    * chain to promote: D and 1e6·D² are carried in decimal(38,0)
+    * (Spark) / HUGEINT (DuckDB), exact while 1e6·D² < 1e38, i.e.
+    * S·days ≲ 1e16 per group — the int64 form died at S ≈ 3e6 (the
+    * mahalanobis ladder; spec-pinned past that old bound). The
+    * quotient returns to int64 (gain = 1e6·between-segment SS fits to
+    * ~9.2e12 SS — a mean shift of m events/day over n days needs
+    * 1e6·n·m²/4 < 9.2e18). Ties break day-asc;
     * the last day is excluded (empty right segment). Output:
     * (group, split_day = last left day, n_left, n_right,
     * mean_left_micros, mean_right_micros, gain_micros).
@@ -1032,15 +1059,21 @@ object Events {
         (col("n") - col("nl")).as("nr"), col("sl"),
         (col("stot") - col("sl")).as("sr"), col("n"), col("stot"))
       .withColumn("gain_micros",
-        expr("(1000000L * sl * sl) div nl") +
-          expr("(1000000L * sr * sr) div nr") -
-          expr("(1000000L * stot * stot) div n"))
+        // D = S_L·n_R − S_R·n_L in decimal(38,0); gain = (1e6·D²) div
+        // (n_L·n_R·n) — the exact ANOVA identity, one floor, 128-bit
+        // products (int64 overflowed at S ≈ 3e6 events/group)
+        expr("cast((cast(1000000 as decimal(38,0))" +
+          " * (cast(sl as decimal(38,0)) * nr - cast(sr as decimal(38,0)) * nl)" +
+          " * (cast(sl as decimal(38,0)) * nr - cast(sr as decimal(38,0)) * nl))" +
+          " div (cast(nl as decimal(38,0)) * nr * n) as bigint)"))
     graft.ops.Windows.topOneByAgg(s, Seq(col("grp")),
         struct(col("gain_micros"), (-col("day")).as("nd")))
       .select(col("grp"), col("day").as("split_day"),
         col("nl").as("n_left"), col("nr").as("n_right"),
-        expr("(1000000L * sl) div nl").as("mean_left_micros"),
-        expr("(1000000L * sr) div nr").as("mean_right_micros"),
+        expr("cast((cast(1000000 as decimal(38,0)) * sl) div nl as bigint)")
+          .as("mean_left_micros"),
+        expr("cast((cast(1000000 as decimal(38,0)) * sr) div nr as bigint)")
+          .as("mean_right_micros"),
         col("gain_micros"))
   }
 

@@ -102,6 +102,12 @@ object Windows {
     * do not dominate each other, so duplicates of a frontier point all
     * survive (set semantics would be a `distinct` upstream).
     *
+    * CONTRACT: `minCol` must be an INTEGRAL column (enforced). The
+    * strict-dominance frame is rangeBetween(…, −1) = "x' ≤ x − 1",
+    * which equals "x' < x" only on integer-valued data — a fractional
+    * cost column would silently miss dominators in (x−1, x). Scale
+    * fractional costs to integer cents/micros upstream.
+    *
     * Scale shape: two windows on the SAME (group ordered-by x) shuffle
     * — Spark plans one Exchange + two Sort/Window passes, nothing
     * quadratic anywhere; the range frame is monotone so each partition
@@ -110,6 +116,14 @@ object Windows {
     * bound, q07 precedent). */
   def paretoFrontier(df: DataFrame, groupCols: Seq[Column],
                      minCol: String, maxCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val minType = df.schema(minCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(minType),
+      s"paretoFrontier minCol '$minCol' must be integral (the " +
+        s"rangeBetween(-1) strict-dominance frame is exact only on " +
+        s"integers); got $minType — scale to cents/micros upstream")
     val strictlyBelow = Window.partitionBy(groupCols: _*)
       .orderBy(col(minCol).asc)
       .rangeBetween(Window.unboundedPreceding, -1)

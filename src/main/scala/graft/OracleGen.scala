@@ -399,6 +399,37 @@ object OracleGen {
             ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
        WHERE rn <= $k"""
 
+  /** Oracle for `Similarity.hardNegativesRouted` (q206): the IVF
+    * routing replay over the LABELED corpus (centroids seeded from the
+    * joined relation, round-6 assignment, cent_id tie-break), strided
+    * anchors probing nProbe cells, label-mismatch filter over probed
+    * members, per-anchor round-4 cosine top-k. */
+  def hardNegativesRoutedSql(stride: Long, k: Int, nCentroids: Int,
+                             nProbe: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       lab AS (SELECT doc_id AS id, lang FROM documents),
+       b AS (SELECT e.id, e.v, lab.lang FROM e JOIN lab USING (id)),
+       cent AS (SELECT id AS cent_id, v AS cv FROM b
+         ORDER BY id LIMIT $nCentroids),
+       rk AS (SELECT b.id, b.v, b.lang, c.cent_id,
+           row_number() OVER (PARTITION BY b.id
+             ORDER BY ${cosSql("b.v", "c.cv", 6)} DESC, c.cent_id ASC)
+             AS rn
+         FROM b, cent c),
+       home AS (SELECT cent_id, id AS cand_id, v, lang AS cand_lang
+         FROM rk WHERE rn = 1),
+       prb AS (SELECT cent_id, id AS query_id, v AS qv, lang AS q_lang
+         FROM rk WHERE rn <= $nProbe AND id % $stride = 0),
+       p AS (SELECT DISTINCT query_id, cand_id,
+           ${cosSql("qv", "v")} AS cos
+         FROM prb JOIN home USING (cent_id)
+         WHERE cand_id <> query_id AND cand_lang <> q_lang)
+       SELECT query_id, cand_id, cos FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+       WHERE rn <= $k"""
+
   /** Oracle for `Similarity.kCenterSelect` (q192): the Gonzalez greedy
     * loop unrolled — seed = min id, each step a min-over-selected of
     * the per-pair rounded L2 micros, then a (dm DESC, id ASC) top-1.
@@ -432,25 +463,20 @@ object OracleGen {
        $outs"""
   }
 
-  /** Oracle for `Similarity.marginMining` (q190): the same pair/
-    * k-NN-mean/ratio pipeline — shift-idiom means, sign-symmetric
-    * ratio division, margin-desc/target-asc top-1 per source. */
-  def marginMiningSql(k: Int, thresholdMicros: Long): String = {
-    val km = k.toLong * 1000000L
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-         FROM embeddings),
-       s AS (SELECT id AS src_id, v AS sv FROM e WHERE id % 2 = 0),
-       d AS (SELECT id AS dst_id, v AS dv FROM e WHERE id % 2 = 1),
-       p AS (SELECT src_id, dst_id,
-           CAST(round((${cosSql("sv", "dv")}) * 1000000) AS BIGINT) AS cm
-         FROM s, d),
-       ax AS (SELECT src_id,
-           ((CAST(sum(cm) AS BIGINT) + $km) // $k) - 1000000 AS a_src
+  /** The margin tail shared by the brute and routed margin-mining
+    * oracles — per-side top-k count-divided shift-idiom means,
+    * sign-symmetric ratio division, margin-desc/target-asc top-1 per
+    * source. Expects a CTE `p(src_id, dst_id, cm)` in scope. */
+  private def marginTailSql(k: Int, thresholdMicros: Long): String =
+    s"""ax AS (SELECT src_id,
+           ((CAST(sum(cm) AS BIGINT) + count(*) * 1000000) // count(*))
+             - 1000000 AS a_src
          FROM (SELECT src_id, cm, row_number() OVER (PARTITION BY src_id
              ORDER BY cm DESC, dst_id ASC) AS rn FROM p)
          WHERE rn <= $k GROUP BY 1),
        ay AS (SELECT dst_id,
-           ((CAST(sum(cm) AS BIGINT) + $km) // $k) - 1000000 AS a_dst
+           ((CAST(sum(cm) AS BIGINT) + count(*) * 1000000) // count(*))
+             - 1000000 AS a_dst
          FROM (SELECT dst_id, cm, row_number() OVER (PARTITION BY dst_id
              ORDER BY cm DESC, src_id ASC) AS rn FROM p)
          WHERE rn <= $k GROUP BY 1),
@@ -465,7 +491,48 @@ object OracleGen {
            ORDER BY margin_micros DESC, dst_id ASC) AS rn
          FROM m WHERE margin_micros IS NOT NULL)
        WHERE rn = 1 AND margin_micros >= $thresholdMicros"""
-  }
+
+  /** Oracle for `Similarity.marginMining` (brute face): all
+    * cross-parity pairs, then [[marginTailSql]]. */
+  def marginMiningSql(k: Int, thresholdMicros: Long): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       s AS (SELECT id AS src_id, v AS sv FROM e WHERE id % 2 = 0),
+       d AS (SELECT id AS dst_id, v AS dv FROM e WHERE id % 2 = 1),
+       p AS (SELECT src_id, dst_id,
+           CAST(round((${cosSql("sv", "dv")}) * 1000000) AS BIGINT) AS cm
+         FROM s, d),
+       ${marginTailSql(k, thresholdMicros)}"""
+
+  /** Oracle for `Similarity.marginMiningRouted` (q190): the IVF
+    * routing replay (round-6 cosine assignment, cent_id tie-break) —
+    * cross-parity pairs sharing a probed cell in EITHER direction —
+    * then the identical [[marginTailSql]]. */
+  def marginMiningRoutedSql(k: Int, thresholdMicros: Long,
+                            nCentroids: Int, nProbe: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       cent AS (SELECT id AS cent_id, v AS cv FROM e
+         ORDER BY id LIMIT $nCentroids),
+       rk AS (SELECT e.id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC)
+             AS rn
+         FROM e, cent c),
+       home AS (SELECT cent_id, id, v FROM rk WHERE rn = 1),
+       prb AS (SELECT cent_id, id, v FROM rk WHERE rn <= $nProbe),
+       p AS (SELECT DISTINCT src_id, dst_id, cm FROM (
+         SELECT b.id AS src_id, h.id AS dst_id,
+             CAST(round((${cosSql("b.v", "h.v")}) * 1000000) AS BIGINT)
+               AS cm
+           FROM prb b JOIN home h USING (cent_id)
+           WHERE b.id % 2 = 0 AND h.id % 2 = 1
+         UNION ALL
+         SELECT h.id, b.id,
+             CAST(round((${cosSql("h.v", "b.v")}) * 1000000) AS BIGINT)
+           FROM prb b JOIN home h USING (cent_id)
+           WHERE b.id % 2 = 1 AND h.id % 2 = 0)),
+       ${marginTailSql(k, thresholdMicros)}"""
 
   /** Shared prefix: embeddings → signatures → byte-chunk buckets,
     * replicating `Similarity.lshSignature` + `chunkedBuckets`. */
@@ -1152,6 +1219,55 @@ object OracleGen {
          (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
        WHERE rn <= $topK"""
+
+  /** Oracle for `Similarity.ivfPqAdmitFromIndex` over a
+    * `Similarity.ivfPqIndex` built on the id-stride corpus split
+    * (q214): the [[pqTrainCtes]] codebooks/codes and seeded IVF cells
+    * on the corpus (vec_id % stride ≠ 0), the stride remainder as the
+    * probing batch, per-candidate ADC sums inside probed cells, hit
+    * counts at the threshold, zero-hit batch rows preserved. */
+  def ivfPqAdmitSql(stride: Long, m: Int, k: Int, trainIters: Int,
+                    nCentroids: Int, nProbe: Int, thresholdMicros: Long,
+                    dim: Int, trainStride: Long = 1): String = {
+    val sub = dim / m
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings WHERE vec_id % $stride <> 0),
+       ${pqTrainCtes(m, k, trainIters, trainStride, dim, "e")},
+       cent AS (SELECT id AS cent_id, v AS cv FROM e
+         ORDER BY id LIMIT $nCentroids),
+       rankedc AS (SELECT e.id, c.cent_id,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC,
+               c.cent_id ASC) AS rn
+         FROM e, cent c),
+       cells AS (SELECT cent_id, id FROM rankedc WHERE rn = 1),
+       bt AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings WHERE vec_id % $stride = 0),
+       probes AS (SELECT cent_id, id AS batch_id FROM
+         (SELECT bt.id, c.cent_id,
+            row_number() OVER (PARTITION BY bt.id
+              ORDER BY ${cosSql("bt.v", "c.cv", 6)} DESC,
+                c.cent_id ASC) AS rn
+          FROM bt, cent c) WHERE rn <= $nProbe),
+       qd AS (SELECT s.id AS batch_id, s.j, b.cid,
+           CAST(round((${pqL2("s.sv", "b.cv", sub)}) * 1000000.0)
+             AS BIGINT) AS dm
+         FROM (SELECT id, j, v[(j * $sub + 1):(j * $sub + $sub)] AS sv
+               FROM bt, range(0, $m) t(j)) s
+           JOIN b$trainIters b ON b.j = s.j),
+       sc AS (SELECT p.batch_id, c.id,
+           CAST(SUM(qd.dm) AS BIGINT) AS adc
+         FROM enc c JOIN cells cl ON cl.id = c.id
+         JOIN probes p ON p.cent_id = cl.cent_id
+         JOIN qd ON qd.batch_id = p.batch_id
+           AND qd.j = c.j AND qd.cid = c.cid
+         GROUP BY 1, 2),
+       h AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n FROM sc
+         WHERE adc <= $thresholdMicros GROUP BY 1)
+       SELECT bt.id AS vec_id, coalesce(h.n, 0) AS n_hits,
+         coalesce(h.n, 0) > 0 AS is_dup
+       FROM bt LEFT JOIN h ON h.batch_id = bt.id"""
+  }
 
   /** Oracle for `Similarity.ivfPqResidualTopK` (q158): the [[ivfPqSql]]
     * routing, but members encode v − own-cell-centroid residuals and

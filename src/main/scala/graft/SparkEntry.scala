@@ -1748,6 +1748,25 @@ object SparkEntry {
     Events.stickiness(Events.load(s, dir), "user_id", "ts",
       windowDays = 28)
 
+  /** Incremental ADC admission against a persisted IVF-PQ index (the
+    * q102 decision on the 32×-compressed production index): 90% of the
+    * embeddings table is indexed — 16 seeded cells + trained PQ
+    * codebooks (2 quantized-Lloyd rounds on the stride-4 sample) — and
+    * the stride-10 remainder probes its 4 nearest cells, scoring only
+    * 8-byte codes via the broadcast ADC table. PersistedIndexSpec pins
+    * the cent_id-partitioned write→read round-trip. */
+  private def qIvfPqAdmission(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (cent, books, codes) = Similarity.ivfPqIndex(
+      emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id",
+      "embedding", nCentroids = 16, m = 8, k = 64, trainIters = 2,
+      dim = 64, trainStride = 4)
+    Similarity.ivfPqAdmitFromIndex(cent, books, codes,
+      emb.filter(pmod(col("vec_id"), lit(10)) === 0), "vec_id",
+      "embedding", adcThresholdMicros = 1100000L, nProbe = 4,
+      m = 8, dim = 64)
+  }
+
   /** Cohen's kappa between the q23 n-gram language classifier and the
     * gold lang label — chance-corrected agreement, the annotation-QA
     * gate raw accuracy can't be on a skewed label set. */
@@ -1776,11 +1795,16 @@ object SparkEntry {
 
   /** Hard-negative mining for contrastive training: per strided
     * anchor, the 3 most-similar embeddings with a DIFFERENT language
-    * label — the near-misses that carry the gradient. */
+    * label — the near-misses that carry the gradient. ROUTED face
+    * (r12): anchors score only their 4 probed IVF cells' mismatched
+    * members instead of broadcasting N/10 anchors into a full-corpus
+    * N²/10 cosine stage; exhaustive-equivalence to the brute face at
+    * nProbe = nCentroids is spec-pinned (RoutedMiningSpec). */
   private def qHardNegatives(s: SparkSession, dir: String): DataFrame =
-    Similarity.hardNegatives(t(s, dir, "embeddings"),
+    Similarity.hardNegativesRouted(t(s, dir, "embeddings"),
       t(s, dir, "documents").select(col("doc_id"), col("lang")),
-      "vec_id", "embedding", stride = 10L, k = 3)
+      "vec_id", "embedding", stride = 10L, k = 3,
+      nCentroids = 16, nProbe = 4)
 
   /** Wasserstein-1 drift of each return flag's quantity distribution
     * vs the rest — the magnitude-aware drift screen beside q166's KS
@@ -1801,7 +1825,7 @@ object SparkEntry {
     * humans are bursty. */
   private def qBurstiness(s: SparkSession, dir: String): DataFrame =
     Events.burstiness(Events.load(s, dir), "user_id", "ts",
-      minEvents = 5)
+      minEvents = 5, idCol = "event_id")
 
   /** Peak concurrent 5-minute activity intervals per event type via
     * the exact sweep line — the provisioning number time-bucket
@@ -1918,10 +1942,15 @@ object SparkEntry {
     * criterion) between the embedding table's parity halves: each
     * source's best target by cosine-over-mean-kNN-cosine, kept at
     * ratio ≥ 1 — the hubness-robust alignment mining absolute
-    * thresholds can't do. */
+    * thresholds can't do. ROUTED face (r12): both parity sides draw
+    * candidates from their 4 probed IVF cells instead of broadcasting
+    * half the corpus into an N²/4 pair stage; the margin arithmetic is
+    * byte-shared with the brute face, and exhaustive equivalence at
+    * nProbe = nCentroids is spec-pinned (RoutedMiningSpec). */
   private def qMarginMining(s: SparkSession, dir: String): DataFrame =
-    Similarity.marginMining(t(s, dir, "embeddings"), "vec_id",
-      "embedding", k = 4, marginThresholdMicros = 1000000L)
+    Similarity.marginMiningRouted(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 4, marginThresholdMicros = 1000000L,
+      nCentroids = 16, nProbe = 4)
 
   /** Blocking-quality evaluation: length-bucket and first-token
     * blocking scored against exact edit-distance-≤2 truth on the q133
@@ -2413,6 +2442,7 @@ object SparkEntry {
     "q211_twap" -> (qTwap _),
     "q212_nelson_aalen" -> (qNelsonAalen _),
     "q213_activity_streaks" -> (qActivityStreaks _),
+    "q214_ivfpq_admission" -> (qIvfPqAdmission _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4272,11 +4302,12 @@ object SparkEntry {
     "q179_group_checksum" ->
       """WITH h AS (SELECT l_returnflag,
              CAST(('0x' || substring(md5(
-               CAST(l_orderkey AS VARCHAR) || '|' ||
-               CAST(l_partkey AS VARCHAR) || '|' ||
-               CAST(l_suppkey AS VARCHAR) || '|' ||
-               CAST(l_linenumber AS VARCHAR) || '|' ||
-               l_returnflag || '|' || l_linestatus), 1, 15)) AS BIGINT)
+               coalesce(CAST(l_orderkey AS VARCHAR), chr(1)) || '|' ||
+               coalesce(CAST(l_partkey AS VARCHAR), chr(1)) || '|' ||
+               coalesce(CAST(l_suppkey AS VARCHAR), chr(1)) || '|' ||
+               coalesce(CAST(l_linenumber AS VARCHAR), chr(1)) || '|' ||
+               coalesce(l_returnflag, chr(1)) || '|' ||
+               coalesce(l_linestatus, chr(1))), 1, 15)) AS BIGINT)
                AS h
            FROM lineitem)
          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
@@ -4485,7 +4516,8 @@ object SparkEntry {
              AS pair_quality_micros
          FROM card, n, nt""",
     "q190_margin_mining" ->
-      OracleGen.marginMiningSql(k = 4, thresholdMicros = 1000000L),
+      OracleGen.marginMiningRoutedSql(k = 4, thresholdMicros = 1000000L,
+        nCentroids = 16, nProbe = 4),
     "q191_conformal_card" ->
       """WITH b AS (SELECT event_type AS grp, event_id AS id,
              CAST(round(value * 100) AS BIGINT) AS cents,
@@ -4540,8 +4572,10 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
            wa AS (PARTITION BY feature)),
          s AS (SELECT feature, x, cn AS n_left, cp AS pos_left,
-             (1000000 * cp * (cn - cp)) // cn
-               + (1000000 * (p - cp) * ((n - cn) - (p - cp))) // (n - cn)
+             CAST((1000000 * CAST(cp AS HUGEINT) * (cn - cp)) // cn
+               AS BIGINT)
+               + CAST((1000000 * CAST(p - cp AS HUGEINT)
+                 * ((n - cn) - (p - cp))) // (n - cn) AS BIGINT)
                AS score_micros
            FROM c WHERE cn < n)
          SELECT feature, x AS threshold, n_left, pos_left, score_micros
@@ -4612,14 +4646,19 @@ object SparkEntry {
            WINDOW wc AS (PARTITION BY grp ORDER BY day ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
            wa AS (PARTITION BY grp)),
-         s AS (SELECT grp, day, nl, n - nl AS nr, sl, stot - sl AS sr,
-             (1000000 * sl * sl) // nl
-               + (1000000 * (stot - sl) * (stot - sl)) // (n - nl)
-               - (1000000 * stot * stot) // n AS gain_micros
+         s AS (SELECT grp, day, nl, n - nl AS nr, sl, stot - sl AS sr, n,
+             CAST((1000000 * (CAST(sl AS HUGEINT) * (n - nl)
+                 - CAST(stot - sl AS HUGEINT) * nl)
+               * (CAST(sl AS HUGEINT) * (n - nl)
+                 - CAST(stot - sl AS HUGEINT) * nl))
+               // (CAST(nl AS HUGEINT) * (n - nl) * n) AS BIGINT)
+               AS gain_micros
            FROM c WHERE nl < n)
          SELECT grp, day AS split_day, nl AS n_left, nr AS n_right,
-           (1000000 * sl) // nl AS mean_left_micros,
-           (1000000 * sr) // nr AS mean_right_micros, gain_micros
+           CAST((1000000 * CAST(sl AS HUGEINT)) // nl AS BIGINT)
+             AS mean_left_micros,
+           CAST((1000000 * CAST(sr AS HUGEINT)) // nr AS BIGINT)
+             AS mean_right_micros, gain_micros
          FROM (SELECT *, row_number() OVER (PARTITION BY grp
              ORDER BY gain_micros DESC, day ASC) AS rn FROM s)
          WHERE rn = 1""",
@@ -4859,12 +4898,14 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT grp, max(n_g) AS n_g, max(n_r) AS n_rest,
            CASE WHEN max(n_g) > 0 AND max(n_r) > 0 THEN
-             CAST(sum(((1000000 * abs(cum_g * n_r
-                 - (cum_all - cum_g) * n_g)) // (n_g * n_r)) * gap)
+             CAST(sum(CAST((1000000 * abs(CAST(cum_g AS HUGEINT) * n_r
+                 - (cum_all - cum_g) * CAST(n_g AS HUGEINT)))
+               // (CAST(n_g AS HUGEINT) * n_r) AS BIGINT) * gap)
                AS BIGINT) END AS w1_micros
          FROM c WHERE gap IS NOT NULL GROUP BY 1""",
     "q206_hard_negatives" ->
-      OracleGen.hardNegativesSql(stride = 10L, k = 3),
+      OracleGen.hardNegativesRoutedSql(stride = 10L, k = 3,
+        nCentroids = 16, nProbe = 4),
     "q207_woe_iv" ->
       """WITH d AS (SELECT doc_id, n_chars,
              len(string_split(text, ' ')) AS n_words,
@@ -4952,11 +4993,12 @@ object SparkEntry {
                  ORDER BY t ASC, eid ASC), (day + 1) * 86400) - t AS dur
            FROM b),
          m AS (SELECT grp, day, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents * dur) AS BIGINT) AS wsum,
+             sum(CAST(cents AS HUGEINT) * dur) AS wsum,
              CAST(sum(dur) AS BIGINT) AS dsum
            FROM d GROUP BY 1, 2)
          SELECT grp, day, n,
-           (wsum // dsum) * 1000000 + ((wsum % dsum) * 1000000) // dsum
+           CAST(wsum // dsum AS BIGINT) * 1000000
+             + CAST(((wsum % dsum) * 1000000) // dsum AS BIGINT)
              AS twap_micros
          FROM m WHERE dsum > 0""",
     "q212_nelson_aalen" ->
@@ -5006,6 +5048,10 @@ object SparkEntry {
            max(len) AS longest,
            max_by(len, run_end) AS current
          FROM runs GROUP BY 1""",
+    "q214_ivfpq_admission" ->
+      OracleGen.ivfPqAdmitSql(stride = 10L, m = 8, k = 64,
+        trainIters = 2, nCentroids = 16, nProbe = 4,
+        thresholdMicros = 1100000L, dim = 64, trainStride = 4),
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -223,6 +223,33 @@ object Multimodal {
   private[ops] def decodeVideo(payload: Array[Byte])
       : Option[(Int, Int, Array[Float])] = {
     if (payload == null || payload.length < 16) return None
+    // MJPEG-AVI: real frames, real pixels (container split + ImageIO
+    // JPEG decode — no codec). feature = [duration_sec, n_frames,
+    // fps, mean luma of the FIRST decodable frame (0..1), 0…]
+    splitAviFrames(payload) match {
+      case Some((usPerFrame, frames)) =>
+        val decoded = frames.iterator.map(decodeImage).collectFirst {
+          case Some(d) => d
+        }
+        val feat = new Array[Float](8)
+        feat(0) =
+          if (usPerFrame > 0) frames.size * usPerFrame / 1e6f else 0f
+        feat(1) = frames.size.toFloat
+        feat(2) = if (usPerFrame > 0) 1e6f / usPerFrame else 0f
+        decoded match {
+          case Some((w, h, hist)) =>
+            // histogram bins are luma/32 buckets; mean bin center / 8
+            feat(3) = hist.zipWithIndex
+              .map { case (p, i) => p * (i + 0.5f) / 8f }.sum
+            return Some((w, h, feat))
+          case None if frames.nonEmpty =>
+            // real container, undecodable frames (foreign codec in an
+            // AVI shell): keep metadata, no dimensions
+            return Some((0, 0, feat))
+          case None => // empty movi: fall through to the MP4 walk
+        }
+      case None =>
+    }
     def u32(off: Int): Long =
       ((payload(off) & 0xFFL) << 24) | ((payload(off + 1) & 0xFFL) << 16) |
         ((payload(off + 2) & 0xFFL) << 8) | (payload(off + 3) & 0xFFL)
@@ -294,11 +321,75 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Pure-JVM MJPEG-AVI frame splitter — CONTAINER parsing only, no
+    * codec (the r10–r12 video-decode carry closed the honest way):
+    * RIFF/AVI is a little-endian chunk walk, and an MJPEG AVI's
+    * '##dc'/'##db' stream chunks inside LIST-'movi' ARE standalone JPEG
+    * images, which the JDK's own ImageIO decodes — so MJPEG videos get
+    * REAL frame extraction and REAL pixel decode with zero native
+    * dependencies. Returns (microSecPerFrame, frame payloads) — frames
+    * inside one level of LIST-'rec ' grouping included (the spec's
+    * interleave layout); None when the payload isn't a RIFF AVI (MP4
+    * metadata stays [[decodeVideo]]'s box walk; other codecs' frames
+    * simply won't ImageIO-decode and degrade to the stub). */
+  private[ops] def splitAviFrames(payload: Array[Byte])
+      : Option[(Long, Vector[Array[Byte]])] = {
+    if (payload == null || payload.length < 12) return None
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def u32(off: Int): Long = // RIFF is LITTLE-endian (vs MP4's big)
+      (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
+        ((payload(off + 2) & 0xFFL) << 16) |
+        ((payload(off + 3) & 0xFFL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    try {
+      val frames = Vector.newBuilder[Array[Byte]]
+      var usPerFrame = 0L
+      var sawMovi = false
+      def walk(lo: Int, hi: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var pos = lo
+        var ok = true
+        while (ok && pos + 8 <= hi) {
+          val id = fourcc(pos)
+          val size = u32(pos + 4)
+          val start = pos + 8
+          if (size < 0 || start + size > hi) ok = false
+          else {
+            f(id, start, (start + size).toInt)
+            pos = (start + size + (size & 1)).toInt
+          }
+        }
+      }
+      def collectFrames(lo: Int, hi: Int, depth: Int): Unit =
+        walk(lo, hi) { (cid, cs, ce) =>
+          if (cid == "LIST" && ce - cs >= 4 && fourcc(cs) == "rec " &&
+              depth == 0)
+            collectFrames(cs + 4, ce, 1)
+          else if (cid.length == 4 && ce > cs &&
+              (cid.substring(2) == "dc" || cid.substring(2) == "db"))
+            frames += java.util.Arrays.copyOfRange(payload, cs, ce)
+        }
+      walk(12, payload.length) { (id, s, e) =>
+        if (id == "LIST" && e - s >= 4) fourcc(s) match {
+          case "movi" => sawMovi = true; collectFrames(s + 4, e, 0)
+          case "hdrl" =>
+            walk(s + 4, e) { (hid, hs, he) =>
+              if (hid == "avih" && he - hs >= 4) usPerFrame = u32(hs)
+            }
+          case _ =>
+        }
+      }
+      if (sawMovi) Some((usPerFrame, frames.result())) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** ======================== STUB ========================
     * Deterministic FAKE decoder for payloads none of the real decoders
     * can parse (the testdata's media payloads are text-byte stand-ins;
-    * video FRAME decode needs codecs this container lacks — container
-    * METADATA is real via [[decodeVideo]]): derives "dimensions" and a
+    * MJPEG-AVI video gets REAL frame decode via [[splitAviFrames]] +
+    * ImageIO; MP4 container METADATA is real via [[decodeVideo]]; only
+    * codec-compressed frame data this JVM cannot decode lands here):
+    * derives "dimensions" and a
     * fixed-size "feature vector" purely from the payload bytes so tests
     * are exact. The Spark plumbing around it is final. */
   private def stubDecode(mediaId: Long, kind: String,
@@ -463,4 +554,42 @@ object Multimodal {
         posexplode(split(base64(col("payload")), s"(?<=\\G.{$frameBytes})"))
           .as(Seq("frame_idx", "frame_b64")))
       .filter(pmod(col("frame_idx"), lit(stride)) === 0)
+
+  /** REAL video frame sampling for MJPEG-AVI payloads
+    * ([[splitAviFrames]] container walk + ImageIO JPEG decode — no
+    * codec, no native library): one row per stride-sampled DECODED
+    * frame — (media_id, frame_idx, width, height, mean_luma_micros),
+    * mean luma from the Rec.601 8-bin histogram's bin centers in
+    * micros of full scale. Payloads that are not RIFF AVIs, and frames
+    * a codec this JVM lacks produced, emit NO rows — the honest
+    * contract ([[sampleFrames]] keeps the byte-chunk stand-in for
+    * arbitrary payloads; a pipeline unions the two by kind).
+    *
+    * Scale shape: partition-local mapPartitions (decode where the
+    * bytes already sit, zero shuffle); `stride` cuts decode cost
+    * linearly, the standard frame-sampling move for video corpora. */
+  def videoFrames(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        splitAviFrames(payload).iterator.flatMap { case (_, frames) =>
+          frames.iterator.zipWithIndex
+            .filter(_._2 % stride == 0)
+            .flatMap { case (f, i) =>
+              decodeImage(f).map { case (w, h, hist) =>
+                val luma = hist.zipWithIndex
+                  .map { case (p, bi) => p.toDouble * (bi + 0.5) / 8.0 }
+                  .sum
+                (id, i.toLong, w, h, math.round(luma * 1e6))
+              }
+            }
+        }
+      })
+      .toDF("media_id", "frame_idx", "width", "height",
+        "mean_luma_micros")
+  }
 }

@@ -1220,6 +1220,61 @@ object OracleGen {
             ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
        WHERE rn <= $topK"""
 
+  /** Oracle for `Graph.hyperAnf` over the q196 transition graph
+    * WITHOUT the edge thinning (q215): the HLL sketch replay —
+    * md5-prefix register hash, trailing-zero ranks, per-hop
+    * register-max union sweeps (MATERIALIZED: each hop reads the
+    * previous sketch twice, the q192/q196 2^k CTE hazard), exact
+    * long harmonic sums, the one mirrored float estimate per node
+    * summed as longs. */
+  def hyperAnfSql(maxHops: Int): String = {
+    val m = 32
+    val two56 = 1L << 56
+    val alphaNum = 0.697 * m * m * two56.toDouble
+    val hops = (1 to maxHops).map { h =>
+      s"""s$h AS MATERIALIZED (SELECT node, reg, max(r) AS r FROM (
+           SELECT e.src AS node, s.reg, s.r FROM edges e
+             JOIN s${h - 1} s ON s.node = e.dst
+           UNION ALL SELECT node, reg, r FROM s${h - 1})
+         GROUP BY 1, 2)"""
+    }.mkString(",\n       ")
+    def est(h: Int): String =
+      s"""SELECT CAST($h AS BIGINT) AS h,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(em) AS BIGINT) AS est_pairs_micros FROM (
+           SELECT CAST(round((CASE WHEN (32 - cnt) > 0
+               AND $alphaNum / CAST(si + (32 - cnt) * $two56 AS DOUBLE)
+                 <= 80.0
+             THEN 32.0 * ln(32.0 / CAST(32 - cnt AS DOUBLE))
+             ELSE $alphaNum / CAST(si + (32 - cnt) * $two56 AS DOUBLE)
+             END) * 1000000.0) AS BIGINT) AS em
+           FROM (SELECT node,
+               sum(CAST(1 AS BIGINT) << CAST(56 - r AS INT)) AS si,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM s$h GROUP BY 1))"""
+    s"""WITH ev AS (SELECT user_id, event_id,
+           TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       edges AS (SELECT src, dst FROM tr
+         WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+       nodes AS (SELECT src AS node FROM edges
+         UNION SELECT dst FROM edges),
+       nh AS (SELECT node,
+           CAST(('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15))
+             AS BIGINT) AS hv
+         FROM nodes),
+       s0 AS MATERIALIZED (SELECT node, hv % 32 AS reg,
+           CASE WHEN (hv // 32) = 0 THEN 56
+             ELSE CAST(bit_count(((hv // 32) & (-(hv // 32))) - 1) + 1
+               AS BIGINT) END AS r
+         FROM nh),
+       $hops
+       ${(0 to maxHops).map(est).mkString("\n       UNION ALL ")}"""
+  }
+
   /** Oracle for `Similarity.ivfPqAdmitFromIndex` over a
     * `Similarity.ivfPqIndex` built on the id-stride corpus split
     * (q214): the [[pqTrainCtes]] codebooks/codes and seeded IVF cells

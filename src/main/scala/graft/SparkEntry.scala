@@ -1899,6 +1899,16 @@ object SparkEntry {
         Events.jsonField(col("props"), "$.k"))
         .filter(expr("(src * 31 + dst) % 5 < 1")), maxHops = 4)
 
+  /** HyperANF effective-diameter card over the FULL q196 transition
+    * graph (no edge thinning — the sketch face doesn't need it): per
+    * hop, the HLL-estimated within-h-hops pair count. The q196 exact
+    * face is this card's oracle-of-quality (error band spec-pinned);
+    * this face's oracle replays the sketches themselves. */
+  private def qHyperAnf(s: SparkSession, dir: String): DataFrame =
+    Graph.hyperAnf(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")), maxHops = 4)
+
   /** Off-policy replay evaluation: a greedy per-segment policy learned
     * on the train split, scored on eval rounds whose logged arm
     * matches — the unbiased offline estimate of online reward, with
@@ -2443,6 +2453,7 @@ object SparkEntry {
     "q212_nelson_aalen" -> (qNelsonAalen _),
     "q213_activity_streaks" -> (qActivityStreaks _),
     "q214_ivfpq_admission" -> (qIvfPqAdmission _),
+    "q215_hyperanf" -> (qHyperAnf _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5052,6 +5063,7 @@ object SparkEntry {
       OracleGen.ivfPqAdmitSql(stride = 10L, m = 8, k = 64,
         trainIters = 2, nCentroids = 16, nProbe = 4,
         thresholdMicros = 1100000L, dim = 64, trainStride = 4),
+    "q215_hyperanf" -> OracleGen.hyperAnfSql(maxHops = 4),
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

@@ -663,6 +663,87 @@ object Graph {
     counts.toSeq.toDF("h", "n_pairs")
   }
 
+  /** HyperANF — the [[neighborhoodFunction]] card at WEB scale (Boldi,
+    * Rosa & Vigna 2011): the exact face's materialized (source, target)
+    * pair state is O(Σ|N_h|), which dies on any graph with a large
+    * reachable set; HyperANF replaces the per-node reachable SET with a
+    * mergeable HyperLogLog sketch (m = 32 registers here), so per-node
+    * state is CONSTANT and each hop is the same one-join-one-agg
+    * Jacobi sweep as [[pageRank]] — register-wise max IS the sketch
+    * union, and max is combinable, so every hop's shuffle carries
+    * ≤ m·N narrow (node, reg, rank) rows. Output per hop:
+    * (h, n_nodes, est_pairs_micros) — the estimated ordered
+    * within-h-hops pair count in micros (h = 0 counts the reflexive
+    * pairs; ≈ n_nodes·1e6 up to HLL noise).
+    *
+    * Determinism (the cross-engine HLL contract): the register hash is
+    * the md5-prefix 60-bit integer (the q93 split idiom) — reg = low 5
+    * bits, rank = trailing-zero count of the remaining 55 bits + 1
+    * (bit_count((w & −w) − 1) + 1, pure integer ops both engines; the
+    * all-zero w caps at 56). Register maxes are exact integers; the
+    * per-node harmonic sum Σ2^(−M_j) is carried as the EXACT long
+    * Σ2^(56−M_j) (absent registers contribute 2^56) so float
+    * summation order never exists; the one float step per node is the
+    * mirrored αm²·2^56/S expression (with the Flajolet small-range
+    * linear-counting switch m·ln(m/V) when E ≤ 2.5m and V > 0),
+    * rounded to micros and SUMMED AS LONGS. ln/division of identical
+    * doubles match across engines (q82 precedent).
+    *
+    * Estimate quality: σ ≈ 1.04/√32 ≈ 18% per node — the standard
+    * HLL trade; the SPEC pins the realized error vs the exact face on
+    * the sf0.001 graph. Raising m is one constant. */
+  def hyperAnf(edges: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val m = 32
+    val two56 = 1L << 56
+    val alphaNum = 0.697 * m * m * two56.toDouble
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var sk = nodes
+      .withColumn("h",
+        conv(substring(md5(col("node").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("w", expr("h div 32"))
+      .select(col("node"), expr("h % 32").as("reg"),
+        when(col("w") === 0, lit(56L))
+          .otherwise(expr("cast(bit_count((w & -w) - 1) + 1 as bigint)"))
+          .as("r"))
+      .localCheckpoint(eager = false)
+    def estimate(h: Int): (Long, Long, Long) = {
+      val per = sk.groupBy(col("node"))
+        .agg(sum(expr("shiftleft(cast(1 as bigint), cast(56 - r as int))"))
+          .as("si"), count(lit(1)).as("cnt"))
+      val sInt = (col("si") +
+        (lit(m.toLong) - col("cnt")) * lit(two56)).cast("double")
+      val eRaw = lit(alphaNum) / sInt
+      val v = lit(m.toLong) - col("cnt")
+      val em = round(
+        when(v > 0 && eRaw <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+          .otherwise(eRaw) * 1e6).cast("long")
+      val row = per.select(em.as("em"))
+        .agg(count(lit(1)).as("n"), sum(col("em")).as("s"))
+        .collect()(0)
+      (h.toLong, row.getLong(0), row.getLong(1))
+    }
+    val out = scala.collection.mutable.ArrayBuffer(estimate(0))
+    for (h <- 1 to maxHops) {
+      sk = sk.join(e.select(col("dst").as("node"), col("src")), Seq("node"))
+        .select(col("src").as("node"), col("reg"), col("r"))
+        .unionByName(sk.select(col("node"), col("reg"), col("r")))
+        .groupBy(col("node"), col("reg"))
+        .agg(max(col("r")).as("r"))
+        .localCheckpoint(eager = false)
+      out += estimate(h)
+    }
+    out.toSeq.toDF("h", "n_nodes", "est_pairs_micros")
+  }
+
   /** STRONGLY CONNECTED COMPONENTS of a directed graph — the analysis
     * [[Dedup.components]]' undirected union-find cannot express: "which
     * page groups can users cycle among" (navigation loops), mutual-link

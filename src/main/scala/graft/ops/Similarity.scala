@@ -666,6 +666,91 @@ object Similarity {
     * corpora that are (e.g. PCA-projected embeddings, whose leading
     * dims dominate). A LEARNED R (full OPQ, alternating Procrustes)
     * is the documented next step if such a corpus shows up. */
+  /** LEARNED OPQ rotation — the full alternating optimization (Ge et
+    * al. 2013 §4, OPQ-NP; the step [[opqRotate]]'s scaladoc names as
+    * next if a corpus warrants it): alternate (a) PQ codebook training
+    * in the rotated space and (b) the orthogonal-Procrustes solve
+    * R = U·Vᵀ from the SVD of Xᵀ·Y (Y = the PQ reconstruction), which
+    * is the norm-constrained minimizer of ‖X·R − Y‖_F. Returns the
+    * d×d rotation as rows.
+    *
+    * Scale shape: the fit runs on the DETERMINISTIC id-stride sample
+    * — the same bounded-sample contract as [[pqArtifacts]]'
+    * trainStride — collected to the driver (sample·d doubles; the
+    * codebooks only need approximate subspace geometry, so a few
+    * thousand rows suffice at any corpus size) where the per-subspace
+    * Lloyd rounds are O(sample·k·sub) and the SVD is on the CONSTANT
+    * d×d correlation (breeze/LAPACK, d = 64 ⇒ trivial). Applying R is
+    * a per-row map (no shuffle), like [[opqRotate]].
+    *
+    * Measured (RecallProbe r12, PQ m=8 k=64 iters=3 vs the SAME L2
+    * truth, equal bytes): see PLANS.md round-12 log — the
+    * registration discipline is the r11 OPQ rule: a query face ships
+    * ONLY if recall improves at equal bytes. */
+  def opqTrainRotation(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, k: Int = 64, lloydIters: Int = 3,
+                       alternations: Int = 4, trainStride: Long = 1,
+                       dim: Int = 64): Array[Array[Double]] = {
+    import breeze.linalg.{DenseMatrix, svd => bsvd}
+    require(dim % m == 0 && m >= 1, "need dim divisible by m")
+    require(alternations >= 1 && lloydIters >= 1 && trainStride >= 1,
+      "need alternations, lloydIters, trainStride >= 1")
+    val sub = dim / m
+    val sample = emb
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(col("id") % trainStride === 0)
+      .orderBy(col("id"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val n = sample.length
+    val kk = math.min(k, n)
+    val X = DenseMatrix.tabulate(n, dim)((i, j) => sample(i)(j))
+    var R = DenseMatrix.eye[Double](dim)
+    def nearest(z: DenseMatrix[Double], i: Int, lo: Int,
+                cents: Array[Array[Double]]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d2 = 0.0; var d = 0
+        while (d < sub) {
+          val t = z(i, lo + d) - cents(c)(d); d2 += t * t; d += 1
+        }
+        if (d2 < bd) { bd = d2; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to alternations) {
+      val Z = X * R
+      val Y = DenseMatrix.zeros[Double](n, dim)
+      for (j <- 0 until m) {
+        val lo = j * sub
+        val cents = Array.tabulate(kk, sub)((c, d) => Z(c, lo + d))
+        for (_ <- 1 to lloydIters) {
+          val sums = Array.fill(kk, sub)(0.0)
+          val cnt = Array.fill(kk)(0)
+          for (i <- 0 until n) {
+            val c = nearest(Z, i, lo, cents)
+            cnt(c) += 1
+            var d = 0
+            while (d < sub) { sums(c)(d) += Z(i, lo + d); d += 1 }
+          }
+          for (c <- 0 until kk if cnt(c) > 0; d <- 0 until sub)
+            cents(c)(d) = sums(c)(d) / cnt(c)
+        }
+        for (i <- 0 until n) {
+          val c = nearest(Z, i, lo, cents)
+          var d = 0
+          while (d < sub) { Y(i, lo + d) = cents(c)(d); d += 1 }
+        }
+      }
+      val s = bsvd(X.t * Y)
+      R = s.U * s.Vt
+    }
+    Array.tabulate(dim, dim)((i, j) => R(i, j))
+  }
+
   def opqRotate(df: DataFrame, vecCol: String, reflections: Int = 4,
                 dim: Int = 64): DataFrame = {
     require(reflections >= 1, "need reflections >= 1")

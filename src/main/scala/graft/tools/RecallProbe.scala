@@ -18,6 +18,22 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftSession.tune(spark)
     import spark.implicits._
+    // probe-only rotation application (collect-rotate-recreate; the
+    // production application is a per-row map like opqRotate)
+    def applyRotation(df: org.apache.spark.sql.DataFrame,
+                      r: Array[Array[Double]]) = {
+      val dim = r.length
+      df.select(col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect()
+        .map { case (id, v) =>
+          (id, Array.tabulate(dim) { i =>
+            var s = 0.0; var j = 0
+            while (j < dim) { s += v(j) * r(j)(i); j += 1 }
+            s
+          })
+        }.toSeq.toDF("vec_id", "embedding")
+    }
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val docs = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
       val exact = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text",
@@ -138,6 +154,15 @@ object RecallProbe {
         queryStride = 100, trainStride = 4))
       println(f"PQ recall@5 (L2 truth) plain=${recallL2(pqPlain)}%.3f " +
         f"opq-rotated=${recallL2(pqRot)}%.3f")
+      // LEARNED OPQ (alternating Lloyd + Procrustes, r12 brief item 5)
+      val rOpq = graft.ops.Similarity.opqTrainRotation(emb, "vec_id",
+        "embedding", m = 8, k = 64, lloydIters = 3, alternations = 4,
+        trainStride = 4)
+      val pqOpq = topSets(graft.ops.Similarity.pqTopK(
+        applyRotation(emb, rOpq), "vec_id", "embedding", m = 8, k = 64,
+        trainIters = 3, topK = 5, queryStride = 100, trainStride = 4))
+      println(f"PQ recall@5 (L2 truth) opq-LEARNED=${recallL2(pqOpq)}%.3f " +
+        "(alternating fit, same bytes)")
     }
     // Same comparison on a CLUSTERED corpus (16 well-separated centers,
     // small within-cluster noise — the regime residual encoding exists
@@ -195,6 +220,15 @@ object RecallProbe {
         queryStride = 100, trainStride = 4))
       println(f"PQ recall@5 CLUSTERED (L2 truth) plain=${recallL2(pqPlain)}%.3f " +
         f"opq-rotated=${recallL2(pqRot)}%.3f")
+      val rOpq = graft.ops.Similarity.opqTrainRotation(clustered,
+        "vec_id", "embedding", m = 8, k = 64, lloydIters = 3,
+        alternations = 4, trainStride = 4)
+      val pqOpq = topSets(graft.ops.Similarity.pqTopK(
+        applyRotation(clustered, rOpq), "vec_id", "embedding", m = 8,
+        k = 64, trainIters = 3, topK = 5, queryStride = 100,
+        trainStride = 4))
+      println(f"PQ recall@5 CLUSTERED (L2 truth) " +
+        f"opq-LEARNED=${recallL2(pqOpq)}%.3f (alternating fit, same bytes)")
     }
     // Routed mining recall vs the brute faces at the shipped q190/q206
     // sf0.1 params (round-12 brief items 1–2): what fraction of the

@@ -1909,6 +1909,99 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")), maxHops = 4)
 
+  /** Zipf rank-frequency fit over the corpus vocabulary (top 500
+    * terms): slope ≈ −1 is natural language, far off flags synthetic/
+    * boilerplate text; r² says whether a power law fits at all. */
+  private def qZipfFit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 500)
+
+  /** Cramér's V association between order priority and status — the
+    * one-number normalized companion to q155's per-cell χ² card. */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame =
+    DataQuality.cramersV(t(s, dir, "orders"), "o_orderpriority",
+      "o_orderstatus")
+
+  /** Mutual information (and NMI) between return flag and line status
+    * — the nats-denominated dependence screen beside χ²/V. */
+  private def qMutualInformation(s: SparkSession, dir: String): DataFrame =
+    DataQuality.mutualInformation(t(s, dir, "lineitem"), "l_returnflag",
+      "l_linestatus")
+
+  /** Log-rank test: do odd and even user cohorts convert at the same
+    * hazard? O−E over the pooled per-day risk sets of the q120
+    * signup→purchase survival relation, censoring included. */
+  private def qLogRank(s: SparkSession, dir: String): DataFrame =
+    Events.logRankTest(Events.load(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", eventType = "purchase",
+      cohortCol = pmod(col("user_id"), lit(2)) === 1)
+
+  /** Stationary distribution of the q151 event-type Markov chain —
+    * 10 integer-micros power-iteration steps from uniform. */
+  private def qMarkovStationary(s: SparkSession, dir: String): DataFrame =
+    Events.markovStationary(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", iters = 10)
+
+  /** k-anonymity audit of customers on the (nation, market-segment)
+    * quasi-identifier pair at k = 5 — equivalence-class profile with
+    * the at-risk rate. */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    DataQuality.kAnonymityAudit(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 5L)
+
+  /** AMS F₂ sketch of the l_partkey frequency vector (16 estimators)
+    * vs the exact second moment — the self-join-size / repeat-rate
+    * card with its realized error. */
+  private def qAmsF2(s: SparkSession, dir: String): DataFrame =
+    Sketches.amsF2(t(s, dir, "lineitem"), col("l_partkey"),
+      nSketches = 16)
+
+  /** Hill tail-index of order totals per priority (top 50 order
+    * stats): α ≤ 2 means infinite variance — plan skew-robust. */
+  private def qHillTail(s: SparkSession, dir: String): DataFrame =
+    DataQuality.hillTailIndex(t(s, dir, "orders"), "o_orderpriority",
+      col("o_totalprice"), col("o_orderkey"), k = 50)
+
+  /** Nearest-neighbor matching ATT: each odd (treated) user matched
+    * to the control nearest on activity level, mean outcome gap — the
+    * per-unit-counterfactual causal estimator beside q174 DiD and
+    * q188 stratification. */
+  private def qNnMatching(s: SparkSession, dir: String): DataFrame =
+    Events.nnMatchingAtt(Events.load(s, dir), "user_id", "value",
+      treatedCol = pmod(col("user_id"), lit(2)) === 1)
+
+  /** Seasonal strength F_s per event type — "is the dow pattern real"
+    * over the q181 decomposition's variance split. */
+  private def qSeasonalStrength(s: SparkSession, dir: String): DataFrame =
+    Events.seasonalStrength(Events.load(s, dir), "event_type", "ts")
+
+  /** Qini uplift-by-decile: incremental purchase conversion of the
+    * treated (odd users) over the control rate, ranked by activity
+    * score — the targeting eval q207's lift curve can't express. */
+  private def qQiniUplift(s: SparkSession, dir: String): DataFrame =
+    Events.qiniUplift(Events.load(s, dir), "user_id", "event_type",
+      convType = "purchase", treatedCol = pmod(col("user_id"), lit(2)) === 1)
+
+  /** Reciprocity / dyad census of the full transition graph — what
+    * fraction of flows come back. */
+  private def qReciprocity(s: SparkSession, dir: String): DataFrame =
+    Graph.reciprocity(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")))
+
+  /** Directed modularity of the q187 SCC partition on the thinned
+    * transition graph — "are the cycles real structure or random
+    * wiring", the quality card for any graph partition. */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    // self-loops dropped: the q187 SCC graph convention — the partition
+    // under evaluation and the edge relation must be the SAME graph
+    val edges = Graph.transitionEdges(t(s, dir, "events"), "user_id",
+        "event_id", Events.jsonField(col("props"), "$.k"))
+      .filter(col("src") =!= col("dst"))
+      .filter(expr("(src * 31 + dst) % 5 < 1"))
+      .localCheckpoint(eager = false)
+    Graph.modularity(edges, Graph.scc(edges))
+  }
+
   /** Off-policy replay evaluation: a greedy per-segment policy learned
     * on the train split, scored on eval rounds whose logged arm
     * matches — the unbiased offline estimate of online reward, with
@@ -2454,6 +2547,19 @@ object SparkEntry {
     "q213_activity_streaks" -> (qActivityStreaks _),
     "q214_ivfpq_admission" -> (qIvfPqAdmission _),
     "q215_hyperanf" -> (qHyperAnf _),
+    "q216_zipf_fit" -> (qZipfFit _),
+    "q217_cramers_v" -> (qCramersV _),
+    "q218_mutual_information" -> (qMutualInformation _),
+    "q219_log_rank" -> (qLogRank _),
+    "q220_markov_stationary" -> (qMarkovStationary _),
+    "q221_k_anonymity" -> (qKAnonymity _),
+    "q222_ams_f2" -> (qAmsF2 _),
+    "q223_hill_tail" -> (qHillTail _),
+    "q224_modularity" -> (qModularity _),
+    "q225_nn_matching" -> (qNnMatching _),
+    "q226_seasonal_strength" -> (qSeasonalStrength _),
+    "q227_qini_uplift" -> (qQiniUplift _),
+    "q228_reciprocity" -> (qReciprocity _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5064,6 +5170,394 @@ object SparkEntry {
         trainIters = 2, nCentroids = 16, nProbe = 4,
         thresholdMicros = 1100000L, dim = 64, trainStride = 4),
     "q215_hyperanf" -> OracleGen.hyperAnfSql(maxHops = 4),
+    "q216_zipf_fit" ->
+      """WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT u.term FROM documents,
+               UNNEST(string_split(text, ' ')) AS u(term)
+             WHERE u.term <> '') GROUP BY 1),
+         top AS (SELECT term, cnt FROM tc
+           ORDER BY cnt DESC, term ASC LIMIT 500),
+         xy AS (SELECT
+             CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC,
+               term ASC) AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+             CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS y
+           FROM top),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM xy),
+         d AS (SELECT n, sx, sy,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+           FROM s)
+         SELECT n AS n_terms,
+           CASE WHEN CAST(den AS DOUBLE) <> 0.0
+             THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
+             END AS slope,
+           CASE WHEN CAST(den AS DOUBLE) <> 0.0
+             THEN round((CAST(sy AS DOUBLE)
+               - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000.0, 4) END AS intercept,
+           CASE WHEN CAST(den AS DOUBLE) <> 0.0
+               AND CAST(deny AS DOUBLE) <> 0.0
+             THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+               / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 4)
+             END AS r2
+         FROM d""",
+    "q217_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(count(*) AS BIGINT) AS o
+           FROM orders WHERE o_orderpriority IS NOT NULL
+             AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells
+           GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells
+           GROUP BY 1),
+         dims AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT a) AS BIGINT) AS r,
+             CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+         sm AS (SELECT CAST(sum(CAST((1000000000000
+               * CAST(o AS HUGEINT) * o)
+               // (CAST(ra AS HUGEINT) * cb) AS BIGINT)) AS BIGINT) AS s
+           FROM cells JOIN rt USING (a) JOIN ct USING (b))
+         SELECT n, r, c,
+           CASE WHEN least(r, c) > 1
+             THEN round(sqrt(CAST(greatest(s - 1000000000000, 0)
+               AS DOUBLE)
+               / (1000000000000.0 * CAST(least(r, c) - 1 AS DOUBLE))), 4)
+             END AS v
+         FROM sm, dims""",
+    "q218_mutual_information" ->
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+             CAST(count(*) AS BIGINT) AS o
+           FROM lineitem WHERE l_returnflag IS NOT NULL
+             AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells
+           GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells
+           GROUP BY 1),
+         nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         mi AS (SELECT CAST(coalesce(sum(CAST(round(
+               (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+                 / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+               * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS mi
+           FROM cells JOIN rt USING (a) JOIN ct USING (b), nt),
+         ha AS (SELECT CAST(coalesce(sum(CAST(round(
+               ((-CAST(ra AS DOUBLE)) / CAST(n AS DOUBLE))
+               * ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS ha
+           FROM rt, nt),
+         hb AS (SELECT CAST(coalesce(sum(CAST(round(
+               ((-CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE))
+               * ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS hb
+           FROM ct, nt)
+         SELECT n, mi AS mi_micros, ha AS h_a_micros, hb AS h_b_micros,
+           CASE WHEN ha > 0 AND hb > 0
+             THEN round(CAST(mi AS DOUBLE)
+               / sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 4)
+             END AS nmi
+         FROM mi, ha, hb, nt""",
+    "q219_log_rank" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0,
+             max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS g
+           FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         fe AS (SELECT e.user_id, min(e.ts) AS te
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT st.g,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             (epoch_us(COALESCE(te, tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fe USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT d, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(obs) AS BIGINT) AS e_at,
+             CAST(sum(g) AS BIGINT) AS n1_at,
+             CAST(sum(g * obs) AS BIGINT) AS e1_at
+           FROM dur GROUP BY 1),
+         r AS (SELECT d, e_at, n1_at,
+             CAST(sum(n_at) OVER w AS BIGINT) AS nt,
+             CAST(sum(n1_at) OVER w AS BIGINT) AS n1t
+           FROM byd
+           WINDOW w AS (ORDER BY d ASC
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         terms AS (SELECT b0 AS em,
+             CASE WHEN nt > 1 THEN
+               CAST((CAST(CAST((CAST(b0 AS HUGEINT) * (nt - n1t))
+                 // nt AS BIGINT) AS HUGEINT) * (nt - e_at))
+                 // (nt - 1) AS BIGINT)
+               ELSE 0 END AS vm
+           FROM (SELECT *,
+               CAST((1000000 * CAST(e_at AS HUGEINT) * n1t) // nt
+                 AS BIGINT) AS b0
+             FROM r WHERE e_at > 0) em0),
+         tot AS (SELECT CAST(sum(g) AS BIGINT) AS n1,
+             CAST(sum(1 - g) AS BIGINT) AS n0,
+             CAST(sum(g * obs) AS BIGINT) AS o1 FROM dur),
+         agg AS (SELECT CAST(coalesce(sum(em), 0) AS BIGINT)
+               AS e1_micros,
+             CAST(coalesce(sum(vm), 0) AS BIGINT) AS v_micros
+           FROM terms)
+         SELECT n1, n0, o1, e1_micros, v_micros,
+           CASE WHEN v_micros > 0
+             THEN round((CAST(o1 AS DOUBLE) * 1000000.0
+               - CAST(e1_micros AS DOUBLE))
+               / (1000.0 * sqrt(CAST(v_micros AS DOUBLE))), 4) + 0.0
+             END AS z
+         FROM agg, tot""",
+    "q220_markov_stationary" -> {
+      val pCtes =
+        """seq AS (SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS to_type
+           FROM events),
+         pr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM pr
+           GROUP BY 1),
+         p AS (SELECT pr.from_type, to_type,
+             (n * 1000000) // tot AS p_micros
+           FROM pr JOIN t ON pr.from_type = t.from_type),
+         states AS MATERIALIZED (SELECT from_type AS state FROM p
+           UNION SELECT to_type FROM p),
+         pi0 AS (SELECT state,
+             1000000 // (SELECT count(*) FROM states) AS pi
+           FROM states)"""
+      val steps = (1 to 10).map { i =>
+        s"""pi$i AS (SELECT p.to_type AS state,
+             CAST(sum((pi.pi * p.p_micros) // 1000000) AS BIGINT) AS pi
+           FROM p JOIN pi${i - 1} pi ON pi.state = p.from_type
+           GROUP BY 1)"""
+      }.mkString(",\n         ")
+      s"""WITH $pCtes,
+         $steps
+         SELECT s.state, CAST(coalesce(pi10.pi, 0) AS BIGINT)
+           AS pi_micros
+         FROM states s LEFT JOIN pi10 ON pi10.state = s.state"""
+    },
+    "q221_k_anonymity" ->
+      """WITH s AS (SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS sz
+           FROM customer GROUP BY 1, 2),
+         a AS (SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             min(sz) AS min_class,
+             CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+             CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+           FROM s)
+         SELECT 'c_nationkey,c_mktsegment' AS qi, n_rows, n_classes,
+           min_class, rows_below_k, n_unique,
+           (1000000 * rows_below_k) // n_rows AS at_risk_rate_micros
+         FROM a""",
+    "q222_ams_f2" ->
+      """WITH cnts AS (SELECT l_partkey AS k,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         ex AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             coalesce(sum(CAST(cnt AS HUGEINT) * cnt), 0) AS f2x
+           FROM cnts),
+         sk AS (SELECT i,
+             CAST(sum(CASE WHEN CAST(('0x' || substring(md5(
+               CAST(i AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 = 0 THEN cnt ELSE -cnt END) AS BIGINT) AS z
+           FROM cnts, range(0, 16) t(i) GROUP BY 1),
+         es AS (SELECT CAST(sum(CAST(z AS HUGEINT) * z) // count(*)
+             AS BIGINT) AS f2_est FROM sk)
+         SELECT n_rows, n_keys, CAST(f2x AS BIGINT) AS f2_exact, f2_est,
+           CASE WHEN f2x > 0 THEN (1000000
+             * abs(f2_est - CAST(f2x AS BIGINT)))
+             // CAST(f2x AS BIGINT) END AS rel_err_micros
+         FROM ex, es""",
+    "q223_hill_tail" ->
+      """WITH base AS (SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey AS id
+           FROM orders),
+         pos AS (SELECT * FROM base WHERE cents > 0),
+         rk AS (SELECT grp, cents, row_number() OVER (PARTITION BY grp
+             ORDER BY cents DESC, id ASC) AS rk FROM pos),
+         ref AS (SELECT grp, cents AS x_ref FROM rk WHERE rk = 51),
+         tm AS (SELECT r.grp, CAST(round(ln(CAST(r.cents AS DOUBLE)
+               / CAST(ref.x_ref AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS lm
+           FROM rk r JOIN ref ON ref.grp = r.grp WHERE r.rk <= 50),
+         a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_top,
+             CAST(sum(lm) AS BIGINT) AS hill_sum_micros
+           FROM tm GROUP BY 1)
+         SELECT grp, CAST(50 AS BIGINT) AS k, hill_sum_micros,
+           CASE WHEN hill_sum_micros > 0
+             THEN round(50.0 * 1000000.0
+               / CAST(hill_sum_micros AS DOUBLE), 4) END AS alpha
+         FROM a WHERE n_top = 50""",
+    "q225_nn_matching" ->
+      """WITH per AS (SELECT user_id AS u, CAST(count(*) AS BIGINT)
+             AS cov,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS y,
+             max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS g
+           FROM events GROUP BY 1),
+         ctl AS (SELECT cov, cu, cy FROM (SELECT cov, u AS cu, y AS cy,
+             row_number() OVER (PARTITION BY cov ORDER BY u ASC) AS rn
+           FROM per WHERE g = 0) WHERE rn = 1),
+         tr AS (SELECT cov, u, y FROM per WHERE g = 1),
+         pv AS (SELECT t.u, max(c.cov) AS pcov FROM tr t
+           LEFT JOIN ctl c ON c.cov <= t.cov GROUP BY 1),
+         nx AS (SELECT t.u, min(c.cov) AS ncov FROM tr t
+           LEFT JOIN ctl c ON c.cov > t.cov GROUP BY 1),
+         pick AS (SELECT t.u, t.y,
+             CASE WHEN pcov IS NULL THEN ncov
+                  WHEN ncov IS NULL THEN pcov
+                  WHEN t.cov - pcov <= ncov - t.cov THEN pcov
+                  ELSE ncov END AS mcov
+           FROM tr t JOIN pv ON pv.u = t.u JOIN nx ON nx.u = t.u),
+         j AS (SELECT p.y, c.cy FROM pick p
+           JOIN ctl c ON c.cov = p.mcov)
+         SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sign(sum(y - cy)) AS BIGINT)
+             * CAST((1000000 * CAST(abs(sum(y - cy)) AS HUGEINT))
+               // count(*) AS BIGINT) AS att_micros
+         FROM j""",
+    "q226_seasonal_strength" ->
+      """WITH daily AS (SELECT event_type AS g,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT g, day, y,
+             CAST(count(*) OVER w7 AS BIGINT) AS n7,
+             CAST(sum(y) OVER w7 AS BIGINT) AS s7
+           FROM daily WINDOW w7 AS (PARTITION BY g ORDER BY day ASC
+             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t3 AS (SELECT g, day, day % 7 AS dow, y,
+             CASE WHEN n7 = 7 THEN (1000000 * s7) // 7 END
+               AS trend_micros,
+             1000000 * y - CASE WHEN n7 = 7 THEN (1000000 * s7) // 7 END
+               AS detr
+           FROM t),
+         seas AS (SELECT g, dow, CAST(sum(detr) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM t3 WHERE detr IS NOT NULL GROUP BY 1, 2),
+         s2 AS (SELECT g, dow,
+             CASE WHEN sd >= 0 THEN sd // nd ELSE -((-sd) // nd) END
+               AS seasonal_micros
+           FROM seas),
+         comp AS (SELECT t3.g,
+             1000000 * t3.y - t3.trend_micros AS dt,
+             t3.detr - s2.seasonal_micros AS r
+           FROM t3 JOIN s2 ON s2.g = t3.g AND s2.dow = t3.dow
+           WHERE t3.detr IS NOT NULL),
+         a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dt) AS BIGINT) AS sd,
+             sum(CAST(dt AS HUGEINT) * dt) AS sdd,
+             CAST(sum(r) AS BIGINT) AS sr,
+             sum(CAST(r AS HUGEINT) * r) AS srr
+           FROM comp GROUP BY 1)
+         SELECT g AS grp, n AS n_days,
+           CASE WHEN CAST(CAST(n AS HUGEINT) * sdd
+               - CAST(sd AS HUGEINT) * sd AS DOUBLE) > 0.0
+             THEN round(greatest(0.0,
+               1.0 - CAST(CAST(n AS HUGEINT) * srr
+                 - CAST(sr AS HUGEINT) * sr AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sdd
+                 - CAST(sd AS HUGEINT) * sd AS DOUBLE)), 4)
+             END AS f_seasonal
+         FROM a""",
+    "q227_qini_uplift" ->
+      """WITH per AS (SELECT user_id AS u,
+             CAST(count(*) AS BIGINT) AS score,
+             max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS g,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+           FROM events GROUP BY 1),
+         tl AS (SELECT ntile(10) OVER (ORDER BY score DESC, u ASC)
+             AS tile, g, y FROM per),
+         td AS (SELECT CAST(tile AS BIGINT) AS tile,
+             CAST(sum(g) AS BIGINT) AS n_t,
+             CAST(sum(1 - g) AS BIGINT) AS n_c,
+             CAST(sum(g * y) AS BIGINT) AS conv_t,
+             CAST(sum((1 - g) * y) AS BIGINT) AS conv_c
+           FROM tl GROUP BY 1),
+         c AS (SELECT tile, n_t, n_c, conv_t, conv_c,
+             CAST(sum(n_t) OVER w AS BIGINT) AS cnt,
+             CAST(sum(n_c) OVER w AS BIGINT) AS cnc,
+             CAST(sum(conv_t) OVER w AS BIGINT) AS cct,
+             CAST(sum(conv_c) OVER w AS BIGINT) AS ccc
+           FROM td WINDOW w AS (ORDER BY tile ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT tile, n_t, n_c, conv_t, conv_c,
+           CASE WHEN cnc > 0 THEN
+             CAST(sign(CAST(cct AS HUGEINT) * cnc
+               - CAST(ccc AS HUGEINT) * cnt) AS BIGINT)
+             * CAST((1000000 * abs(CAST(cct AS HUGEINT) * cnc
+               - CAST(ccc AS HUGEINT) * cnt)) // cnc AS BIGINT)
+             END AS q_micros
+         FROM c""",
+    "q228_reciprocity" ->
+      """WITH ev AS (SELECT user_id, event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events),
+         tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+               ORDER BY event_id ASC) AS src, k AS dst
+           FROM ev WHERE k IS NOT NULL),
+         edges AS (SELECT src, dst FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         mu AS (SELECT CAST(count(*) AS BIGINT) AS mu FROM edges e
+           JOIN edges r ON r.src = e.dst AND r.dst = e.src),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges)
+         SELECT m AS m_edges, mu AS n_mutual_edges,
+           mu // 2 AS n_mutual_dyads, m - mu AS n_asym_dyads,
+           (1000000 * mu) // m AS reciprocity_micros
+         FROM mm, mu""",
+    "q224_modularity" ->
+      """WITH RECURSIVE
+         ev AS (SELECT user_id, event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events),
+         tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+               ORDER BY event_id ASC) AS src, k AS dst
+           FROM ev WHERE k IS NOT NULL),
+         edges AS (SELECT src, dst FROM tr
+           WHERE src IS NOT NULL AND src <> dst
+             AND (src * 31 + dst) % 5 < 1 GROUP BY 1, 2),
+         nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+         reach AS (
+           SELECT n AS a, n AS b FROM nodes
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         s AS (SELECT r1.a AS node, min(r1.b) AS scc_id
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+           GROUP BY 1),
+         el AS (SELECT e.src, e.dst, ls.scc_id AS sc, ld.scc_id AS dc
+           FROM edges e JOIN s ls ON ls.node = e.src
+           JOIN s ld ON ld.node = e.dst),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+         w AS (SELECT sc AS comm, CAST(count(*) AS BIGINT) AS e_cc
+           FROM el WHERE sc = dc GROUP BY 1),
+         od AS (SELECT sc AS comm, CAST(count(*) AS BIGINT) AS dout
+           FROM el GROUP BY 1),
+         idg AS (SELECT dc AS comm, CAST(count(*) AS BIGINT) AS din
+           FROM el GROUP BY 1),
+         tm AS (SELECT (1000000 * coalesce(w.e_cc, 0)) // mm.m
+             - CAST((1000000 * CAST(coalesce(od.dout, 0) AS HUGEINT)
+               * coalesce(idg.din, 0))
+               // (CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS t
+           FROM od FULL OUTER JOIN idg USING (comm)
+           LEFT JOIN w USING (comm), mm)
+         SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           (SELECT m FROM mm) AS m_edges,
+           CAST(sum(t) AS BIGINT) AS q_micros
+         FROM tm""",
     "q174_did_estimator" ->
       """WITH cells AS (SELECT event_type,
              (user_id % 2 = 1) AS treated,

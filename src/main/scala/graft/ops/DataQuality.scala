@@ -132,6 +132,177 @@ object DataQuality {
           .as("chi2_term"))
   }
 
+  /** CRAMÉR'S V — the one-number association strength between two
+    * categorical columns (Cramér 1946): V = √(χ²/(n·min(r−1, c−1))) ∈
+    * [0, 1], the normalized companion to the per-cell χ² card
+    * ([[chi2Independence]]): χ² alone grows with n and table size, V
+    * answers "HOW associated" on a fixed scale — the screen for
+    * redundant categorical features and proxy-variable leaks.
+    *
+    * Exact-integer route: χ²/n + 1 = Σ_cells o²/(e_frac) ... computed
+    * as S = Σ_cells (1e12·o²) div (ra·cb) — each term an exact long in
+    * [0, 1e12·o/min(ra,cb)] with the o² and ra·cb products carried in
+    * decimal(38,0)/HUGEINT (the r12 ladder; int64 dies at ~3e9 rows),
+    * each term ≤ 1e12 summed over ≤ r·c cells — then
+    * χ² = n·(S/1e12 − 1) and V = √((S − 1e12)/(1e12·min(r−1,c−1))) is
+    * ONE mirrored float expression over exact integers (round-4;
+    * max(0, ·) guards the S < 1e12 floor-error case). Degenerate
+    * single-level columns (min(r−1,c−1) = 0) yield NULL.
+    *
+    * Scale shape: ONE (a, b) count aggregation; marginals derive from
+    * it; the final card is one row. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("o")).as("ra"))
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("o")).as("cb"))
+    val dims = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col(aCol)).as("r"),
+      count_distinct(col(bCol)).as("c"))
+    cells.join(broadcast(rowT), aCol).join(broadcast(colT), bCol)
+      .select(
+        expr("cast((cast(1000000000000 as decimal(38,0)) * o * o)" +
+          " div (cast(ra as decimal(38,0)) * cb) as bigint)").as("t"))
+      .agg(sum(col("t")).as("s"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("r"), col("c"),
+        when(least(col("r"), col("c")) > 1,
+          round(sqrt(
+            greatest(col("s") - lit(1000000000000L), lit(0L))
+              .cast("double") /
+              (lit(1e12) * (least(col("r"), col("c")) - 1)
+                .cast("double"))), 4))
+          .as("v"))
+  }
+
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * dependence measure that (unlike χ²/V) reads in NATS and feeds
+    * feature selection directly: MI = Σ_cells (o/n)·ln(o·n/(ra·cb)),
+    * with the normalized NMI = MI/√(H_a·H_b) ∈ [0, 1] beside it (the
+    * clustering-agreement normalization of Strehl & Ghosh 2002).
+    *
+    * Determinism: every cell/level term is ONE mirrored float
+    * expression over exact longs — (o/n)·ln(o·n/(ra·cb)) for MI,
+    * −(ra/n)·ln(ra/n) for the entropies — each ROUNDED TO MICROS and
+    * then summed as LONGS (order-free; the q82 ln contract covers the
+    * shared doubles). NMI is one final mirrored float over the summed
+    * micros; NULL when either entropy is 0 (a constant column carries
+    * no information to normalize by).
+    *
+    * Scale shape: one (a, b) count collapse; marginals derive from it;
+    * cell count (≤ r·c) bounds everything downstream. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("o")).as("ra"))
+      .localCheckpoint(eager = false)
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("o")).as("cb"))
+      .localCheckpoint(eager = false)
+    val n = cells.agg(sum(col("o")).as("n"))
+    def entMicros(t: DataFrame, cnt: String): DataFrame =
+      t.crossJoin(broadcast(n))
+        .select(round((-col(cnt).cast("double") / col("n").cast("double"))
+          * log(col(cnt).cast("double") / col("n").cast("double"))
+          * 1e6).cast("long").as("hm"))
+        .agg(coalesce(sum(col("hm")), lit(0L)).as("h"))
+    val mi = cells.join(broadcast(rowT), aCol).join(broadcast(colT), bCol)
+      .crossJoin(broadcast(n))
+      .select(round((col("o").cast("double") / col("n").cast("double"))
+        * log((col("o").cast("double") * col("n").cast("double")) /
+          (col("ra").cast("double") * col("cb").cast("double")))
+        * 1e6).cast("long").as("tm"))
+      .agg(coalesce(sum(col("tm")), lit(0L)).as("mi"))
+    mi.crossJoin(broadcast(entMicros(rowT, "ra").select(col("h").as("ha"))))
+      .crossJoin(broadcast(entMicros(colT, "cb").select(col("h").as("hb"))))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("mi").as("mi_micros"),
+        col("ha").as("h_a_micros"), col("hb").as("h_b_micros"),
+        when(col("ha") > 0 && col("hb") > 0,
+          round(col("mi").cast("double") /
+            sqrt(col("ha").cast("double") * col("hb").cast("double")), 4))
+          .as("nmi"))
+  }
+
+  /** K-ANONYMITY AUDIT over a quasi-identifier column set — the
+    * privacy screen a training-data release runs before shipping
+    * (Sweeney 2002): every row must be indistinguishable from ≥ k−1
+    * others on the QI columns; the card reports the equivalence-class
+    * profile — group count, minimum class size, rows in classes below
+    * k, and the at-risk rate in micros. UNIQUES (size-1 classes) are
+    * the re-identification disasters; the k threshold is policy.
+    *
+    * All exact integers: one combinable QI-group count, then one
+    * combinable rollup over the group-size relation. Scale shape: the
+    * group collapse is the only row-scale pass; everything after is
+    * |classes|-sized. */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Long)
+      : DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, "need QI columns and k >= 2")
+    val sizes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"))
+    sizes.agg(sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("sz")).as("min_class"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L))
+          .as("rows_below_k"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(lit(qiCols.mkString(",")).as("qi"), col("n_rows"),
+        col("n_classes"), col("min_class"), col("rows_below_k"),
+        col("n_unique"),
+        expr("(1000000L * rows_below_k) div n_rows")
+          .as("at_risk_rate_micros"))
+  }
+
+  /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
+    * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
+    * the top-(k+1) order statistics. α ≤ 2 means infinite variance
+    * (plan for skew-robust aggregates), α near 1 means a few rows
+    * dominate any sum — the quantitative version of the q134 Lorenz /
+    * q115 Gini concentration cards, and the principled check before
+    * trusting means at 100 TB.
+    *
+    * Determinism: order stats from ONE per-group top-(k+1) window
+    * (value desc, id asc — the q26 tie contract); each ln(x_i/x_ref)
+    * is a mirrored float over exact cents ROUNDED TO MICROS, the k
+    * terms SUM AS LONGS (order-free), and α̂ = k·1e6/Σ is one final
+    * mirrored float (round-4). Groups with fewer than k+1 positive
+    * values drop (no tail to estimate). Zero/negative values are
+    * excluded before ranking (ln domain).
+    *
+    * Scale shape: one per-group WindowGroupLimit top-(k+1), one
+    * combinable agg — the q07 family. */
+  def hillTailIndex(df: DataFrame, groupCol: String, valCol: Column,
+                    idCol: Column, k: Int = 100): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val base = df.select(col(groupCol).as("grp"),
+        round(valCol * 100).cast("long").as("cents"), idCol.as("id"))
+      .filter(col("cents") > 0)
+    val top = graft.ops.Windows.topKPerGroup(base, Seq(col("grp")),
+      Seq(col("cents").desc, col("id").asc), k + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("cents").desc, col("id").asc)
+    val ranked = top.withColumn("rk", row_number().over(w))
+    val ref = ranked.filter(col("rk") === k + 1)
+      .select(col("grp"), col("cents").as("x_ref"))
+    ranked.filter(col("rk") <= k)
+      .join(ref, Seq("grp"))
+      .select(col("grp"),
+        round(log(col("cents").cast("double") /
+          col("x_ref").cast("double")) * 1e6).cast("long").as("lm"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_top"), sum(col("lm")).as("hill_sum_micros"))
+      .filter(col("n_top") === k)
+      .select(col("grp"), lit(k.toLong).as("k"),
+        col("hill_sum_micros"),
+        when(col("hill_sum_micros") > 0,
+          round(lit(k.toDouble) * 1e6 /
+            col("hill_sum_micros").cast("double"), 4)).as("alpha"))
+  }
+
   /** EXACT ROC AUC via the Mann–Whitney rank-sum identity (Hanley &
     * McNeil 1982): AUC = U / (n⁺·n⁻) with U = R⁺ − n⁺(n⁺+1)/2, average
     * ranks on ties — the standard "does this score separate the

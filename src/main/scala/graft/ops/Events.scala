@@ -1137,6 +1137,171 @@ object Events {
         (col("detr_micros") - col("seasonal_micros")).as("resid_micros"))
   }
 
+  /** SEASONAL-STRENGTH card (Wang, Smith & Hyndman 2006's STL-based
+    * F_s, the one-number "is this series actually seasonal"): per
+    * group, F = max(0, 1 − Var(R)/Var(S+R)) over the
+    * [[seasonalDecompose]] components — F near 1 means the dow
+    * pattern explains the detrended variance (gate dashboards on it
+    * before rendering a seasonal adjustment), near 0 means the
+    * "seasonality" is noise.
+    *
+    * Determinism: S+R is the exact integer detrended series
+    * (1e6·y − trend) and R the exact residual; both variances use the
+    * n·Σx² − (Σx)² moment form with products in decimal(38,0)/HUGEINT
+    * (x ~ 1e6·daily-count, x² tops int64 at ~3e3 events/day — the r12
+    * ladder); the ratio is ONE mirrored float over the exact moments
+    * (round-4, clamped at 0). Groups with zero detrended variance
+    * yield NULL.
+    *
+    * Scale shape: [[seasonalDecompose]]'s dataflow + one combinable
+    * per-group moment agg. */
+  def seasonalStrength(events: DataFrame, groupCol: String,
+                       tsCol: String): DataFrame = {
+    val d = seasonalDecompose(events, groupCol, tsCol)
+      .filter(col("resid_micros").isNotNull)
+      .select(col(groupCol).as("grp"),
+        (lit(1000000L) * col("y") - col("trend_micros")).as("dt"),
+        col("resid_micros").as("r"))
+    d.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dt")).as("sd"),
+        sum(expr("cast(dt as decimal(38,0)) * dt")).as("sdd"),
+        sum(col("r")).as("sr"),
+        sum(expr("cast(r as decimal(38,0)) * r")).as("srr"))
+      .select(col("grp"), col("n").as("n_days"),
+        when(expr("cast(n as decimal(38,0)) * sdd" +
+            " - cast(sd as decimal(38,0)) * sd").cast("double") > 0.0,
+          round(greatest(lit(0.0),
+            lit(1.0) - expr("cast(n as decimal(38,0)) * srr" +
+              " - cast(sr as decimal(38,0)) * sr").cast("double") /
+              expr("cast(n as decimal(38,0)) * sdd" +
+                " - cast(sd as decimal(38,0)) * sd").cast("double")), 4))
+          .as("f_seasonal"))
+  }
+
+  /** NEAREST-NEIGHBOR MATCHING estimator of the ATT (the Rubin-school
+    * causal workhorse beside q174's DiD and q188's stratified ATE):
+    * each TREATED user is matched to the CONTROL user nearest on a
+    * covariate (here: per-user event count — activity level), and the
+    * ATT is the mean treated-minus-matched-control outcome (per-user
+    * summed value cents). Matching answers what stratification can't
+    * when cells are sparse: every treated unit gets its own
+    * counterfactual.
+    *
+    * Determinism (ties made total): controls COLLAPSE to one per
+    * distinct covariate value — the min-user-id control (documented
+    * representative; a mean would be a different estimator); the
+    * nearest control resolves via the union-window idiom (the q36
+    * as-of contract) with ties at equal distance going to the
+    * covariate-BELOW control. ATT divides the signed diff sum
+    * sign-symmetrically ((1e6·|Σ|) div n, sign carried out, the
+    * seasonal-mean idiom) with the product in decimal(38,0).
+    *
+    * Scale shape: two combinable per-user aggs; the match is ONE
+    * union + ONE window over (covariate, tag) order — no pair join
+    * anywhere (the as-of shape); the ATT is one combinable agg. */
+  def nnMatchingAtt(events: DataFrame, userCol: String, valCol: String,
+                    treatedCol: Column): DataFrame = {
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("cov"),
+        sum(round(col(valCol) * 100).cast("long")).as("y_cents"),
+        max(when(treatedCol, 1L).otherwise(0L)).as("g"))
+      .localCheckpoint(eager = false)
+    // one control per distinct covariate: min user id
+    val ctl = graft.ops.Windows.topOnePerGroup(
+      per.filter(col("g") === 0), Seq(col("cov")), Seq(col("u").asc))
+      .select(col("cov"), col("u").as("cu"), col("y_cents").as("cy"))
+    val tagged = ctl.select(col("cov"), lit(1L).as("isC"),
+        lit(null).cast("long").as("u"), lit(null).cast("long").as("y"),
+        col("cu"), col("cy"))
+      .unionByName(per.filter(col("g") === 1)
+        .select(col("cov"), lit(0L).as("isC"), col("u"),
+          col("y_cents").as("y"), lit(null).cast("long").as("cu"),
+          lit(null).cast("long").as("cy")))
+    val ord = Seq(col("cov").asc, col("isC").desc, col("u").asc)
+    val wPrev = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wNext = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing)
+    val matched = tagged
+      .withColumn("pc", last(when(col("isC") === 1,
+        struct(col("cov").as("c"), col("cy").as("y"))), true).over(wPrev))
+      .withColumn("nc", first(when(col("isC") === 1,
+        struct(col("cov").as("c"), col("cy").as("y"))), true).over(wNext))
+      .filter(col("isC") === 0)
+      .withColumn("my",
+        when(col("pc").isNull, col("nc.y"))
+          .when(col("nc").isNull, col("pc.y"))
+          .when(col("cov") - col("pc.c") <= col("nc.c") - col("cov"),
+            col("pc.y"))
+          .otherwise(col("nc.y")))
+      .filter(col("my").isNotNull)
+    matched.agg(count(lit(1)).as("n_matched"),
+        sum(col("y") - col("my")).as("s"))
+      .select(col("n_matched"),
+        (signum(col("s")).cast("long") *
+          expr("cast((cast(1000000 as decimal(38,0)) * abs(s))" +
+            " div n_matched as bigint)")).as("att_micros"))
+  }
+
+  /** QINI / UPLIFT-BY-DECILE card (Radcliffe 2007) — the eval for
+    * incremental-effect targeting, which q207's lift curve cannot
+    * express: lift ranks by OUTCOME likelihood, Qini ranks by a
+    * targeting score and asks how much INCREMENTAL conversion the
+    * treated accumulate over the controls' rate at each depth —
+    * q(t) = cumConvT − cumConvC·cumNT/cumNC. A score that targets
+    * persuadables shows a concave Qini curve; a useless one hugs 0.
+    *
+    * Here: score = per-user event count, treatment = the q174 parity
+    * convention, conversion = made a `convType` event. Output one row
+    * per decile with cumulative counts and q_micros.
+    *
+    * Determinism: deciles from ntile over (score desc, user asc) —
+    * the q43 total order; q_micros divides the signed cross-product
+    * difference sign-symmetrically with decimal(38,0) products
+    * (cumConvT·cumNC ≤ n² — the r12 ladder). Degenerate all-treated/
+    * all-control prefixes yield NULL (no counterfactual rate yet).
+    *
+    * Scale shape: one per-user collapse, ONE global ntile window (the
+    * q43 bound), one per-decile agg + a 10-row prefix window. */
+  def qiniUplift(events: DataFrame, userCol: String,
+                 typeCol: String, convType: String,
+                 treatedCol: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("score"),
+        max(when(treatedCol, 1L).otherwise(0L)).as("g"),
+        max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("u").asc)
+    val tiled = per.withColumn("tile", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("tile"))
+      .agg(sum(col("g")).as("n_t"),
+        sum(lit(1L) - col("g")).as("n_c"),
+        sum(col("g") * col("y")).as("conv_t"),
+        sum((lit(1L) - col("g")) * col("y")).as("conv_c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tile").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tiled
+      .withColumn("cnt", sum(col("n_t")).over(wc))
+      .withColumn("cnc", sum(col("n_c")).over(wc))
+      .withColumn("cct", sum(col("conv_t")).over(wc))
+      .withColumn("ccc", sum(col("conv_c")).over(wc))
+      .withColumn("num",
+        expr("cast(cct as decimal(38,0)) * cnc" +
+          " - cast(ccc as decimal(38,0)) * cnt"))
+      .select(col("tile"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"),
+        when(col("cnc") > 0,
+          signum(col("num")).cast("long") *
+            expr("cast((cast(1000000 as decimal(38,0)) * abs(num))" +
+              " div cnc as bigint)")).as("q_micros"))
+  }
+
   /** EXPONENTIALLY-DECAYED ENGAGEMENT SCORE per user — the recency-
     * weighted activity scalar ranking/churn models consume (each
     * event counts 0.9^(days-ago), "ago" measured from the corpus's max
@@ -1248,6 +1413,129 @@ object Events {
     * deterministic-oracle pipeline pins). In a DST timezone a day
     * spanning a transition is 86400±3600 s of epoch time and the
     * truncating division mis-buckets the duration by one. */
+  /** LOG-RANK TEST (Mantel 1966) — "do two cohorts convert/churn at
+    * the same rate?" answered on the FULL survival curves, censoring
+    * included, where a mean-duration t-test silently drops every user
+    * who hasn't converted yet. Cohorts come from `cohortCol` (boolean:
+    * true = group 1); the relation under test is exactly the
+    * q120/q212 duration relation (first `startType` → first
+    * `eventType`, censored at the horizon). Output one row:
+    * (n1, n0, o1, e1_micros, v_micros, z) — O−E over the pooled
+    * per-day risk sets, z = (O1 − E1)/√V, |z| ≳ 1.96 rejects equal
+    * hazards.
+    *
+    * Determinism: per distinct duration d (only rows with deaths),
+    * E-term = (1e6·d_t·n1_t) div n_t and the variance term is the
+    * STAGED floor chain a = (1e6·d_t·n1_t) div n_t,
+    * b = (a·(n_t−n1_t)) div n_t, v = (b·(n_t−d_t)) div (n_t−1) — all
+    * products in decimal(38,0)/HUGEINT (exact to n ≈ 1e16 at-risk),
+    * each stage's quotient back in long, terms SUMMED AS LONGS. The
+    * single float step is z over the summed integers (round-4 +
+    * signed-zero). Ties: none possible (terms key on distinct d).
+    *
+    * Scale shape: one per-user duration collapse (the q120 shape),
+    * one combinable per-(d) agg, one reverse-cumulative window over
+    * DISTINCT durations, one combinable final agg. */
+  def logRankTest(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, startType: String, eventType: String,
+                  cohortCol: Column): DataFrame = {
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"),
+        max(when(cohortCol, 1L).otherwise(0L)).as("g"))
+    val firstEv = events.filter(col(typeCol) === eventType)
+      .join(starts.select(col(userCol), col("t0")), Seq(userCol))
+      .filter(col(tsCol) > col("t0"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("te"))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts.join(firstEv, Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select(col("g"),
+        when(col("te").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs"),
+        expr("(unix_timestamp(coalesce(te, tmax)) - unix_timestamp(t0))" +
+          " div 86400").as("d"))
+    val byD = dur.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_at"), sum(col("obs")).as("e_at"),
+        sum(col("g")).as("n1_at"),
+        sum(col("g") * col("obs")).as("e1_at"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val risk = byD
+      .withColumn("nt", sum(col("n_at")).over(w))
+      .withColumn("n1t", sum(col("n1_at")).over(w))
+      .filter(col("e_at") > 0)
+      .withColumn("em",
+        expr("cast((cast(1000000 as decimal(38,0)) * e_at * n1t)" +
+          " div nt as bigint)"))
+      .withColumn("__b",
+        expr("cast((cast(em as decimal(38,0)) * (nt - n1t))" +
+          " div nt as bigint)"))
+      .withColumn("vm",
+        when(col("nt") > 1,
+          expr("cast((cast(__b as decimal(38,0)) * (nt - e_at))" +
+            " div (nt - 1) as bigint)"))
+          .otherwise(0L))
+    val tot = dur.agg(
+      sum(col("g")).as("n1"), sum(lit(1L) - col("g")).as("n0"),
+      sum(col("g") * col("obs")).as("o1"))
+    risk.agg(coalesce(sum(col("em")), lit(0L)).as("e1_micros"),
+        coalesce(sum(col("vm")), lit(0L)).as("v_micros"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n0"), col("o1"), col("e1_micros"),
+        col("v_micros"),
+        when(col("v_micros") > 0,
+          round((col("o1").cast("double") * 1e6 -
+            col("e1_micros").cast("double")) /
+            (lit(1000.0) * sqrt(col("v_micros").cast("double"))), 4)
+            + lit(0.0)).as("z"))
+  }
+
+  /** STATIONARY DISTRIBUTION of the empirical event-type Markov chain
+    * — where [[markovTransitions]] (q116) reports the one-step
+    * matrix, this card answers "where does the process SPEND ITS
+    * TIME": π with π = πP, by `iters` fixed power-iteration steps
+    * from the uniform start, in SCALED-INTEGER arithmetic (the
+    * pageRank determinism family — no float mass anywhere).
+    *
+    * Determinism: P is the q116 integer-micros matrix
+    * (p = (1e6·n) div tot); each step is
+    * π'(j) = Σ_i (π(i)·p_ij) div 1e6 — exact longs, combinable sum;
+    * floors leak < |states| micros of mass per step (reported, not
+    * renormalized — renormalizing would reintroduce a float). States
+    * with no outgoing transitions drop their mass (the documented
+    * absorbing-sink behavior; the q110 dangling redistribution is the
+    * PageRank-side fix and deliberately not replicated here — this
+    * card describes the OBSERVED chain). Fixed `iters` keeps the
+    * oracle an unrolled CTE chain (the q47 Lloyd replay pattern).
+    *
+    * Scale shape: the state space is the event-type vocabulary (tiny);
+    * every step is one broadcast-sized join + combinable agg. */
+  def markovStationary(events: DataFrame, userCol: String, tsCol: String,
+                       ordCol: String, typeCol: String,
+                       iters: Int = 10): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val p = markovTransitions(events, userCol, tsCol, ordCol, typeCol)
+      .select(col("from_type"), col("to_type"), col("p_micros"))
+      .localCheckpoint(eager = false)
+    val states = p.select(col("from_type").as("state"))
+      .union(p.select(col("to_type").as("state"))).distinct()
+      .localCheckpoint(eager = false)
+    val nStates = states.count()
+    var pi = states.select(col("state"),
+        lit(1000000L / nStates).as("pi"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      pi = p.join(pi, col("from_type") === col("state"))
+        .select(col("to_type").as("state"),
+          expr("(pi * p_micros) div 1000000L").as("m"))
+        .groupBy(col("state")).agg(sum(col("m")).as("pi"))
+        .localCheckpoint(eager = false)
+    }
+    states.join(pi, Seq("state"), "left")
+      .select(col("state"),
+        coalesce(col("pi"), lit(0L)).as("pi_micros"))
+  }
+
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, startType: String,
                   eventType: String): DataFrame = {

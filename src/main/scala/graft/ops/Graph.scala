@@ -744,6 +744,90 @@ object Graph {
     out.toSeq.toDF("h", "n_nodes", "est_pairs_micros")
   }
 
+  /** RECIPROCITY / DYAD CENSUS of a directed graph (Wasserman & Faust
+    * 1994's dyadic analysis, the M-A-N census without the null class):
+    * what fraction of edges are returned? High reciprocity in a
+    * navigation/transition graph means back-and-forth loops (dialogue,
+    * undo patterns, mutual-link rings — the q110 spam-ring screen's
+    * cheapest precursor); near-zero means a feed-forward flow. Output
+    * one row: (m_edges, n_mutual_edges, n_mutual_dyads,
+    * n_asym_dyads, reciprocity_micros = (1e6·mutual_edges) div m).
+    *
+    * All exact integers: self-loops dropped, edges distinct, the
+    * mutual check is ONE self-equi-join on the reversed key. Scale
+    * shape: distinct + one equi-join on (dst, src) + combinable
+    * counts — nothing quadratic (the join key is the full edge). */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val m = e.count()
+    val mu = mutual.count()
+    require(m > 0, "graph has no edges")
+    e.sparkSession.range(1).select(
+      lit(m).as("m_edges"),
+      lit(mu).as("n_mutual_edges"),
+      lit(mu / 2).as("n_mutual_dyads"),
+      lit(m - mu).as("n_asym_dyads"),
+      lit((1000000L * mu) / m).as("reciprocity_micros"))
+  }
+
+  /** DIRECTED MODULARITY of a community assignment (Leicht & Newman
+    * 2008's directed form of the Newman–Girvan Q): Q = Σ_c [e_cc/m −
+    * (dout_c·din_c)/m²] — observed within-community edge fraction
+    * minus the expectation under the degree-preserving null. The
+    * quality card for ANY partition the graph family produces
+    * ([[scc]], [[labelPropagation]], components-as-clusters): Q near
+    * 0 means the "communities" are no better than random wiring,
+    * Q ≳ 0.3 means real structure — the eval that stops a pipeline
+    * from clustering noise.
+    *
+    * `labels` is (node, community); nodes missing a label drop with
+    * their edges (audit upstream). All-integer: e_cc, m, din, dout
+    * exact longs; per-community term = (1e6·e_cc) div m −
+    * (1e6·dout_c·din_c) div (m·m) with the products in
+    * decimal(38,0)/HUGEINT (dout·din ≤ m² tops int64 at m ≈ 3e9 —
+    * the r12 ladder; exact to m ≈ 1e16); both quotients are
+    * non-negative before the subtraction, so floor = truncate on
+    * both engines; terms sum as longs.
+    *
+    * Scale shape: two label joins on the edge relation (node-keyed),
+    * one combinable per-community agg over each, one |communities|-
+    * sized merge. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col(labels.columns(0)).as("node"),
+      col(labels.columns(1)).as("comm"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(lab.select(col("node").as("src"), col("comm").as("sc")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("comm").as("dc")),
+        Seq("dst"))
+      .localCheckpoint(eager = false)
+    val m = e.count()
+    require(m > 0, "graph has no labeled edges")
+    val within = e.filter(col("sc") === col("dc"))
+      .groupBy(col("sc").as("comm")).agg(count(lit(1)).as("e_cc"))
+    val dout = e.groupBy(col("sc").as("comm"))
+      .agg(count(lit(1)).as("dout"))
+    val din = e.groupBy(col("dc").as("comm"))
+      .agg(count(lit(1)).as("din"))
+    val terms = dout.join(din, Seq("comm"), "full_outer")
+      .join(within, Seq("comm"), "left")
+      .select(
+        (expr(s"(1000000L * coalesce(e_cc, 0L)) div ${m}L") -
+          expr(s"cast((cast(1000000 as decimal(38,0))" +
+            s" * coalesce(dout, 0L) * coalesce(din, 0L))" +
+            s" div (cast($m as decimal(38,0)) * $m) as bigint)"))
+          .as("t"))
+    terms.agg(count(lit(1)).as("n_communities"),
+        sum(col("t")).as("q_micros"))
+      .select(col("n_communities"), lit(m).as("m_edges"),
+        col("q_micros"))
+  }
+
   /** STRONGLY CONNECTED COMPONENTS of a directed graph — the analysis
     * [[Dedup.components]]' undirected union-find cannot express: "which
     * page groups can users cycle among" (navigation loops), mutual-link

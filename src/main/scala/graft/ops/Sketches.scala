@@ -191,6 +191,62 @@ object Sketches {
       .toAggregateExpression())
   }
 
+  /** AMS SECOND-MOMENT (F₂) SKETCH (Alon, Matias & Szegedy 1996) —
+    * the one-pass mergeable estimate of Σ_keys cnt², the repeat-rate /
+    * self-join-size statistic behind every skew planner: F₂/n² is the
+    * collision probability, F₂ vs n flags the heavy-hitter regime
+    * before a join blows up. Each of the `nSketches` estimators is
+    * (Σ_keys s_i(key)·cnt)² with s_i(key) = ±1 from the md5-prefix bit
+    * of (i, key) — E[est] = F₂ exactly; averaging tightens variance.
+    * The card reports the estimate BESIDE the exact F₂ with the
+    * realized relative error — at true scale the exact column is
+    * dropped and only the sketch runs (one combinable ±cnt sum per
+    * estimator — constant state, which is the point).
+    *
+    * ALL-INTEGER determinism: signs are exact md5-bit integers; the
+    * signed sums are exact longs; squares and the F₂ sums are carried
+    * in decimal(38,0)/HUGEINT (n² tops int64 at n ≈ 3e9 — the r12
+    * ladder); the mean of estimators and the relative error are
+    * integer floor divisions. No float anywhere — the strongest
+    * class.
+    *
+    * Scale shape: one (sketch, key) count collapse (nSketches× the
+    * distinct-key relation, map-side combinable), one combinable
+    * signed sum per sketch, one nSketches-row final agg. The exact
+    * side is one distinct-key count agg. */
+  def amsF2(df: DataFrame, keyCol: Column, nSketches: Int = 16)
+      : DataFrame = {
+    require(nSketches >= 1, "nSketches must be >= 1")
+    val counts = df.select(keyCol.as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val exact = counts.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      coalesce(sum(expr("cast(cnt as decimal(38,0)) * cnt")),
+        lit(0L).cast("decimal(38,0)")).as("f2_exact"))
+    val ests = counts
+      .crossJoin(broadcast(
+        counts.sparkSession.range(0, nSketches).select(col("id").as("i"))))
+      .select(col("i"),
+        (when(conv(substring(md5(
+            concat(col("i"), lit("|"), col("k").cast("string"))), 1, 8),
+            16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+          * col("cnt")).as("sc"))
+      .groupBy(col("i")).agg(sum(col("sc")).as("z"))
+      .select(expr("cast(z as decimal(38,0)) * z").as("est"))
+      .agg(sum(col("est")).as("s"), count(lit(1)).as("ns"))
+      .select(expr("s div ns").as("f2_est"))
+    exact.crossJoin(ests)
+      .select(col("n_rows"), col("n_keys"),
+        expr("cast(f2_exact as bigint)").as("f2_exact"),
+        col("f2_est"),
+        when(expr("f2_exact > 0"),
+          expr("(1000000L * abs(f2_est - cast(f2_exact as bigint)))" +
+            " div cast(f2_exact as bigint)")).as("rel_err_micros"))
+  }
+
   /** Membership probe against a bloom binary (see [[bloomAgg]]).
     * `bloom` must be a constant or scalar-subquery Column — pass
     * `dim.agg(bloomAgg(...)).scalar()`, which keeps the whole build-and-

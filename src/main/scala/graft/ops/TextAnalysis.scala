@@ -591,6 +591,64 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** ZIPF-LAW FIT over the corpus term frequencies — the power-law
+    * check (Zipf 1949; freq ∝ rank^(−s), s ≈ 1 for natural language):
+    * OLS of ln(freq) on ln(rank) over the top `topN` terms. The
+    * corpus-health screen: a slope far from −1 flags synthetic /
+    * boilerplate-dominated text; the r² says whether a power law fits
+    * at all (template corpora kink). Output one row:
+    * (n_terms, slope, intercept, r2).
+    *
+    * Determinism: rank = row_number under (cnt desc, term asc) — the
+    * q64 total order; x = round(1e6·ln(rank)) and y = round(1e6·
+    * ln(cnt)) are EXACT LONGS (shared-double ln, q82), so all five
+    * OLS sums are exact with the products carried in decimal(38,0) /
+    * HUGEINT (Σx·Σy ≈ (topN·14e6)² tops int64 just past topN ≈ 400 —
+    * the r12 ladder); slope/intercept/r² are mirrored floats over the
+    * exact sums (round-4). Degenerate fits (den = 0) yield NULLs.
+    *
+    * Scale shape: one combinable term count, ONE global top-N
+    * (TakeOrderedAndProject — partitions forward their local N), then
+    * everything is topN-sized. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 500)
+      : DataFrame = {
+    require(topN >= 3, "topN must be >= 3")
+    val top = df
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+    val xy = top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(
+        round(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 1e6).cast("long").as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+      sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    val den = expr("cast(n as decimal(38,0)) * sxx" +
+      " - cast(sx as decimal(38,0)) * sx")
+    val num = expr("cast(n as decimal(38,0)) * sxy" +
+      " - cast(sx as decimal(38,0)) * sy")
+    val deny = expr("cast(n as decimal(38,0)) * syy" +
+      " - cast(sy as decimal(38,0)) * sy")
+    s.select(col("n").as("n_terms"),
+      when(den.cast("double") =!= 0.0,
+        round(num.cast("double") / den.cast("double"), 4)).as("slope"),
+      when(den.cast("double") =!= 0.0,
+        round((col("sy").cast("double") -
+          (num.cast("double") / den.cast("double")) *
+            col("sx").cast("double")) /
+          col("n").cast("double") / 1e6, 4)).as("intercept"),
+      when(den.cast("double") =!= 0.0 && deny.cast("double") =!= 0.0,
+        round(num.cast("double") * num.cast("double") /
+          (den.cast("double") * deny.cast("double")), 4)).as("r2"))
+  }
+
   def histogramDrift(ref: DataFrame, cand: DataFrame, valueCol: String,
                      binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")

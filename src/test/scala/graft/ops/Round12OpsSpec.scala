@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hand-verified fixtures for the round-12 growth operators
+  * (q216–q224): each test computes the expected value by hand (or by
+  * the defining closed form) on a fixture small enough to audit. */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cramersV: a perfectly associated 2x2 table scores 1, an " +
+    "independent one scores 0, a constant column yields NULL") {
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val got = DataQuality.cramersV(perfect, "a", "b")
+      .select("v").as[Option[Double]].head()
+    assert(got.contains(1.0), got)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    assert(DataQuality.cramersV(indep, "a", "b")
+      .select("v").as[Option[Double]].head().contains(0.0))
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(DataQuality.cramersV(const, "a", "b")
+      .select("v").as[Option[Double]].head().isEmpty)
+  }
+
+  test("mutualInformation: independent columns give 0 MI, a bijective " +
+    "pairing gives NMI = 1 (MI = H)") {
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val gi = DataQuality.mutualInformation(indep, "a", "b")
+      .select("mi_micros", "nmi").as[(Long, Option[Double])].head()
+    assert(gi._1 == 0L && gi._2.contains(0.0), gi)
+    val bij = Seq(("x", "p"), ("y", "q"), ("z", "r"), ("x", "p"))
+      .toDF("a", "b")
+    val gb = DataQuality.mutualInformation(bij, "a", "b")
+      .select("h_a_micros", "mi_micros", "nmi")
+      .as[(Long, Long, Option[Double])].head()
+    assert(gb._1 == gb._2, gb) // MI == H(a) for a bijection
+    assert(gb._3.contains(1.0), gb)
+  }
+
+  test("kAnonymityAudit: hand class profile — uniques counted, " +
+    "below-k rows summed, rate floored") {
+    // classes: (n=1, s=A) x3, (n=1, s=B) x1, (n=2, s=A) x1 -> sizes 3,1,1
+    val df = Seq((1L, "A"), (1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"))
+      .toDF("n", "s")
+    val got = DataQuality.kAnonymityAudit(df, Seq("n", "s"), k = 2L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == (("n,s", 5L, 3L, 1L, 2L, 2L, 400000L)), got)
+  }
+
+  test("hillTailIndex: an exact Pareto(alpha=2) top set recovers " +
+    "alpha = 2 to rounding") {
+    // x_(i) = 1000/sqrt(i): ln(x_i/x_(k+1)) = 0.5*ln((k+1)/i);
+    // hill = (1/k)*sum = (1/alpha) with alpha = 2 asymptotically
+    val k = 100
+    val rows = (1 to k + 1).map(i =>
+      ("g", i.toLong, 1000.0 / math.sqrt(i.toDouble)))
+    val got = DataQuality.hillTailIndex(rows.toDF("grp", "id", "v"),
+        "grp", col("v"), col("id"), k = k)
+      .select("alpha").as[Option[Double]].head()
+    assert(got.exists(a => math.abs(a - 2.0) < 0.1), got)
+  }
+
+  test("zipfFit: an exact power-law rank-frequency table fits " +
+    "slope -1 with r2 ~ 1") {
+    // term_i repeated round(2000/i) times, i = 1..40
+    val docs = (1 to 40).flatMap(i =>
+      Seq.fill(math.round(2000.0 / i).toInt)(s"w$i"))
+    val df = Seq(docs.mkString(" ")).toDF("text")
+    val got = TextAnalysis.zipfFit(df, "text", topN = 40)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(got._1 == 40L)
+    assert(got._2.exists(s => math.abs(s + 1.0) < 0.01), got)
+    assert(got._4.exists(_ > 0.999), got)
+  }
+
+  test("logRankTest: mirrored cohorts (identical duration sets) give " +
+    "O1 = E1 and z = 0; a cohort that converts strictly earlier gets " +
+    "positive O1 - E1") {
+    def ts(day: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    // users 1,3 (g=1) and 2,4 (g=0): identical signup day 0;
+    // purchases day 2 (users 1,2) and day 5 (users 3,4)
+    val rows = Seq(
+      (1L, "signup", ts(0)), (2L, "signup", ts(0)),
+      (3L, "signup", ts(0)), (4L, "signup", ts(0)),
+      (1L, "purchase", ts(2)), (2L, "purchase", ts(2)),
+      (3L, "purchase", ts(5)), (4L, "purchase", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.logRankTest(rows, "user_id", "ts", "event_type",
+        "signup", "purchase", pmod(col("user_id"), lit(2)) === 1)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    val (n1, n0, o1, e1m, _, z) = got
+    assert(n1 == 2L && n0 == 2L && o1 == 2L)
+    assert(e1m == 2000000L, got) // E1 = 2 exactly by symmetry
+    assert(z.contains(0.0), got)
+    // early cohort: odd users purchase day 1, even users day 9
+    val early = Seq(
+      (1L, "signup", ts(0)), (2L, "signup", ts(0)),
+      (3L, "signup", ts(0)), (4L, "signup", ts(0)),
+      (1L, "purchase", ts(1)), (3L, "purchase", ts(1)),
+      (2L, "purchase", ts(9)), (4L, "purchase", ts(9)))
+      .toDF("user_id", "event_type", "ts")
+    val ge = Events.logRankTest(early, "user_id", "ts", "event_type",
+        "signup", "purchase", pmod(col("user_id"), lit(2)) === 1)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(ge._3 * 1000000L > ge._4, ge) // O1 > E1
+    assert(ge._6.exists(_ > 0.0), ge)
+  }
+
+  test("markovStationary: a deterministic 2-cycle keeps the uniform " +
+    "distribution; an absorbing state collects (almost) all mass") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    // one user alternating A,B,A,B,... -> P(A->B)=P(B->A)=1
+    val cyc = (0 until 10).map(i =>
+      (1L, i.toLong, ts(i), if (i % 2 == 0) "A" else "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val gc = Events.markovStationary(cyc, "user_id", "ts", "event_id",
+        "event_type", iters = 10)
+      .as[(String, Long)].collect().toMap
+    assert(gc == Map("A" -> 500000L, "B" -> 500000L), gc)
+    // A -> B, then B -> B forever: B absorbs
+    val abs = (0 until 10).map(i =>
+      (1L, i.toLong, ts(i), if (i == 0) "A" else "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val ga = Events.markovStationary(abs, "user_id", "ts", "event_id",
+        "event_type", iters = 10)
+      .as[(String, Long)].collect().toMap
+    assert(ga("A") == 0L && ga("B") >= 990000L, ga)
+  }
+
+  test("amsF2: a single-key column estimates F2 exactly (every " +
+    "estimator is (±n)² = n²) with zero realized error") {
+    val df = Seq.fill(37)("k").toDF("x")
+    val got = Sketches.amsF2(df, col("x"), nSketches = 8)
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(got == ((37L, 1L, 37L * 37L, 37L * 37L, Some(0L))), got)
+  }
+
+  test("nnMatchingAtt: hand matches — equal-covariate control wins at " +
+    "distance 0, ties at equal distance go to the covariate-below " +
+    "control, ATT is the exact mean gap") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    // users: treated 1 (2 events, value 5.0 each -> y=1000c, cov=2),
+    // treated 3 (4 events, 1.0 each -> 400c, cov=4);
+    // controls 2 (2 events, 2.0 -> 400c, cov=2), 4 (6 events, 1.0 ->
+    // 600c, cov=6). Matches: t1 -> c2 (cov 2 == 2, gap +600);
+    // t3 (cov 4): prev c2 dist 2, next c4 dist 2 -> TIE -> prev c2
+    // (gap 0). ATT = (600 + 0)/2 = 300 cents -> 3e8 micros.
+    val rows =
+      (0 until 2).map(i => (1L, ts(i), 5.0)) ++
+      (0 until 4).map(i => (3L, ts(i), 1.0)) ++
+      (0 until 2).map(i => (2L, ts(i), 2.0)) ++
+      (0 until 6).map(i => (4L, ts(i), 1.0))
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = Events.nnMatchingAtt(df, "user_id", "value",
+        pmod(col("user_id"), lit(2)) === 1)
+      .as[(Long, Long)].head()
+    assert(got == ((2L, 300000000L)), got)
+  }
+
+  test("qiniUplift: a score that perfectly separates a persuadable " +
+    "segment accumulates positive q_micros at the top and q = 0 " +
+    "when treated and control convert alike") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    // 20 users; high-score users (many events): treated convert,
+    // controls don't; low-score users: nobody converts.
+    val rows = (1L to 20L).flatMap { u =>
+      val high = u <= 10
+      val n = if (high) 10 else 2
+      val conv = high && u % 2 == 1
+      (0 until n).map(i => (u, ts(u * 100 + i), "view")) ++
+        (if (conv) Seq((u, ts(u * 100 + 50), "purchase")) else Nil)
+    }
+    val df = rows.toDF("user_id", "ts", "event_type")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val got = Events.qiniUplift(df, "user_id", "event_type", "purchase",
+        pmod(col("user_id"), lit(2)) === 1, buckets = 4)
+      .orderBy("tile")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+    // all conversions are treated: q(t) = cumConvT once controls
+    // enter the prefix; tile 1 is all-treated (the converters have the
+    // extra purchase event) -> cnc = 0 -> NULL (no counterfactual
+    // rate yet, the documented degenerate case)
+    assert(got.head._6.isEmpty, got.toSeq)
+    assert(got(1)._6.contains(5000000L), got.toSeq)
+    assert(got.last._6.contains(5000000L), got.toSeq)
+  }
+
+  test("seasonalStrength: a pure 2-level weekly pattern scores ~1, " +
+    "a constant series scores NULL (zero detrended variance)") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // group a: 14 days alternating 1 vs 5 events by dow parity...
+    // use dow-dependent count: day % 7 == 0 -> 8 events else 1
+    val season = (0L until 21L).flatMap { d =>
+      val n = if (d % 7 == 0) 8 else 1
+      (0 until n).map(i => ("a", ts(d, i.toLong)))
+    }
+    // group b: constant 2 events every day
+    val const = (0L until 21L).flatMap(d =>
+      (0 until 2).map(i => ("b", ts(d, i.toLong))))
+    val df = (season ++ const).toDF("event_type", "ts")
+    val got = Events.seasonalStrength(df, "event_type", "ts")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got("a").exists(_ > 0.95), got)
+    assert(got("b").isEmpty, got) // constant: Var(detrended) = 0
+  }
+
+  test("reciprocity: hand dyad census — one mutual pair + one " +
+    "one-way edge = 2/3 reciprocity in micros (floored)") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L)).toDF("src", "dst")
+    val got = Graph.reciprocity(e).as[(Long, Long, Long, Long, Long)]
+      .head()
+    // self-loop dropped: m=3, mutual edges 2, dyads 1, asym 1
+    assert(got == ((3L, 2L, 1L, 1L, 666666L)), got)
+  }
+
+  test("modularity: two disjoint 2-cycles under their SCC partition " +
+    "score Q = 0.5 exactly; the 1-community partition scores 0") {
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val labels = Graph.scc(e)
+    val got = Graph.modularity(e, labels)
+      .as[(Long, Long, Long)].head()
+    assert(got == ((2L, 4L, 500000L)), got)
+    val one = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(0L).as("comm"))
+    assert(Graph.modularity(e, one).as[(Long, Long, Long)].head()
+      == ((1L, 4L, 0L)))
+  }
+}

@@ -1988,6 +1988,40 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")))
 
+  /** SMD covariate-balance card for the parity "experiment": are odd
+    * and even users comparable on activity, spend and active days?
+    * The diagnostic q174/q188/q225 must pass before their estimates
+    * mean anything. */
+  private def qSmdBalance(s: SparkSession, dir: String): DataFrame = {
+    val per = Events.load(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        count_distinct(
+          expr("unix_timestamp(date_trunc('day', ts)) div 86400"))
+          .as("n_days"))
+    DataQuality.smdBalance(per, pmod(col("user_id"), lit(2)) === 1,
+      Seq("n_events", "cents", "n_days"))
+  }
+
+  /** Mann–Kendall trend test per event type — the nonparametric "is
+    * it trending" TEST beside q145's Theil–Sen slope estimate. */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame =
+    DataQuality.mannKendall(Events.load(s, dir), "event_type", "ts")
+
+  /** Wald SPRT on the daily purchase share per user segment —
+    * early-stopping boundaries priced for peeking; decision day and
+    * direction precomputed. */
+  private def qSprt(s: SparkSession, dir: String): DataFrame =
+    Events.sprt(Events.load(s, dir), "user_id", "ts", "event_type",
+      convType = "purchase", segments = 4L)
+
+  /** Empirical-Bayes shrinkage of per-user purchase rates toward the
+    * corpus rate (prior strength 20) — the rate-ranking fix for tiny
+    * denominators. */
+  private def qEbShrinkage(s: SparkSession, dir: String): DataFrame =
+    Events.ebShrinkage(Events.load(s, dir), "user_id", "event_type",
+      convType = "purchase", priorStrength = 20L)
+
   /** Directed modularity of the q187 SCC partition on the thinned
     * transition graph — "are the cycles real structure or random
     * wiring", the quality card for any graph partition. */
@@ -2560,6 +2594,10 @@ object SparkEntry {
     "q226_seasonal_strength" -> (qSeasonalStrength _),
     "q227_qini_uplift" -> (qQiniUplift _),
     "q228_reciprocity" -> (qReciprocity _),
+    "q229_smd_balance" -> (qSmdBalance _),
+    "q230_mann_kendall" -> (qMannKendall _),
+    "q231_sprt" -> (qSprt _),
+    "q232_eb_shrinkage" -> (qEbShrinkage _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5503,6 +5541,101 @@ object SparkEntry {
                - CAST(ccc AS HUGEINT) * cnt)) // cnc AS BIGINT)
              END AS q_micros
          FROM c""",
+    "q229_smd_balance" ->
+      """WITH per AS (SELECT user_id AS u,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(DISTINCT CAST(epoch(date_trunc('day', ts))
+               AS BIGINT) // 86400) AS BIGINT) AS n_days,
+             max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS g
+           FROM events GROUP BY 1),
+         lg AS (SELECT g, 'n_events' AS cov, n_events AS x FROM per
+           UNION ALL SELECT g, 'cents', cents FROM per
+           UNION ALL SELECT g, 'n_days', n_days FROM per),
+         m AS (SELECT cov, CAST(sum(g) AS BIGINT) AS nt,
+             CAST(sum(1 - g) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS st,
+             CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sc,
+             sum(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) * x
+               ELSE 0 END) AS sst,
+             sum(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) * x
+               ELSE 0 END) AS ssc
+           FROM lg GROUP BY 1),
+         v AS (SELECT cov, nt, nc, st, sc,
+             CAST(CAST(nt AS HUGEINT) * sst - CAST(st AS HUGEINT) * st
+               AS DOUBLE)
+               / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE) AS vt,
+             CAST(CAST(nc AS HUGEINT) * ssc - CAST(sc AS HUGEINT) * sc
+               AS DOUBLE)
+               / CAST(CAST(nc AS HUGEINT) * (nc - 1) AS DOUBLE) AS vc
+           FROM m)
+         SELECT cov, nt AS n_t, nc AS n_c,
+           CASE WHEN nt > 1 AND nc > 1 AND (vt + vc) > 0.0 THEN
+             round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+               - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+               / sqrt((vt + vc) / 2.0), 4) + 0.0 END AS smd
+         FROM v""",
+    "q230_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT a.grp, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+           FROM daily a JOIN daily b ON a.grp = b.grp
+             AND a.day < b.day GROUP BY 1),
+         tg AS (SELECT grp, y, CAST(count(*) AS BIGINT) AS t
+           FROM daily GROUP BY 1, 2),
+         ti AS (SELECT grp, CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num
+           FROM tg GROUP BY 1)
+         SELECT p.grp, n AS n_days, s AS s_stat,
+           n * (n - 1) * (2 * n + 5) - tie_num AS var_num18,
+           CASE WHEN n > 1
+               AND n * (n - 1) * (2 * n + 5) - tie_num > 0 THEN
+             round(CAST(s - sign(s) AS DOUBLE)
+               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_num
+                 AS DOUBLE) / 18.0), 4) + 0.0 END AS z
+         FROM p JOIN ti ON ti.grp = p.grp""",
+    "q231_sprt" -> {
+      val (c1, c2, ua, lb) =
+        Events.sprtConstants(0.18, 0.22, 0.05, 0.05)
+      s"""WITH byday AS (SELECT user_id % 4 AS seg,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+               ELSE 0 END) AS BIGINT) AS k
+           FROM events GROUP BY 1, 2),
+         cum AS (SELECT seg, day, n, k,
+             CAST(sum(k * $c1 + (n - k) * $c2) OVER w AS BIGINT)
+               AS llr_cum_micros
+           FROM byday WINDOW w AS (PARTITION BY seg ORDER BY day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         ex AS (SELECT seg, day, n, k, llr_cum_micros,
+             CAST(max(llr_cum_micros) OVER w AS BIGINT) AS hi,
+             CAST(min(llr_cum_micros) OVER w AS BIGINT) AS lo
+           FROM cum WINDOW w AS (PARTITION BY seg ORDER BY day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT seg, day, n, k, llr_cum_micros,
+           CASE WHEN hi >= $ua THEN 'reject_h0'
+                WHEN lo <= $lb THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+         FROM ex"""
+    },
+    "q232_eb_shrinkage" ->
+      """WITH per AS (SELECT user_id AS u, CAST(count(*) AS BIGINT)
+             AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+               ELSE 0 END) AS BIGINT) AS k
+           FROM events GROUP BY 1),
+         g AS (SELECT (1000000 * CAST(sum(k) AS BIGINT))
+             // CAST(sum(n) AS BIGINT) AS m FROM per)
+         SELECT u, n, k, (1000000 * k) // n AS raw_micros,
+           (1000000 * k + 20 * m) // (n + 20) AS shrunk_micros
+         FROM per, g""",
     "q228_reciprocity" ->
       """WITH ev AS (SELECT user_id, event_id,
              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -256,6 +256,105 @@ object DataQuality {
           .as("at_risk_rate_micros"))
   }
 
+  /** STANDARDIZED-MEAN-DIFFERENCE BALANCE card (the Rubin-school
+    * covariate-balance diagnostic; Austin 2009's |SMD| < 0.1
+    * convention): per covariate, (mean_T − mean_C)/√((s²_T + s²_C)/2)
+    * — the check every matching/stratification/IPW estimate (q174,
+    * q188, q225) must pass BEFORE its ATE is believed: an imbalanced
+    * covariate means the comparison is confounded, whatever the
+    * estimator says.
+    *
+    * `df` is the unit-level frame (one row per unit); covariates are
+    * integer-valued columns. Determinism: per-arm moments are exact
+    * (counts, sums, and decimal(38,0)/HUGEINT squares — the r12
+    * ladder); the SMD is ONE mirrored float over the exact moments
+    * (sample variances with the n−1 denominator; round-4 +
+    * signed-zero). Arms with < 2 units or zero pooled variance yield
+    * NULL.
+    *
+    * Scale shape: one explode (|covs| rows per unit), ONE combinable
+    * moment agg — the giniStump unpivot dataflow. */
+  def smdBalance(df: DataFrame, treatedCol: Column, covs: Seq[String])
+      : DataFrame = {
+    require(covs.nonEmpty, "need at least one covariate")
+    val fx = covs.map(c =>
+      struct(lit(c).as("cov"), col(c).cast("long").as("x")))
+    val long = df.select(when(treatedCol, 1L).otherwise(0L).as("g"),
+        explode(array(fx: _*)).as("f"))
+      .select(col("g"), col("f.cov").as("cov"), col("f.x").as("x"))
+    val m = long.groupBy(col("cov")).agg(
+      sum(col("g")).as("nt"), sum(lit(1L) - col("g")).as("nc"),
+      sum(when(col("g") === 1, col("x")).otherwise(0L)).as("st"),
+      sum(when(col("g") === 0, col("x")).otherwise(0L)).as("sc"),
+      sum(when(col("g") === 1, expr("cast(x as decimal(38,0)) * x"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("sst"),
+      sum(when(col("g") === 0, expr("cast(x as decimal(38,0)) * x"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("ssc"))
+    val vT = expr("cast(cast(nt as decimal(38,0)) * sst" +
+      " - cast(st as decimal(38,0)) * st as double)") /
+      expr("cast(cast(nt as decimal(38,0)) * (nt - 1) as double)")
+    val vC = expr("cast(cast(nc as decimal(38,0)) * ssc" +
+      " - cast(sc as decimal(38,0)) * sc as double)") /
+      expr("cast(cast(nc as decimal(38,0)) * (nc - 1) as double)")
+    m.select(col("cov"), col("nt").as("n_t"), col("nc").as("n_c"),
+      when(col("nt") > 1 && col("nc") > 1 && (vT + vC) > 0.0,
+        round((col("st").cast("double") / col("nt").cast("double") -
+          col("sc").cast("double") / col("nc").cast("double")) /
+          sqrt((vT + vC) / 2.0), 4) + lit(0.0)).as("smd"))
+  }
+
+  /** MANN–KENDALL TREND TEST (Mann 1945; Kendall's S over time) — the
+    * nonparametric "is this series trending" TEST beside the q145
+    * Theil–Sen slope ESTIMATE: S = Σ_{i<j} sign(y_j − y_i) over each
+    * group's daily-count series, variance with the tie correction,
+    * z = (S − sign(S))/√Var (continuity-corrected). Distribution-free
+    * — level shifts and outliers that wreck an OLS-on-time test
+    * barely move it.
+    *
+    * Exact integers: S from the day-pair self-join of the DAILY
+    * relation (days², the q205 grid class — days ≪ rows); the
+    * variance NUMERATOR 18·Var = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)
+    * stays an exact long (n = days ≤ ~1e5 ⇒ ≤ 2e15); z is ONE
+    * mirrored float over (S, num18): (S − sign S)/√(num18/18),
+    * round-4 + signed-zero. Series with ≤ 1 day or zero variance
+    * yield NULL.
+    *
+    * Scale shape: one combinable daily collapse, one per-group
+    * day-pair equi-self-join (bounded by the observation window²),
+    * two combinable aggs. */
+  def mannKendall(events: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(eager = false)
+    val pairs = daily.select(col("grp"), col("day").as("d1"),
+        col("y").as("y1"))
+      .join(daily.select(col("grp"), col("day").as("d2"),
+        col("y").as("y2")), Seq("grp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("grp"))
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s"))
+    val ties = daily.groupBy(col("grp"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_num"))
+    pairs.join(ties, Seq("grp"))
+      .select(col("grp"), col("n").as("n_days"), col("s").as("s_stat"),
+        (expr("n * (n - 1) * (2 * n + 5)") - col("tie_num"))
+          .as("var_num18"),
+        when(col("n") > 1 &&
+          expr("n * (n - 1) * (2 * n + 5)") - col("tie_num") > 0,
+          round((col("s") - signum(col("s")).cast("long"))
+            .cast("double") /
+            sqrt((expr("n * (n - 1) * (2 * n + 5)") - col("tie_num"))
+              .cast("double") / 18.0), 4) + lit(0.0)).as("z"))
+  }
+
   /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
     * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
     * the top-(k+1) order statistics. α ≤ 2 means infinite variance

@@ -1302,6 +1302,110 @@ object Events {
               " div cnc as bigint)")).as("q_micros"))
   }
 
+  /** SPRT LLR constants in micros — BUILD-TIME from the ONE Scala
+    * definition (the decayWeightMicros/DCG precedent: no engine
+    * computes a log at query time; both faces embed these literals).
+    * c1 = ln(p1/p0) (per success), c2 = ln((1−p1)/(1−p0)) (per
+    * failure), A = ln((1−β)/α), B = ln(β/(1−α)). */
+  private[graft] def sprtConstants(p0: Double, p1: Double,
+                                   alpha: Double, beta: Double)
+      : (Long, Long, Long, Long) = (
+    math.round(math.log(p1 / p0) * 1e6),
+    math.round(math.log((1 - p1) / (1 - p0)) * 1e6),
+    math.round(math.log((1 - beta) / alpha) * 1e6),
+    math.round(math.log(beta / (1 - alpha)) * 1e6))
+
+  /** SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) — the A/B
+    * early-stopping machinery: per user segment, the DAILY cumulative
+    * binomial log-likelihood ratio of H1: p = p1 against H0: p = p0
+    * for the `convType` share of events, with Wald's decision
+    * boundaries. The answer a peeking-prone experimenter needs
+    * precomputed: on WHICH day did the evidence cross a boundary, and
+    * which way — without the inflated false-positive rate of naive
+    * daily significance checks (SPRT's boundaries price the peeking
+    * in).
+    *
+    * ALL-INTEGER: the LLR increments are build-time micro constants
+    * ([[sprtConstants]] — the q165 DCG-constant precedent, no engine
+    * logs at query time); per day llr = k·c1 + (n−k)·c2 exact longs;
+    * the cumulative is one ordered window sum; the decision is an
+    * integer threshold compare. Output per (segment, day):
+    * (seg, day, n, k, llr_cum_micros, decision ∈
+    * reject_h0 | accept_h0 | continue) — decision reads the FIRST
+    * crossing's sign via the running extremes, so a later drift back
+    * inside the band cannot un-decide a stopped test (sequential
+    * semantics, not pointwise).
+    *
+    * Scale shape: one combinable (segment, day) agg, one per-segment
+    * ordered window over DAYS (the q153 tiny-partition class). */
+  def sprt(events: DataFrame, userCol: String, tsCol: String,
+           typeCol: String, convType: String, segments: Long = 4L,
+           p0: Double = 0.18, p1: Double = 0.22,
+           alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(segments >= 1 && p0 > 0 && p1 > p0 && p1 < 1,
+      "need segments >= 1 and 0 < p0 < p1 < 1")
+    val (c1, c2, ua, lb) = sprtConstants(p0, p1, alpha, beta)
+    val byDay = events
+      .select((col(userCol) % segments).as("seg"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"),
+        when(col(typeCol) === convType, 1L).otherwise(0L).as("y"))
+      .groupBy(col("seg"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("day").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDay
+      .withColumn("llr",
+        col("k") * lit(c1) + (col("n") - col("k")) * lit(c2))
+      .withColumn("llr_cum_micros", sum(col("llr")).over(w))
+      .withColumn("hi", max(col("llr_cum_micros")).over(w))
+      .withColumn("lo", min(col("llr_cum_micros")).over(w))
+      .select(col("seg"), col("day"), col("n"), col("k"),
+        col("llr_cum_micros"),
+        // running-extreme semantics: a prefix that EVER touched a
+        // boundary stays decided (a later drift back inside the band
+        // cannot un-stop a sequential test). If both boundaries were
+        // touched (pathological oscillation), reject wins — documented
+        // priority, deterministic either way.
+        when(col("hi") >= ua, lit("reject_h0"))
+          .when(col("lo") <= lb, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** EMPIRICAL-BAYES RATE SHRINKAGE (additive smoothing toward the
+    * corpus rate; the fixed-strength form of Micci-Barreca 2001 /
+    * beta-binomial EB): each user's conversion rate k/n is shrunk to
+    * (k + s·m)/(n + s) with m = the GLOBAL rate and `s` the prior
+    * strength in pseudo-observations — the estimator that stops a
+    * 1-for-1 user from outranking a 95-for-100 user in any
+    * rate-ranked list (CTR ranking, seller scores, quality gates).
+    *
+    * ALL-INTEGER: m_micros = (1e6·Σk) div Σn;
+    * shrunk_micros = (1e6·k + s·m_micros) div (n + s) — exact longs
+    * end to end, no float anywhere (the strongest determinism class).
+    * Output per user: (user, n, k, raw_micros, shrunk_micros).
+    *
+    * Scale shape: one combinable per-user agg, a 1-row global
+    * broadcast, a map-side final expression. */
+  def ebShrinkage(events: DataFrame, userCol: String, typeCol: String,
+                  convType: String, priorStrength: Long = 20L)
+      : DataFrame = {
+    require(priorStrength >= 1, "priorStrength must be >= 1")
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(typeCol) === convType, 1L).otherwise(0L)).as("k"))
+      .localCheckpoint(eager = false)
+    val g = per.agg(sum(col("k")).as("gk"), sum(col("n")).as("gn"))
+      .select(expr("(1000000L * gk) div gn").as("m_micros"))
+    per.crossJoin(broadcast(g))
+      .select(col("u"), col("n"), col("k"),
+        expr("(1000000L * k) div n").as("raw_micros"),
+        expr(s"(1000000L * k + ${priorStrength}L * m_micros)" +
+          s" div (n + ${priorStrength}L)").as("shrunk_micros"))
+  }
+
   /** EXPONENTIALLY-DECAYED ENGAGEMENT SCORE per user — the recency-
     * weighted activity scalar ranking/churn models consume (each
     * event counts 0.9^(days-ago), "ago" measured from the corpus's max

@@ -222,6 +222,86 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got == ((3L, 2L, 1L, 1L, 666666L)), got)
   }
 
+  test("smdBalance: identical arms score 0 exactly; a one-unit mean " +
+    "shift at unit variance scores ~1; degenerate arms yield NULL") {
+    // x: treated {1,3} vs control {1,3} -> SMD 0 exactly;
+    // y: treated {10,12} mean 11 var 2, control {12,14} mean 13 var 2
+    // -> smd = -2/sqrt(2) = -1.4142
+    val df = Seq(
+      (1L, 1L, 10L), (3L, 3L, 12L),
+      (2L, 1L, 12L), (4L, 3L, 14L))
+      .toDF("u", "x", "y")
+    val got = DataQuality.smdBalance(df, pmod(col("u"), lit(2)) === 1,
+        Seq("x", "y"))
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got("x").contains(0.0), got)
+    assert(got("y").contains(-1.4142), got)
+  }
+
+  test("mannKendall: a strictly increasing series gets S = n(n-1)/2 " +
+    "and positive z; a constant series has zero variance -> NULL z") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val up = (0L until 10L).flatMap(d =>
+      (0 to d.toInt).map(i => ("up", ts(d, i.toLong))))
+    val const = (0L until 10L).flatMap(d =>
+      (0 until 3).map(i => ("flat", ts(d, i.toLong))))
+    val got = DataQuality.mannKendall((up ++ const)
+        .toDF("event_type", "ts"), "event_type", "ts")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("up")._3 == 45L, got("up")) // all 45 pairs increasing
+    assert(got("up")._5.exists(_ > 0.0))
+    assert(got("flat")._3 == 0L && got("flat")._5.isEmpty, got("flat"))
+  }
+
+  test("sprt: a segment converting at p1 drifts to reject_h0 and " +
+    "STAYS decided after later low days; one converting at p0 " +
+    "drifts to accept_h0") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // seg 0 (user 4): 40% purchases daily -> LLR climbs;
+    // seg 1 (user 1): 0% purchases -> LLR sinks
+    val hi = (0L until 30L).flatMap(d => (0 until 10).map(i =>
+      (4L, ts(d, i.toLong), if (i < 4) "purchase" else "view")))
+    val lo = (0L until 30L).flatMap(d => (0 until 10).map(i =>
+      (1L, ts(d, i.toLong), "view")))
+    val got = Events.sprt((hi ++ lo).toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "purchase", segments = 4L)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    val seg0 = got(0L).sortBy(_._2)
+    val seg1 = got(1L).sortBy(_._2)
+    assert(seg0.last._6 == "reject_h0", seg0.last)
+    assert(seg1.last._6 == "accept_h0", seg1.last)
+    // decidedness is sticky: once rejected, every later day rejected
+    val firstRej = seg0.indexWhere(_._6 == "reject_h0")
+    assert(firstRej >= 0 &&
+      seg0.drop(firstRej).forall(_._6 == "reject_h0"))
+  }
+
+  test("ebShrinkage: a 1-for-1 user shrinks close to the prior, a " +
+    "95-for-100 user barely moves, exact integer arithmetic") {
+    def ts(i: Long) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    val rows =
+      Seq((1L, ts(0), "purchase")) ++ // 1/1
+      (0 until 100).map(i =>
+        (2L, ts(i.toLong), if (i < 95) "purchase" else "view")) ++
+      (0 until 99).map(i => (3L, ts(i.toLong), "view")) // 0/99
+    val got = Events.ebShrinkage(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "event_type", "purchase", priorStrength = 20L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // global m = (1e6·96) div 200 = 480000
+    val m = 480000L
+    assert(got(1L)._4 == 1000000L &&
+      got(1L)._5 == (1000000L + 20L * m) / 21L, got(1L))
+    assert(got(2L)._4 == 950000L &&
+      got(2L)._5 == (95000000L + 20L * m) / 120L, got(2L))
+    assert(got(3L)._5 == (20L * m) / 119L, got(3L))
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

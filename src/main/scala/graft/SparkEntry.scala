@@ -2003,6 +2003,17 @@ object SparkEntry {
       Seq("n_events", "cents", "n_days"))
   }
 
+  /** Hash-seeded permutation test of the parity "experiment": is the
+    * odd/even per-user activity difference larger than random
+    * relabelings produce? The assumption-free significance card
+    * beside q229's balance check and q231's parametric SPRT. */
+  private def qPermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val per = Events.load(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    DataQuality.permutationTest(per, pmod(col("user_id"), lit(2)) === 1,
+      "user_id", "n_events", reps = 200)
+  }
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2598,6 +2609,7 @@ object SparkEntry {
     "q230_mann_kendall" -> (qMannKendall _),
     "q231_sprt" -> (qSprt _),
     "q232_eb_shrinkage" -> (qEbShrinkage _),
+    "q233_permutation_test" -> (qPermutationTest _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5625,6 +5637,42 @@ object SparkEntry {
                 ELSE 'continue' END AS decision
          FROM ex"""
     },
+    "q233_permutation_test" ->
+      """WITH per AS (SELECT user_id AS id,
+             CAST(count(*) AS BIGINT) AS x,
+             max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS g
+           FROM events GROUP BY 1),
+         obs AS (SELECT CAST(sum(g) AS BIGINT) AS nt,
+             CAST(sum(1 - g) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS st,
+             CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sc
+           FROM per),
+         obst AS (SELECT nt, nc,
+             (1000000 * st) // nt - (1000000 * sc) // nc AS t_obs
+           FROM obs),
+         r AS (SELECT t.b, per.x,
+             CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':'
+               || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS gb
+           FROM per, range(200) t(b)),
+         rs AS (SELECT b, CAST(sum(gb) AS BIGINT) AS nt,
+             CAST(sum(1 - gb) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN gb = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS st,
+             CAST(sum(CASE WHEN gb = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sc
+           FROM r GROUP BY 1),
+         tb AS (SELECT b, CASE WHEN nt > 0 AND nc > 0 THEN
+             (1000000 * st) // nt - (1000000 * sc) // nc END AS t_b
+           FROM rs)
+         SELECT o.nt AS n_t, o.nc AS n_c, o.t_obs AS t_obs_micros,
+           CAST(200 AS BIGINT) AS reps,
+           CAST(sum(CASE WHEN abs(t_b) >= abs(o.t_obs) THEN 1 ELSE 0
+             END) AS BIGINT) AS n_extreme,
+           (1000000 * (1 + CAST(sum(CASE WHEN abs(t_b) >= abs(o.t_obs)
+             THEN 1 ELSE 0 END) AS BIGINT))) // 201 AS p_micros
+         FROM tb, obst o GROUP BY 1, 2, 3, 4""",
     "q232_eb_shrinkage" ->
       """WITH per AS (SELECT user_id AS u, CAST(count(*) AS BIGINT)
              AS n,

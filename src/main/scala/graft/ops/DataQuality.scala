@@ -355,6 +355,70 @@ object DataQuality {
               .cast("double") / 18.0), 4) + lit(0.0)).as("z"))
   }
 
+  /** HASH-SEEDED PERMUTATION TEST (Fisher 1935; the exact-replayable
+    * randomization form): does the observed two-group mean difference
+    * exceed what random relabelings produce? For replicate b the unit's
+    * label is the low bit of md5(id:b) — a deterministic fair coin both
+    * engines compute identically (the q93 grouped-split draw) — and
+    * p = (1 + #{|T_b| ≥ |T_obs|}) / (B + 1), the add-one Monte-Carlo
+    * estimate that can never report zero. The assumption-free
+    * significance card beside the parametric q231 SPRT and the q229
+    * SMD balance check: no normality, no variance formula — just the
+    * relabeling distribution itself.
+    *
+    * ALL-INTEGER (the strongest determinism class): means in micros by
+    * floor division — `metricCol` must be NON-NEGATIVE (st ≥ 0 makes
+    * Spark `div` == DuckDB `//`) with 1e6·Σx < 2^63 (Σx ≲ 9.2e12 —
+    * same headroom family as q232); T = m_T − m_C an exact long;
+    * the extreme-count compare and p_micros floor are integers.
+    * Replicates that draw an empty arm (probability 2^−N — never at
+    * any real N) yield NULL T_b and count as non-extreme on both
+    * faces.
+    *
+    * Scale shape: ONE pass for the observed stat, one explode ×B into
+    * ONE combinable agg keyed by b — B·N md5 rows map-side-combine to
+    * B rows per partition, so the shuffle carries O(B·partitions)
+    * regardless of N; the 1-row observed card broadcasts. */
+  def permutationTest(df: DataFrame, treatedCol: Column, idCol: String,
+                      metricCol: String, reps: Int = 200): DataFrame = {
+    require(reps >= 1, "need at least one replicate")
+    val base = df.select(col(idCol).cast("string").as("id"),
+        when(treatedCol, 1L).otherwise(0L).as("g"),
+        col(metricCol).cast("long").as("x"))
+      .localCheckpoint(eager = false)
+    val obs = base.agg(
+        sum(col("g")).as("nt"), sum(lit(1L) - col("g")).as("nc"),
+        sum(when(col("g") === 1, col("x")).otherwise(0L)).as("st"),
+        sum(when(col("g") === 0, col("x")).otherwise(0L)).as("sc"))
+      .select(col("nt"), col("nc"),
+        (expr("(1000000L * st) div nt") -
+          expr("(1000000L * sc) div nc")).as("t_obs"))
+    val tb = base
+      .select(col("id"), col("x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .select(col("b"), col("x"),
+        (conv(substring(md5(concat(col("id"), lit(":"),
+          col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+          .as("gb"))
+      .groupBy(col("b"))
+      .agg(sum(col("gb")).as("nt"), sum(lit(1L) - col("gb")).as("nc"),
+        sum(when(col("gb") === 1, col("x")).otherwise(0L)).as("st"),
+        sum(when(col("gb") === 0, col("x")).otherwise(0L)).as("sc"))
+      .select(col("b"),
+        when(col("nt") > 0 && col("nc") > 0,
+          expr("(1000000L * st) div nt") -
+            expr("(1000000L * sc) div nc")).as("t_b"))
+    tb.crossJoin(broadcast(obs))
+      .groupBy(col("nt"), col("nc"), col("t_obs"))
+      .agg(sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L)
+        .otherwise(0L)).as("n_extreme"))
+      .select(col("nt").as("n_t"), col("nc").as("n_c"),
+        col("t_obs").as("t_obs_micros"), lit(reps.toLong).as("reps"),
+        col("n_extreme"),
+        expr(s"(1000000L * (1L + n_extreme)) div ${reps + 1}L")
+          .as("p_micros"))
+  }
+
   /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
     * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
     * the top-(k+1) order statistics. α ≤ 2 means infinite variance

@@ -302,6 +302,27 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got(3L)._5 == (20L * m) / 119L, got(3L))
   }
 
+  test("permutationTest: a huge separation is more extreme than every " +
+    "relabeling (p = 1/(B+1)); identical groups give p near 1; " +
+    "T_obs is the exact floor-division micros difference") {
+    // 30 treated units at metric 1000, 30 control at 0: no fair-coin
+    // relabeling of 60 units reproduces a 1000-point mean split.
+    val strong = ((1L to 60L).map(u =>
+      (u, if (u % 2 == 1) 1000L else 0L))).toDF("u", "x")
+    val gs = DataQuality.permutationTest(strong,
+        pmod(col("u"), lit(2)) === 1, "u", "x", reps = 100)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(gs._1 == 30L && gs._2 == 30L, gs)
+    assert(gs._3 == 1000000000L, gs) // (1e6*30000) div 30 - 0
+    assert(gs._5 == 0L && gs._6 == 1000000L / 101L, gs)
+    // identical arms: T_obs = 0, every replicate is >= 0 in abs
+    val nul = (1L to 60L).map(u => (u, 7L)).toDF("u", "x")
+    val gn = DataQuality.permutationTest(nul,
+        pmod(col("u"), lit(2)) === 1, "u", "x", reps = 100)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(gn._3 == 0L && gn._5 == 100L && gn._6 == 1000000L, gn)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

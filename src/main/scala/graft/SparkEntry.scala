@@ -2014,6 +2014,13 @@ object SparkEntry {
       "user_id", "n_events", reps = 200)
   }
 
+  /** Delta-method CI for the per-segment purchase-per-event ratio,
+    * clustered by user — the honest error bar for a ratio metric
+    * whose randomization unit contributes many rows. */
+  private def qRatioMetricCi(s: SparkSession, dir: String): DataFrame =
+    Events.ratioMetricCi(Events.load(s, dir), "user_id", "event_type",
+      convType = "purchase", segments = 4L)
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2610,6 +2617,7 @@ object SparkEntry {
     "q231_sprt" -> (qSprt _),
     "q232_eb_shrinkage" -> (qEbShrinkage _),
     "q233_permutation_test" -> (qPermutationTest _),
+    "q234_ratio_metric_ci" -> (qRatioMetricCi _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5637,6 +5645,46 @@ object SparkEntry {
                 ELSE 'continue' END AS decision
          FROM ex"""
     },
+    "q234_ratio_metric_ci" ->
+      """WITH per AS (SELECT user_id % 4 AS seg, user_id AS u,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+               ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT seg, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(n) AS BIGINT) AS sn,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(n AS HUGEINT) * n) AS snn,
+             sum(CAST(y AS HUGEINT) * n) AS syn
+           FROM per GROUP BY 1),
+         d AS (SELECT seg, k, sy, sn,
+             CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE) AS r,
+             CAST(CAST(k AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+               AS DOUBLE) / CAST(CAST(k AS HUGEINT) * (k - 1)
+               AS DOUBLE) AS vy,
+             CAST(CAST(k AS HUGEINT) * snn - CAST(sn AS HUGEINT) * sn
+               AS DOUBLE) / CAST(CAST(k AS HUGEINT) * (k - 1)
+               AS DOUBLE) AS vn,
+             CAST(CAST(k AS HUGEINT) * syn - CAST(sy AS HUGEINT) * sn
+               AS DOUBLE) / CAST(CAST(k AS HUGEINT) * (k - 1)
+               AS DOUBLE) AS cyn,
+             CAST(sn AS DOUBLE) / CAST(k AS DOUBLE) AS nbar
+           FROM m),
+         e AS (SELECT seg, k, sy, sn, r,
+             (vy - 2.0 * r * cyn + r * r * vn)
+               / (CAST(k AS DOUBLE) * nbar * nbar) AS innr
+           FROM d)
+         SELECT seg, k AS n_users, sy AS sum_conv, sn AS sum_events,
+           CASE WHEN k > 1 AND sn > 0 THEN round(r, 6) + 0.0 END
+             AS ratio,
+           CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
+             round(sqrt(innr), 6) + 0.0 END AS se,
+           CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
+             round(r - 1.96 * sqrt(innr), 6) + 0.0 END AS ci_lo,
+           CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
+             round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
+         FROM e""",
     "q233_permutation_test" ->
       """WITH per AS (SELECT user_id AS id,
              CAST(count(*) AS BIGINT) AS x,

@@ -1406,6 +1406,62 @@ object Events {
           s" div (n + ${priorStrength}L)").as("shrunk_micros"))
   }
 
+  /** DELTA-METHOD CI FOR A RATIO METRIC (Deng, Knoblich & Lu 2018 —
+    * "Applying the Delta Method in Metric Analytics"): conversion
+    * rates, revenue-per-session and any Σy/Σn metric violate the iid
+    * assumption of a naive proportion CI because the randomization
+    * unit (user) contributes MANY rows; the delta method gets the
+    * variance right by treating per-user (y, n) pairs as the iid
+    * draws: Var(R) ≈ (v_y − 2R·c_yn + R²·v_n)/(k·n̄²). The honest
+    * error bar q232's point shrinkage and q231's boundary test both
+    * lean on.
+    *
+    * Determinism: per-segment moments are exact (longs; squares and
+    * cross products in decimal(38,0)/HUGEINT — the r12 ladder); the
+    * CI is ONE mirrored float tree over those moments (sample
+    * (co)variances with the k−1 denominator, z = 1.96 literal on both
+    * faces, round-6 + signed-zero). Segments with k ≤ 1 or Σn = 0
+    * yield NULL; a float-rounding-negative inner variance yields NULL
+    * se/CI (guard mirrored).
+    *
+    * Scale shape: one combinable per-user agg, one combinable
+    * per-segment moment agg — two scans' worth of map-side-combined
+    * shuffle, output |segments| rows. */
+  def ratioMetricCi(events: DataFrame, userCol: String, typeCol: String,
+                    convType: String, segments: Long = 4L): DataFrame = {
+    require(segments >= 1, "need segments >= 1")
+    val per = events
+      .groupBy((col(userCol) % segments).as("seg"), col(userCol).as("u"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(typeCol) === convType, 1L).otherwise(0L)).as("y"))
+    val m = per.groupBy(col("seg")).agg(
+      count(lit(1)).as("k"),
+      sum(col("y")).as("sy"), sum(col("n")).as("sn"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+      sum(expr("cast(n as decimal(38,0)) * n")).as("snn"),
+      sum(expr("cast(y as decimal(38,0)) * n")).as("syn"))
+    val r = col("sy").cast("double") / col("sn").cast("double")
+    def sv(num: String): Column =
+      expr(s"cast(cast(k as decimal(38,0)) * $num as double)") /
+        expr("cast(cast(k as decimal(38,0)) * (k - 1) as double)")
+    val vy = sv("syy - cast(sy as decimal(38,0)) * sy")
+    val vn = sv("snn - cast(sn as decimal(38,0)) * sn")
+    val cyn = sv("syn - cast(sy as decimal(38,0)) * sn")
+    val nbar = col("sn").cast("double") / col("k").cast("double")
+    val inner = (vy - lit(2.0) * r * cyn + r * r * vn) /
+      (col("k").cast("double") * nbar * nbar)
+    val valid = col("k") > 1 && col("sn") > 0
+    m.select(col("seg"), col("k").as("n_users"),
+      col("sy").as("sum_conv"), col("sn").as("sum_events"),
+      when(valid, round(r, 6) + lit(0.0)).as("ratio"),
+      when(valid && inner >= 0.0,
+        round(sqrt(inner), 6) + lit(0.0)).as("se"),
+      when(valid && inner >= 0.0,
+        round(r - lit(1.96) * sqrt(inner), 6) + lit(0.0)).as("ci_lo"),
+      when(valid && inner >= 0.0,
+        round(r + lit(1.96) * sqrt(inner), 6) + lit(0.0)).as("ci_hi"))
+  }
+
   /** EXPONENTIALLY-DECAYED ENGAGEMENT SCORE per user — the recency-
     * weighted activity scalar ranking/churn models consume (each
     * event counts 0.9^(days-ago), "ago" measured from the corpus's max

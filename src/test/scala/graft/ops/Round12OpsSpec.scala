@@ -323,6 +323,34 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(gn._3 == 0L && gn._5 == 100L && gn._6 == 1000000L, gn)
   }
 
+  test("ratioMetricCi: hand-computed 4-user fixture matches the " +
+    "delta-method closed form; a single-user segment yields NULLs") {
+    def ts(i: Long) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    // seg 0 users {4,8,12,16}: (n,y) = (4,1),(2,1),(2,0),(4,2)
+    // k=4 sy=4 sn=12 syy=6 snn=40 syn=14 -> r=1/3,
+    // vy=8/12 vn=16/12 cyn=8/12 nbar=3
+    // inner=(2/3 - 2*(1/3)*(2/3) + (1/9)*(4/3))/36 = 10/972
+    val shapes = Seq((4L, 4, 1), (8L, 2, 1), (12L, 2, 0), (16L, 4, 2),
+      (1L, 3, 1)) // seg 1: single user -> NULL CI
+    val rows = shapes.flatMap { case (u, n, y) =>
+      (0 until n).map(i =>
+        (u, ts(u * 100 + i), if (i < y) "purchase" else "view"))
+    }
+    val got = Events.ratioMetricCi(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "event_type", "purchase", segments = 4L)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val s0 = got(0L)
+    assert(s0._2 == 4L && s0._3 == 4L && s0._4 == 12L, s0)
+    assert(s0._5.contains(0.333333), s0)
+    assert(s0._6.contains(0.10143), s0) // sqrt(10/972) = 0.1014301...
+    assert(s0._7.contains(0.13453), s0) // 1/3 - 1.96*se = 0.1345303...
+    assert(s0._8.contains(0.532136), s0) // 1/3 + 1.96*se = 0.5321363...
+    val s1 = got(1L)
+    assert(s1._2 == 1L && s1._5.isEmpty && s1._6.isEmpty, s1)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

@@ -2021,6 +2021,26 @@ object SparkEntry {
     Events.ratioMetricCi(Events.load(s, dir), "user_id", "event_type",
       convType = "purchase", segments = 4L)
 
+  /** Benjamini–Hochberg FDR over the per-event-type family of parity
+    * permutation tests — "which event types REALLY differ between the
+    * arms" with the expected false-discovery share controlled at 10%.
+    * Absent (user, type) pairs count as zero activity (the unit set
+    * is the same for every hypothesis). */
+  private def qFdrBh(s: SparkSession, dir: String): DataFrame = {
+    val ev = Events.load(s, dir)
+    val users = ev.select(col("user_id")).distinct()
+    val types = ev.select(col("event_type").as("grp")).distinct()
+    val counts = ev.groupBy(col("user_id"), col("event_type").as("grp"))
+      .agg(count(lit(1)).as("x"))
+    val base = users.crossJoin(broadcast(types))
+      .join(counts, Seq("user_id", "grp"), "left")
+      .select(col("grp"), col("user_id"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val pv = DataQuality.permutationTestByGroup(base, "grp",
+      pmod(col("user_id"), lit(2)) === 1, "user_id", "x", reps = 100)
+    DataQuality.fdrBh(pv, "grp", "p_micros", alphaMicros = 100000L)
+  }
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2618,6 +2638,7 @@ object SparkEntry {
     "q232_eb_shrinkage" -> (qEbShrinkage _),
     "q233_permutation_test" -> (qPermutationTest _),
     "q234_ratio_metric_ci" -> (qRatioMetricCi _),
+    "q235_fdr_bh" -> (qFdrBh _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5685,6 +5706,60 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q235_fdr_bh" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+         types AS (SELECT DISTINCT event_type AS grp FROM events),
+         cnt AS (SELECT user_id, event_type AS grp,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         base AS (SELECT t.grp, u.user_id AS id,
+             COALESCE(c.x, 0) AS x,
+             CASE WHEN u.user_id % 2 = 1 THEN 1 ELSE 0 END AS g
+           FROM users u CROSS JOIN types t
+           LEFT JOIN cnt c ON c.user_id = u.user_id AND c.grp = t.grp),
+         obs AS (SELECT grp, CAST(sum(g) AS BIGINT) AS nt,
+             CAST(sum(1 - g) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS st,
+             CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sc
+           FROM base GROUP BY 1),
+         obst AS (SELECT grp, CASE WHEN nt > 0 AND nc > 0 THEN
+             (1000000 * st) // nt - (1000000 * sc) // nc END AS t_obs
+           FROM obs),
+         r AS (SELECT grp, t.b, x,
+             CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':'
+               || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS gb
+           FROM base, range(100) t(b)),
+         rs AS (SELECT grp, b, CAST(sum(gb) AS BIGINT) AS nt,
+             CAST(sum(1 - gb) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN gb = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS st,
+             CAST(sum(CASE WHEN gb = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sc
+           FROM r GROUP BY 1, 2),
+         tb AS (SELECT grp, b, CASE WHEN nt > 0 AND nc > 0 THEN
+             (1000000 * st) // nt - (1000000 * sc) // nc END AS t_b
+           FROM rs),
+         pv AS (SELECT tb.grp,
+             (1000000 * (1 + CAST(sum(CASE WHEN abs(t_b) >=
+               abs(o.t_obs) THEN 1 ELSE 0 END) AS BIGINT))) // 101
+               AS p_micros
+           FROM tb JOIN obst o ON o.grp = tb.grp GROUP BY 1),
+         ranked AS (SELECT grp, p_micros,
+             CAST(row_number() OVER (ORDER BY p_micros, grp)
+               AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+           FROM pv),
+         st2 AS (SELECT grp, p_micros, rnk, m,
+             max(CASE WHEN p_micros * m <= rnk * 100000 THEN rnk END)
+               OVER () AS istar
+           FROM ranked)
+         SELECT grp, p_micros, rnk, m,
+           (rnk * 100000) // m AS thr_micros,
+           CASE WHEN rnk <= COALESCE(istar, 0) THEN 1 ELSE 0 END
+             AS rejected
+         FROM st2""",
     "q233_permutation_test" ->
       """WITH per AS (SELECT user_id AS id,
              CAST(count(*) AS BIGINT) AS x,

@@ -419,6 +419,94 @@ object DataQuality {
           .as("p_micros"))
   }
 
+  /** [[permutationTest]] PER FAMILY MEMBER — the same hash-seeded
+    * relabeling machinery keyed by `groupCol`, with ONE draw per
+    * (unit, replicate) SHARED across members (the resampling-family
+    * convention: each replicate applies one permutation to every
+    * hypothesis, Westfall & Young 1993). Feeds [[fdrBh]].
+    *
+    * Determinism: identical to [[permutationTest]] (all-integer,
+    * non-negative metric, md5(id:b) coin). Scale shape: B·rows md5
+    * evaluations map-side-combining to B·|family| rows; the |family|
+    * observed stats broadcast. */
+  def permutationTestByGroup(df: DataFrame, groupCol: String,
+                             treatedCol: Column, idCol: String,
+                             metricCol: String, reps: Int = 100)
+      : DataFrame = {
+    require(reps >= 1, "need at least one replicate")
+    val base = df.select(col(groupCol).as("grp"),
+        col(idCol).cast("string").as("id"),
+        when(treatedCol, 1L).otherwise(0L).as("g"),
+        col(metricCol).cast("long").as("x"))
+      .localCheckpoint(eager = false)
+    val obs = base.groupBy(col("grp")).agg(
+        sum(col("g")).as("nt"), sum(lit(1L) - col("g")).as("nc"),
+        sum(when(col("g") === 1, col("x")).otherwise(0L)).as("st"),
+        sum(when(col("g") === 0, col("x")).otherwise(0L)).as("sc"))
+      .select(col("grp"), col("nt"), col("nc"),
+        when(col("nt") > 0 && col("nc") > 0,
+          expr("(1000000L * st) div nt") -
+            expr("(1000000L * sc) div nc")).as("t_obs"))
+    val tb = base
+      .select(col("grp"), col("x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"),
+        col("id"))
+      .select(col("grp"), col("b"), col("x"),
+        (conv(substring(md5(concat(col("id"), lit(":"),
+          col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+          .as("gb"))
+      .groupBy(col("grp"), col("b"))
+      .agg(sum(col("gb")).as("nt"), sum(lit(1L) - col("gb")).as("nc"),
+        sum(when(col("gb") === 1, col("x")).otherwise(0L)).as("st"),
+        sum(when(col("gb") === 0, col("x")).otherwise(0L)).as("sc"))
+      .select(col("grp"),
+        when(col("nt") > 0 && col("nc") > 0,
+          expr("(1000000L * st) div nt") -
+            expr("(1000000L * sc) div nc")).as("t_b"))
+    tb.join(broadcast(obs), Seq("grp"))
+      .groupBy(col("grp"), col("nt"), col("nc"), col("t_obs"))
+      .agg(sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L)
+        .otherwise(0L)).as("n_extreme"))
+      .select(col("grp"), col("nt").as("n_t"), col("nc").as("n_c"),
+        col("t_obs").as("t_obs_micros"), col("n_extreme"),
+        expr(s"(1000000L * (1L + n_extreme)) div ${reps + 1}L")
+          .as("p_micros"))
+  }
+
+  /** BENJAMINI–HOCHBERG FDR step-up (Benjamini & Hochberg 1995) over
+    * a family of p-values — the multiple-testing correction every
+    * many-segment dashboard needs: rank p ascending, find the largest
+    * i with p_(i) ≤ i·α/m, reject ranks ≤ i. Controls the EXPECTED
+    * share of false discoveries at α where per-test thresholds
+    * silently fire α·m false alarms.
+    *
+    * ALL-INTEGER on micro p-values: the step condition is
+    * p_micros·m ≤ i·α_micros (exact longs), the reported per-rank
+    * threshold is (i·α_micros) div m, the rank tie-break is
+    * (p, member) — a total order. `rejected` is 0/1.
+    *
+    * Scale shape: the family is card-sized BY DEFINITION (one row per
+    * hypothesis) — the whole-frame rank window runs on one partition
+    * of |family| rows; never feed row-scale data here. */
+  def fdrBh(pv: DataFrame, memberCol: String, pCol: String,
+            alphaMicros: Long = 100000L): DataFrame = {
+    require(alphaMicros > 0 && alphaMicros < 1000000L,
+      "alphaMicros must be in (0, 1e6)")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol).asc, col(memberCol).asc)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+    pv.select(col(memberCol), col(pCol).cast("long").as("p_micros"))
+      .withColumn("rnk", row_number().over(wAll).cast("long"))
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("istar",
+        max(when(col("p_micros") * col("m") <=
+          col("rnk") * lit(alphaMicros), col("rnk"))).over(whole))
+      .select(col(memberCol), col("p_micros"), col("rnk"), col("m"),
+        expr(s"(rnk * ${alphaMicros}L) div m").as("thr_micros"),
+        when(col("rnk") <= coalesce(col("istar"), lit(0L)), 1L)
+          .otherwise(0L).as("rejected"))
+  }
+
   /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
     * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
     * the top-(k+1) order statistics. α ≤ 2 means infinite variance

@@ -351,6 +351,39 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(s1._2 == 1L && s1._5.isEmpty && s1._6.isEmpty, s1)
   }
 
+  test("fdrBh: the step-up rescues an early rank that fails its own " +
+    "threshold when a later rank passes; thresholds are exact floors") {
+    // p*m vs i*alpha: 120000 > 100000 (fails alone), 180000 <= 200000,
+    // 270000 <= 300000 -> i* = 3 -> ALL THREE rejected (the step-up
+    // signature a per-test threshold misses).
+    val pv = Seq(("a", 40000L), ("b", 60000L), ("c", 90000L))
+      .toDF("member", "p_micros")
+    val got = DataQuality.fdrBh(pv, "member", "p_micros", 100000L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 40000L, 1L, 3L, 33333L, 1L)), got("a"))
+    assert(got("b")._6 == 1L && got("c")._6 == 1L, got)
+    val none = Seq(("a", 500000L), ("b", 900000L))
+      .toDF("member", "p_micros")
+    assert(DataQuality.fdrBh(none, "member", "p_micros", 100000L)
+      .filter(col("rejected") === 1).count() == 0L)
+  }
+
+  test("permutationTestByGroup: a separated member is significant " +
+    "(p = 1/(B+1)), a constant member is not (p = 1)") {
+    val rows = (1L to 60L).flatMap { u =>
+      Seq(("sep", u, if (u % 2 == 1) 1000L else 0L), ("flat", u, 7L))
+    }
+    val got = DataQuality.permutationTestByGroup(rows.toDF("grp", "u", "x"),
+        "grp", pmod(col("u"), lit(2)) === 1, "u", "x", reps = 100)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("sep")._4 == 1000000000L &&
+      got("sep")._6 == 1000000L / 101L, got("sep"))
+    assert(got("flat")._4 == 0L && got("flat")._6 == 1000000L,
+      got("flat"))
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

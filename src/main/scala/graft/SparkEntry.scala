@@ -2041,6 +2041,19 @@ object SparkEntry {
     DataQuality.fdrBh(pv, "grp", "p_micros", alphaMicros = 100000L)
   }
 
+  /** Fairness audit of an activity-ranked selection across user
+    * segments: label = ever purchased, predicted = top-3 activity
+    * deciles — per segment the selection rate, TPR/FPR, disparate
+    * impact vs the most-selected segment and the EO gap. */
+  private def qFairnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val per = Events.load(s, dir).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("label"))
+    DataQuality.fairnessAudit(per, pmod(col("user_id"), lit(3)),
+      "user_id", "n_events", "label", topDeciles = 3)
+  }
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2639,6 +2652,7 @@ object SparkEntry {
     "q233_permutation_test" -> (qPermutationTest _),
     "q234_ratio_metric_ci" -> (qRatioMetricCi _),
     "q235_fdr_bh" -> (qFdrBh _),
+    "q236_fairness_audit" -> (qFairnessAudit _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5706,6 +5720,41 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q236_fairness_audit" ->
+      """WITH per AS (SELECT user_id AS u, user_id % 3 AS seg,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS label
+           FROM events GROUP BY 1, 2),
+         scored AS (SELECT seg, label,
+             CASE WHEN ntile(10) OVER (ORDER BY n_events DESC, u ASC)
+               <= 3 THEN 1 ELSE 0 END AS pred
+           FROM per),
+         grp AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS npos,
+             CAST(sum(pred) AS BIGINT) AS npred,
+             CAST(sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0
+               END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0
+               END) AS BIGINT) AS fp
+           FROM scored GROUP BY 1),
+         rates AS (SELECT seg, n, npos, npred,
+             (1000000 * npred) // n AS sel_rate_micros,
+             CASE WHEN npos > 0 THEN (1000000 * tp) // npos END
+               AS tpr_micros,
+             CASE WHEN n - npos > 0 THEN (1000000 * fp) // (n - npos)
+               END AS fpr_micros
+           FROM grp),
+         ref AS (SELECT n AS rn, npred AS rnp, tpr_micros AS rtpr
+           FROM rates ORDER BY sel_rate_micros DESC, seg ASC LIMIT 1)
+         SELECT seg, n AS n_users, npos AS n_label_pos,
+           npred AS n_pred_pos, sel_rate_micros, tpr_micros,
+           fpr_micros,
+           CASE WHEN rnp > 0 THEN CAST(CAST(1000000 * npred
+             AS HUGEINT) * rn // (CAST(n AS HUGEINT) * rnp)
+             AS BIGINT) END AS di_micros,
+           tpr_micros - rtpr AS eo_gap_micros
+         FROM rates CROSS JOIN ref""",
     "q235_fdr_bh" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events),
          types AS (SELECT DISTINCT event_type AS grp FROM events),

@@ -507,6 +507,64 @@ object DataQuality {
           .otherwise(0L).as("rejected"))
   }
 
+  /** FAIRNESS AUDIT card (the EEOC four-fifths screen + Hardt et al.
+    * 2016's equalized-odds reads): given unit-level (group, score,
+    * label), predict positive = global top-`topDeciles` deciles of
+    * score, then per group report selection rate, TPR, FPR, the
+    * DISPARATE-IMPACT ratio against the highest-selection-rate group
+    * (the four-fifths rule flags di < 0.8) and the equal-opportunity
+    * gap (TPR − TPR_ref). The pre-deployment card for ANY ranked
+    * selection — trainset admission, review queues, quality gates.
+    *
+    * ALL-INTEGER: rates in micros by floor div (counts ≥ 0); the DI
+    * ratio avoids stacked floors via the exact cross-product form
+    * (1e6·np_g·n_ref) div (n_g·np_ref) in decimal(38,0)/HUGEINT (the
+    * q217 χ² route); reference = max selection rate, ties to the
+    * smallest group key (total order). Groups with no positives yield
+    * NULL TPR; the EO gap is NULL-propagating.
+    *
+    * Scale shape: one combinable per-group agg; the decile cut is a
+    * GLOBAL ntile window over units (the q43/q204 RFM class — swap
+    * for an approx-quantile threshold when units stop fitting a
+    * window); the 1-row reference broadcasts. */
+  def fairnessAudit(units: DataFrame, groupCol: Column, idCol: String,
+                    scoreCol: String, labelCol: String,
+                    topDeciles: Int = 3): DataFrame = {
+    require(topDeciles >= 1 && topDeciles <= 9,
+      "topDeciles must be in [1, 9]")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val scored = units.select(groupCol.as("seg"), col(idCol),
+        col(scoreCol), col(labelCol).cast("long").as("label"))
+      .withColumn("pred",
+        when(ntile(10).over(w) <= topDeciles, 1L).otherwise(0L))
+    val grp = scored.groupBy(col("seg")).agg(
+        count(lit(1)).as("n"), sum(col("label")).as("npos"),
+        sum(col("pred")).as("npred"),
+        sum(when(col("pred") === 1 && col("label") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && col("label") === 0, 1L)
+          .otherwise(0L)).as("fp"))
+      .withColumn("sel_rate_micros", expr("(1000000L * npred) div n"))
+      .withColumn("tpr_micros",
+        when(col("npos") > 0, expr("(1000000L * tp) div npos")))
+      .withColumn("fpr_micros", when(col("n") - col("npos") > 0,
+        expr("(1000000L * fp) div (n - npos)")))
+    val ref = grp
+      .orderBy(col("sel_rate_micros").desc, col("seg").asc).limit(1)
+      .select(col("n").as("rn"), col("npred").as("rnp"),
+        col("tpr_micros").as("rtpr"))
+    grp.crossJoin(broadcast(ref))
+      .select(col("seg"), col("n").as("n_users"),
+        col("npos").as("n_label_pos"), col("npred").as("n_pred_pos"),
+        col("sel_rate_micros"), col("tpr_micros"), col("fpr_micros"),
+        when(col("rnp") > 0,
+          expr("cast(cast(1000000 * npred as decimal(38,0)) * rn" +
+            " div (cast(n as decimal(38,0)) * rnp) as bigint)"))
+          .as("di_micros"),
+        (col("tpr_micros") - col("rtpr")).as("eo_gap_micros"))
+  }
+
   /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
     * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
     * the top-(k+1) order statistics. α ≤ 2 means infinite variance

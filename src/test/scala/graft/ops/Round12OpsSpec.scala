@@ -384,6 +384,29 @@ class Round12OpsSpec extends AnyFunSuite {
       got("flat"))
   }
 
+  test("fairnessAudit: hand-built 20-unit fixture — selection rates, " +
+    "TPR/FPR, DI vs the max-rate group and the EO gap are exact") {
+    val aUnits = Set(1L, 2L, 3L, 4L, 7L, 8L, 9L, 10L, 13L, 14L)
+    val posUnits = Set(1L, 2L, 7L, 5L, 11L)
+    val df = (1L to 20L).map(u => (u,
+      if (aUnits(u)) "A" else "B", 100L - u,
+      if (posUnits(u)) 1L else 0L)).toDF("u", "grp", "score", "label")
+    val got = DataQuality.fairnessAudit(df, col("grp"), "u", "score",
+        "label", topDeciles = 3)
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // top-3 deciles of 20 units = top 6 scores = units 1..6:
+    // A holds {1,2,3,4}, B holds {5,6}
+    val a = got("A"); val b = got("B")
+    assert(a._2 == 10L && a._4 == 4L && a._5 == 400000L, a)
+    assert(a._6.contains(666666L) && a._7.contains(285714L), a)
+    assert(a._8.contains(1000000L) && a._9.contains(0L), a)
+    assert(b._4 == 2L && b._5 == 200000L, b)
+    assert(b._6.contains(500000L) && b._7.contains(125000L), b)
+    assert(b._8.contains(500000L) && b._9.contains(-166666L), b)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

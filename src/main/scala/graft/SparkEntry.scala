@@ -2054,6 +2054,11 @@ object SparkEntry {
       "user_id", "n_events", "label", topDeciles = 3)
   }
 
+  /** Leave-one-day-out jackknife of the global mean event value —
+    * which day, removed, moves the topline most. */
+  private def qJackknifeDays(s: SparkSession, dir: String): DataFrame =
+    Events.jackknifeDays(Events.load(s, dir), "ts", "value")
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2653,6 +2658,7 @@ object SparkEntry {
     "q234_ratio_metric_ci" -> (qRatioMetricCi _),
     "q235_fdr_bh" -> (qFdrBh _),
     "q236_fairness_audit" -> (qFairnessAudit _),
+    "q237_jackknife_days" -> (qJackknifeDays _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5720,6 +5726,30 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q237_jackknife_days" ->
+      """WITH byday AS (SELECT
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s_d
+           FROM events GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS dd,
+             CAST(sum(n_d) AS BIGINT) AS nn,
+             CAST(sum(s_d) AS BIGINT) AS ss
+           FROM byday),
+         g2 AS (SELECT dd, nn, ss, (1000000 * ss) // nn
+             AS overall_micros FROM g)
+         SELECT day, n_d, overall_micros,
+           CASE WHEN nn > n_d THEN
+             (1000000 * (ss - s_d)) // (nn - n_d) END AS loo_micros,
+           CASE WHEN nn > n_d THEN
+             (1000000 * (ss - s_d)) // (nn - n_d) - overall_micros
+             END AS delta_micros,
+           CASE WHEN nn > n_d THEN dd * overall_micros - (dd - 1)
+             * ((1000000 * (ss - s_d)) // (nn - n_d))
+             END AS pseudo_micros
+         FROM byday CROSS JOIN g2""",
     "q236_fairness_audit" ->
       """WITH per AS (SELECT user_id AS u, user_id % 3 AS seg,
              CAST(count(*) AS BIGINT) AS n_events,

@@ -1406,6 +1406,47 @@ object Events {
           s" div (n + ${priorStrength}L)").as("shrunk_micros"))
   }
 
+  /** LEAVE-ONE-DAY-OUT JACKKNIFE influence card (Quenouille 1956;
+    * Tukey's pseudo-values): for each day, the global mean event
+    * value recomputed WITHOUT that day, the delta it induces, and the
+    * jackknife pseudo-value D·θ̂ − (D−1)·θ̂₍d₎. The robustness read a
+    * topline metric needs before anyone trusts it: one day carrying
+    * the whole mean (a backfill, an outage, a flash sale) shows up as
+    * the dominant |delta| row.
+    *
+    * ALL-INTEGER: day sums in exact cents; every mean is
+    * (1e6·Σ) div n over non-negative longs (Spark div = DuckDB //);
+    * deltas and pseudo-values are differences of those exact micros.
+    * Headroom: 1e6·Σcents < 2^63 ⇒ Σ ≲ 9.2e12 cents (the q232/q233
+    * family bound). A corpus with a single day yields NULL
+    * leave-out columns.
+    *
+    * Scale shape: one combinable per-day agg, a 1-row global
+    * broadcast, map-side final arithmetic — output is |days| rows. */
+  def jackknifeDays(events: DataFrame, tsCol: String, valCol: String)
+      : DataFrame = {
+    val cents = round(col(valCol) * 100).cast("long")
+    val byDay = events
+      .select(expr(s"unix_timestamp(date_trunc('day', $tsCol))" +
+        " div 86400").as("day"), cents.as("c"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_d"), sum(col("c")).as("s_d"))
+    val g = byDay
+      .agg(count(lit(1)).as("dd"), sum(col("n_d")).as("nn"),
+        sum(col("s_d")).as("ss"))
+      .select(col("dd"), col("nn"), col("ss"),
+        expr("(1000000L * ss) div nn").as("overall_micros"))
+    val loo = expr("(1000000L * (ss - s_d)) div (nn - n_d)")
+    byDay.crossJoin(broadcast(g))
+      .select(col("day"), col("n_d"), col("overall_micros"),
+        when(col("nn") > col("n_d"), loo).as("loo_micros"),
+        when(col("nn") > col("n_d"), loo - col("overall_micros"))
+          .as("delta_micros"),
+        when(col("nn") > col("n_d"),
+          col("dd") * col("overall_micros") - (col("dd") - 1) * loo)
+          .as("pseudo_micros"))
+  }
+
   /** DELTA-METHOD CI FOR A RATIO METRIC (Deng, Knoblich & Lu 2018 —
     * "Applying the Delta Method in Metric Analytics"): conversion
     * rates, revenue-per-session and any Σy/Σn metric violate the iid

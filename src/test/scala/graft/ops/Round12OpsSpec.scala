@@ -407,6 +407,31 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(b._8.contains(500000L) && b._9.contains(-166666L), b)
   }
 
+  test("jackknifeDays: 2-day fixture — leave-out means, deltas and " +
+    "Tukey pseudo-values are the exact hand values") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // day0: two events at $1.00 (200 cents), day1: one at $4.00
+    // N=3 S=600 -> overall 2e8 micro-cents; loo(day0)=4e8, loo(day1)=1e8
+    val df = Seq((ts(0, 0), 1.0), (ts(0, 1), 1.0), (ts(1, 0), 4.0))
+      .toDF("ts", "value")
+    val got = Events.jackknifeDays(df, "ts", "value")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    val d0 = got(got.keys.min); val d1 = got(got.keys.max)
+    assert(d0._2 == 2L && d0._3 == 200000000L, d0)
+    assert(d0._4.contains(400000000L) && d0._5.contains(200000000L) &&
+      d0._6.contains(0L), d0)
+    assert(d1._4.contains(100000000L) && d1._5.contains(-100000000L) &&
+      d1._6.contains(300000000L), d1)
+    // single-day corpus: leave-out columns are NULL
+    val one = Seq((ts(0, 0), 1.0)).toDF("ts", "value")
+    val g1 = Events.jackknifeDays(one, "ts", "value")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(g1._4.isEmpty && g1._6.isEmpty, g1)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

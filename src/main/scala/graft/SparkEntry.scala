@@ -2059,6 +2059,13 @@ object SparkEntry {
   private def qJackknifeDays(s: SparkSession, dir: String): DataFrame =
     Events.jackknifeDays(Events.load(s, dir), "ts", "value")
 
+  /** Mix/rate decomposition of the half-window change in mean event
+    * value across event types — did the topline move because traffic
+    * shifted between types, or because types themselves changed. */
+  private def qMixRateDecomp(s: SparkSession, dir: String): DataFrame =
+    Events.mixRateDecomposition(Events.load(s, dir), "event_type",
+      "ts", "value")
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2659,6 +2666,7 @@ object SparkEntry {
     "q235_fdr_bh" -> (qFdrBh _),
     "q236_fairness_audit" -> (qFairnessAudit _),
     "q237_jackknife_days" -> (qJackknifeDays _),
+    "q238_mix_rate_decomp" -> (qMixRateDecomp _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5726,6 +5734,48 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q238_mix_rate_decomp" ->
+      """WITH base AS (SELECT event_type AS seg,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         bounds AS (SELECT (min(day) + max(day)) // 2 AS mid
+           FROM base),
+         cells AS (SELECT seg,
+             CAST(sum(CASE WHEN day <= mid THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN day > mid THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN day <= mid THEN c ELSE 0 END)
+               AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN day > mid THEN c ELSE 0 END)
+               AS BIGINT) AS s2
+           FROM base CROSS JOIN bounds GROUP BY 1),
+         tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nn1,
+             CAST(sum(n2) AS BIGINT) AS nn2
+           FROM cells),
+         terms AS (SELECT seg, n1, n2, s1, s2, nn1, nn2,
+             CASE WHEN n1 > 0 AND nn2 > 0 THEN
+               CAST(CAST(n2 AS HUGEINT) * s1 * 1000000
+                 // (CAST(nn2 AS HUGEINT) * n1) AS BIGINT)
+             WHEN nn2 > 0 THEN 0 END AS w2r1,
+             CAST(CAST(s1 AS HUGEINT) * 1000000 // nn1 AS BIGINT)
+               AS w1r1,
+             CASE WHEN nn2 > 0 THEN CAST(CAST(s2 AS HUGEINT)
+               * 1000000 // nn2 AS BIGINT) END AS w2r2
+           FROM cells CROSS JOIN tot)
+         SELECT seg, n1, n2,
+           (1000000 * n1) // nn1 AS w1_micros,
+           CASE WHEN nn2 > 0 THEN (1000000 * n2) // nn2 END
+             AS w2_micros,
+           CASE WHEN n1 > 0 THEN CAST(CAST(s1 AS HUGEINT) * 1000000
+             // n1 AS BIGINT) ELSE 0 END AS r1_micros,
+           CASE WHEN n2 > 0 THEN CAST(CAST(s2 AS HUGEINT) * 1000000
+             // n2 AS BIGINT) ELSE 0 END AS r2_micros,
+           w2r1 - w1r1 AS mix_micros,
+           w2r2 - w2r1 AS rate_micros
+         FROM terms""",
     "q237_jackknife_days" ->
       """WITH byday AS (SELECT
              CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400

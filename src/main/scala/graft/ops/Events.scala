@@ -1447,6 +1447,75 @@ object Events {
           .as("pseudo_micros"))
   }
 
+  /** MIX/RATE DECOMPOSITION of a mean-metric change (the index-number
+    * "bridge" — Laspeyres decomposition / BCG growth accounting):
+    * between two halves of the observation window, the change in the
+    * global mean value per event splits EXACTLY into per-segment
+    * Δmean = Σ_s [(w₂−w₁)·r₁]  (MIX: traffic moved between segments)
+    *       + Σ_s [w₂·(r₂−r₁)]  (RATE: segments got better/worse),
+    * the answer to "did the metric drop because users shifted to
+    * cheap segments, or because segments themselves got cheaper" —
+    * the first question asked of any topline move.
+    *
+    * Determinism: each term is a DIFFERENCE OF NON-NEGATIVE floored
+    * micro terms (mix = w₂r₁ − w₁r₁, rate = w₂r₂ − w₂r₁, each
+    * (1e6·cross-product) div (positive denominator) in decimal(38,0)/
+    * HUGEINT — the q205 independent-floor class), so no signed
+    * division exists anywhere. Segments absent from period 1 take the
+    * r₁ := 0 convention (w₁ = 0 makes the identity hold for ANY r₁;
+    * zero is the one both engines agree on); a window too short to
+    * have a second period yields NULL period-2 columns. The split is
+    * day ≤ (min+max) div 2 — derived from the data, no parameter.
+    *
+    * Scale shape: one combinable (segment, period) agg off one scan,
+    * a 1-row bounds broadcast and a 1-row totals broadcast — output
+    * is |segments| rows. */
+  def mixRateDecomposition(events: DataFrame, groupCol: String,
+                           tsCol: String, valCol: String): DataFrame = {
+    val cents = round(col(valCol) * 100).cast("long")
+    val base = events.select(col(groupCol).as("seg"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"), cents.as("c"))
+      .localCheckpoint(eager = false)
+    val bounds = base
+      .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("(dmin + dmax) div 2").as("mid"))
+    val cells = base.crossJoin(broadcast(bounds))
+      .select(col("seg"), (col("day") <= col("mid")).as("p1"),
+        col("c"))
+      .groupBy(col("seg"))
+      .agg(sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("p1"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p1"), col("c")).otherwise(0L)).as("s1"),
+        sum(when(!col("p1"), col("c")).otherwise(0L)).as("s2"))
+    val tot = cells.agg(sum(col("n1")).as("nn1"),
+      sum(col("n2")).as("nn2"), sum(col("s1")).as("ss1"),
+      sum(col("s2")).as("ss2"))
+    // non-negative floored micro terms (decimal ladder, independent
+    // floors): w2r1 = (1e6·n2·s1) div (N2·n1), w1r1 = (1e6·s1) div N1,
+    // w2r2 = (1e6·s2) div N2
+    val w2r1 = when(col("n1") > 0 && col("nn2") > 0,
+      expr("cast(cast(n2 as decimal(38,0)) * s1 * 1000000" +
+        " div (cast(nn2 as decimal(38,0)) * n1) as bigint)"))
+      .otherwise(when(col("nn2") > 0, 0L))
+    val w1r1 = expr("cast(cast(s1 as decimal(38,0)) * 1000000" +
+      " div nn1 as bigint)")
+    val w2r2 = when(col("nn2") > 0,
+      expr("cast(cast(s2 as decimal(38,0)) * 1000000" +
+        " div nn2 as bigint)"))
+    cells.crossJoin(broadcast(tot)).select(
+      col("seg"), col("n1"), col("n2"),
+      expr("(1000000L * n1) div nn1").as("w1_micros"),
+      when(col("nn2") > 0, expr("(1000000L * n2) div nn2"))
+        .as("w2_micros"),
+      when(col("n1") > 0, expr("cast(cast(s1 as decimal(38,0))" +
+        " * 1000000 div n1 as bigint)")).otherwise(0L).as("r1_micros"),
+      when(col("n2") > 0, expr("cast(cast(s2 as decimal(38,0))" +
+        " * 1000000 div n2 as bigint)")).otherwise(0L).as("r2_micros"),
+      (w2r1 - w1r1).as("mix_micros"),
+      (w2r2 - w2r1).as("rate_micros"))
+  }
+
   /** DELTA-METHOD CI FOR A RATIO METRIC (Deng, Knoblich & Lu 2018 —
     * "Applying the Delta Method in Metric Analytics"): conversion
     * rates, revenue-per-session and any Σy/Σn metric violate the iid

@@ -432,6 +432,33 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(g1._4.isEmpty && g1._6.isEmpty, g1)
   }
 
+  test("mixRateDecomposition: hand fixture — mix and rate effects " +
+    "are exact and their total equals the topline move") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // day0 = period 1, day1 = period 2 (mid = 0)
+    // X: p1 2x$1.00, p2 1x$4.00; Y: p1 2x$3.00, p2 3x$1.00
+    val rows = Seq(
+      ("X", ts(0, 0), 1.0), ("X", ts(0, 1), 1.0), ("X", ts(1, 0), 4.0),
+      ("Y", ts(0, 2), 3.0), ("Y", ts(0, 3), 3.0),
+      ("Y", ts(1, 1), 1.0), ("Y", ts(1, 2), 1.0), ("Y", ts(1, 3), 1.0))
+    val got = Events.mixRateDecomposition(
+        rows.toDF("event_type", "ts", "value"), "event_type", "ts",
+        "value")
+      .as[(String, Long, Long, Long, Option[Long], Long, Long,
+        Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    val x = got("X"); val y = got("Y")
+    // X: w2r1=25e6, w1r1=50e6 -> mix -25e6; w2r2=100e6 -> rate +75e6
+    assert(x._4 == 500000L && x._5.contains(250000L), x)
+    assert(x._6 == 100000000L && x._7 == 400000000L, x)
+    assert(x._8.contains(-25000000L) && x._9.contains(75000000L), x)
+    // Y: w2r1=225e6, w1r1=150e6 -> mix +75e6; w2r2=75e6 -> rate -150e6
+    assert(y._8.contains(75000000L) && y._9.contains(-150000000L), y)
+    // identity: sum(mix+rate) = m2 - m1 = 175 - 200 cents = -25e6
+    assert((x._8.get + x._9.get + y._8.get + y._9.get) == -25000000L)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

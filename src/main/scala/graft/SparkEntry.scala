@@ -2066,6 +2066,19 @@ object SparkEntry {
     Events.mixRateDecomposition(Events.load(s, dir), "event_type",
       "ts", "value")
 
+  /** Variance-to-mean overdispersion of daily counts per event type —
+    * the "is Poisson wrong here" diagnostic that gates every
+    * count-based alert threshold. */
+  private def qOverdispersion(s: SparkSession, dir: String): DataFrame =
+    DataQuality.overdispersion(Events.load(s, dir), "event_type", "ts")
+
+  /** Top-20 user-leaderboard churn between the two window halves —
+    * overlap, Jaccard and rank-biased overlap with build-time
+    * geometric weights. */
+  private def qRankChurn(s: SparkSession, dir: String): DataFrame =
+    Events.topKRankChurn(Events.load(s, dir), "user_id", "ts",
+      k = 20, p = 0.9)
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2667,6 +2680,8 @@ object SparkEntry {
     "q236_fairness_audit" -> (qFairnessAudit _),
     "q237_jackknife_days" -> (qJackknifeDays _),
     "q238_mix_rate_decomp" -> (qMixRateDecomp _),
+    "q239_overdispersion" -> (qOverdispersion _),
+    "q240_rank_churn" -> (qRankChurn _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5734,6 +5749,60 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q239_overdispersion" ->
+      """WITH daily AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM daily GROUP BY 1),
+         d AS (SELECT grp, n, sy,
+             CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+               AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1)
+               AS DOUBLE) AS vr,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mn
+           FROM m)
+         SELECT grp, n AS n_days, sy AS sum_y,
+           (1000000 * sy) // n AS mean_micros,
+           CASE WHEN n > 1 AND sy > 0 THEN round(vr / mn, 4) + 0.0
+             END AS vmr,
+           CASE WHEN n > 1 AND sy > 0 THEN
+             round(CAST(n - 1 AS DOUBLE) * (vr / mn), 4) + 0.0
+             END AS chi2_stat
+         FROM d""",
+    "q240_rank_churn" -> {
+      val w = Events.rboWeightsMicros(20, 0.9).mkString(", ")
+      s"""WITH base AS (SELECT user_id AS id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day
+           FROM events),
+         bounds AS (SELECT (min(day) + max(day)) // 2 AS mid
+           FROM base),
+         counts AS (SELECT id, day <= mid AS p1,
+             CAST(count(*) AS BIGINT) AS c
+           FROM base CROSS JOIN bounds GROUP BY 1, 2),
+         a AS (SELECT id, r1 FROM (SELECT id,
+             CAST(row_number() OVER (ORDER BY c DESC, id ASC)
+               AS BIGINT) AS r1
+           FROM counts WHERE p1) WHERE r1 <= 20),
+         b AS (SELECT id, r2 FROM (SELECT id,
+             CAST(row_number() OVER (ORDER BY c DESC, id ASC)
+               AS BIGINT) AS r2
+           FROM counts WHERE NOT p1) WHERE r2 <= 20),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b),
+         ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+             CAST(sum(([$w])[CAST(greatest(r1, r2) AS INT)])
+               AS BIGINT) AS rbo
+           FROM a JOIN b USING (id))
+         SELECT CAST(20 AS BIGINT) AS k, n_a, n_b, n_overlap,
+           (1000000 * n_overlap) // (n_a + n_b - n_overlap)
+             AS jaccard_micros,
+           COALESCE(rbo, 0) AS rbo_micros
+         FROM ov CROSS JOIN na CROSS JOIN nb"""
+    },
     "q238_mix_rate_decomp" ->
       """WITH base AS (SELECT event_type AS seg,
              CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400

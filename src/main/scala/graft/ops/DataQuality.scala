@@ -565,6 +565,47 @@ object DataQuality {
         (col("tpr_micros") - col("rtpr")).as("eo_gap_micros"))
   }
 
+  /** OVERDISPERSION card (index of dispersion / variance-to-mean
+    * ratio; Fisher 1950's dispersion test): per group, VMR of the
+    * daily count series and the test statistic (n−1)·VMR ~ χ²_{n−1}
+    * under Poisson. VMR ≈ 1 means Poisson assumptions (and their
+    * tight CIs) are fine; VMR ≫ 1 — the usual case for user activity,
+    * which is bursty (q203) — means every Poisson-based alert
+    * threshold is over-confident and a negative-binomial or empirical
+    * null (q233) is required. The diagnostic to run BEFORE q231's
+    * parametric boundaries are trusted on count metrics.
+    *
+    * Determinism: exact daily counts; moments exact with
+    * decimal(38,0)/HUGEINT squares (the r12 ladder); VMR and the χ²
+    * stat are ONE mirrored float tree over the exact moments
+    * (sample variance, n−1), round-4 + signed-zero. Groups with ≤ 1
+    * day or zero mean yield NULL.
+    *
+    * Scale shape: one combinable daily collapse, one combinable
+    * per-group moment agg — output is |groups| rows. */
+  def overdispersion(events: DataFrame, groupCol: String,
+                     tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val m = daily.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    val varY = expr("cast(cast(n as decimal(38,0)) * syy" +
+      " - cast(sy as decimal(38,0)) * sy as double)") /
+      expr("cast(cast(n as decimal(38,0)) * (n - 1) as double)")
+    val meanY = col("sy").cast("double") / col("n").cast("double")
+    val valid = col("n") > 1 && col("sy") > 0
+    m.select(col("grp"), col("n").as("n_days"), col("sy").as("sum_y"),
+      expr("(1000000L * sy) div n").as("mean_micros"),
+      when(valid, round(varY / meanY, 4) + lit(0.0)).as("vmr"),
+      when(valid, round((col("n") - 1).cast("double") *
+        (varY / meanY), 4) + lit(0.0)).as("chi2_stat"))
+  }
+
   /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
     * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
     * the top-(k+1) order statistics. α ≤ 2 means infinite variance

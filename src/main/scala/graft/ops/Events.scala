@@ -1447,6 +1447,74 @@ object Events {
           .as("pseudo_micros"))
   }
 
+  /** Truncated-RBO per-rank weights in micros — BUILD-TIME constants
+    * from the ONE Scala definition (the q165 DCG / q231 SPRT
+    * precedent: no engine computes powers at query time). Entry m
+    * (1-based) is (1−p)·Σ_{d=m..k} p^(d−1)/d — the total RBO mass a
+    * matched item first covered at depth m contributes. */
+  private[graft] def rboWeightsMicros(k: Int, p: Double): Seq[Long] =
+    (1 to k).map(m => math.round((1 - p) *
+      (m to k).map(d => math.pow(p, d - 1) / d).sum * 1e6))
+
+  /** TOP-K LEADERBOARD CHURN between the two window halves (rank-
+    * biased overlap, Webber, Moffat & Zobel 2010, truncated at k;
+    * plus plain overlap/Jaccard): how stable is the "top users"
+    * list period over period? Overlap treats rank 1 and rank k the
+    * same; RBO's geometric top-weighting answers the question people
+    * actually ask — "did the HEAD of the leaderboard change" — and
+    * a sudden RBO drop is the ranking-pipeline regression signal.
+    *
+    * ALL-INTEGER: both top-k lists are rank windows with a total
+    * order (count desc, id asc — the q26 tie contract); each matched
+    * id contributes the BUILD-TIME micro weight for depth
+    * max(rank₁, rank₂) ([[rboWeightsMicros]] literals embedded in
+    * both faces, summed as longs — order-free); jaccard_micros is
+    * one floor division. The half split reuses q238's
+    * (min+max) div 2 day rule.
+    *
+    * Scale shape: one combinable (id, half) agg, two top-k windows
+    * (WindowGroupLimit prunes to k·partitions rows), one ≤k-row
+    * equi-join, one 1-row card out. */
+  def topKRankChurn(events: DataFrame, idCol: String, tsCol: String,
+                    k: Int = 20, p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 1000 && p > 0 && p < 1,
+      "need 1 <= k <= 1000 and 0 < p < 1")
+    val weights = rboWeightsMicros(k, p)
+    val base = events.select(col(idCol).as("id"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .localCheckpoint(eager = false)
+    val bounds = base
+      .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("(dmin + dmax) div 2").as("mid"))
+    val counts = base.crossJoin(broadcast(bounds))
+      .groupBy(col("id"), (col("day") <= col("mid")).as("p1"))
+      .agg(count(lit(1)).as("c"))
+    def topK(firstHalf: Boolean, rankName: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("id").asc)
+      counts.filter(col("p1") === firstHalf)
+        .withColumn(rankName, row_number().over(w).cast("long"))
+        .filter(col(rankName) <= k)
+        .select(col("id"), col(rankName))
+    }
+    val a = topK(firstHalf = true, "r1")
+    val b = topK(firstHalf = false, "r2")
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val wArr = array(weights.map(lit): _*)
+    a.join(b, Seq("id"))
+      .select(element_at(wArr, greatest(col("r1"), col("r2"))
+        .cast("int")).as("w"))
+      .agg(count(lit(1)).as("n_overlap"), sum(col("w")).as("rbo"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr("(1000000L * n_overlap) div (n_a + n_b - n_overlap)")
+          .as("jaccard_micros"),
+        coalesce(col("rbo"), lit(0L)).as("rbo_micros"))
+  }
+
   /** MIX/RATE DECOMPOSITION of a mean-metric change (the index-number
     * "bridge" — Laspeyres decomposition / BCG growth accounting):
     * between two halves of the observation window, the change in the

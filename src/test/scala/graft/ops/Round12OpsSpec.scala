@@ -459,6 +459,50 @@ class Round12OpsSpec extends AnyFunSuite {
     assert((x._8.get + x._9.get + y._8.get + y._9.get) == -25000000L)
   }
 
+  test("overdispersion: a constant daily series has VMR 0; a Poisson-" +
+    "breaking series matches the hand moments; 1-day groups are NULL") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // "burst": days (1, 1, 4) events -> n=3 sy=6 syy=18,
+    // var=(3*18-36)/6=3, mean=2 -> vmr=1.5, chi2=2*1.5=3
+    val burst = Seq(0L -> 1, 1L -> 1, 2L -> 4).flatMap { case (d, c) =>
+      (0 until c).map(i => ("burst", ts(d, i.toLong))) }
+    val flat = (0L until 3L).flatMap(d =>
+      (0 until 2).map(i => ("flat", ts(d, i.toLong))))
+    val one = Seq(("one", ts(0, 0)))
+    val got = DataQuality.overdispersion(
+        (burst ++ flat ++ one).toDF("event_type", "ts"), "event_type",
+        "ts")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("burst")._4 == 2000000L &&
+      got("burst")._5.contains(1.5) &&
+      got("burst")._6.contains(3.0), got("burst"))
+    assert(got("flat")._5.contains(0.0), got("flat"))
+    assert(got("one")._5.isEmpty, got("one"))
+  }
+
+  test("topKRankChurn: hand-built two-half leaderboards — overlap, " +
+    "Jaccard and the build-time RBO weights are exact") {
+    assert(Events.rboWeightsMicros(3, 0.9) == Seq(172000L, 72000L,
+      27000L))
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // day0 counts: u1:5 u2:4 u3:3 u4:1 -> top3 [u1,u2,u3]
+    // day1 counts: u1:5 u3:4 u5:3 u2:1 -> top3 [u1,u3,u5]
+    val h1 = Seq(1L -> 5, 2L -> 4, 3L -> 3, 4L -> 1)
+    val h2 = Seq(1L -> 5, 3L -> 4, 5L -> 3, 2L -> 1)
+    val rows = h1.flatMap { case (u, c) =>
+      (0 until c).map(i => (u, ts(0, u * 10 + i))) } ++
+      h2.flatMap { case (u, c) =>
+        (0 until c).map(i => (u, ts(1, u * 10 + i))) }
+    val got = Events.topKRankChurn(rows.toDF("user_id", "ts"),
+        "user_id", "ts", k = 3, p = 0.9)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // overlap {u1 (1,1), u3 (3,2)} -> W(1) + W(3) = 172000 + 27000
+    assert(got == ((3L, 3L, 3L, 2L, 500000L, 199000L)), got)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

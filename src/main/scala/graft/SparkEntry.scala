@@ -2079,6 +2079,25 @@ object SparkEntry {
     Events.topKRankChurn(Events.load(s, dir), "user_id", "ts",
       k = 20, p = 0.9)
 
+  /** Chapman capture–recapture estimate of the true user population
+    * from the two window halves — the "how many users are we NOT
+    * seeing" coverage card. */
+  private def qCaptureRecapture(s: SparkSession, dir: String): DataFrame =
+    Events.captureRecapture(Events.load(s, dir), "user_id", "ts")
+
+  /** Kendall τ-b between daily volume (events) and daily reach
+    * (distinct users) per event type — does more traffic mean more
+    * people, monotone-robustly. */
+  private def qKendallTau(s: SparkSession, dir: String): DataFrame =
+    DataQuality.kendallTau(Events.load(s, dir), "event_type",
+      "user_id", "ts")
+
+  /** Heaps-law vocabulary-growth fit over power-of-2 document-prefix
+    * checkpoints — is new vocabulary still arriving at the natural
+    * sub-linear rate. */
+  private def qHeapsFit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsFit(t(s, dir, "documents"), "doc_id", "text")
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2682,6 +2701,9 @@ object SparkEntry {
     "q238_mix_rate_decomp" -> (qMixRateDecomp _),
     "q239_overdispersion" -> (qOverdispersion _),
     "q240_rank_churn" -> (qRankChurn _),
+    "q241_capture_recapture" -> (qCaptureRecapture _),
+    "q242_kendall_tau" -> (qKendallTau _),
+    "q243_heaps_fit" -> (qHeapsFit _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5749,6 +5771,115 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q241_capture_recapture" ->
+      """WITH base AS (SELECT user_id AS id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day
+           FROM events),
+         bounds AS (SELECT (min(day) + max(day)) // 2 AS mid
+           FROM base),
+         per AS (SELECT id,
+             max(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS in1,
+             max(CASE WHEN day > mid THEN 1 ELSE 0 END) AS in2
+           FROM base CROSS JOIN bounds GROUP BY 1),
+         s AS (SELECT CAST(sum(in1) AS BIGINT) AS na,
+             CAST(sum(in2) AS BIGINT) AS nb,
+             CAST(sum(in1 * in2) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS seen
+           FROM per)
+         SELECT na AS n_first, nb AS n_second, m AS n_both,
+           seen AS n_seen,
+           CAST(CAST(na + 1 AS HUGEINT) * (nb + 1) // (m + 1)
+             AS BIGINT) - 1 AS n_hat,
+           (1000000 * seen) // (CAST(CAST(na + 1 AS HUGEINT)
+             * (nb + 1) // (m + 1) AS BIGINT) - 1) AS coverage_micros
+         FROM s""",
+    "q242_kendall_tau" ->
+      """WITH daily AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS x,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT a.grp,
+             CAST(sum(sign(b.x - a.x) * sign(b.y - a.y)) AS BIGINT)
+               AS cd
+           FROM daily a JOIN daily b ON a.grp = b.grp
+             AND a.day < b.day GROUP BY 1),
+         tx AS (SELECT grp, CAST(sum(t * (t - 1)) AS BIGINT) // 2
+             AS n1
+           FROM (SELECT grp, x, CAST(count(*) AS BIGINT) AS t
+             FROM daily GROUP BY 1, 2) GROUP BY 1),
+         ty AS (SELECT grp, CAST(sum(t * (t - 1)) AS BIGINT) // 2
+             AS n2
+           FROM (SELECT grp, y, CAST(count(*) AS BIGINT) AS t
+             FROM daily GROUP BY 1, 2) GROUP BY 1),
+         nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+           FROM daily GROUP BY 1)
+         SELECT p.grp, n AS n_days, cd AS conc_minus_disc,
+           n1 AS ties_x, n2 AS ties_y,
+           CASE WHEN CAST(CAST(n * (n - 1) // 2 - n1 AS HUGEINT)
+               * (n * (n - 1) // 2 - n2) AS DOUBLE) > 0.0 THEN
+             round(CAST(cd AS DOUBLE)
+               / sqrt(CAST(CAST(n * (n - 1) // 2 - n1 AS HUGEINT)
+                 * (n * (n - 1) // 2 - n2) AS DOUBLE)), 4) + 0.0
+             END AS tau_b
+         FROM p JOIN tx USING (grp) JOIN ty USING (grp)
+           JOIN nn USING (grp)""",
+    "q243_heaps_fit" ->
+      """WITH toks AS (SELECT seq, u.term FROM (
+             SELECT CAST(row_number() OVER (ORDER BY doc_id ASC)
+               AS BIGINT) AS seq, text FROM documents) docs,
+             UNNEST(string_split(text, ' ')) AS u(term)
+           WHERE u.term <> ''),
+         dv AS (SELECT CAST(length(bin(fseq)) AS BIGINT) AS e,
+             CAST(count(*) AS BIGINT) AS dv
+           FROM (SELECT term, min(seq) AS fseq FROM toks GROUP BY 1)
+           GROUP BY 1),
+         dn AS (SELECT CAST(length(bin(seq)) AS BIGINT) AS e,
+             CAST(count(*) AS BIGINT) AS dn
+           FROM toks GROUP BY 1),
+         ck AS (SELECT e, COALESCE(dn, 0) AS dn, COALESCE(dv, 0) AS dv
+           FROM dn FULL OUTER JOIN dv USING (e)),
+         cum AS (SELECT e, CAST(sum(dn) OVER w AS BIGINT) AS ncum,
+             CAST(sum(dv) OVER w AS BIGINT) AS vcum
+           FROM ck WINDOW w AS (ORDER BY e ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         xy AS (SELECT
+             CAST(round(ln(CAST(ncum AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS x,
+             CAST(round(ln(CAST(vcum AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS y
+           FROM cum WHERE ncum > 0 AND vcum > 0),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT)
+               AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM xy),
+         d AS (SELECT n, sx, sy,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+               AS den,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+               AS num,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+               AS deny
+           FROM s)
+         SELECT n AS n_checkpoints,
+           CASE WHEN CAST(den AS DOUBLE) <> 0.0
+             THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
+             END AS beta,
+           CASE WHEN CAST(den AS DOUBLE) <> 0.0
+             THEN round((CAST(sy AS DOUBLE)
+               - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000.0, 4) END AS ln_k,
+           CASE WHEN CAST(den AS DOUBLE) <> 0.0
+               AND CAST(deny AS DOUBLE) <> 0.0
+             THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+               / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 4)
+             END AS r2
+         FROM d""",
     "q239_overdispersion" ->
       """WITH daily AS (SELECT event_type AS grp,
              CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400

@@ -606,6 +606,58 @@ object DataQuality {
         (varY / meanY), 4) + lit(0.0)).as("chi2_stat"))
   }
 
+  /** KENDALL'S τ-b rank correlation (Kendall 1938, tie-corrected)
+    * between two DAILY metrics per group — volume (events) vs reach
+    * (distinct users): τ = (C−D)/√((n₀−n₁)(n₀−n₂)). The pair-based
+    * sibling of [[spearman]] (which correlates row ranks) and the
+    * two-VARIABLE generalization of q230 (Mann–Kendall IS τ against
+    * time); robust to any monotone rescaling of either metric.
+    *
+    * Determinism: C−D = Σ_{i<j} sign(Δx)·sign(Δy) is an exact long
+    * from the day-pair self-join (the q205/q230 days² grid class);
+    * tie terms n₁ = Σt(t−1)/2, n₂ likewise, n₀ = n(n−1)/2 exact; τ is
+    * ONE mirrored float (C−D)/√(product) with the product carried in
+    * decimal(38,0)/HUGEINT (n₀² passes int64 near 1e5 days), round-4
+    * + signed-zero. Groups with either factor zero yield NULL.
+    *
+    * Scale shape: one combinable daily collapse, one per-group
+    * day-pair equi-self-join bounded by the observation window²,
+    * two combinable tie aggs. */
+  def kendallTau(events: DataFrame, groupCol: String, userCol: String,
+                 tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"), col(userCol).as("u"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("x"), count_distinct(col("u")).as("y"))
+      .localCheckpoint(eager = false)
+    val pairs = daily.select(col("grp"), col("day").as("d1"),
+        col("x").as("x1"), col("y").as("y1"))
+      .join(daily.select(col("grp"), col("day").as("d2"),
+        col("x").as("x2"), col("y").as("y2")), Seq("grp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("grp"))
+      .agg(sum((signum(col("x2") - col("x1")) *
+        signum(col("y2") - col("y1"))).cast("long")).as("cd"))
+    def tieTerm(c: String, out: String) =
+      daily.groupBy(col("grp"), col(c)).agg(count(lit(1)).as("t"))
+        .groupBy(col("grp"))
+        .agg(sum(expr("t * (t - 1)")).as(out))
+        .select(col("grp"), expr(s"$out div 2").as(out))
+    val n = daily.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val den = expr("cast(n * (n - 1) div 2 - n1 as decimal(38,0))" +
+      " * (n * (n - 1) div 2 - n2)")
+    pairs.join(tieTerm("x", "n1"), Seq("grp"))
+      .join(tieTerm("y", "n2"), Seq("grp")).join(n, Seq("grp"))
+      .select(col("grp"), col("n").as("n_days"),
+        col("cd").as("conc_minus_disc"), col("n1").as("ties_x"),
+        col("n2").as("ties_y"),
+        when(den.cast("double") > 0.0,
+          round(col("cd").cast("double") / sqrt(den.cast("double")), 4)
+            + lit(0.0)).as("tau_b"))
+  }
+
   /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
     * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
     * the top-(k+1) order statistics. α ≤ 2 means infinite variance

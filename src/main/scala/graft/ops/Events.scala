@@ -1515,6 +1515,47 @@ object Events {
         coalesce(col("rbo"), lit(0L)).as("rbo_micros"))
   }
 
+  /** CAPTURE–RECAPTURE population estimate (Chapman 1951's
+    * bias-corrected Lincoln–Petersen): treat the two window halves as
+    * two independent "captures" of the user population; from
+    * (n₁, n₂, overlap) estimate the TRUE population
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 and the coverage share the corpus
+    * actually saw. The "how much are we missing" card — crawl
+    * coverage, sensor completeness, dedup-universe sizing — for
+    * exactly the situation where counting what you HAVE can't answer
+    * what you DON'T.
+    *
+    * ALL-INTEGER: presence flags are max-of-indicator per user (one
+    * combinable agg); N̂ floors via the decimal(38,0)/HUGEINT product
+    * ladder ((n+1) products exceed int64 near 1e10 users);
+    * coverage_micros = (1e6·seen) div N̂. N̂ ≥ max(n₁,n₂) ≥ 1 whenever
+    * the corpus is non-empty, so no division guard is needed.
+    *
+    * Scale shape: one combinable per-user agg, one 1-row card — the
+    * q238 half-split bounds broadcast. */
+  def captureRecapture(events: DataFrame, idCol: String, tsCol: String)
+      : DataFrame = {
+    val base = events.select(col(idCol).as("id"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .localCheckpoint(eager = false)
+    val bounds = base
+      .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("(dmin + dmax) div 2").as("mid"))
+    val nhat = "cast(cast(na + 1 as decimal(38,0)) * (nb + 1)" +
+      " div (m + 1) as bigint) - 1"
+    base.crossJoin(broadcast(bounds)).groupBy(col("id"))
+      .agg(max(when(col("day") <= col("mid"), 1L).otherwise(0L))
+        .as("in1"),
+        max(when(col("day") > col("mid"), 1L).otherwise(0L)).as("in2"))
+      .agg(sum(col("in1")).as("na"), sum(col("in2")).as("nb"),
+        sum(col("in1") * col("in2")).as("m"), count(lit(1)).as("seen"))
+      .select(col("na").as("n_first"), col("nb").as("n_second"),
+        col("m").as("n_both"), col("seen").as("n_seen"),
+        expr(nhat).as("n_hat"),
+        expr(s"(1000000L * seen) div ($nhat)").as("coverage_micros"))
+  }
+
   /** MIX/RATE DECOMPOSITION of a mean-metric change (the index-number
     * "bridge" — Laspeyres decomposition / BCG growth accounting):
     * between two halves of the observation window, the change in the

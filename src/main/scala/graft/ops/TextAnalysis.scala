@@ -649,6 +649,83 @@ object TextAnalysis {
           (den.cast("double") * deny.cast("double")), 4)).as("r2"))
   }
 
+  /** HEAPS-LAW FIT of vocabulary growth (Heaps 1978; V ≈ K·N^β,
+    * β ≈ 0.4–0.6 for natural language): OLS of ln V on ln N over
+    * power-of-2 document-prefix checkpoints. The companion card to
+    * [[zipfFit]]: Zipf checks the FREQUENCY shape, Heaps checks that
+    * NEW vocabulary keeps arriving at the sub-linear natural rate —
+    * a β near 0 flags a template corpus that stopped yielding novel
+    * tokens (dedup it, don't train on more of it), β near 1 flags
+    * id/hash-like token soup.
+    *
+    * Determinism + the scale trick: a token's contribution to EVERY
+    * checkpoint is determined by its FIRST occurrence alone, so the
+    * whole curve needs no quadratic prefix re-scan: doc sequence =
+    * row_number under (id asc), checkpoint bucket = bit length of the
+    * sequence (exact INTEGER length(bin(seq)) — no float log2 whose
+    * boundary ulp could flip a bucket), V and N cumulate over the
+    * ≤ 64 bucket rows. Checkpoint ln's are micro-rounded exact longs
+    * and the OLS block is byte-identical to [[zipfFit]]'s (decimal
+    * ladder, mirrored slope/intercept/r², round-4).
+    *
+    * Scale shape: one explode, TWO combinable aggs (min-first-seq per
+    * term, token count per bucket), windows only over ≤ 64 bucket
+    * rows. The doc-sequence row_number is the q43/q204 global-window
+    * class — swap for a precomputed dense id at warehouse scale. */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("id").asc)
+    val toks = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .withColumn("seq", row_number().over(wSeq).cast("long"))
+      .select(col("seq"), explode(split(col("txt"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .localCheckpoint(eager = false)
+    val dv = toks.groupBy(col("term")).agg(min(col("seq")).as("fseq"))
+      .groupBy(expr("cast(length(bin(fseq)) as bigint)").as("e"))
+      .agg(count(lit(1)).as("dv"))
+    val dn = toks
+      .groupBy(expr("cast(length(bin(seq)) as bigint)").as("e"))
+      .agg(count(lit(1)).as("dn"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("e").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val xy = dn.join(dv, Seq("e"), "full_outer")
+      .select(col("e"), coalesce(col("dn"), lit(0L)).as("dn"),
+        coalesce(col("dv"), lit(0L)).as("dv"))
+      .withColumn("ncum", sum(col("dn")).over(wCum))
+      .withColumn("vcum", sum(col("dv")).over(wCum))
+      .filter(col("ncum") > 0 && col("vcum") > 0)
+      .select(
+        round(log(col("ncum").cast("double")) * 1e6).cast("long")
+          .as("x"),
+        round(log(col("vcum").cast("double")) * 1e6).cast("long")
+          .as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+      sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    val den = expr("cast(n as decimal(38,0)) * sxx" +
+      " - cast(sx as decimal(38,0)) * sx")
+    val num = expr("cast(n as decimal(38,0)) * sxy" +
+      " - cast(sx as decimal(38,0)) * sy")
+    val deny = expr("cast(n as decimal(38,0)) * syy" +
+      " - cast(sy as decimal(38,0)) * sy")
+    s.select(col("n").as("n_checkpoints"),
+      when(den.cast("double") =!= 0.0,
+        round(num.cast("double") / den.cast("double"), 4)).as("beta"),
+      when(den.cast("double") =!= 0.0,
+        round((col("sy").cast("double") -
+          (num.cast("double") / den.cast("double")) *
+            col("sx").cast("double")) /
+          col("n").cast("double") / 1e6, 4)).as("ln_k"),
+      when(den.cast("double") =!= 0.0 && deny.cast("double") =!= 0.0,
+        round(num.cast("double") * num.cast("double") /
+          (den.cast("double") * deny.cast("double")), 4)).as("r2"))
+  }
+
   def histogramDrift(ref: DataFrame, cand: DataFrame, valueCol: String,
                      binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")

@@ -503,6 +503,64 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got == ((3L, 3L, 3L, 2L, 500000L, 199000L)), got)
   }
 
+  test("captureRecapture: Chapman estimate and coverage on a " +
+    "hand-built two-half population are exact") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // p1 users {1,2,3,4}; p2 users {3,4,5,6,7,8}: m=2, seen=8,
+    // Chapman (5*7)//3 - 1 = 10, coverage 8/10
+    val rows = Seq(1L, 2L, 3L, 4L).map(u => (u, ts(0, u))) ++
+      Seq(3L, 4L, 5L, 6L, 7L, 8L).map(u => (u, ts(1, u)))
+    val got = Events.captureRecapture(rows.toDF("user_id", "ts"),
+        "user_id", "ts")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 6L, 2L, 8L, 10L, 800000L)), got)
+  }
+
+  test("kendallTau: a perfectly concordant pair of daily series " +
+    "scores 1; a tie-corrected discordant one matches -2/sqrt(6)") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // inc: (x,y) = (1,1),(2,2),(3,3); mix: (2,2),(3,1),(4,1)
+    val inc = Seq((0L, Seq(1L)), (1L, Seq(1L, 2L)),
+      (2L, Seq(1L, 2L, 3L)))
+    val mix = Seq((0L, Seq(1L, 2L)), (1L, Seq(1L, 1L, 1L)),
+      (2L, Seq(1L, 1L, 1L, 1L)))
+    val rows =
+      inc.flatMap { case (d, us) => us.zipWithIndex.map { case (u, i) =>
+        ("inc", u, ts(d, i.toLong)) } } ++
+      mix.flatMap { case (d, us) => us.zipWithIndex.map { case (u, i) =>
+        ("mix", u, ts(d, i.toLong)) } }
+    val got = DataQuality.kendallTau(
+        rows.toDF("event_type", "user_id", "ts"), "event_type",
+        "user_id", "ts")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("inc")._3 == 3L && got("inc")._6.contains(1.0),
+      got("inc"))
+    val m = got("mix")
+    assert(m._3 == -2L && m._4 == 0L && m._5 == 1L, m)
+    assert(m._6.contains(-0.8165), m) // -2/sqrt(6)
+  }
+
+  test("heapsFit: a 3-doc fixture yields the exact 2-checkpoint " +
+    "log-log fit (r2 = 1)") {
+    // seqs 1..3 (doc_id asc); bit-length buckets e=1 {doc1}, e=2
+    // {doc2,doc3}: (N,V) checkpoints (2,2) then (7,5)
+    val docs = Seq((10L, "a b"), (20L, "a c"), (30L, "b d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heapsFit(docs, "doc_id", "text")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(got._1 == 2L, got)
+    // beta = (ln5-ln2)/(ln7-ln2) on micro-rounded lns = 916291/1252763
+    assert(got._2.contains(0.7314), got)
+    assert(got._4.contains(1.0), got)
+    val b = 916291.0 / 1252763.0
+    val lnk = (2302585.0 - b * 2639057.0) / 2.0 / 1e6
+    assert(got._3.exists(v => math.abs(v - lnk) < 0.0001), got)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

@@ -2098,6 +2098,17 @@ object SparkEntry {
   private def qHeapsFit(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.heapsFit(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Hodges–Lehmann robust typical daily volume per event type — the
+    * median of pairwise Walsh averages, exact to micro units. */
+  private def qHodgesLehmann(s: SparkSession, dir: String): DataFrame =
+    DataQuality.hodgesLehmann(Events.load(s, dir), "event_type", "ts")
+
+  /** Wald–Wolfowitz runs test of the above/below-median daily
+    * sequence per event type — regime-clumping vs oscillation, the
+    * randomness check q230's trend test can't see. */
+  private def qRunsTest(s: SparkSession, dir: String): DataFrame =
+    DataQuality.runsTest(Events.load(s, dir), "event_type", "ts")
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2704,6 +2715,8 @@ object SparkEntry {
     "q241_capture_recapture" -> (qCaptureRecapture _),
     "q242_kendall_tau" -> (qKendallTau _),
     "q243_heaps_fit" -> (qHeapsFit _),
+    "q244_hodges_lehmann" -> (qHodgesLehmann _),
+    "q245_runs_test" -> (qRunsTest _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5771,6 +5784,70 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q244_hodges_lehmann" ->
+      """WITH daily AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         pairs AS (SELECT a.grp, a.day AS d1, b.day AS d2,
+             a.y + b.y AS w2
+           FROM daily a JOIN daily b ON a.grp = b.grp
+             AND a.day <= b.day),
+         m AS (SELECT grp, CAST(count(*) AS BIGINT) AS m
+           FROM pairs GROUP BY 1),
+         rk AS (SELECT grp, w2, d1, d2,
+             CAST(row_number() OVER (PARTITION BY grp
+               ORDER BY w2 ASC, d1 ASC, d2 ASC) AS BIGINT) AS rk
+           FROM pairs),
+         mid AS (SELECT rk.grp, m.m,
+             CAST(sum(w2) * (3 - count(*)) AS BIGINT) AS hl_x4
+           FROM rk JOIN m ON m.grp = rk.grp
+           WHERE rk >= (m.m + 1) // 2 AND rk <= (m.m + 2) // 2
+           GROUP BY 1, 2),
+         nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1)
+         SELECT mid.grp, n_days, m AS n_pairs,
+           250000 * hl_x4 AS hl_micros
+         FROM mid JOIN nd ON nd.grp = mid.grp""",
+    "q245_runs_test" ->
+      """WITH daily AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS nd
+           FROM daily GROUP BY 1),
+         rk AS (SELECT grp, y, day,
+             CAST(row_number() OVER (PARTITION BY grp
+               ORDER BY y ASC, day ASC) AS BIGINT) AS rk
+           FROM daily),
+         med AS (SELECT rk.grp,
+             CAST(sum(y) * (3 - count(*)) AS BIGINT) AS med_x2
+           FROM rk JOIN nd ON nd.grp = rk.grp
+           WHERE rk >= (nd + 1) // 2 AND rk <= (nd + 2) // 2
+           GROUP BY 1),
+         sg AS (SELECT d.grp, d.day,
+             CASE WHEN d.y * 2 > med_x2 THEN 1 ELSE 0 END AS s
+           FROM daily d JOIN med ON med.grp = d.grp
+           WHERE d.y * 2 <> med_x2),
+         ch AS (SELECT grp, s,
+             CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s
+               THEN 1 ELSE 0 END AS chg
+           FROM sg WINDOW w AS (PARTITION BY grp ORDER BY day ASC)),
+         m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2,
+             CAST(sum(chg) AS BIGINT) AS r
+           FROM ch GROUP BY 1)
+         SELECT grp, n AS n_days_used, n1 AS n_above, n2 AS n_below,
+           r AS n_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+             round((CAST(r AS DOUBLE) - (1.0
+               + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)))
+               / sqrt(CAST(CAST(2 AS HUGEINT) * n1 * n2
+                 * (2 * n1 * n2 - n) AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)),
+               4) + 0.0 END AS z
+         FROM m""",
     "q241_capture_recapture" ->
       """WITH base AS (SELECT user_id AS id,
              CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400

@@ -658,6 +658,121 @@ object DataQuality {
             + lit(0.0)).as("tau_b"))
   }
 
+  /** HODGES–LEHMANN location estimator (Hodges & Lehmann 1963) per
+    * group — the median of all pairwise Walsh averages (y_i + y_j)/2,
+    * i ≤ j, of the daily count series: the robust "typical level"
+    * with 30% breakdown AND near-parametric efficiency, where the
+    * plain median throws efficiency away and the mean breaks on one
+    * backfill day. The location sibling of q145's Theil–Sen slope
+    * (which is HL applied to pairwise slopes).
+    *
+    * ALL-INTEGER: Walsh averages are carried DOUBLED (w2 = y_i + y_j,
+    * exact longs); the median of the w2 multiset uses the rank-pick
+    * identity hl_x4 = Σ(middle one-or-two w2) · (3 − picked), so
+    * hl_micros = 250000·hl_x4 is exact with no division at all. Rank
+    * order (w2, d1, d2) is total; equal w2 values make any rank
+    * permutation pick the same VALUES, so the output is
+    * order-independent.
+    *
+    * Scale shape: one combinable daily collapse, one per-group
+    * day-pair self-join (days² — the q205/q230 grid class), one rank
+    * window over each group's pairs. */
+  def hodgesLehmann(events: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(eager = false)
+    val pairs = daily.select(col("grp"), col("day").as("d1"),
+        col("y").as("y1"))
+      .join(daily.select(col("grp"), col("day").as("d2"),
+        col("y").as("y2")), Seq("grp"))
+      .filter(col("d1") <= col("d2"))
+      .select(col("grp"), col("d1"), col("d2"),
+        (col("y1") + col("y2")).as("w2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("w2").asc, col("d1").asc, col("d2").asc)
+    val counts = pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("m"))
+    val nd = daily.groupBy(col("grp")).agg(count(lit(1)).as("n_days"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("grp"))
+      .filter(col("rk") >= expr("(m + 1) div 2") &&
+        col("rk") <= expr("(m + 2) div 2"))
+      .groupBy(col("grp"), col("m"))
+      .agg((sum(col("w2")) * (lit(3L) - count(lit(1)))).as("hl_x4"))
+      .join(broadcast(nd), Seq("grp"))
+      .select(col("grp"), col("n_days"), col("m").as("n_pairs"),
+        (lit(250000L) * col("hl_x4")).as("hl_micros"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST (1940) per group — is the daily series'
+    * above/below-median sequence RANDOM, or does it clump? Trend
+    * tests (q230) miss oscillation and regime-clumping; the runs test
+    * sees both: too FEW runs = sticky regimes (an alert that fires in
+    * week-long clumps isn't "random noise"), too MANY = oscillation
+    * (a thermostatting feedback loop). Days equal to the median are
+    * dropped (the standard convention).
+    *
+    * Determinism: the median compare is exact (2·y vs the integer
+    * med_x2 from the [[hodgesLehmann]] rank-pick identity — no float
+    * median); runs count via one ordered lag window; μ and σ² terms
+    * are exact with the 2n₁n₂ products carried in decimal(38,0)/
+    * HUGEINT; z is ONE mirrored float tree (round-4 + signed-zero).
+    * Groups with n₁ = 0 or n₂ = 0 yield NULL z.
+    *
+    * Scale shape: one combinable daily collapse, rank/lag windows
+    * over per-group DAILY rows (the q153 tiny-partition class). */
+  def runsTest(events: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(eager = false)
+    val wMed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("y").asc, col("day").asc)
+    val med = daily
+      .withColumn("rk", row_number().over(wMed).cast("long"))
+      .join(broadcast(daily.groupBy(col("grp"))
+        .agg(count(lit(1)).as("nd"))), Seq("grp"))
+      .filter(col("rk") >= expr("(nd + 1) div 2") &&
+        col("rk") <= expr("(nd + 2) div 2"))
+      .groupBy(col("grp"))
+      .agg((sum(col("y")) * (lit(3L) - count(lit(1)))).as("med_x2"))
+    val signed = daily.join(broadcast(med), Seq("grp"))
+      .filter(col("y") * 2 =!= col("med_x2"))
+      .select(col("grp"), col("day"),
+        when(col("y") * 2 > col("med_x2"), 1L).otherwise(0L).as("s"))
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("day").asc)
+    val m = signed
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(wSeq).isNull ||
+          lag(col("s"), 1).over(wSeq) =!= col("s"), 1L).otherwise(0L))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("n1"),
+        sum(lit(1L) - col("s")).as("n2"), sum(col("chg")).as("r"))
+    val mu = lit(1.0) + expr("cast(2 * n1 * n2 as double)") /
+      col("n").cast("double")
+    val sig2 = expr("cast(cast(2 as decimal(38,0)) * n1 * n2" +
+      " * (2 * n1 * n2 - n) as double)") /
+      expr("cast(cast(n as decimal(38,0)) * n * (n - 1) as double)")
+    m.select(col("grp"), col("n").as("n_days_used"),
+      col("n1").as("n_above"), col("n2").as("n_below"),
+      col("r").as("n_runs"),
+      when(col("n1") > 0 && col("n2") > 0 && col("n") > 1,
+        round((col("r").cast("double") - mu) / sqrt(sig2), 4)
+          + lit(0.0)).as("z"))
+  }
+
   /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
     * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
     * the top-(k+1) order statistics. α ≤ 2 means infinite variance

@@ -561,6 +561,38 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got._3.exists(v => math.abs(v - lnk) < 0.0001), got)
   }
 
+  test("hodgesLehmann: daily series (1,2,10) has HL = 3.75 exactly " +
+    "(median 2, mean 4.33 — HL sits between, robustly)") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val rows = Seq(0L -> 1, 1L -> 2, 2L -> 10).flatMap { case (d, c) =>
+      (0 until c).map(i => ("a", ts(d, i.toLong))) }
+    val got = DataQuality.hodgesLehmann(rows.toDF("event_type", "ts"),
+        "event_type", "ts")
+      .as[(String, Long, Long, Long)].head()
+    // Walsh w2 multiset {2,3,4,11,12,20}: middles 4+11 -> hl_x4 = 15
+    assert(got == (("a", 3L, 6L, 3750000L)), got)
+  }
+
+  test("runsTest: a clumped series has too few runs (z < 0), an " +
+    "oscillating one too many (z > 0); both match the closed form") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val clump = Seq(1, 1, 1, 5, 5, 5, 3).zipWithIndex.flatMap {
+      case (c, d) => (0 until c).map(i => ("clump", ts(d.toLong, i.toLong))) }
+    val osc = Seq(1, 5, 1, 5, 1, 5).zipWithIndex.flatMap {
+      case (c, d) => (0 until c).map(i => ("osc", ts(d.toLong, i.toLong))) }
+    val got = DataQuality.runsTest((clump ++ osc)
+        .toDF("event_type", "ts"), "event_type", "ts")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val c = got("clump") // median day (y=3) dropped; runs = 2 of 6
+    assert(c._2 == 6L && c._3 == 3L && c._4 == 3L && c._5 == 2L, c)
+    assert(c._6.contains(-1.8257), c) // (2-4)/sqrt(1.2)
+    val o = got("osc")
+    assert(o._5 == 6L && o._6.contains(1.8257), o)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

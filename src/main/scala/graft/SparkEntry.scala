@@ -2109,6 +2109,24 @@ object SparkEntry {
   private def qRunsTest(s: SparkSession, dir: String): DataFrame =
     DataQuality.runsTest(Events.load(s, dir), "event_type", "ts")
 
+  /** First-view → first-purchase latency per segment — exact median
+    * and nearest-rank P90 over converted users. */
+  private def qFunnelLatency(s: SparkSession, dir: String): DataFrame =
+    Events.funnelLatency(Events.load(s, dir), "user_id", "ts",
+      "event_type", fromType = "view", toType = "purchase",
+      segments = 4L)
+
+  /** EWMA one-step-ahead backtest of daily counts per event type —
+    * the forecasting baseline MAPE any fancier model must beat. */
+  private def qEwmaBacktest(s: SparkSession, dir: String): DataFrame =
+    Events.ewmaBacktest(Events.load(s, dir), "event_type", "ts",
+      alpha = 0.3, window = 14)
+
+  /** Daily DAU / 7-day WAU / 28-day MAU curve with stickiness — the
+    * growth dashboard's spine, exact via bounded fan-out. */
+  private def qRollingActive(s: SparkSession, dir: String): DataFrame =
+    Events.rollingActiveUsers(Events.load(s, dir), "user_id", "ts")
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2717,6 +2735,9 @@ object SparkEntry {
     "q243_heaps_fit" -> (qHeapsFit _),
     "q244_hodges_lehmann" -> (qHodgesLehmann _),
     "q245_runs_test" -> (qRunsTest _),
+    "q246_funnel_latency" -> (qFunnelLatency _),
+    "q247_ewma_backtest" -> (qEwmaBacktest _),
+    "q248_rolling_active" -> (qRollingActive _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5784,6 +5805,81 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q246_funnel_latency" ->
+      """WITH f AS (SELECT user_id AS u,
+             min(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+               AS t0
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         lat AS (SELECT u % 4 AS seg, u,
+             CAST(min(t1) - min(t0) AS BIGINT) AS lat
+           FROM (SELECT e.user_id AS u,
+               CAST(epoch(date_trunc('second', e.ts)) AS BIGINT)
+                 AS t1, f.t0
+             FROM events e JOIN f ON f.u = e.user_id
+             WHERE e.event_type = 'purchase'
+               AND CAST(epoch(date_trunc('second', e.ts)) AS BIGINT)
+                 >= f.t0)
+           GROUP BY 1, 2),
+         nn AS (SELECT seg, CAST(count(*) AS BIGINT) AS n
+           FROM lat GROUP BY 1),
+         rk AS (SELECT seg, u, lat,
+             CAST(row_number() OVER (PARTITION BY seg
+               ORDER BY lat ASC, u ASC) AS BIGINT) AS rk
+           FROM lat),
+         med AS (SELECT rk.seg, nn.n,
+             CAST(sum(lat) * (3 - count(*)) AS BIGINT) AS med_x2
+           FROM rk JOIN nn ON nn.seg = rk.seg
+           WHERE rk >= (nn.n + 1) // 2 AND rk <= (nn.n + 2) // 2
+           GROUP BY 1, 2),
+         p90 AS (SELECT rk.seg, lat AS p90_sec
+           FROM rk JOIN nn ON nn.seg = rk.seg
+           WHERE rk = (9 * nn.n + 9) // 10)
+         SELECT med.seg, n AS n_converted,
+           500000 * med_x2 AS median_micros, p90_sec
+         FROM med JOIN p90 ON p90.seg = med.seg""",
+    "q247_ewma_backtest" -> {
+      val ws = Events.ewmaWeightsMicros(0.3, 14)
+      val terms = ws.zipWithIndex.map { case (wk, k) =>
+        s"$wk * lag(y, ${k + 1}) OVER w" }.mkString(" + ")
+      s"""WITH daily AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         fc AS (SELECT grp, y,
+             CAST(row_number() OVER w AS BIGINT) AS rk,
+             CAST($terms AS BIGINT) AS f_micros
+           FROM daily WINDOW w AS (PARTITION BY grp
+             ORDER BY day ASC)),
+         s AS (SELECT grp, CAST(count(*) AS BIGINT)
+               AS n_days_backtested,
+             CAST(sum(abs(1000000 * y - f_micros) // y) AS BIGINT)
+               AS sape
+           FROM fc WHERE rk > 14 GROUP BY 1)
+         SELECT grp, n_days_backtested,
+           sape // n_days_backtested AS mape_micros
+         FROM s"""
+    },
+    "q248_rolling_active" ->
+      """WITH pres AS (SELECT DISTINCT user_id AS u,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day
+           FROM events),
+         mx AS (SELECT max(day) AS dmax FROM pres),
+         fan AS (SELECT u, day + t.k AS day, t.k
+           FROM pres, range(28) t(k) CROSS JOIN mx
+           WHERE day + t.k <= dmax)
+         SELECT day,
+           CAST(count(DISTINCT CASE WHEN k = 0 THEN u END) AS BIGINT)
+             AS dau,
+           CAST(count(DISTINCT CASE WHEN k <= 6 THEN u END)
+             AS BIGINT) AS wau7,
+           CAST(count(DISTINCT u) AS BIGINT) AS mau28,
+           CASE WHEN count(DISTINCT CASE WHEN k <= 6 THEN u END) > 0
+             THEN (1000000 * CAST(count(DISTINCT CASE WHEN k = 0
+               THEN u END) AS BIGINT))
+               // CAST(count(DISTINCT CASE WHEN k <= 6 THEN u END)
+               AS BIGINT) END AS stickiness_micros
+         FROM fan GROUP BY 1""",
     "q244_hodges_lehmann" ->
       """WITH daily AS (SELECT event_type AS grp,
              CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400

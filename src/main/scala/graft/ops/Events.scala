@@ -1556,6 +1556,160 @@ object Events {
         expr(s"(1000000L * seen) div ($nhat)").as("coverage_micros"))
   }
 
+  /** FUNNEL STEP LATENCY card — per user the FIRST `fromType` event,
+    * the first `toType` AT OR AFTER it, and per segment the exact
+    * median and P90 of the conversion latency. The "how long does the
+    * funnel take" number product teams quote; means are useless here
+    * (latencies are heavy-tailed — q223), so the card is built on
+    * exact order statistics.
+    *
+    * ALL-INTEGER: latencies are whole seconds — timestamps TRUNCATE
+    * to the second on both faces (Spark unix_timestamp floors;
+    * DuckDB must date_trunc('second', ·) BEFORE epoch, since
+    * CAST(epoch(ts)) half-even-ROUNDS sub-second parts — the ±1 s
+    * mismatch class caught at first verify); the median uses the
+    * q244 rank-pick identity (carried DOUBLED → median_micros =
+    * 500000·med_x2 with no division); P90 is the nearest-rank
+    * ⌈0.9n⌉ = (9n+9) div 10 order statistic — a single exact row.
+    * Rank order (latency, user) is total. Segments with no
+    * conversions vanish from both faces identically.
+    *
+    * Scale shape: two filtered scans collapse to per-user firsts
+    * (combinable min aggs + one equi-join on the user key), then
+    * rank windows over per-segment CONVERTED-user rows. */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromType: String, toType: String,
+                    segments: Long = 4L): DataFrame = {
+    require(segments >= 1, "need segments >= 1")
+    val f = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(unix_timestamp(col(tsCol))).as("t0"))
+    val lat = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("u"),
+        unix_timestamp(col(tsCol)).as("t1"))
+      .join(f, Seq("u"))
+      .filter(col("t1") >= col("t0"))
+      .groupBy((col("u") % segments).as("seg"), col("u"))
+      .agg((min(col("t1")) - min(col("t0"))).as("lat"))
+      .localCheckpoint(eager = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg"))
+      .orderBy(col("lat").asc, col("u").asc)
+    val nn = lat.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val rk = lat.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(nn), Seq("seg"))
+    val med = rk
+      .filter(col("rk") >= expr("(n + 1) div 2") &&
+        col("rk") <= expr("(n + 2) div 2"))
+      .groupBy(col("seg"), col("n"))
+      .agg((sum(col("lat")) * (lit(3L) - count(lit(1)))).as("med_x2"))
+    val p90 = rk.filter(col("rk") === expr("(9 * n + 9) div 10"))
+      .select(col("seg"), col("lat").as("p90_sec"))
+    med.join(p90, Seq("seg"))
+      .select(col("seg"), col("n").as("n_converted"),
+        (lit(500000L) * col("med_x2")).as("median_micros"),
+        col("p90_sec"))
+  }
+
+  /** Normalized finite-window EWMA weights in micros — BUILD-TIME
+    * constants (the q240 RBO precedent): w_k ∝ α(1−α)^k over the
+    * last `window` observed days, normalized to sum ≈ 1e6. */
+  private[graft] def ewmaWeightsMicros(alpha: Double, window: Int)
+      : Seq[Long] = {
+    val raw = (0 until window).map(k =>
+      alpha * math.pow(1 - alpha, k))
+    val tot = raw.sum
+    raw.map(w => math.round(w / tot * 1e6))
+  }
+
+  /** EWMA ONE-STEP-AHEAD BACKTEST (exponential smoothing as an
+    * explicit finite weighted sum): for each day with a full
+    * `window`-day observed history, forecast the daily count from the
+    * previous `window` observed days under normalized geometric
+    * weights, and score the whole series by MAPE. The "can yesterday
+    * predict today" card that baselines any fancier forecaster — if
+    * EWMA's MAPE is 5%, a model that claims 4.9% bought nothing.
+    *
+    * ALL-INTEGER: weights are BUILD-TIME micro constants
+    * ([[ewmaWeightsMicros]] — no engine computes powers at query
+    * time); the forecast is an UNROLLED Σ w_k·lag(y, k+1) of exact
+    * longs (lag over the group's observed-day order — calendar gaps
+    * are compressed, documented); ape = |1e6·y − f| div y (y ≥ 1
+    * always — it's a count of an observed day); mape = Σape div n.
+    *
+    * Scale shape: one combinable daily collapse, ONE window pass
+    * computing all `window` lags (q153 tiny-partition class), one
+    * combinable per-group agg. */
+  def ewmaBacktest(events: DataFrame, groupCol: String, tsCol: String,
+                   alpha: Double = 0.3, window: Int = 30)
+      : DataFrame = {
+    require(alpha > 0 && alpha < 1 && window >= 2,
+      "need 0 < alpha < 1 and window >= 2")
+    val ws = ewmaWeightsMicros(alpha, window)
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("day").asc)
+    val fc = ws.zipWithIndex.map { case (wk, k) =>
+      lit(wk) * lag(col("y"), k + 1).over(w)
+    }.reduce(_ + _)
+    daily.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("f_micros", fc)
+      .filter(col("rk") > window)
+      .select(col("grp"), col("y"), col("f_micros"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days_backtested"),
+        sum(expr("abs(1000000L * y - f_micros) div y")).as("sape"))
+      .select(col("grp"), col("n_days_backtested"),
+        expr("sape div n_days_backtested").as("mape_micros"))
+  }
+
+  /** ROLLING ACTIVE USERS per day — DAU plus exact 7-day WAU and
+    * 28-day MAU for EVERY day, and the DAU/WAU stickiness in micros.
+    * The q210 card gives one corpus-level DAU/MAU scalar; this is the
+    * full daily curve a growth dashboard actually plots.
+    *
+    * Scale trick: a rolling DISTINCT is not window-combinable, and a
+    * range join explodes — instead each (user, active-day) presence
+    * row fans out to the ≤ 28 future days it keeps the user "active"
+    * for (a BOUNDED explode — 28·|presence| narrow rows), and each
+    * horizon is ONE exact count_distinct by target day. Target days
+    * beyond the corpus max are dropped so every reported day is a
+    * real day. ALL-INTEGER throughout; stickiness =
+    * (1e6·dau) div wau7.
+    *
+    * Scale shape: one distinct presence collapse, one bounded explode
+    * (×29 rows), three combinable distinct aggs keyed by day. */
+  def rollingActiveUsers(events: DataFrame, userCol: String,
+                         tsCol: String): DataFrame = {
+    val pres = events
+      .select(col(userCol).as("u"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val maxDay = pres.agg(max(col("day")).as("dmax"))
+    val fan = pres
+      .select(col("u"), col("day"),
+        explode(sequence(lit(0), lit(27))).as("k"))
+      .select(col("u"), col("day").as("src_day"),
+        (col("day") + col("k")).as("day"), col("k"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("dmax"))
+    fan.groupBy(col("day"))
+      .agg(
+        count_distinct(when(col("k") === 0, col("u"))).as("dau"),
+        count_distinct(when(col("k") <= 6, col("u"))).as("wau7"),
+        count_distinct(col("u")).as("mau28"))
+      .select(col("day"), col("dau"), col("wau7"), col("mau28"),
+        when(col("wau7") > 0, expr("(1000000L * dau) div wau7"))
+          .as("stickiness_micros"))
+  }
+
   /** MIX/RATE DECOMPOSITION of a mean-metric change (the index-number
     * "bridge" — Laspeyres decomposition / BCG growth accounting):
     * between two halves of the observation window, the change in the

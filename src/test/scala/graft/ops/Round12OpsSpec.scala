@@ -593,6 +593,55 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(o._5 == 6L && o._6.contains(1.8257), o)
   }
 
+  test("funnelLatency: exact median (rank-pick) and nearest-rank P90 " +
+    "over converted users; non-converters and pre-view purchases drop") {
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val rows = Seq(
+      (4L, ts(0), "view"), (4L, ts(100), "purchase"),
+      (8L, ts(0), "view"), (8L, ts(50), "purchase"),
+      (12L, ts(0), "view"), (12L, ts(70), "purchase"),
+      (16L, ts(0), "view"), // never converts
+      (20L, ts(10), "view"), (20L, ts(5), "purchase")) // converted BEFORE view
+    val got = Events.funnelLatency(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "view", "purchase", segments = 4L)
+      .as[(Long, Long, Long, Long)].collect()
+    // latencies {50, 70, 100}: median 70, P90 rank ceil(2.7)=3 -> 100
+    assert(got.toSeq == Seq((0L, 3L, 70000000L, 100L)), got.toSeq)
+  }
+
+  test("ewmaBacktest: window-2 alpha-0.5 forecasts of (2,4,6,8) match " +
+    "the hand arithmetic; weights normalize to micros") {
+    assert(Events.ewmaWeightsMicros(0.5, 2) == Seq(666667L, 333333L))
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val rows = Seq(2, 4, 6, 8).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => ("g", ts(d.toLong, i.toLong))) }
+    val got = Events.ewmaBacktest(rows.toDF("event_type", "ts"),
+        "event_type", "ts", alpha = 0.5, window = 2)
+      .as[(String, Long, Long)].head()
+    // day2: f = 666667*4 + 333333*2 = 3333334, ape = 2666666//6 = 444444
+    // day3: f = 666667*6 + 333333*4 = 5333334, ape = 2666666//8 = 333333
+    assert(got == (("g", 2L, (444444L + 333333L) / 2L)), got)
+  }
+
+  test("rollingActiveUsers: DAU/WAU/MAU fan-out counts are exact and " +
+    "days past the corpus max are not fabricated") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val rows = Seq((1L, ts(0, 0)), (1L, ts(1, 0)), (1L, ts(1, 1)),
+      (2L, ts(1, 0)))
+    val got = Events.rollingActiveUsers(rows.toDF("user_id", "ts"),
+        "user_id", "ts")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 2, got)
+    val d0 = got(got.keys.min); val d1 = got(got.keys.max)
+    assert(d0._2 == 1L && d0._3 == 1L && d0._4 == 1L &&
+      d0._5.contains(1000000L), d0)
+    assert(d1._2 == 2L && d1._3 == 2L && d1._4 == 2L &&
+      d1._5.contains(1000000L), d1)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

@@ -2127,6 +2127,54 @@ object SparkEntry {
   private def qRollingActive(s: SparkSession, dir: String): DataFrame =
     Events.rollingActiveUsers(Events.load(s, dir), "user_id", "ts")
 
+  /** TPC-H Q5-shaped six-table star join: local-supplier revenue by
+    * nation for one region-year, exact integer money (cents × basis
+    * points per row, decimal(38,0) sum — output fits int64 to
+    * ~$9.2T/nation/year). The multi-join planning face: region and
+    * nation BROADCAST; lineitem–orders–customer–supplier shuffle on
+    * their keys with AQE free to reorder; the date filter pushes into
+    * the orders scan. */
+  private def qMultiJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_suppkey"),
+      (round(col("l_extendedprice") * 100).cast("long") *
+        (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+        .as("rev"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("cast(rev as decimal(38,0))")).cast("long")
+          .as("revenue_micros"))
+  }
+
+  /** Top-20 session OPENING paths (first three event types of each
+    * gap session) — "what do users do first", the path-analysis card
+    * on q99's session assembly. */
+  private def qSessionPaths(s: SparkSession, dir: String): DataFrame =
+    Events.sessionAssemble(Events.load(s, dir), gapSeconds = 1800)
+      .select(concat_ws(">",
+        slice(split(col("event_seq"), ">"), 1, 3)).as("path3"))
+      .groupBy(col("path3")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path3").asc)
+      .limit(20)
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2738,6 +2786,8 @@ object SparkEntry {
     "q246_funnel_latency" -> (qFunnelLatency _),
     "q247_ewma_backtest" -> (qEwmaBacktest _),
     "q248_rolling_active" -> (qRollingActive _),
+    "q249_multi_join_revenue" -> (qMultiJoinRevenue _),
+    "q250_session_paths" -> (qSessionPaths _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5805,6 +5855,42 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q249_multi_join_revenue" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+             AS BIGINT) AS revenue_micros
+         FROM lineitem, orders, customer, supplier, nation, region
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+    "q250_session_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         e AS (SELECT user_id, event_id, event_type, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+           FROM ev WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_id, event_type, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_seq
+           FROM e),
+         seq AS (SELECT string_agg(event_type, '>'
+             ORDER BY ts, event_id) AS event_seq
+           FROM s GROUP BY user_id, session_seq),
+         p AS (SELECT array_to_string(
+             string_split(event_seq, '>')[1:3], '>') AS path3
+           FROM seq)
+         SELECT path3, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path3 ASC LIMIT 20""",
     "q246_funnel_latency" ->
       """WITH f AS (SELECT user_id AS u,
              min(CAST(epoch(date_trunc('second', ts)) AS BIGINT))

@@ -488,6 +488,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("q249: the six-table star broadcasts nation+region, joins " +
+    "everything else hash-equi, and pushes the date filter into the " +
+    "orders scan") {
+    val p = plan("q249_multi_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val f = formatted("q249_multi_join_revenue")
+    assert(f.contains("GreaterThanOrEqual(o_orderdate") &&
+      f.contains("LessThan(o_orderdate"), f.take(5000))
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -2175,6 +2175,30 @@ object SparkEntry {
       .orderBy(col("n_sessions").desc, col("path3").asc)
       .limit(20)
 
+  /** Hill tail index of the transition graph's out-degree
+    * distribution — "is this graph scale-free", the q223 estimator
+    * pointed at q107's edge relation. */
+  private def qDegreePowerlaw(s: SparkSession, dir: String): DataFrame =
+    DataQuality.hillTailIndex(
+      Graph.transitionEdges(Events.load(s, dir), "user_id", "event_id",
+          Events.jsonField(col("props"), "$.k"))
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .select(lit("out_degree").as("grp"), col("d"), col("src")),
+      "grp", col("d").cast("double"), col("src"), k = 50)
+
+  /** New vs returning users per day — the acquisition/retention split
+    * behind any DAU move. */
+  private def qNewVsReturning(s: SparkSession, dir: String): DataFrame =
+    Events.newVsReturning(Events.load(s, dir), "user_id", "ts")
+
+  /** Minimum detectable effect per segment on the per-user activity
+    * metric — can this segment's sample even see a small lift. */
+  private def qMdePower(s: SparkSession, dir: String): DataFrame = {
+    val per = Events.load(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    DataQuality.mdePower(per, pmod(col("user_id"), lit(4)), "n_events")
+  }
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2788,6 +2812,9 @@ object SparkEntry {
     "q248_rolling_active" -> (qRollingActive _),
     "q249_multi_join_revenue" -> (qMultiJoinRevenue _),
     "q250_session_paths" -> (qSessionPaths _),
+    "q251_degree_powerlaw" -> (qDegreePowerlaw _),
+    "q252_new_vs_returning" -> (qNewVsReturning _),
+    "q253_mde_power" -> (qMdePower _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5855,6 +5882,75 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q251_degree_powerlaw" ->
+      """WITH ev AS (SELECT user_id, event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events),
+         tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+               ORDER BY event_id ASC) AS src, k AS dst
+           FROM ev WHERE k IS NOT NULL),
+         edges AS (SELECT src, dst FROM tr WHERE src IS NOT NULL
+           GROUP BY 1, 2),
+         deg AS (SELECT 'out_degree' AS grp,
+             CAST(count(*) AS BIGINT) * 100 AS cents, src AS id
+           FROM edges GROUP BY src),
+         pos AS (SELECT * FROM deg WHERE cents > 0),
+         rk AS (SELECT grp, cents, row_number() OVER (PARTITION BY grp
+             ORDER BY cents DESC, id ASC) AS rk FROM pos),
+         ref AS (SELECT grp, cents AS x_ref FROM rk WHERE rk = 51),
+         tm AS (SELECT r.grp, CAST(round(ln(CAST(r.cents AS DOUBLE)
+               / CAST(ref.x_ref AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS lm
+           FROM rk r JOIN ref ON ref.grp = r.grp WHERE r.rk <= 50),
+         a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_top,
+             CAST(sum(lm) AS BIGINT) AS hill_sum_micros
+           FROM tm GROUP BY 1)
+         SELECT grp, CAST(50 AS BIGINT) AS k, hill_sum_micros,
+           CASE WHEN hill_sum_micros > 0
+             THEN round(50.0 * 1000000.0
+               / CAST(hill_sum_micros AS DOUBLE), 4) END AS alpha
+         FROM a WHERE n_top = 50""",
+    "q252_new_vs_returning" ->
+      """WITH pres AS (SELECT user_id AS u,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS n_ev
+           FROM events GROUP BY 1, 2),
+         fst AS (SELECT u, min(day) AS fday FROM pres GROUP BY 1)
+         SELECT day,
+           CAST(sum(CASE WHEN day = fday THEN n_ev ELSE 0 END)
+             AS BIGINT) AS ev_new,
+           CAST(sum(CASE WHEN day <> fday THEN n_ev ELSE 0 END)
+             AS BIGINT) AS ev_returning,
+           CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END)
+             AS BIGINT) AS users_new,
+           CAST(sum(CASE WHEN day <> fday THEN 1 ELSE 0 END)
+             AS BIGINT) AS users_returning,
+           (1000000 * CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0
+             END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+             AS new_share_micros
+         FROM pres JOIN fst USING (u) GROUP BY 1""",
+    "q253_mde_power" ->
+      """WITH per AS (SELECT user_id % 4 AS seg, user_id AS u,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+           FROM per GROUP BY 1),
+         d AS (SELECT seg, n, sx,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+               AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1)
+               AS DOUBLE) AS vx
+           FROM m)
+         SELECT seg, n AS n_units, (1000000 * sx) // n AS mean_micros,
+           CASE WHEN n > 1 AND vx > 0.0 THEN
+             round(2.8015852181129688 * sqrt(2.0 * vx
+               / CAST(n AS DOUBLE)), 4) + 0.0 END AS mde_abs,
+           CASE WHEN n > 1 AND vx > 0.0 AND sx > 0 THEN
+             round(2.8015852181129688 * sqrt(2.0 * vx
+               / CAST(n AS DOUBLE)) / (CAST(sx AS DOUBLE)
+               / CAST(n AS DOUBLE)), 6) + 0.0 END AS mde_rel
+         FROM d""",
     "q249_multi_join_revenue" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -773,6 +773,46 @@ object DataQuality {
           + lit(0.0)).as("z"))
   }
 
+  /** MINIMUM DETECTABLE EFFECT power card (the two-sample z
+    * approximation; Cohen 1988): per segment, the smallest true
+    * mean difference a 50/50 split of its n units could detect at
+    * α = 0.05 two-sided with 80% power — MDE = (z_{α/2}+z_β)·√(2s²/n)
+    * — and the relative MDE against the segment mean. The "is this
+    * experiment even worth running here" sizing every A/B platform
+    * (q229/q231/q233/q234) shows next to its results: a segment whose
+    * relative MDE is 40% cannot confirm a 5% lift, whatever the
+    * p-value machinery says.
+    *
+    * Determinism: exact moments (decimal(38,0)/HUGEINT squares, the
+    * r12 ladder); MDE is ONE mirrored float tree with the z-constant
+    * 2.8015852181129688 (z₀.₉₇₅ + z₀.₈₀) as an identical literal on
+    * both faces (the build-time-constants convention), round-4/6 +
+    * signed-zero. Segments with n ≤ 1 or zero variance/mean yield
+    * NULL.
+    *
+    * Scale shape: one combinable per-segment moment agg; output is
+    * |segments| rows. */
+  def mdePower(df: DataFrame, groupCol: Column, metricCol: String)
+      : DataFrame = {
+    val m = df.select(groupCol.as("seg"),
+        col(metricCol).cast("long").as("x"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+    val vx = expr("cast(cast(n as decimal(38,0)) * sxx" +
+      " - cast(sx as decimal(38,0)) * sx as double)") /
+      expr("cast(cast(n as decimal(38,0)) * (n - 1) as double)")
+    val meanX = col("sx").cast("double") / col("n").cast("double")
+    val mde = lit(2.8015852181129688) *
+      sqrt(lit(2.0) * vx / col("n").cast("double"))
+    m.select(col("seg"), col("n").as("n_units"),
+      expr("(1000000L * sx) div n").as("mean_micros"),
+      when(col("n") > 1 && vx > 0.0, round(mde, 4) + lit(0.0))
+        .as("mde_abs"),
+      when(col("n") > 1 && vx > 0.0 && col("sx") > 0,
+        round(mde / meanX, 6) + lit(0.0)).as("mde_rel"))
+  }
+
   /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
     * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
     * the top-(k+1) order statistics. α ≤ 2 means infinite variance

@@ -1710,6 +1710,49 @@ object Events {
           .as("stickiness_micros"))
   }
 
+  /** NEW vs RETURNING daily split — per day, events and distinct
+    * users partitioned by whether the user's FIRST-EVER active day is
+    * that day. The acquisition-vs-retention lens every growth chart
+    * needs before a "DAU is up" claim means anything: DAU can rise
+    * purely on one-day news traffic (new share spikes) while the
+    * retained base shrinks.
+    *
+    * ALL-INTEGER, one first-occurrence trick (the q243 move): first
+    * day = min(day) per user — a combinable agg joined back on the
+    * user key; no per-day rescans, no window over history. new_share
+    * = (1e6·new users) div (day's users).
+    *
+    * Scale shape: one distinct presence collapse, one combinable
+    * per-user min, one equi-join on the user key, one combinable
+    * per-day agg. */
+  def newVsReturning(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val pres = events
+      .select(col(userCol).as("u"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("u"), col("day"))
+      .agg(count(lit(1)).as("n_ev"))
+      .localCheckpoint(eager = false)
+    val first = pres.groupBy(col("u")).agg(min(col("day")).as("fday"))
+    pres.join(first, Seq("u"))
+      .select(col("day"), (col("day") === col("fday")).as("is_new"),
+        col("n_ev"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("is_new"), col("n_ev")).otherwise(0L))
+          .as("ev_new"),
+        sum(when(!col("is_new"), col("n_ev")).otherwise(0L))
+          .as("ev_returning"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("users_new"),
+        sum(when(!col("is_new"), 1L).otherwise(0L))
+          .as("users_returning"))
+      .select(col("day"), col("ev_new"), col("ev_returning"),
+        col("users_new"), col("users_returning"),
+        expr("(1000000L * users_new)" +
+          " div (users_new + users_returning)").as("new_share_micros"))
+  }
+
   /** MIX/RATE DECOMPOSITION of a mean-metric change (the index-number
     * "bridge" — Laspeyres decomposition / BCG growth accounting):
     * between two halves of the observation window, the change in the

@@ -642,6 +642,43 @@ class Round12OpsSpec extends AnyFunSuite {
       d1._5.contains(1000000L), d1)
   }
 
+  test("newVsReturning: a user's first day counts them (and their " +
+    "events) as new, later days as returning; shares are exact") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val rows = Seq((1L, ts(0, 0)), (1L, ts(0, 1)), (1L, ts(1, 0)),
+      (2L, ts(1, 0)), (2L, ts(1, 1)), (2L, ts(1, 2)))
+    val got = Events.newVsReturning(rows.toDF("user_id", "ts"),
+        "user_id", "ts")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val d0 = got(got.keys.min); val d1 = got(got.keys.max)
+    assert(d0._2 == 2L && d0._3 == 0L && d0._4 == 1L && d0._5 == 0L &&
+      d0._6 == 1000000L, d0)
+    assert(d1._2 == 3L && d1._3 == 1L && d1._4 == 1L && d1._5 == 1L &&
+      d1._6 == 500000L, d1)
+  }
+
+  test("mdePower: two-unit segment matches the closed form " +
+    "C*sqrt(2*s2/n); single-unit segment yields NULLs") {
+    def ts(i: Long) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    // seg 0: users 4 (10 events) and 8 (12 events): vx = 2, mean 11
+    val rows = (0 until 10).map(i => (4L, ts(i.toLong))) ++
+      (0 until 12).map(i => (8L, ts(100 + i.toLong))) ++
+      (0 until 3).map(i => (1L, ts(200 + i.toLong))) // seg 1 single
+    val per = rows.toDF("user_id", "ts").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val got = DataQuality.mdePower(per, pmod(col("user_id"), lit(4)),
+        "n_events")
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val s0 = got(0L)
+    assert(s0._2 == 2L && s0._3 == 11000000L, s0)
+    assert(s0._4.contains(3.962), s0) // 2.8015852...*sqrt(2)
+    assert(s0._5.contains(0.360185), s0)
+    assert(got(1L)._4.isEmpty && got(1L)._5.isEmpty, got(1L))
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

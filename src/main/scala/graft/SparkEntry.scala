@@ -2199,6 +2199,25 @@ object SparkEntry {
     DataQuality.mdePower(per, pmod(col("user_id"), lit(4)), "n_events")
   }
 
+  /** Exposure-weighted permutation test of the parity purchase RATE
+    * (purchases per event) — the randomization-test face of q234's
+    * ratio metric. */
+  private def qWeightedPermutation(s: SparkSession, dir: String)
+      : DataFrame = {
+    val per = Events.load(s, dir).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("purchases"),
+        count(lit(1)).as("n_events"))
+    DataQuality.weightedPermutationTest(per,
+      pmod(col("user_id"), lit(2)) === 1, "user_id", "purchases",
+      "n_events", reps = 200)
+  }
+
+  /** Tukey IQR fence outliers on daily counts per event type — the
+    * robust boxplot day screen. */
+  private def qIqrOutliers(s: SparkSession, dir: String): DataFrame =
+    DataQuality.iqrOutlierDays(Events.load(s, dir), "event_type", "ts")
+
   /** Mann–Kendall trend test per event type — the nonparametric "is
     * it trending" TEST beside q145's Theil–Sen slope estimate. */
   private def qMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -2815,6 +2834,8 @@ object SparkEntry {
     "q251_degree_powerlaw" -> (qDegreePowerlaw _),
     "q252_new_vs_returning" -> (qNewVsReturning _),
     "q253_mde_power" -> (qMdePower _),
+    "q254_weighted_permutation" -> (qWeightedPermutation _),
+    "q255_iqr_outlier_days" -> (qIqrOutliers _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5882,6 +5903,90 @@ object SparkEntry {
            CASE WHEN k > 1 AND sn > 0 AND innr >= 0.0 THEN
              round(r + 1.96 * sqrt(innr), 6) + 0.0 END AS ci_hi
          FROM e""",
+    "q254_weighted_permutation" ->
+      """WITH per AS (SELECT user_id AS id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+               ELSE 0 END) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS w,
+             max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS g
+           FROM events GROUP BY 1),
+         obs AS (SELECT CAST(sum(g) AS BIGINT) AS nt,
+             CAST(sum(1 - g) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS st,
+             CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sc,
+             CAST(sum(CASE WHEN g = 1 THEN w ELSE 0 END) AS BIGINT)
+               AS wt,
+             CAST(sum(CASE WHEN g = 0 THEN w ELSE 0 END) AS BIGINT)
+               AS wc
+           FROM per),
+         obst AS (SELECT nt, nc, CASE WHEN wt > 0 AND wc > 0 THEN
+             (1000000 * st) // wt - (1000000 * sc) // wc END AS t_obs
+           FROM obs),
+         r AS (SELECT t.b, x, w,
+             CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':'
+               || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS gb
+           FROM per, range(200) t(b)),
+         rs AS (SELECT b,
+             CAST(sum(CASE WHEN gb = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS st,
+             CAST(sum(CASE WHEN gb = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sc,
+             CAST(sum(CASE WHEN gb = 1 THEN w ELSE 0 END) AS BIGINT)
+               AS wt,
+             CAST(sum(CASE WHEN gb = 0 THEN w ELSE 0 END) AS BIGINT)
+               AS wc
+           FROM r GROUP BY 1),
+         tb AS (SELECT b, CASE WHEN wt > 0 AND wc > 0 THEN
+             (1000000 * st) // wt - (1000000 * sc) // wc END AS t_b
+           FROM rs)
+         SELECT o.nt AS n_t, o.nc AS n_c, o.t_obs AS t_obs_micros,
+           CAST(200 AS BIGINT) AS reps,
+           CAST(sum(CASE WHEN abs(t_b) >= abs(o.t_obs) THEN 1 ELSE 0
+             END) AS BIGINT) AS n_extreme,
+           (1000000 * (1 + CAST(sum(CASE WHEN abs(t_b) >=
+             abs(o.t_obs) THEN 1 ELSE 0 END) AS BIGINT))) // 201
+             AS p_micros
+         FROM tb, obst o GROUP BY 1, 2, 3, 4""",
+    "q255_iqr_outlier_days" ->
+      """WITH daily AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+           FROM daily GROUP BY 1),
+         rk AS (SELECT grp, day, y,
+             CAST(row_number() OVER (PARTITION BY grp
+               ORDER BY y ASC, day ASC) AS BIGINT) AS rk
+           FROM daily),
+         f AS (SELECT rk.grp, nn.n AS n_days,
+             CAST(max(CASE WHEN rk = (n + 3) // 4 THEN y END)
+               AS BIGINT) AS q1,
+             CAST(max(CASE WHEN rk = (3 * n + 3) // 4 THEN y END)
+               AS BIGINT) AS q3
+           FROM rk JOIN nn ON nn.grp = rk.grp GROUP BY 1, 2),
+         f2 AS (SELECT grp, n_days, q1, q3,
+             2 * q1 - 3 * (q3 - q1) AS lo_x2,
+             2 * q3 + 3 * (q3 - q1) AS hi_x2
+           FROM f),
+         fl AS (SELECT d.grp, d.day, d.y,
+             CASE WHEN d.y * 2 < lo_x2 THEN 1 ELSE 0 END AS is_low,
+             CASE WHEN d.y * 2 > hi_x2 THEN 1 ELSE 0 END AS is_high,
+             CASE WHEN d.y * 2 > hi_x2 THEN d.y * 2 - hi_x2
+                  WHEN d.y * 2 < lo_x2 THEN lo_x2 - d.y * 2 END AS ex
+           FROM daily d JOIN f2 ON f2.grp = d.grp),
+         ag AS (SELECT grp, CAST(sum(is_low) AS BIGINT) AS n_low,
+             CAST(sum(is_high) AS BIGINT) AS n_high
+           FROM fl GROUP BY 1),
+         worst AS (SELECT grp, day AS worst_day, y AS worst_y
+           FROM (SELECT grp, day, y, row_number() OVER (
+               PARTITION BY grp ORDER BY ex DESC, day ASC) AS rn
+             FROM fl WHERE ex IS NOT NULL) WHERE rn = 1)
+         SELECT f2.grp, n_days, q1, q3, n_low, n_high, worst_day,
+           worst_y
+         FROM f2 JOIN ag ON ag.grp = f2.grp
+         LEFT JOIN worst ON worst.grp = f2.grp""",
     "q251_degree_powerlaw" ->
       """WITH ev AS (SELECT user_id, event_id,
              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -813,6 +813,127 @@ object DataQuality {
         round(mde / meanX, 6) + lit(0.0)).as("mde_rel"))
   }
 
+  /** WEIGHTED (exposure-adjusted) PERMUTATION TEST — [[permutationTest]]
+    * where each unit carries (x, w) and the arm statistic is the
+    * POOLED RATE (1e6·Σx) div Σw: the randomization test for ratio
+    * metrics (conversion per event, revenue per session) whose naive
+    * unweighted form q233 would let heavy users distort. The
+    * assumption-free sibling of q234's delta-method CI, with the SAME
+    * md5(id:b) draw (units permute whole, exposure travels with the
+    * unit — the cluster-randomization rule).
+    *
+    * ALL-INTEGER (the q233 contract): x, w non-negative longs with
+    * 1e6·Σ < 2^63; arms drawing zero exposure yield NULL T_b and
+    * count non-extreme on both faces.
+    *
+    * Scale shape: identical to q233 — one observed pass, one
+    * explode ×B into ONE combinable agg keyed by b. */
+  def weightedPermutationTest(df: DataFrame, treatedCol: Column,
+                              idCol: String, metricCol: String,
+                              weightCol: String, reps: Int = 200)
+      : DataFrame = {
+    require(reps >= 1, "need at least one replicate")
+    val base = df.select(col(idCol).cast("string").as("id"),
+        when(treatedCol, 1L).otherwise(0L).as("g"),
+        col(metricCol).cast("long").as("x"),
+        col(weightCol).cast("long").as("w"))
+      .localCheckpoint(eager = false)
+    def arms(gCol: Column) = Seq(
+      sum(when(gCol === 1, col("x")).otherwise(0L)).as("st"),
+      sum(when(gCol === 0, col("x")).otherwise(0L)).as("sc"),
+      sum(when(gCol === 1, col("w")).otherwise(0L)).as("wt"),
+      sum(when(gCol === 0, col("w")).otherwise(0L)).as("wc"))
+    val tExpr = expr("(1000000L * st) div wt") -
+      expr("(1000000L * sc) div wc")
+    val obsAggs = Seq(sum(col("g")).as("nt"),
+      sum(lit(1L) - col("g")).as("nc")) ++ arms(col("g"))
+    val obs = base
+      .agg(obsAggs.head, obsAggs.tail: _*)
+      .select(col("nt"), col("nc"),
+        when(col("wt") > 0 && col("wc") > 0, tExpr).as("t_obs"))
+    val tb = base
+      .select(col("id"), col("x"), col("w"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .select(col("b"), col("x"), col("w"),
+        (conv(substring(md5(concat(col("id"), lit(":"),
+          col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+          .as("gb"))
+      .groupBy(col("b"))
+      .agg(arms(col("gb")).head, arms(col("gb")).tail: _*)
+      .select(col("b"),
+        when(col("wt") > 0 && col("wc") > 0, tExpr).as("t_b"))
+    tb.crossJoin(broadcast(obs))
+      .groupBy(col("nt"), col("nc"), col("t_obs"))
+      .agg(sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L)
+        .otherwise(0L)).as("n_extreme"))
+      .select(col("nt").as("n_t"), col("nc").as("n_c"),
+        col("t_obs").as("t_obs_micros"), lit(reps.toLong).as("reps"),
+        col("n_extreme"),
+        expr(s"(1000000L * (1L + n_extreme)) div ${reps + 1}L")
+          .as("p_micros"))
+  }
+
+  /** TUKEY IQR OUTLIER DAYS (the boxplot fence; Tukey 1977): per
+    * group, flag days whose count falls outside
+    * [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. The robust complement to the
+    * z-score day screens (q113) and the jackknife influence card
+    * (q237): fences come from quartiles, so one crazy day cannot
+    * widen the fence that should catch it.
+    *
+    * ALL-INTEGER: Q1/Q3 are nearest-rank order statistics
+    * (⌈n/4⌉ = (n+3) div 4, ⌈3n/4⌉ = (3n+3) div 4 — single exact
+    * rows under the (y, day) total order); fences carried DOUBLED
+    * (lo_x2 = 2q1 − 3(q3−q1), hi_x2 = 2q3 + 3(q3−q1)) so 1.5·IQR
+    * never divides; the flag compares 2y against them. Output is ONE
+    * row per group — fences plus the low/high outlier-day counts and
+    * the worst offender (max |excess| day, ties to the earlier day) —
+    * so the card is never empty even on tame corpora.
+    *
+    * Scale shape: one combinable daily collapse, one per-group rank
+    * window over daily rows, a ≤|groups|-row broadcast of fences,
+    * one combinable flag agg. */
+  def iqrOutlierDays(events: DataFrame, groupCol: String,
+                     tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(eager = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("y").asc, col("day").asc)
+    val nn = daily.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val rk = daily.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(nn), Seq("grp"))
+    val fences = rk
+      .groupBy(col("grp"), col("n"))
+      .agg(max(when(col("rk") === expr("(n + 3) div 4"), col("y")))
+        .as("q1"),
+        max(when(col("rk") === expr("(3 * n + 3) div 4"), col("y")))
+          .as("q3"))
+      .select(col("grp"), col("n").as("n_days"), col("q1"), col("q3"),
+        expr("2 * q1 - 3 * (q3 - q1)").as("lo_x2"),
+        expr("2 * q3 + 3 * (q3 - q1)").as("hi_x2"))
+    daily.join(broadcast(fences), Seq("grp"))
+      .groupBy(col("grp"), col("n_days"), col("q1"), col("q3"))
+      .agg(
+        sum(when(col("y") * 2 < col("lo_x2"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("y") * 2 > col("hi_x2"), 1L).otherwise(0L))
+          .as("n_high"),
+        max(when(col("y") * 2 < col("lo_x2") ||
+          col("y") * 2 > col("hi_x2"),
+          struct(abs(col("y") * 2 - when(col("y") * 2 > col("hi_x2"),
+            col("hi_x2")).otherwise(col("lo_x2"))).as("ex"),
+            (-col("day")).as("negday"), col("y").as("y"))))
+          .as("worst"))
+      .select(col("grp"), col("n_days"), col("q1"), col("q3"),
+        col("n_low"), col("n_high"),
+        (-col("worst.negday")).as("worst_day"),
+        col("worst.y").as("worst_y"))
+  }
+
   /** HILL TAIL-INDEX estimator (Hill 1975) — "how heavy is this
     * distribution's tail": α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over
     * the top-(k+1) order statistics. α ≤ 2 means infinite variance

@@ -679,6 +679,46 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got(1L)._4.isEmpty && got(1L)._5.isEmpty, got(1L))
   }
 
+  test("weightedPermutationTest: a total rate split is more extreme " +
+    "than every relabeling; equal rates give p = 1") {
+    val strong = (1L to 60L).map(u =>
+      (u, if (u % 2 == 1) 10L else 0L, 10L)).toDF("u", "x", "w")
+    val gs = DataQuality.weightedPermutationTest(strong,
+        pmod(col("u"), lit(2)) === 1, "u", "x", "w", reps = 100)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(gs._3 == 1000000L && gs._5 == 0L &&
+      gs._6 == 1000000L / 101L, gs)
+    val nul = (1L to 60L).map(u => (u, 5L, 10L)).toDF("u", "x", "w")
+    val gn = DataQuality.weightedPermutationTest(nul,
+        pmod(col("u"), lit(2)) === 1, "u", "x", "w", reps = 100)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(gn._3 == 0L && gn._6 == 1000000L, gn)
+  }
+
+  test("iqrOutlierDays: a spike day beyond the Tukey fence flags " +
+    "high; a zero-IQR group flags ONLY true deviants; a tame group " +
+    "flags nothing") {
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // spiky: 7 days at 10 events + 1 day at 100 -> Q1 = Q3 = 10,
+    // fences collapse to [20, 20] in x2 units; only the 100-day flags
+    val spiky = (0L until 7L).flatMap(d =>
+      (0 until 10).map(i => ("spiky", ts(d, i.toLong)))) ++
+      (0 until 100).map(i => ("spiky", ts(7, i.toLong)))
+    val tame = Seq(5, 6, 7, 8).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => ("tame", ts(d.toLong, i.toLong))) }
+    val got = DataQuality.iqrOutlierDays((spiky ++ tame)
+        .toDF("event_type", "ts"), "event_type", "ts")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long],
+        Option[Long])].collect().map(r => r._1 -> r).toMap
+    val sp = got("spiky")
+    assert(sp._2 == 8L && sp._3 == 10L && sp._4 == 10L, sp)
+    assert(sp._5 == 0L && sp._6 == 1L && sp._8.contains(100L), sp)
+    assert(sp._7.contains(1704067200000L / 86400000L + 7L), sp)
+    val tm = got("tame")
+    assert(tm._5 == 0L && tm._6 == 0L && tm._7.isEmpty, tm)
+  }
+
   test("modularity: two disjoint 2-cycles under their SCC partition " +
     "score Q = 0.5 exactly; the 1-community partition scores 0") {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")

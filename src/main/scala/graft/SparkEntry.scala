@@ -2160,7 +2160,9 @@ object SparkEntry {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_items"),
-        sum(expr("cast(rev as decimal(38,0))")).cast("long")
+        // try_cast: the q211 discipline — a plain decimal->long cast
+        // WRAPS silently on overflow; out-of-domain yields NULL instead
+        expr("try_cast(sum(cast(rev as decimal(38,0))) as bigint)")
           .as("revenue_micros"))
   }
 
@@ -5390,7 +5392,7 @@ object SparkEntry {
              CAST(sum(dur) AS BIGINT) AS dsum
            FROM d GROUP BY 1, 2)
          SELECT grp, day, n,
-           CAST(wsum // dsum AS BIGINT) * 1000000
+           TRY_CAST((wsum // dsum) * 1000000 AS BIGINT)
              + CAST(((wsum % dsum) * 1000000) // dsum AS BIGINT)
              AS twap_micros
          FROM m WHERE dsum > 0""",

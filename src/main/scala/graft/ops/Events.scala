@@ -1199,7 +1199,12 @@ object Events {
     *
     * Scale shape: two combinable per-user aggs; the match is ONE
     * union + ONE window over (covariate, tag) order — no pair join
-    * anywhere (the as-of shape); the ATT is one combinable agg. */
+    * anywhere (the as-of shape); the ATT is one combinable agg. The
+    * wPrev/wNext windows are GLOBAL (no partitionBy): every unit
+    * funnels through one partition — the q43-class single-partition
+    * bound, fine while distinct (covariate, unit) rows fit one task;
+    * at true scale swap to covariate-range bucketing (match inside
+    * buckets, resolve boundary units via the bucket-edge controls). */
   def nnMatchingAtt(events: DataFrame, userCol: String, valCol: String,
                     treatedCol: Column): DataFrame = {
     val per = events.groupBy(col(userCol).as("u"))

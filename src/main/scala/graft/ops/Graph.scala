@@ -727,7 +727,10 @@ object Graph {
           lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
           .otherwise(eRaw) * 1e6).cast("long")
       val row = per.select(em.as("em"))
-        .agg(count(lit(1)).as("n"), sum(col("em")).as("s"))
+        // coalesce: on an empty node set (no edges / all self-loops)
+        // sum(em) is NULL — estimate must be 0, not an NPE
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("em")), lit(0L)).as("s"))
         .collect()(0)
       (h.toLong, row.getLong(0), row.getLong(1))
     }

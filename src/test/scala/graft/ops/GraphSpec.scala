@@ -420,4 +420,14 @@ class GraphSpec extends AnyFunSuite {
     val n = est.head._2
     assert(math.abs(est.head._3 / 1e6 - n) / n <= 0.05)
   }
+
+  test("hyperAnf on an empty edge relation returns zero-card hop rows " +
+    "(sum over no nodes is coalesced, not an NPE)") {
+    val e = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("src", "dst", "weight")
+    val got = Graph.hyperAnf(e, 2).as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, 0L), (1L, 0L, 0L), (2L, 0L, 0L)),
+      got.toSeq)
+  }
 }

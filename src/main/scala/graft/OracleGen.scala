@@ -430,6 +430,51 @@ object OracleGen {
             ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
        WHERE rn <= $k"""
 
+  /** Oracle for `Similarity.knnClassifyRouted` (q149): the IVF routing
+    * replay over the q149 label scheme (labeled = vec_id % `stride` <>
+    * 0 with label = vec_id % `nLabels`, queries = the stride slice) —
+    * centroids seeded from the LABELED corpus, round-6 assignment,
+    * queries probing nProbe cells, round-4 cosine over probed members,
+    * then the brute face's identical top-k + modal-vote tail (vote
+    * ties to the smallest label). */
+  def knnClassifyRoutedSql(stride: Long, nLabels: Int, k: Int,
+                           nCentroids: Int, nProbe: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       b AS (SELECT vec_id AS id, v, vec_id % $nLabels AS label FROM e
+         WHERE vec_id % $stride <> 0),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         WHERE vec_id % $stride = 0),
+       cent AS (SELECT id AS cent_id, v AS cv FROM b
+         ORDER BY id LIMIT $nCentroids),
+       rk AS (SELECT b.id, b.v, b.label, c.cent_id,
+           row_number() OVER (PARTITION BY b.id
+             ORDER BY ${cosSql("b.v", "c.cv", 6)} DESC, c.cent_id ASC)
+             AS rn
+         FROM b, cent c),
+       home AS (SELECT cent_id, id AS cand_id, v, label
+         FROM rk WHERE rn = 1),
+       qrk AS (SELECT q.query_id, q.qv, c.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY ${cosSql("q.qv", "c.cv", 6)} DESC, c.cent_id ASC)
+             AS rn
+         FROM q, cent c),
+       prb AS (SELECT cent_id, query_id, qv FROM qrk WHERE rn <= $nProbe),
+       p AS (SELECT query_id, cand_id, label,
+           ${cosSql("qv", "v")} AS cos
+         FROM prb JOIN home USING (cent_id)
+         WHERE cand_id <> query_id),
+       top AS (SELECT query_id, label FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+         WHERE rn <= $k),
+       votes AS (SELECT query_id, label, count(*) AS votes
+         FROM top GROUP BY 1, 2)
+       SELECT query_id, label AS pred_label, votes FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, label ASC) AS vr FROM votes)
+       WHERE vr = 1"""
+
   /** Oracle for `Similarity.kCenterSelect` (q192): the Gonzalez greedy
     * loop unrolled — seed = min id, each step a min-over-selected of
     * the per-pair rounded L2 micros, then a (dm DESC, id ASC) top-1.

@@ -1472,7 +1472,11 @@ object SparkEntry {
 
   /** k-NN majority-vote classification: stride vectors labeled by their
     * 5 nearest labeled neighbors (label = vec_id % 5) — the
-    * weak-supervision spread of a small audited label set. */
+    * weak-supervision spread of a small audited label set. ROUTED
+    * (round 13): the brute face broadcast a corpus-proportional (N/100)
+    * query slice into an N²/100 cosine stage; the registered face now
+    * cell-routes queries through the shared IVF quantizer
+    * (nProbe = 4 of 16) with the vote tail byte-shared. */
   private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val labeled = e.filter(col("vec_id") % 100 =!= 0)
@@ -1480,7 +1484,8 @@ object SparkEntry {
         (col("vec_id") % 5).as("label"))
     val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.knnClassify(labeled, queries, k = 5)
+    Similarity.knnClassifyRouted(labeled, queries, k = 5,
+      nCentroids = 16, nProbe = 4)
   }
 
   /** RFM segmentation: quintile-scored recency/frequency/monetary per
@@ -4347,26 +4352,8 @@ object SparkEntry {
          SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_cents
          FROM c WHERE 2 * cum >= tot GROUP BY 1""",
     "q149_knn_classify" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e
-           WHERE vec_id % 100 = 0),
-         pairs AS (SELECT query_id, e.vec_id AS cand_id,
-             e.vec_id % 5 AS label,
-             round(list_dot_product(qv, v)
-               / (sqrt(list_dot_product(qv, qv))
-                  * sqrt(list_dot_product(v, v))), 4) + 0.0 AS cos
-           FROM e, q WHERE e.vec_id % 100 <> 0),
-         top AS (SELECT query_id, label FROM
-             (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, cand_id ASC) AS rn FROM pairs)
-           WHERE rn <= 5),
-         votes AS (SELECT query_id, label, count(*) AS votes
-           FROM top GROUP BY 1, 2)
-         SELECT query_id, label AS pred_label, votes FROM
-           (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY votes DESC, label ASC) AS vr FROM votes)
-         WHERE vr = 1""",
+      OracleGen.knnClassifyRoutedSql(stride = 100L, nLabels = 5, k = 5,
+        nCentroids = 16, nProbe = 4),
     "q150_rfm_segments" ->
       """WITH conv AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
            FROM events WHERE event_type = 'purchase'),

@@ -75,6 +75,15 @@ object Similarity {
     val scored = base.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"), col("label"),
         (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
+    modalVote(scored, k)
+  }
+
+  /** The kNN-classification vote tail shared byte-identically by
+    * [[knnClassify]] and [[knnClassifyRouted]]: per-query top-k of the
+    * scored (query_id, cand_id, label, cos) relation (cos desc,
+    * cand_id asc — the q26 contract), then the modal label with vote
+    * ties breaking to the SMALLEST label. */
+  private def modalVote(scored: DataFrame, k: Int): DataFrame = {
     val top = Windows.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
     val votes = top.groupBy(col("query_id"), col("label"))
@@ -82,6 +91,80 @@ object Similarity {
     Windows.topOneByAgg(votes, Seq(col("query_id")),
       struct(col("votes"), (-col("label")).as("neg")))
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** [[knnClassifyRouted]]'s scored candidate relation — queries probe
+    * their `nProbe` nearest IVF cells (centroids seeded from the
+    * LABELED corpus: min-id rows, round-6 cosine assignment, cent_id
+    * tie-break — the [[ivfRouting]] quantizer contract) and score
+    * EVERY labeled member of those cells with the round-4 +
+    * signed-zero cosine. Scoring all probed members IS the over-fetch
+    * (the q206 precedent): the top-k cut and the vote run downstream
+    * exactly as in the brute face, so a crowded modal label can never
+    * be starved by a pre-cut — routing only shrinks the candidate
+    * set, never reorders what survives. Exposed for the stress gate:
+    * this relation's row count is the routed candidate mass
+    * (queries × their probed cells' members) vs the brute face's
+    * queries × N — a lost nProbe filter reverts it to ≈ the brute
+    * class. */
+  private[graft] def knnRoutedScored(labeled: DataFrame, queries: DataFrame,
+                                     nCentroids: Int, nProbe: Int)
+      : DataFrame = {
+    val base = labeled.select(col("id"), asDouble(col("vec")).as("v"),
+      col("label"))
+    val cents = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val ranked = base.join(broadcast(cents), lit(true))
+      .select(col("id"), col("v"), col("label"), col("cent_id"),
+        round(cosine(col("v"), col("cv")), 6).as("cent_cos"))
+    val cells = Windows.topOnePerGroup(ranked, Seq(col("id")),
+        Seq(col("cent_cos").desc, col("cent_id").asc))
+      .select(col("cent_id"), col("id").as("cand_id"), col("v"),
+        col("label"))
+    val qranked = queries.select(col("id").as("query_id"),
+        asDouble(col("vec")).as("qv"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cent_cos"))
+    val probes = Windows.topKPerGroup(qranked, Seq(col("query_id")),
+        Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
+      .select(col("cent_id"), col("query_id"), col("qv"))
+    probes.join(cells, Seq("cent_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("label"),
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
+  }
+
+  /** ROUTED k-NN majority-vote classification — [[knnClassify]]'s vote
+    * on the [[ivfRouting]] candidate stage (the q190/q206 move applied
+    * to the last corpus-proportional broadcast in the family): instead
+    * of broadcasting the query slice into a queries × N brute cosine
+    * stage, each query scores only the members of its `nProbe` probed
+    * IVF cells. The vote/tie contract is byte-shared ([[modalVote]]),
+    * so at nProbe = nCentroids the routed predictions EQUAL the brute
+    * predictions exactly (exhaustive equivalence, spec-pinned); at
+    * nProbe < nCentroids a neighbor hiding outside the probed cells is
+    * unseen — the standard ANN recall trade. Measured (RecallProbe,
+    * sf0.1, nProbe = 4 of 16, k = 5): 0.550 prediction agreement vs
+    * the brute face (11 of 20 queries) on the synthetic ISOTROPIC
+    * corpus — the IVF worst case, the same regime as q206's 0.515
+    * (clustered real corpora route much tighter, the q158 precedent;
+    * and for weak supervision a vote over routed near-neighbors is
+    * still a valid label estimate even when it differs from the
+    * global-k vote).
+    *
+    * Scale shape: ONE broadcast of nCentroids rows, one labeled-corpus
+    * assignment window, one query-slice probe window, and a per-cell
+    * equi-join whose mass is stress-gated (KNN_ROUTE_COST_CLASS) —
+    * queries never broadcast, the corpus never broadcasts. Candidate
+    * mass is queries·N·nProbe/C with C = nCentroids: size C with the
+    * corpus, C ≈ √N (the FAISS nlist guidance, the q190 sizing note). */
+  def knnClassifyRouted(labeled: DataFrame, queries: DataFrame, k: Int = 5,
+                        nCentroids: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
+    require(k >= 1 && nCentroids >= 1 && nProbe >= 1,
+      "need k, nCentroids, nProbe >= 1")
+    modalVote(knnRoutedScored(labeled, queries, nCentroids, nProbe), k)
   }
 
   /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein

@@ -256,6 +256,25 @@ object RecallProbe {
       println(f"HARDNEG routed-vs-brute: brute=${hBrute.size} " +
         f"routed=${hRouted.size} overlap=${(hBrute & hRouted).size} " +
         f"recall=${(hBrute & hRouted).size.toDouble / hBrute.size}%.3f")
+      // q149 kNN classification at the shipped params (round-13 brief
+      // item 1): what fraction of brute predictions the routed face
+      // reproduces at nProbe = 4 of 16.
+      val labeled = emb.filter(col("vec_id") % 100 =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          (col("vec_id") % 5).as("label"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val kBrute = graft.ops.Similarity.knnClassify(labeled, queries, k = 5)
+        .select(col("query_id"), col("pred_label"))
+        .as[(Long, Long)].collect().toMap
+      val kRouted = graft.ops.Similarity.knnClassifyRouted(labeled,
+          queries, k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("pred_label"))
+        .as[(Long, Long)].collect().toMap
+      val agree = kBrute.count { case (q, p) => kRouted.get(q).contains(p) }
+      println(f"KNN routed-vs-brute: queries=${kBrute.size} " +
+        f"routedPreds=${kRouted.size} agree=$agree " +
+        f"agreement=${agree.toDouble / kBrute.size}%.3f")
     }
     spark.stop()
   }

@@ -272,7 +272,8 @@ object Stress {
       val ivfpqOn = only.forall("ivfpq_route_cost_class".contains)
       val marginOn = only.forall("margin_route_cost_class".contains)
       val hardnegOn = only.forall("hardneg_route_cost_class".contains)
-      if (pqOn || ivfpqOn || marginOn || hardnegOn) {
+      val knnOn = only.forall("knn_route_cost_class".contains)
+      if (pqOn || ivfpqOn || marginOn || hardnegOn || knnOn) {
         import graft.ops.Similarity
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         // per-copy deterministic perturbation: copies must land in
@@ -361,6 +362,26 @@ object Stress {
           val ok = cand <= candMax
           if (!ok) failed ::= "HARDNEG_ROUTE_COST_CLASS"
           println(s"HARDNEG_ROUTE_COST_CLASS cand=$cand n=$nEmb " +
+            s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        }
+        if (knnOn) {
+          // the q149 shape at gate scale: strided queries, 5-way labels
+          // on the rest. Measured 475,220 exact (2026-08-15, 40×
+          // perturbed corpus: 20 queries × 4 probed cells × skewed
+          // seeded cells); the brute face is queries × N = 20·80,000 =
+          // 1.6e6 — and a lost nProbe filter reverts routing to all 16
+          // cells ≈ the brute class, ~3.4× over this ceiling.
+          val labeled = bigEmb.filter(col("vec_id") % qStride =!= 0)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              (col("vec_id") % 5).as("label"))
+          val queries = bigEmb.filter(col("vec_id") % qStride === 0)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          val cand = Similarity.knnRoutedScored(labeled, queries,
+            nCentroids = 16, nProbe = 4).count()
+          val candMax = 950000L // ~2x the measured mass
+          val ok = cand <= candMax
+          if (!ok) failed ::= "KNN_ROUTE_COST_CLASS"
+          println(s"KNN_ROUTE_COST_CLASS cand=$cand n=$nEmb " +
             s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
         }
       }

@@ -131,4 +131,44 @@ class RoutedMiningSpec extends AnyFunSuite {
     assert(got.filter(col("ql") === col("cl")).count() == 0)
     assert(got.filter(col("query_id") % 4 =!= 0).count() == 0)
   }
+
+  /** The q149 split on the clustered corpus: queries = ids % 4 == 0,
+    * labeled = the rest with a 3-way label. */
+  private lazy val knnLabeled = clustered.filter(col("vec_id") % 4 =!= 0)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"),
+      (col("vec_id") % 3).as("label"))
+  private lazy val knnQueries = clustered.filter(col("vec_id") % 4 === 0)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("knnClassifyRouted at nProbe = nCentroids == brute knnClassify " +
+    "exactly (exhaustive equivalence — the vote tail is byte-shared)") {
+    val brute = Similarity.knnClassify(knnLabeled, knnQueries, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val routed = Similarity.knnClassifyRouted(knnLabeled, knnQueries,
+        k = 3, nCentroids = 4, nProbe = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(routed == brute,
+      s"routed-brute=${routed -- brute} brute-routed=${brute -- routed}")
+  }
+
+  test("knnRoutedScored: routing cuts candidate mass at nProbe = 1 on a " +
+    "clustered corpus, every query still gets >= k candidates (the " +
+    "over-fetch scores WHOLE probed cells), and predictions exist for " +
+    "every query") {
+    val mass = Similarity.knnRoutedScored(knnLabeled, knnQueries,
+      nCentroids = 4, nProbe = 1)
+    val nQ = knnQueries.count()
+    val nL = knnLabeled.count()
+    assert(mass.count() > 0 && mass.count() < nQ * nL,
+      s"mass=${mass.count()} vs brute=${nQ * nL}")
+    // every probed cell holds at least its own centroid (a labeled
+    // row), so no query ever loses ALL candidates — every query is
+    // classified even at nProbe = 1
+    val perQuery = mass.groupBy(col("query_id")).count()
+    assert(perQuery.count() == nQ, "a query lost all its candidates")
+    val preds = Similarity.knnClassifyRouted(knnLabeled, knnQueries,
+      k = 3, nCentroids = 4, nProbe = 1)
+    assert(preds.count() == nQ)
+  }
 }

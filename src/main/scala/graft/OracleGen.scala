@@ -1891,4 +1891,60 @@ object OracleGen {
        $iterCtes
        SELECT node, c AS coreness FROM c$iters"""
   }
+
+  /** The per-round support CTE chain shared by every `kTrussSql` round
+    * r over edge set e{r-1}: recomputed degrees, degree-ordered
+    * orientation, once-per-triangle wedge enumeration, per-undirected-
+    * edge support count (the q114 triangle oracle, edge-keyed). */
+  private def trussSupportCtes(r: Int): String =
+    s"""deg$r AS (SELECT node, count(*) AS deg FROM
+           (SELECT a AS node FROM e${r - 1} UNION ALL SELECT b
+            FROM e${r - 1}) GROUP BY 1),
+       o$r AS MATERIALIZED (SELECT
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                THEN a ELSE b END AS src,
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                THEN b ELSE a END AS dst,
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                THEN db.deg ELSE da.deg END AS ddeg
+         FROM e${r - 1} JOIN deg$r da ON da.node = a
+           JOIN deg$r db ON db.node = b),
+       tri$r AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         FROM o$r e1 JOIN o$r e2 ON e1.src = e2.src
+           AND (e1.ddeg < e2.ddeg
+             OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+         WHERE EXISTS (SELECT 1 FROM o$r e3
+           WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+       sup$r AS (SELECT a, b, count(*) AS support FROM
+           (SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri$r
+            UNION ALL SELECT least(u, w), greatest(u, w) FROM tri$r
+            UNION ALL SELECT least(v, w), greatest(v, w) FROM tri$r)
+         GROUP BY 1, 2)"""
+
+  /** Oracle for `Graph.kTruss` (q256): the support peel unrolled as
+    * MATERIALIZED round CTEs (each round's edge set is read three
+    * times — degrees, orientation, semi join — the q192 inlining
+    * hazard) over the standard transition-graph edges. */
+  def kTrussSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${trussSupportCtes(r)},
+       e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         JOIN sup$r s ON s.a = e.a AND s.b = e.b
+         WHERE s.support >= ${k - 2})"""
+    }.mkString(",\n       ")
+    val f = rounds + 1
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           greatest(src, dst) AS b
+         FROM tr WHERE src IS NOT NULL AND src <> dst),
+       $roundCtes,
+       ${trussSupportCtes(f)}
+       SELECT e.a, e.b, COALESCE(s.support, 0) AS support
+       FROM e$rounds e LEFT JOIN sup$f s ON s.a = e.a AND s.b = e.b"""
+  }
 }

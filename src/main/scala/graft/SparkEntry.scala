@@ -1946,6 +1946,16 @@ object SparkEntry {
     Events.markovStationary(Events.load(s, dir), "user_id", "ts",
       "event_id", "event_type", iters = 10)
 
+  /** Session Markov funnel: q220's chain restricted to in-session
+    * transitions (gap <= 1800 s) with 'purchase' absorbing — per
+    * starting state the 8-step conversion probability and conditional
+    * expected steps to convert. See
+    * [[graft.ops.Events.sessionMarkovFunnel]]. */
+  private def qSessionMarkovFunnel(s: SparkSession, dir: String): DataFrame =
+    Events.sessionMarkovFunnel(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", convType = "purchase",
+      gapSeconds = 1800L, steps = 8)
+
   /** k-anonymity audit of customers on the (nation, market-segment)
     * quasi-identifier pair at k = 5 — equivalence-class profile with
     * the at-risk rate. */
@@ -2531,6 +2541,17 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")), iters = 8)
 
+  /** k-truss decomposition of the session-transition graph — the edge
+    * peel between q114's triangle counts and q169's node peel: the
+    * surviving edges each sit in >= k-2 triangles OF THE SURVIVORS,
+    * the community-core extractor. Iterated support peel, 3 rounds
+    * (the coreness fixed-prefix contract); all integer.
+    * See [[graft.ops.Graph.kTruss]]. */
+  private def qKTruss(s: SparkSession, dir: String): DataFrame =
+    Graph.kTruss(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")), k = 4, rounds = 3)
+
   /** Prefix-filter (AllPairs) Jaccard join — the SAME relation as q25
     * through the better candidate cost class: only each doc's
     * (1−t)-fraction prefix under the rare-first global order enters the
@@ -2843,6 +2864,8 @@ object SparkEntry {
     "q253_mde_power" -> (qMdePower _),
     "q254_weighted_permutation" -> (qWeightedPermutation _),
     "q255_iqr_outlier_days" -> (qIqrOutliers _),
+    "q256_ktruss" -> (qKTruss _),
+    "q257_session_markov_funnel" -> (qSessionMarkovFunnel _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5976,6 +5999,55 @@ object SparkEntry {
            worst_y
          FROM f2 JOIN ag ON ag.grp = f2.grp
          LEFT JOIN worst ON worst.grp = f2.grp""",
+    "q256_ktruss" -> OracleGen.kTrussSql(k = 4, rounds = 3),
+    "q257_session_markov_funnel" -> {
+      // the q220 unrolled-step shape over SESSION-LOCAL pairs with an
+      // absorbing 'purchase'; epoch(date_trunc('second', ts)) mirrors
+      // Spark's flooring unix_timestamp at ROW level (q246 idiom).
+      // Each step CTE is read twice (carry + increment join) ->
+      // MATERIALIZED (the q192 inlining hazard).
+      val head =
+        """seq AS (SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER w AS to_type,
+             CAST(epoch(date_trunc('second', lead(ts) OVER w)) AS BIGINT)
+               - CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC)),
+         pr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM seq WHERE to_type IS NOT NULL AND gap <= 1800
+             AND from_type <> 'purchase' GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM pr
+           GROUP BY 1),
+         p AS MATERIALIZED (SELECT pr.from_type, to_type,
+             (n * 1000000) // tot AS p_micros
+           FROM pr JOIN t ON pr.from_type = t.from_type),
+         pc AS MATERIALIZED (SELECT from_type AS state,
+             COALESCE(max(CASE WHEN to_type = 'purchase'
+               THEN p_micros END), 0) AS pconv
+           FROM p GROUP BY 1),
+         q AS (SELECT from_type, to_type, p_micros FROM p
+           WHERE to_type <> 'purchase'),
+         s1 AS MATERIALIZED (SELECT state, pconv AS c,
+           CAST(0 AS BIGINT) AS sacc FROM pc)"""
+      val stepCtes = (2 to 8).map { h =>
+        s"""s$h AS MATERIALIZED (SELECT pc.state,
+             pc.pconv + COALESCE(inc.i, 0) AS c,
+             pr.sacc + pr.c AS sacc
+           FROM pc JOIN s${h - 1} pr ON pr.state = pc.state
+           LEFT JOIN (SELECT q.from_type AS st,
+               CAST(sum((q.p_micros * cc.c) // 1000000) AS BIGINT) AS i
+             FROM q JOIN s${h - 1} cc ON cc.state = q.to_type
+             GROUP BY 1) inc ON inc.st = pc.state)"""
+      }.mkString(",\n         ")
+      s"""WITH $head,
+         $stepCtes
+         SELECT state, CAST(c AS BIGINT) AS conv_micros,
+           CASE WHEN c > 0
+             THEN CAST((1000000 * (8 * c - sacc)) // c AS BIGINT)
+           END AS exp_steps_cond_micros
+         FROM s8"""
+    },
     "q251_degree_powerlaw" ->
       """WITH ev AS (SELECT user_id, event_id,
              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -2117,6 +2117,84 @@ object Events {
         coalesce(col("pi"), lit(0L)).as("pi_micros"))
   }
 
+  /** SESSION MARKOV FUNNEL — [[markovStationary]]'s (q220) transition
+    * machinery restricted to SESSION-LOCAL transitions (consecutive
+    * events of a user ≤ `gapSeconds` apart, the q99 session gap) with
+    * `convType` made ABSORBING (outgoing transitions from it are
+    * dropped): per starting state, the probability of reaching
+    * conversion within `steps` in-session steps and the conditional
+    * expected step count — "from a search, how far is the purchase"
+    * as a chain property rather than a fixed step list (the q31
+    * funnel's model-based sibling).
+    *
+    * Recurrence (first-passage truncated at H = `steps`):
+    * c_1(s) = p(s→conv); c_h(s) = p(s→conv) + Σ_{j≠conv} p(s,j)·
+    * c_{h−1}(j), every term integer micros with per-term floor (the
+    * q220 step contract — non-negative, Spark `div` = DuckDB `//`).
+    * Truncated expected steps by Abel summation — E_H(s) =
+    * Σ h·(c_h − c_{h−1}) = H·c_H − Σ_{h<H} c_h — stays EXACT longs (no
+    * per-h probability differences, no floats); the conditional
+    * expectation divides once: (1e6·E_H) div c_H (≤ 8e12, long-safe).
+    *
+    * Output: (state, conv_micros, exp_steps_cond_micros) — one row per
+    * transient state with an in-session outgoing transition;
+    * exp_steps_cond_micros is NULL when c_H = 0 (nothing to condition
+    * on). Fixed `steps` keeps the oracle an unrolled MATERIALIZED CTE
+    * chain (each step reads the previous twice — the q192 hazard).
+    *
+    * Scale shape: ONE user-key window (lead type + lead ts), one tiny
+    * (from, to) count; the H-step loop runs on |types|-sized relations
+    * (broadcast class) with per-step localCheckpoint. */
+  def sessionMarkovFunnel(events: DataFrame, userCol: String,
+                          tsCol: String, ordCol: String, typeCol: String,
+                          convType: String, gapSeconds: Long = 1800L,
+                          steps: Int = 8): DataFrame = {
+    require(steps >= 1 && gapSeconds >= 0,
+      "need steps >= 1, gapSeconds >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"),
+        (unix_timestamp(lead(col(tsCol), 1).over(w)) -
+          unix_timestamp(col(tsCol))).as("gap"))
+      .filter(col("to_type").isNotNull && col("gap") <= gapSeconds &&
+        col("from_type") =!= convType)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    val p = pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("n * 1000000L div tot").as("p_micros"))
+      .localCheckpoint(eager = false)
+    val pc = p.groupBy(col("from_type").as("state"))
+      .agg(coalesce(max(when(col("to_type") === convType,
+        col("p_micros"))), lit(0L)).as("pconv"))
+      .localCheckpoint(eager = false)
+    val q = p.filter(col("to_type") =!= convType)
+    var cur = pc.select(col("state"), col("pconv").as("c"),
+        lit(0L).as("sacc"))
+      .localCheckpoint(eager = false)
+    for (_ <- 2 to steps) {
+      val inc = q.join(cur.select(col("state").as("to_type"), col("c")),
+          Seq("to_type"))
+        .select(col("from_type").as("state"),
+          expr("(p_micros * c) div 1000000L").as("m"))
+        .groupBy(col("state")).agg(sum(col("m")).as("inc"))
+      cur = pc.join(cur.select(col("state"), col("c").as("cprev"),
+            col("sacc")), Seq("state"))
+        .join(inc, Seq("state"), "left")
+        .select(col("state"),
+          (col("pconv") + coalesce(col("inc"), lit(0L))).as("c"),
+          (col("sacc") + col("cprev")).as("sacc"))
+        .localCheckpoint(eager = false)
+    }
+    cur.select(col("state"), col("c").as("conv_micros"),
+      when(col("c") > 0,
+        expr(s"(1000000L * ($steps * c - sacc)) div c"))
+        .as("exp_steps_cond_micros"))
+  }
+
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, startType: String,
                   eventType: String): DataFrame = {

@@ -240,6 +240,83 @@ object Graph {
     c.select(col("node"), col("c").as("coreness"))
   }
 
+  /** Per-edge triangle SUPPORT of an undirected simple (a, b) edge
+    * relation — the [[triangleCounts]] enumeration (degree-ordered
+    * orientation, each triangle found once at its orientation-minimal
+    * corner) re-keyed to the three UNDIRECTED edges each triangle
+    * supports. `private[graft]` so [[kTruss]]'s per-round peel and the
+    * final support column share one definition. */
+  private[graft] def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val o = orientedEdges(und, deg)
+    val e1 = o.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val e2 = o.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val tri = e1.join(e2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .join(o.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(col("src").as("u"), col("v"), col("w"))
+    tri.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .union(tri.select(least(col("u"), col("w")).as("a"),
+        greatest(col("u"), col("w")).as("b")))
+      .union(tri.select(least(col("v"), col("w")).as("a"),
+        greatest(col("v"), col("w")).as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** k-TRUSS decomposition (Cohen 2008) — the cohesion tier between
+    * triangles (q114) and coreness (q169): the maximal subgraph in
+    * which EVERY edge is supported by ≥ k−2 triangles of the subgraph
+    * itself. Where coreness peels NODES by degree, the truss peels
+    * EDGES by triangle support — a much stronger community signal (a
+    * star survives a 2-core; nothing survives a 3-truss without actual
+    * triangle density), the standard community-core extractor on
+    * social/session graphs.
+    *
+    * Algorithm: iterated support peeling — each round recomputes
+    * per-edge support over the CURRENT edge set ([[edgeSupport]]: the
+    * q114 degree-ordered orientation, re-oriented per round since
+    * degrees change as edges fall) and keeps edges with support
+    * ≥ k−2. A fixed `rounds` is the in-pipeline contract (the
+    * [[coreness]] rationale): both faces replay the same prefix of the
+    * monotone peel, exact at any round count; convergence needs rounds
+    * ≥ the longest removal cascade (small in practice — each round
+    * peels at least one full "shell"). Output: the surviving edges
+    * with their support within the FINAL edge set — ≥ k−2 everywhere
+    * once converged (the fixture spec pins an actual multi-round
+    * cascade and truss ⊆ (k−1)-core containment).
+    *
+    * Determinism: pure integer counting on a deduped edge set — no
+    * floats, no ties anywhere. The oracle unrolls rounds as
+    * MATERIALIZED CTEs (each round's edge set is read three times —
+    * the q192 inlining hazard).
+    *
+    * Scale shape: per round, one dedup'd edge set, one combinable
+    * degree agg, the orientation-bounded wedge join (the SAME
+    * Σ C(deg, 2) cost class the stress gate's wedge probe pins for
+    * q114), one combinable support agg, one semi join;
+    * localCheckpoint per round keeps the plan linear in rounds. No
+    * all-pairs stage, no global window. */
+  def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 3): DataFrame = {
+    require(k >= 3 && rounds >= 1, "need k >= 3, rounds >= 1")
+    var e = undirectedSimple(edges)
+    for (_ <- 1 to rounds) {
+      e = e.join(
+          edgeSupport(e).filter(col("support") >= k - 2)
+            .select(col("a"), col("b")),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** LINK PREDICTION by common-neighbor / Jaccard scoring (Liben-Nowell
     * & Kleinberg 2003's strongest simple baselines): for every
     * NON-adjacent pair (u, v) sharing ≥ `minCommon` neighbours, emit

@@ -421,6 +421,44 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(est.head._3 / 1e6 - n) / n <= 0.05)
   }
 
+  test("kTruss: a K5 with a pendant triangle peels to exactly the K5 at " +
+    "k = 4 (every surviving edge supported by 3 triangles), and the " +
+    "truss nodes sit inside the (k-1)-core (containment theorem)") {
+    // K5 on 0..4; pendant triangle 4-5-6 shares only vertex 4
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j, 1L)
+    val pend = Seq((4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L))
+    val e = edges((k5 ++ pend): _*)
+    val got = Graph.kTruss(e, k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == k5.map { case (a, b, _) => (a, b, 3L) }.toSet, got)
+    // containment: every truss node has coreness >= k-1 = 3
+    val core = Graph.coreness(e, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    got.flatMap(t => Seq(t._1, t._2)).foreach { n =>
+      assert(core(n) >= 3L, s"node $n coreness ${core(n)}")
+    }
+  }
+
+  test("kTruss peeling actually CASCADES: an edge whose support is " +
+    "sufficient on the raw graph but collapses after round 1's " +
+    "removals falls in round 2") {
+    // K4 on 0..3; 4 joined to 2,3; 5 joined to 3,4. At k=4 (support
+    // >= 2): (3,5),(4,5) have support 1 -> fall round 1; that drops
+    // (3,4) from support 2 to 1 -> falls round 2; K4 remains.
+    val e = edges((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L), (1L, 2L, 1L),
+      (1L, 3L, 1L), (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L),
+      (3L, 5L, 1L), (4L, 5L, 1L))
+    val converged = Graph.kTruss(e, k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val k4 = Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)).map { case (a, b) => (a, b, 2L) }
+    assert(converged == k4, converged)
+    // one round is NOT enough: (3,4) still present after round 1
+    val oneRound = Graph.kTruss(e, k = 4, rounds = 1)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(oneRound.contains((3L, 4L)), oneRound)
+  }
+
   test("hyperAnf on an empty edge relation returns zero-card hop rows " +
     "(sum over no nodes is coalesced, not an NPE)") {
     val e = spark.emptyDataset[(Long, Long, Long)]

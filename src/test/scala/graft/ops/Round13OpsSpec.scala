@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hand-verified fixtures for the round-13 growth operators: each test
+  * computes the expected value by hand on a fixture small enough to
+  * audit. */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sessionMarkovFunnel: absorbing conversion, session-gap cut, " +
+    "never-converting self-loop state, and branch-state conditional " +
+    "expectation — all hand-computed micros") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      // user 1: A -> B -> purchase in one session; C starts a NEW
+      // session after purchase (and purchase is absorbing anyway)
+      (1L, 0L, ts(0), "A"), (1L, 1L, ts(10), "B"),
+      (1L, 2L, ts(20), "purchase"), (1L, 3L, ts(10000), "C"),
+      // user 2: A -> purchase with a 5000 s gap: OUT of session, the
+      // pair must not count (A's chain stays pure A -> B)
+      (2L, 0L, ts(20000), "A"), (2L, 1L, ts(25000), "purchase"),
+      // user 3: D self-loops forever, never converts
+      (3L, 0L, ts(0), "D"), (3L, 1L, ts(10), "D"), (3L, 2L, ts(20), "D"),
+      // users 4/5: X branches 50/50 to purchase and to D
+      (4L, 0L, ts(0), "X"), (4L, 1L, ts(10), "purchase"),
+      (5L, 0L, ts(0), "X"), (5L, 1L, ts(10), "D")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.sessionMarkovFunnel(ev, "user_id", "ts", "event_id",
+        "event_type", convType = "purchase", gapSeconds = 1800L,
+        steps = 8)
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // A: converts via B in exactly 2 steps, prob 1 (the out-of-session
+    // user-2 pair is cut); B: 1 step; D: never (NULL conditional); X:
+    // half the mass converts, all of it in 1 step. C has no outgoing
+    // in-session transition -> not a state; purchase is absorbing ->
+    // not a state.
+    assert(got == Map(
+      "A" -> ((1000000L, Some(2000000L))),
+      "B" -> ((1000000L, Some(1000000L))),
+      "D" -> ((0L, None)),
+      "X" -> ((500000L, Some(1000000L)))), got)
+  }
+}

@@ -1892,6 +1892,70 @@ object OracleGen {
        SELECT node, c AS coreness FROM c$iters"""
   }
 
+  /** Oracle for `Events.dailyPacf` (q258): the common-mean ACF in
+    * HUGEINT (n·y − S devs, exact 128-bit moment sums), one mirrored
+    * double division per ρ, then the Durbin–Levinson triangle unrolled
+    * as chained CTEs whose expressions are built by the SAME loops as
+    * the Spark face (identical left-association ⇒ identical bits). */
+  def dailyPacfSql(maxLag: Int): String = {
+    require(maxLag >= 1 && maxLag <= 6, "need 1 <= maxLag <= 6")
+    val cPiv = (1 to maxLag).map(h =>
+      s"max(CASE WHEN lag = $h THEN ch END) AS c$h")
+      .mkString(",\n           ")
+    val rCols = (1 to maxLag).map(h =>
+      s"""CASE WHEN cz.c0 > 0 THEN CAST(c$h AS DOUBLE)
+             / CAST(cz.c0 AS DOUBLE) END AS r$h""")
+      .mkString(",\n           ")
+    val levels = new StringBuilder(
+      "lvl1 AS (SELECT *, r1 AS p1_1 FROM rr)")
+    var prev = "lvl1"
+    for (h <- 2 to maxLag) {
+      val num = s"(r$h - ${(1 until h)
+        .map(j => s"(p${h - 1}_$j * r${h - j})")
+        .reduce((x, y) => s"($x + $y)")})"
+      val den = s"(1.0 - ${(1 until h)
+        .map(j => s"(p${h - 1}_$j * r$j)")
+        .reduce((x, y) => s"($x + $y)")})"
+      levels.append(s""",
+       d$h AS (SELECT *, CASE WHEN $den <> 0
+           THEN $num / $den END AS p${h}_$h FROM $prev)""")
+      prev = s"d$h"
+      if (h < maxLag) {
+        val inner = (1 until h).map(j =>
+          s"p${h - 1}_$j - (p${h}_$h * p${h - 1}_${h - j}) AS p${h}_$j")
+          .mkString(", ")
+        levels.append(s""",
+       b$h AS (SELECT *, $inner FROM d$h)""")
+        prev = s"b$h"
+      }
+    }
+    val outs = (1 to maxLag).map(h =>
+      s"""SELECT grp AS event_type, CAST($h AS BIGINT) AS lag,
+           round(p${h}_$h, 4) + 0.0 AS pacf FROM $prev""")
+      .mkString("\n       UNION ALL ")
+    s"""WITH daily AS (SELECT event_type AS grp,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS y
+         FROM events GROUP BY 1, 2),
+       st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS s
+         FROM daily GROUP BY 1),
+       dev AS MATERIALIZED (SELECT daily.grp, day, n * y - s AS d
+         FROM daily JOIN st USING (grp)),
+       cz AS (SELECT grp, sum(CAST(d AS HUGEINT) * d) AS c0
+         FROM dev GROUP BY 1),
+       ch AS (SELECT a.grp, u.lag, sum(CAST(a.d AS HUGEINT) * b.d) AS ch
+         FROM dev a
+         CROSS JOIN UNNEST([${(1 to maxLag).mkString(", ")}]) AS u(lag)
+         JOIN dev b ON b.grp = a.grp AND b.day = a.day + u.lag
+         GROUP BY 1, 2),
+       piv AS (SELECT grp, $cPiv FROM ch GROUP BY 1),
+       rr AS (SELECT cz.grp, $rCols
+         FROM cz LEFT JOIN piv ON piv.grp = cz.grp),
+       $levels
+       $outs"""
+  }
+
   /** The per-round support CTE chain shared by every `kTrussSql` round
     * r over edge set e{r-1}: recomputed degrees, degree-ordered
     * orientation, once-per-triangle wedge enumeration, per-undirected-

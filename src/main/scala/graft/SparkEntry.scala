@@ -1513,6 +1513,12 @@ object SparkEntry {
     Events.dailyAutocorrelation(Events.load(s, dir), "event_type", "ts",
       maxLag = 3)
 
+  /** PACF of the daily count series per event type via Durbin–Levinson
+    * over the common-mean ACF — the AR-order-selection card beside
+    * q153's raw ACF. See [[graft.ops.Events.dailyPacf]]. */
+  private def qDailyPacf(s: SparkSession, dir: String): DataFrame =
+    Events.dailyPacf(Events.load(s, dir), "event_type", "ts", maxLag = 4)
+
   /** Lorenz curve at decile resolution per event type — the cumulative-
     * share picture behind q152's Gini scalar, all-integer micros. */
   private def qLorenz(s: SparkSession, dir: String): DataFrame =
@@ -2866,6 +2872,7 @@ object SparkEntry {
     "q255_iqr_outlier_days" -> (qIqrOutliers _),
     "q256_ktruss" -> (qKTruss _),
     "q257_session_markov_funnel" -> (qSessionMarkovFunnel _),
+    "q258_daily_pacf" -> (qDailyPacf _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6000,6 +6007,7 @@ object SparkEntry {
          FROM f2 JOIN ag ON ag.grp = f2.grp
          LEFT JOIN worst ON worst.grp = f2.grp""",
     "q256_ktruss" -> OracleGen.kTrussSql(k = 4, rounds = 3),
+    "q258_daily_pacf" -> OracleGen.dailyPacfSql(maxLag = 4),
     "q257_session_markov_funnel" -> {
       // the q220 unrolled-step shape over SESSION-LOCAL pairs with an
       // absorbing 'purchase'; epoch(date_trunc('second', ts)) mirrors

@@ -739,6 +739,94 @@ object Events {
         .as("r"))
   }
 
+  /** PARTIAL AUTOCORRELATION of the daily count series via
+    * DURBIN–LEVINSON (Durbin 1960) — the lag-h correlation with the
+    * intervening lags REGRESSED OUT, the order-selection card an
+    * AR-model reader wants beside [[dailyAutocorrelation]]'s raw ACF
+    * (q153): a spike at lag h in PACF but not beyond means an AR(h)
+    * explains the series. φ_{1,1} = ρ_1;
+    * φ_{h,h} = (ρ_h − Σ_j φ_{h−1,j}·ρ_{h−j}) / (1 − Σ_j φ_{h−1,j}·ρ_j);
+    * φ_{h,j} = φ_{h−1,j} − φ_{h,h}·φ_{h−1,h−j}.
+    *
+    * The input ACF here is the standard common-mean estimator (NOT
+    * q153's per-window-mean Pearson, which isn't a stationary ACF):
+    * with n days, S = Σy, dev_t = n·y_t − S (exact longs — n·dev
+    * scaling avoids a mean division), c_h = Σ_t dev_t·dev_{t+h} over
+    * calendar-adjacent pairs and c_0 = Σ dev², both carried in
+    * decimal(38,0)/HUGEINT (the q201 ladder — dev² overflows int64
+    * once daily counts pass ~3e9·√days), ρ_h = c_h/c_0 as ONE mirrored
+    * double division. The D–L triangle then unrolls as ONE mirrored
+    * left-associated float expression chain per coefficient (the
+    * q82/q184 contract: identical op order ⇒ identical bits), with the
+    * denominator guarded (CASE den ≠ 0) and NULLs propagating (a group
+    * with < h+1 days has no lag-h pairs ⇒ ρ_h NULL ⇒ φ NULL). Output:
+    * (`groupCol`, lag 1..maxLag, pacf round-4 + signed-zero).
+    *
+    * `maxLag` is bounded (≤ 6) because the unrolled coefficient chain
+    * grows quadratically — the oracle must stay readable (the builder
+    * bar this op shipped under); the default 4 is the AR-order range a
+    * daily ops series actually uses.
+    *
+    * Scale shape: one daily rollup, one 1-row-per-group broadcast of
+    * (n, S), one bounded (≤ maxLag× explode) calendar equi-join, then
+    * |groups|-sized scalar arithmetic — nothing beyond the q153 cost
+    * class. */
+  def dailyPacf(events: DataFrame, groupCol: String, tsCol: String,
+                maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 6, "need 1 <= maxLag <= 6")
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"))
+      .groupBy(col("grp"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val st = daily.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val dev = daily.join(broadcast(st), Seq("grp"))
+      .select(col("grp"), col("day"),
+        (col("n") * col("y") - col("s")).as("d"))
+      .localCheckpoint(eager = false)
+    val c0 = dev.groupBy(col("grp"))
+      .agg(sum(col("d").cast("decimal(38,0)") * col("d")).as("c0"))
+    val a = dev.select(col("grp"), col("day"), col("d").as("dx"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val b = dev.select(col("grp").as("grp2"), col("day").as("day2"),
+      col("d").as("dy"))
+    val ch = a.join(b, col("grp") === col("grp2") &&
+        col("day") + col("lag") === col("day2"))
+      .groupBy(col("grp"), col("lag"))
+      .agg(sum(col("dx").cast("decimal(38,0)") * col("dy")).as("ch"))
+    val piv = ch.groupBy(col("grp")).agg(
+      max(when(col("lag") === 1, col("ch"))).as("c1"),
+      (2 to maxLag).map(h =>
+        max(when(col("lag") === h, col("ch"))).as(s"c$h")): _*)
+    var df = c0.join(piv, Seq("grp"), "left")
+    for (h <- 1 to maxLag)
+      df = df.withColumn(s"r$h",
+        when(col("c0") > 0,
+          col(s"c$h").cast("double") / col("c0").cast("double")))
+    df = df.withColumn("p1_1", col("r1"))
+    for (h <- 2 to maxLag) {
+      val num = col(s"r$h") - (1 until h)
+        .map(j => col(s"p${h - 1}_$j") * col(s"r${h - j}"))
+        .reduce(_ + _)
+      val den = lit(1.0) - (1 until h)
+        .map(j => col(s"p${h - 1}_$j") * col(s"r$j"))
+        .reduce(_ + _)
+      df = df.withColumn(s"p${h}_$h", when(den =!= 0.0, num / den))
+      if (h < maxLag)
+        for (j <- 1 until h)
+          df = df.withColumn(s"p${h}_$j",
+            col(s"p${h - 1}_$j") -
+              col(s"p${h}_$h") * col(s"p${h - 1}_${h - j}"))
+    }
+    val frozen = df.localCheckpoint(eager = false)
+    (1 to maxLag).map { h =>
+      frozen.select(col("grp").as(groupCol), lit(h.toLong).as("lag"),
+        (round(col(s"p${h}_$h"), 4) + lit(0.0)).as("pacf"))
+    }.reduce(_ unionByName _)
+  }
+
   /** TIME-WEIGHTED AVERAGE (TWAP) per group and day — the aggregation
     * finance/sensor pipelines need where the PLAIN mean is wrong: a
     * value holds until the next observation, so each reading weighs

@@ -45,4 +45,36 @@ class Round13OpsSpec extends AnyFunSuite {
       "D" -> ((0L, None)),
       "X" -> ((500000L, Some(1000000L)))), got)
   }
+
+  test("dailyPacf: period-2 series 2,4,2,4,2,4 — hand-solved " +
+    "Durbin-Levinson rationals (rho1=-5/6: p11=-5/6, p22=-1/11, " +
+    "p33=1/10, p44=-1/9) at round-4") {
+    def ts(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val rows = for {
+      day <- 0 until 6
+      i <- 0 until (if (day % 2 == 0) 2 else 4)
+    } yield (1L, ts(day, i), "E")
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val got = Events.dailyPacf(ev, "event_type", "ts", maxLag = 4)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got == Map(1L -> Some(-0.8333), 2L -> Some(-0.0909),
+      3L -> Some(0.1), 4L -> Some(-0.1111)), got)
+  }
+
+  test("dailyPacf: a group too short for a lag yields NULL pacf at " +
+    "that lag (NULL rho propagates), not a crash or a dropped row") {
+    def ts(day: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    // 3 days: lags 1-2 have pairs, lags 3-4 do not
+    val ev = (0 until 3).flatMap(d =>
+        Seq.fill(d + 1)((1L, ts(d), "S")))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.dailyPacf(ev, "event_type", "ts", maxLag = 4)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), got)
+    assert(got(1L).isDefined && got(3L).isEmpty && got(4L).isEmpty, got)
+  }
 }

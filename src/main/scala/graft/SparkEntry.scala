@@ -1513,6 +1513,13 @@ object SparkEntry {
     Events.dailyAutocorrelation(Events.load(s, dir), "event_type", "ts",
       maxLag = 3)
 
+  /** Good–Turing vocabulary saturation per language: unseen-token mass
+    * N1/N, hapax share, bias-corrected Chao1 richness — "is more data
+    * still adding tokens", the corpus-coverage card beside q243's
+    * Heaps exponent. See [[graft.ops.TextAnalysis.goodTuringVocab]]. */
+  private def qGoodTuring(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.goodTuringVocab(t(s, dir, "documents"), "lang", "text")
+
   /** PACF of the daily count series per event type via Durbin–Levinson
     * over the common-mean ACF — the AR-order-selection card beside
     * q153's raw ACF. See [[graft.ops.Events.dailyPacf]]. */
@@ -2873,6 +2880,7 @@ object SparkEntry {
     "q256_ktruss" -> (qKTruss _),
     "q257_session_markov_funnel" -> (qSessionMarkovFunnel _),
     "q258_daily_pacf" -> (qDailyPacf _),
+    "q259_good_turing" -> (qGoodTuring _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6008,6 +6016,23 @@ object SparkEntry {
          LEFT JOIN worst ON worst.grp = f2.grp""",
     "q256_ktruss" -> OracleGen.kTrussSql(k = 4, rounds = 3),
     "q258_daily_pacf" -> OracleGen.dailyPacfSql(maxLag = 4),
+    "q259_good_turing" ->
+      """WITH cnt AS (SELECT lang, u.term, CAST(count(*) AS BIGINT) AS c
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+           WHERE u.term <> '' GROUP BY 1, 2),
+         g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+           FROM cnt GROUP BY 1)
+         SELECT lang, n_tokens, vocab, n1, n2,
+           (1000000 * n1) // n_tokens AS p0_micros,
+           (1000000 * n1) // vocab AS hapax_share_micros,
+           vocab + CAST((CAST(n1 AS HUGEINT) * (n1 - 1))
+             // (2 * (n2 + 1)) AS BIGINT) AS chao1
+         FROM g""",
     "q257_session_markov_funnel" -> {
       // the q220 unrolled-step shape over SESSION-LOCAL pairs with an
       // absorbing 'purchase'; epoch(date_trunc('second', ts)) mirrors

@@ -1004,8 +1004,12 @@ object Similarity {
     * Scale shape: identical to [[ivfTopK]] — broadcast centroids, one
     * shuffle on cell id, per-query work bounded by its probed cells —
     * with the query side the whole corpus, so candidate volume is
-    * Σ_cells |cell|² · nProbe, the IVF contract (vs the N² all-pairs a
-    * brute k-NN graph would cost); output is N·k narrow edge rows.
+    * Σ_cells |cell|² · nProbe ≈ N²·nProbe/C, the q190 cost class —
+    * SIZE nCentroids WITH THE CORPUS, C ≈ √N (the FAISS nlist
+    * guidance), which makes the mass ≈ N^1.5·nProbe (the
+    * MARGIN_ROUTE_COST_CLASS gate pins exactly this stride-1
+    * configuration on the shared routing); output is N·k narrow edge
+    * rows.
     * Recall < 1 by construction (a true neighbor outside the probed
     * cells is unseen) — the standard approximate-KNN-graph trade. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,

@@ -672,6 +672,46 @@ object TextAnalysis {
     * term, token count per bucket), windows only over ≤ 64 bucket
     * rows. The doc-sequence row_number is the q43/q204 global-window
     * class — swap for a precomputed dense id at warehouse scale. */
+  /** GOOD–TURING vocabulary-saturation card (Good 1953; Chao 1984's
+    * bias-corrected richness) — per group (language), the
+    * frequency-of-frequencies summary that answers "is more data still
+    * adding new tokens": p0 = N1/N is the Good–Turing estimate of the
+    * probability mass on UNSEEN tokens (the leave-one-out argument: a
+    * hapax is exactly what a new token looks like one sample early),
+    * hapax share N1/V is the vocabulary's raw-growth edge, and Chao1 =
+    * V + N1·(N1−1)/(2·(N2+1)) (the bias-corrected form — defined even
+    * at N2 = 0) lower-bounds the true vocabulary size. The corpus-level
+    * counterpart of [[heapsFit]]'s growth exponent (q243): Heaps says
+    * how fast V grew, this says how much is left.
+    *
+    * ALL-INTEGER: exact counts, non-negative `div` (= DuckDB `//`);
+    * the one product N1·(N1−1) rides decimal(38,0)/HUGEINT (hapax
+    * counts in the billions square past int64 — the q201 ladder).
+    * Tokens are the corpus convention: split on ' ', empty dropped.
+    *
+    * Scale shape: one explode, one (group, term) combinable count, one
+    * per-group combinable rollup — nothing keyed finer than the term
+    * table. Output: (group, n_tokens, vocab, n1, n2, p0_micros,
+    * hapax_share_micros, chao1). */
+  def goodTuringVocab(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val cnt = df.select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+        col("n1"), col("n2"),
+        expr("(1000000L * n1) div n_tokens").as("p0_micros"),
+        expr("(1000000L * n1) div vocab").as("hapax_share_micros"),
+        expr("vocab + cast((cast(n1 as decimal(38,0)) * (n1 - 1))" +
+          " div (2 * (n2 + 1)) as bigint)").as("chao1"))
+  }
+
   def heapsFit(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val wSeq = org.apache.spark.sql.expressions.Window

@@ -273,7 +273,8 @@ object Stress {
       val marginOn = only.forall("margin_route_cost_class".contains)
       val hardnegOn = only.forall("hardneg_route_cost_class".contains)
       val knnOn = only.forall("knn_route_cost_class".contains)
-      if (pqOn || ivfpqOn || marginOn || hardnegOn || knnOn) {
+      val lshvOn = only.forall("lshvec_cost_class".contains)
+      if (pqOn || ivfpqOn || marginOn || hardnegOn || knnOn || lshvOn) {
         import graft.ops.Similarity
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         // per-copy deterministic perturbation: copies must land in
@@ -382,6 +383,25 @@ object Stress {
           val ok = cand <= candMax
           if (!ok) failed ::= "KNN_ROUTE_COST_CLASS"
           println(s"KNN_ROUTE_COST_CLASS cand=$cand n=$nEmb " +
+            s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        }
+        if (lshvOn) {
+          // vector-LSH same-bucket candidate mass at the q30 params
+          // (nBits = 16, single-probe) with strided queries — the one
+          // ANN candidate stage that had a calibration face
+          // (lshCandidatePairs) but no pinned gate (round-13 audit).
+          // A bucketing regression (shorter chunk keys, lost stride,
+          // accidental probe fan-out) multiplies this count. Measured
+          // 73,827 exact (2026-08-15, 40x perturbed corpus: 20 queries
+          // x 2 chunk buckets x ~2k same-key rows); the unbucketed
+          // class is queries x N = 1.6e6, ~10x over this ceiling.
+          val cand = Similarity.lshCandidatePairs(bigEmb, "vec_id",
+            "embedding", nBits = 16, dim = 64, probeBits = 0,
+            queryStride = qStride).count()
+          val candMax = 150000L // ~2x the measured mass
+          val ok = cand <= candMax
+          if (!ok) failed ::= "LSHVEC_COST_CLASS"
+          println(s"LSHVEC_COST_CLASS cand=$cand n=$nEmb " +
             s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
         }
       }

@@ -77,4 +77,19 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L, 2L, 3L, 4L), got)
     assert(got(1L).isDefined && got(3L).isEmpty && got(4L).isEmpty, got)
   }
+
+  test("goodTuringVocab: hand-counted frequency-of-frequencies — " +
+    "X: 'a a b c' (N=4 V=3 N1=2 N2=1, p0=1/2, hapax=2/3, chao1=3); " +
+    "Y: 'x x' (N1=0: p0=0, chao1=V); empty tokens dropped") {
+    val docs = Seq(
+      ("X", "a a b  c"), // double space: empty token must drop
+      ("Y", "x x")
+    ).toDF("lang", "text")
+    val got = TextAnalysis.goodTuringVocab(docs, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("X") == (("X", 4L, 3L, 2L, 1L, 500000L, 666666L, 3L)),
+      got("X"))
+    assert(got("Y") == (("Y", 2L, 1L, 0L, 1L, 0L, 0L, 1L)), got("Y"))
+  }
 }

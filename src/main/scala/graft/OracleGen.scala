@@ -1892,6 +1892,34 @@ object OracleGen {
        SELECT node, c AS coreness FROM c$iters"""
   }
 
+  /** Oracle for `Sketches.cmsReplay` (q260): the deterministic CMS
+    * counter table (q222 md5-prefix seed hash, mod `width` buckets)
+    * probed for the exact top-`topK` lineitem part keys — est ≥ exact
+    * by construction, pinned cross-engine. */
+  def cmsReplaySql(depth: Int, width: Int, topK: Int): String = {
+    def bucket(iExpr: String, kExpr: String): String =
+      s"""CAST(('0x' || substring(md5(CAST($iExpr AS VARCHAR) || '|'
+         || CAST($kExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $width"""
+    s"""WITH cnt AS (SELECT l_partkey AS k,
+         CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+       d AS (SELECT i FROM
+         UNNEST([${(0 until depth).mkString(", ")}]) AS t(i)),
+       cells AS (SELECT i, ${bucket("i", "k")} AS b,
+           CAST(sum(cnt) AS BIGINT) AS c
+         FROM cnt, d GROUP BY 1, 2),
+       top AS (SELECT k, cnt FROM cnt
+         ORDER BY cnt DESC, k ASC LIMIT $topK),
+       probe AS (SELECT top.k, top.cnt, d.i,
+           ${bucket("d.i", "top.k")} AS b
+         FROM top, d)
+       SELECT probe.k, probe.cnt AS exact,
+         CAST(min(c.c) AS BIGINT) AS est,
+         CAST(min(c.c) - probe.cnt AS BIGINT) AS overest
+       FROM probe JOIN cells c ON c.i = probe.i AND c.b = probe.b
+       GROUP BY 1, 2"""
+  }
+
   /** Oracle for `Events.dailyPacf` (q258): the common-mean ACF in
     * HUGEINT (n·y − S devs, exact 128-bit moment sums), one mirrored
     * double division per ρ, then the Durbin–Levinson triangle unrolled

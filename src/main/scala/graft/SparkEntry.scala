@@ -1513,6 +1513,16 @@ object SparkEntry {
     Events.dailyAutocorrelation(Events.load(s, dir), "event_type", "ts",
       maxLag = 3)
 
+  /** Oracle-checked Count-Min replay over lineitem part keys: the d×w
+    * deterministic counter table probed for the exact top-10 keys,
+    * pinning est >= exact cross-engine — the checkable face of the
+    * CMS family (Sketches.heavyHitters rides Spark's opaque binary
+    * sketch, which DuckDB cannot replay). See
+    * [[graft.ops.Sketches.cmsReplay]]. */
+  private def qCmsReplay(s: SparkSession, dir: String): DataFrame =
+    Sketches.cmsReplay(t(s, dir, "lineitem"), col("l_partkey"),
+      depth = 4, width = 256, topK = 10)
+
   /** Good–Turing vocabulary saturation per language: unseen-token mass
     * N1/N, hapax share, bias-corrected Chao1 richness — "is more data
     * still adding tokens", the corpus-coverage card beside q243's
@@ -2881,6 +2891,7 @@ object SparkEntry {
     "q257_session_markov_funnel" -> (qSessionMarkovFunnel _),
     "q258_daily_pacf" -> (qDailyPacf _),
     "q259_good_turing" -> (qGoodTuring _),
+    "q260_cms_replay" -> (qCmsReplay _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6016,6 +6027,8 @@ object SparkEntry {
          LEFT JOIN worst ON worst.grp = f2.grp""",
     "q256_ktruss" -> OracleGen.kTrussSql(k = 4, rounds = 3),
     "q258_daily_pacf" -> OracleGen.dailyPacfSql(maxLag = 4),
+    "q260_cms_replay" ->
+      OracleGen.cmsReplaySql(depth = 4, width = 256, topK = 10),
     "q259_good_turing" ->
       """WITH cnt AS (SELECT lang, u.term, CAST(count(*) AS BIGINT) AS c
            FROM documents, UNNEST(string_split(text, ' ')) AS u(term)

@@ -1903,4 +1903,5 @@ object DataQuality {
       .select(col("g"), col("day"), col("y"), col("cusum_micros"),
         (col("cusum_micros") > thresholdMicros).as("alarm"))
   }
+
 }

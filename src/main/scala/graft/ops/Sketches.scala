@@ -247,6 +247,54 @@ object Sketches {
             " div cast(f2_exact as bigint)")).as("rel_err_micros"))
   }
 
+  /** COUNT–MIN SKETCH REPLAY — the ORACLE-CHECKED face of the CMS
+    * family: [[heavyHitters]] rides Spark's opaque binary sketch
+    * (which DuckDB cannot replay), so the cross-engine contract is
+    * carried here by a deterministic d×w counter table built from the
+    * q222 md5-prefix seed hash and probed for the exact top-`topK`
+    * keys. What the oracle then pins is the sketch's DEFINING
+    * guarantee, est ≥ exact (min over d buckets, each holding the
+    * key's count plus its colliders' mass) — the property every CMS
+    * consumer leans on when it treats estimates as admission upper
+    * bounds.
+    *
+    * Determinism: bucket_i(k) = md5-prefix-int(i ‖ '|' ‖ k) mod w —
+    * exact integers both engines; counters, mins, and the
+    * overestimate are exact longs. Top-K keys rank (count desc, key
+    * asc), a total order.
+    *
+    * Scale shape: the counter build is ONE combinable agg whose
+    * output is ≤ d·w cells REGARDLESS of corpus size (the sketch
+    * property — this is what replaces the full-key shuffle at 100 TB);
+    * the probe is topK·d rows against the cell table. The exact top-K
+    * here is the test-scale truth anchor; at scale the probe set comes
+    * from [[heavyHitters]] candidates instead. */
+  def cmsReplay(df: DataFrame, keyCol: Column, depth: Int = 4,
+                width: Int = 256, topK: Int = 10): DataFrame = {
+    require(depth >= 1 && width >= 1 && topK >= 1,
+      "need depth, width, topK >= 1")
+    val counts = df.select(keyCol.as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    def bucket(i: Column, k: Column): Column =
+      conv(substring(md5(concat(i, lit("|"), k.cast("string"))), 1, 8),
+        16, 10).cast("long") % width
+    val depths = broadcast(
+      counts.sparkSession.range(0, depth).select(col("id").as("i")))
+    val cells = counts.crossJoin(depths)
+      .select(col("i"), bucket(col("i"), col("k")).as("b"), col("cnt"))
+      .groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("c"))
+    val top = counts.orderBy(col("cnt").desc, col("k").asc).limit(topK)
+    top.crossJoin(depths)
+      .select(col("k"), col("cnt"), col("i"),
+        bucket(col("i"), col("k")).as("b"))
+      .join(cells, Seq("i", "b"))
+      .groupBy(col("k"), col("cnt")).agg(min(col("c")).as("est"))
+      .select(col("k"), col("cnt").as("exact"), col("est"),
+        (col("est") - col("cnt")).as("overest"))
+  }
+
   /** Membership probe against a bloom binary (see [[bloomAgg]]).
     * `bloom` must be a constant or scalar-subquery Column — pass
     * `dim.agg(bloomAgg(...)).scalar()`, which keeps the whole build-and-

@@ -92,4 +92,26 @@ class Round13OpsSpec extends AnyFunSuite {
       got("X"))
     assert(got("Y") == (("Y", 2L, 1L, 0L, 1L, 0L, 0L, 1L)), got("Y"))
   }
+
+  test("cmsReplay: width 1 collapses every key into one bucket per " +
+    "depth (est = total mass for all), wide sketch recovers exact " +
+    "counts, and est >= exact always") {
+    val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .toDF("k0")
+    // width 1: every bucket holds the full mass (6)
+    val narrow = Sketches.cmsReplay(df, col("k0"), depth = 2, width = 1,
+        topK = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(narrow == Set(("a", 3L, 6L, 3L), ("b", 2L, 6L, 4L)), narrow)
+    // wide: 3 keys in 256 buckets x 4 depths — min bucket is exact
+    val wide = Sketches.cmsReplay(df, col("k0"), depth = 4, width = 256,
+        topK = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(wide.map(r => (r._1, r._2)).toSet ==
+      Set(("a", 3L), ("b", 2L), ("c", 1L)))
+    wide.foreach { r =>
+      assert(r._3 >= r._2 && r._4 == r._3 - r._2, r)
+    }
+  }
+
 }

@@ -1920,6 +1920,76 @@ object OracleGen {
        GROUP BY 1, 2"""
   }
 
+  /** Oracle for `Events.markovRemovalEffects` (q263): the q257
+    * session-chain CTE head (transitions + session-initial weights),
+    * then ONE unrolled step-chain family per variant (full + one per
+    * removed state: the variant's pc/q filter `from_type <> removed`,
+    * probabilities NOT renormalized), scored by the session-weighted
+    * conversion sum. Step CTEs are MATERIALIZED (read twice — q192). */
+  def markovRemovalSql(removeStates: Seq[String], steps: Int,
+                       gapSeconds: Long): String = {
+    def variant(tag: String, excl: Option[String]): String = {
+      val filt = excl.map(s => s" AND from_type <> '$s'").getOrElse("")
+      val stepCtes = (2 to steps).map { h =>
+        s"""s${h}_$tag AS MATERIALIZED (SELECT pc.state,
+             pc.pconv + COALESCE(inc.i, 0) AS c
+           FROM pc_$tag pc
+           LEFT JOIN (SELECT q.from_type AS st,
+               CAST(sum((q.p_micros * cc.c) // 1000000) AS BIGINT) AS i
+             FROM q_$tag q JOIN s${h - 1}_$tag cc
+               ON cc.state = q.to_type
+             GROUP BY 1) inc ON inc.st = pc.state)"""
+      }.mkString(",\n       ")
+      s"""pc_$tag AS MATERIALIZED (SELECT from_type AS state,
+           COALESCE(max(CASE WHEN to_type = 'purchase'
+             THEN p_micros END), 0) AS pconv
+         FROM p WHERE TRUE$filt GROUP BY 1),
+       q_$tag AS (SELECT from_type, to_type, p_micros FROM p
+         WHERE to_type <> 'purchase'$filt),
+       s1_$tag AS MATERIALIZED (SELECT state, pconv AS c FROM pc_$tag),
+       $stepCtes,
+       p_$tag AS (SELECT CAST(sum(n * COALESCE(cc.c, 0)) // sum(n)
+           AS BIGINT) AS pm
+         FROM w LEFT JOIN s${steps}_$tag cc ON cc.state = w.state)"""
+    }
+    val variants = variant("full", None) +: removeStates.zipWithIndex
+      .map { case (s, i) => variant(s"r$i", Some(s)) }
+    val outs = removeStates.zipWithIndex.map { case (s, i) =>
+      s"""SELECT '$s' AS state, f.pm AS p_full_micros,
+           r.pm AS p_removed_micros,
+           CASE WHEN f.pm > 0
+             THEN (1000000 * (f.pm - r.pm)) // f.pm
+           END AS removal_effect_micros
+         FROM p_full f, p_r$i r"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH seq AS (SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER w2 AS to_type,
+         CAST(epoch(date_trunc('second', lead(ts) OVER w2)) AS BIGINT)
+           - CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS gap
+         FROM events
+         WINDOW w2 AS (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC)),
+       pr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE to_type IS NOT NULL AND gap <= $gapSeconds
+           AND from_type <> 'purchase' GROUP BY 1, 2),
+       t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM pr
+         GROUP BY 1),
+       p AS MATERIALIZED (SELECT pr.from_type, to_type,
+           (n * 1000000) // tot AS p_micros
+         FROM pr JOIN t ON pr.from_type = t.from_type),
+       ini AS (SELECT event_type AS state,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+             - CAST(epoch(date_trunc('second',
+                 lag(ts) OVER w3)) AS BIGINT) AS gap
+         FROM events
+         WINDOW w3 AS (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC)),
+       w AS (SELECT state, CAST(count(*) AS BIGINT) AS n FROM ini
+         WHERE gap IS NULL OR gap > $gapSeconds GROUP BY 1),
+       ${variants.mkString(",\n       ")}
+       $outs"""
+  }
+
   /** Oracle for `Events.dailyPacf` (q258): the common-mean ACF in
     * HUGEINT (n·y − S devs, exact 128-bit moment sums), one mirrored
     * double division per ρ, then the Durbin–Levinson triangle unrolled
@@ -2013,19 +2083,17 @@ object OracleGen {
             UNION ALL SELECT least(v, w), greatest(v, w) FROM tri$r)
          GROUP BY 1, 2)"""
 
-  /** Oracle for `Graph.kTruss` (q256): the support peel unrolled as
-    * MATERIALIZED round CTEs (each round's edge set is read three
-    * times — degrees, orientation, semi join — the q192 inlining
-    * hazard) over the standard transition-graph edges. */
-  def kTrussSql(k: Int, rounds: Int): String = {
+  /** The full k-truss peel CTE chain (transition-graph edges e0, then
+    * `rounds` support-peel rounds ending at e$rounds) — shared by
+    * [[kTrussSql]] and [[trussCommunitiesSql]]. */
+  private def kTrussChain(k: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""${trussSupportCtes(r)},
        e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
          JOIN sup$r s ON s.a = e.a AND s.b = e.b
          WHERE s.support >= ${k - 2})"""
     }.mkString(",\n       ")
-    val f = rounds + 1
-    s"""WITH ev AS (SELECT user_id, event_id,
+    s"""ev AS (SELECT user_id, event_id,
          TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          FROM events),
        tr AS (SELECT lag(k) OVER (PARTITION BY user_id
@@ -2034,9 +2102,42 @@ object OracleGen {
        e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
            greatest(src, dst) AS b
          FROM tr WHERE src IS NOT NULL AND src <> dst),
-       $roundCtes,
+       $roundCtes"""
+  }
+
+  /** Oracle for `Graph.kTruss` (q256): the support peel unrolled as
+    * MATERIALIZED round CTEs (each round's edge set is read three
+    * times — degrees, orientation, semi join — the q192 inlining
+    * hazard) over the standard transition-graph edges. */
+  def kTrussSql(k: Int, rounds: Int): String = {
+    val f = rounds + 1
+    s"""WITH ${kTrussChain(k, rounds)},
        ${trussSupportCtes(f)}
        SELECT e.a, e.b, COALESCE(s.support, 0) AS support
        FROM e$rounds e LEFT JOIN sup$f s ON s.a = e.a AND s.b = e.b"""
   }
+
+  /** Oracle for `Graph.trussCommunities` (q261): the [[kTrussChain]]
+    * peel, then one recursive reachability closure over the survivor
+    * edges (the q45 `reach` pattern) — community id = component-min
+    * node id, plus the community size. */
+  def trussCommunitiesSql(k: Int, rounds: Int): String =
+    s"""WITH RECURSIVE ${kTrussChain(k, rounds)},
+       tnodes AS (SELECT a AS id FROM e$rounds
+         UNION SELECT b FROM e$rounds),
+       tund AS (SELECT a AS src, b AS dst FROM e$rounds
+         UNION ALL SELECT b, a FROM e$rounds),
+       treach AS (
+         SELECT id, id AS r FROM tnodes
+         UNION
+         SELECT e.dst AS id, treach.r AS r
+         FROM treach JOIN tund e ON e.src = treach.id
+       ),
+       comp AS (SELECT id AS node, min(r) AS community_id
+         FROM treach GROUP BY id),
+       szs AS (SELECT community_id, CAST(count(*) AS BIGINT)
+           AS community_size
+         FROM comp GROUP BY 1)
+       SELECT node, comp.community_id, community_size
+       FROM comp JOIN szs ON szs.community_id = comp.community_id"""
 }

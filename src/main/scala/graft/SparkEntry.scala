@@ -1530,6 +1530,26 @@ object SparkEntry {
   private def qGoodTuring(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.goodTuringVocab(t(s, dir, "documents"), "lang", "text")
 
+  /** Truss communities: connected components of q256's 4-truss edge
+    * set — bridge edges fell in the peel, so the surviving components
+    * are the transition graph's community cores. See
+    * [[graft.ops.Graph.trussCommunities]]. */
+  private def qTrussCommunities(s: SparkSession, dir: String): DataFrame =
+    Graph.trussCommunities(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")), k = 4, rounds = 3)
+
+  /** Markov removal-effect attribution over the q257 session chain:
+    * per removed state, how much of the session-weighted 8-step
+    * conversion probability disappears when its outgoing transitions
+    * are dropped — the data-driven channel-credit model beside
+    * last-touch. See [[graft.ops.Events.markovRemovalEffects]]. */
+  private def qMarkovRemoval(s: SparkSession, dir: String): DataFrame =
+    Events.markovRemovalEffects(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", convType = "purchase",
+      removeStates = Seq("click", "view", "signup"),
+      gapSeconds = 1800L, steps = 8)
+
   /** PACF of the daily count series per event type via Durbin–Levinson
     * over the common-mean ACF — the AR-order-selection card beside
     * q153's raw ACF. See [[graft.ops.Events.dailyPacf]]. */
@@ -2599,6 +2619,14 @@ object SparkEntry {
     Events.kaplanMeier(Events.load(s, dir), "user_id", "ts", "event_type",
       startType = "signup", eventType = "purchase")
 
+  /** Kaplan–Meier with Greenwood 95% bands: q120's curve plus
+    * se = S*sqrt(sum e/(n(n-e))) and clamped plain-scale CI — NULL at
+    * saturated days where the variance is undefined. See
+    * [[graft.ops.Events.kaplanMeierCi]]. */
+  private def qKmGreenwood(s: SparkSession, dir: String): DataFrame =
+    Events.kaplanMeierCi(Events.load(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", eventType = "purchase")
+
   /** 2-length frequent-sequence support: users doing type a strictly
     * before some type b ((a,a) = repeat behavior). */
   private def qSequenceSupport(s: SparkSession, dir: String): DataFrame =
@@ -2892,6 +2920,9 @@ object SparkEntry {
     "q258_daily_pacf" -> (qDailyPacf _),
     "q259_good_turing" -> (qGoodTuring _),
     "q260_cms_replay" -> (qCmsReplay _),
+    "q261_truss_communities" -> (qTrussCommunities _),
+    "q262_km_greenwood" -> (qKmGreenwood _),
+    "q263_markov_removal" -> (qMarkovRemoval _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6026,6 +6057,57 @@ object SparkEntry {
          FROM f2 JOIN ag ON ag.grp = f2.grp
          LEFT JOIN worst ON worst.grp = f2.grp""",
     "q256_ktruss" -> OracleGen.kTrussSql(k = 4, rounds = 3),
+    "q261_truss_communities" ->
+      OracleGen.trussCommunitiesSql(k = 4, rounds = 3),
+    "q263_markov_removal" -> OracleGen.markovRemovalSql(
+      removeStates = Seq("click", "view", "signup"), steps = 8,
+      gapSeconds = 1800L),
+    "q262_km_greenwood" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         fe AS (SELECT e.user_id, min(e.ts) AS te
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             (epoch_us(COALESCE(te, tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fe USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT d, count(*) AS n_at,
+             CAST(sum(obs) AS BIGINT) AS e_at
+           FROM dur GROUP BY 1),
+         r AS (SELECT d, n_at, e_at,
+             CAST(sum(n_at) OVER (ORDER BY d ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM byd),
+         g AS (SELECT d, e_at, n_risk,
+             CASE WHEN e_at < n_risk
+               THEN ln(1.0 - CAST(e_at AS DOUBLE) / n_risk) END AS t,
+             CASE WHEN e_at < n_risk
+               THEN CAST(e_at AS DOUBLE)
+                 / (CAST(n_risk AS DOUBLE) * (n_risk - e_at)) END AS gt
+           FROM r),
+         c AS (SELECT d, n_risk, e_at,
+             CASE WHEN e_at = n_risk THEN 0.0
+                  ELSE exp(sum(t) OVER wp) END AS sraw,
+             sum(gt) OVER wp AS gw
+           FROM g WINDOW wp AS (ORDER BY d ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT d AS duration_days, n_risk, e_at AS n_events,
+           round(sraw, 4) AS surv,
+           CASE WHEN e_at < n_risk
+             THEN round(sraw * sqrt(gw), 4) END AS se,
+           CASE WHEN e_at < n_risk
+             THEN round(GREATEST(0.0,
+               sraw - 1.959964 * (sraw * sqrt(gw))), 4) END AS ci_lo,
+           CASE WHEN e_at < n_risk
+             THEN round(LEAST(1.0,
+               sraw + 1.959964 * (sraw * sqrt(gw))), 4) END AS ci_hi
+         FROM c""",
     "q258_daily_pacf" -> OracleGen.dailyPacfSql(maxLag = 4),
     "q260_cms_replay" ->
       OracleGen.cmsReplaySql(depth = 4, width = 256, topK = 10),

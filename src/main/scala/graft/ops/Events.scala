@@ -2233,12 +2233,15 @@ object Events {
     * Scale shape: ONE user-key window (lead type + lead ts), one tiny
     * (from, to) count; the H-step loop runs on |types|-sized relations
     * (broadcast class) with per-step localCheckpoint. */
-  def sessionMarkovFunnel(events: DataFrame, userCol: String,
-                          tsCol: String, ordCol: String, typeCol: String,
-                          convType: String, gapSeconds: Long = 1800L,
-                          steps: Int = 8): DataFrame = {
-    require(steps >= 1 && gapSeconds >= 0,
-      "need steps >= 1, gapSeconds >= 0")
+  /** The session-local absorbing-chain transition relation shared by
+    * [[sessionMarkovFunnel]] and [[markovRemovalEffects]]: integer-
+    * micros P(next | state) over consecutive same-user events
+    * ≤ `gapSeconds` apart, with `convType`'s outgoing rows dropped
+    * (absorbing). */
+  private def sessionTransitions(events: DataFrame, userCol: String,
+                                 tsCol: String, ordCol: String,
+                                 typeCol: String, convType: String,
+                                 gapSeconds: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
     val pairs = events
@@ -2251,15 +2254,30 @@ object Events {
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
-    val p = pairs.join(broadcast(totals), "from_type")
+    pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"),
         expr("n * 1000000L div tot").as("p_micros"))
       .localCheckpoint(eager = false)
-    val pc = p.groupBy(col("from_type").as("state"))
+  }
+
+  /** The H-step truncated first-passage recurrence over a transition
+    * relation `p` (see [[sessionMarkovFunnel]] for the arithmetic
+    * contract): returns (state, c, sacc) after `steps` steps, with
+    * c = c_H(state) and sacc = Σ_{h<H} c_h. `exclude` drops a state's
+    * OUTGOING rows before the recurrence — the Markov REMOVAL
+    * operation (transitions INTO the removed state still fire but then
+    * die: the inner increment join finds no c row, contributing 0; the
+    * kept states' probabilities are NOT renormalized, per the removal
+    * model). */
+  private def chainConv(p: DataFrame, convType: String, steps: Int,
+                        exclude: Option[String]): DataFrame = {
+    val pp = exclude.map(s => p.filter(col("from_type") =!= s))
+      .getOrElse(p)
+    val pc = pp.groupBy(col("from_type").as("state"))
       .agg(coalesce(max(when(col("to_type") === convType,
         col("p_micros"))), lit(0L)).as("pconv"))
       .localCheckpoint(eager = false)
-    val q = p.filter(col("to_type") =!= convType)
+    val q = pp.filter(col("to_type") =!= convType)
     var cur = pc.select(col("state"), col("pconv").as("c"),
         lit(0L).as("sacc"))
       .localCheckpoint(eager = false)
@@ -2277,10 +2295,80 @@ object Events {
           (col("sacc") + col("cprev")).as("sacc"))
         .localCheckpoint(eager = false)
     }
-    cur.select(col("state"), col("c").as("conv_micros"),
-      when(col("c") > 0,
-        expr(s"(1000000L * ($steps * c - sacc)) div c"))
-        .as("exp_steps_cond_micros"))
+    cur
+  }
+
+  def sessionMarkovFunnel(events: DataFrame, userCol: String,
+                          tsCol: String, ordCol: String, typeCol: String,
+                          convType: String, gapSeconds: Long = 1800L,
+                          steps: Int = 8): DataFrame = {
+    require(steps >= 1 && gapSeconds >= 0,
+      "need steps >= 1, gapSeconds >= 0")
+    val p = sessionTransitions(events, userCol, tsCol, ordCol, typeCol,
+      convType, gapSeconds)
+    chainConv(p, convType, steps, None)
+      .select(col("state"), col("c").as("conv_micros"),
+        when(col("c") > 0,
+          expr(s"(1000000L * ($steps * c - sacc)) div c"))
+          .as("exp_steps_cond_micros"))
+  }
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
+    * data-driven channel-credit model beside last-touch: a state's
+    * credit is how much of the chain's overall conversion DISAPPEARS
+    * when the state is removed (its outgoing transitions dropped;
+    * paths reaching it die; nothing renormalized). Runs
+    * [[sessionMarkovFunnel]]'s truncated chain once in full and once
+    * per `removeStates` entry, scoring each run as the session-
+    * weighted conversion probability P = Σ_init n(init)·c_H(init) div
+    * N over SESSION-INITIAL states (first event of each gap-session;
+    * an initial state outside the chain's transient set — e.g. a
+    * conversion-initial session — contributes c = 0: the chain models
+    * conversion AFTER arrival). removal_effect = (1e6·(P − P_−s)) div
+    * P; removal only deletes paths, so P_−s ≤ P and the effect is in
+    * [0, 1e6] — non-negative `div` both engines.
+    *
+    * `removeStates` is an explicit list (the q31 hardcoded-steps
+    * convention) so the oracle unrolls one CTE family per variant.
+    *
+    * Scale shape: ONE pair window + one transition table shared by
+    * every variant; each variant is the |types|-sized H-step loop.
+    * Output: (state, p_full_micros, p_removed_micros,
+    * removal_effect_micros). */
+  def markovRemovalEffects(events: DataFrame, userCol: String,
+                           tsCol: String, ordCol: String, typeCol: String,
+                           convType: String, removeStates: Seq[String],
+                           gapSeconds: Long = 1800L, steps: Int = 8)
+      : DataFrame = {
+    require(removeStates.nonEmpty && steps >= 1 && gapSeconds >= 0,
+      "need removeStates nonempty, steps >= 1, gapSeconds >= 0")
+    val p = sessionTransitions(events, userCol, tsCol, ordCol, typeCol,
+      convType, gapSeconds)
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    val weights = events
+      .select(col(typeCol).as("state"),
+        (unix_timestamp(col(tsCol)) -
+          unix_timestamp(lag(col(tsCol), 1).over(wdw))).as("gap"))
+      .filter(col("gap").isNull || col("gap") > gapSeconds)
+      .groupBy(col("state")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    def pOf(exclude: Option[String]): DataFrame =
+      weights.join(chainConv(p, convType, steps, exclude)
+          .select(col("state"), col("c")), Seq("state"), "left")
+        .agg(expr("sum(n * coalesce(c, 0L)) div sum(n)").as("pm"))
+    val full = pOf(None).select(col("pm").as("p_full_micros"))
+      .localCheckpoint(eager = false)
+    removeStates.map { s =>
+      pOf(Some(s))
+        .select(lit(s).as("state"), col("pm").as("p_removed_micros"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(full))
+      .select(col("state"), col("p_full_micros"),
+        col("p_removed_micros"),
+        when(col("p_full_micros") > 0,
+          expr("(1000000L * (p_full_micros - p_removed_micros))" +
+            " div p_full_micros")).as("removal_effect_micros"))
   }
 
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
@@ -2317,6 +2405,76 @@ object Events {
               org.apache.spark.sql.expressions.Window.currentRow))), 4)))
       .select(col("d").as("duration_days"), col("n_risk"),
         col("e_at").as("n_events"), col("surv"))
+  }
+
+  /** KAPLAN–MEIER with GREENWOOD confidence bands (Greenwood 1926) —
+    * q120's survival curve plus the uncertainty a reader needs before
+    * acting on it: Var(S_t) = S_t² · Σ_{d≤t} e_d / (n_d·(n_d − e_d)),
+    * se = S·√Σ, plain-scale 95% bands clamped to [0, 1]. Completes the
+    * survival family's estimate/uncertainty pair (the q229 CI beside
+    * the q227 point estimate, for time-to-event).
+    *
+    * Determinism: the build is q120's exactly (integer risk sets, the
+    * ordered-window ln/exp chain); the Greenwood term e/(n·(n−e)) is
+    * one more mirrored double expression per DAY row summed over the
+    * same ordered window (sequential order identical on both engines —
+    * the q120 precedent), z = 1.959964 as an identical literal (q253).
+    * At a saturated day (e = n) the variance is undefined — se and the
+    * bands are NULL there, never a fabricated 0 (surv itself stays
+    * q120's 0.0). All outputs round-4; everything is non-negative
+    * post-clamp, so no signed-zero exposure.
+    *
+    * Scale shape: identical to q120 — per-user min-aggs, one duration
+    * rollup, windows over DAY rows. */
+  def kaplanMeierCi(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, startType: String,
+                    eventType: String): DataFrame = {
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    val firstEv = events.filter(col(typeCol) === eventType)
+      .join(starts, Seq(userCol))
+      .filter(col(tsCol) > col("t0"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("te"))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts.join(firstEv, Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select(
+        when(col("te").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs"),
+        expr("(unix_timestamp(coalesce(te, tmax)) - unix_timestamp(t0))" +
+          " div 86400").as("d"))
+    val byD = dur.groupBy(col("d")).agg(count(lit(1)).as("n_at"),
+      sum(col("obs")).as("e_at"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val z = lit(1.959964)
+    val c = byD
+      .withColumn("n_risk", sum(col("n_at")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("__lt",
+        when(col("e_at") < col("n_risk"),
+          log(lit(1.0) - col("e_at").cast("double") / col("n_risk"))))
+      .withColumn("__gt",
+        when(col("e_at") < col("n_risk"),
+          col("e_at").cast("double") /
+            (col("n_risk").cast("double") * (col("n_risk") - col("e_at")))))
+      .withColumn("__sraw",
+        when(col("e_at") === col("n_risk"), lit(0.0))
+          .otherwise(exp(sum(col("__lt")).over(wPrev))))
+      .withColumn("__gw", sum(col("__gt")).over(wPrev))
+    val seRaw = col("__sraw") * sqrt(col("__gw"))
+    c.select(col("d").as("duration_days"), col("n_risk"),
+      col("e_at").as("n_events"),
+      round(col("__sraw"), 4).as("surv"),
+      when(col("e_at") < col("n_risk"), round(seRaw, 4)).as("se"),
+      when(col("e_at") < col("n_risk"),
+        round(greatest(lit(0.0), col("__sraw") - z * seRaw), 4))
+        .as("ci_lo"),
+      when(col("e_at") < col("n_risk"),
+        round(least(lit(1.0), col("__sraw") + z * seRaw), 4))
+        .as("ci_hi"))
   }
 
   /** NELSON–AALEN cumulative hazard (Nelson 1972, Aalen 1978) — the

@@ -317,6 +317,38 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** TRUSS COMMUNITIES — connected components OF the [[kTruss]] edge
+    * set: after the support peel removes every edge not embedded in
+    * triangle-dense structure, what remains decomposes into the
+    * graph's COMMUNITY CORES (Cohen 2008's original application). A
+    * plain component pass can't do this (one weak bridge fuses two
+    * communities); peeling first cuts the bridges, so the components
+    * of the survivor graph are the k-truss communities. Output:
+    * (node, community_id, community_size) — community_id is the
+    * component-min node id (the [[graft.ops.Dedup.components]]
+    * contract), nodes not in any k-truss edge are absent (they belong
+    * to no community core at this k).
+    *
+    * Scale shape: the peel is [[kTruss]]; the labeling is the
+    * convergence-driven hook/jump min-label propagation
+    * ([[graft.ops.Dedup.components]] — O(log diameter) rounds, one
+    * equi-join + combinable min per round); sizes are one combinable
+    * agg. The oracle replays the peel CTE chain and closes components
+    * with one recursive CTE (the q45 reach pattern). */
+  def trussCommunities(edges: DataFrame, k: Int = 4, rounds: Int = 3,
+                       maxIters: Int = 20): DataFrame = {
+    val truss = kTruss(edges, k, rounds).select(col("a"), col("b"))
+      .localCheckpoint(eager = false)
+    val nodes = truss.select(col("a").as("id"))
+      .union(truss.select(col("b").as("id"))).distinct()
+    val comp = graft.ops.Dedup.components(nodes, truss, maxIters)
+      .select(col("id").as("node"), col("label").as("community_id"))
+    val sizes = comp.groupBy(col("community_id"))
+      .agg(count(lit(1)).as("community_size"))
+    comp.join(sizes, Seq("community_id"))
+      .select(col("node"), col("community_id"), col("community_size"))
+  }
+
   /** LINK PREDICTION by common-neighbor / Jaccard scoring (Liben-Nowell
     * & Kleinberg 2003's strongest simple baselines): for every
     * NON-adjacent pair (u, v) sharing ≥ `minCommon` neighbours, emit

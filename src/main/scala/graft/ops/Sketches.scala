@@ -277,23 +277,28 @@ object Sketches {
       .filter(col("k").isNotNull)
       .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = false)
-    def bucket(i: Column, k: Column): Column =
-      conv(substring(md5(concat(i, lit("|"), k.cast("string"))), 1, 8),
-        16, 10).cast("long") % width
     val depths = broadcast(
       counts.sparkSession.range(0, depth).select(col("id").as("i")))
     val cells = counts.crossJoin(depths)
-      .select(col("i"), bucket(col("i"), col("k")).as("b"), col("cnt"))
+      .select(col("i"), cmsBucket(col("i"), col("k"), width).as("b"),
+        col("cnt"))
       .groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("c"))
     val top = counts.orderBy(col("cnt").desc, col("k").asc).limit(topK)
     top.crossJoin(depths)
       .select(col("k"), col("cnt"), col("i"),
-        bucket(col("i"), col("k")).as("b"))
+        cmsBucket(col("i"), col("k"), width).as("b"))
       .join(cells, Seq("i", "b"))
       .groupBy(col("k"), col("cnt")).agg(min(col("c")).as("est"))
       .select(col("k"), col("cnt").as("exact"), col("est"),
         (col("est") - col("cnt")).as("overest"))
   }
+
+  /** The [[cmsReplay]] bucket hash — shared with the streaming counter
+    * maintenance ([[graft.streaming.StreamingCms]]) so both faces
+    * bucket identically. */
+  private[graft] def cmsBucket(i: Column, k: Column, width: Int): Column =
+    conv(substring(md5(concat(i, lit("|"), k.cast("string"))), 1, 8),
+      16, 10).cast("long") % width
 
   /** Membership probe against a bloom binary (see [[bloomAgg]]).
     * `bloom` must be a constant or scalar-subquery Column — pass

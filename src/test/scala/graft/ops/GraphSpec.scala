@@ -459,6 +459,19 @@ class GraphSpec extends AnyFunSuite {
     assert(oneRound.contains((3L, 4L)), oneRound)
   }
 
+  test("trussCommunities: a bridge between a K5 and a K4 peels away, " +
+    "leaving two community cores with min-id labels and exact sizes") {
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j, 1L)
+    val k4 = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j, 1L)
+    val bridge = Seq((4L, 10L, 1L)) // support 0: falls in round 1
+    val got = Graph.trussCommunities(edges((k5 ++ k4 ++ bridge): _*),
+        k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (0L to 4L).map(n => (n, 0L, 5L)).toSet ++
+      (10L to 13L).map(n => (n, 10L, 4L)).toSet
+    assert(got == want, got)
+  }
+
   test("hyperAnf on an empty edge relation returns zero-card hop rows " +
     "(sum over no nodes is coalesced, not an NPE)") {
     val e = spark.emptyDataset[(Long, Long, Long)]

@@ -93,6 +93,65 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got("Y") == (("Y", 2L, 1L, 0L, 1L, 0L, 0L, 1L)), got("Y"))
   }
 
+  test("markovRemovalEffects on the q257 fixture: removing the bridge " +
+    "state kills the A-path conversions, removing a dead-end state " +
+    "costs exactly nothing, and session weights include out-of-chain " +
+    "initial states at c = 0 — all hand-computed micros") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      (1L, 0L, ts(0), "A"), (1L, 1L, ts(10), "B"),
+      (1L, 2L, ts(20), "purchase"), (1L, 3L, ts(10000), "C"),
+      (2L, 0L, ts(20000), "A"), (2L, 1L, ts(25000), "purchase"),
+      (3L, 0L, ts(0), "D"), (3L, 1L, ts(10), "D"), (3L, 2L, ts(20), "D"),
+      (4L, 0L, ts(0), "X"), (4L, 1L, ts(10), "purchase"),
+      (5L, 0L, ts(0), "X"), (5L, 1L, ts(10), "D")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    // session-initial weights: A:2 (u1; u2's out-of-session A), D:1,
+    // X:2, purchase:1 (u2's second session), C:1 (u1's second session)
+    // -> N = 7; chain c_8: A=1e6, B=1e6, D=0, X=5e5, others 0.
+    // P_full = (2e6 + 1e6/2*2... ) = (2*1e6 + 2*5e5) div 7 = 428571.
+    val got = Events.markovRemovalEffects(ev, "user_id", "ts",
+        "event_id", "event_type", convType = "purchase",
+        removeStates = Seq("B", "D", "X"), gapSeconds = 1800L,
+        steps = 8)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val pFull = (2L * 1000000L + 2L * 500000L) / 7L // 428571
+    // remove B: A dies -> (2*5e5) div 7 = 142857
+    // remove D: nothing changes (D never reaches conversion)
+    // remove X: (2*1e6) div 7 = 285714
+    assert(got("B") == ((pFull, 142857L,
+      Some(1000000L * (pFull - 142857L) / pFull))), got("B"))
+    assert(got("D") == ((pFull, pFull, Some(0L))), got("D"))
+    assert(got("X") == ((pFull, 285714L,
+      Some(1000000L * (pFull - 285714L) / pFull))), got("X"))
+  }
+
+  test("kaplanMeierCi: hand-solved Greenwood bands — 4 signups, 2 " +
+    "purchase day 1, 1 day 3, 1 censored: S=(0.5, 0.25), " +
+    "se=(0.25, 0.2165), lo clamped to 0 at day 3") {
+    def ts(day: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    val ev = Seq(
+      (1L, "signup", ts(0)), (2L, "signup", ts(0)),
+      (3L, "signup", ts(0)), (4L, "signup", ts(0)),
+      (1L, "purchase", ts(1)), (2L, "purchase", ts(1)),
+      (3L, "purchase", ts(3))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Events.kaplanMeierCi(ev, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().map(r => r._1 -> r).toMap
+    // d=1: n=4 e=2: S=.5, gw=2/(4*2)=.25, se=.5*.5=.25,
+    //   lo=.5-1.959964*.25=.0100, hi=.99
+    assert(got(1L) == ((1L, 4L, 2L, 0.5, Some(0.25), Some(0.01),
+      Some(0.99))), got(1L))
+    // d=3: n=2 e=1 (+1 censored): S=.25, gw=.25+1/(2*1)=.75,
+    //   se=.25*sqrt(.75)=.2165, lo clamps to 0, hi=.6743
+    assert(got(3L) == ((3L, 2L, 1L, 0.25, Some(0.2165), Some(0.0),
+      Some(0.6743))), got(3L))
+  }
+
   test("cmsReplay: width 1 collapses every key into one bucket per " +
     "depth (est = total mass for all), wide sketch recovers exact " +
     "counts, and est >= exact always") {

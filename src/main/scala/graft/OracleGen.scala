@@ -1990,6 +1990,58 @@ object OracleGen {
        $outs"""
   }
 
+  /** Oracle for `Events.shapleyAttribution` (q264): gap-session
+    * channel sets, coalition conversion rates, and the SAME
+    * build-time (channel, with, without, weight) spine rows the Spark
+    * face joins (Events.shapleySpine — the decayedEngagement shared-
+    * constants precedent), scored by the two independently-floored
+    * non-negative sums. */
+  def shapleySql(channels: Seq[String], gapSeconds: Long): String = {
+    val chanList = channels.map(c => s"'$c'").mkString(", ")
+    val spineRows = graft.ops.Events.shapleySpine(channels)
+      .map { case (ch, wc, wo, wm) => s"('$ch', '$wc', '$wo', $wm)" }
+      .mkString(",\n           ")
+    s"""WITH b AS (SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w2 IS NULL
+           OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+             - CAST(epoch(date_trunc('second', lag(ts) OVER w2))
+                 AS BIGINT) > $gapSeconds
+           THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w2 AS (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC)),
+       s AS (SELECT user_id, event_type,
+           sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM b),
+       per AS (SELECT user_id, sid,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list(event_type)
+               FILTER (WHERE event_type IN ($chanList)))), ','), '')
+             AS coal,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS conv
+         FROM s GROUP BY 1, 2),
+       cv AS (SELECT coal,
+           (1000000 * CAST(sum(conv) AS BIGINT)) // count(*) AS v
+         FROM per GROUP BY 1),
+       sp AS (SELECT * FROM (VALUES
+           $spineRows)
+         t(channel, with_coal, without_coal, w_micros))
+       SELECT channel,
+         CAST(sum(w_micros * COALESCE(vw.v, 0)) // 1000000 AS BIGINT)
+           AS gain_micros,
+         CAST(sum(w_micros * COALESCE(vo.v, 0)) // 1000000 AS BIGINT)
+           AS loss_micros,
+         CAST(sum(w_micros * COALESCE(vw.v, 0)) // 1000000
+           - sum(w_micros * COALESCE(vo.v, 0)) // 1000000 AS BIGINT)
+           AS phi_micros
+       FROM sp LEFT JOIN cv vw ON vw.coal = sp.with_coal
+         LEFT JOIN cv vo ON vo.coal = sp.without_coal
+       GROUP BY 1"""
+  }
+
   /** Oracle for `Events.dailyPacf` (q258): the common-mean ACF in
     * HUGEINT (n·y − S devs, exact 128-bit moment sums), one mirrored
     * double division per ρ, then the Durbin–Levinson triangle unrolled

@@ -1550,6 +1550,16 @@ object SparkEntry {
       removeStates = Seq("click", "view", "signup"),
       gapSeconds = 1800L, steps = 8)
 
+  /** Shapley channel attribution over gap-session coalitions: each
+    * non-conversion event type's average marginal contribution to
+    * session conversion, the axiomatic credit split beside q263's
+    * removal effects. See [[graft.ops.Events.shapleyAttribution]]. */
+  private def qShapley(s: SparkSession, dir: String): DataFrame =
+    Events.shapleyAttribution(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", convType = "purchase",
+      channels = Seq("click", "error", "signup", "view"),
+      gapSeconds = 1800L)
+
   /** PACF of the daily count series per event type via Durbin–Levinson
     * over the common-mean ACF — the AR-order-selection card beside
     * q153's raw ACF. See [[graft.ops.Events.dailyPacf]]. */
@@ -2923,6 +2933,7 @@ object SparkEntry {
     "q261_truss_communities" -> (qTrussCommunities _),
     "q262_km_greenwood" -> (qKmGreenwood _),
     "q263_markov_removal" -> (qMarkovRemoval _),
+    "q264_shapley_attribution" -> (qShapley _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6061,6 +6072,9 @@ object SparkEntry {
       OracleGen.trussCommunitiesSql(k = 4, rounds = 3),
     "q263_markov_removal" -> OracleGen.markovRemovalSql(
       removeStates = Seq("click", "view", "signup"), steps = 8,
+      gapSeconds = 1800L),
+    "q264_shapley_attribution" -> OracleGen.shapleySql(
+      channels = Seq("click", "error", "signup", "view"),
       gapSeconds = 1800L),
     "q262_km_greenwood" ->
       """WITH ev AS (SELECT user_id, event_type,

@@ -2313,6 +2313,104 @@ object Events {
           .as("exp_steps_cond_micros"))
   }
 
+  /** Shapley coalition weight in micros: round(1e6 · s!(n−1−s)!/n!) —
+    * shared with the oracle as build-time constants (q165 idiom). */
+  private[graft] def shapleyWeightMicros(n: Int, s: Int): Long = {
+    def fact(x: Int): Double = (1 to x).map(_.toDouble).product
+    math.round(1e6 * fact(s) * fact(n - 1 - s) / fact(n))
+  }
+
+  /** The (channel, with-coalition, without-coalition, weight) spine
+    * [[shapleyAttribution]] joins the coalition values against —
+    * enumerated at BUILD time from the fixed channel list, so the
+    * oracle embeds the identical rows as VALUES. Coalition keys are
+    * sorted comma-joined channel names ('' = the empty coalition). */
+  private[graft] def shapleySpine(channels: Seq[String])
+      : Seq[(String, String, String, Long)] = {
+    val n = channels.size
+    def subsets(xs: Seq[String]): Seq[Seq[String]] =
+      xs.foldLeft(Seq(Seq.empty[String]))((acc, x) =>
+        acc ++ acc.map(_ :+ x))
+    for {
+      ch <- channels
+      sub <- subsets(channels.filterNot(_ == ch))
+    } yield (ch, (sub :+ ch).sorted.mkString(","),
+      sub.sorted.mkString(","), shapleyWeightMicros(n, sub.size))
+  }
+
+  /** SHAPLEY CHANNEL ATTRIBUTION (Shapley 1953; the order-free
+    * marketing form) — each channel's credit is its average marginal
+    * contribution to session conversion over every coalition it could
+    * join: φ_i = Σ_{S ∌ i} w(|S|)·(v(S∪{i}) − v(S)) with
+    * w(s) = s!(n−1−s)!/n!. The coalition value v(S) is ESTIMATED FROM
+    * THE DATA as the conversion rate of gap-sessions whose distinct
+    * channel set is exactly S (integer micros; unseen coalitions
+    * contribute v = 0 — the standard simplified-Shapley estimator,
+    * the axiomatic sibling of q263's removal effects: removal asks
+    * "what if the channel vanished", Shapley asks "what is its fair
+    * share of the lift over every arrival order").
+    *
+    * Determinism: v = (1e6·conversions) div sessions per coalition
+    * (non-negative `div`); weights are build-time constants; φ is
+    * reported as TWO independently-floored non-negative sums
+    * (gain = Σ w·v(S∪i) div 1e6, loss = Σ w·v(S) div 1e6,
+    * φ = gain − loss) — the q238 signed-division-avoidance idiom, so
+    * no sign mirroring exists anywhere. Coalition keys are sorted
+    * comma-joined channel names; the n ≤ 8 bound keeps the 2^(n−1)·n
+    * spine build-time-enumerable (and v(S) estimable at all).
+    *
+    * Scale shape: one session window + one per-session distinct-set
+    * agg + one ≤ 2^n-row coalition table; the Shapley sum is a
+    * 32-row broadcast spine joined twice against it. Output:
+    * (channel, gain_micros, loss_micros, phi_micros). */
+  def shapleyAttribution(events: DataFrame, userCol: String,
+                         tsCol: String, ordCol: String, typeCol: String,
+                         convType: String, channels: Seq[String],
+                         gapSeconds: Long = 1800L): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8 &&
+      !channels.contains(convType),
+      "need 1..8 channels, conversion excluded")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    val brk = events.select(col(userCol), col(typeCol),
+        col(tsCol).as("__ts"), col(ordCol).as("__ord"),
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          unix_timestamp(col(tsCol)) -
+            unix_timestamp(lag(col(tsCol), 1).over(w)) > gapSeconds,
+          1L).otherwise(0L).as("brk"))
+    val sess = brk.withColumn("sid", sum(col("brk")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(userCol))
+        .orderBy(col("__ts").asc, col("__ord").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val per = sess.groupBy(col(userCol), col("sid"))
+      .agg(concat_ws(",", array_sort(collect_set(
+          when(col(typeCol).isin(channels: _*), col(typeCol)))))
+        .as("coal"),
+        max((col(typeCol) === convType).cast("long")).as("conv"))
+    val coalV = per.groupBy(col("coal"))
+      .agg(count(lit(1)).as("ns"), sum(col("conv")).as("nc"))
+      .select(col("coal"), expr("(1000000L * nc) div ns").as("v"))
+      .localCheckpoint(eager = false)
+    val spine = shapleySpine(channels)
+      .toDF("channel", "with_coal", "without_coal", "w_micros")
+    broadcast(spine)
+      .join(coalV.select(col("coal").as("with_coal"),
+        col("v").as("vw")), Seq("with_coal"), "left")
+      .join(coalV.select(col("coal").as("without_coal"),
+        col("v").as("vo")), Seq("without_coal"), "left")
+      .groupBy(col("channel"))
+      .agg(expr("sum(w_micros * coalesce(vw, 0L)) div 1000000L")
+          .as("gain_micros"),
+        expr("sum(w_micros * coalesce(vo, 0L)) div 1000000L")
+          .as("loss_micros"))
+      .select(col("channel"), col("gain_micros"), col("loss_micros"),
+        (col("gain_micros") - col("loss_micros")).as("phi_micros"))
+  }
+
   /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
     * data-driven channel-credit model beside last-touch: a state's
     * credit is how much of the chain's overall conversion DISAPPEARS

@@ -127,6 +127,30 @@ class Round13OpsSpec extends AnyFunSuite {
       Some(1000000L * (pFull - 285714L) / pFull))), got("X"))
   }
 
+  test("shapleyAttribution: a channel present in every converting " +
+    "coalition earns the full lift; a NULL PLAYER (never changes " +
+    "conversion) earns exactly phi = 0 — hand-computed micros at " +
+    "n = 2 (weights 1/2, 1/2)") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      (1L, 0L, ts(0), "A"), (1L, 1L, ts(10), "purchase"), // {A} conv
+      (2L, 0L, ts(0), "Z"),                               // {} no conv
+      (3L, 0L, ts(0), "A"), (3L, 1L, ts(10), "B"),
+      (3L, 2L, ts(20), "purchase"),                       // {A,B} conv
+      (4L, 0L, ts(0), "B")                                // {B} no conv
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.shapleyAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", convType = "purchase", channels = Seq("A", "B"),
+        gapSeconds = 1800L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // v: ""->0, "A"->1e6, "B"->0, "A,B"->1e6; w(0)=w(1)=500000
+    // A: gain=.5*v(A)+.5*v(AB)=1e6, loss=.5*v()+.5*v(B)=0 -> phi=1e6
+    // B: gain=.5*v(B)+.5*v(AB)=5e5, loss=.5*v()+.5*v(A)=5e5 -> phi=0
+    assert(got("A") == ((1000000L, 0L, 1000000L)), got("A"))
+    assert(got("B") == ((500000L, 500000L, 0L)), got("B"))
+  }
+
   test("kaplanMeierCi: hand-solved Greenwood bands — 4 signups, 2 " +
     "purchase day 1, 1 day 3, 1 censored: S=(0.5, 0.25), " +
     "se=(0.25, 0.2165), lo clamped to 0 at day 3") {

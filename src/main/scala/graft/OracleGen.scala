@@ -2109,42 +2109,53 @@ object OracleGen {
   /** The per-round support CTE chain shared by every `kTrussSql` round
     * r over edge set e{r-1}: recomputed degrees, degree-ordered
     * orientation, once-per-triangle wedge enumeration, per-undirected-
-    * edge support count (the q114 triangle oracle, edge-keyed). */
-  private def trussSupportCtes(r: Int): String =
-    s"""deg$r AS (SELECT node, count(*) AS deg FROM
-           (SELECT a AS node FROM e${r - 1} UNION ALL SELECT b
-            FROM e${r - 1}) GROUP BY 1),
-       o$r AS MATERIALIZED (SELECT
+    * edge support count (the q114 triangle oracle, edge-keyed).
+    * `tag` suffixes the CTE names so several peel chains (the q265
+    * hierarchy) can share one query; round 1 always reads the shared
+    * untagged base `e0`. */
+  private def trussSupportCtes(r: Int, tag: String = ""): String = {
+    val src = if (r == 1) "e0" else s"e${r - 1}$tag"
+    s"""deg$r$tag AS (SELECT node, count(*) AS deg FROM
+           (SELECT a AS node FROM $src UNION ALL SELECT b
+            FROM $src) GROUP BY 1),
+       o$r$tag AS MATERIALIZED (SELECT
            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
                 THEN a ELSE b END AS src,
            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
                 THEN b ELSE a END AS dst,
            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
                 THEN db.deg ELSE da.deg END AS ddeg
-         FROM e${r - 1} JOIN deg$r da ON da.node = a
-           JOIN deg$r db ON db.node = b),
-       tri$r AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
-         FROM o$r e1 JOIN o$r e2 ON e1.src = e2.src
+         FROM $src JOIN deg$r$tag da ON da.node = a
+           JOIN deg$r$tag db ON db.node = b),
+       tri$r$tag AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         FROM o$r$tag e1 JOIN o$r$tag e2 ON e1.src = e2.src
            AND (e1.ddeg < e2.ddeg
              OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
-         WHERE EXISTS (SELECT 1 FROM o$r e3
+         WHERE EXISTS (SELECT 1 FROM o$r$tag e3
            WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
-       sup$r AS (SELECT a, b, count(*) AS support FROM
-           (SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri$r
-            UNION ALL SELECT least(u, w), greatest(u, w) FROM tri$r
-            UNION ALL SELECT least(v, w), greatest(v, w) FROM tri$r)
+       sup$r$tag AS (SELECT a, b, count(*) AS support FROM
+           (SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri$r$tag
+            UNION ALL SELECT least(u, w), greatest(u, w) FROM tri$r$tag
+            UNION ALL SELECT least(v, w), greatest(v, w) FROM tri$r$tag)
          GROUP BY 1, 2)"""
+  }
+
+  /** One tagged peel chain (rounds × support+filter CTEs) from the
+    * shared untagged base `e0` — the q265 building block. */
+  private def trussPeelCtes(k: Int, rounds: Int, tag: String): String =
+    (1 to rounds).map { r =>
+      val src = if (r == 1) "e0" else s"e${r - 1}$tag"
+      s"""${trussSupportCtes(r, tag)},
+       e$r$tag AS MATERIALIZED (SELECT e.a, e.b FROM $src e
+         JOIN sup$r$tag s ON s.a = e.a AND s.b = e.b
+         WHERE s.support >= ${k - 2})"""
+    }.mkString(",\n       ")
 
   /** The full k-truss peel CTE chain (transition-graph edges e0, then
     * `rounds` support-peel rounds ending at e$rounds) — shared by
     * [[kTrussSql]] and [[trussCommunitiesSql]]. */
-  private def kTrussChain(k: Int, rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      s"""${trussSupportCtes(r)},
-       e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
-         JOIN sup$r s ON s.a = e.a AND s.b = e.b
-         WHERE s.support >= ${k - 2})"""
-    }.mkString(",\n       ")
+  /** The transition-graph base `e0` shared by every peel chain. */
+  private def trussHeadCtes: String =
     s"""ev AS (SELECT user_id, event_id,
          TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          FROM events),
@@ -2153,8 +2164,31 @@ object OracleGen {
          FROM ev WHERE k IS NOT NULL),
        e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
            greatest(src, dst) AS b
-         FROM tr WHERE src IS NOT NULL AND src <> dst),
-       $roundCtes"""
+         FROM tr WHERE src IS NOT NULL AND src <> dst)"""
+
+  private def kTrussChain(k: Int, rounds: Int): String =
+    s"""$trussHeadCtes,
+       ${trussPeelCtes(k, rounds, "")}"""
+
+  /** Oracle for `Graph.trussHierarchy` (q265): one shared base + one
+    * tagged peel chain per k, trussness = highest surviving k via
+    * left joins (2 if the edge is in no 3-truss — every edge is a
+    * 2-truss member by definition). */
+  def trussHierarchySql(maxK: Int, rounds: Int): String = {
+    val chains = (3 to maxK)
+      .map(k => trussPeelCtes(k, rounds, s"k$k")).mkString(",\n       ")
+    val joins = (3 to maxK).map(k =>
+      s"LEFT JOIN e$rounds" + s"k$k t$k ON t$k.a = e0.a AND t$k.b = e0.b")
+      .mkString("\n       ")
+    val pick = (maxK to 3 by -1)
+      .map(k => s"CASE WHEN t$k.a IS NOT NULL THEN $k END")
+      .mkString(", ")
+    s"""WITH $trussHeadCtes,
+       $chains
+       SELECT e0.a, e0.b,
+         CAST(COALESCE($pick, 2) AS BIGINT) AS trussness
+       FROM e0
+       $joins"""
   }
 
   /** Oracle for `Graph.kTruss` (q256): the support peel unrolled as

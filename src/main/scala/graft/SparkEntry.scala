@@ -1560,6 +1560,14 @@ object SparkEntry {
       channels = Seq("click", "error", "signup", "view"),
       gapSeconds = 1800L)
 
+  /** Per-edge trussness tiering of the session-transition graph up to
+    * k = 5 — the edge-sampling signal beside q169's node coreness.
+    * See [[graft.ops.Graph.trussHierarchy]]. */
+  private def qTrussHierarchy(s: SparkSession, dir: String): DataFrame =
+    Graph.trussHierarchy(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")), maxK = 5, rounds = 3)
+
   /** PACF of the daily count series per event type via Durbin–Levinson
     * over the common-mean ACF — the AR-order-selection card beside
     * q153's raw ACF. See [[graft.ops.Events.dailyPacf]]. */
@@ -2934,6 +2942,7 @@ object SparkEntry {
     "q262_km_greenwood" -> (qKmGreenwood _),
     "q263_markov_removal" -> (qMarkovRemoval _),
     "q264_shapley_attribution" -> (qShapley _),
+    "q265_truss_hierarchy" -> (qTrussHierarchy _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6070,6 +6079,8 @@ object SparkEntry {
     "q256_ktruss" -> OracleGen.kTrussSql(k = 4, rounds = 3),
     "q261_truss_communities" ->
       OracleGen.trussCommunitiesSql(k = 4, rounds = 3),
+    "q265_truss_hierarchy" ->
+      OracleGen.trussHierarchySql(maxK = 5, rounds = 3),
     "q263_markov_removal" -> OracleGen.markovRemovalSql(
       removeStates = Seq("click", "view", "signup"), steps = 8,
       gapSeconds = 1800L),

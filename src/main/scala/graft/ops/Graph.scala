@@ -317,6 +317,36 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** TRUSS HIERARCHY — per-edge TRUSSNESS up to `maxK`: the highest k
+    * for which the edge survives the [[kTruss]] peel (2 if it sits in
+    * no triangle — every edge is a 2-truss member by definition),
+    * capped at `maxK`. The edge-wise analogue of [[coreness]]'s
+    * node-wise tiering: where a single k-truss answers "is this edge
+    * in THE core", the hierarchy ranks every edge by how dense a
+    * neighborhood it survives — the signal for tiered edge sampling
+    * (keep trussness ≥ 4 exactly, downsample 3, drop 2) on a link
+    * graph.
+    *
+    * Nesting ((k+1)-truss ⊆ k-truss) makes the ascending-k coalesce
+    * the max; each k is an independent [[kTruss]] run (maxK − 2 peels
+    * — bounded, and the higher-k peels converge in fewer rounds as
+    * edges fall early). All integer. The oracle shares ONE base edge
+    * CTE across tagged peel chains. */
+  def trussHierarchy(edges: DataFrame, maxK: Int = 5, rounds: Int = 3)
+      : DataFrame = {
+    require(maxK >= 3 && rounds >= 1, "need maxK >= 3, rounds >= 1")
+    var out = undirectedSimple(edges)
+      .select(col("a"), col("b"), lit(2L).as("trussness"))
+    for (k <- 3 to maxK) {
+      val tk = kTruss(edges, k, rounds)
+        .select(col("a"), col("b"), lit(k.toLong).as("tk"))
+      out = out.join(tk, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("tk"), col("trussness")).as("trussness"))
+    }
+    out
+  }
+
   /** TRUSS COMMUNITIES — connected components OF the [[kTruss]] edge
     * set: after the support peel removes every edge not embedded in
     * triangle-dense structure, what remains decomposes into the

@@ -472,6 +472,20 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, got)
   }
 
+  test("trussHierarchy: K5 edges reach trussness 5, a pendant triangle " +
+    "ranks 3, a dangling edge ranks 2 (the definitional floor)") {
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j, 1L)
+    val pend = Seq((4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L))
+    val dangle = Seq((6L, 7L, 1L))
+    val got = Graph.trussHierarchy(edges((k5 ++ pend ++ dangle): _*),
+        maxK = 5, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = k5.map { case (a, b, _) => (a, b, 5L) }.toSet ++
+      pend.map { case (a, b, _) => (a, b, 3L) }.toSet +
+      ((6L, 7L, 2L))
+    assert(got == want, got)
+  }
+
   test("hyperAnf on an empty edge relation returns zero-card hop rows " +
     "(sum over no nodes is coalesced, not an NPE)") {
     val e = spark.emptyDataset[(Long, Long, Long)]

@@ -2113,8 +2113,9 @@ object OracleGen {
     * `tag` suffixes the CTE names so several peel chains (the q265
     * hierarchy) can share one query; round 1 always reads the shared
     * untagged base `e0`. */
-  private def trussSupportCtes(r: Int, tag: String = ""): String = {
-    val src = if (r == 1) "e0" else s"e${r - 1}$tag"
+  private def trussSupportCtes(r: Int, tag: String = "",
+                               base: String = "e0"): String = {
+    val src = if (r == 1) base else s"e${r - 1}$tag"
     s"""deg$r$tag AS (SELECT node, count(*) AS deg FROM
            (SELECT a AS node FROM $src UNION ALL SELECT b
             FROM $src) GROUP BY 1),
@@ -2140,12 +2141,14 @@ object OracleGen {
          GROUP BY 1, 2)"""
   }
 
-  /** One tagged peel chain (rounds × support+filter CTEs) from the
-    * shared untagged base `e0` — the q265 building block. */
-  private def trussPeelCtes(k: Int, rounds: Int, tag: String): String =
+  /** One tagged peel chain (rounds × support+filter CTEs) from `base`
+    * — the q265 building block; the hierarchy chains each k's base to
+    * the previous k's survivors (the nesting restart). */
+  private def trussPeelCtes(k: Int, rounds: Int, tag: String,
+                            base: String = "e0"): String =
     (1 to rounds).map { r =>
-      val src = if (r == 1) "e0" else s"e${r - 1}$tag"
-      s"""${trussSupportCtes(r, tag)},
+      val src = if (r == 1) base else s"e${r - 1}$tag"
+      s"""${trussSupportCtes(r, tag, base)},
        e$r$tag AS MATERIALIZED (SELECT e.a, e.b FROM $src e
          JOIN sup$r$tag s ON s.a = e.a AND s.b = e.b
          WHERE s.support >= ${k - 2})"""
@@ -2170,13 +2173,16 @@ object OracleGen {
     s"""$trussHeadCtes,
        ${trussPeelCtes(k, rounds, "")}"""
 
-  /** Oracle for `Graph.trussHierarchy` (q265): one shared base + one
-    * tagged peel chain per k, trussness = highest surviving k via
-    * left joins (2 if the edge is in no 3-truss — every edge is a
-    * 2-truss member by definition). */
+  /** Oracle for `Graph.trussHierarchy` (q265): tagged peel chains with
+    * each k's base = the previous k's survivors (the nesting restart
+    * the Spark face runs), trussness = highest surviving k via left
+    * joins (2 if the edge is in no 3-truss — every edge is a 2-truss
+    * member by definition). */
   def trussHierarchySql(maxK: Int, rounds: Int): String = {
     val chains = (3 to maxK)
-      .map(k => trussPeelCtes(k, rounds, s"k$k")).mkString(",\n       ")
+      .map(k => trussPeelCtes(k, rounds, s"k$k",
+        base = if (k == 3) "e0" else s"e${rounds}k${k - 1}"))
+      .mkString(",\n       ")
     val joins = (3 to maxK).map(k =>
       s"LEFT JOIN e$rounds" + s"k$k t$k ON t$k.a = e0.a AND t$k.b = e0.b")
       .mkString("\n       ")

@@ -2645,6 +2645,15 @@ object SparkEntry {
     Events.kaplanMeierCi(Events.load(s, dir), "user_id", "ts",
       "event_type", startType = "signup", eventType = "purchase")
 
+  /** Competing-risks cumulative incidence from signup: purchase vs
+    * error racing as first exits, CIF_k = sum S(d-)*e_k/n over days —
+    * the Aalen–Johansen card beside q120's single-cause KM. See
+    * [[graft.ops.Events.competingRisks]]. */
+  private def qCompetingRisks(s: SparkSession, dir: String): DataFrame =
+    Events.competingRisks(Events.load(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", causeA = "purchase",
+      causeB = "error")
+
   /** 2-length frequent-sequence support: users doing type a strictly
     * before some type b ((a,a) = repeat behavior). */
   private def qSequenceSupport(s: SparkSession, dir: String): DataFrame =
@@ -2943,6 +2952,7 @@ object SparkEntry {
     "q263_markov_removal" -> (qMarkovRemoval _),
     "q264_shapley_attribution" -> (qShapley _),
     "q265_truss_hierarchy" -> (qTrussHierarchy _),
+    "q266_competing_risks" -> (qCompetingRisks _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6081,6 +6091,60 @@ object SparkEntry {
       OracleGen.trussCommunitiesSql(k = 4, rounds = 3),
     "q265_truss_hierarchy" ->
       OracleGen.trussHierarchySql(maxK = 5, rounds = 3),
+    // q266: mirrors Events.competingRisks exactly — q120's day protocol,
+    // the EXCLUSIVE-prior ln/exp chain for S(d-) (coalesce(sum,0) so day
+    // 0 sees S=1; a saturated prior day forces 0.0), tie at ta = tb goes
+    // to cause B ('error' < 'purchase' by the type-name-asc contract,
+    // hence the literal FALSE/TRUE tie arms).
+    "q266_competing_risks" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         fa AS (SELECT e.user_id, min(e.ts) AS ta
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         fb AS (SELECT e.user_id, min(e.ts) AS tb
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'error' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT
+             CASE WHEN ta IS NOT NULL AND (tb IS NULL OR ta < tb
+               OR (ta = tb AND FALSE)) THEN 1 ELSE 0 END AS oa,
+             CASE WHEN tb IS NOT NULL AND (ta IS NULL OR tb < ta
+               OR (ta = tb AND TRUE)) THEN 1 ELSE 0 END AS ob,
+             (epoch_us(COALESCE(LEAST(ta, tb), tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fa USING (user_id)
+             LEFT JOIN fb USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT d, count(*) AS n_at,
+             CAST(sum(oa) AS BIGINT) AS ea,
+             CAST(sum(ob) AS BIGINT) AS eb
+           FROM dur GROUP BY 1),
+         r AS (SELECT d, n_at, ea, eb, ea + eb AS e_all,
+             CAST(sum(n_at) OVER (ORDER BY d ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM byd),
+         g AS (SELECT d, ea, eb, e_all, n_risk,
+             CASE WHEN e_all < n_risk
+               THEN ln(1.0 - CAST(e_all AS DOUBLE) / n_risk) END AS lt,
+             CASE WHEN e_all = n_risk THEN 1 ELSE 0 END AS sat
+           FROM r),
+         c AS (SELECT d, ea, eb, n_risk,
+             CASE WHEN COALESCE(max(sat) OVER wp, 0) > 0 THEN 0.0
+               ELSE exp(COALESCE(sum(lt) OVER wp, 0.0)) END AS sprev
+           FROM g WINDOW wp AS (ORDER BY d ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         i AS (SELECT d, ea, eb, n_risk,
+             sprev * CAST(ea AS DOUBLE) / n_risk AS inca,
+             sprev * CAST(eb AS DOUBLE) / n_risk AS incb
+           FROM c)
+         SELECT d AS duration_days, n_risk, ea AS ev_a, eb AS ev_b,
+           round(sum(inca) OVER wi, 4) AS cif_a,
+           round(sum(incb) OVER wi, 4) AS cif_b
+         FROM i WINDOW wi AS (ORDER BY d ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "q263_markov_removal" -> OracleGen.markovRemovalSql(
       removeStates = Seq("click", "view", "signup"), steps = 8,
       gapSeconds = 1800L),

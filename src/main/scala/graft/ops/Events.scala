@@ -2625,6 +2625,94 @@ object Events {
         col("cum_hazard_micros"))
   }
 
+  /** COMPETING-RISKS cumulative incidence (Aalen–Johansen, the
+    * two-cause case) — the survival family's answer when a user can
+    * exit by MORE THAN ONE first event: with causes A and B racing
+    * after the start event (first post-start occurrence of either; the
+    * EARLIER one wins, ties broken by type name ascending — a
+    * build-time constant since both causes are parameters), the
+    * cause-specific cumulative incidence is
+    * CIF_k(t) = Σ_{d ≤ t} S(d−) · e_k(d)/n(d), where S(d−) is the
+    * ALL-CAUSE Kaplan–Meier survival just BEFORE day d. Unlike
+    * "1 − KM_k with the other cause censored", the CIFs are honest
+    * probabilities: CIF_A + CIF_B + S = 1 at every day (up to float
+    * rounding). "Purchase vs churn-by-error as competing exits" is the
+    * canonical product read.
+    *
+    * Determinism: q120's exact protocol (integer risk sets, the
+    * ordered ln/exp chain for survival) with S(d−) as the PRIOR-ROWS
+    * (exclusive) window — `exp(coalesce(sum(lt) over prior, 0))` so
+    * day 0 sees S(−) = 1; a saturated PRIOR day (e_all = n_risk)
+    * forces S(d−) = 0.0 via a window max flag, never a NULL log. The
+    * per-day increment S(d−)·e_k/n is one mirrored double product and
+    * the CIF is its inclusive ordered-window sum (the q262 sequential-
+    * sum precedent). All outputs round-4.
+    *
+    * Scale shape: identical to q120 — per-user min-aggregations, one
+    * duration rollup, ordered windows over DAY rows (bounded by the
+    * calendar, the q222 contract). */
+  def competingRisks(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, startType: String,
+                     causeA: String, causeB: String): DataFrame = {
+    require(causeA != causeB && causeA != startType &&
+      causeB != startType, "causes must be distinct from start")
+    val tieWinsA = causeA <= causeB
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    def firstOf(tp: String, out: String): DataFrame =
+      events.filter(col(typeCol) === tp)
+        .join(starts, Seq(userCol))
+        .filter(col(tsCol) > col("t0"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(out))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts
+      .join(firstOf(causeA, "ta"), Seq(userCol), "left")
+      .join(firstOf(causeB, "tb"), Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select(
+        when(col("ta").isNotNull && (col("tb").isNull ||
+          col("ta") < col("tb") ||
+          (col("ta") === col("tb") && lit(tieWinsA))), lit(1L))
+          .otherwise(lit(0L)).as("oa"),
+        when(col("tb").isNotNull && (col("ta").isNull ||
+          col("tb") < col("ta") ||
+          (col("ta") === col("tb") && lit(!tieWinsA))), lit(1L))
+          .otherwise(lit(0L)).as("ob"),
+        expr("(unix_timestamp(coalesce(least(ta, tb), tmax))" +
+          " - unix_timestamp(t0)) div 86400").as("d"))
+    val byD = dur.groupBy(col("d")).agg(count(lit(1)).as("n_at"),
+      sum(col("oa")).as("ea"), sum(col("ob")).as("eb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
+    val wPrior = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wIncl = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val c = byD
+      .withColumn("e_all", col("ea") + col("eb"))
+      .withColumn("n_risk", sum(col("n_at")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("__lt",
+        when(col("e_all") < col("n_risk"),
+          log(lit(1.0) - col("e_all").cast("double") / col("n_risk"))))
+      .withColumn("__sat",
+        (col("e_all") === col("n_risk")).cast("long"))
+      .withColumn("__sprev",
+        when(coalesce(max(col("__sat")).over(wPrior), lit(0L)) > 0,
+          lit(0.0))
+          .otherwise(exp(coalesce(sum(col("__lt")).over(wPrior),
+            lit(0.0)))))
+      .withColumn("__inca",
+        col("__sprev") * col("ea").cast("double") / col("n_risk"))
+      .withColumn("__incb",
+        col("__sprev") * col("eb").cast("double") / col("n_risk"))
+    c.select(col("d").as("duration_days"), col("n_risk"),
+      col("ea").as("ev_a"), col("eb").as("ev_b"),
+      round(sum(col("__inca")).over(wIncl), 4).as("cif_a"),
+      round(sum(col("__incb")).over(wIncl), 4).as("cif_b"))
+  }
+
   /** Ordered SEQUENCE support counts — for every ordered pair of event
     * types (a, b), how many users did a STRICTLY BEFORE some b (the
     * 2-length case of frequent-sequence mining; the pair table seeds

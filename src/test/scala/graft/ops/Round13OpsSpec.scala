@@ -197,4 +197,35 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("competingRisks: purchase vs error racing from signup — tie day " +
+    "goes to the lexicographically smaller cause, pre-start events are " +
+    "ignored, censored user pins the horizon, and CIF_A + CIF_B + S " +
+    "= 1 at the last day (hand-computed)") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      // u1: signup day 0, purchase day 1
+      (1L, ts(0), "signup"), (1L, ts(86400), "purchase"),
+      // u2: error BEFORE signup (ignored), signup at +100s, error day 1
+      (2L, ts(0), "error"), (2L, ts(100), "signup"),
+      (2L, ts(86500), "error"),
+      // u3: purchase and error at the SAME instant on day 2 — the tie
+      // goes to 'error' (type-name asc)
+      (3L, ts(0), "signup"), (3L, ts(172800), "purchase"),
+      (3L, ts(172800), "error"),
+      // u4: never exits; a view on day 3 pins the censoring horizon
+      (4L, ts(0), "signup"), (4L, ts(259200), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.competingRisks(ev, "user_id", "ts", "event_type",
+        startType = "signup", causeA = "purchase", causeB = "error")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // d=1: n_risk 4, ea=1 (u1), eb=1 (u2): S(d-)=1,
+    //   cif_a = cif_b = 1/4
+    assert(got(1L) == ((1L, 4L, 1L, 1L, 0.25, 0.25)), got(1L))
+    // d=2: n_risk 2, tie -> eb=1: S(d-)=1-2/4=.5, incb=.5*(1/2)=.25
+    assert(got(2L) == ((2L, 2L, 0L, 1L, 0.25, 0.5)), got(2L))
+    // d=3: censored only; CIFs flat; S(3-)=.25 and .25+.25+.5=1
+    assert(got(3L) == ((3L, 1L, 0L, 0L, 0.25, 0.5)), got(3L))
+  }
+
 }

@@ -1990,6 +1990,94 @@ object OracleGen {
        $outs"""
   }
 
+  /** Oracle for `Events.markovPairRemovalEffects` (q267): the q263
+    * session-chain CTE head, then one unrolled step-chain family per
+    * variant — full, one per DISTINCT single state, one per pair (the
+    * variant filter is `from_type NOT IN (...)`) — scored by the
+    * session-weighted conversion sum; synergy is the signed subtraction
+    * of the two already-floored effect ratios (NULL-propagating when
+    * P_full = 0, mirroring the Spark when-chain). */
+  def markovPairRemovalSql(removePairs: Seq[(String, String)],
+                           steps: Int, gapSeconds: Long): String = {
+    val singles = removePairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val singleTag = singles.zipWithIndex.toMap
+    def variant(tag: String, excl: Seq[String]): String = {
+      val filt = if (excl.isEmpty) ""
+        else s" AND from_type NOT IN (${excl.map(s => s"'$s'")
+          .mkString(", ")})"
+      val stepCtes = (2 to steps).map { h =>
+        s"""s${h}_$tag AS MATERIALIZED (SELECT pc.state,
+             pc.pconv + COALESCE(inc.i, 0) AS c
+           FROM pc_$tag pc
+           LEFT JOIN (SELECT q.from_type AS st,
+               CAST(sum((q.p_micros * cc.c) // 1000000) AS BIGINT) AS i
+             FROM q_$tag q JOIN s${h - 1}_$tag cc
+               ON cc.state = q.to_type
+             GROUP BY 1) inc ON inc.st = pc.state)"""
+      }.mkString(",\n       ")
+      s"""pc_$tag AS MATERIALIZED (SELECT from_type AS state,
+           COALESCE(max(CASE WHEN to_type = 'purchase'
+             THEN p_micros END), 0) AS pconv
+         FROM p WHERE TRUE$filt GROUP BY 1),
+       q_$tag AS (SELECT from_type, to_type, p_micros FROM p
+         WHERE to_type <> 'purchase'$filt),
+       s1_$tag AS MATERIALIZED (SELECT state, pconv AS c FROM pc_$tag),
+       $stepCtes,
+       p_$tag AS (SELECT CAST(sum(n * COALESCE(cc.c, 0)) // sum(n)
+           AS BIGINT) AS pm
+         FROM w LEFT JOIN s${steps}_$tag cc ON cc.state = w.state)"""
+    }
+    val variants = variant("full", Nil) +:
+      (singles.map(s => variant(s"s${singleTag(s)}", Seq(s))) ++
+        removePairs.zipWithIndex.map { case ((a, b), i) =>
+          variant(s"pr$i", Seq(a, b)) })
+    val outs = removePairs.zipWithIndex.map { case ((a, b), i) =>
+      s"""SELECT '$a' AS state_a, '$b' AS state_b,
+           f.pm AS p_full_micros, pr.pm AS p_pair_micros,
+           CASE WHEN f.pm > 0
+             THEN (1000000 * (f.pm - pr.pm)) // f.pm
+           END AS pair_effect_micros,
+           CASE WHEN f.pm > 0
+             THEN (1000000 * (f.pm - sa.pm)) // f.pm
+               + (1000000 * (f.pm - sb.pm)) // f.pm
+           END AS single_sum_micros,
+           (CASE WHEN f.pm > 0
+             THEN (1000000 * (f.pm - pr.pm)) // f.pm END)
+           - (CASE WHEN f.pm > 0
+             THEN (1000000 * (f.pm - sa.pm)) // f.pm
+               + (1000000 * (f.pm - sb.pm)) // f.pm END)
+             AS synergy_micros
+         FROM p_full f, p_pr$i pr, p_s${singleTag(a)} sa,
+           p_s${singleTag(b)} sb"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH seq AS (SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER w2 AS to_type,
+         CAST(epoch(date_trunc('second', lead(ts) OVER w2)) AS BIGINT)
+           - CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS gap
+         FROM events
+         WINDOW w2 AS (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC)),
+       pr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE to_type IS NOT NULL AND gap <= $gapSeconds
+           AND from_type <> 'purchase' GROUP BY 1, 2),
+       t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM pr
+         GROUP BY 1),
+       p AS MATERIALIZED (SELECT pr.from_type, to_type,
+           (n * 1000000) // tot AS p_micros
+         FROM pr JOIN t ON pr.from_type = t.from_type),
+       ini AS (SELECT event_type AS state,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+             - CAST(epoch(date_trunc('second',
+                 lag(ts) OVER w3)) AS BIGINT) AS gap
+         FROM events
+         WINDOW w3 AS (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC)),
+       w AS (SELECT state, CAST(count(*) AS BIGINT) AS n FROM ini
+         WHERE gap IS NULL OR gap > $gapSeconds GROUP BY 1),
+       ${variants.mkString(",\n       ")}
+       $outs"""
+  }
+
   /** Oracle for `Events.shapleyAttribution` (q264): gap-session
     * channel sets, coalition conversion rates, and the SAME
     * build-time (channel, with, without, weight) spine rows the Spark

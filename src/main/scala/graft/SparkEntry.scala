@@ -1560,6 +1560,17 @@ object SparkEntry {
       channels = Seq("click", "error", "signup", "view"),
       gapSeconds = 1800L)
 
+  /** Pairwise Markov removal effects over the q257/q263 session chain:
+    * joint removal of channel pairs vs the sum of singles — negative
+    * synergy reads substitutes (overlapping paths), positive reads
+    * rerouted mass. See [[graft.ops.Events.markovPairRemovalEffects]]. */
+  private def qMarkovPairRemoval(s: SparkSession, dir: String): DataFrame =
+    Events.markovPairRemovalEffects(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", convType = "purchase",
+      removePairs = Seq(("click", "view"), ("click", "signup"),
+        ("view", "signup")),
+      gapSeconds = 1800L, steps = 6)
+
   /** Per-edge trussness tiering of the session-transition graph up to
     * k = 5 — the edge-sampling signal beside q169's node coreness.
     * See [[graft.ops.Graph.trussHierarchy]]. */
@@ -2953,6 +2964,7 @@ object SparkEntry {
     "q264_shapley_attribution" -> (qShapley _),
     "q265_truss_hierarchy" -> (qTrussHierarchy _),
     "q266_competing_risks" -> (qCompetingRisks _),
+    "q267_markov_pair_removal" -> (qMarkovPairRemoval _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6148,6 +6160,10 @@ object SparkEntry {
     "q263_markov_removal" -> OracleGen.markovRemovalSql(
       removeStates = Seq("click", "view", "signup"), steps = 8,
       gapSeconds = 1800L),
+    "q267_markov_pair_removal" -> OracleGen.markovPairRemovalSql(
+      removePairs = Seq(("click", "view"), ("click", "signup"),
+        ("view", "signup")),
+      steps = 6, gapSeconds = 1800L),
     "q264_shapley_attribution" -> OracleGen.shapleySql(
       channels = Seq("click", "error", "signup", "view"),
       gapSeconds = 1800L),

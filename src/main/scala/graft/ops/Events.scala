@@ -2263,16 +2263,16 @@ object Events {
   /** The H-step truncated first-passage recurrence over a transition
     * relation `p` (see [[sessionMarkovFunnel]] for the arithmetic
     * contract): returns (state, c, sacc) after `steps` steps, with
-    * c = c_H(state) and sacc = Σ_{h<H} c_h. `exclude` drops a state's
-    * OUTGOING rows before the recurrence — the Markov REMOVAL
-    * operation (transitions INTO the removed state still fire but then
+    * c = c_H(state) and sacc = Σ_{h<H} c_h. `exclude` drops those
+    * states' OUTGOING rows before the recurrence — the Markov REMOVAL
+    * operation (transitions INTO a removed state still fire but then
     * die: the inner increment join finds no c row, contributing 0; the
     * kept states' probabilities are NOT renormalized, per the removal
-    * model). */
+    * model). Empty `exclude` = the full chain. */
   private def chainConv(p: DataFrame, convType: String, steps: Int,
-                        exclude: Option[String]): DataFrame = {
-    val pp = exclude.map(s => p.filter(col("from_type") =!= s))
-      .getOrElse(p)
+                        exclude: Seq[String]): DataFrame = {
+    val pp = if (exclude.isEmpty) p
+      else p.filter(!col("from_type").isin(exclude: _*))
     val pc = pp.groupBy(col("from_type").as("state"))
       .agg(coalesce(max(when(col("to_type") === convType,
         col("p_micros"))), lit(0L)).as("pconv"))
@@ -2298,6 +2298,62 @@ object Events {
     cur
   }
 
+  /** The MULTI-VARIANT form of [[chainConv]]: every (tag, excluded
+    * states) variant runs in ONE tagged dataflow — per step a single
+    * join + combinable agg keyed (vtag, state) over a
+    * |variants|·|types|-sized relation, instead of one jobline per
+    * variant (7 variants × H steps of tiny jobs collapses to H). The
+    * per-variant integer arithmetic is IDENTICAL to [[chainConv]]'s
+    * (the tag only partitions the key space), so oracles mirrored
+    * against the per-variant recurrence stay exact. Returns
+    * (vtag, state, c) after `steps` steps. */
+  private def chainConvMulti(p: DataFrame, convType: String, steps: Int,
+                             variants: Seq[(String, Seq[String])])
+      : DataFrame = {
+    val vp = variants.map { case (tag, excl) =>
+      val f = if (excl.isEmpty) p
+        else p.filter(!col("from_type").isin(excl: _*))
+      f.select(lit(tag).as("vtag"), col("from_type"), col("to_type"),
+        col("p_micros"))
+    }.reduce(_ unionByName _).localCheckpoint(eager = false)
+    val pc = vp.groupBy(col("vtag"), col("from_type").as("state"))
+      .agg(coalesce(max(when(col("to_type") === convType,
+        col("p_micros"))), lit(0L)).as("pconv"))
+      .localCheckpoint(eager = false)
+    val q = vp.filter(col("to_type") =!= convType)
+    var cur = pc.select(col("vtag"), col("state"),
+        col("pconv").as("c"))
+      .localCheckpoint(eager = false)
+    for (_ <- 2 to steps) {
+      val inc = q.join(cur.select(col("vtag"),
+            col("state").as("to_type"), col("c")),
+          Seq("vtag", "to_type"))
+        .select(col("vtag"), col("from_type").as("state"),
+          expr("(p_micros * c) div 1000000L").as("m"))
+        .groupBy(col("vtag"), col("state")).agg(sum(col("m")).as("inc"))
+      cur = pc.join(inc, Seq("vtag", "state"), "left")
+        .select(col("vtag"), col("state"),
+          (col("pconv") + coalesce(col("inc"), lit(0L))).as("c"))
+        .localCheckpoint(eager = false)
+    }
+    cur
+  }
+
+  /** Session-weighted conversion P per variant: the q263 scoring sum
+    * over [[chainConvMulti]] output — weights × variant grid so a
+    * variant missing a state still counts its sessions at c = 0. */
+  private def variantScores(weights: DataFrame, cc: DataFrame,
+                            tags: Seq[String]): DataFrame = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    weights.crossJoin(broadcast(tags.toDF("vtag")))
+      .join(cc.select(col("vtag"), col("state"), col("c")),
+        Seq("vtag", "state"), "left")
+      .groupBy(col("vtag"))
+      .agg(expr("sum(n * coalesce(c, 0L)) div sum(n)").as("pm"))
+      .localCheckpoint(eager = false)
+  }
+
   def sessionMarkovFunnel(events: DataFrame, userCol: String,
                           tsCol: String, ordCol: String, typeCol: String,
                           convType: String, gapSeconds: Long = 1800L,
@@ -2306,7 +2362,7 @@ object Events {
       "need steps >= 1, gapSeconds >= 0")
     val p = sessionTransitions(events, userCol, tsCol, ordCol, typeCol,
       convType, gapSeconds)
-    chainConv(p, convType, steps, None)
+    chainConv(p, convType, steps, Nil)
       .select(col("state"), col("c").as("conv_micros"),
         when(col("c") > 0,
           expr(s"(1000000L * ($steps * c - sacc)) div c"))
@@ -2440,33 +2496,127 @@ object Events {
       : DataFrame = {
     require(removeStates.nonEmpty && steps >= 1 && gapSeconds >= 0,
       "need removeStates nonempty, steps >= 1, gapSeconds >= 0")
+    val spark = events.sparkSession
+    import spark.implicits._
     val p = sessionTransitions(events, userCol, tsCol, ordCol, typeCol,
       convType, gapSeconds)
-    val wdw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
-    val weights = events
-      .select(col(typeCol).as("state"),
-        (unix_timestamp(col(tsCol)) -
-          unix_timestamp(lag(col(tsCol), 1).over(wdw))).as("gap"))
-      .filter(col("gap").isNull || col("gap") > gapSeconds)
-      .groupBy(col("state")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
-    def pOf(exclude: Option[String]): DataFrame =
-      weights.join(chainConv(p, convType, steps, exclude)
-          .select(col("state"), col("c")), Seq("state"), "left")
-        .agg(expr("sum(n * coalesce(c, 0L)) div sum(n)").as("pm"))
-    val full = pOf(None).select(col("pm").as("p_full_micros"))
-      .localCheckpoint(eager = false)
-    removeStates.map { s =>
-      pOf(Some(s))
-        .select(lit(s).as("state"), col("pm").as("p_removed_micros"))
-    }.reduce(_ unionByName _)
+    val weights = sessionInitialWeights(events, userCol, tsCol, ordCol,
+      typeCol, gapSeconds)
+    val variants = ("full", Seq.empty[String]) +:
+      removeStates.map(s => s"s:$s" -> Seq(s))
+    val pms = variantScores(weights,
+      chainConvMulti(p, convType, steps, variants), variants.map(_._1))
+    val full = pms.filter(col("vtag") === "full")
+      .select(col("pm").as("p_full_micros"))
+    removeStates.toDF("state")
+      .join(broadcast(pms.filter(col("vtag") =!= "full")
+        .select(regexp_replace(col("vtag"), "^s:", "").as("state"),
+          col("pm").as("p_removed_micros"))), Seq("state"))
       .crossJoin(broadcast(full))
       .select(col("state"), col("p_full_micros"),
         col("p_removed_micros"),
         when(col("p_full_micros") > 0,
           expr("(1000000L * (p_full_micros - p_removed_micros))" +
             " div p_full_micros")).as("removal_effect_micros"))
+  }
+
+  /** Session-initial state counts (first event of each gap-session) —
+    * the session weighting shared by [[markovRemovalEffects]] and
+    * [[markovPairRemovalEffects]]. */
+  private def sessionInitialWeights(events: DataFrame, userCol: String,
+                                    tsCol: String, ordCol: String,
+                                    typeCol: String, gapSeconds: Long)
+      : DataFrame = {
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    events
+      .select(col(typeCol).as("state"),
+        (unix_timestamp(col(tsCol)) -
+          unix_timestamp(lag(col(tsCol), 1).over(wdw))).as("gap"))
+      .filter(col("gap").isNull || col("gap") > gapSeconds)
+      .groupBy(col("state")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** PAIRWISE Markov removal effects — [[markovRemovalEffects]] run on
+    * state PAIRS to read channel INTERACTION: for each (a, b) the chain
+    * runs once with BOTH states' outgoing transitions dropped, and the
+    * joint effect is compared against the sum of the two single
+    * removals. synergy = effect(a,b) − (effect(a) + effect(b)):
+    * NEGATIVE means the channels are SUBSTITUTES (their paths overlap —
+    * removing the second costs less once the first is gone; the single
+    * effects double-count shared paths), POSITIVE means COMPLEMENTS
+    * (paths that need both — e.g. a → b → conversion chains — die once
+    * under the joint removal but are invisible to each single removal
+    * alone... more precisely each single removal already kills a
+    * shared a→b path, so overlap usually reads negative; a positive
+    * residual flags mass REROUTED through the partner under single
+    * removal).
+    *
+    * Determinism: every P is the q263 session-weighted conversion sum
+    * (non-negative `div`); pair/single effects are the q263 ratio
+    * (removal only deletes paths ⇒ P_removed ≤ P_full, so every
+    * division is non-negative); synergy is a SIGNED SUBTRACTION of two
+    * already-floored micros values — no signed division anywhere.
+    *
+    * Scale shape: ONE transition table + ONE weights table, and ALL
+    * 1 + |states| + |pairs| variants run in ONE tagged dataflow
+    * ([[chainConvMulti]]) — per step a single join + combinable agg
+    * keyed (variant, state) over a |variants|·|types|-sized relation,
+    * NOT one jobline per variant; the whole card is H step-jobs
+    * regardless of how many pairs are asked for. `steps` defaults to 6
+    * (vs q263's 8); the interaction read is insensitive to H once the
+    * chain has mixed.
+    *
+    * Output: (state_a, state_b, p_full_micros, p_pair_micros,
+    * pair_effect_micros, single_sum_micros, synergy_micros). */
+  def markovPairRemovalEffects(events: DataFrame, userCol: String,
+                               tsCol: String, ordCol: String,
+                               typeCol: String, convType: String,
+                               removePairs: Seq[(String, String)],
+                               gapSeconds: Long = 1800L, steps: Int = 6)
+      : DataFrame = {
+    require(removePairs.nonEmpty && steps >= 1 && gapSeconds >= 0 &&
+      removePairs.forall { case (a, b) => a != b },
+      "need nonempty pairs of distinct states, steps >= 1, gap >= 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val p = sessionTransitions(events, userCol, tsCol, ordCol, typeCol,
+      convType, gapSeconds)
+    val weights = sessionInitialWeights(events, userCol, tsCol, ordCol,
+      typeCol, gapSeconds)
+    val singles = removePairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val variants = (("full", Seq.empty[String]) +:
+      singles.map(s => s"s:$s" -> Seq(s))) ++
+      removePairs.zipWithIndex.map { case ((a, b), i) =>
+        s"p:$i" -> Seq(a, b)
+      }
+    val pms = variantScores(weights,
+      chainConvMulti(p, convType, steps, variants), variants.map(_._1))
+    val full = pms.filter(col("vtag") === "full")
+      .select(col("pm").as("p_full_micros"))
+    val spine = removePairs.zipWithIndex
+      .map { case ((a, b), i) => (a, b, s"p:$i", s"s:$a", s"s:$b") }
+      .toDF("state_a", "state_b", "tp", "ta", "tb")
+    spine
+      .join(broadcast(pms.select(col("vtag").as("tp"),
+        col("pm").as("p_pair_micros"))), Seq("tp"))
+      .join(broadcast(pms.select(col("vtag").as("ta"),
+        col("pm").as("pa"))), Seq("ta"))
+      .join(broadcast(pms.select(col("vtag").as("tb"),
+        col("pm").as("pb"))), Seq("tb"))
+      .crossJoin(broadcast(full))
+      .select(col("state_a"), col("state_b"), col("p_full_micros"),
+        col("p_pair_micros"),
+        when(col("p_full_micros") > 0,
+          expr("(1000000L * (p_full_micros - p_pair_micros))" +
+            " div p_full_micros")).as("pair_effect_micros"),
+        when(col("p_full_micros") > 0,
+          expr("(1000000L * (p_full_micros - pa)) div p_full_micros" +
+            " + (1000000L * (p_full_micros - pb)) div p_full_micros"))
+          .as("single_sum_micros"))
+      .withColumn("synergy_micros",
+        col("pair_effect_micros") - col("single_sum_micros"))
   }
 
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,

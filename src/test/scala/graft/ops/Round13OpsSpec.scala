@@ -197,6 +197,38 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("markovPairRemovalEffects: independent paths read synergy ~ 0 " +
+    "(floor artifact -1), a shared C->D->conv path reads strongly " +
+    "negative (singles double-count it) — hand-computed micros") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      // three sessions, one per path: A -> conv, B -> conv,
+      // C -> D -> conv (the only path through C AND D)
+      (1L, 0L, ts(0), "A"), (1L, 1L, ts(10), "purchase"),
+      (2L, 0L, ts(0), "B"), (2L, 1L, ts(10), "purchase"),
+      (3L, 0L, ts(0), "C"), (3L, 1L, ts(10), "D"),
+      (3L, 2L, ts(20), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.markovPairRemovalEffects(ev, "user_id", "ts",
+        "event_id", "event_type", convType = "purchase",
+        removePairs = Seq(("A", "B"), ("C", "D")), gapSeconds = 1800L,
+        steps = 4)
+      .as[(String, String, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // P_full = 1e6 (every session converts). Removing A: only A's
+    // session dies -> P = 2e6/3 = 666666, effect = 333334; same for B.
+    // Joint (A,B): P = 333333, effect 666667; singles sum 666668 ->
+    // synergy -1 (pure floor artifact: the paths are independent).
+    assert(got(("A", "B")) == (("A", "B", 1000000L, 333333L,
+      Some(666667L), Some(666668L), Some(-1L))), got(("A", "B")))
+    // C and D sit on ONE shared path: each single removal already
+    // kills it (P = 666666, effect 333334), and the joint removal
+    // kills nothing more (pair effect 333334) -> synergy -333334.
+    assert(got(("C", "D")) == (("C", "D", 1000000L, 666666L,
+      Some(333334L), Some(666668L), Some(-333334L))), got(("C", "D")))
+  }
+
   test("competingRisks: purchase vs error racing from signup — tie day " +
     "goes to the lexicographically smaller cause, pre-start events are " +
     "ignored, censored user pins the horizon, and CIF_A + CIF_B + S " +

@@ -1560,6 +1560,17 @@ object SparkEntry {
       channels = Seq("click", "error", "signup", "view"),
       gapSeconds = 1800L)
 
+  /** Ordered (positional) path attribution: each channel's marginal
+    * prefix value at the position it actually arrived in the session
+    * path — the arrival-order-aware sibling of q264's order-free
+    * Shapley. See [[graft.ops.Events.positionalAttribution]]. */
+  private def qPositionalAttribution(s: SparkSession, dir: String)
+      : DataFrame =
+    Events.positionalAttribution(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", convType = "purchase",
+      channels = Seq("click", "error", "signup", "view"),
+      gapSeconds = 1800L, maxLen = 4)
+
   /** Pairwise Markov removal effects over the q257/q263 session chain:
     * joint removal of channel pairs vs the sum of singles — negative
     * synergy reads substitutes (overlapping paths), positive reads
@@ -2965,6 +2976,7 @@ object SparkEntry {
     "q265_truss_hierarchy" -> (qTrussHierarchy _),
     "q266_competing_risks" -> (qCompetingRisks _),
     "q267_markov_pair_removal" -> (qMarkovPairRemoval _),
+    "q268_positional_attribution" -> (qPositionalAttribution _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6164,6 +6176,57 @@ object SparkEntry {
       removePairs = Seq(("click", "view"), ("click", "signup"),
         ("view", "signup")),
       steps = 6, gapSeconds = 1800L),
+    // q268: mirrors Events.positionalAttribution — the q264 session
+    // CTEs, first-occurrence paths truncated at 4, prefix conversion
+    // values, and the two independently-floored per-channel sums.
+    "q268_positional_attribution" ->
+      """WITH b AS (SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(ts) OVER w2 IS NULL
+             OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               - CAST(epoch(date_trunc('second', lag(ts) OVER w2))
+                   AS BIGINT) > 1800
+             THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w2 AS (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC)),
+       s AS (SELECT user_id, event_type, ts, event_id,
+           sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM b),
+       conv AS (SELECT user_id, sid,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS conv
+         FROM s GROUP BY 1, 2),
+       fo AS (SELECT user_id, sid, event_type, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, sid, event_type
+             ORDER BY ts ASC, event_id ASC) AS rn
+         FROM s
+         WHERE event_type IN ('click', 'error', 'signup', 'view')),
+       pth AS (SELECT user_id, sid,
+           (list(event_type ORDER BY ts ASC, event_id ASC))[1:4]
+             AS path
+         FROM fo WHERE rn = 1 GROUP BY 1, 2),
+       wp AS (SELECT conv.conv,
+           COALESCE(pth.path, CAST([] AS VARCHAR[])) AS path
+         FROM conv LEFT JOIN pth USING (user_id, sid)),
+       v AS (SELECT
+           COALESCE(array_to_string(path[1:j], ','), '') AS prefix,
+           (1000000 * CAST(sum(conv) AS BIGINT)) // count(*) AS v
+         FROM wp, UNNEST(generate_series(0, len(path))) r(j)
+         GROUP BY 1),
+       cr AS (SELECT path[j] AS channel,
+           COALESCE(array_to_string(path[1:j], ','), '') AS wk,
+           COALESCE(array_to_string(path[1:j-1], ','), '') AS wo
+         FROM wp, UNNEST(generate_series(1, len(path))) r(j))
+       SELECT channel, count(*) AS n_obs,
+         CAST(sum(vw.v) // count(*) AS BIGINT) AS gain_micros,
+         CAST(sum(vo.v) // count(*) AS BIGINT) AS loss_micros,
+         CAST(sum(vw.v) // count(*) - sum(vo.v) // count(*) AS BIGINT)
+           AS phi_micros
+       FROM cr JOIN v vw ON vw.prefix = cr.wk
+         JOIN v vo ON vo.prefix = cr.wo
+       GROUP BY 1""",
     "q264_shapley_attribution" -> OracleGen.shapleySql(
       channels = Seq("click", "error", "signup", "view"),
       gapSeconds = 1800L),

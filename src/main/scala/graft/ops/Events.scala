@@ -2419,6 +2419,29 @@ object Events {
     * agg + one ≤ 2^n-row coalition table; the Shapley sum is a
     * 32-row broadcast spine joined twice against it. Output:
     * (channel, gain_micros, loss_micros, phi_micros). */
+  /** Gap-session ids shared by [[shapleyAttribution]] and
+    * [[positionalAttribution]]: (userCol, typeCol, __ts, __ord, sid)
+    * with sid the running count of >`gapSeconds` breaks per user. */
+  private def gapSessionIds(events: DataFrame, userCol: String,
+                            tsCol: String, ordCol: String,
+                            typeCol: String, gapSeconds: Long)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    val brk = events.select(col(userCol), col(typeCol),
+        col(tsCol).as("__ts"), col(ordCol).as("__ord"),
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          unix_timestamp(col(tsCol)) -
+            unix_timestamp(lag(col(tsCol), 1).over(w)) > gapSeconds,
+          1L).otherwise(0L).as("brk"))
+    brk.withColumn("sid", sum(col("brk")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(userCol))
+        .orderBy(col("__ts").asc, col("__ord").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+  }
+
   def shapleyAttribution(events: DataFrame, userCol: String,
                          tsCol: String, ordCol: String, typeCol: String,
                          convType: String, channels: Seq[String],
@@ -2428,20 +2451,8 @@ object Events {
       "need 1..8 channels, conversion excluded")
     val spark = events.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
-    val brk = events.select(col(userCol), col(typeCol),
-        col(tsCol).as("__ts"), col(ordCol).as("__ord"),
-        when(lag(col(tsCol), 1).over(w).isNull ||
-          unix_timestamp(col(tsCol)) -
-            unix_timestamp(lag(col(tsCol), 1).over(w)) > gapSeconds,
-          1L).otherwise(0L).as("brk"))
-    val sess = brk.withColumn("sid", sum(col("brk")).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col(userCol))
-        .orderBy(col("__ts").asc, col("__ord").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
+    val sess = gapSessionIds(events, userCol, tsCol, ordCol, typeCol,
+      gapSeconds)
     val per = sess.groupBy(col(userCol), col("sid"))
       .agg(concat_ws(",", array_sort(collect_set(
           when(col(typeCol).isin(channels: _*), col(typeCol)))))
@@ -2464,6 +2475,92 @@ object Events {
         expr("sum(w_micros * coalesce(vo, 0L)) div 1000000L")
           .as("loss_micros"))
       .select(col("channel"), col("gain_micros"), col("loss_micros"),
+        (col("gain_micros") - col("loss_micros")).as("phi_micros"))
+  }
+
+  /** ORDERED (positional) path attribution — the arrival-order-aware
+    * sibling of [[shapleyAttribution]] (which is order-FREE by
+    * construction): each channel's credit is its average marginal
+    * contribution AT THE POSITION IT ACTUALLY ARRIVED, over the
+    * observed path prefixes. Per gap-session, the path is the sequence
+    * of FIRST occurrences of each channel (distinct, arrival order,
+    * truncated at `maxLen`); the prefix value v(p) is estimated from
+    * the data as the conversion rate of sessions whose path STARTS
+    * WITH p (v('') = the overall session conversion rate); channel c
+    * at position j of a path earns marginal v(p[1..j]) − v(p[1..j−1]).
+    * Credits answer "what did adding this channel AT THIS POINT in the
+    * journey change", which order-free Shapley cannot see (a closer
+    * channel that only ever arrives after a strong opener earns ~0
+    * here but splits credit evenly there).
+    *
+    * Determinism: v = (1e6·conv) div sessions per prefix (non-negative
+    * `div`); per channel the report is TWO independently-floored
+    * non-negative sums-of-v divided by the observation count
+    * (gain = Σ v(with) div n_obs, loss = Σ v(without) div n_obs,
+    * φ = gain − loss) — the q238/q264 signed-division-avoidance idiom.
+    * Every credit row's with/without prefix exists in the value
+    * relation by construction (the session itself contributed its own
+    * prefixes), so the joins are inner.
+    *
+    * Scale shape: one session window, one first-occurrence window, one
+    * ≤ maxLen+1-per-session prefix explode into a combinable agg; the
+    * two value joins are hash equi-joins on the prefix key (the prefix
+    * relation scales with the corpus — NOT broadcast). `maxLen` bounds
+    * the explode exactly as q248's horizon spine bounds its fan-out.
+    *
+    * Output: (channel, n_obs, gain_micros, loss_micros, phi_micros). */
+  def positionalAttribution(events: DataFrame, userCol: String,
+                            tsCol: String, ordCol: String,
+                            typeCol: String, convType: String,
+                            channels: Seq[String],
+                            gapSeconds: Long = 1800L, maxLen: Int = 4)
+      : DataFrame = {
+    require(channels.nonEmpty && !channels.contains(convType) &&
+      maxLen >= 1, "need channels (conversion excluded), maxLen >= 1")
+    val sess = gapSessionIds(events, userCol, tsCol, ordCol, typeCol,
+      gapSeconds)
+    val conv = sess.groupBy(col(userCol), col("sid"))
+      .agg(max((col(typeCol) === convType).cast("long")).as("conv"))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col("sid"), col(typeCol))
+      .orderBy(col("__ts").asc, col("__ord").asc)
+    val paths = sess.filter(col(typeCol).isin(channels: _*))
+      .withColumn("__rn", row_number().over(wFirst))
+      .filter(col("__rn") === 1)
+      .groupBy(col(userCol), col("sid"))
+      .agg(slice(transform(array_sort(collect_list(
+          struct(col("__ts"), col("__ord"), col(typeCol).as("ch")))),
+        x => x.getField("ch")), 1, maxLen).as("path"))
+    val withPath = conv.join(paths, Seq(userCol, "sid"), "left")
+      .select(col("conv"),
+        coalesce(col("path"), array().cast("array<string>")).as("path"))
+      .localCheckpoint(eager = false)
+    val v = withPath
+      .select(col("conv"), explode(transform(
+        sequence(lit(0), size(col("path"))),
+        j => array_join(slice(col("path"), lit(1), j), ","))).as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(expr("(1000000L * sum(conv)) div count(1)").as("v"))
+      .localCheckpoint(eager = false)
+    val credits = withPath
+      .select(posexplode(col("path")).as(Seq("pos", "channel")),
+        col("path"))
+      .select(col("channel"),
+        array_join(slice(col("path"), lit(1), col("pos") + 1), ",")
+          .as("wk"),
+        array_join(slice(col("path"), lit(1), col("pos")), ",")
+          .as("wo"))
+    credits
+      .join(v.select(col("prefix").as("wk"), col("v").as("vw")),
+        Seq("wk"))
+      .join(v.select(col("prefix").as("wo"), col("v").as("vo")),
+        Seq("wo"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_obs"),
+        expr("sum(vw) div count(1)").as("gain_micros"),
+        expr("sum(vo) div count(1)").as("loss_micros"))
+      .select(col("channel"), col("n_obs"), col("gain_micros"),
+        col("loss_micros"),
         (col("gain_micros") - col("loss_micros")).as("phi_micros"))
   }
 

@@ -229,6 +229,41 @@ class Round13OpsSpec extends AnyFunSuite {
       Some(333334L), Some(666668L), Some(-333334L))), got(("C", "D")))
   }
 
+  test("positionalAttribution: closer channel earns its prefix margin " +
+    "at position 2, opener with flat margins reads phi 0, and maxLen " +
+    "truncation drops deep-position credit — hand-computed micros") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      // s1: A -> purchase (conv); s2: A alone (no conv)
+      (1L, 0L, ts(0), "A"), (1L, 1L, ts(10), "purchase"),
+      (2L, 0L, ts(0), "A"),
+      // s3: B -> A -> purchase (conv); s4: B alone (no conv)
+      (3L, 0L, ts(0), "B"), (3L, 1L, ts(10), "A"),
+      (3L, 2L, ts(20), "purchase"),
+      (4L, 0L, ts(0), "B")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    // v('')=2/4=.5, v(A)=1/2=.5, v(B)=1/2=.5, v(B,A)=1/1=1.
+    // A: obs (A|s1), (A|s2), (B,A|s3): gain=(5e5+5e5+1e6) div 3
+    //   = 666666, loss = 5e5 -> phi 166666 (the closer position pays).
+    // B: both obs have .5 -> .5 margins -> phi 0.
+    val got = Events.positionalAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", convType = "purchase",
+        channels = Seq("A", "B"), gapSeconds = 1800L, maxLen = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 3L, 666666L, 500000L, 166666L)), got("A"))
+    assert(got("B") == (("B", 2L, 500000L, 500000L, 0L)), got("B"))
+    // maxLen=1 cuts s3's position-2 A observation: every remaining
+    // margin is .5 - .5 -> both channels flat at phi 0
+    val trunc = Events.positionalAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", convType = "purchase",
+        channels = Seq("A", "B"), gapSeconds = 1800L, maxLen = 1)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(trunc("A") == (("A", 2L, 500000L, 500000L, 0L)), trunc("A"))
+    assert(trunc("B") == (("B", 2L, 500000L, 500000L, 0L)), trunc("B"))
+  }
+
   test("competingRisks: purchase vs error racing from signup — tie day " +
     "goes to the lexicographically smaller cause, pre-start events are " +
     "ignored, censored user pins the horizon, and CIF_A + CIF_B + S " +

@@ -2676,6 +2676,21 @@ object SparkEntry {
       "event_type", startType = "signup", causeA = "purchase",
       causeB = "error")
 
+  /** Daily cross-correlation click vs purchase at lags -4..4: positive
+    * lag = click volume leads purchase volume — the lead/lag reader
+    * beside q153/q258. See
+    * [[graft.ops.Events.dailyCrossCorrelation]]. */
+  private def qDailyCcf(s: SparkSession, dir: String): DataFrame =
+    Events.dailyCrossCorrelation(Events.load(s, dir), "ts", "event_type",
+      typeX = "click", typeY = "purchase", maxLag = 4)
+
+  /** Restricted mean survival time at tau = 30 days: the area under
+    * q120's KM curve — expected purchase-free days out of the first
+    * 30. See [[graft.ops.Events.rmst]]. */
+  private def qRmst(s: SparkSession, dir: String): DataFrame =
+    Events.rmst(Events.load(s, dir), "user_id", "ts", "event_type",
+      startType = "signup", eventType = "purchase", tauDays = 30)
+
   /** 2-length frequent-sequence support: users doing type a strictly
     * before some type b ((a,a) = repeat behavior). */
   private def qSequenceSupport(s: SparkSession, dir: String): DataFrame =
@@ -2977,6 +2992,8 @@ object SparkEntry {
     "q266_competing_risks" -> (qCompetingRisks _),
     "q267_markov_pair_removal" -> (qMarkovPairRemoval _),
     "q268_positional_attribution" -> (qPositionalAttribution _),
+    "q269_rmst" -> (qRmst _),
+    "q270_daily_ccf" -> (qDailyCcf _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6169,6 +6186,95 @@ object SparkEntry {
            round(sum(incb) OVER wi, 4) AS cif_b
          FROM i WINDOW wi AS (ORDER BY d ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // q270: mirrors Events.dailyCrossCorrelation — union day grid with
+    // 0-fill, exact n*y - S devs, HUGEINT moment sums, one mirrored
+    // double division per lag, round-4 + 0.0.
+    "q270_daily_ccf" ->
+      """WITH daily AS (SELECT
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS y
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy
+         FROM daily),
+       dev AS MATERIALIZED (SELECT day, n,
+           n * x - sx AS dx, n * y - sy AS dy
+         FROM daily CROSS JOIN st),
+       c0 AS (SELECT sum(CAST(dx AS HUGEINT) * dx) AS cxx,
+           sum(CAST(dy AS HUGEINT) * dy) AS cyy,
+           CAST(max(n) AS BIGINT) AS n_days
+         FROM dev),
+       ch AS (SELECT u.lag,
+           sum(CAST(a.dx AS HUGEINT) * b.dy) AS cxy
+         FROM dev a
+         CROSS JOIN UNNEST([-4, -3, -2, -1, 0, 1, 2, 3, 4]) AS u(lag)
+         JOIN dev b ON b.day = a.day + u.lag
+         GROUP BY 1),
+       l AS (SELECT CAST(lag AS BIGINT) AS lag
+         FROM UNNEST([-4, -3, -2, -1, 0, 1, 2, 3, 4]) AS t(lag))
+       SELECT l.lag, c0.n_days,
+         round(CASE WHEN c0.cxx > 0 AND c0.cyy > 0
+           THEN CAST(ch.cxy AS DOUBLE)
+             / (sqrt(CAST(c0.cxx AS DOUBLE)) * sqrt(CAST(c0.cyy
+                 AS DOUBLE))) END, 4) + 0.0 AS ccf
+       FROM l LEFT JOIN ch ON ch.lag = l.lag CROSS JOIN c0""",
+    // q269: mirrors Events.rmst — q120's day relation and ln/exp chain,
+    // step-function integral over ordered windows, last row by max_by
+    // on the unique day key, tau = 30.
+    "q269_rmst" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         fe AS (SELECT e.user_id, min(e.ts) AS te
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             (epoch_us(COALESCE(te, tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fe USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT d, count(*) AS n_at,
+             CAST(sum(obs) AS BIGINT) AS e_at
+           FROM dur GROUP BY 1),
+         r AS (SELECT d, n_at, e_at,
+             CAST(sum(n_at) OVER (ORDER BY d ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM byd),
+         lt AS (SELECT d, n_at, e_at, n_risk,
+             CASE WHEN e_at < n_risk
+               THEN ln(1.0 - CAST(e_at AS DOUBLE) / n_risk) END AS t
+           FROM r),
+         c AS (SELECT d, n_at,
+             CASE WHEN e_at = n_risk THEN 0.0
+               ELSE exp(sum(t) OVER wi) END AS surv
+           FROM lt WINDOW wi AS (ORDER BY d ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         k AS (SELECT d, n_at, surv,
+             COALESCE(lag(d) OVER (ORDER BY d ASC), 0) AS dprev,
+             COALESCE(lag(surv) OVER (ORDER BY d ASC), 1.0) AS sprev
+           FROM c),
+         t2 AS (SELECT d, n_at, surv,
+             sprev * CAST(LEAST(d, 30) - LEAST(dprev, 30) AS DOUBLE)
+               AS term
+           FROM k),
+         u AS (SELECT d, n_at, surv,
+             sum(term) OVER (ORDER BY d ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t2)
+         SELECT CAST(30 AS BIGINT) AS tau_days,
+           CAST(sum(n_at) AS BIGINT) AS n_starts,
+           round(max_by(cum, d)
+             + max_by(surv, d)
+               * CAST(30 - LEAST(max(d), 30) AS DOUBLE), 4) AS rmst_days
+         FROM u""",
     "q263_markov_removal" -> OracleGen.markovRemovalSql(
       removeStates = Seq("click", "view", "signup"), steps = 8,
       gapSeconds = 1800L),

@@ -827,6 +827,73 @@ object Events {
     }.reduce(_ unionByName _)
   }
 
+  /** DAILY CROSS-CORRELATION (CCF) between two event types' count
+    * series — the lead/lag reader beside q153's ACF and q258's PACF:
+    * ccf(h) = corr(x_t, y_{t+h}) over the shared day grid, so a spike
+    * at POSITIVE h means x LEADS y by h days ("click volume today
+    * predicts purchase volume in h days"), at negative h that y leads.
+    * The single-series autocorrelation machinery, pointed across two
+    * series.
+    *
+    * Estimator (common-mean, the q258 contract): the day grid is the
+    * UNION of days where either type fired (the missing type counts 0
+    * that day); with n grid days, dx_t = n·x_t − Σx and
+    * dy_t = n·y_t − Σy are EXACT longs (the n·dev scaling avoids a
+    * mean division); c_xy(h) = Σ dx_t·dy_{t+h} over calendar-adjacent
+    * pairs, c_xx = Σdx², c_yy = Σdy², all carried in decimal(38,0)/
+    * HUGEINT (the q201 ladder); ccf = c_xy/√(c_xx·c_yy) is ONE
+    * mirrored double expression, round-4 with signed-zero
+    * normalization (+0.0). A lag with no surviving day pairs (or a
+    * constant series, c = 0) yields NULL, never a fabricated 0.
+    *
+    * Scale shape: one daily rollup, one 1-row (n, Σx, Σy) broadcast,
+    * one bounded (2·maxLag+1)× explode into a calendar equi-join on
+    * DAY rows (calendar-bounded — the q222 contract), one ≤ 2·maxLag+1
+    * row output off a broadcast lag spine. */
+  def dailyCrossCorrelation(events: DataFrame, tsCol: String,
+                            typeCol: String, typeX: String,
+                            typeY: String, maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 14, "need 1 <= maxLag <= 14")
+    require(typeX != typeY, "need two distinct types")
+    val daily = events
+      .filter(col(typeCol).isin(typeX, typeY))
+      .select(
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"),
+        (col(typeCol) === typeX).cast("long").as("ix"),
+        (col(typeCol) === typeY).cast("long").as("iy"))
+      .groupBy(col("day"))
+      .agg(sum(col("ix")).as("x"), sum(col("iy")).as("y"))
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"))
+    val dev = daily.join(broadcast(st), lit(true))
+      .select(col("day"), col("n"),
+        (col("n") * col("x") - col("sx")).as("dx"),
+        (col("n") * col("y") - col("sy")).as("dy"))
+      .localCheckpoint(eager = false)
+    val c0 = dev.agg(
+      sum(col("dx").cast("decimal(38,0)") * col("dx")).as("cxx"),
+      sum(col("dy").cast("decimal(38,0)") * col("dy")).as("cyy"),
+      max(col("n")).as("n_days"))
+    val a = dev.select(col("day"), col("dx"),
+      explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+    val ch = a.join(dev.select(col("day").as("day2"), col("dy")),
+        col("day") + col("lag") === col("day2"))
+      .groupBy(col("lag"))
+      .agg(sum(col("dx").cast("decimal(38,0)") * col("dy")).as("cxy"))
+    val spine = daily.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    broadcast(spine)
+      .join(ch, Seq("lag"), "left")
+      .join(broadcast(c0), lit(true))
+      .select(col("lag").cast("long").as("lag"), col("n_days"),
+        (round(when(col("cxx") > 0 && col("cyy") > 0,
+          col("cxy").cast("double") /
+            (sqrt(col("cxx").cast("double")) *
+              sqrt(col("cyy").cast("double")))), 4) + lit(0.0))
+          .as("ccf"))
+  }
+
   /** TIME-WEIGHTED AVERAGE (TWAP) per group and day — the aggregation
     * finance/sensor pipelines need where the PLAIN mean is wrong: a
     * value holds until the next observation, so each reading weighs
@@ -2820,6 +2887,83 @@ object Events {
       when(col("e_at") < col("n_risk"),
         round(least(lit(1.0), col("__sraw") + z * seRaw), 4))
         .as("ci_hi"))
+  }
+
+  /** RESTRICTED MEAN SURVIVAL TIME (Irwin 1949; the τ-truncated area
+    * under the KM curve) — the survival family's SCALAR summary when
+    * the median never resolves (heavy censoring) and hazard ratios are
+    * non-proportional: RMST(τ) = ∫₀^τ S(t)dt, "expected days survived
+    * out of the first τ". Reported beside the curve (q120) and its
+    * bands (q262), it is the number a product decision actually
+    * consumes ("mean purchase-free days in the first 30").
+    *
+    * The KM curve is a step function changing only at event/censor
+    * days, so the integral is exact over the day grid: with knots
+    * d_1 < … < d_m and S_0 = 1 at d_0 = 0,
+    * RMST = Σ_i S_{i−1}·(min(d_i, τ) − min(d_{i−1}, τ))
+    *      + S_m·max(0, τ − min(d_m, τ)).
+    * Determinism: S is q120's exact ln/exp ordered chain; each term is
+    * one mirrored double product with INTEGER day widths; the body
+    * accumulates over the ORDERED day window (the q262 sequential-sum
+    * contract — a plain double-sum aggregate would be partition-order-
+    * dependent) and the final row is picked by max_by on the unique
+    * day key. Output: ONE row (tau_days, n_starts, rmst_days round-4).
+    *
+    * Scale shape: identical to q120 (per-user min-aggs, one duration
+    * rollup, day windows) plus a 1-row final aggregate. */
+  def rmst(events: DataFrame, userCol: String, tsCol: String,
+           typeCol: String, startType: String, eventType: String,
+           tauDays: Int): DataFrame = {
+    require(tauDays >= 1, "need tauDays >= 1")
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    val firstEv = events.filter(col(typeCol) === eventType)
+      .join(starts, Seq(userCol))
+      .filter(col(tsCol) > col("t0"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("te"))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts.join(firstEv, Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select(
+        when(col("te").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs"),
+        expr("(unix_timestamp(coalesce(te, tmax)) - unix_timestamp(t0))" +
+          " div 86400").as("d"))
+    val byD = dur.groupBy(col("d")).agg(count(lit(1)).as("n_at"),
+      sum(col("obs")).as("e_at"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
+    val wIncl = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val tau = lit(tauDays.toLong)
+    val c = byD
+      .withColumn("n_risk", sum(col("n_at")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("__lt",
+        when(col("e_at") < col("n_risk"),
+          log(lit(1.0) - col("e_at").cast("double") / col("n_risk"))))
+      .withColumn("surv",
+        when(col("e_at") === col("n_risk"), lit(0.0))
+          .otherwise(exp(sum(col("__lt")).over(wIncl))))
+      .withColumn("__dprev",
+        coalesce(lag(col("d"), 1).over(w), lit(0L)))
+      .withColumn("__sprev",
+        coalesce(lag(col("surv"), 1).over(w), lit(1.0)))
+      .withColumn("__term",
+        col("__sprev") *
+          (least(col("d"), tau) - least(col("__dprev"), tau))
+            .cast("double"))
+      // the body integral accumulates over the ORDERED day window (a
+      // plain double-sum agg would be partition-order-dependent)
+      .withColumn("__cum", sum(col("__term")).over(wIncl))
+    c.agg(max_by(col("__cum"), col("d")).as("__body"),
+        max_by(col("surv"), col("d")).as("__slast"),
+        least(max(col("d")), tau).as("__dlast"),
+        sum(col("n_at")).as("n_starts"))
+      .select(lit(tauDays.toLong).as("tau_days"), col("n_starts"),
+        round(col("__body") +
+          col("__slast") * (tau - col("__dlast")).cast("double"), 4)
+          .as("rmst_days"))
   }
 
   /** NELSON–AALEN cumulative hazard (Nelson 1972, Aalen 1978) — the

@@ -264,6 +264,49 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(trunc("B") == (("B", 2L, 500000L, 500000L, 0L)), trunc("B"))
   }
 
+  test("rmst: step-function area under the KM curve, tau clipping both " +
+    "inside and beyond the horizon — hand-computed") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), "signup"), (1L, ts(86400), "purchase"),
+      (2L, ts(0), "signup"), (2L, ts(172800), "purchase"),
+      (3L, ts(0), "signup"), (4L, ts(0), "signup"),
+      (4L, ts(345600), "view") // horizon day 4; u3/u4 censored there
+    ).toDF("user_id", "ts", "event_type")
+    // S: d1 .75, d2 .5, d4 .5 (censor only). tau=3: 1*1 + .75*1 +
+    // .5*1 + tail 0 = 2.25; tau=10: 1 + .75 + .5*2 + .5*(10-4) = 5.75
+    def run(tau: Int) = Events.rmst(ev, "user_id", "ts", "event_type",
+        startType = "signup", eventType = "purchase", tauDays = tau)
+      .as[(Long, Long, Double)].collect().head
+    assert(run(3) == ((3L, 4L, 2.25)), run(3))
+    assert(run(10) == ((10L, 4L, 5.75)), run(10))
+  }
+
+  test("dailyCrossCorrelation: antiphase period-2 series read ccf -1 " +
+    "at lag 0, +.75 at lag +-1, NULL where no pairs survive — " +
+    "hand-computed rationals") {
+    def ts(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val x = Seq(2, 4, 2, 4); val y = Seq(4, 2, 4, 2)
+    val rows =
+      (for { d <- 0 until 4; i <- 0 until x(d) }
+        yield (1L, ts(d, i), "click")) ++
+      (for { d <- 0 until 4; i <- 0 until y(d) }
+        yield (2L, ts(d, 100 + i), "purchase")) ++
+      Seq((3L, ts(0, 500), "view")) // filtered out
+    val got = Events.dailyCrossCorrelation(rows.toDF("user_id", "ts",
+        "event_type"), "ts", "event_type", typeX = "click",
+        typeY = "purchase", maxLag = 4)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // dx = (-4,4,-4,4), dy = (4,-4,4,-4), cxx = cyy = 64
+    val exp = Map(0L -> Some(-1.0), 1L -> Some(0.75), -1L -> Some(0.75),
+      2L -> Some(-0.5), -2L -> Some(-0.5), 3L -> Some(0.25),
+      -3L -> Some(0.25), 4L -> None, -4L -> None)
+    assert(got.size == 9 && got.forall { case (l, (n, c)) =>
+      n == 4L && c == exp(l) }, got)
+  }
+
   test("competingRisks: purchase vs error racing from signup — tie day " +
     "goes to the lexicographically smaller cause, pre-start events are " +
     "ignored, censored user pins the horizon, and CIF_A + CIF_B + S " +

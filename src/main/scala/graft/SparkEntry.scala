@@ -2676,6 +2676,14 @@ object SparkEntry {
       "event_type", startType = "signup", causeA = "purchase",
       causeB = "error")
 
+  /** Cochran–Mantel–Haenszel pooled odds ratio on lineitem: deep
+    * discount vs high tax, stratified by return flag, with the crude
+    * OR beside it for the Simpson's-paradox read. See
+    * [[graft.ops.DataQuality.cmhOddsRatio]]. */
+  private def qCmhOddsRatio(s: SparkSession, dir: String): DataFrame =
+    DataQuality.cmhOddsRatio(t(s, dir, "lineitem"), col("l_returnflag"),
+      col("l_discount") > 0.05, col("l_tax") > 0.04)
+
   /** Daily cross-correlation click vs purchase at lags -4..4: positive
     * lag = click volume leads purchase volume — the lead/lag reader
     * beside q153/q258. See
@@ -2994,6 +3002,7 @@ object SparkEntry {
     "q268_positional_attribution" -> (qPositionalAttribution _),
     "q269_rmst" -> (qRmst _),
     "q270_daily_ccf" -> (qDailyCcf _),
+    "q271_cmh_odds_ratio" -> (qCmhOddsRatio _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6186,6 +6195,40 @@ object SparkEntry {
            round(sum(incb) OVER wi, 4) AS cif_b
          FROM i WINDOW wi AS (ORDER BY d ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // q271: mirrors DataQuality.cmhOddsRatio — per-stratum 2x2 cells,
+    // per-term micros floor on the HUGEINT ladder, one mirrored double
+    // division each for pooled and crude OR.
+    "q271_cmh_odds_ratio" ->
+      """WITH cells AS (SELECT l_returnflag AS s,
+           CAST(sum(CASE WHEN l_discount > 0.05 AND l_tax > 0.04
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN l_discount > 0.05 AND NOT l_tax > 0.04
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(sum(CASE WHEN NOT l_discount > 0.05 AND l_tax > 0.04
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN NOT l_discount > 0.05
+             AND NOT l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS d
+         FROM lineitem
+         WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+         GROUP BY 1),
+       p AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           sum((CAST(a AS HUGEINT) * d * 1000000) // (a + b + c + d))
+             AS num,
+           sum((CAST(b AS HUGEINT) * c * 1000000) // (a + b + c + d))
+             AS den,
+           CAST(sum(a) AS HUGEINT) AS ta, CAST(sum(b) AS HUGEINT) AS tb,
+           CAST(sum(c) AS HUGEINT) AS tc, CAST(sum(d) AS HUGEINT) AS td
+         FROM cells)
+       SELECT n_strata,
+         CAST(num AS BIGINT) AS num_micros,
+         CAST(den AS BIGINT) AS den_micros,
+         round(CASE WHEN den > 0
+           THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 4)
+           AS or_mh,
+         round(CASE WHEN tb > 0 AND tc > 0
+           THEN CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE) END,
+           4) AS or_crude
+       FROM p""",
     // q270: mirrors Events.dailyCrossCorrelation — union day grid with
     // 0-fill, exact n*y - S devs, HUGEINT moment sums, one mirrored
     // double division per lag, round-4 + 0.0.

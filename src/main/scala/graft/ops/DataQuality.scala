@@ -1282,6 +1282,60 @@ object DataQuality {
           .as("kappa_micros"))
   }
 
+  /** COCHRAN–MANTEL–HAENSZEL pooled odds ratio (Mantel & Haenszel
+    * 1959) — "is exposure associated with outcome, CONTROLLING for a
+    * stratifying confounder": per stratum k the 2×2 cells
+    * (a = exposed∧outcome, b = exposed∧¬outcome, c = ¬exposed∧outcome,
+    * d = neither), OR_MH = Σ_k a_k·d_k/n_k ÷ Σ_k b_k·c_k/n_k. Reported
+    * BESIDE the crude (collapsed-table) odds ratio so a Simpson's-
+    * paradox reversal is visible in one row — the confounding screen
+    * q201's Mahalanobis and the q231 SMD balance card lead into.
+    *
+    * Determinism: the per-stratum fractions floor to micros on the
+    * decimal(38,0) ladder — num = Σ (1e6·a·d) div n, den likewise —
+    * so the pooled sums are EXACT integers (order-free), and OR_MH is
+    * ONE mirrored double division, round-4 (per-term floor error
+    * < 1 micro·strata, the q205/q207 discipline). The crude OR divides
+    * two exact decimal products. den = 0 or BC = 0 → NULL, never a
+    * fabricated ∞. try_cast reports the micros sums (NULL past int64 —
+    * the TWAP overflow contract).
+    *
+    * Scale shape: ONE combinable 4-cell count per stratum; everything
+    * after is |strata|-sized. Output: one row (n_strata, num_micros,
+    * den_micros, or_mh, or_crude). */
+  def cmhOddsRatio(df: DataFrame, stratum: Column, exposed: Column,
+                   outcome: Column): DataFrame = {
+    val cells = df
+      .select(stratum.as("s"), exposed.cast("boolean").as("e"),
+        outcome.cast("boolean").as("o"))
+      .filter(col("e").isNotNull && col("o").isNotNull)
+      .groupBy(col("s"))
+      .agg(
+        sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("d"))
+      .localCheckpoint(eager = false)
+    val pooled = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(expr("(cast(a as decimal(38,0)) * d * 1000000)" +
+        " div (a + b + c + d)")).as("num"),
+      sum(expr("(cast(b as decimal(38,0)) * c * 1000000)" +
+        " div (a + b + c + d)")).as("den"),
+      sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      sum(col("c")).as("tc"), sum(col("d")).as("td"))
+    pooled.select(col("n_strata"),
+      expr("try_cast(num as bigint)").as("num_micros"),
+      expr("try_cast(den as bigint)").as("den_micros"),
+      round(when(col("den") > 0,
+        col("num").cast("double") / col("den").cast("double")), 4)
+        .as("or_mh"),
+      round(when(col("tb") > 0 && col("tc") > 0,
+        (col("ta").cast("decimal(38,0)") * col("td")).cast("double") /
+          (col("tb").cast("decimal(38,0)") * col("tc")).cast("double")),
+        4).as("or_crude"))
+  }
+
   /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE card — the credit-scoring
     * feature screen (Siddiqi 2006): bucket a numeric feature into
     * quantile tiles, per tile WOE = ln(pos-share / neg-share), and the

@@ -296,4 +296,19 @@ class DataQualitySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got2 == Seq((1000000L, 250000L), (0L, 250000L)), got2)
   }
+
+  test("cmhOddsRatio: two strata with ORs 6 and 2/3 pool to exactly " +
+    "2.0, crude collapses to 35/15 — hand-computed micros") {
+    // stratum 1: a=4 b=1 c=2 d=3 (ad/n=1.2e6, bc/n=.2e6)
+    // stratum 2: a=1 b=2 c=3 d=4 (ad/n=.4e6, bc/n=.6e6)
+    val rows =
+      Seq.fill(4)(("s1", true, true)) ++ Seq.fill(1)(("s1", true, false)) ++
+      Seq.fill(2)(("s1", false, true)) ++ Seq.fill(3)(("s1", false, false)) ++
+      Seq.fill(1)(("s2", true, true)) ++ Seq.fill(2)(("s2", true, false)) ++
+      Seq.fill(3)(("s2", false, true)) ++ Seq.fill(4)(("s2", false, false))
+    val got = DataQuality.cmhOddsRatio(rows.toDF("s", "e", "o"),
+        col("s"), col("e"), col("o"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got == ((2L, 1600000L, 800000L, 2.0, 2.3333)), got)
+  }
 }

@@ -2676,6 +2676,21 @@ object SparkEntry {
       "event_type", startType = "signup", causeA = "purchase",
       causeB = "error")
 
+  /** One-way ANOVA F across event types on the value metric, with
+    * eta-squared effect size beside it. See
+    * [[graft.ops.DataQuality.anovaF]]. */
+  private def qAnovaF(s: SparkSession, dir: String): DataFrame =
+    DataQuality.anovaF(t(s, dir, "events"), col("event_type"),
+      col("value"))
+
+  /** McNemar's paired test between the q23 language classifier and the
+    * gold label on the binary is-English call — the direction-of-
+    * disagreement sibling of q209's kappa. See
+    * [[graft.ops.DataQuality.mcnemar]]. */
+  private def qMcNemar(s: SparkSession, dir: String): DataFrame =
+    DataQuality.mcnemar(t(s, dir, "documents"),
+      TextAnalysis.langId(col("text")) === "en", col("lang") === "en")
+
   /** Cochran–Mantel–Haenszel pooled odds ratio on lineitem: deep
     * discount vs high tax, stratified by return flag, with the crude
     * OR beside it for the Simpson's-paradox read. See
@@ -3003,6 +3018,8 @@ object SparkEntry {
     "q269_rmst" -> (qRmst _),
     "q270_daily_ccf" -> (qDailyCcf _),
     "q271_cmh_odds_ratio" -> (qCmhOddsRatio _),
+    "q272_anova_f" -> (qAnovaF _),
+    "q273_mcnemar" -> (qMcNemar _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6195,6 +6212,58 @@ object SparkEntry {
            round(sum(incb) OVER wi, 4) AS cif_b
          FROM i WINDOW wi AS (ORDER BY d ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // q272: mirrors DataQuality.anovaF — exact cents, per-group micros
+    // floor on the HUGEINT ladder, one mirrored double division each
+    // for F and eta-squared.
+    "q272_anova_f" ->
+      """WITH v AS (SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) AS x
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s,
+           sum(CAST(x AS HUGEINT) * x) AS ss
+         FROM v GROUP BY 1),
+       p AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n) AS BIGINT) AS nn,
+           CAST(sum(s) AS HUGEINT) AS stot, sum(ss) AS sstot,
+           sum((CAST(s AS HUGEINT) * s * 1000000) // n) AS tg
+         FROM g),
+       q AS (SELECT k, nn AS n,
+           tg - (stot * stot * 1000000) // nn AS ssb,
+           sstot * 1000000 - tg AS ssw
+         FROM p)
+       SELECT k, n,
+         round(CASE WHEN k > 1 AND n > k AND ssw > 0
+           THEN (CAST(ssb AS DOUBLE) * CAST(n - k AS DOUBLE))
+             / (CAST(ssw AS DOUBLE) * CAST(k - 1 AS DOUBLE)) END, 4)
+           AS f_stat,
+         round(CASE WHEN ssb + ssw > 0
+           THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
+           AS eta_sq
+       FROM q""",
+    // q273: mirrors DataQuality.mcnemar — q209's pred/gold pairing on
+    // the binary is-English call, discordant cells only, one mirrored
+    // double division per chi-square form.
+    "q273_mcnemar" ->
+      s"""WITH $langIdCtes,
+         j AS (SELECT (p.pred_lang = 'en') AS a, (d.lang = 'en') AS b
+           FROM pred p JOIN documents d USING (doc_id)),
+         cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+               AS BIGINT) AS b_only,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_only
+           FROM j)
+         SELECT n, b_only, c_only,
+           round(CASE WHEN b_only + c_only > 0
+             THEN CAST((b_only - c_only) * (b_only - c_only) AS DOUBLE)
+               / CAST(b_only + c_only AS DOUBLE) END, 4) AS chi2,
+           round(CASE WHEN b_only + c_only > 0
+             THEN CAST((abs(b_only - c_only) - 1)
+                 * (abs(b_only - c_only) - 1) AS DOUBLE)
+               / CAST(b_only + c_only AS DOUBLE) END, 4) AS chi2_cc
+         FROM cells""",
     // q271: mirrors DataQuality.cmhOddsRatio — per-stratum 2x2 cells,
     // per-term micros floor on the HUGEINT ladder, one mirrored double
     // division each for pooled and crude OR.

@@ -1336,6 +1336,89 @@ object DataQuality {
         4).as("or_crude"))
   }
 
+  /** ONE-WAY ANOVA F (Fisher 1925) — "do the group means differ more
+    * than chance", the k-group generalization of the two-sample mean
+    * test the experiment cards stop at: F = (SSB/(k−1))/(SSW/(N−k))
+    * over the between/within sum-of-squares decomposition, with
+    * η² = SSB/SST reported beside it (effect size — an F can be huge
+    * on a huge N while explaining nothing).
+    *
+    * Determinism: values enter as EXACT cents (the q119 contract);
+    * per-group term t_g = (1e6·S_g²) div n_g floors on the
+    * decimal(38,0) ladder so the pooled sums are exact order-free
+    * integers (the q271/q205 per-term-floor discipline);
+    * SSB = Σt_g − (1e6·S²) div N and SSW = 1e6·ΣX² − Σt_g are exact
+    * decimals; F and η² are ONE mirrored double division each,
+    * round-4, NULL when degenerate (k < 2, N ≤ k, or SSW/SST = 0).
+    * Ladder bound: 1e6·S² needs S < ~1e16 cents — documented, the
+    * q201 moment-card class.
+    *
+    * Scale shape: ONE combinable (n, Σ, Σ²) agg per group; everything
+    * after is k-sized. Output: one row (k, n, f_stat, eta_sq). */
+  def anovaF(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame = {
+    val cents = round(valueCol * 100).cast("long")
+    val g = df.select(groupCol.as("g"), cents.as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("ss"))
+    val p = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s")).as("stot"), sum(col("ss")).as("sstot"),
+      sum(expr("(cast(s as decimal(38,0)) * s * 1000000) div n"))
+        .as("tg"))
+    p.select(col("k"), col("nn").as("n"),
+        (col("tg") - expr("(cast(stot as decimal(38,0)) * stot" +
+          " * 1000000) div nn")).as("ssb"),
+        (col("sstot") * lit(1000000L) - col("tg")).as("ssw"))
+      .select(col("k"), col("n"),
+        round(when(col("k") > 1 && col("n") > col("k") &&
+          col("ssw") > 0,
+          (col("ssb").cast("double") * (col("n") - col("k"))
+            .cast("double")) /
+            (col("ssw").cast("double") * (col("k") - 1)
+              .cast("double"))), 4).as("f_stat"),
+        round(when(col("ssb") + col("ssw") > 0,
+          col("ssb").cast("double") /
+            (col("ssb") + col("ssw")).cast("double")), 4)
+          .as("eta_sq"))
+  }
+
+  /** McNEMAR'S TEST (McNemar 1947) — the DIRECTION-of-disagreement
+    * reader beside [[cohensKappa]]'s agreement scalar, for PAIRED
+    * binary labelers on the same rows: only the discordant cells
+    * matter (b = A-only, c = B-only), and χ² = (b−c)²/(b+c) asks
+    * whether the two labelers' marginal rates differ — two classifiers
+    * can agree 95% (great κ) while one systematically over-fires, and
+    * THIS is the statistic that sees it. χ²_cc reports Edwards'
+    * continuity-corrected (|b−c|−1)²/(b+c) beside the plain form.
+    *
+    * Determinism: b, c are exact counts; (b−c)² is exact long
+    * arithmetic (decimal-promoted); each χ² is ONE mirrored double
+    * division, round-4; b + c = 0 (no disagreement at all) → NULL,
+    * never a fabricated 0.
+    *
+    * Scale shape: ONE combinable 2-cell count; 1-row card. */
+  def mcnemar(df: DataFrame, flagA: Column, flagB: Column): DataFrame = {
+    val cells = df
+      .select(flagA.cast("boolean").as("a"), flagB.cast("boolean").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("b_only"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("c_only"))
+    cells.select(col("n"), col("b_only"), col("c_only"),
+      round(when(col("b_only") + col("c_only") > 0,
+        ((col("b_only") - col("c_only")).cast("decimal(38,0)") *
+          (col("b_only") - col("c_only"))).cast("double") /
+          (col("b_only") + col("c_only")).cast("double")), 4)
+        .as("chi2"),
+      round(when(col("b_only") + col("c_only") > 0,
+        ((abs(col("b_only") - col("c_only")) - 1).cast("decimal(38,0)") *
+          (abs(col("b_only") - col("c_only")) - 1)).cast("double") /
+          (col("b_only") + col("c_only")).cast("double")), 4)
+        .as("chi2_cc"))
+  }
+
   /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE card — the credit-scoring
     * feature screen (Siddiqi 2006): bucket a numeric feature into
     * quantile tiles, per tile WOE = ln(pos-share / neg-share), and the

@@ -311,4 +311,29 @@ class DataQualitySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double, Double)].collect().head
     assert(got == ((2L, 1600000L, 800000L, 2.0, 2.3333)), got)
   }
+
+  test("anovaF: groups {1,2,3} vs {4,5,6} cents — SSB 13.5, SSW 4, " +
+    "F exactly 13.5, eta-squared 27/35 (hand-computed)") {
+    val rows = Seq(("A", 0.01), ("A", 0.02), ("A", 0.03),
+      ("B", 0.04), ("B", 0.05), ("B", 0.06))
+    val got = DataQuality.anovaF(rows.toDF("g", "v"), col("g"), col("v"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((2L, 6L, 13.5, 0.7714)), got)
+  }
+
+  test("mcnemar: discordant cells 5 vs 2 — chi2 = 9/7, Edwards " +
+    "chi2_cc = 4/7 (hand-computed); all-concordant input yields NULL") {
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(4)((false, false))
+    val got = DataQuality.mcnemar(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(got == ((14L, 5L, 2L, Some(1.2857), Some(0.5714))), got)
+    val degen = DataQuality.mcnemar(
+        Seq((true, true), (false, false)).toDF("a", "b"),
+        col("a"), col("b"))
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(degen == ((2L, 0L, 0L, None, None)), degen)
+  }
 }

@@ -2683,6 +2683,13 @@ object SparkEntry {
     DataQuality.anovaF(t(s, dir, "events"), col("event_type"),
       col("value"))
 
+  /** Kruskal–Wallis H across event types on the value metric: the
+    * rank-based k-group location test beside q272's mean-based F.
+    * See [[graft.ops.DataQuality.kruskalWallis]]. */
+  private def qKruskalWallis(s: SparkSession, dir: String): DataFrame =
+    DataQuality.kruskalWallis(t(s, dir, "events"), col("event_type"),
+      col("value"))
+
   /** McNemar's paired test between the q23 language classifier and the
     * gold label on the binary is-English call — the direction-of-
     * disagreement sibling of q209's kappa. See
@@ -3020,6 +3027,7 @@ object SparkEntry {
     "q271_cmh_odds_ratio" -> (qCmhOddsRatio _),
     "q272_anova_f" -> (qAnovaF _),
     "q273_mcnemar" -> (qMcNemar _),
+    "q274_kruskal_wallis" -> (qKruskalWallis _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6242,6 +6250,46 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q274: mirrors DataQuality.kruskalWallis — doubled average ranks
+    // over distinct cents (2*cum + t + 1, exact), per-group micros
+    // floor of R^2/n on the HUGEINT ladder, one mirrored double
+    // expression each for H and the tie correction.
+    "q274_kruskal_wallis" ->
+      """WITH v AS (SELECT event_type AS g,
+           CAST(round(value * 100) AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       per AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+         FROM v GROUP BY 1, 2),
+       vc AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS t FROM per
+         GROUP BY 1),
+       vr AS (SELECT v, t,
+           CAST(COALESCE(sum(t) OVER (ORDER BY v ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum
+         FROM vc),
+       r2 AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g,
+           CAST(sum(cnt * (2 * cum + t + 1)) AS BIGINT) AS r2
+         FROM per JOIN vr USING (v) GROUP BY 1),
+       ties AS (SELECT COALESCE(sum(CAST(t AS HUGEINT) * t * t - t), 0)
+           AS tsum
+         FROM vc),
+       p AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n_g) AS BIGINT) AS n,
+           sum((CAST(r2 AS HUGEINT) * r2 * 1000000) // (4 * n_g)) AS u
+         FROM r2),
+       hh AS (SELECT k, n, tsum,
+           12.0 * CAST(u AS DOUBLE)
+             / (1000000.0 * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+             - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+           CAST(n AS HUGEINT) * n * n - n AS n3n
+         FROM p CROSS JOIN ties)
+       SELECT k, n,
+         round(CASE WHEN k > 1 AND n > 1 THEN h END, 4) AS h_stat,
+         round(CASE WHEN k > 1 AND n > 1 AND n3n > tsum
+           THEN h / (1.0 - CAST(tsum AS DOUBLE) / CAST(n3n AS DOUBLE))
+           END, 4) AS h_corrected
+       FROM hh""",
     // q273: mirrors DataQuality.mcnemar — q209's pred/gold pairing on
     // the binary is-English call, discordant cells only, one mirrored
     // double division per chi-square form.

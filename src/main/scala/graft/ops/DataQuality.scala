@@ -1384,6 +1384,65 @@ object DataQuality {
           .as("eta_sq"))
   }
 
+  /** KRUSKAL–WALLIS H (Kruskal & Wallis 1952) — the RANK-based k-group
+    * location test: [[anovaF]] without the normality/variance
+    * assumptions (heavy-tailed engagement metrics are exactly where
+    * the mean-based F lies), and the k-group generalization of q160's
+    * Mann–Whitney identity. H = 12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1)
+    * with average ranks on ties, plus the tie-corrected
+    * H_c = H/(1 − ΣT/(N³−N)), T = t³−t per tie group.
+    *
+    * Determinism (the q160 doubled-rank move): per DISTINCT value the
+    * tie group's average rank doubles to the INTEGER 2·cum + t + 1, so
+    * every group's doubled rank sum r2_g = Σ cnt·(2·cum + t + 1) is
+    * exact; Σ R_g²/n_g floors per term to micros on the decimal(38,0)
+    * ladder (u = Σ (1e6·r2_g²) div (4·n_g) — the ÷4 undoes the
+    * doubling); H and the correction are ONE mirrored double
+    * expression each, round-4. All-tied input (N³−N = ΣT) → H_c NULL.
+    * Values enter as exact cents (q119); float scores with ulp noise
+    * would make tie groups engine-dependent — same contract as q160.
+    *
+    * Scale shape: ONE combinable (group, value) count, one window over
+    * DISTINCT values (bounded by value cardinality), k-sized tail.
+    * Output: one row (k, n, h_stat, h_corrected). */
+  def kruskalWallis(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame = {
+    val cents = round(valueCol * 100).cast("long")
+    val per = df.select(groupCol.as("g"), cents.as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val vc = per.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val vr = vc
+      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+    val r2 = per.join(vr.select(col("v"), col("t"), col("cum")), Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_g"),
+        sum(col("cnt") *
+          (lit(2L) * col("cum") + col("t") + 1)).as("r2"))
+    val ties = vc.agg(coalesce(sum(
+      col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t")),
+      lit(0L).cast("decimal(38,0)")).as("tsum"))
+    val p = r2.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(expr("(cast(r2 as decimal(38,0)) * r2 * 1000000)" +
+          " div (4 * n_g)")).as("u"))
+      .crossJoin(broadcast(ties))
+    val h = lit(12.0) * col("u").cast("double") /
+      (lit(1000000.0) * col("n").cast("double") *
+        (col("n") + 1).cast("double")) -
+      lit(3.0) * (col("n") + 1).cast("double")
+    val n3n = expr("cast(n as decimal(38,0)) * n * n - n")
+    p.select(col("k"), col("n"),
+      round(when(col("k") > 1 && col("n") > 1, h), 4).as("h_stat"),
+      round(when(col("k") > 1 && col("n") > 1 && n3n > col("tsum"),
+        h / (lit(1.0) - col("tsum").cast("double") /
+          n3n.cast("double"))), 4).as("h_corrected"))
+  }
+
   /** McNEMAR'S TEST (McNemar 1947) — the DIRECTION-of-disagreement
     * reader beside [[cohensKappa]]'s agreement scalar, for PAIRED
     * binary labelers on the same rows: only the discordant cells

@@ -336,4 +336,21 @@ class DataQualitySpec extends AnyFunSuite {
       .collect().head
     assert(degen == ((2L, 0L, 0L, None, None)), degen)
   }
+
+  test("kruskalWallis: {1,2,2} vs {2,3,4} cents with a 3-way tie — " +
+    "rank sums 7/14, H = 7/3, tie-corrected H = H/(1 - 24/210) " +
+    "(hand-computed)") {
+    val rows = Seq(("A", 0.01), ("A", 0.02), ("A", 0.02),
+      ("B", 0.02), ("B", 0.03), ("B", 0.04))
+    val got = DataQuality.kruskalWallis(rows.toDF("g", "v"),
+        col("g"), col("v"))
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(got == ((2L, 6L, Some(2.3333), Some(2.6344))), got)
+    // all-tied input: H defined (0-ish) but the correction divides by
+    // zero -> NULL h_corrected
+    val tied = DataQuality.kruskalWallis(
+        Seq(("A", 0.05), ("B", 0.05)).toDF("g", "v"), col("g"), col("v"))
+      .as[(Long, Long, Option[Double], Option[Double])].collect().head
+    assert(tied._1 == 2L && tied._2 == 2L && tied._4.isEmpty, tied)
+  }
 }

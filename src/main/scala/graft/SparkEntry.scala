@@ -2676,6 +2676,13 @@ object SparkEntry {
       "event_type", startType = "signup", causeA = "purchase",
       causeB = "error")
 
+  /** Matryoshka truncation eval: top-5 overlap of prefix-16/32-dim
+    * cosine retrieval vs the full 64 dims — the index-size-vs-recall
+    * decision card. See [[graft.ops.Similarity.mrlTruncationEval]]. */
+  private def qMrlTruncation(s: SparkSession, dir: String): DataFrame =
+    Similarity.mrlTruncationEval(t(s, dir, "embeddings"), "vec_id",
+      "embedding", dims = Seq(16, 32), k = 5, stride = 100)
+
   /** One-way ANOVA F across event types on the value metric, with
     * eta-squared effect size beside it. See
     * [[graft.ops.DataQuality.anovaF]]. */
@@ -3028,6 +3035,7 @@ object SparkEntry {
     "q272_anova_f" -> (qAnovaF _),
     "q273_mcnemar" -> (qMcNemar _),
     "q274_kruskal_wallis" -> (qKruskalWallis _),
+    "q275_mrl_truncation" -> (qMrlTruncation _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6250,6 +6258,45 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q275: mirrors Similarity.mrlTruncationEval — the q26 pair stage
+    // with prefix-slice cosines, round-4 + 0.0 before ranking, cand_id
+    // tie-break, exact overlap counts floored to micros.
+    "q275_mrl_truncation" -> {
+      def cosOf(a: String, b: String) =
+        s"""round(list_dot_product($a, $b)
+           / (sqrt(list_dot_product($a, $a))
+             * sqrt(list_dot_product($b, $b))), 4) + 0.0"""
+      def topOf(scoreCol: String, tag: String) =
+        s"""t$tag AS (SELECT query_id, cand_id FROM
+           (SELECT query_id, cand_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY $scoreCol DESC, cand_id ASC) AS rn FROM pairs)
+           WHERE rn <= 5)"""
+      def outOf(d: Int) =
+        s"""SELECT CAST($d AS BIGINT) AS trunc_dim, nq.nq AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           (1000000 * h$d.hits) // (5 * nq.nq) AS overlap_micros
+         FROM h$d, nq"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id % 100 = 0),
+         pairs AS (SELECT query_id, e.vec_id AS cand_id,
+             ${cosOf("qv", "v")} AS cos_full,
+             ${cosOf("qv[1:16]", "v[1:16]")} AS cos_16,
+             ${cosOf("qv[1:32]", "v[1:32]")} AS cos_32
+           FROM e, q WHERE e.vec_id <> query_id),
+         ${topOf("cos_full", "full")},
+         ${topOf("cos_16", "16")},
+         ${topOf("cos_32", "32")},
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
+         h16 AS (SELECT CAST(count(*) AS BIGINT) AS hits
+           FROM t16 JOIN tfull USING (query_id, cand_id)),
+         h32 AS (SELECT CAST(count(*) AS BIGINT) AS hits
+           FROM t32 JOIN tfull USING (query_id, cand_id))
+         ${outOf(16)}
+         UNION ALL ${outOf(32)}"""
+    },
     // q274: mirrors DataQuality.kruskalWallis — doubled average ranks
     // over distinct cents (2*cum + t + 1, exact), per-group micros
     // floor of R^2/n on the HUGEINT ladder, one mirrored double

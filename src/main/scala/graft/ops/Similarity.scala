@@ -52,6 +52,64 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
+  /** MATRYOSHKA TRUNCATION EVAL (Kusupati et al. 2022's MRL read) —
+    * "can we store the first d dims and keep retrieval": for each
+    * truncation d, rank by cosine over the PREFIX d components and
+    * score top-k overlap against the full-dim top-k. The modern
+    * storage-vs-recall decision card (a 64→16 truncation is a 4×
+    * index-size cut; this measures exactly what it costs), sibling to
+    * the PQ/IVF-PQ recall probes but for the dimension axis.
+    *
+    * Determinism: the q26 contract end-to-end — cosine round-4 +0.0
+    * BEFORE ranking, cand_id tie-break; overlap counts are exact
+    * integers and the mean floors to micros ((1e6·hits) div (k·n_q)).
+    *
+    * Scale shape: ONE pair stage scores every evaluated dim at once
+    * (prefix slices of the same vectors — no per-dim corpus rescan),
+    * lazily checkpointed so the |dims|+1 rank windows read one
+    * materialization. Runs in the documented brute-eval cost class
+    * (the q26/q189 sample-truth anchor family: queries are a stride
+    * sample, broadcast against one corpus scan); at corpus scale the
+    * same card runs over a sampled slice or an [[ivfTopK]]-routed
+    * candidate set. Output: one row per dim
+    * (trunc_dim, n_queries, k, overlap_micros). */
+  def mrlTruncationEval(emb: DataFrame, idCol: String, vecCol: String,
+                        dims: Seq[Int], k: Int = 5, stride: Long = 100)
+      : DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1) && k >= 1 &&
+      stride >= 1, "need dims >= 1, k >= 1, stride >= 1")
+    val base = emb.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("v"))
+    val queries = base.filter(col("cand_id") % stride === 0)
+      .select(col("cand_id").as("query_id"), col("v").as("qv"))
+    val scored = base
+      .join(broadcast(queries), col("cand_id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("cand_id"),
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0))
+          .as("cos_full")) ++
+        dims.map(d =>
+          (round(cosine(slice(col("qv"), 1, d), slice(col("v"), 1, d)),
+            4) + lit(0.0)).as(s"cos_$d")): _*)
+      .localCheckpoint(eager = false)
+    val topFull = Windows.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos_full").desc, col("cand_id").asc), k)
+      .select(col("query_id"), col("cand_id"))
+      .localCheckpoint(eager = false)
+    val nq = broadcast(queries.agg(count(lit(1)).as("n_queries")))
+    dims.map { d =>
+      val topD = Windows.topKPerGroup(scored, Seq(col("query_id")),
+          Seq(col(s"cos_$d").desc, col("cand_id").asc), k)
+        .select(col("query_id"), col("cand_id"))
+      topD.join(topFull, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(nq)
+        .select(lit(d.toLong).as("trunc_dim"), col("n_queries"),
+          lit(k.toLong).as("k"),
+          expr(s"(1000000L * hits) div (${k}L * n_queries)")
+            .as("overlap_micros"))
+    }.reduce(_ unionByName _)
+  }
+
   /** k-NN MAJORITY-VOTE CLASSIFIER — the simplest embedding-space
     * labeler (Fix & Hodges 1951): each query takes the modal label of
     * its k nearest labeled vectors by cosine; vote ties break to the

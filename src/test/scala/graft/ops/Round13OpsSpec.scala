@@ -282,6 +282,21 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(run(10) == ((10L, 4L, 5.75)), run(10))
   }
 
+  test("mrlTruncationEval: a prefix-2 tie flips the top-1 away from " +
+    "the full-dim winner (overlap 0), full-dim vs itself reads 1e6 — " +
+    "hand-built geometry") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), // the only stride-100 query
+      (1L, Seq(0.9, 0.0, 1.0, 1.0)), // prefix-2 cos 1.0 (tie, id wins)
+      (2L, Seq(0.8, 0.0, 0.1, 0.0))  // full cos .9923 (full winner)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mrlTruncationEval(emb, "vec_id", "embedding",
+        dims = Seq(2, 4), k = 1, stride = 100)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(2L) == ((2L, 1L, 1L, 0L)), got(2L))
+    assert(got(4L) == ((4L, 1L, 1L, 1000000L)), got(4L))
+  }
+
   test("dailyCrossCorrelation: antiphase period-2 series read ccf -1 " +
     "at lag 0, +.75 at lag +-1, NULL where no pairs survive — " +
     "hand-computed rationals") {

@@ -2676,6 +2676,15 @@ object SparkEntry {
       "event_type", startType = "signup", causeA = "purchase",
       causeB = "error")
 
+  /** l-diversity audit of the q221 quasi-identifier classes against
+    * the account-balance band as the sensitive attribute — the
+    * homogeneity-attack screen k-anonymity cannot see. See
+    * [[graft.ops.DataQuality.lDiversityAudit]]. */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    DataQuality.lDiversityAudit(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast("long"), l = 3)
+
   /** Matryoshka truncation eval: top-5 overlap of prefix-16/32-dim
     * cosine retrieval vs the full 64 dims — the index-size-vs-recall
     * decision card. See [[graft.ops.Similarity.mrlTruncationEval]]. */
@@ -3036,6 +3045,7 @@ object SparkEntry {
     "q273_mcnemar" -> (qMcNemar _),
     "q274_kruskal_wallis" -> (qKruskalWallis _),
     "q275_mrl_truncation" -> (qMrlTruncation _),
+    "q276_l_diversity" -> (qLDiversity _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6258,6 +6268,26 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q276: mirrors DataQuality.lDiversityAudit — q221's QI classes,
+    // count(DISTINCT band) per class, exact counts, one micros floor.
+    "q276_l_diversity" ->
+      """WITH s AS (SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+               AS BIGINT)) AS BIGINT) AS ldist
+           FROM customer GROUP BY 1, 2),
+         a AS (SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             min(ldist) AS min_l,
+             CAST(sum(CASE WHEN ldist < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l,
+             CAST(sum(CASE WHEN ldist < 3 THEN sz ELSE 0 END)
+               AS BIGINT) AS rows_below_l
+           FROM s)
+         SELECT 'c_nationkey,c_mktsegment' AS qi, n_rows, n_classes,
+           min_l, classes_below_l, rows_below_l,
+           (1000000 * rows_below_l) // n_rows AS at_risk_rate_micros
+         FROM a""",
     // q275: mirrors Similarity.mrlTruncationEval — the q26 pair stage
     // with prefix-slice cosines, round-4 + 0.0 before ranking, cand_id
     // tie-break, exact overlap counts floored to micros.

@@ -256,6 +256,43 @@ object DataQuality {
           .as("at_risk_rate_micros"))
   }
 
+  /** L-DIVERSITY audit (Machanavajjhala et al. 2007) — the attack
+    * [[kAnonymityAudit]] cannot see: a class can hold k ≥ 5 rows and
+    * still leak everything if all k share ONE sensitive value
+    * (homogeneity attack — re-identification isn't needed when the
+    * answer is unanimous). Per quasi-identifier class, l = the number
+    * of DISTINCT sensitive values; the card reports the dataset's
+    * min l and how much of it sits in classes below the `l` bar. Run
+    * beside q221 before any "anonymized" extract ships.
+    *
+    * Determinism: exact integer counts end-to-end; one micros floor.
+    * A class whose sensitive values are all NULL counts l = 0 (both
+    * engines' count(DISTINCT) skips nulls) — below any bar, which is
+    * the honest read.
+    *
+    * Scale shape: ONE combinable (QI → size, distinct-sensitive) agg
+    * (distinct via the two-level exact rollup Spark plans for
+    * countDistinct), then a 1-row card. */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitive: Column, l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2, "need QI columns and l >= 2")
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(sensitive).as("ldist"))
+    classes.agg(sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("ldist")).as("min_l"),
+        sum(when(col("ldist") < l, 1L).otherwise(0L))
+          .as("classes_below_l"),
+        sum(when(col("ldist") < l, col("sz")).otherwise(0L))
+          .as("rows_below_l"))
+      .select(lit(qiCols.mkString(",")).as("qi"), col("n_rows"),
+        col("n_classes"), col("min_l"), col("classes_below_l"),
+        col("rows_below_l"),
+        expr("(1000000L * rows_below_l) div n_rows")
+          .as("at_risk_rate_micros"))
+  }
+
   /** STANDARDIZED-MEAN-DIFFERENCE BALANCE card (the Rubin-school
     * covariate-balance diagnostic; Austin 2009's |SMD| < 0.1
     * convention): per covariate, (mean_T − mean_C)/√((s²_T + s²_C)/2)

@@ -353,4 +353,24 @@ class DataQualitySpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double], Option[Double])].collect().head
     assert(tied._1 == 2L && tied._2 == 2L && tied._4.isEmpty, tied)
   }
+
+  test("lDiversityAudit: a k-safe but homogeneous class is flagged " +
+    "(l = 1), diverse class passes, all-null sensitive reads l = 0") {
+    val rows = Seq(
+      // class (1,a): 3 rows, all sensitive 10 -> l = 1 (homogeneous)
+      (1L, "a", Option(10L)), (1L, "a", Option(10L)),
+      (1L, "a", Option(10L)),
+      // class (2,b): 3 rows, 3 distinct -> l = 3 (passes l = 2)
+      (2L, "b", Option(10L)), (2L, "b", Option(20L)),
+      (2L, "b", Option(30L)),
+      // class (3,c): sensitive all NULL -> l = 0
+      (3L, "c", Option.empty[Long]))
+      .toDF("qi1", "qi2", "sens")
+    val got = DataQuality.lDiversityAudit(rows, Seq("qi1", "qi2"),
+        col("sens"), l = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // 7 rows, 3 classes, min_l 0, 2 classes below (l=1 and l=0),
+    // 4 rows at risk -> rate 4e6 div 7 = 571428
+    assert(got == (("qi1,qi2", 7L, 3L, 0L, 2L, 4L, 571428L)), got)
+  }
 }

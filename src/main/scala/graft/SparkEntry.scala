@@ -2676,6 +2676,22 @@ object SparkEntry {
       "event_type", startType = "signup", causeA = "purchase",
       causeB = "error")
 
+  /** Kish effective sample size per language under length (token-
+    * proportional) weights — the variance exchange rate behind q63's
+    * weighted sampling and q109's importance reweighting. See
+    * [[graft.ops.Sampling.effectiveSampleSize]]. */
+  private def qEffectiveSampleSize(s: SparkSession, dir: String)
+      : DataFrame =
+    Sampling.effectiveSampleSize(t(s, dir, "documents"), "lang",
+      col("n_chars"))
+
+  /** Mutual top-1 (reciprocal best match) pairs on the stride-10
+    * embedding subset — the hub-free high-precision pairing bitext
+    * mining seeds from. See [[graft.ops.Similarity.mutualTopOne]]. */
+  private def qMutualTopOne(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualTopOne(t(s, dir, "embeddings"), "vec_id",
+      "embedding", stride = 10)
+
   /** l-diversity audit of the q221 quasi-identifier classes against
     * the account-balance band as the sensitive attribute — the
     * homogeneity-attack screen k-anonymity cannot see. See
@@ -3046,6 +3062,8 @@ object SparkEntry {
     "q274_kruskal_wallis" -> (qKruskalWallis _),
     "q275_mrl_truncation" -> (qMrlTruncation _),
     "q276_l_diversity" -> (qLDiversity _),
+    "q277_effective_sample_size" -> (qEffectiveSampleSize _),
+    "q278_mutual_top1" -> (qMutualTopOne _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6268,6 +6286,44 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q277: mirrors Sampling.effectiveSampleSize — exact long weights,
+    // HUGEINT moment sums, one mirrored double division per output.
+    "q277_effective_sample_size" ->
+      """WITH w AS (SELECT lang, CAST(n_chars AS BIGINT) AS w
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars >= 0),
+         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS sum_w,
+             sum(CAST(w AS HUGEINT) * w) AS w2
+           FROM w GROUP BY 1)
+         SELECT lang, n, sum_w,
+           round(CASE WHEN w2 > 0
+             THEN CAST(CAST(sum_w AS HUGEINT) * sum_w AS DOUBLE)
+               / CAST(w2 AS DOUBLE) END, 4) AS ess,
+           round(CASE WHEN w2 > 0
+             THEN CAST(CAST(sum_w AS HUGEINT) * sum_w AS DOUBLE)
+               / (CAST(w2 AS DOUBLE) * CAST(n AS DOUBLE)) END, 4)
+             AS ess_share
+         FROM g""",
+    // q278: mirrors Similarity.mutualTopOne — q26 scoring contract on
+    // the stride-10 subset, top-1 per query, mutual self-join, a < b.
+    "q278_mutual_top1" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 10 = 0),
+         pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+             round(list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(e.v, e.v))), 4) + 0.0 AS cos
+           FROM e, e q WHERE e.vec_id <> q.vec_id),
+         best AS (SELECT query_id, cand_id, cos FROM
+           (SELECT query_id, cand_id, cos, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rn FROM pairs)
+           WHERE rn = 1)
+         SELECT a.query_id AS id_a, a.cand_id AS id_b, a.cos
+         FROM best a JOIN best b
+           ON b.query_id = a.cand_id AND b.cand_id = a.query_id
+         WHERE a.query_id < a.cand_id""",
     // q276: mirrors DataQuality.lDiversityAudit — q221's QI classes,
     // count(DISTINCT band) per class, exact counts, one micros floor.
     "q276_l_diversity" ->

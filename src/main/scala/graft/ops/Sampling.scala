@@ -578,6 +578,43 @@ object Sampling {
           .as("mean_value"))
   }
 
+  /** EFFECTIVE SAMPLE SIZE under importance weights (Kish 1965) — the
+    * number every weighted estimate secretly rests on:
+    * ESS = (Σw)²/Σw². Weighted sampling and importance reweighting
+    * (q63's weight column, q109's DSIR keep set) trade bias for
+    * variance, and ESS is the exchange rate — a 10M-doc corpus whose
+    * weights concentrate on 1% of documents estimates like 100k docs,
+    * and a mixture built on it will overfit that slice. Run per group
+    * so a single pathological stratum is visible, with ess_share =
+    * ESS/n as the "how much of the corpus do we effectively keep"
+    * read.
+    *
+    * Determinism: weights are exact non-negative longs; Σw and Σw² sit
+    * on the decimal(38,0) ladder; ESS and its share are ONE mirrored
+    * double division each, round-4. A group with Σw² = 0 (all weights
+    * zero) yields NULL, never a fabricated 0.
+    *
+    * Scale shape: ONE combinable 3-moment agg per group; card-sized
+    * tail. */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          weightCol: Column): DataFrame = {
+    val w = weightCol.cast("long")
+    df.select(col(groupCol), w.as("__w"))
+      .filter(col("__w").isNotNull && col("__w") >= 0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("sum_w"),
+        sum(col("__w").cast("decimal(38,0)") * col("__w")).as("__w2"))
+      .select(col(groupCol), col("n"), col("sum_w"),
+        round(when(col("__w2") > 0,
+          (col("sum_w").cast("decimal(38,0)") * col("sum_w"))
+            .cast("double") / col("__w2").cast("double")), 4).as("ess"),
+        round(when(col("__w2") > 0,
+          (col("sum_w").cast("decimal(38,0)") * col("sum_w"))
+            .cast("double") /
+            (col("__w2").cast("double") * col("n").cast("double"))), 4)
+          .as("ess_share"))
+  }
+
   def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
                        budget: Long): DataFrame = {
     require(budget >= 0, "budget must be >= 0")

@@ -52,6 +52,47 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
+  /** MUTUAL TOP-1 (reciprocal best match) — the symmetric-evidence
+    * pairing bitext/alignment mining runs on (Artetxe & Schwenk 2019's
+    * margin criterion starts here): a pair (a, b) survives only if a
+    * is b's single nearest neighbor AND b is a's. One-directional
+    * top-1 is hub-polluted (a generic vector is "nearest" to
+    * everything); mutuality kills hubs without any threshold to tune —
+    * the high-precision seed set for translation pairs, near-dup
+    * verification, and record linkage.
+    *
+    * Determinism: the q26 contract (cosine round-4 +0.0 before
+    * ranking, cand_id tie-break); the mutual join and the a < b
+    * canonicalization are exact. Output: (id_a, id_b, cos) with
+    * id_a < id_b.
+    *
+    * Scale shape: the scoring stage here is the brute pair join over
+    * the stride subset (the q26/q275 sample-truth eval class —
+    * (N/stride)² pairs); at corpus scale the SAME top-1 + mutual-join
+    * tail runs over [[ivfTopK]]-routed candidates. The mutual check
+    * itself is one self-join on (query, best) — candidate-mass-free. */
+  def mutualTopOne(emb: DataFrame, idCol: String, vecCol: String,
+                   stride: Long = 10): DataFrame = {
+    require(stride >= 1, "need stride >= 1")
+    val sub = emb.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = false)
+    val scored = sub
+      .join(sub.select(col("cand_id").as("query_id"), col("v").as("qv")),
+        col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
+    val best = Windows.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("cand_id").asc), 1)
+      .select(col("query_id"), col("cand_id"), col("cos"))
+      .localCheckpoint(eager = false)
+    best.filter(col("query_id") < col("cand_id"))
+      .join(best.select(col("cand_id").as("query_id"),
+        col("query_id").as("cand_id")), Seq("query_id", "cand_id"))
+      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
+        col("cos"))
+  }
+
   /** MATRYOSHKA TRUNCATION EVAL (Kusupati et al. 2022's MRL read) —
     * "can we store the first d dims and keep retrieval": for each
     * truncation d, rank by cosine over the PREFIX d components and

@@ -282,6 +282,35 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(run(10) == ((10L, 4L, 5.75)), run(10))
   }
 
+  test("effectiveSampleSize: uniform weights read ESS = n, a " +
+    "concentrated group reads 16/10, all-zero weights read NULL — " +
+    "hand-computed (Kish)") {
+    val rows = Seq(("A", 1L), ("A", 1L), ("A", 1L), ("A", 1L),
+      ("B", 3L), ("B", 1L), ("B", 0L), ("B", 0L),
+      ("C", 0L), ("C", 0L))
+    val got = Sampling.effectiveSampleSize(rows.toDF("g", "w"), "g",
+        col("w"))
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 4L, 4L, Some(4.0), Some(1.0))), got("A"))
+    assert(got("B") == (("B", 4L, 4L, Some(1.6), Some(0.4))), got("B"))
+    assert(got("C") == (("C", 2L, 0L, None, None)), got("C"))
+  }
+
+  test("mutualTopOne: two tight pairs match, the hub-adjacent vector " +
+    "whose best friend prefers someone else stays unmatched — " +
+    "hand-built geometry") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),   // mutual pair
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.1, 0.9)),   // mutual pair
+      (4L, Seq(0.8, 0.6))                          // best(4)=1, best(1)=0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mutualTopOne(emb, "vec_id", "embedding",
+        stride = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((0L, 1L, 0.9939), (2L, 3L, 0.9939)), got)
+  }
+
   test("mrlTruncationEval: a prefix-2 tie flips the top-1 away from " +
     "the full-dim winner (overlap 0), full-dim vs itself reads 1e6 — " +
     "hand-built geometry") {

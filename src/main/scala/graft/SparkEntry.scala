@@ -2676,6 +2676,14 @@ object SparkEntry {
       "event_type", startType = "signup", causeA = "purchase",
       causeB = "error")
 
+  /** DoReMi-lite mixture weights per source: excess unigram-NLL over
+    * the corpus baseline, smoothed 20% toward uniform — the
+    * data-mixture reweighting card. See
+    * [[graft.ops.TextAnalysis.doremiMix]]. */
+  private def qDoremiMix(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.doremiMix(t(s, dir, "documents"), "doc_id", "text",
+      "source", smoothingMicros = 200000L)
+
   /** Kish effective sample size per language under length (token-
     * proportional) weights — the variance exchange rate behind q63's
     * weighted sampling and q109's importance reweighting. See
@@ -3064,6 +3072,7 @@ object SparkEntry {
     "q276_l_diversity" -> (qLDiversity _),
     "q277_effective_sample_size" -> (qEffectiveSampleSize _),
     "q278_mutual_top1" -> (qMutualTopOne _),
+    "q279_doremi_mix" -> (qDoremiMix _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6286,6 +6295,41 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q279: mirrors TextAnalysis.doremiMix — q85's unigram NLL with the
+    // whole corpus as reference, per-doc round-4 -> exact micros,
+    // integer domain means / baseline / excess / floored weights.
+    "q279_doremi_mix" ->
+      """WITH rt AS (SELECT u.tok
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)),
+         model AS (SELECT tok, count(*) AS cnt FROM rt GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM rt),
+         dt AS (SELECT doc_id, u.tok
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)),
+         s AS (SELECT doc_id,
+             -ln(CAST(COALESCE(cnt, 1) AS DOUBLE) / total) AS nll
+           FROM dt CROSS JOIN tot LEFT JOIN model USING (tok)),
+         pd AS (SELECT doc_id,
+             CAST(round(round(sum(nll) / count(*), 4) * 10000)
+               AS BIGINT) * 100 AS nll_micros
+           FROM s GROUP BY 1),
+         dom AS (SELECT d.source AS domain,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nll_micros) AS BIGINT) AS snll
+           FROM documents d JOIN pd USING (doc_id) GROUP BY 1),
+         b AS (SELECT CAST(sum(CAST(snll AS HUGEINT)) // sum(n_docs)
+               AS BIGINT) AS base,
+             CAST(count(*) AS BIGINT) AS k
+           FROM dom),
+         ex AS (SELECT domain, n_docs, snll // n_docs AS nll_micros,
+             GREATEST(0, snll // n_docs - base) AS excess_micros, k
+           FROM dom CROSS JOIN b),
+         t AS (SELECT CAST(sum(excess_micros) AS BIGINT) AS tex FROM ex)
+         SELECT domain, n_docs, nll_micros, excess_micros,
+           CASE WHEN tex > 0
+             THEN ((1000000 - 200000) * excess_micros) // tex
+               + 200000 // k
+             ELSE 1000000 // k END AS mix_weight_micros
+         FROM ex CROSS JOIN t""",
     // q277: mirrors Sampling.effectiveSampleSize — exact long weights,
     // HUGEINT moment sums, one mirrored double division per output.
     "q277_effective_sample_size" ->

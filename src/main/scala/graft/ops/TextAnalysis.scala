@@ -1148,6 +1148,65 @@ object TextAnalysis {
         round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
   }
 
+  /** DoReMi-LITE domain mixture weights (Xie et al. 2023,
+    * arXiv:2305.10429, the one-round deterministic reduction) — the
+    * data-mixture question every pretraining run answers somehow:
+    * upweight the domains the reference model finds HARD (excess loss
+    * over the corpus baseline), smoothed toward uniform so no domain
+    * starves. The full algorithm alternates proxy-model training with
+    * weight updates; this card is its measurement core with the q85
+    * unigram LM standing in for the proxy (the [[dsirWeights]]/KenLM
+    * stand-in precedent): per domain, mean per-doc NLL; excess =
+    * max(0, domain − baseline); mix ∝ (1−ε)·excess/Σexcess + ε/k.
+    *
+    * Determinism: per-doc avg NLL is q85's proven round-4 contract;
+    * it converts to EXACT micros (round(·10000)·100 — a 4-decimal
+    * double rounds to the same integer on both engines) and everything
+    * after is integer arithmetic: domain means and the baseline floor
+    * with `div`, excess is a greatest(0, ·) of exact longs, weights
+    * floor to micros. Zero total excess (all domains at baseline) →
+    * exactly uniform 1e6 div k. Σ weights may undershoot 1e6 by floor
+    * dribble — by design, never renormalized with signed division.
+    *
+    * Scale shape: the q85 dataflow (one model agg off one corpus scan,
+    * broadcast probe, per-doc combinable mean) plus a domain-sized
+    * tail. Output: (domain, n_docs, nll_micros, excess_micros,
+    * mix_weight_micros). */
+  def doremiMix(docs: DataFrame, idCol: String, textCol: String,
+                domainCol: String, smoothingMicros: Long = 200000L)
+      : DataFrame = {
+    require(smoothingMicros >= 0 && smoothingMicros <= 1000000L,
+      "need 0 <= smoothingMicros <= 1e6")
+    val perDoc = unigramNll(docs, docs, idCol, textCol)
+      .select(col(idCol),
+        expr("cast(round(avg_nll * 10000) as bigint) * 100")
+          .as("nll_micros"))
+    val dom = docs.select(col(idCol), col(domainCol).as("domain"))
+      .join(perDoc, Seq(idCol))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nll_micros")).as("snll"))
+      .localCheckpoint(eager = false)
+    val base = dom.agg(
+      expr("sum(cast(snll as decimal(38,0))) div sum(n_docs)").as("base"),
+      count(lit(1)).as("k"))
+    val ex = dom.crossJoin(broadcast(base))
+      .select(col("domain"), col("n_docs"),
+        expr("snll div n_docs").as("nll_micros"),
+        greatest(lit(0L),
+          expr("snll div n_docs") - col("base")).as("excess_micros"),
+        col("k"))
+      .localCheckpoint(eager = false)
+    val tot = ex.agg(sum(col("excess_micros")).as("tex"))
+    ex.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("nll_micros"),
+        col("excess_micros"),
+        when(col("tex") > 0,
+          expr(s"((1000000L - ${smoothingMicros}L) * excess_micros)" +
+            s" div tex + ${smoothingMicros}L div k"))
+          .otherwise(expr("1000000L div k"))
+          .as("mix_weight_micros"))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990) — the statistic behind
     * both tokenizer-vocab curation (which adjacent pairs deserve a merge,
     * the first step of a BPE-style induction) and phrase-table building:

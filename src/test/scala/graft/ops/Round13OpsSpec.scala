@@ -311,6 +311,28 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L, 0.9939), (2L, 3L, 0.9939)), got)
   }
 
+  test("doremiMix: the hard domain takes the whole excess share plus " +
+    "its uniform floor, the easy domain keeps only the floor — " +
+    "hand-computed micros off exact unigram NLLs") {
+    val docs = Seq((1L, "a a", "X"), (2L, "a b", "Y"))
+      .toDF("doc_id", "text", "source")
+    // model: a:3 b:1, T=4. doc1 nll = .2877, doc2 = .8370 ->
+    // base = 562350, excess Y = 274650 (all of it), eps = .2:
+    // w_X = 200000 div 2 = 100000; w_Y = 800000 + 100000 = 900000
+    val got = TextAnalysis.doremiMix(docs, "doc_id", "text", "source",
+        smoothingMicros = 200000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("X") == (("X", 1L, 287700L, 0L, 100000L)), got("X"))
+    assert(got("Y") == (("Y", 1L, 837000L, 274650L, 900000L)), got("Y"))
+    // all-equal domains: zero total excess -> exactly uniform
+    val eq = TextAnalysis.doremiMix(
+        Seq((1L, "a", "X"), (2L, "a", "Y")).toDF("doc_id", "text",
+          "source"), "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(eq.forall(_._5 == 500000L), eq.toSeq)
+  }
+
   test("mrlTruncationEval: a prefix-2 tie flips the top-1 away from " +
     "the full-dim winner (overlap 0), full-dim vs itself reads 1e6 — " +
     "hand-built geometry") {

@@ -2459,6 +2459,16 @@ object SparkEntry {
     Events.linearAttribution(Events.load(s, dir), "user_id", "ts",
       "event_id", "event_type", touchType = "click", convType = "purchase")
 
+  /** Time-decay attribution with a 1-day half-life: recency-weighted
+    * multi-touch credit, all-integer power-of-two halvings — the last
+    * classic of the attribution five. See
+    * [[graft.ops.Events.timeDecayAttribution]]. */
+  private def qTimeDecayAttribution(s: SparkSession, dir: String)
+      : DataFrame =
+    Events.timeDecayAttribution(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", touchType = "click",
+      convType = "purchase", halfLifeSeconds = 86400L)
+
   /** IVF-PQ: the FAISS-shape composition — PQ codes scored only inside
     * the query's IVF-probed cells, so the per-candidate stage shrinks
     * from N to Σ|probed cells| while staying integer-ADC cheap. Same
@@ -3073,6 +3083,7 @@ object SparkEntry {
     "q277_effective_sample_size" -> (qEffectiveSampleSize _),
     "q278_mutual_top1" -> (qMutualTopOne _),
     "q279_doremi_mix" -> (qDoremiMix _),
+    "q280_time_decay_attribution" -> (qTimeDecayAttribution _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6295,6 +6306,44 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q280: mirrors Events.timeDecayAttribution — q135's journey
+    // binding, power-of-two halvings (exact), floored shares with the
+    // remainder to the closest touch.
+    "q280_time_decay_attribution" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+           WHERE event_type IN ('click', 'purchase')),
+         b AS (SELECT user_id, event_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase'
+                 THEN event_id END IGNORE NULLS) OVER wn AS conv_id,
+             first_value(CASE WHEN event_type = 'purchase'
+                 THEN ts END IGNORE NULLS) OVER wn AS conv_ts
+           FROM f
+           WINDOW wn AS (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         t AS (SELECT user_id, conv_id, event_id AS touch_id, ts,
+             (CAST(epoch(date_trunc('second', conv_ts)) AS BIGINT)
+               - CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+               // 86400 AS halvings
+           FROM b WHERE event_type = 'click' AND conv_id IS NOT NULL),
+         w AS (SELECT *, 1000000
+             // CAST(power(2.0, LEAST(halvings, 20)) AS BIGINT) AS w
+           FROM t),
+         c AS (SELECT user_id, conv_id, touch_id, halvings, w,
+             CAST(sum(w) OVER wc AS BIGINT) AS sw,
+             row_number() OVER (PARTITION BY user_id, conv_id
+               ORDER BY ts DESC, touch_id DESC) AS rn
+           FROM w WINDOW wc AS (PARTITION BY user_id, conv_id)),
+         d AS (SELECT user_id, conv_id, touch_id, halvings, rn,
+             CASE WHEN sw > 0 THEN (1000000 * w) // sw ELSE 0 END AS base
+           FROM c),
+         e AS (SELECT *, CAST(sum(base) OVER (
+             PARTITION BY user_id, conv_id) AS BIGINT) AS tot
+           FROM d)
+         SELECT user_id, conv_id, touch_id, halvings,
+           base + CASE WHEN rn = 1 THEN 1000000 - tot ELSE 0 END
+             AS credit_micros
+         FROM e""",
     // q279: mirrors TextAnalysis.doremiMix — q85's unigram NLL with the
     // whole corpus as reference, per-doc round-4 -> exact micros,
     // integer domain means / baseline / excess / floored weights.

@@ -3234,6 +3234,67 @@ object Events {
             .otherwise(lit(0L))).as("credit_micros"))
   }
 
+  /** TIME-DECAY ATTRIBUTION — the last classic of the attribution five
+    * (last-touch q126, linear q135, positional q268, Shapley q264,
+    * Markov q263): every touch preceding a conversion earns credit
+    * halving per `halfLifeSeconds` of age, so recency matters but
+    * nothing is discarded. Same journey binding as
+    * [[linearAttribution]] (a touch credits its NEXT conversion under
+    * the (ts, ord) total order).
+    *
+    * ALL-INTEGER: halvings h = Δt div halfLife; the raw weight is
+    * w = 1e6 div 2^min(h, 20) (power-of-two division — exact; h ≥ 20
+    * floors to 0, the natural horizon since 1e6 < 2^20); per
+    * conversion, credit = (1e6·w) div Σw floored, and the remainder
+    * tops up the touch CLOSEST to the conversion (the q135 remainder
+    * convention), so per-conversion credit sums to exactly 1,000,000.
+    * Σw = 0 (every touch beyond 20 half-lives) degenerates to
+    * last-touch — the remainder convention's honest limit.
+    *
+    * Scale shape: q135's exactly — filter to two types, one user-key
+    * shuffle serving the binding window and the per-(user, conv)
+    * windows. Output: one row per attributed touch
+    * (userCol, conv_id, touch_id, halvings, credit_micros). */
+  def timeDecayAttribution(events: DataFrame, userCol: String,
+                           tsCol: String, ordCol: String, typeCol: String,
+                           touchType: String, convType: String,
+                           halfLifeSeconds: Long = 86400L): DataFrame = {
+    require(halfLifeSeconds >= 1, "need halfLifeSeconds >= 1")
+    val wNext = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(ordCol).asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val bound = events.select(col(userCol), col(ordCol), col(tsCol),
+        col(typeCol))
+      .filter(col(typeCol).isin(touchType, convType))
+      .withColumn("conv_id",
+        first(when(col(typeCol) === convType, col(ordCol)),
+          ignoreNulls = true).over(wNext))
+      .withColumn("conv_ts",
+        first(when(col(typeCol) === convType, col(tsCol)),
+          ignoreNulls = true).over(wNext))
+      .filter(col(typeCol) === touchType && col("conv_id").isNotNull)
+      .withColumn("halvings",
+        expr(s"(unix_timestamp(conv_ts) - unix_timestamp($tsCol))" +
+          s" div ${halfLifeSeconds}L"))
+      .withColumn("w",
+        expr("1000000L div cast(power(2.0, least(halvings, 20L))" +
+          " as long)"))
+    val wConv = Window.partitionBy(col(userCol), col("conv_id"))
+    val wLast = wConv.orderBy(col(tsCol).desc, col(ordCol).desc)
+    bound
+      .withColumn("sw", sum(col("w")).over(wConv))
+      .withColumn("base",
+        when(col("sw") > 0, expr("(1000000L * w) div sw"))
+          .otherwise(lit(0L)))
+      .withColumn("tot", sum(col("base")).over(wConv))
+      .withColumn("rn", row_number().over(wLast))
+      .select(col(userCol), col("conv_id"), col(ordCol).as("touch_id"),
+        col("halvings"),
+        (col("base") + when(col("rn") === 1,
+          lit(1000000L) - col("tot")).otherwise(lit(0L)))
+          .as("credit_micros"))
+  }
+
   /** ORDERED FUNNEL conversion — the other half of the product-analytics
     * pair with [[retentionCohorts]]: how many users complete each step
     * of `steps` IN ORDER (strictly later timestamps). A user's step-k

@@ -311,6 +311,28 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L, 0.9939), (2L, 3L, 0.9939)), got)
   }
 
+  test("timeDecayAttribution: 2-vs-1 half-life touches split 1:2 with " +
+    "the remainder micro on the closest, beyond-horizon touch " +
+    "degenerates to last-touch — hand-computed") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      (1L, 1L, ts(0), "click"), (1L, 2L, ts(86400), "click"),
+      (1L, 3L, ts(172800), "purchase"),
+      // user 2: single click 25 half-lives out -> w = 0, remainder
+      // hands it the full credit anyway
+      (2L, 10L, ts(0), "click"), (2L, 11L, ts(25L * 86400), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.timeDecayAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", touchType = "click",
+        convType = "purchase", halfLifeSeconds = 86400L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // user 1: w = (250000, 500000), shares 333333 / 666666 + 1
+    assert(got == Set(
+      (1L, 3L, 1L, 2L, 333333L),
+      (1L, 3L, 2L, 1L, 666667L),
+      (2L, 11L, 10L, 25L, 1000000L)), got)
+  }
+
   test("doremiMix: the hard domain takes the whole excess share plus " +
     "its uniform floor, the easy domain keeps only the floor — " +
     "hand-computed micros off exact unigram NLLs") {

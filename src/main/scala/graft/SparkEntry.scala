@@ -1582,6 +1582,15 @@ object SparkEntry {
         ("view", "signup")),
       gapSeconds = 1800L, steps = 6)
 
+  /** Rich-club coefficient of the session-transition graph at degree
+    * bars 1/2/4/8 — are the hub states preferentially interlinked.
+    * See [[graft.ops.Graph.richClub]]. */
+  private def qRichClub(s: SparkSession, dir: String): DataFrame =
+    Graph.richClub(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")),
+      ks = Seq(1L, 2L, 4L, 8L))
+
   /** Per-edge trussness tiering of the session-transition graph up to
     * k = 5 — the edge-sampling signal beside q169's node coreness.
     * See [[graft.ops.Graph.trussHierarchy]]. */
@@ -3084,6 +3093,7 @@ object SparkEntry {
     "q278_mutual_top1" -> (qMutualTopOne _),
     "q279_doremi_mix" -> (qDoremiMix _),
     "q280_time_decay_attribution" -> (qTimeDecayAttribution _),
+    "q281_rich_club" -> (qRichClub _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6306,6 +6316,39 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q281: mirrors Graph.richClub — q169's und edge canonicalization,
+    // exact degree/edge counts, HUGEINT-floored density per degree bar.
+    "q281_rich_club" ->
+      """WITH ev AS (SELECT user_id, event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events),
+         tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+               ORDER BY event_id ASC) AS src, k AS dst
+           FROM ev WHERE k IS NOT NULL),
+         und AS (SELECT DISTINCT least(src, dst) AS a,
+             greatest(src, dst) AS b
+           FROM tr WHERE src IS NOT NULL AND src <> dst),
+         nodes AS (SELECT a AS node FROM und
+           UNION ALL SELECT b FROM und),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM nodes GROUP BY 1),
+         ks AS (SELECT CAST(k AS BIGINT) AS k
+           FROM UNNEST([1, 2, 4, 8]) t(k)),
+         nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+           FROM ks, deg WHERE deg > k GROUP BY 1),
+         ed AS (SELECT da.deg AS da, db.deg AS db FROM und
+           JOIN deg da ON da.node = und.a
+           JOIN deg db ON db.node = und.b),
+         ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+           FROM ks, ed WHERE da > k AND db > k GROUP BY 1)
+         SELECT ks.k, COALESCE(nk.n_nodes, 0) AS n_nodes,
+           COALESCE(ek.n_edges, 0) AS n_edges,
+           CASE WHEN COALESCE(nk.n_nodes, 0) >= 2
+             THEN CAST((2000000 * CAST(COALESCE(ek.n_edges, 0)
+                 AS HUGEINT))
+               // (CAST(nk.n_nodes AS HUGEINT) * (nk.n_nodes - 1))
+               AS BIGINT) END AS phi_micros
+         FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)""",
     // q280: mirrors Events.timeDecayAttribution — q135's journey
     // binding, power-of-two halvings (exact), floored shares with the
     // remainder to the closest touch.

@@ -240,6 +240,56 @@ object Graph {
     c.select(col("node"), col("c").as("coreness"))
   }
 
+  /** RICH-CLUB COEFFICIENT (Zhou & Mondragón 2004) — do the hubs talk
+    * to each other? For each degree bar k, restrict to nodes with
+    * degree > k and report φ(k) = 2·E_k / (N_k·(N_k−1)) — the edge
+    * density of the hub subgraph. A rising φ(k) (hubs preferentially
+    * interlinked — the "rich club") changes how failures and influence
+    * propagate; the global-structure read beside q177's assortativity
+    * scalar and q169's per-node coreness.
+    *
+    * Determinism: exact integer degree/edge counts; φ floors to micros
+    * on the decimal(38,0) ladder (N_k² tops int64 past ~3e9 nodes).
+    * N_k < 2 → NULL φ (density undefined), never a fabricated 0.
+    *
+    * Scale shape: one degree agg, one double deg-join on the edge
+    * relation, one bounded |ks|× explode into combinable counts —
+    * no iteration, no per-k subgraph materialization. Output: one row
+    * per k (k, n_nodes, n_edges, phi_micros). */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), "need ks >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = undirectedSimple(edges).localCheckpoint(eager = false)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val spine = ks.toDF("k")
+    val nodesK = deg.crossJoin(broadcast(spine))
+      .filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val edgesK = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")),
+        Seq("b"))
+      .crossJoin(broadcast(spine))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    spine
+      .join(nodesK, Seq("k"), "left")
+      .join(edgesK, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_micros",
+        when(col("n_nodes") >= 2,
+          expr("try_cast((2000000L * cast(n_edges as decimal(38,0)))" +
+            " div (cast(n_nodes as decimal(38,0)) * (n_nodes - 1))" +
+            " as bigint)")))
+  }
+
   /** Per-edge triangle SUPPORT of an undirected simple (a, b) edge
     * relation — the [[triangleCounts]] enumeration (degree-ordered
     * orientation, each triangle found once at its orientation-minimal

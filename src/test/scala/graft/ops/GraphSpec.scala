@@ -495,4 +495,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 0L, 0L), (1L, 0L, 0L), (2L, 0L, 0L)),
       got.toSeq)
   }
+
+  test("richClub: triangle hub with leaves — phi = 1.0 at every bar " +
+    "that keeps >= 2 hubs, NULL once only one node survives " +
+    "(hand-computed)") {
+    // clique {1,2,3} plus leaves: deg 1:4, 2:3, 3:2, leaves 1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 10L), (1L, 11L), (2L, 12L)).toDF("src", "dst")
+    val got = Graph.richClub(e, ks = Seq(1L, 2L, 3L))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 3L, Some(1000000L))), got(1L))
+    assert(got(2L) == ((2L, 2L, 1L, Some(1000000L))), got(2L))
+    assert(got(3L) == ((3L, 1L, 0L, None)), got(3L))
+  }
 }

@@ -2742,6 +2742,25 @@ object SparkEntry {
     DataQuality.anovaF(t(s, dir, "events"), col("event_type"),
       col("value"))
 
+  /** Cochran's Q across three paired document screens (q23 langid=en,
+    * length >= 300, word count >= 50) — do the k labelers fire at the
+    * same rate. See [[graft.ops.DataQuality.cochranQ]]. */
+  private def qCochranQ(s: SparkSession, dir: String): DataFrame =
+    DataQuality.cochranQ(t(s, dir, "documents"), Seq(
+      TextAnalysis.langId(col("text")) === "en",
+      col("n_chars") >= 300,
+      size(split(col("text"), " ")) >= 50))
+
+  /** Order-2 session Markov funnel: bigram states "a>b" with absorbing
+    * purchase — the immediate-history conversion read q257's order-1
+    * chain averages away. See
+    * [[graft.ops.Events.sessionMarkovFunnel2]]. */
+  private def qSessionMarkovFunnel2(s: SparkSession, dir: String)
+      : DataFrame =
+    Events.sessionMarkovFunnel2(Events.load(s, dir), "user_id", "ts",
+      "event_id", "event_type", convType = "purchase",
+      gapSeconds = 1800L, steps = 8)
+
   /** Kruskal–Wallis H across event types on the value metric: the
     * rank-based k-group location test beside q272's mean-based F.
     * See [[graft.ops.DataQuality.kruskalWallis]]. */
@@ -3094,6 +3113,8 @@ object SparkEntry {
     "q279_doremi_mix" -> (qDoremiMix _),
     "q280_time_decay_attribution" -> (qTimeDecayAttribution _),
     "q281_rich_club" -> (qRichClub _),
+    "q282_cochran_q" -> (qCochranQ _),
+    "q283_session_markov2" -> (qSessionMarkovFunnel2 _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6316,6 +6337,91 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q282: mirrors DataQuality.cochranQ — q209's langid pairing plus
+    // two deterministic screens; exact integer sums, HUGEINT squares,
+    // one mirrored double division.
+    "q282_cochran_q" -> {
+      s"""WITH $langIdCtes,
+         f AS (SELECT
+             CASE WHEN p.pred_lang = 'en' THEN 1 ELSE 0 END AS x0,
+             CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS x1,
+             CASE WHEN len(string_split(d.text, ' ')) >= 50
+               THEN 1 ELSE 0 END AS x2
+           FROM pred p JOIN documents d USING (doc_id)),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x0) AS BIGINT) AS c0,
+             CAST(sum(x1) AS BIGINT) AS c1,
+             CAST(sum(x2) AS BIGINT) AS c2,
+             CAST(sum(x0 + x1 + x2) AS BIGINT) AS sr,
+             CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT)
+               AS sr2
+           FROM f)
+         SELECT CAST(3 AS BIGINT) AS k, n,
+           round(CASE WHEN 3 * sr - sr2 > 0
+             THEN CAST(2 * (3 * (CAST(c0 AS HUGEINT) * c0
+                   + CAST(c1 AS HUGEINT) * c1
+                   + CAST(c2 AS HUGEINT) * c2)
+                 - CAST(c0 + c1 + c2 AS HUGEINT) * (c0 + c1 + c2))
+                 AS DOUBLE)
+               / CAST(3 * sr - sr2 AS DOUBLE) END, 4) AS q_stat
+         FROM a"""
+    },
+    // q283: mirrors Events.sessionMarkovFunnel2 — the q257 step chain
+    // over bigram states (in-session triples, absorbing state encoded
+    // under the plain conversion name).
+    "q283_session_markov2" -> {
+      val head =
+        """seq AS (SELECT user_id, event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             CAST(epoch(date_trunc('second', lead(ts, 1) OVER w))
+                 AS BIGINT)
+               - CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS g1,
+             CAST(epoch(date_trunc('second', lead(ts, 2) OVER w))
+                 AS BIGINT)
+               - CAST(epoch(date_trunc('second', lead(ts, 1) OVER w))
+                 AS BIGINT) AS g2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC)),
+         pr AS (SELECT t0 || '>' || t1 AS from_type,
+             CASE WHEN t2 = 'purchase' THEN 'purchase'
+               ELSE t1 || '>' || t2 END AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+             AND g1 <= 1800 AND g2 <= 1800 AND t1 <> 'purchase'
+           GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM pr
+           GROUP BY 1),
+         p AS MATERIALIZED (SELECT pr.from_type, to_type,
+             (n * 1000000) // tot AS p_micros
+           FROM pr JOIN t ON pr.from_type = t.from_type),
+         pc AS MATERIALIZED (SELECT from_type AS state,
+             COALESCE(max(CASE WHEN to_type = 'purchase'
+               THEN p_micros END), 0) AS pconv
+           FROM p GROUP BY 1),
+         q AS (SELECT from_type, to_type, p_micros FROM p
+           WHERE to_type <> 'purchase'),
+         s1 AS MATERIALIZED (SELECT state, pconv AS c,
+           CAST(0 AS BIGINT) AS sacc FROM pc)"""
+      val stepCtes = (2 to 8).map { h =>
+        s"""s$h AS MATERIALIZED (SELECT pc.state,
+             pc.pconv + COALESCE(inc.i, 0) AS c,
+             pr.sacc + pr.c AS sacc
+           FROM pc JOIN s${h - 1} pr ON pr.state = pc.state
+           LEFT JOIN (SELECT q.from_type AS st,
+               CAST(sum((q.p_micros * cc.c) // 1000000) AS BIGINT) AS i
+             FROM q JOIN s${h - 1} cc ON cc.state = q.to_type
+             GROUP BY 1) inc ON inc.st = pc.state)"""
+      }.mkString(",\n         ")
+      s"""WITH $head,
+         $stepCtes
+         SELECT state, CAST(c AS BIGINT) AS conv_micros,
+           CASE WHEN c > 0
+             THEN CAST((1000000 * (8 * c - sacc)) // c AS BIGINT)
+           END AS exp_steps_cond_micros
+         FROM s8"""
+    },
     // q281: mirrors Graph.richClub — q169's und edge canonicalization,
     // exact degree/edge counts, HUGEINT-floored density per degree bar.
     "q281_rich_club" ->

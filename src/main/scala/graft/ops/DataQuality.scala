@@ -1421,6 +1421,50 @@ object DataQuality {
           .as("eta_sq"))
   }
 
+  /** COCHRAN'S Q (Cochran 1950) — "do these k paired binary labelers
+    * fire at the same rate", the k-labeler generalization of
+    * [[mcnemar]] (k = 2 reduces to it): over n rows each labeled by
+    * all k flags, Q = (k−1)·(k·ΣC_j² − (ΣC_j)²)/(k·ΣR_i − ΣR_i²) with
+    * C_j the per-labeler totals and R_i the per-row success counts.
+    * The ensemble-QA gate when a curation pipeline runs several
+    * quality screens over the same documents: high Q says the screens
+    * disagree SYSTEMATICALLY (one over-fires), not just noisily.
+    *
+    * Determinism: all sums are exact integers (C_j² on the
+    * decimal(38,0) ladder); Q is ONE mirrored double division,
+    * round-4. Degenerate denominator (every row unanimous — all 0s or
+    * all ks) → NULL. Rows with ANY null flag are dropped (a paired
+    * test needs complete rows).
+    *
+    * Scale shape: ONE combinable (k+3)-column agg; 1-row card. */
+  def cochranQ(df: DataFrame, flags: Seq[Column]): DataFrame = {
+    require(flags.size >= 2, "need at least two labelers")
+    val k = flags.size
+    val named = df.select(flags.zipWithIndex.map { case (f, i) =>
+      f.cast("boolean").as(s"f$i") }: _*)
+    val base = named
+      .filter((0 until k).map(i => col(s"f$i").isNotNull)
+        .reduce(_ && _))
+      .select((0 until k).map(i =>
+        col(s"f$i").cast("long").as(s"x$i")) :+
+        (0 until k).map(i => col(s"f$i").cast("long"))
+          .reduce(_ + _).as("r"): _*)
+    val aggs = (0 until k).map(i => sum(col(s"x$i")).as(s"c$i")) ++
+      Seq(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+        sum(col("r") * col("r")).as("sr2"))
+    val a = base.agg(aggs.head, aggs.tail: _*)
+    val sc2 = (0 until k).map(i =>
+      col(s"c$i").cast("decimal(38,0)") * col(s"c$i")).reduce(_ + _)
+    val sc = (0 until k).map(i => col(s"c$i")).reduce(_ + _)
+    a.select(lit(k.toLong).as("k"), col("n"),
+      round(when(lit(k.toLong) * col("sr") - col("sr2") > 0,
+        (lit((k - 1).toLong).cast("decimal(38,0)") *
+          (lit(k.toLong) * sc2 - sc.cast("decimal(38,0)") * sc))
+          .cast("double") /
+          (lit(k.toLong) * col("sr") - col("sr2")).cast("double")), 4)
+        .as("q_stat"))
+  }
+
   /** KRUSKAL–WALLIS H (Kruskal & Wallis 1952) — the RANK-based k-group
     * location test: [[anovaF]] without the normality/variance
     * assumptions (heavy-tailed engagement metrics are exactly where

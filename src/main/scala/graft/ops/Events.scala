@@ -2436,6 +2436,62 @@ object Events {
           .as("exp_steps_cond_micros"))
   }
 
+  /** ORDER-2 session Markov funnel — [[sessionMarkovFunnel]] with
+    * BIGRAM states: the chain state is the last TWO event types
+    * ("a>b"), so the conversion read conditions on the immediate
+    * history ("a view after a click" vs "a view after an error" can
+    * carry very different conversion odds — exactly what an order-1
+    * chain averages away). Transitions run over in-session triples
+    * a→b→c (both gaps ≤ `gapSeconds`): state "a>b" steps to "b>c", or
+    * to the absorbing `convType` when c converts; states whose second
+    * element is the conversion are absorbing (their outgoing rows are
+    * dropped — the q257 contract lifted one order up, with the
+    * absorbing state ENCODED under the plain `convType` name so the
+    * H-step recurrence is [[chainConv]] verbatim).
+    *
+    * Same integer contract as q257 (floored transition micros, exact
+    * step recurrence, Abel-summed conditional expectation); the state
+    * space is ≤ |types|² + 1 — still broadcast-class. Output:
+    * (state "a>b", conv_micros, exp_steps_cond_micros). */
+  def sessionMarkovFunnel2(events: DataFrame, userCol: String,
+                           tsCol: String, ordCol: String,
+                           typeCol: String, convType: String,
+                           gapSeconds: Long = 1800L, steps: Int = 8)
+      : DataFrame = {
+    require(steps >= 1 && gapSeconds >= 0,
+      "need steps >= 1, gapSeconds >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    val triples = events
+      .select(col(typeCol).as("t0"),
+        lead(col(typeCol), 1).over(w).as("t1"),
+        lead(col(typeCol), 2).over(w).as("t2"),
+        (unix_timestamp(lead(col(tsCol), 1).over(w)) -
+          unix_timestamp(col(tsCol))).as("g1"),
+        (unix_timestamp(lead(col(tsCol), 2).over(w)) -
+          unix_timestamp(lead(col(tsCol), 1).over(w))).as("g2"))
+      .filter(col("t1").isNotNull && col("t2").isNotNull &&
+        col("g1") <= gapSeconds && col("g2") <= gapSeconds &&
+        col("t1") =!= convType)
+      .select(concat(col("t0"), lit(">"), col("t1")).as("from_type"),
+        when(col("t2") === convType, lit(convType))
+          .otherwise(concat(col("t1"), lit(">"), col("t2")))
+          .as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = triples.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("tot"))
+    val p = triples.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("n * 1000000L div tot").as("p_micros"))
+      .localCheckpoint(eager = false)
+    chainConv(p, convType, steps, Nil)
+      .select(col("state"), col("c").as("conv_micros"),
+        when(col("c") > 0,
+          expr(s"(1000000L * ($steps * c - sacc)) div c"))
+          .as("exp_steps_cond_micros"))
+  }
+
   /** Shapley coalition weight in micros: round(1e6 · s!(n−1−s)!/n!) —
     * shared with the oracle as build-time constants (q165 idiom). */
   private[graft] def shapleyWeightMicros(n: Int, s: Int): Long = {

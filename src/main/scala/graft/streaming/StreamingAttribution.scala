@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.Events
+
+/** Streaming face of [[graft.ops.Events.timeDecayAttribution]] (q280) —
+  * attribution is a pure function of a user's event history, so the
+  * streaming form is per-user RECOMPUTE-ON-TOUCH: each micro-batch
+  * appends its events to a batch_id-partitioned archive (the
+  * StreamingDedup replay discipline — a replayed batch rewrites its own
+  * partition), then recomputes credits ONLY for users present in the
+  * batch (left-semi against the archive) and writes them under the
+  * batch's partition. The live view is LATEST-WINS PER USER.
+  *
+  * Why latest-wins is exact (StreamingAttributionSpec pins it): a
+  * recompute always runs over the user's FULL history-so-far, and q280
+  * credits are append-monotone — a new touch binds to its NEXT
+  * conversion, so rows for already-converted journeys never change and
+  * a later recompute's output is a superset of every earlier one. The
+  * per-user latest snapshot therefore equals the batch face over the
+  * same events, row for row.
+  *
+  * Scale shape per trigger: one bounded batch write, one left-semi
+  * prune of the archive down to the batch's users (partition-pruned by
+  * batch_id on the time axis; at real scale the archive is additionally
+  * user-bucketed so the semi-join is storage-pruned), then q280's
+  * two-window plan over only those users' histories — never a full
+  * corpus recompute. */
+object StreamingAttribution {
+
+  def timeDecay(stream: DataFrame, userCol: String, tsCol: String,
+                ordCol: String, typeCol: String, touchType: String,
+                convType: String, eventsDir: String, creditsDir: String,
+                checkpointDir: String,
+                halfLifeSeconds: Long = 86400L): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, userCol, tsCol, ordCol, typeCol,
+          touchType, convType, eventsDir, creditsDir, halfLifeSeconds)
+      }
+      .start()
+
+  /** One attribution round — also the non-streaming entry a scheduled
+    * ingest calls with its own batch ids. */
+  def applyBatch(batch: DataFrame, batchId: Long, userCol: String,
+                 tsCol: String, ordCol: String, typeCol: String,
+                 touchType: String, convType: String, eventsDir: String,
+                 creditsDir: String, halfLifeSeconds: Long): Unit = {
+    val spark = batch.sparkSession
+    batch.select(col(userCol), col(tsCol), col(ordCol), col(typeCol))
+      .write.mode("overwrite").parquet(s"$eventsDir/batch_id=$batchId")
+    val users = batch.select(col(userCol)).distinct()
+    val hist = spark.read.parquet(eventsDir)
+      .filter(col("batch_id") <= batchId)
+      .join(users, Seq(userCol), "left_semi")
+      .select(col(userCol), col(tsCol), col(ordCol), col(typeCol))
+    Events.timeDecayAttribution(hist, userCol, tsCol, ordCol, typeCol,
+        touchType, convType, halfLifeSeconds)
+      .write.mode("overwrite").parquet(s"$creditsDir/batch_id=$batchId")
+  }
+
+  /** Latest-wins live view: per user, the credit rows of that user's
+    * most recent recompute (exact vs the batch face — see scaladoc). */
+  def currentCredits(spark: SparkSession, creditsDir: String,
+                     userCol: String): DataFrame = {
+    val all = spark.read.parquet(creditsDir)
+    val latest = all.groupBy(col(userCol))
+      .agg(max(col("batch_id")).as("batch_id"))
+    all.join(latest, Seq(userCol, "batch_id")).drop("batch_id")
+  }
+}

@@ -373,4 +373,20 @@ class DataQualitySpec extends AnyFunSuite {
     // 4 rows at risk -> rate 4e6 div 7 = 571428
     assert(got == (("qi1,qi2", 7L, 3L, 0L, 2L, 4L, 571428L)), got)
   }
+
+  test("cochranQ: C = (3,2,1) over 4 rows reads Q = 12/4 = 3 exactly; " +
+    "unanimous rows degenerate to NULL (hand-computed)") {
+    val rows = Seq((true, true, true), (true, false, false),
+      (true, true, false), (false, false, false))
+      .toDF("a", "b", "c")
+    val got = DataQuality.cochranQ(rows, Seq(col("a"), col("b"),
+        col("c")))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((3L, 4L, Some(3.0))), got)
+    val degen = DataQuality.cochranQ(
+        Seq((true, true, true), (false, false, false)).toDF("a", "b",
+          "c"), Seq(col("a"), col("b"), col("c")))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(degen == ((3L, 2L, None)), degen)
+  }
 }

@@ -311,6 +311,34 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L, 0.9939), (2L, 3L, 0.9939)), got)
   }
 
+  test("sessionMarkovFunnel2: bigram state A>B splits 1/3 direct vs " +
+    "2/3 through B>C, conditional expectation 5/3 steps; " +
+    "out-of-session triple is cut — hand-computed micros") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      (1L, 0L, ts(0), "A"), (1L, 1L, ts(10), "B"),
+      (1L, 2L, ts(20), "purchase"),
+      (2L, 0L, ts(0), "A"), (2L, 1L, ts(10), "B"), (2L, 2L, ts(20), "C"),
+      // u3: only a pair (no triple) -> contributes nothing
+      (3L, 0L, ts(0), "B"), (3L, 1L, ts(10), "purchase"),
+      // u4: triple straddles the session gap (g2 = 4990 s) -> cut
+      (4L, 0L, ts(0), "A"), (4L, 1L, ts(10), "B"), (4L, 2L, ts(5000), "C"),
+      // u5: A,B,C,purchase -> A>B -> B>C -> purchase
+      (5L, 0L, ts(0), "A"), (5L, 1L, ts(10), "B"), (5L, 2L, ts(20), "C"),
+      (5L, 3L, ts(30), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.sessionMarkovFunnel2(ev, "user_id", "ts",
+        "event_id", "event_type", convType = "purchase",
+        gapSeconds = 1800L, steps = 8)
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // A>B: p(conv)=1/3, p(B>C)=2/3; B>C converts in 1 -> c = 999999,
+    // E = (333333*1 + 666666*2)/999999 = 1666666 micros (floored)
+    assert(got == Map(
+      "A>B" -> ((999999L, Some(1666666L))),
+      "B>C" -> ((1000000L, Some(1000000L)))), got)
+  }
+
   test("timeDecayAttribution: 2-vs-1 half-life touches split 1:2 with " +
     "the remainder micro on the closest, beyond-horizon touch " +
     "degenerates to last-touch — hand-computed") {

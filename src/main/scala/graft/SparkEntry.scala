@@ -2742,6 +2742,14 @@ object SparkEntry {
     DataQuality.anovaF(t(s, dir, "events"), col("event_type"),
       col("value"))
 
+  /** Hoover (Robin Hood) index of spend per user within each event
+    * type — the share of mass that would have to move to equalize,
+    * sort-free and all-integer. See
+    * [[graft.ops.Events.hooverIndex]]. */
+  private def qHooverIndex(s: SparkSession, dir: String): DataFrame =
+    Events.hooverIndex(t(s, dir, "events"), "event_type", "user_id",
+      "value")
+
   /** Cochran's Q across three paired document screens (q23 langid=en,
     * length >= 300, word count >= 50) — do the k labelers fire at the
     * same rate. See [[graft.ops.DataQuality.cochranQ]]. */
@@ -3115,6 +3123,7 @@ object SparkEntry {
     "q281_rich_club" -> (qRichClub _),
     "q282_cochran_q" -> (qCochranQ _),
     "q283_session_markov2" -> (qSessionMarkovFunnel2 _),
+    "q284_hoover_index" -> (qHooverIndex _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6337,6 +6346,27 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q284: mirrors Events.hooverIndex — q152's entity rollup, the
+    // |n*x - S| dev ladder in HUGEINT, one non-negative floor division.
+    "q284_hoover_index" ->
+      """WITH per AS (SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+           FROM per GROUP BY 1),
+         d AS (SELECT per.event_type, st.n, st.sx,
+             abs(CAST(st.n AS HUGEINT) * per.x - st.sx) AS dev
+           FROM per JOIN st USING (event_type)),
+         a AS (SELECT event_type, max(n) AS n,
+             CAST(max(sx) AS BIGINT) AS total_cents, sum(dev) AS dev
+           FROM d GROUP BY 1)
+         SELECT event_type, n, total_cents,
+           CASE WHEN total_cents > 0
+             THEN CAST((1000000 * dev)
+               // (2 * CAST(n AS HUGEINT) * total_cents) AS BIGINT)
+           END AS hoover_micros
+         FROM a""",
     // q282: mirrors DataQuality.cochranQ — q209's langid pairing plus
     // two deterministic screens; exact integer sums, HUGEINT squares,
     // one mirrored double division.

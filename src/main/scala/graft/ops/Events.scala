@@ -653,6 +653,38 @@ object Events {
           .as("gini_micros"))
   }
 
+  /** HOOVER (Robin Hood) INDEX per group — the third inequality lens
+    * beside [[giniConcentration]] (q152) and the Lorenz deciles
+    * (q154), with the most actionable reading: the SHARE OF TOTAL MASS
+    * that would have to move to equalize everyone —
+    * H = Σ|x_i − μ| / (2·Σx), the maximum vertical gap of the Lorenz
+    * curve. A mixture/capping decision ("how much of the corpus sits
+    * in the wrong place") consumes this number directly, where Gini
+    * only ranks severity.
+    *
+    * ALL-INTEGER, no sort: |n·x_i − S| avoids the mean division (the
+    * q258 dev trick), sums on the decimal(38,0) ladder, and
+    * H = (1e6·Σ|n·x − S|) div (2·n·S) is one non-negative floor
+    * division — unlike Gini's rank identity this needs NO window at
+    * all, so it is the cheapest of the three at scale (one entity agg,
+    * one combinable group agg). Zero-total groups emit NULL. */
+  def hooverIndex(events: DataFrame, groupCol: String, entityCol: String,
+                  valCol: String): DataFrame = {
+    val per = events.groupBy(col(groupCol), col(entityCol))
+      .agg(sum(round(col(valCol) * 100).cast("long")).as("x"))
+    val st = per.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    per.join(broadcast(st), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), max(col("sx")).as("total_cents"),
+        sum(abs(col("n").cast("decimal(38,0)") * col("x") - col("sx")))
+          .as("dev"))
+      .select(col(groupCol), col("n"), col("total_cents"),
+        when(col("total_cents") > 0,
+          expr("(1000000L * dev) div (2 * cast(n as decimal(38,0))" +
+            " * total_cents)").cast("long")).as("hoover_micros"))
+  }
+
   /** AUTOCORRELATION of the daily count series per group at lags 1..k —
     * the seasonality probe behind every volume-anomaly monitor (a
     * strong lag-7 says weekly rhythm; a collapse at lag 1 says the

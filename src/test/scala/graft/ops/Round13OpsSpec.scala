@@ -311,6 +311,24 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L, 0.9939), (2L, 3L, 0.9939)), got)
   }
 
+  test("hooverIndex: {1,1,6} cents reads 5/12 exactly (move 20/48 of " +
+    "mass), equal split reads 0, zero-total group reads NULL — " +
+    "hand-computed") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      ("A", 1L, ts(0), 0.01), ("A", 2L, ts(1), 0.01),
+      ("A", 3L, ts(2), 0.06),
+      ("B", 1L, ts(0), 0.02), ("B", 2L, ts(1), 0.02),
+      ("C", 1L, ts(0), 0.0)
+    ).toDF("event_type", "user_id", "ts", "value")
+    val got = Events.hooverIndex(ev, "event_type", "user_id", "value")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 3L, 8L, Some(416666L))), got("A"))
+    assert(got("B") == (("B", 2L, 4L, Some(0L))), got("B"))
+    assert(got("C") == (("C", 1L, 0L, None)), got("C"))
+  }
+
   test("sessionMarkovFunnel2: bigram state A>B splits 1/3 direct vs " +
     "2/3 through B>C, conditional expectation 5/3 steps; " +
     "out-of-session triple is cut — hand-computed micros") {

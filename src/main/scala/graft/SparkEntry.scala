@@ -2742,6 +2742,14 @@ object SparkEntry {
     DataQuality.anovaF(t(s, dir, "events"), col("event_type"),
       col("value"))
 
+  /** Chance-corrected label purity of the q278 mutual top-1 pairs:
+    * same-label share vs the marginal-agreement baseline — the
+    * embedding-separation quality card. See
+    * [[graft.ops.Similarity.mutualPairPurity]]. */
+  private def qMutualPairPurity(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualPairPurity(t(s, dir, "embeddings"), "vec_id",
+      "embedding", "label", stride = 10)
+
   /** Hoover (Robin Hood) index of spend per user within each event
     * type — the share of mass that would have to move to equalize,
     * sort-free and all-integer. See
@@ -3124,6 +3132,7 @@ object SparkEntry {
     "q282_cochran_q" -> (qCochranQ _),
     "q283_session_markov2" -> (qSessionMarkovFunnel2 _),
     "q284_hoover_index" -> (qHooverIndex _),
+    "q285_mutual_pair_purity" -> (qMutualPairPurity _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6346,6 +6355,46 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
+    // q285: mirrors Similarity.mutualPairPurity — q278's mutual pairs
+    // with label lookups, exact agreement + marginal-squares chance,
+    // signed subtraction only.
+    "q285_mutual_pair_purity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           label
+           FROM embeddings WHERE vec_id % 10 = 0),
+         pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+             round(list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(e.v, e.v))), 4) + 0.0 AS cos
+           FROM e, e q WHERE e.vec_id <> q.vec_id),
+         best AS (SELECT query_id, cand_id FROM
+           (SELECT query_id, cand_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rn FROM pairs)
+           WHERE rn = 1),
+         mp AS (SELECT a.query_id AS id_a, a.cand_id AS id_b
+           FROM best a JOIN best b
+             ON b.query_id = a.cand_id AND b.cand_id = a.query_id
+           WHERE a.query_id < a.cand_id),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(sum(CASE WHEN la.label = lb.label
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_agree
+           FROM mp JOIN e la ON la.vec_id = mp.id_a
+             JOIN e lb ON lb.vec_id = mp.id_b),
+         mg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(c AS HUGEINT) * c) AS c2
+           FROM (SELECT label, CAST(count(*) AS BIGINT) AS c FROM e
+             GROUP BY 1))
+         SELECT n_pairs, n_agree,
+           CASE WHEN n_pairs > 0
+             THEN (1000000 * n_agree) // n_pairs END AS purity_micros,
+           CAST((1000000 * c2) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+             AS chance_micros,
+           (CASE WHEN n_pairs > 0
+             THEN (1000000 * n_agree) // n_pairs END)
+           - CAST((1000000 * c2) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+             AS lift_micros
+         FROM ag, mg""",
     // q284: mirrors Events.hooverIndex — q152's entity rollup, the
     // |n*x - S| dev ladder in HUGEINT, one non-negative floor division.
     "q284_hoover_index" ->

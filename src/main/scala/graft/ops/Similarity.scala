@@ -93,6 +93,54 @@ object Similarity {
         col("cos"))
   }
 
+  /** MUTUAL-PAIR LABEL PURITY — the chance-corrected quality read of
+    * [[mutualTopOne]]'s pairing: of the reciprocal best-match pairs,
+    * what share joins two SAME-label vectors, and how far above luck
+    * is that? Chance = Σ_l p_l² (the probability two independent draws
+    * from the subset's label marginals agree — the q209 p_e idea on
+    * pairs); lift = purity − chance is the signed SUBTRACTION of two
+    * floored micros (no signed division — the q238 idiom). The
+    * embedding-space sibling of a clustering purity card: if mutual
+    * pairs aren't label-pure far above chance, the embedding isn't
+    * separating the classes and every downstream kNN/dedup decision
+    * inherits that.
+    *
+    * Determinism: pairs are the q278 contract; agreement and marginal
+    * counts are exact integers; purity = (1e6·agree) div n_pairs,
+    * chance = (1e6·Σc_l²) div n², both non-negative floors. No pairs
+    * → NULL purity/lift, never 0/0.
+    *
+    * Scale shape: [[mutualTopOne]]'s cost class plus two broadcast
+    * label lookups and one label-marginal agg. Output: one row
+    * (n_pairs, n_agree, purity_micros, chance_micros, lift_micros). */
+  def mutualPairPurity(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, stride: Long = 10): DataFrame = {
+    val pairs = mutualTopOne(emb, idCol, vecCol, stride)
+    val labels = emb.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("__id"), col(labelCol).as("__l"))
+      .localCheckpoint(eager = false)
+    val agree = pairs
+      .join(broadcast(labels.select(col("__id").as("id_a"),
+        col("__l").as("la"))), Seq("id_a"))
+      .join(broadcast(labels.select(col("__id").as("id_b"),
+        col("__l").as("lb"))), Seq("id_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("la") === col("lb")).cast("long")).as("n_agree"))
+    val marg = labels.groupBy(col("__l"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("c2"))
+    agree.crossJoin(broadcast(marg))
+      .select(col("n_pairs"), coalesce(col("n_agree"), lit(0L))
+          .as("n_agree"),
+        when(col("n_pairs") > 0,
+          expr("(1000000L * n_agree) div n_pairs")).as("purity_micros"),
+        expr("try_cast((1000000L * c2) div (cast(n as decimal(38,0))" +
+          " * n) as bigint)").as("chance_micros"))
+      .withColumn("lift_micros",
+        col("purity_micros") - col("chance_micros"))
+  }
+
   /** MATRYOSHKA TRUNCATION EVAL (Kusupati et al. 2022's MRL read) —
     * "can we store the first d dims and keep retrieval": for each
     * truncation d, rank by cosine over the PREFIX d components and

@@ -401,6 +401,22 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(eq.forall(_._5 == 500000L), eq.toSeq)
   }
 
+  test("mutualPairPurity: one same-label and one cross-label mutual " +
+    "pair read purity 1/2 over chance 7/25 — hand-computed micros") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), "x"), (1L, Seq(0.9, 0.1), "x"),
+      (2L, Seq(0.0, 1.0), "y"), (3L, Seq(0.1, 0.9), "z"),
+      (4L, Seq(0.8, 0.6), "w") // unmatched hub-adjacent vector
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mutualPairPurity(emb, "vec_id", "embedding",
+        "label", stride = 1)
+      .as[(Long, Long, Option[Long], Long, Option[Long])].collect().head
+    // pairs (0,1) agree, (2,3) differ: purity 500000;
+    // marginals (2,1,1,1)/5: chance = 7e6 div 25 = 280000; lift 220000
+    assert(got == ((2L, 1L, Some(500000L), 280000L, Some(220000L))),
+      got)
+  }
+
   test("mrlTruncationEval: a prefix-2 tie flips the top-1 away from " +
     "the full-dim winner (overlap 0), full-dim vs itself reads 1e6 — " +
     "hand-built geometry") {

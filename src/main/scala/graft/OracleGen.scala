@@ -475,6 +475,74 @@ object OracleGen {
             ORDER BY votes DESC, label ASC) AS vr FROM votes)
        WHERE vr = 1"""
 
+  /** The routed mutual-pairing CTE chain shared by the q278/q285
+    * oracles — the IVF routing replay over the stride subset
+    * (centroids = min-id subset rows, round-6 cosine assignment,
+    * cent_id tie-break; every member probes nProbe cells), round-4 +
+    * signed-zero cosine over probed members, per-query top-1, then the
+    * reciprocal self-join with a < b canonicalization. Yields CTEs
+    * `e(vec_id, v, label)` and `mp(id_a, id_b, cos)`. */
+  private def mutualRoutedCtes(stride: Long, nCentroids: Int,
+                               nProbe: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         FROM embeddings WHERE vec_id % $stride = 0),
+       cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         ORDER BY vec_id LIMIT $nCentroids),
+       rk AS (SELECT e.vec_id AS id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC)
+             AS rn
+         FROM e, cent c),
+       home AS (SELECT cent_id, id AS cand_id, v FROM rk WHERE rn = 1),
+       prb AS (SELECT cent_id, id AS query_id, v AS qv FROM rk
+         WHERE rn <= $nProbe),
+       p AS (SELECT query_id, cand_id, ${cosSql("qv", "v")} AS cos
+         FROM prb JOIN home USING (cent_id)
+         WHERE cand_id <> query_id),
+       best AS (SELECT query_id, cand_id, cos FROM
+           (SELECT query_id, cand_id, cos, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
+         WHERE rn = 1),
+       mp AS (SELECT a.query_id AS id_a, a.cand_id AS id_b, a.cos
+         FROM best a JOIN best b
+           ON b.query_id = a.cand_id AND b.cand_id = a.query_id
+         WHERE a.query_id < a.cand_id)"""
+
+  /** Oracle for `Similarity.mutualTopOneRouted` (q278): the routed
+    * pairing CTEs, pair rows out. */
+  def mutualTopOneRoutedSql(stride: Long, nCentroids: Int,
+                            nProbe: Int): String =
+    s"""WITH ${mutualRoutedCtes(stride, nCentroids, nProbe)}
+       SELECT id_a, id_b, cos FROM mp"""
+
+  /** Oracle for `Similarity.mutualPairPurity` (q285): the routed
+    * pairing CTEs, label lookups on both pair ends, exact agreement +
+    * marginal-squares chance, signed subtraction only (the q238
+    * idiom). */
+  def mutualPairPurityRoutedSql(stride: Long, nCentroids: Int,
+                                nProbe: Int): String =
+    s"""WITH ${mutualRoutedCtes(stride, nCentroids, nProbe)},
+       ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(sum(CASE WHEN la.label = lb.label
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_agree
+         FROM mp JOIN e la ON la.vec_id = mp.id_a
+           JOIN e lb ON lb.vec_id = mp.id_b),
+       mg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           sum(CAST(c AS HUGEINT) * c) AS c2
+         FROM (SELECT label, CAST(count(*) AS BIGINT) AS c FROM e
+           GROUP BY 1))
+       SELECT n_pairs, n_agree,
+         CASE WHEN n_pairs > 0
+           THEN (1000000 * n_agree) // n_pairs END AS purity_micros,
+         CAST((1000000 * c2) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+           AS chance_micros,
+         (CASE WHEN n_pairs > 0
+           THEN (1000000 * n_agree) // n_pairs END)
+         - CAST((1000000 * c2) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+           AS lift_micros
+       FROM ag, mg"""
+
   /** Oracle for `Similarity.kCenterSelect` (q192): the Gonzalez greedy
     * loop unrolled — seed = min id, each step a min-over-selected of
     * the per-pair rounded L2 micros, then a (dm DESC, id ASC) top-1.

@@ -2713,11 +2713,13 @@ object SparkEntry {
       col("n_chars"))
 
   /** Mutual top-1 (reciprocal best match) pairs on the stride-10
-    * embedding subset — the hub-free high-precision pairing bitext
-    * mining seeds from. See [[graft.ops.Similarity.mutualTopOne]]. */
+    * embedding subset, IVF-cell-routed — the hub-free high-precision
+    * pairing bitext mining seeds from, with the pair stage routed
+    * through the coarse quantizer instead of the (N/stride)² brute
+    * self-join. See [[graft.ops.Similarity.mutualTopOneRouted]]. */
   private def qMutualTopOne(s: SparkSession, dir: String): DataFrame =
-    Similarity.mutualTopOne(t(s, dir, "embeddings"), "vec_id",
-      "embedding", stride = 10)
+    Similarity.mutualTopOneRouted(t(s, dir, "embeddings"), "vec_id",
+      "embedding", stride = 10, nCentroids = 16, nProbe = 4)
 
   /** l-diversity audit of the q221 quasi-identifier classes against
     * the account-balance band as the sensitive attribute — the
@@ -2742,13 +2744,13 @@ object SparkEntry {
     DataQuality.anovaF(t(s, dir, "events"), col("event_type"),
       col("value"))
 
-  /** Chance-corrected label purity of the q278 mutual top-1 pairs:
-    * same-label share vs the marginal-agreement baseline — the
+  /** Chance-corrected label purity of the q278 routed mutual top-1
+    * pairs: same-label share vs the marginal-agreement baseline — the
     * embedding-separation quality card. See
     * [[graft.ops.Similarity.mutualPairPurity]]. */
   private def qMutualPairPurity(s: SparkSession, dir: String): DataFrame =
     Similarity.mutualPairPurity(t(s, dir, "embeddings"), "vec_id",
-      "embedding", "label", stride = 10)
+      "embedding", "label", stride = 10, nCentroids = 16, nProbe = 4)
 
   /** Hoover (Robin Hood) index of spend per user within each event
     * type — the share of mass that would have to move to equalize,
@@ -6355,46 +6357,12 @@ object SparkEntry {
            THEN CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) END, 4)
            AS eta_sq
        FROM q""",
-    // q285: mirrors Similarity.mutualPairPurity — q278's mutual pairs
-    // with label lookups, exact agreement + marginal-squares chance,
-    // signed subtraction only.
+    // q285: mirrors Similarity.mutualPairPurity — q278's ROUTED mutual
+    // pairs with label lookups, exact agreement + marginal-squares
+    // chance, signed subtraction only.
     "q285_mutual_pair_purity" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-           label
-           FROM embeddings WHERE vec_id % 10 = 0),
-         pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
-             round(list_dot_product(q.v, e.v)
-               / (sqrt(list_dot_product(q.v, q.v))
-                 * sqrt(list_dot_product(e.v, e.v))), 4) + 0.0 AS cos
-           FROM e, e q WHERE e.vec_id <> q.vec_id),
-         best AS (SELECT query_id, cand_id FROM
-           (SELECT query_id, cand_id, row_number() OVER (
-              PARTITION BY query_id
-              ORDER BY cos DESC, cand_id ASC) AS rn FROM pairs)
-           WHERE rn = 1),
-         mp AS (SELECT a.query_id AS id_a, a.cand_id AS id_b
-           FROM best a JOIN best b
-             ON b.query_id = a.cand_id AND b.cand_id = a.query_id
-           WHERE a.query_id < a.cand_id),
-         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-             CAST(COALESCE(sum(CASE WHEN la.label = lb.label
-               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_agree
-           FROM mp JOIN e la ON la.vec_id = mp.id_a
-             JOIN e lb ON lb.vec_id = mp.id_b),
-         mg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-             sum(CAST(c AS HUGEINT) * c) AS c2
-           FROM (SELECT label, CAST(count(*) AS BIGINT) AS c FROM e
-             GROUP BY 1))
-         SELECT n_pairs, n_agree,
-           CASE WHEN n_pairs > 0
-             THEN (1000000 * n_agree) // n_pairs END AS purity_micros,
-           CAST((1000000 * c2) // (CAST(n AS HUGEINT) * n) AS BIGINT)
-             AS chance_micros,
-           (CASE WHEN n_pairs > 0
-             THEN (1000000 * n_agree) // n_pairs END)
-           - CAST((1000000 * c2) // (CAST(n AS HUGEINT) * n) AS BIGINT)
-             AS lift_micros
-         FROM ag, mg""",
+      OracleGen.mutualPairPurityRoutedSql(stride = 10L,
+        nCentroids = 16, nProbe = 4),
     // q284: mirrors Events.hooverIndex — q152's entity rollup, the
     // |n*x - S| dev ladder in HUGEINT, one non-negative floor division.
     "q284_hoover_index" ->
@@ -6418,7 +6386,10 @@ object SparkEntry {
          FROM a""",
     // q282: mirrors DataQuality.cochranQ — q209's langid pairing plus
     // two deterministic screens; exact integer sums, HUGEINT squares,
-    // one mirrored double division.
+    // one mirrored double division. The IS NOT NULL predicates pin the
+    // Spark face's complete-rows contract (cochranQ drops rows with
+    // ANY null flag — a paired test needs complete rows), so n agrees
+    // even if documents ever carry NULL text/n_chars.
     "q282_cochran_q" -> {
       s"""WITH $langIdCtes,
          f AS (SELECT
@@ -6426,7 +6397,9 @@ object SparkEntry {
              CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS x1,
              CASE WHEN len(string_split(d.text, ' ')) >= 50
                THEN 1 ELSE 0 END AS x2
-           FROM pred p JOIN documents d USING (doc_id)),
+           FROM pred p JOIN documents d USING (doc_id)
+           WHERE p.pred_lang IS NOT NULL AND d.n_chars IS NOT NULL
+             AND d.text IS NOT NULL),
          a AS (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x0) AS BIGINT) AS c0,
              CAST(sum(x1) AS BIGINT) AS c1,
@@ -6626,25 +6599,13 @@ object SparkEntry {
                / (CAST(w2 AS DOUBLE) * CAST(n AS DOUBLE)) END, 4)
              AS ess_share
          FROM g""",
-    // q278: mirrors Similarity.mutualTopOne — q26 scoring contract on
-    // the stride-10 subset, top-1 per query, mutual self-join, a < b.
+    // q278: mirrors Similarity.mutualTopOneRouted — the IVF routing
+    // replay on the stride-10 subset (round-6 assignment, cent_id
+    // tie-break, every member probes 4 of 16 cells), q26 scoring
+    // contract, top-1 per query, mutual self-join, a < b.
     "q278_mutual_top1" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE vec_id % 10 = 0),
-         pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
-             round(list_dot_product(q.v, e.v)
-               / (sqrt(list_dot_product(q.v, q.v))
-                 * sqrt(list_dot_product(e.v, e.v))), 4) + 0.0 AS cos
-           FROM e, e q WHERE e.vec_id <> q.vec_id),
-         best AS (SELECT query_id, cand_id, cos FROM
-           (SELECT query_id, cand_id, cos, row_number() OVER (
-              PARTITION BY query_id
-              ORDER BY cos DESC, cand_id ASC) AS rn FROM pairs)
-           WHERE rn = 1)
-         SELECT a.query_id AS id_a, a.cand_id AS id_b, a.cos
-         FROM best a JOIN best b
-           ON b.query_id = a.cand_id AND b.cand_id = a.query_id
-         WHERE a.query_id < a.cand_id""",
+      OracleGen.mutualTopOneRoutedSql(stride = 10L,
+        nCentroids = 16, nProbe = 4),
     // q276: mirrors DataQuality.lDiversityAudit — q221's QI classes,
     // count(DISTINCT band) per class, exact counts, one micros floor.
     "q276_l_diversity" ->
@@ -6746,11 +6707,15 @@ object SparkEntry {
        FROM hh""",
     // q273: mirrors DataQuality.mcnemar — q209's pred/gold pairing on
     // the binary is-English call, discordant cells only, one mirrored
-    // double division per chi-square form.
+    // double division per chi-square form. The IS NOT NULL predicates
+    // pin the Spark face's complete-rows contract (mcnemar drops rows
+    // where either flag is null), so n agrees even if documents ever
+    // carry NULL text/lang.
     "q273_mcnemar" ->
       s"""WITH $langIdCtes,
          j AS (SELECT (p.pred_lang = 'en') AS a, (d.lang = 'en') AS b
-           FROM pred p JOIN documents d USING (doc_id)),
+           FROM pred p JOIN documents d USING (doc_id)
+           WHERE p.pred_lang IS NOT NULL AND d.lang IS NOT NULL),
          cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
                AS BIGINT) AS b_only,

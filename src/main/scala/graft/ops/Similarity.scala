@@ -68,9 +68,11 @@ object Similarity {
     *
     * Scale shape: the scoring stage here is the brute pair join over
     * the stride subset (the q26/q275 sample-truth eval class —
-    * (N/stride)² pairs); at corpus scale the SAME top-1 + mutual-join
-    * tail runs over [[ivfTopK]]-routed candidates. The mutual check
-    * itself is one self-join on (query, best) — candidate-mass-free. */
+    * (N/stride)² pairs); this face is the ORACLE for
+    * [[mutualTopOneRouted]], the shipped corpus-scale form — the top-1
+    * + mutual-join tail ([[mutualTail]]) is byte-shared. The mutual
+    * check itself is one self-join on (query, best) —
+    * candidate-mass-free. */
   def mutualTopOne(emb: DataFrame, idCol: String, vecCol: String,
                    stride: Long = 10): DataFrame = {
     require(stride >= 1, "need stride >= 1")
@@ -82,6 +84,16 @@ object Similarity {
         col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
+    mutualTail(scored)
+  }
+
+  /** The mutual-pairing tail shared byte-identically by [[mutualTopOne]]
+    * and [[mutualTopOneRouted]]: per-query top-1 of the scored
+    * (query_id, cand_id, cos) relation (cos desc, cand_id asc — the q26
+    * contract), then the reciprocal self-join with a < b
+    * canonicalization. The best relation checkpoints once — the mutual
+    * join reads it twice. */
+  private def mutualTail(scored: DataFrame): DataFrame = {
     val best = Windows.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("cand_id").asc), 1)
       .select(col("query_id"), col("cand_id"), col("cos"))
@@ -93,8 +105,72 @@ object Similarity {
         col("cos"))
   }
 
+  /** [[mutualTopOneRouted]]'s scored candidate relation — the stride
+    * subset routes through the [[ivfRouting]] coarse quantizer
+    * (centroids = min-id subset rows, round-6 cosine assignment,
+    * cent_id tie-break); EVERY subset member is a query (mutuality
+    * needs both directions), each probing its `nProbe` nearest cells
+    * and scoring ALL their members with the round-4 + signed-zero
+    * cosine (the q149 over-fetch contract — routing shrinks the
+    * candidate set, never reorders what survives it). Exposed for the
+    * stress gate: this relation's row count is the routed pair mass
+    * ((N/stride)²·nProbe/C on uniform cells) vs the brute face's
+    * (N/stride)² — a lost nProbe filter reverts it to ≈ the brute
+    * class. */
+  private[graft] def mutualRoutedScored(emb: DataFrame, idCol: String,
+                                        vecCol: String, stride: Long,
+                                        nCentroids: Int, nProbe: Int)
+      : DataFrame = {
+    val sub = emb.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (_, cells, probes) = ivfRouting(sub, nCentroids, nProbe,
+      queryStride = 1L)
+    probes.select(col("cent_id"), col("query_id"), col("v").as("qv"))
+      .join(cells.select(col("cent_id"), col("id").as("cand_id"),
+        col("v")), Seq("cent_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
+  }
+
+  /** ROUTED mutual top-1 — [[mutualTopOne]]'s pairing on the
+    * [[ivfRouting]] candidate stage (the q190/q206/q149 move applied
+    * to the last brute-quadratic pair stage in a registered mining
+    * face): instead of an (N/stride)² self-join, each subset member
+    * scores only the members of its `nProbe` probed IVF cells, and the
+    * top-1 + mutual-join tail runs byte-identically ([[mutualTail]]).
+    * At nProbe = nCentroids every cell is probed, the candidate
+    * relation IS the brute pair set, and the output EQUALS the brute
+    * face exactly (exhaustive equivalence, spec-pinned). At nProbe <
+    * nCentroids a true best match hiding outside the probed cells is
+    * unseen — and because mutuality requires BOTH directions to
+    * survive routing, the routed pair set skews high-precision (a pair
+    * split across unprobed cells drops; a kept pair still carries
+    * exact cosines). Measured (RecallProbe, sf0.1, nProbe = 4 of 16):
+    * 17 of 50 brute pairs survive routing (recall 0.340, precision
+    * 0.515) on the synthetic ISOTROPIC corpus — the IVF worst case,
+    * the same regime as q206's 0.515 and q149's 0.550 (clustered real
+    * corpora route much tighter, the q158 precedent; and for seed-pair
+    * mining the routed set is still the high-precision regime — every
+    * kept pair is reciprocally best WITHIN its routed neighborhood).
+    *
+    * Scale shape: ONE nCentroids-row broadcast, one subset assignment
+    * window, one probe window, a per-cell equi-join whose mass is
+    * stress-gated (MUTUAL_ROUTE_COST_CLASS), then the candidate-mass-
+    * free mutual join. The subset never broadcasts, nothing is
+    * quadratic in the corpus. Size C ≈ √(N/stride) (the FAISS nlist
+    * guidance, the q190 sizing note). */
+  def mutualTopOneRouted(emb: DataFrame, idCol: String, vecCol: String,
+                         stride: Long = 10, nCentroids: Int = 16,
+                         nProbe: Int = 4): DataFrame = {
+    require(stride >= 1 && nCentroids >= 1 && nProbe >= 1,
+      "need stride, nCentroids, nProbe >= 1")
+    mutualTail(mutualRoutedScored(emb, idCol, vecCol, stride,
+      nCentroids, nProbe))
+  }
+
   /** MUTUAL-PAIR LABEL PURITY — the chance-corrected quality read of
-    * [[mutualTopOne]]'s pairing: of the reciprocal best-match pairs,
+    * [[mutualTopOneRouted]]'s pairing: of the reciprocal best-match pairs,
     * what share joins two SAME-label vectors, and how far above luck
     * is that? Chance = Σ_l p_l² (the probability two independent draws
     * from the subset's label marginals agree — the q209 p_e idea on
@@ -110,20 +186,26 @@ object Similarity {
     * chance = (1e6·Σc_l²) div n², both non-negative floors. No pairs
     * → NULL purity/lift, never 0/0.
     *
-    * Scale shape: [[mutualTopOne]]'s cost class plus two broadcast
-    * label lookups and one label-marginal agg. Output: one row
+    * Scale shape: [[mutualTopOneRouted]]'s gated cost class plus two
+    * label equi-joins (the label relation is subset-proportional —
+    * N/stride rows — so it is NOT broadcast-hinted; the planner picks,
+    * and at corpus scale it shuffles on the pair ids) and one
+    * label-marginal agg. Output: one row
     * (n_pairs, n_agree, purity_micros, chance_micros, lift_micros). */
   def mutualPairPurity(emb: DataFrame, idCol: String, vecCol: String,
-                       labelCol: String, stride: Long = 10): DataFrame = {
-    val pairs = mutualTopOne(emb, idCol, vecCol, stride)
+                       labelCol: String, stride: Long = 10,
+                       nCentroids: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
+    val pairs = mutualTopOneRouted(emb, idCol, vecCol, stride,
+      nCentroids, nProbe)
     val labels = emb.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("__id"), col(labelCol).as("__l"))
       .localCheckpoint(eager = false)
     val agree = pairs
-      .join(broadcast(labels.select(col("__id").as("id_a"),
-        col("__l").as("la"))), Seq("id_a"))
-      .join(broadcast(labels.select(col("__id").as("id_b"),
-        col("__l").as("lb"))), Seq("id_b"))
+      .join(labels.select(col("__id").as("id_a"),
+        col("__l").as("la")), Seq("id_a"))
+      .join(labels.select(col("__id").as("id_b"),
+        col("__l").as("lb")), Seq("id_b"))
       .agg(count(lit(1)).as("n_pairs"),
         sum((col("la") === col("lb")).cast("long")).as("n_agree"))
     val marg = labels.groupBy(col("__l"))

@@ -275,6 +275,20 @@ object RecallProbe {
       println(f"KNN routed-vs-brute: queries=${kBrute.size} " +
         f"routedPreds=${kRouted.size} agree=$agree " +
         f"agreement=${agree.toDouble / kBrute.size}%.3f")
+      // q278 mutual top-1 at the shipped params (round-14 brief item
+      // 1): what fraction of brute mutual pairs survive cell routing
+      // at nProbe = 4 of 16 — and the precision read (routed pairs
+      // that are also brute pairs), since mutuality makes the routed
+      // set a near-subset rather than a resort.
+      val uBrute = pairSet(graft.ops.Similarity.mutualTopOne(
+        emb, "vec_id", "embedding", stride = 10), "id_a", "id_b")
+      val uRouted = pairSet(graft.ops.Similarity.mutualTopOneRouted(
+        emb, "vec_id", "embedding", stride = 10, nCentroids = 16,
+        nProbe = 4), "id_a", "id_b")
+      println(f"MUTUAL routed-vs-brute: brute=${uBrute.size} " +
+        f"routed=${uRouted.size} overlap=${(uBrute & uRouted).size} " +
+        f"recall=${(uBrute & uRouted).size.toDouble / uBrute.size}%.3f " +
+        f"precision=${(uBrute & uRouted).size.toDouble / uRouted.size}%.3f")
     }
     spark.stop()
   }

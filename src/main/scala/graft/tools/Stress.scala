@@ -273,8 +273,10 @@ object Stress {
       val marginOn = only.forall("margin_route_cost_class".contains)
       val hardnegOn = only.forall("hardneg_route_cost_class".contains)
       val knnOn = only.forall("knn_route_cost_class".contains)
+      val mutualOn = only.forall("mutual_route_cost_class".contains)
       val lshvOn = only.forall("lshvec_cost_class".contains)
-      if (pqOn || ivfpqOn || marginOn || hardnegOn || knnOn || lshvOn) {
+      if (pqOn || ivfpqOn || marginOn || hardnegOn || knnOn || mutualOn ||
+          lshvOn) {
         import graft.ops.Similarity
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         // per-copy deterministic perturbation: copies must land in
@@ -383,6 +385,24 @@ object Stress {
           val ok = cand <= candMax
           if (!ok) failed ::= "KNN_ROUTE_COST_CLASS"
           println(s"KNN_ROUTE_COST_CLASS cand=$cand n=$nEmb " +
+            s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
+        }
+        if (mutualOn) {
+          // the q278 shape at gate scale: stride-100 subset (800
+          // members, EVERY one a query — mutuality needs both
+          // directions), 4 of 16 probed cells. The brute face is
+          // (N/stride)² = 800·799 = 639,200; a lost nProbe filter
+          // reverts routing to all 16 cells ≈ the brute class, ~4×
+          // over the routed mass. Measured 185,762 exact (2026-08-16,
+          // 40× perturbed corpus: 800 queries × 4 probed cells ×
+          // skewed seeded cells).
+          val cand = Similarity.mutualRoutedScored(bigEmb, "vec_id",
+            "embedding", stride = 100L, nCentroids = 16, nProbe = 4)
+            .count()
+          val candMax = 400000L // ~2x the measured mass
+          val ok = cand <= candMax
+          if (!ok) failed ::= "MUTUAL_ROUTE_COST_CLASS"
+          println(s"MUTUAL_ROUTE_COST_CLASS cand=$cand n=$nEmb " +
             s"(absMax=$candMax) " + (if (ok) "OK" else "COST_CLASS_OVER"))
         }
         if (lshvOn) {

@@ -171,4 +171,69 @@ class RoutedMiningSpec extends AnyFunSuite {
       k = 3, nCentroids = 4, nProbe = 1)
     assert(preds.count() == nQ)
   }
+
+  test("mutualTopOneRouted at nProbe = nCentroids == brute mutualTopOne " +
+    "exactly (exhaustive equivalence — the mutual tail is byte-shared)") {
+    val brute = Similarity.mutualTopOne(clustered, "vec_id", "embedding",
+        stride = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    val routed = Similarity.mutualTopOneRouted(clustered, "vec_id",
+        "embedding", stride = 1, nCentroids = 4, nProbe = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(routed == brute,
+      s"routed-brute=${routed -- brute} brute-routed=${brute -- routed}")
+  }
+
+  test("mutualRoutedScored: routing cuts the pair mass at nProbe = 1 on " +
+    "a clustered corpus, kept pairs carry the brute pair's exact " +
+    "round-4 cosine, and on the well-separated corpus the routed " +
+    "mutual pairs EQUAL the brute pairs (both directions stay in-cell)") {
+    val n = 40L
+    val scored = Similarity.mutualRoutedScored(clustered, "vec_id",
+      "embedding", stride = 1, nCentroids = 4, nProbe = 1)
+    val mass = scored.count()
+    assert(mass > 0 && mass < n * (n - 1), s"mass=$mass")
+    // kept pairs score identically to the brute pair stage
+    val base = clustered.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val bruteScored = base
+      .join(base.select(col("cand_id").as("query_id"), col("v").as("qv")),
+        col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (round(Similarity.cosine(col("qv"), col("v")), 4) + lit(0.0))
+          .as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    scored.as[(Long, Long, Double)].collect().foreach {
+      case (q, c, cos) => assert(bruteScored((q, c)) == cos, s"($q,$c)")
+    }
+    // on 4 well-separated clusters with nCentroids = 4, every true
+    // best match is same-cell, so even nProbe = 1 loses nothing
+    val brute = Similarity.mutualTopOne(clustered, "vec_id", "embedding",
+        stride = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    val routed = Similarity.mutualTopOneRouted(clustered, "vec_id",
+        "embedding", stride = 1, nCentroids = 4, nProbe = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(routed == brute,
+      s"routed-brute=${routed -- brute} brute-routed=${brute -- routed}")
+  }
+
+  test("mutualPairPurity on the routed pairs: a cluster-aligned label " +
+    "is perfectly pure (purity = 1e6, lift = 1e6 - chance) and the " +
+    "plan carries no corpus-proportional broadcast of the label side") {
+    val labeled = clustered.withColumn("label",
+      floor(col("vec_id") / 10).cast("long"))
+    val got = Similarity.mutualPairPurity(labeled, "vec_id", "embedding",
+        "label", stride = 1, nCentroids = 4, nProbe = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (nPairs, nAgree, purity, chance, lift) = got.head
+    assert(nPairs > 0 && nAgree == nPairs)
+    assert(purity == 1000000L)
+    // 4 equal clusters of 10 over 40: chance = 4·100·1e6 div 1600
+    assert(chance == 250000L, s"chance=$chance")
+    assert(lift == purity - chance)
+  }
 }

@@ -2695,6 +2695,15 @@ object SparkEntry {
       "event_type", startType = "signup", causeA = "purchase",
       causeB = "error")
 
+  /** Cause-specific hazards per duration day over the q266
+    * purchase-vs-error race, plus the pooled person-day rate ratio and
+    * log-rank-style score on a TOTAL row — which exit wins, and is it
+    * real. See [[graft.ops.Events.causeSpecificHazards]]. */
+  private def qCauseHazards(s: SparkSession, dir: String): DataFrame =
+    Events.causeSpecificHazards(Events.load(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", causeA = "purchase",
+      causeB = "error")
+
   /** DoReMi-lite mixture weights per source: excess unigram-NLL over
     * the corpus baseline, smoothed 20% toward uniform — the
     * data-mixture reweighting card. See
@@ -3135,6 +3144,7 @@ object SparkEntry {
     "q283_session_markov2" -> (qSessionMarkovFunnel2 _),
     "q284_hoover_index" -> (qHooverIndex _),
     "q285_mutual_pair_purity" -> (qMutualPairPurity _),
+    "q286_cause_hazards" -> (qCauseHazards _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6363,6 +6373,60 @@ object SparkEntry {
     "q285_mutual_pair_purity" ->
       OracleGen.mutualPairPurityRoutedSql(stride = 10L,
         nCentroids = 16, nProbe = 4),
+    // q286: mirrors Events.causeSpecificHazards — q266's duration
+    // protocol and risk-set window, per-day integer-micros hazard
+    // floors, one pooled TOTAL row (NULL day) with person-day rates,
+    // the Sa/Sb rate ratio, and the closed-form log-rank z.
+    "q286_cause_hazards" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         fa AS (SELECT e.user_id, min(e.ts) AS ta
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         fb AS (SELECT e.user_id, min(e.ts) AS tb
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'error' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT
+             CASE WHEN ta IS NOT NULL AND (tb IS NULL OR ta < tb
+               OR (ta = tb AND FALSE)) THEN 1 ELSE 0 END AS oa,
+             CASE WHEN tb IS NOT NULL AND (ta IS NULL OR tb < ta
+               OR (ta = tb AND TRUE)) THEN 1 ELSE 0 END AS ob,
+             (epoch_us(COALESCE(LEAST(ta, tb), tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fa USING (user_id)
+             LEFT JOIN fb USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT d, count(*) AS n_at,
+             CAST(sum(oa) AS BIGINT) AS ea,
+             CAST(sum(ob) AS BIGINT) AS eb
+           FROM dur GROUP BY 1),
+         r AS (SELECT d, ea, eb,
+             CAST(sum(n_at) OVER (ORDER BY d ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM byd),
+         p AS (SELECT CAST(sum(n_risk) AS BIGINT) AS pd,
+             CAST(sum(ea) AS BIGINT) AS sa,
+             CAST(sum(eb) AS BIGINT) AS sb
+           FROM r)
+         SELECT d AS duration_days, n_risk, ea AS ev_a, eb AS ev_b,
+           (1000000 * ea) // n_risk AS hazard_a_micros,
+           (1000000 * eb) // n_risk AS hazard_b_micros,
+           CASE WHEN eb > 0 THEN (1000000 * ea) // eb END
+             AS ratio_micros,
+           CAST(NULL AS DOUBLE) AS logrank_z
+         FROM r
+         UNION ALL
+         SELECT CAST(NULL AS BIGINT), pd, sa, sb,
+           CASE WHEN pd > 0 THEN (1000000 * sa) // pd END,
+           CASE WHEN pd > 0 THEN (1000000 * sb) // pd END,
+           CASE WHEN sb > 0 THEN (1000000 * sa) // sb END,
+           round(CASE WHEN sa + sb > 0
+             THEN CAST(sa - sb AS DOUBLE)
+               / sqrt(CAST(sa + sb AS DOUBLE)) END, 4)
+         FROM p""",
     // q284: mirrors Events.hooverIndex — q152's entity rollup, the
     // |n*x - S| dev ladder in HUGEINT, one non-negative floor division.
     "q284_hoover_index" ->

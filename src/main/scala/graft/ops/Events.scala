@@ -3133,34 +3133,8 @@ object Events {
   def competingRisks(events: DataFrame, userCol: String, tsCol: String,
                      typeCol: String, startType: String,
                      causeA: String, causeB: String): DataFrame = {
-    require(causeA != causeB && causeA != startType &&
-      causeB != startType, "causes must be distinct from start")
-    val tieWinsA = causeA <= causeB
-    val starts = events.filter(col(typeCol) === startType)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
-    def firstOf(tp: String, out: String): DataFrame =
-      events.filter(col(typeCol) === tp)
-        .join(starts, Seq(userCol))
-        .filter(col(tsCol) > col("t0"))
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as(out))
-    val horizon = events.agg(max(col(tsCol)).as("tmax"))
-    val dur = starts
-      .join(firstOf(causeA, "ta"), Seq(userCol), "left")
-      .join(firstOf(causeB, "tb"), Seq(userCol), "left")
-      .join(broadcast(horizon), lit(true))
-      .select(
-        when(col("ta").isNotNull && (col("tb").isNull ||
-          col("ta") < col("tb") ||
-          (col("ta") === col("tb") && lit(tieWinsA))), lit(1L))
-          .otherwise(lit(0L)).as("oa"),
-        when(col("tb").isNotNull && (col("ta").isNull ||
-          col("tb") < col("ta") ||
-          (col("ta") === col("tb") && lit(!tieWinsA))), lit(1L))
-          .otherwise(lit(0L)).as("ob"),
-        expr("(unix_timestamp(coalesce(least(ta, tb), tmax))" +
-          " - unix_timestamp(t0)) div 86400").as("d"))
-    val byD = dur.groupBy(col("d")).agg(count(lit(1)).as("n_at"),
-      sum(col("oa")).as("ea"), sum(col("ob")).as("eb"))
+    val byD = competingDayRollup(events, userCol, tsCol, typeCol,
+      startType, causeA, causeB)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
     val wPrior = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -3190,6 +3164,108 @@ object Events {
       col("ea").as("ev_a"), col("eb").as("ev_b"),
       round(sum(col("__inca")).over(wIncl), 4).as("cif_a"),
       round(sum(col("__incb")).over(wIncl), 4).as("cif_b"))
+  }
+
+  /** The competing-risks DAY ROLLUP shared by [[competingRisks]] and
+    * [[causeSpecificHazards]] — q266's exact duration protocol (first
+    * post-start occurrence of either cause, the EARLIER wins, ties by
+    * type name ascending; censor at the corpus horizon) aggregated to
+    * one row per duration day: (d, n_at, ea, eb). */
+  private def competingDayRollup(events: DataFrame, userCol: String,
+                                 tsCol: String, typeCol: String,
+                                 startType: String, causeA: String,
+                                 causeB: String): DataFrame = {
+    require(causeA != causeB && causeA != startType &&
+      causeB != startType, "causes must be distinct from start")
+    val tieWinsA = causeA <= causeB
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    def firstOf(tp: String, out: String): DataFrame =
+      events.filter(col(typeCol) === tp)
+        .join(starts, Seq(userCol))
+        .filter(col(tsCol) > col("t0"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(out))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts
+      .join(firstOf(causeA, "ta"), Seq(userCol), "left")
+      .join(firstOf(causeB, "tb"), Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select(
+        when(col("ta").isNotNull && (col("tb").isNull ||
+          col("ta") < col("tb") ||
+          (col("ta") === col("tb") && lit(tieWinsA))), lit(1L))
+          .otherwise(lit(0L)).as("oa"),
+        when(col("tb").isNotNull && (col("ta").isNull ||
+          col("tb") < col("ta") ||
+          (col("ta") === col("tb") && lit(!tieWinsA))), lit(1L))
+          .otherwise(lit(0L)).as("ob"),
+        expr("(unix_timestamp(coalesce(least(ta, tb), tmax))" +
+          " - unix_timestamp(t0)) div 86400").as("d"))
+    dur.groupBy(col("d")).agg(count(lit(1)).as("n_at"),
+      sum(col("oa")).as("ea"), sum(col("ob")).as("eb"))
+  }
+
+  /** CAUSE-SPECIFIC HAZARDS + pooled rate ratio — the "which exit is
+    * winning, and is the difference real" card over [[competingRisks]]'
+    * day rollup: per duration day d, the cause-specific hazards
+    * h_k(d) = e_k(d)/n(d) (events per person at risk that day) and
+    * their per-day ratio; then ONE pooled TOTAL row (duration_days =
+    * NULL, the rollup idiom) where the same columns carry person-day
+    * pooled rates (Σe_k over Σ_d n(d) person-days — the aggregate
+    * incidence-rate read), the pooled A:B rate ratio (with a shared
+    * denominator the Mantel–Haenszel pooled rate ratio reduces to
+    * exactly Σe_A/Σe_B), and the log-rank-style conditional score
+    * z = (Σe_A − Σe_B)/√(Σe_A + Σe_B) — per day, conditional on that
+    * day's e_all exits, H0 "both causes fire at the same hazard" makes
+    * the A-count Binomial(e_all, 1/2): U = Σ(e_A − e_all/2),
+    * V = Σ e_all/4, z = U/√V collapses to the closed form above.
+    *
+    * Determinism: all counts exact; hazards/rates/ratios are
+    * non-negative integer-micros floors ((1e6·x) div y, NULL on zero
+    * denominators — never 0/0); z is ONE mirrored double
+    * division + sqrt, round-4, NULL when no events at all.
+    *
+    * Scale shape: the q266 rollup (per-user min-aggs, one duration
+    * rollup, one calendar-bounded ordered window for the risk sets)
+    * plus one combinable 3-column agg for the pooled row; the day
+    * relation checkpoints once for its two readers. */
+  def causeSpecificHazards(events: DataFrame, userCol: String,
+                           tsCol: String, typeCol: String,
+                           startType: String, causeA: String,
+                           causeB: String): DataFrame = {
+    val byD = competingDayRollup(events, userCol, tsCol, typeCol,
+      startType, causeA, causeB)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
+    val days = byD
+      .withColumn("n_risk", sum(col("n_at")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("d"), col("n_risk"), col("ea"), col("eb"))
+      .localCheckpoint(eager = false)
+    val dayRows = days.select(col("d").as("duration_days"),
+      col("n_risk"), col("ea").as("ev_a"), col("eb").as("ev_b"),
+      expr("(1000000L * ea) div n_risk").as("hazard_a_micros"),
+      expr("(1000000L * eb) div n_risk").as("hazard_b_micros"),
+      when(col("eb") > 0, expr("(1000000L * ea) div eb"))
+        .as("ratio_micros"),
+      lit(null).cast("double").as("logrank_z"))
+    val pooled = days
+      .agg(sum(col("n_risk")).as("pd"), sum(col("ea")).as("sa"),
+        sum(col("eb")).as("sb"))
+      .select(lit(null).cast("long").as("duration_days"),
+        col("pd").as("n_risk"), col("sa").as("ev_a"),
+        col("sb").as("ev_b"),
+        when(col("pd") > 0, expr("(1000000L * sa) div pd"))
+          .as("hazard_a_micros"),
+        when(col("pd") > 0, expr("(1000000L * sb) div pd"))
+          .as("hazard_b_micros"),
+        when(col("sb") > 0, expr("(1000000L * sa) div sb"))
+          .as("ratio_micros"),
+        round(when(col("sa") + col("sb") > 0,
+          (col("sa") - col("sb")).cast("double") /
+            sqrt((col("sa") + col("sb")).cast("double"))), 4)
+          .as("logrank_z"))
+    dayRows.unionByName(pooled)
   }
 
   /** Ordered SEQUENCE support counts — for every ordered pair of event

@@ -22,39 +22,58 @@ import graft.ops.Events
   * per-user latest snapshot therefore equals the batch face over the
   * same events, row for row.
   *
-  * Scale shape per trigger: one bounded batch write, one left-semi
-  * prune of the archive down to the batch's users (partition-pruned by
-  * batch_id on the time axis; at real scale the archive is additionally
-  * user-bucketed so the semi-join is storage-pruned), then q280's
-  * two-window plan over only those users' histories — never a full
-  * corpus recompute. */
+  * Scale shape per trigger: one bounded batch write (hive-partitioned
+  * by `u_bucket = hash(user) mod nBuckets` under the batch's
+  * partition), then a STORAGE-PRUNED history read: the recompute scans
+  * only the archive buckets the batch touched (`u_bucket IN
+  * (batch's buckets)` — directory-level pruning, never a full-archive
+  * scan; `batch_id <= N` prunes replayed-future partitions), refines
+  * with the user left-semi inside those buckets, and runs q280's
+  * two-window plan over only those users' histories. Per-trigger read
+  * cost is (touched buckets / nBuckets) of the history, not all of it
+  * — size nBuckets so one bucket's history fits an executor's scan
+  * budget (more buckets = tighter pruning for sparse batches). */
 object StreamingAttribution {
 
   def timeDecay(stream: DataFrame, userCol: String, tsCol: String,
                 ordCol: String, typeCol: String, touchType: String,
                 convType: String, eventsDir: String, creditsDir: String,
                 checkpointDir: String,
-                halfLifeSeconds: Long = 86400L): StreamingQuery =
+                halfLifeSeconds: Long = 86400L,
+                nBuckets: Int = 64): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, userCol, tsCol, ordCol, typeCol,
-          touchType, convType, eventsDir, creditsDir, halfLifeSeconds)
+          touchType, convType, eventsDir, creditsDir, halfLifeSeconds,
+          nBuckets)
       }
       .start()
 
   /** One attribution round — also the non-streaming entry a scheduled
-    * ingest calls with its own batch ids. */
+    * ingest calls with its own batch ids. `nBuckets` must stay
+    * constant across a given archive's lifetime (it defines the
+    * partition layout). */
   def applyBatch(batch: DataFrame, batchId: Long, userCol: String,
                  tsCol: String, ordCol: String, typeCol: String,
                  touchType: String, convType: String, eventsDir: String,
-                 creditsDir: String, halfLifeSeconds: Long): Unit = {
+                 creditsDir: String, halfLifeSeconds: Long,
+                 nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "need nBuckets >= 1")
     val spark = batch.sparkSession
-    batch.select(col(userCol), col(tsCol), col(ordCol), col(typeCol))
-      .write.mode("overwrite").parquet(s"$eventsDir/batch_id=$batchId")
+    val bucket = pmod(hash(col(userCol)), lit(nBuckets))
+    batch.select(col(userCol), col(tsCol), col(ordCol), col(typeCol),
+        bucket.as("u_bucket"))
+      .write.mode("overwrite").partitionBy("u_bucket")
+      .parquet(s"$eventsDir/batch_id=$batchId")
     val users = batch.select(col(userCol)).distinct()
+    // bounded driver read: at most nBuckets values — the partition
+    // directories this trigger is allowed to scan
+    val touched = batch.select(bucket.as("b")).distinct()
+      .collect().map(_.getInt(0))
     val hist = spark.read.parquet(eventsDir)
-      .filter(col("batch_id") <= batchId)
+      .filter(col("batch_id") <= batchId &&
+        col("u_bucket").isin(touched.map(Integer.valueOf): _*))
       .join(users, Seq(userCol), "left_semi")
       .select(col(userCol), col(tsCol), col(ordCol), col(typeCol))
     Events.timeDecayAttribution(hist, userCol, tsCol, ordCol, typeCol,

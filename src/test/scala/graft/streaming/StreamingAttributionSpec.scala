@@ -47,5 +47,16 @@ class StreamingAttributionSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(want.nonEmpty && got == want,
       s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+
+    // the archive is user-bucketed under each batch partition — the
+    // storage-pruning contract: a trigger's history read scans only
+    // its touched u_bucket directories, never the whole archive
+    val batchDirs = new java.io.File(eventsDir).listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+    assert(batchDirs.nonEmpty)
+    batchDirs.foreach { d =>
+      assert(d.listFiles().exists(_.getName.startsWith("u_bucket=")),
+        s"${d.getName} not user-bucketed")
+    }
   }
 }

@@ -2365,6 +2365,20 @@ object OracleGen {
        FROM e$rounds e LEFT JOIN sup$f s ON s.a = e.a AND s.b = e.b"""
   }
 
+  /** Oracle for `Graph.peelConvergence` (q287): the [[kTrussChain]]
+    * peel unrolled, then pure edge counts of the start, previous and
+    * final rounds — converged iff the final round removed nothing
+    * (a dry round is a fixpoint of the support peel). */
+  def trussConvergenceSql(k: Int, rounds: Int): String =
+    s"""WITH ${kTrussChain(k, rounds)}
+       SELECT CAST($k AS BIGINT) AS k, CAST($rounds AS BIGINT) AS rounds,
+         (SELECT count(*) FROM e0) AS edges_start,
+         (SELECT count(*) FROM e$rounds) AS edges_final,
+         (SELECT count(*) FROM e${rounds - 1})
+           - (SELECT count(*) FROM e$rounds) AS removed_final_round,
+         (SELECT count(*) FROM e${rounds - 1})
+           = (SELECT count(*) FROM e$rounds) AS converged"""
+
   /** Oracle for `Graph.trussCommunities` (q261): the [[kTrussChain]]
     * peel, then one recursive reachability closure over the survivor
     * edges (the q45 `reach` pattern) — community id = component-min

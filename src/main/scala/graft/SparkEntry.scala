@@ -2654,6 +2654,14 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")), k = 4, rounds = 3)
 
+  /** Convergence telemetry for q256's fixed-rounds truss peel: was the
+    * final round dry (a fixpoint), or does the cascade need more
+    * rounds at this scale. See [[graft.ops.Graph.peelConvergence]]. */
+  private def qTrussConvergence(s: SparkSession, dir: String): DataFrame =
+    Graph.peelConvergence(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")), k = 4, rounds = 3)
+
   /** Prefix-filter (AllPairs) Jaccard join — the SAME relation as q25
     * through the better candidate cost class: only each doc's
     * (1−t)-fraction prefix under the rare-first global order enters the
@@ -3145,6 +3153,7 @@ object SparkEntry {
     "q284_hoover_index" -> (qHooverIndex _),
     "q285_mutual_pair_purity" -> (qMutualPairPurity _),
     "q286_cause_hazards" -> (qCauseHazards _),
+    "q287_truss_convergence" -> (qTrussConvergence _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6279,6 +6288,10 @@ object SparkEntry {
          FROM f2 JOIN ag ON ag.grp = f2.grp
          LEFT JOIN worst ON worst.grp = f2.grp""",
     "q256_ktruss" -> OracleGen.kTrussSql(k = 4, rounds = 3),
+    // q287: mirrors Graph.peelConvergence — the q256 peel chain, pure
+    // edge counts of rounds-1 vs rounds, dry-round fixpoint flag.
+    "q287_truss_convergence" ->
+      OracleGen.trussConvergenceSql(k = 4, rounds = 3),
     "q261_truss_communities" ->
       OracleGen.trussCommunitiesSql(k = 4, rounds = 3),
     "q265_truss_hierarchy" ->

@@ -375,6 +375,41 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** PEEL CONVERGENCE TELEMETRY — did the fixed-`rounds` support peel
+    * actually finish: [[kTruss]]'s in-pipeline contract is
+    * exact-by-replay at ANY round count, but at 100× scale a longer
+    * removal cascade silently under-peels (edges that WOULD fall in
+    * round rounds+1 survive). This card replays the same peel and
+    * reports whether the FINAL round was DRY (removed zero edges) —
+    * and a dry round is a true fixpoint, not a heuristic: support is a
+    * pure function of the edge set, so a round that removes nothing
+    * proves every later round removes nothing. `converged = false`
+    * says exactly "raise `rounds`".
+    *
+    * Determinism: pure integer edge counts over the same deduped peel
+    * relations — no floats, no ties. Output: one row (k, rounds,
+    * edges_start, edges_final, removed_final_round, converged).
+    *
+    * Scale shape: the [[kTruss]] peel cost (per-round wedge join in
+    * the gated Σ C(deg, 2) class, localCheckpoint per round) plus
+    * three combinable counts over already-checkpointed relations —
+    * telemetry is O(edge count), not a new join. */
+  def peelConvergence(edges: DataFrame, k: Int = 4, rounds: Int = 3)
+      : DataFrame = {
+    require(k >= 3 && rounds >= 1, "need k >= 3, rounds >= 1")
+    val e0 = undirectedSimple(edges).localCheckpoint(eager = false)
+    val prev = peelRounds(e0, k, rounds - 1)
+    val last = peelRounds(prev, k, 1)
+    e0.agg(count(lit(1)).as("edges_start"))
+      .crossJoin(prev.agg(count(lit(1)).as("edges_prev")))
+      .crossJoin(last.agg(count(lit(1)).as("edges_final")))
+      .select(lit(k.toLong).as("k"), lit(rounds.toLong).as("rounds"),
+        col("edges_start"), col("edges_final"),
+        (col("edges_prev") - col("edges_final"))
+          .as("removed_final_round"),
+        (col("edges_prev") === col("edges_final")).as("converged"))
+  }
+
   /** TRUSS HIERARCHY — per-edge TRUSSNESS up to `maxK`: the highest k
     * for which the edge survives the [[kTruss]] peel (2 if it sits in
     * no triangle — every edge is a 2-truss member by definition),

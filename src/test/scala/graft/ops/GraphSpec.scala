@@ -457,6 +457,15 @@ class GraphSpec extends AnyFunSuite {
     val oneRound = Graph.kTruss(e, k = 4, rounds = 1)
       .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
     assert(oneRound.contains((3L, 4L)), oneRound)
+
+    // convergence telemetry over the same cascade: rounds 1 and 2 end
+    // on a wet round (the card says "raise rounds"), round 3 is dry —
+    // and a dry round is a fixpoint, so converged pins the contract
+    def conv(r: Int) = Graph.peelConvergence(e, k = 4, rounds = r)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(conv(1) == ((4L, 1L, 10L, 7L, 3L, false)), conv(1))
+    assert(conv(2) == ((4L, 2L, 10L, 6L, 1L, false)), conv(2))
+    assert(conv(3) == ((4L, 3L, 10L, 6L, 0L, true)), conv(3))
   }
 
   test("trussCommunities: a bridge between a K5 and a K4 peels away, " +

@@ -669,9 +669,18 @@ object Events {
     * all, so it is the cheapest of the three at scale (one entity agg,
     * one combinable group agg). Zero-total groups emit NULL. */
   def hooverIndex(events: DataFrame, groupCol: String, entityCol: String,
-                  valCol: String): DataFrame = {
-    val per = events.groupBy(col(groupCol), col(entityCol))
-      .agg(sum(round(col(valCol) * 100).cast("long")).as("x"))
+                  valCol: String): DataFrame =
+    hooverFromCents(events.groupBy(col(groupCol), col(entityCol))
+      .agg(sum(round(col(valCol) * 100).cast("long")).as("x")), groupCol)
+
+  /** [[hooverIndex]]'s dev ladder over an already-rolled-up
+    * per-(group, entity) exact-cents relation `(groupCol, entity, x)`
+    * — shared byte-identically with the streaming face
+    * ([[graft.streaming.StreamingHoover]]), whose archive stores
+    * per-batch partial cent sums (long addition is associative, so
+    * summing partials equals summing raw rows exactly). */
+  private[graft] def hooverFromCents(per: DataFrame, groupCol: String)
+      : DataFrame = {
     val st = per.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     per.join(broadcast(st), Seq(groupCol))

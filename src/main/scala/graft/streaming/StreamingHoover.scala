@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.Events
+
+/** Streaming face of [[graft.ops.Events.hooverIndex]] (q284) — the
+  * Hoover index is a pure function of a group's per-entity value sums,
+  * so the streaming form is per-GROUP recompute-on-touch over an
+  * INCREMENT-MONOTONE archive: each micro-batch writes only its own
+  * per-(group, entity) partial cent sums (long addition is associative
+  * — summing the partials equals summing the raw rows exactly, the
+  * batch==stream contract), then recomputes the full card ONLY for
+  * groups present in the batch and writes it under the batch's
+  * partition. The live view is LATEST-WINS PER GROUP: a recompute
+  * always covers the group's complete history-so-far, so the latest
+  * card per group equals the batch face over the same events, row for
+  * row (StreamingHooverSpec pins it on a replayed fixture).
+  *
+  * Scale shape per trigger: the batch's own rollup is one combinable
+  * agg (bounded by the batch); the archive is hive-partitioned by the
+  * GROUP column under each batch partition, so the history read is
+  * storage-pruned to the touched groups' directories (`group IN
+  * (batch's groups)` — the group column is a small closed set, the
+  * [[graft.ops.Events.sequenceSupport]] contract, so both the
+  * partition fan-out and the driver-side touched list are bounded);
+  * the dev ladder then runs over per-entity rows of the touched
+  * groups only. Per-trigger cost grows with the touched groups'
+  * entity counts, never with total history row count — the archive
+  * holds one row per (batch, group, entity), already collapsed. */
+object StreamingHoover {
+
+  def hoover(stream: DataFrame, groupCol: String, entityCol: String,
+             valCol: String, rollupDir: String, cardsDir: String,
+             checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, groupCol, entityCol, valCol,
+          rollupDir, cardsDir)
+      }
+      .start()
+
+  /** One Hoover round — also the non-streaming entry a scheduled
+    * ingest calls with its own batch ids. */
+  def applyBatch(batch: DataFrame, batchId: Long, groupCol: String,
+                 entityCol: String, valCol: String, rollupDir: String,
+                 cardsDir: String): Unit = {
+    val spark = batch.sparkSession
+    batch.groupBy(col(groupCol), col(entityCol))
+      .agg(sum(round(col(valCol) * 100).cast("long")).as("cents"))
+      .write.mode("overwrite").partitionBy(groupCol)
+      .parquet(s"$rollupDir/batch_id=$batchId")
+    // bounded driver read: the group column is a small closed set —
+    // the partition directories this trigger is allowed to scan
+    val touched = batch.select(col(groupCol)).distinct()
+      .collect().map(_.get(0))
+    val hist = spark.read.parquet(rollupDir)
+      .filter(col("batch_id") <= batchId &&
+        col(groupCol).isin(touched: _*))
+      .groupBy(col(groupCol), col(entityCol))
+      .agg(sum(col("cents")).as("x"))
+    Events.hooverFromCents(hist, groupCol)
+      .write.mode("overwrite").parquet(s"$cardsDir/batch_id=$batchId")
+  }
+
+  /** Latest-wins live view: per group, the card row of that group's
+    * most recent recompute (exact vs the batch face — see scaladoc). */
+  def currentCards(spark: SparkSession, cardsDir: String,
+                   groupCol: String): DataFrame = {
+    val all = spark.read.parquet(cardsDir)
+    val latest = all.groupBy(col(groupCol))
+      .agg(max(col("batch_id")).as("batch_id"))
+    all.join(latest, Seq(groupCol, "batch_id")).drop("batch_id")
+  }
+}

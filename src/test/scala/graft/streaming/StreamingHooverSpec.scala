@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ops.Events
+
+/** Batch/stream reconciliation for the Hoover index (q284):
+  * increment-monotone partial cent sums + recompute-on-touch +
+  * latest-wins-per-group must reproduce the batch face row-for-row on
+  * a multi-batch replay — exact, zero tolerance (cards are integer
+  * micros off the same pure function, and long partial sums are
+  * associative). */
+class StreamingHooverSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streamed Hoover cards (latest-wins per event type) == batch " +
+    "face exactly on a multi-batch replay, and the rollup archive is " +
+    "group-partitioned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hvr_src").toString
+    val rollupDir = Files.createTempDirectory("hvr_rollup").toString
+    val cardsDir = Files.createTempDirectory("hvr_cards").toString
+    val ck = Files.createTempDirectory("hvr_ck").toString
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type"), col("user_id"), col("value"))
+    // 4 random-ish file splits: a user's spend straddles batches, so
+    // the partial-sum addition path is actually exercised
+    src.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingHoover.hoover(stream, "event_type", "user_id",
+      "value", rollupDir = rollupDir, cardsDir = cardsDir,
+      checkpointDir = ck)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = StreamingHoover.currentCards(spark, cardsDir, "event_type")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    val want = Events.hooverIndex(src, "event_type", "user_id", "value")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+
+    // the archive is group-partitioned under each batch partition —
+    // the storage-pruning contract: a trigger's history read scans
+    // only its touched groups' directories
+    val batchDirs = new java.io.File(rollupDir).listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+    assert(batchDirs.nonEmpty)
+    batchDirs.foreach { d =>
+      assert(d.listFiles().exists(_.getName.startsWith("event_type=")),
+        s"${d.getName} not group-partitioned")
+    }
+  }
+}

@@ -2654,6 +2654,33 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")), k = 4, rounds = 3)
 
+  /** Fellegi–Sunter per-field evidence weights on the q133 part
+    * sample: m from the q189 edit-distance truth pairs, u exactly
+    * from value marginals, log2 agree/disagree weights — the
+    * probabilistic-linkage scoring table beside q189's blocking eval.
+    * See [[graft.ops.Dedup.fellegiSunterWeights]]. */
+  private def qFellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val recs = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"),
+        col("p_brand").as("brand"))
+    val truth = Dedup.editDistancePairsSegmented(
+      recs.select(col("id"), col("s")), "id", "s", 2)
+      .select(col("id_a"), col("id_b"))
+    Dedup.fellegiSunterWeights(recs, "id",
+      Seq("first_token" -> split(col("s"), " ").getItem(0),
+        "len4" -> expr("length(s) div 4"),
+        "brand" -> col("brand")),
+      truth)
+  }
+
+  /** Horvitz–Thompson total estimate per event type from the 10%
+    * md5-draw Bernoulli design, scored against the true total — the
+    * sampling-error exchange-rate card for the q49/q63 family. See
+    * [[graft.ops.Sampling.horvitzThompson]]. */
+  private def qHorvitzThompson(s: SparkSession, dir: String): DataFrame =
+    Sampling.horvitzThompson(t(s, dir, "events"), "event_type",
+      "event_id", "value", num = 1, den = 10)
+
   /** Convergence telemetry for q256's fixed-rounds truss peel: was the
     * final round dry (a fixpoint), or does the cascade need more
     * rounds at this scale. See [[graft.ops.Graph.peelConvergence]]. */
@@ -3154,6 +3181,8 @@ object SparkEntry {
     "q285_mutual_pair_purity" -> (qMutualPairPurity _),
     "q286_cause_hazards" -> (qCauseHazards _),
     "q287_truss_convergence" -> (qTrussConvergence _),
+    "q288_horvitz_thompson" -> (qHorvitzThompson _),
+    "q289_fellegi_sunter" -> (qFellegiSunter _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6292,6 +6321,75 @@ object SparkEntry {
     // edge counts of rounds-1 vs rounds, dry-round fixpoint flag.
     "q287_truss_convergence" ->
       OracleGen.trussConvergenceSql(k = 4, rounds = 3),
+    // q289: mirrors Dedup.fellegiSunterWeights — all-pairs levenshtein
+    // truth (the q189 oracle pattern; Spark computes it segmented),
+    // melted field values, exact marginal u, micros floors, one
+    // mirrored log2 per weight.
+    "q289_fellegi_sunter" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s,
+           p_brand AS brand FROM part WHERE p_partkey % 10 = 0),
+         t AS (SELECT a.id AS id_a, b.id AS id_b
+           FROM p a JOIN p b ON a.id < b.id
+           WHERE abs(length(a.s) - length(b.s)) <= 2
+             AND levenshtein(a.s, b.s) <= 2),
+         m AS (SELECT id, field, v FROM (
+             SELECT id, 'first_token' AS field,
+               string_split(s, ' ')[1] AS v FROM p
+             UNION ALL SELECT id, 'len4',
+               CAST(length(s) // 4 AS VARCHAR) FROM p
+             UNION ALL SELECT id, 'brand', brand FROM p)
+           WHERE v IS NOT NULL),
+         tp AS (SELECT ma.field, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_agree
+           FROM t JOIN m ma ON ma.id = t.id_a
+             JOIN m mb ON mb.id = t.id_b AND mb.field = ma.field
+           GROUP BY 1),
+         mg AS (SELECT field, CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(c AS HUGEINT) * (c - 1)) AS sp
+           FROM (SELECT field, v, CAST(count(*) AS BIGINT) AS c
+             FROM m GROUP BY 1, 2) GROUP BY 1),
+         j AS (SELECT tp.field, n AS n_recs, n_pairs AS n_truth_pairs,
+             CASE WHEN n_pairs > 0
+               THEN (1000000 * n_agree) // n_pairs END AS m_micros,
+             CAST((1000000 * sp) // (CAST(n AS HUGEINT) * (n - 1))
+               AS BIGINT) AS u_micros
+           FROM tp JOIN mg ON mg.field = tp.field)
+         SELECT field, n_recs, n_truth_pairs, m_micros, u_micros,
+           round(CASE WHEN m_micros > 0 AND u_micros > 0
+             THEN log2(CAST(m_micros AS DOUBLE) / u_micros) END, 4)
+             AS w_agree,
+           round(CASE WHEN m_micros < 1000000 AND u_micros < 1000000
+             THEN log2(CAST(1000000 - m_micros AS DOUBLE)
+               / (1000000 - u_micros)) END, 4) AS w_disagree
+         FROM j""",
+    // q288: mirrors Sampling.horvitzThompson — the q63 all-long md5
+    // keep test, one conditional agg, sign-symmetric HT blow-up and
+    // relative error (the q238 idiom).
+    "q288_horvitz_thompson" ->
+      """WITH v AS (SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) AS c,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(event_id
+                 AS VARCHAR)), 1, 8)) AS BIGINT) * 10
+               < 1 * 4294967296 THEN 1 ELSE 0 END AS kept
+         FROM events),
+       g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(kept) AS BIGINT) AS n_sampled,
+           CAST(sum(c) AS BIGINT) AS true_total_cents,
+           CAST(COALESCE(sum(CASE WHEN kept = 1 THEN c END), 0)
+             AS BIGINT) AS s
+         FROM v GROUP BY 1),
+       h AS (SELECT event_type, n_rows, n_sampled, true_total_cents,
+           CAST(sign(s) AS BIGINT) * ((10 * abs(s)) // 1)
+             AS ht_total_cents
+         FROM g)
+       SELECT event_type, n_rows, n_sampled, true_total_cents,
+         ht_total_cents,
+         CASE WHEN true_total_cents <> 0
+           THEN CAST(sign(ht_total_cents - true_total_cents) AS BIGINT)
+             * ((1000000 * abs(ht_total_cents - true_total_cents))
+               // abs(true_total_cents)) END AS err_micros
+       FROM h""",
     "q261_truss_communities" ->
       OracleGen.trussCommunitiesSql(k = 4, rounds = 3),
     "q265_truss_hierarchy" ->

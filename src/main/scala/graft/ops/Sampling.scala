@@ -615,6 +615,55 @@ object Sampling {
           .as("ess_share"))
   }
 
+  /** HORVITZ–THOMPSON total estimate + honest error (Horvitz &
+    * Thompson 1952) — the design-unbiased estimator every
+    * sampled-corpus readout rests on: with rows kept by the
+    * [[bernoulliByHash]] design at inclusion probability π = num/den,
+    * the per-group total estimate is Σ_kept y/π, and this card scores
+    * it against the TRUE total — the sampling-error exchange rate for
+    * the q49/q63/q78 sampling family ("how wrong is a 10% readout"),
+    * the sampling sibling of the q26/q275 sample-truth EVAL class: at
+    * corpus scale you run only the estimator half (one conditional
+    * sum), the truth column is what makes this an eval card.
+    *
+    * Determinism: the md5-draw keep test is [[bernoulliByHash]]'s
+    * all-long rational comparison; totals are exact cents; the HT
+    * blow-up is sign-symmetric exact division (den·|s|) div num with
+    * the sign multiplied back (the q238 idiom — floor division never
+    * sees a negative operand); err_micros = sign(ht−true)·
+    * ((1e6·|ht−true|) div |true|), NULL when the true total is 0.
+    *
+    * Scale shape: ONE combinable 4-column conditional agg over one
+    * corpus scan — the keep test is a pure row-local map (no shuffle,
+    * no join, no second pass); output is |groups| rows. */
+  def horvitzThompson(df: DataFrame, groupCol: String, keyCol: String,
+                      valCol: String, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den > 0 && num <= den, "rate must be in (0, 1]")
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val kept = v * den < lit(num.toLong * 4294967296L)
+    val cents = round(col(valCol) * 100).cast("long")
+    val g = df
+      .select(col(groupCol), kept.as("__kept"), cents.as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__kept").cast("long")).as("n_sampled"),
+        sum(col("__c")).as("true_total_cents"),
+        coalesce(sum(when(col("__kept"), col("__c"))), lit(0L))
+          .as("__s"))
+    g.select(col(groupCol), col("n_rows"), col("n_sampled"),
+        col("true_total_cents"),
+        (signum(col("__s")).cast("long") *
+          expr(s"(${den}L * abs(__s)) div ${num}L"))
+          .as("ht_total_cents"))
+      .withColumn("err_micros",
+        when(col("true_total_cents") =!= 0,
+          signum(col("ht_total_cents") - col("true_total_cents"))
+            .cast("long") *
+            expr("(1000000L * abs(ht_total_cents - true_total_cents))" +
+              " div abs(true_total_cents)")))
+  }
+
   def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
                        budget: Long): DataFrame = {
     require(budget >= 0, "budget must be >= 0")

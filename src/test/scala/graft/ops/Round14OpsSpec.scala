@@ -46,4 +46,80 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(total == ((None, 7L, 1L, 2L, Some(142857L), Some(285714L),
       Some(500000L), Some(-0.5774))), total)
   }
+
+  test("horvitzThompson: at rate 1 the estimate IS the truth (err 0, " +
+    "everything sampled); at 1/10 the estimate is exactly 10x the " +
+    "sampled cents and the error is the signed micros floor") {
+    val df = (1L to 200L).map(i => (s"g${i % 2}", i, (i % 7) + 0.25))
+      .toDF("grp", "k", "value")
+    val full = Sampling.horvitzThompson(df, "grp", "k", "value",
+        num = 1, den = 1)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+    assert(full.length == 2)
+    full.foreach { case (_, nRows, nSamp, truth, ht, err) =>
+      assert(nRows == 100L && nSamp == nRows && ht == truth &&
+        err.contains(0L))
+    }
+    val ten = Sampling.horvitzThompson(df, "grp", "k", "value",
+        num = 1, den = 10)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+    // replay the keep test + expected card per group in plain scala
+    val cents = (1L to 200L).map(i =>
+      (s"g${i % 2}", i, math.round(((i % 7) + 0.25) * 100)))
+    def kept(k: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) * 10L < 4294967296L
+    }
+    val expect = cents.groupBy(_._1).map { case (g, rows) =>
+      val truth = rows.map(_._3).sum
+      val s = rows.filter(r => kept(r._2)).map(_._3).sum
+      val ht = 10L * s
+      val err = math.signum(ht - truth) *
+        (1000000L * math.abs(ht - truth)) / math.abs(truth)
+      g -> ((100L, rows.count(r => kept(r._2)).toLong, truth, ht, err))
+    }
+    ten.foreach { case (g, nRows, nSamp, truth, ht, err) =>
+      assert((nRows, nSamp, truth, ht, err.get) ==
+        ((expect(g)._1, expect(g)._2, expect(g)._3, expect(g)._4,
+          expect(g)._5)), s"group $g")
+    }
+    // the 10% design actually thinned (not everything kept)
+    assert(ten.map(_._3).sum < 200L)
+  }
+
+  test("fellegiSunterWeights: m from the truth pairs, u exactly from " +
+    "the value marginals, log2 weights with degenerate guards, and " +
+    "null field values leave that field's relation — hand-computed") {
+    def log2r4(x: Double): Double =
+      BigDecimal(math.log(x) / math.log(2.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val recs = Seq(
+      (1L, "A", "Z", Option("p")), (2L, "A", "Z", None),
+      (3L, "B", "Z", Option("p")), (4L, "C", "Z", Option("q")),
+      (5L, "A", "Z", Option("p")), (6L, "B", "Z", Option("q"))
+    ).toDF("id", "city", "konst", "opt")
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.fellegiSunterWeights(recs, "id",
+        Seq("city" -> col("city"), "konst" -> col("konst"),
+          "opt" -> col("opt")), truth)
+      .as[(String, Long, Long, Option[Long], Option[Long],
+        Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // city: marginals A:3 B:2 C:1 -> u = (1e6·(6+2)) div 30 = 266666;
+    // truth: (1,2) agree, (3,4) disagree -> m = 500000
+    assert(got("city") == (("city", 6L, 2L, Some(500000L),
+      Some(266666L), Some(log2r4(500000.0 / 266666.0)),
+      Some(log2r4(500000.0 / 733334.0)))), got("city"))
+    // konst: constant field -> u = 1e6, m = 1e6: w_agree = log2(1) = 0
+    // exactly, w_disagree degenerate -> NULL (never -Inf)
+    assert(got("konst") == (("konst", 6L, 2L, Some(1000000L),
+      Some(1000000L), Some(0.0), None)), got("konst"))
+    // opt: id 2 is NULL -> pair (1,2) leaves the relation; n_recs = 5
+    // (p:3, q:2 -> u = (6+2)·1e6 div 20 = 400000); (3,4) disagrees
+    // -> m = 0 -> w_agree NULL (never -Inf)
+    assert(got("opt") == (("opt", 5L, 1L, Some(0L), Some(400000L),
+      None, Some(log2r4(1000000.0 / 600000.0)))), got("opt"))
+  }
 }

@@ -2654,6 +2654,13 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")), k = 4, rounds = 3)
 
+  /** Good–Turing unseen mass + bias-corrected Chao1 vocabulary
+    * richness per language — has the corpus covered its domain's
+    * vocabulary, and how many types are still unseen. See
+    * [[graft.ops.TextAnalysis.vocabCoverage]]. */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", "lang")
+
   /** Fellegi–Sunter per-field evidence weights on the q133 part
     * sample: m from the q189 edit-distance truth pairs, u exactly
     * from value marginals, log2 agree/disagree weights — the
@@ -3183,6 +3190,7 @@ object SparkEntry {
     "q287_truss_convergence" -> (qTrussConvergence _),
     "q288_horvitz_thompson" -> (qHorvitzThompson _),
     "q289_fellegi_sunter" -> (qFellegiSunter _),
+    "q290_vocab_coverage" -> (qVocabCoverage _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6321,6 +6329,25 @@ object SparkEntry {
     // edge counts of rounds-1 vs rounds, dry-round fixpoint flag.
     "q287_truss_convergence" ->
       OracleGen.trussConvergenceSql(k = 4, rounds = 3),
+    // q290: mirrors TextAnalysis.vocabCoverage — frequency-of-
+    // frequencies off the whitespace token rollup, exact counts,
+    // non-negative floors (Good-Turing P0 + bias-corrected Chao1).
+    "q290_vocab_coverage" ->
+      """WITH tf AS (SELECT lang AS g, u.term, count(*) AS c
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+           WHERE u.term <> '' GROUP BY 1, 2),
+         a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+           FROM tf GROUP BY 1)
+         SELECT g AS lang, n_tokens, vocab, n1, n2,
+           (1000000 * n1) // n_tokens AS unseen_mass_micros,
+           vocab + CAST((CAST(n1 AS HUGEINT) * (n1 - 1))
+             // (2 * (n2 + 1)) AS BIGINT) AS chao1_est
+         FROM a""",
     // q289: mirrors Dedup.fellegiSunterWeights — all-pairs levenshtein
     // truth (the q189 oracle pattern; Spark computes it segmented),
     // melted field values, exact marginal u, micros floors, one

@@ -1473,4 +1473,45 @@ object TextAnalysis {
     }
     (syms, out)
   }
+
+  /** VOCABULARY COVERAGE — Good–Turing unseen mass + bias-corrected
+    * Chao1 richness per group: from the frequency-of-frequencies
+    * (n1 = singleton terms, n2 = doubleton terms), the probability
+    * the NEXT token is an unseen type is P₀ = n1/N (Good 1953 — the
+    * missing-mass estimator language modeling's smoothing rests on),
+    * and the total type count including never-seen types is
+    * Chao1 = V + n1(n1−1)/(2(n2+1)) (Chao 1984, the bias-corrected
+    * form, defined even when n2 = 0). The corpus-curation read: a
+    * high unseen mass says the corpus hasn't covered its domain's
+    * vocabulary yet (sampling more text buys new types), a Chao1 far
+    * above V quantifies how much; the singleton-based complement to
+    * [[heapsFit]]'s growth-curve fit.
+    *
+    * Determinism: all counts exact; unseen_mass_micros =
+    * (1e6·n1) div N and the Chao1 correction n1(n1−1) div (2(n2+1))
+    * are non-negative integer floors (decimal ladder on the square).
+    * Empty groups never appear; a group with no tokens can't exist
+    * (explode drops empty arrays' rows and "" filters out).
+    *
+    * Scale shape: ONE token explode → (group, term) combinable count
+    * → frequency-of-frequencies combinable agg; nothing joins,
+    * nothing is per-pair. Output: one row per group. */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val tf = docs
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("g"), col("term")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("n1"), col("n2"),
+        expr("(1000000L * n1) div n_tokens").as("unseen_mass_micros"),
+        (col("vocab") +
+          expr("try_cast((cast(n1 as decimal(38,0)) * (n1 - 1))" +
+            " div (2 * (n2 + 1)) as bigint)")).as("chao1_est"))
+  }
 }

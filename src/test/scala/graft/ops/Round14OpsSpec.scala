@@ -122,4 +122,21 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got("opt") == (("opt", 5L, 1L, Some(0L), Some(400000L),
       None, Some(log2r4(1000000.0 / 600000.0)))), got("opt"))
   }
+
+  test("vocabCoverage: Good-Turing unseen mass and bias-corrected " +
+    "Chao1 hand-computed, empty tokens filtered, n2 = 0 defined") {
+    val docs = Seq(
+      ("g1", "a a  b c"), ("g1", "c d"), // double space -> "" dropped
+      ("g2", "a b c")                    // all singletons, n2 = 0
+    ).toDF("lang", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", "lang")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // g1: counts a:2 b:1 c:2 d:1 -> N=6 V=4 n1=2 n2=2;
+    // P0 = (1e6·2) div 6 = 333333; chao1 = 4 + (2·1) div 6 = 4
+    assert(got("g1") == (("g1", 6L, 4L, 2L, 2L, 333333L, 4L)), got("g1"))
+    // g2: N=3 V=3 n1=3 n2=0; P0 = 1e6; chao1 = 3 + (3·2) div 2 = 6
+    assert(got("g2") == (("g2", 3L, 3L, 3L, 0L, 1000000L, 6L)),
+      got("g2"))
+  }
 }

@@ -475,6 +475,34 @@ object OracleGen {
             ORDER BY votes DESC, label ASC) AS vr FROM votes)
        WHERE vr = 1"""
 
+  /** Oracle for `Similarity.ivfCellBalance` (q291): the IVF assignment
+    * replay (min-id centroids, round-6 cosine, cent_id tie-break),
+    * per-cell counts, exact imbalance and expected-probe-mass floors. */
+  def ivfCellBalanceSql(nCentroids: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       cent AS (SELECT id AS cent_id, v AS cv FROM e
+         ORDER BY id LIMIT $nCentroids),
+       rk AS (SELECT e.id, c.cent_id,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC)
+             AS rn
+         FROM e, cent c),
+       pc AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS c
+         FROM rk WHERE rn = 1 GROUP BY 1),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS nonempty_cells,
+           CAST(sum(c) AS BIGINT) AS n_vectors,
+           CAST(max(c) AS BIGINT) AS max_cell,
+           sum(CAST(c AS HUGEINT) * c) AS c2
+         FROM pc)
+       SELECT CAST($nCentroids AS BIGINT) AS n_centroids, n_vectors,
+         nonempty_cells, max_cell,
+         (1000000 * $nCentroids * max_cell) // n_vectors
+           AS imbalance_micros,
+         CAST((1000000 * c2) // (CAST(n_vectors AS HUGEINT) * n_vectors)
+           AS BIGINT) AS expected_probe_micros
+       FROM a"""
+
   /** The routed mutual-pairing CTE chain shared by the q278/q285
     * oracles — the IVF routing replay over the stride subset
     * (centroids = min-id subset rows, round-6 cosine assignment,

@@ -2654,6 +2654,14 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")), k = 4, rounds = 3)
 
+  /** IVF cell-balance telemetry over the shared coarse quantizer —
+    * routing-skew observability for the whole routed ANN family:
+    * imbalance C·max/n and expected single-probe scan fraction
+    * Σ(c/n)². See [[graft.ops.Similarity.ivfCellBalance]]. */
+  private def qIvfCellBalance(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfCellBalance(t(s, dir, "embeddings"), "vec_id",
+      "embedding", nCentroids = 16)
+
   /** Good–Turing unseen mass + bias-corrected Chao1 vocabulary
     * richness per language — has the corpus covered its domain's
     * vocabulary, and how many types are still unseen. See
@@ -3191,6 +3199,7 @@ object SparkEntry {
     "q288_horvitz_thompson" -> (qHorvitzThompson _),
     "q289_fellegi_sunter" -> (qFellegiSunter _),
     "q290_vocab_coverage" -> (qVocabCoverage _),
+    "q291_ivf_cell_balance" -> (qIvfCellBalance _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6329,6 +6338,10 @@ object SparkEntry {
     // edge counts of rounds-1 vs rounds, dry-round fixpoint flag.
     "q287_truss_convergence" ->
       OracleGen.trussConvergenceSql(k = 4, rounds = 3),
+    // q291: mirrors Similarity.ivfCellBalance — the IVF assignment
+    // replay, per-cell counts, exact imbalance + expected-probe floors.
+    "q291_ivf_cell_balance" ->
+      OracleGen.ivfCellBalanceSql(nCentroids = 16),
     // q290: mirrors TextAnalysis.vocabCoverage — frequency-of-
     // frequencies off the whitespace token rollup, exact counts,
     // non-negative floors (Good-Turing P0 + bias-corrected Chao1).

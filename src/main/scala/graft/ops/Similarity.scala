@@ -1641,6 +1641,47 @@ object Similarity {
       Seq(col("adc_micros").asc, col("cand_id").asc), topK)
   }
 
+  /** IVF CELL-BALANCE TELEMETRY — the routing-skew observability card
+    * for the whole routed family (q35/q127/q149/q158/q190/q206/q278
+    * all lean on [[ivfRouting]]'s cells): per-cell member counts
+    * rolled into (nonempty cells, max cell, imbalance = C·max/n — 1.0
+    * means perfectly balanced, C means everything collapsed into one
+    * cell) plus the average-case read, expected probe mass
+    * Σ(c_i/n)² = the fraction of the corpus a single-probe query
+    * scans when queries distribute like the data (the q285
+    * marginal-squares idiom on cells). The q287 convergence-card move
+    * applied to the ANN side: every routed cost-class gate assumes
+    * cells stay usefully sized — this card SAYS whether they do, and
+    * a drifting corpus shows up here before it shows up as a tripped
+    * candidate-mass gate.
+    *
+    * Determinism: the [[ivfRouting]] assignment contract (min-id
+    * centroids, round-6 cosine, cent_id tie-break); counts exact;
+    * both ratios are non-negative integer-micros floors on the
+    * decimal ladder.
+    *
+    * Scale shape: ONE corpus assignment (the broadcast-centroid
+    * window every routed face already runs) + two combinable aggs;
+    * 1-row card. */
+  def ivfCellBalance(emb: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int = 16): DataFrame = {
+    require(nCentroids >= 1, "need nCentroids >= 1")
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (_, cells, _) = ivfRouting(base, nCentroids, nProbe = 1,
+      queryStride = Long.MaxValue)
+    cells.groupBy(col("cent_id")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("nonempty_cells"),
+        sum(col("c")).as("n_vectors"), max(col("c")).as("max_cell"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("__c2"))
+      .select(lit(nCentroids.toLong).as("n_centroids"),
+        col("n_vectors"), col("nonempty_cells"), col("max_cell"),
+        expr(s"(1000000L * ${nCentroids}L * max_cell) div n_vectors")
+          .as("imbalance_micros"),
+        expr("try_cast((1000000L * __c2) div" +
+          " (cast(n_vectors as decimal(38,0)) * n_vectors) as bigint)")
+          .as("expected_probe_micros"))
+  }
+
   /** [[ivfPqTopK]]'s routing stage — the (query_id, id) candidate pairs
     * from the query's `nProbe` probed IVF cells (the q35 coarse
     * quantizer: broadcast centroids, round-6 cosine, members in their

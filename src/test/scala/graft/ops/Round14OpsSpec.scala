@@ -139,4 +139,20 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got("g2") == (("g2", 3L, 3L, 3L, 0L, 1000000L, 6L)),
       got("g2"))
   }
+
+  test("ivfCellBalance: an obvious two-direction corpus lands 6/4, " +
+    "imbalance and expected-probe mass exactly the hand floors") {
+    // centroids = min-id rows 0 (direction A) and 1 (direction B);
+    // cosine is scale-invariant, so membership is unambiguous
+    val a = Array(1.0, 0.0); val b = Array(0.0, 1.0)
+    val emb = Seq(0L -> a, 1L -> b, 2L -> a.map(_ * 2), 3L -> b,
+      4L -> a, 5L -> b.map(_ * 3), 6L -> a, 7L -> b, 8L -> a, 9L -> a)
+      .map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfCellBalance(emb, "vec_id", "embedding",
+        nCentroids = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // cells A:6 B:4 -> imbalance (1e6·2·6) div 10 = 1.2e6;
+    // expected probe (1e6·(36+16)) div 100 = 520000
+    assert(got == ((2L, 10L, 2L, 6L, 1200000L, 520000L)), got)
+  }
 }

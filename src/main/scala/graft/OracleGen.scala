@@ -1722,8 +1722,12 @@ object OracleGen {
     * replays [[graft.ops.Graph.triangleCounts]]' degree-ordered
     * orientation exactly: same (deg, id) tuple order, same
     * orientation-minimal-corner production, pure integer counting. */
-  def triangleCountsSql: String =
-    s"""WITH ev AS (SELECT user_id, event_id,
+  /** The q114 triangle CTE chain (transition graph → degree-ordered
+    * orientation → once-per-triangle wedges → per-node triangle
+    * counts) — shared by [[triangleCountsSql]] and
+    * [[clusteringCardSql]]. */
+  private def triangleCtes: String =
+    s"""ev AS (SELECT user_id, event_id,
          TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          FROM events),
        tr AS (SELECT lag(k) OVER (PARTITION BY user_id
@@ -1751,10 +1755,40 @@ object OracleGen {
        pn AS (SELECT node, count(*) AS triangles FROM
            (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
             UNION ALL SELECT w FROM tri)
-         GROUP BY 1)
+         GROUP BY 1)"""
+
+  def triangleCountsSql: String =
+    s"""WITH $triangleCtes
        SELECT d.node, d.deg, d.deg * (d.deg - 1) // 2 AS wedges,
          COALESCE(pn.triangles, 0) AS triangles
        FROM deg d LEFT JOIN pn ON pn.node = d.node"""
+
+  /** Oracle for `Graph.clusteringCard` (q292): the q114 chain, per-node
+    * local coefficients as micros floors, then exact global sums —
+    * transitivity Σtri_v/Σwedge_v beside the mean local coefficient. */
+  def clusteringCardSql: String =
+    s"""WITH $triangleCtes,
+       pnj AS (SELECT d.node, d.deg * (d.deg - 1) // 2 AS wedges,
+           COALESCE(pn.triangles, 0) AS triangles
+         FROM deg d LEFT JOIN pn ON pn.node = d.node),
+       cv AS (SELECT wedges, triangles,
+           CASE WHEN wedges > 0
+             THEN (1000000 * triangles) // wedges END AS c
+         FROM pnj)
+       SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(CASE WHEN wedges > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_wedge_nodes,
+         CAST(sum(wedges) AS BIGINT) AS sum_wedges,
+         CAST(sum(triangles) AS BIGINT) AS sum_tri_inc,
+         CASE WHEN sum(wedges) > 0
+           THEN (1000000 * CAST(sum(triangles) AS BIGINT))
+             // CAST(sum(wedges) AS BIGINT) END AS transitivity_micros,
+         CASE WHEN sum(CASE WHEN wedges > 0 THEN 1 ELSE 0 END) > 0
+           THEN CAST(sum(c) AS BIGINT)
+             // CAST(sum(CASE WHEN wedges > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) END
+           AS avg_local_micros
+       FROM cv"""
 
   /** Oracle for `Events.decayedEngagement` (q182): the decay table is
     * the SAME build-time constants the Spark face sums

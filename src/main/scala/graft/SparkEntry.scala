@@ -2654,6 +2654,15 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")), k = 4, rounds = 3)
 
+  /** Global transitivity vs mean local clustering over the transition
+    * graph — the two classical clustering measures whose divergence
+    * flags hub-dominated structure. See
+    * [[graft.ops.Graph.clusteringCard]]. */
+  private def qClusteringCard(s: SparkSession, dir: String): DataFrame =
+    Graph.clusteringCard(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")))
+
   /** IVF cell-balance telemetry over the shared coarse quantizer —
     * routing-skew observability for the whole routed ANN family:
     * imbalance C·max/n and expected single-probe scan fraction
@@ -3200,6 +3209,7 @@ object SparkEntry {
     "q289_fellegi_sunter" -> (qFellegiSunter _),
     "q290_vocab_coverage" -> (qVocabCoverage _),
     "q291_ivf_cell_balance" -> (qIvfCellBalance _),
+    "q292_clustering_card" -> (qClusteringCard _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6338,6 +6348,9 @@ object SparkEntry {
     // edge counts of rounds-1 vs rounds, dry-round fixpoint flag.
     "q287_truss_convergence" ->
       OracleGen.trussConvergenceSql(k = 4, rounds = 3),
+    // q292: mirrors Graph.clusteringCard — the q114 triangle chain,
+    // per-node micros floors, exact global sums.
+    "q292_clustering_card" -> OracleGen.clusteringCardSql,
     // q291: mirrors Similarity.ivfCellBalance — the IVF assignment
     // replay, per-cell counts, exact imbalance + expected-probe floors.
     "q291_ivf_cell_balance" ->

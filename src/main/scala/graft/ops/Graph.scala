@@ -190,6 +190,42 @@ object Graph {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** CLUSTERING CARD — the two classical clustering measures side by
+    * side (Newman 2003 §III.B vs Watts & Strogatz 1998): global
+    * TRANSITIVITY C_Δ = 3·|triangles| / |wedges| = Σ_v tri_v / Σ_v
+    * wedge_v (closed wedges over all wedges — wedge-weighted, hubs
+    * dominate) and the MEAN LOCAL coefficient C̄ = mean_v tri_v /
+    * wedge_v over nodes with deg ≥ 2 (node-weighted, leaves excluded).
+    * The two famously diverge on hub-dominated graphs — a low C_Δ
+    * with a high C̄ says the periphery is clustered but the hubs are
+    * not, the structural signature a single number hides; the
+    * small-world read beside [[degreeAssortativity]].
+    *
+    * Determinism: built on [[triangleCounts]]' exact integer relation;
+    * per-node coefficients and both global measures are non-negative
+    * integer-micros floors (C̄ is the exact integer mean of the
+    * per-node floors — a defined, engine-identical contract).
+    *
+    * Scale shape: [[triangleCounts]] (the gated Σ C(deg, 2) wedge
+    * class) + ONE combinable agg; 1-row card. */
+  def clusteringCard(edges: DataFrame): DataFrame =
+    triangleCounts(edges)
+      .select(col("wedges"), col("triangles"),
+        when(col("wedges") > 0,
+          expr("(1000000L * triangles) div wedges")).as("c"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum((col("wedges") > 0).cast("long")).as("n_wedge_nodes"),
+        sum(col("wedges")).as("sum_wedges"),
+        sum(col("triangles")).as("sum_tri_inc"),
+        sum(col("c")).as("__sc"))
+      .select(col("n_nodes"), col("n_wedge_nodes"), col("sum_wedges"),
+        col("sum_tri_inc"),
+        when(col("sum_wedges") > 0,
+          expr("(1000000L * sum_tri_inc) div sum_wedges"))
+          .as("transitivity_micros"),
+        when(col("n_wedge_nodes") > 0,
+          expr("__sc div n_wedge_nodes")).as("avg_local_micros"))
+
   /** Core-number (k-core) decomposition via the iterated H-operator
     * (Lü et al., "The H-index of a network node and its relation to
     * degree and coreness", Nature Communications 2016): start every

@@ -468,6 +468,23 @@ class GraphSpec extends AnyFunSuite {
     assert(conv(3) == ((4L, 3L, 10L, 6L, 0L, true)), conv(3))
   }
 
+  test("clusteringCard: a hub star with one closed wedge makes the two " +
+    "measures diverge exactly as hand-computed (wedge-weighted " +
+    "transitivity low, node-weighted mean local high)") {
+    // star 0-{1..5} plus edge (1,2): one triangle (0,1,2).
+    // node 0: deg 5, wedges 10, tri 1 -> c = 100000
+    // nodes 1,2: deg 2, wedge 1, tri 1 -> c = 1e6; leaves: no wedge
+    val e = edges((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L),
+      (0L, 4L, 1L), (0L, 5L, 1L), (1L, 2L, 1L))
+    val got = Graph.clusteringCard(e)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    // transitivity = (1e6·3) div 12 = 250000;
+    // mean local = (100000 + 1e6 + 1e6) div 3 = 700000
+    assert(got == ((6L, 3L, 12L, 3L, Some(250000L), Some(700000L))),
+      got)
+  }
+
   test("trussCommunities: a bridge between a K5 and a K4 peels away, " +
     "leaving two community cores with min-id labels and exact sizes") {
     val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j, 1L)

@@ -2654,6 +2654,14 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")), k = 4, rounds = 3)
 
+  /** Pairwise-source Jensen-Shannon divergence matrix over unigram
+    * distributions — the symmetric source-structure map for mixture
+    * design the one-vs-baseline drift family cannot give. See
+    * [[graft.ops.TextAnalysis.sourceJsdMatrix]]. */
+  private def qSourceJsd(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceJsdMatrix(t(s, dir, "documents"), "text",
+      "source", minCount = 2L)
+
   /** Global transitivity vs mean local clustering over the transition
     * graph — the two classical clustering measures whose divergence
     * flags hub-dominated structure. See
@@ -3210,6 +3218,7 @@ object SparkEntry {
     "q290_vocab_coverage" -> (qVocabCoverage _),
     "q291_ivf_cell_balance" -> (qIvfCellBalance _),
     "q292_clustering_card" -> (qClusteringCard _),
+    "q293_source_jsd" -> (qSourceJsd _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6348,6 +6357,40 @@ object SparkEntry {
     // edge counts of rounds-1 vs rounds, dry-round fixpoint flag.
     "q287_truss_convergence" ->
       OracleGen.trussConvergenceSql(k = 4, rounds = 3),
+    // q293: mirrors TextAnalysis.sourceJsdMatrix — add-1 smoothed
+    // source unigrams over the joint kept vocab, per-term pointwise
+    // JS contribution rounded to exact nanos BEFORE the sum (the q279
+    // round-then-sum idiom), micros floor at the end.
+    "q293_source_jsd" ->
+      """WITH tokc AS (SELECT source AS src, u.term,
+           CAST(count(*) AS BIGINT) AS c
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+           WHERE u.term <> '' GROUP BY 1, 2),
+         vocab AS (SELECT term FROM
+             (SELECT term, sum(c) AS tot FROM tokc GROUP BY 1)
+           WHERE tot >= 2),
+         kept AS (SELECT tokc.* FROM tokc JOIN vocab USING (term)),
+         totals AS (SELECT src, CAST(sum(c) AS BIGINT) AS n
+           FROM kept GROUP BY 1),
+         vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         dense AS (SELECT vocab.term, totals.src,
+             CAST(COALESCE(kept.c, 0) + 1 AS DOUBLE)
+               / (totals.n + vs.v) AS p
+           FROM vocab CROSS JOIN totals CROSS JOIN vs
+             LEFT JOIN kept ON kept.term = vocab.term
+               AND kept.src = totals.src),
+         pairs AS (SELECT a.src AS source_a, b.src AS source_b,
+             a.p AS p, b.p AS q
+           FROM dense a JOIN dense b ON b.term = a.term
+             AND a.src < b.src),
+         contrib AS (SELECT source_a, source_b,
+             CAST(round((p * log2(2.0 * p / (p + q))
+                 + q * log2(2.0 * q / (p + q))) / 2.0 * 1000000000.0)
+               AS BIGINT) AS jn
+           FROM pairs)
+         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS v_terms,
+           CAST(sum(jn) AS BIGINT) // 1000 AS jsd_micros
+         FROM contrib GROUP BY 1, 2""",
     // q292: mirrors Graph.clusteringCard — the q114 triangle chain,
     // per-node micros floors, exact global sums.
     "q292_clustering_card" -> OracleGen.clusteringCardSql,

@@ -1474,6 +1474,71 @@ object TextAnalysis {
     (syms, out)
   }
 
+  /** PAIRWISE-SOURCE JSD MATRIX — Jensen–Shannon divergence between
+    * every pair of sources' unigram distributions (Lin 1991): the
+    * SYMMETRIC, [0,1]-bounded (log2) distance the one-vs-baseline
+    * drift family (PSI q76, KL q142, KS q166, χ² q155) cannot give —
+    * a source×source structure map for mixture design ("src3 and
+    * src11 are near-duplicates; merge their budgets" / "src7 is the
+    * outlier domain"). Distributions are add-1 smoothed over the
+    * JOINT kept vocabulary (terms with corpus count ≥ `minCount` —
+    * the q108 rare-noise guard, and the vocab-size knob: V drops ~10×
+    * at minCount 2).
+    *
+    * Determinism: the per-term pointwise contribution
+    * ½(p·log2(2p/(p+q)) + q·log2(2q/(p+q))) is ≥ 0 by the log-sum
+    * inequality and is ONE mirrored scalar expression per row,
+    * rounded to EXACT integer nanos before the sum — so the per-pair
+    * aggregation is an exact integer sum (order-free across engines
+    * and partitionings; the q279 round-then-sum idiom at nano grain),
+    * floored to micros at the end.
+    *
+    * Scale shape: one (source, term) combinable count, a vocab
+    * semi-join, a V×|S| densify against a broadcast |S|-row totals
+    * relation, and ONE term-keyed equi-join producing V·C(|S|,2)
+    * contribution rows — linear in vocab, quadratic only in the
+    * SMALL closed source set, never in the corpus. Output:
+    * (source_a, source_b, v_terms, jsd_micros), |S|(|S|−1)/2 rows. */
+  def sourceJsdMatrix(docs: DataFrame, textCol: String,
+                      sourceCol: String, minCount: Long = 2L)
+      : DataFrame = {
+    require(minCount >= 1, "need minCount >= 1")
+    val tc = docs.select(col(sourceCol).as("src"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("src"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val vocab = tc.groupBy(col("term")).agg(sum(col("c")).as("tot"))
+      .filter(col("tot") >= minCount).select(col("term"))
+      .localCheckpoint(eager = false)
+    val kept = tc.join(vocab, Seq("term"), "left_semi")
+    val totals = kept.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val dense = vocab.crossJoin(broadcast(totals))
+      .join(kept, Seq("term", "src"), "left")
+      .crossJoin(broadcast(vsize))
+      .select(col("term"), col("src"),
+        ((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n") + col("v")).cast("double")).as("p"))
+      .localCheckpoint(eager = false)
+    val pairs = dense
+      .select(col("term"), col("src").as("source_a"), col("p"))
+      .join(dense.select(col("term"), col("src").as("source_b"),
+        col("p").as("q")), Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+    pairs
+      .select(col("source_a"), col("source_b"),
+        round((col("p") * log2(lit(2.0) * col("p") /
+            (col("p") + col("q"))) +
+          col("q") * log2(lit(2.0) * col("q") /
+            (col("p") + col("q")))) / lit(2.0) * lit(1e9))
+          .cast("long").as("jn"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("v_terms"), sum(col("jn")).as("__jn"))
+      .select(col("source_a"), col("source_b"), col("v_terms"),
+        expr("__jn div 1000").as("jsd_micros"))
+  }
+
   /** VOCABULARY COVERAGE — Good–Turing unseen mass + bias-corrected
     * Chao1 richness per group: from the frequency-of-frequencies
     * (n1 = singleton terms, n2 = doubleton terms), the probability

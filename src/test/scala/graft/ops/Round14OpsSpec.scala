@@ -140,6 +140,31 @@ class Round14OpsSpec extends AnyFunSuite {
       got("g2"))
   }
 
+  test("sourceJsdMatrix: identical sources score EXACTLY 0, a " +
+    "different pair matches the nano-summed replay, and every value " +
+    "sits in the [0, 1e6] log2 bound") {
+    val docs = Seq(("A", "x x y"), ("B", "x z"), ("C", "x x y"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceJsdMatrix(docs, "text", "source",
+        minCount = 1L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.size == 3)
+    // C is a verbatim copy of A: p = q for every term -> 0 exactly
+    assert(got(("A", "C")) == ((3L, 0L)), got(("A", "C")))
+    // replay the A-B pair with the same per-term nano rounding:
+    // vocab {x,y,z}; pA = (2+1)/6, (1+1)/6, (0+1)/6; pB = (1+1)/5,
+    // (0+1)/5, (1+1)/5
+    def c(p: Double, q: Double): Long =
+      math.round((p * (math.log(2 * p / (p + q)) / math.log(2.0)) +
+        q * (math.log(2 * q / (p + q)) / math.log(2.0))) / 2.0 * 1e9)
+    val jn = c(3.0 / 6, 2.0 / 5) + c(2.0 / 6, 1.0 / 5) +
+      c(1.0 / 6, 2.0 / 5)
+    assert(got(("A", "B")) == ((3L, jn / 1000L)), got(("A", "B")))
+    assert(got(("B", "C")) == got(("A", "B")).copy(), got(("B", "C")))
+    got.values.foreach { case (_, j) => assert(j >= 0L && j <= 1000000L) }
+  }
+
   test("ivfCellBalance: an obvious two-direction corpus lands 6/4, " +
     "imbalance and expected-probe mass exactly the hand floors") {
     // centroids = min-id rows 0 (direction A) and 1 (direction B);

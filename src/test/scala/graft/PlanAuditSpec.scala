@@ -500,6 +500,42 @@ class PlanAuditSpec extends AnyFunSuite {
       f.contains("LessThan(o_orderdate"), f.take(5000))
   }
 
+  test("q278 routed mutual top-1: the ONLY nested-loop broadcast is " +
+    "the nCentroids centroid pin; the pair stage and the mutual join " +
+    "are equi-joins (no corpus broadcast, no cartesian)") {
+    val p = plan("q278_mutual_top1")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // at most one BroadcastNestedLoopJoin: the 16-row centroid cross
+    // (the q149/q190 contract; it can sit behind the lazy-checkpoint
+    // RDD boundary and not appear at all) — more would be a corpus leak
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
+  test("q285 purity: the label relation joins hash-equi without a " +
+    "broadcast HINT (subset-proportional side — the planner picks)") {
+    val p = plan("q285_mutual_pair_purity")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      p.take(3000)) // centroid pin + the 1-row marginal cross only
+  }
+
+  test("q293 source JSD: densify rides broadcasts of the |S|-row " +
+    "totals and 1-row vocab size; the pair stage is a term-keyed " +
+    "equi-join, never a cartesian in the corpus") {
+    val p = plan("q293_source_jsd")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
+  test("q288 Horvitz-Thompson: one scan, one aggregate — no join, no " +
+    "window, no second pass") {
+    val p = plan("q288_horvitz_thompson")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+  }
+
   test("fa unified join plans one co-partitioned exchange chain") {
     val fixtures = graft.fa.Stages
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

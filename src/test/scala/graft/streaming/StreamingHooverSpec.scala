@@ -54,5 +54,36 @@ class StreamingHooverSpec extends AnyFunSuite {
       assert(d.listFiles().exists(_.getName.startsWith("event_type=")),
         s"${d.getName} not group-partitioned")
     }
+
+  }
+
+  test("applyBatch is replay-idempotent: redelivering the same batch " +
+    "id with the same rows changes nothing (partials OVERWRITE their " +
+    "own partition — an append would double-count)") {
+    import spark.implicits._
+    val rollupDir = Files.createTempDirectory("hvr2_rollup").toString
+    val cardsDir = Files.createTempDirectory("hvr2_cards").toString
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type"), col("user_id"), col("value"))
+    val b0 = src.filter(col("user_id") % 2 === 0)
+    val b1 = src.filter(col("user_id") % 2 =!= 0)
+    StreamingHoover.applyBatch(b0, 0L, "event_type", "user_id",
+      "value", rollupDir, cardsDir)
+    StreamingHoover.applyBatch(b1, 1L, "event_type", "user_id",
+      "value", rollupDir, cardsDir)
+    val once = StreamingHoover
+      .currentCards(spark, cardsDir, "event_type")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    // at-least-once redelivery of batch 1
+    StreamingHoover.applyBatch(b1, 1L, "event_type", "user_id",
+      "value", rollupDir, cardsDir)
+    val twice = StreamingHoover
+      .currentCards(spark, cardsDir, "event_type")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    val want = Events.hooverIndex(src, "event_type", "user_id", "value")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(once == want && twice == want,
+      s"replay drifted: ${(twice -- want).take(5)}")
   }
 }

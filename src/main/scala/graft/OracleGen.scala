@@ -1871,7 +1871,8 @@ object OracleGen {
     * for equal-symbol runs). Strings and integers only. */
   def bpeSql(merges: Int): String = bpeSqlCore(merges, applyLast = false)
 
-  private def bpeSqlCore(merges: Int, applyLast: Boolean): String = {
+  private def bpeSqlCore(merges: Int, applyLast: Boolean,
+                         fertilityGroup: Option[String] = None): String = {
     val steps = (1 to merges).map { i =>
       val prev = s"s${i - 1}"
       val pairAndBest =
@@ -1911,7 +1912,23 @@ object OracleGen {
       pairAndBest + mergeCtes
     }.mkString(",\n       ")
     val outs =
-      if (applyLast)
+      if (applyLast && fertilityGroup.isDefined) {
+        val g = fertilityGroup.get
+        s"""wtok AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+           FROM s$merges GROUP BY 1),
+         docw AS (SELECT $g, w AS word
+           FROM (SELECT $g, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE length(w) > 0)
+         SELECT $g, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+           (1000000 * CAST(sum(n_sub) AS BIGINT))
+             // CAST(count(*) AS BIGINT) AS fertility_micros,
+           (1000000 * CAST(sum(length(word)) AS BIGINT))
+             // CAST(sum(n_sub) AS BIGINT) AS chars_per_token_micros
+         FROM docw JOIN wtok USING (word) GROUP BY 1"""
+      } else if (applyLast)
         s"""wtok AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
            FROM s$merges GROUP BY 1),
          docw AS (SELECT doc_id, w AS word
@@ -1948,6 +1965,12 @@ object OracleGen {
     * (including the last), then the per-word token counts roll up to
     * the per-doc compression card. */
   def bpeEncodeSql(merges: Int): String = bpeSqlCore(merges, applyLast = true)
+
+  /** Oracle for `TextAnalysis.bpeFertility` (q290): the same unrolled
+    * fit-and-apply loop as [[bpeEncodeSql]], rolled up by the group
+    * column with the fertility/chars-per-token floors. */
+  def bpeFertilitySql(merges: Int, groupCol: String): String =
+    bpeSqlCore(merges, applyLast = true, fertilityGroup = Some(groupCol))
 
   /** Oracle for `Similarity.mmrRerank` (q170): the λ=1/2 greedy MMR
     * loop unrolled as CTEs — pick 1 is pure relevance; each later pick

@@ -2679,12 +2679,14 @@ object SparkEntry {
     Similarity.ivfCellBalance(t(s, dir, "embeddings"), "vec_id",
       "embedding", nCentroids = 16)
 
-  /** Good–Turing unseen mass + bias-corrected Chao1 vocabulary
-    * richness per language — has the corpus covered its domain's
-    * vocabulary, and how many types are still unseen. See
-    * [[graft.ops.TextAnalysis.vocabCoverage]]. */
-  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", "lang")
+  /** Tokenizer fertility per language under the shared 6-merge BPE
+    * vocab: tokens per word and chars per token — which languages the
+    * common vocab under-serves (the tokenizer-equity read beside
+    * q185's per-doc compression). See
+    * [[graft.ops.TextAnalysis.bpeFertility]]. */
+  private def qBpeFertility(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeFertility(t(s, dir, "documents"), "text", "lang",
+      merges = 6)
 
   /** Fellegi–Sunter per-field evidence weights on the q133 part
     * sample: m from the q189 edit-distance truth pairs, u exactly
@@ -3215,7 +3217,7 @@ object SparkEntry {
     "q287_truss_convergence" -> (qTrussConvergence _),
     "q288_horvitz_thompson" -> (qHorvitzThompson _),
     "q289_fellegi_sunter" -> (qFellegiSunter _),
-    "q290_vocab_coverage" -> (qVocabCoverage _),
+    "q290_bpe_fertility" -> (qBpeFertility _),
     "q291_ivf_cell_balance" -> (qIvfCellBalance _),
     "q292_clustering_card" -> (qClusteringCard _),
     "q293_source_jsd" -> (qSourceJsd _),
@@ -6398,25 +6400,10 @@ object SparkEntry {
     // replay, per-cell counts, exact imbalance + expected-probe floors.
     "q291_ivf_cell_balance" ->
       OracleGen.ivfCellBalanceSql(nCentroids = 16),
-    // q290: mirrors TextAnalysis.vocabCoverage — frequency-of-
-    // frequencies off the whitespace token rollup, exact counts,
-    // non-negative floors (Good-Turing P0 + bias-corrected Chao1).
-    "q290_vocab_coverage" ->
-      """WITH tf AS (SELECT lang AS g, u.term, count(*) AS c
-           FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
-           WHERE u.term <> '' GROUP BY 1, 2),
-         a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
-             CAST(count(*) AS BIGINT) AS vocab,
-             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n1,
-             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n2
-           FROM tf GROUP BY 1)
-         SELECT g AS lang, n_tokens, vocab, n1, n2,
-           (1000000 * n1) // n_tokens AS unseen_mass_micros,
-           vocab + CAST((CAST(n1 AS HUGEINT) * (n1 - 1))
-             // (2 * (n2 + 1)) AS BIGINT) AS chao1_est
-         FROM a""",
+    // q290: mirrors TextAnalysis.bpeFertility — the q185 unrolled
+    // fit-and-apply loop rolled up by language, micros floors.
+    "q290_bpe_fertility" ->
+      OracleGen.bpeFertilitySql(merges = 6, groupCol = "lang"),
     // q289: mirrors Dedup.fellegiSunterWeights — all-pairs levenshtein
     // truth (the q189 oracle pattern; Spark computes it segmented),
     // melted field values, exact marginal u, micros floors, one

@@ -1539,44 +1539,42 @@ object TextAnalysis {
         expr("__jn div 1000").as("jsd_micros"))
   }
 
-  /** VOCABULARY COVERAGE — Good–Turing unseen mass + bias-corrected
-    * Chao1 richness per group: from the frequency-of-frequencies
-    * (n1 = singleton terms, n2 = doubleton terms), the probability
-    * the NEXT token is an unseen type is P₀ = n1/N (Good 1953 — the
-    * missing-mass estimator language modeling's smoothing rests on),
-    * and the total type count including never-seen types is
-    * Chao1 = V + n1(n1−1)/(2(n2+1)) (Chao 1984, the bias-corrected
-    * form, defined even when n2 = 0). The corpus-curation read: a
-    * high unseen mass says the corpus hasn't covered its domain's
-    * vocabulary yet (sampling more text buys new types), a Chao1 far
-    * above V quantifies how much; the singleton-based complement to
-    * [[heapsFit]]'s growth-curve fit.
+  /** TOKENIZER FERTILITY per group under the SHARED BPE vocab —
+    * "which languages pay more tokens per word" (the cross-language
+    * tokenizer-equity read of Petrov et al. 2023, "Language Model
+    * Tokenizers Introduce Unfairness"; fertility is the standard
+    * mBERT-era metric): train [[bpeTrain]]'s merges ONCE on the whole
+    * corpus, apply them ([[bpeEncode]]'s fit-and-apply), and roll the
+    * per-word token counts up by GROUP instead of by doc — fertility
+    * = tokens per word and chars-per-token per language. A language
+    * whose fertility sits far above the corpus mean is under-served
+    * by the shared vocab (its context windows hold fewer words, its
+    * per-word inference cost is higher) — the mixture/vocab-size
+    * design card beside [[doremiMix]]'s loss-based weights.
     *
-    * Determinism: all counts exact; unseen_mass_micros =
-    * (1e6·n1) div N and the Chao1 correction n1(n1−1) div (2(n2+1))
-    * are non-negative integer floors (decimal ladder on the square).
-    * Empty groups never appear; a group with no tokens can't exist
-    * (explode drops empty arrays' rows and "" filters out).
+    * Determinism: [[bpeCore]]'s all-integer merge replay; counts
+    * exact; both ratios non-negative integer-micros floors.
     *
-    * Scale shape: ONE token explode → (group, term) combinable count
-    * → frequency-of-frequencies combinable agg; nothing joins,
-    * nothing is per-pair. Output: one row per group. */
-  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String)
-      : DataFrame = {
-    val tf = docs
-      .select(col(groupCol).as("g"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("g"), col("term")).agg(count(lit(1)).as("c"))
-    tf.groupBy(col("g"))
-      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
-      .select(col("g").as(groupCol), col("n_tokens"), col("vocab"),
-        col("n1"), col("n2"),
-        expr("(1000000L * n1) div n_tokens").as("unseen_mass_micros"),
-        (col("vocab") +
-          expr("try_cast((cast(n1 as decimal(38,0)) * (n1 - 1))" +
-            " div (2 * (n2 + 1)) as bigint)")).as("chao1_est"))
+    * Scale shape: training and application are [[bpeEncode]]'s
+    * vocabulary-bounded working set; the rollup is one corpus explode
+    * joined to the broadcast distinct-word token counts + one
+    * combinable agg keyed by the small closed group set. */
+  def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
+                   merges: Int): DataFrame = {
+    val syms = bpeCore(docs, textCol, merges, applyLast = true)._1
+    val wtok = syms.groupBy(col("word")).agg(count(lit(1)).as("n_sub"))
+    val docw = docs.select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    docw.join(broadcast(wtok), Seq("word"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_sub")).as("n_tokens"))
+      .select(col("__g").as(groupCol), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        expr("(1000000L * n_tokens) div n_words").as("fertility_micros"),
+        expr("(1000000L * n_chars) div n_tokens")
+          .as("chars_per_token_micros"))
   }
 }

@@ -123,21 +123,29 @@ class Round14OpsSpec extends AnyFunSuite {
       None, Some(log2r4(1000000.0 / 600000.0)))), got("opt"))
   }
 
-  test("vocabCoverage: Good-Turing unseen mass and bias-corrected " +
-    "Chao1 hand-computed, empty tokens filtered, n2 = 0 defined") {
+  test("bpeFertility: the dominant pair merges once, fully-merged " +
+    "words cost 1 token and unmerged words 2 — per-language fertility " +
+    "and chars-per-token exactly the hand floors, and the per-group " +
+    "rollup agrees with bpeEncode's per-doc relation") {
     val docs = Seq(
-      ("g1", "a a  b c"), ("g1", "c d"), // double space -> "" dropped
-      ("g2", "a b c")                    // all singletons, n2 = 0
-    ).toDF("lang", "text")
-    val got = TextAnalysis.vocabCoverage(docs, "text", "lang")
-      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      (1L, "a", "xy xy xy xy"), // (x, y</w>) dominates: freq 4
+      (2L, "b", "pq rs")        // 1 each — stay 2 symbols after merge 1
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.bpeFertility(docs, "text", "lang",
+        merges = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    // g1: counts a:2 b:1 c:2 d:1 -> N=6 V=4 n1=2 n2=2;
-    // P0 = (1e6·2) div 6 = 333333; chao1 = 4 + (2·1) div 6 = 4
-    assert(got("g1") == (("g1", 6L, 4L, 2L, 2L, 333333L, 4L)), got("g1"))
-    // g2: N=3 V=3 n1=3 n2=0; P0 = 1e6; chao1 = 3 + (3·2) div 2 = 6
-    assert(got("g2") == (("g2", 3L, 3L, 3L, 0L, 1000000L, 6L)),
-      got("g2"))
+    // lang a: 4 words, 8 chars, 4 tokens -> fertility 1e6, cpt 2e6
+    assert(got("a") == (("a", 4L, 8L, 4L, 1000000L, 2000000L)), got("a"))
+    // lang b: 2 words, 4 chars, 4 tokens -> fertility 2e6, cpt 1e6
+    assert(got("b") == (("b", 2L, 4L, 4L, 2000000L, 1000000L)), got("b"))
+    // consistency with the q185 per-doc relation under the SAME vocab
+    val perDoc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        merges = 1)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(perDoc(1L)._2 == 4L && perDoc(1L)._4 == 4L) // words, tokens
+    assert(perDoc(2L)._2 == 2L && perDoc(2L)._4 == 4L)
   }
 
   test("sourceJsdMatrix: identical sources score EXACTLY 0, a " +

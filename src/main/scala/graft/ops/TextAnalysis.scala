@@ -1049,10 +1049,13 @@ object TextAnalysis {
     * q85's OOV floor.
     *
     * Scale shape: bigram formation is a lag window riding ONE shuffle on
-    * the doc id (never a positional self-join); the unigram vocab + the
-    * grand total broadcast; the bigram MODEL joins by shuffle on
-    * (prev, tok) — at corpus scale that table is vocab², deliberately
-    * not broadcast. Per-doc aggregation is combinable. Float: the
+    * the doc id (never a positional self-join); only the 1-row grand
+    * total carries a broadcast hint. The unigram vocab and the vocab²
+    * bigram model join UNHINTED — vocabulary grows ~√n by Heaps' law
+    * (10⁸+ distinct tokens at corpus scale), so a forced broadcast
+    * would hit Spark's 8 GB hard cap; the planner/AQE still picks
+    * broadcast whenever the model actually fits. Per-doc aggregation
+    * is combinable. Float: the
     * probability chain is written in the identical IEEE order in the
     * DuckDB oracle; per-doc Σ−ln is order-sensitive and round(·,4)
     * absorbs it (q85 precedent). */
@@ -1075,10 +1078,10 @@ object TextAnalysis {
       .withColumn("prev", lag(col("tok"), 1).over(dw))
     val p1 = coalesce(col("c1_tok"), lit(1L)).cast("double") / col("total")
     val scored = pairs
-      .join(broadcast(uni.select(col("tok"), col("c1").as("c1_tok"))),
+      .join(uni.select(col("tok"), col("c1").as("c1_tok")),
         Seq("tok"), "left")
-      .join(broadcast(uni.select(col("tok").as("prev"),
-        col("c1").as("c1_prev"))), Seq("prev"), "left")
+      .join(uni.select(col("tok").as("prev"),
+        col("c1").as("c1_prev")), Seq("prev"), "left")
       .join(bi, Seq("prev", "tok"), "left")
       .join(broadcast(total), lit(true))
       .select(col(idCol),
@@ -1128,9 +1131,11 @@ object TextAnalysis {
   def unigramNll(ref: DataFrame, docs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
     // the model is materialized ONCE (lazy localCheckpoint, the q69
-    // postings pattern): both its consumers — the broadcast probe side
-    // and the total — would otherwise each re-run the reference scan +
-    // count shuffle
+    // postings pattern): both its consumers — the scoring join's build
+    // side and the total — would otherwise each re-run the reference
+    // scan + count shuffle. The scoring join is deliberately UNHINTED:
+    // the model is vocabulary-sized (Heaps ~√n — past 8 GB a forced
+    // broadcast fails outright); AQE picks broadcast when it fits
     val model = ref.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = false)
@@ -1138,7 +1143,7 @@ object TextAnalysis {
     // second pass over the reference corpus
     val total = model.agg(sum(col("cnt")).as("total"))
     docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .join(broadcast(model), Seq("tok"), "left")
+      .join(model, Seq("tok"), "left")
       .join(broadcast(total), lit(true))
       .select(col(idCol),
         (-log(coalesce(col("cnt"), lit(1L)).cast("double") / col("total")))
@@ -1221,9 +1226,11 @@ object TextAnalysis {
     * the doc id (the q92 pattern — never a positional self-join); both
     * count tables are vocab-sized aggregates of that single pass, lazily
     * checkpointed so the unfiltered bigram relation is materialized once
-    * and reused for the B total and the scored pairs. The unigram model
-    * and the two scalar totals BROADCAST onto the vocab²-bounded pair
-    * table; corpus-scale data is touched exactly once. Float: the PMI of
+    * and reused for the B total and the scored pairs. The two 1-row
+    * totals broadcast onto the vocab²-bounded pair table; the unigram
+    * model joins UNHINTED (it is vocabulary-sized — Heaps ~√n — so a
+    * forced broadcast would cap out at 8 GB; AQE broadcasts it when it
+    * fits). Corpus-scale data is touched exactly once. Float: the PMI of
     * a pair is ONE ln over integer-derived doubles (no float sums), so
     * round(·,4) only absorbs the cross-engine libm ulp. */
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
@@ -1242,9 +1249,9 @@ object TextAnalysis {
       .localCheckpoint(eager = false)
     val btot = bi0.agg(sum(col("c2")).as("B"))
     bi0.filter(col("c2") >= minCount)
-      .join(broadcast(uni.select(col("tok").as("prev"),
-        col("c1").as("c1p"))), Seq("prev"))
-      .join(broadcast(uni.select(col("tok"), col("c1").as("c1t"))),
+      .join(uni.select(col("tok").as("prev"),
+        col("c1").as("c1p")), Seq("prev"))
+      .join(uni.select(col("tok"), col("c1").as("c1t")),
         Seq("tok"))
       .join(broadcast(total), lit(true))
       .join(broadcast(btot), lit(true))
@@ -1282,8 +1289,10 @@ object TextAnalysis {
     * corpus scan — the raw count and the target count are two columns of
     * the same vocab-sized group-by (a second corpus pass for the target
     * model is the naive shape; the conditional-sum column is free). The
-    * model and its totals broadcast back onto the token stream, so
-    * scoring is map-side; the per-doc mean is one combinable shuffle.
+    * 1-row totals broadcast back onto the token stream; the vocab-sized
+    * model joins UNHINTED (Heaps ~√n growth would break a forced
+    * broadcast at 8 GB — AQE picks broadcast when it fits); the
+    * per-doc mean is one combinable shuffle.
     * Float: per-doc Σ of ln-ratios is order-sensitive; round(·,4) on the
     * MEAN absorbs it (q85's proven contract, not the raw sum). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
@@ -1296,7 +1305,7 @@ object TextAnalysis {
       .localCheckpoint(eager = false)
     val tot = model.agg(sum(col("c_raw")).as("t_raw"),
       sum(col("c_tgt")).as("t_tgt"), count(lit(1)).as("v"))
-    dt.join(broadcast(model), Seq("tok"))
+    dt.join(model, Seq("tok"))
       .join(broadcast(tot), lit(true))
       .select(col("id"),
         (log((col("c_tgt") + lit(1L)).cast("double") /
@@ -1355,8 +1364,9 @@ object TextAnalysis {
     * Scale shape: training as [[bpeTrain]] (vocabulary-bounded working
     * set); application costs nothing extra (the loop's own merge step,
     * run once more for the final rule); the per-doc rollup is one
-    * corpus explode joined to the DISTINCT-WORD token counts (a
-    * broadcast-sized dimension) + one combinable agg. */
+    * corpus explode joined UNHINTED to the DISTINCT-WORD token counts
+    * (vocabulary-sized — Heaps ~√n, so never force-broadcast; AQE
+    * picks broadcast when it fits) + one combinable agg. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 merges: Int): DataFrame = {
     val syms = bpeCore(docs, textCol, merges, applyLast = true)._1
@@ -1364,7 +1374,7 @@ object TextAnalysis {
     val docw = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    docw.join(broadcast(wtok), Seq("word"))
+    docw.join(wtok, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word")).cast("long")).as("n_chars_tok"),
@@ -1557,8 +1567,9 @@ object TextAnalysis {
     *
     * Scale shape: training and application are [[bpeEncode]]'s
     * vocabulary-bounded working set; the rollup is one corpus explode
-    * joined to the broadcast distinct-word token counts + one
-    * combinable agg keyed by the small closed group set. */
+    * joined UNHINTED to the distinct-word token counts (vocabulary-
+    * sized — never force-broadcast; AQE decides) + one combinable agg
+    * keyed by the small closed group set. */
   def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
                    merges: Int): DataFrame = {
     val syms = bpeCore(docs, textCol, merges, applyLast = true)._1
@@ -1566,7 +1577,7 @@ object TextAnalysis {
     val docw = docs.select(col(groupCol).as("__g"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    docw.join(broadcast(wtok), Seq("word"))
+    docw.join(wtok, Seq("word"))
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word")).cast("long")).as("n_chars"),

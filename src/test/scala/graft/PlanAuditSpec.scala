@@ -530,6 +530,35 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("no vocab-keyed join carries a forced broadcast hint (q85/q92/" +
+    "q103/q108/q109/q185/q290): vocabulary grows ~sqrt(n) by Heaps' " +
+    "law, so a broadcast HINT on a vocab- or distinct-word-keyed " +
+    "relation fails past Spark's 8 GB cap at corpus scale — only " +
+    "1-row/|S|-row relations may be hinted; the planner/AQE decides " +
+    "for the model joins") {
+    // hint markers survive into the optimized logical plan on the Join
+    // node's own line (rightHint=(strategy=broadcast)); a vocab-keyed
+    // join is one whose equi-condition is the token/word key
+    val vocabKeyed = Seq(
+      "q85_unigram_nll" -> Seq("tok#"),
+      "q92_bigram_nll" -> Seq("tok#", "prev#"),
+      "q103_ccnet_buckets" -> Seq("tok#"),
+      "q108_pmi_collocations" -> Seq("tok#", "prev#"),
+      "q109_dsir_weights" -> Seq("tok#"),
+      "q185_bpe_encode" -> Seq("word#"),
+      "q290_bpe_fertility" -> Seq("word#"))
+    for ((q, keys) <- vocabKeyed) {
+      val lp = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      val offending = lp.linesIterator.filter { l =>
+        l.contains("Join") && l.contains("strategy=broadcast") &&
+          keys.exists(k => l.contains(s"= $k") || l.contains(s"($k"))
+      }.toList
+      assert(offending.isEmpty,
+        s"$q forces broadcast on a vocab-keyed join:\n${offending.mkString("\n")}")
+    }
+  }
+
   test("q288 Horvitz-Thompson: one scan, one aggregate — no join, no " +
     "window, no second pass") {
     val p = plan("q288_horvitz_thompson")

@@ -678,12 +678,16 @@ object Events {
     * — shared byte-identically with the streaming face
     * ([[graft.streaming.StreamingHoover]]), whose archive stores
     * per-batch partial cent sums (long addition is associative, so
-    * summing partials equals summing raw rows exactly). */
+    * summing partials equals summing raw rows exactly). The stats
+    * join-back is NULL-SAFE (`<=>`): groupBy keeps a NULL group (SQL
+    * standard), so a plain equi-join here would silently drop that
+    * group's card while the aggregation path kept its rows. */
   private[graft] def hooverFromCents(per: DataFrame, groupCol: String)
       : DataFrame = {
     val st = per.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-    per.join(broadcast(st), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g")
+    per.join(broadcast(st), col(groupCol) <=> col("__g")).drop("__g")
       .groupBy(col(groupCol))
       .agg(max(col("n")).as("n"), max(col("sx")).as("total_cents"),
         sum(abs(col("n").cast("decimal(38,0)") * col("x") - col("sx")))

@@ -1675,7 +1675,12 @@ object Similarity {
         sum(col("c").cast("decimal(38,0)") * col("c")).as("__c2"))
       .select(lit(nCentroids.toLong).as("n_centroids"),
         col("n_vectors"), col("nonempty_cells"), col("max_cell"),
-        expr(s"(1000000L * ${nCentroids}L * max_cell) div n_vectors")
+        // through decimal(38,0) like expected_probe_micros below: with a
+        // user-supplied nCentroids (only >= 1 required) and a large max
+        // cell the plain-long product can exceed Long.MaxValue and wrap
+        // silently in non-ANSI Spark while DuckDB promotes to HUGEINT
+        expr(s"try_cast((1000000L * cast(${nCentroids}L as decimal(38,0))" +
+          " * max_cell) div n_vectors as bigint)")
           .as("imbalance_micros"),
         expr("try_cast((1000000L * __c2) div" +
           " (cast(n_vectors as decimal(38,0)) * n_vectors) as bigint)")

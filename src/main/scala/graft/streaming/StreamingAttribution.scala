@@ -53,7 +53,14 @@ object StreamingAttribution {
   /** One attribution round — also the non-streaming entry a scheduled
     * ingest calls with its own batch ids. `nBuckets` must stay
     * constant across a given archive's lifetime (it defines the
-    * partition layout). */
+    * partition layout). LAYOUT COMPATIBILITY: archives written before
+    * the `u_bucket` layer existed (flat batch_id partitions) are NOT
+    * readable by this version — mixed partition layouts under one
+    * eventsDir break Spark partition discovery (and the `u_bucket`
+    * filter would error). Rewrite such an archive with the bucket
+    * column (one pass: read each legacy batch partition, add
+    * `pmod(hash(user), nBuckets)`, write back partitioned) or replay
+    * the stream from its source before upgrading. */
   def applyBatch(batch: DataFrame, batchId: Long, userCol: String,
                  tsCol: String, ordCol: String, typeCol: String,
                  touchType: String, convType: String, eventsDir: String,

@@ -19,16 +19,35 @@ import graft.ops.Events
   * row (StreamingHooverSpec pins it on a replayed fixture).
   *
   * Scale shape per trigger: the batch's own rollup is one combinable
-  * agg (bounded by the batch); the archive is hive-partitioned by the
-  * GROUP column under each batch partition, so the history read is
-  * storage-pruned to the touched groups' directories (`group IN
-  * (batch's groups)` — the group column is a small closed set, the
+  * agg (bounded by the batch); the archive is hive-partitioned by a
+  * SANITIZED STRING COPY of the group (`__gpart`) under each batch
+  * partition, so the history read is storage-pruned to the touched
+  * groups' directories (`__gpart IN (batch's groups)` — the group
+  * column is a small closed set, the
   * [[graft.ops.Events.sequenceSupport]] contract, so both the
   * partition fan-out and the driver-side touched list are bounded);
   * the dev ladder then runs over per-entity rows of the touched
   * groups only. Per-trigger cost grows with the touched groups'
   * entity counts, never with total history row count — the archive
-  * holds one row per (batch, group, entity), already collapsed. */
+  * holds one row per (batch, group, entity), already collapsed.
+  *
+  * Why the sanitized partition copy: partitioning by the group column
+  * itself would (a) store its values as directory STRINGS, so a
+  * non-string group (int "01" vs 1) round-trips with the wrong type
+  * and the touched-set `isin` silently compares across types, and (b)
+  * archive a NULL group under __HIVE_DEFAULT_PARTITION__, which
+  * `isin` never matches (three-valued logic) — dropping that group's
+  * history from every recompute while the batch face still emits its
+  * row. Keeping the group as a REGULAR data column (original type,
+  * nulls intact) and pruning on `__gpart` (null → a sentinel string)
+  * preserves batch==stream for null groups and non-string group
+  * types; the latest-wins view joins null-safe (`<=>`) for the same
+  * reason. A real string group equal to the sentinel only widens
+  * pruning (recompute still groups by the true column) — never wrong
+  * results. Archives written by the pre-`__gpart` layout (group-
+  * partitioned) are NOT readable by this version — rewrite them (or
+  * replay the stream); mixed layouts under one rollupDir break Spark
+  * partition discovery. */
 object StreamingHoover {
 
   def hoover(stream: DataFrame, groupCol: String, entityCol: String,
@@ -48,30 +67,42 @@ object StreamingHoover {
                  entityCol: String, valCol: String, rollupDir: String,
                  cardsDir: String): Unit = {
     val spark = batch.sparkSession
+    // sanitized partition copy: group stays a regular typed data column
+    // (nulls intact); the directory key is always a non-null string
+    val gpart = coalesce(col(groupCol).cast("string"), lit(NullPart))
     batch.groupBy(col(groupCol), col(entityCol))
       .agg(sum(round(col(valCol) * 100).cast("long")).as("cents"))
-      .write.mode("overwrite").partitionBy(groupCol)
+      .withColumn("__gpart", gpart)
+      .write.mode("overwrite").partitionBy("__gpart")
       .parquet(s"$rollupDir/batch_id=$batchId")
     // bounded driver read: the group column is a small closed set —
     // the partition directories this trigger is allowed to scan
-    val touched = batch.select(col(groupCol)).distinct()
-      .collect().map(_.get(0))
+    val touched = batch.select(gpart).distinct()
+      .collect().map(_.getString(0))
     val hist = spark.read.parquet(rollupDir)
       .filter(col("batch_id") <= batchId &&
-        col(groupCol).isin(touched: _*))
+        col("__gpart").isin(touched: _*))
       .groupBy(col(groupCol), col(entityCol))
       .agg(sum(col("cents")).as("x"))
     Events.hooverFromCents(hist, groupCol)
       .write.mode("overwrite").parquet(s"$cardsDir/batch_id=$batchId")
   }
 
+  /** Directory sentinel for a NULL group — a non-null string so the
+    * touched-set `isin` prune can match it (NULL itself never would). */
+  private[streaming] val NullPart = "__graft_null__"
+
   /** Latest-wins live view: per group, the card row of that group's
-    * most recent recompute (exact vs the batch face — see scaladoc). */
+    * most recent recompute (exact vs the batch face — see scaladoc).
+    * The group equality is null-safe so a NULL group's card survives. */
   def currentCards(spark: SparkSession, cardsDir: String,
                    groupCol: String): DataFrame = {
     val all = spark.read.parquet(cardsDir)
     val latest = all.groupBy(col(groupCol))
-      .agg(max(col("batch_id")).as("batch_id"))
-    all.join(latest, Seq(groupCol, "batch_id")).drop("batch_id")
+      .agg(max(col("batch_id")).as("__latest"))
+      .withColumnRenamed(groupCol, "__g")
+    all.join(latest, col(groupCol) <=> col("__g") &&
+        col("batch_id") === col("__latest"))
+      .drop("__g", "__latest", "batch_id")
   }
 }

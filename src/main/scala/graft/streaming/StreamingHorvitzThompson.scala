@@ -19,10 +19,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Scale shape per trigger: the batch rollup is one combinable
   * 4-moment agg (bounded by the batch); the archive holds ONE row per
-  * (batch, group) — group-partitioned, so the recompute reads only the
-  * touched groups' directories and sums a #batches-bounded relation,
-  * never raw history. The HT tail is [[graft.ops.Sampling]]'s
-  * sign-symmetric exact division, shared via [[htCard]]. */
+  * (batch, group) — partitioned by a SANITIZED STRING COPY of the
+  * group (`__gpart`, the [[StreamingHoover]] layout: the group itself
+  * stays a regular typed data column, nulls intact, so NULL groups
+  * and non-string group types keep exact batch==stream; null → the
+  * [[StreamingHoover.NullPart]] sentinel so the touched-set `isin`
+  * prune can match it) — the recompute reads only the touched groups'
+  * directories and sums a #batches-bounded relation, never raw
+  * history. Archives from the pre-`__gpart` (group-partitioned)
+  * layout must be rewritten or replayed; mixed layouts under one
+  * momentsDir break partition discovery. The HT tail is
+  * [[graft.ops.Sampling]]'s sign-symmetric exact division, shared via
+  * [[htCard]]. */
 object StreamingHorvitzThompson {
 
   def estimate(stream: DataFrame, groupCol: String, keyCol: String,
@@ -47,6 +55,8 @@ object StreamingHorvitzThompson {
       .cast("long")
     val kept = v * den < lit(num.toLong * 4294967296L)
     val cents = round(col(valCol) * 100).cast("long")
+    val gpart = coalesce(col(groupCol).cast("string"),
+      lit(StreamingHoover.NullPart))
     batch
       .select(col(groupCol), kept.as("__kept"), cents.as("__c"))
       .groupBy(col(groupCol))
@@ -55,13 +65,14 @@ object StreamingHorvitzThompson {
         sum(col("__c")).as("true_total_cents"),
         coalesce(sum(when(col("__kept"), col("__c"))), lit(0L))
           .as("samp_cents"))
-      .write.mode("overwrite").partitionBy(groupCol)
+      .withColumn("__gpart", gpart)
+      .write.mode("overwrite").partitionBy("__gpart")
       .parquet(s"$momentsDir/batch_id=$batchId")
-    val touched = batch.select(col(groupCol)).distinct()
-      .collect().map(_.get(0))
+    val touched = batch.select(gpart).distinct()
+      .collect().map(_.getString(0))
     val acc = spark.read.parquet(momentsDir)
       .filter(col("batch_id") <= batchId &&
-        col(groupCol).isin(touched: _*))
+        col("__gpart").isin(touched: _*))
       .groupBy(col(groupCol))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("n_sampled")).as("n_sampled"),
@@ -91,12 +102,16 @@ object StreamingHorvitzThompson {
 
   /** Latest-wins live view: per group, the card row of that group's
     * most recent recompute (exact vs the batch face — a recompute
-    * always sums the group's complete moment history). */
+    * always sums the group's complete moment history). Null-safe group
+    * equality so a NULL group's card survives. */
   def currentCards(spark: SparkSession, cardsDir: String,
                    groupCol: String): DataFrame = {
     val all = spark.read.parquet(cardsDir)
     val latest = all.groupBy(col(groupCol))
-      .agg(max(col("batch_id")).as("batch_id"))
-    all.join(latest, Seq(groupCol, "batch_id")).drop("batch_id")
+      .agg(max(col("batch_id")).as("__latest"))
+      .withColumnRenamed(groupCol, "__g")
+    all.join(latest, col(groupCol) <=> col("__g") &&
+        col("batch_id") === col("__latest"))
+      .drop("__g", "__latest", "batch_id")
   }
 }

@@ -44,17 +44,46 @@ class StreamingHooverSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want,
       s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
 
-    // the archive is group-partitioned under each batch partition —
-    // the storage-pruning contract: a trigger's history read scans
-    // only its touched groups' directories
+    // the archive is partitioned by the sanitized group copy under each
+    // batch partition — the storage-pruning contract: a trigger's
+    // history read scans only its touched groups' directories
     val batchDirs = new java.io.File(rollupDir).listFiles()
       .filter(_.getName.startsWith("batch_id="))
     assert(batchDirs.nonEmpty)
     batchDirs.foreach { d =>
-      assert(d.listFiles().exists(_.getName.startsWith("event_type=")),
+      assert(d.listFiles().exists(_.getName.startsWith("__gpart=")),
         s"${d.getName} not group-partitioned")
     }
 
+  }
+
+  test("a NULL group and a numeric-typed group survive the archive " +
+    "round-trip: the sanitized partition copy keeps the group as a " +
+    "typed data column, so batch==stream holds where the old " +
+    "group-partitioned layout dropped the null group's history and " +
+    "re-typed numeric keys") {
+    import spark.implicits._
+    val rollupDir = Files.createTempDirectory("hvr3_rollup").toString
+    val cardsDir = Files.createTempDirectory("hvr3_cards").toString
+    // group is an INT column (1, 10, null) — value "01"-style remap and
+    // the isin-vs-NULL three-valued-logic drop are both exercised
+    val rows = Seq[(Option[Int], Long, Double)](
+      (Some(1), 1L, 10.0), (Some(1), 2L, 30.0), (Some(10), 1L, 5.0),
+      (None, 3L, 7.0), (None, 4L, 21.0), (Some(10), 5L, 5.0))
+    val src = rows.toDF("grp", "user_id", "value")
+    val b0 = src.filter(col("user_id") <= 2)
+    val b1 = src.filter(col("user_id") > 2)
+    StreamingHoover.applyBatch(b0, 0L, "grp", "user_id", "value",
+      rollupDir, cardsDir)
+    StreamingHoover.applyBatch(b1, 1L, "grp", "user_id", "value",
+      rollupDir, cardsDir)
+    val got = StreamingHoover.currentCards(spark, cardsDir, "grp")
+      .as[(Option[Int], Long, Long, Option[Long])].collect().toSet
+    val want = Events.hooverIndex(src, "grp", "user_id", "value")
+      .as[(Option[Int], Long, Long, Option[Long])].collect().toSet
+    assert(want.exists(_._1.isEmpty), "fixture must carry a null group")
+    assert(got == want,
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
   }
 
   test("applyBatch is replay-idempotent: redelivering the same batch " +

@@ -52,7 +52,7 @@ class StreamingHorvitzThompsonSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("batch_id="))
     assert(batchDirs.nonEmpty)
     batchDirs.foreach { d =>
-      assert(d.listFiles().exists(_.getName.startsWith("event_type=")),
+      assert(d.listFiles().exists(_.getName.startsWith("__gpart=")),
         s"${d.getName} not group-partitioned")
     }
     // reconstruct the last streamed batch exactly: maxFilesPerTrigger=1
@@ -81,5 +81,35 @@ class StreamingHorvitzThompsonSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long, Option[Long])]
       .collect().toSet
     assert(again == wantDoubled, "replay drifted")
+  }
+
+  test("a NULL group and a numeric-typed group survive the moment " +
+    "archive round-trip (sanitized partition copy + null-safe " +
+    "latest-wins): batch==stream holds exactly") {
+    import spark.implicits._
+    val momentsDir = Files.createTempDirectory("ht2_moments").toString
+    val cardsDir = Files.createTempDirectory("ht2_cards").toString
+    val rows = Seq[(Option[Int], Long, Double)](
+      (Some(1), 1L, 10.0), (Some(1), 2L, 30.0), (Some(10), 3L, 5.0),
+      (None, 4L, 7.0), (None, 5L, 21.0), (Some(10), 6L, 5.0),
+      (None, 7L, 2.5), (Some(1), 8L, 1.0))
+    val src = rows.toDF("grp", "key", "value")
+    val b0 = src.filter(col("key") <= 4)
+    val b1 = src.filter(col("key") > 4)
+    StreamingHorvitzThompson.applyBatch(b0, 0L, "grp", "key", "value",
+      1, 2, momentsDir, cardsDir)
+    StreamingHorvitzThompson.applyBatch(b1, 1L, "grp", "key", "value",
+      1, 2, momentsDir, cardsDir)
+    val got = StreamingHorvitzThompson
+      .currentCards(spark, cardsDir, "grp")
+      .as[(Option[Int], Long, Long, Long, Long, Option[Long])]
+      .collect().toSet
+    val want = Sampling.horvitzThompson(src, "grp", "key", "value",
+        num = 1, den = 2)
+      .as[(Option[Int], Long, Long, Long, Long, Option[Long])]
+      .collect().toSet
+    assert(want.exists(_._1.isEmpty), "fixture must carry a null group")
+    assert(got == want,
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
   }
 }

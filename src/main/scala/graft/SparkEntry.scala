@@ -2339,6 +2339,16 @@ object SparkEntry {
     Events.sprt(Events.load(s, dir), "user_id", "ts", "event_type",
       convType = "purchase", segments = 4L)
 
+  /** Group-sequential O'Brien–Fleming interim ladder per event type:
+    * five calendar-spaced looks, cumulative pooled two-proportion z
+    * (conversion = value ≥ 100, arms by user parity — the q198 design)
+    * against the OBF boundary ladder; first-crossing day and decision
+    * precomputed. The committee-review interim protocol beside q231's
+    * per-unit SPRT. */
+  private def qGroupSequential(s: SparkSession, dir: String): DataFrame =
+    Events.groupSequential(Events.load(s, dir), "event_type",
+      "user_id", "ts", col("value") >= 100.0)
+
   /** Empirical-Bayes shrinkage of per-user purchase rates toward the
     * corpus rate (prior strength 20) — the rate-ranking fix for tiny
     * denominators. */
@@ -3221,6 +3231,7 @@ object SparkEntry {
     "q291_ivf_cell_balance" -> (qIvfCellBalance _),
     "q292_clustering_card" -> (qClusteringCard _),
     "q293_source_jsd" -> (qSourceJsd _),
+    "q294_group_sequential" -> (qGroupSequential _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6393,6 +6404,68 @@ object SparkEntry {
          SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS v_terms,
            CAST(sum(jn) AS BIGINT) // 1000 AS jsd_micros
          FROM contrib GROUP BY 1, 2""",
+    // q294: mirrors Events.groupSequential — calendar-spaced looks,
+    // cumulative pooled two-proportion z mirrored term-for-term (the
+    // q198 discipline), OBF boundary literals from the ONE Scala
+    // definition (Events.obfBounds), running first-crossing day.
+    "q294_group_sequential" -> {
+      val b = Events.obfBounds(5, 2.040)
+      s"""WITH byday AS (SELECT event_type AS grp,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS day,
+             (user_id % 2 = 1) AS treated,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+           FROM events GROUP BY 1, 2, 3),
+         rng AS (SELECT grp, min(day) AS dmin, max(day) AS dmax
+           FROM byday GROUP BY 1),
+         perlook AS (SELECT b.grp,
+             1 + (5 * (b.day - r.dmin)) // (r.dmax - r.dmin + 1)
+               AS interim,
+             max(b.day) AS last_day,
+             coalesce(sum(CASE WHEN treated THEN n END), 0) AS dn_t,
+             coalesce(sum(CASE WHEN treated THEN x END), 0) AS dx_t,
+             coalesce(sum(CASE WHEN NOT treated THEN n END), 0) AS dn_c,
+             coalesce(sum(CASE WHEN NOT treated THEN x END), 0) AS dx_c
+           FROM byday b JOIN rng r ON b.grp = r.grp GROUP BY 1, 2),
+         cum AS (SELECT grp, interim, last_day,
+             CAST(sum(dn_t) OVER w AS BIGINT) AS n_t,
+             CAST(sum(dx_t) OVER w AS BIGINT) AS x_t,
+             CAST(sum(dn_c) OVER w AS BIGINT) AS n_c,
+             CAST(sum(dx_c) OVER w AS BIGINT) AS x_c
+           FROM perlook WINDOW w AS (PARTITION BY grp
+             ORDER BY interim ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         zed AS (SELECT grp, interim, last_day, n_t, x_t, n_c, x_c,
+             CASE WHEN n_t > 0 AND n_c > 0 AND x_t + x_c > 0
+                 AND x_t + x_c < n_t + n_c THEN
+               round((CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                   - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                 / sqrt(CAST(x_t + x_c AS DOUBLE)
+                     / CAST(n_t + n_c AS DOUBLE)
+                   * (1.0 - CAST(x_t + x_c AS DOUBLE)
+                     / CAST(n_t + n_c AS DOUBLE))
+                   * (1.0 / CAST(n_t AS DOUBLE)
+                     + 1.0 / CAST(n_c AS DOUBLE))), 6) + 0.0
+             END AS z,
+             CAST(CASE interim WHEN 1 THEN ${b(0)} WHEN 2 THEN ${b(1)}
+               WHEN 3 THEN ${b(2)} WHEN 4 THEN ${b(3)}
+               ELSE ${b(4)} END AS DOUBLE) AS bound
+           FROM cum),
+         cr AS (SELECT *, coalesce(abs(z) >= bound, false) AS crossed
+           FROM zed),
+         fin AS (SELECT *,
+             min(CASE WHEN crossed THEN last_day END) OVER w
+               AS crossed_at_day
+           FROM cr WINDOW w AS (PARTITION BY grp ORDER BY interim ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT grp, interim, last_day, n_t, x_t, n_c, x_c, z, bound,
+           crossed, crossed_at_day,
+           CASE WHEN crossed_at_day IS NOT NULL THEN 'stop_reject'
+                ELSE 'continue' END AS decision
+         FROM fin"""
+    },
     // q292: mirrors Graph.clusteringCard — the q114 triangle chain,
     // per-node micros floors, exact global sums.
     "q292_clustering_card" -> OracleGen.clusteringCardSql,

@@ -1579,6 +1579,117 @@ object Events {
           .otherwise(lit("continue")).as("decision"))
   }
 
+  /** O'Brien–Fleming interim boundaries — BUILD-TIME from the ONE
+    * Scala definition (the [[sprtConstants]] / q165 DCG precedent: no
+    * engine computes a sqrt of a plan constant at query time). Look k
+    * of K gets |z| boundary c·sqrt(K/k), rounded to 6 decimals so both
+    * engines parse the identical literal; c is the OBF critical value
+    * for the planned look count (the classic two-sided α=0.05 table:
+    * K=5 → c=2.040, giving the textbook ladder 4.562, 3.226, 2.634,
+    * 2.281, 2.040; K=4 → 2.024; K=3 → 2.004; K=2 → 1.977). */
+  private[graft] def obfBounds(looks: Int, c: Double): Seq[Double] =
+    (1 to looks).map(k => BigDecimal(c * math.sqrt(looks.toDouble / k))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** GROUP-SEQUENTIAL INTERIM ANALYSIS with O'Brien–Fleming boundaries
+    * (O'Brien & Fleming 1979; Pocock 1977 frames the comparison) — THE
+    * industry interim-monitoring protocol, the committee-review
+    * complement to [[sprt]]'s per-unit sequential test: the experiment
+    * is reviewed at `looks` PLANNED interims; at look k the CUMULATIVE
+    * two-proportion z (pooled variance, the q198 exact-counts chain
+    * one estimator over: arms by user parity, conversion by the caller
+    * predicate) is compared to the OBF boundary c·sqrt(K/k) — nearly
+    * unspendable early (4.562 at the first of five looks), the full
+    * fixed-sample 2.040 only at the end, which is why OBF is what
+    * trial protocols actually register. Looks are CALENDAR-SPACED:
+    * each group's observed day span splits into `looks` equal
+    * consecutive slices (the monthly-review reading; information
+    * fractions are therefore approximately, not exactly, k/K — the
+    * standard practice-vs-theory gap, documented not hidden).
+    *
+    * Output per (group, interim): interim number, the slice's last
+    * observed day, cumulative arm counts/conversions, z (round-6,
+    * signed-zero), the boundary literal, crossed flag, and the
+    * running first-crossing day (`crossed_at_day`, NULL until a
+    * crossing — once set it never moves: sequential semantics, the
+    * q231 running-extreme discipline, a later drift back inside the
+    * boundary cannot un-stop the trial) with the matching decision
+    * string.
+    *
+    * Determinism: counts exact; z is ONE fixed double expression
+    * mirrored term-for-term in the oracle off exact longs (the q198
+    * cosine-contract discipline), compared AFTER round-6 against a
+    * 6-decimal boundary literal both engines parse identically — the
+    * crossing boolean is a comparison of identical doubles. A look
+    * missing either arm (or with pooled rate 0 or 1) reports NULL z
+    * and never crosses.
+    *
+    * Scale shape: one combinable (group, day, arm) agg; the day→look
+    * map joins a broadcast |groups|-row range relation; one ordered
+    * window over ≤`looks` rows per group (the q153 tiny-partition
+    * class). Nothing event-scale past the first aggregation. */
+  def groupSequential(events: DataFrame, groupCol: String,
+                      userCol: String, tsCol: String, success: Column,
+                      looks: Int = 5, c: Double = 2.040): DataFrame = {
+    require(looks >= 1 && c > 0, "need looks >= 1 and c > 0")
+    val bounds = obfBounds(looks, c)
+    val byDay = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
+          .as("day"),
+        (col(userCol) % 2 === 1).as("treated"),
+        when(success, 1L).otherwise(0L).as("y"))
+      .groupBy(col("grp"), col("day"), col("treated"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("x"))
+      .localCheckpoint(eager = false)
+    val range = byDay.groupBy(col("grp"))
+      .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val perLook = byDay.join(broadcast(range), Seq("grp"))
+      .withColumn("interim",
+        expr(s"1L + (${looks}L * (day - dmin)) div (dmax - dmin + 1)"))
+      .groupBy(col("grp"), col("interim"))
+      .agg(max(col("day")).as("last_day"),
+        coalesce(sum(when(col("treated"), col("n"))), lit(0L)).as("dn_t"),
+        coalesce(sum(when(col("treated"), col("x"))), lit(0L)).as("dx_t"),
+        coalesce(sum(when(!col("treated"), col("n"))), lit(0L)).as("dn_c"),
+        coalesce(sum(when(!col("treated"), col("x"))), lit(0L)).as("dx_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("interim").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perLook
+      .withColumn("n_t", sum(col("dn_t")).over(w))
+      .withColumn("x_t", sum(col("dx_t")).over(w))
+      .withColumn("n_c", sum(col("dn_c")).over(w))
+      .withColumn("x_c", sum(col("dx_c")).over(w))
+    val pt = col("x_t").cast("double") / col("n_t").cast("double")
+    val pc = col("x_c").cast("double") / col("n_c").cast("double")
+    val pp = (col("x_t") + col("x_c")).cast("double") /
+      (col("n_t") + col("n_c")).cast("double")
+    val zr = round((pt - pc) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_t").cast("double") +
+          lit(1.0) / col("n_c").cast("double"))), 6) + lit(0.0)
+    val boundCol = element_at(array(bounds.map(lit): _*),
+      col("interim").cast("int"))
+    val scored = cum
+      .withColumn("z",
+        when(col("n_t") > 0 && col("n_c") > 0 &&
+          col("x_t") + col("x_c") > 0 &&
+          col("x_t") + col("x_c") < col("n_t") + col("n_c"), zr))
+      .withColumn("bound", boundCol)
+      .withColumn("crossed",
+        coalesce(abs(col("z")) >= col("bound"), lit(false)))
+    scored
+      .withColumn("crossed_at_day",
+        min(when(col("crossed"), col("last_day"))).over(w))
+      .select(col("grp"), col("interim"), col("last_day"),
+        col("n_t"), col("x_t"), col("n_c"), col("x_c"),
+        col("z"), col("bound"), col("crossed"), col("crossed_at_day"),
+        when(col("crossed_at_day").isNotNull, lit("stop_reject"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
   /** EMPIRICAL-BAYES RATE SHRINKAGE (additive smoothing toward the
     * corpus rate; the fixed-strength form of Micci-Barreca 2001 /
     * beta-binomial EB): each user's conversion rate k/n is shrunk to

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hand-verified fixtures for the round-15 growth operators: each test
+  * computes the expected value by hand on a fixture small enough to
+  * audit. */
+class Round15OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1704067200000L + day * 86400000L)
+  // 2024-01-01 is epoch day 19723 — the fixture's day origin
+  private val d0 = 1704067200L / 86400L
+
+  test("groupSequential: hand two-look OBF ladder — crossing group " +
+    "stops at look 1 and stays stopped, flat group continues, " +
+    "one-armed group reports NULL z") {
+    // looks=2, c=1.977 (the K=2 OBF critical value):
+    // bounds = 1.977*sqrt(2) -> 2.795900 (round-6), then 1.977
+    def rows(grp: String, day: Long, user: Long, nSucc: Int,
+             nFail: Int): Seq[(Long, java.sql.Timestamp, String, Double)] =
+      Seq.fill(nSucc)((user, ts(day), grp, 150.0)) ++
+        Seq.fill(nFail)((user, ts(day), grp, 50.0))
+    val ev = (
+      // group g: days 0..3 -> look 1 = days 0-1, look 2 = days 2-3.
+      // treated (user 1): 5/5 then 4/5 per look-half -> 9/10 per look;
+      // control (user 2): 1/5 then 0/5 -> 1/10 per look.
+      rows("g", 0, 1, 5, 0) ++ rows("g", 1, 1, 4, 1) ++
+      rows("g", 0, 2, 1, 4) ++ rows("g", 1, 2, 0, 5) ++
+      rows("g", 2, 1, 5, 0) ++ rows("g", 3, 1, 4, 1) ++
+      rows("g", 2, 2, 1, 4) ++ rows("g", 3, 2, 0, 5) ++
+      // group h: both arms 5/10 per look -> z = 0, never crosses
+      rows("h", 0, 1, 3, 2) ++ rows("h", 1, 1, 2, 3) ++
+      rows("h", 0, 2, 3, 2) ++ rows("h", 1, 2, 2, 3) ++
+      rows("h", 2, 1, 3, 2) ++ rows("h", 3, 1, 2, 3) ++
+      rows("h", 2, 2, 3, 2) ++ rows("h", 3, 2, 2, 3) ++
+      // group k: treated rows only -> n_c = 0 -> NULL z
+      rows("k", 0, 1, 2, 2) ++ rows("k", 3, 1, 1, 1)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Events.groupSequential(ev, "event_type", "user_id", "ts",
+        col("value") >= 100.0, looks = 2, c = 1.977)
+      .as[(String, Long, Long, Long, Long, Long, Long, Option[Double],
+        Double, Boolean, Option[Long], String)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == 6, got.keys.toSeq.sorted)
+
+    // g, look 1: pt=9/10, pc=1/10, pooled p=10/20=0.5,
+    // se = sqrt(0.25*(1/10+1/10)) = sqrt(0.05) = 0.2236068,
+    // z = 0.8/0.2236068 = 3.5777088 -> 3.577709 >= 2.795900 -> crossed
+    assert(got(("g", 1L)) == (("g", 1L, d0 + 1, 10L, 9L, 10L, 1L,
+      Some(3.577709), 2.7959, true, Some(d0 + 1), "stop_reject")),
+      got(("g", 1L)))
+    // g, look 2 (cumulative): 18/20 vs 2/20, se = sqrt(0.025),
+    // z = 0.8/0.1581139 = 5.0596443 -> 5.059644; crossed_at_day
+    // STAYS the look-1 day (sequential semantics)
+    assert(got(("g", 2L)) == (("g", 2L, d0 + 3, 20L, 18L, 20L, 2L,
+      Some(5.059644), 1.977, true, Some(d0 + 1), "stop_reject")),
+      got(("g", 2L)))
+    // h: identical arms -> z = +0.0 exactly, never crossed
+    assert(got(("h", 1L)) == (("h", 1L, d0 + 1, 10L, 5L, 10L, 5L,
+      Some(0.0), 2.7959, false, None, "continue")), got(("h", 1L)))
+    assert(got(("h", 2L)) == (("h", 2L, d0 + 3, 20L, 10L, 20L, 10L,
+      Some(0.0), 1.977, false, None, "continue")), got(("h", 2L)))
+    // k: no control arm -> NULL z, never crossed
+    assert(got(("k", 1L)) == (("k", 1L, d0 + 0, 0L, 0L, 4L, 2L,
+      None, 2.7959, false, None, "continue")) ||
+      got(("k", 1L)) == (("k", 1L, d0 + 0, 4L, 2L, 0L, 0L,
+        None, 2.7959, false, None, "continue")), got(("k", 1L)))
+    assert(got(("k", 2L))._8.isEmpty && got(("k", 2L))._12 == "continue",
+      got(("k", 2L)))
+  }
+
+  test("obfBounds: the textbook five-look alpha=0.05 ladder from " +
+    "c=2.040 — 4.562, 3.226, 2.634, 2.281, 2.040 at 3 decimals") {
+    val b = Events.obfBounds(5, 2.040)
+    assert(b.map(x => math.round(x * 1000) / 1000.0) ==
+      Seq(4.562, 3.226, 2.634, 2.281, 2.04), b)
+    // boundary ladder is decreasing: early looks are near-unspendable
+    assert(b == b.sorted.reverse, b)
+  }
+}

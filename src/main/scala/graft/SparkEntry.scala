@@ -2905,6 +2905,14 @@ object SparkEntry {
     Events.rmst(Events.load(s, dir), "user_id", "ts", "event_type",
       startType = "signup", eventType = "purchase", tauDays = 30)
 
+  /** RMST difference between parity cohorts at τ=30 with a
+    * delete-one-duration-day jackknife CI — the crossing-hazards
+    * estimand beside q269's single-cohort RMST; the variance is the
+    * q237 leave-one-day-out idiom on the survival ladder. */
+  private def qRmstDiff(s: SparkSession, dir: String): DataFrame =
+    Events.rmstDiff(Events.load(s, dir), "user_id", "ts", "event_type",
+      startType = "signup", eventType = "purchase", tauDays = 30)
+
   /** 2-length frequent-sequence support: users doing type a strictly
     * before some type b ((a,a) = repeat behavior). */
   private def qSequenceSupport(s: SparkSession, dir: String): DataFrame =
@@ -3232,6 +3240,7 @@ object SparkEntry {
     "q292_clustering_card" -> (qClusteringCard _),
     "q293_source_jsd" -> (qSourceJsd _),
     "q294_group_sequential" -> (qGroupSequential _),
+    "q295_rmst_diff" -> (qRmstDiff _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7185,6 +7194,98 @@ object SparkEntry {
              + max_by(surv, d)
                * CAST(30 - LEAST(max(d), 30) AS DOUBLE), 4) AS rmst_days
          FROM u""",
+    // q295: mirrors Events.rmstDiff — the q269 KM/RMST chain per
+    // (jackknife block, arm), round-4 RMSTs to exact micros, exact
+    // jackknife moments, one mirrored se/CI expression.
+    "q295_rmst_diff" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         fe AS (SELECT e.user_id, min(e.ts) AS te
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT (user_id % 2 = 1) AS arm,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             (epoch_us(COALESCE(te, tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fe USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT arm, d, count(*) AS n_at,
+             CAST(sum(obs) AS BIGINT) AS e_at
+           FROM dur GROUP BY 1, 2),
+         days AS (SELECT DISTINCT d AS j FROM byd
+           UNION ALL SELECT DISTINCT CAST(-1 AS BIGINT) FROM byd),
+         lad AS (SELECT j, arm, d, n_at, e_at
+           FROM byd JOIN days ON d <> j),
+         r AS (SELECT *, CAST(sum(n_at) OVER (PARTITION BY j, arm
+               ORDER BY d ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM lad),
+         lt AS (SELECT j, arm, d, n_at, e_at, n_risk,
+             CASE WHEN e_at < n_risk
+               THEN ln(1.0 - CAST(e_at AS DOUBLE) / n_risk) END AS t
+           FROM r),
+         c AS (SELECT j, arm, d, n_at,
+             CASE WHEN e_at = n_risk THEN 0.0
+               ELSE exp(sum(t) OVER wi) END AS surv
+           FROM lt WINDOW wi AS (PARTITION BY j, arm ORDER BY d ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         k AS (SELECT j, arm, d, n_at, surv,
+             COALESCE(lag(d) OVER wp, 0) AS dprev,
+             COALESCE(lag(surv) OVER wp, 1.0) AS sprev
+           FROM c WINDOW wp AS (PARTITION BY j, arm ORDER BY d ASC)),
+         t2 AS (SELECT j, arm, d, n_at, surv,
+             sprev * CAST(LEAST(d, 30) - LEAST(dprev, 30) AS DOUBLE)
+               AS term
+           FROM k),
+         u AS (SELECT j, arm, d, n_at, surv,
+             sum(term) OVER (PARTITION BY j, arm ORDER BY d ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t2),
+         per AS (SELECT j, arm, CAST(sum(n_at) AS BIGINT) AS n,
+             round(max_by(cum, d) + max_by(surv, d)
+               * CAST(30 - LEAST(max(d), 30) AS DOUBLE), 4) AS rmst
+           FROM u GROUP BY 1, 2),
+         piv AS (SELECT j,
+             max(CASE WHEN arm THEN rmst END) AS ra,
+             max(CASE WHEN NOT arm THEN rmst END) AS rb,
+             max(CASE WHEN arm THEN n END) AS na,
+             max(CASE WHEN NOT arm THEN n END) AS nb
+           FROM per GROUP BY 1),
+         pt AS (SELECT *, CAST(round(ra * 1000000.0) AS BIGINT)
+               - CAST(round(rb * 1000000.0) AS BIGINT) AS t_micros
+           FROM piv),
+         jk AS (SELECT CAST(count(*) AS BIGINT) AS dd,
+             CAST(sum(t_micros) AS BIGINT) AS st,
+             sum(CAST(t_micros AS HUGEINT) * t_micros) AS stt
+           FROM pt WHERE j <> -1 AND t_micros IS NOT NULL)
+         SELECT CAST(30 AS BIGINT) AS tau_days, na AS n_a, nb AS n_b,
+           ra AS rmst_a, rb AS rmst_b,
+           round(CAST(t_micros AS DOUBLE) / 1000000.0, 4) + 0.0
+             AS diff_days,
+           dd AS n_blocks,
+           CASE WHEN dd >= 2 THEN
+             round(sqrt(CAST(dd - 1 AS DOUBLE)
+               * CAST(CAST(dd AS HUGEINT) * stt
+                 - CAST(st AS HUGEINT) * st AS DOUBLE)
+               / CAST(dd * dd AS DOUBLE)) / 1000000.0, 4) END AS se_days,
+           CASE WHEN dd >= 2 THEN
+             round(CAST(t_micros AS DOUBLE) / 1000000.0
+               - 1.959964 * (sqrt(CAST(dd - 1 AS DOUBLE)
+                 * CAST(CAST(dd AS HUGEINT) * stt
+                   - CAST(st AS HUGEINT) * st AS DOUBLE)
+                 / CAST(dd * dd AS DOUBLE)) / 1000000.0), 4) + 0.0
+             END AS ci_lo,
+           CASE WHEN dd >= 2 THEN
+             round(CAST(t_micros AS DOUBLE) / 1000000.0
+               + 1.959964 * (sqrt(CAST(dd - 1 AS DOUBLE)
+                 * CAST(CAST(dd AS HUGEINT) * stt
+                   - CAST(st AS HUGEINT) * st AS DOUBLE)
+                 / CAST(dd * dd AS DOUBLE)) / 1000000.0), 4) + 0.0
+             END AS ci_hi
+         FROM pt CROSS JOIN jk WHERE j = -1""",
     "q263_markov_removal" -> OracleGen.markovRemovalSql(
       removeStates = Seq("click", "view", "signup"), steps = 8,
       gapSeconds = 1800L),

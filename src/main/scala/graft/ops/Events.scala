@@ -3178,6 +3178,131 @@ object Events {
           .as("rmst_days"))
   }
 
+  /** RMST DIFFERENCE between parity cohorts with a delete-one-block
+    * JACKKNIFE CI (Irwin 1949 RMST; Quenouille 1956 / Tukey jackknife;
+    * grouped deletion per Shao & Tu 1995 §5) — the estimand actually
+    * reported when hazard curves CROSS and a hazard ratio is
+    * uninterpretable: Δ = RMST_A(τ) − RMST_B(τ), "extra event-free
+    * days in the first τ", with an uncertainty band. Cohorts are the
+    * q198/q294 parity arms (odd userCol = A); each arm runs q269's
+    * exact KM/RMST chain over its own duration-day ladder.
+    *
+    * The CI is a DELETE-ONE-DURATION-DAY jackknife (q237's
+    * leave-one-day-out idiom on the survival ladder): block j removes
+    * duration-day j's subjects from BOTH arms (risk sets, events, and
+    * the knot), Δ₍ⱼ₎ is recomputed on the filtered ladders, and
+    * Var = (D−1)/D · Σ(Δ₍ⱼ₎ − Δ̄)² over the D observed duration days;
+    * CI = Δ̂ ± 1.959964·se (the q253 z literal). A block whose removal
+    * empties an arm's ladder yields a NULL Δ₍ⱼ₎ and is dropped from
+    * the variance (degenerate block, documented not hidden).
+    *
+    * Determinism: each Δ₍ⱼ₎ is two q269 round-4 RMSTs converted to
+    * EXACT integer micros (a round-4 double times 1e6 rounds to the
+    * same integer on both engines — the q243 micros contract), so the
+    * variance moments are exact long/decimal(38,0) sums immune to
+    * float order; the final se/CI is ONE mirrored double expression
+    * off those exact moments. Output: ONE row (tau_days, n_a, n_b,
+    * rmst_a, rmst_b, diff_days, n_blocks, se_days, ci_lo, ci_hi).
+    *
+    * Scale shape: the corpus collapses to the per-(arm, day) rollup
+    * first (one combinable agg — the only event-scale pass); the
+    * jackknife fan-out is ladder×days, quadratic ONLY in the
+    * CALENDAR-BOUNDED duration-day ladder (q237's class: |days| is
+    * bounded by the observation span, never by corpus row count), as
+    * a broadcast non-equi join; windows ride (j, arm) partitions. */
+  def rmstDiff(events: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, startType: String, eventType: String,
+               tauDays: Int): DataFrame = {
+    require(tauDays >= 1, "need tauDays >= 1")
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    val firstEv = events.filter(col(typeCol) === eventType)
+      .join(starts, Seq(userCol))
+      .filter(col(tsCol) > col("t0"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("te"))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts.join(firstEv, Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select((col(userCol) % 2 === 1).as("arm"),
+        when(col("te").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs"),
+        expr("(unix_timestamp(coalesce(te, tmax)) - unix_timestamp(t0))" +
+          " div 86400").as("d"))
+    val byD = dur.groupBy(col("arm"), col("d"))
+      .agg(count(lit(1)).as("n_at"), sum(col("obs")).as("e_at"))
+      .localCheckpoint(eager = false)
+    // jackknife blocks = every observed duration day; the -1 sentinel
+    // block excludes nothing = the full-sample estimate, so ONE chain
+    // computes the point estimate and every leave-one-out replicate
+    val days = byD.select(col("d").as("j")).distinct()
+      .unionByName(byD.select(lit(-1L).as("j")).distinct())
+    val lad = byD.join(broadcast(days), col("d") =!= col("j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("j"), col("arm")).orderBy(col("d").asc)
+    val wIncl = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val wSuf = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.currentRow,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val tau = lit(tauDays.toLong)
+    val c = lad
+      .withColumn("n_risk", sum(col("n_at")).over(wSuf))
+      .withColumn("__lt",
+        when(col("e_at") < col("n_risk"),
+          log(lit(1.0) - col("e_at").cast("double") / col("n_risk"))))
+      .withColumn("surv",
+        when(col("e_at") === col("n_risk"), lit(0.0))
+          .otherwise(exp(sum(col("__lt")).over(wIncl))))
+      .withColumn("__dprev", coalesce(lag(col("d"), 1).over(w), lit(0L)))
+      .withColumn("__sprev",
+        coalesce(lag(col("surv"), 1).over(w), lit(1.0)))
+      .withColumn("__term",
+        col("__sprev") *
+          (least(col("d"), tau) - least(col("__dprev"), tau))
+            .cast("double"))
+      .withColumn("__cum", sum(col("__term")).over(wIncl))
+    val per = c.groupBy(col("j"), col("arm"))
+      .agg(max_by(col("__cum"), col("d")).as("__body"),
+        max_by(col("surv"), col("d")).as("__slast"),
+        least(max(col("d")), tau).as("__dlast"),
+        sum(col("n_at")).as("n"))
+      .select(col("j"), col("arm"), col("n"),
+        round(col("__body") +
+          col("__slast") * (tau - col("__dlast")).cast("double"), 4)
+          .as("rmst"))
+    val piv = per.groupBy(col("j"))
+      .agg(max(when(col("arm"), col("rmst"))).as("ra"),
+        max(when(!col("arm"), col("rmst"))).as("rb"),
+        max(when(col("arm"), col("n"))).as("na"),
+        max(when(!col("arm"), col("n"))).as("nb"))
+      .withColumn("t_micros",
+        expr("cast(round(ra * 1000000.0) as bigint)" +
+          " - cast(round(rb * 1000000.0) as bigint)"))
+    val jk = piv.filter(col("j") =!= -1L && col("t_micros").isNotNull)
+      .agg(count(lit(1)).as("dd"),
+        sum(col("t_micros")).as("st"),
+        sum(col("t_micros").cast("decimal(38,0)") * col("t_micros"))
+          .as("stt"))
+    val seRaw = sqrt((col("dd") - 1).cast("double") *
+      expr("cast(cast(dd as decimal(38,0)) * stt" +
+        " - cast(st as decimal(38,0)) * st as double)") /
+      (col("dd") * col("dd")).cast("double")) / lit(1000000.0)
+    val diffRaw = col("t_micros").cast("double") / lit(1000000.0)
+    val z = lit(1.959964)
+    piv.filter(col("j") === -1L)
+      .join(broadcast(jk), lit(true))
+      .select(lit(tauDays.toLong).as("tau_days"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        col("ra").as("rmst_a"), col("rb").as("rmst_b"),
+        (round(diffRaw, 4) + lit(0.0)).as("diff_days"),
+        col("dd").as("n_blocks"),
+        when(col("dd") >= 2, round(seRaw, 4)).as("se_days"),
+        when(col("dd") >= 2, round(diffRaw - z * seRaw, 4) + lit(0.0))
+          .as("ci_lo"),
+        when(col("dd") >= 2, round(diffRaw + z * seRaw, 4) + lit(0.0))
+          .as("ci_hi"))
+  }
+
   /** NELSON–AALEN cumulative hazard (Nelson 1972, Aalen 1978) — the
     * survival family's OTHER estimator over the same
     * (duration, n_risk, n_events) relation as [[kaplanMeier]]:

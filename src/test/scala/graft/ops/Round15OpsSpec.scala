@@ -74,6 +74,43 @@ class Round15OpsSpec extends AnyFunSuite {
       got(("k", 2L)))
   }
 
+  test("rmstDiff: hand jackknife over three duration-day blocks — " +
+    "point diff, exact micros moments, se = 1.0, round-4 CI; each " +
+    "arm's RMST equals the q269 face on the same ladder") {
+    // arm A (odd users): u1 purchase at d=1, u3 censored at horizon
+    // d=4 -> ladder d1(n1,e1), d4(n1,e0) -> S(1)=.5 -> RMST(3) = 2.0
+    // arm B (even users): u2 purchase at d=2, u4 censored at d=4
+    // -> ladder d2(n1,e1), d4(n1,e0) -> RMST(3) = 2.5; diff = -0.5
+    val ev = Seq(
+      (1L, ts(0), "signup"), (1L, ts(1), "purchase"),
+      (3L, ts(0), "signup"),
+      (2L, ts(0), "signup"), (2L, ts(2), "purchase"),
+      (4L, ts(0), "signup"), (4L, ts(4), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.rmstDiff(ev, "user_id", "ts", "event_type",
+        startType = "signup", eventType = "purchase", tauDays = 3)
+      .as[(Long, Long, Long, Double, Double, Double, Long,
+        Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    // blocks: drop d=1 -> A all-censored RMST 3.0, B 2.5, delta=+0.5;
+    // drop d=2 -> A 2.0, B 3.0, delta=-1.0; drop d=4 -> both arms
+    // saturate (S hits 0), A 1.0, B 2.0, delta=-1.0. t_micros =
+    // {5e5, -1e6, -1e6}: D=3, sum=-1.5e6, sumsq=2.25e12,
+    // num = 3*2.25e12 - 2.25e12 = 4.5e12, var = 2*num/9 = 1e12
+    // -> se = 1.0 day; CI = -0.5 -+ 1.959964 -> (-2.46, 1.46)
+    assert(got == Seq((3L, 2L, 2L, 2.0, 2.5, -0.5, 3L,
+      Some(1.0), Some(-2.46), Some(1.46))), got)
+    // each arm's mirrored chain IS the q269 face: same ladder (arm
+    // subset plus the horizon marker), same RMST
+    val evA = Seq((1L, ts(0), "signup"), (1L, ts(1), "purchase"),
+      (3L, ts(0), "signup"), (1L, ts(4), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val a = Events.rmst(evA, "user_id", "ts", "event_type",
+        startType = "signup", eventType = "purchase", tauDays = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(a == ((3L, 2L, 2.0)), a)
+  }
+
   test("obfBounds: the textbook five-look alpha=0.05 ladder from " +
     "c=2.040 — 4.562, 3.226, 2.634, 2.281, 2.040 at 3 decimals") {
     val b = Events.obfBounds(5, 2.040)

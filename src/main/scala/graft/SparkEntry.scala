@@ -2913,6 +2913,26 @@ object SparkEntry {
     Events.rmstDiff(Events.load(s, dir), "user_id", "ts", "event_type",
       startType = "signup", eventType = "purchase", tauDays = 30)
 
+  /** Registered audio face: deterministic 16-bit PCM synthesized per
+    * sampled document THROUGH the real JDK WAV encoder, parsed back by
+    * the real container parser, and rolled into per-128-frame windows
+    * (exact Σs², zero-crossings, round-6 RMS). The oracle re-derives
+    * the SAMPLES from the same integer formula — a hash match proves
+    * the encode→decode roundtrip is the identity on every window. */
+  private def qAudioWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val n = 256 + (id % 5).toInt * 64
+      (id, graft.ops.Multimodal.synthWav(n,
+        i => (((id * 7 + i.toLong * 31) % 61) - 30).toInt * 256))
+    }).toDF("media_id", "payload")
+    graft.ops.Multimodal.audioWindowStats(media, "media_id", "payload",
+      windowFrames = 128)
+  }
+
   /** 2-length frequent-sequence support: users doing type a strictly
     * before some type b ((a,a) = repeat behavior). */
   private def qSequenceSupport(s: SparkSession, dir: String): DataFrame =
@@ -3241,6 +3261,7 @@ object SparkEntry {
     "q293_source_jsd" -> (qSourceJsd _),
     "q294_group_sequential" -> (qGroupSequential _),
     "q295_rmst_diff" -> (qRmstDiff _),
+    "q296_audio_windows" -> (qAudioWindows _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7194,6 +7215,28 @@ object SparkEntry {
              + max_by(surv, d)
                * CAST(30 - LEAST(max(d), 30) AS DOUBLE), 4) AS rmst_days
          FROM u""",
+    // q296: mirrors Multimodal synth->WAV->parse->window — the oracle
+    // re-synthesizes the PCM SAMPLES from the same integer formula and
+    // computes the same window moments; a hash match proves the real
+    // encoder/parser roundtrip is the identity on every window.
+    "q296_audio_windows" ->
+      """WITH src AS (SELECT doc_id FROM documents
+           WHERE doc_id % 20 = 0),
+         params AS (SELECT doc_id, 256 + (doc_id % 5) * 64 AS n
+           FROM src),
+         samp AS (SELECT doc_id, i,
+             ((doc_id * 7 + i * 31) % 61 - 30) * 256 AS s
+           FROM params, UNNEST(range(0, n)) AS u(i)),
+         lagged AS (SELECT doc_id, i, s, i // 128 AS w,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY i ASC) AS sp
+           FROM samp)
+         SELECT doc_id AS media_id, w, CAST(count(*) AS BIGINT)
+             AS n_frames,
+           CAST(sum(s * s) AS BIGINT) AS sumsq,
+           CAST(sum(CASE WHEN i % 128 > 0 AND ((s >= 0) <> (sp >= 0))
+             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms
+         FROM lagged GROUP BY 1, 2""",
     // q295: mirrors Events.rmstDiff — the q269 KM/RMST chain per
     // (jackknife block, arm), round-4 RMSTs to exact micros, exact
     // jackknife moments, one mirrored se/CI expression.

@@ -111,6 +111,25 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(a == ((3L, 2L, 2.0)), a)
   }
 
+  test("audioWindowStats: hand five-sample signal through the REAL WAV " +
+    "encoder — exact window sumsq and zero-crossings, partial last " +
+    "window, round-6 rms; unparseable payloads contribute no rows") {
+    val sig = Array(256, -256, 0, -512, 512)
+    val wav = Multimodal.synthWav(5, sig(_))
+    val media = Seq((7L, wav), (8L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.audioWindowStats(media, "media_id", "payload",
+        windowFrames = 3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    // window 0 = [256, -256, 0]: sumsq = 2*65536, crossings at both
+    // in-window pairs (sign flips 256->-256 and -256->0, with 0
+    // counting as non-negative); window 1 = [-512, 512]: one flip
+    assert(got == Set(
+      (7L, 0L, 3L, 131072L, 2L, BigDecimal(math.sqrt(131072.0 / 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (7L, 1L, 2L, 524288L, 1L, 512.0)), got)
+  }
+
   test("obfBounds: the textbook five-look alpha=0.05 ladder from " +
     "c=2.040 — 4.562, 3.226, 2.634, 2.281, 2.040 at 3 decimals") {
     val b = Events.obfBounds(5, 2.040)

@@ -290,6 +290,33 @@ object RecallProbe {
         f"recall=${(uBrute & uRouted).size.toDouble / uBrute.size}%.3f " +
         f"precision=${(uBrute & uRouted).size.toDouble / uRouted.size}%.3f")
     }
+    // The same MUTUAL comparison on the CLUSTERED corpus (round-15
+    // brief item 5): the isotropic sf embeddings are IVF routing's
+    // documented worst case (every cell boundary cuts true-neighbor
+    // pairs), so the quoted 0.340 recall needs its other-regime
+    // companion — on well-separated clusters the probed cells contain
+    // the true neighbors and mutual pairs should survive routing
+    // near-completely. Same deterministic 16-center corpus as the PQ
+    // CLUSTERED block.
+    {
+      val clustered = spark.range(2000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(col("id") % 16 * 31 + i * 7, lit(13)) - 6).cast("double") +
+            (pmod(xxhash64(concat_ws("_", col("id"), i)), lit(1000))
+              / 1000.0 - 0.5) * 0.2).as("embedding"))
+        .localCheckpoint()
+      def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+        df.select(col(a), col(b)).as[(Long, Long)].collect().toSet
+      val uBrute = pairSet(graft.ops.Similarity.mutualTopOne(
+        clustered, "vec_id", "embedding", stride = 10), "id_a", "id_b")
+      val uRouted = pairSet(graft.ops.Similarity.mutualTopOneRouted(
+        clustered, "vec_id", "embedding", stride = 10, nCentroids = 16,
+        nProbe = 4), "id_a", "id_b")
+      println(f"MUTUAL routed-vs-brute CLUSTERED: brute=${uBrute.size} " +
+        f"routed=${uRouted.size} overlap=${(uBrute & uRouted).size} " +
+        f"recall=${(uBrute & uRouted).size.toDouble / uBrute.size}%.3f " +
+        f"precision=${(uBrute & uRouted).size.toDouble / uRouted.size}%.3f")
+    }
     spark.stop()
   }
 }

@@ -1631,8 +1631,6 @@ object Events {
   def groupSequential(events: DataFrame, groupCol: String,
                       userCol: String, tsCol: String, success: Column,
                       looks: Int = 5, c: Double = 2.040): DataFrame = {
-    require(looks >= 1 && c > 0, "need looks >= 1 and c > 0")
-    val bounds = obfBounds(looks, c)
     val byDay = events
       .select(col(groupCol).as("grp"),
         expr(s"unix_timestamp(date_trunc('day', $tsCol)) div 86400")
@@ -1642,6 +1640,21 @@ object Events {
       .groupBy(col("grp"), col("day"), col("treated"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("x"))
       .localCheckpoint(eager = false)
+    groupSequentialFromCells(byDay, looks, c)
+  }
+
+  /** [[groupSequential]]'s ladder tail over an already-rolled-up
+    * `(grp, day, treated, n, x)` day-cell relation — shared
+    * byte-identically with the streaming face
+    * ([[graft.streaming.StreamingGroupSequential]]), whose archive
+    * stores per-batch PARTIAL day cells (count/sum are associative, so
+    * summing partials equals summing raw rows exactly — the
+    * increment-monotone contract the moment-archive pattern needs). */
+  private[graft] def groupSequentialFromCells(byDay: DataFrame,
+                                              looks: Int, c: Double)
+      : DataFrame = {
+    require(looks >= 1 && c > 0, "need looks >= 1 and c > 0")
+    val bounds = obfBounds(looks, c)
     val range = byDay.groupBy(col("grp"))
       .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
     val perLook = byDay.join(broadcast(range), Seq("grp"))

@@ -1330,6 +1330,28 @@ object OracleGen {
             ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
        WHERE rn <= $topK"""
 
+  /** Oracle for `Similarity.pqDistortion` (q297): the [[pqTrainCtes]]
+    * replay, each encoded subvector's round-6 assigned distance to its
+    * codeword converted to exact micros, rolled up per subspace. */
+  def pqDistortionSql(m: Int, k: Int, trainIters: Int, dim: Int,
+                      trainStride: Long = 1): String = {
+    val sub = dim / m
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       ${pqTrainCtes(m, k, trainIters, trainStride, dim, "e")},
+       dist AS (SELECT n.j, n.cid,
+           CAST(round(round(${pqL2("n.sv", "b.cv", sub)}, 6)
+             * 1000000.0) AS BIGINT) AS dm
+         FROM enc n JOIN b$trainIters b
+           ON b.j = n.j AND b.cid = n.cid)
+       SELECT j, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(count(DISTINCT cid) AS BIGINT) AS codes_used,
+         CAST(sum(dm) AS BIGINT) AS sse_micros,
+         CAST(sum(dm) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS mse_micros
+       FROM dist GROUP BY 1"""
+  }
+
   /** Oracle for `Similarity.ivfPqTopK` (q129): the [[pqCoreCtes]] codes
     * scored ONLY inside the query's `nProbe` IVF-routed cells (round-6
     * cosine routing, the [[ivfSql]] coarse quantizer). */

@@ -1268,6 +1268,14 @@ object SparkEntry {
       m = 8, k = 64, trainIters = 3, topK = 5, queryStride = 100,
       trainStride = 4)
 
+  /** Per-subspace PQ quantization distortion at the q127 codebook
+    * params — the codebook-quality observability card beside q291's
+    * routing-skew card: SSE/MSE in exact micros and codeword usage,
+    * the numbers every ADC-ranked face silently assumes are healthy. */
+  private def qPqDistortion(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqDistortion(t(s, dir, "embeddings"), "vec_id",
+      "embedding", m = 8, k = 64, trainIters = 3, trainStride = 4)
+
   /** The per-user funnel TRACE (q116's relation one level down):
     * (user, step_idx, step, conversion instant) — the convergence
     * target of the streaming funnel repair path, here oracle-checked
@@ -3262,6 +3270,7 @@ object SparkEntry {
     "q294_group_sequential" -> (qGroupSequential _),
     "q295_rmst_diff" -> (qRmstDiff _),
     "q296_audio_windows" -> (qAudioWindows _),
+    "q297_pq_distortion" -> (qPqDistortion _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4292,6 +4301,10 @@ object SparkEntry {
     "q125_label_propagation" -> OracleGen.labelPropSql(iters = 5),
     "q127_pq_ann" -> OracleGen.pqSql(m = 8, k = 64, trainIters = 3,
       topK = 5, queryStride = 100, dim = 64, trainStride = 4),
+    // q297: mirrors Similarity.pqDistortion — the q127 codebook replay,
+    // round-6 assigned distances to exact micros, per-subspace rollup.
+    "q297_pq_distortion" -> OracleGen.pqDistortionSql(m = 8, k = 64,
+      trainIters = 3, dim = 64, trainStride = 4),
     "q129_ivfpq_ann" -> OracleGen.ivfPqSql(m = 8, k = 64, trainIters = 3,
       nCentroids = 16, nProbe = 2, topK = 5, queryStride = 100, dim = 64,
       trainStride = 4),

@@ -1687,6 +1687,54 @@ object Similarity {
           .as("expected_probe_micros"))
   }
 
+  /** PQ QUANTIZATION-DISTORTION TELEMETRY — the codebook-quality
+    * observability card beside [[ivfCellBalance]]'s routing-skew card
+    * (q291): per subspace, how much of the corpus's geometry the
+    * trained codebook destroys. Every ADC-ranked face (q127/q129/
+    * q158/q214) assumes the per-subspace quantization error is small
+    * and roughly balanced across subspaces; this card SAYS whether it
+    * is — a subspace whose MSE dwarfs the others (or that uses a
+    * fraction of its k codewords) is where recall dies first, and a
+    * drifting corpus shows up here before it shows up in a recall
+    * probe. Output per subspace j: vectors encoded, distinct codewords
+    * actually used (of k), exact SSE and MSE in micros.
+    *
+    * Determinism: the [[pqArtifacts]] contract end-to-end (round-6
+    * assignment chain, round-6 signed-zero codeword means); each
+    * assigned distance converts to integer micros (round(d·10⁶) on the
+    * round-6 value — half-away == HALF_UP on non-negatives, the
+    * [[pqAdcTable]] idiom), so SSE is an exact long sum in any engine
+    * and MSE is a non-negative floor division.
+    *
+    * Scale shape: training/encoding is [[pqArtifacts]] (sample-trained
+    * Lloyd, one full encode pass); the card itself is ONE equi-join of
+    * the codes back to their m·k broadcast codebook rows plus one
+    * combinable m-row aggregate — nothing new touches the corpus
+    * beyond the encode pass the ANN faces already pay. */
+  def pqDistortion(emb: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 8, k: Int = 64, trainIters: Int = 3,
+                   dim: Int = 64, trainStride: Long = 4): DataFrame = {
+    val (base, books, codes) =
+      pqArtifacts(emb, idCol, vecCol, m, k, trainIters, dim, trainStride)
+    val sub = dim / m
+    val js = explode(sequence(lit(0), lit(m - 1))).as("j")
+    val subv = base.select(col("id"), col("v"), js)
+      .select(col("id"), col("j"),
+        slice(col("v"), col("j") * sub + 1, lit(sub)).as("sv"))
+    subv.join(codes, Seq("id", "j"))
+      .join(broadcast(books), Seq("j", "cid"))
+      .select(col("j"), col("cid"),
+        round(round(l2Chain(col("sv"), col("cv"), sub), 6) *
+          lit(1000000.0)).cast("long").as("dm"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("cid")).as("codes_used"),
+        sum(col("dm")).as("sse_micros"))
+      .select(col("j"), col("n_vectors"), col("codes_used"),
+        col("sse_micros"),
+        expr("sse_micros div n_vectors").as("mse_micros"))
+  }
+
   /** [[ivfPqTopK]]'s routing stage — the (query_id, id) candidate pairs
     * from the query's `nProbe` probed IVF cells (the q35 coarse
     * quantizer: broadcast centroids, round-6 cosine, members in their

@@ -130,6 +130,26 @@ class Round15OpsSpec extends AnyFunSuite {
       (7L, 1L, 2L, 524288L, 1L, 512.0)), got)
   }
 
+  test("pqDistortion: hand 4-vector, 2-subspace, seed-codebook card — " +
+    "exact SSE/MSE micros, tie to lower cid, codeword usage") {
+    val emb = Seq(
+      (0L, Array(0.0, 0.0, 10.0, 10.0)),
+      (1L, Array(4.0, 4.0, 10.0, 10.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0)),
+      (3L, Array(4.0, 0.0, 10.0, 8.0))
+    ).toDF("vec_id", "embedding")
+    // k=2 seeds = vectors 0 and 1; trainIters=0 keeps them. Subspace 0
+    // books: [0,0] and [4,4]; id3's [4,0] ties at d=16 -> lower cid.
+    // Subspace 1 books are BOTH [10,10] (degenerate): id2 pays 200,
+    // id3 pays 4, and only cid 0 is ever used.
+    val got = Similarity.pqDistortion(emb, "vec_id", "embedding",
+        m = 2, k = 2, trainIters = 0, dim = 4, trainStride = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 4L, 2L, 16000000L, 4000000L),
+      (1L, 4L, 1L, 204000000L, 51000000L)), got)
+  }
+
   test("obfBounds: the textbook five-look alpha=0.05 ladder from " +
     "c=2.040 — 4.562, 3.226, 2.634, 2.281, 2.040 at 3 decimals") {
     val b = Events.obfBounds(5, 2.040)

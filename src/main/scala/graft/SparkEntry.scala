@@ -2941,6 +2941,13 @@ object SparkEntry {
       windowFrames = 128)
   }
 
+  /** Weibull probability-plot fit over the signup→purchase KM curve:
+    * shape/scale/median and the plot r² — the parametric extrapolation
+    * card beside the empirical q120/q262/q269 family. */
+  private def qWeibullFit(s: SparkSession, dir: String): DataFrame =
+    Events.weibullFit(Events.load(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", eventType = "purchase")
+
   /** 2-length frequent-sequence support: users doing type a strictly
     * before some type b ((a,a) = repeat behavior). */
   private def qSequenceSupport(s: SparkSession, dir: String): DataFrame =
@@ -3271,6 +3278,7 @@ object SparkEntry {
     "q295_rmst_diff" -> (qRmstDiff _),
     "q296_audio_windows" -> (qAudioWindows _),
     "q297_pq_distortion" -> (qPqDistortion _),
+    "q298_weibull_fit" -> (qWeibullFit _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7250,6 +7258,74 @@ object SparkEntry {
              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
            round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms
          FROM lagged GROUP BY 1, 2""",
+    // q298: mirrors Events.weibullFit — the q269 KM prefix, the
+    // ln/ln(-ln) transform over its day knots, ordered-window OLS
+    // moments (the q262 sequential-sum discipline), closed-form tail.
+    "q298_weibull_fit" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         fe AS (SELECT e.user_id, min(e.ts) AS te
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             (epoch_us(COALESCE(te, tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fe USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT d, count(*) AS n_at,
+             CAST(sum(obs) AS BIGINT) AS e_at
+           FROM dur GROUP BY 1),
+         r AS (SELECT d, n_at, e_at,
+             CAST(sum(n_at) OVER (ORDER BY d ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM byd),
+         lt AS (SELECT d, e_at, n_risk,
+             CASE WHEN e_at < n_risk
+               THEN ln(1.0 - CAST(e_at AS DOUBLE) / n_risk) END AS t
+           FROM r),
+         c AS (SELECT d,
+             CASE WHEN e_at = n_risk THEN 0.0
+               ELSE exp(sum(t) OVER wi) END AS surv
+           FROM lt WINDOW wi AS (ORDER BY d ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pts AS (SELECT d, ln(CAST(d AS DOUBLE)) AS x,
+             ln(-ln(surv)) AS y
+           FROM c WHERE d >= 1 AND surv > 0 AND surv < 1),
+         cum AS (SELECT d,
+             CAST(count(*) OVER wi AS BIGINT) AS k,
+             sum(x) OVER wi AS sx, sum(y) OVER wi AS sy,
+             sum(x * y) OVER wi AS sxy, sum(x * x) OVER wi AS sxx,
+             sum(y * y) OVER wi AS syy
+           FROM pts WINDOW wi AS (ORDER BY d ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         fa AS (SELECT max(k) AS n, max_by(sx, d) AS sx,
+             max_by(sy, d) AS sy, max_by(sxy, d) AS sxy,
+             max_by(sxx, d) AS sxx, max_by(syy, d) AS syy
+           FROM cum),
+         g AS (SELECT *,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
+             CAST(n AS DOUBLE) * syy - sy * sy AS deny
+           FROM fa),
+         h AS (SELECT *, num / denx AS slope FROM g),
+         i AS (SELECT *,
+             (sy - slope * sx) / CAST(n AS DOUBLE) AS icpt FROM h),
+         j2 AS (SELECT *, exp(-(icpt / slope)) AS lam FROM i)
+         SELECT n AS n_points,
+           CASE WHEN n >= 2 AND denx > 0 AND deny > 0
+             THEN round(slope, 4) + 0.0 END AS shape,
+           CASE WHEN n >= 2 AND denx > 0 AND deny > 0 AND num > 0
+             THEN round(lam, 4) + 0.0 END AS scale_days,
+           CASE WHEN n >= 2 AND denx > 0 AND deny > 0 AND num > 0
+             THEN round(lam * exp(ln(ln(2.0)) / slope), 4) + 0.0
+             END AS median_days,
+           CASE WHEN n >= 2 AND denx > 0 AND deny > 0
+             THEN round(num * num / (denx * deny), 4) + 0.0 END AS r2
+         FROM j2""",
     // q295: mirrors Events.rmstDiff — the q269 KM/RMST chain per
     // (jackknife block, arm), round-4 RMSTs to exact micros, exact
     // jackknife moments, one mirrored se/CI expression.

@@ -3316,6 +3316,100 @@ object Events {
           .as("ci_hi"))
   }
 
+  /** WEIBULL PROBABILITY-PLOT FIT over the KM curve (Weibull 1951;
+    * the plotting-position regression every reliability textbook opens
+    * with, here with the Kaplan–Meier estimate supplying the censoring-
+    * aware plotting positions) — the PARAMETRIC complement to the
+    * empirical survival family (q120/q262/q269): under
+    * S(t) = exp(−(t/λ)^k), {{{ ln(−ln S(t)) = k·ln t − k·ln λ }}}
+    * is a line, so an OLS of y = ln(−ln S_d) on x = ln d over the KM
+    * day knots (d ≥ 1, 0 < S < 1 — the transform's domain) reads off
+    * shape k̂ (slope), scale λ̂ = exp(−intercept/k̂), the implied
+    * median λ̂·(ln 2)^(1/k̂), and the plot's r² ("is it even Weibull" —
+    * a low r² says don't extrapolate). This is the number a capacity /
+    * retention plan consumes when it must extrapolate BEYOND follow-up,
+    * where KM/RMST stop.
+    *
+    * Determinism: S is q120's exact ln/exp ordered chain (UNROUNDED,
+    * the q269 contract); x, y, xy, x², y² accumulate over the ORDERED
+    * day window (the q262 sequential-sum discipline — a plain
+    * double-sum agg would be partition-order-dependent) and the final
+    * row is picked by max_by on the unique day key; the closed-form
+    * tail is ONE mirrored double expression. A fit needs ≥ 2 usable
+    * points and positive x/y variance; a non-positive slope (hazard
+    * DECREASING faster than Weibull allows... the transform still
+    * fits a line, but λ is undefined) yields NULL scale/median while
+    * shape and r² still report. All outputs round-4 signed-zero.
+    *
+    * Scale shape: identical to q120 (per-user min-aggs, one duration
+    * rollup, day windows) — the fit itself is O(|days|) window rows
+    * and a 1-row aggregate. */
+  def weibullFit(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, startType: String, eventType: String)
+      : DataFrame = {
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    val firstEv = events.filter(col(typeCol) === eventType)
+      .join(starts, Seq(userCol))
+      .filter(col(tsCol) > col("t0"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("te"))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts.join(firstEv, Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select(
+        when(col("te").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs"),
+        expr("(unix_timestamp(coalesce(te, tmax)) - unix_timestamp(t0))" +
+          " div 86400").as("d"))
+    val byD = dur.groupBy(col("d")).agg(count(lit(1)).as("n_at"),
+      sum(col("obs")).as("e_at"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
+    val wIncl = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val km = byD
+      .withColumn("n_risk", sum(col("n_at")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("__lt",
+        when(col("e_at") < col("n_risk"),
+          log(lit(1.0) - col("e_at").cast("double") / col("n_risk"))))
+      .withColumn("surv",
+        when(col("e_at") === col("n_risk"), lit(0.0))
+          .otherwise(exp(sum(col("__lt")).over(wIncl))))
+    val pts = km
+      .filter(col("d") >= 1 && col("surv") > 0 && col("surv") < 1)
+      .select(col("d"), log(col("d").cast("double")).as("x"),
+        log(-log(col("surv"))).as("y"))
+    val cum = pts
+      .withColumn("k", count(lit(1)).over(wIncl))
+      .withColumn("sx", sum(col("x")).over(wIncl))
+      .withColumn("sy", sum(col("y")).over(wIncl))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wIncl))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wIncl))
+      .withColumn("syy", sum(col("y") * col("y")).over(wIncl))
+    val f = cum.agg(max(col("k")).as("n"),
+      max_by(col("sx"), col("d")).as("sx"),
+      max_by(col("sy"), col("d")).as("sy"),
+      max_by(col("sxy"), col("d")).as("sxy"),
+      max_by(col("sxx"), col("d")).as("sxx"),
+      max_by(col("syy"), col("d")).as("syy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sxy") - col("sx") * col("sy")
+    val denx = nd * col("sxx") - col("sx") * col("sx")
+    val deny = nd * col("syy") - col("sy") * col("sy")
+    val slope = num / denx
+    val intercept = (col("sy") - slope * col("sx")) / nd
+    val scale = exp(-(intercept / slope))
+    val fit = col("n") >= 2 && denx > 0 && deny > 0
+    def r4(c: Column): Column = round(c, 4) + lit(0.0)
+    f.select(col("n").as("n_points"),
+      when(fit, r4(slope)).as("shape"),
+      when(fit && num > 0, r4(scale)).as("scale_days"),
+      when(fit && num > 0,
+        r4(scale * exp(log(log(lit(2.0))) / slope))).as("median_days"),
+      when(fit, r4(num * num / (denx * deny))).as("r2"))
+  }
+
   /** NELSON–AALEN cumulative hazard (Nelson 1972, Aalen 1978) — the
     * survival family's OTHER estimator over the same
     * (duration, n_risk, n_events) relation as [[kaplanMeier]]:

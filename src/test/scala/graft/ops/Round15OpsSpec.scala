@@ -150,6 +150,45 @@ class Round15OpsSpec extends AnyFunSuite {
       (1L, 4L, 1L, 204000000L, 51000000L)), got)
   }
 
+  test("weibullFit: two-knot ladder solves the plot line exactly " +
+    "(r2 = 1), closed-form shape/scale/median; a one-point ladder " +
+    "reports NULL fit") {
+    // u1 purchase d1, u2 purchase d2, u3 censored at horizon d2:
+    // KM knots S(1) = 2/3 (risk 3, 1 event), S(2) = 1/3 (risk 2, 1
+    // event) -> two usable plot points, OLS through 2 points is exact
+    val ev = Seq(
+      (1L, ts(0), "signup"), (1L, ts(1), "purchase"),
+      (2L, ts(0), "signup"), (2L, ts(2), "purchase"),
+      (3L, ts(0), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.weibullFit(ev, "user_id", "ts", "event_type",
+        startType = "signup", eventType = "purchase")
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (x2, y1, y2) = (math.log(2.0),
+      math.log(-math.log(2.0 / 3)), math.log(-math.log(1.0 / 3)))
+    val slope = (y2 - y1) / x2                   // 2-point closed form
+    val icpt = (y1 + y2 - slope * x2) / 2
+    val lam = math.exp(-icpt / slope)
+    assert(got._1 == 2L && got._5 == Some(1.0), got)
+    assert(got._2 == Some(r4(slope)) && got._3 == Some(r4(lam)), got)
+    assert(got._4 ==
+      Some(r4(lam * math.exp(math.log(math.log(2.0)) / slope))), got)
+    assert(slope > 1.0, "this fixture's hazard rises: shape > 1")
+
+    // one usable knot: S(1) = 0.5, nothing else -> guarded NULLs
+    val ev1 = Seq((1L, ts(0), "signup"), (1L, ts(1), "purchase"),
+      (2L, ts(0), "signup"), (2L, ts(1), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val one = Events.weibullFit(ev1, "user_id", "ts", "event_type",
+        startType = "signup", eventType = "purchase")
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(one == ((1L, None, None, None, None)), one)
+  }
+
   test("obfBounds: the textbook five-look alpha=0.05 ladder from " +
     "c=2.040 — 4.562, 3.226, 2.634, 2.281, 2.040 at 3 decimals") {
     val b = Events.obfBounds(5, 2.040)

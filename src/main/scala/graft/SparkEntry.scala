@@ -2948,6 +2948,18 @@ object SparkEntry {
     Events.weibullFit(Events.load(s, dir), "user_id", "ts",
       "event_type", startType = "signup", eventType = "purchase")
 
+  /** Oracle-checked HyperLogLog over the corpus vocabulary (p=8, 256
+    * registers): the distinct-token estimate beside the exact count
+    * with realized error — the fixed-memory cardinality read the
+    * opaque DataSketches path (Sketches.approxDistinct) can't
+    * hash-verify cross-engine. */
+  private def qHllReplay(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.hllReplay(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0),
+      col("tok"))
+
   /** 2-length frequent-sequence support: users doing type a strictly
     * before some type b ((a,a) = repeat behavior). */
   private def qSequenceSupport(s: SparkSession, dir: String): DataFrame =
@@ -3279,6 +3291,7 @@ object SparkEntry {
     "q296_audio_windows" -> (qAudioWindows _),
     "q297_pq_distortion" -> (qPqDistortion _),
     "q298_weibull_fit" -> (qWeibullFit _),
+    "q299_hll_replay" -> (qHllReplay _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7258,6 +7271,42 @@ object SparkEntry {
              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
            round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms
          FROM lagged GROUP BY 1, 2""",
+    // q299: mirrors Sketches.hllReplay — md5-prefix 60-bit hash,
+    // register/rank integers, exact shifted harmonic numerators, one
+    // mirrored division + small-range-correction branch.
+    "q299_hll_replay" -> {
+      val alpha = 0.7213 / (1 + 1.079 / 256)
+      val numer = alpha * math.pow(2.0, 69)
+      s"""WITH tok AS (SELECT t AS k FROM (SELECT
+             UNNEST(string_split(text, ' ')) AS t FROM documents)
+           WHERE len(t) > 0),
+         hashed AS (SELECT CAST(('0x' || substring(md5(k), 1, 15))
+             AS BIGINT) AS h FROM tok),
+         rw AS (SELECT h % 256 AS r, h // 256 AS w FROM hashed),
+         rho AS (SELECT r, CASE WHEN w = 0 THEN 53
+             ELSE 53 - length(bin(w)) END AS rho FROM rw),
+         regs AS (SELECT r, max(rho) AS mr FROM rho GROUP BY 1),
+         sk AS (SELECT CAST(count(*) AS BIGINT) AS nonempty,
+             CAST(sum(1::BIGINT << (53 - mr)) AS BIGINT) AS ssum
+           FROM regs),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT k) AS BIGINT) AS n_keys FROM tok),
+         est AS (SELECT n_rows, n_keys, nonempty, 256 - nonempty AS v,
+             $numer / CAST(ssum + (256 - nonempty) * (1::BIGINT << 53)
+               AS DOUBLE) AS raw
+           FROM ex CROSS JOIN sk),
+         fin AS (SELECT n_rows, n_keys, nonempty,
+             CASE WHEN raw <= 640.0 AND v > 0
+               THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+               ELSE raw END AS e
+           FROM est)
+         SELECT n_rows, n_keys, nonempty AS nonempty_registers,
+           round(e, 4) + 0.0 AS hll_estimate,
+           CASE WHEN n_keys > 0 THEN
+             CAST(round((e / CAST(n_keys AS DOUBLE) - 1.0)
+               * 1000000.0) AS BIGINT) END AS err_ppm
+         FROM fin"""
+    },
     // q298: mirrors Events.weibullFit — the q269 KM prefix, the
     // ln/ln(-ln) transform over its day knots, ordered-window OLS
     // moments (the q262 sequential-sum discipline), closed-form tail.

@@ -247,6 +247,70 @@ object Sketches {
             " div cast(f2_exact as bigint)")).as("rel_err_micros"))
   }
 
+  /** HYPERLOGLOG REPLAY (Flajolet, Fusy, Gandouet & Meunier 2007) —
+    * the ORACLE-CHECKED face of the HLL family: [[approxDistinct]]
+    * rides Spark's opaque DataSketches aggregate (which DuckDB cannot
+    * replay), so the cross-engine contract is carried here by a
+    * deterministic m = 2^p register table built from the q222
+    * md5-prefix hash: register = h mod m, rank ρ = leading zeros of
+    * the remaining (60−p)-bit word + 1, register value = max ρ. The
+    * card reports the estimate BESIDE the exact distinct count with
+    * the realized error — at true scale the exact column is dropped
+    * and only the sketch runs (ONE combinable max-per-register agg
+    * whose state is m registers REGARDLESS of corpus size — the
+    * property that replaces the full-key shuffle at 100 TB).
+    *
+    * Determinism: hash/register/rank are exact integers (ρ via binary
+    * string length, no float log); the harmonic sum Σ 2^(−M_r) is
+    * carried EXACTLY as integer numerators scaled by 2^(width+1)
+    * (each term is a shiftleft — Σ ≤ 2^61 fits long at any p ≤ 16), so
+    * registers sum combinably with no float-order sensitivity; the
+    * estimator α·m²/Σ is ONE mirrored double division off that exact
+    * integer (α and the 2-power numerator are build-time literals, the
+    * obfBounds precedent), the small-range correction m·ln(m/V) is one
+    * mirrored log, and the branch compares identical doubles.
+    *
+    * Scale shape: one (key-hash → register, ρ) projection (map-side),
+    * one m-row combinable max agg, a 1-row card. The exact side is the
+    * test-scale truth anchor (the amsF2 contract). */
+  def hllReplay(df: DataFrame, keyCol: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "need 4 <= p <= 16")
+    val m = 1 << p
+    val width = 60 - p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    // alpha * m^2 * 2^(width+1): the scaled numerator, exact in double
+    // (a product of a short decimal and a power of two)
+    val numer = alpha * math.pow(2.0, 61 + p)
+    val keyed = df.select(keyCol.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val h = conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long")
+    val regs = keyed
+      .select(h.as("h"))
+      .select((col("h") % m).as("r"), expr(s"h div ${m}L").as("w"))
+      .select(col("r"),
+        when(col("w") === 0, lit(width + 1))
+          .otherwise(lit(width + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("r")).agg(max(col("rho")).as("mr"))
+      .agg(count(lit(1)).as("nonempty"),
+        sum(expr(s"shiftleft(1L, ${width + 1} - mr)")).as("ssum"))
+    val exact = keyed.agg(count(lit(1)).as("n_rows"),
+      count_distinct(col("k")).as("n_keys"))
+    val v = lit(m.toLong) - col("nonempty")
+    val total = (col("ssum") +
+      v * lit(1L << (width + 1))).cast("double")
+    val raw = lit(numer) / total
+    val est = when(raw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(raw)
+    exact.join(broadcast(regs), lit(true))
+      .select(col("n_rows"), col("n_keys"), col("nonempty")
+          .as("nonempty_registers"),
+        (round(est, 4) + lit(0.0)).as("hll_estimate"),
+        when(col("n_keys") > 0,
+          round((est / col("n_keys").cast("double") - lit(1.0)) *
+            lit(1000000.0)).cast("long")).as("err_ppm"))
+  }
+
   /** COUNT–MIN SKETCH REPLAY — the ORACLE-CHECKED face of the CMS
     * family: [[heavyHitters]] rides Spark's opaque binary sketch
     * (which DuckDB cannot replay), so the cross-engine contract is

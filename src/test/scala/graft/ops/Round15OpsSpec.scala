@@ -189,6 +189,31 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(one == ((1L, None, None, None, None)), one)
   }
 
+  test("hllReplay: single key lands the small-range correction exactly " +
+    "(256*ln(256/255)); duplicates never move the estimate; 10k " +
+    "distinct keys estimate within the HLL error envelope") {
+    def card(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllReplay(df, col("k"))
+        .as[(Long, Long, Long, Double, Option[Long])].collect().head
+    val one = card(Seq("alpha").toDF("k"))
+    val expected = BigDecimal(256.0 * math.log(256.0 / 255.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(one._1 == 1L && one._2 == 1L && one._3 == 1L, one)
+    assert(one._4 == expected, one)
+    // multiplicity-blind: the register table is a max over hashes, so
+    // triplicating every row changes n_rows only
+    val keys = (0 until 10000).map(i => s"key_$i")
+    val once = card(keys.toDF("k"))
+    val thrice = card((keys ++ keys ++ keys).toDF("k"))
+    assert(once._1 == 10000L && thrice._1 == 30000L)
+    assert(once._4 == thrice._4 && once._5 == thrice._5,
+      s"$once vs $thrice")
+    // p=8 standard error is 1.04/16 = 6.5%; 5 sigma is a generous,
+    // non-flaky envelope (the hash is fixed, so this is deterministic
+    // — the assert documents the estimator is sane, not luck)
+    assert(math.abs(once._4 / 10000.0 - 1.0) < 0.325, once)
+  }
+
   test("obfBounds: the textbook five-look alpha=0.05 ladder from " +
     "c=2.040 — 4.562, 3.226, 2.634, 2.281, 2.040 at 3 decimals") {
     val b = Events.obfBounds(5, 2.040)

@@ -1057,6 +1057,16 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** Interpolated Kneser–Ney bigram NLL (d = 0.75) — the CCNet/KenLM
+    * smoothing family beside q92's additive backoff: unseen contexts
+    * back off to the CONTINUATION probability, not raw frequency.
+    * Same even-id reference fit. */
+  private def qKneserNeyNll(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.kneserNeyNll(docs.filter(col("doc_id") % 2 === 0),
+      docs, "doc_id", "text")
+  }
+
   /** Weighted sample-without-replacement: 10 docs per language, longer
     * docs proportionally likelier (weight = n_chars), Efraimidis–Spirakis
     * priorities off each row's own md5 draw — the third sampling mode
@@ -3292,6 +3302,7 @@ object SparkEntry {
     "q297_pq_distortion" -> (qPqDistortion _),
     "q298_weibull_fit" -> (qWeibullFit _),
     "q299_hll_replay" -> (qHllReplay _),
+    "q300_kneser_ney_nll" -> (qKneserNeyNll _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4173,6 +4184,49 @@ object SparkEntry {
            LEFT JOIN uni u2 ON pairs.prev = u2.tok
            LEFT JOIN bi b ON pairs.prev = b.prev AND pairs.tok = b.tok
            CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(sum(nll) / count(*), 4) AS avg_nll
+         FROM s GROUP BY doc_id""",
+    // q300: mirrors TextAnalysis.kneserNeyNll — the q92 CTE skeleton,
+    // continuation/context type counts off the one bigram relation,
+    // the interpolated-KN expression mirrored term-for-term.
+    "q300_kneser_ney_nll" ->
+      """WITH rt AS (SELECT doc_id AS rid, u.i AS pos, toks[u.i] AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id % 2 = 0),
+             UNNEST(generate_series(1, len(toks))) AS u(i)),
+         bi AS (SELECT a.tok AS prev, b.tok AS tok, count(*) AS c2
+           FROM rt a JOIN rt b ON a.rid = b.rid AND b.pos = a.pos + 1
+           GROUP BY 1, 2),
+         prevs AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS ctot,
+             CAST(count(*) AS BIGINT) AS n1p FROM bi GROUP BY 1),
+         contw AS (SELECT tok, CAST(count(*) AS BIGINT) AS n1w
+           FROM bi GROUP BY 1),
+         gl AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM bi) AS n_types,
+             (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM rt) AS v),
+         dt AS (SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+             UNNEST(generate_series(1, len(toks))) AS u(i)),
+         pairs AS (SELECT doc_id, pos, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM dt),
+         s AS (SELECT doc_id,
+             -ln(CASE WHEN p2.ctot IS NOT NULL THEN
+                 (greatest(CAST(COALESCE(b.c2, 0) AS DOUBLE) - 0.75,
+                     0.0)
+                   + 0.75 * CAST(p2.n1p AS DOUBLE)
+                     * ((CAST(COALESCE(cw.n1w, 0) AS DOUBLE) + 1.0)
+                       / CAST(n_types + v + 1 AS DOUBLE)))
+                 / CAST(p2.ctot AS DOUBLE)
+               ELSE (CAST(COALESCE(cw.n1w, 0) AS DOUBLE) + 1.0)
+                 / CAST(n_types + v + 1 AS DOUBLE) END) AS nll
+           FROM pairs
+           LEFT JOIN bi b ON pairs.prev = b.prev AND pairs.tok = b.tok
+           LEFT JOIN prevs p2 ON pairs.prev = p2.prev
+           LEFT JOIN contw cw ON pairs.tok = cw.tok
+           CROSS JOIN gl)
          SELECT doc_id, count(*) AS n_tokens,
            round(sum(nll) / count(*), 4) AS avg_nll
          FROM s GROUP BY doc_id""",

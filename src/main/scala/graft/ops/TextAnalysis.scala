@@ -1095,6 +1095,78 @@ object TextAnalysis {
         round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
   }
 
+  /** INTERPOLATED KNESER–NEY bigram NLL (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998 with fixed discount
+    * d = 0.75) — the smoothing family the CCNet/KenLM perplexity
+    * filters actually ship, one Markov order down: where [[bigramNll]]
+    * backs off to RAW unigram frequency, KN backs off to the
+    * CONTINUATION probability — "how many distinct contexts does this
+    * word complete" — which is what stops high-frequency-but-bound
+    * words (the classic "Francisco" pathology: frequent, yet only ever
+    * after "San") from soaking up backoff mass:
+    * {{{ P(w|prev) = (max(c(prev,w) − d, 0) + d·N1+(prev·)·Pc(w)) / c(prev·)
+    *     Pc(w)     = (N1+(·w) + 1) / (N1+(··) + V + 1) }}}
+    * with N1+(prev·) = distinct followers of prev, N1+(·w) = distinct
+    * predecessors of w, N1+(··) = total bigram types, V = reference
+    * vocabulary. Pc takes symmetric add-one smoothing (the
+    * [[dsirWeights]] reasoning) so an OOV token scores a proper
+    * probability; a document's FIRST token and any unseen context
+    * back off to Pc alone — the same branch, documented. The discount
+    * literal is embedded identically in both faces.
+    *
+    * Determinism: all counts exact integers; P is ONE fixed double
+    * expression mirrored term-for-term in the oracle; per-doc Σ−ln is
+    * order-sensitive and round(·,4) on the MEAN absorbs it (the q85/
+    * q92 proven contract).
+    *
+    * Scale shape: bigram formation is a lag window riding ONE shuffle
+    * on the doc id; ALL model relations (bigram types, per-context
+    * totals, continuation counts) are aggregates of that single pass
+    * and join UNHINTED (vocabulary- and vocab²-keyed — Heaps ~√n, a
+    * forced broadcast fails past 8 GB; AQE broadcasts when they fit);
+    * only the 1-row (n_types, V) card carries a hint. Per-doc
+    * aggregation is combinable. */
+  def kneserNeyNll(ref: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, discount: Double = 0.75)
+      : DataFrame = {
+    require(discount > 0 && discount < 1, "need 0 < discount < 1")
+    val w = org.apache.spark.sql.expressions.Window
+    val rt = ref.select(col(idCol).as("rid"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val rw = w.partitionBy(col("rid")).orderBy(col("pos").asc)
+    val bi = rt.withColumn("prev", lag(col("tok"), 1).over(rw))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = false)
+    val prevs = bi.groupBy(col("prev"))
+      .agg(sum(col("c2")).as("ctot"), count(lit(1)).as("n1p"))
+    val contw = bi.groupBy(col("tok")).agg(count(lit(1)).as("n1w"))
+    val glob = bi.agg(count(lit(1)).as("n_types"))
+      .join(broadcast(rt.agg(count_distinct(col("tok")).as("v"))),
+        lit(true))
+    val dw = w.partitionBy(col(idCol)).orderBy(col("pos").asc)
+    val pairs = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(dw))
+    val d = lit(discount)
+    val pc = (coalesce(col("n1w"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("n_types") + col("v") + lit(1L)).cast("double")
+    val p = when(col("ctot").isNotNull,
+      (greatest(coalesce(col("c2"), lit(0L)).cast("double") - d,
+        lit(0.0)) + d * col("n1p").cast("double") * pc) /
+        col("ctot").cast("double"))
+      .otherwise(pc)
+    pairs
+      .join(bi, Seq("prev", "tok"), "left")
+      .join(prevs, Seq("prev"), "left")
+      .join(contw, Seq("tok"), "left")
+      .join(broadcast(glob), lit(true))
+      .select(col(idCol), (-log(p)).as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): within each group (language), rank documents by
     * a quality score (ascending — for an NLL score low = fluent) and

@@ -214,6 +214,25 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(math.abs(once._4 / 10000.0 - 1.0) < 0.325, once)
   }
 
+  test("kneserNeyNll: hand corpus — interpolated-KN probabilities for " +
+    "seen bigram, unseen continuation, first-token backoff, and a " +
+    "pure-OOV doc") {
+    // ref: "a b a c" and "a b b" -> bi counts (a,b)=2 (b,a)=1 (a,c)=1
+    // (b,b)=1; n_types=4, V=3; prevs: a(ctot 3, 2 followers),
+    // b(ctot 2, 2 followers); continuation types: a<-1, b<-2, c<-1.
+    // Pc(w) = (n1w+1)/8: a .25, b .375, c .25, OOV .125
+    val ref = Seq((0L, "a b a c"), (2L, "a b b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b z"), (3L, "z")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyNll(ref, score, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: P(a|START)=Pc(a)=.25; P(b|a)=(max(2-.75,0)+.75*2*.375)/3
+    // = 1.8125/3; P(z|b)=(.75*2*.125)/2 = .09375
+    // avg nll = (ln 4 + ln(3/1.8125) + ln(32/3))/3 = 1.4191
+    assert(got(1L) == ((1L, 3L, 1.4191)), got(1L))
+    // doc 3: single OOV first token -> Pc = 1/8 -> ln 8 = 2.0794
+    assert(got(3L) == ((3L, 1L, 2.0794)), got(3L))
+  }
+
   test("obfBounds: the textbook five-look alpha=0.05 ladder from " +
     "c=2.040 — 4.562, 3.226, 2.634, 2.281, 2.040 at 3 decimals") {
     val b = Events.obfBounds(5, 2.040)

@@ -1330,6 +1330,74 @@ object OracleGen {
             ORDER BY adc_micros ASC, cand_id ASC) AS rn FROM sc)
        WHERE rn <= $topK"""
 
+  /** Oracle for `Dedup.fellegiSunterEm` (q301): first-token-blocked
+    * part-sample pairs, the 2³ field-agreement pattern counts, and
+    * `iters` unrolled EM rounds — posteriors to exact micros before
+    * every M-step sum, parameters clamped, the final per-pattern
+    * posterior mirrored term-for-term. */
+  def fellegiEmSql(iters: Int, pi0: Double = 0.1, m0: Double = 0.9,
+                   u0: Double = 0.1): String = {
+    val (lo, hi) = (1e-6, 0.999999)
+    val k = 3
+    val pm = (0 until k).map(i =>
+      s"(CASE WHEN g_$i THEN m_$i ELSE 1.0 - m_$i END)")
+      .mkString(" * ")
+    val pu = (0 until k).map(i =>
+      s"(CASE WHEN g_$i THEN u_$i ELSE 1.0 - u_$i END)")
+      .mkString(" * ")
+    val ratio = s"(pi * $pm) / (pi * $pm + (1.0 - pi) * $pu)"
+    val init = (0 until k).map(i => s"$m0 AS m_$i, $u0 AS u_$i")
+      .mkString(", ")
+    val rounds = (1 to iters).map { r =>
+      val sums = (0 until k).map(i =>
+        s"""CAST(sum(CASE WHEN g_$i THEN n * w ELSE 0 END)
+           AS BIGINT) AS swa_$i,
+         CAST(sum(CASE WHEN g_$i THEN n * (1000000 - w) ELSE 0 END)
+           AS BIGINT) AS sua_$i""").mkString(",\n         ")
+      val upd = (0 until k).map(i =>
+        s"""least(greatest(CASE WHEN sw > 0 THEN CAST(swa_$i AS DOUBLE)
+             / CAST(sw AS DOUBLE) ELSE 0.0 END, $lo), $hi) AS m_$i,
+           least(greatest(CASE WHEN su > 0 THEN CAST(sua_$i AS DOUBLE)
+             / CAST(su AS DOUBLE) ELSE 0.0 END, $lo), $hi) AS u_$i""")
+        .mkString(",\n           ")
+      s"""e_$r AS (SELECT g_0, g_1, g_2, n,
+           CAST(round($ratio * 1000000.0) AS BIGINT) AS w
+         FROM pat CROSS JOIN p_${r - 1}),
+       a_$r AS (SELECT CAST(sum(n * w) AS BIGINT) AS sw,
+           CAST(sum(n * (1000000 - w)) AS BIGINT) AS su,
+           CAST(sum(n) AS BIGINT) AS nn,
+         $sums
+         FROM e_$r),
+       p_$r AS (SELECT
+           least(greatest(CAST(sw AS DOUBLE)
+             / (1000000.0 * CAST(nn AS DOUBLE)), $lo), $hi) AS pi,
+           $upd
+         FROM a_$r)"""
+    }.mkString(",\n       ")
+    s"""WITH p AS (SELECT p_partkey AS id, p_name AS s,
+           p_brand AS brand FROM part WHERE p_partkey % 10 = 0),
+       r AS (SELECT id, string_split(s, ' ')[1] AS ft,
+           CAST(length(s) // 4 AS VARCHAR) AS f_0,
+           brand AS f_1,
+           string_split(s, ' ')[len(string_split(s, ' '))] AS f_2
+         FROM p),
+       cand AS (SELECT a.id AS id_a, b.id AS id_b
+         FROM r a JOIN r b ON a.ft = b.ft AND a.id < b.id),
+       pat AS (SELECT COALESCE(ra.f_0 = rb.f_0, false) AS g_0,
+           COALESCE(ra.f_1 = rb.f_1, false) AS g_1,
+           COALESCE(ra.f_2 = rb.f_2, false) AS g_2,
+           CAST(count(*) AS BIGINT) AS n
+         FROM cand JOIN r ra ON ra.id = cand.id_a
+           JOIN r rb ON rb.id = cand.id_b
+         GROUP BY 1, 2, 3),
+       p_0 AS (SELECT $pi0 AS pi, $init),
+       $rounds
+       SELECT g_0 AS agree_len4, g_1 AS agree_brand,
+         g_2 AS agree_last_token, n AS n_pairs,
+         round($ratio, 6) + 0.0 AS match_prob
+       FROM pat CROSS JOIN p_$iters"""
+  }
+
   /** Oracle for `Similarity.pqDistortion` (q297): the [[pqTrainCtes]]
     * replay, each encoded subvector's round-6 assigned distance to its
     * codeword converted to exact micros, rolled up per subspace. */

@@ -2735,6 +2735,29 @@ object SparkEntry {
       truth)
   }
 
+  /** Fellegi–Sunter EM over first-token-blocked part pairs: three
+    * unrolled EM rounds fit (π, m, u) unsupervised from the
+    * field-agreement pattern counts; output = per-pattern match
+    * posterior — the thresholding artifact, with NO truth relation
+    * (the unsupervised capstone beside q289's truth-anchored
+    * weights). See [[graft.ops.Dedup.fellegiSunterEm]]. */
+  private def qFellegiEm(s: SparkSession, dir: String): DataFrame = {
+    val recs = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"),
+        col("p_brand").as("brand"))
+    val ft = recs.select(col("id"),
+      split(col("s"), " ").getItem(0).as("ft"))
+    val cand = ft.join(ft.select(col("id").as("id_b"), col("ft")),
+        Seq("ft"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+    Dedup.fellegiSunterEm(recs, "id",
+      Seq("len4" -> expr("length(s) div 4"),
+        "brand" -> col("brand"),
+        "last_token" -> element_at(split(col("s"), " "), -1)),
+      cand, iters = 3)
+  }
+
   /** Horvitz–Thompson total estimate per event type from the 10%
     * md5-draw Bernoulli design, scored against the true total — the
     * sampling-error exchange-rate card for the q49/q63 family. See
@@ -3303,6 +3326,7 @@ object SparkEntry {
     "q298_weibull_fit" -> (qWeibullFit _),
     "q299_hll_replay" -> (qHllReplay _),
     "q300_kneser_ney_nll" -> (qKneserNeyNll _),
+    "q301_fellegi_em" -> (qFellegiEm _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -4376,6 +4400,9 @@ object SparkEntry {
     "q125_label_propagation" -> OracleGen.labelPropSql(iters = 5),
     "q127_pq_ann" -> OracleGen.pqSql(m = 8, k = 64, trainIters = 3,
       topK = 5, queryStride = 100, dim = 64, trainStride = 4),
+    // q301: mirrors Dedup.fellegiSunterEm — blocked pattern counts,
+    // three unrolled EM rounds, exact-micros posteriors, clamps.
+    "q301_fellegi_em" -> OracleGen.fellegiEmSql(iters = 3),
     // q297: mirrors Similarity.pqDistortion — the q127 codebook replay,
     // round-6 assigned distances to exact micros, per-subspace rollup.
     "q297_pq_distortion" -> OracleGen.pqDistortionSql(m = 8, k = 64,

@@ -1721,6 +1721,101 @@ object Dedup {
             (lit(1000000L) - col("u_micros")).cast("double"))), 4))
   }
 
+  /** FELLEGI–SUNTER EM (Winkler 1988's EM fit of the Fellegi & Sunter
+    * 1969 model) — the UNSUPERVISED capstone of the record-linkage
+    * family: where [[fellegiSunterWeights]] (q289) needs a gated truth
+    * relation to estimate m, the EM fit needs only the BLOCKED
+    * candidate pairs and their field-agreement patterns. Each pattern
+    * γ ∈ {0,1}^k gets a match posterior
+    * {{{ w(γ) = π·Π m_i^γᵢ(1−m_i)^(1−γᵢ) /
+    *            (π·Π m_i^… + (1−π)·Π u_i^…) }}}
+    * and the M-step re-estimates (π, m, u) from the w-weighted pattern
+    * counts; `iters` fixed unrolled rounds (no convergence test — the
+    * determinism contract), parameters clamped to [1e-6, 0.999999] so
+    * no pattern ever reaches probability 0 or 1 (the standard
+    * degenerate-EM guard). Agreement is non-null equality
+    * (`coalesce(a = b, false)` — a NULL field can't agree). Output:
+    * one row per observed pattern with its pair count and final match
+    * posterior — the thresholding artifact an ER pipeline consumes.
+    *
+    * Determinism: the ONLY corpus-scale relation is the candidate
+    * join; everything after is a ≤ 2^k-row pattern table. Posteriors
+    * convert to EXACT integer micros before every M-step sum
+    * (round(w·10⁶) — the q279 round-then-sum idiom), so the M-step
+    * moments are exact longs immune to float order; each new
+    * parameter is ONE mirrored double expression off those longs, and
+    * the E-step product is an explicit left-associated chain. Micros
+    * headroom: Σ n·w ≤ 10⁶·|candidates| — fine to ~9e12 pairs.
+    *
+    * Scale shape: one candidates⨝records⨝records field join (bounded
+    * by the caller's blocking class — never all-pairs), ONE combinable
+    * pattern count, then O(2^k) work per iteration regardless of
+    * corpus size. */
+  def fellegiSunterEm(records: DataFrame, idCol: String,
+                      fields: Seq[(String, Column)],
+                      candidates: DataFrame, iters: Int = 3,
+                      piInit: Double = 0.1, mInit: Double = 0.9,
+                      uInit: Double = 0.1): DataFrame = {
+    require(fields.nonEmpty && iters >= 1, "need fields and iters >= 1")
+    val k = fields.size
+    val proj = records.select(col(idCol).as("id") +:
+      fields.zipWithIndex.map { case ((_, c), i) =>
+        c.cast("string").as(s"f_$i") }: _*)
+      .localCheckpoint(eager = false)
+    val ca = candidates.select(col(candidates.columns(0)).as("id_a"),
+      col(candidates.columns(1)).as("id_b"))
+    val pat = ca
+      .join(proj.select(col("id").as("id_a") +:
+        (0 until k).map(i => col(s"f_$i").as(s"a_$i")): _*), Seq("id_a"))
+      .join(proj.select(col("id").as("id_b") +:
+        (0 until k).map(i => col(s"f_$i").as(s"b_$i")): _*), Seq("id_b"))
+      .select((0 until k).map(i =>
+        coalesce(col(s"a_$i") === col(s"b_$i"), lit(false))
+          .as(s"g_$i")): _*)
+      .groupBy((0 until k).map(i => col(s"g_$i")): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    def wCol: Column = {
+      val pm = (0 until k).map(i => when(col(s"g_$i"), col(s"m_$i"))
+        .otherwise(lit(1.0) - col(s"m_$i"))).reduceLeft(_ * _)
+      val pu = (0 until k).map(i => when(col(s"g_$i"), col(s"u_$i"))
+        .otherwise(lit(1.0) - col(s"u_$i"))).reduceLeft(_ * _)
+      (col("pi") * pm) /
+        (col("pi") * pm + (lit(1.0) - col("pi")) * pu)
+    }
+    def clamp(c: Column): Column =
+      least(greatest(c, lit(1e-6)), lit(0.999999))
+    var params = pat.sparkSession.range(1).select(lit(piInit).as("pi") +:
+      (0 until k).flatMap(i => Seq(lit(mInit).as(s"m_$i"),
+        lit(uInit).as(s"u_$i"))): _*)
+    for (_ <- 1 to iters) {
+      val e = pat.join(broadcast(params), lit(true))
+        .withColumn("w", round(wCol * lit(1000000.0)).cast("long"))
+      val aggCols =
+        Seq(sum(col("n") * col("w")).as("sw"),
+          sum(col("n") * (lit(1000000L) - col("w"))).as("su"),
+          sum(col("n")).as("nn")) ++
+        (0 until k).flatMap(i => Seq(
+          sum(when(col(s"g_$i"), col("n") * col("w"))
+            .otherwise(lit(0L))).as(s"swa_$i"),
+          sum(when(col(s"g_$i"), col("n") * (lit(1000000L) - col("w")))
+            .otherwise(lit(0L))).as(s"sua_$i")))
+      params = e.agg(aggCols.head, aggCols.tail: _*).select(
+        clamp(col("sw").cast("double") /
+          (lit(1000000.0) * col("nn").cast("double"))).as("pi") +:
+        (0 until k).flatMap(i => Seq(
+          clamp(when(col("sw") > 0, col(s"swa_$i").cast("double") /
+            col("sw").cast("double")).otherwise(lit(0.0))).as(s"m_$i"),
+          clamp(when(col("su") > 0, col(s"sua_$i").cast("double") /
+            col("su").cast("double")).otherwise(lit(0.0))).as(s"u_$i"))): _*)
+    }
+    pat.join(broadcast(params), lit(true))
+      .select((0 until k).map(i =>
+        col(s"g_$i").as(s"agree_${fields(i)._1}")) ++
+        Seq(col("n").as("n_pairs"),
+          (round(wCol, 6) + lit(0.0)).as("match_prob")): _*)
+  }
+
   /** ENTITY RESOLUTION clustering — the record-linkage composition:
     * segmented edit-distance blocking ([[editDistancePairsSegmented]],
     * complete for ≤ `maxDist` by pigeonhole) supplies the match pairs,

@@ -233,6 +233,41 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 1L, 2.0794)), got(3L))
   }
 
+  test("fellegiSunterEm: one-field one-round EM hand trace — exact " +
+    "micros posteriors (w(agree) = .5 exactly at the init params), " +
+    "M-step from integer moments, final per-pattern posterior") {
+    val recs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
+      .toDF("id", "f")
+    val cand = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.fellegiSunterEm(recs, "id", Seq("f" -> col("f")),
+        cand, iters = 1)
+      .as[(Boolean, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // patterns: (1,2) agree; (1,3), (3,4) disagree -> n(T)=1, n(F)=2.
+    // E at (.1, .9, .1): w(T) = .09/(.09+.09) = .5 -> 500000 micros;
+    // w(F) = .01/.82 -> round(12195.12) = 12195.
+    // M: sw = 500000 + 2*12195 = 524390; su = 500000 + 2*987805
+    // = 2475610; nn = 3 -> pi' = sw/3e6, m' = 500000/sw,
+    // u' = 500000/su (no clamp binds)
+    val pi1 = 524390.0 / (1000000.0 * 3.0)
+    val m1 = 500000.0 / 524390.0
+    val u1 = 500000.0 / 2475610.0
+    def w(g: Boolean): Double = {
+      val pm = if (g) m1 else 1.0 - m1
+      val pu = if (g) u1 else 1.0 - u1
+      (pi1 * pm) / (pi1 * pm + (1.0 - pi1) * pu)
+    }
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(true) == ((true, 1L, r6(w(true)))), got(true))
+    assert(got(false) == ((false, 2L, r6(w(false)))), got(false))
+    // with ONE binary field the model is non-identifiable and EM is
+    // stationary after a single step: pi'*m' = sw/(3e6) * 500000/sw
+    // = 1/6 = (1-pi')*u' exactly, so w(agree) stays exactly 0.5 —
+    // the agree pattern still dominates the disagree pattern
+    assert(got(true)._3 == 0.5 && got(false)._3 < 0.05,
+      (got(true), got(false)))
+  }
+
   test("obfBounds: the textbook five-look alpha=0.05 ladder from " +
     "c=2.040 — 4.562, 3.226, 2.634, 2.281, 2.040 at 3 decimals") {
     val b = Events.obfBounds(5, 2.040)

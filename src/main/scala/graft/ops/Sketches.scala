@@ -274,41 +274,67 @@ object Sketches {
     * one m-row combinable max agg, a 1-row card. The exact side is the
     * test-scale truth anchor (the amsF2 contract). */
   def hllReplay(df: DataFrame, keyCol: Column, p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, "need 4 <= p <= 16")
-    val m = 1 << p
-    val width = 60 - p
-    val alpha = 0.7213 / (1 + 1.079 / m)
-    // alpha * m^2 * 2^(width+1): the scaled numerator, exact in double
-    // (a product of a short decimal and a power of two)
-    val numer = alpha * math.pow(2.0, 61 + p)
-    val keyed = df.select(keyCol.cast("string").as("k"))
-      .filter(col("k").isNotNull)
-    val h = conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long")
-    val regs = keyed
-      .select(h.as("h"))
-      .select((col("h") % m).as("r"), expr(s"h div ${m}L").as("w"))
-      .select(col("r"),
-        when(col("w") === 0, lit(width + 1))
-          .otherwise(lit(width + 1) - length(bin(col("w")))).as("rho"))
+    val regs = hllRegisters(df.select(keyCol.cast("string").as("k"))
+      .filter(col("k").isNotNull), p)
       .groupBy(col("r")).agg(max(col("rho")).as("mr"))
-      .agg(count(lit(1)).as("nonempty"),
-        sum(expr(s"shiftleft(1L, ${width + 1} - mr)")).as("ssum"))
-    val exact = keyed.agg(count(lit(1)).as("n_rows"),
-      count_distinct(col("k")).as("n_keys"))
-    val v = lit(m.toLong) - col("nonempty")
-    val total = (col("ssum") +
-      v * lit(1L << (width + 1))).cast("double")
-    val raw = lit(numer) / total
-    val est = when(raw <= lit(2.5 * m) && v > 0,
-      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
-      .otherwise(raw)
-    exact.join(broadcast(regs), lit(true))
+    val exact = df.select(keyCol.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("k")).as("n_keys"))
+    val est = hllEstimate(p)
+    exact.join(broadcast(hllMoments(regs, p)), lit(true))
       .select(col("n_rows"), col("n_keys"), col("nonempty")
           .as("nonempty_registers"),
         (round(est, 4) + lit(0.0)).as("hll_estimate"),
         when(col("n_keys") > 0,
           round((est / col("n_keys").cast("double") - lit(1.0)) *
             lit(1000000.0)).cast("long")).as("err_ppm"))
+  }
+
+  /** The (register, rank) projection of a non-null string-keyed
+    * relation `(k)` — shared by [[hllReplay]] and the streaming face
+    * ([[graft.streaming.StreamingHll]]) so both hash identically.
+    * Map-side only: one md5 + integer ops per row, no shuffle. */
+  private[graft] def hllRegisters(keyed: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "need 4 <= p <= 16")
+    val m = 1 << p
+    val width = 60 - p
+    val h = conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long")
+    keyed
+      .select(h.as("h"))
+      .select((col("h") % m).as("r"), expr(s"h div ${m}L").as("w"))
+      .select(col("r"),
+        when(col("w") === 0, lit(width + 1))
+          .otherwise(lit(width + 1) - length(bin(col("w")))).as("rho"))
+  }
+
+  /** Collapse a register table `(r, mr)` to the 1-row exact moments
+    * `(nonempty, ssum)` — ssum is the harmonic sum scaled by
+    * 2^(width+1), exact in a long at any p ≤ 16. */
+  private[graft] def hllMoments(regs: DataFrame, p: Int): DataFrame = {
+    val width = 60 - p
+    regs.agg(count(lit(1)).as("nonempty"),
+      sum(expr(s"shiftleft(1L, ${width + 1} - mr)")).as("ssum"))
+  }
+
+  /** The estimator expression over [[hllMoments]] columns — α·m²/Σ
+    * with the small-range correction branch; α and the 2-power
+    * numerator are build-time literals (identical in both engines and
+    * both faces). */
+  private[graft] def hllEstimate(p: Int): Column = {
+    val m = 1 << p
+    val width = 60 - p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    // alpha * m^2 * 2^(width+1): the scaled numerator, exact in double
+    // (a product of a short decimal and a power of two)
+    val numer = alpha * math.pow(2.0, 61 + p)
+    val v = lit(m.toLong) - col("nonempty")
+    val total = (col("ssum") +
+      v * lit(1L << (width + 1))).cast("double")
+    val raw = lit(numer) / total
+    when(raw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(raw)
   }
 
   /** COUNT–MIN SKETCH REPLAY — the ORACLE-CHECKED face of the CMS

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.Sketches
+
+/** Streaming face of [[graft.ops.Sketches.hllReplay]] (q299) — the
+  * live distinct-count card, and the ALGEBRAICALLY friendliest archive
+  * face yet: an HLL register value is a MAX, which is associative AND
+  * idempotent, so per-batch register partials merge exactly under any
+  * batch split (batch==stream is exact) and re-delivering the same
+  * rows — under the SAME batch id (overwrite) or even a NEW one —
+  * cannot move the estimate at all. That is strictly stronger than
+  * the sum-based archives (Hoover/HT/group-sequential), whose
+  * exactly-once story leans on partition overwrite; here at-least-once
+  * is harmless BY ALGEBRA (only the row-count column, a plain sum,
+  * still wants the overwrite discipline).
+  *
+  * Scale shape per trigger: the batch rollup is one combinable
+  * max-per-register agg whose output is ≤ m = 2^p rows REGARDLESS of
+  * batch size; the archive holds ≤ m rows per batch (plus the row
+  * count rolled into the same relation), so the recompute reads a
+  * (#batches × m)-bounded relation — never raw history — and the card
+  * is [[Sketches.hllEstimate]]'s one mirrored expression over exact
+  * integer moments, byte-identical to the batch face's estimator.
+  * Global card (no group key), so every trigger recomputes the one
+  * card; `p` must stay constant across an archive's lifetime. */
+object StreamingHll {
+
+  def distinctCard(stream: DataFrame, keyCol: Column, regsDir: String,
+                   cardsDir: String, checkpointDir: String,
+                   p: Int = 8): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, keyCol, regsDir, cardsDir, p)
+      }
+      .start()
+
+  /** One HLL round — also the non-streaming entry a scheduled ingest
+    * calls with its own batch ids. */
+  def applyBatch(batch: DataFrame, batchId: Long, keyCol: Column,
+                 regsDir: String, cardsDir: String, p: Int): Unit = {
+    val spark = batch.sparkSession
+    val keyed = batch.select(keyCol.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    // one relation carries both stats: per-register max rank AND the
+    // batch's row count (n summed over registers = rows hashed)
+    Sketches.hllRegisters(keyed, p)
+      .groupBy(col("r"))
+      .agg(max(col("rho")).as("mr"), count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(s"$regsDir/batch_id=$batchId")
+    val hist = spark.read.parquet(regsDir)
+      .filter(col("batch_id") <= batchId)
+    val regs = hist.groupBy(col("r")).agg(max(col("mr")).as("mr"))
+    val rows = hist.agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"))
+    rows.join(broadcast(Sketches.hllMoments(regs, p)), lit(true))
+      .select(col("n_rows"),
+        col("nonempty").as("nonempty_registers"),
+        (round(Sketches.hllEstimate(p), 4) + lit(0.0))
+          .as("hll_estimate"))
+      .write.mode("overwrite").parquet(s"$cardsDir/batch_id=$batchId")
+  }
+
+  /** Latest card: the most recent recompute always covers the full
+    * history, so the max-batch-id row IS the live distinct card. */
+  def currentCard(spark: SparkSession, cardsDir: String): DataFrame = {
+    val all = spark.read.parquet(cardsDir)
+    val latest = all.agg(max(col("batch_id")).as("batch_id"))
+    all.join(broadcast(latest), Seq("batch_id")).drop("batch_id")
+  }
+}

@@ -1730,7 +1730,11 @@ object Dedup {
     * {{{ w(γ) = π·Π m_i^γᵢ(1−m_i)^(1−γᵢ) /
     *            (π·Π m_i^… + (1−π)·Π u_i^…) }}}
     * and the M-step re-estimates (π, m, u) from the w-weighted pattern
-    * counts; `iters` fixed unrolled rounds (no convergence test — the
+    * counts. `candidates` must be EXACTLY two columns, read
+    * positionally as (id_a, id_b) — enforced; pair order is harmless
+    * (agreement is symmetric) but extra columns are rejected rather
+    * than silently joined on the wrong pair. `iters` fixed unrolled
+    * rounds (no convergence test — the
     * determinism contract), parameters clamped to [1e-6, 0.999999] so
     * no pattern ever reaches probability 0 or 1 (the standard
     * degenerate-EM guard). Agreement is non-null equality
@@ -1757,6 +1761,14 @@ object Dedup {
                       piInit: Double = 0.1, mInit: Double = 0.9,
                       uInit: Double = 0.1): DataFrame = {
     require(fields.nonEmpty && iters >= 1, "need fields and iters >= 1")
+    // `candidates` contract: EXACTLY two columns, positionally
+    // (id_a, id_b) — enforced, because a frame with extra leading
+    // columns would silently join on the wrong pair. Pair ORDER only
+    // affects which side is called a/b (agreement is symmetric), so
+    // (id_b, id_a) order is harmless; extra columns are not.
+    require(candidates.columns.length == 2,
+      s"candidates must have exactly the two pair-id columns " +
+        s"(id_a, id_b); got ${candidates.columns.mkString(", ")}")
     val k = fields.size
     val proj = records.select(col(idCol).as("id") +:
       fields.zipWithIndex.map { case ((_, c), i) =>

@@ -324,7 +324,18 @@ object Sketches {
   private[graft] def hllEstimate(p: Int): Column = {
     val m = 1 << p
     val width = 60 - p
-    val alpha = 0.7213 / (1 + 1.079 / m)
+    // Flajolet et al. 2007 prescribe FIXED bias constants for small
+    // register counts (m = 16/32/64); the asymptotic 0.7213/(1+1.079/m)
+    // form only holds from m = 128 (p >= 7). Same per-m constants as
+    // the HyperANF face (Graph.hyperAnf, m = 32 -> 0.697) and its
+    // oracle; the registered q299/q303 faces use p = 8 where the
+    // asymptotic form is the paper's value.
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
     // alpha * m^2 * 2^(width+1): the scaled numerator, exact in double
     // (a product of a short decimal and a power of two)
     val numer = alpha * math.pow(2.0, 61 + p)

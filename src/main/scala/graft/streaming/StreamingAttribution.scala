@@ -78,7 +78,7 @@ object StreamingAttribution {
     // directories this trigger is allowed to scan
     val touched = batch.select(bucket.as("b")).distinct()
       .collect().map(_.getInt(0))
-    val hist = spark.read.parquet(eventsDir)
+    val hist = Archives.read(spark, eventsDir)
       .filter(col("batch_id") <= batchId &&
         col("u_bucket").isin(touched.map(Integer.valueOf): _*))
       .join(users, Seq(userCol), "left_semi")
@@ -92,7 +92,7 @@ object StreamingAttribution {
     * most recent recompute (exact vs the batch face — see scaladoc). */
   def currentCredits(spark: SparkSession, creditsDir: String,
                      userCol: String): DataFrame = {
-    val all = spark.read.parquet(creditsDir)
+    val all = Archives.read(spark, creditsDir)
     val latest = all.groupBy(col(userCol))
       .agg(max(col("batch_id")).as("batch_id"))
     all.join(latest, Seq(userCol, "batch_id")).drop("batch_id")

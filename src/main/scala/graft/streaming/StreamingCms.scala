@@ -88,7 +88,7 @@ object StreamingCms {
     val spark = batch.sparkSession
     cellCounts(batch, keyCol, depth, width)
       .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
-    val acc = spark.read.parquet(stateDir)
+    val acc = Archives.read(spark, stateDir)
       .filter(col("batch_id") <= batchId)
       .groupBy(col("i"), col("b")).agg(sum(col("c")).as("c"))
     val depths = broadcast(

@@ -69,12 +69,12 @@ object StreamingDedup {
     // the `batch_id` partition filter prunes at the directory level.
     val corpus =
       if (bootstrap) batch.select(col(idCol), col(textCol)).limit(0)
-      else spark.read.parquet(corpusDir).filter(col("batch_id") < batchId)
+      else Archives.read(spark, corpusDir).filter(col("batch_id") < batchId)
         .select(col(idCol), col(textCol))
     val sigs =
       if (bootstrap)
         Dedup.minHashSignatures(batch.limit(0), idCol, textCol, k, shingleSize)
-      else spark.read.parquet(sigsDir).filter(col("batch_id") < batchId)
+      else Archives.read(spark, sigsDir).filter(col("batch_id") < batchId)
         .select(col("doc_id"), col("sig"))
     val decisions = Dedup.incrementalNearDupsFromSigs(sigs, corpus, batch,
       idCol, textCol, k, bands, shingleSize, minEstJaccard, threshold)

@@ -75,7 +75,7 @@ object StreamingGroupSequential {
       .select(coalesce(col(groupCol).cast("string"),
         lit(StreamingHoover.NullPart)))
       .distinct().collect().map(_.getString(0))
-    val hist = spark.read.parquet(cellsDir)
+    val hist = Archives.read(spark, cellsDir)
       .filter(col("batch_id") <= batchId &&
         col("__gpart").isin(touched: _*))
       .groupBy(col("grp"), col("day"), col("treated"))
@@ -89,7 +89,7 @@ object StreamingGroupSequential {
     * recompute always replays the group's complete history). Null-safe
     * group equality so a NULL group's ladder survives. */
   def currentLadders(spark: SparkSession, cardsDir: String): DataFrame = {
-    val all = spark.read.parquet(cardsDir)
+    val all = Archives.read(spark, cardsDir)
     val latest = all.groupBy(col("grp"))
       .agg(max(col("batch_id")).as("__latest"))
       .withColumnRenamed("grp", "__g")

@@ -52,7 +52,7 @@ object StreamingHll {
       .agg(max(col("rho")).as("mr"), count(lit(1)).as("n"))
       .write.mode("overwrite")
       .parquet(s"$regsDir/batch_id=$batchId")
-    val hist = spark.read.parquet(regsDir)
+    val hist = Archives.read(spark, regsDir)
       .filter(col("batch_id") <= batchId)
     val regs = hist.groupBy(col("r")).agg(max(col("mr")).as("mr"))
     val rows = hist.agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"))
@@ -67,7 +67,7 @@ object StreamingHll {
   /** Latest card: the most recent recompute always covers the full
     * history, so the max-batch-id row IS the live distinct card. */
   def currentCard(spark: SparkSession, cardsDir: String): DataFrame = {
-    val all = spark.read.parquet(cardsDir)
+    val all = Archives.read(spark, cardsDir)
     val latest = all.agg(max(col("batch_id")).as("batch_id"))
     all.join(broadcast(latest), Seq("batch_id")).drop("batch_id")
   }

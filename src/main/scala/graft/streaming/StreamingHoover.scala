@@ -44,7 +44,13 @@ import graft.ops.Events
   * types; the latest-wins view joins null-safe (`<=>`) for the same
   * reason. A real string group equal to the sentinel only widens
   * pruning (recompute still groups by the true column) — never wrong
-  * results. Archives written by the pre-`__gpart` layout (group-
+  * results. All archive reads go through [[Archives.read]], which pins
+  * the `__gpart`/`batch_id` directory columns to their declared
+  * string/long types regardless of the hosting session's partition
+  * type-inference setting — a vanilla session would otherwise
+  * re-infer all-numeric `__gpart` dirs as int and the string `isin`
+  * prune would silently miss them. Archives written by the
+  * pre-`__gpart` layout (group-
   * partitioned) are NOT readable by this version — rewrite them (or
   * replay the stream); mixed layouts under one rollupDir break Spark
   * partition discovery. */
@@ -79,7 +85,7 @@ object StreamingHoover {
     // the partition directories this trigger is allowed to scan
     val touched = batch.select(gpart).distinct()
       .collect().map(_.getString(0))
-    val hist = spark.read.parquet(rollupDir)
+    val hist = Archives.read(spark, rollupDir)
       .filter(col("batch_id") <= batchId &&
         col("__gpart").isin(touched: _*))
       .groupBy(col(groupCol), col(entityCol))
@@ -97,7 +103,7 @@ object StreamingHoover {
     * The group equality is null-safe so a NULL group's card survives. */
   def currentCards(spark: SparkSession, cardsDir: String,
                    groupCol: String): DataFrame = {
-    val all = spark.read.parquet(cardsDir)
+    val all = Archives.read(spark, cardsDir)
     val latest = all.groupBy(col(groupCol))
       .agg(max(col("batch_id")).as("__latest"))
       .withColumnRenamed(groupCol, "__g")

@@ -70,7 +70,7 @@ object StreamingHorvitzThompson {
       .parquet(s"$momentsDir/batch_id=$batchId")
     val touched = batch.select(gpart).distinct()
       .collect().map(_.getString(0))
-    val acc = spark.read.parquet(momentsDir)
+    val acc = Archives.read(spark, momentsDir)
       .filter(col("batch_id") <= batchId &&
         col("__gpart").isin(touched: _*))
       .groupBy(col(groupCol))
@@ -106,7 +106,7 @@ object StreamingHorvitzThompson {
     * equality so a NULL group's card survives. */
   def currentCards(spark: SparkSession, cardsDir: String,
                    groupCol: String): DataFrame = {
-    val all = spark.read.parquet(cardsDir)
+    val all = Archives.read(spark, cardsDir)
     val latest = all.groupBy(col(groupCol))
       .agg(max(col("batch_id")).as("__latest"))
       .withColumnRenamed(groupCol, "__g")

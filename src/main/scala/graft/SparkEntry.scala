@@ -2050,6 +2050,16 @@ object SparkEntry {
       "event_type", startType = "signup", eventType = "purchase",
       cohortCol = pmod(col("user_id"), lit(2)) === 1)
 
+  /** k-sample stratified log-rank over the q219 duration relation:
+    * three user-id cohorts, two strata blocking a second id digit —
+    * per-group O/E/V summed across strata, within-stratum risk sets.
+    * See [[graft.ops.Events.logRankKSample]]. */
+  private def qLogRankK(s: SparkSession, dir: String): DataFrame =
+    Events.logRankKSample(Events.load(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", eventType = "purchase",
+      groupCol = pmod(col("user_id"), lit(3)),
+      strataCol = pmod(expr("user_id div 3"), lit(2)))
+
   /** Stationary distribution of the q151 event-type Markov chain —
     * 10 integer-micros power-iteration steps from uniform. */
   private def qMarkovStationary(s: SparkSession, dir: String): DataFrame =
@@ -3327,6 +3337,7 @@ object SparkEntry {
     "q299_hll_replay" -> (qHllReplay _),
     "q300_kneser_ney_nll" -> (qKneserNeyNll _),
     "q301_fellegi_em" -> (qFellegiEm _),
+    "q302_log_rank_k" -> (qLogRankK _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -6113,6 +6124,70 @@ object SparkEntry {
                / (1000.0 * sqrt(CAST(v_micros AS DOUBLE))), 4) + 0.0
              END AS z
          FROM agg, tot""",
+    // q302: mirrors Events.logRankKSample — q219's duration relation
+    // labelled with 3 cohorts x 2 strata, within-stratum reverse-
+    // cumulative risk sets, the day-ladder non-equi join for per-group
+    // at-risk counts, q219's staged floor chain with n1t -> ngt.
+    "q302_log_rank_k" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0,
+             max(CAST(user_id % 3 AS VARCHAR)) AS grp,
+             max(CAST((user_id // 3) % 2 AS VARCHAR)) AS str
+           FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         fe AS (SELECT e.user_id, min(e.ts) AS te
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT grp, str,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             (epoch_us(COALESCE(te, tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fe USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT str, d, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(obs) AS BIGINT) AS e_at
+           FROM dur GROUP BY 1, 2),
+         dd AS (SELECT str, d, e_at,
+             CAST(sum(n_at) OVER w AS BIGINT) AS nt
+           FROM byd
+           WINDOW w AS (PARTITION BY str ORDER BY d ASC
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         ddx AS (SELECT * FROM dd WHERE e_at > 0),
+         gd AS (SELECT str AS s2, grp, d AS d2,
+             CAST(count(*) AS BIGINT) AS gn,
+             CAST(sum(obs) AS BIGINT) AS ge
+           FROM dur GROUP BY 1, 2, 3),
+         lad AS (SELECT ddx.str, ddx.d, gd.grp, ddx.nt, ddx.e_at,
+             CAST(sum(gn) AS BIGINT) AS ngt,
+             CAST(sum(CASE WHEN d2 = ddx.d THEN ge ELSE 0 END)
+               AS BIGINT) AS egt
+           FROM ddx JOIN gd ON gd.s2 = ddx.str AND gd.d2 >= ddx.d
+           GROUP BY 1, 2, 3, 4, 5),
+         terms AS (SELECT grp, b0 AS em,
+             CASE WHEN nt > 1 THEN
+               CAST((CAST(CAST((CAST(b0 AS HUGEINT) * (nt - ngt))
+                 // nt AS BIGINT) AS HUGEINT) * (nt - e_at))
+                 // (nt - 1) AS BIGINT)
+               ELSE 0 END AS vm
+           FROM (SELECT *,
+               CAST((1000000 * CAST(e_at AS HUGEINT) * ngt) // nt
+                 AS BIGINT) AS b0
+             FROM lad) em0),
+         tsum AS (SELECT grp, CAST(sum(em) AS BIGINT) AS e_micros,
+             CAST(sum(vm) AS BIGINT) AS v_micros
+           FROM terms GROUP BY 1),
+         tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(obs) AS BIGINT) AS o_events
+           FROM dur GROUP BY 1)
+         SELECT tot.grp, n_users, o_events,
+           CAST(COALESCE(e_micros, 0) AS BIGINT) AS e_micros,
+           CAST(COALESCE(v_micros, 0) AS BIGINT) AS v_micros,
+           CASE WHEN COALESCE(v_micros, 0) > 0
+             THEN round((CAST(o_events AS DOUBLE) * 1000000.0
+               - CAST(e_micros AS DOUBLE))
+               / (1000.0 * sqrt(CAST(v_micros AS DOUBLE))), 4) + 0.0
+             END AS z
+         FROM tot LEFT JOIN tsum ON tot.grp = tsum.grp""",
     "q220_markov_stationary" -> {
       val pCtes =
         """seq AS (SELECT user_id, event_type AS from_type,

@@ -2395,6 +2395,99 @@ object Events {
             + lit(0.0)).as("z"))
   }
 
+  /** K-SAMPLE STRATIFIED LOG-RANK (Mantel 1966; Peto & Peto 1972 §7)
+    * — the test actually run when MORE than two cohorts share a
+    * survival question ("do these 3 acquisition channels churn
+    * alike?"), with strata blocking out a confounder: risk sets and
+    * expectations are formed WITHIN each stratum (a stratum-specific
+    * baseline hazard is allowed to differ), then each group's
+    * observed/expected/variance terms are summed across strata.
+    * Duration relation = exactly [[logRankTest]]'s (q219): first
+    * `startType` → first `eventType`, censored at the corpus horizon.
+    * Output one row per group: (grp, n_users, o_events, e_micros,
+    * v_micros, z) with z_g = (O_g − E_g)/√V_g — the per-group
+    * direction readout; for k = 2 and one stratum, group "1"'s row
+    * reproduces q219's (e1_micros, v_micros, z) EXACTLY (same staged
+    * floors — Round16OpsSpec pins it).
+    *
+    * Determinism: group/stratum labels are the max of the (non-null)
+    * label expression over the user's start rows, cast to string; per
+    * death day d in stratum s, E-term = (1e6·e_t·n_gt) div n_t and
+    * the variance is q219's STAGED floor chain with n1t → n_gt — all
+    * products decimal(38,0), each quotient back in long, terms summed
+    * as longs; the one float step is z over the summed integers
+    * (round-4 + signed-zero).
+    *
+    * Scale shape: one per-user duration collapse, two combinable day
+    * aggs, one reverse-cumulative window over DISTINCT (stratum, day)
+    * rows, then the group-at-risk ladder as a BROADCAST non-equi join
+    * of the death-day table against the (stratum, group, day) entry
+    * table — both already day-collapsed, so the fan-out is quadratic
+    * only in the calendar-bounded day ladder (the q237/q295 class),
+    * never in users. */
+  def logRankKSample(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, startType: String,
+                     eventType: String, groupCol: Column,
+                     strataCol: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"),
+        max(groupCol.cast("string")).as("grp"),
+        max(strataCol.cast("string")).as("str"))
+    val firstEv = events.filter(col(typeCol) === eventType)
+      .join(starts.select(col(userCol), col("t0")), Seq(userCol))
+      .filter(col(tsCol) > col("t0"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("te"))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    val dur = starts.join(firstEv, Seq(userCol), "left")
+      .join(broadcast(horizon), lit(true))
+      .select(col("grp"), col("str"),
+        when(col("te").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs"),
+        expr("(unix_timestamp(coalesce(te, tmax)) - unix_timestamp(t0))" +
+          " div 86400").as("d"))
+    val w = W.partitionBy(col("str")).orderBy(col("d").asc)
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val deathDays = dur.groupBy(col("str"), col("d"))
+      .agg(count(lit(1)).as("n_at"), sum(col("obs")).as("e_at"))
+      .withColumn("nt", sum(col("n_at")).over(w))
+      .filter(col("e_at") > 0)
+      .select(col("str"), col("d"), col("nt"), col("e_at"))
+    val gd = dur.groupBy(col("str").as("s2"), col("grp"),
+        col("d").as("d2"))
+      .agg(count(lit(1)).as("gn"), sum(col("obs")).as("ge"))
+    val terms = broadcast(deathDays)
+      .join(gd, col("str") === col("s2") && col("d2") >= col("d"))
+      .groupBy(col("str"), col("d"), col("grp"), col("nt"),
+        col("e_at"))
+      .agg(sum(col("gn")).as("ngt"),
+        sum(when(col("d2") === col("d"), col("ge")).otherwise(0L))
+          .as("egt"))
+      .withColumn("em",
+        expr("cast((cast(1000000 as decimal(38,0)) * e_at * ngt)" +
+          " div nt as bigint)"))
+      .withColumn("__b",
+        expr("cast((cast(em as decimal(38,0)) * (nt - ngt))" +
+          " div nt as bigint)"))
+      .withColumn("vm",
+        when(col("nt") > 1,
+          expr("cast((cast(__b as decimal(38,0)) * (nt - e_at))" +
+            " div (nt - 1) as bigint)"))
+          .otherwise(0L))
+      .groupBy(col("grp"))
+      .agg(sum(col("em")).as("e_micros"), sum(col("vm")).as("v_micros"))
+    dur.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_users"), sum(col("obs")).as("o_events"))
+      .join(terms, Seq("grp"), "left")
+      .select(col("grp"), col("n_users"), col("o_events"),
+        coalesce(col("e_micros"), lit(0L)).as("e_micros"),
+        coalesce(col("v_micros"), lit(0L)).as("v_micros"),
+        when(coalesce(col("v_micros"), lit(0L)) > 0,
+          round((col("o_events").cast("double") * 1e6 -
+            col("e_micros").cast("double")) /
+            (lit(1000.0) * sqrt(col("v_micros").cast("double"))), 4)
+            + lit(0.0)).as("z"))
+  }
+
   /** STATIONARY DISTRIBUTION of the empirical event-type Markov chain
     * — where [[markovTransitions]] (q116) reports the one-step
     * matrix, this card answers "where does the process SPEND ITS

@@ -33,6 +33,51 @@ class Round16OpsSpec extends AnyFunSuite {
       "fixture cannot tell the constants apart")
   }
 
+  test("logRankKSample: two groups + one stratum reproduces " +
+    "logRankTest's (e1, v, z) EXACTLY for group 1; a stratified run " +
+    "with within-stratum-identical cohorts gives z = 0 everywhere") {
+    def ts(day: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    // the Round12 early-cohort fixture: odd users purchase day 1,
+    // even users day 9 — a real separation, so e/v/z are non-trivial
+    val early = Seq(
+      (1L, "signup", ts(0)), (2L, "signup", ts(0)),
+      (3L, "signup", ts(0)), (4L, "signup", ts(0)),
+      (1L, "purchase", ts(1)), (3L, "purchase", ts(1)),
+      (2L, "purchase", ts(9)), (4L, "purchase", ts(9)))
+      .toDF("user_id", "event_type", "ts")
+    val two = Events.logRankTest(early, "user_id", "ts", "event_type",
+        "signup", "purchase", pmod(col("user_id"), lit(2)) === 1)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    val kk = Events.logRankKSample(early, "user_id", "ts",
+        "event_type", "signup", "purchase",
+        groupCol = pmod(col("user_id"), lit(2)), strataCol = lit(0))
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(kk("1") == (("1", two._1, two._3, two._4, two._5, two._6)),
+      s"${kk("1")} vs $two")
+    assert(kk("0")._2 == two._2)
+    // 3 groups x 2 strata, duration SETS identical across groups
+    // WITHIN each stratum (each (g, s) cell: one early + one late
+    // death) -> every O_g = E_g (z = 0.0, v > 0); strata differ
+    val strat = (1L to 12L).flatMap { u =>
+      val stratum = u % 2 // day sets differ BETWEEN strata
+      val day = 2 + 3 * stratum + (if (u > 6) 3 else 0)
+      Seq((u, "signup", ts(0)), (u, "purchase", ts(day)))
+    }.toDF("user_id", "event_type", "ts")
+    val gz = Events.logRankKSample(strat, "user_id", "ts",
+        "event_type", "signup", "purchase",
+        groupCol = pmod(col("user_id"), lit(3)),
+        strataCol = pmod(col("user_id"), lit(2)))
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+    assert(gz.length == 3)
+    gz.foreach { r =>
+      assert(r._2 == 4L && r._3 == 4L, r)
+      assert(r._4 == 4000000L, r) // E_g = O_g = 4 exactly by symmetry
+      assert(r._6.contains(0.0), r)
+    }
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

@@ -1664,6 +1664,14 @@ object SparkEntry {
     Dedup.sourceOverlap(t(s, dir, "documents"), "source",
       TextAnalysis.contentFingerprint(col("text")))
 
+  /** Cross-source distinct overlap via HLL union — inclusion–
+    * exclusion over per-source + union-register sketches of the q167
+    * content fingerprints, exact overlap beside the estimate. See
+    * [[graft.ops.Sketches.hllOverlap]]. */
+  private def qHllOverlap(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllOverlap(t(s, dir, "documents"), "source",
+      TextAnalysis.contentFingerprint(col("text")))
+
   /** Two-sample KS per source vs the rest of the corpus over doc
     * length — the unbinned CDF-shape drift test beside PSI/KL/χ²;
     * exact integer numerator, one round-4 division. */
@@ -3338,6 +3346,7 @@ object SparkEntry {
     "q300_kneser_ney_nll" -> (qKneserNeyNll _),
     "q301_fellegi_em" -> (qFellegiEm _),
     "q302_log_rank_k" -> (qLogRankK _),
+    "q303_hll_overlap" -> (qHllOverlap _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7462,6 +7471,64 @@ object SparkEntry {
              CAST(round((e / CAST(n_keys AS DOUBLE) - 1.0)
                * 1000000.0) AS BIGINT) END AS err_ppm
          FROM fin"""
+    },
+    // q303: mirrors Sketches.hllOverlap — q167's fingerprint keys,
+    // q299's register/rank/moment integers PER SOURCE, register-wise
+    // max for the union sketch, one mirrored estimate per relation,
+    // inclusion-exclusion over the rounded estimates.
+    "q303_hll_overlap" -> {
+      val alpha = 0.7213 / (1 + 1.079 / 256)
+      val numer = alpha * math.pow(2.0, 69)
+      def estSql(from: String, keys: String) =
+        s"""SELECT $keys,
+             round(CASE WHEN raw <= 640.0 AND v > 0
+               THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+               ELSE raw END, 4) + 0.0 AS e
+           FROM (SELECT $keys, 256 - nonempty AS v,
+               $numer / CAST(ssum + (256 - nonempty)
+                 * (1::BIGINT << 53) AS DOUBLE) AS raw
+             FROM $from)"""
+      s"""WITH keyed AS (SELECT source AS s,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS k
+           FROM documents WHERE source IS NOT NULL),
+         hashed AS (SELECT s, CAST(('0x' || substring(md5(k), 1, 15))
+             AS BIGINT) AS h FROM keyed WHERE k IS NOT NULL),
+         rw AS (SELECT s, h % 256 AS r, h // 256 AS w FROM hashed),
+         rho AS (SELECT s, r, CASE WHEN w = 0 THEN 53
+             ELSE 53 - length(bin(w)) END AS rho FROM rw),
+         regs AS (SELECT s, r, max(rho) AS mr FROM rho GROUP BY 1, 2),
+         mom AS (SELECT s, CAST(count(*) AS BIGINT) AS nonempty,
+             CAST(sum(1::BIGINT << (53 - mr)) AS BIGINT) AS ssum
+           FROM regs GROUP BY 1),
+         est AS (${estSql("mom", "s")}),
+         pairs AS (SELECT a.s AS sa, a.e AS est_a, b.s AS sb,
+             b.e AS est_b
+           FROM est a JOIN est b ON a.s < b.s),
+         uregs AS (SELECT p.sa, p.sb, g.r, max(g.mr) AS mr
+           FROM regs g JOIN (SELECT sa, sb FROM pairs) p
+             ON g.s = p.sa OR g.s = p.sb
+           GROUP BY 1, 2, 3),
+         umom AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS nonempty,
+             CAST(sum(1::BIGINT << (53 - mr)) AS BIGINT) AS ssum
+           FROM uregs GROUP BY 1, 2),
+         uest AS (SELECT sa, sb, e AS est_union
+           FROM (${estSql("umom", "sa, sb")}) ue),
+         dk AS (SELECT DISTINCT s, k FROM keyed WHERE k IS NOT NULL),
+         exact AS (SELECT a.s AS sa, b.s AS sb,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM dk a JOIN dk b ON a.k = b.k AND a.s < b.s
+           GROUP BY 1, 2)
+         SELECT sa AS source_a, sb AS source_b, est_a, est_b,
+           est_union,
+           round(est_a + est_b - est_union, 4) + 0.0 AS est_overlap,
+           CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+           CASE WHEN COALESCE(n_common, 0) > 0
+             THEN CAST(round(((est_a + est_b - est_union)
+               / CAST(n_common AS DOUBLE) - 1.0) * 1000000.0)
+               AS BIGINT) END AS err_ppm
+         FROM pairs JOIN uest USING (sa, sb)
+           LEFT JOIN exact USING (sa, sb)"""
     },
     // q298: mirrors Events.weibullFit — the q269 KM prefix, the
     // ln/ln(-ln) transform over its day knots, ordered-window OLS

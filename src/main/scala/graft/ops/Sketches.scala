@@ -291,21 +291,102 @@ object Sketches {
             lit(1000000.0)).cast("long")).as("err_ppm"))
   }
 
+  /** CROSS-SOURCE DISTINCT OVERLAP VIA HLL UNION — the sketch-path
+    * complement of `Dedup.sourceOverlap` (q167): "how many distinct
+    * keys do sources A and B share?" answered by inclusion–exclusion
+    * over HLL estimates, |A∩B| ≈ Est(A) + Est(B) − Est(A∪B), where
+    * the union sketch is the REGISTER-WISE MAX of the two sources'
+    * register tables — no key-level pair join anywhere. At 100 TB this
+    * is the only shape that answers the corpus-overlap question
+    * without shuffling the full key universe: per-source state is
+    * exactly m = 2^p register rows, and every merge is an
+    * order-free max. Output one row per unordered source pair
+    * (source_a < source_b): the three estimates, the
+    * inclusion–exclusion overlap, the EXACT overlap (computed at test
+    * scale via the q167 fingerprint equi-join — the truth anchor the
+    * q299 contract requires beside every sketch), and err_ppm of the
+    * estimate against it. Overlap estimates can be negative on small
+    * disjoint sources (standard inclusion–exclusion noise) — reported
+    * raw, not clamped, so the consumer sees the sketch's true error.
+    *
+    * Determinism: registers/moments are the exact-integer
+    * [[hllRegistersBy]]/[[hllMomentsBy]] relations; each estimate is
+    * ONE mirrored float expression ([[hllEstimate]]) over exact
+    * longs, rounded to 4 dp (+0.0 signed-zero); the overlap is one
+    * mirrored sum over the three ROUNDED estimates, re-rounded;
+    * err_ppm is one mirrored division to integer micros-per-million.
+    *
+    * Scale shape: one map-side hash pass + one (source, r) combinable
+    * max agg; the pair fan-out is |S|²/2 · m rows where S is the
+    * source label set (small closed set — the sequenceSupport
+    * contract) and m = 2^p, CORPUS-INDEPENDENT; the exact column is
+    * the one fingerprint equi-join (drop it past test scale and the
+    * whole card is corpus-size-free). */
+  def hllOverlap(df: DataFrame, sourceCol: String, keyCol: Column,
+                 p: Int = 8): DataFrame = {
+    val keyed = df.select(col(sourceCol).as("s"),
+        keyCol.cast("string").as("k"))
+      .filter(col("k").isNotNull && col("s").isNotNull)
+    val regs = hllRegistersBy(keyed, p, Seq("s"))
+      .groupBy(col("s"), col("r")).agg(max(col("rho")).as("mr"))
+      .localCheckpoint(eager = false)
+    val est = (round(hllEstimate(p), 4) + lit(0.0))
+    val perSrc = hllMomentsBy(regs, p, Seq("s")).select(col("s"), est.as("e"))
+    val pairs = perSrc.select(col("s").as("sa"), col("e").as("est_a"))
+      .join(perSrc.select(col("s").as("sb"), col("e").as("est_b")),
+        col("sa") < col("sb"))
+    val unions = regs.join(
+        broadcast(pairs.select(col("sa"), col("sb"))),
+        col("s") === col("sa") || col("s") === col("sb"))
+      .groupBy(col("sa"), col("sb"), col("r"))
+      .agg(max(col("mr")).as("mr"))
+    val unionEst = hllMomentsBy(unions, p, Seq("sa", "sb"))
+      .select(col("sa"), col("sb"), est.as("est_union"))
+    val dk = keyed.distinct()
+    val exact = dk.join(dk.select(col("s").as("sb0"), col("k")),
+        Seq("k"))
+      .filter(col("s") < col("sb0"))
+      .groupBy(col("s").as("sa"), col("sb0").as("sb"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(unionEst, Seq("sa", "sb"))
+      .join(exact, Seq("sa", "sb"), "left")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (round(col("est_a") + col("est_b") - col("est_union"), 4)
+          + lit(0.0)).as("est_overlap"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(coalesce(col("n_common"), lit(0L)) > 0,
+          round(((col("est_a") + col("est_b") - col("est_union")) /
+            col("n_common").cast("double") - lit(1.0)) *
+            lit(1000000.0)).cast("long")).as("err_ppm"))
+  }
+
   /** The (register, rank) projection of a non-null string-keyed
     * relation `(k)` — shared by [[hllReplay]] and the streaming face
     * ([[graft.streaming.StreamingHll]]) so both hash identically.
     * Map-side only: one md5 + integer ops per row, no shuffle. */
-  private[graft] def hllRegisters(keyed: DataFrame, p: Int): DataFrame = {
+  private[graft] def hllRegisters(keyed: DataFrame, p: Int): DataFrame =
+    hllRegistersBy(keyed, p, Nil)
+
+  /** Group-preserving form of [[hllRegisters]]: one register stream
+    * PER distinct value of `by` (e.g. per source) — the SAME hash and
+    * rank arithmetic, so a per-group sketch merged across groups is
+    * byte-identical to the global sketch ([[hllOverlap]] leans on
+    * that for its union registers). */
+  private[graft] def hllRegistersBy(keyed: DataFrame, p: Int,
+                                    by: Seq[String]): DataFrame = {
     require(p >= 4 && p <= 16, "need 4 <= p <= 16")
     val m = 1 << p
     val width = 60 - p
     val h = conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long")
     keyed
-      .select(h.as("h"))
-      .select((col("h") % m).as("r"), expr(s"h div ${m}L").as("w"))
-      .select(col("r"),
-        when(col("w") === 0, lit(width + 1))
-          .otherwise(lit(width + 1) - length(bin(col("w")))).as("rho"))
+      .select(by.map(col) :+ h.as("h"): _*)
+      .select(by.map(col) :+ (col("h") % m).as("r") :+
+        expr(s"h div ${m}L").as("w"): _*)
+      .select(by.map(col) :+ col("r") :+
+        (when(col("w") === 0, lit(width + 1))
+          .otherwise(lit(width + 1) - length(bin(col("w")))))
+          .as("rho"): _*)
   }
 
   /** Collapse a register table `(r, mr)` to the 1-row exact moments
@@ -315,6 +396,16 @@ object Sketches {
     val width = 60 - p
     regs.agg(count(lit(1)).as("nonempty"),
       sum(expr(s"shiftleft(1L, ${width + 1} - mr)")).as("ssum"))
+  }
+
+  /** Grouped form of [[hllMoments]] — one `(nonempty, ssum)` row per
+    * distinct `by` tuple, same exact shifted-integer arithmetic. */
+  private[graft] def hllMomentsBy(regs: DataFrame, p: Int,
+                                  by: Seq[String]): DataFrame = {
+    val width = 60 - p
+    regs.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("nonempty"),
+        sum(expr(s"shiftleft(1L, ${width + 1} - mr)")).as("ssum"))
   }
 
   /** The estimator expression over [[hllMoments]] columns — α·m²/Σ

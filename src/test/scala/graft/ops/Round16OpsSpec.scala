@@ -33,6 +33,30 @@ class Round16OpsSpec extends AnyFunSuite {
       "fixture cannot tell the constants apart")
   }
 
+  test("hllOverlap: identical sources give est_union == est_a == " +
+    "est_b and overlap == the per-source estimate; a disjoint third " +
+    "source reports n_common = 0 with null err_ppm") {
+    val rows = (0 until 500).flatMap(i =>
+      Seq(("A", s"k$i"), ("B", s"k$i"))) ++
+      (0 until 300).map(i => ("C", s"z$i"))
+    val df = rows.toDF("source", "key")
+    val got = Sketches.hllOverlap(df, "source", col("key"))
+      .as[(String, String, Double, Double, Double, Double, Long,
+        Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == 3)
+    val ab = got(("A", "B"))
+    // identical key sets -> identical registers -> union max changes
+    // nothing; inclusion-exclusion collapses to the shared estimate
+    assert(ab._3 == ab._4 && ab._4 == ab._5, ab)
+    assert(ab._6 == ab._3, ab)
+    assert(ab._7 == 500L, ab)
+    val ac = got(("A", "C"))
+    assert(ac._7 == 0L && ac._8.isEmpty, ac)
+    // the union estimate of disjoint sources sits above either side
+    assert(ac._5 > ac._3 && ac._5 > ac._4, ac)
+  }
+
   test("logRankKSample: two groups + one stratum reproduces " +
     "logRankTest's (e1, v, z) EXACTLY for group 1; a stratified run " +
     "with within-stratum-identical cohorts gives z = 0 everywhere") {

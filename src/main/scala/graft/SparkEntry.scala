@@ -2627,6 +2627,16 @@ object SparkEntry {
     TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
       col("source") === "src0")
 
+  /** PSIS k̂ reliability diagnostic over the q109 DSIR importance
+    * weights: GPD tail shape via the Hill mean-excess of the top-50
+    * log-weights, against the published 0.7 threshold. See
+    * [[graft.ops.DataQuality.psisKhat]]. */
+  private def qPsisKhat(s: SparkSession, dir: String): DataFrame =
+    DataQuality.psisKhat(
+      TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0"),
+      col("avg_logratio"), col("doc_id"), k = 50)
+
   /** Event-sourced SCD2 dimension build: each user's `props.k` attribute
     * collapsed to its change points with validity intervals — the
     * as-of-queryable history a feature store derives from an append-only
@@ -3347,6 +3357,7 @@ object SparkEntry {
     "q301_fellegi_em" -> (qFellegiEm _),
     "q302_log_rank_k" -> (qLogRankK _),
     "q303_hll_overlap" -> (qHllOverlap _),
+    "q304_psis_khat" -> (qPsisKhat _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7530,6 +7541,41 @@ object SparkEntry {
          FROM pairs JOIN uest USING (sa, sb)
            LEFT JOIN exact USING (sa, sb)"""
     },
+    // q304: mirrors DataQuality.psisKhat over TextAnalysis.dsirWeights
+    // — q109's weight CTEs verbatim, 4-dp log-weights to exact 1e4
+    // integers, top-51 order stats (lw desc, doc_id asc), Hill
+    // mean-excess as one exact long sum + one mirrored division.
+    "q304_psis_khat" ->
+      """WITH dt AS (SELECT doc_id, source = 'src0' AS tgt, u.tok
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)),
+         model AS (SELECT tok, count(*) AS c_raw,
+             CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_tgt
+           FROM dt GROUP BY 1),
+         tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+             CAST(sum(c_tgt) AS BIGINT) AS t_tgt,
+             count(*) AS v FROM model),
+         s AS (SELECT doc_id,
+             ln(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + v))
+               - ln(CAST(c_raw + 1 AS DOUBLE) / (t_raw + v)) AS lr
+           FROM dt JOIN model USING (tok) CROSS JOIN tot),
+         wts AS (SELECT doc_id,
+             CAST(round((round(sum(lr) / count(*), 4) + 0.0) * 10000)
+               AS BIGINT) AS lw
+           FROM s GROUP BY doc_id),
+         rk AS (SELECT lw, doc_id, row_number() OVER (ORDER BY lw DESC,
+             doc_id ASC) AS rk FROM wts),
+         ref AS (SELECT lw AS lw_ref FROM rk WHERE rk = 51),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_top,
+             CAST(sum(lw - lw_ref) AS BIGINT) AS excess_sum_tenk
+           FROM rk CROSS JOIN ref WHERE rk <= 50),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_weights FROM wts)
+         SELECT n_weights, CAST(50 AS BIGINT) AS k, excess_sum_tenk,
+           round(CAST(excess_sum_tenk AS DOUBLE) / 500000.0, 4) + 0.0
+             AS khat,
+           (round(CAST(excess_sum_tenk AS DOUBLE) / 500000.0, 4)
+             + 0.0) <= 0.7 AS reliable
+         FROM ex CROSS JOIN n WHERE n_top = 50""",
     // q298: mirrors Events.weibullFit — the q269 KM prefix, the
     // ln/ln(-ln) transform over its day knots, ordered-window OLS
     // moments (the q262 sequential-sum discipline), closed-form tail.

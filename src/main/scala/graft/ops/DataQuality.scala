@@ -1018,6 +1018,60 @@ object DataQuality {
             col("hill_sum_micros").cast("double"), 4)).as("alpha"))
   }
 
+  /** PSIS k̂ DIAGNOSTIC (Vehtari, Simpson, Gelman, Yao & Gabry 2024,
+    * "Pareto smoothed importance sampling") — "is this
+    * importance-sampling reliable?": the generalized-Pareto shape k̂
+    * of the importance-WEIGHT tail, with the published decision
+    * threshold k̂ ≤ 0.7. Above it, importance estimates (every
+    * DSIR-weighted mixture decision q109 feeds) have unusably heavy
+    * tails — a few documents dominate the reweighted corpus and the
+    * effective sample size collapses. Estimated on LOG-weights, the
+    * GPD shape is the Hill mean-excess in closed form:
+    * k̂ = (1/k) Σ_{i=1..k} (ln w_(i) − ln w_(k+1)) over the top-(k+1)
+    * order statistics — EXACTLY [[hillTailIndex]]'s machinery
+    * (k̂ = 1/α̂) applied to a log-scale column, so `logWeightCol`
+    * plugs in q109's `avg_logratio` with NO exp anywhere. Output one
+    * row: (n_weights, k, excess_sum_tenk, khat, reliable).
+    *
+    * Determinism: ordering (logWeight desc, id asc) is a total
+    * order; the 4-dp log-weights convert to EXACT tenths-of-milli
+    * integers (·10⁴) so every excess term and their sum are exact
+    * longs (order-free); k̂ is ONE mirrored float division (round-4
+    * + signed-zero — an all-equal tail rounds to −0.0 in neither
+    * engine). Emits nothing when fewer than k+1 weights exist (no
+    * tail to fit — the q223 contract).
+    *
+    * Scale shape: one global top-(k+1) WindowGroupLimit (k+1 rows
+    * survive regardless of corpus), one combinable agg. The global
+    * (unpartitioned) window runs over the ALREADY-REDUCED top-(k+1)
+    * relation only. */
+  def psisKhat(weights: DataFrame, logWeightCol: Column, idCol: Column,
+               k: Int = 100): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val base = weights.select(
+      round(logWeightCol * 10000).cast("long").as("lw"),
+      idCol.as("id"))
+    val top = graft.ops.Windows.topKPerGroup(base, Seq(lit(1)),
+      Seq(col("lw").desc, col("id").asc), k + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lw").desc, col("id").asc)
+    val ranked = top.withColumn("rk", row_number().over(w))
+    val ref = ranked.filter(col("rk") === k + 1)
+      .select(col("lw").as("lw_ref"))
+    val n = weights.agg(count(lit(1)).as("n_weights"))
+    ranked.filter(col("rk") <= k)
+      .join(broadcast(ref), lit(true))
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("lw") - col("lw_ref")).as("excess_sum_tenk"))
+      .filter(col("n_top") === k)
+      .join(broadcast(n), lit(true))
+      .select(col("n_weights"), lit(k.toLong).as("k"),
+        col("excess_sum_tenk"),
+        (round(col("excess_sum_tenk").cast("double") /
+          lit(k.toDouble * 10000.0), 4) + lit(0.0)).as("khat"))
+      .withColumn("reliable", col("khat") <= 0.7)
+  }
+
   /** EXACT ROC AUC via the Mann–Whitney rank-sum identity (Hanley &
     * McNeil 1982): AUC = U / (n⁺·n⁻) with U = R⁺ − n⁺(n⁺+1)/2, average
     * ranks on ties — the standard "does this score separate the

@@ -102,6 +102,25 @@ class Round16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("psisKhat: a heavy-tailed log-weight fixture lands above the " +
+    "0.7 threshold (reliable = false), a bounded one below; exact " +
+    "mean-excess arithmetic; < k+1 weights emits nothing") {
+    def card(vals: Seq[Double], k: Int) =
+      DataQuality.psisKhat(
+        vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "lw"),
+        col("lw"), col("id"), k)
+        .as[(Long, Long, Long, Double, Boolean)].collect()
+    // top-5 excesses over ref 1.0: 9+4+2+1+0.5 = 16.5 -> khat 3.3
+    val heavy = card(Seq(10.0, 5.0, 3.0, 2.0, 1.5, 1.0), k = 5)
+    assert(heavy.head == ((6L, 5L, 165000L, 3.3, false)), heavy.head)
+    // top-5 all 0.2 over ref 0.1: excess 0.5 -> khat 0.1, reliable
+    val bounded = card(
+      Seq(0.2, 0.2, 0.2, 0.2, 0.2, 0.1, 0.0, 0.0, 0.0, 0.0), k = 5)
+    assert(bounded.head == ((10L, 5L, 5000L, 0.1, true)), bounded.head)
+    assert(card(Seq(1.0, 2.0, 3.0), k = 5).isEmpty)
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

@@ -64,6 +64,16 @@ object StreamingHll {
       .write.mode("overwrite").parquet(s"$cardsDir/batch_id=$batchId")
   }
 
+  /** Fold all register partials with batch_id ≤ `upTo` into one base
+    * layer ([[Archives.compact]]) — for HLL the fold is a pure re-agg
+    * (register max is associative AND idempotent; the row count is a
+    * plain sum), so the archive shrinks from (#batches × ≤2^p) rows
+    * to ≤ 2^p with ZERO card movement (ArchivesSpec pins it). */
+  def compactRegisters(spark: SparkSession, regsDir: String,
+                       upTo: Long): Unit =
+    Archives.compact(spark, regsDir, upTo, Seq("r"),
+      Seq(max(col("mr")).as("mr"), sum(col("n")).as("n")))
+
   /** Latest card: the most recent recompute always covers the full
     * history, so the max-batch-id row IS the live distinct card. */
   def currentCard(spark: SparkSession, cardsDir: String): DataFrame = {

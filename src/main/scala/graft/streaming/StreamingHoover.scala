@@ -94,6 +94,18 @@ object StreamingHoover {
       .write.mode("overwrite").parquet(s"$cardsDir/batch_id=$batchId")
   }
 
+  /** Fold all rollup partials with batch_id ≤ `upTo` into one base
+    * layer ([[Archives.compact]]): long cent sums are associative, so
+    * summing the folded partial equals summing the originals exactly
+    * — the archive shrinks from one row per (batch, group, entity) to
+    * one per (group, entity) with zero card movement (ArchivesSpec
+    * pins it, null group included). The `__gpart` sub-partitioning is
+    * preserved, so the touched-set prune still works on the base. */
+  def compactRollup(spark: SparkSession, rollupDir: String, upTo: Long,
+                    groupCol: String, entityCol: String): Unit =
+    Archives.compact(spark, rollupDir, upTo, Seq(groupCol, entityCol),
+      Seq(sum(col("cents")).as("cents")))
+
   /** Directory sentinel for a NULL group — a non-null string so the
     * touched-set `isin` prune can match it (NULL itself never would). */
   private[streaming] val NullPart = "__graft_null__"

@@ -46,6 +46,65 @@ class ArchivesSpec extends AnyFunSuite {
     } finally spark.conf.set(InferKey, saved)
   }
 
+  test("compact: folding the HLL register archive moves NOTHING — " +
+    "card after a post-compaction batch equals the uncompacted twin; " +
+    "directory count collapses; a junk staging dir is discarded") {
+    import spark.implicits._
+    def dirs() = (Files.createTempDirectory("cmp_regs").toString,
+      Files.createTempDirectory("cmp_cards").toString)
+    val (regsA, cardsA) = dirs()
+    val (regsB, cardsB) = dirs()
+    def batch(b: Long) =
+      (0L until 200L).map(i => s"k${(b * 137 + i) % 600}").toDF("k")
+    for (b <- 0L to 4L; (r, c) <- Seq(regsA -> cardsA, regsB -> cardsB))
+      StreamingHll.applyBatch(batch(b), b, col("k"), r, c, p = 8)
+    // junk staging dir (no _SUCCESS) must be discarded, not promoted
+    Files.createDirectories(java.nio.file.Paths.get(
+      regsB, "__compact_tmp_upto=2"))
+    StreamingHll.compactRegisters(spark, regsB, upTo = 4L)
+    assert(Archives.batchIds(spark, regsB) == Seq(4L),
+      Archives.batchIds(spark, regsB))
+    assert(!new java.io.File(regsB, "__compact_tmp_upto=2").exists())
+    for ((r, c) <- Seq(regsA -> cardsA, regsB -> cardsB))
+      StreamingHll.applyBatch(batch(5L), 5L, col("k"), r, c, p = 8)
+    val a = StreamingHll.currentCard(spark, cardsA)
+      .as[(Long, Long, Double)].collect().head
+    val b = StreamingHll.currentCard(spark, cardsB)
+      .as[(Long, Long, Double)].collect().head
+    assert(a == b, s"$a vs $b")
+  }
+
+  test("compact: the sum-based Hoover rollup folds exactly too — " +
+    "cards equal the uncompacted twin after a post-compaction batch, " +
+    "null group included; __gpart sub-partitioning survives") {
+    import spark.implicits._
+    def dirs() = (Files.createTempDirectory("cmp_roll").toString,
+      Files.createTempDirectory("cmp_cards").toString)
+    val (rollA, cardsA) = dirs()
+    val (rollB, cardsB) = dirs()
+    def batch(b: Long) = (0L until 60L).map { i =>
+      val g = if (i % 3 == 2) null
+        else s"g${(i % 3).toString}"
+      (g, i % 7, (b + 1) * 1.5 + i * 0.25)
+    }.toDF("g", "e", "v")
+    for (b <- 0L to 3L; (r, c) <- Seq(rollA -> cardsA, rollB -> cardsB))
+      StreamingHoover.applyBatch(batch(b), b, "g", "e", "v", r, c)
+    StreamingHoover.compactRollup(spark, rollB, upTo = 3L, "g", "e")
+    assert(Archives.batchIds(spark, rollB) == Seq(3L))
+    // the folded base keeps the sanitized group partitioning (null
+    // group under the sentinel dir) so the touched-set prune works
+    val base = new java.io.File(rollB, "batch_id=3")
+      .listFiles().map(_.getName).filter(_.startsWith("__gpart="))
+    assert(base.sorted.toSeq == Seq("__gpart=__graft_null__",
+      "__gpart=g0", "__gpart=g1"), base.toSeq)
+    for ((r, c) <- Seq(rollA -> cardsA, rollB -> cardsB))
+      StreamingHoover.applyBatch(batch(4L), 4L, "g", "e", "v", r, c)
+    def cards(c: String) = StreamingHoover
+      .currentCards(spark, c, "g")
+      .collect().map(_.toString).sorted.toSeq
+    assert(cards(cardsA) == cards(cardsB))
+  }
+
   test("latest-wins survives the 11th batch: max(batch_id) is numeric " +
     "(a lexicographic string max would pick 9 over 10)") {
     val regsDir = Files.createTempDirectory("arch_regs").toString

@@ -1787,6 +1787,24 @@ object Dedup {
       .groupBy((0 until k).map(i => col(s"g_$i")): _*)
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(eager = false)
+    fellegiSunterEmFromPatterns(pat, fields.map(_._1), iters, piInit,
+      mInit, uInit)
+  }
+
+  /** The O(2^k) EM TAIL of [[fellegiSunterEm]], factored over the
+    * PATTERN-COUNT relation `pat` = one row per observed agreement
+    * pattern `(g_0 … g_{k-1}, n)` — shared with the streaming face
+    * ([[graft.streaming.StreamingFellegiSunter]]), whose archive
+    * stores per-batch pattern partials (counts are increment-monotone:
+    * long sums merge exactly under any batch split) and replays this
+    * tail per trigger. Arithmetic contract identical to the batch
+    * face: exact-micros posteriors before every M-step sum, clamps,
+    * fixed unrolled `iters`. Corpus size never appears — the tail is
+    * O(2^k) per iteration regardless of how many pairs fed `pat`. */
+  private[graft] def fellegiSunterEmFromPatterns(pat: DataFrame,
+      fieldNames: Seq[String], iters: Int, piInit: Double,
+      mInit: Double, uInit: Double): DataFrame = {
+    val k = fieldNames.size
     def wCol: Column = {
       val pm = (0 until k).map(i => when(col(s"g_$i"), col(s"m_$i"))
         .otherwise(lit(1.0) - col(s"m_$i"))).reduceLeft(_ * _)
@@ -1823,7 +1841,7 @@ object Dedup {
     }
     pat.join(broadcast(params), lit(true))
       .select((0 until k).map(i =>
-        col(s"g_$i").as(s"agree_${fields(i)._1}")) ++
+        col(s"g_$i").as(s"agree_${fieldNames(i)}")) ++
         Seq(col("n").as("n_pairs"),
           (round(wCol, 6) + lit(0.0)).as("match_prob")): _*)
   }

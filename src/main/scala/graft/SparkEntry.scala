@@ -2627,6 +2627,12 @@ object SparkEntry {
     TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
       col("source") === "src0")
 
+  /** Chao–Shen coverage-adjusted token entropy per language, beside
+    * the plug-in value — the diversity a bigger sample would still
+    * reveal. See [[graft.ops.TextAnalysis.chaoShenEntropy]]. */
+  private def qChaoShen(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chaoShenEntropy(t(s, dir, "documents"), "lang", "text")
+
   /** PSIS k̂ reliability diagnostic over the q109 DSIR importance
     * weights: GPD tail shape via the Hill mean-excess of the top-50
     * log-weights, against the published 0.7 threshold. See
@@ -3358,6 +3364,7 @@ object SparkEntry {
     "q302_log_rank_k" -> (qLogRankK _),
     "q303_hll_overlap" -> (qHllOverlap _),
     "q304_psis_khat" -> (qPsisKhat _),
+    "q305_chao_shen_entropy" -> (qChaoShen _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7541,6 +7548,41 @@ object SparkEntry {
          FROM pairs JOIN uest USING (sa, sb)
            LEFT JOIN exact USING (sa, sb)"""
     },
+    // q305: mirrors TextAnalysis.chaoShenEntropy — q259's token count
+    // CTEs, coverage-shrunk probabilities, per-term nanos rounding
+    // (identical parenthesization), exact long sums, round-4 tails.
+    "q305_chao_shen_entropy" ->
+      """WITH cnt AS (SELECT lang, u.term, CAST(count(*) AS BIGINT) AS c
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+           WHERE u.term <> '' GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+           FROM cnt GROUP BY 1),
+         terms AS (SELECT cnt.lang, t, v, n1,
+             CAST(c AS DOUBLE) / t AS ph,
+             (CAST(t - n1 AS DOUBLE) / t) * (CAST(c AS DOUBLE) / t)
+               AS pa
+           FROM cnt JOIN tot USING (lang)),
+         r AS (SELECT lang, t, v, n1,
+             CAST(round((ph * ln(ph)) * 1000000000.0) AS BIGINT) AS tp,
+             CASE WHEN pa > 0 THEN
+               CAST(round(((pa * ln(pa)) /
+                 (CASE WHEN pa < 1.0 THEN 1.0 - exp(CAST(t AS DOUBLE)
+                   * ln(1.0 - pa)) ELSE 1.0 END))
+                 * 1000000000.0) AS BIGINT)
+               ELSE 0 END AS tc
+           FROM terms)
+         SELECT lang, t AS n_tokens, v AS vocab, n1,
+           CAST(1000000 - (1000000 * n1) // t AS BIGINT)
+             AS coverage_micros,
+           round(-CAST(sum(tp) AS DOUBLE) / 1000000000.0, 4) + 0.0
+             AS h_plugin,
+           CASE WHEN n1 < t THEN
+             round(-CAST(sum(tc) AS DOUBLE) / 1000000000.0, 4) + 0.0
+             END AS h_chao_shen
+         FROM r GROUP BY 1, 2, 3, 4""",
     // q304: mirrors DataQuality.psisKhat over TextAnalysis.dsirWeights
     // — q109's weight CTEs verbatim, 4-dp log-weights to exact 1e4
     // integers, top-51 order stats (lw desc, doc_id asc), Hill

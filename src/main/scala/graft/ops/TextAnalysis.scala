@@ -712,6 +712,68 @@ object TextAnalysis {
           " div (2 * (n2 + 1)) as bigint)").as("chao1"))
   }
 
+  /** CHAO–SHEN COVERAGE-ADJUSTED ENTROPY (Chao & Shen 2003) — the
+    * token-distribution entropy a finite sample actually supports:
+    * the plug-in estimator Ĥ = −Σ p̂ ln p̂ is biased LOW (unseen
+    * tokens contribute nothing), so the card corrects with the
+    * Good–Turing coverage C = 1 − N1/N ([[goodTuringVocab]]'s p0
+    * complement): shrink each p̂ to p̃ = C·p̂ and weight each term by
+    * its inverse inclusion probability 1/(1 − (1−p̃)^N) (the
+    * Horvitz–Thompson argument — the q288 estimator applied to
+    * entropy terms). Reported per group beside the plug-in value, so
+    * the GAP is the diversity a bigger sample would still reveal —
+    * the principled companion to q259's "how much vocabulary is
+    * left". An all-hapax group (C = 0) has no support for the
+    * correction and reports NULL h_chao_shen.
+    *
+    * Determinism: counts are exact; each per-term float chain (one
+    * ln, one exp-of-ln power, two divisions — identical
+    * parenthesization both engines) rounds to EXACT NANOS
+    * (round(·,·1e9) — the q279 round-then-sum idiom one scale down,
+    * since entropy terms are O(p ln p) small) and the vocab-sized sum
+    * runs over longs, order-free; the final entropy is one mirrored
+    * division + round-4 (+0.0).
+    *
+    * Scale shape: one explode, one (group, term) combinable count,
+    * one per-group combinable rollup, and ONE broadcast of the
+    * |groups|-row totals back onto the term table (bounded by the
+    * GROUP set, not the vocabulary — the vocab relation itself is
+    * never broadcast, per the round-15 contract); final combinable
+    * per-group agg. */
+  def chaoShenEntropy(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val cnt = df.select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("grp"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("v"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+    val ph = col("c").cast("double") / col("t")
+    val pa = ((col("t") - col("n1")).cast("double") / col("t")) * ph
+    val denom = when(col("pa") < 1.0,
+      lit(1.0) - exp(col("t").cast("double") *
+        log(lit(1.0) - col("pa")))).otherwise(lit(1.0))
+    cnt.join(broadcast(tot), Seq("grp"))
+      .withColumn("pa", pa)
+      .select(col("grp"), col("t"), col("v"), col("n1"),
+        round((ph * log(ph)) * lit(1000000000.0)).cast("long").as("tp"),
+        when(col("pa") > 0,
+          round(((col("pa") * log(col("pa"))) / denom) *
+            lit(1000000000.0)).cast("long"))
+          .otherwise(0L).as("tc"))
+      .groupBy(col("grp"), col("t"), col("v"), col("n1"))
+      .agg(sum(col("tp")).as("sp"), sum(col("tc")).as("sc"))
+      .select(col("grp").as(groupCol), col("t").as("n_tokens"),
+        col("v").as("vocab"), col("n1"),
+        expr("1000000L - (1000000L * n1) div t").as("coverage_micros"),
+        (round(-col("sp").cast("double") / lit(1e9), 4) + lit(0.0))
+          .as("h_plugin"),
+        when(col("n1") < col("t"),
+          round(-col("sc").cast("double") / lit(1e9), 4) + lit(0.0))
+          .as("h_chao_shen"))
+  }
+
   def heapsFit(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val wSeq = org.apache.spark.sql.expressions.Window

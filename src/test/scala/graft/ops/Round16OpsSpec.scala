@@ -121,6 +121,23 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(card(Seq(1.0, 2.0, 3.0), k = 5).isEmpty)
   }
 
+  test("chaoShenEntropy: full-coverage uniform corpus gets the " +
+    "closed-form HT-weighted entropy ln2/(1-2^-4); an all-hapax " +
+    "group reports zero coverage and NULL h_chao_shen") {
+    val df = Seq(("g1", "a a b b"), ("g2", "x y z"))
+      .toDF("lang", "text")
+    val got = TextAnalysis.chaoShenEntropy(df, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // g1: T=4 V=2 f1=0 -> C=1, pa=.5, denom=1-.5^4=.9375;
+    // H_cs = ln2/.9375 = .7394, plug-in = ln2 = .6931
+    assert(got("g1") ==
+      (("g1", 4L, 2L, 0L, 1000000L, 0.6931, Some(0.7394))), got("g1"))
+    // g2: every token a hapax -> C=0, correction unsupported
+    assert(got("g2") ==
+      (("g2", 3L, 3L, 3L, 0L, 1.0986, None)), got("g2"))
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

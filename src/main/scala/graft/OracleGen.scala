@@ -2135,6 +2135,35 @@ object OracleGen {
        SELECT node, c AS coreness FROM c$iters"""
   }
 
+  /** Oracle for `Graph.wlColors` (q306): the q169 transition-graph
+    * CTEs, then `iters` unrolled Weisfeiler–Lehman rounds — each a
+    * MATERIALIZED (node, color) relation built by hashing own color
+    * with the SORTED neighbor-color list; pure string/integer work. */
+  def wlColorsSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT t.node,
+           substring(md5(p0.c || '|' ||
+             array_to_string(list_sort(list(p.c)), ',')), 1, 16) AS c
+         FROM adj t JOIN w${i - 1} p ON p.node = t.nb
+           JOIN w${i - 1} p0 ON p0.node = t.node
+         GROUP BY t.node, p0.c)"""
+    }.mkString(",\n       ")
+    s"""WITH ev AS (SELECT user_id, event_id,
+         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         FROM events),
+       tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             ORDER BY event_id ASC) AS src, k AS dst
+         FROM ev WHERE k IS NOT NULL),
+       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM tr WHERE src IS NOT NULL AND src <> dst),
+       adj AS (SELECT a AS node, b AS nb FROM und
+         UNION ALL SELECT b, a FROM und),
+       w0 AS (SELECT node, '0' AS c FROM
+         (SELECT DISTINCT node FROM adj)),
+       $iterCtes
+       SELECT node, c AS wl_color FROM w$iters"""
+  }
+
   /** Oracle for `Sketches.cmsReplay` (q260): the deterministic CMS
     * counter table (q222 md5-prefix seed hash, mod `width` buckets)
     * probed for the exact top-`topK` lineitem part keys — est ≥ exact

@@ -2705,6 +2705,15 @@ object SparkEntry {
       Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
         Events.jsonField(col("props"), "$.k")), iters = 8)
 
+  /** Weisfeiler–Lehman color refinement of the session-transition
+    * graph: 3 rounds of (own color, sorted neighbor-color multiset)
+    * hashing — per-node structural signatures for graph dedup and
+    * role discovery. See [[graft.ops.Graph.wlColors]]. */
+  private def qWlColors(s: SparkSession, dir: String): DataFrame =
+    Graph.wlColors(
+      Graph.transitionEdges(t(s, dir, "events"), "user_id", "event_id",
+        Events.jsonField(col("props"), "$.k")), iters = 3)
+
   /** k-truss decomposition of the session-transition graph — the edge
     * peel between q114's triangle counts and q169's node peel: the
     * surviving edges each sit in >= k-2 triangles OF THE SURVIVORS,
@@ -3365,6 +3374,7 @@ object SparkEntry {
     "q303_hll_overlap" -> (qHllOverlap _),
     "q304_psis_khat" -> (qPsisKhat _),
     "q305_chao_shen_entropy" -> (qChaoShen _),
+    "q306_wl_colors" -> (qWlColors _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5179,6 +5189,9 @@ object SparkEntry {
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
     "q169_coreness" -> OracleGen.corenessSql(iters = 8),
+    // q306: mirrors Graph.wlColors — same transition-graph CTEs,
+    // 3 unrolled WL rounds of sorted-multiset md5 refinement.
+    "q306_wl_colors" -> OracleGen.wlColorsSql(iters = 3),
     "q170_mmr_rerank" -> OracleGen.mmrSql(candK = 20, k = 5, stride = 100),
     "q172_bpe_train" -> OracleGen.bpeSql(merges = 6),
     "q171_cusum_drift" ->

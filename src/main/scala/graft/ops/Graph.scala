@@ -622,6 +622,55 @@ object Graph {
       .distinct()
       .localCheckpoint(eager = false)
 
+  /** WEISFEILER–LEHMAN COLOR REFINEMENT (Weisfeiler & Leman 1968; the
+    * 1-WL test) — the canonical node-structure signature: starting
+    * from one uniform color, each round recolors every node by
+    * hashing (own color, SORTED multiset of neighbor colors), so
+    * after r rounds two nodes share a color iff their r-hop
+    * neighborhood trees are indistinguishable. The workhorse behind
+    * graph dedup (same color histogram ⇒ 1-WL-equivalent graphs),
+    * structural-role discovery, and graph-kernel features — the
+    * structure-space complement of the embedding-space ANN family.
+    * Output: (node, wl_color) after `iters` rounds (round 1 is the
+    * degree partition; each further round can only REFINE classes).
+    *
+    * Determinism: colors are md5-prefix hex strings; the neighbor
+    * multiset is SORTED before hashing (collect order never leaks);
+    * everything is exact string/integer work — no floats anywhere.
+    * Fixed `iters` keeps the oracle an unrolled CTE chain (the q47
+    * replay pattern).
+    *
+    * Scale shape: per round ONE node-keyed combinable-input shuffle
+    * (neighbor-color gather, sorted-list agg) + one node-keyed
+    * equi-join against the prior colors — O(edges) per round, the
+    * [[coreness]] class; per-round localCheckpoint cuts the iterative
+    * lineage. Sort cost per node is deg·log(deg) on 16-char strings;
+    * skewed hubs ride the same AQE skew handling as every adjacency
+    * gather here. */
+  def wlColors(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val und = undirectedSimple(edges)
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .union(und.select(col("b").as("node"), col("a").as("nb")))
+      .localCheckpoint(eager = false)
+    var colors = adj.select(col("node")).distinct()
+      .select(col("node"), lit("0").as("c"))
+    for (_ <- 1 to iters) {
+      val sig = adj
+        .join(colors.select(col("node").as("nb"), col("c").as("cn")),
+          Seq("nb"))
+        .groupBy(col("node"))
+        .agg(concat_ws(",", sort_array(collect_list(col("cn"))))
+          .as("sig"))
+      colors = colors.join(sig, Seq("node"))
+        .select(col("node"),
+          substring(md5(concat(col("c"), lit("|"), col("sig"))), 1, 16)
+            .as("c"))
+        .localCheckpoint(eager = false)
+    }
+    colors.select(col("node"), col("c").as("wl_color"))
+  }
+
   /** Degree-ordered orientation of an undirected simple graph: a→b when
     * (deg(a), a) < (deg(b), b), carrying the head's degree so wedge
     * formation can order its two heads without another join. This IS the

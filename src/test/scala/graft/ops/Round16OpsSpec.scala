@@ -138,6 +138,28 @@ class Round16OpsSpec extends AnyFunSuite {
       (("g2", 3L, 3L, 3L, 0L, 1.0986, None)), got("g2"))
   }
 
+  test("wlColors: path ends/middles split into the right classes; a " +
+    "6-cycle and two disjoint triangles stay 1-WL-indistinguishable " +
+    "(all 2-regular nodes share one color — the test's known limit)") {
+    val edges = Seq(
+      // path 1-2-3-4
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      // 6-cycle
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (15L, 10L),
+      // two triangles
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (23L, 24L), (24L, 25L), (25L, 23L))
+      .toDF("src", "dst")
+    val c = Graph.wlColors(edges, iters = 3)
+      .as[(Long, String)].collect().toMap
+    assert(c(1L) == c(4L) && c(2L) == c(3L) && c(1L) != c(2L))
+    val reg2 = Seq(10L, 11L, 12L, 13L, 14L, 15L, 20L, 21L, 22L, 23L,
+      24L, 25L).map(c)
+    assert(reg2.distinct.size == 1, reg2.distinct)
+    assert(c(1L) != reg2.head && c(2L) != reg2.head)
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

@@ -2974,6 +2974,13 @@ object SparkEntry {
     DataQuality.cmhOddsRatio(t(s, dir, "lineitem"), col("l_returnflag"),
       col("l_discount") > 0.05, col("l_tax") > 0.04)
 
+  /** Breslow–Day homogeneity of the q271 per-stratum odds ratios —
+    * whether the pooled MH estimate is averaging one effect or
+    * several. See [[graft.ops.DataQuality.breslowDay]]. */
+  private def qBreslowDay(s: SparkSession, dir: String): DataFrame =
+    DataQuality.breslowDay(t(s, dir, "lineitem"), col("l_returnflag"),
+      col("l_discount") > 0.05, col("l_tax") > 0.04)
+
   /** Daily cross-correlation click vs purchase at lags -4..4: positive
     * lag = click volume leads purchase volume — the lead/lag reader
     * beside q153/q258. See
@@ -3375,6 +3382,7 @@ object SparkEntry {
     "q304_psis_khat" -> (qPsisKhat _),
     "q305_chao_shen_entropy" -> (qChaoShen _),
     "q306_wl_colors" -> (qWlColors _),
+    "q307_breslow_day" -> (qBreslowDay _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7322,6 +7330,77 @@ object SparkEntry {
                  * (abs(b_only - c_only) - 1) AS DOUBLE)
                / CAST(b_only + c_only AS DOUBLE) END, 4) AS chi2_cc
          FROM cells""",
+    // q307: mirrors DataQuality.breslowDay — q271's cells, the 4-dp
+    // psi, the hypergeometric quadratic with identical float
+    // parenthesization, per-stratum micros rounding, exact long sum.
+    "q307_breslow_day" ->
+      """WITH cells AS (SELECT l_returnflag AS s,
+           CAST(sum(CASE WHEN l_discount > 0.05 AND l_tax > 0.04
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN l_discount > 0.05 AND NOT l_tax > 0.04
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(sum(CASE WHEN NOT l_discount > 0.05 AND l_tax > 0.04
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN NOT l_discount > 0.05
+             AND NOT l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS d
+         FROM lineitem
+         WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+         GROUP BY 1),
+       p AS (SELECT round(CASE WHEN den > 0
+             THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 4)
+             AS psi
+           FROM (SELECT
+             sum((CAST(a AS HUGEINT) * d * 1000000) // (a + b + c + d))
+               AS num,
+             sum((CAST(b AS HUGEINT) * c * 1000000) // (a + b + c + d))
+               AS den
+           FROM cells)),
+       t0 AS (SELECT cells.*, psi,
+           (a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0)
+             AS used,
+           CAST(a + b AS DOUBLE) AS m1, CAST(c + d AS DOUBLE) AS m0,
+           CAST(a + c AS DOUBLE) AS n1,
+           CAST(a + b + c + d AS DOUBLE) AS nt
+         FROM cells CROSS JOIN p),
+       t1 AS (SELECT *, psi - 1.0 AS qa,
+           -(psi * (m1 + n1) + (m0 - n1)) AS qb,
+           psi * m1 * n1 AS qc
+         FROM t0),
+       t2 AS (SELECT *,
+           sqrt(greatest(qb * qb - 4.0 * qa * qc, 0.0)) AS sq,
+           greatest(0.0, n1 - m0) AS lo, least(m1, n1) AS hi
+         FROM t1),
+       t3 AS (SELECT *, (-qb - sq) / (2.0 * qa) AS r1,
+           (-qb + sq) / (2.0 * qa) AS r2
+         FROM t2),
+       t4 AS (SELECT *, CASE WHEN psi = 1.0 THEN (m1 * n1) / nt
+           WHEN r1 >= lo AND r1 <= hi THEN r1 ELSE r2 END AS at
+         FROM t3),
+       t5 AS (SELECT *, m1 - at AS bt, n1 - at AS ct,
+           (m0 - n1) + at AS dt
+         FROM t4),
+       t6 AS (SELECT psi, used,
+           CASE WHEN used AND at > 0 AND bt > 0 AND ct > 0 AND dt > 0
+             THEN CAST(round(((CAST(a AS DOUBLE) - at)
+               * (CAST(a AS DOUBLE) - at)
+               * ((1.0 / at + 1.0 / bt) + (1.0 / ct + 1.0 / dt)))
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS tm
+         FROM t5)
+       SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_used,
+         psi AS or_mh,
+         CAST(sum(tm) AS BIGINT) AS x2_micros,
+         CASE WHEN sum(CASE WHEN used THEN 1 ELSE 0 END) >= 2
+             AND psi IS NOT NULL
+           THEN round(CAST(sum(tm) AS DOUBLE) / 1000000.0, 4) + 0.0
+           END AS bd_x2,
+         CASE WHEN sum(CASE WHEN used THEN 1 ELSE 0 END) >= 2
+             AND psi IS NOT NULL
+           THEN CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) - 1
+             AS BIGINT) END AS df
+       FROM t6 GROUP BY psi""",
     // q271: mirrors DataQuality.cmhOddsRatio — per-stratum 2x2 cells,
     // per-term micros floor on the HUGEINT ladder, one mirrored double
     // division each for pooled and crude OR.

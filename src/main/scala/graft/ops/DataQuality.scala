@@ -1427,6 +1427,103 @@ object DataQuality {
         4).as("or_crude"))
   }
 
+  /** BRESLOW–DAY HOMOGENEITY TEST (Breslow & Day 1980 §IV.4) — the
+    * mandatory companion to [[cmhOddsRatio]]: the pooled OR_MH is
+    * only meaningful if the per-stratum odds ratios are HOMOGENEOUS,
+    * and this is the test that checks it. Per stratum, the expected
+    * exposed-outcome cell ã under the common OR ψ solves the
+    * hypergeometric quadratic
+    * (ψ−1)ã² − [ψ(m1+n1) + (m0−n1)]ã + ψ·m1·n1 = 0 (the in-range
+    * root), the asymptotic variance is 1/(1/ã+1/b̃+1/c̃+1/d̃), and
+    * X² = Σ (a−ã)²/V on K−1 df. A large X² means the "controlled"
+    * q271 estimate is averaging genuinely different effects — report
+    * per-stratum ORs instead. ψ is the REPORTED 4-dp OR_MH (the
+    * published two-stage procedure evaluates homogeneity at the MH
+    * estimate; using the rounded value keeps both engines on one
+    * number). Tarone's correction term is omitted (documented: it is
+    * O(1/Σ V) and needs no new relations if wanted later).
+    *
+    * Determinism: cells/margins are exact longs; each stratum's
+    * float chain (quadratic root with identical parenthesization +
+    * association both engines, sqrt/divisions) rounds to EXACT MICROS
+    * and the strata sum runs over longs; the final X² is one mirrored
+    * division + round-4. Strata with any empty margin carry no
+    * homogeneity information and are excluded from both the sum and
+    * the df (n_used reports how many remain); n_used < 2 ⇒ NULL X²
+    * (nothing to compare).
+    *
+    * Scale shape: the q271 shape exactly — ONE combinable 4-cell
+    * count per stratum, |strata|-sized everything after. */
+  def breslowDay(df: DataFrame, stratum: Column, exposed: Column,
+                 outcome: Column): DataFrame = {
+    val cells = df
+      .select(stratum.as("s"), exposed.cast("boolean").as("e"),
+        outcome.cast("boolean").as("o"))
+      .filter(col("e").isNotNull && col("o").isNotNull)
+      .groupBy(col("s"))
+      .agg(
+        sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("d"))
+      .localCheckpoint(eager = false)
+    val orRel = cells.agg(
+        sum(expr("(cast(a as decimal(38,0)) * d * 1000000)" +
+          " div (a + b + c + d)")).as("num"),
+        sum(expr("(cast(b as decimal(38,0)) * c * 1000000)" +
+          " div (a + b + c + d)")).as("den"))
+      .select(round(when(col("den") > 0,
+        col("num").cast("double") / col("den").cast("double")), 4)
+        .as("psi"))
+    val m1 = (col("a") + col("b")).cast("double")
+    val m0 = (col("c") + col("d")).cast("double")
+    val n1 = (col("a") + col("c")).cast("double")
+    val nT = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val terms = cells.join(broadcast(orRel), lit(true))
+      .withColumn("used",
+        col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
+        col("a") + col("c") > 0 && col("b") + col("d") > 0)
+      .withColumn("qa", col("psi") - lit(1.0))
+      .withColumn("qb",
+        -(col("psi") * (m1 + n1) + (m0 - n1)))
+      .withColumn("qc", col("psi") * m1 * n1)
+      .withColumn("at",
+        when(col("psi") === 1.0, (m1 * n1) / nT)
+          .otherwise {
+            val s = sqrt(greatest(
+              col("qb") * col("qb") - lit(4.0) * col("qa") * col("qc"),
+              lit(0.0)))
+            val r1 = (-col("qb") - s) / (lit(2.0) * col("qa"))
+            val r2 = (-col("qb") + s) / (lit(2.0) * col("qa"))
+            val lo = greatest(lit(0.0), n1 - m0)
+            val hi = least(m1, n1)
+            when(r1 >= lo && r1 <= hi, r1).otherwise(r2)
+          })
+      .withColumn("bt", m1 - col("at"))
+      .withColumn("ct", n1 - col("at"))
+      .withColumn("dt", (m0 - n1) + col("at"))
+      .withColumn("tm",
+        when(col("used") && col("at") > 0 && col("bt") > 0 &&
+          col("ct") > 0 && col("dt") > 0,
+          round(((col("a").cast("double") - col("at")) *
+            (col("a").cast("double") - col("at")) *
+            ((lit(1.0) / col("at") + lit(1.0) / col("bt")) +
+              (lit(1.0) / col("ct") + lit(1.0) / col("dt")))) *
+            lit(1000000.0)).cast("long"))
+          .otherwise(0L))
+    terms.groupBy(col("psi"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(when(col("used"), 1L).otherwise(0L)).as("n_used"),
+        sum(col("tm")).as("x2_micros"))
+      .select(col("n_strata"), col("n_used"),
+        col("psi").as("or_mh"), col("x2_micros"),
+        when(col("n_used") >= 2 && col("psi").isNotNull,
+          round(col("x2_micros").cast("double") / lit(1000000.0), 4)
+            + lit(0.0)).as("bd_x2"),
+        when(col("n_used") >= 2 && col("psi").isNotNull,
+          col("n_used") - 1).as("df"))
+  }
+
   /** ONE-WAY ANOVA F (Fisher 1925) — "do the group means differ more
     * than chance", the k-group generalization of the two-sample mean
     * test the experiment cards stop at: F = (SSB/(k−1))/(SSW/(N−k))

@@ -160,6 +160,28 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(c(1L) != reg2.head && c(2L) != reg2.head)
   }
 
+  test("breslowDay: two identical-OR strata give X2 = 0 exactly " +
+    "(quadratic root lands on the observed cell); mirror-reversed " +
+    "strata at psi = 1 give the hand-computed 7.2") {
+    def rows(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    def card(rs: Seq[(String, Boolean, Boolean)]) =
+      DataQuality.breslowDay(rs.toDF("s", "e", "o"), col("s"),
+        col("e"), col("o"))
+        .as[(Long, Long, Option[Double], Long, Option[Double],
+          Option[Long])].collect().head
+    // both strata (2,1,1,2): OR 4 in each; psi rounds to 4.0 and the
+    // in-range quadratic root is exactly a = 2 -> every term zero
+    val hom = card(rows("s1", 2, 1, 1, 2) ++ rows("s2", 2, 1, 1, 2))
+    assert(hom == ((2L, 2L, Some(4.0), 0L, Some(0.0), Some(1L))), hom)
+    // (4,1,1,4) against its mirror: pooled psi = 1 exactly, expected
+    // cell 2.5, per-stratum term 2.25 * 1.6 = 3.6 -> X2 = 7.2
+    val het = card(rows("s1", 4, 1, 1, 4) ++ rows("s2", 1, 4, 4, 1))
+    assert(het == ((2L, 2L, Some(1.0), 7200000L, Some(7.2), Some(1L))),
+      het)
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

@@ -2627,6 +2627,14 @@ object SparkEntry {
     TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
       col("source") === "src0")
 
+  /** Theil inequality of document char mass across sources, with the
+    * exact between/within decomposition — where the corpus
+    * concentration actually lives. See
+    * [[graft.ops.Events.theilDecomposition]]. */
+  private def qTheil(s: SparkSession, dir: String): DataFrame =
+    Events.theilDecomposition(t(s, dir, "documents"), "source",
+      "doc_id", col("n_chars"))
+
   /** Chao–Shen coverage-adjusted token entropy per language, beside
     * the plug-in value — the diversity a bigger sample would still
     * reveal. See [[graft.ops.TextAnalysis.chaoShenEntropy]]. */
@@ -3383,6 +3391,7 @@ object SparkEntry {
     "q305_chao_shen_entropy" -> (qChaoShen _),
     "q306_wl_colors" -> (qWlColors _),
     "q307_breslow_day" -> (qBreslowDay _),
+    "q308_theil_decomposition" -> (qTheil _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7640,6 +7649,40 @@ object SparkEntry {
          FROM pairs JOIN uest USING (sa, sb)
            LEFT JOIN exact USING (sa, sb)"""
     },
+    // q308: mirrors Events.theilDecomposition — per-doc nanos terms,
+    // exact long sums, three mirrored round-6 float tails.
+    "q308_theil_decomposition" ->
+      """WITH per AS (SELECT source AS g, doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS x
+           FROM documents GROUP BY 1, 2),
+         gt AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(x) AS BIGINT) AS sg
+           FROM per GROUP BY 1),
+         tot AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+             CAST(sum(sg) AS BIGINT) AS ss FROM gt),
+         terms AS (SELECT g, CASE WHEN x > 0 THEN
+             CAST(round(((CAST(x AS DOUBLE) / sg)
+               * ln((CAST(x AS DOUBLE) * ng) / sg))
+               * 1000000000.0) AS BIGINT)
+             ELSE 0 END AS tn
+           FROM per JOIN gt USING (g)),
+         tw AS (SELECT g, CAST(sum(tn) AS BIGINT) AS twn FROM terms
+           GROUP BY 1),
+         fin AS (SELECT gt.g, ng, sg, twn, nn, ss,
+             CASE WHEN sg > 0 THEN (CAST(sg AS DOUBLE) / ss)
+               * ln((CAST(sg AS DOUBLE) * nn)
+                 / (CAST(ss AS DOUBLE) * ng))
+               ELSE 0.0 END AS braw
+           FROM gt JOIN tw USING (g) CROSS JOIN tot)
+         SELECT g AS source, ng AS n_entities, sg AS x_sum,
+           CAST((1000000 * sg) // ss AS BIGINT) AS share_micros,
+           round(CAST(twn AS DOUBLE) / 1000000000.0, 6) + 0.0
+             AS theil_within,
+           round(braw, 6) + 0.0 AS theil_between_term,
+           round((CAST(sg AS DOUBLE) / ss)
+             * (CAST(twn AS DOUBLE) / 1000000000.0) + braw, 6) + 0.0
+             AS theil_contrib
+         FROM fin""",
     // q305: mirrors TextAnalysis.chaoShenEntropy — q259's token count
     // CTEs, coverage-shrunk probabilities, per-term nanos rounding
     // (identical parenthesization), exact long sums, round-4 tails.

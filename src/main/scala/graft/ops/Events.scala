@@ -2287,6 +2287,65 @@ object Events {
         expr("cum_cents * 1000000L div total_cents").as("cum_share_micros"))
   }
 
+  /** THEIL INDEX with exact BETWEEN/WITHIN DECOMPOSITION (Theil 1967)
+    * — the fourth inequality lens beside Gini (q152), Lorenz (q154)
+    * and Hoover (q284), and the only one of the four that DECOMPOSES
+    * ADDITIVELY by a partition: T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ),
+    * so "is corpus mass concentrated BETWEEN sources or WITHIN them"
+    * is answerable from one relation — the question a mixture-capping
+    * decision (q64 source caps, q279 DoReMi weights) actually needs,
+    * where Gini only says "concentrated". Output one row per group:
+    * entity count, mass, mass share (exact micros), within-group
+    * Theil T_g, the between term s_g·ln(μ_g/μ), and the group's total
+    * contribution s_g·T_g + between — the global Theil is the exact
+    * sum of the contribution column.
+    *
+    * Determinism: `valCol` must be a NON-NEGATIVE exact integer
+    * measure (token/char counts — no cents conversion is applied);
+    * per-entity terms (x/S_g)·ln(x·n_g/S_g) round to EXACT NANOS and
+    * sum as longs (the q305 idiom); the per-group tail is three
+    * mirrored float expressions (identical parenthesization), round-6
+    * (+0.0 — decomposition terms are legitimately small). A zero-mass
+    * group's share and both terms are 0 (the x·ln x → 0 limit);
+    * entities with x = 0 contribute 0 within their group.
+    *
+    * Scale shape: one per-entity combinable agg, one |groups|-row
+    * rollup broadcast BACK onto the entity stream (bounded by the
+    * group set, never the entities), one combinable nanos sum, 1-row
+    * global broadcast. No window, no sort — the [[hooverIndex]] cost
+    * class. */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         entityCol: String, valCol: Column): DataFrame = {
+    val per = df.groupBy(col(groupCol).as("g"), col(entityCol))
+      .agg(sum(valCol.cast("long")).as("x"))
+    val gt = per.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+      .localCheckpoint(eager = false)
+    val tot = gt.agg(sum(col("ng")).as("nn"), sum(col("sg")).as("ss"))
+    val tw = per.join(broadcast(gt), Seq("g"))
+      .select(col("g"),
+        when(col("x") > 0,
+          round(((col("x").cast("double") / col("sg")) *
+            log((col("x").cast("double") * col("ng")) / col("sg"))) *
+            lit(1000000000.0)).cast("long"))
+          .otherwise(0L).as("tn"))
+      .groupBy(col("g")).agg(sum(col("tn")).as("twn"))
+    val braw = when(col("sg") > 0,
+      (col("sg").cast("double") / col("ss")) *
+        log((col("sg").cast("double") * col("nn")) /
+          (col("ss").cast("double") * col("ng")))).otherwise(lit(0.0))
+    gt.join(tw, Seq("g")).join(broadcast(tot), lit(true))
+      .select(col("g").as(groupCol), col("ng").as("n_entities"),
+        col("sg").as("x_sum"),
+        expr("(1000000L * sg) div ss").as("share_micros"),
+        (round(col("twn").cast("double") / lit(1000000000.0), 6)
+          + lit(0.0)).as("theil_within"),
+        (round(braw, 6) + lit(0.0)).as("theil_between_term"),
+        (round((col("sg").cast("double") / col("ss")) *
+          (col("twn").cast("double") / lit(1000000000.0)) + braw, 6)
+          + lit(0.0)).as("theil_contrib"))
+  }
+
   def centSum(money: Column): Column =
     sum(round(money * 100).cast(LongType)) / 100.0
 

@@ -182,6 +182,31 @@ class Round16OpsSpec extends AnyFunSuite {
       het)
   }
 
+  test("theilDecomposition: within-equal groups put ALL inequality " +
+    "in the between terms (hand values); a single group puts it all " +
+    "within with a zero between term") {
+    val df = Seq(("A", 1L, 4L), ("A", 2L, 4L), ("B", 3L, 2L),
+      ("B", 4L, 2L)).toDF("source", "doc_id", "v")
+    val got = Events.theilDecomposition(df, "source", "doc_id",
+        col("v"))
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // A: share 2/3, mu_A/mu = 4/3 -> between (2/3)ln(4/3) = .191788
+    assert(got("A") ==
+      (("A", 2L, 8L, 666666L, 0.0, 0.191788, 0.191788)), got("A"))
+    // B: share 1/3, ratio 2/3 -> (1/3)ln(2/3) = -.135155
+    assert(got("B") ==
+      (("B", 2L, 4L, 333333L, 0.0, -0.135155, -0.135155)), got("B"))
+    // one group, values 1 and 3: T = .25 ln .5 + .75 ln 1.5 = .130812
+    val one = Events.theilDecomposition(
+        Seq(("G", 1L, 1L), ("G", 2L, 3L)).toDF("source", "doc_id", "v"),
+        "source", "doc_id", col("v"))
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(one == (("G", 2L, 4L, 1000000L, 0.130812, 0.0, 0.130812)),
+      one)
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

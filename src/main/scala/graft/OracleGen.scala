@@ -961,6 +961,59 @@ object OracleGen {
             ORDER BY cos DESC, cand_id ASC) AS rn FROM p)
        WHERE rn <= $k"""
 
+  /** Oracle for `Similarity.ivfOperatingCurve` (q309): one max-probe
+    * assignment with probe ranks kept, pmin per pair, the VALUES-list
+    * sweep, per-probe top-k vs the brute truth, exact micros recall. */
+  def ivfOperatingCurveSql(k: Int, nCentroids: Int, probes: Seq[Int],
+                           queryStride: Long): String = {
+    val maxP = probes.max
+    val vals = probes.map(p => s"($p)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       cent AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id
+         LIMIT $nCentroids),
+       asg AS (SELECT id, v, cent_id, rn AS pr FROM
+         (SELECT e.id, e.v, c.cent_id,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${cosSql("e.v", "c.cv", 6)} DESC, c.cent_id ASC)
+              AS rn
+          FROM e, cent c) WHERE rn <= $maxP),
+       q AS (SELECT cent_id, id AS query_id, v AS qv, pr AS qr
+         FROM asg WHERE id % $queryStride = 0),
+       pairs AS (SELECT query_id, cand_id,
+           CAST(min(pp) AS BIGINT) AS pmin, max(cos) AS cos FROM
+         (SELECT q.query_id, a.id AS cand_id,
+            greatest(q.qr, a.pr) AS pp, ${cosSql("q.qv", "a.v")} AS cos
+          FROM q JOIN asg a ON q.cent_id = a.cent_id
+            AND a.id <> q.query_id)
+         GROUP BY 1, 2),
+       sw AS MATERIALIZED (SELECT CAST(p.np AS BIGINT) AS n_probe,
+           pairs.* FROM pairs, (VALUES $vals) p(np)
+         WHERE pmin <= p.np),
+       tk AS (SELECT n_probe, query_id, cand_id FROM
+         (SELECT *, row_number() OVER (PARTITION BY n_probe, query_id
+            ORDER BY cos DESC, cand_id ASC) AS rn FROM sw)
+         WHERE rn <= $k),
+       truth AS (SELECT query_id, cand_id FROM
+         (SELECT qq.id AS query_id, c.id AS cand_id,
+            row_number() OVER (PARTITION BY qq.id
+              ORDER BY ${cosSql("qq.v", "c.v")} DESC, c.id ASC) AS rn
+          FROM e qq JOIN e c ON c.id <> qq.id
+          WHERE qq.id % $queryStride = 0)
+         WHERE rn <= $k),
+       nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nqq
+         FROM q),
+       mass AS (SELECT n_probe, CAST(count(*) AS BIGINT)
+           AS n_candidates FROM sw GROUP BY 1),
+       hits AS (SELECT n_probe, CAST(count(*) AS BIGINT) AS n_hits
+         FROM tk JOIN truth USING (query_id, cand_id) GROUP BY 1)
+       SELECT m.n_probe, nqq AS n_queries, n_candidates,
+         CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         CAST((1000000 * COALESCE(n_hits, 0)) // ($k * nqq) AS BIGINT)
+           AS recall_micros
+       FROM mass m LEFT JOIN hits USING (n_probe) CROSS JOIN nq"""
+  }
+
   /** The unrolled quantized-Lloyd rounds shared by every trained-centroid
     * oracle (q47, q87): round r assigns each vector to its nearest c(r−1)
     * centroid by round-6 cosine (cent_id tie-break) and rebuilds each

@@ -2627,6 +2627,14 @@ object SparkEntry {
     TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
       col("source") === "src0")
 
+  /** IVF recall/candidate-mass operating curve at nProbe 1/2/4/8 from
+    * ONE max-probe assignment — the probe-count tuning card. See
+    * [[graft.ops.Similarity.ivfOperatingCurve]]. */
+  private def qIvfOperatingCurve(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfOperatingCurve(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 5, nCentroids = 16, probes = Seq(1, 2, 4, 8),
+      queryStride = 100)
+
   /** Theil inequality of document char mass across sources, with the
     * exact between/within decomposition — where the corpus
     * concentration actually lives. See
@@ -3392,6 +3400,7 @@ object SparkEntry {
     "q306_wl_colors" -> (qWlColors _),
     "q307_breslow_day" -> (qBreslowDay _),
     "q308_theil_decomposition" -> (qTheil _),
+    "q309_ivf_operating_curve" -> (qIvfOperatingCurve _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5206,6 +5215,12 @@ object SparkEntry {
          FROM w CROSS JOIN t""",
     "q114_triangle_counts" -> OracleGen.triangleCountsSql,
     "q169_coreness" -> OracleGen.corenessSql(iters = 8),
+    // q309: mirrors Similarity.ivfOperatingCurve — one max-probe
+    // assignment with ranks, pmin pair relation, VALUES sweep, brute
+    // truth, exact micros recall.
+    "q309_ivf_operating_curve" -> OracleGen.ivfOperatingCurveSql(
+      k = 5, nCentroids = 16, probes = Seq(1, 2, 4, 8),
+      queryStride = 100),
     // q306: mirrors Graph.wlColors — same transition-graph CTEs,
     // 3 unrolled WL rounds of sorted-multiset md5 refinement.
     "q306_wl_colors" -> OracleGen.wlColorsSql(iters = 3),

@@ -1222,6 +1222,89 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
+  /** IVF OPERATING CURVE — recall@k and candidate mass at EACH nProbe
+    * in one pass: the tuning card an IVF deployment reads before
+    * fixing its probe count ("how much recall does the next probe
+    * buy, at what candidate-mass price"), computed against the
+    * brute-force truth on the strided query sample. The whole sweep
+    * costs ONE assignment at max(probes) with the PROBE RANK kept:
+    * a (query, cand) pair is routed at probe p iff some shared cell
+    * holds both at rank ≤ p, so pmin = min over shared cells of
+    * max(query rank, cand rank) decides every sweep point from one
+    * pair relation — no per-p re-route, no per-p re-score. Output one
+    * row per nProbe: (n_probe, n_queries, n_candidates, n_hits,
+    * recall_micros).
+    *
+    * Determinism: the q47 assignment contract (round-6 centroid
+    * cosine, cent_id tie-break), the q26 scoring contract (round-4
+    * +0.0 cosine, cand_id tie-break); pmin/mass/hits are exact
+    * integers; recall is one exact micros floor.
+    *
+    * Scale shape: bounded by the max-probe candidate mass — the same
+    * routed-join class the IVFPQ_ROUTE stress gate pins; the sweep
+    * explode multiplies the PAIR relation (already cell-bounded) by
+    * |probes|, never the corpus. The brute truth side is the
+    * documented sample-truth eval class (strided queries — drop it
+    * and the curve's mass column still stands at full scale). */
+  def ivfOperatingCurve(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int = 5, nCentroids: Int = 16,
+                        probes: Seq[Int] = Seq(1, 2, 4, 8),
+                        queryStride: Long = 100): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      "need at least one probe count >= 1")
+    val maxP = probes.max
+    val base = emb.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val centroids = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val assigned = base.join(broadcast(centroids), lit(true))
+      .select(col("id"), col("v"), col("cent_id"),
+        round(cosine(col("v"), col("cv")), 6).as("cent_cos"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= maxP)
+      .localCheckpoint(eager = false)
+    val queries = assigned.filter(col("id") % queryStride === 0)
+      .select(col("cent_id"), col("id").as("query_id"),
+        col("v").as("qv"), col("pr").as("qr"))
+    val pairs = queries
+      .join(assigned.select(col("cent_id"), col("id").as("cand_id"),
+        col("v"), col("pr").as("cr")), Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        greatest(col("qr"), col("cr")).as("pp"),
+        (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(min(col("pp")).as("pmin"), max(col("cos")).as("cos"))
+      .localCheckpoint(eager = false)
+    val swept = pairs
+      .withColumn("n_probe",
+        explode(array(probes.map(p => lit(p.toLong)): _*)))
+      .filter(col("pmin") <= col("n_probe"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val topk = swept.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k)
+    val truth = bruteForceTopK(emb, idCol, vecCol, k,
+        stride = queryStride)
+      .select(col("query_id"), col("cand_id"))
+    val nq = queries.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    val mass = swept.groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = topk.join(truth, Seq("query_id", "cand_id"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hits"))
+    mass.join(hits, Seq("n_probe"), "left")
+      .join(broadcast(nq), lit(true))
+      .select(col("n_probe"), col("n_queries"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(1000000L * coalesce(n_hits, 0L))" +
+          s" div (${k}L * n_queries)").as("recall_micros"))
+  }
+
   /** Semantic K-NN GRAPH build — directed unit-weight edges from every
     * vector to its k approximate nearest neighbors via the IVF cell
     * routing (exactly [[ivfTopK]] with EVERY vector as a query): the

@@ -207,6 +207,27 @@ class Round16OpsSpec extends AnyFunSuite {
       one)
   }
 
+  test("ivfOperatingCurve: candidate mass and recall are monotone in " +
+    "nProbe, and probing EVERY cell recovers the brute truth exactly " +
+    "(recall_micros = 1000000)") {
+    val vecs = (1L to 20L).map(i =>
+      (i, Array((i % 5 + 1).toDouble, ((i * 3) % 7 + 1).toDouble,
+        ((i * 2) % 4 + 1).toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.ivfOperatingCurve(vecs, "vec_id", "embedding",
+        k = 3, nCentroids = 4, probes = Seq(1, 2, 4), queryStride = 5)
+      .orderBy(col("n_probe"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(rows.forall(_._2 == 4L)) // queries 5, 10, 15, 20
+    val mass = rows.map(_._3)
+    val rec = rows.map(_._5)
+    assert(mass.zip(mass.tail).forall { case (a, b) => a <= b }, mass.toSeq)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b }, rec.toSeq)
+    // nProbe = nCentroids -> every pair routed -> brute-force exactly
+    assert(rows.last._5 == 1000000L, rows.last)
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

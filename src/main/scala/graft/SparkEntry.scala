@@ -2627,6 +2627,12 @@ object SparkEntry {
     TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
       col("source") === "src0")
 
+  /** Median time-to-purchase with the Brookmeyer–Crowley 95% CI off
+    * the q262 Greenwood bands. See [[graft.ops.Events.kmMedian]]. */
+  private def qKmMedian(s: SparkSession, dir: String): DataFrame =
+    Events.kmMedian(Events.load(s, dir), "user_id", "ts", "event_type",
+      startType = "signup", eventType = "purchase")
+
   /** IVF recall/candidate-mass operating curve at nProbe 1/2/4/8 from
     * ONE max-probe assignment — the probe-count tuning card. See
     * [[graft.ops.Similarity.ivfOperatingCurve]]. */
@@ -3401,6 +3407,7 @@ object SparkEntry {
     "q307_breslow_day" -> (qBreslowDay _),
     "q308_theil_decomposition" -> (qTheil _),
     "q309_ivf_operating_curve" -> (qIvfOperatingCurve _),
+    "q310_km_median" -> (qKmMedian _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -8035,6 +8042,66 @@ object SparkEntry {
              THEN round(LEAST(1.0,
                sraw + 1.959964 * (sraw * sqrt(gw))), 4) END AS ci_hi
          FROM c""",
+    // q310: mirrors Events.kmMedian — q262's CTEs verbatim, threshold
+    // tests on the ROUND-4 curve/band columns, integer day mins, the
+    // saturated day counted via its surv = 0.
+    "q310_km_median" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         st AS (SELECT user_id, min(ts) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         fe AS (SELECT e.user_id, min(e.ts) AS te
+           FROM ev e JOIN st ON st.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > st.t0 GROUP BY 1),
+         hz AS (SELECT max(ts) AS tmax FROM ev),
+         dur AS (SELECT
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             (epoch_us(COALESCE(te, tmax)) // 1000000
+               - epoch_us(t0) // 1000000) // 86400 AS d
+           FROM st LEFT JOIN fe USING (user_id) CROSS JOIN hz),
+         byd AS (SELECT d, count(*) AS n_at,
+             CAST(sum(obs) AS BIGINT) AS e_at
+           FROM dur GROUP BY 1),
+         r AS (SELECT d, n_at, e_at,
+             CAST(sum(n_at) OVER (ORDER BY d ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM byd),
+         g AS (SELECT d, e_at, n_risk,
+             CASE WHEN e_at < n_risk
+               THEN ln(1.0 - CAST(e_at AS DOUBLE) / n_risk) END AS t,
+             CASE WHEN e_at < n_risk
+               THEN CAST(e_at AS DOUBLE)
+                 / (CAST(n_risk AS DOUBLE) * (n_risk - e_at)) END AS gt
+           FROM r),
+         c AS (SELECT d, n_risk, e_at,
+             CASE WHEN e_at = n_risk THEN 0.0
+                  ELSE exp(sum(t) OVER wp) END AS sraw,
+             sum(gt) OVER wp AS gw
+           FROM g WINDOW wp AS (ORDER BY d ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         fin AS (SELECT d, n_risk, e_at, round(sraw, 4) AS surv,
+             CASE WHEN e_at < n_risk
+               THEN round(GREATEST(0.0,
+                 sraw - 1.959964 * (sraw * sqrt(gw))), 4) END AS ci_lo,
+             CASE WHEN e_at < n_risk
+               THEN round(LEAST(1.0,
+                 sraw + 1.959964 * (sraw * sqrt(gw))), 4) END AS ci_hi
+           FROM c),
+         tot AS (SELECT CAST(max(n_risk) AS BIGINT) AS n_starts,
+             CAST(sum(e_at) AS BIGINT) AS n_events,
+             CAST(min(CASE WHEN surv <= 0.5 THEN d END) AS BIGINT)
+               AS median_day,
+             CAST(min(CASE WHEN COALESCE(ci_lo, surv) <= 0.5 THEN d
+               END) AS BIGINT) AS ci_lo_day,
+             CAST(min(CASE WHEN COALESCE(ci_hi, surv) <= 0.5 THEN d
+               END) AS BIGINT) AS ci_hi_day
+           FROM fin)
+         SELECT n_starts, n_events, median_day,
+           (SELECT surv FROM fin WHERE fin.d = tot.median_day)
+             AS median_surv,
+           ci_lo_day, ci_hi_day
+         FROM tot""",
     "q258_daily_pacf" -> OracleGen.dailyPacfSql(maxLag = 4),
     "q260_cms_replay" ->
       OracleGen.cmsReplaySql(depth = 4, width = 256, topK = 10),

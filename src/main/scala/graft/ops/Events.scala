@@ -3266,6 +3266,45 @@ object Events {
         .as("ci_hi"))
   }
 
+  /** MEDIAN SURVIVAL TIME with the BROOKMEYER–CROWLEY confidence
+    * interval (Brookmeyer & Crowley 1982) — the one-number answer
+    * "when has HALF the cohort converted/churned", read directly off
+    * the KM curve: median = the first day with S ≤ 0.5, and the 95%
+    * interval inverts the Greenwood band test — its lower end is the
+    * first day the LOWER band reaches 0.5 (earliest plausibly-median
+    * day), its upper end the first day the UPPER band drops to 0.5.
+    * Any of the three is NULL when the curve (or band) never reaches
+    * 0.5 — the honest heavy-censoring readout (that's when [[rmst]]
+    * is the right scalar instead). Output ONE row: (n_starts,
+    * n_events, median_day, median_surv, ci_lo_day, ci_hi_day).
+    *
+    * Determinism: all threshold comparisons run on the ROUND-4 curve
+    * and band columns of [[kaplanMeierCi]] (4-dp doubles are
+    * bit-identical across engines, so a boundary can never flip — the
+    * raw exp-chain could differ by an ulp exactly at 0.5); day picks
+    * are exact integer mins; the saturated last day (NULL bands,
+    * surv = 0) counts against both bands via its curve value — S = 0
+    * is below 0.5 with certainty, not unknown.
+    *
+    * Scale shape: q262's exactly, plus one 1-row combinable agg. */
+  def kmMedian(events: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, startType: String,
+               eventType: String): DataFrame =
+    kaplanMeierCi(events, userCol, tsCol, typeCol, startType, eventType)
+      .agg(
+        max(col("n_risk")).as("n_starts"),
+        sum(col("n_events")).as("n_events"),
+        min(when(col("surv") <= 0.5,
+          struct(col("duration_days"), col("surv")))).as("__m"),
+        min(when(coalesce(col("ci_lo"), col("surv")) <= 0.5,
+          col("duration_days"))).as("ci_lo_day"),
+        min(when(coalesce(col("ci_hi"), col("surv")) <= 0.5,
+          col("duration_days"))).as("ci_hi_day"))
+      .select(col("n_starts"), col("n_events"),
+        col("__m.duration_days").as("median_day"),
+        col("__m.surv").as("median_surv"),
+        col("ci_lo_day"), col("ci_hi_day"))
+
   /** RESTRICTED MEAN SURVIVAL TIME (Irwin 1949; the τ-truncated area
     * under the KM curve) — the survival family's SCALAR summary when
     * the median never resolves (heavy censoring) and hazard ratios are

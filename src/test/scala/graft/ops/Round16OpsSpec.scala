@@ -228,6 +228,37 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(rows.last._5 == 1000000L, rows.last)
   }
 
+  test("kmMedian: four-user hand curve — median at the exact S = 0.5 " +
+    "day, CI lower limit from the Greenwood band, upper limit only " +
+    "at the saturated S = 0 day; an early-censored cohort reports " +
+    "NULL median") {
+    def ts(day: Long) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    val ev = Seq(
+      (1L, "signup", ts(0)), (2L, "signup", ts(0)),
+      (3L, "signup", ts(0)), (4L, "signup", ts(0)),
+      (1L, "purchase", ts(2)), (2L, "purchase", ts(2)),
+      (3L, "purchase", ts(5)), (4L, "purchase", ts(9)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.kmMedian(ev, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .as[(Long, Long, Option[Long], Option[Double], Option[Long],
+        Option[Long])].collect().head
+    // d2: S = .5 (median), ci_lo = .5 - 1.96*.25 = .01 <= .5;
+    // d5: ci_hi = .6743 > .5; d9: saturated, S = 0 -> upper limit 9
+    assert(got == ((4L, 4L, Some(2L), Some(0.5), Some(2L), Some(9L))),
+      got)
+    // nobody converts: curve stays at 1.0 until the censor horizon
+    val none = Seq((1L, "signup", ts(0)), (2L, "signup", ts(0)),
+      (1L, "click", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val n = Events.kmMedian(none, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .as[(Long, Long, Option[Long], Option[Double], Option[Long],
+        Option[Long])].collect().head
+    assert(n == ((2L, 0L, None, None, None, None)), n)
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

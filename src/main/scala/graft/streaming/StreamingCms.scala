@@ -42,6 +42,14 @@ object StreamingCms {
       .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
   }
 
+  /** Fold all cell-count partials with batch_id ≤ `upTo` into one
+    * base layer ([[Archives.compact]]): counter cells are plain long
+    * sums — exact fold, ≤ d·w rows remain. */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String, upTo: Long): Unit =
+    Archives.compact(spark, stateDir, upTo, Seq("i", "b"),
+      Seq(sum(col("c")).as("c")))
+
   /** ONLINE HEAVY-HITTER ADMISSION — the frequency gate a streaming
     * dedup/quality pipeline wants: per micro-batch, the batch's d×w
     * cell partials append to `stateDir` (bounded rows per batch — the

@@ -84,6 +84,17 @@ object StreamingGroupSequential {
       .write.mode("overwrite").parquet(s"$cardsDir/batch_id=$batchId")
   }
 
+  /** Fold all cell partials with batch_id ≤ `upTo` into one base
+    * layer ([[Archives.compact]]): (n, x) are plain long sums, so the
+    * fold is exact and the archive shrinks to one row per
+    * (group, day, arm) — ArchivesSpec pins card invariance, including
+    * the full-ladder re-slice a later day triggers. */
+  def compactCells(spark: SparkSession, cellsDir: String,
+                   upTo: Long): Unit =
+    Archives.compact(spark, cellsDir, upTo,
+      Seq("grp", "day", "treated"),
+      Seq(sum(col("n")).as("n"), sum(col("x")).as("x")))
+
   /** Latest-wins live view: per group, the full interim ladder of that
     * group's most recent recompute (exact vs the batch face — a
     * recompute always replays the group's complete history). Null-safe

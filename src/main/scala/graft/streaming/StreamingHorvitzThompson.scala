@@ -82,6 +82,17 @@ object StreamingHorvitzThompson {
       .write.mode("overwrite").parquet(s"$cardsDir/batch_id=$batchId")
   }
 
+  /** Fold all moment partials with batch_id ≤ `upTo` into one base
+    * layer ([[Archives.compact]]): all four moments are plain long
+    * sums — exact fold, one row per group remains. */
+  def compactMoments(spark: SparkSession, momentsDir: String,
+                     upTo: Long, groupCol: String): Unit =
+    Archives.compact(spark, momentsDir, upTo, Seq(groupCol),
+      Seq(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_sampled")).as("n_sampled"),
+        sum(col("true_total_cents")).as("true_total_cents"),
+        sum(col("samp_cents")).as("samp_cents")))
+
   /** The HT tail off accumulated moments `(groupCol, n_rows,
     * n_sampled, true_total_cents, __s)` — byte-identical arithmetic to
     * the batch face's tail (sign-symmetric exact divisions, the q238

@@ -105,6 +105,35 @@ class ArchivesSpec extends AnyFunSuite {
     assert(cards(cardsA) == cards(cardsB))
   }
 
+  test("compact: the group-sequential cell archive folds exactly — " +
+    "ladders equal the uncompacted twin even when the post-compaction " +
+    "batch adds a NEW day (the full-ladder re-slice path)") {
+    import spark.implicits._
+    def ts(day: Long, u: Long) = new java.sql.Timestamp(
+      1704067200000L + day * 86400000L + u * 1000L)
+    def batch(day: Long) = (0L until 40L).map { u =>
+      (if (u % 2 == 0) "exp" else "exp2", u,
+        ts(day, u), (u * (day + 3)) % 5 == 0)
+    }.toDF("g", "user_id", "ts", "ok")
+    def run(compactAt: Option[Long]) = {
+      val cells = Files.createTempDirectory("gs_cells").toString
+      val cards = Files.createTempDirectory("gs_cards").toString
+      for (b <- 0L to 3L) {
+        StreamingGroupSequential.applyBatch(batch(b), b, "g",
+          "user_id", "ts", col("ok"), cells, cards, looks = 3,
+          c = 2.004)
+        if (compactAt.contains(b)) {
+          StreamingGroupSequential.compactCells(spark, cells, b)
+          assert(Archives.batchIds(spark, cells) == Seq(b))
+        }
+      }
+      StreamingGroupSequential.currentLadders(spark, cards)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val folded = run(compactAt = Some(2L))
+    assert(folded == run(compactAt = None) && folded.nonEmpty)
+  }
+
   test("latest-wins survives the 11th batch: max(batch_id) is numeric " +
     "(a lexicographic string max would pick 9 over 10)") {
     val regsDir = Files.createTempDirectory("arch_regs").toString

@@ -2627,6 +2627,14 @@ object SparkEntry {
     TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
       col("source") === "src0")
 
+  /** Oracle-checked Bloom replay: ordering customers' keys into a
+    * 4096-bit array, probed for every customer — no false negatives,
+    * measured FPR beside exact membership. See
+    * [[graft.ops.Sketches.bloomReplay]]. */
+  private def qBloomReplay(s: SparkSession, dir: String): DataFrame =
+    Sketches.bloomReplay(t(s, dir, "orders"), col("o_custkey"),
+      t(s, dir, "customer"), col("c_custkey"))
+
   /** Median time-to-purchase with the Brookmeyer–Crowley 95% CI off
     * the q262 Greenwood bands. See [[graft.ops.Events.kmMedian]]. */
   private def qKmMedian(s: SparkSession, dir: String): DataFrame =
@@ -3408,6 +3416,7 @@ object SparkEntry {
     "q308_theil_decomposition" -> (qTheil _),
     "q309_ivf_operating_curve" -> (qIvfOperatingCurve _),
     "q310_km_median" -> (qKmMedian _),
+    "q311_bloom_replay" -> (qBloomReplay _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -7705,6 +7714,50 @@ object SparkEntry {
              * (CAST(twn AS DOUBLE) / 1000000000.0) + braw, 6) + 0.0
              AS theil_contrib
          FROM fin""",
+    // q311: mirrors Sketches.bloomReplay — q222 seed-hash positions,
+    // bit_or word array, all-k-bits membership test, exact counts.
+    "q311_bloom_replay" ->
+      """WITH keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+           FROM orders WHERE o_custkey IS NOT NULL),
+         h AS (SELECT i FROM range(0, 4) t(i)),
+         pos AS (SELECT DISTINCT
+             CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || '|'
+               || k), 1, 8)) AS BIGINT) % 4096 AS pos
+           FROM keys, h),
+         words AS (SELECT pos // 63 AS w,
+             CAST(bit_or(1::BIGINT << CAST(pos % 63 AS INT))
+               AS BIGINT) AS bits
+           FROM pos GROUP BY 1),
+         probes AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+           FROM customer WHERE c_custkey IS NOT NULL),
+         pp AS (SELECT k,
+             CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || '|'
+               || k), 1, 8)) AS BIGINT) % 4096 AS pos
+           FROM probes, h),
+         pj AS (SELECT k, CASE WHEN
+             ((COALESCE(bits, 0) >> CAST(pos % 63 AS INT)) & 1) = 1
+             THEN 1 ELSE 0 END AS hit
+           FROM (SELECT k, pos // 63 AS w, pos FROM pp) q
+           LEFT JOIN words USING (w)),
+         perkey AS (SELECT k, CAST(sum(hit) AS BIGINT) = 4 AS positive
+           FROM pj GROUP BY 1),
+         nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys),
+         bs AS (SELECT CAST(COALESCE(sum(bit_count(bits)), 0)
+             AS BIGINT) AS bits_set FROM words),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes
+           FROM probes),
+         ps AS (SELECT CAST(COALESCE(sum(CASE WHEN positive THEN 1
+             ELSE 0 END), 0) AS BIGINT) AS n_positive FROM perkey),
+         mem AS (SELECT CAST(count(*) AS BIGINT) AS n_members
+           FROM probes WHERE k IN (SELECT k FROM keys))
+         SELECT n_keys, CAST(4096 AS BIGINT) AS m_bits,
+           CAST(4 AS BIGINT) AS k_hashes, bits_set, n_probes,
+           n_positive, n_members,
+           n_positive - n_members AS n_false_pos,
+           CASE WHEN n_probes > n_members THEN
+             (1000000 * (n_positive - n_members))
+               // (n_probes - n_members) END AS fpr_ppm
+         FROM nk, bs, np, ps, mem""",
     // q305: mirrors TextAnalysis.chaoShenEntropy — q259's token count
     // CTEs, coverage-shrunk probabilities, per-term nanos rounding
     // (identical parenthesization), exact long sums, round-4 tails.

@@ -488,6 +488,87 @@ object Sketches {
   /** The [[cmsReplay]] bucket hash — shared with the streaming counter
     * maintenance ([[graft.streaming.StreamingCms]]) so both faces
     * bucket identically. */
+  /** BLOOM FILTER REPLAY (Bloom 1970) — the ORACLE-CHECKED face of
+    * the bloom family, completing the sketch quartet beside CMS
+    * (q260), HLL (q299) and AMS F2 (q222): q57's semijoin rides
+    * Spark's opaque `bloom_filter_agg` binary (which DuckDB cannot
+    * replay), so the cross-engine contract is carried here by a
+    * deterministic m-bit array built from the q222 md5-prefix seed
+    * hash family ([[cmsBucket]] — the same k-hash construction) and
+    * probed for a second relation's keys. What the card then pins is
+    * the structure's DEFINING guarantee: NO FALSE NEGATIVES (every
+    * true member probes positive — BloomReplaySpec asserts
+    * n_members ≤ n_positive with equality on the member subset), plus
+    * the measured false-positive rate beside the exact membership
+    * truth. Output ONE row: (n_keys, m_bits, k_hashes, bits_set,
+    * n_probes, n_positive, n_members, n_false_pos, fpr_ppm).
+    *
+    * Determinism: positions are exact md5-prefix integers mod m; the
+    * bit array is a bit_or aggregate (order-free, idempotent — the
+    * HLL-register argument for exactness under any merge order); all
+    * card columns are exact integers; fpr is one micros floor over
+    * the exact non-member count.
+    *
+    * Scale shape: the array is ≤ ⌈m/63⌉ rows REGARDLESS of corpus
+    * (63-bit words: the shift never reaches bit 63, which DuckDB's
+    * checked `<<` rejects and a signed long would flip negative —
+    * the sketch property either way) — at 100 TB the array
+    * broadcasts while the exact
+    * semijoin truth column shuffles; drop the truth column past test
+    * scale and the whole probe is a broadcast join); build and probe
+    * are each one combinable pass of k rows per distinct key. */
+  def bloomReplay(build: DataFrame, buildKey: Column, probe: DataFrame,
+                  probeKey: Column, mBits: Int = 4096,
+                  kHashes: Int = 4): DataFrame = {
+    require(mBits >= 2 && kHashes >= 1,
+      "need mBits >= 2 and kHashes >= 1")
+    val spark = build.sparkSession
+    val keys = build.select(buildKey.cast("string").as("k"))
+      .filter(col("k").isNotNull).distinct()
+      .localCheckpoint(eager = false)
+    val hashes = broadcast(
+      spark.range(0, kHashes).select(col("id").as("i")))
+    val words = keys.crossJoin(hashes)
+      .select(cmsBucket(col("i"), col("k"), mBits).as("pos"))
+      .distinct()
+      .select(expr("pos div 63").as("w"),
+        expr("shiftleft(1L, cast(pos % 63 as int))").as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("bits"))
+      .localCheckpoint(eager = false)
+    val probes = probe.select(probeKey.cast("string").as("k"))
+      .filter(col("k").isNotNull).distinct()
+      .localCheckpoint(eager = false)
+    val perKey = probes.crossJoin(hashes)
+      .select(col("k"), cmsBucket(col("i"), col("k"), mBits).as("pos"))
+      .select(col("k"), expr("pos div 63").as("w"),
+        expr("cast(pos % 63 as int)").as("b"))
+      .join(broadcast(words), Seq("w"), "left")
+      .select(col("k"),
+        when(expr("(shiftright(coalesce(bits, 0L), b) & 1) = 1"), 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy(col("k"))
+      .agg((sum(col("hit")) === kHashes).as("positive"))
+    val nk = keys.agg(count(lit(1)).as("n_keys"))
+    val bs = words.agg(
+      coalesce(sum(expr("bit_count(bits)").cast("long")), lit(0L))
+        .as("bits_set"))
+    val np = probes.agg(count(lit(1)).as("n_probes"))
+    val pos = perKey.agg(
+      coalesce(sum(when(col("positive"), 1L).otherwise(0L)), lit(0L))
+        .as("n_positive"))
+    val mem = probes.join(keys.withColumnRenamed("k", "k2"),
+        col("k") === col("k2"), "left_semi")
+      .agg(count(lit(1)).as("n_members"))
+    nk.crossJoin(bs).crossJoin(np).crossJoin(pos).crossJoin(mem)
+      .select(col("n_keys"), lit(mBits.toLong).as("m_bits"),
+        lit(kHashes.toLong).as("k_hashes"), col("bits_set"),
+        col("n_probes"), col("n_positive"), col("n_members"),
+        (col("n_positive") - col("n_members")).as("n_false_pos"),
+        when(col("n_probes") > col("n_members"),
+          expr("(1000000L * (n_positive - n_members))" +
+            " div (n_probes - n_members)")).as("fpr_ppm"))
+  }
+
   private[graft] def cmsBucket(i: Column, k: Column, width: Int): Column =
     conv(substring(md5(concat(i, lit("|"), k.cast("string"))), 1, 8),
       16, 10).cast("long") % width

@@ -259,6 +259,30 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(n == ((2L, 0L, None, None, None, None)), n)
   }
 
+  test("bloomReplay: no false negatives (member-only probe is all " +
+    "positive); disjoint probes report exact false positives; a " +
+    "saturated array answers positive for everything") {
+    def card(build: Seq[String], probes: Seq[String], m: Int, k: Int) =
+      Sketches.bloomReplay(build.toDF("bk"), col("bk"),
+        probes.toDF("pk"), col("pk"), mBits = m, kHashes = k)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long,
+          Option[Long])].collect().head
+    val keys = (0 until 50).map(i => s"key_$i")
+    val others = (0 until 400).map(i => s"other_$i")
+    // every true member probes positive: the defining guarantee
+    val mem = card(keys, keys, m = 1024, k = 4)
+    assert(mem._1 == 50L && mem._5 == 50L && mem._6 == 50L &&
+      mem._7 == 50L && mem._8 == 0L && mem._9.isEmpty, mem)
+    // disjoint probes: positives are ALL false, fpr exact over 400
+    val dis = card(keys, others, m = 1024, k = 4)
+    assert(dis._7 == 0L && dis._6 == dis._8, dis)
+    assert(dis._9.contains(dis._8 * 1000000L / 400L), dis)
+    // a 4-bit array under 100 hash draws saturates -> all positive
+    val sat = card(keys, others, m = 4, k = 2)
+    assert(sat._4 == 4L && sat._6 == 400L &&
+      sat._9.contains(1000000L), sat)
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

@@ -2485,6 +2485,19 @@ object SparkEntry {
     Events.stratifiedAte(Events.load(s, dir), "event_type", "user_id",
       "value")
 
+  /** Common-support diagnostic over a stratification that DELIBERATELY
+    * encodes the treatment on purchase rows (purchase_0/purchase_1 are
+    * one-armed → out of support): pooled ATE over all vs supported
+    * strata. See [[graft.ops.Events.commonSupport]]. */
+  private def qCommonSupport(s: SparkSession, dir: String): DataFrame =
+    Events.commonSupport(
+      Events.load(s, dir).withColumn("strat",
+        when(col("event_type") === "purchase",
+          concat(lit("purchase_"),
+            pmod(col("user_id"), lit(2)).cast("string")))
+          .otherwise(col("event_type"))),
+      "strat", "user_id", "value")
+
   /** Strongly connected components of the session-transition graph,
     * sparsified by a deterministic edge filter so the condensation is
     * nontrivial (the full 100-node graph is one giant SCC) — mutual-
@@ -3417,6 +3430,7 @@ object SparkEntry {
     "q309_ivf_operating_curve" -> (qIvfOperatingCurve _),
     "q310_km_median" -> (qKmMedian _),
     "q311_bloom_replay" -> (qBloomReplay _),
+    "q312_common_support" -> (qCommonSupport _),
     "q108_pmi_collocations" -> (qPmiCollocations _),
     "q109_dsir_weights" -> (qDsirWeights _),
     "q110_personalized_pagerank" -> (qPersonalizedPageRank _),
@@ -5495,6 +5509,56 @@ object SparkEntry {
              * CAST(abs(sum(n * effect_micros))
                  // CAST(sum(n) AS BIGINT) AS BIGINT)
          FROM p3 WHERE effect_micros IS NOT NULL""",
+    // q312: mirrors Events.commonSupport — q188's cells with the
+    // treatment-encoding stratum, micros balance ratio, 0.1 band,
+    // pooled ATE twice (all vs supported strata).
+    "q312_common_support" ->
+      """WITH cells AS (SELECT CASE WHEN event_type = 'purchase'
+             THEN 'purchase_' || CAST(user_id % 2 AS VARCHAR)
+             ELSE event_type END AS stratum,
+             (user_id % 2 = 1) AS treated,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cs
+           FROM events GROUP BY 1, 2),
+         per AS (SELECT stratum,
+             max(CASE WHEN treated THEN cn END) AS n_t,
+             max(CASE WHEN NOT treated THEN cn END) AS n_c,
+             max(CASE WHEN treated THEN cs END) AS s_t,
+             max(CASE WHEN NOT treated THEN cs END) AS s_c
+           FROM cells GROUP BY 1),
+         p3 AS (SELECT stratum,
+             coalesce(n_t, 0) + coalesce(n_c, 0) AS n, n_t, n_c,
+             CASE WHEN n_t IS NOT NULL AND n_c IS NOT NULL
+               THEN (1000000 * least(n_t, n_c)) // greatest(n_t, n_c)
+               END AS ratio_micros,
+             (1000000 * s_t) // n_t - (1000000 * s_c) // n_c
+               AS effect_micros
+           FROM per),
+         p4 AS (SELECT *,
+             COALESCE(ratio_micros >= 100000, false) AS in_support
+           FROM p3)
+         SELECT 'stratum' AS scope, stratum, n, n_t, n_c,
+           ratio_micros, effect_micros, in_support
+         FROM p4
+         UNION ALL
+         SELECT 'ate_all', CAST(NULL AS VARCHAR),
+           CAST(sum(n) AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(sign(sum(n * effect_micros)) AS BIGINT)
+             * CAST(abs(sum(n * effect_micros))
+                 // CAST(sum(n) AS BIGINT) AS BIGINT),
+           CAST(NULL AS BOOLEAN)
+         FROM p4 WHERE effect_micros IS NOT NULL
+         UNION ALL
+         SELECT 'ate_supported', CAST(NULL AS VARCHAR),
+           CAST(sum(n) AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(sign(sum(n * effect_micros)) AS BIGINT)
+             * CAST(abs(sum(n * effect_micros))
+                 // CAST(sum(n) AS BIGINT) AS BIGINT),
+           CAST(NULL AS BOOLEAN)
+         FROM p4 WHERE effect_micros IS NOT NULL AND in_support""",
     "q189_blocking_quality" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
            WHERE p_partkey % 10 = 0),

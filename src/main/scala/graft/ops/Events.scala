@@ -397,6 +397,73 @@ object Events {
     per.unionByName(total)
   }
 
+  /** COMMON-SUPPORT (overlap) DIAGNOSTIC for stratified causal
+    * estimates (Rosenbaum & Rubin 1983's overlap assumption made
+    * operational; the trimming rule of Crump et al. 2009 in its
+    * stratum form) — [[stratifiedAte]]'s mandatory companion: a
+    * stratum with one arm missing (or wildly imbalanced) contributes
+    * NO causal information, only extrapolation, and a stratification
+    * that accidentally encodes the treatment silently poisons the
+    * pooled estimate. Per stratum: arm sizes, the arm-balance ratio
+    * min/max in exact micros, the in_support flag
+    * (ratio ≥ `minRatioMicros`, default 0.1 — the standard 10:1
+    * trimming band), and the stratum effect; then TWO total rows —
+    * the q188 pooled ATE over ALL estimable strata (`scope =
+    * 'ate_all'`) and over the SUPPORTED strata only
+    * (`'ate_supported'`). The gap between the two totals is the
+    * extrapolation the untrimmed estimate was smuggling in.
+    *
+    * Determinism: everything is q188's exact-integer machinery plus
+    * one more micros floor for the ratio; the two pooled rows reuse
+    * the sign-symmetric weighted-mean floor division. A stratum with
+    * a missing arm has NULL ratio and in_support = false.
+    *
+    * Scale shape: q188's exactly — one combinable (stratum, arm) agg,
+    * |strata|-sized everything after. */
+  def commonSupport(events: DataFrame, stratCol: String, userCol: String,
+                    valCol: String,
+                    minRatioMicros: Long = 100000L): DataFrame = {
+    val per = events.select(col(stratCol).as("stratum"),
+        (col(userCol) % 2 === 1).as("treated"),
+        round(col(valCol) * 100).cast(LongType).as("cents"))
+      .groupBy(col("stratum"), col("treated"))
+      .agg(count(lit(1)).as("cn"), sum(col("cents")).as("cs"))
+      .groupBy(col("stratum"))
+      .agg(max(when(col("treated"), col("cn"))).as("n_t"),
+        max(when(!col("treated"), col("cn"))).as("n_c"),
+        max(when(col("treated"), col("cs"))).as("s_t"),
+        max(when(!col("treated"), col("cs"))).as("s_c"))
+      .select(lit("stratum").as("scope"), col("stratum"),
+        (coalesce(col("n_t"), lit(0L)) + coalesce(col("n_c"), lit(0L)))
+          .as("n"),
+        col("n_t"), col("n_c"),
+        // explicit both-arms guard: least/greatest SKIP nulls (both
+        // engines), so a one-armed stratum would otherwise score a
+        // perfect 1.0 balance ratio and sneak into support
+        when(col("n_t").isNotNull && col("n_c").isNotNull,
+          expr("(1000000L * least(n_t, n_c)) div greatest(n_t, n_c)"))
+          .as("ratio_micros"),
+        (expr("(1000000L * s_t) div n_t") -
+          expr("(1000000L * s_c) div n_c")).as("effect_micros"))
+      .withColumn("in_support",
+        coalesce(col("ratio_micros") >= minRatioMicros, lit(false)))
+      .localCheckpoint(eager = false)
+    def pooled(scope: String, flt: Column) = per
+      .filter(flt && col("effect_micros").isNotNull)
+      .agg(sum(col("n")).as("n"),
+        sum(col("n") * col("effect_micros")).as("w"))
+      .select(lit(scope).as("scope"),
+        lit(null).cast(per.schema("stratum").dataType).as("stratum"),
+        col("n"), lit(null).cast("long").as("n_t"),
+        lit(null).cast("long").as("n_c"),
+        lit(null).cast("long").as("ratio_micros"),
+        (signum(col("w")).cast("long") *
+          expr("(abs(w)) div n")).as("effect_micros"),
+        lit(null).cast("boolean").as("in_support"))
+    per.unionByName(pooled("ate_all", lit(true)))
+      .unionByName(pooled("ate_supported", col("in_support")))
+  }
+
   /** TWO-PROPORTION interval card — Wilson score intervals per arm
     * (Wilson 1927; the small-sample-safe default every A/B platform
     * ships instead of the Wald interval, whose coverage collapses near

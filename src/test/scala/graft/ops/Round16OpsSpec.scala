@@ -283,6 +283,32 @@ class Round16OpsSpec extends AnyFunSuite {
       sat._9.contains(1000000L), sat)
   }
 
+  test("commonSupport: a balanced stratum is in support, an 11:1 one " +
+    "falls outside the 0.1 band, a one-armed one has NULL ratio; the " +
+    "supported ATE drops the imbalanced stratum's pull (hand values)") {
+    val ev = (Seq((1L, "bal", 3.0), (2L, "bal", 1.0)) ++
+      Seq.fill(11)((3L, "imb", 1.0)) ++ Seq((4L, "imb", 9.0)) ++
+      Seq.fill(2)((5L, "pure", 2.0)))
+      .toDF("user_id", "strat", "value")
+    val got = Events.commonSupport(ev, "strat", "user_id", "value")
+      .as[(String, Option[String], Long, Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Boolean])]
+      .collect().map(r => (r._1, r._2.getOrElse("")) -> r).toMap
+    assert(got(("stratum", "bal")) == (("stratum", Some("bal"), 2L,
+      Some(1L), Some(1L), Some(1000000L), Some(200000000L),
+      Some(true))))
+    assert(got(("stratum", "imb")) == (("stratum", Some("imb"), 12L,
+      Some(11L), Some(1L), Some(90909L), Some(-800000000L),
+      Some(false))))
+    assert(got(("stratum", "pure")) == (("stratum", Some("pure"), 2L,
+      Some(2L), None, None, None, Some(false))))
+    // all: (2*2e8 + 12*(-8e8)) / 14 = -657142857; supported: bal only
+    assert(got(("ate_all", "")) == (("ate_all", None, 14L, None, None,
+      None, Some(-657142857L), None)))
+    assert(got(("ate_supported", "")) == (("ate_supported", None, 2L,
+      None, None, None, Some(200000000L), None)))
+  }
+
   test("fellegiSunterEm: a candidates frame with extra columns is " +
     "rejected, not silently joined on the wrong pair") {
     val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "f")

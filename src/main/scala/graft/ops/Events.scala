@@ -2382,14 +2382,30 @@ object Events {
     * global broadcast. No window, no sort — the [[hooverIndex]] cost
     * class. */
   def theilDecomposition(df: DataFrame, groupCol: String,
-                         entityCol: String, valCol: Column): DataFrame = {
-    val per = df.groupBy(col(groupCol).as("g"), col(entityCol))
-      .agg(sum(valCol.cast("long")).as("x"))
+                         entityCol: String, valCol: Column): DataFrame =
+    theilFromPerEntity(
+      df.groupBy(col(groupCol).as("g"), col(entityCol))
+        .agg(sum(valCol.cast("long")).as("x")), groupCol)
+
+  /** [[theilDecomposition]]'s tail over an already-rolled-up
+    * per-(group, entity) exact-integer relation `(g, <entity>, x)` —
+    * shared byte-identically with the streaming face
+    * ([[graft.streaming.StreamingHoover.currentTheil]], which feeds
+    * it the SAME per-entity cent rollup its Hoover archive already
+    * stores: two inequality cards, one archive, zero extra state —
+    * the archive-as-shared-substrate property long sums give us). */
+  private[graft] def theilFromPerEntity(per: DataFrame,
+                                        groupCol: String): DataFrame = {
     val gt = per.groupBy(col("g"))
       .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
       .localCheckpoint(eager = false)
     val tot = gt.agg(sum(col("ng")).as("nn"), sum(col("sg")).as("ss"))
-    val tw = per.join(broadcast(gt), Seq("g"))
+    // null-safe stats join-back (the hooverFromCents contract): the
+    // streaming substrate can carry a NULL group; a plain equi-join
+    // here would starve that group's term sum and drop its card row
+    val tw = per.join(
+        broadcast(gt.select(col("g").as("__g"), col("ng"), col("sg"))),
+        col("g") <=> col("__g")).drop("__g")
       .select(col("g"),
         when(col("x") > 0,
           round(((col("x").cast("double") / col("sg")) *
@@ -2401,7 +2417,12 @@ object Events {
       (col("sg").cast("double") / col("ss")) *
         log((col("sg").cast("double") * col("nn")) /
           (col("ss").cast("double") * col("ng")))).otherwise(lit(0.0))
-    gt.join(tw, Seq("g")).join(broadcast(tot), lit(true))
+    // null-safe group join (the hooverFromCents contract): the
+    // streaming substrate can carry a NULL group, and a plain
+    // equi-join would silently drop its card row
+    gt.join(tw.withColumnRenamed("g", "__g"),
+        col("g") <=> col("__g")).drop("__g")
+      .join(broadcast(tot), lit(true))
       .select(col("g").as(groupCol), col("ng").as("n_entities"),
         col("sg").as("x_sum"),
         expr("(1000000L * sg) div ss").as("share_micros"),

@@ -30,19 +30,30 @@ object StreamingHll {
 
   def distinctCard(stream: DataFrame, keyCol: Column, regsDir: String,
                    cardsDir: String, checkpointDir: String,
-                   p: Int = 8): StreamingQuery =
+                   p: Int = 8, compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, keyCol, regsDir, cardsDir, p)
+        applyBatch(batch, batchId, keyCol, regsDir, cardsDir, p,
+          compactEvery)
       }
       .start()
 
   /** One HLL round — also the non-streaming entry a scheduled ingest
-    * calls with its own batch ids. */
+    * calls with its own batch ids. `compactEvery` > 0 folds the
+    * register archive every that-many batches — up to `batchId − 1`
+    * ONLY: the batch being processed is not checkpoint-committed until
+    * foreachBatch returns, and a replay of it overwrites its own
+    * partition — folding history INTO that partition first would let
+    * the replay's overwrite destroy it. batchId − 1 is always
+    * committed (foreachBatch ids are sequential), so the fold is safe
+    * there ([[Archives.compact]]'s contract). */
   def applyBatch(batch: DataFrame, batchId: Long, keyCol: Column,
-                 regsDir: String, cardsDir: String, p: Int): Unit = {
+                 regsDir: String, cardsDir: String, p: Int,
+                 compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactRegisters(spark, regsDir, batchId - 1)
     val keyed = batch.select(keyCol.cast("string").as("k"))
       .filter(col("k").isNotNull)
     // one relation carries both stats: per-register max rank AND the

@@ -58,21 +58,28 @@ object StreamingHoover {
 
   def hoover(stream: DataFrame, groupCol: String, entityCol: String,
              valCol: String, rollupDir: String, cardsDir: String,
-             checkpointDir: String): StreamingQuery =
+             checkpointDir: String,
+             compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, groupCol, entityCol, valCol,
-          rollupDir, cardsDir)
+          rollupDir, cardsDir, compactEvery)
       }
       .start()
 
   /** One Hoover round — also the non-streaming entry a scheduled
-    * ingest calls with its own batch ids. */
+    * ingest calls with its own batch ids. `compactEvery` > 0 folds
+    * the rollup archive every that-many batches, up to `batchId − 1`
+    * only — the in-flight batch can still REPLAY and overwrite its
+    * own partition, so history must never be folded into it (see
+    * [[StreamingHll.applyBatch]]; batchId − 1 is always committed). */
   def applyBatch(batch: DataFrame, batchId: Long, groupCol: String,
                  entityCol: String, valCol: String, rollupDir: String,
-                 cardsDir: String): Unit = {
+                 cardsDir: String, compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactRollup(spark, rollupDir, batchId - 1, groupCol, entityCol)
     // sanitized partition copy: group stays a regular typed data column
     // (nulls intact); the directory key is always a non-null string
     val gpart = coalesce(col(groupCol).cast("string"), lit(NullPart))
@@ -105,6 +112,24 @@ object StreamingHoover {
                     groupCol: String, entityCol: String): Unit =
     Archives.compact(spark, rollupDir, upTo, Seq(groupCol, entityCol),
       Seq(sum(col("cents")).as("cents")))
+
+  /** LIVE THEIL CARD off the SAME rollup archive the Hoover cards
+    * recompute from — no second archive, no extra per-trigger state:
+    * the per-(group, entity) cent partials sum to exactly the
+    * per-entity relation [[graft.ops.Events.theilDecomposition]]
+    * needs, so the between/within inequality decomposition
+    * (q308) is a free second reading of the Hoover substrate.
+    * Call between triggers (or after a batch) for the
+    * history-so-far card over ALL groups; a negative-mass group
+    * (net-negative cent sums are possible in a refund-heavy stream)
+    * violates Theil's non-negative-measure contract and should be
+    * filtered by the caller. */
+  def currentTheil(spark: SparkSession, rollupDir: String,
+                   groupCol: String, entityCol: String): DataFrame =
+    graft.ops.Events.theilFromPerEntity(
+      Archives.read(spark, rollupDir)
+        .groupBy(col(groupCol).as("g"), col(entityCol))
+        .agg(sum(col("cents")).as("x")), groupCol)
 
   /** Directory sentinel for a NULL group — a non-null string so the
     * touched-set `isin` prune can match it (NULL itself never would). */

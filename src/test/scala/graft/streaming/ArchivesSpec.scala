@@ -134,6 +134,57 @@ class ArchivesSpec extends AnyFunSuite {
     assert(folded == run(compactAt = None) && folded.nonEmpty)
   }
 
+  test("auto-compaction (compactEvery) folds DURING the stream up to " +
+    "the previous committed batch only — card identical to the " +
+    "uncompacted twin, directory count bounded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ac_src").toString
+    (0L until 600L).map(i => s"k${i % 170}").toDF("k")
+      .repartition(5).write.mode("overwrite").parquet(dir)
+    def run(every: Int) = {
+      val regs = Files.createTempDirectory("ac_regs").toString
+      val cards = Files.createTempDirectory("ac_cards").toString
+      val ck = Files.createTempDirectory("ac_ck").toString
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = StreamingHll.distinctCard(stream, col("k"), regs, cards,
+        ck, p = 8, compactEvery = every)
+      try q.processAllAvailable() finally q.stop()
+      (StreamingHll.currentCard(spark, cards)
+        .as[(Long, Long, Double)].collect().head,
+        Archives.batchIds(spark, regs).size)
+    }
+    val (cardC, dirsC) = run(every = 2)
+    val (cardU, dirsU) = run(every = 0)
+    assert(cardC == cardU, s"$cardC vs $cardU")
+    assert(dirsC <= 2 && dirsU == 5, s"$dirsC vs $dirsU")
+  }
+
+  test("currentTheil: the live Theil decomposition reads off the SAME " +
+    "Hoover rollup archive and matches the batch face on the " +
+    "replayed union, null group included") {
+    import spark.implicits._
+    val roll = Files.createTempDirectory("th_roll").toString
+    val cards = Files.createTempDirectory("th_cards").toString
+    def batch(b: Long) = (0L until 50L).map { i =>
+      val g = if (i % 4 == 3) null else s"s${(i % 4).toString}"
+      (g, i % 9, (b + 1) * 2.0 + i * 0.31)
+    }.toDF("g", "e", "v")
+    for (b <- 0L to 2L)
+      StreamingHoover.applyBatch(batch(b), b, "g", "e", "v", roll,
+        cards)
+    val all = (0L to 2L).map(batch).reduce(_ unionByName _)
+    val want = graft.ops.Events.theilDecomposition(all, "g", "e",
+        round(col("v") * 100).cast("long"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = StreamingHoover.currentTheil(spark, roll, "g", "e")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.size == 4, s"$got vs $want")
+  }
+
   test("latest-wins survives the 11th batch: max(batch_id) is numeric " +
     "(a lexicographic string max would pick 9 over 10)") {
     val regsDir = Files.createTempDirectory("arch_regs").toString

@@ -547,14 +547,23 @@ object Sampling {
     // disjoint 8-hex windows): replicate b reads window b mod 4 of
     // md5(key # (b div 4)) — 4x fewer digests on the N×B expansion
     // (the md5 IS the cost: measured 16.2 s for 60M digests at sf0.1),
-    // same determinism contract, mirrored verbatim in the oracle
-    val v = conv(md5(concat(col(keyCol).cast("string"), lit("#"),
-        expr("replicate div 4").cast("string")))
-      .substr(pmod(col("replicate"), lit(4)) * 8 + 1, lit(8)), 16, 10)
-      .cast("long")
+    // same determinism contract, mirrored verbatim in the oracle.
+    // The expansion is two-level so each digest is COMPUTED once and
+    // read four times (explode digest index d = b div 4, hash, then
+    // posexplode the four windows; replicate = 4d + j) — the one-level
+    // form recomputed the identical md5 under every window (4x the
+    // hashing for the same draw values; r17 measured the digest as the
+    // whole cost of this face).
+    // the ladder compares the 8-hex window LEXICOGRAPHICALLY against the
+    // thresholds rendered as fixed-width lowercase hex — identical to the
+    // numeric compare (fixed width, '0'<'9'<'a'<'f' is nibble order) with
+    // no per-row conv() radix parse on the N×B expansion
+    require(poissonThresholds.forall(t => t >= 0 && t <= 0xFFFFFFFFL),
+      "thresholds must fit in 32 bits for the hex-window compare")
+    val v = col("__hw")
     val w = poissonThresholds.zipWithIndex.foldRight(
       lit(poissonThresholds.length.toLong): Column) {
-      case ((t, k), acc) => when(v < t, lit(k.toLong)).otherwise(acc)
+      case ((t, k), acc) => when(v < f"$t%08x", lit(k.toLong)).otherwise(acc)
     }
     // spread the INPUT before exploding: the expansion multiplies
     // per-row work B× with no shuffle of its own, so a corpus read from
@@ -565,11 +574,19 @@ object Sampling {
     // at sf0.1: 10M expanded rows on one core = 15.8 s; spread = 1.3 s, a 12x).
     val nParts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
+    val nDigests = (replicates + 3) / 4
     df.select(col(keyCol), round(col(valueCol) * 100).cast("long").as("__c"))
       .repartition(nParts, col(keyCol))
       .select(col(keyCol), col("__c"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
-      .withColumn("__w", w)
+        explode(sequence(lit(0), lit(nDigests - 1))).as("__d"))
+      .withColumn("__h", md5(concat(col(keyCol).cast("string"), lit("#"),
+        col("__d").cast("string"))))
+      .select(col("__c"), col("__d"),
+        posexplode(array((0 until 4).map(j =>
+          col("__h").substr(j * 8 + 1, 8)): _*)).as(Seq("__j", "__hw")))
+      .filter(col("__d") * 4 + col("__j") < replicates)
+      .select((col("__d") * 4 + col("__j")).as("replicate"), col("__c"),
+        w.as("__w"))
       .groupBy(col("replicate"))
       .agg(sum(col("__w") * col("__c")).as("__num"),
         sum(col("__w")).as("__den"))

@@ -63,6 +63,15 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // dev-only A/B knob for optimization experiments: semicolon-separated
+    // runtime confs (SPARK_GRAFT_EXTRA_CONF="k=v;k=v"). The driver never
+    // sets it, so its runs see exactly the canonical configuration above.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
     spark
   }
 }

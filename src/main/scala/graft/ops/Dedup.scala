@@ -1621,14 +1621,28 @@ object Dedup {
       val keyed = records.select(col(idCol).as("id"), keyCol.as("k"))
         .filter(col("k").isNotNull)
         .localCheckpoint(eager = false)
-      val cand = keyed.select(col("k"), col("id").as("id_a"))
-        .join(keyed.select(col("k"), col("id").as("id_b")), Seq("k"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
-        .localCheckpoint(eager = false)
-      val nCand = cand.agg(count(lit(1)).as("n_cand"))
-      val nFound = cand.join(tp, Seq("id_a", "id_b"))
+      // The card needs COUNTS, not the candidate pairs themselves — so
+      // never enumerate them (r17; guide §1.2 "don't compute things you
+      // throw away"). Each record carries exactly ONE key per scheme, so
+      // a pair shares at most one block and
+      //   n_cand = Σ_blocks C(|b|, 2)
+      // falls out of the block-size marginals: one combinable agg
+      // replaces the keyed self-join + distinct + checkpoint of the full
+      // candidate relation (the Σ C(b,2) pair mass — millions of rows —
+      // was materialized only to be counted; measured 18.5 CPU-s of
+      // q189's 24 at sf0.1). n_found likewise: a truth pair is a
+      // candidate iff both sides carry the SAME non-null key, i.e. two
+      // id-equi-joins against the (small by construction) truth set.
+      // Counts are identical to the enumerated form by definition.
+      val nCand = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L))
+          .as("n_cand"))
+      val nFound = tp
+        .join(keyed.select(col("id").as("id_a"), col("k").as("ka")),
+          Seq("id_a"))
+        .join(keyed.select(col("id").as("id_b"), col("k").as("kb")),
+          Seq("id_b"))
+        .filter(col("ka") === col("kb"))
         .agg(count(lit(1)).as("n_found"))
       nRec.crossJoin(nTruth).crossJoin(nCand).crossJoin(nFound)
         .select(lit(name).as("scheme"), col("n_records"),

@@ -394,6 +394,18 @@ object Graph {
   private def peelRounds(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = e0
     for (_ <- 1 to rounds) {
+      // NOTE (r17): the semi-join back to `e` is set-wise redundant (every
+      // support key IS a surviving edge), but it is load-bearing as a
+      // STATS FIREWALL. `Dataset.localCheckpoint` hands the parent plan's
+      // ESTIMATED stats to the new LogicalRDD leaf, and join estimation
+      // multiplies child sizeInBytes — so without an outer stats-capping
+      // node each round's leaf size is the PRODUCT of ~5 references to
+      // the previous leaf, the BigInt's bit length quintuples per round,
+      // and by round 9 (trussHierarchy maxK=5) the optimizer burns
+      // minutes multiplying ~10^7-digit integers inside
+      // canBroadcastBySize (measured: q265 5.3 s → 183 s when this join
+      // was dropped). LeftSemi stats are the LEFT side alone, which
+      // pins the leaf estimate to the true edge-set scale every round.
       e = e.join(
           edgeSupport(e).filter(col("support") >= k - 2)
             .select(col("a"), col("b")),
@@ -499,8 +511,11 @@ object Graph {
     * with one recursive CTE (the q45 reach pattern). */
   def trussCommunities(edges: DataFrame, k: Int = 4, rounds: Int = 3,
                        maxIters: Int = 20): DataFrame = {
-    val truss = kTruss(edges, k, rounds).select(col("a"), col("b"))
-      .localCheckpoint(eager = false)
+    // peel directly: [[kTruss]]'s final left-join exists only to report
+    // per-edge support, which this op immediately discarded — going
+    // through it paid one whole extra wedge join over the final edge set
+    // (r17; the surviving (a, b) set is identical by construction).
+    val truss = peelRounds(undirectedSimple(edges), k, rounds)
     val nodes = truss.select(col("a").as("id"))
       .union(truss.select(col("b").as("id"))).distinct()
     val comp = graft.ops.Dedup.components(nodes, truss, maxIters)

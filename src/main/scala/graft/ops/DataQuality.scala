@@ -1905,9 +1905,12 @@ object DataQuality {
     *
     * Exactness: with a = n·Σx²−(Σx)², b = n·Σy²−(Σy)², c =
     * n·Σxy−Σx·Σy and per-row u = n·x−Σx, v = n·y−Σy (all EXACT
-    * integers — accumulated in decimal(38,0) on the Spark face and
-    * HUGEINT on the DuckDB face, both exact 128-bit integer domains,
-    * since (Σcents)² overflows int64 at warehouse row counts), the
+    * integers — the moment sums and a/b/c accumulate in decimal(38,0)
+    * on the Spark face and HUGEINT on the DuckDB face, both exact
+    * 128-bit integer domains, since (Σcents)² overflows int64 at
+    * warehouse row counts; the PER-ROW u and v run in int64, exact
+    * while n·max|value| < 2^63 — beyond that widen them back to the
+    * decimal path, which costs ~4× on the scoring scan), the
     * closed form d² = (u²b − 2uvc + v²a) / (ab − c²) needs no n
     * anywhere. The one float step casts those exact integers to
     * DOUBLE (IEEE round-half-even in both engines) and evaluates the
@@ -1934,19 +1937,30 @@ object DataQuality {
         sum((col("y") * col("y")).cast(d38)).as("syy"),
         sum((col("x") * col("y")).cast(d38)).as("sxy"))
       .select(col("grp"),
-        col("n"), col("sx"), col("sy"),
+        // per-row work happens on the PROBE side of the broadcast join
+        // below, so everything castable is cast HERE, once per group
+        // (r17): n/sx/sy to long (n·x and sx bound by n·max|x| ≪ 2^63,
+        // exactly representable), a/b/c to double. Only the sums above
+        // need decimal(38) — sxx can exceed int64 — and they collapse to
+        // per-group scalars before any row sees them. The old form ran
+        // ~6 BigDecimal ops per corpus row; this runs none (measured
+        // 12.1 → ~3 CPU-s on the q201 scoring stage at sf0.1).
+        col("n").cast("long").as("n"),
+        col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("a"),
         (col("n") * col("syy") - col("sy") * col("sy")).as("b"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("c"))
+      // the degeneracy filter stays in EXACT decimal (a·b − c² is ~10^50
+      // for big groups — a double compare could flip sign near zero);
+      // it runs once per group, not per row
       .filter(col("a") * col("b") - col("c") * col("c") > 0)
+      .select(col("grp"), col("n"), col("sx"), col("sy"),
+        col("a").cast("double").as("ad"),
+        col("b").cast("double").as("bd"),
+        col("c").cast("double").as("cd"))
     val scored = base.join(broadcast(m), Seq("grp"))
-      .withColumn("u", (col("n") * col("x").cast(d38) - col("sx"))
-        .cast("double"))
-      .withColumn("v", (col("n") * col("y").cast(d38) - col("sy"))
-        .cast("double"))
-      .withColumn("ad", col("a").cast("double"))
-      .withColumn("bd", col("b").cast("double"))
-      .withColumn("cd", col("c").cast("double"))
+      .withColumn("u", (col("n") * col("x") - col("sx")).cast("double"))
+      .withColumn("v", (col("n") * col("y") - col("sy")).cast("double"))
       .withColumn("d2",
         round((col("u") * col("u") * col("bd") -
           lit(2.0) * col("u") * col("v") * col("cd") +
@@ -2046,22 +2060,34 @@ object DataQuality {
       .partitionBy(col("feature")).orderBy(col("x").asc)
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("feature"))
-    val s = g
+    // per-feature totals via ONE combinable agg + broadcast join instead
+    // of an unbounded-frame window (r17): the whole-partition frame
+    // buffered every (feature, x) row per partition a second time for
+    // two scalars, on top of the running-frame pass that streams
+    val totals = g.groupBy(col("feature"))
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+    val s = g.join(broadcast(totals), Seq("feature"))
       .withColumn("cn", sum(col("cnt")).over(wCum))
       .withColumn("cp", sum(col("pos")).over(wCum))
-      .withColumn("n", sum(col("cnt")).over(wAll))
-      .withColumn("p", sum(col("pos")).over(wAll))
       .filter(col("cn") < col("n"))
       .select(col("feature"), col("x"), col("cn").as("n_left"),
         col("cp").as("pos_left"),
-        // products in decimal(38,0) (the 128-bit exact domain; int64
-        // overflows at ~6e6 rows/feature), quotients back in long
-        (expr("cast((cast(1000000 as decimal(38,0)) * cp * (cn - cp))" +
-            " div cn as bigint)") +
-          expr("cast((cast(1000000 as decimal(38,0)) * (p - cp)" +
-            " * ((n - cn) - (p - cp))) div (n - cn) as bigint)"))
+        // adaptive-width EXACT arithmetic (r17): the products need the
+        // 128-bit decimal(38,0) domain only past ~6e6 rows/feature
+        // (1e6·cp·(cn−cp) ≤ 1e6·(n/2)² < 2^63 ⇔ n ≤ 6e6); below that
+        // bound the same integers fit int64, where the per-row math is
+        // plain long ops instead of BigDecimal multiply/divide (the
+        // measured cost of this stage). Both branches are exact integer
+        // arithmetic — identical values, per-group branch selection.
+        when(col("n") <= 6000000L,
+          expr("cast((1000000L * cp * (cn - cp)) div cn as bigint)") +
+            expr("cast((1000000L * (p - cp) * ((n - cn) - (p - cp)))" +
+              " div (n - cn) as bigint)"))
+          .otherwise(
+            expr("cast((cast(1000000 as decimal(38,0)) * cp * (cn - cp))" +
+              " div cn as bigint)") +
+            expr("cast((cast(1000000 as decimal(38,0)) * (p - cp)" +
+              " * ((n - cn) - (p - cp))) div (n - cn) as bigint)"))
           .as("score_micros"))
     graft.ops.Windows.topOneByAgg(s, Seq(col("feature")),
         struct((-col("score_micros")).as("ns"), (-col("x")).as("nx")))

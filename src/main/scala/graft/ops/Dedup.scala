@@ -1458,16 +1458,16 @@ object Dedup {
     // completeness claim breaks. (Null STRINGS produce no pairs either
     // way — levenshtein over null is null — which is the documented
     // behavior for missing keys.)
+    // verify before deduplicating — see [[editDistancePairsSegmented]]
+    // (r17): the distinct exchange then carries only verified pairs.
     replicated.join(probes,
         col("len_key") === col("len_key_r") && col("blk") <=> col("blk_r"))
       .filter(col("id") =!= col("id_r"))
       .select(least(col("id"), col("id_r")).as("id_a"),
         greatest(col("id"), col("id_r")).as("id_b"),
-        when(col("id") < col("id_r"), col("s")).otherwise(col("s_r")).as("s_a"),
-        when(col("id") < col("id_r"), col("s_r")).otherwise(col("s")).as("s_b"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+        levenshtein(col("s"), col("s_r"), maxDist).as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .distinct()
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -1541,15 +1541,20 @@ object Dedup {
       .select(col("id_r"), col("s_r"), explode(probeKeys).as("pk"))
       .select(col("id_r"), col("s_r"), col("pk.L").as("L"),
         col("pk.seg_i").as("seg_i"), col("pk.seg").as("seg"))
+    // verify BEFORE deduplicating (r17): the banded levenshtein is
+    // cheap per candidate (O(d·len) on short keys), while the distinct
+    // is a full exchange of the candidate mass — filtering first means
+    // the shuffle carries only verified pairs (tens of thousands)
+    // instead of every (blocking-key collision × shift) candidate
+    // (millions, with both strings aboard). Same pair set: dedup of the
+    // filtered relation ≡ filter of the deduped one.
     segSide.join(probeSide, Seq("L", "seg_i", "seg"))
       .filter(col("id") =!= col("id_r"))
       .select(least(col("id"), col("id_r")).as("id_a"),
         greatest(col("id"), col("id_r")).as("id_b"),
-        when(col("id") < col("id_r"), col("s")).otherwise(col("s_r")).as("s_a"),
-        when(col("id") < col("id_r"), col("s_r")).otherwise(col("s")).as("s_b"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+        levenshtein(col("s"), col("s_r"), maxDist).as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .distinct()
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

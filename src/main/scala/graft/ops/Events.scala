@@ -2665,16 +2665,22 @@ object Events {
     val states = p.select(col("from_type").as("state"))
       .union(p.select(col("to_type").as("state"))).distinct()
       .localCheckpoint(eager = false)
-    val nStates = states.count()
-    var pi = states.select(col("state"),
-        lit(1000000L / nStates).as("pi"))
-      .localCheckpoint(eager = false)
+    // the whole power iteration stays LAZY (r17): every relation here is
+    // state-space sized (broadcast class), each step references the
+    // previous pi exactly once, and only ONE materialization (the final
+    // query) ever runs the chain — so the per-step localCheckpoint bought
+    // nothing and cost a driver job + row-copy + planning round per step
+    // (10 steps × ~3 jobs each ≈ the whole q220 wall). The state count
+    // rides the plan as a broadcast scalar instead of a separate count()
+    // action; 1000000L div n is the same floor the literal computed.
+    val nStates = broadcast(states.agg(count(lit(1)).as("__n")))
+    var pi = states.crossJoin(nStates)
+      .select(col("state"), expr("1000000L div __n").as("pi"))
     for (_ <- 1 to iters) {
       pi = p.join(pi, col("from_type") === col("state"))
         .select(col("to_type").as("state"),
           expr("(pi * p_micros) div 1000000L").as("m"))
         .groupBy(col("state")).agg(sum(col("m")).as("pi"))
-        .localCheckpoint(eager = false)
     }
     states.join(pi, Seq("state"), "left")
       .select(col("state"),
@@ -2797,9 +2803,15 @@ object Events {
         col("p_micros"))), lit(0L)).as("pconv"))
       .localCheckpoint(eager = false)
     val q = vp.filter(col("to_type") =!= convType)
+    // the recurrence stays LAZY (r17): unlike [[chainConv]] (whose step
+    // reads the previous state twice — c and sacc — so it must
+    // checkpoint), this step references `cur` exactly ONCE (the inc
+    // join), the downstream consumer reads the result once, and every
+    // relation is |variants|·|types|-sized — so the chain materializes
+    // once as a single query instead of one checkpoint job per step
+    // (q263/q267 measured ~2× faster).
     var cur = pc.select(col("vtag"), col("state"),
         col("pconv").as("c"))
-      .localCheckpoint(eager = false)
     for (_ <- 2 to steps) {
       val inc = q.join(cur.select(col("vtag"),
             col("state").as("to_type"), col("c")),
@@ -2810,7 +2822,6 @@ object Events {
       cur = pc.join(inc, Seq("vtag", "state"), "left")
         .select(col("vtag"), col("state"),
           (col("pconv") + coalesce(col("inc"), lit(0L))).as("c"))
-        .localCheckpoint(eager = false)
     }
     cur
   }

@@ -1625,6 +1625,12 @@ object Similarity {
     val w0 = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
     val seeds = base.orderBy(col("id")).limit(k)
       .withColumn("cid", row_number().over(w0) - 1)
+    // NOTE (r17): the per-round localCheckpoint on books is load-bearing
+    // even though books is only m·k rows — each round broadcasts books
+    // into the next assign, and without the checkpoint every broadcast
+    // re-executes the ENTIRE previous training chain (no cross-query
+    // exchange reuse across the later materializations); measured
+    // q127/q129/q158/q297 ~30-40% slower with lazy books.
     var books = seeds.select(col("cid"), col("v"), js)
       .select(col("j"), col("cid"),
         slice(col("v"), col("j") * sub + 1, lit(sub)).as("cv"))

@@ -154,9 +154,15 @@ object Windows {
       .agg(sum(col(weightCol)).as("w"))
     val cum = Window.partitionBy(col(groupCol)).orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col(groupCol))
-    g.withColumn("cum", sum(col("w")).over(cum))
-      .withColumn("tot", sum(col("w")).over(tot))
+    // group totals via one combinable agg + equi-join (r17): the
+    // whole-partition window frame re-buffered every (group, value) row
+    // for one scalar per group, on top of the running frame that streams.
+    // No broadcast hint — the group count is data-dependent, so the
+    // planner/AQE picks broadcast only when the totals side is small.
+    val tot = g.groupBy(col(groupCol))
+      .agg(sum(col("w")).as("tot"))
+    g.join(tot, Seq(groupCol))
+      .withColumn("cum", sum(col("w")).over(cum))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col(groupCol))
       .agg(min(col("v")).as("wmedian"))

@@ -180,9 +180,10 @@ object Graph {
       .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
         "left_semi")
       .select(col("src").as("u"), col("v"), col("w"))
-    val perNode = tri.select(col("u").as("node"))
-      .union(tri.select(col("v").as("node")))
-      .union(tri.select(col("w").as("node")))
+    // one explode, not a 3-way union of projections — the union form
+    // re-executes the wedge join once per branch (see [[edgeSupport]])
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
@@ -346,12 +347,19 @@ object Graph {
       .join(o.select(col("src").as("v"), col("dst").as("w")),
         Seq("v", "w"), "left_semi")
       .select(col("src").as("u"), col("v"), col("w"))
-    tri.select(least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b"))
-      .union(tri.select(least(col("u"), col("w")).as("a"),
-        greatest(col("u"), col("w")).as("b")))
-      .union(tri.select(least(col("v"), col("w")).as("a"),
-        greatest(col("v"), col("w")).as("b")))
+    // each triangle contributes its three undirected edges via ONE
+    // explode — a 3-way union of projections re-executes the wedge
+    // join per branch (no exchange reuse across the differing
+    // projections; the before-plan shows 3 SortMergeJoin subtrees),
+    // tripling the Σ C(deg, 2) stage every support pass pays (r17)
+    tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
   }
 

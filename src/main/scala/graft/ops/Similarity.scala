@@ -1639,12 +1639,21 @@ object Similarity {
     val subvTrain =
       if (trainStride > 1) subv.filter(col("id") % trainStride === 0)
       else subv
+    // assignment is ROW-LOCAL (r17, guide §2.4): the codebook collapses
+    // to one cid-sorted array per subspace (m broadcast rows) and
+    // `pq_best_cid` picks argmin round-6 L2 with the cid-asc tie-break in
+    // a codegen'd loop — same winner as the former broadcast-join +
+    // top-1-per-(id, j) form (bit-identical rounding; see PqAssign), but
+    // with NO corpus-sized exchange per pass: the join form shuffled one
+    // winner row per (id, j) every training round AND in the final
+    // encode, ~N·m rows per pass at corpus scale.
     def assign(bk: DataFrame, sv: DataFrame): DataFrame =
-      Windows.topOnePerGroup(
-        sv.join(broadcast(bk), Seq("j"))
-          .select(col("id"), col("j"), col("sv"), col("cid"),
-            round(l2Chain(col("sv"), col("cv"), sub), 6).as("d")),
-        Seq(col("id"), col("j")), Seq(col("d").asc, col("cid").asc))
+      sv.join(broadcast(bk.groupBy(col("j"))
+          .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+            .as("__cands"))), Seq("j"))
+        .select(col("id"), col("j"), col("sv"),
+          graft.functions.PqAssign.pq_best_cid(col("sv"), col("__cands"))
+            .as("cid"))
     // per-round mean: ONE groupBy with `sub` per-position avg columns
     // (the positions are a compile-time constant) — not
     // posexplode → groupBy(j,cid,pos) → collect_list, which shuffles

@@ -343,21 +343,17 @@ object Similarity {
       col("label"))
     val cents = base.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    val ranked = base.join(broadcast(cents), lit(true))
-      .select(col("id"), col("v"), col("label"), col("cent_id"),
-        round(cosine(col("v"), col("cv")), 6).as("cent_cos"))
-    val cells = Windows.topOnePerGroup(ranked, Seq(col("id")),
-        Seq(col("cent_cos").desc, col("cent_id").asc))
-      .select(col("cent_id"), col("id").as("cand_id"), col("v"),
-        col("label"))
-    val qranked = queries.select(col("id").as("query_id"),
+    val ca = broadcast(centsArr(cents))
+    val cells = base.crossJoin(ca)
+      .select(topCent1(col("v")).as("cent_id"), col("id").as("cand_id"),
+        col("v"), col("label"))
+    val probes = queries.select(col("id").as("query_id"),
         asDouble(col("vec")).as("qv"))
-      .join(broadcast(cents), lit(true))
-      .select(col("query_id"), col("qv"), col("cent_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cent_cos"))
-    val probes = Windows.topKPerGroup(qranked, Seq(col("query_id")),
-        Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
-      .select(col("cent_id"), col("query_id"), col("qv"))
+      .crossJoin(ca)
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.IvfTopCents.ivf_top_cents(col("qv"),
+          col("__cents"), nProbe)).as("p"))
+      .select(col("p.cent_id").as("cent_id"), col("query_id"), col("qv"))
     probes.join(cells, Seq("cent_id"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"), col("label"),
@@ -721,22 +717,21 @@ object Similarity {
       .join(lab, Seq("id"))
     val cents = base.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    // one assignment relation feeds homes AND probes (the q35/q88
-    // materialize-once pattern)
-    val ranked = base.join(broadcast(cents), lit(true))
-      .select(col("id"), col("v"), col("lbl"), col("cent_id"),
-        round(cosine(col("v"), col("cv")), 6).as("cent_cos"))
-      .localCheckpoint(eager = false)
-    val cells = Windows.topOnePerGroup(ranked, Seq(col("id")),
-        Seq(col("cent_cos").desc, col("cent_id").asc))
-      .select(col("cent_id"), col("id").as("cand_id"), col("v"),
-        col("lbl").as("cand_label"))
-    val probes = Windows.topKPerGroup(
-        ranked.filter(col("id") % stride === 0),
-        Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc),
-        nProbe)
-      .select(col("cent_id"), col("id").as("query_id"),
-        col("v").as("qv"), col("lbl").as("q_label"))
+    // row-local routing (r17; see ivfRouting) off one labeled base —
+    // the checkpoint holds base ALONE (the per-row cents array would
+    // multiply the materialized bytes by nCentroids·dim)
+    val based = base.localCheckpoint(eager = false)
+    val withArr = based.crossJoin(broadcast(centsArr(cents)))
+    val cells = withArr
+      .select(topCent1(col("v")).as("cent_id"), col("id").as("cand_id"),
+        col("v"), col("lbl").as("cand_label"))
+    val probes = withArr.filter(col("id") % stride === 0)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("lbl").as("q_label"),
+        explode(graft.functions.IvfTopCents.ivf_top_cents(col("v"),
+          col("__cents"), nProbe)).as("p"))
+      .select(col("p.cent_id").as("cent_id"), col("query_id"),
+        col("qv"), col("q_label"))
     probes.join(cells, Seq("cent_id"))
       .filter(col("cand_id") =!= col("query_id") &&
         col("cand_label") =!= col("q_label"))
@@ -1204,11 +1199,11 @@ object Similarity {
     // candidate side — without this each consumer re-runs the centroid
     // fan-out + top-k, which doubles the dominant stage when the query
     // side is the whole corpus (knnGraph's queryStride = 1)
-    val assigned = Windows.topKPerGroup(
-      base.join(broadcast(centroids), lit(true))
-        .select(col("id"), col("v"), col("cent_id"),
-          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
-      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
+    val assigned = base.crossJoin(broadcast(centsArr(centroids)))
+      .select(col("id"), col("v"),
+        explode(graft.functions.IvfTopCents.ivf_top_cents(col("v"),
+          col("__cents"), nProbe)).as("p"))
+      .select(col("id"), col("v"), col("p.cent_id").as("cent_id"))
       .localCheckpoint(eager = false)
     val cells = assigned.select(col("cent_id"), col("id"), col("v"))
     val queries = cells.filter(col("id") % queryStride === 0)
@@ -1257,14 +1252,12 @@ object Similarity {
       asDouble(col(vecCol)).as("v"))
     val centroids = base.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val assigned = base.join(broadcast(centroids), lit(true))
-      .select(col("id"), col("v"), col("cent_id"),
-        round(cosine(col("v"), col("cv")), 6).as("cent_cos"))
-      .withColumn("pr", row_number().over(w))
-      .filter(col("pr") <= maxP)
+    val assigned = base.crossJoin(broadcast(centsArr(centroids)))
+      .select(col("id"), col("v"),
+        posexplode(graft.functions.IvfTopCents.ivf_top_cents(col("v"),
+          col("__cents"), maxP)).as(Seq("pos", "p")))
+      .select(col("id"), col("v"), col("p.cent_id").as("cent_id"),
+        (col("pos") + 1).as("pr"))
       .localCheckpoint(eager = false)
     val queries = assigned.filter(col("id") % queryStride === 0)
       .select(col("cent_id"), col("id").as("query_id"),
@@ -1864,20 +1857,33 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) = {
     val cents = base.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    val ranked = base.join(broadcast(cents), lit(true))
-      .select(col("id"), col("v"), col("cent_id"),
-        round(cosine(col("v"), col("cv")), 6).as("cent_cos"))
-      .localCheckpoint(eager = false)
-    val cells = Windows.topOnePerGroup(ranked, Seq(col("id")),
-      Seq(col("cent_cos").desc, col("cent_id").asc))
-      .select(col("cent_id"), col("id"), col("v"))
-    val probes = Windows.topKPerGroup(
-        ranked.filter(col("id") % queryStride === 0),
-        Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc),
-        nProbe)
-      .select(col("cent_id"), col("id").as("query_id"), col("v"))
+    // ROW-LOCAL routing (r17, guide §2.4): the former broadcast-join
+    // fan-out (N × nCentroids rows) + per-id top-k rank paid an
+    // id-keyed exchange of the corpus WITH its vectors per call;
+    // ivf_top_cents picks the same (round-6 cosine desc, cent_id asc)
+    // winners inside one codegen'd loop per row — no exchange at all.
+    val withArr = base.crossJoin(broadcast(centsArr(cents)))
+    val cells = withArr
+      .select(topCent1(col("v")).as("cent_id"), col("id"), col("v"))
+    val probes = withArr.filter(col("id") % queryStride === 0)
+      .select(col("id").as("query_id"), col("v"),
+        explode(graft.functions.IvfTopCents.ivf_top_cents(col("v"),
+          col("__cents"), nProbe)).as("p"))
+      .select(col("p.cent_id").as("cent_id"), col("query_id"), col("v"))
     (cents, cells, probes)
   }
+
+  /** The centroid table collapsed to ONE cent_id-sorted array row — the
+    * broadcast side of the row-local routing
+    * ([[graft.functions.IvfTopCents]]; r17). */
+  private def centsArr(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(
+      col("cent_id").cast("long").as("cent_id"), col("cv")))).as("__cents"))
+
+  /** Top-1 cell id of `v` against the `__cents` array column. */
+  private def topCent1(v: Column): Column =
+    element_at(graft.functions.IvfTopCents.ivf_top_cents(v,
+      col("__cents"), 1), 1).getField("cent_id")
 
   /** IVF-PQ with RESIDUAL encoding — the classic recall refinement at
     * the same bytes (Jégou et al. 2011 §V.B; FAISS IVFPQ's default):
@@ -1979,12 +1985,8 @@ object Similarity {
       if (trainIters > 0) kMeansCentroids(base, nCentroids, trainIters)
       else base.orderBy(col("id")).limit(nCentroids)
         .select(col("id").as("cent_id"), col("v").as("cv"))
-    val cells = Windows.topKPerGroup(
-      base.join(broadcast(cent), lit(true))
-        .select(col("id"), col("v"), col("cent_id"),
-          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
-      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), 1)
-      .select(col("cent_id"), col("id"), col("v"))
+    val cells = base.crossJoin(broadcast(centsArr(cent)))
+      .select(topCent1(col("v")).as("cent_id"), col("id"), col("v"))
     (cent, cells)
   }
 
@@ -2012,12 +2014,11 @@ object Similarity {
                         threshold: Double, nProbe: Int = 4): DataFrame = {
     require(nProbe >= 1, "nProbe must be >= 1")
     val b = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val probes = Windows.topKPerGroup(
-      b.join(broadcast(centroids), lit(true))
-        .select(col("id"), col("v"), col("cent_id"),
-          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
-      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
-      .select(col("cent_id"), col("id").as("batch_id"), col("v").as("bv"))
+    val probes = b.crossJoin(broadcast(centsArr(centroids)))
+      .select(col("id").as("batch_id"), col("v").as("bv"),
+        explode(graft.functions.IvfTopCents.ivf_top_cents(col("v"),
+          col("__cents"), nProbe)).as("p"))
+      .select(col("p.cent_id").as("cent_id"), col("batch_id"), col("bv"))
     val hits = cells.join(broadcast(probes), Seq("cent_id"))
       .select(col("batch_id"),
         (round(cosine(col("bv"), col("v")), 4) >= threshold)
@@ -2063,12 +2064,8 @@ object Similarity {
       .localCheckpoint(eager = false)
     val cent = base.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    val cells = Windows.topOnePerGroup(
-      base.join(broadcast(cent), lit(true))
-        .select(col("id"), col("cent_id"),
-          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
-      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc))
-      .select(col("cent_id"), col("id"))
+    val cells = base.crossJoin(broadcast(centsArr(cent)))
+      .select(topCent1(col("v")).as("cent_id"), col("id"))
     val (_, books, codes) =
       pqArtifacts(base, "id", "v", m, k, trainIters, dim, trainStride)
     val cellCodes = codes.join(cells, Seq("id"))
@@ -2107,12 +2104,11 @@ object Similarity {
       "need nProbe >= 1, m >= 1, dim divisible by m")
     val b = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(eager = false)
-    val probes = Windows.topKPerGroup(
-      b.join(broadcast(centroids), lit(true))
-        .select(col("id"), col("cent_id"),
-          round(cosine(col("v"), col("cv")), 6).as("cent_cos")),
-      Seq(col("id")), Seq(col("cent_cos").desc, col("cent_id").asc), nProbe)
-      .select(col("cent_id"), col("id").as("batch_id"))
+    val probes = b.crossJoin(broadcast(centsArr(centroids)))
+      .select(col("id").as("batch_id"),
+        explode(graft.functions.IvfTopCents.ivf_top_cents(col("v"),
+          col("__cents"), nProbe)).as("p"))
+      .select(col("p.cent_id").as("cent_id"), col("batch_id"))
     val qd = pqAdcTable(b, books, m, dim / m)
       .select(col("query_id").as("batch_id"), col("j"), col("cid"),
         col("dm"))
@@ -2177,11 +2173,10 @@ object Similarity {
     var cents = base.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      val assigned = Windows.topOnePerGroup(
-        train.join(broadcast(cents), lit(true))
-          .select(col("id"), col("v"), col("cent_id"),
-            round(cosine(col("v"), col("cv")), 6).as("cos")),
-        Seq(col("id")), Seq(col("cos").desc, col("cent_id").asc))
+      // row-local top-1 assignment (r17): same winners as the former
+      // fan-out + rank, no per-round corpus exchange (see ivfRouting)
+      val assigned = train.crossJoin(broadcast(centsArr(cents)))
+        .select(topCent1(col("v")).as("cent_id"), col("v"))
       cents = assigned
         .select(col("cent_id"), posexplode(col("v")))
         .groupBy(col("cent_id"), col("pos"))

@@ -1504,7 +1504,9 @@ object TextAnalysis {
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 merges: Int): DataFrame = {
     val syms = bpeCore(docs, textCol, merges, applyLast = true)._1
-    val wtok = syms.groupBy(col("word")).agg(count(lit(1)).as("n_sub"))
+    // per-word token count is row-local on the array form (r17)
+    val wtok = syms.select(col("word"),
+      size(col("syms")).cast("long").as("n_sub"))
     val docw = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -1558,26 +1560,34 @@ object TextAnalysis {
   private def bpeCore(docs: DataFrame, textCol: String, merges: Int,
                       applyLast: Boolean): (DataFrame, DataFrame) = {
     require(merges >= 1, "merges must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    val wp = Window.partitionBy(col("word")).orderBy(col("pos").asc)
-    var syms = words
-      .select(col("word"), col("freq"),
-        explode(sequence(lit(1), length(col("word")))).as("pos"))
-      .select(col("word"), col("freq"), col("pos"),
-        when(col("pos") === length(col("word")),
-          concat(expr("substring(word, pos, 1)"), lit("</w>")))
-          .otherwise(expr("substring(word, pos, 1)")).as("sym"))
+    // ONE array row per word (r17, guide §2 "shuffle fewer bytes" /
+    // §1.2 per-task work): the former exploded (word, pos, sym) table
+    // paid FOUR window passes (lead, lag, running run-id, per-run min)
+    // plus a rank repack over N·L rows per merge round; the array form
+    // counts pairs with a row-local position zip and applies the merge
+    // with a row-local left-to-right fold — the ONLY exchange per round
+    // is the vocabulary-sized pair-count aggregate. The fold is exactly
+    // the non-overlapping rule the runid/runmin windows encoded (greedy
+    // left-to-right: in a bx-run with bx = by, occurrences at even
+    // offsets from the run start merge) — spec-pinned in BpeMergeSpec.
+    var syms = words.select(col("word"), col("freq"),
+        expr("transform(sequence(1, length(word)), p -> " +
+          "case when p = length(word) then substring(word, p, 1) || '</w>' " +
+          "else substring(word, p, 1) end)").as("syms"))
       .localCheckpoint(eager = false)
     var out: DataFrame = null
     for (m <- 1 to merges) {
       val pairs = syms
-        .withColumn("nxt", lead(col("sym"), 1).over(wp))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("sym"), col("nxt"))
+        .filter(size(col("syms")) > 1)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+            "'sym', element_at(syms, i), 'nxt', element_at(syms, i + 1)))"))
+          .as("pr"))
+        .groupBy(col("pr.sym").as("sym"), col("pr.nxt").as("nxt"))
         .agg(sum(col("freq")).as("cnt"))
       val best = pairs
         .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
@@ -1589,29 +1599,22 @@ object TextAnalysis {
         col("cnt").as("pair_count"))
       out = if (out == null) stepOut else out.union(stepOut)
       if (m < merges || applyLast) {
-        val t = syms.crossJoin(broadcast(best.select(col("bx"), col("by"))))
-          .withColumn("nxts", lead(col("sym"), 1).over(wp))
-          .withColumn("lags", lag(col("sym"), 1).over(wp))
-          .withColumn("runid", sum(when(col("sym") === col("bx") &&
-              (col("lags").isNull || col("lags") =!= col("bx")), 1L)
-              .otherwise(0L))
-            .over(wp.rowsBetween(Window.unboundedPreceding, 0)))
-        val v = t
-          .withColumn("runmin",
-            min(when(col("sym") === col("bx"), col("pos")))
-              .over(Window.partitionBy(col("word"), col("runid"))))
-          .withColumn("strt", col("sym") === col("bx") &&
-            col("nxts") === col("by") &&
-            (col("bx") =!= col("by") ||
-              (col("pos") - col("runmin")) % 2 === 0))
-          .withColumn("scnd",
-            coalesce(lag(col("strt"), 1).over(wp), lit(false)))
-        syms = v.filter(!col("scnd"))
-          .withColumn("sym2", when(col("strt"),
-            concat(col("bx"), col("by"))).otherwise(col("sym")))
-          .withColumn("pos2", row_number().over(wp))
-          .select(col("word"), col("freq"), col("pos2").as("pos"),
-            col("sym2").as("sym"))
+        syms = syms.crossJoin(broadcast(best.select(col("bx"), col("by"))))
+          .select(col("word"), col("freq"), expr(
+            """aggregate(syms,
+              |  named_struct('acc', cast(array() as array<string>),
+              |               'lm', false),
+              |  (st, s) -> case
+              |    when size(st.acc) > 0 and not st.lm
+              |         and element_at(st.acc, -1) = bx and s = by
+              |    then named_struct(
+              |      'acc', concat(slice(st.acc, 1, size(st.acc) - 1),
+              |                    array(bx || by)),
+              |      'lm', true)
+              |    else named_struct('acc', concat(st.acc, array(s)),
+              |                      'lm', false)
+              |  end,
+              |  st -> st.acc)""".stripMargin).as("syms"))
           .localCheckpoint(eager = false)
       }
     }
@@ -1707,7 +1710,9 @@ object TextAnalysis {
   def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
                    merges: Int): DataFrame = {
     val syms = bpeCore(docs, textCol, merges, applyLast = true)._1
-    val wtok = syms.groupBy(col("word")).agg(count(lit(1)).as("n_sub"))
+    // per-word token count is row-local on the array form (r17)
+    val wtok = syms.select(col("word"),
+      size(col("syms")).cast("long").as("n_sub"))
     val docw = docs.select(col(groupCol).as("__g"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)

@@ -197,20 +197,17 @@ object TextAnalysis {
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, w: Int = 10): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
-    val toks = tokens(col(textCol))
-    val grams = when(size(toks) < k, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
-    val wnd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
-      .rowsBetween(-(w - 1), 0)
-    docs.select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"),
-        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") *
-          WinnowPosScale + col("pos")).as("key"))
-      .select(col("doc_id"), min(col("key")).over(wnd).as("wkey"))
-      .select(col("doc_id"), expr(s"wkey div $WinnowPosScale").as("h"))
-      .distinct()
+    // row-local selection (r17, guide §2.4): the former posexplode →
+    // per-doc frame-min window exchanged AND sorted the entire gram
+    // stream on the doc key before distinct could thin it; the
+    // winnow_fingerprints expression runs the same md5-keyed sliding
+    // min inside the scan task and emits only the ~2/(w+1)-density
+    // DISTINCT fingerprint set (WinnowFingerprintSpec pins equality
+    // with the window form, including the short-doc and head-window
+    // conventions).
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WinnowFingerprint.winnow_fingerprints(
+        tokens(col(textCol)), k, w)).as("h"))
   }
 
   /** TERM-LEVEL VOCABULARY DRIFT between two corpus snapshots — the

@@ -1212,7 +1212,14 @@ object Similarity {
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("cand_id"),
         (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
-      .distinct()
+      // ONE exchange for dedup + rank (r17, guide §2.4): hash-partition
+      // by query_id once; the (query_id, cand_id) dedup agg and the
+      // top-k window both have their clustering satisfied by it (a
+      // multi-probe pair appears once per shared cell with the SAME
+      // cosine, so max == any). `.distinct()` + window paid two
+      // exchanges of the full candidate mass.
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("cand_id")).agg(max(col("cos")).as("cos"))
     Windows.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
@@ -1368,7 +1375,14 @@ object Similarity {
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("cand_id"),
         (round(cosine(col("qv"), col("v")), 4) + lit(0.0)).as("cos"))
-      .distinct()
+      // ONE exchange for dedup + rank (r17, guide §2.4): hash-partition
+      // by query_id once; the (query_id, cand_id) dedup agg and the
+      // top-k window both have their clustering satisfied by it (a
+      // multi-probe pair appears once per shared cell with the SAME
+      // cosine, so max == any). `.distinct()` + window paid two
+      // exchanges of the full candidate mass.
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("cand_id")).agg(max(col("cos")).as("cos"))
     Windows.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
